@@ -1,0 +1,126 @@
+package graft.core
+
+import java.net.URI
+
+/**
+ * Core domain model for the versioning layer.
+ *
+ * Semantics follow the reference implementation's data model
+ * (guardian/table-versions, `core/src/main/scala/com/gu/tableversions/core/model.scala:10-109`):
+ * a table is either a snapshot table (whole-table replacement per write) or a
+ * partitioned table (per-partition replacement); partition values are plain
+ * strings rendered in Hive path form `col=value[/col2=value2...]`.
+ *
+ * Differences from the reference: no cats `NonEmptyList` (offline build) —
+ * invariants are enforced with `require`; everything is plain synchronous
+ * Scala.
+ */
+
+/** A named partition column. Names only — partition column types come from
+ * the data schema (reference `model.scala:41`). */
+final case class PartitionColumn(name: String) {
+  require(name.nonEmpty, "partition column name must be non-empty")
+}
+
+/** A concrete value of a partition column. Values are strings; canonical
+ * formatting is the writer's responsibility (reference `model.scala:43`). */
+final case class ColumnValue(column: PartitionColumn, value: String)
+
+/**
+ * A concrete table partition, e.g. `event_date=2019-02-09` or the
+ * multi-column `event_date=2019-02-09/processed_date=2019-02-10`.
+ *
+ * Render/parse semantics mirror reference `model.scala:10-25,45-69`.
+ */
+final case class Partition(columnValues: List[ColumnValue]) {
+  require(columnValues.nonEmpty, "a partition must have at least one column value")
+
+  /** Hive-style relative path for this partition under the table location. */
+  def resolvePath(tableLocation: URI): URI =
+    Partition.normalizedDir(tableLocation).resolve(hivePath + "/")
+
+  /** `col1=v1/col2=v2` rendering. */
+  def hivePath: String =
+    columnValues.map(cv => s"${cv.column.name}=${cv.value}").mkString("/")
+
+  override def toString: String = hivePath
+}
+
+object Partition {
+
+  def apply(first: ColumnValue, rest: ColumnValue*): Partition =
+    Partition((first +: rest).toList)
+
+  def apply(column: PartitionColumn, value: String): Partition =
+    Partition(List(ColumnValue(column, value)))
+
+  // One `name=value` path segment; names and values may not contain '/' or '='.
+  private val ColumnValuePattern = """([a-zA-Z_][a-zA-Z0-9_]*)=([^/=]+)""".r
+
+  /** Parse `col=v[/col2=v2...]` back into a Partition.
+   * Mirrors reference `model.scala:57-69`. */
+  def parse(path: String): Either[String, Partition] = {
+    val segments = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    val parsed = segments.map {
+      case ColumnValuePattern(name, value) =>
+        Right(ColumnValue(PartitionColumn(name), value))
+      case other => Left(s"Invalid partition path segment: '$other'")
+    }
+    val (errs, oks) = parsed.partitionMap(identity)
+    if (errs.nonEmpty) Left(errs.mkString("; "))
+    else if (oks.isEmpty) Left(s"Empty partition path: '$path'")
+    else Right(Partition(oks))
+  }
+
+  /** Ensure a URI behaves as a directory for `resolve`. */
+  private[core] def normalizedDir(uri: URI): URI =
+    if (uri.toString.endsWith("/")) uri else new URI(uri.toString + "/")
+}
+
+/** The partition columns of a table. The empty list means "snapshot table".
+ * Reference `model.scala:76-83`. */
+final case class PartitionSchema(columns: List[PartitionColumn])
+
+object PartitionSchema {
+  /** Sentinel: a snapshot (non-partitioned) table. */
+  val snapshot: PartitionSchema = PartitionSchema(Nil)
+}
+
+/** Fully qualified table name `schema.name`. Reference `model.scala:89-91`. */
+final case class TableName(schema: String, name: String) {
+  def fullyQualifiedName: String = s"$schema.$name"
+}
+
+object TableName {
+  def fromFullyQualified(s: String): TableName = s.split('.') match {
+    case Array(sc, n) => TableName(sc, n)
+    case _            => throw new IllegalArgumentException(s"Not a schema.name table name: '$s'")
+  }
+}
+
+/** Storage format of a table — an opaque string handed to Spark's
+ * `DataFrameWriter.format` / `DataFrameReader.format`.
+ * Reference `model.scala:104-109`. */
+final case class FileFormat(name: String)
+
+object FileFormat {
+  val Parquet: FileFormat = FileFormat("parquet")
+  val Orc: FileFormat     = FileFormat("orc")
+}
+
+/** Definition of a versioned table. Reference `model.scala:93-95`. */
+final case class TableDefinition(
+    name: TableName,
+    location: URI,
+    partitionSchema: PartitionSchema,
+    format: FileFormat) {
+  def isSnapshot: Boolean = partitionSchema == PartitionSchema.snapshot
+}
+
+/**
+ * The version state of a table at a point in history.
+ * Reference `model.scala:100-102`.
+ */
+sealed trait TableVersion
+final case class PartitionedTableVersion(partitionVersions: Map[Partition, Version]) extends TableVersion
+final case class SnapshotTableVersion(version: Version) extends TableVersion
