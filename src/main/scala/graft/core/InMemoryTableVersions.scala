@@ -1,0 +1,61 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicReference
+import scala.annotation.tailrec
+
+import TableVersions._
+
+/**
+ * In-memory commit log guarded by an `AtomicReference` CAS loop. Does not
+ * persist state.
+ *
+ * Mirrors the reference implementation's `InMemoryTableVersions`
+ * (`core/src/main/scala/com/gu/tableversions/core/InMemoryTableVersions.scala:11-71`),
+ * with `AtomicReference` replacing cats-effect `Ref` + `modifyEither`
+ * (`core/.../util/RichRef.scala:17-24`).
+ */
+final class InMemoryTableVersions extends TableVersions {
+
+  private val ref = new AtomicReference[Map[TableName, TableState]](Map.empty)
+
+  @tailrec
+  private def modify(f: Map[TableName, TableState] => Either[Exception, Map[TableName, TableState]]): Unit = {
+    val current = ref.get()
+    f(current) match {
+      case Left(e) => throw e
+      case Right(updated) =>
+        if (!ref.compareAndSet(current, updated)) modify(f)
+    }
+  }
+
+  override def commit(table: TableName, update: TableUpdate): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) =>
+          val newState =
+            TableState(currentVersion = update.metadata.id, updates = state.updates :+ update)
+          Right(states + (table -> newState))
+      }
+    }
+
+  override def setCurrentVersion(table: TableName, id: CommitId): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) =>
+          if (state.updates.exists(_.metadata.id == id))
+            Right(states + (table -> state.copy(currentVersion = id)))
+          else Left(unknownCommitId(id))
+      }
+    }
+
+  override protected def tableState(table: TableName): TableState =
+    ref.get().getOrElse(table, throw unknownTableError(table))
+
+  override protected def handleInit(table: TableName)(newTableState: => TableState): Unit =
+    modify { states =>
+      if (states.contains(table)) Right(states)
+      else Right(states + (table -> newTableState))
+    }
+}

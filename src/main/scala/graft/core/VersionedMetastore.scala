@@ -1,0 +1,59 @@
+package graft.core
+
+import java.time.Instant
+
+import Metastore.TableChanges
+import TableVersions._
+
+/**
+ * High-level table-version tracking API aggregating the commit log
+ * (`TableVersions`) and the catalog (`Metastore`).
+ *
+ * Mirrors the reference `core/src/main/scala/com/gu/tableversions/core/VersionedMetastore.scala:14-67`.
+ * The commit → metastore-sync sequence is non-atomic two-phase, as in the
+ * reference; with commit-log-resolved reads (graft.spark.VersionedReader)
+ * the window is invisible because the log append IS the commit.
+ */
+final case class VersionedMetastore(tableVersions: TableVersions, metastore: Metastore) {
+
+  /** Start tracking version information for the given table. Idempotent. */
+  def init(
+      table: TableName,
+      isSnapshot: Boolean,
+      userId: UserId,
+      message: UpdateMessage,
+      timestamp: Instant): Unit =
+    tableVersions.init(table, isSnapshot, userId, message, timestamp)
+
+  def currentVersion(table: TableName): TableVersion =
+    tableVersions.currentVersion(table)
+
+  /** History of updates, most recent first. */
+  def updates(table: TableName): List[TableUpdateMetadata] =
+    tableVersions.updates(table)
+
+  /**
+   * Commit an update to the log, then sync the metastore to the resulting
+   * state (reference `VersionedMetastore.scala:41-54`).
+   *
+   * @return the updated table version plus the changes applied to the metastore.
+   */
+  def commit(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
+    tableVersions.commit(table, update)
+    val latestTableVersion = tableVersions.currentVersion(table)
+    val metastoreVersion   = metastore.currentVersion(table)
+    val metastoreChanges   = metastore.computeChanges(metastoreVersion, latestTableVersion)
+    metastore.update(table, metastoreChanges)
+    (latestTableVersion, metastoreChanges)
+  }
+
+  /** Select an existing commit as current and sync the metastore to match
+   * (rollback / checkout — reference `VersionedMetastore.scala:59-66`). */
+  def checkout(table: TableName, id: CommitId): Unit = {
+    tableVersions.setCurrentVersion(table, id)
+    val newVersion              = tableVersions.currentVersion(table)
+    val currentMetastoreVersion = metastore.currentVersion(table)
+    val changes                 = metastore.computeChanges(currentMetastoreVersion, newVersion)
+    metastore.update(table, changes)
+  }
+}
