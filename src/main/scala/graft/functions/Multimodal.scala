@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support: image/audio/video payloads travel as opaque
+  * `BinaryType` columns next to typed metadata (SURVEY.md §2.4 E4).
+  *
+  * The Spark-side plumbing — schema, batch iteration, partition-local
+  * decode — is real; the codec itself is STUBBED (no image/audio libraries
+  * in this container) with a deterministic fake that reads "header" bytes,
+  * so tests can pin exact outputs. Swap [[stubDecode]] for a real decoder
+  * (e.g. TwelveMonkeys/JCodec on the executor classpath) without touching
+  * any query.
+  *
+  * Scale notes: decode runs inside `mapPartitions` (one JVM-local pass, no
+  * shuffle); payloads >~100 MB should be pointer-style (path + offset in the
+  * binary column's place) so Parquet row groups stay balanced.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by decoding one payload. */
+  final case class MediaMeta(widthPx: Int, heightPx: Int, frames: Int)
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width_px", IntegerType, nullable = false),
+    StructField("height_px", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false)))
+
+  /** STUB decoder: a real implementation parses the container header.
+    * The fake derives dimensions from the first payload bytes so it is
+    * deterministic, cheap, and exercises the full batch path. */
+  def stubDecode(payload: Array[Byte]): MediaMeta = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+    MediaMeta(widthPx = b0 + 16, heightPx = b1 + 16, frames = payload.length % 8 + 1)
+  }
+
+  /** Partition-local decode of a `(doc_id LONG, payload BINARY)` frame into
+    * `(doc_id, payload_bytes, payload_sha, width_px, height_px, frames)`.
+    *
+    * Implemented over `mapPartitions` (the Scala analogue of a batched
+    * Pandas UDF): the decoder is instantiated once per partition, not per
+    * row, which is where real codecs amortise their setup cost. */
+  def decodeMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("payload_sha", StringType, nullable = false)) ++ metaSchema.fields)
+    val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val meta = stubDecode(payload)
+        digest.reset()
+        val sha = digest.digest(payload).map("%02x".format(_)).mkString
+        Row(id, payload.length.toLong, sha, meta.widthPx, meta.heightPx, meta.frames)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

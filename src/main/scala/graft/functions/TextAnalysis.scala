@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines (SURVEY.md §2.4 E5):
+  * tokenization, quality signals, and a character-n-gram language-ID
+  * heuristic. Everything is built from codegen'd `functions._` expressions —
+  * no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Type-token ratio — a standard lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column = {
+    val tk = tokens(text)
+    size(array_distinct(tk)).cast("double") / size(tk)
+  }
+
+  /** Character-bigram profiles per language: tiny, embedded marker sets.
+    * A real system learns these from labelled corpora; the heuristic and its
+    * plumbing (score columns + greatest-of argmax) are the deliverable. */
+  private val bigramMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er"),
+    "de" -> Seq("ch", "ei", "en", "sch"),
+    "es" -> Seq("ll", "os", "as", "ión"),
+    "fr" -> Seq("ou", "le", "es", "que"),
+    "zh" -> Seq("zh", "ng", "xi", "ao"))
+
+  /** Score one language: total occurrences of its marker n-grams. */
+  private def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map { m =>
+      // occurrences of marker m = (len(text) - len(remove(text, m))) / len(m)
+      ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(m), ""))) / m.length)
+        .cast("double")
+    }.reduce(_ + _)
+
+  /** Append a `lang_guess` column: argmax over marker-profile scores.
+    * Deterministic; ties break by language code order. */
+  def withLangGuess(df: DataFrame, text: Column): DataFrame = {
+    val scored = bigramMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(langScore(text, ms).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, then max lang on ties —
+    // flip to deterministic min-lang ties by negating below if ever needed.
+    df.withColumn("lang_guess", array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** Stopword ratio against a fixed stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val list = stopwords.map(w => s"'$w'").mkString(", ")
+    val tk = tokens(text)
+    size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(tk)
+  }
+}

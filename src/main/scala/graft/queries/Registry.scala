@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry binding every declared operator (SURVEY.md §2.3/§2.4) to
+  * a runnable query and, where SQL-expressible, its DuckDB oracle.
+  *
+  * Contract (driver): column names/aliases must match between the Spark
+  * result and the oracle SQL; every query ends with a deterministic ORDER BY.
+  * Entries without oracle SQL (engine-specific hashes / sketches) get the
+  * driver's weaker rows-only check.
+  */
+object Registry {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Entry(fn: QueryFn, oracle: Option[String])
+
+  val entries: Map[String, Entry] = Map(
+    // ---- relational surface (Q1–Q25) ----
+    "q01_scan_filter" -> Entry(
+      Relational.q01ScanFilter,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+    "q04_project_expr" -> Entry(
+      Relational.q04ProjectExpr,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1.0 - l_discount) AS revenue,
+             |       l_quantity * l_tax AS taxed_qty
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, taxed_qty""".stripMargin)),
+    "q05_filter_predicates" -> Entry(
+      Relational.q05FilterPredicates,
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+             |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 20
+             |  AND l_linestatus = 'F' AND l_shipdate IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)),
+    "q06_join_multi" -> Entry(
+      Relational.q06JoinMulti,
+      Some("""SELECT r_name, o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, o_orderstatus ORDER BY r_name, o_orderstatus""".stripMargin)),
+    "q06b_join_left" -> Entry(
+      Relational.q06bJoinLeft,
+      Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    "q06c_join_full" -> Entry(
+      Relational.q06cJoinFull,
+      Some("""SELECT n_name, count(s_suppkey) AS n_supp
+             |FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+             |GROUP BY n_name ORDER BY n_name NULLS FIRST""".stripMargin)),
+    "q07_semi" -> Entry(
+      Relational.q07Semi,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+    "q07b_anti" -> Entry(
+      Relational.q07bAnti,
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+    "q08_nonequi_join" -> Entry(
+      Relational.q08NonEquiJoin,
+      Some("""SELECT r_name, count(*) AS n_nations_le
+             |FROM region JOIN nation ON n_regionkey <= r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+    "q08b_cross_join" -> Entry(
+      Relational.q08bCrossJoin,
+      Some("""SELECT r_name, count(*) AS n_pairs FROM region CROSS JOIN nation
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+    "q09_agg_tpch1" -> Entry(
+      Relational.q09AggTpch1,
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       round(avg(l_discount), 6) AS avg_disc,
+             |       count(*) AS count_order,
+             |       count(DISTINCT l_suppkey) AS supp_cnt
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "q10_rollup" -> Entry(
+      Relational.q10Rollup,
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+    "q10b_cube" -> Entry(
+      Relational.q10bCube,
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "q11_approx_distinct" -> Entry(Relational.q11ApproxDistinct, None),
+    "q12_window_rank" -> Entry(
+      Relational.q12WindowRank,
+      Some("""SELECT event_type, event_id, value, rn, rk, drk, quartile FROM (
+             |  SELECT event_type, event_id, value,
+             |         row_number() OVER w AS rn, rank() OVER w AS rk,
+             |         dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)) t
+             |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)),
+    "q13_window_frames" -> Entry(
+      Relational.q13WindowFrames,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       sum(l_quantity) OVER run AS running_qty,
+             |       lag(l_quantity, 1) OVER w AS prev_qty,
+             |       lead(l_quantity, 1) OVER w AS next_qty,
+             |       first_value(l_quantity) OVER w AS first_qty
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey
+             |             ORDER BY l_linenumber, l_quantity, l_extendedprice),
+             |       run AS (PARTITION BY l_orderkey
+             |               ORDER BY l_linenumber, l_quantity, l_extendedprice
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+    "q13b_window_range" -> Entry(
+      Relational.q13bWindowRange,
+      Some("""SELECT event_id, user_id,
+             |       round(sum(value) OVER (ORDER BY user_id
+             |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+             |FROM events ORDER BY event_id""".stripMargin)),
+    "q14_topk" -> Entry(
+      Relational.q14TopK,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+    "q15_setops" -> Entry(
+      Relational.q15SetOps,
+      Some("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000),
+             |     b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b) u
+             |UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) i
+             |UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b) e
+             |UNION ALL SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) ia
+             |UNION ALL SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) ea
+             |ORDER BY op, k""".stripMargin)),
+    "q16_distinct" -> Entry(
+      Relational.q16Distinct,
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "q17_string" -> Entry(
+      Relational.q17String,
+      Some("""SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name8,
+             |       length(p_name) AS name_len,
+             |       p_brand || '#' || p_type AS brand_type,
+             |       regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+             |       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+             |       len(string_split(p_name, ' ')) AS n_tokens
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    "q18_datetime" -> Entry(
+      Relational.q18DateTime,
+      Some("""SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             |       day(o_orderdate) AS o_day, CAST(o_orderdate AS DATE) AS odate,
+             |       date_trunc('month', o_orderdate) AS omonth,
+             |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+             |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q19_math" -> Entry(
+      Relational.q19Math,
+      Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS price_r,
+             |       CAST(floor(l_discount * 100) AS BIGINT) AS disc_f,
+             |       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_c,
+             |       abs(l_extendedprice - 1000.0) AS abs_diff,
+             |       sqrt(l_quantity) AS qty_sqrt,
+             |       round(ln(l_extendedprice), 6) AS log_price
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+    "q20_array" -> Entry(
+      Relational.q20Array,
+      Some("""SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
+             |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS esum,
+             |       round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5) AS esum8,
+             |       list_min(embedding) AS emin, list_max(embedding) AS emax
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+    "q20b_posexplode" -> Entry(
+      Relational.q20bPosExplode,
+      Some("""SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, embedding[i] AS val
+             |FROM embeddings, generate_series(1, 4) AS g(i)
+             |ORDER BY vec_id, pos""".stripMargin)),
+    "q21_struct_map" -> Entry(
+      Relational.q21StructMap,
+      Some("""SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+             |       CAST(1 AS BIGINT) AS keys_n
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+    "q22_json" -> Entry(
+      Relational.q22Json,
+      Some("""SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+             |       min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+             |FROM (SELECT event_type,
+             |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |      FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "q23_conditional" -> Entry(
+      Relational.q23Conditional,
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+             |            WHEN c_acctbal < 5000 THEN 'mid'
+             |            ELSE 'high' END AS bucket,
+             |       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg2,
+             |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal_sum
+             |FROM customer GROUP BY 1, 2 ORDER BY bucket, seg2""".stripMargin)),
+    "q24_subquery" -> Entry(Relational.q24Subquery, Some(Relational.q24Sql)),
+    "q25_sql_text" -> Entry(Relational.q25SqlText, Some(Relational.q25Sql)),
+
+    // ---- LLM-pipeline surface (E1–E6) ----
+    "e1_exact_dedup" -> Entry(
+      Pipeline.e1ExactDedup,
+      // oracle groups by raw text — equivalent to grouping by sha2(text)
+      // modulo hash collisions
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)),
+    "e2_jaccard_neardup" -> Entry(
+      Pipeline.e2JaccardNearDup,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |       FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+             |FROM (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+             |      FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+             |                 JOIN sz sb ON doc_b = sb.doc_id) t
+             |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+    "e2b_minhash_lsh" -> Entry(Pipeline.e2bMinHashLsh, None),
+    "e2c_simhash" -> Entry(Pipeline.e2cSimHash, None),
+    "e3_cosine_topk" -> Entry(
+      Pipeline.e3CosineTopK,
+      Some("""WITH n AS (SELECT vec_id,
+             |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |                  list_sum(list_transform(embedding,
+             |                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+             |s AS (SELECT qid, vec_id,
+             |             list_inner_product(v, qv) / (sqrt(nrm) * sqrt(qn)) AS cos
+             |      FROM n, q WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+             |      FROM s)
+             |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
+             |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
+    "e3b_lsh_ann" -> Entry(Pipeline.e3bLshAnn, None),
+    "e4_multimodal_meta" -> Entry(
+      Pipeline.e4MultimodalMeta,
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+             |       sha256(text) AS payload_sha,
+             |       CAST(ascii(substr(text, 1, 1)) + 16 AS INTEGER) AS width_px,
+             |       CAST(ascii(substr(text, 2, 1)) + 16 AS INTEGER) AS height_px,
+             |       CAST(octet_length(encode(text)) % 8 + 1 AS INTEGER) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    "e5_token_stats" -> Entry(
+      Pipeline.e5TokenStats,
+      Some("""SELECT doc_id, n_chars,
+             |       len(string_split(text, ' ')) AS n_tokens,
+             |       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             |       round(CAST(len(list_filter(string_split(text, ' '),
+             |                 x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+             |             / len(string_split(text, ' ')), 6) AS stop_ratio,
+             |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |             / len(string_split(text, ' ')), 6) AS ttr
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    "e5b_lang_stats" -> Entry(
+      Pipeline.e5bLangStats,
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       round(avg(n_chars), 4) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    "e5c_token_freq" -> Entry(
+      Pipeline.e5cTokenFreq,
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+    "e5d_regex_tokens" -> Entry(
+      Pipeline.e5dRegexTokens,
+      Some("""SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    "e5e_lang_guess" -> Entry(Pipeline.e5eLangGuess, None),
+    "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None)
+  )
+
+  def queries: Map[String, QueryFn] = entries.map { case (k, e) => k -> e.fn }
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (k, Entry(_, Some(sql))) => k -> sql }
+}

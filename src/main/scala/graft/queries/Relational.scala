@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational query surface (SURVEY.md §2.3, Q1–Q25) expressed
+  * over the driver test tables. Every query here is paired with ANSI SQL for
+  * the DuckDB oracle in [[Registry]].
+  *
+  * Conventions that make oracle hash-compare deterministic:
+  *  - every query ends with an `orderBy` on a unique (or fully tie-broken) key;
+  *  - every computed column is aliased identically on both sides;
+  *  - integer-valued computed columns are cast to LONG (DuckDB's natural
+  *    BIGINT) on the Spark side;
+  *  - floating aggregates are rounded (scalar float math is IEEE-identical
+  *    across engines, only reduction order varies).
+  *
+  * Scale notes are inline per query — each plan is the one we'd want at
+  * 100 TB: filters/projections reach the parquet scan, small dimensions
+  * broadcast, aggregations are partial+final hash aggs.
+  */
+object Relational {
+  import Tables.load
+
+  /** Q1/Q5: filtered + projected scan. Filter and projection both push into
+    * the parquet reader (verify: PushedFilters + ReadSchema in explain). */
+  def q01ScanFilter(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in the test data — order by
+      // every output column so the row order is value-deterministic
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** Q4: projection with scalar expressions (exact IEEE scalar math). */
+  def q04ProjectExpr(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") * col("l_tax")).as("taxed_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "taxed_qty")
+
+  /** Q5: predicate zoo — IN, BETWEEN, conjunction, null check. */
+  def q05FilterPredicates(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .where(
+        col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20) &&
+          col("l_linestatus") === "F" &&
+          col("l_shipdate").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  /** Q6: 4-way equi-join star query. region/nation/customer are small
+    * dimensions — Catalyst broadcast-joins them under the 10 MB default at
+    * any SF where dims stay dimension-sized; orders is the fact side. */
+  def q06JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val n = load(s, dir, "nation")
+    val r = load(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("r_name", "o_orderstatus")
+  }
+
+  /** Q6 (outer): left join preserving customers without orders. */
+  def q06bJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val o = load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q6 (full outer): nations with and without suppliers. */
+  def q06cJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val n = load(s, dir, "nation")
+    val sup = load(s, dir, "supplier")
+    n.join(sup, n("n_nationkey") === sup("s_nationkey"), "full_outer")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy(asc_nulls_first("n_name"))
+  }
+
+  /** Q7: left-semi join (EXISTS shape). */
+  def q07Semi(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val o = load(s, dir, "orders").where(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q7: left-anti join (NOT EXISTS shape) — customers with no big order. */
+  def q07bAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val o = load(s, dir, "orders").where(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Q8: theta (non-equi) join — tiny sides, BroadcastNestedLoop is fine. */
+  def q08NonEquiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = load(s, dir, "region")
+    val n = load(s, dir, "nation")
+    r.join(n, n("n_regionkey") <= r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations_le"))
+      .orderBy("r_name")
+  }
+
+  /** Q8: cross join. */
+  def q08bCrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = load(s, dir, "region")
+    val n = load(s, dir, "nation")
+    r.crossJoin(n)
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("r_name")
+  }
+
+  /** Q9: TPC-H Q1-shaped hash aggregation (partial+final, map-side combine
+    * means the shuffle carries #groups rows, not #input rows). */
+  def q09AggTpch1(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        // rounded at 4 dp: the true sum is an exact multiple of 1e-4 (2 dp
+        // price × 2 dp discount), so 4 dp rounding never sits on a half-way
+        // boundary; 2 dp rounding can land there and flip between engines
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_suppkey")).as("supp_cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q10: rollup. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Q10: cube. */
+  def q10bCube(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Q11: HLL approximate distinct — sketch values are engine-specific, so
+    * this entry has no oracle SQL (driver records a rows-only check). */
+  def q11ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Q12: ranking window functions, fully tie-broken by event_id. */
+  def q12WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    load(s, dir, "events")
+      .select(
+        col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .where(col("rn") <= 3)
+      .orderBy("event_type", "rn")
+  }
+
+  /** Q13: analytic window functions + ROWS frame. Frames are tiny (per-order
+    * line numbers), so per-row sums are order-fixed and exact. */
+  def q13WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    // window order fully tie-broken: (l_orderkey, l_linenumber) is not unique
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "lineitem")
+      .withColumn("running_qty", sum("l_quantity").over(running))
+      .withColumn("prev_qty", lag("l_quantity", 1).over(w))
+      .withColumn("next_qty", lead("l_quantity", 1).over(w))
+      .withColumn("first_qty", first("l_quantity").over(w))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("running_qty"), col("prev_qty"), col("next_qty"), col("first_qty"))
+  }
+
+  /** Q13 (RANGE frame): value-range window over a numeric ordering key. */
+  def q13bWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("user_id").rangeBetween(-100, 0)
+    load(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("range_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Q14: global top-k — TakeOrderedAndProject, no full sort materialised. */
+  def q14TopK(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** Q15: all five set operations, tagged into one deterministic result. */
+  def q15SetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = load(s, dir, "orders").where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"))
+    val b = load(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    def tag(df: DataFrame, op: String) = df.select(lit(op).as("op"), col("k"))
+    tag(a.union(b).distinct(), "union")
+      .union(tag(a.intersect(b), "intersect"))
+      .union(tag(a.except(b), "except"))
+      .union(tag(a.intersectAll(b), "intersect_all"))
+      .union(tag(a.exceptAll(b), "except_all"))
+      .orderBy("op", "k")
+  }
+
+  /** Q16: distinct / dropDuplicates. */
+  def q16Distinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .dropDuplicates("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q17: string function battery. */
+  def q17String(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"))
+      .orderBy("p_partkey")
+
+  /** Q18: date/time function battery (session TZ pinned UTC). */
+  def q18DateTime(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        to_date(col("o_orderdate")).as("odate"),
+        date_trunc("month", col("o_orderdate")).as("omonth"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** Q19: math function battery (exact IEEE ops; ln rounded). */
+  def q19Math(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r"),
+        floor(col("l_discount") * 100).as("disc_f"),
+        ceil(col("l_tax") * 100).as("tax_c"),
+        abs(col("l_extendedprice") - 1000.0).as("abs_diff"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("log_price"))
+
+  /** Q20: array / higher-order functions over embeddings. */
+  def q20Array(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        expr("round(aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double)), 5)")
+          .as("esum"),
+        expr("round(aggregate(slice(embedding, 1, 8), cast(0 as double), (a, x) -> a + cast(x as double)), 5)")
+          .as("esum8"),
+        array_min(col("embedding")).as("emin"),
+        array_max(col("embedding")).as("emax"))
+      .orderBy("vec_id")
+
+  /** Q20 (generator): posexplode of a fixed-length slice. */
+  def q20bPosExplode(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(expr("slice(embedding, 1, 4)")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+      .orderBy("vec_id", "pos")
+
+  /** Q21: struct and map construction + field access. */
+  def q21StructMap(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .withColumn("cstruct", struct(col("c_name").as("name"), col("c_acctbal").as("bal")))
+      .withColumn("cmap", map(lit("seg"), col("c_mktsegment")))
+      .select(
+        col("c_custkey"),
+        col("cstruct").getField("bal").as("bal"),
+        element_at(col("cmap"), "seg").as("seg"),
+        size(map_keys(col("cmap"))).cast("long").as("keys_n"))
+      .orderBy("c_custkey")
+
+  /** Q22: JSON extraction from the events.props string column. */
+  def q22Json(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        round(avg("k"), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Q23: conditional / null-handling expressions. */
+  def q23Conditional(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .select(
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bucket"),
+        coalesce(expr("nullif(c_mktsegment, 'MACHINERY')"), lit("OTHER")).as("seg2"),
+        col("c_acctbal"))
+      .groupBy("bucket", "seg2")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal_sum"))
+      .orderBy("bucket", "seg2")
+
+  /** Q24: scalar + IN subqueries via Spark SQL (Catalyst decorrelates).
+    * The SQL text is shared verbatim with the DuckDB oracle. */
+  val q24Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q24Subquery(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q24Sql)
+  }
+
+  /** Q25: full SQL text entry point (TPC-H Q3 shape), shared with oracle. */
+  val q25Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q25SqlText(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q25Sql)
+  }
+}

@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Reads are plain parquet scans so Catalyst gets full pushdown/pruning;
+  * at cluster scale the same queries run over versioned tables resolved by
+  * [[graft.spark.VersionedReader]] (reference read model:
+  * `examples/src/main/scala/com/gu/tableversions/examples/TableLoader.scala:37-38`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // nanos are read back as LONG; `tsTimestamp` rebuilds a timestamp col.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$table.parquet")
+  }
+
+  /** Microsecond-precision timestamp from the nanos-as-long `ts` column. */
+  def tsTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+}
