@@ -42,31 +42,35 @@ object Metastore {
     final case class UpdateTableVersion(versionNumber: Version) extends TableOperation
   }
 
-  /** Pure diff of two table-version states
-   * (reference `Metastore.scala:56-84`). Changing a table from snapshot to
-   * partitioned (or vice versa) is illegal. */
-  def computeChanges(oldVersion: TableVersion, newVersion: TableVersion): TableChanges = {
+  /** Pure diff: the catalog operations that take state `from` to state `to`
+   * (semantics as reference `Metastore.scala:56-84`). A table can never
+   * switch between snapshot and partitioned layouts. */
+  def computeChanges(from: TableVersion, to: TableVersion): TableChanges = {
     import TableOperation._
-    (oldVersion, newVersion) match {
-      case (SnapshotTableVersion(oldV), SnapshotTableVersion(newV)) =>
-        if (oldV != newV) TableChanges(List(UpdateTableVersion(newV)))
-        else TableChanges(Nil)
+    (from, to) match {
+      case (SnapshotTableVersion(before), SnapshotTableVersion(after)) =>
+        TableChanges(if (before == after) Nil else List(UpdateTableVersion(after)))
 
-      case (PartitionedTableVersion(oldPVs), PartitionedTableVersion(newPVs)) =>
-        val oldPartitions = oldPVs.keys.toList
-        val newPartitions = newPVs.keys.toList
-
-        val added   = newPartitions diff oldPartitions
-        val removed = oldPartitions diff newPartitions
-        val updated = (oldPartitions intersect newPartitions).filter(p => oldPVs(p) != newPVs(p))
-
+      case (PartitionedTableVersion(before), PartitionedTableVersion(after)) =>
+        // one pass over the key union, classifying each partition
+        val everyPartition = (before.keySet ++ after.keySet).toList
+        val ops = everyPartition.flatMap { p =>
+          (before.get(p), after.get(p)) match {
+            case (None, Some(v))                    => Some(AddPartition(p, v))
+            case (Some(_), None)                    => Some(RemovePartition(p))
+            case (Some(a), Some(b)) if a != b       => Some(UpdatePartitionVersion(p, b))
+            case _                                  => None
+          }
+        }
+        // deterministic grouping: adds, then removes, then updates
         TableChanges(
-          added.map(p => AddPartition(p, newPVs(p))) ++
-            removed.map(RemovePartition) ++
-            updated.map(p => UpdatePartitionVersion(p, newPVs(p))))
+          ops.collect { case op: AddPartition => op } ++
+            ops.collect { case op: RemovePartition => op } ++
+            ops.collect { case op: UpdatePartitionVersion => op })
 
       case _ =>
-        throw new IllegalArgumentException("Can't change table from snapshot table to partitioned")
+        throw new IllegalArgumentException(
+          "a table's layout is fixed at init: snapshot and partitioned states cannot be diffed")
     }
   }
 }

@@ -116,46 +116,53 @@ object TableVersions {
    */
   final case class TableState(currentVersion: CommitId, updates: List[TableUpdate])
 
-  /** The shared fold: history + pointer → TableVersion
-   * (reference `TableVersions.scala:32-41`). */
-  def currentVersionFromState(state: TableState): TableVersion = {
-    val (before, after) = state.updates.span(_.metadata.id != state.currentVersion)
-    val updatesForCurrentVersion = before ++ after.take(1)
-    val operations = updatesForCurrentVersion.flatMap(_.operations)
-    if (isSnapshotTable(operations)) latestSnapshotTableVersion(operations)
-    else applyPartitionUpdates(PartitionedTableVersion(Map.empty))(operations)
+  /** Replay history up to (and including) the commit the pointer names.
+   *
+   * The visible prefix is everything before the pointer plus the pointed-at
+   * commit itself; after a rollback this is a strict prefix of the log, and
+   * a subsequent commit (appended at the tail, pointer moved there) brings
+   * every intermediate commit back into view — the reference's deliberate
+   * rollback-then-commit behavior (reference `TableVersions.scala:32-41`).
+   */
+  def currentVersionFromState(state: TableState): TableVersion =
+    replay(visibleOperations(state))
+
+  private def visibleOperations(state: TableState): List[TableOperation] = {
+    val idx = state.updates.indexWhere(_.metadata.id == state.currentVersion)
+    val visible = if (idx < 0) state.updates else state.updates.take(idx + 1)
+    visible.flatMap(_.operations)
   }
 
-  /** Last-writer-wins fold of partition operations
-   * (reference `TableVersions.scala:135-149`). */
-  def applyPartitionUpdates(initial: PartitionedTableVersion)(
-      operations: List[TableOperation]): PartitionedTableVersion = {
+  /** Fold a linear operation history into the table version it produces.
+   * The head operation must be the table's `InitTable`, which fixes whether
+   * we replay snapshot-style (keep the last full-table version) or
+   * partitioned-style (last-writer-wins per partition). */
+  def replay(operations: List[TableOperation]): TableVersion = {
     import TableOperation._
-    val latest = operations.foldLeft(initial.partitionVersions) {
-      case (agg, AddPartitionVersion(partition, version)) => agg + (partition -> version)
-      case (agg, RemovePartition(partition))              => agg - partition
-      case (agg, _: InitTable | _: AddTableVersion)       => agg
+    operations match {
+      case InitTable(_, true) :: rest =>
+        val last = rest.foldLeft(Version.Unversioned) {
+          case (_, AddTableVersion(v)) => v
+          case (acc, _)                => acc
+        }
+        SnapshotTableVersion(last)
+      case InitTable(_, false) :: rest =>
+        val perPartition = rest.foldLeft(Map.empty[Partition, Version]) {
+          case (acc, AddPartitionVersion(p, v)) => acc.updated(p, v)
+          case (acc, RemovePartition(p))        => acc.removed(p)
+          case (acc, _)                         => acc
+        }
+        PartitionedTableVersion(perPartition)
+      case _ =>
+        throw new IllegalStateException(
+          "corrupt history: expected the table's init record at the head of the log")
     }
-    PartitionedTableVersion(latest)
-  }
-
-  /** Latest snapshot version in the history (reference `TableVersions.scala:154-159`). */
-  def latestSnapshotTableVersion(operations: List[TableOperation]): SnapshotTableVersion = {
-    val versions = operations.collect { case TableOperation.AddTableVersion(v) => v }
-    SnapshotTableVersion(versions.lastOption.getOrElse(Version.Unversioned))
-  }
-
-  /** The first operation must be the table's init; it fixes the table kind
-   * (reference `TableVersions.scala:161-164`). */
-  def isSnapshotTable(operations: List[TableOperation]): Boolean = operations match {
-    case TableOperation.InitTable(_, isSnapshot) :: _ => isSnapshot
-    case _ =>
-      throw new IllegalArgumentException("First operation should be initialising the table")
   }
 
   def unknownTableError(table: TableName): Exception =
-    new Exception(s"Unknown table '${table.fullyQualifiedName}'")
+    new NoSuchElementException(
+      s"table ${table.fullyQualifiedName} is not tracked; call init first")
 
   def unknownCommitId(id: CommitId): Exception =
-    new Exception(s"Unknown commit ID '$id'")
+    new NoSuchElementException(s"no commit with id ${id.id} in this table's history")
 }

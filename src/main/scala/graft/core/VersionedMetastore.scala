@@ -40,20 +40,25 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
    */
   def commit(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
     tableVersions.commit(table, update)
-    val latestTableVersion = tableVersions.currentVersion(table)
-    val metastoreVersion   = metastore.currentVersion(table)
-    val metastoreChanges   = metastore.computeChanges(metastoreVersion, latestTableVersion)
-    metastore.update(table, metastoreChanges)
-    (latestTableVersion, metastoreChanges)
+    syncCatalog(table)
   }
 
   /** Select an existing commit as current and sync the metastore to match
    * (rollback / checkout — reference `VersionedMetastore.scala:59-66`). */
   def checkout(table: TableName, id: CommitId): Unit = {
     tableVersions.setCurrentVersion(table, id)
-    val newVersion              = tableVersions.currentVersion(table)
-    val currentMetastoreVersion = metastore.currentVersion(table)
-    val changes                 = metastore.computeChanges(currentMetastoreVersion, newVersion)
+    syncCatalog(table)
+    ()
+  }
+
+  /** Bring the catalog in line with whatever the log now says is current:
+   * read both sides, diff, apply. Returns the log-side target state and the
+   * ops that were applied. */
+  private def syncCatalog(table: TableName): (TableVersion, TableChanges) = {
+    val target  = tableVersions.currentVersion(table)
+    val actual  = metastore.currentVersion(table)
+    val changes = metastore.computeChanges(actual, target)
     metastore.update(table, changes)
+    (target, changes)
   }
 }

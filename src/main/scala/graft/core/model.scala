@@ -54,26 +54,32 @@ object Partition {
   def apply(column: PartitionColumn, value: String): Partition =
     Partition(List(ColumnValue(column, value)))
 
-  // One `name=value` path segment; names and values may not contain '/' or '='.
-  private val ColumnValuePattern = """([a-zA-Z_][a-zA-Z0-9_]*)=([^/=]+)""".r
-
-  /** Parse `col=v[/col2=v2...]` back into a Partition.
-   * Mirrors reference `model.scala:57-69`. */
+  /** Parse `col=v[/col2=v2...]` back into a Partition. Each segment splits
+   * on its FIRST '=' only, so values may themselves contain '=' (e.g.
+   * base64 `k=YWJjZA==`). Mirrors reference `model.scala:57-69`, which
+   * accepts `(.+)` as the value. */
   def parse(path: String): Either[String, Partition] = {
-    val segments = path.stripPrefix("/").stripSuffix("/").split("/").toList
-    val parsed = segments.map {
-      case ColumnValuePattern(name, value) =>
-        Right(ColumnValue(PartitionColumn(name), value))
-      case other => Left(s"Invalid partition path segment: '$other'")
+    def segment(seg: String): Either[String, ColumnValue] = {
+      val eq = seg.indexOf('=')
+      if (eq <= 0 || eq == seg.length - 1)
+        Left(s"partition path segment is not of the form name=value: '$seg'")
+      else {
+        val name = seg.substring(0, eq)
+        if (!name.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+          Left(s"invalid partition column name: '$name'")
+        else Right(ColumnValue(PartitionColumn(name), seg.substring(eq + 1)))
+      }
     }
+    val segments = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    val parsed = segments.map(segment)
     val (errs, oks) = parsed.partitionMap(identity)
     if (errs.nonEmpty) Left(errs.mkString("; "))
-    else if (oks.isEmpty) Left(s"Empty partition path: '$path'")
+    else if (oks.isEmpty) Left(s"empty partition path: '$path'")
     else Right(Partition(oks))
   }
 
   /** Ensure a URI behaves as a directory for `resolve`. */
-  private[core] def normalizedDir(uri: URI): URI =
+  private[graft] def normalizedDir(uri: URI): URI =
     if (uri.toString.endsWith("/")) uri else new URI(uri.toString + "/")
 }
 
@@ -92,9 +98,14 @@ final case class TableName(schema: String, name: String) {
 }
 
 object TableName {
-  def fromFullyQualified(s: String): TableName = s.split('.') match {
-    case Array(sc, n) => TableName(sc, n)
-    case _            => throw new IllegalArgumentException(s"Not a schema.name table name: '$s'")
+  /** Parse `schema.name`; splits on the FIRST dot so table names containing
+   * further dots survive. Consistent Either-style errors with
+   * `Version.parse` / `Partition.parse`. */
+  def fromFullyQualified(s: String): Either[String, TableName] = {
+    val dot = s.indexOf('.')
+    if (dot <= 0 || dot == s.length - 1)
+      Left(s"not a schema.name table name: '$s'")
+    else Right(TableName(s.substring(0, dot), s.substring(dot + 1)))
   }
 }
 

@@ -17,6 +17,27 @@ object Registry {
   final case class Entry(fn: QueryFn, oracle: Option[String])
 
   val entries: Map[String, Entry] = Map(
+    // ---- versioning layer end-to-end (Q2/Q3/Q26) ----
+    "q02_scan_orc" -> Entry(
+      Versioned.q02ScanOrc,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 250000 ORDER BY o_orderkey""".stripMargin)),
+    "q03_versioned_insert" -> Entry(
+      Versioned.q03SnapshotInsert,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+             |WHERE l_extendedprice > 40000
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+    "q03b_partitioned_insert" -> Entry(
+      Versioned.q03bPartitionedInsert,
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 25
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q26_time_travel" -> Entry(
+      Versioned.q26TimeTravel,
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity <= 25
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- relational surface (Q1–Q25) ----
     "q01_scan_filter" -> Entry(
       Relational.q01ScanFilter,

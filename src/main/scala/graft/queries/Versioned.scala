@@ -1,0 +1,103 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
+import graft.spark.{VersionContext, VersionedReader}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/** Oracle-checked queries that exercise the versioning layer end-to-end
+  * (SURVEY.md §2.3 Q2/Q3/Q26): write versions of a table with
+  * `versionedInsertInto`, read them back through the commit-log-resolved
+  * reader, and compare against DuckDB running on the original source rows.
+  *
+  * Each run writes to a fresh temp dir, so results are deterministic: the
+  * oracle sees exactly the rows the last (or time-traveled-to) version holds.
+  */
+object Versioned {
+
+  private val user = UserId("graft-verify")
+
+  private def freshContext(): (VersionContext, TableVersions) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    (ctx, log)
+  }
+
+  private def tempTable(name: String, schema: PartitionSchema, format: FileFormat): TableDefinition =
+    TableDefinition(
+      TableName("graft", name),
+      Files.createTempDirectory(s"graft_$name").toUri,
+      schema,
+      format)
+
+  /** Q3 (+Q1): snapshot versioned insert — write v1 then v2; the reader must
+    * see only v2 (old version dirs are unreferenced, not deleted). */
+  def q03SnapshotInsert(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("li_snap", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_snap"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    li.where(col("l_quantity") > 45)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: decoy subset"))
+    li.where(col("l_extendedprice") > 40000)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: the real subset"))
+    VersionedReader(s, log).read(table)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
+  /** Q2: same snapshot cycle through the ORC format path. */
+  def q02ScanOrc(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("li_orc", PartitionSchema.snapshot, FileFormat.Orc)
+    ctx.init(table, user, UpdateMessage("create li_orc"))
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .where(col("o_totalprice") > 250000)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    VersionedReader(s, log).read(table)
+      .orderBy("o_orderkey")
+  }
+
+  /** Two partitioned versions of lineitem keyed by l_returnflag; v2
+    * overwrites every partition of v1. Returns the log + the v1 commit. */
+  private def partitionedTwoVersions(
+      s: SparkSession,
+      dir: String): (TableDefinition, TableVersions, CommitId) = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_part", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_part"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.where(col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: small quantities"))
+    val v1Commit = log.updates(table.name).head.id
+    li.where(col("l_quantity") > 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: large quantities"))
+    (table, log, v1Commit)
+  }
+
+  /** Q3 (partitioned): current read sees only v2 rows. */
+  def q03bPartitionedInsert(s: SparkSession, dir: String): DataFrame = {
+    val (table, log, _) = partitionedTwoVersions(s, dir)
+    VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q26: time travel — read as of the v1 commit without mutating state. */
+  def q26TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (table, log, v1Commit) = partitionedTwoVersions(s, dir)
+    VersionedReader(s, log).readAsOf(table, v1Commit)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+}

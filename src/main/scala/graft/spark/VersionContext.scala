@@ -1,0 +1,123 @@
+package graft.spark
+
+import java.net.URI
+import java.time.Instant
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Dataset, SaveMode}
+
+import graft.core._
+import graft.core.Metastore.TableChanges
+import graft.core.TableVersions._
+
+/**
+ * Versioned Spark writes (SURVEY.md §2.1 V15–V18).
+ *
+ * Semantics follow the reference's
+ * `spark/src/main/scala/com/gu/tableversions/spark/VersionContext.scala:25-44,53-90`:
+ * `versionedInsertInto` emulates a Hive insert — it overwrites exactly the
+ * partitions present in the dataset (all sharing ONE freshly generated
+ * `Version`, reference `:68`), leaves every other partition untouched, and
+ * then commits + syncs the metastore.
+ *
+ * Mechanics are Spark-4-native (SURVEY.md §7.3): instead of the reference's
+ * `versioned://` Hadoop FileSystem proxy
+ * (`spark/.../filesystem/VersionedFileSystem.scala:36-69`), data lands in a
+ * staging dir `<table>/_staging/<label>` via one ordinary `partitionBy`
+ * write, then each partition dir is renamed to
+ * `<table>/<partition>/<label>` — one Spark job plus O(#partitions)
+ * metadata ops. Rename is atomic per-dir on HDFS/local; on S3 it becomes a
+ * copy, but the layout (never-referenced-until-commit version dirs) keeps
+ * failed jobs invisible to readers either way — the reference's
+ * orphan-on-failure safety (its §4.2 committer-v2 property).
+ */
+final case class VersionContext(
+    metastore: VersionedMetastore,
+    newVersion: () => Version = () => Version.generateVersion()) {
+
+  /** Track the table in the commit log and register it with the metastore
+    * (the reference splits this between caller DDL and `init`). */
+  def init(table: TableDefinition, userId: UserId, message: UpdateMessage): Unit = {
+    metastore.metastore match {
+      case m: InMemoryMetastore => m.register(table)
+      case _                    => ()
+    }
+    metastore.init(table.name, table.isSnapshot, userId, message, Instant.now())
+  }
+}
+
+object VersionContext {
+
+  /** Enrichment giving `Dataset[T]` the reference's headline write API. */
+  implicit final class DatasetVersionOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Write this dataset as a new version of `table`, then commit + sync.
+      * Returns the resulting table version and the catalog ops applied. */
+    def versionedInsertInto(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage): (TableVersion, TableChanges) = {
+      val version = ctx.newVersion()
+      val ops =
+        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
+        else writePartitioned(ds, table, version)
+      val update = TableUpdate(userId, message, Instant.now(), ops)
+      ctx.metastore.commit(table.name, update)
+    }
+  }
+
+  /** V18: whole-dataset write to `<location>/<label>/`. */
+  private def writeSnapshot[T](
+      ds: Dataset[T],
+      table: TableDefinition,
+      version: Version): TableOperation = {
+    val dest = VersionPaths.pathFor(table.location, version)
+    ds.toDF().write.mode(SaveMode.Append).format(table.format.name).save(dest.toString)
+    TableOperation.AddTableVersion(version)
+  }
+
+  /** V16: the distinct partition values present in a dataset. Collects only
+    * #partitions rows to the driver (same bound as reference `:95-115`). */
+  def partitionValues[T](ds: Dataset[T], schema: PartitionSchema): List[Partition] = {
+    import org.apache.spark.sql.functions.col
+    val cols = schema.columns.map(c => col(c.name).cast("string"))
+    ds.toDF().select(cols: _*).distinct().collect().toList.map { row =>
+      Partition(schema.columns.zipWithIndex.map { case (c, i) =>
+        ColumnValue(c, row.getString(i))
+      })
+    }
+  }
+
+  /** V17: one `partitionBy` job into staging, then per-partition rename
+    * into `<partition>/<label>` (SURVEY.md §7.3). */
+  private def writePartitioned[T](
+      ds: Dataset[T],
+      table: TableDefinition,
+      version: Version): List[TableOperation] = {
+    val spark = ds.sparkSession
+    val partitions = partitionValues(ds, table.partitionSchema)
+    if (partitions.isEmpty) Nil
+    else {
+      val staging = new URI(
+        Partition.normalizedDir(table.location).toString + s"_staging/${version.label}/")
+      ds.toDF().write
+        .partitionBy(table.partitionSchema.columns.map(_.name): _*)
+        .mode(SaveMode.Append)
+        .format(table.format.name)
+        .save(staging.toString)
+
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = FileSystem.get(table.location, conf)
+      partitions.foreach { p =>
+        val from = new HPath(Partition.normalizedDir(staging).resolve(p.hivePath))
+        val dest = new HPath(VersionPaths.pathFor(table.location, p, version).toString.stripSuffix("/"))
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(from, dest))
+          sys.error(s"failed to move staged partition $from to $dest")
+      }
+      fs.delete(new HPath(staging), true)
+      partitions.map(TableOperation.AddPartitionVersion(_, version))
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core._
+import graft.core.TableVersions.CommitId
+
+/**
+ * Versioned reads: resolve the commit log to concrete version-dir paths and
+ * hand them to the ordinary Spark reader (SURVEY.md §7.2 step 5).
+ *
+ * Mirrors the reference's read model — any Spark query over the resolved
+ * table "just works" (`examples/src/main/scala/com/gu/tableversions/examples/TableLoader.scala:37-38`),
+ * with the Hive-catalog location indirection
+ * (`spark/.../SparkHiveMetastore.scala:21-43`) replaced by an explicit path
+ * list from the log. Partition pruning still applies: each partition's
+ * `k=v` path segment is recovered via `basePath`, so partition-column
+ * filters prune input files before the scan.
+ *
+ * Q26 time travel: `readAsOf` resolves the log at an arbitrary commit —
+ * no state is mutated, so concurrent readers at different commits are fine.
+ */
+final case class VersionedReader(spark: SparkSession, log: TableVersions) {
+
+  /** Read the table at its current version. */
+  def read(table: TableDefinition): DataFrame =
+    materialize(table, log.currentVersion(table.name))
+
+  /** Read the table as of a specific commit (time travel). */
+  def readAsOf(table: TableDefinition, commit: CommitId): DataFrame =
+    materialize(table, log.versionAt(table.name, commit))
+
+  private def materialize(table: TableDefinition, tv: TableVersion): DataFrame = {
+    // partition values are strings in the version model; pin Spark's
+    // partition-dir parsing to strings so values round-trip verbatim
+    // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    tv match {
+      case SnapshotTableVersion(v) =>
+        spark.read
+          .format(table.format.name)
+          .load(VersionPaths.pathFor(table.location, v).toString)
+      case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
+        val paths = pvs.toSeq
+          .map { case (p, v) => VersionPaths.pathFor(table.location, p, v).toString }
+          .sorted
+        spark.read
+          .option("basePath", table.location.toString)
+          .format(table.format.name)
+          .load(paths: _*)
+      case PartitionedTableVersion(_) =>
+        spark.emptyDataFrame
+    }
+  }
+}
