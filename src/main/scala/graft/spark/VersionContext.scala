@@ -116,7 +116,13 @@ object VersionContext {
         if (!fs.rename(from, dest))
           sys.error(s"failed to move staged partition $from to $dest")
       }
-      fs.delete(new HPath(staging), true)
+      // trailing slash matters: Path("…/label/").getParent is "…/label" itself
+      val stagingPath = new HPath(staging.toString.stripSuffix("/"))
+      fs.delete(stagingPath, true)
+      // drop the _staging parent too when no other write is using it
+      // (non-recursive delete fails harmlessly if non-empty)
+      try fs.delete(stagingPath.getParent, false)
+      catch { case _: java.io.IOException => () }
       partitions.map(TableOperation.AddPartitionVersion(_, version))
     }
   }

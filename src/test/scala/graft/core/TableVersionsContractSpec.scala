@@ -1,0 +1,192 @@
+package graft.core
+
+import java.time.Instant
+import java.util.UUID
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import TableVersions._
+
+/** Black-box contract of any commit-log implementation, ported from the
+  * reference's shared behaviour suite
+  * (`core/src/test/scala/com/gu/tableversions/core/TableVersionsSpec.scala:19-470`):
+  * idempotent init, last-writer-wins partition folds, remove+re-add,
+  * snapshot cycling, rollback + roll-forward resurrection, commit ordering,
+  * and error cases. Instantiated for the in-memory and durable-JSON logs.
+  */
+trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
+
+  def implName: String
+  def newLog(): TableVersions
+
+  private val who = UserId("contract-test")
+  private def at(s: Long) = Instant.ofEpochSecond(s)
+  private def msg(s: String) = UpdateMessage(s)
+
+  private val tbl = TableName("db", "t")
+  private val datePart = PartitionColumn("date")
+  private def p(d: String) = Partition(datePart, d)
+  private def v() = Version(Instant.now(), UUID.randomUUID())
+
+  private def initSnapshot(log: TableVersions, name: TableName = tbl): Unit =
+    log.init(name, isSnapshot = true, who, msg("init"), at(0))
+  private def initPartitioned(log: TableVersions, name: TableName = tbl): Unit =
+    log.init(name, isSnapshot = false, who, msg("init"), at(0))
+
+  private def addPartitions(log: TableVersions, pvs: (Partition, Version)*): TableUpdate = {
+    val u = TableUpdate(who, msg("add"), Instant.now(),
+      pvs.toList.map { case (pp, vv) => TableOperation.AddPartitionVersion(pp, vv) })
+    log.commit(tbl, u)
+    u
+  }
+
+  test(s"$implName: a fresh partitioned table has no partition versions") {
+    val log = newLog()
+    initPartitioned(log)
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map.empty)
+  }
+
+  test(s"$implName: a fresh snapshot table is Unversioned") {
+    val log = newLog()
+    initSnapshot(log)
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(Version.Unversioned)
+  }
+
+  test(s"$implName: init is idempotent — re-init does not clobber history") {
+    val log = newLog()
+    initPartitioned(log)
+    val v1 = v()
+    addPartitions(log, p("2024-01-01") -> v1)
+    log.init(tbl, isSnapshot = false, who, msg("re-init"), at(99))
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(p("2024-01-01") -> v1))
+    log.updates(tbl) should have size 2
+  }
+
+  test(s"$implName: partition versions fold last-writer-wins") {
+    val log = newLog()
+    initPartitioned(log)
+    val (v1, v2, v3) = (v(), v(), v())
+    addPartitions(log, p("2024-01-01") -> v1, p("2024-01-02") -> v1)
+    addPartitions(log, p("2024-01-02") -> v2)
+    addPartitions(log, p("2024-01-03") -> v3)
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(
+      p("2024-01-01") -> v1, p("2024-01-02") -> v2, p("2024-01-03") -> v3))
+  }
+
+  test(s"$implName: a removed partition disappears and can be re-added") {
+    val log = newLog()
+    initPartitioned(log)
+    val (v1, v2) = (v(), v())
+    addPartitions(log, p("2024-01-01") -> v1)
+    log.commit(tbl, TableUpdate(who, msg("rm"), Instant.now(),
+      List(TableOperation.RemovePartition(p("2024-01-01")))))
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map.empty)
+    addPartitions(log, p("2024-01-01") -> v2)
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(p("2024-01-01") -> v2))
+  }
+
+  test(s"$implName: snapshot tables keep the latest AddTableVersion") {
+    val log = newLog()
+    initSnapshot(log)
+    val (v1, v2) = (v(), v())
+    log.commit(tbl, TableUpdate(who, msg("v1"), Instant.now(), List(TableOperation.AddTableVersion(v1))))
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
+    log.commit(tbl, TableUpdate(who, msg("v2"), Instant.now(), List(TableOperation.AddTableVersion(v2))))
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(v2)
+  }
+
+  test(s"$implName: setCurrentVersion rolls back, and versionAt time-travels without mutation") {
+    val log = newLog()
+    initSnapshot(log)
+    val (v1, v2) = (v(), v())
+    val u1 = TableUpdate(who, msg("v1"), Instant.now(), List(TableOperation.AddTableVersion(v1)))
+    val u2 = TableUpdate(who, msg("v2"), Instant.now(), List(TableOperation.AddTableVersion(v2)))
+    log.commit(tbl, u1)
+    log.commit(tbl, u2)
+
+    log.versionAt(tbl, u1.metadata.id) shouldBe SnapshotTableVersion(v1)
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(v2) // versionAt mutated nothing
+
+    log.setCurrentVersion(tbl, u1.metadata.id)
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
+  }
+
+  test(s"$implName: commit after rollback resurrects intermediate history (reference quirk)") {
+    val log = newLog()
+    initPartitioned(log)
+    val (v1, v2, v3) = (v(), v(), v())
+    val u1 = addPartitions(log, p("2024-01-01") -> v1)
+    addPartitions(log, p("2024-01-02") -> v2) // the "intermediate" commit
+
+    log.setCurrentVersion(tbl, u1.metadata.id)
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(p("2024-01-01") -> v1))
+
+    // committing after rollback appends at the tail and moves the pointer
+    // there, so the rolled-past commit's effects come back into view
+    addPartitions(log, p("2024-01-03") -> v3)
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(
+      p("2024-01-01") -> v1, p("2024-01-02") -> v2, p("2024-01-03") -> v3))
+  }
+
+  test(s"$implName: updates lists commit metadata most recent first, stable under load") {
+    val log = newLog()
+    initPartitioned(log)
+    val committed = (1 to 100).map { i =>
+      val u = TableUpdate(who, msg(s"commit $i"), at(i),
+        List(TableOperation.AddPartitionVersion(p(f"2024-01-$i%02d"), v())))
+      log.commit(tbl, u)
+      u.metadata
+    }
+    val expected = (log.updates(tbl).reverse.take(1) ++ committed).reverse
+    log.updates(tbl).map(_.message) shouldBe expected.map(_.message)
+    log.updates(tbl).head.message shouldBe msg("commit 100")
+  }
+
+  test(s"$implName: operations on an untracked table fail") {
+    val log = newLog()
+    an[Exception] should be thrownBy log.currentVersion(TableName("db", "ghost"))
+    an[Exception] should be thrownBy log.updates(TableName("db", "ghost"))
+    an[Exception] should be thrownBy log.commit(
+      TableName("db", "ghost"),
+      TableUpdate(who, msg("x"), Instant.now(), List(TableOperation.AddTableVersion(v()))))
+    an[Exception] should be thrownBy log.setCurrentVersion(
+      TableName("db", "ghost"), CommitId("nope"))
+  }
+
+  test(s"$implName: rollback to an unknown commit fails and changes nothing") {
+    val log = newLog()
+    initSnapshot(log)
+    val v1 = v()
+    log.commit(tbl, TableUpdate(who, msg("v1"), Instant.now(), List(TableOperation.AddTableVersion(v1))))
+    an[Exception] should be thrownBy log.setCurrentVersion(tbl, CommitId("no-such-commit"))
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
+  }
+}
+
+class InMemoryTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
+  val implName = "InMemoryTableVersions"
+  def newLog(): TableVersions = new InMemoryTableVersions
+}
+
+class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
+  val implName = "JsonFileTableVersions"
+  def newLog(): TableVersions =
+    new JsonFileTableVersions(java.nio.file.Files.createTempDirectory("graft_log"))
+
+  test("JsonFileTableVersions: state survives process restart (new instance, same dir)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_durable")
+    val first = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "durable")
+    first.init(tbl, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    val ver = Version(Instant.now(), UUID.randomUUID())
+    val u = TableUpdate(UserId("u"), UpdateMessage("add"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition(PartitionColumn("d"), "1"), ver)))
+    first.commit(tbl, u)
+
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.currentVersion(tbl) shouldBe PartitionedTableVersion(
+      Map(Partition(PartitionColumn("d"), "1") -> ver))
+    reopened.updates(tbl).head.id shouldBe u.metadata.id
+  }
+}
