@@ -49,9 +49,19 @@ object Pipeline {
 
   /** E2: exact n-gram Jaccard near-dup pairs via an inverted shingle index.
     * Self-join on the shingle key (shuffle-based equi-join, never all-pairs)
-    * → per-pair intersection counts → Jaccard = |∩| / (|A|+|B|-|∩|). */
+    * → per-pair intersection counts → Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * Shingles occurring in more than [[MaxShingleDf]] documents are dropped
+    * (stopword-shingles): they carry no near-dup signal and their buckets
+    * grow O(df²) pair rows — the cap is what keeps the self-join linear in
+    * corpus size. The oracle applies the identical cap. */
+  val MaxShingleDf = 128
+
   def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh0 = shingles(s, dir)
+    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxShingleDf).select("sh")
+    val sh = sh0.join(rare, "sh").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -92,26 +102,23 @@ object Pipeline {
   }
 
   /** E2: 16-bit SimHash fingerprint per document (token-hash bit votes).
+    * Computed entirely row-local with higher-order functions — zero
+    * shuffle, so it scales as a pure map over the corpus. A bit is set when
+    * more than half the token hashes have that bit set (majority vote; the
+    * ±1-vote formulation `sum > 0` ⟺ `2·countSet > total`).
     * Engine-specific hash → rows-only check. */
-  def e2cSimHash(s: SparkSession, dir: String): DataFrame = {
-    val toks = load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = toks
+  def e2cSimHash(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(
         col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, 15), j -> named_struct('j', j, 'v', CASE WHEN ((th >> j) & 1) = 1 THEN 1 ELSE -1 END))"
-        )).as("bv"))
-      .select(col("doc_id"), col("bv.j").as("j"), col("bv.v").as("v"))
-      .groupBy("doc_id", "j")
-      .agg(sum("v").as("vote"))
-    votes
-      .withColumn("bit", when(col("vote") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum("bit").as("simhash16"))
+        expr(
+          """aggregate(
+            |  transform(sequence(0, 15), j ->
+            |    CASE WHEN size(filter(tk, t -> ((xxhash64(t) >> j) & 1) = 1)) * 2 > size(tk)
+            |         THEN shiftleft(1L, j) ELSE 0L END),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("simhash16"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------- E3
 

@@ -240,8 +240,10 @@ object Registry {
     "e2_jaccard_neardup" -> Entry(
       Pipeline.e2JaccardNearDup,
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-             |       FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |        FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 128),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

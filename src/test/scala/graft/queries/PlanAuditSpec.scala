@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.spark.TestSpark
+
+/** Physical-plan audits: the properties that decide whether these operators
+  * survive a 100× scale-up, pinned as tests so a regression (a filter that
+  * stops pushing down, a broadcast that silently becomes a shuffle join, a
+  * map-only op that grows a shuffle) fails CI rather than a cluster run.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.entries(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter and column projection reach the parquet scan") {
+    val p = plan("q01_scan_filter")
+    p should include("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+    p should include("ReadSchema")
+    // pruned scan: none of the untouched columns appear in the read schema
+    p should not include "l_comment"
+    p should not include "l_tax"
+  }
+
+  test("q06: dimension joins broadcast instead of shuffling the fact table") {
+    val p = plan("q06_join_multi")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q09: aggregation is partial+final hash agg (map-side combine)") {
+    val p = plan("q09_agg_tpch1")
+    p should include("HashAggregate")
+    p.split("HashAggregate").length should be >= 3 // partial + final at minimum
+  }
+
+  test("q14: ORDER BY + LIMIT plans as top-k, not a global sort") {
+    plan("q14_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("e2c: simhash is computed without any exchange (pure map)") {
+    val body = plan("e2c_simhash").split("Sort").head
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; the fingerprint computation itself must be map-only
+    body should not include "hashpartitioning"
+  }
+
+  test("e3: query set broadcasts; corpus is scanned once") {
+    val p = plan("e3_cosine_topk")
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("e1: dedup groups by the content hash, not raw text") {
+    val p = plan("e1_exact_dedup")
+    p should include("sha2")
+  }
+}
