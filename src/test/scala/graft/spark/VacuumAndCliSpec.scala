@@ -1,0 +1,101 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class VacuumSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+  private val user = UserId("vacuum-test")
+
+  test("vacuum deletes only version dirs no retained commit references") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_snap"),
+      Files.createTempDirectory("graft_vac").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    (1 to 4).foreach { i =>
+      Seq(User(i.toLong, s"v$i")).toDS()
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v$i"))
+    }
+    Files.list(Paths.get(table.location)).count() shouldBe 4
+
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 2)
+    report.examined shouldBe 4
+    report.deleted should have size 2 // v1, v2 dropped; v3, v4 retained
+
+    // the current version still reads fine
+    VersionedReader(spark, log).read(table).as[User].collect() shouldBe Array(User(4, "v4"))
+    // and checkout within the retention window still works
+    val v3 = log.updates(table.name).find(_.message.content == "v3").get.id
+    VersionedReader(spark, log).readAsOf(table, v3).as[User].collect() shouldBe Array(User(3, "v3"))
+  }
+
+  test("vacuum on a partitioned table keeps every partition the retained states use") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_part"),
+      Files.createTempDirectory("graft_vac_part").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    Seq(Event(3, "c", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    Seq(Event(4, "d", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+
+    // keepLast=1: retained state = {01-01@v1, 01-02@v3}. The superseded
+    // 01-02 dirs from v1 and v2 go; 01-01@v1 survives because the current
+    // state still references it even though its commit is old
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1)
+    report.examined shouldBe 4
+    report.deleted should have size 2
+
+    VersionedReader(spark, log).read(table)
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
+}
+
+class CliSpec extends AnyFunSuite with Matchers {
+
+  import graft.core.TableVersions._
+  import java.time.Instant
+
+  test("history / current / checkout round-trip through the CLI") {
+    val dir = Files.createTempDirectory("graft_cli").toString
+    val log = JsonFileTableVersions(dir)
+    val tbl = TableName("db", "clitable")
+    log.init(tbl, isSnapshot = true, UserId("cli"), UpdateMessage("init"), Instant.now())
+    val v1 = Version.generateVersion()
+    val u1 = TableUpdate(UserId("cli"), UpdateMessage("v1"), Instant.now(),
+      List(TableOperation.AddTableVersion(v1)))
+    log.commit(tbl, u1)
+
+    val out = scala.collection.mutable.Buffer[String]()
+    graft.cli.TableVersionsCli.run(Array(dir, "history", "db.clitable"), out += _)
+    out.mkString should include("v1")
+
+    out.clear()
+    graft.cli.TableVersionsCli.run(Array(dir, "current", "db.clitable"), out += _)
+    out.mkString should include(v1.label)
+
+    out.clear()
+    val initId = log.updates(tbl).last.id.id
+    graft.cli.TableVersionsCli.run(Array(dir, "checkout", "db.clitable", initId), out += _)
+    JsonFileTableVersions(dir).currentVersion(tbl) shouldBe
+      SnapshotTableVersion(Version.Unversioned)
+  }
+}
