@@ -185,6 +185,11 @@ object Registry {
              |       CAST(o_orderdate AS DATE) + 30 AS due_date,
              |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q18b_event_time" -> Entry(
+      Relational.q18bEventTime,
+      Some("""SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+             |       min(ts) AS first_ts, max(ts) AS last_ts
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
     "q19_math" -> Entry(
       Relational.q19Math,
       Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS price_r,

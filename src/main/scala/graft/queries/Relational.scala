@@ -273,6 +273,19 @@ object Relational {
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
       .orderBy("o_orderkey")
 
+  /** Q18 (event time): date_trunc bucketing + min/max over the events
+    * table's nanosecond timestamps (read as long, rebuilt at µs precision —
+    * the data is µs-aligned so the conversion is lossless). */
+  def q18bEventTime(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(Tables.tsTimestamp("ts").as("t"), col("event_type"))
+      .groupBy(date_trunc("day", col("t")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("t").as("first_ts"),
+        max("t").as("last_ts"))
+      .orderBy("day", "event_type")
+
   /** Q19: math function battery (exact IEEE ops; ln rounded). */
   def q19Math(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")

@@ -21,8 +21,9 @@ object Tables {
     spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
-  /** Microsecond-precision timestamp from the nanos-as-long `ts` column. */
-  def tsTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+  /** Microsecond-precision timestamp from a nanos-as-long timestamp column.
+    * Integer `div` — a double-routed division loses µs precision at
+    * 1e18-scale nanosecond values. */
+  def tsTimestamp(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName div 1000)")
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.core.TableDefinition
+import graft.spark.VersionContext
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * Structured Streaming surface (SURVEY.md §2.3 "Streaming" — optional EXT;
+ * absent from the reference, which is batch-only by grep). Transforms are
+ * plain `DataFrame => DataFrame` so the same code serves `readStream`
+ * pipelines and batch backfills; state lives in Spark's state store,
+ * watermarks bound it.
+ *
+ * The versioned sink closes the loop with the versioning layer: every
+ * micro-batch lands as a fresh commit via `versionedInsertInto`, making
+ * stream output reproducible and roll-back-able like any other table.
+ */
+object Streams {
+
+  /** Tumbling-window event counts with a watermark bounding state. */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (width, slide). */
+  def slidingCounts(
+      events: DataFrame, tsCol: String, width: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Session windows per user: a session closes after `gap` of inactivity. */
+  def sessionized(events: DataFrame, tsCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup bounded by the watermark. */
+  def dedupWithinWatermark(
+      events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Versioned sink: each micro-batch commits one new version of `table`.
+    * Exactly-once at the version level — a replayed batch writes a fresh
+    * version dir and a fresh commit, never corrupting a published one. */
+  def versionedSink[T](
+      stream: Dataset[T],
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId): DataStreamWriter[T] =
+    stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      if (!batch.isEmpty)
+        batch.versionedInsertInto(ctx, table, user, UpdateMessage(s"micro-batch $batchId"))
+      ()
+    }
+}
