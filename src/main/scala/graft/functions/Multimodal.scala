@@ -37,6 +37,44 @@ object Multimodal {
     MediaMeta(widthPx = b0 + 16, heightPx = b1 + 16, frames = payload.length % 8 + 1)
   }
 
+  /** STUB transform: a real implementation decodes, resizes to `maxDim`,
+    * and re-encodes; the fake truncates the payload proportionally so batch
+    * shape, schema, and size accounting are all exercised for real. */
+  def stubResize(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val meta = stubDecode(payload)
+    val scale = math.min(1.0, maxDim.toDouble / math.max(meta.widthPx, meta.heightPx))
+    payload.take(math.max(1, (payload.length * scale * scale).toInt))
+  }
+
+  /** Partition-local binary→binary transform (`resize`): payloads in,
+    * payloads out, schema preserved plus the new size column. */
+  def resize(df: DataFrame, maxDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("resized_bytes", LongType, nullable = false)))
+    val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val resized = stubResize(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), resized, resized.length.toLong)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame index
+    * up to the stub-decoded frame count, exploded to one row per kept frame.
+    * Pure column expressions — no shuffle, no UDF. */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.select(
+        col("doc_id"),
+        explode(sequence(
+          lit(0),
+          (length(col("payload")) % 8 + 1) - 1, // stubDecode.frames - 1
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+
   /** Partition-local decode of a `(doc_id LONG, payload BINARY)` frame into
     * `(doc_id, payload_bytes, payload_sha, width_px, height_px, frames)`.
     *

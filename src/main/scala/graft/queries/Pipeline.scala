@@ -179,6 +179,38 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** E2: embedding-cosine near-duplicate pairs. Candidates come from the
+    * random-hyperplane LSH buckets (same family as [[e3bLshAnn]]) — only
+    * same-bucket pairs are scored, never all-pairs — then exact cosine
+    * filters at the threshold. Engine-specific bucketing → rows-only check. */
+  def e2dEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 2 // coarse buckets: 4 cells — high recall at the 0.3 bar
+    val emb = load(s, dir, "embeddings")
+      .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", sqrt(expr("aggregate(dvec, cast(0 as double), (a, x) -> a + x * x)")))
+    val planeBits = (0 until nPlanes).map { p =>
+      val dot = expr(
+        s"""aggregate(
+           |  zip_with(dvec, sequence(0, size(dvec) - 1),
+           |           (x, d) -> x * (CASE WHEN (xxhash64($p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)),
+           |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    val bucketed = emb.withColumn("bucket", planeBits.reduce(_ + _))
+      .select("vec_id", "dvec", "norm", "bucket")
+    val a = bucketed.select(
+      col("bucket"), col("vec_id").as("vec_a"), col("dvec").as("va"), col("norm").as("na"))
+    val b = bucketed.select(
+      col("bucket"), col("vec_id").as("vec_b"), col("dvec").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
+          (col("na") * col("nb")))
+      .where(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ---------------------------------------------------------------- E4
 
   /** E4: multimodal column plumbing — an opaque binary payload column with
@@ -191,6 +223,27 @@ object Pipeline {
         load(s, dir, "documents").select(
           col("doc_id"),
           col("text").cast("binary").as("payload")))
+      .orderBy("doc_id")
+
+  /** E4: frame sampling over video-like payloads — every 2nd frame index up
+    * to the stub-decoded frame count. */
+  def e4bFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal
+      .sampleFrames(
+        load(s, dir, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("payload")),
+        stride = 2)
+      .orderBy("doc_id", "frame_idx")
+
+  /** E4: batched binary→binary resize (stub codec, real plumbing); the
+    * size accounting is oracle-checked. */
+  def e4cResize(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal
+      .resize(
+        load(s, dir, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("payload")),
+        maxDim = 64)
+      .select("doc_id", "resized_bytes")
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- E5

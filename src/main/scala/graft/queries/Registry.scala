@@ -286,6 +286,24 @@ object Registry {
              |       CAST(ascii(substr(text, 2, 1)) + 16 AS INTEGER) AS height_px,
              |       CAST(octet_length(encode(text)) % 8 + 1 AS INTEGER) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "e2d_embedding_neardup" -> Entry(Pipeline.e2dEmbeddingNearDup, None),
+    "e4b_frame_sample" -> Entry(
+      Pipeline.e4bFrameSample,
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+             |FROM documents, generate_series(0, 8) g(i)
+             |WHERE i <= octet_length(encode(text)) % 8 AND i % 2 = 0
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+    "e4c_resize" -> Entry(
+      Pipeline.e4cResize,
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         octet_length(encode(text)) AS len,
+             |         LEAST(1.0, 64.0 / GREATEST(ascii(substr(text, 1, 1)) + 16,
+             |                                    ascii(substr(text, 2, 1)) + 16)) AS sc
+             |  FROM documents)
+             |SELECT doc_id,
+             |       GREATEST(1, CAST(trunc(len * sc * sc) AS BIGINT)) AS resized_bytes
+             |FROM t ORDER BY doc_id""".stripMargin)),
     "e5_token_stats" -> Entry(
       Pipeline.e5TokenStats,
       Some("""SELECT doc_id, n_chars,
