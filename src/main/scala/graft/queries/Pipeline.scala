@@ -147,6 +147,25 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** E3 (native expression): same top-k as [[e3CosineTopK]] but scored by
+    * the codegen'd Catalyst expression [[graft.plans.CosineSimilarity]] —
+    * a primitive-array loop inside whole-stage codegen instead of the
+    * HOF zip_with/aggregate allocation per row. Same oracle. */
+  def e3cCosineNative(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", graft.plans.GraftFunctions.cosineSim(col("embedding"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** E3 (scale path): LSH-bucketed approximate NN. Random-hyperplane signs
     * (derived from deterministic per-dimension hashes) bucket vectors; only
     * same-bucket candidates are scored. Engine-specific → rows-only check. */

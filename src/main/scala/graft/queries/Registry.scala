@@ -277,6 +277,24 @@ object Registry {
              |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
              |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
     "e3b_lsh_ann" -> Entry(Pipeline.e3bLshAnn, None),
+    "e3c_cosine_native" -> Entry(
+      Pipeline.e3cCosineNative,
+      // identical semantics (and oracle) to e3_cosine_topk; scored by the
+      // native codegen expression instead of higher-order functions
+      Some("""WITH n AS (SELECT vec_id,
+             |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |                  list_sum(list_transform(embedding,
+             |                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+             |s AS (SELECT qid, vec_id,
+             |             list_inner_product(v, qv) / (sqrt(nrm) * sqrt(qn)) AS cos
+             |      FROM n, q WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+             |      FROM s)
+             |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
+             |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
     "e4_multimodal_meta" -> Entry(
       Pipeline.e4MultimodalMeta,
       Some("""SELECT doc_id,
