@@ -21,12 +21,16 @@ import TableVersions._
  * this impl adds the durability the reference lacks (SURVEY.md §7.2 step 2).
  *
  * Crash safety: every mutation rewrites the file via temp-file +
- * ATOMIC_MOVE rename, so readers never observe a torn log. Concurrency:
- * single-writer-per-table assumed (as in the reference — its single
- * `Ref` offers no cross-process safety either); the atomic rename keeps
- * concurrent readers consistent.
+ * ATOMIC_MOVE rename, so readers never observe a torn log.
+ *
+ * Concurrency: mutations take a per-table create-exclusive lock file
+ * (optimistic, bounded retries) so concurrent writers — threads or
+ * processes — serialize their read-modify-rename cycles instead of losing
+ * updates. Readers never lock; the atomic rename keeps them consistent. A
+ * crashed writer's stale lock is broken after [[JsonFileTableVersions.LockTimeoutMs]].
  */
 final class JsonFileTableVersions(logDir: Path) extends TableVersions {
+  import JsonFileTableVersions.{LockRetryMs, LockTimeoutMs}
 
   Files.createDirectories(logDir)
   private val mapper = new ObjectMapper()
@@ -127,30 +131,58 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Serialize a read-modify-rename cycle under a create-exclusive lock
+    * file. Stale locks (crashed writers) are broken after `LockTimeoutMs`. */
+  private def withTableLock[A](table: TableName)(body: => A): A = {
+    val lock = logDir.resolve(s".${table.fullyQualifiedName}.lock")
+    val deadline = System.currentTimeMillis() + LockTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.createFile(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.currentTimeMillis() > deadline) {
+            Files.deleteIfExists(lock) // break a stale lock, then retry
+          } else Thread.sleep(LockRetryMs)
+      }
+    }
+    try body
+    finally Files.deleteIfExists(lock)
+  }
+
   // ------------------------------------------------------------ contract
 
-  override def commit(table: TableName, update: TableUpdate): Unit = {
-    if (loadState(table).isEmpty) throw unknownTableError(table)
-    appendLines(table, Seq(commitLine(update)))
-  }
+  override def commit(table: TableName, update: TableUpdate): Unit =
+    withTableLock(table) {
+      if (loadState(table).isEmpty) throw unknownTableError(table)
+      appendLines(table, Seq(commitLine(update)))
+    }
 
-  override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
-    val state = loadState(table).getOrElse(throw unknownTableError(table))
-    if (!state.updates.exists(_.metadata.id == id)) throw unknownCommitId(id)
-    appendLines(table, Seq(checkoutLine(id)))
-  }
+  override def setCurrentVersion(table: TableName, id: CommitId): Unit =
+    withTableLock(table) {
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      if (!state.updates.exists(_.metadata.id == id)) throw unknownCommitId(id)
+      appendLines(table, Seq(checkoutLine(id)))
+    }
 
   override protected def tableState(table: TableName): TableState =
     loadState(table).getOrElse(throw unknownTableError(table))
 
   override protected def handleInit(table: TableName)(newTableState: => TableState): Unit =
-    if (loadState(table).isEmpty) {
-      val state = newTableState
-      appendLines(table, state.updates.map(commitLine))
+    withTableLock(table) {
+      if (loadState(table).isEmpty) {
+        val state = newTableState
+        appendLines(table, state.updates.map(commitLine))
+      }
     }
 }
 
 object JsonFileTableVersions {
+  private[core] val LockTimeoutMs = 30000L
+  private[core] val LockRetryMs = 5L
+
   def apply(logDir: String): JsonFileTableVersions =
     new JsonFileTableVersions(Paths.get(logDir))
 }

@@ -49,11 +49,11 @@ final class SparkCatalogMetastore(spark: SparkSession) extends Metastore {
       case TableOperation.AddPartition(p, v) =>
         spark.sql(
           s"ALTER TABLE $fqn ADD IF NOT EXISTS PARTITION (${partitionSpec(p)}) " +
-            s"LOCATION '${VersionPaths.pathFor(baseLocation, p, v)}'")
+            s"LOCATION '${SparkPaths.dirFor(baseLocation, p, v)}'")
       case TableOperation.UpdatePartitionVersion(p, v) =>
         spark.sql(
           s"ALTER TABLE $fqn PARTITION (${partitionSpec(p)}) " +
-            s"SET LOCATION '${VersionPaths.pathFor(baseLocation, p, v)}'")
+            s"SET LOCATION '${SparkPaths.dirFor(baseLocation, p, v)}'")
       case TableOperation.RemovePartition(p) =>
         spark.sql(s"ALTER TABLE $fqn DROP IF EXISTS PARTITION (${partitionSpec(p)})")
       case TableOperation.UpdateTableVersion(v) =>

@@ -110,8 +110,12 @@ object VersionContext {
       val conf = spark.sessionState.newHadoopConf()
       val fs = FileSystem.get(table.location, conf)
       partitions.foreach { p =>
-        val from = new HPath(Partition.normalizedDir(staging).resolve(p.hivePath))
-        val dest = new HPath(VersionPaths.pathFor(table.location, p, version).toString.stripSuffix("/"))
+        // staged subdirs carry Spark's Hive-escaped partition names; the
+        // destination must use the identical escaped form. Raw strings into
+        // Hadoop Path — URI.resolve rejects the literal spaces Hive keeps.
+        val escaped = SparkPaths.escapedPartitionPath(p)
+        val from = new HPath(staging.toString + escaped)
+        val dest = new HPath(SparkPaths.dirFor(table.location, p, version))
         fs.mkdirs(dest.getParent)
         if (!fs.rename(from, dest))
           sys.error(s"failed to move staged partition $from to $dest")

@@ -42,7 +42,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           .load(VersionPaths.pathFor(table.location, v).toString)
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         val paths = pvs.toSeq
-          .map { case (p, v) => VersionPaths.pathFor(table.location, p, v).toString }
+          .map { case (p, v) => SparkPaths.dirFor(table.location, p, v) }
           .sorted
         spark.read
           .option("basePath", table.location.toString)

@@ -8,4 +8,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Hive path-name escaping, exactly as Spark's `partitionBy` writes
+    * partition directories (`ExternalCatalogUtils.escapePathName`). */
+  def escapePathName(part: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
+
+  def unescapePathName(path: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(path)
 }

@@ -174,6 +174,34 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
   def newLog(): TableVersions =
     new JsonFileTableVersions(java.nio.file.Files.createTempDirectory("graft_log"))
 
+  test("JsonFileTableVersions: concurrent commits from many threads all land (lock file)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_concurrent")
+    val tbl = TableName("db", "contended")
+    new JsonFileTableVersions(dir)
+      .init(tbl, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        val ownLog = new JsonFileTableVersions(dir) // separate instance = separate "process"
+        (1 to 5).foreach { j =>
+          ownLog.commit(tbl, TableUpdate(UserId(s"t$i"), UpdateMessage(s"c$i-$j"), Instant.now(),
+            List(TableOperation.AddPartitionVersion(
+              Partition(PartitionColumn("d"), s"$i-$j"),
+              Version(Instant.now(), UUID.randomUUID())))))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.updates(tbl) should have size 41 // init + 8×5, none lost
+    reopened.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 40
+      case other                        => fail(s"unexpected $other")
+    }
+  }
+
   test("JsonFileTableVersions: state survives process restart (new instance, same dir)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_log_durable")
     val first = new JsonFileTableVersions(dir)

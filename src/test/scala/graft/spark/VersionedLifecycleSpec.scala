@@ -138,6 +138,23 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("partition values with special characters round-trip (Hive escaping)") {
+    val (ctx, log) = freshContext()
+    val table = tmpTable("escaped_part", PartitionSchema(List(PartitionColumn("date"))))
+    ctx.init(table, user, UpdateMessage("init"))
+
+    val odd = "2024 01:01" // Hive escaping: colon → %3A, space stays literal
+    Seq(Event(1, "click", odd), Event(2, "view", "plain")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    val rows = VersionedReader(spark, log).read(table)
+      .select("id", "date").as[(Long, String)].collect().sortBy(_._1)
+    rows shouldBe Array((1L, odd), (2L, "plain"))
+
+    val escapedDir = Paths.get(table.location).resolve("date=2024 01%3A01")
+    Files.exists(escapedDir) shouldBe true
+  }
+
   test("durable log: versioned writes survive a reopened JsonFileTableVersions") {
     val logDir = Files.createTempDirectory("graft_spec_durable_log")
     val log = new JsonFileTableVersions(logDir)
