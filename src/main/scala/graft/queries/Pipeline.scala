@@ -331,4 +331,18 @@ object Pipeline {
         xxhash64(col("text")).as("fp"),
         xxhash64(substring(col("text"), 1, 64)).as("fp_prefix64"))
       .orderBy("doc_id")
+
+  /** E6: polynomial rolling hash `h = (h·31 + c) mod 1e9+7` over the
+    * character codes — engine-portable (modular arithmetic, no overflow),
+    * so this fingerprint IS oracle-checked, unlike the xxhash variant.
+    * Pure map over the corpus. */
+  def e6bRollingHash(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)),
+            |  0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("rhash"))
+      .orderBy("doc_id")
 }

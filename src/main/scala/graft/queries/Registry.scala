@@ -348,7 +348,16 @@ object Registry {
       Some("""SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
     "e5e_lang_guess" -> Entry(Pipeline.e5eLangGuess, None),
-    "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None)
+    "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
+    "e6b_rolling_hash" -> Entry(
+      Pipeline.e6bRollingHash,
+      Some("""SELECT doc_id,
+             |       list_reduce(
+             |         list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(generate_series(1, length(text)),
+             |                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             |         (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, QueryFn] = entries.map { case (k, e) => k -> e.fn }
