@@ -216,15 +216,14 @@ object Pipeline {
       when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     val bucketed = emb.withColumn("bucket", planeBits.reduce(_ + _))
-      .select("vec_id", "dvec", "norm", "bucket")
+      .select("vec_id", "embedding", "bucket")
     val a = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_a"), col("dvec").as("va"), col("norm").as("na"))
+      col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_b"), col("dvec").as("vb"), col("norm").as("nb"))
+      col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
-          (col("na") * col("nb")))
+      // native codegen'd expression: the pair-scoring loop is the hot path
+      .withColumn("cos", graft.plans.GraftFunctions.cosineSim(col("ea"), col("eb")))
       .where(col("cos") >= 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
