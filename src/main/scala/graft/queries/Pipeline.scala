@@ -58,18 +58,22 @@ object Pipeline {
   val MaxShingleDf = 128
 
   def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = shingles(s, dir)
-    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= MaxShingleDf).select("sh")
-    val sh = sh0.join(rare, "sh").cache()
+    // shuffle an 8-byte hash of each shingle, never the shingle text — at
+    // 100 TB the inverted index is all shuffle traffic, and the 64-bit key
+    // keeps it minimal (collision odds are negligible next to the DF cap)
+    val sh0 = shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val rare = sh0.groupBy("shh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxShingleDf).select("shh")
+    val sh = sh0.join(rare, "shh").cache()
+    // per-doc set sizes: tiny (one row per doc) — broadcast both joins
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val common = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shh"))
+    val common = a.join(b, Seq("shh")).where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
