@@ -233,6 +233,27 @@ object Pipeline {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** E3: per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
+    * (IVF coarse-quantizer prototypes). Partial aggregation ships one
+    * 64-slot buffer per label per map task. First four centroid dimensions
+    * are oracle-checked. */
+  def e3dLabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = load(s, dir, "embeddings")
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+    val agg = new graft.functions.VectorMeanAggregator(64)
+    ds.groupByKey(_._1)
+      .agg(agg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(
+        col("label"),
+        round(element_at(col("centroid"), 1), 5).as("c1"),
+        round(element_at(col("centroid"), 2), 5).as("c2"),
+        round(element_at(col("centroid"), 3), 5).as("c3"),
+        round(element_at(col("centroid"), 4), 5).as("c4"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- E4
 
   /** E4: multimodal column plumbing — an opaque binary payload column with

@@ -277,6 +277,14 @@ object Registry {
              |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
              |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
     "e3b_lsh_ann" -> Entry(Pipeline.e3bLshAnn, None),
+    "e3d_label_centroids" -> Entry(
+      Pipeline.e3dLabelCentroids,
+      Some("""SELECT label,
+             |       round(avg(CAST(embedding[1] AS DOUBLE)), 5) AS c1,
+             |       round(avg(CAST(embedding[2] AS DOUBLE)), 5) AS c2,
+             |       round(avg(CAST(embedding[3] AS DOUBLE)), 5) AS c3,
+             |       round(avg(CAST(embedding[4] AS DOUBLE)), 5) AS c4
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
     "e3c_cosine_native" -> Entry(
       Pipeline.e3cCosineNative,
       // identical semantics (and oracle) to e3_cosine_topk; scored by the
