@@ -132,24 +132,42 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   }
 
   /** Serialize a read-modify-rename cycle under a create-exclusive lock
-    * file. Stale locks (crashed writers) are broken after `LockTimeoutMs`. */
+    * file carrying a unique owner token.
+    *
+    * Stale-lock breaking keys off the LOCK FILE'S age (its last-modified
+    * time), never off how long this waiter has waited — a healthy writer
+    * holding the lock for a long rewrite is not stolen from. Release
+    * deletes the lock only while it still carries our token, so a broken
+    * -and-reacquired lock is never deleted out from under its new owner. */
   private def withTableLock[A](table: TableName)(body: => A): A = {
     val lock = logDir.resolve(s".${table.fullyQualifiedName}.lock")
-    val deadline = System.currentTimeMillis() + LockTimeoutMs
+    val token = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
       try {
-        Files.createFile(lock)
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.currentTimeMillis() > deadline) {
-            Files.deleteIfExists(lock) // break a stale lock, then retry
-          } else Thread.sleep(LockRetryMs)
+          val stale =
+            try {
+              val age = System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis
+              age > LockTimeoutMs
+            } catch { case _: java.io.IOException => false } // lock vanished — retry
+          if (stale) Files.deleteIfExists(lock) // crashed holder; break and retry
+          else Thread.sleep(LockRetryMs)
       }
     }
     try body
-    finally Files.deleteIfExists(lock)
+    finally {
+      try {
+        if (Files.exists(lock) &&
+          new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   // ------------------------------------------------------------ contract

@@ -54,7 +54,6 @@ object TextAnalysis {
 
   /** Stopword ratio against a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val list = stopwords.map(w => s"'$w'").mkString(", ")
     val tk = tokens(text)
     size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(tk)
   }

@@ -293,18 +293,20 @@ object Pipeline {
 
   /** E5: per-document text statistics — token counts, type-token ratio,
     * stopword ratio (quality signals). One scan, no shuffle. */
-  def e5TokenStats(s: SparkSession, dir: String): DataFrame =
+  def e5TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val stopwords = Seq("the", "a", "of", "and", "to")
     load(s, dir, "documents")
-      .withColumn("tk", split(col("text"), " "))
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
       .select(
         col("doc_id"),
         col("n_chars"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
-        expr("round(size(filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'to'))) / cast(size(tk) as double), 6)")
-          .as("stop_ratio"),
-        expr("round(size(array_distinct(tk)) / cast(size(tk) as double), 6)").as("ttr"))
+        round(TextAnalysis.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
+        round(TextAnalysis.typeTokenRatio(col("text")), 6).as("ttr"))
       .orderBy("doc_id")
+  }
 
   /** E5: corpus language distribution. */
   def e5bLangStats(s: SparkSession, dir: String): DataFrame =

@@ -29,6 +29,14 @@ object Skew {
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // right/full outer would surface each unmatched small-side row once per
+    // salt replica — only join types that never emit unmatched small-side
+    // rows are sound under replication
+    require(
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedEquiJoin does not support join type '$joinType': replicating the " +
+        "small side would duplicate its unmatched rows")
     // deterministic per-row salt: spread rows of one key uniformly without
     // rand() (keeps retried tasks and re-runs stable)
     val salted = large.withColumn(

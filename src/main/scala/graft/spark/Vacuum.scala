@@ -30,11 +30,14 @@ object Vacuum {
     val states = log.currentVersion(table.name) ::
       commits.map(c => log.versionAt(table.name, c.id))
 
-    // every (relative dir, label) any retained state references
+    // every (relative dir, label) any retained state references — in the
+    // ESCAPED on-disk form, which is what the directory listing yields
+    // (raw hivePath here would doom live dirs of partitions whose values
+    // need Hive escaping)
     val referenced: Set[String] = states.flatMap {
       case SnapshotTableVersion(v) => List(v.label)
       case PartitionedTableVersion(pvs) =>
-        pvs.map { case (p, v) => s"${p.hivePath}/${v.label}" }
+        pvs.map { case (p, v) => s"${SparkPaths.escapedPartitionPath(p)}/${v.label}" }
     }.toSet
 
     val fs = FileSystem.get(table.location, hadoopConf)

@@ -84,6 +84,12 @@ object VersionContext {
     val cols = schema.columns.map(c => col(c.name).cast("string"))
     ds.toDF().select(cols: _*).distinct().collect().toList.map { row =>
       Partition(schema.columns.zipWithIndex.map { case (c, i) =>
+        // reject up front — this runs BEFORE the write job, so a null never
+        // leaves half-renamed staged data behind
+        if (row.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"partition column ${c.name} contains null values; " +
+              "null partition values are not supported by the versioned layout")
         ColumnValue(c, row.getString(i))
       })
     }

@@ -33,8 +33,21 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   private def materialize(table: TableDefinition, tv: TableVersion): DataFrame = {
     // partition values are strings in the version model; pin Spark's
     // partition-dir parsing to strings so values round-trip verbatim
-    // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1")
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1").
+    // Schema resolution happens eagerly inside load(), so the conf only
+    // needs to hold for this call — restore it after, leaving the session's
+    // behavior for unrelated reads untouched.
+    val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val previous = spark.conf.getOption(inferenceKey)
+    spark.conf.set(inferenceKey, "false")
+    try doMaterialize(table, tv)
+    finally previous match {
+      case Some(v) => spark.conf.set(inferenceKey, v)
+      case None    => spark.conf.unset(inferenceKey)
+    }
+  }
+
+  private def doMaterialize(table: TableDefinition, tv: TableVersion): DataFrame =
     tv match {
       case SnapshotTableVersion(v) =>
         spark.read
@@ -51,5 +64,4 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       case PartitionedTableVersion(_) =>
         spark.emptyDataFrame
     }
-  }
 }

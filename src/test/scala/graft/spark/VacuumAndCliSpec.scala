@@ -69,6 +69,34 @@ class VacuumSpec extends AnyFunSuite with Matchers {
   }
 }
 
+class VacuumEscapingSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+  private val user = UserId("vacuum-esc")
+
+  test("vacuum never deletes live dirs of partitions whose values need Hive escaping") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_esc"),
+      Files.createTempDirectory("graft_vac_esc").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    // ':' gets Hive-escaped to %3A on disk; the raw form never exists there
+    Seq(Event(1, "a", "2024 01:01")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1)
+    report.examined shouldBe 1
+    report.deleted shouldBe empty // the escaped live dir must be recognized
+
+    VersionedReader(spark, log).read(table)
+      .select("id").as[Long].collect() shouldBe Array(1L)
+  }
+}
+
 class CliSpec extends AnyFunSuite with Matchers {
 
   import graft.core.TableVersions._
