@@ -58,6 +58,26 @@ object Streams {
       events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Custom keyed state via `mapGroupsWithState`: a monotone running count +
+    * running sum per user that survives across micro-batches (the shape any
+    * bespoke session/state machine takes when windows can't express it). */
+  def runningUserTotals(
+      events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (userId: Long, batch: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (prevN, prevSum) = state.getOption.getOrElse((0L, 0.0))
+          val values = batch.map(_._2).toSeq
+          val next = (prevN + values.size, prevSum + values.sum)
+          state.update(next)
+          (userId, next._1, next._2)
+      }
+  }
+
   /** Versioned sink: each micro-batch commits one new version of `table`.
     * Exactly-once at the version level — a replayed batch writes a fresh
     * version dir and a fresh commit, never corrupting a published one. */

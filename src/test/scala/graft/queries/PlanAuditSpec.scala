@@ -58,4 +58,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     val p = plan("e1_exact_dedup")
     p should include("sha2")
   }
+
+  test("AQE is active: shuffling plans re-optimize at runtime") {
+    val p = plan("q09_agg_tpch1")
+    p should include("AdaptiveSparkPlan")
+  }
 }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.max
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -63,6 +64,24 @@ class StreamsSpec extends AnyFunSuite with Matchers {
       input.addData(Tick(t(1), "click", 1, 1.0)) // replay in a later batch
       q.processAllAvailable()
       spark.table("dedup").count() shouldBe 1
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.runningUserTotals(input.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0)) // state must carry the previous count/sum
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      last shouldBe Array((1L, 3L, 10.0), (2L, 1L, 10.0))
     } finally q.stop()
   }
 
