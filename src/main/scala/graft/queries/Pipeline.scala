@@ -254,6 +254,52 @@ object Pipeline {
       .orderBy("label")
   }
 
+  /** E3 (IVF scale path): inverted-file ANN. The per-label centroids
+    * ([[e3dLabelCentroids]]'s aggregator) act as the coarse quantizer;
+    * every vector is assigned to its nearest cell, queries probe their two
+    * nearest cells, and only same-cell candidates are scored. The classic
+    * IVF trade: scoring work drops to (cells probed / total cells) of the
+    * corpus, recall bounded by cell locality. Deterministic; rows-only. */
+  def e3eIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.GraftFunctions.cosineSim
+    val emb = load(s, dir, "embeddings").select("vec_id", "embedding")
+
+    // coarse quantizer: 10 cells from the typed centroid aggregator
+    val cents = load(s, dir, "embeddings")
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
+      .toDF("cell", "centroid")
+
+    // cell assignment: nearest centroid per vector (centroids broadcast)
+    val simToCell = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    val assigned = simToCell
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // queries probe their 2 nearest cells
+    val probes = simToCell
+      .where(col("vec_id") < 5)
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cell"))
+
+    // score only candidates living in a probed cell
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineSim(col("embedding"), col("qvec")))
+    val byQuery = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    cands
+      .withColumn("rk", row_number().over(byQuery))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
   // ---------------------------------------------------------------- E4
 
   /** E4: multimodal column plumbing — an opaque binary payload column with

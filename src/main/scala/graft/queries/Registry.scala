@@ -277,6 +277,7 @@ object Registry {
              |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
              |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
     "e3b_lsh_ann" -> Entry(Pipeline.e3bLshAnn, None),
+    "e3e_ivf_ann" -> Entry(Pipeline.e3eIvfAnn, None),
     "e3d_label_centroids" -> Entry(
       Pipeline.e3dLabelCentroids,
       Some("""SELECT label,
