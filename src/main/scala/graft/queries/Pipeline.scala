@@ -374,6 +374,20 @@ object Pipeline {
       .orderBy(desc("n"), asc("token"))
       .limit(20)
 
+  /** E5: corpus-frequency quality score — mean log corpus frequency of a
+    * document's tokens (a cheap unigram-LM proxy: texts of rare tokens score
+    * low, formulaic texts high). Explode → join the global frequency table
+    * (broadcast; vocabulary-sized) → per-doc mean. */
+  def e5fDocQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(freq), "token")
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("tf").cast("double"))), 6).as("mean_log_tf"))
+      .orderBy("doc_id")
+  }
+
   /** E5: BPE-ish regex token count (letters runs / digit runs / other). */
   def e5dRegexTokens(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")

@@ -129,6 +129,28 @@ object Registry {
              |  FROM events
              |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)) t
              |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)),
+    "q12b_sessionize" -> Entry(
+      Relational.q12bSessionize,
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN prev_ts IS NULL
+             |                   OR epoch(ts) - epoch(prev_ts) > 1800
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id,
+             |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM m)
+             |SELECT user_id,
+             |       CAST(max(sess_id) AS BIGINT) AS n_sessions,
+             |       count(*) AS n_events,
+             |       round(CAST(count(*) AS DOUBLE) / max(sess_id), 6) AS events_per_session
+             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
     "q13_window_frames" -> Entry(
       Relational.q13WindowFrames,
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
@@ -357,6 +379,14 @@ object Registry {
       Some("""SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
     "e5e_lang_guess" -> Entry(Pipeline.e5eLangGuess, None),
+    "e5f_doc_quality" -> Entry(
+      Pipeline.e5fDocQuality,
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token)
+             |SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE))), 6) AS mean_log_tf
+             |FROM toks JOIN freq USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,

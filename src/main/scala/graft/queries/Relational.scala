@@ -215,6 +215,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q12/Q13 (applied): batch sessionization — a new session starts after
+    * >30 min of user inactivity; lag + running sum assigns session ids, then
+    * per-user session stats. The batch twin of `Streams.sessionized`. */
+  def q12bSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), Tables.tsTimestamp("ts").as("t"))
+      .withColumn("prev_t", lag("t", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_t").isNull ||
+          unix_timestamp(col("t")) - unix_timestamp(col("prev_t")) > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(running))
+      .groupBy("user_id")
+      .agg(
+        max("sess_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(count(lit(1)).cast("double") / max("sess_id"), 6).as("events_per_session"))
+      .orderBy("user_id")
+  }
+
   /** Q14: global top-k — TakeOrderedAndProject, no full sort materialised. */
   def q14TopK(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.time.Instant
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -153,6 +154,42 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
 
     val escapedDir = Paths.get(table.location).resolve("date=2024 01%3A01")
     Files.exists(escapedDir) shouldBe true
+  }
+
+  test("multi-column partitions via ORC: overwrite one leaf, others untouched (reference MultiPartitionTableLoaderSpec shape)") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "multi_part"),
+      Files.createTempDirectory("graft_spec_multi").toUri,
+      PartitionSchema(List(PartitionColumn("date"), PartitionColumn("kind"))),
+      FileFormat.Orc)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    Seq(
+      Event(1, "click", "2024-01-01"),
+      Event(2, "view", "2024-01-01"),
+      Event(3, "click", "2024-01-02")).toDS()
+      .select(col("id"), col("date"), col("kind"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // overwrite only the (2024-01-01, click) leaf
+    Seq(Event(9, "click", "2024-01-01")).toDS()
+      .select(col("id"), col("date"), col("kind"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+
+    val rows = VersionedReader(spark, log).read(table)
+      .select("id", "date", "kind").as[(Long, String, String)].collect().sortBy(_._1)
+    rows shouldBe Array(
+      (2L, "2024-01-01", "view"),
+      (3L, "2024-01-02", "click"),
+      (9L, "2024-01-01", "click"))
+
+    // nested layout: date=…/kind=…/<label>
+    val leaf = Paths.get(table.location).resolve("date=2024-01-01").resolve("kind=click")
+    Files.list(leaf).count() shouldBe 2 // old + new version dirs
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 3
+      case other                        => fail(s"unexpected $other")
+    }
   }
 
   test("durable log: versioned writes survive a reopened JsonFileTableVersions") {
