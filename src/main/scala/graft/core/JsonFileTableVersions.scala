@@ -134,11 +134,14 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   /** Serialize a read-modify-rename cycle under a create-exclusive lock
     * file carrying a unique owner token.
     *
-    * Stale-lock breaking keys off the LOCK FILE'S age (its last-modified
-    * time), never off how long this waiter has waited — a healthy writer
-    * holding the lock for a long rewrite is not stolen from. Release
-    * deletes the lock only while it still carries our token, so a broken
-    * -and-reacquired lock is never deleted out from under its new owner. */
+    * Guarantee (and its limit): critical sections here are small-file reads
+    * and an atomic rename — milliseconds — and `LockTimeoutMs` (30 s) is the
+    * liveness bound a holder must finish within; a lock older than that is
+    * treated as a crashed holder's. Breaking is itself race-free: the
+    * breaker must win an ATOMIC_MOVE of the stale lock to a unique name, so
+    * of N waiters exactly one breaks it and the others loop back to the
+    * create-exclusive acquire. Release deletes the lock only while it still
+    * carries our token. */
   private def withTableLock[A](table: TableName)(body: => A): A = {
     val lock = logDir.resolve(s".${table.fullyQualifiedName}.lock")
     val token = java.util.UUID.randomUUID().toString
@@ -156,8 +159,15 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
                 Files.getLastModifiedTime(lock).toMillis
               age > LockTimeoutMs
             } catch { case _: java.io.IOException => false } // lock vanished — retry
-          if (stale) Files.deleteIfExists(lock) // crashed holder; break and retry
-          else Thread.sleep(LockRetryMs)
+          if (stale) {
+            // atomic break: only the waiter whose rename succeeds removes
+            // the corpse; a lost race means someone else broke or holds it
+            val corpse = logDir.resolve(s"${lock.getFileName}.broken.${java.util.UUID.randomUUID()}")
+            try {
+              Files.move(lock, corpse, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(corpse)
+            } catch { case _: java.io.IOException => () }
+          } else Thread.sleep(LockRetryMs)
       }
     }
     try body

@@ -34,7 +34,7 @@ object Skew {
     // rows are sound under replication
     require(
       Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-        "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+        "semi", "left_anti", "leftanti", "anti", "cross").contains(joinType.toLowerCase),
       s"saltedEquiJoin does not support join type '$joinType': replicating the " +
         "small side would duplicate its unmatched rows")
     // deterministic per-row salt: spread rows of one key uniformly without
