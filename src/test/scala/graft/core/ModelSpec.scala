@@ -125,6 +125,23 @@ class VersionCodecSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: partition hivePath render/parse round-trips, including '=' in values") {
+    val genValue = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_ + "=="), // base64-ish tail
+      Gen.choose(1, 28).map(d => f"2024-01-$d%02d"))
+    val genPartition = for {
+      n <- Gen.choose(1, 3)
+      names <- Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty))
+      values <- Gen.listOfN(n, genValue)
+    } yield Partition(names.zip(values).map { case (k, v) =>
+      ColumnValue(PartitionColumn(k), v)
+    })
+    forAll(genPartition, n = 300) { p =>
+      Partition.parse(p.hivePath) shouldBe Right(p)
+    }
+  }
+
   test("Unversioned maps to the bare table path (pre-existing data keeps its location)") {
     val loc = new URI("file:///warehouse/db/t")
     VersionPaths.pathFor(loc, Version.Unversioned).toString shouldBe "file:///warehouse/db/t/"

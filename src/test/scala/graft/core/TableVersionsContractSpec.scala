@@ -143,6 +143,31 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     log.updates(tbl).head.message shouldBe msg("commit 100")
   }
 
+  test(s"$implName: one commit may mix adds and removes; ops apply in order") {
+    val log = newLog()
+    initPartitioned(log)
+    val (v1, v2) = (v(), v())
+    addPartitions(log, p("2024-01-01") -> v1, p("2024-01-02") -> v1)
+    // one atomic commit: remove 01-01, re-add it at v2, add 01-03
+    log.commit(tbl, TableUpdate(who, msg("mixed"), Instant.now(), List(
+      TableOperation.RemovePartition(p("2024-01-01")),
+      TableOperation.AddPartitionVersion(p("2024-01-01"), v2),
+      TableOperation.AddPartitionVersion(p("2024-01-03"), v2))))
+    log.currentVersion(tbl) shouldBe PartitionedTableVersion(Map(
+      p("2024-01-01") -> v2, p("2024-01-02") -> v1, p("2024-01-03") -> v2))
+  }
+
+  test(s"$implName: tables are isolated — commits to one never affect another") {
+    val log = newLog()
+    val other = TableName("db", "other")
+    initPartitioned(log)
+    log.init(other, isSnapshot = true, who, msg("init"), at(0))
+    val v1 = v()
+    addPartitions(log, p("2024-01-01") -> v1)
+    log.currentVersion(other) shouldBe SnapshotTableVersion(Version.Unversioned)
+    log.updates(other) should have size 1
+  }
+
   test(s"$implName: operations on an untracked table fail") {
     val log = newLog()
     an[Exception] should be thrownBy log.currentVersion(TableName("db", "ghost"))
@@ -167,6 +192,27 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
 class InMemoryTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
   val implName = "InMemoryTableVersions"
   def newLog(): TableVersions = new InMemoryTableVersions
+
+  test("InMemoryTableVersions: CAS loop keeps all commits under thread contention") {
+    val log = new InMemoryTableVersions
+    val tbl = TableName("db", "cas")
+    log.init(tbl, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    val threads = (1 to 8).map { i =>
+      new Thread(() => (1 to 50).foreach { j =>
+        log.commit(tbl, TableUpdate(UserId(s"t$i"), UpdateMessage(s"c$i-$j"), Instant.now(),
+          List(TableOperation.AddPartitionVersion(
+            Partition(PartitionColumn("d"), s"$i-$j"),
+            Version(Instant.now(), UUID.randomUUID())))))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    log.updates(tbl) should have size 401 // init + 8×50
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 400
+      case other                        => fail(s"unexpected $other")
+    }
+  }
 }
 
 class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
