@@ -75,6 +75,33 @@ object Multimodal {
           lit(stride))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
 
+  /** Feature extraction: Shannon entropy of the payload's byte histogram —
+    * a cheap, codec-free signal (compressed/encrypted media sits near 8 bits,
+    * text far lower). Partition-local pass; the histogram is order-free and
+    * the bin loop is fixed-order, so the result is exactly deterministic. */
+  def byteEntropy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("entropy_bits", DoubleType, nullable = false)))
+    val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val hist = new Array[Long](256)
+        payload.foreach(b => hist(b & 0xff) += 1)
+        val n = payload.length.toDouble
+        var h = 0.0
+        var i = 0
+        while (i < 256) {
+          if (hist(i) > 0) { val p = hist(i) / n; h -= p * (math.log(p) / math.log(2)) }
+          i += 1
+        }
+        Row(r.getLong(0), h)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Partition-local decode of a `(doc_id LONG, payload BINARY)` frame into
     * `(doc_id, payload_bytes, payload_sha, width_px, height_px, frames)`.
     *

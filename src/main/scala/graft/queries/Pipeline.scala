@@ -335,6 +335,16 @@ object Pipeline {
       .select("doc_id", "resized_bytes")
       .orderBy("doc_id")
 
+  /** E4: codec-free feature extraction — byte-histogram Shannon entropy of
+    * each payload (rows-only: the per-bin float reduction is ours alone). */
+  def e4dByteEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal
+      .byteEntropy(
+        load(s, dir, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("payload")))
+      .select(col("doc_id"), round(col("entropy_bits"), 6).as("entropy_bits"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- E5
 
   /** E5: per-document text statistics — token counts, type-token ratio,

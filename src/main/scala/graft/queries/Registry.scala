@@ -353,6 +353,7 @@ object Registry {
              |SELECT doc_id,
              |       GREATEST(1, CAST(trunc(len * sc * sc) AS BIGINT)) AS resized_bytes
              |FROM t ORDER BY doc_id""".stripMargin)),
+    "e4d_byte_entropy" -> Entry(Pipeline.e4dByteEntropy, None),
     "e5_token_stats" -> Entry(
       Pipeline.e5TokenStats,
       Some("""SELECT doc_id, n_chars,

@@ -78,6 +78,28 @@ object Streams {
       }
   }
 
+  /** Custom state with selective emission via `flatMapGroupsWithState`:
+    * emits a row only when a user's running total first crosses
+    * `threshold` — the emit-on-condition shape (alerts, debouncing) that
+    * `mapGroupsWithState`'s one-row-per-group contract can't express. */
+  def thresholdAlerts(
+      events: Dataset[(Long, Double)],
+      threshold: Double): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Boolean), (Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId: Long, batch: Iterator[(Long, Double)], state: GroupState[(Double, Boolean)]) =>
+          val (prevSum, alreadyAlerted) = state.getOption.getOrElse((0.0, false))
+          val total = prevSum + batch.map(_._2).sum
+          val crossing = !alreadyAlerted && total >= threshold
+          state.update((total, alreadyAlerted || crossing))
+          if (crossing) Iterator((userId, total)) else Iterator.empty
+      }
+  }
+
   /** Versioned sink: each micro-batch commits one new version of `table`.
     * Exactly-once at the version level — a replayed batch writes a fresh
     * version dir and a fresh commit, never corrupting a published one. */

@@ -85,6 +85,25 @@ class StreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits exactly one alert when a user's total crosses the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.thresholdAlerts(input.toDS(), threshold = 100.0)
+      .toDF("user_id", "total")
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      input.addData((1L, 60.0), (2L, 10.0))
+      q.processAllAvailable()
+      spark.table("alerts").count() shouldBe 0 // nobody crossed yet
+      input.addData((1L, 50.0)) // user 1 crosses (110)
+      q.processAllAvailable()
+      input.addData((1L, 500.0)) // already alerted — no second emission
+      q.processAllAvailable()
+      val alerts = spark.table("alerts").as[(Long, Double)].collect()
+      alerts shouldBe Array((1L, 110.0))
+    } finally q.stop()
+  }
+
   test("versioned sink commits one table version per micro-batch and reads back") {
     implicit val sqlCtx = spark.sqlContext
     val log = new InMemoryTableVersions
