@@ -102,29 +102,24 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Partition-local decode of a `(doc_id LONG, payload BINARY)` frame into
+  /** Decode of a `(doc_id LONG, payload BINARY)` frame into
     * `(doc_id, payload_bytes, payload_sha, width_px, height_px, frames)`.
     *
-    * Implemented over `mapPartitions` (the Scala analogue of a batched
-    * Pandas UDF): the decoder is instantiated once per partition, not per
-    * row, which is where real codecs amortise their setup cost. */
+    * The stub "decode" is pure header-byte arithmetic, so — like
+    * [[sampleFrames]] — it stays in codegen'd column expressions: `sha2`
+    * for the content hash, `hex`+`conv` to read unsigned header bytes.
+    * (A real codec would live behind `mapPartitions` like [[resize]] and
+    * [[byteEntropy]], where per-partition decoder setup amortises.) */
   def decodeMeta(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload_bytes", LongType, nullable = false),
-      StructField("payload_sha", StringType, nullable = false)) ++ metaSchema.fields)
-    val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val meta = stubDecode(payload)
-        digest.reset()
-        val sha = digest.digest(payload).map("%02x".format(_)).mkString
-        Row(id, payload.length.toLong, sha, meta.widthPx, meta.heightPx, meta.frames)
-      }
-    }
-    spark.createDataFrame(rows, outSchema)
+    def byteAt(pos: Int) = // unsigned byte value, 0 when past end-of-payload
+      coalesce(nullif(conv(hex(substring(col("payload"), pos, 1)), 16, 10), lit("")), lit("0"))
+        .cast("int")
+    df.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("payload_bytes"),
+      lower(sha2(col("payload"), 256)).as("payload_sha"),
+      (byteAt(1) + 16).as("width_px"),
+      (byteAt(2) + 16).as("height_px"),
+      (pmod(length(col("payload")), lit(8)) + 1).cast("int").as("frames"))
   }
 }

@@ -33,12 +33,14 @@ object TextAnalysis {
     "fr" -> Seq("ou", "le", "es", "que"),
     "zh" -> Seq("zh", "ng", "xi", "ao"))
 
-  /** Score one language: total occurrences of its marker n-grams. */
+  /** Score one language: total occurrences of its marker n-grams.
+    * Literal-substring arithmetic only (`replace`, not regex), summed
+    * left-to-right in doubles — any SQL engine reproduces it exactly, which
+    * is what lets the lang-guess query carry a hash-checked oracle. */
   private def langScore(text: Column, markers: Seq[String]): Column =
     markers.map { m =>
       // occurrences of marker m = (len(text) - len(remove(text, m))) / len(m)
-      ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(m), ""))) / m.length)
-        .cast("double")
+      (length(text) - length(replace(text, lit(m), lit("")))).cast("double") / m.length
     }.reduce(_ + _)
 
   /** Append a `lang_guess` column: argmax over marker-profile scores.

@@ -12,6 +12,14 @@ object GraftFunctions {
     GraftSqlShim.column(
       CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
+  /** `minhash_signature(tokens)` — see [[MinHashSignature]]. */
+  def minhashSignature(tokens: Column, nHashes: Int = 16): Column =
+    GraftSqlShim.column(MinHashSignature(GraftSqlShim.expression(tokens), nHashes))
+
+  /** `shingle_hashes(tokens)` — see [[ShingleHashes]]. */
+  def shingleHashes(tokens: Column): Column =
+    GraftSqlShim.column(ShingleHashes(GraftSqlShim.expression(tokens)))
+
   /** Register `cosine_sim` for SQL text use on an existing session (the
     * runtime-registration analogue of [[GraftExtensions]]). */
   def register(spark: SparkSession): Unit =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   *    a key), never from an all-pairs cross join;
   *  - document-frequency capping bounds the worst shingle bucket, the same
   *    way stopword-shingle dropping works in production dedup pipelines;
-  *  - similarity search broadcasts the (small) query set and does one pass
-  *    over the corpus; the LSH-bucketed variant trades recall for a
-  *    shuffle-free pre-filter.
+  *  - no per-document table is ever broadcast: per-doc set sizes ride along
+  *    the inverted-index rows (window count), so every join key is the
+  *    bounded shingle/bucket key and the driver never holds corpus-sized
+  *    state;
+  *  - similarity search broadcasts the (small) query set, scores in one
+  *    corpus pass, and merges through [[graft.functions.TopKAggregator]] —
+  *    map-side partial top-k, so the merge shuffle carries ≤ k rows per
+  *    (map task × query), never the scored corpus.
   */
 object Pipeline {
   import Tables.load
@@ -36,16 +41,15 @@ object Pipeline {
 
   // ---------------------------------------------------------------- E2
 
-  /** (doc_id, shingle) pairs: distinct word 3-grams per document. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingle-hash) inverted-index rows: distinct word 3-grams per
+    * document, hashed by the native [[graft.plans.ShingleHashes]] expression
+    * (bit-identical to `xxhash64(concat_ws(' ', ...))`, one primitive pass
+    * per doc). Docs under 3 tokens vanish through the empty-array explode. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= 3)
       .select(
         col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3))))"
-        )).as("sh"))
+        explode(graft.plans.GraftFunctions.shingleHashes(split(col("text"), " "))).as("shh"))
 
   /** E2: exact n-gram Jaccard near-dup pairs via an inverted shingle index.
     * Self-join on the shingle key (shuffle-based equi-join, never all-pairs)
@@ -54,54 +58,72 @@ object Pipeline {
     * Shingles occurring in more than [[MaxShingleDf]] documents are dropped
     * (stopword-shingles): they carry no near-dup signal and their buckets
     * grow O(df²) pair rows — the cap is what keeps the self-join linear in
-    * corpus size. The oracle applies the identical cap. */
+    * corpus size. The oracle applies the identical cap.
+    *
+    * Per-doc set sizes are attached to the index rows by a window count
+    * (shuffle key = doc_id, high cardinality), NOT by joining a broadcast
+    * per-document table — at corpus scale a per-doc broadcast is a driver
+    * OOM; here sizes just ride the pair aggregation as grouping columns. */
   val MaxShingleDf = 128
 
   def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
     // shuffle an 8-byte hash of each shingle, never the shingle text — at
     // 100 TB the inverted index is all shuffle traffic, and the 64-bit key
     // keeps it minimal (collision odds are negligible next to the DF cap)
-    val sh0 = shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    val rare = sh0.groupBy("shh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= MaxShingleDf).select("shh")
-    val sh = sh0.join(rare, "shh").cache()
-    // per-doc set sizes: tiny (one row per doc) — broadcast both joins
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shh"))
-    val common = a.join(b, Seq("shh")).where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+    val sh = shingleIndex(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shh")))
+      .where(col("df") <= MaxShingleDf)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "shh", "n")
+      .cache()
+    // aliased self-join: both sides are the SAME cached plan partitioned the
+    // same way, so the exchange is built once and reused
+    sh.as("x").join(sh.as("y"),
+        col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      // na/nb are functionally dependent on doc_a/doc_b — grouping by them
+      // adds no shuffle width and saves the post-agg size joins entirely
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** E2: MinHash + LSH banded candidate pairs. 16 hash functions in 4 bands
-    * of 4; candidates = docs sharing a band key. Deterministic (xxhash64),
-    * engine-specific hash family → no SQL oracle (rows-only check).
-    * Scale: the only join is on (band, band key) — bucket sizes are bounded
-    * by LSH collision probability, not corpus size. */
+  /** E2: MinHash + LSH banded candidate pairs. 16 hash permutations in 4
+    * bands of 4; candidates = docs sharing a band key.
+    *
+    * The whole signature is computed ROW-LOCALLY by the native codegen'd
+    * [[graft.plans.MinHashSignature]] expression (one primitive-loop pass
+    * per document) — no explode, no groupBy, zero exchange until the
+    * band-bucket equi-join. Engine-specific hash family → no SQL oracle
+    * (rows-only check).
+    * Scale: the only shuffle is the (band, key) self-join — bucket sizes are
+    * bounded by LSH collision probability, not corpus size. */
   def e2bMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 16
     val bandSize = 4
-    val sh = shingles(s, dir)
-    val sigCols = (0 until nHashes).map(p => min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.minhashSignature(col("tk"), nHashes).as("sigs"))
     val bandCols = (0 until nHashes / bandSize).map { band =>
-      val hs = (0 until bandSize).map(j => col(s"h${band * bandSize + j}"))
+      val hs = (0 until bandSize).map(j => element_at(col("sigs"), band * bandSize + j + 1))
       struct(lit(band).as("band"), hash(hs: _*).as("key")).as(s"b$band")
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    l.join(r, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // aliased self-join: identical plan on both sides → one exchange, reused
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -124,13 +146,56 @@ object Pipeline {
             |  0L, (a, x) -> a + x)""".stripMargin).as("simhash16"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------- E3 shared machinery
+
+  /** Scale-safe per-query top-k merge: typed [[graft.functions.TopKAggregator]]
+    * under `groupByKey(qid)` — map-side partial aggregation trims each task's
+    * contribution to k rows, so the merge exchange carries ≤ k × #tasks rows
+    * per query instead of the entire scored corpus. Output: one row per
+    * (qid, rank) with columns (qid, rk, vec_id, cos). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .select(col("qid").cast("long"), col("vec_id").cast("long"), col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col._1").as("vec_id"),
+        col("col._2").as("cos"))
+  }
+
+  /** Portable ±1 hyperplane weight for plane `p`, dimension `d` (SQL variable
+    * `d` in scope): parity of a quadratic integer mix. All products stay
+    * < 2⁶³ (v ≤ 576, v²·2654435761 < 9·10¹⁴), so it evaluates identically —
+    * and without ANSI overflow — in Spark and any SQL oracle engine. */
+  private def planeWeight(p: Int): String =
+    s"(CASE WHEN (1 + $p * 64 + d) * (1 + $p * 64 + d) * 2654435761 % 1000000007 % 2 = 1" +
+      " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+
+  /** Signed-random-projection bucket id over `dvec`: bit p = [dot(v, w_p) > 0]
+    * with the portable weights above. Row-local (zero shuffle); sums run
+    * left-to-right in doubles so any engine reproduces the exact bits. */
+  private def lshBucket(nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dot = expr(
+        s"""aggregate(
+           |  zip_with(dvec, sequence(0, size(dvec) - 1), (x, d) -> x * ${planeWeight(p)}),
+           |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+
   // ---------------------------------------------------------------- E3
 
   /** E3: brute-force top-k cosine similarity. The query set (5 vectors) is
     * broadcast; one scan over the corpus computes all query×corpus scores,
-    * then a per-query top-k window. At 100 TB the same shape holds: queries
-    * broadcast, corpus partition-local scoring, per-partition top-k before
-    * the final merge. */
+    * then the typed top-k aggregate merges (see [[topKPerQuery]]) — the same
+    * shape holds verbatim on a 1000-executor cluster. */
   def e3CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
       .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
@@ -143,11 +208,8 @@ object Pipeline {
       .withColumn("cos",
         expr("aggregate(zip_with(dvec, qvec, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
           (sqrt(col("norm2")) * sqrt(col("qn"))))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 10)
-      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+    topKPerQuery(scored, 10)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
       .orderBy("qid", "rk")
   }
 
@@ -162,70 +224,44 @@ object Pipeline {
     val scored = emb.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos", graft.plans.GraftFunctions.cosineSim(col("embedding"), col("qvec")))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 10)
-      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+    topKPerQuery(scored, 10)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
       .orderBy("qid", "rk")
   }
 
-  /** E3 (scale path): LSH-bucketed approximate NN. Random-hyperplane signs
-    * (derived from deterministic per-dimension hashes) bucket vectors; only
-    * same-bucket candidates are scored. Engine-specific → rows-only check. */
+  /** E3 (scale path): LSH-bucketed approximate NN. Signed random projections
+    * ([[lshBucket]], portable weights) bucket vectors; only same-bucket
+    * candidates are scored; the merge is the typed top-k aggregate. The
+    * bucketing is engine-portable, so the oracle reproduces it exactly. */
   def e3bLshAnn(s: SparkSession, dir: String): DataFrame = {
-    // 8 pseudo-random hyperplanes; sign bit h = Σ_d w(p,d)·x_d where
-    // w(p,d) ∈ {-1,+1} from xxhash64(p, d). Deterministic, data-independent.
-    val nPlanes = 8
     val emb = load(s, dir, "embeddings")
       .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
-    val planeBits = (0 until nPlanes).map { p =>
-      val dot = expr(
-        s"""aggregate(
-           |  zip_with(dvec, sequence(0, size(dvec) - 1),
-           |           (x, d) -> x * (CASE WHEN (xxhash64($p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)),
-           |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    val bucketed = emb.withColumn("bucket", planeBits.reduce(_ + _)).select("vec_id", "dvec", "bucket")
+    val bucketed = emb.withColumn("bucket", lshBucket(8)).select("vec_id", "dvec", "bucket")
     val queries = bucketed.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("dvec").as("qvec"), col("bucket"))
     val cands = bucketed.join(broadcast(queries), "bucket")
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos_num",
+      .withColumn("cos",
         expr("aggregate(zip_with(dvec, qvec, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos_num"), asc("vec_id"))
-    cands
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"))
+    topKPerQuery(cands, 5)
+      .select(col("qid"), col("rk"), col("vec_id"))
       .orderBy("qid", "rk")
   }
 
   /** E2: embedding-cosine near-duplicate pairs. Candidates come from the
-    * random-hyperplane LSH buckets (same family as [[e3bLshAnn]]) — only
-    * same-bucket pairs are scored, never all-pairs — then exact cosine
-    * filters at the threshold. Engine-specific bucketing → rows-only check. */
+    * signed-random-projection buckets (same family as [[e3bLshAnn]], coarse
+    * 2-plane variant) — only same-bucket pairs are scored, never all-pairs —
+    * then exact cosine filters at the threshold. Portable bucketing →
+    * oracle-checked. */
   def e2dEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 2 // coarse buckets: 4 cells — high recall at the 0.3 bar
-    val emb = load(s, dir, "embeddings")
+    val bucketed = load(s, dir, "embeddings")
       .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", sqrt(expr("aggregate(dvec, cast(0 as double), (a, x) -> a + x * x)")))
-    val planeBits = (0 until nPlanes).map { p =>
-      val dot = expr(
-        s"""aggregate(
-           |  zip_with(dvec, sequence(0, size(dvec) - 1),
-           |           (x, d) -> x * (CASE WHEN (xxhash64($p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)),
-           |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    val bucketed = emb.withColumn("bucket", planeBits.reduce(_ + _))
+      .withColumn("bucket", lshBucket(2)) // coarse: 4 cells — high recall at the 0.3 bar
       .select("vec_id", "embedding", "bucket")
-    val a = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
       // native codegen'd expression: the pair-scoring loop is the hot path
       .withColumn("cos", graft.plans.GraftFunctions.cosineSim(col("ea"), col("eb")))
       .where(col("cos") >= 0.3)
@@ -259,7 +295,12 @@ object Pipeline {
     * every vector is assigned to its nearest cell, queries probe their two
     * nearest cells, and only same-cell candidates are scored. The classic
     * IVF trade: scoring work drops to (cells probed / total cells) of the
-    * corpus, recall bounded by cell locality. Deterministic; rows-only. */
+    * corpus, recall bounded by cell locality.
+    *
+    * Centroid components are rounded to 6 dp before use so cell assignment
+    * is independent of float summation order (partial-agg merge order is
+    * not deterministic) — which also makes the whole query reproducible by
+    * the SQL oracle. The final merge is the typed top-k aggregate. */
   def e3eIvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.GraftFunctions.cosineSim
@@ -271,8 +312,11 @@ object Pipeline {
       .groupByKey(_._1)
       .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
       .toDF("cell", "centroid")
+      .withColumn("centroid", expr("transform(centroid, x -> round(x, 6))"))
 
-    // cell assignment: nearest centroid per vector (centroids broadcast)
+    // cell assignment: nearest centroid per vector (centroids broadcast);
+    // the argmax window partitions by vec_id — corpus-cardinality key, so
+    // it spreads over all reducers at any scale
     val simToCell = emb.crossJoin(broadcast(cents))
       .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
     val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
@@ -292,11 +336,8 @@ object Pipeline {
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineSim(col("embedding"), col("qvec")))
-    val byQuery = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    cands
-      .withColumn("rk", row_number().over(byQuery))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+    topKPerQuery(cands, 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
       .orderBy("qid", "rk")
   }
 
@@ -336,7 +377,8 @@ object Pipeline {
       .orderBy("doc_id")
 
   /** E4: codec-free feature extraction — byte-histogram Shannon entropy of
-    * each payload (rows-only: the per-bin float reduction is ours alone). */
+    * each payload. The fixed-order bin loop is deterministic, and the text
+    * payloads are ASCII, so the oracle reproduces it byte-for-byte. */
   def e4dByteEntropy(s: SparkSession, dir: String): DataFrame =
     graft.functions.Multimodal
       .byteEntropy(
@@ -386,13 +428,16 @@ object Pipeline {
 
   /** E5: corpus-frequency quality score — mean log corpus frequency of a
     * document's tokens (a cheap unigram-LM proxy: texts of rare tokens score
-    * low, formulaic texts high). Explode → join the global frequency table
-    * (broadcast; vocabulary-sized) → per-doc mean. */
+    * low, formulaic texts high). Explode → join the global frequency table →
+    * per-doc mean. No broadcast hint: a web-scale vocabulary is not
+    * broadcastable, and both sides are already hashed on the token key, so
+    * the optimizer picks broadcast at toy scale and shuffle at corpus scale
+    * from size stats — the right call at both ends. */
   def e5fDocQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-    toks.join(broadcast(freq), "token")
+    toks.join(freq, "token")
       .groupBy("doc_id")
       .agg(round(avg(log(col("tf").cast("double"))), 6).as("mean_log_tf"))
       .orderBy("doc_id")
@@ -407,8 +452,8 @@ object Pipeline {
       .orderBy("doc_id")
 
   /** E5: n-gram language-ID heuristic (graft.functions.TextAnalysis). The
-    * guess is a deterministic function of character-bigram profiles —
-    * engine-specific scoring → rows-only check. */
+    * marker-count scoring is literal-substring arithmetic, mirrored exactly
+    * by the SQL oracle. */
   def e5eLangGuess(s: SparkSession, dir: String): DataFrame =
     graft.functions.TextAnalysis
       .withLangGuess(load(s, dir, "documents"), col("text"))

@@ -16,6 +16,31 @@ object Registry {
 
   final case class Entry(fn: QueryFn, oracle: Option[String])
 
+  // ---- oracle SQL builders mirroring Pipeline's portable LSH bucketing ----
+
+  /** DuckDB mirror of `Pipeline.planeWeight`: same quadratic-parity ±1. */
+  private def planeWeightSql(p: Int): String =
+    s"(CASE WHEN (1 + $p * 64 + d) * (1 + $p * 64 + d) * 2654435761" +
+      " % 1000000007 % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+
+  /** Sequential left-to-right dot(dvec, w_p) — same summation order as
+    * Spark's `aggregate` over `zip_with`, so the sign bits agree exactly. */
+  private def planeDotSql(p: Int): String =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(0, 63), d -> dvec[d + 1] * ${planeWeightSql(p)})), (a, x) -> a + x)"
+
+  private def bucketSql(nPlanes: Int): String =
+    (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** DuckDB mirror of `TextAnalysis.langScore`: same markers, same order,
+    * same left-to-right double sum. */
+  private def langScoreSql(markers: Seq[String]): String =
+    markers
+      .map(m => s"CAST(length(text) - length(replace(text, '$m', '')) AS DOUBLE) / ${m.length}")
+      .mkString(" + ")
+
   val entries: Map[String, Entry] = Map(
     // ---- versioning layer end-to-end (Q2/Q3/Q26) ----
     "q02_scan_orc" -> Entry(
@@ -167,8 +192,8 @@ object Registry {
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
     "q13b_window_range" -> Entry(
       Relational.q13bWindowRange,
-      Some("""SELECT event_id, user_id,
-             |       round(sum(value) OVER (ORDER BY user_id
+      Some("""SELECT event_id, event_type, user_id,
+             |       round(sum(value) OVER (PARTITION BY event_type ORDER BY user_id
              |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
              |FROM events ORDER BY event_id""".stripMargin)),
     "q14_topk" -> Entry(
@@ -298,8 +323,47 @@ object Registry {
              |      FROM s)
              |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
              |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
-    "e3b_lsh_ann" -> Entry(Pipeline.e3bLshAnn, None),
-    "e3e_ivf_ann" -> Entry(Pipeline.e3eIvfAnn, None),
+    "e3b_lsh_ann" -> Entry(
+      Pipeline.e3bLshAnn,
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+              |           FROM embeddings),
+              |b AS (SELECT vec_id, dvec, ${bucketSql(8)} AS bucket FROM v),
+              |q AS (SELECT vec_id AS qid, dvec AS qvec, bucket FROM b WHERE vec_id < 5),
+              |c AS (SELECT qid, vec_id, list_inner_product(dvec, qvec) AS cos
+              |      FROM b JOIN q USING (bucket) WHERE vec_id <> qid),
+              |r AS (SELECT qid, vec_id,
+              |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |      FROM c)
+              |SELECT qid, rk, vec_id FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+    "e3e_ivf_ann" -> Entry(
+      Pipeline.e3eIvfAnn,
+      Some("""WITH cents0 AS (SELECT label AS cell, d,
+             |                       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS cv
+             |                FROM embeddings, generate_series(1, 64) g(d) GROUP BY label, d),
+             |cents AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM cents0 GROUP BY cell),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+             |      FROM embeddings),
+             |sims AS (SELECT vec_id, dvec, cell,
+             |                list_inner_product(dvec, centroid)
+             |                  / (sqrt(list_inner_product(dvec, dvec))
+             |                     * sqrt(list_inner_product(centroid, centroid))) AS sim
+             |         FROM v, cents),
+             |ranked AS (SELECT vec_id, dvec, cell,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+             |           FROM sims),
+             |assigned AS (SELECT vec_id, dvec, cell FROM ranked WHERE rk = 1),
+             |probes AS (SELECT vec_id AS qid, dvec AS qvec, cell
+             |           FROM ranked WHERE vec_id < 5 AND rk <= 2),
+             |cand AS (SELECT qid, vec_id,
+             |                list_inner_product(dvec, qvec)
+             |                  / (sqrt(list_inner_product(dvec, dvec))
+             |                     * sqrt(list_inner_product(qvec, qvec))) AS cos
+             |         FROM assigned JOIN probes USING (cell) WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+             |      FROM cand)
+             |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
+             |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
     "e3d_label_centroids" -> Entry(
       Pipeline.e3dLabelCentroids,
       Some("""SELECT label,
@@ -335,7 +399,18 @@ object Registry {
              |       CAST(ascii(substr(text, 2, 1)) + 16 AS INTEGER) AS height_px,
              |       CAST(octet_length(encode(text)) % 8 + 1 AS INTEGER) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
-    "e2d_embedding_neardup" -> Entry(Pipeline.e2dEmbeddingNearDup, None),
+    "e2d_embedding_neardup" -> Entry(
+      Pipeline.e2dEmbeddingNearDup,
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+              |           FROM embeddings),
+              |b AS (SELECT vec_id, dvec, ${bucketSql(2)} AS bucket FROM v),
+              |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+              |             list_inner_product(a.dvec, c.dvec)
+              |               / (sqrt(list_inner_product(a.dvec, a.dvec))
+              |                  * sqrt(list_inner_product(c.dvec, c.dvec))) AS cos
+              |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+              |SELECT vec_a, vec_b, round(cos, 5) AS cos_sim
+              |FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
     "e4b_frame_sample" -> Entry(
       Pipeline.e4bFrameSample,
       Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
@@ -353,7 +428,17 @@ object Registry {
              |SELECT doc_id,
              |       GREATEST(1, CAST(trunc(len * sc * sc) AS BIGINT)) AS resized_bytes
              |FROM t ORDER BY doc_id""".stripMargin)),
-    "e4d_byte_entropy" -> Entry(Pipeline.e4dByteEntropy, None),
+    "e4d_byte_entropy" -> Entry(
+      Pipeline.e4dByteEntropy,
+      // text payloads are ASCII, so per-char codepoints ARE the payload
+      // bytes; both sides round to 6 dp, far above float-order noise
+      Some("""WITH ch AS (SELECT doc_id, ascii(substr(text, i, 1)) AS b
+             |            FROM documents, generate_series(1, 700) g(i) WHERE i <= length(text)),
+             |h AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY doc_id, b),
+             |t AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM h GROUP BY doc_id)
+             |SELECT h.doc_id, round(-sum((c / n) * log2(c / n)), 6) AS entropy_bits
+             |FROM h JOIN t ON h.doc_id = t.doc_id
+             |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin)),
     "e5_token_stats" -> Entry(
       Pipeline.e5TokenStats,
       Some("""SELECT doc_id, n_chars,
@@ -379,7 +464,25 @@ object Registry {
       Pipeline.e5dRegexTokens,
       Some("""SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
-    "e5e_lang_guess" -> Entry(Pipeline.e5eLangGuess, None),
+    "e5e_lang_guess" -> Entry(
+      Pipeline.e5eLangGuess,
+      // argmax(score, lang) with ties to the alphabetically-last lang —
+      // mirrored by checking candidates in reverse-alphabetical order
+      Some(s"""WITH s AS (SELECT doc_id,
+              |  ${langScoreSql(Seq("ch", "ei", "en", "sch"))} AS sde,
+              |  ${langScoreSql(Seq("th", "he", "in", "er"))} AS sen,
+              |  ${langScoreSql(Seq("ll", "os", "as", "ión"))} AS ses,
+              |  ${langScoreSql(Seq("ou", "le", "es", "que"))} AS sfr,
+              |  ${langScoreSql(Seq("zh", "ng", "xi", "ao"))} AS szh
+              |  FROM documents),
+              |g AS (SELECT CASE
+              |  WHEN szh >= sde AND szh >= sen AND szh >= ses AND szh >= sfr THEN 'zh'
+              |  WHEN sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+              |  WHEN ses >= sde AND ses >= sen THEN 'es'
+              |  WHEN sen >= sde THEN 'en'
+              |  ELSE 'de' END AS lang_guess FROM s)
+              |SELECT lang_guess, count(*) AS n_docs
+              |FROM g GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)),
     "e5f_doc_quality" -> Entry(
       Pipeline.e5fDocQuality,
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -205,12 +205,14 @@ object Relational {
         col("running_qty"), col("prev_qty"), col("next_qty"), col("first_qty"))
   }
 
-  /** Q13 (RANGE frame): value-range window over a numeric ordering key. */
+  /** Q13 (RANGE frame): value-range window over a numeric ordering key,
+    * partitioned by event_type so the plan spreads across reducers — an
+    * unpartitioned RANGE window is a single-reducer funnel at any scale. */
   def q13bWindowRange(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("user_id").rangeBetween(-100, 0)
+    val w = Window.partitionBy("event_type").orderBy("user_id").rangeBetween(-100, 0)
     load(s, dir, "events")
       .select(
-        col("event_id"), col("user_id"),
+        col("event_id"), col("event_type"), col("user_id"),
         round(sum("value").over(w), 2).as("range_sum"))
       .orderBy("event_id")
   }

@@ -17,7 +17,10 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
     // nanos are read back as LONG; `tsTimestamp` rebuilds a timestamp col.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // One-way idempotent init (never toggled back), so concurrent loads
+    // can't race a save/restore window or leak a transient state.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
     spark.read.parquet(s"$sfDir/$table.parquet")
   }
 

@@ -63,4 +63,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     val p = plan("q09_agg_tpch1")
     p should include("AdaptiveSparkPlan")
   }
+
+  private def analyzed(name: String): String =
+    Registry.entries(name).fn(spark, sf).queryExecution.analyzed.toString
+
+  test("e2/e5f: no per-document or vocabulary table is hint-broadcast") {
+    // per-doc sizes ride the index rows (window count) and the token
+    // frequency join is left to cost-based planning — a forced broadcast of
+    // either is a driver OOM at corpus scale
+    analyzed("e2_jaccard_neardup").toLowerCase should not include "broadcast"
+    analyzed("e5f_doc_quality").toLowerCase should not include "broadcast"
+  }
+
+  test("e3/e3c/e3b/e3e: top-k merge is the typed partial aggregate, not a window") {
+    // map-side partial top-k bounds the merge exchange to k rows per
+    // (task × query); a per-qid window would funnel the scored corpus
+    // through #queries reducers
+    for (q <- Seq("e3_cosine_topk", "e3c_cosine_native", "e3b_lsh_ann")) {
+      val p = plan(q)
+      p should include("ObjectHashAggregate")
+      p should not include "Window"
+    }
+    // e3e keeps windows for cell assignment (vec_id-partitioned — corpus
+    // cardinality), but its final merge must still be the typed aggregate
+    plan("e3e_ivf_ann") should include("ObjectHashAggregate")
+  }
+
+  test("e2b: minhash signatures are computed row-locally by the native expression") {
+    val p = plan("e2b_minhash_lsh")
+    p should include("minhash_signature")
+    // no groupBy/window signature build — the only exchanges belong to the
+    // band self-join and final ordering
+    p should not include "Window"
+  }
+
+  test("q13b: the RANGE window is partitioned — no single-reducer funnel") {
+    plan("q13b_window_range") should not include "SinglePartition"
+  }
 }
