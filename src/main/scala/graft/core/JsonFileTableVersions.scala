@@ -20,17 +20,23 @@ import TableVersions._
  * — "Does not persist state") and relies on the metastore as durable truth;
  * this impl adds the durability the reference lacks (SURVEY.md §7.2 step 2).
  *
- * Crash safety: every mutation rewrites the file via temp-file +
- * ATOMIC_MOVE rename, so readers never observe a torn log.
+ * Crash safety: every mutation is a single fsync'd APPEND of whole lines —
+ * O(commit) bytes, not O(history) (a rewrite-per-commit log pays
+ * O(history²) bytes over a table's life). A crash mid-append can leave at
+ * most one torn final line, which replay detects and ignores; every
+ * complete line is durable.
  *
  * Concurrency: mutations take a per-table create-exclusive lock file
  * (optimistic, bounded retries) so concurrent writers — threads or
- * processes — serialize their read-modify-rename cycles instead of losing
- * updates. Readers never lock; the atomic rename keeps them consistent. A
- * crashed writer's stale lock is broken after [[JsonFileTableVersions.LockTimeoutMs]].
+ * processes — serialize their read-append cycles instead of losing
+ * updates. Readers never lock; whole-line appends plus torn-tail-tolerant
+ * replay keep them consistent. A crashed writer's stale lock is broken
+ * after [[JsonFileTableVersions.LockTimeoutMs]], with a token re-check
+ * across a grace delay so a released-and-reacquired lock is never the one
+ * broken.
  */
 final class JsonFileTableVersions(logDir: Path) extends TableVersions {
-  import JsonFileTableVersions.{LockRetryMs, LockTimeoutMs}
+  import JsonFileTableVersions.{LockBreakRecheckMs, LockRetryMs, LockTimeoutMs}
 
   Files.createDirectories(logDir)
   private val mapper = new ObjectMapper()
@@ -89,7 +95,11 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
 
   // -------------------------------------------------------------- replay
 
-  /** Replay the file into (updates, pointer). Missing file → None. */
+  /** Replay the file into (updates, pointer). Missing file → None.
+    *
+    * A malformed FINAL line is tolerated as the torn tail of a crashed
+    * append (everything before it is intact by construction); a malformed
+    * line anywhere else is real corruption and still throws. */
   private def loadState(table: TableName): Option[TableState] = {
     val f = fileFor(table)
     if (!Files.exists(f)) None
@@ -97,9 +107,19 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8)
       var updates = List.empty[TableUpdate]
       var pointer: Option[CommitId] = None
-      lines.forEach { line =>
-        if (line.nonEmpty) {
-          val node = mapper.readTree(line).asInstanceOf[ObjectNode]
+      val nonEmpty = new java.util.ArrayList[String]()
+      lines.forEach(l => if (l.nonEmpty) nonEmpty.add(l))
+      var idx = 0
+      nonEmpty.forEach { line =>
+        idx += 1
+        val parsed =
+          try Some(mapper.readTree(line).asInstanceOf[ObjectNode])
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              if (idx == nonEmpty.size) None // torn tail of a crashed append
+              else throw e
+          }
+        parsed.foreach { node =>
           node.get("record").asText() match {
             case "commit" =>
               val meta = TableUpdateMetadata(
@@ -122,14 +142,55 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     }
   }
 
+  /** True append: O(lines) bytes per commit, fsync'd before returning. If
+    * the previous writer crashed mid-append, first truncate its torn tail so
+    * our lines start on a clean boundary. */
   private def appendLines(table: TableName, lines: Seq[String]): Unit = {
     val f = fileFor(table)
-    val existing =
-      if (Files.exists(f)) Files.readString(f, StandardCharsets.UTF_8) else ""
-    val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".tmp")
-    Files.writeString(tmp, existing + lines.mkString("", "\n", "\n"))
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    truncateTornTail(f)
+    val bytes = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    val ch = java.nio.channels.FileChannel.open(
+      f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.APPEND)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(bytes))
+      ch.force(true)
+    } finally ch.close()
   }
+
+  /** If the file doesn't end in '\n' a previous append was cut short —
+    * drop the partial line (runs under the table lock). */
+  private def truncateTornTail(f: Path): Unit =
+    if (Files.exists(f) && Files.size(f) > 0) {
+      val ch = java.nio.channels.FileChannel.open(
+        f, java.nio.file.StandardOpenOption.READ, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val size = ch.size()
+        val one = java.nio.ByteBuffer.allocate(1)
+        ch.read(one, size - 1)
+        if (one.get(0) != '\n') {
+          // scan back to the last newline (or start of file)
+          var pos = size - 1
+          var found = -1L
+          val buf = java.nio.ByteBuffer.allocate(8192)
+          while (found < 0 && pos > 0) {
+            val from = math.max(0L, pos - buf.capacity)
+            buf.clear(); buf.limit((pos - from).toInt)
+            ch.read(buf, from)
+            var i = buf.limit() - 1
+            while (i >= 0 && found < 0) {
+              if (buf.get(i) == '\n') found = from + i
+              i -= 1
+            }
+            pos = from
+          }
+          ch.truncate(found + 1)
+          ch.force(true)
+        }
+      } finally ch.close()
+    }
 
   /** Serialize a read-modify-rename cycle under a create-exclusive lock
     * file carrying a unique owner token.
@@ -160,13 +221,25 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
               age > LockTimeoutMs
             } catch { case _: java.io.IOException => false } // lock vanished — retry
           if (stale) {
-            // atomic break: only the waiter whose rename succeeds removes
-            // the corpse; a lost race means someone else broke or holds it
-            val corpse = logDir.resolve(s"${lock.getFileName}.broken.${java.util.UUID.randomUUID()}")
-            try {
-              Files.move(lock, corpse, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(corpse)
-            } catch { case _: java.io.IOException => () }
+            // before breaking, confirm the SAME holder is still stuck: read
+            // the token, wait a grace beat, re-read. A lock that was
+            // released and re-acquired in between carries a new token and
+            // is never broken. Then the break itself is atomic: only the
+            // waiter whose rename succeeds removes the corpse; a lost race
+            // means someone else broke or holds it.
+            val tokenOf: () => Option[String] = () =>
+              try Some(new String(Files.readAllBytes(lock), StandardCharsets.UTF_8))
+              catch { case _: java.io.IOException => None }
+            val before = tokenOf()
+            Thread.sleep(LockBreakRecheckMs)
+            val after = tokenOf()
+            if (before.isDefined && before == after) {
+              val corpse = logDir.resolve(s"${lock.getFileName}.broken.${java.util.UUID.randomUUID()}")
+              try {
+                Files.move(lock, corpse, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(corpse)
+              } catch { case _: java.io.IOException => () }
+            }
           } else Thread.sleep(LockRetryMs)
       }
     }
@@ -202,7 +275,12 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     withTableLock(table) {
       if (loadState(table).isEmpty) {
         val state = newTableState
-        appendLines(table, state.updates.map(commitLine))
+        // init creates the file: temp + ATOMIC_MOVE so the multi-line
+        // initial state appears all-or-nothing (appends are single-line)
+        val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".tmp")
+        Files.writeString(tmp, state.updates.map(commitLine).mkString("", "\n", "\n"))
+        Files.move(tmp, fileFor(table),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
     }
 }
@@ -210,6 +288,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
 object JsonFileTableVersions {
   private[core] val LockTimeoutMs = 30000L
   private[core] val LockRetryMs = 5L
+  private[core] val LockBreakRecheckMs = 50L
 
   def apply(logDir: String): JsonFileTableVersions =
     new JsonFileTableVersions(Paths.get(logDir))

@@ -92,20 +92,36 @@ object PartitionSchema {
   val snapshot: PartitionSchema = PartitionSchema(Nil)
 }
 
-/** Fully qualified table name `schema.name`. Reference `model.scala:89-91`. */
+/** Fully qualified table name `schema.name`. Reference `model.scala:89-91`.
+ *
+ * Both parts must be plain identifiers (`[A-Za-z0-9_]+`): the name is
+ * embedded verbatim in commit-log file paths and DDL text, so characters
+ * like '/', '..' or '`' would escape the log directory or malform
+ * statements — and distinct names like `a.b_c` vs `a_b.c` must never
+ * collide onto one log file. */
 final case class TableName(schema: String, name: String) {
+  require(TableName.isIdentifier(schema), s"invalid schema identifier: '$schema'")
+  require(TableName.isIdentifier(name), s"invalid table identifier: '$name'")
   def fullyQualifiedName: String = s"$schema.$name"
 }
 
 object TableName {
-  /** Parse `schema.name`; splits on the FIRST dot so table names containing
-   * further dots survive. Consistent Either-style errors with
+  private val Identifier = "[A-Za-z0-9_]+"
+
+  def isIdentifier(s: String): Boolean = s.matches(Identifier)
+
+  /** Parse `schema.name`. Consistent Either-style errors with
    * `Version.parse` / `Partition.parse`. */
   def fromFullyQualified(s: String): Either[String, TableName] = {
     val dot = s.indexOf('.')
     if (dot <= 0 || dot == s.length - 1)
       Left(s"not a schema.name table name: '$s'")
-    else Right(TableName(s.substring(0, dot), s.substring(dot + 1)))
+    else {
+      val (schema, name) = (s.substring(0, dot), s.substring(dot + 1))
+      if (!isIdentifier(schema) || !isIdentifier(name))
+        Left(s"table name parts must match [A-Za-z0-9_]+: '$s'")
+      else Right(TableName(schema, name))
+    }
   }
 }
 

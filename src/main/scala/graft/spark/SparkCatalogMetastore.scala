@@ -43,7 +43,7 @@ final class SparkCatalogMetastore(spark: SparkSession) extends Metastore {
   }
 
   override def update(table: TableName, changes: TableChanges): Unit = {
-    val fqn = s"${table.schema}.${table.name}"
+    val fqn = s"${quoteIdent(table.schema)}.${quoteIdent(table.name)}"
     val baseLocation = tableBaseLocation(table)
     changes.operations.foreach {
       case TableOperation.AddPartition(p, v) =>
@@ -67,8 +67,19 @@ final class SparkCatalogMetastore(spark: SparkSession) extends Metastore {
     VersionPaths.versionedToBasePath(
       spark.sessionState.catalog.getTableMetadata(ident(table)).location)
 
+  /** Backtick-quoted identifier (covers reserved words and, for partition
+    * columns — which aren't constrained like [[TableName]] — any char). */
+  private def quoteIdent(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+
+  /** Spark SQL string literal: single-quoted strings process BACKSLASH
+    * escapes too, so a value ending in '\' would swallow the closing quote
+    * if only quotes were doubled — escape both. */
+  private def sqlLiteral(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   private def partitionSpec(p: Partition): String =
     p.columnValues
-      .map(cv => s"${cv.column.name}='${cv.value.replace("'", "''")}'")
+      .map(cv => s"${quoteIdent(cv.column.name)}=${sqlLiteral(cv.value)}")
       .mkString(", ")
 }

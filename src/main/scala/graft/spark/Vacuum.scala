@@ -15,8 +15,17 @@ import graft.core._
  * most recent `keepLast` commits are kept (so `checkout` to any of them
  * still works); everything older is deleted. Runs driver-side with
  * O(#versions) metadata ops — no Spark job needed.
+ *
+ * Concurrent-writer safety: a `versionedInsertInto` in flight has written
+ * (or is renaming) its version directories BEFORE its commit lands in the
+ * log, so those dirs look unreferenced. Version dirs modified within
+ * `graceMs` (Delta-style retention grace, default 10 min) are therefore
+ * never deleted — only pass `graceMs = 0` when no writer can be running.
  */
 object Vacuum {
+
+  /** Default deletion grace for young version dirs (ms). */
+  val DefaultGraceMs: Long = 10 * 60 * 1000L
 
   final case class Report(examined: Int, deleted: List[String])
 
@@ -24,7 +33,8 @@ object Vacuum {
       table: TableDefinition,
       log: TableVersions,
       hadoopConf: Configuration,
-      keepLast: Int = 3): Report = {
+      keepLast: Int = 3,
+      graceMs: Long = DefaultGraceMs): Report = {
 
     val commits = log.updates(table.name).take(math.max(keepLast, 1))
     val states = log.currentVersion(table.name) ::
@@ -43,19 +53,24 @@ object Vacuum {
     val fs = FileSystem.get(table.location, hadoopConf)
     val root = new HPath(table.location.toString.stripSuffix("/"))
 
-    def versionDirsUnder(dir: HPath, prefix: String): List[String] =
+    val cutoff = System.currentTimeMillis() - math.max(graceMs, 0L)
+
+    // (relative dir, old enough to delete)
+    def versionDirsUnder(dir: HPath, prefix: String): List[(String, Boolean)] =
       if (!fs.exists(dir)) Nil
       else
         fs.listStatus(dir).toList.filter(_.isDirectory).flatMap { st =>
           val name = st.getPath.getName
           val rel = if (prefix.isEmpty) name else s"$prefix/$name"
-          if (Version.parse(name).isRight) List(rel)
+          if (Version.parse(name).isRight) List(rel -> (st.getModificationTime < cutoff))
           else if (name.contains("=")) versionDirsUnder(st.getPath, rel)
           else Nil // _staging remnants etc. are not version dirs
         }
 
     val onDisk = versionDirsUnder(root, "")
-    val doomed = onDisk.filterNot(referenced.contains)
+    val doomed = onDisk.collect {
+      case (rel, oldEnough) if oldEnough && !referenced.contains(rel) => rel
+    }
     doomed.foreach(rel => fs.delete(new HPath(root, rel), true))
     Report(examined = onDisk.size, deleted = doomed.sorted)
   }

@@ -37,13 +37,19 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // Schema resolution happens eagerly inside load(), so the conf only
     // needs to hold for this call — restore it after, leaving the session's
     // behavior for unrelated reads untouched.
+    // The toggle+restore runs under the session lock: two concurrent
+    // versioned reads otherwise race the save/restore window and can leak
+    // the disabled setting to unrelated queries on the same session (no
+    // per-read DataFrameReader option exists for partition inference).
     val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val previous = spark.conf.getOption(inferenceKey)
-    spark.conf.set(inferenceKey, "false")
-    try doMaterialize(table, tv)
-    finally previous match {
-      case Some(v) => spark.conf.set(inferenceKey, v)
-      case None    => spark.conf.unset(inferenceKey)
+    spark.synchronized {
+      val previous = spark.conf.getOption(inferenceKey)
+      spark.conf.set(inferenceKey, "false")
+      try doMaterialize(table, tv)
+      finally previous match {
+        case Some(v) => spark.conf.set(inferenceKey, v)
+        case None    => spark.conf.unset(inferenceKey)
+      }
     }
   }
 

@@ -57,12 +57,19 @@ class ModelSpec extends AnyFunSuite with Matchers {
       "file:/warehouse/db/t/date=2024-01-31/"
   }
 
-  test("TableName round-trips through fromFullyQualified, first-dot split") {
+  test("TableName round-trips through fromFullyQualified; identifiers only") {
     TableName.fromFullyQualified("db.t") shouldBe Right(TableName("db", "t"))
-    TableName.fromFullyQualified("db.t.v1") shouldBe Right(TableName("db", "t.v1"))
+    TableName.fromFullyQualified("Sch_1.T_2") shouldBe Right(TableName("Sch_1", "T_2"))
     TableName.fromFullyQualified("nodot").isLeft shouldBe true
     TableName.fromFullyQualified(".t").isLeft shouldBe true
     TableName.fromFullyQualified("db.").isLeft shouldBe true
+    // names are embedded in log-file paths and DDL: anything that could
+    // escape the log dir or collide distinct tables onto one file is out
+    TableName.fromFullyQualified("db.t.v1").isLeft shouldBe true
+    TableName.fromFullyQualified("db.a/b").isLeft shouldBe true
+    TableName.fromFullyQualified("../x.t").isLeft shouldBe true
+    an[IllegalArgumentException] should be thrownBy TableName("db", "a/b")
+    an[IllegalArgumentException] should be thrownBy TableName("d.b", "t")
   }
 
   test("snapshot tables are exactly those with the empty partition schema") {

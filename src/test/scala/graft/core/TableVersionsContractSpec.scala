@@ -263,4 +263,49 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
       Map(Partition(PartitionColumn("d"), "1") -> ver))
     reopened.updates(tbl).head.id shouldBe u.metadata.id
   }
+
+  test("JsonFileTableVersions: commits append, and a torn tail is tolerated then repaired") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_torn")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "torn")
+    log.init(tbl, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    val v1 = Version(Instant.now(), UUID.randomUUID())
+    log.commit(tbl, TableUpdate(UserId("u"), UpdateMessage("v1"), Instant.now(),
+      List(TableOperation.AddTableVersion(v1))))
+
+    val file = dir.resolve("db.torn.jsonl")
+    val intact = java.nio.file.Files.readString(file)
+    intact.count(_ == '\n') shouldBe 2 // init + commit, one line each
+
+    // simulate a writer crashing mid-append: a partial JSON line, no newline
+    java.nio.file.Files.writeString(file, intact + """{"record":"commit","id":"trunc""")
+
+    // replay ignores the torn tail — state is exactly the pre-crash state
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
+    reopened.updates(tbl) should have size 2
+
+    // the next commit truncates the torn tail before appending
+    val v2 = Version(Instant.now(), UUID.randomUUID())
+    reopened.commit(tbl, TableUpdate(UserId("u"), UpdateMessage("v2"), Instant.now(),
+      List(TableOperation.AddTableVersion(v2))))
+    reopened.currentVersion(tbl) shouldBe SnapshotTableVersion(v2)
+    reopened.updates(tbl) should have size 3
+    val repaired = java.nio.file.Files.readString(file)
+    repaired should not include "trunc"
+    repaired.endsWith("\n") shouldBe true
+    // and the repaired file is a strict extension of the intact prefix
+    repaired.startsWith(intact) shouldBe true
+  }
+
+  test("JsonFileTableVersions: a mid-file corrupt line still fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_corrupt")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "corrupt")
+    log.init(tbl, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    val file = dir.resolve("db.corrupt.jsonl")
+    val intact = java.nio.file.Files.readString(file)
+    java.nio.file.Files.writeString(file, "not json at all\n" + intact)
+    an[Exception] should be thrownBy new JsonFileTableVersions(dir).currentVersion(tbl)
+  }
 }

@@ -30,7 +30,7 @@ class VacuumSpec extends AnyFunSuite with Matchers {
     }
     Files.list(Paths.get(table.location)).count() shouldBe 4
 
-    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 2)
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0)
     report.examined shouldBe 4
     report.deleted should have size 2 // v1, v2 dropped; v3, v4 retained
 
@@ -60,12 +60,35 @@ class VacuumSpec extends AnyFunSuite with Matchers {
     // keepLast=1: retained state = {01-01@v1, 01-02@v3}. The superseded
     // 01-02 dirs from v1 and v2 go; 01-01@v1 survives because the current
     // state still references it even though its commit is old
-    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1)
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1, graceMs = 0)
     report.examined shouldBe 4
     report.deleted should have size 2
 
     VersionedReader(spark, log).read(table)
       .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
+
+  test("default retention grace protects young dirs from a racing writer's vacuum") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_grace"),
+      Files.createTempDirectory("graft_vac_grace").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1 to 3).foreach { i =>
+      Seq(User(i.toLong, s"v$i")).toDS()
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v$i"))
+    }
+    // just-written dirs are younger than the default grace: nothing deleted,
+    // exactly the protection an in-flight (not-yet-committed) writer needs
+    val graced = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1)
+    graced.examined shouldBe 3
+    graced.deleted shouldBe empty
+    // with the grace waived, the superseded versions go
+    val waived = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(),
+      keepLast = 1, graceMs = 0)
+    waived.deleted should have size 2
   }
 }
 
@@ -88,7 +111,7 @@ class VacuumEscapingSpec extends AnyFunSuite with Matchers {
     Seq(Event(1, "a", "2024 01:01")).toDS()
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
 
-    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1)
+    val report = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(), keepLast = 1, graceMs = 0)
     report.examined shouldBe 1
     report.deleted shouldBe empty // the escaped live dir must be recognized
 
