@@ -491,6 +491,17 @@ object Registry {
              |SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE))), 6) AS mean_log_tf
              |FROM toks JOIN freq USING (token)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // ---- streaming surface (EXT) ----
+    "s01_stream_tumbling" -> Entry(
+      StreamingQueries.s01StreamTumblingCounts,
+      // tumbling 1h windows are epoch-aligned: window(t, '1 hour') ≡
+      // [date_trunc('hour', ts), +1h)
+      Some("""SELECT date_trunc('hour', ts) AS w_start,
+             |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+             |       event_type, count(*) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible Structured Streaming surrogate (SURVEY.md §2.3 Streaming):
+  * a REAL `readStream` file source over the events table, processed with
+  * `Trigger.AvailableNow` through the shared [[graft.streaming.Streams]]
+  * transforms into a memory sink, then returned as a bounded DataFrame the
+  * correctness harness can hash against a SQL oracle.
+  *
+  * The batch/stream unification is the point: `tumblingCounts` is the same
+  * `DataFrame => DataFrame` whether its input is a stream or a table, so the
+  * oracle checks the streaming path end-to-end (source → watermarked window
+  * agg → sink). At scale the memory sink is replaced by
+  * [[graft.streaming.Streams.versionedSink]] — the query shape is identical.
+  */
+object StreamingQueries {
+
+  /** S1: tumbling 1-hour event counts computed BY THE STREAMING ENGINE
+    * (micro-batch execution, complete output) over the events parquet. */
+  def s01StreamTumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    // static load first: resolves the schema a file stream must declare and
+    // pins the nanos-as-long parquet conf the stream read needs too
+    val schema = Tables.load(s, dir, "events").schema
+    val sinkName = s"graft_s01_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // stream the events file only
+      .parquet(dir)
+      .withColumn("t", Tables.tsTimestamp("ts"))
+    val query = graft.streaming.Streams
+      .tumblingCounts(stream, tsCol = "t", width = "1 hour", watermark = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    query.stop()
+    s.table(sinkName)
+      .select(
+        col("w_start"), col("w_end"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+}
