@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time ("as-of") join — the temporal join a training-data pipeline
+ * uses to attach the most recent feature/label observation at or before each
+ * event's timestamp (market-data "last quote at trade time" is the classic).
+ *
+ * Spark has no native as-of join; the scalable formulation is NOT a range
+ * join (whose candidate set is a per-key cross product) but union + keyed
+ * window: tag both sides, sort each key's timeline once, and carry the last
+ * non-null right value forward. Cost: ONE shuffle on the key — identical to
+ * any keyed aggregation, so it scales like groupBy, not like a theta join.
+ *
+ * Semantics: for each left row, the right row with the greatest
+ * `rightTime <= leftTime` and the same key (inclusive, like SQL ASOF JOIN);
+ * left rows with no preceding right row get null. The right side must be
+ * unique per (key, time) — pre-aggregate if it isn't, or the carried value
+ * is undefined.
+ */
+object AsOfJoin {
+
+  /** @param valueCol right-side column to carry; appears on the output as
+    *                 `asCol`. All left columns are preserved. */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      valueCol: String,
+      asCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__src", lit(1))
+    val r = right.select(
+      col(key),
+      col(rightTime).as("__t"),
+      lit(0).as("__src"),
+      col(valueCol).as("__v"))
+    // right rows sort before left rows at equal time (__src 0 < 1), making
+    // the join boundary inclusive; among left rows the carried value is
+    // order-independent (their __v is null)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asCol, last("__v", ignoreNulls = true).over(w))
+      .where(col("__src") === 1)
+      .select(leftCols.map(col) :+ col(asCol): _*)
+  }
+}

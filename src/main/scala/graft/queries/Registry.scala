@@ -279,6 +279,15 @@ object Registry {
              |       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg2,
              |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal_sum
              |FROM customer GROUP BY 1, 2 ORDER BY bucket, seg2""".stripMargin)),
+    "q27_asof_join" -> Entry(
+      Relational.q27AsOfJoin,
+      // DuckDB's native ASOF JOIN is the oracle for the union+window impl
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, max(value) AS view_value FROM events
+             |      WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT l.event_id, l.user_id, round(r.view_value, 4) AS asof_view_value
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+             |ORDER BY l.event_id""".stripMargin)),
     "q24_subquery" -> Entry(Relational.q24Subquery, Some(Relational.q24Sql)),
     "q25_sql_text" -> Entry(Relational.q25SqlText, Some(Relational.q25Sql)),
 

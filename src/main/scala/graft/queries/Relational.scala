@@ -238,6 +238,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q27 (beyond the reference's inventory): as-of join — each click event
+    * picks up the user's most recent view value at or before its timestamp
+    * ([[graft.functions.AsOfJoin]]: union + keyed window, one shuffle).
+    * Nanos-long timestamps compare directly. */
+  def q27AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    // as-of requires a unique right side per (key, time)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+    graft.functions.AsOfJoin
+      .asOf(clicks, views, key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCol = "view_value", asCol = "asof_view_value")
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("asof_view_value"), 4).as("asof_view_value"))
+      .orderBy("event_id")
+  }
+
   /** Q14: global top-k — TakeOrderedAndProject, no full sort materialised. */
   def q14TopK(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")

@@ -89,4 +89,29 @@ class SparkCatalogMetastoreSpec extends AnyFunSuite with Matchers {
       .select("id", "kind", "date").as[(Long, String, String)].collect().sortBy(_._1) shouldBe
       Array((1L, "click", "2024-01-01"), (2L, "view", "2024-01-02"))
   }
+
+  test("partition values with quotes and trailing backslashes survive DDL escaping") {
+    val loc = Files.createTempDirectory("graft_cat_esc").toUri
+    spark.sql(
+      s"""CREATE TABLE graftdb.esc_cat (id BIGINT, kind STRING, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    val table = TableDefinition(
+      TableName("graftdb", "esc_cat"), loc,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+
+    val log = new InMemoryTableVersions
+    val metastore = new SparkCatalogMetastore(spark)
+    val ctx = VersionContext(VersionedMetastore(log, metastore))
+    ctx.init(table, user, UpdateMessage("init"))
+
+    // a value ending in '\' swallows the closing quote if only quotes are
+    // escaped; one with a quote malforms the literal if backslashes aren't
+    Seq(Event(1, "a", """x\"""), Event(2, "b", "it's")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    spark.table("graftdb.esc_cat")
+      .select("id", "date").as[(Long, String)].collect().sortBy(_._1) shouldBe
+      Array((1L, """x\"""), (2L, "it's"))
+    metastore.currentVersion(table.name) shouldBe log.currentVersion(table.name)
+  }
 }
