@@ -21,9 +21,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up: JVM, codegen, parquet footer reads
+    // warm up: JVM, codegen, parquet reader classes, table footers
     spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.queries.Tables.load(spark, sfDir, "lineitem").limit(1).collect()
+    Seq("lineitem", "documents", "embeddings", "events").foreach(t =>
+      graft.queries.Tables.load(spark, sfDir, t).limit(1).collect())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

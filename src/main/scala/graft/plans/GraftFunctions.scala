@@ -20,16 +20,37 @@ object GraftFunctions {
   def shingleHashes(tokens: Column): Column =
     GraftSqlShim.column(ShingleHashes(GraftSqlShim.expression(tokens)))
 
-  /** Register `cosine_sim` for SQL text use on an existing session (the
-    * runtime-registration analogue of [[GraftExtensions]]). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
+  private type Builder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** (name, info, builder) for every native expression. */
+  private[plans] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
-      })
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "minhash_signature takes exactly 1 argument")
+        MinHashSignature(children.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "shingle_hashes takes exactly 1 argument")
+        ShingleHashes(children.head)
+      }))
+
+  /** Register every graft SQL function on an existing session (the
+    * runtime-registration analogue of [[GraftExtensions]]). */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
 
 /** `SparkSessionExtensions` hook: build sessions with
@@ -37,9 +58,7 @@ object GraftFunctions {
   * graft's SQL functions without touching the session afterwards. */
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(extensions: SparkSessionExtensions): Unit =
-    extensions.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+    GraftFunctions.sqlFunctions.foreach { case (ident, info, builder) =>
+      extensions.injectFunction((ident, info, builder))
+    }
 }

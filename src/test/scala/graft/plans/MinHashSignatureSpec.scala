@@ -56,6 +56,17 @@ class MinHashSignatureSpec extends AnyFunSuite with Matchers {
     computed shouldBe expected
   }
 
+  test("minhash_signature and shingle_hashes are callable from SQL text") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("mh_docs")
+    val r = spark.sql(
+      """SELECT size(minhash_signature(split(text, ' '))) AS ns,
+        |       size(shingle_hashes(split(text, ' '))) AS nh
+        |FROM mh_docs""".stripMargin).collect().head
+    r.getInt(0) shouldBe 16
+    r.getInt(1) shouldBe 2 // "a b c", "b c d"
+  }
+
   test("identical texts share every band; signatures differ across texts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
