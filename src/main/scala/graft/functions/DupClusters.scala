@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster resolution: the step AFTER near-dup candidate
+ * generation. Pair output (e2/e2b/e2d) names edges; keeping one document
+ * per duplicate GROUP needs the connected components of that graph, so
+ * transitively-linked docs (A~B, B~C but never A~C) collapse together.
+ *
+ * Algorithm: iterative min-label propagation — every node repeatedly
+ * adopts the smallest label among itself and its neighbours until a pass
+ * changes nothing. This is how components are computed at cluster scale
+ * without a graph library: each round is one equi-join + one aggregation
+ * (shuffle on node id), and the round count is the graph diameter — for
+ * near-dup graphs (near-cliques per duplicate group) a handful. The only
+ * driver-side value per round is the single `count` used for the
+ * convergence check, never row data.
+ */
+object DupClusters {
+
+  /** @param edges two-column DataFrame of undirected edges
+    * @return (id, cluster) — cluster = least node id reachable; only nodes
+    *         appearing in `edges` are labelled (isolated docs are their own
+    *         cluster by definition and need no resolution) */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .cache()
+    var converged = false
+    while (!converged) {
+      // each node adopts min(own cluster, neighbours' clusters)
+      val next = sym
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old"))
+        .count() // convergence check: one long to the driver, no row data
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -461,6 +461,18 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_guess")
 
+  /** E2 (resolution): duplicate clusters from the Jaccard near-dup pairs —
+    * connected components via [[graft.functions.DupClusters]] (iterative
+    * min-label propagation: equi-join + agg per round, diameter-bounded
+    * round count). cluster_id = least doc_id of the component, i.e. the
+    * representative a dedup pass would keep. */
+  def e7DupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DupClusters
+      .connectedComponents(
+        e2JaccardNearDup(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

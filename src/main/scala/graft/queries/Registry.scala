@@ -288,6 +288,14 @@ object Registry {
              |SELECT l.event_id, l.user_id, round(r.view_value, 4) AS asof_view_value
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
              |ORDER BY l.event_id""".stripMargin)),
+    "q28_range_join" -> Entry(
+      Relational.q28RangeJoin,
+      Some("""SELECT p.event_id, p.user_id, s.ts AS signup_ts
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id
+             | AND p.ts BETWEEN s.ts AND s.ts + INTERVAL 30 MINUTE
+             |ORDER BY p.event_id, signup_ts""".stripMargin)),
     "q24_subquery" -> Entry(Relational.q24Subquery, Some(Relational.q24Sql)),
     "q25_sql_text" -> Entry(Relational.q25SqlText, Some(Relational.q25Sql)),
 
@@ -500,6 +508,28 @@ object Registry {
              |SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE))), 6) AS mean_log_tf
              |FROM toks JOIN freq USING (token)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    "e7_dup_clusters" -> Entry(
+      Pipeline.e7DupClusters,
+      // transitive closure of the e2 pair graph via recursive CTE; the
+      // pair derivation is the e2 oracle verbatim
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |        FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 128),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+             |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+             |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |        UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (SELECT a, b FROM und
+             |                UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+             |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // ---- streaming surface (EXT) ----
     "s01_stream_tumbling" -> Entry(
       StreamingQueries.s01StreamTumblingCounts,

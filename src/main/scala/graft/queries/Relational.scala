@@ -258,6 +258,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q28 (beyond the reference's inventory): bucketed range join — each
+    * purchase matched to the same user's 30-minute post-signup windows it
+    * falls in ([[graft.functions.RangeJoin]]: interval→bucket explode +
+    * equi-join, never a per-key cross product). */
+  def q28RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val halfHourNs = 30L * 60 * 1000 * 1000 * 1000
+    val ev = load(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("lo"), (col("ts") + halfHourNs).as("hi"))
+    graft.functions.RangeJoin
+      .pointInInterval(purchases, windows, key = "user_id",
+        pointCol = "ts", loCol = "lo", hiCol = "hi", bucketWidth = halfHourNs)
+      .withColumn("lo_ts", Tables.tsTimestamp("lo"))
+      .select(col("event_id"), col("user_id"), col("lo_ts").as("signup_ts"))
+      .orderBy("event_id", "signup_ts")
+  }
+
   /** Q14: global top-k — TakeOrderedAndProject, no full sort materialised. */
   def q14TopK(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")
