@@ -68,6 +68,19 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .as[Long].collect() shouldBe Array(1L)
   }
 
+  test("ORC snapshot table resolves through the catalog too") {
+    val table = TableDefinition(
+      TableName("cdb", "snap_orc"),
+      Files.createTempDirectory("graft_cat_orc").toUri,
+      PartitionSchema.snapshot, FileFormat.Orc)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(CatRow(7, "orc")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql("SELECT id, label FROM graftcat.cdb.snap_orc")
+      .as[CatRow].collect() shouldBe Array(CatRow(7, "orc"))
+  }
+
   test("SQL joins across catalog tables and the read-only contract") {
     spark.sql(
       """SELECT s.label, p.label FROM graftcat.cdb.snap s
@@ -77,6 +90,6 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception](spark.sql("DROP TABLE graftcat.cdb.snap").collect())
     e.getMessage should include("read-only")
     spark.sql("SHOW TABLES IN graftcat.cdb").collect()
-      .map(_.getString(1)).sorted shouldBe Array("part", "snap")
+      .map(_.getString(1)).sorted shouldBe Array("part", "snap", "snap_orc")
   }
 }
