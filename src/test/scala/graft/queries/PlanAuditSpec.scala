@@ -100,4 +100,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   test("q13b: the RANGE window is partitioned — no single-reducer funnel") {
     plan("q13b_window_range") should not include "SinglePartition"
   }
+
+  test("q27: as-of join is union + keyed window — no join node at all") {
+    val p = plan("q27_asof_join")
+    p should include("Window")
+    p should not include "Join" // the scalable as-of shape has no join
+  }
+
+  test("q28: range join is a bucketed equi-join, not a nested-loop cross product") {
+    val p = plan("q28_range_join")
+    // a raw BETWEEN-only condition plans as BroadcastNestedLoopJoin; the
+    // bucket key makes it hashable
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
 }
