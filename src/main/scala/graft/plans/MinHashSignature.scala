@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -110,10 +110,16 @@ object MinHashSignature {
   val PermB0: Long = 12345L
   val PermBStep: Long = 104729L
 
-  /** xxhash64 (Spark's seed) of the token reduced into [0, Mod). */
+  /** Polynomial byte hash `h = (h·31 + byte) mod 1e9+7` — engine-portable
+    * (any SQL engine reproduces it over the character codes), which is what
+    * lets the whole minhash+LSH pipeline carry an exact SQL oracle. On
+    * ASCII text byte values ARE the character codes the oracle sums. */
   def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val raw = if (s == null) XXH64.hashLong(0L, 42L) else XXH64.hashUTF8String(s, 42L)
-    val m = raw % Mod
-    if (m < 0) m + Mod else m
+    if (s == null) return 0L
+    val n = s.numBytes
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * 31 + (s.getByte(i) & 0xff)) % Mod; i += 1 }
+    h
   }
 }

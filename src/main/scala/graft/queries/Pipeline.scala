@@ -111,13 +111,16 @@ object Pipeline {
     * The whole signature is computed ROW-LOCALLY by the native codegen'd
     * [[graft.plans.MinHashSignature]] expression (one primitive-loop pass
     * per document) — no explode, no groupBy, zero exchange until the
-    * band-bucket equi-join. Engine-specific hash family → no SQL oracle
-    * (rows-only check).
+    * band-bucket equi-join. The hash family is portable modular arithmetic
+    * and the band key a polynomial combine, so the ENTIRE pipeline —
+    * signatures, banding, candidate pairs — is reproduced exactly by the
+    * SQL oracle (hash-checked, not rows-only).
     * Scale: the only shuffle is the (band, key) self-join — bucket sizes are
     * bounded by LSH collision probability, not corpus size. */
   def e2bMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 16
     val bandSize = 4
+    val M = graft.plans.MinHashSignature.Mod
     val sigs = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 3)
@@ -125,8 +128,12 @@ object Pipeline {
         col("doc_id"),
         graft.plans.GraftFunctions.minhashSignature(col("tk"), nHashes).as("sigs"))
     val bandCols = (0 until nHashes / bandSize).map { band =>
-      val hs = (0 until bandSize).map(j => element_at(col("sigs"), band * bandSize + j + 1))
-      struct(lit(band).as("band"), hash(hs: _*).as("key")).as(s"b$band")
+      // portable band key: polynomial combine of the band's 4 signature
+      // minima (values < M keep every product < 2^63)
+      val key = (0 until bandSize)
+        .map(j => s"element_at(sigs, ${band * bandSize + j + 1})")
+        .reduce((acc, h) => s"($acc * 31 + $h) % $M")
+      struct(lit(band).as("band"), expr(key).as("key")).as(s"b$band")
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -34,6 +34,37 @@ object Registry {
       .map(p => s"(CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB mirror of the full `MinHashSignature` + banding pipeline: the
+    * same polynomial token/shingle hashes, affine permutations, and band
+    * keys — bit-identical candidate pairs. */
+  private def minhashOracleSql: String = {
+    val M = graft.plans.MinHashSignature.Mod
+    import graft.plans.MinHashSignature.{PermA0, PermAStep, PermB0, PermBStep}
+    val sigCols = (0 until 16)
+      .map(p => s"min((shh * ${PermA0 + PermAStep * p} + ${PermB0 + PermBStep * p}) % $M) AS h$p")
+      .mkString(", ")
+    def poly4(hs: Seq[String]) = hs.reduce((a, h) => s"($a * 31 + $h) % $M")
+    val keys = (0 until 4)
+      .map(b => poly4((0 until 4).map(j => s"h${b * 4 + j}")))
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |t AS (SELECT doc_id,
+       |             list_transform(tk, t -> list_reduce(
+       |               list_prepend(CAST(0 AS BIGINT),
+       |                 list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |               (h, c) -> (h * 31 + c) % $M)) AS th
+       |      FROM d),
+       |sh AS (SELECT doc_id, ((th[i] * 31 + th[i+1]) % $M * 31 + th[i+2]) % $M AS shh
+       |       FROM t, generate_series(1, 2000) g(i) WHERE i <= len(th) - 2),
+       |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, [$keys][b + 1] AS key
+       |          FROM sigs, generate_series(0, 3) g(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB mirror of `TextAnalysis.langScore`: same markers, same order,
     * same left-to-right double sum. */
   private def langScoreSql(markers: Seq[String]): String =
@@ -322,7 +353,7 @@ object Registry {
              |      FROM pairs JOIN sz sa ON doc_a = sa.doc_id
              |                 JOIN sz sb ON doc_b = sb.doc_id) t
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
-    "e2b_minhash_lsh" -> Entry(Pipeline.e2bMinHashLsh, None),
+    "e2b_minhash_lsh" -> Entry(Pipeline.e2bMinHashLsh, Some(minhashOracleSql)),
     "e2c_simhash" -> Entry(Pipeline.e2cSimHash, None),
     "e3_cosine_topk" -> Entry(
       Pipeline.e3CosineTopK,
