@@ -20,6 +20,10 @@ object GraftFunctions {
   def shingleHashes(tokens: Column): Column =
     GraftSqlShim.column(ShingleHashes(GraftSqlShim.expression(tokens)))
 
+  /** `token_hashes(tokens)` — see [[TokenHashes]]. */
+  def tokenHashes(tokens: Column): Column =
+    GraftSqlShim.column(TokenHashes(GraftSqlShim.expression(tokens)))
+
   private type Builder =
     Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression
@@ -43,6 +47,12 @@ object GraftFunctions {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "shingle_hashes takes exactly 1 argument")
         ShingleHashes(children.head)
+      }),
+    (FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "token_hashes takes exactly 1 argument")
+        TokenHashes(children.head)
       }))
 
   /** Register every graft SQL function on an existing session (the

@@ -148,20 +148,23 @@ object Pipeline {
   }
 
   /** E2: 16-bit SimHash fingerprint per document (token-hash bit votes).
-    * Computed entirely row-local with higher-order functions — zero
-    * shuffle, so it scales as a pure map over the corpus. A bit is set when
+    * Token hashes come from the native portable [[graft.plans.TokenHashes]]
+    * expression (one primitive pass), then the bit votes are row-local
+    * long ops — zero shuffle, a pure map over the corpus. A bit is set when
     * more than half the token hashes have that bit set (majority vote; the
-    * ±1-vote formulation `sum > 0` ⟺ `2·countSet > total`).
-    * Engine-specific hash → rows-only check. */
+    * ±1-vote formulation `sum > 0` ⟺ `2·countSet > total`). The portable
+    * hash makes the fingerprint oracle-checked. */
   def e2cSimHash(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.tokenHashes(split(col("text"), " ")).as("th"))
       .select(
         col("doc_id"),
         expr(
           """aggregate(
             |  transform(sequence(0, 15), j ->
-            |    CASE WHEN size(filter(tk, t -> ((xxhash64(t) >> j) & 1) = 1)) * 2 > size(tk)
+            |    CASE WHEN size(filter(th, h -> ((h >> j) & 1) = 1)) * 2 > size(th)
             |         THEN shiftleft(1L, j) ELSE 0L END),
             |  0L, (a, x) -> a + x)""".stripMargin).as("simhash16"))
       .orderBy("doc_id")

@@ -65,6 +65,22 @@ object Registry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB mirror of the SimHash bit votes over the portable token hash. */
+  private def simhashOracleSql: String = {
+    val M = graft.plans.MinHashSignature.Mod
+    val bits = (0 until 16)
+      .map(j => s"(CASE WHEN len(list_filter(th, h -> (h >> $j) & 1 = 1)) * 2 > len(th)" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |             list_transform(string_split(text, ' '), t -> list_reduce(
+       |               list_prepend(CAST(0 AS BIGINT),
+       |                 list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |               (h, c) -> (h * 31 + c) % $M)) AS th
+       |      FROM documents)
+       |SELECT doc_id, $bits AS simhash16 FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of `TextAnalysis.langScore`: same markers, same order,
     * same left-to-right double sum. */
   private def langScoreSql(markers: Seq[String]): String =
@@ -354,7 +370,7 @@ object Registry {
              |                 JOIN sz sb ON doc_b = sb.doc_id) t
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
     "e2b_minhash_lsh" -> Entry(Pipeline.e2bMinHashLsh, Some(minhashOracleSql)),
-    "e2c_simhash" -> Entry(Pipeline.e2cSimHash, None),
+    "e2c_simhash" -> Entry(Pipeline.e2cSimHash, Some(simhashOracleSql)),
     "e3_cosine_topk" -> Entry(
       Pipeline.e3CosineTopK,
       Some("""WITH n AS (SELECT vec_id,
