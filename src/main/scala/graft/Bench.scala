@@ -25,6 +25,32 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "documents", "embeddings", "events").foreach(t =>
       graft.queries.Tables.load(spark, sfDir, t).limit(1).collect())
+    // ... and the operator/codegen machinery the corpus reuses (shuffle
+    // join, window, explode, typed ObjectHashAggregate, streaming engine):
+    // their first-use class-loading + Janino warm-up is JVM startup cost,
+    // not per-query work, and shouldn't land on whichever query runs first
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val a = spark.range(1000).withColumn("k", col("id") % 7)
+      a.join(a.select(col("k").as("k2")).distinct(), col("k") === col("k2"))
+        .groupBy("k").count()
+        .withColumn("r", row_number().over(Window.partitionBy("k").orderBy("count")))
+        .select(explode(array(col("r"), col("r")))).distinct().count()
+      spark.range(100).map(i => (i % 5: Long, i: Long, i.toDouble)).groupByKey(_._1)
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("t"))
+        .toDF("k", "t").count()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int](
+        spark)
+      ms.addData(1, 2, 3)
+      val q = ms.toDF().groupBy("value").count().writeStream
+        .format("memory").queryName("graft_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -168,8 +168,19 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
         f, java.nio.file.StandardOpenOption.READ, java.nio.file.StandardOpenOption.WRITE)
       try {
         val size = ch.size()
+        // positional reads may return short — loop until the requested range
+        // is fully consumed, else the backward scan would walk stale/zero
+        // bytes left in the reused buffer and truncate committed lines
+        def readFully(buf: java.nio.ByteBuffer, from: Long): Unit = {
+          var p = from
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, p)
+            if (n < 0) sys.error(s"unexpected EOF reading $f at offset $p")
+            p += n
+          }
+        }
         val one = java.nio.ByteBuffer.allocate(1)
-        ch.read(one, size - 1)
+        readFully(one, size - 1)
         if (one.get(0) != '\n') {
           // scan back to the last newline (or start of file)
           var pos = size - 1
@@ -178,7 +189,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
           while (found < 0 && pos > 0) {
             val from = math.max(0L, pos - buf.capacity)
             buf.clear(); buf.limit((pos - from).toInt)
-            ch.read(buf, from)
+            readFully(buf, from)
             var i = buf.limit() - 1
             while (i >= 0 && found < 0) {
               if (buf.get(i) == '\n') found = from + i
@@ -237,7 +248,19 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
               val corpse = logDir.resolve(s"${lock.getFileName}.broken.${java.util.UUID.randomUUID()}")
               try {
                 Files.move(lock, corpse, StandardCopyOption.ATOMIC_MOVE)
-                Files.deleteIfExists(corpse)
+                // post-move token check closes the remaining TOCTOU window:
+                // if the old holder released and a NEW writer acquired
+                // between the re-read and the move, the moved file carries
+                // the new writer's token — restore it rather than admitting
+                // a second writer. (A failure of the restore itself means a
+                // third waiter already re-created the lock; nothing can make
+                // the stolen incarnation whole then, so leave the corpse for
+                // inspection instead of silently deleting a live lock.)
+                val movedToken =
+                  try Some(new String(Files.readAllBytes(corpse), StandardCharsets.UTF_8))
+                  catch { case _: java.io.IOException => None }
+                if (movedToken == after) Files.deleteIfExists(corpse)
+                else Files.move(corpse, lock, StandardCopyOption.ATOMIC_MOVE)
               } catch { case _: java.io.IOException => () }
             }
           } else Thread.sleep(LockRetryMs)

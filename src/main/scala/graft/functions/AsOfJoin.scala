@@ -37,18 +37,23 @@ object AsOfJoin {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(1))
+    // the observation rides inside a never-null struct marker: `last` with
+    // ignoreNulls must skip LEFT rows (which carry no observation) but keep
+    // a right row whose value is genuinely NULL — bare `last(value)` would
+    // carry an older non-null value forward instead, diverging from SQL
+    // ASOF JOIN semantics on nullable observation columns
     val r = right.select(
       col(key),
       col(rightTime).as("__t"),
       lit(0).as("__src"),
-      col(valueCol).as("__v"))
+      struct(lit(true).as("present"), col(valueCol).as("value")).as("__m"))
     // right rows sort before left rows at equal time (__src 0 < 1), making
     // the join boundary inclusive; among left rows the carried value is
-    // order-independent (their __v is null)
+    // order-independent (their __m is null)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(asCol, last("__v", ignoreNulls = true).over(w))
+      .withColumn(asCol, last("__m", ignoreNulls = true).over(w).getField("value"))
       .where(col("__src") === 1)
       .select(leftCols.map(col) :+ col(asCol): _*)
   }

@@ -28,25 +28,35 @@ object DupClusters {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      // every propagation round joins on dst: partition the edge table by it
+      // once so each round reads the cache with no fresh edge-side exchange
+      .repartition(col("dst"))
       .cache()
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+    var cached = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("cluster"))
       .cache()
+    var labels = cached
     var converged = false
     while (!converged) {
-      // each node adopts min(own cluster, neighbours' clusters)
+      // each node adopts min(own cluster, neighbours' clusters); the OLD
+      // label rides along so the convergence check is a filter over this
+      // round's cached output, not an extra join
       val next = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbr"))
         .join(labels, "id")
-        .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"))
+        .select(
+          col("id"),
+          col("cluster").as("old"),
+          least(col("cluster"), col("nbr")).as("cluster"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old"))
+      val changed = next.where(col("cluster") =!= col("old"))
         .count() // convergence check: one long to the driver, no row data
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "cluster")
       converged = changed == 0
     }
     sym.unpersist()

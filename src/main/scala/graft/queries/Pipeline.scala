@@ -41,16 +41,6 @@ object Pipeline {
 
   // ---------------------------------------------------------------- E2
 
-  /** (doc_id, shingle-hash) inverted-index rows: distinct word 3-grams per
-    * document, hashed by the native [[graft.plans.ShingleHashes]] expression
-    * (bit-identical to `xxhash64(concat_ws(' ', ...))`, one primitive pass
-    * per doc). Docs under 3 tokens vanish through the empty-array explode. */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        explode(graft.plans.GraftFunctions.shingleHashes(split(col("text"), " "))).as("shh"))
-
   /** E2: exact n-gram Jaccard near-dup pairs via an inverted shingle index.
     * Self-join on the shingle key (shuffle-based equi-join, never all-pairs)
     * → per-pair intersection counts → Jaccard = |∩| / (|A|+|B|-|∩|).
@@ -60,33 +50,62 @@ object Pipeline {
     * grow O(df²) pair rows — the cap is what keeps the self-join linear in
     * corpus size. The oracle applies the identical cap.
     *
-    * Per-doc set sizes are attached to the index rows by a window count
-    * (shuffle key = doc_id, high cardinality), NOT by joining a broadcast
-    * per-document table — at corpus scale a per-doc broadcast is a driver
-    * OOM; here sizes just ride the pair aggregation as grouping columns. */
+    * Denominator convention: |A| and |B| are the FULL per-doc shingle-set
+    * sizes (taken row-locally before the df filter), so the cap only prunes
+    * candidate generation — it never inflates a surviving pair's score the
+    * way post-filter sizes would. The oracle mirrors this exactly.
+    *
+    * Per-doc set sizes ride the index rows as a row-local column, NOT a
+    * broadcast per-document table — at corpus scale a per-doc broadcast is
+    * a driver OOM; sizes just ride the pair aggregation as grouping cols. */
   val MaxShingleDf = 128
 
   /** Thresholded Jaccard pair table, memoized per (session, dir): the pair
     * derivation is a pipeline STAGE consumed by both the pair report (e2)
     * and cluster resolution (e7) — intra-session reuse of a stage output,
-    * exactly what a production pipeline persists between steps. */
+    * exactly what a production pipeline persists between steps. The memo is
+    * scoped to one verify/bench run over immutable input dirs; a process
+    * that mutates `dir` mid-session must call [[clearStageCache]]. */
   private val jaccardPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drops the memoized pair stages and releases their cache blocks. */
+  def clearStageCache(): Unit = {
+    jaccardPairsCache.values.foreach(_.unpersist())
+    jaccardPairsCache.clear()
+  }
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsCache.getOrElseUpdate((s, dir), {
-      // shuffle an 8-byte hash of each shingle, never the shingle text — at
-      // 100 TB the inverted index is all shuffle traffic, and the 64-bit key
-      // keeps it minimal (collision odds are negligible next to the DF cap)
-      val sh = shingleIndex(s, dir)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shh")))
+      // per-doc set size is ROW-LOCAL: ShingleHashes already emits the
+      // distinct shingle hashes, so |shingles(doc)| = size(shs) taken before
+      // the explode — no per-doc window, no per-doc join, and nothing
+      // document-sized ever crosses an exchange or reaches the driver.
+      // The index shuffles an 8-byte hash per shingle, never shingle text —
+      // at 100 TB the inverted index is all shuffle traffic and the 64-bit
+      // key keeps it minimal (collision odds negligible next to the DF cap).
+      val base = load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.plans.GraftFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+        .select(
+          col("doc_id"),
+          size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("shh"))
+      // document-frequency cap as partial+final hash-agg + semi-join on the
+      // shingle key: the agg shuffle carries #distinct shingles and the
+      // semi-join filters the index with zero sorting (a count-over-window
+      // here would sort the whole inverted index). shuffle_hash, not
+      // broadcast: the per-shingle df table is vocabulary-sized — at corpus
+      // scale it must stay off the driver.
+      val kept = base.groupBy("shh").agg(count(lit(1)).as("df"))
         .where(col("df") <= MaxShingleDf)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select("doc_id", "shh", "n")
-        .cache()
-      // aliased self-join: both sides are the SAME cached plan partitioned
-      // the same way, so the exchange is built once and reused
-      sh.as("x").join(sh.as("y"),
+        .select("shh")
+      val sh = base.join(kept.hint("shuffle_hash"), Seq("shh"), "left_semi").cache()
+      // aliased self-join: both sides are the SAME cached plan, already
+      // hash-partitioned on shh by the semi-join, so the pair join reads the
+      // cache without a fresh exchange on either side
+      val pairs = sh.as("x").join(sh.as("y"),
           col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
         .select(
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -98,6 +117,11 @@ object Pipeline {
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .cache()
+      // materialize the stage output now so the (large) index cache can be
+      // freed immediately: pairs holds near-dup pairs only, sh is O(tokens)
+      pairs.count()
+      sh.unpersist()
+      pairs
     })
 
   def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame =

@@ -56,7 +56,10 @@ object Registry {
        |               (h, c) -> (h * 31 + c) % $M)) AS th
        |      FROM d),
        |sh AS (SELECT doc_id, ((th[i] * 31 + th[i+1]) % $M * 31 + th[i+2]) % $M AS shh
-       |       FROM t, generate_series(1, 2000) g(i) WHERE i <= len(th) - 2),
+       |       FROM t, generate_series(1, 2000) g(i)
+       |       WHERE i <= CASE WHEN len(th) - 2 > 2000
+       |                       THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+       |                       ELSE len(th) - 2 END),
        |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, [$keys][b + 1] AS key
        |          FROM sigs, generate_series(0, 3) g(b))
@@ -357,10 +360,13 @@ object Registry {
       Pipeline.e2JaccardNearDup,
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-             |        FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |        FROM toks, generate_series(1, 2000) g(i)
+             |        WHERE i <= CASE WHEN len(tk) - 2 > 2000
+             |                        THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+             |                        ELSE len(tk) - 2 END),
              |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 128),
              |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
-             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              |          GROUP BY 1, 2)
@@ -497,7 +503,10 @@ object Registry {
       // text payloads are ASCII, so per-char codepoints ARE the payload
       // bytes; both sides round to 6 dp, far above float-order noise
       Some("""WITH ch AS (SELECT doc_id, ascii(substr(text, i, 1)) AS b
-             |            FROM documents, generate_series(1, 700) g(i) WHERE i <= length(text)),
+             |            FROM documents, generate_series(1, 700) g(i)
+             |            WHERE i <= CASE WHEN length(text) > 700
+             |                            THEN CAST(error('doc exceeds 700-char oracle cap') AS BIGINT)
+             |                            ELSE length(text) END),
              |h AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY doc_id, b),
              |t AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM h GROUP BY doc_id)
              |SELECT h.doc_id, round(-sum((c / n) * log2(c / n)), 6) AS entropy_bits
@@ -561,10 +570,13 @@ object Registry {
       // pair derivation is the e2 oracle verbatim
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-             |        FROM toks, generate_series(1, 2000) g(i) WHERE i <= len(tk) - 2),
+             |        FROM toks, generate_series(1, 2000) g(i)
+             |        WHERE i <= CASE WHEN len(tk) - 2 > 2000
+             |                        THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+             |                        ELSE len(tk) - 2 END),
              |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 128),
              |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
-             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
              |pairs AS (SELECT doc_a, doc_b FROM (
              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
              |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) p

@@ -68,11 +68,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     Registry.entries(name).fn(spark, sf).queryExecution.analyzed.toString
 
   test("e2/e5f: no per-document or vocabulary table is hint-broadcast") {
-    // per-doc sizes ride the index rows (window count) and the token
-    // frequency join is left to cost-based planning — a forced broadcast of
-    // either is a driver OOM at corpus scale
+    // per-doc set sizes are row-local (size of the distinct-shingle array,
+    // taken before the explode) and the df cap / token-frequency joins stay
+    // shuffle-based — a forced broadcast of either side is a driver OOM at
+    // corpus scale
     analyzed("e2_jaccard_neardup").toLowerCase should not include "broadcast"
     analyzed("e5f_doc_quality").toLowerCase should not include "broadcast"
+  }
+
+  test("e2: the inverted index is never sorted — df cap is agg + semi-join") {
+    // the pair stage must carry no window: a count-over-window df cap (or a
+    // per-doc size window) sorts the entire inverted index; the hash-agg +
+    // left-semi shape filters it sort-free
+    val p = plan("e2_jaccard_neardup")
+    p should not include "Window"
   }
 
   test("e3/e3c/e3b/e3e: top-k merge is the typed partial aggregate, not a window") {
