@@ -112,6 +112,12 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity <= 25
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q30_version_diff" -> Entry(
+      Versioned.q30VersionDiff,
+      // the diff surfaces only the rewritten 'R' partition's v2 contents
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- relational surface (Q1–Q25) ----
     "q01_scan_filter" -> Entry(
@@ -338,6 +344,13 @@ object Registry {
              |SELECT l.event_id, l.user_id, round(r.view_value, 4) AS asof_view_value
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
              |ORDER BY l.event_id""".stripMargin)),
+    "q29_skew_join" -> Entry(
+      Relational.q29SkewJoin,
+      // the salt must be invisible in the result — the oracle is the plain
+      // unsalted join
+      Some("""SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
     "q28_range_join" -> Entry(
       Relational.q28RangeJoin,
       Some("""SELECT p.event_id, p.user_id, s.ts AS signup_ts

@@ -112,6 +112,21 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q29: salted fact-dim equi-join via [[graft.spark.Skew.saltedEquiJoin]]
+    * — the manual skew mitigation for hot keys AQE's split can't always fix.
+    * The salt spreads each part key's lineitems over 4 reducers; the result
+    * is identical to the unsalted join, which is exactly what the plain-SQL
+    * oracle checks. */
+  def q29SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val part = load(s, dir, "part").select("p_partkey", "p_brand")
+    graft.spark.Skew.saltedEquiJoin(li, part, "p_partkey", saltBuckets = 4)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** Q8: theta (non-equi) join — tiny sides, BroadcastNestedLoop is fine. */
   def q08NonEquiJoin(s: SparkSession, dir: String): DataFrame = {
     val r = load(s, dir, "region")

@@ -100,4 +100,28 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q30: incremental version diff — v1 writes every partition, v2 rewrites
+    * ONLY the 'R' partition; `readChanges(v1 → v2)` must surface exactly
+    * the new contents of the one partition that moved (partition-level CDC:
+    * the input an incremental downstream job processes instead of the full
+    * table). The diff itself is metadata-only; just the changed partition's
+    * files are scanned. */
+  def q30VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_diff", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_diff"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1Commit = log.updates(table.name).head.id
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R partition"))
+    val v2Commit = log.updates(table.name).head.id
+    VersionedReader(s, log).readChanges(table, v1Commit, v2Commit)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

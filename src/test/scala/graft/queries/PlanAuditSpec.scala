@@ -116,6 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Join" // the scalable as-of shape has no join
   }
 
+  test("q29: salted join keys carry the deterministic salt, no cross product") {
+    val p = plan("q29_skew_join")
+    // the salt is xxhash64-derived (not rand(): retried tasks must re-salt
+    // identically) and the join stays a hash equi-join on (key, salt)
+    p should include("xxhash64")
+    p should not include "CartesianProduct"
+  }
+
   test("q28: range join is a bucketed equi-join, not a nested-loop cross product") {
     val p = plan("q28_range_join")
     // a raw BETWEEN-only condition plans as BroadcastNestedLoopJoin; the

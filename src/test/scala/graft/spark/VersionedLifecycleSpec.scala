@@ -192,6 +192,46 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("readChanges surfaces only partitions whose version moved between commits") {
+    val (ctx, log) = freshContext()
+    val table = tmpTable("diff_part", PartitionSchema(List(PartitionColumn("date"))))
+    ctx.init(table, user, UpdateMessage("init"))
+
+    Seq(
+      Event(1, "click", "2024-01-01"),
+      Event(2, "view", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.updates(table.name).head.id
+    // v2 touches only 2024-01-02; 2024-01-01 keeps its v1 version
+    Seq(Event(3, "purchase", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2 = log.updates(table.name).head.id
+
+    val reader = VersionedReader(spark, log)
+    val changed = reader.readChanges(table, v1, v2)
+      .select("id", "kind", "date").as[(Long, String, String)].collect()
+    changed shouldBe Array((3L, "purchase", "2024-01-02"))
+
+    // no movement between a commit and itself
+    reader.readChanges(table, v2, v2).count() shouldBe 0
+  }
+
+  test("readChanges on a snapshot table: whole new snapshot, or nothing") {
+    val (ctx, log) = freshContext()
+    val table = tmpTable("diff_snap", PartitionSchema.snapshot)
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(User(1, "ada")).toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.updates(table.name).head.id
+    Seq(User(1, "ada"), User(2, "bob")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2 = log.updates(table.name).head.id
+
+    val reader = VersionedReader(spark, log)
+    reader.readChanges(table, v1, v2).as[User].collect().sortBy(_.id) shouldBe
+      Array(User(1, "ada"), User(2, "bob"))
+    reader.readChanges(table, v1, v1).count() shouldBe 0
+  }
+
   test("durable log: versioned writes survive a reopened JsonFileTableVersions") {
     val logDir = Files.createTempDirectory("graft_spec_durable_log")
     val log = new JsonFileTableVersions(logDir)
