@@ -8,8 +8,23 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order after a session warm-up, so timings
   * measure the queries rather than JVM/codegen startup. A failed query
   * reports -1 instead of a bogus elapsed time.
+  *
+  * Noise protocol: this container shows large exogenous timing spikes
+  * (host CPU steal inflates even map-only scans 3-5× for seconds at a
+  * time). Queries whose first run exceeds [[RepeatThresholdSec]] are
+  * therefore run twice more and report the MEDIAN of the three runs — the
+  * first run stays cold (plan + codegen), repeats are steady-state, and
+  * one stolen draw can no longer define the number. The memoized Jaccard
+  * pair stage is dropped before each e2 repeat so the stage genuinely
+  * re-executes (a memo hit would time nothing); e7 is excluded from
+  * repeats because consuming e2's shared stage is exactly its documented
+  * pipeline semantics — a repeat would either hit that memo or rebuild a
+  * stage it deliberately shares, misstating either way.
   */
 object Bench {
+
+  private val RepeatThresholdSec = 0.7
+  private val NoRepeat = Set("e7_dup_clusters")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,10 +68,24 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      def timeOnce(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def repeatOnce(): Double = {
+        // e2 memoizes its pair stage: drop it so the repeat re-executes the
+        // work instead of timing a cache hit. Other queries must NOT clear
+        // it — e7 (which runs later) consumes e2's shared stage by design.
+        if (name == "e2_jaccard_neardup") graft.queries.Pipeline.clearStageCache()
+        timeOnce()
+      }
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
+        try {
+          val first = timeOnce()
+          if (first <= RepeatThresholdSec || NoRepeat(name)) first
+          else Seq(first, repeatOnce(), repeatOnce()).sorted.apply(1)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
