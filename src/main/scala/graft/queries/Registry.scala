@@ -112,6 +112,12 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity <= 25
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q31_compact" -> Entry(
+      Versioned.q31Compact,
+      // compaction must be row-invisible: the oracle is the original insert
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 30
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q30_version_diff" -> Entry(
       Versioned.q30VersionDiff,
       // the diff surfaces only the rewritten 'R' partition's v2 contents

@@ -101,6 +101,29 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q31: compaction — a deliberately fragmented insert (8-way repartition
+    * → 8 files per partition dir) is rewritten by
+    * [[graft.spark.Compaction.compact]] into one file per partition as a
+    * fresh version; the read-back must be row-identical to the original
+    * insert (which is exactly what the SQL oracle checks). */
+  def q31Compact(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_compact", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_compact"))
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .where(col("l_quantity") > 30)
+      .repartition(8) // fragment: 8 writer tasks → 8 files per partition
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    graft.spark.Compaction.compact(
+      s, ctx, log, table, user, UpdateMessage("v2: compacted"))
+    VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q30: incremental version diff — v1 writes every partition, v2 rewrites
     * ONLY the 'R' partition; `readChanges(v1 → v2)` must surface exactly
     * the new contents of the one partition that moved (partition-level CDC:

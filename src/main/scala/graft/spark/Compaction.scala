@@ -1,0 +1,59 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
+
+import graft.core._
+import graft.core.Metastore.TableChanges
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * Offline compaction (the OPTIMIZE/bin-packing maintenance op): rewrite the
+ * CURRENT contents of a versioned table as one fresh version whose files
+ * are packed — many small files (streaming commits, frequent small inserts)
+ * become few large ones, without changing a single row.
+ *
+ * Because it rides the ordinary versioned write path, compaction inherits
+ * every safety property of [[VersionContext.DatasetVersionOps.versionedInsertInto]]:
+ * the packed files land in never-referenced staging dirs, readers flip to
+ * them atomically at commit, the old (fragmented) version dirs remain on
+ * disk for time travel, and [[Vacuum]] reclaims them once they age out of
+ * retention. A crash mid-compaction leaves only invisible orphans.
+ *
+ * Packing strategy:
+ *  - snapshot tables: `coalesce(maxFiles)` — a narrow (no-shuffle) merge of
+ *    input splits into at most `maxFiles` output files;
+ *  - partitioned tables: `repartition(partitionCols)` — one shuffle keyed
+ *    by the partition columns, so each Hive partition is written by exactly
+ *    one task → one file per partition dir (the classic small-file fix).
+ *    At 100 TB per-partition data can exceed one task's comfort; pass
+ *    `filesPerPartition > 1` to salt the shuffle key and split each
+ *    partition across that many writers.
+ */
+object Compaction {
+
+  def compact(
+      spark: SparkSession,
+      ctx: VersionContext,
+      log: TableVersions,
+      table: TableDefinition,
+      userId: UserId,
+      message: UpdateMessage,
+      maxFiles: Int = 1,
+      filesPerPartition: Int = 1): (TableVersion, TableChanges) = {
+    require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
+    val current = VersionedReader(spark, log).read(table)
+    val packed =
+      if (table.isSnapshot) current.coalesce(maxFiles)
+      else {
+        val parts = table.partitionSchema.columns.map(c => col(c.name))
+        val keys =
+          if (filesPerPartition == 1) parts
+          // deterministic salt spreads one partition's rows over N writers
+          else parts :+ pmod(spark_partition_id(), lit(filesPerPartition))
+        current.repartition(keys: _*)
+      }
+    packed.versionedInsertInto(ctx, table, userId, message)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.spark
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class CompactionSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("compaction-test")
+
+  private def freshContext(): (VersionContext, TableVersions) = {
+    val log = new InMemoryTableVersions
+    (VersionContext(VersionedMetastore(log, new InMemoryMetastore)), log)
+  }
+
+  private def dataFiles(dir: Path): Long =
+    Files.list(dir).filter(p => p.getFileName.toString.startsWith("part-")).count()
+
+  test("partitioned compaction: one file per partition, rows identical, old version time-travels") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "compact_part"),
+      Files.createTempDirectory("graft_spec_compact").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    val events = (1L to 40L).map(i => Event(i, s"k$i", if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+    events.toDS().repartition(8) // fragment: 8 writers → up to 8 files per partition
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    val fragmented = log.updates(table.name).head.id
+
+    val p1 = Paths.get(table.location).resolve("date=2024-01-01")
+    val fragDirs = Files.list(p1).iterator()
+    val fragVersionDir = fragDirs.next()
+    dataFiles(fragVersionDir) should be > 1L
+
+    Compaction.compact(spark, ctx, log, table, user, UpdateMessage("v2: compacted"))
+
+    val reader = VersionedReader(spark, log)
+    reader.read(table).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+
+    // the referenced (new) version dir holds exactly one packed file
+    val compactedVersion = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs.values.head
+      case other                        => fail(s"unexpected $other")
+    }
+    dataFiles(p1.resolve(compactedVersion.label)) shouldBe 1L
+
+    // pre-compaction version still fully readable (time travel)
+    reader.readAsOf(table, fragmented).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+  }
+
+  test("snapshot compaction coalesces to maxFiles without changing rows") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "compact_snap"),
+      Files.createTempDirectory("graft_spec_compact_snap").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    val users = (1L to 30L).map(i => User(i, s"u$i"))
+    users.toDS().repartition(6)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+
+    Compaction.compact(spark, ctx, log, table, user, UpdateMessage("v2: compacted"), maxFiles = 2)
+
+    val reader = VersionedReader(spark, log)
+    reader.read(table).as[User].collect().sortBy(_.id) shouldBe users.toArray
+    val label = log.currentVersion(table.name) match {
+      case SnapshotTableVersion(v) => v.label
+      case other                   => fail(s"unexpected $other")
+    }
+    dataFiles(Paths.get(table.location).resolve(label)) should be <= 2L
+  }
+}
