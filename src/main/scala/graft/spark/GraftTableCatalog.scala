@@ -5,16 +5,23 @@ import java.util
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core._
-import graft.core.TableVersions.CommitId
+import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
 
 /**
  * DataSource V2 `TableCatalog` over the versioning layer (SURVEY.md §4.3
@@ -37,10 +44,18 @@ import graft.core.TableVersions.CommitId
  * `spark/src/main/scala/com/gu/tableversions/spark/SparkHiveMetastore.scala:16-43`,
  * which can only ever expose the latest synced version).
  *
- * Writes stay on the versioned write path (`versionedInsertInto`), exactly
- * like the reference: the catalog is read-only and `createTable` & co.
- * reject, since table creation is caller-side DDL
- * (`examples/.../TableLoader.scala:29-35`).
+ * SQL DML routes onto the SAME versioned write path the Scala API uses
+ * (`versionedInsertInto`, via a `V1Write` fallback that hands the resolved
+ * DataFrame back to the driver):
+ *  - `INSERT OVERWRITE` = the reference's insert semantics — a fresh
+ *    version replacing the whole snapshot / exactly the partitions present
+ *    in the data;
+ *  - `INSERT INTO` = copy-on-write append — the touched partitions' new
+ *    version carries their current rows plus the inserted ones (untouched
+ *    partitions keep their version), so SQL append never mutates an
+ *    immutable version dir.
+ * Catalog DDL (`createTable` & co.) still rejects: table creation is
+ * caller-side, as in the reference (`examples/.../TableLoader.scala:29-35`).
  */
 final class GraftTableCatalog extends TableCatalog {
   import GraftTableCatalog._
@@ -70,7 +85,7 @@ final class GraftTableCatalog extends TableCatalog {
     TableName(ident.namespace.head, ident.name)
   }
 
-  private def definitionOf(ident: Identifier): TableDefinition =
+  private def definitionOf(ident: Identifier): (TableDefinition, Option[StructType]) =
     binding.tables.getOrElse(tableNameOf(ident).fullyQualifiedName,
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
 
@@ -86,17 +101,23 @@ final class GraftTableCatalog extends TableCatalog {
     binding.tables.contains(tableNameOf(ident).fullyQualifiedName)
 
   override def loadTable(ident: Identifier): Table = {
-    val defn = definitionOf(ident)
-    fileTable(defn, binding.log.currentVersion(defn.name))
+    val (defn, schema) = definitionOf(ident)
+    // wrapped: reads delegate to Spark's own file table, writes route onto
+    // the versioned write path (the raw FileTable would happily append
+    // files INTO an immutable version dir)
+    new GraftV2Table(defn, binding,
+      fileTable(defn, binding.log.currentVersion(defn.name), schema))
   }
 
-  /** `VERSION AS OF '<commitId>'` — time travel through the commit log. */
+  /** `VERSION AS OF '<commitId>'` — time travel through the commit log.
+    * Read-only by construction: SQL has no INSERT-into-the-past. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val defn = definitionOf(ident)
-    fileTable(defn, binding.log.versionAt(defn.name, CommitId(version)))
+    val (defn, schema) = definitionOf(ident)
+    fileTable(defn, binding.log.versionAt(defn.name, CommitId(version)), schema)
   }
 
-  private def fileTable(defn: TableDefinition, tv: TableVersion): Table = {
+  private def fileTable(
+      defn: TableDefinition, tv: TableVersion, schema: Option[StructType]): Table = {
     val spark = SparkSession.active
     val (paths, opts) = tv match {
       case SnapshotTableVersion(v) =>
@@ -108,12 +129,15 @@ final class GraftTableCatalog extends TableCatalog {
           Map("basePath" -> defn.location.toString))
     }
     val options = new CaseInsensitiveStringMap(opts.asJava)
+    // a registered schema makes a never-written table SQL-addressable
+    // (inference over its zero files cannot); once data exists, inference
+    // takes over when no schema was registered
     defn.format match {
       case FileFormat.Orc =>
-        OrcTable(defn.name.fullyQualifiedName, spark, options, paths, None,
+        OrcTable(defn.name.fullyQualifiedName, spark, options, paths, schema,
           classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
       case _ =>
-        ParquetTable(defn.name.fullyQualifiedName, spark, options, paths, None,
+        ParquetTable(defn.name.fullyQualifiedName, spark, options, paths, schema,
           classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
     }
   }
@@ -136,10 +160,98 @@ final class GraftTableCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft catalog is read-only")
 }
 
+/** V2 table wrapper: reads pass straight through to Spark's file table;
+  * writes become versioned commits (see the catalog scaladoc). */
+private[spark] final class GraftV2Table(
+    defn: TableDefinition,
+    binding: GraftTableCatalog.Binding,
+    delegate: Table)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+
+  // deliberately NOT the delegate's capabilities: the file table's own
+  // BATCH_WRITE would write files into an immutable version dir
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteArg: Boolean): Unit =
+              GraftV2Table.insertVersioned(defn, binding, data, overwrite || overwriteArg)
+          }
+      }
+    }
+}
+
+private[spark] object GraftV2Table {
+
+  /** The current table contents, or None while the table has never been
+    * written (reading an unversioned/empty state has no schema to offer). */
+  private def currentOrNone(
+      spark: SparkSession, binding: GraftTableCatalog.Binding, defn: TableDefinition): Option[DataFrame] =
+    binding.log.currentVersion(defn.name) match {
+      case SnapshotTableVersion(v) if v == Version.Unversioned => None
+      case PartitionedTableVersion(m) if m.isEmpty             => None
+      case _ => Some(VersionedReader(spark, binding.log).read(defn))
+    }
+
+  private[spark] def insertVersioned(
+      defn: TableDefinition,
+      binding: GraftTableCatalog.Binding,
+      data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    // sync the caller's metastore when one is bound; otherwise a throwaway
+    // in-memory one (the commit-log append IS the commit — SURVEY §7.2)
+    val vm = binding.vms.getOrElse {
+      val ms = new InMemoryMetastore
+      ms.register(defn)
+      VersionedMetastore(binding.log, ms)
+    }
+    val ctx = VersionContext(vm)
+    val message =
+      UpdateMessage(if (overwrite) "INSERT OVERWRITE (SQL)" else "INSERT INTO (SQL)")
+    val toWrite =
+      if (overwrite) data
+      else currentOrNone(spark, binding, defn) match {
+        case None => data
+        case Some(current) if defn.isSnapshot => data.unionByName(current)
+        case Some(current) =>
+          // copy-on-write append: the touched partitions' fresh version must
+          // carry their current rows too; `touched` is #partitions rows —
+          // metadata-sized, safe to broadcast at any corpus scale
+          val partCols = defn.partitionSchema.columns.map(_.name)
+          val touched = data.select(partCols.map(col): _*).distinct()
+          data.unionByName(current.join(broadcast(touched), partCols, "left_semi"))
+      }
+    toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
+    ()
+  }
+}
+
 object GraftTableCatalog {
 
   private[spark] final case class Binding(
-      log: TableVersions, tables: TrieMap[String, TableDefinition])
+      log: TableVersions,
+      tables: TrieMap[String, (TableDefinition, Option[StructType])],
+      vms: Option[VersionedMetastore] = None)
 
   private val bindings = TrieMap[String, Binding]()
 
@@ -148,9 +260,20 @@ object GraftTableCatalog {
   def bind(catalogName: String, log: TableVersions): Unit =
     bindings.put(catalogName, Binding(log, TrieMap.empty))
 
-  /** Expose a versioned table through catalog `catalogName`. */
-  def register(catalogName: String, table: TableDefinition): Unit =
+  /** Bind with a full [[VersionedMetastore]]: SQL writes then sync the
+    * caller's catalog after each commit, exactly like the Scala write API. */
+  def bind(catalogName: String, vms: VersionedMetastore): Unit =
+    bindings.put(catalogName, Binding(vms.tableVersions, TrieMap.empty, Some(vms)))
+
+  /** Expose a versioned table through catalog `catalogName`. Pass `schema`
+    * (full columns, partition columns included) to make a NEVER-written
+    * table SQL-addressable — schema inference has no files to look at until
+    * the first insert. */
+  def register(
+      catalogName: String,
+      table: TableDefinition,
+      schema: Option[StructType] = None): Unit =
     bindings.getOrElse(catalogName,
       throw new IllegalStateException(s"catalog '$catalogName' is not bound"))
-      .tables.put(table.name.fullyQualifiedName, table)
+      .tables.put(table.name.fullyQualifiedName, (table, schema))
 }

@@ -81,6 +81,64 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .as[CatRow].collect() shouldBe Array(CatRow(7, "orc"))
   }
 
+  test("INSERT INTO appends copy-on-write as a new version; INSERT OVERWRITE replaces") {
+    val table = TableDefinition(
+      TableName("cdb", "dml_part"),
+      Files.createTempDirectory("graft_cat_dml").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // a never-written table has no files to infer from: register its schema
+    GraftTableCatalog.register("graftcat", table, Some(new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false).add("label", "string").add("date", "string")))
+
+    // first SQL insert into the empty table
+    spark.sql("INSERT INTO graftcat.cdb.dml_part VALUES (1, 'a', '2024-01-01'), (2, 'b', '2024-01-02')")
+    spark.sql("SELECT id FROM graftcat.cdb.dml_part ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L)
+
+    // append touching only 01-02: its fresh version must carry old + new,
+    // 01-01 keeps its version untouched
+    val beforeAppend = log.currentVersion(table.name).asInstanceOf[PartitionedTableVersion]
+    spark.sql("INSERT INTO graftcat.cdb.dml_part VALUES (3, 'c', '2024-01-02')")
+    spark.sql("SELECT id FROM graftcat.cdb.dml_part ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L, 3L)
+    val afterAppend = log.currentVersion(table.name).asInstanceOf[PartitionedTableVersion]
+    val p1 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    val p2 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-02"))
+    afterAppend.partitionVersions(p1) shouldBe beforeAppend.partitionVersions(p1)
+    afterAppend.partitionVersions(p2) should not be beforeAppend.partitionVersions(p2)
+
+    // overwrite = reference insert semantics: replaces the touched partition
+    spark.sql("INSERT OVERWRITE graftcat.cdb.dml_part VALUES (9, 'z', '2024-01-02')")
+    spark.sql("SELECT id FROM graftcat.cdb.dml_part ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 9L)
+
+    // every DML statement above is one commit — all time-travelable
+    log.updates(table.name) should have size 4 // init + 3 inserts
+    val appendCommit = log.updates(table.name)(1).id
+    spark.sql(
+      s"SELECT id FROM graftcat.cdb.dml_part VERSION AS OF '${appendCommit.id}' ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("snapshot SQL DML: INSERT INTO unions with current, OVERWRITE replaces") {
+    val table = TableDefinition(
+      TableName("cdb", "dml_snap"),
+      Files.createTempDirectory("graft_cat_dml_snap").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table, Some(new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false).add("label", "string")))
+
+    spark.sql("INSERT INTO graftcat.cdb.dml_snap VALUES (1, 'a')")
+    spark.sql("INSERT INTO graftcat.cdb.dml_snap VALUES (2, 'b')")
+    spark.sql("SELECT id FROM graftcat.cdb.dml_snap ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L)
+    spark.sql("INSERT OVERWRITE graftcat.cdb.dml_snap VALUES (5, 'e')")
+    spark.sql("SELECT id, label FROM graftcat.cdb.dml_snap")
+      .as[CatRow].collect() shouldBe Array(CatRow(5, "e"))
+  }
+
   test("SQL joins across catalog tables and the read-only contract") {
     spark.sql(
       """SELECT s.label, p.label FROM graftcat.cdb.snap s
@@ -90,6 +148,7 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception](spark.sql("DROP TABLE graftcat.cdb.snap").collect())
     e.getMessage should include("read-only")
     spark.sql("SHOW TABLES IN graftcat.cdb").collect()
-      .map(_.getString(1)).sorted shouldBe Array("part", "snap", "snap_orc")
+      .map(_.getString(1)).sorted shouldBe
+      Array("dml_part", "dml_snap", "part", "snap", "snap_orc")
   }
 }
