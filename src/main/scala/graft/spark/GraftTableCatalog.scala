@@ -54,8 +54,10 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    version carries their current rows plus the inserted ones (untouched
  *    partitions keep their version), so SQL append never mutates an
  *    immutable version dir.
- * Catalog DDL (`createTable` & co.) still rejects: table creation is
- * caller-side, as in the reference (`examples/.../TableLoader.scala:29-35`).
+ * DDL: `CREATE TABLE … LOCATION` builds + inits + registers an external
+ * versioned table (the SQL spelling of the reference's caller-side DDL,
+ * `examples/.../TableLoader.scala:29-35`); `DROP TABLE` unregisters without
+ * touching data or history; ALTER/RENAME reject.
  */
 final class GraftTableCatalog extends TableCatalog {
   import GraftTableCatalog._
@@ -142,22 +144,61 @@ final class GraftTableCatalog extends TableCatalog {
     }
   }
 
-  // -- writes go through versionedInsertInto, never through catalog DDL --
-
+  /** `CREATE TABLE … USING parquet|orc [PARTITIONED BY (identity cols)]
+    * LOCATION '…'` — the SQL spelling of caller-side table creation (the
+    * reference initialises its tables with exactly such DDL,
+    * `examples/.../TableLoader.scala:29-35`): build the `TableDefinition`,
+    * init the commit log (idempotent), register the schema so the empty
+    * table is immediately addressable. Tables are always external — DROP
+    * unregisters without touching data or history. */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created caller-side and written via versionedInsertInto")
+      properties: util.Map[String, String]): Table = {
+    val tableName = tableNameOf(ident)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+      throw new IllegalArgumentException(
+        "graft tables are external: CREATE TABLE requires a LOCATION"))
+    val uri = {
+      val raw = new java.net.URI(location)
+      if (raw.getScheme != null) raw
+      else java.nio.file.Paths.get(location).toAbsolutePath.toUri
+    }
+    val partCols = partitions.toList.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity partitioning only, got $t")
+      PartitionColumn(t.references.head.fieldNames.mkString("."))
+    }
+    val format = Option(properties.get(TableCatalog.PROP_PROVIDER)).map(_.toLowerCase) match {
+      case Some("orc")             => FileFormat.Orc
+      case None | Some("parquet")  => FileFormat.Parquet
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported graft table format: $other")
+    }
+    val defn = TableDefinition(
+      tableName, uri,
+      if (partCols.isEmpty) PartitionSchema.snapshot else PartitionSchema(partCols),
+      format)
+    binding.log.init(
+      tableName, defn.isSnapshot, UserId("sql"),
+      UpdateMessage("CREATE TABLE (SQL)"), java.time.Instant.now())
+    binding.vms.map(_.metastore).foreach {
+      case m: InMemoryMetastore => m.register(defn)
+      case _                    => ()
+    }
+    binding.tables.put(tableName.fullyQualifiedName, (defn, Some(schema)))
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
 
+  /** External-table semantics: forget the catalog entry; data, versions,
+    * and commit history stay on disk untouched. */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    binding.tables.remove(tableNameOf(ident).fullyQualifiedName).isDefined
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not support RENAME")
 }
 
 /** V2 table wrapper: reads pass straight through to Spark's file table;

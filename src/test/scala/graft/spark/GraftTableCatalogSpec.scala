@@ -145,10 +145,37 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
         |JOIN graftcat.cdb.part p ON s.id = p.id""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))) shouldBe Array(("v2a", "c"))
 
-    val e = intercept[Exception](spark.sql("DROP TABLE graftcat.cdb.snap").collect())
-    e.getMessage should include("read-only")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.cdb.snap SET TBLPROPERTIES ('a'='b')").collect())
+    e.getMessage should include("ALTER TABLE")
     spark.sql("SHOW TABLES IN graftcat.cdb").collect()
       .map(_.getString(1)).sorted shouldBe
       Array("dml_part", "dml_snap", "part", "snap", "snap_orc")
+  }
+
+  test("full SQL lifecycle: CREATE TABLE, INSERT, SELECT, DROP leaves data + history") {
+    val loc = Files.createTempDirectory("graft_cat_create").toUri.toString
+    spark.sql(
+      s"""CREATE TABLE graftcat.cdb.sqlmade (id BIGINT, label STRING, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+
+    spark.sql("INSERT INTO graftcat.cdb.sqlmade VALUES (1, 'a', '2024-01-01'), (2, 'b', '2024-01-02')")
+    spark.sql("SELECT id FROM graftcat.cdb.sqlmade ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L)
+
+    // the SQL-created table is a first-class versioned table in the log
+    val name = TableName("cdb", "sqlmade")
+    log.updates(name).map(_.message.content) shouldBe
+      List("INSERT INTO (SQL)", "CREATE TABLE (SQL)")
+
+    // DROP = external semantics: catalog forgets, data + history survive
+    spark.sql("DROP TABLE graftcat.cdb.sqlmade")
+    spark.sql("SHOW TABLES IN graftcat.cdb").collect()
+      .map(_.getString(1)) should not contain "sqlmade"
+    log.updates(name) should have size 2
+    log.currentVersion(name) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 2
+      case other                        => fail(s"unexpected $other")
+    }
   }
 }
