@@ -12,6 +12,7 @@ import graft.core.TableVersions.CommitId
  *   TableVersionsCli <logDir> history  <schema.table>
  *   TableVersionsCli <logDir> current  <schema.table>
  *   TableVersionsCli <logDir> checkout <schema.table> <commitId>
+ *   TableVersionsCli <logDir> diff     <schema.table> <fromCommit> <toCommit>
  */
 object TableVersionsCli {
 
@@ -39,8 +40,31 @@ object TableVersionsCli {
         log.setCurrentVersion(table, CommitId(commit))
         out(s"checked out $commit")
       }
+    case logDir :: "diff" :: name :: from :: to :: Nil =>
+      // metadata twin of VersionedReader.readChanges: which partitions an
+      // incremental job would have to process between the two commits
+      withTable(logDir, name) { (log, table) =>
+        (log.versionAt(table, CommitId(from)), log.versionAt(table, CommitId(to))) match {
+          case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
+            out(if (a == b) "unchanged" else s"snapshot: ${a.label} -> ${b.label}")
+          case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
+            val changed = pb.toSeq
+              .filter { case (p, v) => !pa.get(p).contains(v) }
+              .sortBy(_._1.hivePath)
+            val removed = (pa.keySet -- pb.keySet).toSeq.sortBy(_.hivePath)
+            if (changed.isEmpty && removed.isEmpty) out("unchanged")
+            changed.foreach { case (p, v) =>
+              val kind = if (pa.contains(p)) "replaced" else "added"
+              out(s"${p.hivePath} -> ${v.label} ($kind)")
+            }
+            removed.foreach(p => out(s"${p.hivePath} (removed)"))
+          case _ => out("table changed partitioning shape between commits")
+        }
+      }
     case _ =>
-      out("usage: TableVersionsCli <logDir> (history|current) <schema.table> | <logDir> checkout <schema.table> <commitId>")
+      out("usage: TableVersionsCli <logDir> (history|current) <schema.table> | " +
+        "<logDir> checkout <schema.table> <commitId> | " +
+        "<logDir> diff <schema.table> <fromCommit> <toCommit>")
   }
 
   private def withTable(logDir: String, name: String)(

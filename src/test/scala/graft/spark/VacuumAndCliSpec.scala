@@ -149,4 +149,29 @@ class CliSpec extends AnyFunSuite with Matchers {
     JsonFileTableVersions(dir).currentVersion(tbl) shouldBe
       SnapshotTableVersion(Version.Unversioned)
   }
+
+  test("diff lists added / replaced / removed partitions between commits") {
+    val dir = Files.createTempDirectory("graft_cli_diff").toString
+    val log = JsonFileTableVersions(dir)
+    val tbl = TableName("db", "clidiff")
+    log.init(tbl, isSnapshot = false, UserId("cli"), UpdateMessage("init"), Instant.now())
+    val pa = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    val pb = Partition(ColumnValue(PartitionColumn("date"), "2024-01-02"))
+    val (v1, v2) = (Version.generateVersion(), Version.generateVersion())
+    log.commit(tbl, TableUpdate(UserId("cli"), UpdateMessage("c1"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pa, v1), TableOperation.AddPartitionVersion(pb, v1))))
+    val c1 = log.updates(tbl).head.id
+    log.commit(tbl, TableUpdate(UserId("cli"), UpdateMessage("c2"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pb, v2), TableOperation.RemovePartition(pa))))
+    val c2 = log.updates(tbl).head.id
+
+    val out = scala.collection.mutable.Buffer[String]()
+    graft.cli.TableVersionsCli.run(Array(dir, "diff", "db.clidiff", c1.id, c2.id), out += _)
+    out.mkString("\n") should include(s"date=2024-01-02 -> ${v2.label} (replaced)")
+    out.mkString("\n") should include("date=2024-01-01 (removed)")
+
+    out.clear()
+    graft.cli.TableVersionsCli.run(Array(dir, "diff", "db.clidiff", c2.id, c2.id), out += _)
+    out.mkString shouldBe "unchanged"
+  }
 }
