@@ -520,6 +520,20 @@ object Pipeline {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** E8: incremental exact dedup — a NEW batch (odd doc_ids stand in for
+    * today's arrivals) deduped against the EXISTING corpus (even doc_ids)
+    * by content-hash anti-join: the shape every production ingest runs,
+    * where the corpus side is a stored fingerprint table and arrivals never
+    * trigger an all-corpus rescan. Only 256-bit hashes shuffle. */
+  def e8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").withColumn("h", sha2(col("text"), 256))
+    val corpus = docs.where(col("doc_id") % 2 === 0).select("h")
+    docs.where(col("doc_id") % 2 === 1)
+      .join(corpus, Seq("h"), "left_anti")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

@@ -583,6 +583,13 @@ object Registry {
              |SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE))), 6) AS mean_log_tf
              |FROM toks JOIN freq USING (token)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    "e8_incremental_dedup" -> Entry(
+      Pipeline.e8IncrementalDedup,
+      // text equality ≡ sha2 equality modulo collisions (same note as e1)
+      Some("""SELECT doc_id, n_chars FROM documents b
+             |WHERE doc_id % 2 = 1 AND NOT EXISTS (
+             |  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+             |ORDER BY doc_id""".stripMargin)),
     "e7_dup_clusters" -> Entry(
       Pipeline.e7DupClusters,
       // transitive closure of the e2 pair graph via recursive CTE; the
@@ -618,6 +625,19 @@ object Registry {
              |       event_type, count(*) AS n_events,
              |       round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin)),
+
+    "s02_stream_sliding" -> Entry(
+      StreamingQueries.s02StreamSlidingCounts,
+      // sliding (1h, 30m) windows are epoch-aligned: an event belongs to
+      // exactly the two 30-minute-grid starts within the past hour
+      Some("""WITH b AS (SELECT date_trunc('hour', ts)
+             |       + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+             |              ELSE INTERVAL 0 MINUTE END AS bkt,
+             |       event_type FROM events),
+             |w AS (SELECT bkt - k * INTERVAL 30 MINUTE AS w_start, event_type
+             |      FROM b, generate_series(0, 1) g(k))
+             |SELECT w_start, event_type, count(*) AS n_events
+             |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(

@@ -18,19 +18,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** S1: tumbling 1-hour event counts computed BY THE STREAMING ENGINE
-    * (micro-batch execution, complete output) over the events parquet. */
-  def s01StreamTumblingCounts(s: SparkSession, dir: String): DataFrame = {
+  /** Run `transform` over the streamed events file into a fresh memory
+    * sink, blocking until the AvailableNow micro-batches drain; returns the
+    * sink as a bounded DataFrame. */
+  private def runEventStream(
+      s: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     // static load first: resolves the schema a file stream must declare and
     // pins the nanos-as-long parquet conf the stream read needs too
     val schema = Tables.load(s, dir, "events").schema
-    val sinkName = s"graft_s01_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val sinkName = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream the events file only
       .parquet(dir)
       .withColumn("t", Tables.tsTimestamp("ts"))
-    val query = graft.streaming.Streams
-      .tumblingCounts(stream, tsCol = "t", width = "1 hour", watermark = "1 hour")
+    val query = transform(stream)
       .writeStream
       .format("memory")
       .queryName(sinkName)
@@ -40,9 +42,25 @@ object StreamingQueries {
     query.awaitTermination()
     query.stop()
     s.table(sinkName)
+  }
+
+  /** S1: tumbling 1-hour event counts computed BY THE STREAMING ENGINE
+    * (micro-batch execution, complete output) over the events parquet. */
+  def s01StreamTumblingCounts(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s01")(
+      graft.streaming.Streams.tumblingCounts(_, tsCol = "t", width = "1 hour", watermark = "1 hour"))
       .select(
         col("w_start"), col("w_end"), col("event_type"),
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy("w_start", "event_type")
-  }
+
+  /** S2: sliding 1-hour/30-minute event counts through the streaming
+    * engine — every event lands in exactly two overlapping windows, both
+    * epoch-aligned, so the SQL oracle reproduces the window starts. */
+  def s02StreamSlidingCounts(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s02")(
+      graft.streaming.Streams.slidingCounts(
+        _, tsCol = "t", width = "1 hour", slide = "30 minutes", watermark = "1 hour"))
+      .select(col("w_start"), col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
 }
