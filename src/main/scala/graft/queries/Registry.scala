@@ -206,6 +206,13 @@ object Registry {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "q10c_grouping_sets" -> Entry(
+      Relational.q10cGroupingSets,
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
     "q11_approx_distinct" -> Entry(Relational.q11ApproxDistinct, None),
     "q12_window_rank" -> Entry(
       Relational.q12WindowRank,

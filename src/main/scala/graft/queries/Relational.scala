@@ -180,6 +180,18 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Q10: explicit GROUPING SETS via SQL text — the general form rollup and
+    * cube specialize; the grouped-but-absent columns null out per set. */
+  def q10cGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "lineitem").createOrReplaceTempView("graft_q10c_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(1) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM graft_q10c_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** Q11: HLL approximate distinct — sketch values are engine-specific, so
     * this entry has no oracle SQL (driver records a rows-only check). */
   def q11ApproxDistinct(s: SparkSession, dir: String): DataFrame =
