@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+  Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
@@ -20,7 +21,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core._
-import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
+import graft.core.TableVersions.{CommitId, TableOperation, TableUpdate, UpdateMessage, UserId}
 import graft.spark.VersionContext.DatasetVersionOps
 
 /**
@@ -202,12 +203,17 @@ final class GraftTableCatalog extends TableCatalog {
 }
 
 /** V2 table wrapper: reads pass straight through to Spark's file table;
-  * writes become versioned commits (see the catalog scaladoc). */
+  * writes become versioned commits (see the catalog scaladoc); DELETE is
+  * supported at PARTITION granularity — a predicate over partition columns
+  * only commits `RemovePartition` operations, so the delete is one more
+  * time-travelable entry in the history and no data file is touched
+  * (vacuum reclaims unreferenced version dirs later). Row-level deletes
+  * reject at analysis (`canDeleteWhere` = false). */
 private[spark] final class GraftV2Table(
     defn: TableDefinition,
     binding: GraftTableCatalog.Binding,
     delegate: Table)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
@@ -225,6 +231,53 @@ private[spark] final class GraftV2Table(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  private val partitionColNames = defn.partitionSchema.columns.map(_.name).toSet
+
+  /** True only for predicates decidable from partition VALUES alone. */
+  private def partitionOnly(f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, _) => partitionColNames(a)
+      case In(a, _)      => partitionColNames(a)
+      case And(l, r)     => partitionOnly(l) && partitionOnly(r)
+      case Or(l, r)      => partitionOnly(l) && partitionOnly(r)
+      case _             => false
+    }
+  }
+
+  private def matches(p: Partition, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    // partition values are strings in the version model; Spark may hand the
+    // literal back typed (e.g. java.sql.Date from partition-type inference),
+    // so compare on the rendered form
+    val values = p.columnValues.map(cv => cv.column.name -> cv.value).toMap
+    f match {
+      case EqualTo(a, v) => values.get(a).contains(String.valueOf(v))
+      case In(a, vs)     => vs.exists(v => values.get(a).contains(String.valueOf(v)))
+      case And(l, r)     => matches(p, l) && matches(p, r)
+      case Or(l, r)      => matches(p, l) || matches(p, r)
+      case _             => false
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !defn.isSnapshot && filters.forall(partitionOnly)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val current = binding.log.currentVersion(defn.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"partition delete does not apply to $other")
+    }
+    val doomed = current.keys.filter(p => filters.forall(matches(p, _))).toList
+    if (doomed.nonEmpty) {
+      val update = TableUpdate(
+        UserId("sql"), UpdateMessage("DELETE (SQL)"), java.time.Instant.now(),
+        doomed.map(TableOperation.RemovePartition(_)))
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, update)
+      ()
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
@@ -253,20 +306,24 @@ private[spark] object GraftV2Table {
       case _ => Some(VersionedReader(spark, binding.log).read(defn))
     }
 
+  /** The caller's metastore when one is bound — SQL writes then sync their
+    * catalog exactly like the Scala API — else a throwaway in-memory one
+    * (the commit-log append IS the commit, SURVEY §7.2). */
+  private[spark] def metastoreFor(
+      binding: GraftTableCatalog.Binding, defn: TableDefinition): VersionedMetastore =
+    binding.vms.getOrElse {
+      val ms = new InMemoryMetastore
+      ms.register(defn)
+      VersionedMetastore(binding.log, ms)
+    }
+
   private[spark] def insertVersioned(
       defn: TableDefinition,
       binding: GraftTableCatalog.Binding,
       data: DataFrame,
       overwrite: Boolean): Unit = {
     val spark = data.sparkSession
-    // sync the caller's metastore when one is bound; otherwise a throwaway
-    // in-memory one (the commit-log append IS the commit — SURVEY §7.2)
-    val vm = binding.vms.getOrElse {
-      val ms = new InMemoryMetastore
-      ms.register(defn)
-      VersionedMetastore(binding.log, ms)
-    }
-    val ctx = VersionContext(vm)
+    val ctx = VersionContext(metastoreFor(binding, defn))
     val message =
       UpdateMessage(if (overwrite) "INSERT OVERWRITE (SQL)" else "INSERT INTO (SQL)")
     val toWrite =

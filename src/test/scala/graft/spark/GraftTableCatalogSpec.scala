@@ -153,6 +153,35 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       Array("dml_part", "dml_snap", "part", "snap", "snap_orc")
   }
 
+  test("DELETE FROM removes whole partitions as a time-travelable commit") {
+    val table = TableDefinition(
+      TableName("cdb", "del_part"),
+      Files.createTempDirectory("graft_cat_del").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(
+      CatEvent(1, "a", "2024-01-01"),
+      CatEvent(2, "b", "2024-01-02"),
+      CatEvent(3, "c", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val beforeDelete = log.updates(table.name).head.id
+
+    spark.sql("DELETE FROM graftcat.cdb.del_part WHERE date = '2024-01-02'")
+    spark.sql("SELECT id FROM graftcat.cdb.del_part")
+      .as[Long].collect() shouldBe Array(1L)
+    // the delete is a commit: history grew, and time travel resurrects
+    log.updates(table.name).head.message.content shouldBe "DELETE (SQL)"
+    spark.sql(
+      s"SELECT id FROM graftcat.cdb.del_part VERSION AS OF '${beforeDelete.id}' ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L, 3L)
+
+    // row-level predicates reject at analysis — only partition granularity
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM graftcat.cdb.del_part WHERE id = 1").collect())
+    e.getMessage.toLowerCase should include("delete")
+  }
+
   test("full SQL lifecycle: CREATE TABLE, INSERT, SELECT, DROP leaves data + history") {
     val loc = Files.createTempDirectory("graft_cat_create").toUri.toString
     spark.sql(
