@@ -534,6 +534,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** E9: deterministic hash-based stratified sampling — the reproducible
+    * way to subsample a training corpus. `rand()` draws differently on
+    * every run/retry; an affine hash of the document key gives each doc a
+    * STABLE pseudo-random cell in [0, 1000), and per-language rates then
+    * keep different fractions per stratum (the data-mixing knob: here 10%
+    * of English, 30% of everything else, upweighting the low-resource
+    * strata). Map-only select + partial/final agg; the modular arithmetic
+    * is portable, so the oracle reproduces the exact sample. */
+  def e9StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .withColumn("cell", expr("(doc_id * 2654435761 + 40503) % 1000000007 % 1000"))
+      .where(
+        (col("lang") === "en" && col("cell") < 100) ||
+          (col("lang") =!= "en" && col("cell") < 300))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum("doc_id").as("id_checksum"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

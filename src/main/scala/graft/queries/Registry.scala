@@ -590,6 +590,16 @@ object Registry {
              |SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE))), 6) AS mean_log_tf
              |FROM toks JOIN freq USING (token)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    "e9_stratified_sample" -> Entry(
+      Pipeline.e9StratifiedSample,
+      Some("""WITH c AS (SELECT *, (doc_id * 2654435761 + 40503) % 1000000007 % 1000 AS cell
+             |           FROM documents)
+             |SELECT lang, count(*) AS n_sampled,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM c
+             |WHERE (lang = 'en' AND cell < 100) OR (lang <> 'en' AND cell < 300)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
     "e8_incremental_dedup" -> Entry(
       Pipeline.e8IncrementalDedup,
       // text equality ≡ sha2 equality modulo collisions (same note as e1)
