@@ -252,15 +252,18 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
                 // if the old holder released and a NEW writer acquired
                 // between the re-read and the move, the moved file carries
                 // the new writer's token — restore it rather than admitting
-                // a second writer. (A failure of the restore itself means a
-                // third waiter already re-created the lock; nothing can make
-                // the stolen incarnation whole then, so leave the corpse for
-                // inspection instead of silently deleting a live lock.)
+                // a second writer. The restore is a PLAIN move (refuses an
+                // existing target): an ATOMIC_MOVE maps to rename(2) on
+                // Linux, which silently REPLACES a third waiter's freshly
+                // created lock — exactly the double-writer admission this
+                // path exists to prevent. If the restore loses that race,
+                // the corpse is left for inspection; deleting it would
+                // release a live writer's lock.
                 val movedToken =
                   try Some(new String(Files.readAllBytes(corpse), StandardCharsets.UTF_8))
                   catch { case _: java.io.IOException => None }
                 if (movedToken == after) Files.deleteIfExists(corpse)
-                else Files.move(corpse, lock, StandardCopyOption.ATOMIC_MOVE)
+                else Files.move(corpse, lock)
               } catch { case _: java.io.IOException => () }
             }
           } else Thread.sleep(LockRetryMs)

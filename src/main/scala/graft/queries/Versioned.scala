@@ -117,7 +117,7 @@ object Versioned {
       .repartition(8) // fragment: 8 writer tasks → 8 files per partition
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
     graft.spark.Compaction.compact(
-      s, ctx, log, table, user, UpdateMessage("v2: compacted"))
+      s, ctx, table, user, UpdateMessage("v2: compacted"))
     VersionedReader(s, log).read(table)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))

@@ -36,14 +36,15 @@ object Compaction {
   def compact(
       spark: SparkSession,
       ctx: VersionContext,
-      log: TableVersions,
       table: TableDefinition,
       userId: UserId,
       message: UpdateMessage,
       maxFiles: Int = 1,
       filesPerPartition: Int = 1): (TableVersion, TableChanges) = {
     require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
-    val current = VersionedReader(spark, log).read(table)
+    // read through the SAME log the commit lands in — a separately-passed
+    // log could resolve a different history than the one being committed to
+    val current = VersionedReader(spark, ctx.metastore.tableVersions).read(table)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
       else {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{broadcast, col}
@@ -48,9 +48,11 @@ import graft.spark.VersionContext.DatasetVersionOps
  * SQL DML routes onto the SAME versioned write path the Scala API uses
  * (`versionedInsertInto`, via a `V1Write` fallback that hands the resolved
  * DataFrame back to the driver):
- *  - `INSERT OVERWRITE` = the reference's insert semantics — a fresh
- *    version replacing the whole snapshot / exactly the partitions present
- *    in the data;
+ *  - `INSERT OVERWRITE` = standard SQL STATIC overwrite — the whole table
+ *    is replaced (new versions for written partitions plus a metadata-only
+ *    prune commit removing partitions absent from the data). Hive-style
+ *    replace-touched-only semantics stay available through the Scala
+ *    `versionedInsertInto`;
  *  - `INSERT INTO` = copy-on-write append — the touched partitions' new
  *    version carries their current rows plus the inserted ones (untouched
  *    partitions keep their version), so SQL append never mutates an
@@ -145,6 +147,14 @@ final class GraftTableCatalog extends TableCatalog {
     }
   }
 
+  /** Some(isSnapshot) when the commit log already tracks `name`. */
+  private def existingShape(name: TableName): Option[Boolean] =
+    try Some(binding.log.currentVersion(name) match {
+      case _: SnapshotTableVersion    => true
+      case _: PartitionedTableVersion => false
+    })
+    catch { case _: Exception => None } // untracked — fresh create
+
   /** `CREATE TABLE … USING parquet|orc [PARTITIONED BY (identity cols)]
     * LOCATION '…'` — the SQL spelling of caller-side table creation (the
     * reference initialises its tables with exactly such DDL,
@@ -179,6 +189,19 @@ final class GraftTableCatalog extends TableCatalog {
       tableName, uri,
       if (partCols.isEmpty) PartitionSchema.snapshot else PartitionSchema(partCols),
       format)
+    // init is idempotent, so a name whose commit history survived an
+    // earlier DROP (external semantics) would be silently ADOPTED — and a
+    // shape mismatch would resolve old version labels against the new
+    // definition. Surface the conflict instead of handing back a "fresh"
+    // table that reads someone else's history.
+    existingShape(tableName).foreach { wasSnapshot =>
+      if (wasSnapshot != defn.isSnapshot)
+        throw new IllegalStateException(
+          s"table ${tableName.fullyQualifiedName} already has " +
+            s"${if (wasSnapshot) "snapshot" else "partitioned"} commit history in this log; " +
+            "CREATE TABLE with a different partitioning cannot adopt it — " +
+            "use a fresh table name or the matching partitioning")
+    }
     binding.log.init(
       tableName, defn.isSnapshot, UserId("sql"),
       UpdateMessage("CREATE TABLE (SQL)"), java.time.Instant.now())
@@ -221,13 +244,16 @@ private[spark] final class GraftV2Table(
   override def properties(): util.Map[String, String] = delegate.properties()
 
   // deliberately NOT the delegate's capabilities: the file table's own
-  // BATCH_WRITE would write files into an immutable version dir
+  // BATCH_WRITE would write files into an immutable version dir. No
+  // OVERWRITE_DYNAMIC either — Spark would then plan
+  // OverwritePartitionsDynamicExec, which has no V1 fallback and would
+  // crash on write.toBatch; without the capability, dynamic conf falls
+  // back to the truncate path below
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
@@ -246,15 +272,32 @@ private[spark] final class GraftV2Table(
     }
   }
 
+  /** Partition values are STRINGS in the version model, but Spark's
+    * partition-type inference may hand the literal back typed — and
+    * re-rendered: `hour=01` infers as int 1, whose `String.valueOf` ("1")
+    * no longer equals the stored "01". Compare in the LITERAL's domain by
+    * parsing the stored string, so a canonical-form mismatch can't turn a
+    * DELETE into a silent no-op. */
+  private def valueMatches(stored: String, literal: Any): Boolean = literal match {
+    case null => false
+    case v: java.lang.Number =>
+      // tolerate padded/decimal renderings: compare numerically
+      scala.util.Try(BigDecimal(stored.trim) == BigDecimal(v.toString)).getOrElse(false)
+    case v: java.lang.Boolean =>
+      stored.trim.equalsIgnoreCase(v.toString)
+    case v: java.sql.Date =>
+      scala.util.Try(java.sql.Date.valueOf(stored.trim).equals(v)).getOrElse(false)
+    case v: java.time.LocalDate =>
+      scala.util.Try(java.time.LocalDate.parse(stored.trim) == v).getOrElse(false)
+    case v => stored == String.valueOf(v)
+  }
+
   private def matches(p: Partition, f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
-    // partition values are strings in the version model; Spark may hand the
-    // literal back typed (e.g. java.sql.Date from partition-type inference),
-    // so compare on the rendered form
     val values = p.columnValues.map(cv => cv.column.name -> cv.value).toMap
     f match {
-      case EqualTo(a, v) => values.get(a).contains(String.valueOf(v))
-      case In(a, vs)     => vs.exists(v => values.get(a).contains(String.valueOf(v)))
+      case EqualTo(a, v) => values.get(a).exists(valueMatches(_, v))
+      case In(a, vs)     => vs.exists(v => values.get(a).exists(valueMatches(_, v)))
       case And(l, r)     => matches(p, l) && matches(p, r)
       case Or(l, r)      => matches(p, l) || matches(p, r)
       case _             => false
@@ -280,10 +323,9 @@ private[spark] final class GraftV2Table(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def overwriteDynamicPartitions(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -340,6 +382,24 @@ private[spark] object GraftV2Table {
           data.unionByName(current.join(broadcast(touched), partCols, "left_semi"))
       }
     toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
+    if (overwrite && !defn.isSnapshot) {
+      // SQL INSERT OVERWRITE is a STATIC whole-table replace: partitions
+      // absent from the new data must go too (the Scala API's
+      // versionedInsertInto keeps Hive-style replace-touched-only
+      // semantics). The prune is a second, metadata-only commit — readers
+      // between the two see the same transient merged state the
+      // reference's non-atomic commit→metastore sync already exposes.
+      val written = VersionContext.partitionValues(data, defn.partitionSchema).toSet
+      val stale = binding.log.currentVersion(defn.name) match {
+        case PartitionedTableVersion(pvs) => pvs.keySet.diff(written).toList
+        case _                            => Nil
+      }
+      if (stale.nonEmpty) {
+        ctx.metastore.commit(defn.name, TableUpdate(
+          UserId("sql"), UpdateMessage("INSERT OVERWRITE prune (SQL)"),
+          java.time.Instant.now(), stale.map(TableOperation.RemovePartition(_))))
+      }
+    }
     ()
   }
 }

@@ -43,14 +43,25 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     val vTo = log.versionAt(table.name, to)
     (vFrom, vTo) match {
       case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
-        if (a == b) spark.emptyDataFrame else materialize(table, vTo)
+        if (a == b) emptyLike(table, vTo) else materialize(table, vTo)
       case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
         val changed = pb.filter { case (p, v) => !pa.get(p).contains(v) }
-        materialize(table, PartitionedTableVersion(changed))
+        if (changed.isEmpty) emptyLike(table, vTo)
+        else materialize(table, PartitionedTableVersion(changed))
       case _ =>
         sys.error(
           s"table ${table.name.fullyQualifiedName} changed partitioning shape between commits")
     }
+  }
+
+  /** Zero rows WITH the table's schema — an incremental consumer's selects
+    * and aggregations must keep resolving on quiet intervals (the steady
+    * state), not crash on a schema-less frame. Only a never-written table,
+    * which has no schema anywhere, degrades to the schema-less empty. */
+  private def emptyLike(table: TableDefinition, tv: TableVersion): DataFrame = tv match {
+    case SnapshotTableVersion(v) if v == Version.Unversioned => spark.emptyDataFrame
+    case PartitionedTableVersion(m) if m.isEmpty             => spark.emptyDataFrame
+    case _ => materialize(table, tv).limit(0)
   }
 
   private def materialize(table: TableDefinition, tv: TableVersion): DataFrame = {

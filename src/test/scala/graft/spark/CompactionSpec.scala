@@ -43,7 +43,7 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     val fragVersionDir = fragDirs.next()
     dataFiles(fragVersionDir) should be > 1L
 
-    Compaction.compact(spark, ctx, log, table, user, UpdateMessage("v2: compacted"))
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("v2: compacted"))
 
     val reader = VersionedReader(spark, log)
     reader.read(table).as[Event].collect().sortBy(_.id) shouldBe events.toArray
@@ -72,7 +72,7 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     users.toDS().repartition(6)
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
 
-    Compaction.compact(spark, ctx, log, table, user, UpdateMessage("v2: compacted"), maxFiles = 2)
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("v2: compacted"), maxFiles = 2)
 
     val reader = VersionedReader(spark, log)
     reader.read(table).as[User].collect().sortBy(_.id) shouldBe users.toArray

@@ -108,14 +108,16 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     afterAppend.partitionVersions(p1) shouldBe beforeAppend.partitionVersions(p1)
     afterAppend.partitionVersions(p2) should not be beforeAppend.partitionVersions(p2)
 
-    // overwrite = reference insert semantics: replaces the touched partition
+    // overwrite = standard SQL static semantics: the WHOLE table is
+    // replaced — the untouched 01-01 partition is pruned too
     spark.sql("INSERT OVERWRITE graftcat.cdb.dml_part VALUES (9, 'z', '2024-01-02')")
     spark.sql("SELECT id FROM graftcat.cdb.dml_part ORDER BY id")
-      .as[Long].collect() shouldBe Array(1L, 9L)
+      .as[Long].collect() shouldBe Array(9L)
 
-    // every DML statement above is one commit — all time-travelable
-    log.updates(table.name) should have size 4 // init + 3 inserts
-    val appendCommit = log.updates(table.name)(1).id
+    // every DML effect is a commit — all time-travelable (the static
+    // overwrite is two: the write plus the metadata-only prune)
+    log.updates(table.name) should have size 5
+    val appendCommit = log.updates(table.name)(2).id
     spark.sql(
       s"SELECT id FROM graftcat.cdb.dml_part VERSION AS OF '${appendCommit.id}' ORDER BY id")
       .as[Long].collect() shouldBe Array(1L, 2L, 3L)

@@ -212,8 +212,11 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
       .select("id", "kind", "date").as[(Long, String, String)].collect()
     changed shouldBe Array((3L, "purchase", "2024-01-02"))
 
-    // no movement between a commit and itself
-    reader.readChanges(table, v2, v2).count() shouldBe 0
+    // no movement between a commit and itself — and the quiet-interval
+    // result still carries the table schema (consumers keep resolving)
+    val quiet = reader.readChanges(table, v2, v2)
+    quiet.count() shouldBe 0
+    quiet.columns should contain allOf ("id", "kind", "date")
   }
 
   test("readChanges on a snapshot table: whole new snapshot, or nothing") {
@@ -229,7 +232,9 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
     val reader = VersionedReader(spark, log)
     reader.readChanges(table, v1, v2).as[User].collect().sortBy(_.id) shouldBe
       Array(User(1, "ada"), User(2, "bob"))
-    reader.readChanges(table, v1, v1).count() shouldBe 0
+    val quiet = reader.readChanges(table, v1, v1)
+    quiet.count() shouldBe 0
+    quiet.columns should contain allOf ("id", "name")
   }
 
   test("durable log: versioned writes survive a reopened JsonFileTableVersions") {
