@@ -116,6 +116,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Join" // the scalable as-of shape has no join
   }
 
+  test("e8: incremental dedup is a hash anti-join on the content hash") {
+    val p = plan("e8_incremental_dedup")
+    p should include("LeftAnti")
+    p should include("sha2")
+    p should not include "CartesianProduct"
+  }
+
+  test("e9: stratified sampling is filter + partial/final agg — no join, no window") {
+    val p = plan("e9_stratified_sample")
+    p should include("HashAggregate")
+    p should not include "Join"
+    p should not include "Window"
+  }
+
   test("q29: salted join keys carry the deterministic salt, no cross product") {
     val p = plan("q29_skew_join")
     // the salt is xxhash64-derived (not rand(): retried tasks must re-salt
