@@ -208,5 +208,20 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       case PartitionedTableVersion(pvs) => pvs should have size 2
       case other                        => fail(s"unexpected $other")
     }
+
+    // re-CREATE with a conflicting shape must not silently adopt the
+    // surviving partitioned history as a "fresh" snapshot table
+    val loc2 = Files.createTempDirectory("graft_cat_create2").toUri.toString
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graftcat.cdb.sqlmade (id BIGINT, label STRING, date STRING) " +
+        s"USING parquet LOCATION '$loc2'"))
+    e.getMessage should include("commit history")
+    // matching shape re-adopts the history cleanly (same-shape re-create)
+    spark.sql(
+      s"""CREATE TABLE graftcat.cdb.sqlmade (id BIGINT, label STRING, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql("SELECT id FROM graftcat.cdb.sqlmade ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 2L)
+    spark.sql("DROP TABLE graftcat.cdb.sqlmade")
   }
 }
