@@ -82,17 +82,21 @@ final class GraftTableCatalog extends TableCatalog {
     bindings.getOrElse(catalogName,
       throw new IllegalStateException(
         s"GraftTableCatalog '$catalogName' is not bound: call GraftTableCatalog.bind " +
-          "or set spark.sql.catalog.$name.logDir"))
+          s"or set spark.sql.catalog.$catalogName.logDir"))
 
-  private def tableNameOf(ident: Identifier): TableName = {
-    require(ident.namespace.length == 1,
-      s"graft tables are schema.name; got ${ident.toString}")
-    TableName(ident.namespace.head, ident.name)
-  }
+  /** None when the identifier cannot name a graft table (depth ≠ 1): such
+    * identifiers must surface as not-found, never as an analysis-aborting
+    * IllegalArgumentException — `IF EXISTS` and analyzer fallbacks only
+    * suppress NoSuchTableException. */
+  private def tableNameOf(ident: Identifier): Option[TableName] =
+    if (ident.namespace.length == 1) Some(TableName(ident.namespace.head, ident.name))
+    else None
 
   private def definitionOf(ident: Identifier): (TableDefinition, Option[StructType]) =
-    binding.tables.getOrElse(tableNameOf(ident).fullyQualifiedName,
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    tableNameOf(ident)
+      .flatMap(n => binding.tables.get(n.fullyQualifiedName))
+      .getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     binding.tables.keys.toArray.sorted.flatMap { fqn =>
@@ -103,7 +107,7 @@ final class GraftTableCatalog extends TableCatalog {
     }
 
   override def tableExists(ident: Identifier): Boolean =
-    binding.tables.contains(tableNameOf(ident).fullyQualifiedName)
+    tableNameOf(ident).exists(n => binding.tables.contains(n.fullyQualifiedName))
 
   override def loadTable(ident: Identifier): Table = {
     val (defn, schema) = definitionOf(ident)
@@ -122,9 +126,24 @@ final class GraftTableCatalog extends TableCatalog {
   }
 
   private def fileTable(
-      defn: TableDefinition, tv: TableVersion, schema: Option[StructType]): Table = {
-    val spark = SparkSession.active
-    val (paths, opts) = tv match {
+      defn: TableDefinition, tv: TableVersion, registered: Option[StructType]): Table = {
+    val (paths, opts) = pathsFor(defn, tv)
+    // a schema source for states with no files to infer from (never-written
+    // snapshot, all-partitions-deleted, time travel to init): the
+    // registered schema, else the newest data-bearing version in history
+    val schema = registered.orElse(if (paths.isEmpty) schemaFromHistory(defn) else None)
+    buildFileTable(defn, paths, opts, schema)
+  }
+
+  private def pathsFor(
+      defn: TableDefinition, tv: TableVersion): (Seq[String], Map[String, String]) =
+    tv match {
+      case SnapshotTableVersion(v) if v == Version.Unversioned =>
+        // never-written snapshot: the Unversioned sentinel maps to the BARE
+        // table location, which by now holds the version subdirs — listing
+        // it would union every version's rows. An empty path list reads as
+        // an empty table.
+        (Nil, Map.empty[String, String])
       case SnapshotTableVersion(v) =>
         (Seq(VersionPaths.pathFor(defn.location, v).toString), Map.empty[String, String])
       case PartitionedTableVersion(pvs) =>
@@ -133,10 +152,32 @@ final class GraftTableCatalog extends TableCatalog {
         (pvs.toSeq.map { case (p, v) => SparkPaths.dirFor(defn.location, p, v) }.sorted,
           Map("basePath" -> defn.location.toString))
     }
+
+  /** Schema of the newest version that actually holds data — walked from
+    * the commit history, read from that version's own files. Only consulted
+    * for file-less states, so the extra footer read never lands on the hot
+    * path. */
+  private def schemaFromHistory(defn: TableDefinition): Option[StructType] = {
+    val name = defn.name
+    binding.log.updates(name).iterator
+      .map(u => binding.log.versionAt(name, u.id))
+      .collectFirst {
+        case tv @ SnapshotTableVersion(v) if v != Version.Unversioned =>
+          val (paths, opts) = pathsFor(defn, tv)
+          buildFileTable(defn, paths, opts, None).schema()
+        case tv @ PartitionedTableVersion(pvs) if pvs.nonEmpty =>
+          val (paths, opts) = pathsFor(defn, tv)
+          buildFileTable(defn, paths, opts, None).schema()
+      }
+  }
+
+  private def buildFileTable(
+      defn: TableDefinition,
+      paths: Seq[String],
+      opts: Map[String, String],
+      schema: Option[StructType]): Table = {
+    val spark = SparkSession.active
     val options = new CaseInsensitiveStringMap(opts.asJava)
-    // a registered schema makes a never-written table SQL-addressable
-    // (inference over its zero files cannot); once data exists, inference
-    // takes over when no schema was registered
     defn.format match {
       case FileFormat.Orc =>
         OrcTable(defn.name.fullyQualifiedName, spark, options, paths, schema,
@@ -147,13 +188,12 @@ final class GraftTableCatalog extends TableCatalog {
     }
   }
 
-  /** Some(isSnapshot) when the commit log already tracks `name`. */
-  private def existingShape(name: TableName): Option[Boolean] =
-    try Some(binding.log.currentVersion(name) match {
-      case _: SnapshotTableVersion    => true
-      case _: PartitionedTableVersion => false
-    })
-    catch { case _: Exception => None } // untracked — fresh create
+  /** Some(state) when the commit log already tracks `name`. Only the
+    * unknown-table error maps to None — a corrupt/unreadable log must NOT
+    * pass for "untracked" and slip past the CREATE adoption guard. */
+  private def existingState(name: TableName): Option[TableVersion] =
+    try Some(binding.log.currentVersion(name))
+    catch { case _: NoSuchElementException => None } // untracked — fresh create
 
   /** `CREATE TABLE … USING parquet|orc [PARTITIONED BY (identity cols)]
     * LOCATION '…'` — the SQL spelling of caller-side table creation (the
@@ -165,7 +205,9 @@ final class GraftTableCatalog extends TableCatalog {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val tableName = tableNameOf(ident)
+    val tableName = tableNameOf(ident).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft tables are schema.name; got ${ident.toString}"))
     val location = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
       throw new IllegalArgumentException(
         "graft tables are external: CREATE TABLE requires a LOCATION"))
@@ -191,24 +233,43 @@ final class GraftTableCatalog extends TableCatalog {
       format)
     // init is idempotent, so a name whose commit history survived an
     // earlier DROP (external semantics) would be silently ADOPTED — and a
-    // shape mismatch would resolve old version labels against the new
-    // definition. Surface the conflict instead of handing back a "fresh"
-    // table that reads someone else's history.
-    existingShape(tableName).foreach { wasSnapshot =>
+    // shape or location mismatch would resolve old version labels against
+    // the new definition. Surface the conflict instead of handing back a
+    // "fresh" table that reads someone else's history.
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    existingState(tableName).foreach { state =>
+      val wasSnapshot = state.isInstanceOf[SnapshotTableVersion]
       if (wasSnapshot != defn.isSnapshot)
         throw new IllegalStateException(
           s"table ${tableName.fullyQualifiedName} already has " +
             s"${if (wasSnapshot) "snapshot" else "partitioned"} commit history in this log; " +
             "CREATE TABLE with a different partitioning cannot adopt it — " +
             "use a fresh table name or the matching partitioning")
+      // shape matches: the history's version dirs must live under THIS
+      // location, or every read would resolve labels to nonexistent paths
+      val referenced = state match {
+        case SnapshotTableVersion(v) if v != Version.Unversioned =>
+          Some(new org.apache.hadoop.fs.Path(VersionPaths.pathFor(uri, v).toString))
+        case PartitionedTableVersion(pvs) =>
+          pvs.headOption.map { case (p, v) =>
+            new org.apache.hadoop.fs.Path(SparkPaths.dirFor(uri, p, v))
+          }
+        case _ => None
+      }
+      referenced.filterNot(fs.exists).foreach { missing =>
+        throw new IllegalStateException(
+          s"table ${tableName.fullyQualifiedName} has commit history whose version " +
+            s"directories are not under '$uri' (checked $missing); CREATE TABLE at a " +
+            "different location cannot adopt that history")
+      }
     }
-    binding.log.init(
-      tableName, defn.isSnapshot, UserId("sql"),
-      UpdateMessage("CREATE TABLE (SQL)"), java.time.Instant.now())
-    binding.vms.map(_.metastore).foreach {
-      case m: InMemoryMetastore => m.register(defn)
-      case _                    => ()
-    }
+    // external tables still need their root to exist for the first insert
+    fs.mkdirs(new org.apache.hadoop.fs.Path(uri))
+    // the Scala API's init sequence, reused verbatim: metastore registration
+    // (in-memory impls) + idempotent log init
+    VersionContext(GraftV2Table.metastoreFor(binding, defn))
+      .init(defn, UserId("sql"), UpdateMessage("CREATE TABLE (SQL)"))
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(schema)))
     loadTable(ident)
   }
@@ -219,7 +280,8 @@ final class GraftTableCatalog extends TableCatalog {
   /** External-table semantics: forget the catalog entry; data, versions,
     * and commit history stay on disk untouched. */
   override def dropTable(ident: Identifier): Boolean =
-    binding.tables.remove(tableNameOf(ident).fullyQualifiedName).isDefined
+    tableNameOf(ident)
+      .exists(n => binding.tables.remove(n.fullyQualifiedName).isDefined)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog does not support RENAME")
@@ -268,6 +330,7 @@ private[spark] final class GraftV2Table(
       case In(a, _)      => partitionColNames(a)
       case And(l, r)     => partitionOnly(l) && partitionOnly(r)
       case Or(l, r)      => partitionOnly(l) && partitionOnly(r)
+      case _: AlwaysTrue => true // unconditional DELETE = remove every partition
       case _             => false
     }
   }
@@ -300,6 +363,7 @@ private[spark] final class GraftV2Table(
       case In(a, vs)     => vs.exists(v => values.get(a).exists(valueMatches(_, v)))
       case And(l, r)     => matches(p, l) && matches(p, r)
       case Or(l, r)      => matches(p, l) || matches(p, r)
+      case _: AlwaysTrue => true
       case _             => false
     }
   }
@@ -381,18 +445,29 @@ private[spark] object GraftV2Table {
           val touched = data.select(partCols.map(col): _*).distinct()
           data.unionByName(current.join(broadcast(touched), partCols, "left_semi"))
       }
-    toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
+    val beforeWrite: Map[Partition, Version] =
+      binding.log.currentVersion(defn.name) match {
+        case PartitionedTableVersion(pvs) => pvs
+        case _                            => Map.empty
+      }
+    val (afterWrite, _) = toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
     if (overwrite && !defn.isSnapshot) {
       // SQL INSERT OVERWRITE is a STATIC whole-table replace: partitions
       // absent from the new data must go too (the Scala API's
       // versionedInsertInto keeps Hive-style replace-touched-only
-      // semantics). The prune is a second, metadata-only commit — readers
+      // semantics). The untouched set comes from the COMMIT METADATA — a
+      // partition whose version the write did not move — never from
+      // re-evaluating `data`, which would re-run the source query and,
+      // for a non-deterministic source, prune partitions the write just
+      // created. The prune is a second, metadata-only commit — readers
       // between the two see the same transient merged state the
       // reference's non-atomic commit→metastore sync already exposes.
-      val written = VersionContext.partitionValues(data, defn.partitionSchema).toSet
-      val stale = binding.log.currentVersion(defn.name) match {
-        case PartitionedTableVersion(pvs) => pvs.keySet.diff(written).toList
-        case _                            => Nil
+      val stale = afterWrite match {
+        case PartitionedTableVersion(afterPvs) =>
+          afterPvs.collect {
+            case (p, v) if beforeWrite.get(p).contains(v) => p
+          }.toList
+        case _ => Nil
       }
       if (stale.nonEmpty) {
         ctx.metastore.commit(defn.name, TableUpdate(

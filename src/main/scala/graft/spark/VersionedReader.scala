@@ -89,6 +89,13 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
 
   private def doMaterialize(table: TableDefinition, tv: TableVersion): DataFrame =
     tv match {
+      case SnapshotTableVersion(v) if v == Version.Unversioned =>
+        // the Unversioned sentinel maps to the BARE table location, which
+        // holds the version subdirs once any write has happened — scanning
+        // it would union every version's rows. A table at its init commit
+        // has no contents; pre-existing unversioned data adoption is not a
+        // read path this engine supports.
+        spark.emptyDataFrame
       case SnapshotTableVersion(v) =>
         spark.read
           .format(table.format.name)

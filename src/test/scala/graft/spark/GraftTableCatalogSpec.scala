@@ -45,6 +45,13 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
 
     spark.sql(s"SELECT id, label FROM graftcat.cdb.snap VERSION AS OF '${v1Commit.id}' ORDER BY id")
       .as[CatRow].collect() shouldBe Array(CatRow(1, "v1a"), CatRow(2, "v1b"))
+
+    // time travel to the INIT commit is an empty table — never a scan of
+    // the bare location (which would union every version's rows)
+    val initCommit = log.updates(table.name).last.id
+    spark.sql(s"SELECT * FROM graftcat.cdb.snap VERSION AS OF '${initCommit.id}'")
+      .count() shouldBe 0
+    VersionedReader(spark, log).readAsOf(table, initCommit).count() shouldBe 0
   }
 
   test("partitioned table: partition columns resolve and prune by path") {
@@ -182,6 +189,10 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception](
       spark.sql("DELETE FROM graftcat.cdb.del_part WHERE id = 1").collect())
     e.getMessage.toLowerCase should include("delete")
+
+    // unconditional DELETE removes every partition (AlwaysTrue filter)
+    spark.sql("DELETE FROM graftcat.cdb.del_part")
+    spark.sql("SELECT * FROM graftcat.cdb.del_part").count() shouldBe 0
   }
 
   test("full SQL lifecycle: CREATE TABLE, INSERT, SELECT, DROP leaves data + history") {
