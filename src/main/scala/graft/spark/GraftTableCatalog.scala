@@ -125,6 +125,19 @@ final class GraftTableCatalog extends TableCatalog {
     fileTable(defn, binding.log.versionAt(defn.name, CommitId(version)), schema)
   }
 
+  /** `TIMESTAMP AS OF <ts>` — resolves to the LAST commit at or before the
+    * given instant (Spark hands the timestamp in microseconds), then time
+    * travels to it; before the first commit there is nothing to read. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (defn, schema) = definitionOf(ident)
+    val asOf = java.time.Instant.EPOCH.plusNanos(timestampMicros * 1000L)
+    val commit = binding.log.updates(defn.name) // most recent first
+      .find(!_.timestamp.isAfter(asOf))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
+    fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema)
+  }
+
   private def fileTable(
       defn: TableDefinition, tv: TableVersion, registered: Option[StructType]): Table = {
     val (paths, opts) = pathsFor(defn, tv)

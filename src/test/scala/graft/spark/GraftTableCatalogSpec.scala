@@ -52,6 +52,17 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql(s"SELECT * FROM graftcat.cdb.snap VERSION AS OF '${initCommit.id}'")
       .count() shouldBe 0
     VersionedReader(spark, log).readAsOf(table, initCommit).count() shouldBe 0
+
+    // TIMESTAMP AS OF resolves to the last commit at or before the instant
+    // (+1 ms: the SQL literal is micros, the commit instant carries nanos —
+    // formatting truncates, which would land just BEFORE the commit)
+    val v1Ts = log.updates(table.name)
+      .find(_.id == v1Commit).get.timestamp
+      .plusMillis(1)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    spark.sql(s"SELECT id, label FROM graftcat.cdb.snap TIMESTAMP AS OF '$v1Ts' ORDER BY id")
+      .as[CatRow].collect() shouldBe Array(CatRow(1, "v1a"), CatRow(2, "v1b"))
   }
 
   test("partitioned table: partition columns resolve and prune by path") {
