@@ -34,6 +34,11 @@ object AsOfJoin {
       valueCol: String,
       asCol: String): DataFrame = {
     val leftCols = left.columns
+    val reserved = Set("__t", "__src", "__m")
+    require(!(leftCols ++ right.columns).exists(reserved),
+      s"asOf reserves working columns ${reserved.mkString(", ")}")
+    require(!leftCols.contains(asCol),
+      s"asOf output column '$asCol' collides with a left column")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(1))
@@ -42,7 +47,10 @@ object AsOfJoin {
     // a right row whose value is genuinely NULL — bare `last(value)` would
     // carry an older non-null value forward instead, diverging from SQL
     // ASOF JOIN semantics on nullable observation columns
-    val r = right.select(
+    // SQL ASOF equality never matches NULL = NULL: a null-key right row
+    // must not become the carried observation of null-key left rows (which
+    // the null-grouping window partition would otherwise do)
+    val r = right.where(col(key).isNotNull).select(
       col(key),
       col(rightTime).as("__t"),
       lit(0).as("__src"),

@@ -59,7 +59,13 @@ object DupClusters {
       labels = next.select("id", "cluster")
       converged = changed == 0
     }
+    // detach the result from the final round's cache so the loop's storage
+    // (and the edge table) can be freed; the label table itself is
+    // #nodes rows — the component map a dedup pass keeps anyway
+    val result = labels.cache()
+    result.count()
+    cached.unpersist()
     sym.unpersist()
-    labels
+    result
   }
 }

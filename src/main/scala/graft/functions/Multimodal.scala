@@ -52,12 +52,16 @@ object Multimodal {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false),
-      StructField("resized_bytes", LongType, nullable = false)))
+      StructField("payload", BinaryType, nullable = true),
+      StructField("resized_bytes", LongType, nullable = true)))
     val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
-        val resized = stubResize(r.getAs[Array[Byte]](1), maxDim)
-        Row(r.getLong(0), resized, resized.length.toLong)
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Row(r.getLong(0), null, null) // null in, null out
+        else {
+          val resized = stubResize(payload, maxDim)
+          Row(r.getLong(0), resized, resized.length.toLong)
+        }
       }
     }
     spark.createDataFrame(rows, outSchema)
@@ -83,20 +87,23 @@ object Multimodal {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("entropy_bits", DoubleType, nullable = false)))
+      StructField("entropy_bits", DoubleType, nullable = true)))
     val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](1)
-        val hist = new Array[Long](256)
-        payload.foreach(b => hist(b & 0xff) += 1)
-        val n = payload.length.toDouble
-        var h = 0.0
-        var i = 0
-        while (i < 256) {
-          if (hist(i) > 0) { val p = hist(i) / n; h -= p * (math.log(p) / math.log(2)) }
-          i += 1
+        if (payload == null) Row(r.getLong(0), null) // null in, null out
+        else {
+          val hist = new Array[Long](256)
+          payload.foreach(b => hist(b & 0xff) += 1)
+          val n = payload.length.toDouble
+          var h = 0.0
+          var i = 0
+          while (i < 256) {
+            if (hist(i) > 0) { val p = hist(i) / n; h -= p * (math.log(p) / math.log(2)) }
+            i += 1
+          }
+          Row(r.getLong(0), h)
         }
-        Row(r.getLong(0), h)
       }
     }
     spark.createDataFrame(rows, outSchema)
@@ -114,12 +121,17 @@ object Multimodal {
     def byteAt(pos: Int) = // unsigned byte value, 0 when past end-of-payload
       coalesce(nullif(conv(hex(substring(col("payload"), pos, 1)), 16, 10), lit("")), lit("0"))
         .cast("int")
+    // a NULL payload must yield NULL metadata across the board — the
+    // past-end-of-payload "0" coalesce would otherwise fabricate a 16×16
+    // image for a row that has no media at all
+    def ifPresent(c: org.apache.spark.sql.Column) =
+      when(col("payload").isNotNull, c)
     df.select(
       col("doc_id"),
       length(col("payload")).cast("long").as("payload_bytes"),
       lower(sha2(col("payload"), 256)).as("payload_sha"),
-      (byteAt(1) + 16).as("width_px"),
-      (byteAt(2) + 16).as("height_px"),
+      ifPresent(byteAt(1) + 16).as("width_px"),
+      ifPresent(byteAt(2) + 16).as("height_px"),
       (pmod(length(col("payload")), lit(8)) + 1).cast("int").as("frames"))
   }
 }

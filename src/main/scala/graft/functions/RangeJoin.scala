@@ -35,9 +35,11 @@ object RangeJoin {
       hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // backticked: raw interpolation breaks on column names needing quoting
     val iv = intervals.withColumn(
-      "__bucket", explode(expr(s"sequence($loCol div $bucketWidth, $hiCol div $bucketWidth)")))
-    val pt = points.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
+      "__bucket",
+      explode(expr(s"sequence(`$loCol` div $bucketWidth, `$hiCol` div $bucketWidth)")))
+    val pt = points.withColumn("__bucket", expr(s"`$pointCol` div $bucketWidth"))
     pt.join(iv, Seq(key, "__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

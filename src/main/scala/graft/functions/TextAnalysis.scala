@@ -54,9 +54,15 @@ object TextAnalysis {
     df.withColumn("lang_guess", array_max(array(scored: _*)).getField("lang"))
   }
 
-  /** Stopword ratio against a fixed stopword list. */
+  /** Stopword ratio against a fixed stopword list. Occurrences (duplicates
+    * included) are counted per stopword via `size - size(array_remove)` —
+    * codegen'd array expressions, not a higher-order `filter`, which is
+    * CodegenFallback and would interpret the lambda per token per row. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val tk = tokens(text)
-    size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(tk)
+    val hits = stopwords
+      .map(w => (size(tk) - size(array_remove(tk, w))).cast("double"))
+      .reduce(_ + _)
+    hits / size(tk)
   }
 }

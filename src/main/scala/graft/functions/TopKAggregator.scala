@@ -20,10 +20,16 @@ import org.apache.spark.sql.expressions.Aggregator
  */
 final class TopKAggregator(k: Int)
     extends Aggregator[(Long, Long, Double), (Array[Long], Array[Double]), Seq[(Long, Double)]] {
+  require(k > 0, s"top-k size must be positive, got $k")
 
-  /** `row_number` ordering: higher score first, lower id on ties. */
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** `row_number` ordering: higher score first, lower id on ties.
+    * `Double.compare`, not `>`: SQL DESC ordering ranks NaN as the largest
+    * double, while primitive comparisons make NaN lose to everything — a
+    * NaN score would silently vanish from the top-k. */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   override def zero: (Array[Long], Array[Double]) =
     (Array.empty[Long], Array.empty[Double])

@@ -16,15 +16,19 @@ import org.apache.spark.sql.expressions.Aggregator
  */
 final class VectorMeanAggregator(dim: Int)
     extends Aggregator[(Int, Array[Float]), (Array[Double], Long), Array[Double]] {
+  require(dim > 0, s"vector dimension must be positive, got $dim")
 
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), in: (Int, Array[Float])): (Array[Double], Long) = {
     val (sums, n) = b
     val v = in._2
+    // a silently zero-padded/truncated vector would drag the whole group's
+    // centroid toward zero with no error — surface the bad row instead
+    require(v != null && v.length == dim,
+      s"expected a $dim-dimensional vector, got ${if (v == null) "null" else v.length.toString}")
     var i = 0
-    val limit = math.min(dim, v.length)
-    while (i < limit) { sums(i) += v(i); i += 1 }
+    while (i < dim) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 
