@@ -23,7 +23,7 @@ final class InMemoryMetastore extends Metastore {
   private val tables = new AtomicReference[Map[TableName, TableVersion]](Map.empty)
 
   /** Register a table (the analogue of `CREATE EXTERNAL TABLE`). Idempotent. */
-  def register(table: TableDefinition): Unit =
+  override def register(table: TableDefinition): Unit =
     mutate { state =>
       if (state.contains(table.name)) Right(state)
       else {

@@ -11,6 +11,13 @@ import Metastore.TableChanges
  */
 trait Metastore {
 
+  /** Register a table with the catalog (`CREATE EXTERNAL TABLE` analogue).
+   * No-op by default: catalog-backed metastores resolve tables created by
+   * caller-side DDL; in-process metastores override to seed their state.
+   * On the trait — not an instanceof special case at call sites — so any
+   * implementation needing registration participates in `init`. */
+  def register(table: TableDefinition): Unit = ()
+
   /** Current catalog state of the table interpreted as version information.
    * Versions are parsed back out of location URIs (the "locations are the
    * database" design — reference `SparkHiveMetastore.scala:21-43`). */

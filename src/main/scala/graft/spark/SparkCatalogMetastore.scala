@@ -42,22 +42,51 @@ final class SparkCatalogMetastore(spark: SparkSession) extends Metastore {
     }
   }
 
+  /** Partition rebuilt with the CATALOG's column-name casing — used for the
+    * PARTITION (…) spec only: the session catalog lower-cases column names,
+    * so a log-side partition written with `eventDate` must address the
+    * catalog's `eventdate` row — otherwise a sync emits a no-op ADD IF NOT
+    * EXISTS followed by a DROP that removes the live partition. LOCATION
+    * paths keep the ORIGINAL casing: that is what `partitionBy` wrote to
+    * disk. */
+  private def specCased(catalogCols: Seq[String], p: Partition): Partition =
+    Partition(p.columnValues.map { cv =>
+      val canonical = catalogCols
+        .find(_.equalsIgnoreCase(cv.column.name))
+        .getOrElse(cv.column.name)
+      ColumnValue(PartitionColumn(canonical), cv.value)
+    })
+
   override def update(table: TableName, changes: TableChanges): Unit = {
     val fqn = s"${quoteIdent(table.schema)}.${quoteIdent(table.name)}"
     val baseLocation = tableBaseLocation(table)
-    changes.operations.foreach {
-      case TableOperation.AddPartition(p, v) =>
-        spark.sql(
-          s"ALTER TABLE $fqn ADD IF NOT EXISTS PARTITION (${partitionSpec(p)}) " +
-            s"LOCATION '${SparkPaths.dirFor(baseLocation, p, v)}'")
+    val catalogCols = spark.sessionState.catalog
+      .getTableMetadata(ident(table)).partitionColumnNames
+    def spec(p: Partition) = partitionSpec(specCased(catalogCols, p))
+    // one DDL round trip per partition for adds/drops is O(#partitions)
+    // sequential metastore RPCs — batch them into single statements.
+    // Safe to reorder into adds → drops → updates: computeChanges
+    // classifies each partition into exactly one bucket.
+    val ops = changes.operations
+    val adds = ops.collect { case TableOperation.AddPartition(p, v) => (p, v) }
+    if (adds.nonEmpty)
+      spark.sql(
+        s"ALTER TABLE $fqn ADD IF NOT EXISTS " + adds.map { case (p, v) =>
+          s"PARTITION (${spec(p)}) LOCATION '${SparkPaths.dirFor(baseLocation, p, v)}'"
+        }.mkString(" "))
+    val drops = ops.collect { case TableOperation.RemovePartition(p) => p }
+    if (drops.nonEmpty)
+      spark.sql(
+        s"ALTER TABLE $fqn DROP IF EXISTS " +
+          drops.map(p => s"PARTITION (${spec(p)})").mkString(", "))
+    ops.foreach {
       case TableOperation.UpdatePartitionVersion(p, v) =>
         spark.sql(
-          s"ALTER TABLE $fqn PARTITION (${partitionSpec(p)}) " +
+          s"ALTER TABLE $fqn PARTITION (${spec(p)}) " +
             s"SET LOCATION '${SparkPaths.dirFor(baseLocation, p, v)}'")
-      case TableOperation.RemovePartition(p) =>
-        spark.sql(s"ALTER TABLE $fqn DROP IF EXISTS PARTITION (${partitionSpec(p)})")
       case TableOperation.UpdateTableVersion(v) =>
         spark.sql(s"ALTER TABLE $fqn SET LOCATION '${VersionPaths.pathFor(baseLocation, v)}'")
+      case _ => () // adds/drops handled batched above
     }
   }
 
@@ -72,11 +101,21 @@ final class SparkCatalogMetastore(spark: SparkSession) extends Metastore {
   private def quoteIdent(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
 
-  /** Spark SQL string literal: single-quoted strings process BACKSLASH
-    * escapes too, so a value ending in '\' would swallow the closing quote
-    * if only quotes were doubled — escape both. */
-  private def sqlLiteral(v: String): String =
-    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  /** Spark SQL string literal. Two parser modes exist: by default
+    * single-quoted strings process backslash escapes (a value ending in
+    * `\` would swallow the closing quote), but under
+    * `spark.sql.parser.escapedStringLiterals=true` (Hive compatibility)
+    * backslashes are literal and `\'` would NOT close-quote-escape. Quote
+    * doubling works in both modes; backslash doubling only in the
+    * default — so consult the session conf. */
+  private def sqlLiteral(v: String): String = {
+    val escapedMode = spark.conf
+      .getOption("spark.sql.parser.escapedStringLiterals").contains("true")
+    val body =
+      if (escapedMode) v.replace("'", "''")
+      else v.replace("\\", "\\\\").replace("'", "\\'")
+    "'" + body + "'"
+  }
 
   private def partitionSpec(p: Partition): String =
     p.columnValues

@@ -18,16 +18,21 @@ import graft.core._
  *
  * Concurrent-writer safety: a `versionedInsertInto` in flight has written
  * (or is renaming) its version directories BEFORE its commit lands in the
- * log, so those dirs look unreferenced. Version dirs modified within
- * `graceMs` (Delta-style retention grace, default 10 min) are therefore
- * never deleted — only pass `graceMs = 0` when no writer can be running.
+ * log, so those dirs look unreferenced. A version dir younger than
+ * `graceMs` is therefore never deleted. Age comes from the VERSION LABEL's
+ * embedded timestamp (minted when the write begins), not the directory
+ * mtime — rename preserves the staged mtime, so a long write job's early
+ * partitions would look hours old the moment they land. The label clock
+ * starts at write BEGIN, so the safety contract is: set `graceMs` larger
+ * than your longest write job's duration (default 10 min); pass
+ * `graceMs = 0` only when no writer can be running.
  */
 object Vacuum {
 
   /** Default deletion grace for young version dirs (ms). */
   val DefaultGraceMs: Long = 10 * 60 * 1000L
 
-  final case class Report(examined: Int, deleted: List[String])
+  final case class Report(examined: Int, deleted: List[String], failed: List[String])
 
   def vacuum(
       table: TableDefinition,
@@ -55,23 +60,30 @@ object Vacuum {
 
     val cutoff = System.currentTimeMillis() - math.max(graceMs, 0L)
 
-    // (relative dir, old enough to delete)
+    // (relative dir, old enough to delete) — age from the label's embedded
+    // creation instant (see the concurrent-writer note above)
     def versionDirsUnder(dir: HPath, prefix: String): List[(String, Boolean)] =
       if (!fs.exists(dir)) Nil
       else
         fs.listStatus(dir).toList.filter(_.isDirectory).flatMap { st =>
           val name = st.getPath.getName
           val rel = if (prefix.isEmpty) name else s"$prefix/$name"
-          if (Version.parse(name).isRight) List(rel -> (st.getModificationTime < cutoff))
-          else if (name.contains("=")) versionDirsUnder(st.getPath, rel)
-          else Nil // _staging remnants etc. are not version dirs
+          Version.parse(name) match {
+            case Right(v) =>
+              List(rel -> (v.timestamp.toEpochMilli < cutoff))
+            case Left(_) if name.contains("=") => versionDirsUnder(st.getPath, rel)
+            case Left(_) => Nil // _staging remnants etc. are not version dirs
+          }
         }
 
     val onDisk = versionDirsUnder(root, "")
     val doomed = onDisk.collect {
       case (rel, oldEnough) if oldEnough && !referenced.contains(rel) => rel
     }
-    doomed.foreach(rel => fs.delete(new HPath(root, rel), true))
-    Report(examined = onDisk.size, deleted = doomed.sorted)
+    // honor the delete result: a false return (permissions, races) must not
+    // be reported as reclaimed space
+    val (deleted, failed) =
+      doomed.partition(rel => fs.delete(new HPath(root, rel), true))
+    Report(examined = onDisk.size, deleted = deleted.sorted, failed = failed.sorted)
   }
 }

@@ -38,10 +38,7 @@ final case class VersionContext(
   /** Track the table in the commit log and register it with the metastore
     * (the reference splits this between caller DDL and `init`). */
   def init(table: TableDefinition, userId: UserId, message: UpdateMessage): Unit = {
-    metastore.metastore match {
-      case m: InMemoryMetastore => m.register(table)
-      case _                    => ()
-    }
+    metastore.metastore.register(table) // no-op for catalog-backed metastores
     metastore.init(table.name, table.isSnapshot, userId, message, Instant.now())
   }
 }
@@ -78,21 +75,56 @@ object VersionContext {
   }
 
   /** V16: the distinct partition values present in a dataset. Collects only
-    * #partitions rows to the driver (same bound as reference `:95-115`). */
+    * #partitions rows to the driver (same bound as reference `:95-115`).
+    * Utility/pre-validation API — the write path itself derives partitions
+    * from the STAGED OUTPUT listing (see [[stagedPartitions]]), which is
+    * ground truth even when re-evaluating `ds` would produce different
+    * rows. */
   def partitionValues[T](ds: Dataset[T], schema: PartitionSchema): List[Partition] = {
     import org.apache.spark.sql.functions.col
     val cols = schema.columns.map(c => col(c.name).cast("string"))
     ds.toDF().select(cols: _*).distinct().collect().toList.map { row =>
       Partition(schema.columns.zipWithIndex.map { case (c, i) =>
-        // reject up front — this runs BEFORE the write job, so a null never
-        // leaves half-renamed staged data behind
-        if (row.isNullAt(i))
+        if (row.isNullAt(i) || row.getString(i).isEmpty)
           throw new IllegalArgumentException(
-            s"partition column ${c.name} contains null values; " +
-              "null partition values are not supported by the versioned layout")
+            s"partition column ${c.name} contains null or empty values; " +
+              "they are not supported by the versioned layout")
         ColumnValue(c, row.getString(i))
       })
     }
+  }
+
+  /** The partitions a `partitionBy` write actually produced, recovered from
+    * the staged directory tree (one `k=v` level per partition column,
+    * Hive-unescaped). Listing the OUTPUT is the only divergence-proof
+    * discovery: re-evaluating the dataset runs the source query again,
+    * which for a non-deterministic source can disagree with what was
+    * written — silently losing whole partitions at rename time. */
+  private def stagedPartitions(
+      fs: FileSystem,
+      stagingRoot: HPath,
+      schema: PartitionSchema): List[Partition] = {
+    def walk(dir: HPath, depth: Int, acc: List[ColumnValue]): List[Partition] =
+      if (depth == schema.columns.size) List(Partition(acc.reverse))
+      else
+        fs.listStatus(dir).toList
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.contains("="))
+          .flatMap { name =>
+            val (k, v) = name.span(_ != '=')
+            val value = org.apache.spark.sql.GraftSqlShim.unescapePathName(v.drop(1))
+            val expected = schema.columns(depth).name
+            if (k != org.apache.spark.sql.GraftSqlShim.escapePathName(expected))
+              sys.error(s"staged dir $name does not match partition column $expected")
+            if (value == "__HIVE_DEFAULT_PARTITION__")
+              throw new IllegalArgumentException(
+                s"partition column $expected contains null or empty values; " +
+                  "they are not supported by the versioned layout")
+            walk(new HPath(dir, name), depth + 1,
+              ColumnValue(schema.columns(depth), value) :: acc)
+          }
+    walk(stagingRoot, 0, Nil)
   }
 
   /** V17: one `partitionBy` job into staging, then per-partition rename
@@ -102,19 +134,31 @@ object VersionContext {
       table: TableDefinition,
       version: Version): List[TableOperation] = {
     val spark = ds.sparkSession
-    val partitions = partitionValues(ds, table.partitionSchema)
-    if (partitions.isEmpty) Nil
-    else {
-      val staging = new URI(
-        Partition.normalizedDir(table.location).toString + s"_staging/${version.label}/")
-      ds.toDF().write
-        .partitionBy(table.partitionSchema.columns.map(_.name): _*)
-        .mode(SaveMode.Append)
-        .format(table.format.name)
-        .save(staging.toString)
+    val staging = new URI(
+      Partition.normalizedDir(table.location).toString + s"_staging/${version.label}/")
+    ds.toDF().write
+      .partitionBy(table.partitionSchema.columns.map(_.name): _*)
+      .mode(SaveMode.Append)
+      .format(table.format.name)
+      .save(staging.toString)
 
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = FileSystem.get(table.location, conf)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(table.location, conf)
+    // discovery from the staged output (one fs listing, no second Spark
+    // job over the source) — see stagedPartitions
+    val partitions =
+      try stagedPartitions(fs, new HPath(staging.toString.stripSuffix("/")), table.partitionSchema)
+      catch {
+        case e: Throwable =>
+          // a rejected staging tree (null/empty partition values, layout
+          // mismatch) must not leave never-committed data behind
+          fs.delete(new HPath(staging.toString.stripSuffix("/")), true)
+          throw e
+      }
+    if (partitions.isEmpty) {
+      fs.delete(new HPath(staging.toString.stripSuffix("/")), true)
+      Nil
+    } else {
       partitions.foreach { p =>
         // staged subdirs carry Spark's Hive-escaped partition names; the
         // destination must use the identical escaped form. Raw strings into

@@ -237,6 +237,21 @@ class VersionedLifecycleSpec extends AnyFunSuite with Matchers {
     quiet.columns should contain allOf ("id", "name")
   }
 
+  test("an empty snapshot insert commits a readable empty version") {
+    val (ctx, log) = freshContext()
+    val table = tmpTable("empty_snap", PartitionSchema.snapshot)
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(User(1, "ada")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // truncating write: zero rows — the version must still read back as an
+    // empty table, never fail schema inference on a file-less dir
+    Seq.empty[User].toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: truncate"))
+    val reader = VersionedReader(spark, log)
+    reader.read(table).count() shouldBe 0
+    reader.read(table).columns should contain allOf ("id", "name")
+  }
+
   test("durable log: versioned writes survive a reopened JsonFileTableVersions") {
     val logDir = Files.createTempDirectory("graft_spec_durable_log")
     val log = new JsonFileTableVersions(logDir)
