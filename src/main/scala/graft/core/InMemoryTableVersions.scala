@@ -32,6 +32,12 @@ final class InMemoryTableVersions extends TableVersions {
     modify { states =>
       states.get(table) match {
         case None => Left(unknownTableError(table))
+        case Some(state) if state.updates.exists(_.metadata.id == update.metadata.id) =>
+          // ids resolve by first occurrence in the fold — a duplicate would
+          // silently point "current" at the OLD commit (see the file log
+          // impl for the same guard)
+          Left(new IllegalArgumentException(
+            s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}"))
         case Some(state) =>
           val newState =
             TableState(currentVersion = update.metadata.id, updates = state.updates :+ update)

@@ -97,29 +97,26 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
 
   /** Replay the file into (updates, pointer). Missing file → None.
     *
-    * A malformed FINAL line is tolerated as the torn tail of a crashed
-    * append (everything before it is intact by construction); a malformed
-    * line anywhere else is real corruption and still throws. */
+    * Only NEWLINE-TERMINATED lines are trusted: an unterminated tail is the
+    * torn remainder of a crashed append, which `truncateTornTail` will
+    * remove before the next write. Parsing it when it happens to be
+    * complete JSON would let readers observe a commit the repair then
+    * deletes — non-monotonic history. A malformed TERMINATED line is real
+    * corruption and throws. */
   private def loadState(table: TableName): Option[TableState] = {
     val f = fileFor(table)
     if (!Files.exists(f)) None
     else {
-      val lines = Files.readAllLines(f, StandardCharsets.UTF_8)
-      var updates = List.empty[TableUpdate]
-      var pointer: Option[CommitId] = None
-      val nonEmpty = new java.util.ArrayList[String]()
-      lines.forEach(l => if (l.nonEmpty) nonEmpty.add(l))
-      var idx = 0
-      nonEmpty.forEach { line =>
-        idx += 1
-        val parsed =
-          try Some(mapper.readTree(line).asInstanceOf[ObjectNode])
-          catch {
-            case e: com.fasterxml.jackson.core.JacksonException =>
-              if (idx == nonEmpty.size) None // torn tail of a crashed append
-              else throw e
-          }
-        parsed.foreach { node =>
+      val raw = Files.readAllBytes(f)
+      val visibleEnd = raw.lastIndexOf('\n'.toByte)
+      if (visibleEnd < 0) None // nothing durable yet — only a torn tail
+      else {
+        val lines = new String(raw, 0, visibleEnd + 1, StandardCharsets.UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty)
+        val updates = scala.collection.mutable.ListBuffer.empty[TableUpdate]
+        var pointer: Option[CommitId] = None
+        lines.foreach { line =>
+          val node = mapper.readTree(line).asInstanceOf[ObjectNode]
           node.get("record").asText() match {
             case "commit" =>
               val meta = TableUpdateMetadata(
@@ -130,23 +127,36 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
               val ops = node.get("operations").asInstanceOf[ArrayNode]
               val parsed = (0 until ops.size()).toList
                 .map(i => opFromJson(ops.get(i).asInstanceOf[ObjectNode]))
-              updates = updates :+ TableUpdate(meta, parsed)
+              updates += TableUpdate(meta, parsed)
               pointer = Some(meta.id)
             case "checkout" =>
               pointer = Some(CommitId(node.get("id").asText()))
             case other => sys.error(s"unknown log record: $other")
           }
         }
+        pointer.map(p => TableState(p, updates.toList))
       }
-      pointer.map(p => TableState(p, updates))
     }
   }
+
+  /** Best-effort directory fsync: without it a crash can lose the DIRECTORY
+    * ENTRY of a freshly created (and data-fsync'd) log file — the table
+    * would reboot as "not tracked" with its acknowledged commits gone.
+    * Opening a directory read-only works on Linux; platforms that refuse
+    * simply skip (same best-effort posture as Lucene/Kafka). */
+  private def fsyncDir(): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        logDir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** True append: O(lines) bytes per commit, fsync'd before returning. If
     * the previous writer crashed mid-append, first truncate its torn tail so
     * our lines start on a clean boundary. */
   private def appendLines(table: TableName, lines: Seq[String]): Unit = {
     val f = fileFor(table)
+    val existed = Files.exists(f)
     truncateTornTail(f)
     val bytes = lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
     val ch = java.nio.channels.FileChannel.open(
@@ -158,6 +168,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       ch.write(java.nio.ByteBuffer.wrap(bytes))
       ch.force(true)
     } finally ch.close()
+    if (!existed) fsyncDir() // the new file's directory entry must survive too
   }
 
   /** If the file doesn't end in '\n' a previous append was cut short —
@@ -283,7 +294,13 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
 
   override def commit(table: TableName, update: TableUpdate): Unit =
     withTableLock(table) {
-      if (loadState(table).isEmpty) throw unknownTableError(table)
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      // commit ids resolve by FIRST occurrence in the fold — a duplicate
+      // (e.g. a blind retry reusing the same TableUpdate) would make the
+      // pointer silently resolve to the OLD commit, hiding everything after
+      if (state.updates.exists(_.metadata.id == update.metadata.id))
+        throw new IllegalArgumentException(
+          s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
       appendLines(table, Seq(commitLine(update)))
     }
 
@@ -305,8 +322,17 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
         // initial state appears all-or-nothing (appends are single-line)
         val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".tmp")
         Files.writeString(tmp, state.updates.map(commitLine).mkString("", "\n", "\n"))
+        // force the bytes BEFORE the rename and the directory entry after:
+        // an un-fsync'd init could surface after a crash as a missing or
+        // empty log whose acknowledged commits are gone
+        locally {
+          val ch = java.nio.channels.FileChannel.open(
+            tmp, java.nio.file.StandardOpenOption.WRITE)
+          try ch.force(true) finally ch.close()
+        }
         Files.move(tmp, fileFor(table),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        fsyncDir()
       }
     }
 }

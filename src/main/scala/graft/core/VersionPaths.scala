@@ -21,7 +21,12 @@ object VersionPaths {
       case v                   => Partition.normalizedDir(tableLocation).resolve(v.label + "/")
     }
 
-  /** Path of a specific version of a single partition. */
+  /** Path of a specific version of a single partition.
+    *
+    * LOG/DISPLAY LAYER ONLY: this resolves the RAW `hivePath` through
+    * `java.net.URI`, which throws on spaces/bare '%' and truncates at
+    * '#'/'?' — and real storage dirs are HIVE-ESCAPED. Storage paths must
+    * come from `graft.spark.SparkPaths.dirFor`. */
   def pathFor(tableLocation: URI, partition: Partition, version: Version): URI =
     pathFor(partition.resolvePath(tableLocation), version)
 

@@ -20,11 +20,25 @@ import java.net.URI
  * the data schema (reference `model.scala:41`). */
 final case class PartitionColumn(name: String) {
   require(name.nonEmpty, "partition column name must be non-empty")
+  require(!name.contains("/") && !name.contains("="),
+    s"partition column name must not contain '/' or '=': '$name'")
 }
 
 /** A concrete value of a partition column. Values are strings; canonical
- * formatting is the writer's responsibility (reference `model.scala:43`). */
-final case class ColumnValue(column: PartitionColumn, value: String)
+ * formatting is the writer's responsibility (reference `model.scala:43`).
+ *
+ * Values must round-trip through [[Partition.hivePath]]/[[Partition.parse]]
+ * — the rendering the durable commit log persists. A '/' would either fail
+ * replay (bricking the table's log) or, worse, re-parse as EXTRA partition
+ * columns (`"x/y=z"` → two columns), silently changing partition identity;
+ * an empty value renders a `k=` segment parse rejects. Enforced here so a
+ * bad value fails the WRITE, not every later read. (Values may contain
+ * '=': parse splits each segment on its first '=' only.) */
+final case class ColumnValue(column: PartitionColumn, value: String) {
+  require(value.nonEmpty, s"partition value for ${column.name} must be non-empty")
+  require(!value.contains("/"),
+    s"partition value for ${column.name} must not contain '/': '$value'")
+}
 
 /**
  * A concrete table partition, e.g. `event_date=2019-02-09` or the

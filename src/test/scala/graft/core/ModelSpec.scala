@@ -37,6 +37,17 @@ class ModelSpec extends AnyFunSuite with Matchers {
       Right(Partition(PartitionColumn("k"), "YWJjZA=="))
   }
 
+  test("values that cannot round-trip the hivePath log encoding are rejected at construction") {
+    // '/' would brick the durable log's replay (or re-parse as extra
+    // columns); empty renders a segment parse rejects
+    an[IllegalArgumentException] should be thrownBy ColumnValue(PartitionColumn("d"), "2024/01")
+    an[IllegalArgumentException] should be thrownBy ColumnValue(PartitionColumn("d"), "")
+    an[IllegalArgumentException] should be thrownBy PartitionColumn("a=b")
+    an[IllegalArgumentException] should be thrownBy PartitionColumn("a/b")
+    // '=' in VALUES is fine — parse splits on the first '=' only
+    ColumnValue(PartitionColumn("k"), "YWJjZA==").value shouldBe "YWJjZA=="
+  }
+
   test("parse rejects malformed segments") {
     Partition.parse("no-equals-here").isLeft shouldBe true
     Partition.parse("=value").isLeft shouldBe true

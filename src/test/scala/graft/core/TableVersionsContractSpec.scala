@@ -298,6 +298,45 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
     repaired.startsWith(intact) shouldBe true
   }
 
+  test("an unterminated but COMPLETE final line is invisible until repaired (monotonic reads)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_unterm")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "unterm")
+    log.init(tbl, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    val v1 = Version(Instant.now(), UUID.randomUUID())
+    log.commit(tbl, TableUpdate(UserId("u"), UpdateMessage("v1"), Instant.now(),
+      List(TableOperation.AddTableVersion(v1))))
+
+    // crash persisted a full commit line's JSON but NOT its newline: if a
+    // reader trusted it, the next writer's tail repair would delete a
+    // commit that was already observed — so it must stay invisible
+    val file = dir.resolve("db.unterm.jsonl")
+    val intact = java.nio.file.Files.readString(file)
+    val phantom = intact.trim.linesIterator.toList.last
+      .replace(""""record":"commit"""", """"record":"commit"""") // same shape, new id below
+      .replaceAll(""""id":"[^"]+"""", "\"id\":\"phantom\"")
+    java.nio.file.Files.writeString(file, intact + phantom) // no trailing \n
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
+    an[Exception] should be thrownBy reopened.versionAt(tbl, CommitId("phantom"))
+  }
+
+  test("a duplicate commit id is rejected by both log implementations") {
+    val inMem = new InMemoryTableVersions
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_dup")
+    val onDisk = new JsonFileTableVersions(dir)
+    for (log <- Seq[TableVersions](inMem, onDisk)) {
+      val tbl = TableName("db", "dup")
+      log.init(tbl, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+      val u = TableUpdate(UserId("u"), UpdateMessage("v1"), Instant.now(),
+        List(TableOperation.AddTableVersion(Version(Instant.now(), UUID.randomUUID()))))
+      log.commit(tbl, u)
+      // a blind retry reusing the same update must fail, not silently make
+      // "current" resolve to the FIRST occurrence of the id
+      an[IllegalArgumentException] should be thrownBy log.commit(tbl, u)
+    }
+  }
+
   test("JsonFileTableVersions: a mid-file corrupt line still fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_log_corrupt")
     val log = new JsonFileTableVersions(dir)
