@@ -232,7 +232,7 @@ object Registry {
              |m AS (
              |  SELECT user_id, event_id, ts,
              |         CASE WHEN prev_ts IS NULL
-             |                   OR epoch(ts) - epoch(prev_ts) > 1800
+             |                   OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
              |              THEN 1 ELSE 0 END AS new_sess
              |  FROM e),
              |sess AS (

@@ -248,14 +248,18 @@ object Relational {
     * >30 min of user inactivity; lag + running sum assigns session ids, then
     * per-user session stats. The batch twin of `Streams.sessionized`. */
   def q12bSessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the gap differences the RAW nanos longs: unix_timestamp truncates to
+    // whole seconds, so a 1800.4 s gap would read 1800 here while a
+    // fractional-seconds oracle reads 1800.4 — same boundary, different
+    // units of measure (latent divergence; the nanos difference is exact)
     load(s, dir, "events")
-      .select(col("user_id"), col("event_id"), Tables.tsTimestamp("ts").as("t"))
-      .withColumn("prev_t", lag("t", 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_t").isNull ||
-          unix_timestamp(col("t")) - unix_timestamp(col("prev_t")) > 1800, 1L).otherwise(0L))
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > lit(1800L * 1000000000L), 1L).otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(running))
       .groupBy("user_id")
       .agg(

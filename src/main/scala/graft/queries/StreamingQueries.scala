@@ -41,7 +41,15 @@ object StreamingQueries {
       .start()
     query.awaitTermination()
     query.stop()
-    s.table(sinkName)
+    // detach the result and drop the sink's temp view: each invocation
+    // otherwise pins a full result set in driver memory for the session
+    // lifetime (the result is an AGGREGATE — #windows rows — so the
+    // collect stays bounded at any corpus scale)
+    val sink = s.table(sinkName)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(sinkName)
+    out
   }
 
   /** S1: tumbling 1-hour event counts computed BY THE STREAMING ENGINE

@@ -70,9 +70,12 @@ object Streams {
       .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (userId: Long, batch: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          val (prevN, prevSum) = state.getOption.getOrElse((0L, 0.0))
-          val values = batch.map(_._2).toSeq
-          val next = (prevN + values.size, prevSum + values.sum)
+          // one streaming pass, O(1) memory: in batch-backfill mode this
+          // iterator holds a user's ENTIRE history — buffering it to a Seq
+          // would hold a hot user's rows in task memory
+          val next = batch.foldLeft(state.getOption.getOrElse((0L, 0.0))) {
+            case ((n, s), (_, v)) => (n + 1, s + v)
+          }
           state.update(next)
           (userId, next._1, next._2)
       }
@@ -102,7 +105,15 @@ object Streams {
 
   /** Versioned sink: each micro-batch commits one new version of `table`.
     * Exactly-once at the version level — a replayed batch writes a fresh
-    * version dir and a fresh commit, never corrupting a published one. */
+    * version dir and a fresh commit, never corrupting a published one.
+    *
+    * SEMANTICS — full-recompute outputs only: `versionedInsertInto`
+    * REPLACES the partitions present in each batch (the whole table for
+    * snapshot tables), so the stream must emit complete current state per
+    * batch — complete-mode aggregations, or partitioned outputs where each
+    * batch fully owns the partitions it touches (e.g. one batch per date).
+    * Attaching an append-mode row stream here loses every earlier batch's
+    * rows per partition — by the write model's design, not by accident. */
   def versionedSink[T](
       stream: Dataset[T],
       ctx: VersionContext,
