@@ -12,6 +12,15 @@ object GraftFunctions {
     GraftSqlShim.column(
       CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
+  /** `dot_product(a, b)` — see [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      DotProduct(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** `srp_bucket(vec, nPlanes)` — see [[SrpBucket]]. */
+  def srpBucket(vec: Column, nPlanes: Int): Column =
+    GraftSqlShim.column(SrpBucket(GraftSqlShim.expression(vec), nPlanes))
+
   /** `minhash_signature(tokens)` — see [[MinHashSignature]]. */
   def minhashSignature(tokens: Column, nHashes: Int = 16): Column =
     GraftSqlShim.column(MinHashSignature(GraftSqlShim.expression(tokens), nHashes))
@@ -53,6 +62,12 @@ object GraftFunctions {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "token_hashes takes exactly 1 argument")
         TokenHashes(children.head)
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
       }))
 
   /** Register every graft SQL function on an existing session (the

@@ -217,25 +217,11 @@ object Pipeline {
         col("col._2").as("cos"))
   }
 
-  /** Portable ±1 hyperplane weight for plane `p`, dimension `d` (SQL variable
-    * `d` in scope): parity of a quadratic integer mix. All products stay
-    * < 2⁶³ (v ≤ 576, v²·2654435761 < 9·10¹⁴), so it evaluates identically —
-    * and without ANSI overflow — in Spark and any SQL oracle engine. */
-  private def planeWeight(p: Int): String =
-    s"(CASE WHEN (1 + $p * 64 + d) * (1 + $p * 64 + d) * 2654435761 % 1000000007 % 2 = 1" +
-      " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
-
-  /** Signed-random-projection bucket id over `dvec`: bit p = [dot(v, w_p) > 0]
-    * with the portable weights above. Row-local (zero shuffle); sums run
-    * left-to-right in doubles so any engine reproduces the exact bits. */
-  private def lshBucket(nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val dot = expr(
-        s"""aggregate(
-           |  zip_with(dvec, sequence(0, size(dvec) - 1), (x, d) -> x * ${planeWeight(p)}),
-           |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_ + _)
+  // Signed-random-projection bucketing runs through the native codegen'd
+  // [[graft.plans.SrpBucket]] expression (one primitive loop for all plane
+  // dots, fed the raw float arrays). Its portable parity-weight formula is
+  // mirrored by the SQL oracles (`Registry.planeDotSql`) and pinned
+  // native-vs-HOF bit-identical in `VectorOpsSpec`.
 
   // ---------------------------------------------------------------- E3
 
@@ -277,19 +263,20 @@ object Pipeline {
   }
 
   /** E3 (scale path): LSH-bucketed approximate NN. Signed random projections
-    * ([[lshBucket]], portable weights) bucket vectors; only same-bucket
-    * candidates are scored; the merge is the typed top-k aggregate. The
-    * bucketing is engine-portable, so the oracle reproduces it exactly. */
+    * ([[graft.plans.SrpBucket]], portable weights) bucket vectors; only
+    * same-bucket candidates are scored — by the codegen'd
+    * [[graft.plans.DotProduct]] — and the merge is the typed top-k
+    * aggregate. The bucketing is engine-portable, so the oracle reproduces
+    * it exactly; the whole query runs in whole-stage codegen (no HOFs). */
   def e3bLshAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings")
-      .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
-    val bucketed = emb.withColumn("bucket", lshBucket(8)).select("vec_id", "dvec", "bucket")
+    import graft.plans.GraftFunctions.{dotProduct, srpBucket}
+    val bucketed = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), 8).as("bucket"))
     val queries = bucketed.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("dvec").as("qvec"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
     val cands = bucketed.join(broadcast(queries), "bucket")
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(dvec, qvec, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("cos", dotProduct(col("embedding"), col("qvec")))
     topKPerQuery(cands, 5)
       .select(col("qid"), col("rk"), col("vec_id"))
       .orderBy("qid", "rk")
@@ -301,10 +288,10 @@ object Pipeline {
     * then exact cosine filters at the threshold. Portable bucketing →
     * oracle-checked. */
   def e2dEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.srpBucket
     val bucketed = load(s, dir, "embeddings")
-      .withColumn("dvec", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("bucket", lshBucket(2)) // coarse: 4 cells — high recall at the 0.3 bar
-      .select("vec_id", "embedding", "bucket")
+      // coarse: 2 planes → 4 cells — high recall at the 0.3 bar
+      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), 2).as("bucket"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -98,6 +98,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("e3e_ivf_ann") should include("ObjectHashAggregate")
   }
 
+  test("e3b/e2d: SRP bucketing and scoring run as native codegen expressions, not HOFs") {
+    // interpreted higher-order functions walk the vector once per plane and
+    // drop out of whole-stage codegen; the native expressions keep the
+    // corpus-wide bucketing scan in one codegen'd primitive loop
+    val e3b = plan("e3b_lsh_ann")
+    e3b should include("srp_bucket")
+    e3b should include("dot_product")
+    e3b should not include "lambdafunction"
+    val e2d = plan("e2d_embedding_neardup")
+    e2d should include("srp_bucket")
+    e2d should include("cosine_sim")
+    e2d should not include "lambdafunction"
+  }
+
   test("e2b: minhash signatures are computed row-locally by the native expression") {
     val p = plan("e2b_minhash_lsh")
     p should include("minhash_signature")
