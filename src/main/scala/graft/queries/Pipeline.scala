@@ -477,6 +477,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** E10: per-document tf-idf top terms — the classic keyword-extraction /
+    * feature-weighting pass of a training-data pipeline. Term frequencies
+    * and document frequencies are two hash aggregations; the doc count
+    * joins as a broadcast single row; ranking uses only integer keys
+    * (tf desc, df asc, token) so order is FP-free and engine-portable, and
+    * the per-doc window partitions on `doc_id` — corpus-cardinality, so it
+    * spreads over all reducers at any scale. The token join carries no
+    * broadcast hint for the same reason as [[e5fDocQuality]]: a web-scale
+    * vocabulary is not broadcastable. */
+  def e10TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .where(col("rk") <= 3)
+      .select(
+        col("doc_id"), col("rk"), col("token"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** E5: BPE-ish regex token count (letters runs / digit runs / other). */
   def e5dRegexTokens(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")

@@ -632,7 +632,46 @@ object Registry {
              |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
+    "q32_pivot" -> Entry(
+      Relational.q32Pivot,
+      Some("""SELECT o_orderstatus,
+             |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+             |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_rev,
+             |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high_n,
+             |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high_rev,
+             |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium_n,
+             |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium_rev,
+             |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspec_n,
+             |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS unspec_rev,
+             |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+             |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low_rev
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "e10_tfidf" -> Entry(
+      Pipeline.e10TfIdf,
+      // ranking keys are integers (tf desc, df asc, token) so the top-3 set
+      // is engine-exact; only the reported score is FP (4 dp, ln is shared)
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |r AS (SELECT doc_id, token, tf, df,
+             |             row_number() OVER (PARTITION BY doc_id
+             |                                ORDER BY tf DESC, df, token) AS rk
+             |      FROM tf JOIN dfreq USING (token))
+             |SELECT doc_id, rk, token,
+             |       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+             |FROM r, n WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ---- streaming surface (EXT) ----
+    "s03_stream_dedup" -> Entry(
+      StreamingQueries.s03StreamDedup,
+      // the 60-day watermark covers the fixture's whole event-time span, so
+      // the emitted first-occurrences are exactly the distinct key pairs
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     "s01_stream_tumbling" -> Entry(
       StreamingQueries.s01StreamTumblingCounts,
       // tumbling 1h windows are epoch-aligned: window(t, '1 hour') ≡

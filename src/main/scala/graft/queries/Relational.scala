@@ -485,4 +485,27 @@ object Relational {
     load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql(q25Sql)
   }
+
+  /** Q32: pivot (cross-tab) — order counts and revenue per status with one
+    * column pair per priority. Values are declared explicitly, so Spark
+    * skips the extra distinct-values job and the plan is ONE partial+final
+    * hash aggregation over (status × 5 pivot branches) — same shuffle
+    * profile as a plain groupBy at any scale. */
+  def q32Pivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities =
+      Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspec", "5-LOW" -> "low")
+    val outCols = col("o_orderstatus") +:
+      priorities.flatMap { case (v, a) =>
+        Seq(col(s"${v}_n_orders").as(s"${a}_n"), col(s"${v}_revenue").as(s"${a}_rev"))
+      }
+    load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities.map(_._1))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(outCols: _*)
+      .orderBy("o_orderstatus")
+  }
 }

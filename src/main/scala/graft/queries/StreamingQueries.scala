@@ -22,7 +22,7 @@ object StreamingQueries {
     * sink, blocking until the AvailableNow micro-batches drain; returns the
     * sink as a bounded DataFrame. */
   private def runEventStream(
-      s: SparkSession, dir: String, tag: String)(
+      s: SparkSession, dir: String, tag: String, outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     // static load first: resolves the schema a file stream must declare and
     // pins the nanos-as-long parquet conf the stream read needs too
@@ -36,7 +36,7 @@ object StreamingQueries {
       .writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
@@ -61,6 +61,21 @@ object StreamingQueries {
         col("w_start"), col("w_end"), col("event_type"),
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy("w_start", "event_type")
+
+  /** S3: stateful streaming dedup via `dropDuplicatesWithinWatermark` —
+    * the streaming ingest-dedup shape (state-store keyed on the dedup
+    * columns, bounded by the watermark). The watermark (60 days) covers
+    * the whole fixture's event-time span, so the emitted first-occurrences
+    * are exactly the distinct keys and the SQL oracle is `SELECT
+    * DISTINCT`; in production the watermark is the dedup horizon and
+    * state stays bounded. Append output: dedup emits rows as they pass,
+    * no result-table recomputation. */
+  def s03StreamDedup(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s03", outputMode = "append")(
+      graft.streaming.Streams.dedupWithinWatermark(
+        _, tsCol = "t", watermark = "60 days", keys = Seq("user_id", "event_type")))
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
 
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both

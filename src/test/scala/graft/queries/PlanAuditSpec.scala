@@ -112,6 +112,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     e2d should not include "lambdafunction"
   }
 
+  test("q32: declared pivot values fold into one partial+final hash agg, no extra job") {
+    // with explicit pivot values there is no distinct-values pre-job; the
+    // cross-tab is a single groupBy(status) aggregation — one shuffle on
+    // the group key, same profile as q09 at any scale
+    val p = plan("q32_pivot")
+    // two-level agg: (status, priority) partial+final, then pivotfirst on
+    // status — both map-side-combined; no distinct-values scan job exists
+    // because the pivot values are declared
+    p should include("partial_pivotfirst")
+    p.split("Exchange", -1).length shouldBe 4 // two agg shuffles + presentation sort only
+  }
+
+  test("e10: tf-idf top-k window partitions on doc_id and merges bounded") {
+    val p = plan("e10_tfidf")
+    // corpus-cardinality window key + WindowGroupLimit: each task forwards
+    // at most k rows per doc to the merge, never the full scored term list
+    p should include("windowspecdefinition(doc_id")
+    p should include("WindowGroupLimit")
+    // the doc-count side joins as a single-row broadcast, not a shuffle
+    p should include("BroadcastNestedLoopJoin")
+  }
+
   test("e2b: minhash signatures are computed row-locally by the native expression") {
     val p = plan("e2b_minhash_lsh")
     p should include("minhash_signature")
