@@ -445,25 +445,35 @@ private[spark] object GraftV2Table {
     val ctx = VersionContext(metastoreFor(binding, defn))
     val message =
       UpdateMessage(if (overwrite) "INSERT OVERWRITE (SQL)" else "INSERT INTO (SQL)")
-    val toWrite =
-      if (overwrite) data
+    val (toWrite, pinned) =
+      if (overwrite) (data, None)
       else currentOrNone(spark, binding, defn) match {
-        case None => data
-        case Some(current) if defn.isSnapshot => data.unionByName(current)
+        case None => (data, None)
+        case Some(current) if defn.isSnapshot => (data.unionByName(current), None)
         case Some(current) =>
           // copy-on-write append: the touched partitions' fresh version must
           // carry their current rows too; `touched` is #partitions rows —
-          // metadata-sized, safe to broadcast at any corpus scale
+          // metadata-sized, safe to broadcast at any corpus scale. The batch
+          // is pinned to ONE materialization first: `touched` and the union
+          // otherwise evaluate `data` independently, and a non-deterministic
+          // source could write a partition `touched` missed — silently
+          // dropping that partition's current rows from the fresh version
+          // (the same hazard the overwrite prune below avoids by diffing
+          // commit metadata instead of re-reading `data`).
+          val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val partCols = defn.partitionSchema.columns.map(_.name)
-          val touched = data.select(partCols.map(col): _*).distinct()
-          data.unionByName(current.join(broadcast(touched), partCols, "left_semi"))
+          val touched = cached.select(partCols.map(col): _*).distinct()
+          (cached.unionByName(current.join(broadcast(touched), partCols, "left_semi")),
+            Some(cached))
       }
     val beforeWrite: Map[Partition, Version] =
       binding.log.currentVersion(defn.name) match {
         case PartitionedTableVersion(pvs) => pvs
         case _                            => Map.empty
       }
-    val (afterWrite, _) = toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
+    val (afterWrite, _) =
+      try toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
+      finally pinned.foreach { df => df.unpersist(); () }
     if (overwrite && !defn.isSnapshot) {
       // SQL INSERT OVERWRITE is a STATIC whole-table replace: partitions
       // absent from the new data must go too (the Scala API's
