@@ -695,6 +695,30 @@ object Registry {
              |SELECT w_start, event_type, count(*) AS n_events
              |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
+    "s04_stream_session" -> Entry(
+      StreamingQueries.s04StreamSession,
+      // session splits from microsecond-timestamp gaps: Spark's session end
+      // (last event + gap) is EXCLUSIVE, so a new session starts iff the
+      // gap is >= 30 minutes; epoch_us truncates nanos exactly like the
+      // engine's microsecond event-time column
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, us,
+             |         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |  FROM m)
+             |SELECT min(us) AS s_start, user_id, count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,

@@ -77,6 +77,19 @@ object StreamingQueries {
       .select(col("user_id"), col("event_type"))
       .orderBy("user_id", "event_type")
 
+  /** S4: session windows per user THROUGH THE STREAMING ENGINE — events
+    * merge into a session while consecutive gaps stay under 30 minutes
+    * (the streaming twin of the batch `q12b_sessionize`). Session starts
+    * are the first event's microsecond timestamp, so the oracle reproduces
+    * the exact splits from `epoch_us` diffs (a new session iff the gap is
+    * ≥ the 30-minute width — Spark's session end bound is exclusive). */
+  def s04StreamSession(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s04")(
+      graft.streaming.Streams.sessionized(
+        _, tsCol = "t", gap = "30 minutes", watermark = "1 hour"))
+      .select(unix_micros(col("s_start")).as("s_start"), col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */
