@@ -505,6 +505,53 @@ object Pipeline {
       .orderBy("doc_id", "rk")
   }
 
+  /** E11: intra-document repetition ratio — the fraction of a document's
+    * word 3-grams that are repeats (1 − distinct/total), the classic
+    * "excessively repetitive text" quality filter of LLM data pipelines.
+    * Entirely row-local (one native shingle pass per doc, zero exchanges
+    * except the presentation sort); total shingles is plain arithmetic on
+    * the token count, distinct shingles is the native [[graft.plans.ShingleHashes]]
+    * (already deduplicated). Oracle counts distinct 3-gram STRINGS — the
+    * same string↔64-bit-hash equivalence the e2 inverted index rests on. */
+  def e11Repetition(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        greatest(size(tk) - 2, lit(0)).cast("long").as("n_shingles"),
+        size(graft.plans.GraftFunctions.shingleHashes(tk)).cast("long").as("n_distinct"))
+      .where(col("n_shingles") > 0)
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** E12: benchmark-contamination check — for every training document, the
+    * fraction of its distinct 3-grams that also appear in a held-out
+    * benchmark set (here: every 10th doc stands in for the benchmark).
+    * The shape is the decontamination pass every LLM training pipeline
+    * runs before training: distinct shingle hashes per side, one
+    * hash-equi semi-join (no broadcast hint — a real benchmark suite's
+    * n-gram set may still be millions of rows), then per-doc overlap
+    * counts. Linear in corpus size, never O(n²). */
+  def e12Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingleHashes(split(col("text"), " "))).as("shh"))
+    val bench = sh.where(col("doc_id") % 10 === 0).select("shh").distinct()
+    val train = sh.where(col("doc_id") % 10 =!= 0)
+    val shared = train.join(bench, Seq("shh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .select("doc_id", "n_grams", "n_shared", "contamination")
+      .orderBy("doc_id")
+  }
+
   /** E5: BPE-ish regex token count (letters runs / digit runs / other). */
   def e5dRegexTokens(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")

@@ -719,6 +719,39 @@ object Registry {
              |SELECT min(us) AS s_start, user_id, count(*) AS n_events
              |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
 
+    "e11_repetition" -> Entry(
+      Pipeline.e11Repetition,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |       FROM toks, generate_series(1, 2000) g(i)
+             |       WHERE i <= CASE WHEN len(tk) - 2 > 2000
+             |                       THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+             |                       ELSE len(tk) - 2 END),
+             |agg AS (SELECT doc_id, count(*) AS n_shingles, count(DISTINCT s) AS n_distinct
+             |        FROM sh GROUP BY doc_id)
+             |SELECT doc_id, n_shingles, n_distinct,
+             |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) AS rep_ratio
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    "e12_contamination" -> Entry(
+      Pipeline.e12Contamination,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |       FROM toks, generate_series(1, 2000) g(i)
+             |       WHERE i <= CASE WHEN len(tk) - 2 > 2000
+             |                       THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+             |                       ELSE len(tk) - 2 END),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+             |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+             |shared AS (SELECT doc_id, count(*) AS n_shared
+             |           FROM train JOIN bench USING (s) GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)
+             |SELECT tot.doc_id, n_grams,
+             |       COALESCE(n_shared, 0) AS n_shared,
+             |       round(CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams, 6) AS contamination
+             |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
+             |ORDER BY tot.doc_id""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,
