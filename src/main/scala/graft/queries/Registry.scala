@@ -752,6 +752,17 @@ object Registry {
              |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
              |ORDER BY tot.doc_id""".stripMargin)),
 
+    "s05_stream_join" -> Entry(
+      StreamingQueries.s05StreamJoin,
+      // the engine joins on the microsecond event-time column, so the
+      // interval bound is exact in the epoch_us domain
+      Some("""SELECT c.event_id AS click_id, v.event_id AS view_id
+             |FROM events c JOIN events v
+             |  ON c.user_id = v.user_id
+             | AND c.event_type = 'click' AND v.event_type = 'view'
+             | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+             |ORDER BY click_id, view_id""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,

@@ -90,6 +90,26 @@ object StreamingQueries {
       .select(unix_micros(col("s_start")).as("s_start"), col("user_id"), col("n_events"))
       .orderBy("user_id", "s_start")
 
+  /** S5: stream-stream interval join — every click pairs with the same
+    * user's views from the preceding hour, both sides watermarked so the
+    * engine evicts view-side state once the watermark clears the interval
+    * bound (the perpetual correlation shape: state stays O(window), not
+    * O(stream)). Inner joins emit matches as both sides arrive → append
+    * output; the microsecond event-time domain makes the interval exact
+    * for the SQL oracle. */
+  def s05StreamJoin(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s05", outputMode = "append") { stream =>
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("t").as("ct"), col("event_id").as("click_id"))
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("t").as("vt"), col("event_id").as("view_id"))
+      graft.streaming.Streams.intervalJoin(
+        clicks, views, "c_user", "v_user", "ct", "vt",
+        window = "1 hour", watermark = "1 hour")
+    }
+      .select(col("click_id"), col("view_id"))
+      .orderBy("click_id", "view_id")
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

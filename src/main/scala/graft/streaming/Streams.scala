@@ -53,6 +53,28 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream inner join: each left event pairs with right events of
+    * the same key whose time falls in `[left - window, left]`. Watermarks
+    * plus the explicit time-range predicate let the engine evict right-side
+    * state once the watermark passes `rightTime + window` — the bounded-state
+    * shape a perpetual click/view correlation needs. Inner joins emit each
+    * match as soon as both sides arrive. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      window: String, watermark: String): DataFrame = {
+    // callers pass disjoint column names on the two sides so the (possibly
+    // same-source) stream self-join resolves without lineage ambiguity
+    val lw = left.withWatermark(leftTime, watermark)
+    val rw = right.withWatermark(rightTime, watermark)
+    lw.join(rw,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $window") &&
+        col(rightTime) <= col(leftTime),
+      "inner")
+  }
+
   /** Stateful exact dedup bounded by the watermark. */
   def dedupWithinWatermark(
       events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =

@@ -134,6 +134,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastNestedLoopJoin")
   }
 
+  test("e11: the repetition ratio is map-only — one exchange, the presentation sort") {
+    val p = plan("e11_repetition")
+    p should include("shingle_hashes")
+    p.split("Exchange", -1).length shouldBe 2 // rangepartitioning for ORDER BY only
+  }
+
   test("e2b: minhash signatures are computed row-locally by the native expression") {
     val p = plan("e2b_minhash_lsh")
     p should include("minhash_signature")
