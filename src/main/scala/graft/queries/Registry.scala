@@ -647,6 +647,24 @@ object Registry {
              |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low_rev
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q33_percentiles" -> Entry(
+      Relational.q33Percentiles,
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q34_stats" -> Entry(
+      Relational.q34Stats,
+      Some("""SELECT l_returnflag,
+             |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |       round(var_samp(l_discount), 8) AS var_disc,
+             |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+             |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "e10_tfidf" -> Entry(
       Pipeline.e10TfIdf,
       // ranking keys are integers (tf desc, df asc, token) so the top-3 set

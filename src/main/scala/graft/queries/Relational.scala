@@ -486,6 +486,37 @@ object Relational {
     s.sql(q25Sql)
   }
 
+  /** Q33: exact percentiles per group. Exact `percentile` buffers a
+    * group's values (fine for bounded group counts; the 100 TB path for
+    * high-cardinality groups is `approx_percentile`'s mergeable sketch —
+    * engine-specific, hence not the oracle-checked variant). Quartiles
+    * interpolate linearly on the sorted values — the same definition as the
+    * oracle's `quantile_cont`, so 4-dp rounding absorbs summation-order
+    * noise. */
+  def q33Percentiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Q34: second-moment statistics per group — sample stddev/variance,
+    * covariance, and correlation (partial+final mergeable moment buffers,
+    * the same shuffle profile as any hash agg). Rounded where engines'
+    * moment-merge orders can differ in the last ulps. */
+  def q34Stats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_discount")), 8).as("var_disc"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
   /** Q32: pivot (cross-tab) — order counts and revenue per status with one
     * column pair per priority. Values are declared explicitly, so Spark
     * skips the extra distinct-values job and the plan is ONE partial+final
