@@ -21,8 +21,16 @@ object StreamingQueries {
   /** Run `transform` over the streamed events file into a fresh memory
     * sink, blocking until the AvailableNow micro-batches drain; returns the
     * sink as a bounded DataFrame. */
+  /** `statePartitions` sizes the stateful shuffle (= state-store instance
+    * count, fixed at first start by `spark.sql.shuffle.partitions`): a
+    * deliberate per-query sizing decision for streaming jobs — state stores
+    * carry per-instance open/commit cost every micro-batch, so the count
+    * should track state volume, not the batch session's default. Save/
+    * restore under the session lock, mirroring `VersionedReader`'s conf
+    * toggle pattern. */
   private def runEventStream(
-      s: SparkSession, dir: String, tag: String, outputMode: String = "complete")(
+      s: SparkSession, dir: String, tag: String, outputMode: String = "complete",
+      statePartitions: Int = 8)(
       transform: DataFrame => DataFrame): DataFrame = {
     // static load first: resolves the schema a file stream must declare and
     // pins the nanos-as-long parquet conf the stream read needs too
@@ -32,13 +40,22 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet") // stream the events file only
       .parquet(dir)
       .withColumn("t", Tables.tsTimestamp("ts"))
-    val query = transform(stream)
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val partitionsKey = "spark.sql.shuffle.partitions"
+    val query = s.synchronized {
+      val previous = s.conf.getOption(partitionsKey)
+      s.conf.set(partitionsKey, statePartitions.toString)
+      try transform(stream)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start() // the conf is captured into the query's offset log at start
+      finally previous match {
+        case Some(v) => s.conf.set(partitionsKey, v)
+        case None    => s.conf.unset(partitionsKey)
+      }
+    }
     query.awaitTermination()
     query.stop()
     // detach the result and drop the sink's temp view: each invocation
