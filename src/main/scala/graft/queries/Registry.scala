@@ -665,6 +665,14 @@ object Registry {
              |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q35_stringagg" -> Entry(
+      Relational.q35StringAgg,
+      Some("""SELECT r_name,
+             |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |       count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     "e10_tfidf" -> Entry(
       Pipeline.e10TfIdf,
       // ranking keys are integers (tf desc, df asc, token) so the top-3 set

@@ -517,6 +517,19 @@ object Relational {
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
       .orderBy("l_returnflag")
 
+  /** Q35: ordered string aggregation — the names of each region's nations
+    * joined into one string. `collect_list` has no deterministic order
+    * under distributed aggregation, so the list is sorted before joining —
+    * the portable spelling of `string_agg(... ORDER BY ...)`. */
+  def q35StringAgg(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation")
+      .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).cast("long").as("n_nations"))
+      .orderBy("r_name")
+
   /** Q32: pivot (cross-tab) — order counts and revenue per status with one
     * column pair per priority. Values are declared explicitly, so Spark
     * skips the extra distinct-values job and the plan is ONE partial+final
