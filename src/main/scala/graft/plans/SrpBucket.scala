@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
  *
  * Null semantics (matching the HOF stack it replaces, where a null dot
  * falls to the `otherwise(0)` branch of every plane): null input → bucket
- * 0; any null element → bucket 0.
+ * 0; any null element → bucket 0. NaN semantics: SQL comparison treats NaN
+ * as GREATER than every value (Spark and DuckDB alike), so a NaN dot sets
+ * its plane's bit — Java's `>` alone would silently flip those bits to 0.
  */
 case class SrpBucket(child: Expression, nPlanes: Int)
     extends UnaryExpression {
@@ -74,7 +76,8 @@ case class SrpBucket(child: Expression, nPlanes: Int)
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
-        if (dots(p) > 0) bucket |= (1L << p)
+        // SQL `dot > 0` is true for NaN (NaN compares greatest)
+        if (dots(p) > 0 || java.lang.Double.isNaN(dots(p))) bucket |= (1L << p)
         p += 1
       }
       bucket
@@ -107,7 +110,8 @@ case class SrpBucket(child: Expression, nPlanes: Int)
          |}
          |if (!$nulled) {
          |  for (int $p = 0; $p < $nPlanes; $p++) {
-         |    if ($dots[$p] > 0) ${ev.value} |= (1L << $p);
+         |    // SQL `dot > 0` is true for NaN (NaN compares greatest)
+         |    if ($dots[$p] > 0 || Double.isNaN($dots[$p])) ${ev.value} |= (1L << $p);
          |  }
          |}
        """.stripMargin

@@ -116,6 +116,37 @@ class VectorOpsSpec extends AnyFunSuite with Matchers {
     local.sorted shouldBe viaScan.sorted
   }
 
+  test("srp_bucket and dot_product match the HOFs on adversarial float values") {
+    // NaN poisons a plane's dot (NaN > 0 is false → bit 0) and the HOF
+    // stack behaves identically; infinities and denormals must also agree
+    val vecs: Seq[Array[Float]] = Seq(
+      Array(Float.NaN, 1.0f, -1.0f, 2.0f),
+      Array(Float.PositiveInfinity, -1e30f, 1e30f, 0.0f),
+      Array(Float.NegativeInfinity, Float.MaxValue, Float.MinPositiveValue, -0.0f),
+      Array(0.0f, -0.0f, 1e-40f, -1e-40f), // denormals
+      Array.fill(64)(1e19f)                // large homogeneous
+    )
+    // literal relations constant-fold to interpreted eval; write through
+    // parquet so the comparison exercises the codegen path
+    val p = java.nio.file.Files.createTempDirectory("srpadv").toString
+    vecs.map(Tuple1(_)).toDF("v").write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+      .withColumn("dvec", expr("transform(v, x -> cast(x as double))"))
+    val bucketRows = df.select(
+      GraftFunctions.srpBucket(col("v"), 8).as("native"),
+      hofBucket(8).as("viaHof")).collect()
+    bucketRows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    val dotRows = df.select(
+      GraftFunctions.dotProduct(col("v"), col("v")).as("native"),
+      expr("aggregate(zip_with(dvec, dvec, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
+        .as("viaHof")).collect()
+    dotRows.foreach { r =>
+      // NaN == NaN is false; compare raw bits so NaN agreement passes too
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("SQL registration: dot_product is callable from SQL text") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d").collect()
