@@ -789,6 +789,14 @@ object Registry {
              | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
              |ORDER BY click_id, view_id""".stripMargin)),
 
+    "s06_stream_alerts" -> Entry(
+      StreamingQueries.s06StreamAlerts,
+      // values are strictly positive, so the first-crossing set equals the
+      // final-total filter; only the ids are compared (crossing-time totals
+      // depend on micro-batch splits)
+      Some("""SELECT user_id FROM events GROUP BY user_id
+             |HAVING sum(value) >= 3000 ORDER BY user_id""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,

@@ -127,6 +127,26 @@ object StreamingQueries {
       .select(col("click_id"), col("view_id"))
       .orderBy("click_id", "view_id")
 
+  /** S6: custom keyed state via `flatMapGroupsWithState` — emit a user the
+    * first time their cumulative event value crosses a threshold (the
+    * alert/debounce shape `mapGroupsWithState`'s one-row-per-group contract
+    * can't express). Only the user id is emitted: event values are strictly
+    * positive, so "some prefix crossed" ⟺ "the final total crossed", making
+    * the emitted SET independent of micro-batch splits and equal to a plain
+    * `HAVING sum(value) >= T` oracle (the total AT crossing time would be
+    * batch-split-dependent — deliberately projected away). */
+  def s06StreamAlerts(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s06", outputMode = "append") { stream =>
+      import stream.sparkSession.implicits._
+      val typed = stream
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+      graft.streaming.Streams.thresholdAlerts(typed, 3000.0)
+        .toDF("user_id", "total_at_alert")
+    }
+      .select(col("user_id"))
+      .orderBy("user_id")
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */
