@@ -617,6 +617,53 @@ object Pipeline {
         sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** E13: PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before anything else. The synthetic corpus carries no
+    * natural PII, so the entry first composes a deterministic contact line
+    * per document (email + phone derived from `doc_id`), then runs the real
+    * operator: regex detection counts plus in-place redaction to `[EMAIL]` /
+    * `[PHONE]` placeholders. Map-only (codegen'd regexp over each row, no
+    * exchange except the presentation sort); the patterns are plain
+    * character classes, identical under Java regex and RE2, so the oracle
+    * reproduces counts and redacted text byte-for-byte. */
+  def e13PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"), lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0")).as("raw"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** E14: corpus bigram counts — the n-gram language-model statistics pass
+    * (the same shape computes trigram LM counts or collocation tables).
+    * Bigram expansion is row-local; the only exchange is the partial+final
+    * count aggregation keyed by bigram (shuffle carries #distinct bigrams,
+    * not corpus tokens), and the top-k lands in one TakeOrderedAndProject.
+    * Ranking ties break on the bigram string so the top-20 is deterministic
+    * across engines. */
+  def e14BigramCounts(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2)))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

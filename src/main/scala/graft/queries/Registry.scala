@@ -797,6 +797,35 @@ object Registry {
       Some("""SELECT user_id FROM events GROUP BY user_id
              |HAVING sum(value) >= 3000 ORDER BY user_id""".stripMargin)),
 
+    "e13_pii_redact" -> Entry(
+      Pipeline.e13PiiRedact,
+      // same concat-derived contact line on both sides; the patterns are
+      // plain character classes (identical under Java regex and RE2) and
+      // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+      // replace-all semantics
+      Some("""WITH r AS (SELECT doc_id,
+             |  text || 'contact user' || doc_id || '@mail.example.com or call 555-' ||
+             |  lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+             |                 '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    "e14_bigram_counts" -> Entry(
+      Pipeline.e14BigramCounts,
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |b AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+             |      FROM t, generate_series(1, 2000) g(i)
+             |      WHERE i <= CASE WHEN len(tk) - 1 > 2000
+             |                      THEN CAST(error('doc exceeds 2000-token oracle cap') AS BIGINT)
+             |                      ELSE len(tk) - 1 END)
+             |SELECT bigram, count(*) AS n FROM b
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
     "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,
