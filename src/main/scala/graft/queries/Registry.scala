@@ -125,6 +125,40 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q36_merge_upsert" -> Entry(
+      Versioned.q36MergeUpsert,
+      // replay of the upsert: matched base rows drop in favor of their
+      // source row, unmatched source rows insert (o_orderkey is unique, so
+      // NOT IN over the source keys is exactly the anti-join)
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |              FROM orders WHERE o_orderkey % 3 <> 0),
+             |src AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             |               o_orderstatus
+             |        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0),
+             |merged AS (SELECT * FROM base
+             |           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |           UNION ALL SELECT * FROM src)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    "q37_schema_evolution" -> Entry(
+      Versioned.q37SchemaEvolution,
+      // v2 overwrote the whole 'R' partition, so v1's R rows are gone; the
+      // old partitions surface qty_band as NULL under the merged schema
+      Some("""WITH v1 AS (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |            WHERE l_quantity <= 25),
+             |v2 AS (SELECT l_orderkey, l_quantity, l_returnflag,
+             |              CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band
+             |       FROM lineitem WHERE l_quantity > 40 AND l_returnflag = 'R'),
+             |merged AS (SELECT l_orderkey, l_quantity, l_returnflag, NULL AS qty_band
+             |           FROM v1 WHERE l_returnflag <> 'R'
+             |           UNION ALL SELECT * FROM v2)
+             |SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       count(qty_band) AS n_banded,
+             |       CAST(coalesce(sum(qty_band), 0) AS BIGINT) AS sum_band
+             |FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- relational surface (Q1–Q25) ----
     "q01_scan_filter" -> Entry(
       Relational.q01ScanFilter,

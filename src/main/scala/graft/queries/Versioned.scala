@@ -124,6 +124,58 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q36: MERGE (upsert) — v1 base-loads two thirds of orders partitioned
+    * by status; the source then updates every even-keyed 'O' order (+1000
+    * price) and inserts the even 'O' orders v1 skipped. Only the 'O'
+    * partition is rewritten — 'P'/'F' keep their v1 version dirs (partition
+    * granularity pinned in `MergeSpec`). The oracle replays the same upsert
+    * relationally. */
+  def q36MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "ord_merge", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_merge"))
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.where(col("o_orderkey") % 3 =!= 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+    val src = orders
+      .where(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    graft.spark.Merge.mergeInto(
+      ctx, log, table, src, Seq("o_orderkey"), user, UpdateMessage("v2: merge even O orders"))
+    VersionedReader(s, log).read(table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Q37: additive schema evolution — v2 refreshes the 'R' partition with a
+    * new `qty_band` column that v1's files never had; the merged-schema read
+    * surfaces it as NULL for the untouched partitions (count/sum skip them),
+    * with the schema union taken from file footers only. */
+  def q37SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_evolve", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_evolve"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: original schema"))
+    li.where(col("l_quantity") > 40 && col("l_returnflag") === "R")
+      .withColumn("qty_band", floor(col("l_quantity") / 10).cast("long"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R refreshed, qty_band added"))
+    VersionedReader(s, log).readMergedSchema(table)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(col("qty_band")).as("n_banded"),
+        coalesce(sum("qty_band"), lit(0L)).as("sum_band"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q30: incremental version diff — v1 writes every partition, v2 rewrites
     * ONLY the 'R' partition; `readChanges(v1 → v2)` must surface exactly
     * the new contents of the one partition that moved (partition-level CDC:

@@ -30,6 +30,32 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   def readAsOf(table: TableDefinition, commit: CommitId): DataFrame =
     materialize(table, log.versionAt(table.name, commit))
 
+  /** Read ONLY `partitions` at the table's current version — the pruned
+    * input of partition-scoped operations ([[Merge.mergeInto]] reads just
+    * the partitions it is about to rewrite, never the whole table).
+    * Partitions the table doesn't hold yet contribute nothing; if none of
+    * the requested partitions exist, the result is a zero-row frame that
+    * keeps the table's schema. */
+  def readPartitions(table: TableDefinition, partitions: Seq[Partition]): DataFrame =
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        val wanted = partitions.toSet
+        val subset = pvs.filter { case (p, _) => wanted.contains(p) }
+        if (subset.nonEmpty) materialize(table, PartitionedTableVersion(subset))
+        else emptyLike(table, PartitionedTableVersion(pvs))
+      case _ =>
+        sys.error(
+          s"readPartitions requires a partitioned table: ${table.name.fullyQualifiedName}")
+    }
+
+  /** Read the current version with schema merging across version dirs —
+    * the read side of ADDITIVE schema evolution: a column introduced by a
+    * later write surfaces as NULL for partitions still on a version written
+    * before the column existed. Merging unions the parquet/ORC footers of
+    * each selected dir (metadata-only; no extra data pass). */
+  def readMergedSchema(table: TableDefinition): DataFrame =
+    materialize(table, log.currentVersion(table.name), mergeSchema = true)
+
   /** Incremental (CDC-style) read: the NEW contents of every partition
     * whose version changed between `from` (exclusive) and `to` (inclusive)
     * — what a downstream incremental job consumes instead of re-scanning
@@ -64,7 +90,10 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     case _ => materialize(table, tv).limit(0)
   }
 
-  private def materialize(table: TableDefinition, tv: TableVersion): DataFrame = {
+  private def materialize(
+      table: TableDefinition,
+      tv: TableVersion,
+      mergeSchema: Boolean = false): DataFrame = {
     // partition values are strings in the version model; pin Spark's
     // partition-dir parsing to strings so values round-trip verbatim
     // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1").
@@ -79,7 +108,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     spark.synchronized {
       val previous = spark.conf.getOption(inferenceKey)
       spark.conf.set(inferenceKey, "false")
-      try doMaterialize(table, tv)
+      try doMaterialize(table, tv, mergeSchema)
       finally previous match {
         case Some(v) => spark.conf.set(inferenceKey, v)
         case None    => spark.conf.unset(inferenceKey)
@@ -87,7 +116,10 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     }
   }
 
-  private def doMaterialize(table: TableDefinition, tv: TableVersion): DataFrame =
+  private def doMaterialize(
+      table: TableDefinition,
+      tv: TableVersion,
+      mergeSchema: Boolean): DataFrame =
     tv match {
       case SnapshotTableVersion(v) if v == Version.Unversioned =>
         // the Unversioned sentinel maps to the BARE table location, which
@@ -98,6 +130,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         spark.emptyDataFrame
       case SnapshotTableVersion(v) =>
         spark.read
+          .option("mergeSchema", mergeSchema.toString)
           .format(table.format.name)
           .load(VersionPaths.pathFor(table.location, v).toString)
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
@@ -106,6 +139,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           .sorted
         spark.read
           .option("basePath", table.location.toString)
+          .option("mergeSchema", mergeSchema.toString)
           .format(table.format.name)
           .load(paths: _*)
       case PartitionedTableVersion(_) =>

@@ -1,0 +1,122 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class MergeSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("merge-test")
+
+  private def freshContext(): (VersionContext, TableVersions) = {
+    val log = new InMemoryTableVersions
+    (VersionContext(VersionedMetastore(log, new InMemoryMetastore)), log)
+  }
+
+  private def partitionedTable(name: String): TableDefinition =
+    TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_spec_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+
+  test("merge upserts matched rows, inserts new ones, and leaves untouched partitions' versions alone") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("merge_part")
+    ctx.init(table, user, UpdateMessage("init"))
+
+    Seq(
+      Event(1, "old", "2024-01-01"), Event(2, "old", "2024-01-01"),
+      Event(3, "old", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Versions = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+
+    // source touches only 2024-01-01: update id=2, insert id=4
+    val source = Seq(Event(2, "new", "2024-01-01"), Event(4, "new", "2024-01-01")).toDF()
+    Merge.mergeInto(ctx, log, table, source, Seq("id"), user, UpdateMessage("merge"))
+
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    val day1 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    val day2 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-02"))
+    // touched partition re-versioned; untouched partition pointer identical
+    after(day1) should not be v1Versions(day1)
+    after(day2) shouldBe v1Versions(day2)
+
+    val rows = VersionedReader(spark, log).read(table).as[Event].collect().sortBy(_.id)
+    rows shouldBe Array(
+      Event(1, "old", "2024-01-01"), Event(2, "new", "2024-01-01"),
+      Event(3, "old", "2024-01-02"), Event(4, "new", "2024-01-01"))
+  }
+
+  test("merge into a partition the table does not hold yet is a pure insert") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("merge_newpart")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "old", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    Merge.mergeInto(
+      ctx, log, table,
+      Seq(Event(9, "new", "2024-02-01")).toDF(), Seq("id"), user, UpdateMessage("merge"))
+
+    val rows = VersionedReader(spark, log).read(table).as[Event].collect().sortBy(_.id)
+    rows shouldBe Array(Event(1, "old", "2024-01-01"), Event(9, "new", "2024-02-01"))
+  }
+
+  test("snapshot merge rewrites the whole snapshot and stays time-travelable") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "merge_snap"),
+      Files.createTempDirectory("graft_spec_merge_snap").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "old", "d"), Event(2, "old", "d"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.updates(table.name).head.id
+
+    Merge.mergeInto(
+      ctx, log, table,
+      Seq(Event(2, "new", "d"), Event(3, "new", "d")).toDF(),
+      Seq("id"), user, UpdateMessage("merge"))
+
+    val reader = VersionedReader(spark, log)
+    reader.read(table).as[Event].collect().sortBy(_.id) shouldBe
+      Array(Event(1, "old", "d"), Event(2, "new", "d"), Event(3, "new", "d"))
+    // pre-merge state still readable at the v1 commit
+    reader.readAsOf(table, v1).as[Event].collect().sortBy(_.id) shouldBe
+      Array(Event(1, "old", "d"), Event(2, "old", "d"))
+  }
+
+  test("merged-schema read surfaces a later-added column as NULL on old partitions") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("evolve")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1: no score column"))
+    Seq((3L, "c", 0.5, "2024-01-02"))
+      .toDF("id", "kind", "score", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: 01-02 refreshed with score"))
+
+    val merged = VersionedReader(spark, log).readMergedSchema(table)
+    merged.columns should contain("score")
+    val byId = merged.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    byId(1L).isNullAt(byId(1L).fieldIndex("score")) shouldBe true
+    byId(3L).getDouble(byId(3L).fieldIndex("score")) shouldBe 0.5
+    byId.keySet shouldBe Set(1L, 3L) // v2 overwrote the whole 01-02 partition
+  }
+}
