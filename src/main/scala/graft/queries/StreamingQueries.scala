@@ -147,6 +147,58 @@ object StreamingQueries {
       .select(col("user_id"))
       .orderBy("user_id")
 
+  /** S7: the VERSIONED SINK end-to-end — the streaming engine aggregates
+    * the events stream (complete-mode tumbling counts) and every micro-batch
+    * lands as a fresh COMMIT of a versioned snapshot table via
+    * [[graft.streaming.Streams.versionedSink]]; the result is read back
+    * through the commit-log-resolved reader, so the oracle checks the whole
+    * loop: stream source → stateful agg → versioned commit per batch →
+    * versioned read. Stream output becomes reproducible, time-travelable
+    * table state — the property the reference's versioning model exists for,
+    * extended to streams. */
+  def s07StreamVersionedSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("graft", "stream_sink"),
+      java.nio.file.Files.createTempDirectory("graft_stream_sink").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    val user = UserId("graft-verify")
+    ctx.init(table, user, UpdateMessage("create stream_sink"))
+    val schema = Tables.load(s, dir, "events").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("t", Tables.tsTimestamp("ts"))
+    val agg = graft.streaming.Streams.tumblingCounts(
+      stream, tsCol = "t", width = "1 hour", watermark = "1 hour")
+    val partitionsKey = "spark.sql.shuffle.partitions"
+    val query = s.synchronized {
+      val previous = s.conf.getOption(partitionsKey)
+      s.conf.set(partitionsKey, "8")
+      try graft.streaming.Streams.versionedSink(agg, ctx, table, user)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally previous match {
+        case Some(v) => s.conf.set(partitionsKey, v)
+        case None    => s.conf.unset(partitionsKey)
+      }
+    }
+    query.awaitTermination()
+    query.stop()
+    // the CURRENT version is the last micro-batch's complete state
+    graft.spark.VersionedReader(s, log).read(table)
+      .select(
+        col("w_start"), col("w_end"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */
