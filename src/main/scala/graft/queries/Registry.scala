@@ -125,6 +125,14 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q38_zorder_compact" -> Entry(
+      Versioned.q38ZorderCompact,
+      // z-order is row-invisible: the oracle is the original insert
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem WHERE l_quantity > 35
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q36_merge_upsert" -> Entry(
       Versioned.q36MergeUpsert,
       // replay of the upsert: matched base rows drop in favor of their

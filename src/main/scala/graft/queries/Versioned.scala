@@ -124,6 +124,32 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q38: Z-ORDER clustering compaction — a fragmented snapshot insert is
+    * rewritten along the (l_quantity, l_extendedprice) Z-curve into 4
+    * range-partitioned files, so min/max footer stats prune BOTH dimensions
+    * (per-file spread bounds pinned in `ZOrderSpec`). Row-invisible like
+    * q31: the oracle is the original insert. */
+  def q38ZorderCompact(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("li_zorder", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_zorder"))
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .where(col("l_quantity") > 35)
+      .repartition(8) // fragment first, like a stream of small inserts
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    graft.spark.ZOrder.zorderCompact(
+      s, ctx, table, user, UpdateMessage("v2: zordered"),
+      zorderCols = Seq("l_quantity", "l_extendedprice"), numFiles = 4)
+    VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q36: MERGE (upsert) — v1 base-loads two thirds of orders partitioned
     * by status; the source then updates every even-keyed 'O' order (+1000
     * price) and inserts the even 'O' orders v1 skipped. Only the 'O'
