@@ -142,26 +142,7 @@ object Pipeline {
     * Scale: the only shuffle is the (band, key) self-join — bucket sizes are
     * bounded by LSH collision probability, not corpus size. */
   def e2bMinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val nHashes = 16
-    val bandSize = 4
-    val M = graft.plans.MinHashSignature.Mod
-    val sigs = load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= 3)
-      .select(
-        col("doc_id"),
-        graft.plans.GraftFunctions.minhashSignature(col("tk"), nHashes).as("sigs"))
-    val bandCols = (0 until nHashes / bandSize).map { band =>
-      // portable band key: polynomial combine of the band's 4 signature
-      // minima (values < M keep every product < 2^63)
-      val key = (0 until bandSize)
-        .map(j => s"element_at(sigs, ${band * bandSize + j + 1})")
-        .reduce((acc, h) => s"($acc * 31 + $h) % $M")
-      struct(lit(band).as("band"), expr(key).as("key")).as(s"b$band")
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = minhashBands(load(s, dir, "documents"))
     // aliased self-join: identical plan on both sides → one exchange, reused
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -169,6 +150,52 @@ object Pipeline {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared LSH machinery: `(doc_id, band, key)` minhash band keys — 16
+    * permutations in 4 bands of 4, the row-local native
+    * [[graft.plans.MinHashSignature]] pass plus a portable polynomial band
+    * combine (values < M keep every product < 2^63). */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val nHashes = 16
+    val bandSize = 4
+    val M = graft.plans.MinHashSignature.Mod
+    val sigs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.minhashSignature(col("tk"), nHashes).as("sigs"))
+    val bandCols = (0 until nHashes / bandSize).map { band =>
+      val key = (0 until bandSize)
+        .map(j => s"element_at(sigs, ${band * bandSize + j + 1})")
+        .reduce((acc, h) => s"($acc * 31 + $h) % $M")
+      struct(lit(band).as("band"), expr(key).as("key")).as(s"b$band")
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** E8b: incremental NEAR-dup dedup — the LSH twin of [[e8IncrementalDedup]]:
+    * today's arrivals (odd doc_ids) are screened against the existing
+    * corpus (even doc_ids) by minhash band-key collision, and only arrivals
+    * colliding with NO corpus band key survive. The corpus side is the
+    * stored band-key table a production ingest maintains incrementally, so
+    * each batch costs O(batch band keys) in shuffle — never a corpus text
+    * rescan, and nothing document-sized moves. shuffle_hash on the corpus
+    * side: a web-scale band table is not broadcastable. The portable hash
+    * family keeps the whole path oracle-checked. */
+  def e8bIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(load(s, dir, "documents"))
+    val corpus = bands.where(col("doc_id") % 2 === 0).select("band", "key")
+    val arrivals = bands.where(col("doc_id") % 2 === 1)
+    val flagged = arrivals
+      .join(corpus.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+    arrivals.select("doc_id").distinct()
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** E2: 16-bit SimHash fingerprint per document (token-hash bit votes).

@@ -34,10 +34,11 @@ object Registry {
       .map(p => s"(CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
-  /** DuckDB mirror of the full `MinHashSignature` + banding pipeline: the
-    * same polynomial token/shingle hashes, affine permutations, and band
-    * keys — bit-identical candidate pairs. */
-  private def minhashOracleSql: String = {
+  /** DuckDB mirror of the `MinHashSignature` + banding pipeline's shared
+    * CTE prefix (through `bands(doc_id, b, key)`): the same polynomial
+    * token/shingle hashes, affine permutations, and band keys —
+    * bit-identical to the native expressions. */
+  private def minhashBandsCte: String = {
     val M = graft.plans.MinHashSignature.Mod
     import graft.plans.MinHashSignature.{PermA0, PermAStep, PermB0, PermBStep}
     val sigCols = (0 until 16)
@@ -62,11 +63,26 @@ object Registry {
        |                       ELSE len(th) - 2 END),
        |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, [$keys][b + 1] AS key
-       |          FROM sigs, generate_series(0, 3) g(b))
+       |          FROM sigs, generate_series(0, 3) g(b))""".stripMargin
+  }
+
+  /** Full e2b oracle: bit-identical LSH candidate pairs. */
+  private def minhashOracleSql: String =
+    s"""$minhashBandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** e8b oracle: arrivals (odd ids) with no band-key collision against the
+    * corpus (even ids). */
+  private def incrementalNearDupOracleSql: String =
+    s"""$minhashBandsCte,
+       |flagged AS (SELECT DISTINCT a.doc_id FROM bands a
+       |            JOIN bands c ON a.b = c.b AND a.key = c.key AND c.doc_id % 2 = 0
+       |            WHERE a.doc_id % 2 = 1)
+       |SELECT DISTINCT doc_id FROM bands
+       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the SimHash bit votes over the portable token hash. */
   private def simhashOracleSql: String = {
@@ -649,6 +665,8 @@ object Registry {
              |WHERE doc_id % 2 = 1 AND NOT EXISTS (
              |  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = b.text)
              |ORDER BY doc_id""".stripMargin)),
+    "e8b_incremental_neardup" -> Entry(
+      Pipeline.e8bIncrementalNearDup, Some(incrementalNearDupOracleSql)),
     "e7_dup_clusters" -> Entry(
       Pipeline.e7DupClusters,
       // transitive closure of the e2 pair graph via recursive CTE; the
