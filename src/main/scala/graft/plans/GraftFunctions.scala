@@ -80,10 +80,16 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook: build sessions with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` to get
-  * graft's SQL functions without touching the session afterwards. */
+  * graft's SQL functions — plus SQL `MERGE INTO` on graft catalog tables
+  * ([[graft.spark.GraftMergeRule]]) — without touching the session
+  * afterwards. */
 class GraftExtensions extends SparkSessionExtensionsProvider {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach { case (ident, info, builder) =>
       extensions.injectFunction((ident, info, builder))
     }
+    // post-hoc: runs after resolution has aligned the MERGE assignments and
+    // before the planner's row-level-operation check would reject the table
+    extensions.injectPostHocResolutionRule(s => graft.spark.GraftMergeRule(s))
+  }
 }

@@ -313,6 +313,11 @@ private[spark] final class GraftV2Table(
     delegate: Table)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  // exposed for the MERGE INTO resolution rule (GraftMergeRule), which
+  // routes the SQL statement onto Merge.mergeInto against this table
+  private[spark] def tableDefinition: TableDefinition = defn
+  private[spark] def tableBinding: GraftTableCatalog.Binding = binding
+
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
   override def partitioning(): Array[Transform] = delegate.partitioning()

@@ -16,4 +16,12 @@ object GraftSqlShim {
 
   def unescapePathName(path: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(path)
+
+  /** `private[sql]` Dataset.ofRows — execute a resolved LogicalPlan as a
+    * DataFrame (used by the MERGE INTO command). */
+  def ofRows(
+      session: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -246,4 +246,59 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .as[Long].collect() shouldBe Array(1L, 2L)
     spark.sql("DROP TABLE graftcat.cdb.sqlmade")
   }
+
+  test("SQL MERGE INTO upserts copy-on-write; untouched partitions keep their version; time travel sees pre-merge") {
+    val table = TableDefinition(
+      TableName("cdb", "mergesql"),
+      Files.createTempDirectory("graft_cat_mergesql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+
+    Seq(
+      CatEvent(1, "old", "2024-01-01"), CatEvent(2, "old", "2024-01-02"),
+      CatEvent(3, "old", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Commit = log.updates(table.name).head.id
+    val v1Versions = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+
+    Seq(CatEvent(3, "new", "2024-01-02"), CatEvent(4, "new", "2024-01-02"))
+      .toDF().createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    spark.sql("SELECT id, label, date FROM graftcat.cdb.mergesql ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "old", "2024-01-01"), CatEvent(2, "old", "2024-01-02"),
+      CatEvent(3, "new", "2024-01-02"), CatEvent(4, "new", "2024-01-02"))
+
+    // copy-on-write at partition granularity: only 2024-01-02 re-versioned
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    val day1 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    val day2 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-02"))
+    after(day1) shouldBe v1Versions(day1)
+    after(day2) should not be v1Versions(day2)
+    log.updates(table.name).head.message.content shouldBe "MERGE (SQL)"
+
+    // pre-merge state still readable at the v1 commit
+    spark.sql(
+      s"SELECT id, label, date FROM graftcat.cdb.mergesql VERSION AS OF '${v1Commit.id}' ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "old", "2024-01-01"), CatEvent(2, "old", "2024-01-02"),
+      CatEvent(3, "old", "2024-01-02"))
+
+    // unsupported shapes reject loudly instead of silently approximating
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    e.getMessage should include("graft MERGE INTO supports")
+  }
 }
