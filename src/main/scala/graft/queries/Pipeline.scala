@@ -691,6 +691,40 @@ object Pipeline {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
 
+  /** E15: the end-to-end corpus-prep composition — the pipeline an LLM
+    * training run actually materializes, as ONE query: exact dedup with a
+    * keep-lowest-id policy (hash → min doc_id, the canonical-survivor rule),
+    * language filter, quality thresholds (stopword ratio + length), then
+    * the deterministic hash sample, ending in per-source corpus statistics.
+    * Every stage is a shape proven by its standalone entry (e1, e5, e9);
+    * the point here is that they compose into one plan — two hash-agg
+    * shuffles (dedup, final stats) and map-only filters in between, no
+    * materialization barriers. */
+  def e15CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val canonical = docs
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs
+      // survivor ids are corpus-sized: shuffle join, never a broadcast
+      .join(canonical.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .where(col("lang") === "en")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("stop_ratio",
+        size(expr("filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to'))")).cast("double") /
+          size(col("tk")))
+      .where(col("stop_ratio") >= 0.05 && col("n_chars") >= 100)
+      .withColumn("cell", expr("(doc_id * 2654435761 + 40503) % 1000000007 % 1000"))
+      .where(col("cell") < 500)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg(size(col("tk"))), 4).as("avg_tokens"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

@@ -665,6 +665,25 @@ object Registry {
              |WHERE doc_id % 2 = 1 AND NOT EXISTS (
              |  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = b.text)
              |ORDER BY doc_id""".stripMargin)),
+    "e15_corpus_prep" -> Entry(
+      Pipeline.e15CorpusPrep,
+      // the full prep pipeline replayed relationally; text equality ≡ sha2
+      // equality modulo collisions (same note as e1)
+      Some("""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+             |kept AS (SELECT d.doc_id, d.source, d.n_chars,
+             |                len(string_split(d.text, ' ')) AS n_tokens,
+             |                CAST(len(list_filter(string_split(d.text, ' '),
+             |                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+             |                  / len(string_split(d.text, ' ')) AS stop_ratio
+             |         FROM documents d JOIN canon USING (doc_id)
+             |         WHERE d.lang = 'en')
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       round(avg(n_tokens), 4) AS avg_tokens
+             |FROM kept
+             |WHERE stop_ratio >= 0.05 AND n_chars >= 100
+             |  AND (doc_id * 2654435761 + 40503) % 1000000007 % 1000 < 500
+             |GROUP BY source ORDER BY source""".stripMargin)),
     "e8b_incremental_neardup" -> Entry(
       Pipeline.e8bIncrementalNearDup, Some(incrementalNearDupOracleSql)),
     "e7_dup_clusters" -> Entry(
