@@ -80,8 +80,8 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook: build sessions with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` to get
-  * graft's SQL functions — plus SQL `MERGE INTO` on graft catalog tables
-  * ([[graft.spark.GraftMergeRule]]) — without touching the session
+  * graft's SQL functions — plus SQL MERGE INTO / UPDATE /
+  * row-level DELETE on graft catalog tables ([[graft.spark.GraftDmlRule]]) — without touching the session
   * afterwards. */
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -90,6 +90,6 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     }
     // post-hoc: runs after resolution has aligned the MERGE assignments and
     // before the planner's row-level-operation check would reject the table
-    extensions.injectPostHocResolutionRule(s => graft.spark.GraftMergeRule(s))
+    extensions.injectPostHocResolutionRule(s => graft.spark.GraftDmlRule(s))
   }
 }

@@ -1,0 +1,354 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, Cast, EqualTo, Expression, In, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable,
+  UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{broadcast, col, when}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.TableDefinition
+import graft.core.TableVersions.{UpdateMessage, UserId}
+
+/**
+ * SQL row-level DML for graft catalog tables — `MERGE INTO`, `UPDATE`, and
+ * row-level `DELETE` become partition-granular COPY-ON-WRITE rewrites
+ * through the ordinary versioned write path (one time-travelable commit
+ * each), the way Delta/Iceberg users expect to drive a versioned table:
+ *
+ * {{{
+ *   MERGE INTO graft.db.t t USING src s ON t.k = s.k
+ *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+ *
+ *   UPDATE graft.db.t SET label = 'x' WHERE id > 5
+ *   DELETE FROM graft.db.t WHERE id > 5       -- row-level predicate
+ * }}}
+ *
+ * Spark's own row-level planning requires `SupportsRowLevelOperations` (a
+ * full V2 delta-write surface); this engine's commit granularity is the
+ * partition, so the statements are intercepted AFTER analysis has resolved
+ * them and BEFORE the planner's row-level-operation check would reject the
+ * table, then executed copy-on-write: only partitions holding affected rows
+ * are read and rewritten — every other partition's version pointer stays
+ * put. A `DELETE` whose predicate is decidable from partition VALUES alone
+ * is deliberately NOT intercepted: it keeps flowing to the metadata-only
+ * `SupportsDelete` path (a `RemovePartition` commit, no data rewrite).
+ *
+ * Honest limits (reject with a clear error, never approximate): MERGE
+ * supports the canonical `UPDATE SET * / INSERT *` form with same-named
+ * equi-keys; UPDATE may not assign partition columns (rows would migrate
+ * between partitions — a rewrite shape this layout reserves for MERGE with
+ * explicit sources); conditions may not contain subqueries.
+ *
+ * Registered by `graft.plans.GraftExtensions` (post-hoc resolution rule).
+ */
+final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.resolved =>
+      graftRelation(m.targetTable) match {
+        case None => m
+        case Some(rel) =>
+          val table = rel.table.asInstanceOf[GraftV2Table]
+          validateActions(m)
+          val keys = equiKeys(m.mergeCondition, m.targetTable, m.sourceTable)
+          GraftMergeCommand(
+            table.tableDefinition, table.tableBinding,
+            m.sourceTable, keys, rel.schema)
+      }
+
+    case u: UpdateTable if u.resolved =>
+      graftRelation(u.table) match {
+        case None => u
+        case Some(rel) =>
+          val table = rel.table.asInstanceOf[GraftV2Table]
+          val defn = table.tableDefinition
+          val partCols = defn.partitionSchema.columns.map(_.name).toSet
+          u.assignments.foreach { a =>
+            rootAttr(a.key) match {
+              case Some(k) if partCols.exists(_.equalsIgnoreCase(k.name)) =>
+                unsupported(s"UPDATE of partition column ${k.name} (rows would " +
+                  "migrate between partitions; use MERGE with an explicit source)")
+              case Some(_) => ()
+              case None => unsupported(s"non-column assignment target ${a.key.sql}")
+            }
+          }
+          u.condition.foreach(rejectSubqueries)
+          GraftUpdateCommand(
+            defn, table.tableBinding,
+            u.assignments.map(a => rootAttr(a.key).get.name -> new Detached(detach(a.value))),
+            u.condition.map(c => new Detached(detach(c))))
+      }
+
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
+      graftRelation(target) match {
+        case None => d
+        case Some(rel) =>
+          val table = rel.table.asInstanceOf[GraftV2Table]
+          val defn = table.tableDefinition
+          val partCols = defn.partitionSchema.columns.map(_.name).toSet
+          // partition-value-only predicates keep the metadata-only
+          // SupportsDelete path (RemovePartition commit, zero data rewrite)
+          if (!defn.isSnapshot && partitionOnly(cond, partCols)) d
+          else {
+            rejectSubqueries(cond)
+            GraftDeleteCommand(defn, table.tableBinding, new Detached(detach(cond)))
+          }
+      }
+  }
+
+  private def graftRelation(target: LogicalPlan): Option[DataSourceV2Relation] =
+    target.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => r
+    }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(s"graft SQL DML: unsupported: $what")
+
+  private def rejectSubqueries(e: Expression): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported(s"subquery in condition: ${e.sql}")
+
+  /** Re-anchor a resolved expression onto a fresh DataFrame: attribute ids
+    * belong to the statement's relation, so rebind by NAME and let the
+    * command's own query resolve them. */
+  private def detach(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private def rootAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast               => rootAttr(c.child)
+    case _                     => None
+  }
+
+  /** Mirror of `GraftV2Table.partitionOnly` in the catalyst domain: true
+    * only for predicates the metadata-only delete path will accept. */
+  private def partitionOnly(e: Expression, partCols: Set[String]): Boolean = e match {
+    case And(l, r) => partitionOnly(l, partCols) && partitionOnly(r, partCols)
+    case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+      partitionOnly(l, partCols) && partitionOnly(r, partCols)
+    case EqualTo(a: AttributeReference, rhs) if rhs.foldable =>
+      partCols.exists(_.equalsIgnoreCase(a.name))
+    case EqualTo(lhs, a: AttributeReference) if lhs.foldable =>
+      partCols.exists(_.equalsIgnoreCase(a.name))
+    case In(a: AttributeReference, vs) if vs.forall(_.foldable) =>
+      partCols.exists(_.equalsIgnoreCase(a.name))
+    case Literal(true, _) => true // unconditional DELETE = drop every partition
+    case _ => false
+  }
+
+  /** The condition must be a conjunction of `target.k = source.k` equalities
+    * over same-named columns — those names are the merge keys. */
+  private def equiKeys(
+      cond: Expression, target: LogicalPlan, source: LogicalPlan): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (t, s) =
+          if (target.outputSet.contains(a) && source.outputSet.contains(b)) (a, b)
+          else if (target.outputSet.contains(b) && source.outputSet.contains(a)) (b, a)
+          else unsupported(s"MERGE condition side not a plain target/source column: $a = $b")
+        if (!t.name.equalsIgnoreCase(s.name))
+          unsupported(s"MERGE key columns must share a name, got ${t.name} = ${s.name}")
+        t.name
+      case other => unsupported(s"non-equi MERGE condition clause: ${other.sql}")
+    }
+  }
+
+  /** Accept exactly the analyzer's expansion of `UPDATE SET *` / `INSERT *`:
+    * every assignment target is a column assigned from the same-named source
+    * column (possibly cast). */
+  private def validateActions(m: MergeIntoTable): Unit = {
+    def starShaped(assigns: Seq[Assignment]): Boolean =
+      assigns.forall { a =>
+        (rootAttr(a.key), rootAttr(a.value)) match {
+          case (Some(k), Some(v)) => k.name.equalsIgnoreCase(v.name)
+          case _                  => false
+        }
+      }
+    m.matchedActions match {
+      case Seq(UpdateAction(None, assigns, _)) if starShaped(assigns) => ()
+      case other => unsupported(s"graft MERGE INTO supports 'WHEN MATCHED THEN UPDATE SET *' " +
+        s"only; matched actions ${describe(other)}")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) if starShaped(assigns) => ()
+      case other => unsupported(s"graft MERGE INTO supports 'WHEN NOT MATCHED THEN INSERT *' " +
+        s"only; not-matched actions ${describe(other)}")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("MERGE WHEN NOT MATCHED BY SOURCE")
+  }
+
+  private def describe(actions: Seq[MergeAction]): String =
+    if (actions.isEmpty) "(none)" else actions.map(_.getClass.getSimpleName).mkString(", ")
+}
+
+/** Opaque holder: keeps a detached expression OUT of the command node's
+  * `expressions` traversal — CheckAnalysis would otherwise reject the
+  * deliberately-unresolved by-name attributes before the command runs.
+  * (Plain class, not a case class: QueryPlan recurses into Products.) */
+private[spark] final class Detached(val expr: Expression) {
+  override def toString: String = expr.sql
+}
+
+/** Shared copy-on-write machinery for the DML commands. */
+private[spark] object GraftDml {
+
+  def column(e: Expression): Column = org.apache.spark.sql.GraftSqlShim.column(e)
+
+  /** The current contents of the partitions holding rows that satisfy
+    * `cond` (all partitions for snapshot tables), plus whether anything
+    * matched at all. The touched-partition set is #partitions rows —
+    * metadata-sized, safe to broadcast at any scale. */
+  def touchedScope(
+      session: SparkSession,
+      defn: TableDefinition,
+      binding: GraftTableCatalog.Binding,
+      cond: Column): Option[DataFrame] = {
+    val current = VersionedReader(session, binding.log).read(defn)
+    if (current.columns.isEmpty) None // never written — nothing to rewrite
+    else if (defn.isSnapshot) Some(current)
+    else {
+      val partCols = defn.partitionSchema.columns.map(_.name)
+      val touched = current.where(cond).select(partCols.map(col): _*).distinct()
+      Some(current.join(broadcast(touched), partCols.toSeq, "left_semi"))
+    }
+  }
+
+  def commit(
+      defn: TableDefinition,
+      binding: GraftTableCatalog.Binding,
+      df: DataFrame,
+      message: String): Unit = {
+    import graft.spark.VersionContext.DatasetVersionOps
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    df.versionedInsertInto(ctx, defn, UserId("sql"), UpdateMessage(message))
+    ()
+  }
+}
+
+/** Driver-side execution of the intercepted MERGE: materialize the source,
+  * align it to the table's columns, and run the partition-granular
+  * copy-on-write upsert. One ordinary commit — time travel shows the
+  * pre-merge state. */
+final case class GraftMergeCommand(
+    defn: TableDefinition,
+    binding: GraftTableCatalog.Binding,
+    source: LogicalPlan,
+    keys: Seq[String],
+    relationSchema: StructType) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftSqlShim.ofRows(session, source)
+    // align to the WRITE-side schema: the versioned reader's view of the
+    // current contents when the table holds data (partition columns stay
+    // strings there), else the relation's column order as declared
+    val reader = VersionedReader(session, binding.log)
+    val current = reader.read(defn)
+    val aligned =
+      if (current.columns.nonEmpty)
+        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      else
+        src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    Merge.mergeInto(
+      ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
+    Seq.empty
+  }
+}
+
+/** Copy-on-write `UPDATE`: rewrite the partitions holding matching rows
+  * with the assignments applied (matching rows updated, the partition's
+  * other rows carried as-is); untouched partitions keep their version. */
+final case class GraftUpdateCommand(
+    defn: TableDefinition,
+    binding: GraftTableCatalog.Binding,
+    assignments: Seq[(String, Detached)],
+    condition: Option[Detached]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cond = condition.map(d => GraftDml.column(d.expr))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftDml.touchedScope(session, defn, binding, cond).foreach { scope =>
+      val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
+      val updated = scope.select(scope.columns.map { c =>
+        byName.get(c.toLowerCase) match {
+          case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      GraftDml.commit(defn, binding, updated, "UPDATE (SQL)")
+    }
+    Seq.empty
+  }
+}
+
+/** Copy-on-write row-level `DELETE`: rewrite the partitions holding
+  * matching rows WITHOUT those rows; untouched partitions keep their
+  * version. (Partition-value-only deletes never reach here — they stay on
+  * the metadata-only RemovePartition path.) A partition whose EVERY row
+  * matched produces no surviving rows — the write leaves its pointer
+  * unmoved, so a follow-up metadata-only commit removes it (same
+  * two-commit pattern as SQL INSERT OVERWRITE's prune, same transient
+  * window the reference's non-atomic commit→sync already exposes).
+  * Reading `current` twice is safe here: it scans immutable version dirs,
+  * not a re-runnable source query. */
+final case class GraftDeleteCommand(
+    defn: TableDefinition,
+    binding: GraftTableCatalog.Binding,
+    condition: Detached) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
+    import graft.core.TableVersions.{TableOperation, TableUpdate}
+    val cond = GraftDml.column(condition.expr)
+    val current = VersionedReader(session, binding.log).read(defn)
+    if (current.columns.isEmpty) return Seq.empty
+    if (defn.isSnapshot) {
+      GraftDml.commit(defn, binding, current.where(!cond), "DELETE (SQL)")
+      return Seq.empty
+    }
+    val partCols = defn.partitionSchema.columns
+    val names = partCols.map(_.name)
+    val touchedRows = current.where(cond)
+      .select(names.map(c => col(c).cast("string")): _*).distinct().collect()
+    if (touchedRows.isEmpty) return Seq.empty // nothing matched — no commit
+    val touched = touchedRows.map { r =>
+      Partition(partCols.zipWithIndex.map { case (c, i) => ColumnValue(c, r.getString(i)) })
+    }.toList
+    val touchedDf = current.sparkSession.createDataFrame(
+      java.util.Arrays.asList(touchedRows: _*),
+      StructType(current.schema.filter(f => names.contains(f.name))))
+    val scope = current.join(broadcast(touchedDf), names.toSeq, "left_semi")
+    val before = binding.log.currentVersion(defn.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"row-level delete does not apply to $other")
+    }
+    GraftDml.commit(defn, binding, scope.where(!cond), "DELETE (SQL)")
+    // fully-emptied partitions wrote nothing — their pointers didn't move;
+    // drop them in a metadata-only follow-up commit
+    val after = binding.log.currentVersion(defn.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    val emptied = touched.filter(p => before.get(p) == after.get(p))
+    if (emptied.nonEmpty) {
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+        UserId("sql"), UpdateMessage("DELETE prune (SQL)"), java.time.Instant.now(),
+        emptied.map(TableOperation.RemovePartition(_))))
+      ()
+    }
+    Seq.empty
+  }
+}

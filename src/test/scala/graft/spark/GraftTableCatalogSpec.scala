@@ -196,12 +196,13 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       s"SELECT id FROM graftcat.cdb.del_part VERSION AS OF '${beforeDelete.id}' ORDER BY id")
       .as[Long].collect() shouldBe Array(1L, 2L, 3L)
 
-    // row-level predicates reject at analysis — only partition granularity
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM graftcat.cdb.del_part WHERE id = 1").collect())
-    e.getMessage.toLowerCase should include("delete")
+    // row-level predicates execute copy-on-write (GraftDmlRule): deleting
+    // the last row empties its partition, which is then pruned
+    spark.sql("DELETE FROM graftcat.cdb.del_part WHERE id = 1")
+    spark.sql("SELECT * FROM graftcat.cdb.del_part").count() shouldBe 0
 
-    // unconditional DELETE removes every partition (AlwaysTrue filter)
+    // unconditional DELETE removes every partition (AlwaysTrue filter);
+    // on the now-empty table it is a clean no-op
     spark.sql("DELETE FROM graftcat.cdb.del_part")
     spark.sql("SELECT * FROM graftcat.cdb.del_part").count() shouldBe 0
   }
@@ -300,5 +301,68 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin))
     e.getMessage should include("graft MERGE INTO supports")
+  }
+
+  test("SQL UPDATE rewrites only touched partitions; row-level DELETE drops rows and empties partitions") {
+    val table = TableDefinition(
+      TableName("cdb", "dmlsql"),
+      Files.createTempDirectory("graft_cat_dmlsql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+
+    Seq(
+      CatEvent(1, "a", "2024-01-01"), CatEvent(2, "b", "2024-01-01"),
+      CatEvent(3, "c", "2024-01-02"), CatEvent(4, "d", "2024-01-03"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Versions = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    val day = (d: String) => Partition(ColumnValue(PartitionColumn("date"), d))
+
+    // UPDATE touches rows only in 2024-01-01 → only that partition moves
+    spark.sql("UPDATE graftcat.cdb.dmlsql SET label = concat(label, '!') WHERE id <= 2")
+    val afterUpdate = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    afterUpdate(day("2024-01-01")) should not be v1Versions(day("2024-01-01"))
+    afterUpdate(day("2024-01-02")) shouldBe v1Versions(day("2024-01-02"))
+    afterUpdate(day("2024-01-03")) shouldBe v1Versions(day("2024-01-03"))
+    spark.sql("SELECT id, label, date FROM graftcat.cdb.dmlsql ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "a!", "2024-01-01"), CatEvent(2, "b!", "2024-01-01"),
+      CatEvent(3, "c", "2024-01-02"), CatEvent(4, "d", "2024-01-03"))
+    log.updates(table.name).head.message.content shouldBe "UPDATE (SQL)"
+
+    // partition-column UPDATE rejects (rows would migrate between partitions)
+    val eu = intercept[Exception](
+      spark.sql("UPDATE graftcat.cdb.dmlsql SET date = '2024-02-01' WHERE id = 1"))
+    eu.getMessage should include("partition column")
+
+    // row-level DELETE: drops one row of 01-01 and ALL rows of 01-03 — the
+    // emptied partition must disappear, the partial one must keep survivors
+    spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE id = 2 OR id = 4")
+    spark.sql("SELECT id, label, date FROM graftcat.cdb.dmlsql ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "a!", "2024-01-01"), CatEvent(3, "c", "2024-01-02"))
+    val afterDelete = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    afterDelete.keySet should not contain day("2024-01-03")
+    afterDelete(day("2024-01-02")) shouldBe v1Versions(day("2024-01-02"))
+
+    // a no-match DELETE commits nothing
+    val commitsBefore = log.updates(table.name).size
+    spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE id = 999")
+    log.updates(table.name) should have size commitsBefore.toLong
+
+    // partition-value-only DELETE still takes the metadata-only path
+    spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE date = '2024-01-02'")
+    log.updates(table.name).head.message.content shouldBe "DELETE (SQL)"
+    log.updates(table.name).head.id // exists
+    spark.sql("SELECT id FROM graftcat.cdb.dmlsql").as[Long].collect() shouldBe Array(1L)
   }
 }
