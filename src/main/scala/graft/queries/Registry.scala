@@ -141,6 +141,28 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q39_sql_dml" -> Entry(
+      Versioned.q39SqlDml,
+      // relational replay of the statement sequence: base → UPDATE (+1000
+      // on %5 keys) → DELETE (%7 keys) → MERGE (even 'O' upsert, source
+      // prices from the ORIGINAL orders +1000)
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |              FROM orders WHERE o_orderkey % 3 <> 0),
+             |upd AS (SELECT o_orderkey, o_custkey,
+             |               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             |                    ELSE o_totalprice END AS o_totalprice,
+             |               o_orderstatus
+             |        FROM base),
+             |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+             |src AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             |               o_orderstatus
+             |        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0),
+             |merged AS (SELECT * FROM del
+             |           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |           UNION ALL SELECT * FROM src)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q38_zorder_compact" -> Entry(
       Versioned.q38ZorderCompact,
       // z-order is row-invisible: the oracle is the original insert

@@ -150,6 +150,43 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q39: the SQL DML stack end-to-end through the DSv2 catalog — a base
+    * load followed by `UPDATE`, row-level `DELETE`, and `MERGE INTO`
+    * issued as SQL TEXT (`GraftDmlRule` interception), each a
+    * partition-granular copy-on-write commit, then the final state read
+    * back BY CATALOG NAME. The oracle replays the four statements
+    * relationally, so the whole catalog+DML+versioned-write+read stack sits
+    * under one hash check. */
+  def q39SqlDml(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq39", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq39", log)
+    val table = tempTable(
+      "ord_dml", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_dml"))
+    graft.spark.GraftTableCatalog.register("graftq39", table)
+    val name = s"graftq39.${table.name.schema}.${table.name.name}"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.where(col("o_orderkey") % 3 =!= 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+    s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1000.0 WHERE o_orderkey % 5 = 0")
+    s.sql(s"DELETE FROM $name WHERE o_orderkey % 7 = 0")
+    orders.where(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .createOrReplaceTempView("q39_merge_src")
+    s.sql(
+      s"""MERGE INTO $name t USING q39_merge_src src ON t.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q36: MERGE (upsert) — v1 base-loads two thirds of orders partitioned
     * by status; the source then updates every even-keyed 'O' order (+1000
     * price) and inserts the even 'O' orders v1 skipped. Only the 'O'
