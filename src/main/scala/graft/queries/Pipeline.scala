@@ -725,6 +725,29 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** E16: context-window chunking — split each document into fixed-width
+    * token chunks with overlap (64-token windows, 48-token stride), the
+    * sequence-prep pass that turns documents into training samples. All
+    * row-local (one explode per document, chunk count = ⌈(n−w)/s⌉+1); the
+    * only exchange is the presentation sort. Chunk text rides along so the
+    * oracle's hash check covers the exact token spans, overlap included. */
+  def e16Chunking(s: SparkSession, dir: String): DataFrame = {
+    val width = 64
+    val step = 48
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0, cast(ceil((size(tk) - $width) / cast($step as double)) as int))),
+           |  i -> slice(tk, i * $step + 1, $width))""".stripMargin)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

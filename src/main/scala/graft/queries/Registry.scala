@@ -706,6 +706,20 @@ object Registry {
              |WHERE stop_ratio >= 0.05 AND n_chars >= 100
              |  AND (doc_id * 2654435761 + 40503) % 1000000007 % 1000 < 500
              |GROUP BY source ORDER BY source""".stripMargin)),
+    "e16_chunking" -> Entry(
+      Pipeline.e16Chunking,
+      // chunk i covers tokens [i*48+1, i*48+64]; ⌈(n−64)/48⌉+1 chunks per
+      // doc (one chunk when n ≤ 64); list slices clamp at the end exactly
+      // like Spark's slice
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |c AS (SELECT doc_id, i AS chunk_idx, tk[i * 48 + 1 : i * 48 + 64] AS chunk
+             |      FROM t, generate_series(0, 200) g(i)
+             |      WHERE i <= CASE WHEN len(tk) > 64 + 48 * 200
+             |                      THEN CAST(error('doc exceeds 200-chunk oracle cap') AS BIGINT)
+             |                      ELSE greatest(0, CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT)) END)
+             |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+             |       array_to_string(chunk, ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     "e8b_incremental_neardup" -> Entry(
       Pipeline.e8bIncrementalNearDup, Some(incrementalNearDupOracleSql)),
     "e7_dup_clusters" -> Entry(
