@@ -316,7 +316,13 @@ final case class GraftDeleteCommand(
     val current = VersionedReader(session, binding.log).read(defn)
     if (current.columns.isEmpty) return Seq.empty
     if (defn.isSnapshot) {
-      GraftDml.commit(defn, binding, current.where(!cond), "DELETE (SQL)")
+      // survivors = rows where the predicate is NOT TRUE (false OR null):
+      // SQL DELETE removes only WHERE-true rows
+      GraftDml.commit(
+        defn, binding,
+        current.where(!org.apache.spark.sql.functions.coalesce(
+          cond, org.apache.spark.sql.functions.lit(false))),
+        "DELETE (SQL)")
       return Seq.empty
     }
     val partCols = defn.partitionSchema.columns
@@ -327,15 +333,24 @@ final case class GraftDeleteCommand(
     val touched = touchedRows.map { r =>
       Partition(partCols.zipWithIndex.map { case (c, i) => ColumnValue(c, r.getString(i)) })
     }.toList
+    // schema built in the SAME order the rows were selected (partition
+    // schema order, all strings after the cast) — filtering current.schema
+    // would follow the data's column order instead and misalign values for
+    // multi-column partition schemas
     val touchedDf = current.sparkSession.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*),
-      StructType(current.schema.filter(f => names.contains(f.name))))
+      StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
     val scope = current.join(broadcast(touchedDf), names.toSeq, "left_semi")
     val before = binding.log.currentVersion(defn.name) match {
       case PartitionedTableVersion(pvs) => pvs
       case other                        => sys.error(s"row-level delete does not apply to $other")
     }
-    GraftDml.commit(defn, binding, scope.where(!cond), "DELETE (SQL)")
+    GraftDml.commit(
+      defn, binding,
+      scope.where(!org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))),
+      "DELETE (SQL)")
     // fully-emptied partitions wrote nothing — their pointers didn't move;
     // drop them in a metadata-only follow-up commit
     val after = binding.log.currentVersion(defn.name) match {
