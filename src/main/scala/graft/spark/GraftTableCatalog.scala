@@ -301,22 +301,100 @@ final class GraftTableCatalog extends TableCatalog {
 }
 
 /** V2 table wrapper: reads pass straight through to Spark's file table;
-  * writes become versioned commits (see the catalog scaladoc); DELETE is
-  * supported at PARTITION granularity — a predicate over partition columns
-  * only commits `RemovePartition` operations, so the delete is one more
-  * time-travelable entry in the history and no data file is touched
-  * (vacuum reclaims unreferenced version dirs later). Row-level deletes
-  * reject at analysis (`canDeleteWhere` = false). */
+  * writes become versioned commits (see the catalog scaladoc); DELETE over
+  * partition-value predicates is METADATA-ONLY — it commits
+  * `RemovePartition` operations, so the delete is one more time-travelable
+  * entry in the history and no data file is touched (vacuum reclaims
+  * unreferenced version dirs later). Row-level DELETE (and UPDATE / MERGE)
+  * never reach this class's `SupportsDelete` path: [[GraftDmlRule]]
+  * intercepts them post-analysis and executes partition-granular
+  * copy-on-write rewrites. `SHOW PARTITIONS` resolves from the commit log
+  * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]],
+  * read-only). */
 private[spark] final class GraftV2Table(
     defn: TableDefinition,
     binding: GraftTableCatalog.Binding,
     delegate: Table)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   // exposed for the MERGE INTO resolution rule (GraftMergeRule), which
   // routes the SQL statement onto Merge.mergeInto against this table
   private[spark] def tableDefinition: TableDefinition = defn
   private[spark] def tableBinding: GraftTableCatalog.Binding = binding
+
+  // ---- SupportsPartitionManagement: READ-ONLY — `SHOW PARTITIONS` lists
+  // the CURRENT version's partition set straight from the commit log
+  // (metadata-only, no file listing); partition mutation stays the job of
+  // versioned writes and DELETE commits, so the DDL mutators reject.
+
+  override def partitionSchema(): StructType =
+    StructType(defn.partitionSchema.columns.map { c =>
+      schema().find(_.name.equalsIgnoreCase(c.name))
+        .getOrElse(org.apache.spark.sql.types.StructField(
+          c.name, org.apache.spark.sql.types.StringType))
+    })
+
+  private def currentPartitions: Seq[Partition] =
+    binding.log.currentVersion(defn.name) match {
+      case PartitionedTableVersion(pvs) => pvs.keys.toSeq
+      case _                            => Nil
+    }
+
+  /** Stored partition values are strings; cast each to the partition
+    * schema's type so SHOW PARTITIONS renders what a scan would. */
+  private def toIdent(p: Partition): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CastExpr, Literal => Lit}
+    val byName = p.columnValues.map(cv => cv.column.name -> cv.value).toMap
+    val values = partitionSchema().map { f =>
+      val raw = byName.getOrElse(f.name, null)
+      if (raw == null) null
+      else CastExpr(
+        Lit(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        f.dataType, Some("UTC")).eval(null)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.toArray)
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow):
+      Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val positions = names.map(n => ps.fieldIndex(n))
+    currentPartitions.map(toIdent).filter { row =>
+      positions.zipWithIndex.forall { case (pos, i) =>
+        val want = ident.get(i, ps(positions(i)).dataType)
+        val have = row.get(pos, ps(pos).dataType)
+        want == have || (want != null && want.equals(have))
+      }
+    }.toArray
+  }
+
+  override def partitionExists(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    listPartitionIdentifiers(partitionSchema().fieldNames, ident).nonEmpty
+
+  private def readOnlyPartitions: Nothing =
+    throw new UnsupportedOperationException(
+      "graft partitions are managed by versioned writes and DELETE commits, " +
+        "not partition DDL")
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit = readOnlyPartitions
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = readOnlyPartitions
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit = readOnlyPartitions
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()

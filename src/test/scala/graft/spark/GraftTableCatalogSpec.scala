@@ -207,6 +207,37 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT * FROM graftcat.cdb.del_part").count() shouldBe 0
   }
 
+  test("SHOW PARTITIONS lists the current version's partition set from the commit log") {
+    val table = TableDefinition(
+      TableName("cdb", "showparts"),
+      Files.createTempDirectory("graft_cat_showparts").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(
+      CatEvent(1, "a", "2024-01-01"), CatEvent(2, "b", "2024-01-02"),
+      CatEvent(3, "c", "2024-01-03"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    spark.sql("SHOW PARTITIONS graftcat.cdb.showparts")
+      .collect().map(_.getString(0)).sorted shouldBe
+      Array("date=2024-01-01", "date=2024-01-02", "date=2024-01-03")
+
+    spark.sql("SHOW PARTITIONS graftcat.cdb.showparts PARTITION (date = '2024-01-02')")
+      .collect().map(_.getString(0)) shouldBe Array("date=2024-01-02")
+
+    // a DELETE commit is reflected immediately — the listing is log-resolved
+    spark.sql("DELETE FROM graftcat.cdb.showparts WHERE date = '2024-01-01'")
+    spark.sql("SHOW PARTITIONS graftcat.cdb.showparts")
+      .collect().map(_.getString(0)).sorted shouldBe
+      Array("date=2024-01-02", "date=2024-01-03")
+
+    // partition DDL mutators stay rejected — writes own partition lifecycle
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.cdb.showparts ADD PARTITION (date = '2024-02-01')"))
+    e.getMessage.toLowerCase should include("partition")
+  }
+
   test("full SQL lifecycle: CREATE TABLE, INSERT, SELECT, DROP leaves data + history") {
     val loc = Files.createTempDirectory("graft_cat_create").toUri.toString
     spark.sql(
