@@ -141,6 +141,12 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q40_vacuum" -> Entry(
+      Versioned.q40Vacuum,
+      // GC must be invisible to the current version: the oracle is v3
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 30
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q39_sql_dml" -> Entry(
       Versioned.q39SqlDml,
       // relational replay of the statement sequence: base → UPDATE (+1000

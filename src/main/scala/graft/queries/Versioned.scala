@@ -150,6 +150,38 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q40: storage GC end-to-end — three versions are written, vacuum with
+    * keep-last-2 reclaims v1's directories (grace 0: no writer is running),
+    * and the read-back proves the CURRENT version is untouched while time
+    * travel within the retention window still works. The oracle sees v3's
+    * contents; the v1-dirs-gone assertion lives in `VacuumSpec` (the query
+    * result could not distinguish it). */
+  def q40Vacuum(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_vacuum", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_vacuum"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 10)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: doomed"))
+    li.where(col("l_quantity") > 10 && col("l_quantity") <= 30)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: retained"))
+    val v2Commit = log.updates(table.name).head.id
+    li.where(col("l_quantity") > 30)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3: current"))
+    graft.spark.Vacuum.vacuum(
+      table, log, s.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0L)
+    // time travel to the retained v2 must still resolve after the vacuum
+    require(
+      VersionedReader(s, log).readAsOf(table, v2Commit).count() > 0,
+      "vacuum must keep the commits inside the retention window readable")
+    VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q39: the SQL DML stack end-to-end through the DSv2 catalog — a base
     * load followed by `UPDATE`, row-level `DELETE`, and `MERGE INTO`
     * issued as SQL TEXT (`GraftDmlRule` interception), each a
