@@ -141,6 +141,12 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q41_durable_log" -> Entry(
+      Versioned.q41DurableLog,
+      // same contents as q03b, resolved through the re-opened durable log
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 25
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q40_vacuum" -> Entry(
       Versioned.q40Vacuum,
       // GC must be invisible to the current version: the oracle is v3

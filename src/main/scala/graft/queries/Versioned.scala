@@ -150,6 +150,33 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q41: the DURABLE commit log end-to-end — the same partitioned
+    * write/read lifecycle as q03b but through [[JsonFileTableVersions]]
+    * (fsync'd JSON-lines appends + lock files), with the log RE-OPENED as a
+    * fresh instance between write and read: the read resolves purely from
+    * what reached disk, so the oracle hash-checks crash-durable persistence,
+    * not in-process state. */
+  def q41DurableLog(s: SparkSession, dir: String): DataFrame = {
+    val logDir = Files.createTempDirectory("graft_durable_log")
+    val log = new JsonFileTableVersions(logDir)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = tempTable(
+      "li_durable", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_durable"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.where(col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: small quantities"))
+    li.where(col("l_quantity") > 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: large quantities"))
+    // a FRESH instance over the same directory — reads replay the file
+    val reopened = new JsonFileTableVersions(logDir)
+    VersionedReader(s, reopened).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q40: storage GC end-to-end — three versions are written, vacuum with
     * keep-last-2 reclaims v1's directories (grace 0: no writer is running),
     * and the read-back proves the CURRENT version is untouched while time

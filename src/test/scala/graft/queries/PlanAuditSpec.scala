@@ -187,4 +187,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
   }
+
+  test("e16: chunking is row-local — no exchange before the presentation sort") {
+    val body = plan("e16_chunking").split("Sort").head
+    body should not include "hashpartitioning"
+  }
+
+  test("e8b: the corpus band-key table joins by SHUFFLE, never broadcast") {
+    val p = plan("e8b_incremental_neardup")
+    // at web scale the stored band table is not broadcastable; the
+    // shuffle_hash hint must keep holding against the size heuristic. (The
+    // final anti-join against the FLAGGED id set may broadcast — that set
+    // is bounded by the arrival batch, not the corpus.)
+    p should include("ShuffledHashJoin")
+    p should include("LeftSemi")
+    p should not include "CartesianProduct"
+  }
 }
