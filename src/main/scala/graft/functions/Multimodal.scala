@@ -109,6 +109,49 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** 16-bit block-mean PERCEPTUAL hash of a binary payload — the pHash
+    * shape used for image near-dup dedup: the payload is cut into 16
+    * equal-span byte blocks and bit `b` is set when block `b`'s mean byte
+    * value exceeds the whole payload's mean. Small local edits flip few
+    * blocks, so near-identical payloads collide. Partition-local pass
+    * (real pHash's DCT would slot in here unchanged); all-integer sums and
+    * one double division per block keep it exactly reproducible. */
+  def perceptualHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash16", LongType, nullable = true)))
+    val rows = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null || payload.isEmpty) Row(r.getLong(0), null)
+        else {
+          val n = payload.length
+          val sums = new Array[Long](16)
+          val counts = new Array[Long](16)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val b = (i * 16) / n // block of 0-based byte i
+            val v = payload(i) & 0xff
+            sums(b) += v; counts(b) += 1; total += v
+            i += 1
+          }
+          val mean = total.toDouble / n
+          var hash = 0L
+          var blk = 0
+          while (blk < 16) {
+            if (counts(blk) > 0 && sums(blk).toDouble / counts(blk) > mean)
+              hash |= 1L << blk
+            blk += 1
+          }
+          Row(r.getLong(0), hash)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Decode of a `(doc_id LONG, payload BINARY)` frame into
     * `(doc_id, payload_bytes, payload_sha, width_px, height_px, frames)`.
     *

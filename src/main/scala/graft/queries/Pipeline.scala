@@ -437,6 +437,23 @@ object Pipeline {
       .select("doc_id", "resized_bytes")
       .orderBy("doc_id")
 
+  /** E4: perceptual-hash near-dup over BINARY payloads — the image-dedup
+    * shape: a 16-bit block-mean pHash per payload
+    * ([[graft.functions.Multimodal.perceptualHash]], partition-local), then
+    * candidate pairs = payloads sharing the hash bucket via an aliased
+    * self-join (one exchange on the 16-bit key; bucket sizes are bounded by
+    * hash balance, never O(n²)). The hash arithmetic is integer sums +
+    * one double division per block, so the oracle reproduces every bit. */
+  def e4ePerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    val ph = graft.functions.Multimodal.perceptualHash(
+      load(s, dir, "documents").select(
+        col("doc_id"), col("text").cast("binary").as("payload")))
+    ph.as("a").join(ph.as("b"),
+        col("a.phash16") === col("b.phash16") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** E4: codec-free feature extraction — byte-histogram Shannon entropy of
     * each payload. The fixed-order bin loop is deterministic, and the text
     * payloads are ASCII, so the oracle reproduces it byte-for-byte. */

@@ -616,6 +616,29 @@ object Registry {
              |SELECT doc_id,
              |       GREATEST(1, CAST(trunc(len * sc * sc) AS BIGINT)) AS resized_bytes
              |FROM t ORDER BY doc_id""".stripMargin)),
+    "e4e_perceptual_dedup" -> Entry(
+      Pipeline.e4ePerceptualDedup,
+      // 16 equal-span byte blocks (0-based byte i → block i*16/n, spelled
+      // (i-1)*16//n over DuckDB's 1-based series); bit b set when block b's
+      // mean exceeds the payload mean — integer sums and one double
+      // division per block keep every bit reproducible
+      Some("""WITH ch AS (SELECT doc_id, i, ascii(substr(text, i, 1)) AS b,
+             |                   length(text) AS n
+             |            FROM documents, generate_series(1, 700) g(i)
+             |            WHERE i <= CASE WHEN length(text) > 700
+             |                            THEN CAST(error('doc exceeds 700-char oracle cap') AS BIGINT)
+             |                            ELSE length(text) END),
+             |bm AS (SELECT doc_id, ((i - 1) * 16) // n AS blk, avg(b) AS bmean
+             |       FROM ch GROUP BY doc_id, ((i - 1) * 16) // n),
+             |om AS (SELECT doc_id, avg(b) AS omean FROM ch GROUP BY doc_id),
+             |ph AS (SELECT bm.doc_id,
+             |              CAST(sum(CASE WHEN bmean > omean
+             |                            THEN CAST(1 AS BIGINT) << CAST(blk AS INT)
+             |                            ELSE 0 END) AS BIGINT) AS phash
+             |       FROM bm JOIN om ON bm.doc_id = om.doc_id GROUP BY bm.doc_id)
+             |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+             |FROM ph a JOIN ph c ON a.phash = c.phash AND a.doc_id < c.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin)),
     "e4d_byte_entropy" -> Entry(
       Pipeline.e4dByteEntropy,
       // text payloads are ASCII, so per-char codepoints ARE the payload

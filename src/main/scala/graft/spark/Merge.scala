@@ -62,6 +62,16 @@ object Merge {
         if (table.isSnapshot) reader.read(table)
         else reader.readPartitions(
           table, VersionContext.partitionValues(src, table.partitionSchema))
+      // a source missing one of the table's columns would silently REWRITE
+      // the touched partitions without it (kept rows are projected to the
+      // source's columns) — refuse instead; additive evolution goes the
+      // other way (extra source columns), via readMergedSchema on the read
+      if (current.columns.nonEmpty) {
+        val missing = current.columns.filterNot(c =>
+          source.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"merge source must carry every current table column; missing: ${missing.mkString(", ")}")
+      }
       val cols = src.columns.map(col)
       // WHEN MATCHED UPDATE SET * ≡ drop the matched current rows and take
       // the source row instead; the anti-join tolerates duplicate source
