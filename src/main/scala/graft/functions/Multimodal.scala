@@ -132,7 +132,7 @@ object Multimodal {
           var total = 0L
           var i = 0
           while (i < n) {
-            val b = (i * 16) / n // block of 0-based byte i
+            val b = ((i.toLong * 16) / n).toInt // block of 0-based byte i (long math: i*16 overflows Int past ~128 MiB)
             val v = payload(i) & 0xff
             sums(b) += v; counts(b) += 1; total += v
             i += 1

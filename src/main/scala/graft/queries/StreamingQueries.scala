@@ -18,39 +18,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** Run `transform` over the streamed events file into a fresh memory
-    * sink, blocking until the AvailableNow micro-batches drain; returns the
-    * sink as a bounded DataFrame. */
-  /** `statePartitions` sizes the stateful shuffle (= state-store instance
-    * count, fixed at first start by `spark.sql.shuffle.partitions`): a
-    * deliberate per-query sizing decision for streaming jobs — state stores
-    * carry per-instance open/commit cost every micro-batch, so the count
-    * should track state volume, not the batch session's default. Save/
-    * restore under the session lock, mirroring `VersionedReader`'s conf
-    * toggle pattern. */
-  private def runEventStream(
-      s: SparkSession, dir: String, tag: String, outputMode: String = "complete",
-      statePartitions: Int = 8)(
-      transform: DataFrame => DataFrame): DataFrame = {
-    // static load first: resolves the schema a file stream must declare and
-    // pins the nanos-as-long parquet conf the stream read needs too
+  /** The streamed events source: static load first — it resolves the schema
+    * a file stream must declare and pins the nanos-as-long parquet conf the
+    * stream read needs too. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val schema = Tables.load(s, dir, "events").schema
-    val sinkName = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val stream = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream the events file only
       .parquet(dir)
       .withColumn("t", Tables.tsTimestamp("ts"))
+  }
+
+  /** Start a streaming query with the stateful shuffle sized to
+    * `statePartitions` (= state-store instance count, fixed at first start
+    * by `spark.sql.shuffle.partitions` and captured into the query's offset
+    * log — a deliberate per-query sizing decision: state stores carry
+    * per-instance open/commit cost every micro-batch, so the count should
+    * track state volume, not the batch session's default), restoring the
+    * session conf after under the session lock, mirroring
+    * `VersionedReader`'s toggle pattern. Drains AvailableNow to completion. */
+  private def runToCompletion(
+      s: SparkSession, statePartitions: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val partitionsKey = "spark.sql.shuffle.partitions"
     val query = s.synchronized {
       val previous = s.conf.getOption(partitionsKey)
       s.conf.set(partitionsKey, statePartitions.toString)
-      try transform(stream)
-        .writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start() // the conf is captured into the query's offset log at start
+      try start
       finally previous match {
         case Some(v) => s.conf.set(partitionsKey, v)
         case None    => s.conf.unset(partitionsKey)
@@ -58,6 +52,22 @@ object StreamingQueries {
     }
     query.awaitTermination()
     query.stop()
+  }
+
+  private def runEventStream(
+      s: SparkSession, dir: String, tag: String, outputMode: String = "complete",
+      statePartitions: Int = 8)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val sinkName = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    runToCompletion(s, statePartitions) {
+      transform(eventStream(s, dir))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     // detach the result and drop the sink's temp view: each invocation
     // otherwise pins a full result set in driver memory for the session
     // lifetime (the result is an AGGREGATE — #windows rows — so the
@@ -169,28 +179,14 @@ object StreamingQueries {
       FileFormat.Parquet)
     val user = UserId("graft-verify")
     ctx.init(table, user, UpdateMessage("create stream_sink"))
-    val schema = Tables.load(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("t", Tables.tsTimestamp("ts"))
     val agg = graft.streaming.Streams.tumblingCounts(
-      stream, tsCol = "t", width = "1 hour", watermark = "1 hour")
-    val partitionsKey = "spark.sql.shuffle.partitions"
-    val query = s.synchronized {
-      val previous = s.conf.getOption(partitionsKey)
-      s.conf.set(partitionsKey, "8")
-      try graft.streaming.Streams.versionedSink(agg, ctx, table, user)
+      eventStream(s, dir), tsCol = "t", width = "1 hour", watermark = "1 hour")
+    runToCompletion(s, statePartitions = 8) {
+      graft.streaming.Streams.versionedSink(agg, ctx, table, user)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      finally previous match {
-        case Some(v) => s.conf.set(partitionsKey, v)
-        case None    => s.conf.unset(partitionsKey)
-      }
     }
-    query.awaitTermination()
-    query.stop()
     // the CURRENT version is the last micro-batch's complete state
     graft.spark.VersionedReader(s, log).read(table)
       .select(

@@ -80,6 +80,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           }
           u.condition.foreach(rejectSubqueries)
+          u.assignments.foreach(a => rejectSubqueries(a.value))
           GraftUpdateCommand(
             defn, table.tableBinding,
             u.assignments.map(a => rootAttr(a.key).get.name -> new Detached(detach(a.value))),
@@ -166,16 +167,23 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Accept exactly the analyzer's expansion of `UPDATE SET *` / `INSERT *`:
-    * every assignment target is a column assigned from the same-named source
-    * column (possibly cast). */
+    * EVERY target column assigned, each from the same-named SOURCE column
+    * (possibly cast). Coverage matters: GraftMergeCommand replaces whole
+    * rows from the source, so a partial assignment list (`SET label =
+    * s.label`) must reject — accepting it would silently clobber the
+    * unassigned columns with source values. */
   private def validateActions(m: MergeIntoTable): Unit = {
-    def starShaped(assigns: Seq[Assignment]): Boolean =
-      assigns.forall { a =>
+    val targetCols = m.targetTable.output.map(_.name.toLowerCase).toSet
+    def starShaped(assigns: Seq[Assignment]): Boolean = {
+      val covered = assigns.flatMap(a => rootAttr(a.key).map(_.name.toLowerCase)).toSet
+      covered == targetCols && assigns.forall { a =>
         (rootAttr(a.key), rootAttr(a.value)) match {
-          case (Some(k), Some(v)) => k.name.equalsIgnoreCase(v.name)
-          case _                  => false
+          case (Some(k), Some(v)) =>
+            k.name.equalsIgnoreCase(v.name) && m.sourceTable.outputSet.contains(v)
+          case _ => false
         }
       }
+    }
     m.matchedActions match {
       case Seq(UpdateAction(None, assigns, _)) if starShaped(assigns) => ()
       case other => unsupported(s"graft MERGE INTO supports 'WHEN MATCHED THEN UPDATE SET *' " +
@@ -206,25 +214,6 @@ private[spark] final class Detached(val expr: Expression) {
 private[spark] object GraftDml {
 
   def column(e: Expression): Column = org.apache.spark.sql.GraftSqlShim.column(e)
-
-  /** The current contents of the partitions holding rows that satisfy
-    * `cond` (all partitions for snapshot tables), plus whether anything
-    * matched at all. The touched-partition set is #partitions rows —
-    * metadata-sized, safe to broadcast at any scale. */
-  def touchedScope(
-      session: SparkSession,
-      defn: TableDefinition,
-      binding: GraftTableCatalog.Binding,
-      cond: Column): Option[DataFrame] = {
-    val current = VersionedReader(session, binding.log).read(defn)
-    if (current.columns.isEmpty) None // never written — nothing to rewrite
-    else if (defn.isSnapshot) Some(current)
-    else {
-      val partCols = defn.partitionSchema.columns.map(_.name)
-      val touched = current.where(cond).select(partCols.map(col): _*).distinct()
-      Some(current.join(broadcast(touched), partCols.toSeq, "left_semi"))
-    }
-  }
 
   def commit(
       defn: TableDefinition,
@@ -280,16 +269,28 @@ final case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val cond = condition.map(d => GraftDml.column(d.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    GraftDml.touchedScope(session, defn, binding, cond).foreach { scope =>
-      val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
-      val updated = scope.select(scope.columns.map { c =>
-        byName.get(c.toLowerCase) match {
-          case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-          case None    => col(c)
-        }
-      }: _*)
-      GraftDml.commit(defn, binding, updated, "UPDATE (SQL)")
-    }
+    val current = VersionedReader(session, binding.log).read(defn)
+    if (current.columns.isEmpty) return Seq.empty // never written
+    // a no-match UPDATE must not commit: the history would gain a junk
+    // entry (and a snapshot table a full identical rewrite) for a no-op
+    if (current.where(cond).isEmpty) return Seq.empty
+    val scope =
+      if (defn.isSnapshot) current
+      else {
+        // touched-partition set is #partitions rows — metadata-sized,
+        // safe to broadcast at any scale
+        val partCols = defn.partitionSchema.columns.map(_.name)
+        val touched = current.where(cond).select(partCols.map(col): _*).distinct()
+        current.join(broadcast(touched), partCols.toSeq, "left_semi")
+      }
+    val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
+    val updated = scope.select(scope.columns.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)")
     Seq.empty
   }
 }

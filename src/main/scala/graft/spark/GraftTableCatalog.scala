@@ -318,8 +318,8 @@ private[spark] final class GraftV2Table(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
-  // exposed for the MERGE INTO resolution rule (GraftMergeRule), which
-  // routes the SQL statement onto Merge.mergeInto against this table
+  // exposed for the SQL DML resolution rule (GraftDmlRule), which routes
+  // MERGE/UPDATE/DELETE statements onto the copy-on-write write path
   private[spark] def tableDefinition: TableDefinition = defn
   private[spark] def tableBinding: GraftTableCatalog.Binding = binding
 

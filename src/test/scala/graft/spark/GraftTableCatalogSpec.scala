@@ -332,6 +332,15 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin))
     e.getMessage should include("graft MERGE INTO supports")
+
+    // a PARTIAL assignment list must also reject: the engine replaces whole
+    // rows from the source, so accepting `SET label = s.label` would
+    // silently clobber the unassigned columns too
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET label = s.label
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    e2.getMessage should include("graft MERGE INTO supports")
   }
 
   test("SQL UPDATE rewrites only touched partitions; row-level DELETE drops rows and empties partitions") {
@@ -385,15 +394,19 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     afterDelete.keySet should not contain day("2024-01-03")
     afterDelete(day("2024-01-02")) shouldBe v1Versions(day("2024-01-02"))
 
-    // a no-match DELETE commits nothing
+    // no-match DELETE and UPDATE commit nothing — history stays clean
     val commitsBefore = log.updates(table.name).size
     spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE id = 999")
+    spark.sql("UPDATE graftcat.cdb.dmlsql SET label = 'zz' WHERE id = 999")
     log.updates(table.name) should have size commitsBefore.toLong
 
-    // partition-value-only DELETE still takes the metadata-only path
+    // partition-value-only DELETE still takes the metadata-only path:
+    // exactly ONE commit (the copy-on-write route would add a rewrite
+    // commit plus the prune commit — message alone can't distinguish them)
+    val commitsBeforePartDelete = log.updates(table.name).size
     spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE date = '2024-01-02'")
+    log.updates(table.name).size shouldBe commitsBeforePartDelete + 1
     log.updates(table.name).head.message.content shouldBe "DELETE (SQL)"
-    log.updates(table.name).head.id // exists
     spark.sql("SELECT id FROM graftcat.cdb.dmlsql").as[Long].collect() shouldBe Array(1L)
   }
 }
