@@ -868,6 +868,15 @@ object Registry {
              |       round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin)),
 
+    "s08_stream_partitioned_sink" -> Entry(
+      StreamingQueries.s08StreamPartitionedSink,
+      // same algebra as s01/s07; the partition column rides the dir layout
+      Some("""SELECT date_trunc('hour', ts) AS w_start,
+             |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+             |       event_type, count(*) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin)),
+
     "s02_stream_sliding" -> Entry(
       StreamingQueries.s02StreamSlidingCounts,
       // sliding (1h, 30m) windows are epoch-aligned: an event belongs to

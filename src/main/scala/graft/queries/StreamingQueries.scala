@@ -195,6 +195,40 @@ object StreamingQueries {
       .orderBy("w_start", "event_type")
   }
 
+  /** S8: the PARTITIONED versioned sink — like [[s07StreamVersionedSink]]
+    * but the stream's complete-mode state lands in a table partitioned by
+    * `event_type`: every micro-batch commit flips each partition's version
+    * pointer individually (the partition-granular atomicity the batch write
+    * path guarantees), and the read-back resolves per-partition version
+    * dirs. */
+  def s08StreamPartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("graft", "stream_psink"),
+      java.nio.file.Files.createTempDirectory("graft_stream_psink").toUri,
+      PartitionSchema(List(PartitionColumn("event_type"))),
+      FileFormat.Parquet)
+    val user = UserId("graft-verify")
+    ctx.init(table, user, UpdateMessage("create stream_psink"))
+    val agg = graft.streaming.Streams.tumblingCounts(
+      eventStream(s, dir), tsCol = "t", width = "1 hour", watermark = "1 hour")
+    runToCompletion(s, statePartitions = 8) {
+      graft.streaming.Streams.versionedSink(agg, ctx, table, user)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    graft.spark.VersionedReader(s, log).read(table)
+      .select(
+        col("w_start"), col("w_end"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -238,6 +238,29 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     e.getMessage.toLowerCase should include("partition")
   }
 
+  test("CREATE TABLE AS SELECT lands as one versioned commit, snapshot and partitioned") {
+    val loc1 = Files.createTempDirectory("graft_cat_ctas_snap").toUri
+    spark.sql(
+      s"CREATE TABLE graftcat.cdb.ctas_snap USING parquet LOCATION '$loc1' " +
+        "AS SELECT id, id % 3 AS k FROM range(10)")
+    spark.sql("SELECT count(*) FROM graftcat.cdb.ctas_snap").head().getLong(0) shouldBe 10
+    log.updates(TableName("cdb", "ctas_snap")).map(_.message.content) shouldBe
+      List("INSERT INTO (SQL)", "CREATE TABLE (SQL)")
+
+    val loc2 = Files.createTempDirectory("graft_cat_ctas_part").toUri
+    spark.sql(
+      s"CREATE TABLE graftcat.cdb.ctas_part USING parquet PARTITIONED BY (k) " +
+        s"LOCATION '$loc2' AS SELECT id, CAST(id % 3 AS STRING) AS k FROM range(10)")
+    spark.sql("SELECT count(*) FROM graftcat.cdb.ctas_part WHERE k = '1'")
+      .head().getLong(0) shouldBe 3
+    log.currentVersion(TableName("cdb", "ctas_part")) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 3
+      case other                        => fail(s"unexpected $other")
+    }
+    spark.sql("DROP TABLE graftcat.cdb.ctas_snap")
+    spark.sql("DROP TABLE graftcat.cdb.ctas_part")
+  }
+
   test("full SQL lifecycle: CREATE TABLE, INSERT, SELECT, DROP leaves data + history") {
     val loc = Files.createTempDirectory("graft_cat_create").toUri.toString
     spark.sql(
