@@ -141,6 +141,18 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q42_incremental_agg" -> Entry(
+      Versioned.q42IncrementalAgg,
+      // the oracle FULL-recomputes the aggregate over the final source
+      // state; matching it proves the incremental maintenance exact
+      Some("""WITH fin AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |             WHERE o_orderkey % 3 <> 0 AND o_orderstatus <> 'O'
+             |             UNION ALL
+             |             SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |             WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q41_durable_log" -> Entry(
       Versioned.q41DurableLog,
       // same contents as q03b, resolved through the re-opened durable log

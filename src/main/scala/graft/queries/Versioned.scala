@@ -150,6 +150,52 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q42: incremental MATERIALIZED-AGGREGATE maintenance — the CDC
+    * consumption loop: a downstream per-status aggregate table is built
+    * once from v1, then after v2 rewrites ONE source partition it is
+    * updated from `readChanges` alone (recompute ONLY the groups of moved
+    * partitions; carry every other group forward untouched), committed as a
+    * new version of the aggregate table. The oracle full-recomputes the
+    * final state, so the hash check proves incremental == full — at 100 TB
+    * the incremental path reads one partition instead of the table. */
+  def q42IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val src = tempTable(
+      "ord_src", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("create ord_src"))
+    val aggTable = tempTable("ord_agg", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(aggTable, user, UpdateMessage("create ord_agg"))
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+    val reader = VersionedReader(s, log)
+
+    orders.where(col("o_orderkey") % 3 =!= 0)
+      .versionedInsertInto(ctx, src, user, UpdateMessage("v1: base load"))
+    val v1Commit = log.updates(src.name).head.id
+    aggOf(reader.read(src))
+      .versionedInsertInto(ctx, aggTable, user, UpdateMessage("agg v1: full build"))
+
+    // v2 rewrites ONLY the 'O' partition of the source
+    orders.where(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, src, user, UpdateMessage("v2: refresh O"))
+    val v2Commit = log.updates(src.name).head.id
+
+    // incremental maintenance: the delta read carries the NEW full contents
+    // of exactly the moved partitions; their group keys replace, the rest
+    // carry forward (the touched-key set is #partitions rows)
+    val changed = reader.readChanges(src, v1Commit, v2Commit)
+    val touchedKeys = changed.select("o_orderstatus").distinct()
+    val carried = reader.read(aggTable)
+      .join(broadcast(touchedKeys), Seq("o_orderstatus"), "left_anti")
+    carried.unionByName(aggOf(changed))
+      .versionedInsertInto(ctx, aggTable, user, UpdateMessage("agg v2: incremental"))
+
+    reader.read(aggTable).orderBy("o_orderstatus")
+  }
+
   /** Q41: the DURABLE commit log end-to-end — the same partitioned
     * write/read lifecycle as q03b but through [[JsonFileTableVersions]]
     * (fsync'd JSON-lines appends + lock files), with the log RE-OPENED as a

@@ -238,6 +238,21 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     e.getMessage.toLowerCase should include("partition")
   }
 
+  test("pure-conf binding: spark.sql.catalog.<name>.logDir wires the durable JSON log") {
+    val logDir = Files.createTempDirectory("graft_cat_confbind")
+    spark.conf.set("spark.sql.catalog.graftconf", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftconf.logDir", logDir.toString)
+    val loc = Files.createTempDirectory("graft_cat_confbind_t").toUri
+    spark.sql(
+      s"CREATE TABLE graftconf.db.conft (id BIGINT, label STRING) USING parquet LOCATION '$loc'")
+    spark.sql("INSERT INTO graftconf.db.conft VALUES (1, 'a'), (2, 'b')")
+    spark.sql("SELECT count(*) FROM graftconf.db.conft").head().getLong(0) shouldBe 2L
+    // the commit history reached the conf'd directory durably
+    import scala.jdk.CollectionConverters._
+    Files.list(logDir).iterator().asScala.map(_.getFileName.toString).toList should
+      contain("db.conft.jsonl")
+  }
+
   test("CREATE TABLE AS SELECT lands as one versioned commit, snapshot and partitioned") {
     val loc1 = Files.createTempDirectory("graft_cat_ctas_snap").toUri
     spark.sql(
