@@ -402,6 +402,55 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** E17: distributed k-means (Lloyd) over the embedding corpus — the
+    * clustering pass behind semantic dedup, data-mixing diagnostics, and
+    * training the coarse quantizer an IVF index probes. Each iteration is
+    * ONE corpus pass: the centroid table (k×64 doubles — metadata-sized at
+    * any corpus scale) broadcasts into a cross join scored by the native
+    * codegen'd [[graft.plans.CosineSimilarity]], argmax lands on a
+    * vec_id-partitioned window (corpus-cardinality key, spreads over all
+    * reducers), and the new means come out of the typed partial-agg
+    * [[graft.functions.VectorMeanAggregator]] — the shuffle carries one
+    * 64-slot buffer per (cell × map task), never raw vectors, and nothing
+    * corpus-sized ever reaches the driver.
+    *
+    * Determinism: seeding takes the k lowest vec_ids (reproducibility over
+    * kmeans++ sampling), assignment ties break on the smaller cell id, and
+    * centroid components round to 6 dp after every update so cell
+    * assignment is independent of float partial-agg merge order — which
+    * also lets the SQL oracle replay both iterations exactly. */
+  def e17Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.GraftFunctions.cosineSim
+    val k = 8
+    val emb = load(s, dir, "embeddings").select("vec_id", "embedding")
+    val seed = emb.orderBy("vec_id").limit(k) // k rows: the window below is tiny
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(
+        col("cell"),
+        expr("transform(embedding, x -> round(cast(x as double), 6))").as("centroid"))
+    def assign(cents: DataFrame): DataFrame = {
+      val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+        .withColumn("rk", row_number().over(byVec))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), col("embedding")).as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
+        .toDF("cell", "centroid")
+        .withColumn("centroid", expr("transform(centroid, x -> round(x, 6))"))
+    val trained = (1 to 2).foldLeft(seed)((cents, _) => update(assign(cents)))
+    assign(trained)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(trained.select(col("cell"), round(element_at(col("centroid"), 1), 6).as("c1")), Seq("cell"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"), col("c1"))
+      .orderBy("cell")
+  }
+
   // ---------------------------------------------------------------- E4
 
   /** E4: multimodal column plumbing — an opaque binary payload column with

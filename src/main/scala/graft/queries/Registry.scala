@@ -107,6 +107,39 @@ object Registry {
       .map(m => s"CAST(length(text) - length(replace(text, '$m', '')) AS DOUBLE) / ${m.length}")
       .mkString(" + ")
 
+  /** DuckDB replay of `Pipeline.e17Kmeans`: two unrolled Lloyd iterations
+    * with the identical deterministic seeding, cosine argmax (cell-id
+    * tie-break), and 6-dp centroid rounding after each mean update. */
+  private def kmeansOracleSql: String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, dvec, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY
+         |              list_inner_product(dvec, centroid)
+         |                / (sqrt(list_inner_product(dvec, dvec))
+         |                   * sqrt(list_inner_product(centroid, centroid))) DESC,
+         |              cell) AS rk
+         |      FROM v, $cents)""".stripMargin
+    def updateCtes(m: String, c: String, a: String) =
+      s"""$m AS (SELECT cell, d, round(avg(dvec[d]), 6) AS cv
+         |      FROM $a, generate_series(1, 64) g(d) WHERE rk = 1 GROUP BY cell, d),
+         |$c AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM $m GROUP BY cell)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+       |           FROM embeddings),
+       |seed AS (SELECT vec_id, dvec FROM v ORDER BY vec_id LIMIT 8),
+       |cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |                  list_transform(dvec, x -> round(x, 6)) AS centroid
+       |           FROM seed),
+       |${assignCte("a0", "cents0")},
+       |${updateCtes("m0", "cents1", "a0")},
+       |${assignCte("a1", "cents1")},
+       |${updateCtes("m1", "cents2", "a1")},
+       |${assignCte("a2", "cents2")}
+       |SELECT f.cell, f.n_members, round(c.centroid[1], 6) AS c1
+       |FROM (SELECT cell, count(*) AS n_members FROM a2 WHERE rk = 1 GROUP BY cell) f
+       |JOIN cents2 c USING (cell)
+       |ORDER BY cell""".stripMargin
+  }
+
   val entries: Map[String, Entry] = Map(
     // ---- versioning layer end-to-end (Q2/Q3/Q26) ----
     "q02_scan_orc" -> Entry(
@@ -767,6 +800,12 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e17_kmeans" -> Entry(
+      Pipeline.e17Kmeans,
+      // both Lloyd iterations unrolled: same seeding (k lowest vec_ids),
+      // same cosine argmax with cell-id tie-break, same 6-dp centroid
+      // rounding after every update, so assignments replay exactly
+      Some(kmeansOracleSql)),
     "e8b_incremental_neardup" -> Entry(
       Pipeline.e8bIncrementalNearDup, Some(incrementalNearDupOracleSql)),
     "e7_dup_clusters" -> Entry(

@@ -193,6 +193,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     body should not include "hashpartitioning"
   }
 
+  test("e17: k-means broadcasts centroids, windows on vec_id, means via typed agg") {
+    val p = plan("e17_kmeans")
+    // the k×64 centroid table rides a broadcast into every assignment pass
+    p should include("BroadcastNestedLoopJoin")
+    // argmax assignment partitions on the corpus-cardinality vec_id key
+    p should include("windowspecdefinition(vec_id")
+    // mean update is the typed partial-agg aggregator: the shuffle carries
+    // 64-slot buffers per (cell × task), never raw vectors
+    p should include("ObjectHashAggregate")
+    p should include("cosine_sim")
+  }
+
   test("e8b: the corpus band-key table joins by SHUFFLE, never broadcast") {
     val p = plan("e8b_incremental_neardup")
     // at web scale the stored band table is not broadcastable; the
