@@ -174,6 +174,13 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q43_file_skipping" -> Entry(
+      Versioned.q43FileSkipping,
+      // zone-map pruning must be row-invisible: the pruned scan + row
+      // predicate returns exactly the full-scan filter result
+      Some("""SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 7000""".stripMargin)),
     "q42_incremental_agg" -> Entry(
       Versioned.q42IncrementalAgg,
       // the oracle FULL-recomputes the aggregate over the final source

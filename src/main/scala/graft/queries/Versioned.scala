@@ -150,6 +150,33 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q43: file-level DATA SKIPPING — a range-clustered snapshot insert (8
+    * writer tasks over disjoint l_orderkey ranges), zone maps collected
+    * once into the version's `_stats` sidecar, then a bounded-range read
+    * through [[graft.spark.FileStats.readSkipping]]: only files whose
+    * [min,max] zone intersects the predicate are handed to the scan —
+    * the rest are dropped BEFORE any task launches (file-count pruning
+    * pinned in `FileStatsSpec`; this entry hash-checks the pruned scan
+    * returns exactly the rows a full scan would). */
+  def q43FileSkipping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("li_zonemap", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_zonemap"))
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: range-clustered"))
+    graft.spark.FileStats.writeZoneMaps(s, log, table, Seq("l_orderkey"))
+    graft.spark.FileStats
+      .readSkipping(s, log, table, "l_orderkey", 1000L, 7000L)
+      .where(col("l_orderkey").between(1000L, 7000L))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
   /** Q42: incremental MATERIALIZED-AGGREGATE maintenance — the CDC
     * consumption loop: a downstream per-status aggregate table is built
     * once from v1, then after v2 rewrites ONE source partition it is

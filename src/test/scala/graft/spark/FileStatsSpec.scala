@@ -1,0 +1,79 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class FileStatsSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("zonemap-test")
+
+  private def rangeClusteredTable(): (TableDefinition, TableVersions) = {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_snap"),
+      Files.createTempDirectory("graft_spec_zonemap").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // 0..7999 range-clustered into 8 files of ~1000 consecutive keys each
+    spark.range(8000).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: range-clustered"))
+    (table, log)
+  }
+
+  test("zoneMaps emits one row per file with correct min/max/count") {
+    val (table, log) = rangeClusteredTable()
+    val full = VersionedReader(spark, log).read(table)
+    val stats = FileStats.zoneMaps(full, Seq("k")).collect()
+    stats.length shouldBe full.inputFiles.length
+    stats.map(_.getAs[Long]("n_rows")).sum shouldBe 8000L
+    // zones are disjoint per file: global min/max recovered exactly
+    stats.map(_.getAs[Long]("min_k")).min shouldBe 0L
+    stats.map(_.getAs[Long]("max_k")).max shouldBe 7999L
+  }
+
+  test("readSkipping drops files outside the predicate range, keeps every matching row") {
+    import org.apache.spark.sql.functions.col
+    val (table, log) = rangeClusteredTable()
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    val totalFiles = VersionedReader(spark, log).read(table).inputFiles.length
+
+    val pruned = FileStats.readSkipping(spark, log, table, "k", 1500L, 2500L)
+    // ~2 of 8 range-disjoint files can hold keys in [1500, 2500]
+    pruned.inputFiles.length should be < totalFiles
+    pruned.inputFiles.length should be <= 3
+
+    val rows = pruned.where(col("k").between(1500L, 2500L))
+    rows.count() shouldBe 1001L
+    rows.agg(org.apache.spark.sql.functions.sum("v")).as[Long].head() shouldBe
+      (1500L to 2500L).map(_ * 2).sum
+  }
+
+  test("an empty surviving file set degrades to zero rows with the table schema") {
+    val (table, log) = rangeClusteredTable()
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    val none = FileStats.readSkipping(spark, log, table, "k", 100000L, 200000L)
+    none.count() shouldBe 0L
+    none.columns.toSeq shouldBe Seq("k", "v")
+  }
+
+  test("the _stats sidecar is invisible to normal versioned reads") {
+    val (table, log) = rangeClusteredTable()
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    VersionedReader(spark, log).read(table).count() shouldBe 8000L
+  }
+}
