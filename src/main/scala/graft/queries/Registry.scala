@@ -881,6 +881,18 @@ object Registry {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    "q44_unpivot" -> Entry(
+      Relational.q44Unpivot,
+      // melt replayed as a UNION ALL of single-measure projections
+      Some("""WITH m AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT metric, count(*) AS n_values, round(sum(v), 2) AS sum_v,
+             |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+             |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
+
     "e10_tfidf" -> Entry(
       Pipeline.e10TfIdf,
       // ranking keys are integers (tf desc, df asc, token) so the top-3 set
@@ -905,6 +917,16 @@ object Registry {
       // the emitted first-occurrences are exactly the distinct key pairs
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
+
+    "s09_stream_static_join" -> Entry(
+      StreamingQueries.s09StreamStaticJoin,
+      // stream-side enrichment must be invisible: the oracle is the batch
+      // join + aggregation over the same tables
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment, event_type
+             |ORDER BY c_mktsegment, event_type""".stripMargin)),
 
     "s01_stream_tumbling" -> Entry(
       StreamingQueries.s01StreamTumblingCounts,

@@ -530,6 +530,27 @@ object Relational {
         count(lit(1)).cast("long").as("n_nations"))
       .orderBy("r_name")
 
+  /** Q44: UNPIVOT (melt) — the inverse of pivot: the four lineitem measure
+    * columns become (metric, value) rows, then a per-metric profile. Melt
+    * is row-local (each input row expands to 4 output rows with no
+    * exchange); the only shuffles are the profile agg and presentation
+    * sort, so the shape scales like any projection + groupBy. */
+  def q44Unpivot(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array.empty[org.apache.spark.sql.Column],
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n_values"),
+        round(sum("v"), 2).as("sum_v"),
+        round(min("v"), 2).as("min_v"),
+        round(max("v"), 2).as("max_v"))
+      .orderBy("metric")
+
   /** Q32: pivot (cross-tab) — order counts and revenue per status with one
     * column pair per priority. Values are declared explicitly, so Spark
     * skips the extra distinct-values job and the plan is ONE partial+final

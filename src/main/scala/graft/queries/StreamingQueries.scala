@@ -229,6 +229,23 @@ object StreamingQueries {
       .orderBy("w_start", "event_type")
   }
 
+  /** S9: stream-static enrichment — the events stream joins the static
+    * `customer` dimension (broadcast per micro-batch, no stream state) and
+    * the enriched rows aggregate per (market segment × event type). The
+    * oracle is the equivalent batch join: stream-side enrichment must be
+    * invisible to the result. */
+  def s09StreamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "s09") { stream =>
+      val dim = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.streaming.Streams.staticEnrich(stream, dim, "user_id", "c_custkey")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    }
+      .select(
+        col("c_mktsegment"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -75,6 +75,16 @@ object Streams {
       "inner")
   }
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. The static side re-resolves every micro-batch (Spark re-plans
+    * the batch side per trigger — a dim table updated between batches is
+    * picked up) and broadcasts to the executors, so enrichment adds ZERO
+    * shuffle to the stream: no state store, no watermark needed — the
+    * standard shape for decorating events with user/product/geo dims. */
+  def staticEnrich(
+      stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+
   /** Stateful exact dedup bounded by the watermark. */
   def dedupWithinWatermark(
       events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =

@@ -53,6 +53,23 @@ class StreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("staticEnrich decorates a stream with broadcast dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("d_user", "tier")
+    val q = Streams.staticEnrich(input.toDF(), dim, "user_id", "d_user")
+      .select("user_id", "tier", "value")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        Tick(t(0), "click", 1, 1.0), Tick(t(1), "view", 2, 2.0),
+        Tick(t(2), "click", 9, 4.0)) // user 9 has no dim row -> dropped (inner)
+      q.processAllAvailable()
+      spark.table("enriched").as[(Long, String, Double)].collect().sortBy(_._1) shouldBe
+        Array((1L, "GOLD", 1.0), (2L, "SILVER", 2.0))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
