@@ -309,6 +309,36 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** E18: scalar-quantized (int8) similarity search — the memory lever a
+    * 100 TB vector corpus deploys: per-vector max-abs scaling to 8-bit
+    * codes shrinks the resident index (and the scan's memory bandwidth) 4×
+    * for a small quantization error. Codes are small integers, so every
+    * dot product is INTEGER arithmetic carried exactly in doubles — scores
+    * are bit-identical across engines (no float-summation tolerance at
+    * all, unlike the float ANN variants), ties break on vec_id. Scoring
+    * runs the native codegen'd [[graft.plans.DotProduct]] over the code
+    * arrays; the merge is the typed bounded top-k aggregate. */
+  def e18QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.dotProduct
+    val quant = load(s, dir, "embeddings")
+      .withColumn("sc", expr("array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0"))
+      // an all-zero vector has sc = 0: its codes are zeros (guards the ÷)
+      .withColumn("qv", expr(
+        """CASE WHEN sc = 0 THEN transform(embedding, x -> cast(0 as double))
+          |     ELSE transform(embedding, x -> round(cast(x as double) / sc, 0)) END""".stripMargin))
+      .withColumn("qn", dotProduct(col("qv"), col("qv")))
+      .where(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val queries = quant.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("qn").as("qqn"))
+    val scored = quant.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotProduct(col("qv"), col("qq")) / sqrt(col("qn") * col("qqn")))
+    topKPerQuery(scored, 10)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("qcos"))
+      .orderBy("qid", "rk")
+  }
+
   /** E2: embedding-cosine near-duplicate pairs. Candidates come from the
     * signed-random-projection buckets (same family as [[e3bLshAnn]], coarse
     * 2-plane variant) — only same-bucket pairs are scored, never all-pairs —

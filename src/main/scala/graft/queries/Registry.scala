@@ -807,6 +807,28 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e18_quantized_ann" -> Entry(
+      Pipeline.e18QuantizedAnn,
+      // integer code dots are exact in doubles: scores replay bit-identical
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+             |           FROM embeddings),
+             |s AS (SELECT vec_id, dv,
+             |             list_max(list_transform(dv, x -> abs(x))) / 127.0 AS sc FROM v),
+             |codes AS (SELECT vec_id,
+             |                 CASE WHEN sc = 0 THEN list_transform(dv, x -> CAST(0 AS DOUBLE))
+             |                      ELSE list_transform(dv, x -> round(x / sc, 0)) END AS qv
+             |          FROM s),
+             |n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS qn FROM codes
+             |      WHERE list_inner_product(qv, qv) > 0),
+             |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM n WHERE vec_id < 5),
+             |sc2 AS (SELECT qid, vec_id,
+             |               list_inner_product(qv, qq) / sqrt(qn * qqn) AS cos
+             |        FROM n, q WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+             |      FROM sc2)
+             |SELECT qid, rk, vec_id, round(cos, 5) AS qcos
+             |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)),
     "e17_kmeans" -> Entry(
       Pipeline.e17Kmeans,
       // both Lloyd iterations unrolled: same seeding (k lowest vec_ids),

@@ -193,6 +193,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     body should not include "hashpartitioning"
   }
 
+  test("e18: quantized ANN scores with the native dot product, merges via typed top-k") {
+    val p = plan("e18_quantized_ann")
+    p should include("dot_product")
+    p should include("BroadcastNestedLoopJoin") // the 5-query set broadcasts
+    p should include("ObjectHashAggregate")     // bounded top-k merge
+    p should not include "Window"
+  }
+
   test("e17: k-means broadcasts centroids, windows on vec_id, means via typed agg") {
     val p = plan("e17_kmeans")
     // the k×64 centroid table rides a broadcast into every assignment pass
