@@ -844,6 +844,37 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** E19: span-level (paragraph) dedup — the C4/RefinedWeb-style pass that
+    * measures REPEATED SPANS across documents, catching boilerplate and
+    * templated passages whole-document dedup (e1) and near-dup (e2*) miss.
+    * Spans are non-overlapping 32-token windows hashed by a polynomial
+    * combine over the native [[graft.plans.TokenHashes]] per-token hashes —
+    * row-local expansion, portable arithmetic. A span is "duplicated" when
+    * its hash occurs in ≥ 2 distinct documents; the duplicated-hash set
+    * comes from a two-level hash agg keyed by span hash (shuffle carries
+    * #distinct spans) and joins back by SHUFFLE — at corpus scale the
+    * duplicated-span table is not broadcastable. */
+  def e19SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = 32
+    val spans = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.tokenHashes(split(col("text"), " ")).as("th"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0, cast(ceil((size(th) - $w) / cast($w as double)) as int))),
+           |  i -> aggregate(slice(th, i * $w + 1, $w), 0L, (h, x) -> (h * 31 + x) % 1000000007))""".stripMargin)).as("sh"))
+    val dup = spans.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("sh"), lit(1).as("isdup"))
+    spans.join(dup.hint("shuffle_hash"), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("isdup")).as("n_dup_spans"))
+      .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 4))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- E6
 
   /** Document fingerprints: whole-text and prefix rolling hashes

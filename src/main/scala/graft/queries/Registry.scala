@@ -807,6 +807,29 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e19_span_dedup" -> Entry(
+      Pipeline.e19SpanDedup,
+      // same portable token hash as the minhash CTE; spans are
+      // non-overlapping 32-token windows, polynomial-combined
+      Some("""WITH t AS (SELECT doc_id,
+             |             list_transform(string_split(text, ' '), tok -> list_reduce(
+             |               list_prepend(CAST(0 AS BIGINT),
+             |                 list_transform(string_split_regex(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |               (h, c) -> (h * 31 + c) % 1000000007)) AS th
+             |      FROM documents),
+             |sp AS (SELECT doc_id,
+             |              list_reduce(list_prepend(CAST(0 AS BIGINT), th[i * 32 + 1 : i * 32 + 32]),
+             |                          (h, x) -> (h * 31 + x) % 1000000007) AS sh
+             |       FROM t, generate_series(0, 200) g(i)
+             |       WHERE i <= CASE WHEN len(th) > 32 + 32 * 200
+             |                       THEN CAST(error('doc exceeds 200-span oracle cap') AS BIGINT)
+             |                       ELSE greatest(0, CAST(ceil((len(th) - 32) / 32.0) AS BIGINT)) END),
+             |dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, count(*) AS n_spans,
+             |       count(CASE WHEN sh IN (SELECT sh FROM dup) THEN 1 END) AS n_dup_spans,
+             |       round(count(CASE WHEN sh IN (SELECT sh FROM dup) THEN 1 END) * 1.0
+             |             / count(*), 4) AS dup_ratio
+             |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     "e18_quantized_ann" -> Entry(
       Pipeline.e18QuantizedAnn,
       // integer code dots are exact in doubles: scores replay bit-identical

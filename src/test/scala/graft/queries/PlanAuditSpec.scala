@@ -193,6 +193,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     body should not include "hashpartitioning"
   }
 
+  test("e19: span dedup hashes natively and joins the dup-span table by shuffle") {
+    val p = plan("e19_span_dedup")
+    p should include("token_hashes") // per-token hashing is the native expression
+    // the duplicated-span table is corpus-derived — never broadcast
+    p should include("ShuffledHashJoin")
+    p should not include "BroadcastHashJoin"
+  }
+
   test("e18: quantized ANN scores with the native dot product, merges via typed top-k") {
     val p = plan("e18_quantized_ann")
     p should include("dot_product")
