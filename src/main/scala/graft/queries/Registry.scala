@@ -973,6 +973,14 @@ object Registry {
              |GROUP BY c_mktsegment, event_type
              |ORDER BY c_mktsegment, event_type""".stripMargin)),
 
+    "s10_versioned_cdc_source" -> Entry(
+      StreamingQueries.s10VersionedCdcSource,
+      // disjoint-partition commits stream each partition exactly once: the
+      // union is the whole selected table
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s01_stream_tumbling" -> Entry(
       StreamingQueries.s01StreamTumblingCounts,
       // tumbling 1h windows are epoch-aligned: window(t, '1 hour') ≡

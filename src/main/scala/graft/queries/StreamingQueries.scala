@@ -246,6 +246,58 @@ object StreamingQueries {
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy("c_mktsegment", "event_type")
 
+  /** S10: a versioned table as a STREAMING SOURCE — the commit log streamed
+    * as micro-batches through the DSv2 CDC source
+    * ([[graft.spark.VersionedStream]]): two ingest commits landing disjoint
+    * partition sets replay through the stream (each partition's files
+    * exactly once, read by Spark's own V2 parquet scan) into a complete-mode
+    * aggregation. The oracle sees the union of both commits; the
+    * incremental-follow and offset-replay behaviors are pinned in
+    * `VersionedStreamSpec`. */
+  def s10VersionedCdcSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("graft", "cdc_src"),
+      java.nio.file.Files.createTempDirectory("graft_cdc_src").toUri,
+      PartitionSchema(List(PartitionColumn("l_returnflag"))),
+      FileFormat.Parquet)
+    val user = UserId("graft-verify")
+    ctx.init(table, user, UpdateMessage("create cdc_src"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_returnflag") =!= "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: A+N partitions"))
+    li.where(col("l_returnflag") === "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R partition"))
+    val sinkName = s"graft_s10_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val partitionsKey = "spark.sql.shuffle.partitions"
+    val q = s.synchronized {
+      val previous = s.conf.getOption(partitionsKey)
+      s.conf.set(partitionsKey, "8")
+      try graft.spark.VersionedStream.readStream(s, log, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
+      finally previous match {
+        case Some(v) => s.conf.set(partitionsKey, v)
+        case None    => s.conf.unset(partitionsKey)
+      }
+    }
+    q.processAllAvailable() // drain every pending commit, then detach
+    q.stop()
+    val sink = s.table(sinkName)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(sinkName)
+    out.select(col("l_returnflag"), col("n_items"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

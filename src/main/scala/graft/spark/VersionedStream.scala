@@ -1,0 +1,208 @@
+package graft.spark
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core._
+
+/**
+ * Streaming CDC SOURCE over a versioned table (the Delta-style
+ * `readStream.table` shape): the commit log becomes a stream, each
+ * micro-batch carrying the NEW CONTENTS of the partitions whose version
+ * moved in the consumed commit range. A downstream pipeline stage follows a
+ * table incrementally — offsets are COMMIT INDEXES into the log, so
+ * checkpoint recovery replays exactly the same commit ranges against the
+ * immutable version dirs (append-only log + never-rewritten dirs make the
+ * source naturally replayable).
+ *
+ * Scale design: offset bookkeeping is O(#commits) metadata on the driver;
+ * batch planning diffs two commit-log FOLDS (O(#partitions), no file I/O),
+ * and the data files of changed partitions are then read through Spark's
+ * own V2 parquet/ORC scan — stock vectorized readers, pushdown, and split
+ * planning, identical to the batch path. Nothing corpus-sized ever lands
+ * on the driver.
+ *
+ * Semantics per table kind (same contract as [[VersionedReader.readChanges]]):
+ *  - partitioned: a batch holds the full new contents of each changed
+ *    partition — ingest pipelines whose commits land disjoint partitions
+ *    (date loads) stream each partition exactly once;
+ *  - snapshot: each moved version emits that version's full contents (the
+ *    latest-full-state-per-commit feed).
+ */
+object VersionedStream {
+
+  private[spark] final case class Handle(log: TableVersions, defn: TableDefinition)
+  private[spark] val handles = TrieMap.empty[String, Handle]
+
+  /** A streaming DataFrame over the table's commits. `handle` options wire
+    * the (log, definition) pair through Spark's string-only source options. */
+  def readStream(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
+    val h = java.util.UUID.randomUUID().toString
+    handles.put(h, Handle(log, defn))
+    spark.readStream
+      .format(classOf[GraftCdcProvider].getName)
+      .option("handle", h)
+      .load()
+  }
+
+  /** Schema of the table as the batch reader would resolve it (data +
+    * partition columns); file-footer metadata only. */
+  private[spark] def resolveSchema(spark: SparkSession, h: Handle): StructType =
+    VersionedReader(spark, h.log).read(h.defn).schema
+
+  /** Chronological commit list (oldest first). */
+  private[spark] def chronoCommits(h: Handle): List[TableVersions.TableUpdateMetadata] =
+    h.log.updates(h.defn.name).reverse
+
+  /** Table state after the first `n` commits; n = 0 is the pre-init void
+    * (everything in a later state counts as changed against it). */
+  private[spark] def stateAt(h: Handle, n: Int): Option[TableVersion] =
+    if (n <= 0) None
+    else Some(h.log.versionAt(h.defn.name, chronoCommits(h)(n - 1).id))
+
+  /** Paths (+ reader options) of the partitions whose version moved between
+    * commit index `from` and `to`. */
+  private[spark] def changedPaths(
+      h: Handle, from: Int, to: Int): (Seq[String], Map[String, String]) = {
+    val defn = h.defn
+    (stateAt(h, from), stateAt(h, to)) match {
+      case (_, None) => (Nil, Map.empty)
+      case (before, Some(SnapshotTableVersion(b))) =>
+        val a = before.collect { case SnapshotTableVersion(v) => v }
+        if (a.contains(b) || b == Version.Unversioned) (Nil, Map.empty)
+        else (Seq(VersionPaths.pathFor(defn.location, b).toString), Map.empty)
+      case (before, Some(PartitionedTableVersion(pb))) =>
+        val pa = before.collect { case PartitionedTableVersion(m) => m }.getOrElse(Map.empty)
+        val changed = pb.filter { case (p, v) => !pa.get(p).contains(v) }
+        if (changed.isEmpty) (Nil, Map.empty)
+        else (changed.toSeq.map { case (p, v) => SparkPaths.dirFor(defn.location, p, v) }.sorted,
+          Map("basePath" -> defn.location.toString))
+    }
+  }
+
+  /** Spark's own V2 file table over an explicit path list (the same
+    * construction the DSv2 catalog uses for batch reads). */
+  private[spark] def fileTable(
+      spark: SparkSession,
+      defn: TableDefinition,
+      paths: Seq[String],
+      opts: Map[String, String],
+      schema: StructType): Table = {
+    val options = new CaseInsensitiveStringMap(opts.asJava)
+    defn.format match {
+      case FileFormat.Orc =>
+        OrcTable(defn.name.fullyQualifiedName, spark, options, paths, Some(schema),
+          classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
+      case _ =>
+        ParquetTable(defn.name.fullyQualifiedName, spark, options, paths, Some(schema),
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    }
+  }
+}
+
+/** Zero-arg `TableProvider` so `readStream.format(<class name>)` resolves. */
+final class GraftCdcProvider extends TableProvider {
+  import VersionedStream._
+
+  private def handleOf(options: CaseInsensitiveStringMap): Handle = {
+    val h = options.get("handle")
+    require(h != null, "graft CDC source requires a 'handle' option")
+    handles.getOrElse(h, sys.error(s"unknown graft CDC handle: $h"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolveSchema(SparkSession.active, handleOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftCdcTable(
+      handleOf(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private[spark] final class GraftCdcTable(h: VersionedStream.Handle, tableSchema: StructType)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftCdcMicroBatchStream(h, tableSchema)
+      }
+    }
+}
+
+/** Offset = number of commits consumed from the (append-only) log. */
+private[spark] final case class CommitOffset(commits: Int) extends Offset {
+  override def json(): String = s"""{"commits":$commits}"""
+}
+
+private[spark] final class GraftCdcMicroBatchStream(
+    h: VersionedStream.Handle, tableSchema: StructType) extends MicroBatchStream {
+  import VersionedStream._
+
+  // planInputPartitions builds the per-range file scan; the engine asks for
+  // the reader factory right after, for the same range (single-threaded
+  // planning per micro-batch)
+  @volatile private var currentBatch: Option[Batch] = None
+
+  override def initialOffset(): Offset = CommitOffset(0)
+
+  override def latestOffset(): Offset = CommitOffset(chronoCommits(h).size)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"commits":(\d+)\}""".r
+    json.trim match {
+      case m(n) => CommitOffset(n.toInt)
+      case other => sys.error(s"malformed graft CDC offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[CommitOffset].commits
+    val to = end.asInstanceOf[CommitOffset].commits
+    val (paths, opts) = changedPaths(h, from, to)
+    if (paths.isEmpty) { currentBatch = None; Array.empty }
+    else {
+      val batch = fileTable(SparkSession.active, h.defn, paths, opts, tableSchema)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        .build()
+        .toBatch
+      currentBatch = Some(batch)
+      batch.planInputPartitions()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    currentBatch match {
+      case Some(b) => b.createReaderFactory()
+      case None =>
+        // empty range: no partition will ever reach this factory
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition) =
+            sys.error("no partitions planned for an empty graft CDC batch")
+        }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
