@@ -844,6 +844,37 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** E20: sequence packing — bin documents into fixed-budget training
+    * sequences (the pass that turns a chunked corpus into ~2048-token
+    * training rows, minimizing padding). Greedy first-fit packing is
+    * inherently sequential, so the distributed formulation shards the
+    * corpus (32 shards here; thousands at 100 TB) and packs WITHIN each
+    * shard by running token count: a shard-partitioned window computes the
+    * cumulative sum in doc_id order and `seq = floor((cum − n) / budget)`
+    * assigns each document to the sequence its PREFIX sum lands in —
+    * deterministic, one shuffle on the shard key, every reducer handles one
+    * shard's documents. Output: per-sequence document counts, token totals,
+    * and padding waste (budget − fill, floored at 0 for overflowing
+    * single-doc sequences). */
+  def e20SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 32).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("shard", "seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("fill_tokens"),
+        greatest(lit(0L), lit(budget.toLong) - sum("n_tokens")).as("pad_tokens"))
+      .orderBy("shard", "seq")
+  }
+
   /** E19: span-level (paragraph) dedup — the C4/RefinedWeb-style pass that
     * measures REPEATED SPANS across documents, catching boilerplate and
     * templated passages whole-document dedup (e1) and near-dup (e2*) miss.

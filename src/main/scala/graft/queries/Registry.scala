@@ -807,6 +807,22 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e20_sequence_packing" -> Entry(
+      Pipeline.e20SequencePacking,
+      // the same shard-windowed prefix-sum assignment, replayed in SQL
+      Some("""WITH d AS (SELECT doc_id, doc_id % 32 AS shard,
+             |                  len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |                                 ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM d),
+             |sq AS (SELECT shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq,
+             |              n_tokens
+             |       FROM c)
+             |SELECT shard, seq, count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+             |       greatest(0, 2048 - CAST(sum(n_tokens) AS BIGINT)) AS pad_tokens
+             |FROM sq GROUP BY shard, seq ORDER BY shard, seq""".stripMargin)),
     "e19_span_dedup" -> Entry(
       Pipeline.e19SpanDedup,
       // same portable token hash as the minhash CTE; spans are
@@ -972,6 +988,19 @@ object Registry {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment, event_type
              |ORDER BY c_mktsegment, event_type""".stripMargin)),
+
+    "s11_stream_materialized_view" -> Entry(
+      StreamingQueries.s11StreamMaterializedView,
+      // full recompute of the final MV state: A/N groups from the base
+      // load, R from the refresh — incremental streaming == full
+      Some("""WITH fin AS (SELECT l_quantity, l_returnflag FROM lineitem
+             |             WHERE l_quantity <= 25 AND l_returnflag <> 'R'
+             |             UNION ALL
+             |             SELECT l_quantity, l_returnflag FROM lineitem
+             |             WHERE l_returnflag = 'R' AND l_quantity > 40)
+             |SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "s10_versioned_cdc_source" -> Entry(
       StreamingQueries.s10VersionedCdcSource,

@@ -298,6 +298,71 @@ object StreamingQueries {
       .orderBy("l_returnflag")
   }
 
+  /** S11: streaming MATERIALIZED-VIEW maintenance — the CDC source and the
+    * versioned sink COMPOSED: a source table's commits stream through
+    * [[graft.spark.VersionedStream]], and each micro-batch recomputes the
+    * aggregate of exactly the partitions that moved, committing them as a
+    * fresh version of the MV table (`versionedInsertInto` replaces only
+    * the partitions present in the batch — partition-granular MV update,
+    * the streaming twin of `q42_incremental_agg`). The second commit lands
+    * AFTER the first drain, so the refresh really flows through a separate
+    * micro-batch; the oracle full-recomputes the final MV state. */
+  def s11StreamMaterializedView(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))),
+        FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val source = mkTable("mv_src")
+    val mv = mkTable("mv_agg")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, source, user, UpdateMessage("v1: base load"))
+    val partitionsKey = "spark.sql.shuffle.partitions"
+    val q = s.synchronized {
+      val previous = s.conf.getOption(partitionsKey)
+      s.conf.set(partitionsKey, "8")
+      try graft.spark.VersionedStream.readStream(s, log, source)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the batch holds the NEW contents of moved partitions only;
+          // their aggregate rows replace exactly those MV partitions
+          if (!batch.isEmpty)
+            batch.groupBy("l_returnflag")
+              .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+              .versionedInsertInto(ctx, mv, user, UpdateMessage(s"mv refresh $batchId"))
+          ()
+        }
+        .start()
+      finally previous match {
+        case Some(v) => s.conf.set(partitionsKey, v)
+        case None    => s.conf.unset(partitionsKey)
+      }
+    }
+    q.processAllAvailable() // batch 1: the full base load
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, source, user, UpdateMessage("v2: refresh R"))
+    q.processAllAvailable() // batch 2: only the R partition's new contents
+    q.stop()
+    graft.spark.VersionedReader(s, log).read(mv)
+      .select(
+        col("l_returnflag"), col("n_items"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -193,6 +193,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     body should not include "hashpartitioning"
   }
 
+  test("e20: sequence packing windows on the shard key — no single-reducer funnel") {
+    val p = plan("e20_sequence_packing")
+    p should include("windowspecdefinition(shard")
+    p should not include "SinglePartition"
+  }
+
   test("e19: span dedup hashes natively and joins the dup-span table by shuffle") {
     val p = plan("e19_span_dedup")
     p should include("token_hashes") // per-token hashing is the native expression
