@@ -954,6 +954,23 @@ object Registry {
              |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
              |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    "q45_window_ignore_nulls" -> Entry(
+      Relational.q45WindowIgnoreNulls,
+      // ts reads as nanos-long in Spark and TIMESTAMP in DuckDB — ordering
+      // is identical; (ts, event_id) makes every frame deterministic
+      Some("""SELECT event_id,
+             |       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click,
+             |       lead(CASE WHEN event_type = 'click' THEN value END, 1 IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_click,
+             |       nth_value(value, 2)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val
+             |FROM events ORDER BY event_id""".stripMargin)),
+    "q46_lateral" -> Entry(
+      Relational.q46Lateral, Some(Relational.q46Sql)),
+
     "e10_tfidf" -> Entry(
       Pipeline.e10TfIdf,
       // ranking keys are integers (tf desc, df asc, token) so the top-3 set

@@ -551,6 +551,44 @@ object Relational {
         round(max("v"), 2).as("max_v"))
       .orderBy("metric")
 
+  /** Q45: IGNORE NULLS window variants — carry-forward of the last non-null
+    * observation (`last` ignore-nulls), the NEXT non-null observation
+    * (`lead` ignore-nulls), and positional `nth_value` — the gap-filling
+    * idioms of event/feature timelines. Windows partition on user_id
+    * (corpus-cardinality key); the sparse observation column is derived
+    * (click values only) so every variant exercises real gaps. */
+  def q45WindowIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val clickVal = when(col("event_type") === "click", col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .select(
+        col("event_id"),
+        last(clickVal, ignoreNulls = true).over(wf).as("last_click"),
+        lead(clickVal, 1, null, ignoreNulls = true).over(w).as("next_click"),
+        nth_value(col("value"), 2).over(wf).as("second_val"))
+      .orderBy("event_id")
+  }
+
+  /** Q46: LATERAL correlated subquery — per-region top-2 nations by
+    * customer count, the canonical "top-N per group via LATERAL" SQL shape
+    * (Catalyst decorrelates the correlated aggregate + LIMIT; the SQL text
+    * is shared verbatim with the oracle). */
+  val q46Sql: String =
+    """SELECT r_name, t.n_name, t.c_cnt FROM region,
+      |LATERAL (SELECT n_name, count(*) AS c_cnt
+      |         FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |         WHERE n_regionkey = r_regionkey
+      |         GROUP BY n_name ORDER BY c_cnt DESC, n_name LIMIT 2) t
+      |ORDER BY r_name, c_cnt DESC, n_name""".stripMargin
+
+  def q46Lateral(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "region").createOrReplaceTempView("region")
+    load(s, dir, "nation").createOrReplaceTempView("nation")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q46Sql)
+  }
+
   /** Q32: pivot (cross-tab) — order counts and revenue per status with one
     * column pair per priority. Values are declared explicitly, so Spark
     * skips the extra distinct-values job and the plan is ONE partial+final
