@@ -46,7 +46,9 @@ object VersionedStream {
   private[spark] val handles = TrieMap.empty[String, Handle]
 
   /** A streaming DataFrame over the table's commits. `handle` options wire
-    * the (log, definition) pair through Spark's string-only source options. */
+    * the (log, definition) pair through Spark's string-only source options;
+    * the registry entry is dropped when the stream stops (a restarted query
+    * re-enters through a fresh `readStream` call). */
   def readStream(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
@@ -69,7 +71,16 @@ object VersionedStream {
     * (everything in a later state counts as changed against it). */
   private[spark] def stateAt(h: Handle, n: Int): Option[TableVersion] =
     if (n <= 0) None
-    else Some(h.log.versionAt(h.defn.name, chronoCommits(h)(n - 1).id))
+    else {
+      val chrono = chronoCommits(h)
+      // a checkpointed offset beyond this log's history means the
+      // checkpoint belongs to a DIFFERENT (or truncated) log — fail loudly
+      // instead of replaying the wrong commit range
+      require(n <= chrono.size,
+        s"offset $n exceeds the ${chrono.size}-commit history of " +
+          s"${h.defn.name.fullyQualifiedName}: checkpoint/log mismatch")
+      Some(h.log.versionAt(h.defn.name, chrono(n - 1).id))
+    }
 
   /** Paths (+ reader options) of the partitions whose version moved between
     * commit index `from` and `to`. */
@@ -127,12 +138,14 @@ final class GraftCdcProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftCdcTable(
-      handleOf(new CaseInsensitiveStringMap(properties)), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftCdcTable(handleOf(opts), opts.get("handle"), schema)
+  }
 }
 
-private[spark] final class GraftCdcTable(h: VersionedStream.Handle, tableSchema: StructType)
+private[spark] final class GraftCdcTable(
+    h: VersionedStream.Handle, handleId: String, tableSchema: StructType)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
@@ -145,7 +158,7 @@ private[spark] final class GraftCdcTable(h: VersionedStream.Handle, tableSchema:
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdcMicroBatchStream(h, tableSchema)
+          new GraftCdcMicroBatchStream(h, handleId, tableSchema)
       }
     }
 }
@@ -156,7 +169,8 @@ private[spark] final case class CommitOffset(commits: Int) extends Offset {
 }
 
 private[spark] final class GraftCdcMicroBatchStream(
-    h: VersionedStream.Handle, tableSchema: StructType) extends MicroBatchStream {
+    h: VersionedStream.Handle, handleId: String, tableSchema: StructType)
+  extends MicroBatchStream {
   import VersionedStream._
 
   // planInputPartitions builds the per-range file scan; the engine asks for
@@ -204,5 +218,9 @@ private[spark] final class GraftCdcMicroBatchStream(
     }
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+
+  /** Drop the registry entry: the stopped stream's handle would otherwise
+    * pin its log reference for the process lifetime (restarts re-enter
+    * through a fresh `readStream` call with a fresh handle). */
+  override def stop(): Unit = { if (handleId != null) handles.remove(handleId); () }
 }

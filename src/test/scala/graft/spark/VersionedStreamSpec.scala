@@ -59,7 +59,7 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
   test("offsets are commit indexes and survive serialization round-trips") {
     val (table, log, _) = freshTable("cdc_offsets")
     val stream = new GraftCdcMicroBatchStream(
-      VersionedStream.Handle(log, table),
+      VersionedStream.Handle(log, table), null,
       org.apache.spark.sql.types.StructType(Nil))
     val off = stream.latestOffset()
     off shouldBe CommitOffset(1) // the init commit
@@ -72,7 +72,7 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     Seq((1L, "a")).toDF("k", "grp")
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
     val stream = new GraftCdcMicroBatchStream(
-      VersionedStream.Handle(log, table),
+      VersionedStream.Handle(log, table), null,
       VersionedStream.resolveSchema(spark, VersionedStream.Handle(log, table)))
     stream.planInputPartitions(CommitOffset(2), CommitOffset(2)) shouldBe empty
   }
