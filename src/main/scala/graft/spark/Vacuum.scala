@@ -77,13 +77,31 @@ object Vacuum {
         }
 
     val onDisk = versionDirsUnder(root, "")
-    val doomed = onDisk.collect {
-      case (rel, oldEnough) if oldEnough && !referenced.contains(rel) => rel
+
+    // zone-map sidecars ([[FileStats]]: `_stats/<label>`) follow their
+    // version's lifecycle: reclaim any whose label no retained state
+    // references, under the same grace rule
+    val statsRoot = new HPath(root, "_stats")
+    val statsOnDisk: List[(String, Boolean)] =
+      if (!fs.exists(statsRoot)) Nil
+      else fs.listStatus(statsRoot).toList.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        Version.parse(name) match {
+          case Right(v) => List(s"_stats/$name" -> (v.timestamp.toEpochMilli < cutoff))
+          case Left(_)  => Nil
+        }
+      }
+
+    val doomed = (onDisk ++ statsOnDisk).collect {
+      case (rel, oldEnough)
+        if oldEnough && !referenced.contains(rel.stripPrefix("_stats/")) => rel
     }
     // honor the delete result: a false return (permissions, races) must not
     // be reported as reclaimed space
     val (deleted, failed) =
       doomed.partition(rel => fs.delete(new HPath(root, rel), true))
-    Report(examined = onDisk.size, deleted = deleted.sorted, failed = failed.sorted)
+    Report(
+      examined = onDisk.size + statsOnDisk.size,
+      deleted = deleted.sorted, failed = failed.sorted)
   }
 }

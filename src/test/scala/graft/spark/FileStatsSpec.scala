@@ -71,6 +71,33 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     none.columns.toSeq shouldBe Seq("k", "v")
   }
 
+  test("vacuum reclaims the stats sidecar of an expired version, keeps the retained one") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_vacuum"),
+      Files.createTempDirectory("graft_spec_zonemap_vac").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    def write(lo: Int): Unit = {
+      spark.range(lo, lo + 100).toDF("k").withColumn("v", col("k"))
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v from $lo"))
+      FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    }
+    write(0); write(100); write(200)
+    val statsRoot = java.nio.file.Paths.get(table.location).resolve("_stats")
+    Files.list(statsRoot).count() shouldBe 3
+    val report = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0L)
+    report.failed shouldBe empty
+    report.deleted.count(_.startsWith("_stats/")) shouldBe 1
+    Files.list(statsRoot).count() shouldBe 2
+    // the current version's sidecar still loads and prunes
+    FileStats.loadZoneMaps(spark, log, table).count() should be > 0L
+  }
+
   test("the _stats sidecar is invisible to normal versioned reads") {
     val (table, log) = rangeClusteredTable()
     FileStats.writeZoneMaps(spark, log, table, Seq("k"))
