@@ -181,6 +181,13 @@ object Registry {
       Some("""SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty,
              |       round(sum(l_extendedprice), 2) AS sum_price
              |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 7000""".stripMargin)),
+    "q47_partitioned_skipping" -> Entry(
+      Versioned.q47PartitionedSkipping,
+      // zone + partition pruning must be row-invisible
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q42_incremental_agg" -> Entry(
       Versioned.q42IncrementalAgg,
       // the oracle FULL-recomputes the aggregate over the final source

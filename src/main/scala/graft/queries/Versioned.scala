@@ -177,6 +177,32 @@ object Versioned {
         round(sum("l_extendedprice"), 2).as("sum_price"))
   }
 
+  /** Q47: data skipping on a PARTITIONED table — zone pruning COMPOSED with
+    * the partition layout: the insert range-clusters l_orderkey within each
+    * l_returnflag partition (8 range tasks × partitionBy split), per-file
+    * zones land in the state's commit-keyed `_stats` sidecar, and the
+    * bounded-orderkey read drops non-intersecting files in EVERY partition
+    * before any task launches, while the `k=v` dirs still supply the
+    * partition column. */
+  def q47PartitionedSkipping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_pzone", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_pzone"))
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: range-clustered per partition"))
+    graft.spark.FileStats.writeZoneMaps(s, log, table, Seq("l_orderkey"))
+    graft.spark.FileStats
+      .readSkipping(s, log, table, "l_orderkey", 2000L, 9000L)
+      .where(col("l_orderkey").between(2000L, 9000L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q42: incremental MATERIALIZED-AGGREGATE maintenance — the CDC
     * consumption loop: a downstream per-status aggregate table is built
     * once from v1, then after v2 rewrites ONE source partition it is

@@ -45,44 +45,44 @@ object FileStats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  private def statsDir(table: TableDefinition, v: Version): String =
-    Partition.normalizedDir(table.location).toString + "_stats/" + v.label
-
-  private def currentSnapshotVersion(log: TableVersions, table: TableDefinition): Version =
+  /** Sidecar location of the current state's stats: snapshot tables key by
+    * the version label; partitioned tables carry one version PER partition,
+    * so the state is identified by its head COMMIT instead
+    * (`_stats/commit-<id>` — one sidecar per committed table state). */
+  private def statsDir(log: TableVersions, table: TableDefinition): String = {
+    val base = Partition.normalizedDir(table.location).toString + "_stats/"
     log.currentVersion(table.name) match {
-      case SnapshotTableVersion(v) if v != Version.Unversioned => v
+      case SnapshotTableVersion(v) if v != Version.Unversioned => base + v.label
       case SnapshotTableVersion(_) =>
         sys.error(s"table ${table.name.fullyQualifiedName} has no written version to collect stats for")
-      case _ =>
-        // partitioned tables carry one version PER partition; a per-version
-        // sidecar would need a per-partition keying this demo scopes out —
-        // partition pruning already bounds those scans to the matching dirs
-        sys.error("file-level zone maps are snapshot-table-scoped; " +
-          s"${table.name.fullyQualifiedName} is partitioned")
+      case PartitionedTableVersion(_) =>
+        base + "commit-" + log.updates(table.name).head.id.id
     }
+  }
 
-  /** Collect zone maps for the CURRENT version of a snapshot table and
-    * persist them as the version's sidecar. Runs as part of the write
-    * pipeline (stats for a version are computed once, right after the
-    * version lands — never per query). */
+  /** Collect zone maps for the CURRENT state of the table and persist them
+    * as its sidecar. Runs as part of the write pipeline (stats for a state
+    * are computed once, right after the commit lands — never per query).
+    * For partitioned tables the stats rows carry partition columns (from
+    * the `k=v` dirs), so pruning composes with partition pruning. */
   def writeZoneMaps(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      cols: Seq[String]): Unit = {
-    val v = currentSnapshotVersion(log, table)
+      cols: Seq[String]): Unit =
     zoneMaps(VersionedReader(spark, log).read(table), cols)
-      .write.mode("overwrite").parquet(statsDir(table, v))
-  }
+      .write.mode("overwrite").parquet(statsDir(log, table))
 
-  /** The sidecar zone maps of the table's current version. */
+  /** The sidecar zone maps of the table's current state. */
   def loadZoneMaps(spark: SparkSession, log: TableVersions, table: TableDefinition): DataFrame =
-    spark.read.parquet(statsDir(table, currentSnapshotVersion(log, table)))
+    spark.read.parquet(statsDir(log, table))
 
   /** Scan the table's current version reading ONLY the files whose
     * `[min_col, max_col]` zone intersects `[lo, hi]` (both inclusive).
     * Files whose zone is all-null for `col` are kept (nulls carry no
-    * bound). Callers apply the row-level predicate on top. */
+    * bound). Callers apply the row-level predicate on top. Partitioned
+    * tables keep their partition columns (recovered from the `k=v` dirs
+    * via `basePath`), so zone pruning composes with partition pruning. */
   def readSkipping(
       spark: SparkSession,
       log: TableVersions,
@@ -99,6 +99,24 @@ object FileStats {
       .collect()
       .map(_.getString(0))
     if (keep.isEmpty) VersionedReader(spark, log).read(table).limit(0)
-    else spark.read.format(table.format.name).load(keep.toIndexedSeq: _*)
+    else {
+      // same string-pinned partition parsing as VersionedReader: values must
+      // round-trip verbatim (schema resolves eagerly inside load())
+      val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      spark.synchronized {
+        val previous = spark.conf.getOption(inferenceKey)
+        spark.conf.set(inferenceKey, "false")
+        try {
+          val reader = spark.read.format(table.format.name)
+          val based =
+            if (table.isSnapshot) reader
+            else reader.option("basePath", table.location.toString)
+          based.load(keep.toIndexedSeq: _*)
+        } finally previous match {
+          case Some(v) => spark.conf.set(inferenceKey, v)
+          case None    => spark.conf.unset(inferenceKey)
+        }
+      }
+    }
   }
 }

@@ -78,9 +78,13 @@ object Vacuum {
 
     val onDisk = versionDirsUnder(root, "")
 
-    // zone-map sidecars ([[FileStats]]: `_stats/<label>`) follow their
-    // version's lifecycle: reclaim any whose label no retained state
-    // references, under the same grace rule
+    // zone-map sidecars ([[FileStats]]) follow their state's lifecycle:
+    // `_stats/<label>` (snapshot states) reclaim when the label is
+    // unreferenced; `_stats/commit-<id>` (partitioned states) reclaim when
+    // the commit falls outside the keepLast window — both under a grace
+    // rule (label clock for versions, dir mtime for commit sidecars, whose
+    // ids carry no timestamp)
+    val retainedCommitIds: Set[String] = commits.map(_.id.id).toSet
     val statsRoot = new HPath(root, "_stats")
     val statsOnDisk: List[(String, Boolean)] =
       if (!fs.exists(statsRoot)) Nil
@@ -88,7 +92,10 @@ object Vacuum {
         val name = st.getPath.getName
         Version.parse(name) match {
           case Right(v) => List(s"_stats/$name" -> (v.timestamp.toEpochMilli < cutoff))
-          case Left(_)  => Nil
+          case Left(_) if name.startsWith("commit-") &&
+            !retainedCommitIds.contains(name.stripPrefix("commit-")) =>
+            List(s"_stats/$name" -> (st.getModificationTime < cutoff))
+          case Left(_) => Nil
         }
       }
 

@@ -71,6 +71,33 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     none.columns.toSeq shouldBe Seq("k", "v")
   }
 
+  test("partitioned tables prune files per partition and keep the partition column") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_part"),
+      Files.createTempDirectory("graft_spec_zonemap_part").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // 2 partitions × 4 range-clustered files each
+    spark.range(8000).toDF("k")
+      .withColumn("grp", (col("k") % 2).cast("string"))
+      .repartitionByRange(8, col("grp"), col("k"))
+      .sortWithinPartitions("grp", "k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    val total = VersionedReader(spark, log).read(table).inputFiles.length
+
+    val pruned = FileStats.readSkipping(spark, log, table, "k", 1000L, 2000L)
+    pruned.inputFiles.length should be < total
+    pruned.columns should contain("grp") // partition column recovered
+    val rows = pruned.where(col("k").between(1000L, 2000L))
+    rows.count() shouldBe 1001L
+    rows.where(col("grp") === "1").count() shouldBe 500L
+  }
+
   test("vacuum reclaims the stats sidecar of an expired version, keeps the retained one") {
     import org.apache.spark.sql.functions.col
     val log = new InMemoryTableVersions
