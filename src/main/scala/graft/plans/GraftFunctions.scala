@@ -33,6 +33,10 @@ object GraftFunctions {
   def tokenHashes(tokens: Column): Column =
     GraftSqlShim.column(TokenHashes(GraftSqlShim.expression(tokens)))
 
+  /** `span_hashes(tokens, width)` — see [[SpanHashes]]. */
+  def spanHashes(tokens: Column, width: Int): Column =
+    GraftSqlShim.column(SpanHashes(GraftSqlShim.expression(tokens), width))
+
   private type Builder =
     Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression

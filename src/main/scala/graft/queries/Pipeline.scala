@@ -844,6 +844,38 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** E21: temperature-based data mixing — the corpus-mixture knob: source
+    * sampling weights `p_s ∝ √n_s` (square-root temperature) flatten the
+    * size distribution so low-resource sources are upweighted relative to
+    * their share, then each document is kept by the DETERMINISTIC hash cell
+    * (e9's portable arithmetic) against its source's integer acceptance
+    * threshold, targeting 30% of the total character budget. Two tiny aggs
+    * (per-source sizes, the normalizer) broadcast into a map-only filter —
+    * the corpus-sized side never shuffles. Thresholds are rounded to
+    * integers before the compare, so the sample is engine-exact. */
+  def e21TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bySrc = docs.groupBy("source").agg(sum("n_chars").cast("double").as("n_src"))
+    val norm = bySrc.agg(
+      sum(sqrt(col("n_src"))).as("z"), sum(col("n_src")).as("n_tot"))
+    val rates = bySrc.crossJoin(broadcast(norm))
+      .withColumn("thr",
+        least(
+          lit(1000.0),
+          round(lit(1000.0) * lit(0.3) * col("n_tot") * sqrt(col("n_src"))
+            / (col("z") * col("n_src")), 0)).cast("long"))
+      .select("source", "thr")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("cell", expr("(doc_id * 2654435761 + 40503) % 1000000007 % 1000"))
+      .where(col("cell") < col("thr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        first("thr").as("thr"))
+      .orderBy("source")
+  }
+
   /** E20: sequence packing — bin documents into fixed-budget training
     * sequences (the pass that turns a chunked corpus into ~2048-token
     * training rows, minimizing padding). Greedy first-fit packing is
@@ -878,23 +910,19 @@ object Pipeline {
   /** E19: span-level (paragraph) dedup — the C4/RefinedWeb-style pass that
     * measures REPEATED SPANS across documents, catching boilerplate and
     * templated passages whole-document dedup (e1) and near-dup (e2*) miss.
-    * Spans are non-overlapping 32-token windows hashed by a polynomial
-    * combine over the native [[graft.plans.TokenHashes]] per-token hashes —
-    * row-local expansion, portable arithmetic. A span is "duplicated" when
+    * Spans are non-overlapping 32-token windows hashed by the native
+    * codegen'd [[graft.plans.SpanHashes]] expression (one primitive pass
+    * per document — no per-span slice allocation) — row-local expansion,
+    * portable arithmetic. A span is "duplicated" when
     * its hash occurs in ≥ 2 distinct documents; the duplicated-hash set
     * comes from a two-level hash agg keyed by span hash (shuffle carries
     * #distinct spans) and joins back by SHUFFLE — at corpus scale the
     * duplicated-span table is not broadcastable. */
   def e19SpanDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = 32
     val spans = load(s, dir, "documents")
       .select(
         col("doc_id"),
-        graft.plans.GraftFunctions.tokenHashes(split(col("text"), " ")).as("th"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(
-           |  sequence(0, greatest(0, cast(ceil((size(th) - $w) / cast($w as double)) as int))),
-           |  i -> aggregate(slice(th, i * $w + 1, $w), 0L, (h, x) -> (h * 31 + x) % 1000000007))""".stripMargin)).as("sh"))
+        explode(graft.plans.GraftFunctions.spanHashes(split(col("text"), " "), 32)).as("sh"))
     val dup = spans.groupBy("sh")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)

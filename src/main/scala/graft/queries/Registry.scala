@@ -814,6 +814,25 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e21_temperature_mix" -> Entry(
+      Pipeline.e21TemperatureMix,
+      // same arithmetic, same operation order; integer thresholds make the
+      // kept set exact across engines
+      Some("""WITH bs AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_src
+             |            FROM documents GROUP BY source),
+             |z AS (SELECT sum(sqrt(n_src)) AS z, sum(n_src) AS n_tot FROM bs),
+             |r AS (SELECT source,
+             |             CAST(least(1000.0,
+             |                  round(1000.0 * 0.3 * n_tot * sqrt(n_src)
+             |                        / (z * n_src), 0)) AS BIGINT) AS thr
+             |      FROM bs, z),
+             |kept AS (SELECT d.source, d.n_chars, r.thr
+             |         FROM documents d JOIN r USING (source)
+             |         WHERE (d.doc_id * 2654435761 + 40503) % 1000000007 % 1000 < r.thr)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       any_value(thr) AS thr
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
     "e20_sequence_packing" -> Entry(
       Pipeline.e20SequencePacking,
       // the same shard-windowed prefix-sum assignment, replayed in SQL

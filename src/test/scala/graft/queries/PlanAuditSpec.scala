@@ -201,7 +201,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
 
   test("e19: span dedup hashes natively and joins the dup-span table by shuffle") {
     val p = plan("e19_span_dedup")
-    p should include("token_hashes") // per-token hashing is the native expression
+    p should include("span_hashes") // the whole span pass is one native expression
+    p should not include "lambdafunction" // no interpreted HOF stack remains
     // the duplicated-span table is corpus-derived — never broadcast
     p should include("ShuffledHashJoin")
     p should not include "BroadcastHashJoin"
