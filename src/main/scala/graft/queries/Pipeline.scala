@@ -844,6 +844,69 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** E22: n-gram novelty scoring — the cheap language-model quality filter
+    * (a KenLM-perplexity stand-in): each document scores the mean surprise
+    * `ln(c(w1 ·) / c(w1 w2))` of its bigrams under the corpus bigram model.
+    * Low surprise = highly templated text, high surprise = noise; both
+    * tails get filtered in production. Count tables are corpus-derived and
+    * join by SHUFFLE on the bigram/prefix keys (never broadcast); the only
+    * other exchanges are the two count aggs and the per-doc mean. */
+  def e22NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tk) - 2),
+          |  i -> struct(element_at(tk, i + 1) AS w1, element_at(tk, i + 2) AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val prefixCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("cp"))
+    bigrams
+      .join(bigramCounts.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(prefixCounts.hint("shuffle_hash"), Seq("w1"))
+      .withColumn("surprise", log(col("cp").cast("double") / col("cb")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg("surprise"), 4).as("avg_surprise"))
+      .orderBy("doc_id")
+  }
+
+  /** E23: containment near-dup — the DIRECTIONAL overlap Jaccard misses:
+    * a short document wholly quoted inside a long one scores
+    * `|A∩B|/|A| ≈ 1` but a tiny Jaccard. Same inverted-index candidate
+    * generation as e2 (hashed shingles, DF cap, row-local set sizes, no
+    * per-doc broadcast); the pair aggregation then emits BOTH directed
+    * containments and keeps pairs where either side is ≥ 0.8 contained. */
+  def e23ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+      .select(
+        col("doc_id"),
+        size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("shh"))
+    val kept = base.groupBy("shh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxShingleDf)
+      .select("shh")
+    val sh = base.join(kept.hint("shuffle_hash"), Seq("shh"), "left_semi")
+    sh.as("x").join(sh.as("y"),
+        col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
+      .withColumn("cont_a", col("c").cast("double") / col("na"))
+      .withColumn("cont_b", col("c").cast("double") / col("nb"))
+      .where(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** E21: temperature-based data mixing — the corpus-mixture knob: source
     * sampling weights `p_s ∝ √n_s` (square-root temperature) flatten the
     * size distribution so low-resource sources are upweighted relative to

@@ -814,6 +814,44 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e22_ngram_novelty" -> Entry(
+      Pipeline.e22NgramNovelty,
+      // ln is shared; integer counts make the per-bigram ratios exact and
+      // 4-dp rounding absorbs mean-summation order
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+             |       FROM t, generate_series(1, 2000) g(i)
+             |       WHERE i <= CASE WHEN len(tk) - 1 > 2000
+             |                       THEN CAST(error('doc exceeds 2000-bigram oracle cap') AS BIGINT)
+             |                       ELSE len(tk) - 1 END),
+             |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+             |cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY w1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       round(avg(ln(CAST(cp AS DOUBLE) / cb)), 4) AS avg_surprise
+             |FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    "e23_containment_dedup" -> Entry(
+      Pipeline.e23ContainmentDedup,
+      // e2's inverted-index derivation with the directional denominators;
+      // same DF cap, same pre-cap set sizes
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+             |        FROM toks, generate_series(1, 2000) g(i)
+             |        WHERE i <= CASE WHEN len(tk) - 2 > 2000
+             |                        THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+             |                        ELSE len(tk) - 2 END),
+             |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 128),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(CAST(c AS DOUBLE) / sa.n, 6) AS cont_a,
+             |       round(CAST(c AS DOUBLE) / sb.n, 6) AS cont_b
+             |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+             |WHERE CAST(c AS DOUBLE) / sa.n >= 0.8 OR CAST(c AS DOUBLE) / sb.n >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
     "e21_temperature_mix" -> Entry(
       Pipeline.e21TemperatureMix,
       // same arithmetic, same operation order; integer thresholds make the

@@ -193,6 +193,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     body should not include "hashpartitioning"
   }
 
+  test("e22/e23: corpus-derived count/pair tables join by shuffle, hash natively") {
+    // the bigram/prefix count tables and the inverted index are
+    // corpus-sized — a forced broadcast of either is a driver OOM at scale
+    analyzed("e22_ngram_novelty").toLowerCase should not include "broadcast"
+    val p = plan("e23_containment_dedup")
+    p should include("shingle_hashes")
+    p should not include "Window"
+    analyzed("e23_containment_dedup").toLowerCase should not include "broadcast"
+  }
+
   test("e20: sequence packing windows on the shard key — no single-reducer funnel") {
     val p = plan("e20_sequence_packing")
     p should include("windowspecdefinition(shard")
