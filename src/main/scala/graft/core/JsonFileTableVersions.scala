@@ -311,6 +311,64 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       appendLines(table, Seq(checkoutLine(id)))
     }
 
+  /** Fold the oldest history into a synthetic BASE commit, keeping the last
+    * `keepLast` commits individually replayable — the log checkpoint that
+    * bounds replay cost: without it every read folds O(#commits) lines over
+    * a table's life; after a checkpoint the file holds one folded base plus
+    * the retained tail (Delta/Iceberg checkpoint semantics, metadata-only).
+    *
+    * Contract changes, by design: `versionAt`/`setCurrentVersion` for
+    * commits OLDER than the base now fail with the unknown-commit error —
+    * checkpointing IS the time-travel retention knob (pair it with
+    * [[graft.spark.Vacuum]], which reclaims the data dirs of the same
+    * horizon). The base keeps the folded-at commit's id/metadata, so that
+    * commit itself stays addressable and the current pointer — required to
+    * sit at or after the base — keeps resolving. The rewrite is
+    * temp + fsync + atomic rename under the table lock; readers replay
+    * either the old file or the new one, never a mix.
+    *
+    * @return true if the log was rewritten, false if already minimal. */
+  def checkpoint(table: TableName, keepLast: Int): Boolean = withTableLock(table) {
+    require(keepLast >= 0, s"keepLast must be non-negative, got $keepLast")
+    val state = loadState(table).getOrElse(throw unknownTableError(table))
+    val n = state.updates.size
+    if (n <= keepLast + 1) false
+    else {
+      val (prefix, tail) = state.updates.splitAt(n - keepLast)
+      val base = prefix.last
+      require(
+        state.currentVersion == base.metadata.id ||
+          tail.exists(_.metadata.id == state.currentVersion),
+        s"current pointer ${state.currentVersion.id} names a commit older than the " +
+          s"checkpoint base; roll forward or raise keepLast")
+      val ops = TableVersions.replay(prefix.flatMap(_.operations)) match {
+        case SnapshotTableVersion(v) =>
+          TableOperation.InitTable(table, isSnapshot = true) ::
+            (if (v == Version.Unversioned) Nil else List(TableOperation.AddTableVersion(v)))
+        case PartitionedTableVersion(pvs) =>
+          TableOperation.InitTable(table, isSnapshot = false) ::
+            pvs.toList.sortBy(_._1.hivePath)
+              .map { case (p, v) => TableOperation.AddPartitionVersion(p, v) }
+      }
+      val rewritten = TableUpdate(base.metadata, ops) :: tail
+      val pointerLine =
+        if (state.currentVersion == rewritten.last.metadata.id) Nil
+        else List(checkoutLine(state.currentVersion))
+      val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".ckpt")
+      Files.writeString(
+        tmp, (rewritten.map(commitLine) ++ pointerLine).mkString("", "\n", "\n"))
+      locally {
+        val ch = java.nio.channels.FileChannel.open(
+          tmp, java.nio.file.StandardOpenOption.WRITE)
+        try ch.force(true) finally ch.close()
+      }
+      Files.move(tmp, fileFor(table),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      fsyncDir()
+      true
+    }
+  }
+
   override protected def tableState(table: TableName): TableState =
     loadState(table).getOrElse(throw unknownTableError(table))
 

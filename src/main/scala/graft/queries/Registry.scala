@@ -200,6 +200,13 @@ object Registry {
              |SELECT o_orderstatus, count(*) AS n_orders,
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    "q48_log_checkpoint" -> Entry(
+      Versioned.q48LogCheckpoint,
+      // a checkpoint must be invisible to current-state reads: every insert
+      // touches every flag partition, so the current state is v3's rows
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 30
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q41_durable_log" -> Entry(
       Versioned.q41DurableLog,
       // same contents as q03b, resolved through the re-opened durable log

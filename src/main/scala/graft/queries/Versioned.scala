@@ -276,6 +276,39 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q48: commit-log CHECKPOINT e2e — the metadata-scale twin of q41:
+    * three partitioned versions land in the durable log, `checkpoint`
+    * folds all but the last commit into a synthetic base (bounding replay
+    * cost, the Delta/Iceberg checkpoint move), and a FRESH instance over
+    * the rewritten file resolves the read — the oracle hash-checks that
+    * checkpointing is invisible to current-state reads. Retention/pointer
+    * guards are pinned in the contract spec. */
+  def q48LogCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    val logDir = Files.createTempDirectory("graft_ckpt_log")
+    val log = new JsonFileTableVersions(logDir)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = tempTable(
+      "li_ckpt", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_ckpt"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 10)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: folded away"))
+    li.where(col("l_quantity") > 10 && col("l_quantity") <= 30)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: folded away"))
+    li.where(col("l_quantity") > 30)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3: retained"))
+    require(log.checkpoint(table.name, keepLast = 1),
+      "checkpoint must rewrite a 4-commit log")
+    val reopened = new JsonFileTableVersions(logDir)
+    require(reopened.updates(table.name).size == 2, // folded base + v3
+      "checkpointed history must hold the base and the retained tail only")
+    VersionedReader(s, reopened).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q40: storage GC end-to-end — three versions are written, vacuum with
     * keep-last-2 reclaims v1's directories (grace 0: no writer is running),
     * and the read-back proves the CURRENT version is untouched while time

@@ -321,6 +321,60 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
     an[Exception] should be thrownBy reopened.versionAt(tbl, CommitId("phantom"))
   }
 
+  test("JsonFileTableVersions: checkpoint folds old history, keeps the retained tail replayable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_ckpt")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "ckpt")
+    log.init(tbl, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    val firstPartition = Partition(PartitionColumn("d"), "2024-01-01")
+    (0 until 6).foreach { i =>
+      val p = Partition(PartitionColumn("d"), s"2024-01-0${i + 1}")
+      log.commit(tbl, TableUpdate(UserId("u"), UpdateMessage(s"c$i"), Instant.now(),
+        List(TableOperation.AddPartitionVersion(p, Version(Instant.now(), UUID.randomUUID())))))
+    }
+    val metas = log.updates(tbl) // newest first: 6 commits + init
+    val keepIds = metas.take(2).map(_.id)
+    val baseId = metas(2).id
+    val oldId = metas.last.id // the init commit — folded away
+    val before = log.currentVersion(tbl)
+    val beforeKept = keepIds.map(id => log.versionAt(tbl, id))
+    val beforeBase = log.versionAt(tbl, baseId)
+    val file = dir.resolve("db.ckpt.jsonl")
+    val linesBefore = java.nio.file.Files.readAllLines(file).size
+
+    log.checkpoint(tbl, keepLast = 2) shouldBe true
+
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.currentVersion(tbl) shouldBe before
+    keepIds.zip(beforeKept).foreach { case (id, tv) => reopened.versionAt(tbl, id) shouldBe tv }
+    reopened.versionAt(tbl, baseId) shouldBe beforeBase // the base commit stays addressable
+    reopened.updates(tbl) should have size 3 // folded base + 2 retained
+    an[Exception] should be thrownBy reopened.versionAt(tbl, oldId) // outside retention
+    java.nio.file.Files.readAllLines(file).size should be < linesBefore
+    // post-checkpoint commits keep working on the rewritten log
+    reopened.commit(tbl, TableUpdate(UserId("u"), UpdateMessage("after"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(firstPartition, Version(Instant.now(), UUID.randomUUID())))))
+    reopened.updates(tbl) should have size 4
+    reopened.checkpoint(tbl, keepLast = 10) shouldBe false // already minimal
+  }
+
+  test("JsonFileTableVersions: checkpoint refuses while the pointer sits before the base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_ckpt_ptr")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "ckptptr")
+    log.init(tbl, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    (0 until 3).foreach { i =>
+      log.commit(tbl, TableUpdate(UserId("u"), UpdateMessage(s"c$i"), Instant.now(),
+        List(TableOperation.AddTableVersion(Version(Instant.now(), UUID.randomUUID())))))
+    }
+    val oldest = log.updates(tbl).last.id
+    log.setCurrentVersion(tbl, oldest) // rollback to the init commit
+    an[IllegalArgumentException] should be thrownBy log.checkpoint(tbl, keepLast = 1)
+    // and the refused checkpoint left the log fully intact
+    log.updates(tbl) should have size 4
+    log.currentVersion(tbl) shouldBe SnapshotTableVersion(Version.Unversioned)
+  }
+
   test("a duplicate commit id is rejected by both log implementations") {
     val inMem = new InMemoryTableVersions
     val dir = java.nio.file.Files.createTempDirectory("graft_log_dup")

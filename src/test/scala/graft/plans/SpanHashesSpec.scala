@@ -35,6 +35,27 @@ class SpanHashesSpec extends AnyFunSuite with Matchers {
     rows.head._1.length shouldBe 3
   }
 
+  test("property: compute matches a reference fold for arbitrary token arrays and widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genTokens = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.map(_.take(8))))
+    val genCase = for { tk <- genTokens; w <- Gen.choose(1, 10) } yield (tk, w)
+    def reference(tokens: List[String], w: Int): Seq[Long] =
+      tokens.grouped(w).map { span =>
+        span.foldLeft(0L)((h, t) =>
+          (h * 31 + MinHashSignature.tokenHash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))) % MinHashSignature.Mod)
+      }.toSeq
+    (1 to 200).foreach { i =>
+      genCase(Gen.Parameters.default, Seed(i.toLong)).foreach { case (tk, w) =>
+        val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          tk.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+        SpanHashes.compute(ad, w).toSeq shouldBe reference(tk, w)
+      }
+    }
+  }
+
   test("interpreted eval matches the compute loop") {
     val tk = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array("alpha", "beta", "gamma").map(org.apache.spark.unsafe.types.UTF8String.fromString))
