@@ -844,6 +844,24 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** E24: candidate-quality evaluation — recall/precision of the MinHash+LSH
+    * candidate generator (e2b) against the exact-Jaccard truth set (e2): the
+    * measurement loop a production dedup pipeline runs before trusting an
+    * approximate stage at corpus scale. Composes the two operator outputs
+    * as-is (both engine-exact, so the oracle reproduces every count); the
+    * result is three counts and two ratios — nothing corpus-sized leaves
+    * the joins. */
+  def e24LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val cand = e2bMinHashLsh(s, dir).select("doc_a", "doc_b")
+    val truth = e2JaccardNearDup(s, dir).select("doc_a", "doc_b")
+    val hits = cand.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits)
+      .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
+      .withColumn("precision", round(col("n_hit") / col("n_candidates"), 6))
+  }
+
   /** E22: n-gram novelty scoring — the cheap language-model quality filter
     * (a KenLM-perplexity stand-in): each document scores the mean surprise
     * `ln(c(w1 ·) / c(w1 w2))` of its bigrams under the corpus bigram model.

@@ -66,6 +66,35 @@ object Registry {
        |          FROM sigs, generate_series(0, 3) g(b))""".stripMargin
   }
 
+  /** e24 oracle: the e2b candidate CTE and the e2 truth CTE (renamed to
+    * avoid name collisions) joined into recall/precision counts. */
+  private def lshRecallOracleSql: String =
+    s"""$minhashBandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |jtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |jsh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |         FROM jtoks, generate_series(1, 2000) g(i)
+       |         WHERE i <= CASE WHEN len(tk) - 2 > 2000
+       |                         THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+       |                         ELSE len(tk) - 2 END),
+       |jrare AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) <= 128),
+       |jsh AS (SELECT jsh0.doc_id, jsh0.s FROM jsh0 JOIN jrare ON jsh0.s = jrare.s),
+       |jsz AS (SELECT doc_id, count(*) AS n FROM jsh0 GROUP BY doc_id),
+       |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |           FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b
+       |          FROM jpairs JOIN jsz sa ON doc_a = sa.doc_id
+       |                      JOIN jsz sb ON doc_b = sb.doc_id
+       |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+       |SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       |       (SELECT count(*) FROM truth) AS n_truth,
+       |       (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit,
+       |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
+       |             / (SELECT count(*) FROM truth), 6) AS recall,
+       |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
+       |             / (SELECT count(*) FROM cand), 6) AS precision""".stripMargin
+
   /** Full e2b oracle: bit-identical LSH candidate pairs. */
   private def minhashOracleSql: String =
     s"""$minhashBandsCte
@@ -821,6 +850,8 @@ object Registry {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(chunk, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    "e24_lsh_recall" -> Entry(
+      Pipeline.e24LshRecall, Some(lshRecallOracleSql)),
     "e22_ngram_novelty" -> Entry(
       Pipeline.e22NgramNovelty,
       // ln is shared; integer counts make the per-bigram ratios exact and
