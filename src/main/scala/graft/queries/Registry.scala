@@ -1056,6 +1056,16 @@ object Registry {
              |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
              |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    "q49_scan_csv" -> Entry(
+      Relational.q49ScanCsv,
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+             |       string_agg(n_name, ',' ORDER BY n_name) AS names
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+    "q50_scan_json" -> Entry(
+      Relational.q50ScanJson,
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q45_window_ignore_nulls" -> Entry(
       Relational.q45WindowIgnoreNulls,
       // ts reads as nanos-long in Spark and TIMESTAMP in DuckDB — ordering

@@ -551,6 +551,37 @@ object Relational {
         round(max("v"), 2).as("max_v"))
       .orderBy("metric")
 
+  /** Q49: CSV source round-trip — the engine's text-source path: nation is
+    * written as headered CSV and read back with an EXPLICIT schema (schema
+    * inference re-reads the data and guesses — never on a production path),
+    * then aggregated. Value fidelity through the text format is exactly
+    * what the oracle hash checks. */
+  def q49ScanCsv(s: SparkSession, dir: String): DataFrame = {
+    val nation = load(s, dir, "nation")
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").schema(nation.schema).csv(out)
+      .groupBy("n_regionkey")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Q50: JSON-lines source round-trip — same contract for the JSON source
+    * (doubles survive at full precision: Spark writes round-trippable
+    * literals), explicit schema on the way back in. */
+  def q50ScanJson(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    orders.write.mode("overwrite").json(out)
+    s.read.schema(orders.schema).json(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Q45: IGNORE NULLS window variants — carry-forward of the last non-null
     * observation (`last` ignore-nulls), the NEXT non-null observation
     * (`lead` ignore-nulls), and positional `nth_value` — the gap-filling
