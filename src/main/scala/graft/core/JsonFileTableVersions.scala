@@ -151,6 +151,23 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       try ch.force(true) finally ch.close()
     } catch { case _: java.io.IOException => () }
 
+  /** All-or-nothing (re)write of a table's log file: temp + data fsync +
+    * ATOMIC_MOVE + directory fsync — the crash-safe sequence both init and
+    * checkpoint rely on (a multi-line state must never surface torn, and
+    * an un-fsync'd file could reboot as missing after a crash). */
+  private def atomicWrite(table: TableName, content: String): Unit = {
+    val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".tmp")
+    Files.writeString(tmp, content)
+    locally {
+      val ch = java.nio.channels.FileChannel.open(
+        tmp, java.nio.file.StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    }
+    Files.move(tmp, fileFor(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir()
+  }
+
   /** True append: O(lines) bytes per commit, fsync'd before returning. If
     * the previous writer crashed mid-append, first truncate its torn tail so
     * our lines start on a clean boundary. */
@@ -354,17 +371,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       val pointerLine =
         if (state.currentVersion == rewritten.last.metadata.id) Nil
         else List(checkoutLine(state.currentVersion))
-      val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".ckpt")
-      Files.writeString(
-        tmp, (rewritten.map(commitLine) ++ pointerLine).mkString("", "\n", "\n"))
-      locally {
-        val ch = java.nio.channels.FileChannel.open(
-          tmp, java.nio.file.StandardOpenOption.WRITE)
-        try ch.force(true) finally ch.close()
-      }
-      Files.move(tmp, fileFor(table),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      fsyncDir()
+      atomicWrite(table, (rewritten.map(commitLine) ++ pointerLine).mkString("", "\n", "\n"))
       true
     }
   }
@@ -376,21 +383,8 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     withTableLock(table) {
       if (loadState(table).isEmpty) {
         val state = newTableState
-        // init creates the file: temp + ATOMIC_MOVE so the multi-line
-        // initial state appears all-or-nothing (appends are single-line)
-        val tmp = Files.createTempFile(logDir, s".${table.fullyQualifiedName}", ".tmp")
-        Files.writeString(tmp, state.updates.map(commitLine).mkString("", "\n", "\n"))
-        // force the bytes BEFORE the rename and the directory entry after:
-        // an un-fsync'd init could surface after a crash as a missing or
-        // empty log whose acknowledged commits are gone
-        locally {
-          val ch = java.nio.channels.FileChannel.open(
-            tmp, java.nio.file.StandardOpenOption.WRITE)
-          try ch.force(true) finally ch.close()
-        }
-        Files.move(tmp, fileFor(table),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        fsyncDir()
+        // init creates the file whole (appends are single-line afterwards)
+        atomicWrite(table, state.updates.map(commitLine).mkString("", "\n", "\n"))
       }
     }
 }

@@ -45,6 +45,12 @@ trait TableVersions {
   def updates(table: TableName): List[TableUpdateMetadata] =
     tableState(table).updates.map(_.metadata).reverse
 
+  /** The commit the current pointer names — the state `currentVersion`
+    * folds. ≠ `updates(table).head.id` after a rollback: consumers that key
+    * per-state artifacts (zone-map sidecars) must use THIS, not the head. */
+  def currentCommit(table: TableName): CommitId =
+    tableState(table).currentVersion
+
   /** Version state as of a specific commit, regardless of the current pointer
    * (time-travel reads, Q26). Pure fold over the history prefix. */
   def versionAt(table: TableName, id: CommitId): TableVersion = {

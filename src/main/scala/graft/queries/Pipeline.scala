@@ -60,23 +60,25 @@ object Pipeline {
     * a driver OOM; sizes just ride the pair aggregation as grouping cols. */
   val MaxShingleDf = 128
 
-  /** Thresholded Jaccard pair table, memoized per (session, dir): the pair
-    * derivation is a pipeline STAGE consumed by both the pair report (e2)
-    * and cluster resolution (e7) — intra-session reuse of a stage output,
-    * exactly what a production pipeline persists between steps. The memo is
-    * scoped to one verify/bench run over immutable input dirs; a process
-    * that mutates `dir` mid-session must call [[clearStageCache]]. */
-  private val jaccardPairsCache =
+  /** DF-capped inverted-index PAIR COUNTS `(doc_a, doc_b, na, nb, c)` —
+    * the shared candidate-generation stage, memoized per (session, dir):
+    * thresholded Jaccard (e2, e7) and directional containment (e23) are
+    * row-local derivations over it — intra-session reuse of a stage
+    * output, exactly what a production pipeline persists between steps.
+    * The memo is scoped to one verify/bench run over immutable input dirs;
+    * a process that mutates `dir` mid-session must call
+    * [[clearStageCache]]. */
+  private val pairCountsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Drops the memoized pair stages and releases their cache blocks. */
   def clearStageCache(): Unit = {
-    jaccardPairsCache.values.foreach(_.unpersist())
-    jaccardPairsCache.clear()
+    pairCountsCache.values.foreach(_.unpersist())
+    pairCountsCache.clear()
   }
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsCache.getOrElseUpdate((s, dir), {
+  private def shinglePairCounts(s: SparkSession, dir: String): DataFrame =
+    pairCountsCache.getOrElseUpdate((s, dir), {
       // per-doc set size is ROW-LOCAL: ShingleHashes already emits the
       // distinct shingle hashes, so |shingles(doc)| = size(shs) taken before
       // the explode — no per-doc window, no per-doc join, and nothing
@@ -113,16 +115,22 @@ object Pipeline {
         // na/nb are functionally dependent on doc_a/doc_b — grouping by them
         // adds no shuffle width and saves the post-agg size joins entirely
         .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
-        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
         .cache()
       // materialize the stage output now so the (large) index cache can be
-      // freed immediately: pairs holds near-dup pairs only, sh is O(tokens)
+      // freed immediately: pairs holds co-occurring pairs only (bounded by
+      // the DF cap), sh is O(tokens)
       pairs.count()
       sh.unpersist()
       pairs
     })
+
+  /** Thresholded Jaccard pairs — a row-local derivation over the shared
+    * pair-counts stage. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(s, dir)
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
 
   def e2JaccardNearDup(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir)
@@ -852,12 +860,17 @@ object Pipeline {
     * result is three counts and two ratios — nothing corpus-sized leaves
     * the joins. */
   def e24LshRecall(s: SparkSession, dir: String): DataFrame = {
-    val cand = e2bMinHashLsh(s, dir).select("doc_a", "doc_b")
-    val truth = e2JaccardNearDup(s, dir).select("doc_a", "doc_b")
-    val hits = cand.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
-    cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(hits)
+    // one full-outer join, one agg: each input plan evaluates ONCE (a
+    // separate count per set would embed the whole LSH pipeline twice)
+    val cand = e2bMinHashLsh(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val truth = e2JaccardNearDup(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_truth"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("is_cand")).as("n_candidates"),
+        count(col("is_truth")).as("n_truth"),
+        count(when(col("is_cand").isNotNull && col("is_truth").isNotNull, 1)).as("n_hit"))
       .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
       .withColumn("precision", round(col("n_hit") / col("n_candidates"), 6))
   }
@@ -892,29 +905,12 @@ object Pipeline {
 
   /** E23: containment near-dup — the DIRECTIONAL overlap Jaccard misses:
     * a short document wholly quoted inside a long one scores
-    * `|A∩B|/|A| ≈ 1` but a tiny Jaccard. Same inverted-index candidate
-    * generation as e2 (hashed shingles, DF cap, row-local set sizes, no
-    * per-doc broadcast); the pair aggregation then emits BOTH directed
-    * containments and keeps pairs where either side is ≥ 0.8 contained. */
-  def e23ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = load(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        graft.plans.GraftFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
-      .select(
-        col("doc_id"),
-        size(col("shs")).cast("long").as("n"),
-        explode(col("shs")).as("shh"))
-    val kept = base.groupBy("shh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= MaxShingleDf)
-      .select("shh")
-    val sh = base.join(kept.hint("shuffle_hash"), Seq("shh"), "left_semi")
-    sh.as("x").join(sh.as("y"),
-        col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
+    * `|A∩B|/|A| ≈ 1` but a tiny Jaccard. A row-local derivation over the
+    * SAME memoized pair-counts stage as e2/e7 (hashed shingles, DF cap,
+    * row-local set sizes, no per-doc broadcast): both directed
+    * containments, keeping pairs where either side is ≥ 0.8 contained. */
+  def e23ContainmentDedup(s: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(s, dir)
       .withColumn("cont_a", col("c").cast("double") / col("na"))
       .withColumn("cont_b", col("c").cast("double") / col("nb"))
       .where(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
@@ -923,7 +919,6 @@ object Pipeline {
         round(col("cont_a"), 6).as("cont_a"),
         round(col("cont_b"), 6).as("cont_b"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** E21: temperature-based data mixing — the corpus-mixture knob: source
     * sampling weights `p_s ∝ √n_s` (square-root temperature) flatten the

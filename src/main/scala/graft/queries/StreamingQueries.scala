@@ -35,23 +35,15 @@ object StreamingQueries {
     * log — a deliberate per-query sizing decision: state stores carry
     * per-instance open/commit cost every micro-batch, so the count should
     * track state volume, not the batch session's default), restoring the
-    * session conf after under the session lock, mirroring
-    * `VersionedReader`'s toggle pattern. Drains AvailableNow to completion. */
+    * session conf after via [[graft.spark.SessionConf]]. Drains
+    * AvailableNow to completion. */
   private def runToCompletion(
       s: SparkSession, statePartitions: Int)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val partitionsKey = "spark.sql.shuffle.partitions"
-    val query = s.synchronized {
-      val previous = s.conf.getOption(partitionsKey)
-      s.conf.set(partitionsKey, statePartitions.toString)
-      try start
-      finally previous match {
-        case Some(v) => s.conf.set(partitionsKey, v)
-        case None    => s.conf.unset(partitionsKey)
-      }
-    }
-    query.awaitTermination()
-    query.stop()
+    val query = graft.spark.SessionConf.withConf(
+      s, "spark.sql.shuffle.partitions", statePartitions.toString)(start)
+    try query.awaitTermination()
+    finally query.stop()
   }
 
   private def runEventStream(
@@ -275,21 +267,15 @@ object StreamingQueries {
     li.where(col("l_returnflag") === "R")
       .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R partition"))
     val sinkName = s"graft_s10_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val partitionsKey = "spark.sql.shuffle.partitions"
-    val q = s.synchronized {
-      val previous = s.conf.getOption(partitionsKey)
-      s.conf.set(partitionsKey, "8")
-      try graft.spark.VersionedStream.readStream(s, log, table)
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.spark.VersionedStream.readStream(s, log, table)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
         .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
-      finally previous match {
-        case Some(v) => s.conf.set(partitionsKey, v)
-        case None    => s.conf.unset(partitionsKey)
-      }
     }
-    q.processAllAvailable() // drain every pending commit, then detach
-    q.stop()
+    // stop in finally: a failed micro-batch must not leave the query (and
+    // its CDC handle) alive for the rest of the session
+    try q.processAllAvailable() finally q.stop()
     val sink = s.table(sinkName)
     val out = s.createDataFrame(
       java.util.Arrays.asList(sink.collect(): _*), sink.schema)
@@ -330,11 +316,8 @@ object StreamingQueries {
       .select("l_orderkey", "l_quantity", "l_returnflag")
     li.where(col("l_quantity") <= 25)
       .versionedInsertInto(ctx, source, user, UpdateMessage("v1: base load"))
-    val partitionsKey = "spark.sql.shuffle.partitions"
-    val q = s.synchronized {
-      val previous = s.conf.getOption(partitionsKey)
-      s.conf.set(partitionsKey, "8")
-      try graft.spark.VersionedStream.readStream(s, log, source)
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.spark.VersionedStream.readStream(s, log, source)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // the batch holds the NEW contents of moved partitions only;
@@ -346,16 +329,13 @@ object StreamingQueries {
           ()
         }
         .start()
-      finally previous match {
-        case Some(v) => s.conf.set(partitionsKey, v)
-        case None    => s.conf.unset(partitionsKey)
-      }
     }
-    q.processAllAvailable() // batch 1: the full base load
-    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
-      .versionedInsertInto(ctx, source, user, UpdateMessage("v2: refresh R"))
-    q.processAllAvailable() // batch 2: only the R partition's new contents
-    q.stop()
+    try {
+      q.processAllAvailable() // batch 1: the full base load
+      li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+        .versionedInsertInto(ctx, source, user, UpdateMessage("v2: refresh R"))
+      q.processAllAvailable() // batch 2: only the R partition's new contents
+    } finally q.stop()
     graft.spark.VersionedReader(s, log).read(mv)
       .select(
         col("l_returnflag"), col("n_items"),

@@ -47,8 +47,11 @@ object FileStats {
 
   /** Sidecar location of the current state's stats: snapshot tables key by
     * the version label; partitioned tables carry one version PER partition,
-    * so the state is identified by its head COMMIT instead
-    * (`_stats/commit-<id>` — one sidecar per committed table state). */
+    * so the state is identified by the commit the CURRENT POINTER names
+    * (`_stats/commit-<id>` — one sidecar per committed table state). The
+    * pointer, not the log head: after a rollback the head commit's sidecar
+    * describes a state the reader no longer serves — keying by head would
+    * silently prune against the wrong version's file list. */
   private def statsDir(log: TableVersions, table: TableDefinition): String = {
     val base = Partition.normalizedDir(table.location).toString + "_stats/"
     log.currentVersion(table.name) match {
@@ -56,7 +59,7 @@ object FileStats {
       case SnapshotTableVersion(_) =>
         sys.error(s"table ${table.name.fullyQualifiedName} has no written version to collect stats for")
       case PartitionedTableVersion(_) =>
-        base + "commit-" + log.updates(table.name).head.id.id
+        base + "commit-" + log.currentCommit(table.name).id
     }
   }
 
@@ -99,24 +102,16 @@ object FileStats {
       .collect()
       .map(_.getString(0))
     if (keep.isEmpty) VersionedReader(spark, log).read(table).limit(0)
-    else {
+    else
       // same string-pinned partition parsing as VersionedReader: values must
       // round-trip verbatim (schema resolves eagerly inside load())
-      val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      spark.synchronized {
-        val previous = spark.conf.getOption(inferenceKey)
-        spark.conf.set(inferenceKey, "false")
-        try {
-          val reader = spark.read.format(table.format.name)
-          val based =
-            if (table.isSnapshot) reader
-            else reader.option("basePath", table.location.toString)
-          based.load(keep.toIndexedSeq: _*)
-        } finally previous match {
-          case Some(v) => spark.conf.set(inferenceKey, v)
-          case None    => spark.conf.unset(inferenceKey)
-        }
+      SessionConf.withConf(
+        spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+        val reader = spark.read.format(table.format.name)
+        val based =
+          if (table.isSnapshot) reader
+          else reader.option("basePath", table.location.toString)
+        based.load(keep.toIndexedSeq: _*)
       }
-    }
   }
 }

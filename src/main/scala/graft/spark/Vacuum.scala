@@ -83,8 +83,11 @@ object Vacuum {
     // unreferenced; `_stats/commit-<id>` (partitioned states) reclaim when
     // the commit falls outside the keepLast window — both under a grace
     // rule (label clock for versions, dir mtime for commit sidecars, whose
-    // ids carry no timestamp)
-    val retainedCommitIds: Set[String] = commits.map(_.id.id).toSet
+    // ids carry no timestamp). The CURRENT POINTER's commit is always
+    // retained: after a rollback its state's data dirs are deliberately
+    // kept, and reclaiming its sidecar would orphan a live state's stats.
+    val retainedCommitIds: Set[String] =
+      commits.map(_.id.id).toSet + log.currentCommit(table.name).id
     val statsRoot = new HPath(root, "_stats")
     val statsOnDisk: List[(String, Boolean)] =
       if (!fs.exists(statsRoot)) Nil

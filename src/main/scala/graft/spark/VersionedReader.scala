@@ -98,21 +98,11 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // partition-dir parsing to strings so values round-trip verbatim
     // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1").
     // Schema resolution happens eagerly inside load(), so the conf only
-    // needs to hold for this call — restore it after, leaving the session's
-    // behavior for unrelated reads untouched.
-    // The toggle+restore runs under the session lock: two concurrent
-    // versioned reads otherwise race the save/restore window and can leak
-    // the disabled setting to unrelated queries on the same session (no
-    // per-read DataFrameReader option exists for partition inference).
-    val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    spark.synchronized {
-      val previous = spark.conf.getOption(inferenceKey)
-      spark.conf.set(inferenceKey, "false")
-      try doMaterialize(table, tv, mergeSchema)
-      finally previous match {
-        case Some(v) => spark.conf.set(inferenceKey, v)
-        case None    => spark.conf.unset(inferenceKey)
-      }
+    // needs to hold for this call (no per-read DataFrameReader option
+    // exists for partition inference).
+    SessionConf.withConf(
+      spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      doMaterialize(table, tv, mergeSchema)
     }
   }
 

@@ -34,11 +34,17 @@ import graft.core._
  * on the driver.
  *
  * Semantics per table kind (same contract as [[VersionedReader.readChanges]]):
- *  - partitioned: a batch holds the full new contents of each changed
- *    partition — ingest pipelines whose commits land disjoint partitions
- *    (date loads) stream each partition exactly once;
- *  - snapshot: each moved version emits that version's full contents (the
- *    latest-full-state-per-commit feed).
+ * a batch emits the NET EFFECT of its commit range — the endpoint diff.
+ *  - partitioned: the full new contents of each partition whose version
+ *    differs between the range's endpoints — ingest pipelines whose
+ *    commits land disjoint partitions (date loads) stream each partition
+ *    exactly once;
+ *  - snapshot: the endpoint version's full contents when it moved.
+ * Per-commit granularity therefore holds exactly when micro-batches keep
+ * pace with commits; a batch spanning several commits (backfill, restart
+ * catch-up) collapses intermediate versions — consumers needing every
+ * historical version replay commits one at a time via
+ * [[VersionedReader.readChanges]].
  */
 object VersionedStream {
 
@@ -48,7 +54,9 @@ object VersionedStream {
   /** A streaming DataFrame over the table's commits. `handle` options wire
     * the (log, definition) pair through Spark's string-only source options;
     * the registry entry is dropped when the stream stops (a restarted query
-    * re-enters through a fresh `readStream` call). */
+    * re-enters through a fresh `readStream` call — a defined-but-never-
+    * started DataFrame keeps its entry, a few object references, for the
+    * process lifetime). */
   def readStream(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
@@ -59,9 +67,18 @@ object VersionedStream {
   }
 
   /** Schema of the table as the batch reader would resolve it (data +
-    * partition columns); file-footer metadata only. */
-  private[spark] def resolveSchema(spark: SparkSession, h: Handle): StructType =
-    VersionedReader(spark, h.log).read(h.defn).schema
+    * partition columns); file-footer metadata only. A never-written table
+    * has no schema anywhere — fail with the real cause instead of pinning
+    * an empty schema into the stream (which would break every downstream
+    * column reference with an unrelated analysis error). */
+  private[spark] def resolveSchema(spark: SparkSession, h: Handle): StructType = {
+    val schema = VersionedReader(spark, h.log).read(h.defn).schema
+    if (schema.isEmpty)
+      sys.error(
+        s"table ${h.defn.name.fullyQualifiedName} has no committed data to resolve a " +
+          "schema from; start the CDC stream after the first versioned write")
+    schema
+  }
 
   /** Chronological commit list (oldest first). */
   private[spark] def chronoCommits(h: Handle): List[TableVersions.TableUpdateMetadata] =

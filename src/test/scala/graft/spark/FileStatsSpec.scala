@@ -98,6 +98,35 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     rows.where(col("grp") === "1").count() shouldBe 500L
   }
 
+  test("partitioned sidecars key by the current POINTER: a rollback serves the old state's stats") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_rollback"),
+      Files.createTempDirectory("graft_spec_zonemap_rb").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    def write(lo: Long, msg: String): Unit = {
+      spark.range(lo, lo + 1000).toDF("k")
+        .withColumn("grp", (col("k") % 2).cast("string"))
+        .repartitionByRange(4, col("grp"), col("k"))
+        .versionedInsertInto(ctx, table, user, UpdateMessage(msg))
+      FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    }
+    write(0L, "v1")
+    val v1Commit = log.updates(table.name).head.id
+    write(10000L, "v2") // disjoint key range replaces both partitions
+
+    log.setCurrentVersion(table.name, v1Commit)
+    // keying by the log HEAD would load v2's sidecar here and prune against
+    // the wrong version's files (zero rows, silently)
+    val rows = FileStats.readSkipping(spark, log, table, "k", 0L, 999L)
+      .where(col("k").between(0L, 999L))
+    rows.count() shouldBe 1000L
+  }
+
   test("vacuum reclaims the stats sidecar of an expired version, keeps the retained one") {
     import org.apache.spark.sql.functions.col
     val log = new InMemoryTableVersions
