@@ -18,6 +18,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   private def plan(name: String): String =
     Registry.entries(name).fn(spark, sf).queryExecution.executedPlan.toString
 
+  test("driver contract: the flagship entry returns rows; oracle keys name registered queries") {
+    graft.SparkEntry.entry(spark).count() should be > 0L
+    graft.SparkEntry.oracleSql.keySet.diff(graft.SparkEntry.queries.keySet) shouldBe empty
+  }
+
   test("q01: shipdate filter and column projection reach the parquet scan") {
     val p = plan("q01_scan_filter")
     p should include("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
