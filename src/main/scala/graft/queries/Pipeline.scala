@@ -875,6 +875,19 @@ object Pipeline {
       .withColumn("precision", round(col("n_hit") / col("n_candidates"), 6))
   }
 
+  /** E25: language-ID confusion matrix — the second evaluation query (with
+    * [[e24LshRecall]]): the n-gram language guesser (e5e) scored against
+    * the corpus's ground-truth labels, per (truth, guess) cell. The
+    * diagonal is per-language accuracy; off-diagonal cells say WHICH
+    * confusions the heuristic makes — what decides whether a cheap
+    * classifier can gate a corpus split. Map-only scoring + one count agg. */
+  def e25LangConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis
+      .withLangGuess(load(s, dir, "documents"), col("text"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_guess")
+
   /** E22: n-gram novelty scoring — the cheap language-model quality filter
     * (a KenLM-perplexity stand-in): each document scores the mean surprise
     * `ln(c(w1 ·) / c(w1 w2))` of its bigrams under the corpus bigram model.

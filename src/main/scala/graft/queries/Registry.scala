@@ -792,6 +792,24 @@ object Registry {
               |  ELSE 'de' END AS lang_guess FROM s)
               |SELECT lang_guess, count(*) AS n_docs
               |FROM g GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)),
+    "e25_lang_confusion" -> Entry(
+      Pipeline.e25LangConfusion,
+      // the e5e scoring CTE with the truth label carried through
+      Some(s"""WITH s AS (SELECT doc_id, lang,
+              |  ${langScoreSql(Seq("ch", "ei", "en", "sch"))} AS sde,
+              |  ${langScoreSql(Seq("th", "he", "in", "er"))} AS sen,
+              |  ${langScoreSql(Seq("ll", "os", "as", "ión"))} AS ses,
+              |  ${langScoreSql(Seq("ou", "le", "es", "que"))} AS sfr,
+              |  ${langScoreSql(Seq("zh", "ng", "xi", "ao"))} AS szh
+              |  FROM documents),
+              |g AS (SELECT lang, CASE
+              |  WHEN szh >= sde AND szh >= sen AND szh >= ses AND szh >= sfr THEN 'zh'
+              |  WHEN sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+              |  WHEN ses >= sde AND ses >= sen THEN 'es'
+              |  WHEN sen >= sde THEN 'en'
+              |  ELSE 'de' END AS lang_guess FROM s)
+              |SELECT lang, lang_guess, count(*) AS n_docs
+              |FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin)),
     "e5f_doc_quality" -> Entry(
       Pipeline.e5fDocQuality,
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1056,6 +1074,14 @@ object Registry {
              |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
              |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    "q51_window_dist" -> Entry(
+      Relational.q51WindowDist,
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |       round(percent_rank() OVER (PARTITION BY o_orderstatus
+             |                                  ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+             |       round(cume_dist() OVER (PARTITION BY o_orderstatus
+             |                               ORDER BY o_totalprice, o_orderkey), 6) AS cume
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
     "q49_scan_csv" -> Entry(
       Relational.q49ScanCsv,
       Some("""SELECT n_regionkey, count(*) AS n_nations,

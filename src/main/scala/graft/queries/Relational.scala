@@ -551,6 +551,20 @@ object Relational {
         round(max("v"), 2).as("max_v"))
       .orderBy("metric")
 
+  /** Q51: distribution windows — `percent_rank` and `cume_dist` per group
+    * (the remaining ranking-family functions beyond q12's
+    * row_number/rank/dense_rank/ntile). The (price, key) ordering makes
+    * every row's rank — and therefore both distributions — deterministic. */
+  def q51WindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    load(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q49: CSV source round-trip — the engine's text-source path: nation is
     * written as headered CSV and read back with an EXPLICIT schema (schema
     * inference re-reads the data and guesses — never on a production path),
