@@ -1074,6 +1074,15 @@ object Registry {
              |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
              |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    "q52_grouping_id" -> Entry(
+      Relational.q52GroupingId,
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+             |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
     "q51_window_dist" -> Entry(
       Relational.q51WindowDist,
       Some("""SELECT o_orderkey, o_orderstatus,

@@ -551,6 +551,24 @@ object Relational {
         round(max("v"), 2).as("max_v"))
       .orderBy("metric")
 
+  /** Q52: GROUPING() indicators — the disambiguation piece of the rollup
+    * family: a NULL group key can mean "subtotal row" or "genuinely NULL
+    * value"; `grouping()` / `grouping_id()` tell them apart. Same one-pass
+    * expanded aggregation as q10. */
+  def q52GroupingId(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("g_status"), col("g_priority"), col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
   /** Q51: distribution windows — `percent_rank` and `cume_dist` per group
     * (the remaining ranking-family functions beyond q12's
     * row_number/rank/dense_rank/ntile). The (price, key) ordering makes
