@@ -888,6 +888,40 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_guess")
 
+  /** E26: MinHash calibration — the third evaluation query: over the LSH
+    * candidate pairs, compare the SKETCH-estimated Jaccard (matching
+    * signature components / 16) against the DF-capped exact Jaccard from
+    * the shared pair-counts stage. Mean estimate, mean exact, and mean
+    * absolute error say how much to trust the 16-permutation sketch before
+    * sizing it up — the calibration step of deploying a sketch at corpus
+    * scale. Signature comparison is a row-local zip over two 16-slot
+    * arrays (an eval query over candidate pairs, not a corpus hot path);
+    * signatures join by SHUFFLE on doc ids. */
+  def e26MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sigs = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), graft.plans.GraftFunctions.minhashSignature(col("tk"), 16).as("sig"))
+    val est = e2bMinHashLsh(s, dir)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("est", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / 16.0"))
+      .select("doc_a", "doc_b", "est")
+    val exact = shinglePairCounts(s, dir)
+      .withColumn("jexact", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .select("doc_a", "doc_b", "jexact")
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jexact", coalesce(col("jexact"), lit(0.0)))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg("est"), 4).as("mean_est"),
+        round(avg("jexact"), 4).as("mean_exact"),
+        round(avg(abs(col("est") - col("jexact"))), 4).as("mae"))
+  }
+
   /** E22: n-gram novelty scoring — the cheap language-model quality filter
     * (a KenLM-perplexity stand-in): each document scores the mean surprise
     * `ln(c(w1 ·) / c(w1 w2))` of its bigrams under the corpus bigram model.

@@ -66,27 +66,33 @@ object Registry {
        |          FROM sigs, generate_series(0, 3) g(b))""".stripMargin
   }
 
+  /** The e2 truth derivation as renamed CTEs (`j*` prefix, collision-free
+    * with the minhash CTEs), ending in per-pair exact Jaccard `jx`. Shared
+    * by the e24 recall and e26 calibration oracles. */
+  private def jaccardTruthCtes: String =
+    """jtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |jsh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |         FROM jtoks, generate_series(1, 2000) g(i)
+      |         WHERE i <= CASE WHEN len(tk) - 2 > 2000
+      |                         THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
+      |                         ELSE len(tk) - 2 END),
+      |jrare AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) <= 128),
+      |jsh AS (SELECT jsh0.doc_id, jsh0.s FROM jsh0 JOIN jrare ON jsh0.s = jrare.s),
+      |jsz AS (SELECT doc_id, count(*) AS n FROM jsh0 GROUP BY doc_id),
+      |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |           FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jx AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jexact
+      |       FROM jpairs JOIN jsz sa ON doc_a = sa.doc_id
+      |                   JOIN jsz sb ON doc_b = sb.doc_id)""".stripMargin
+
   /** e24 oracle: the e2b candidate CTE and the e2 truth CTE (renamed to
     * avoid name collisions) joined into recall/precision counts. */
   private def lshRecallOracleSql: String =
     s"""$minhashBandsCte,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-       |jtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |jsh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-       |         FROM jtoks, generate_series(1, 2000) g(i)
-       |         WHERE i <= CASE WHEN len(tk) - 2 > 2000
-       |                         THEN CAST(error('doc exceeds 2000-shingle oracle cap') AS BIGINT)
-       |                         ELSE len(tk) - 2 END),
-       |jrare AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) <= 128),
-       |jsh AS (SELECT jsh0.doc_id, jsh0.s FROM jsh0 JOIN jrare ON jsh0.s = jrare.s),
-       |jsz AS (SELECT doc_id, count(*) AS n FROM jsh0 GROUP BY doc_id),
-       |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-       |           FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |truth AS (SELECT doc_a, doc_b
-       |          FROM jpairs JOIN jsz sa ON doc_a = sa.doc_id
-       |                      JOIN jsz sb ON doc_b = sb.doc_id
-       |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+       |$jaccardTruthCtes,
+       |truth AS (SELECT doc_a, doc_b FROM jx WHERE jexact >= 0.5)
        |SELECT (SELECT count(*) FROM cand) AS n_candidates,
        |       (SELECT count(*) FROM truth) AS n_truth,
        |       (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit,
@@ -94,6 +100,24 @@ object Registry {
        |             / (SELECT count(*) FROM truth), 6) AS recall,
        |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
        |             / (SELECT count(*) FROM cand), 6) AS precision""".stripMargin
+
+  /** e26 oracle: sketch-estimated vs exact Jaccard over the candidate set. */
+  private def minhashCalibrationOracleSql: String = {
+    val matches = (0 until 16)
+      .map(p => s"(CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$minhashBandsCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |est AS (SELECT doc_a, doc_b, ($matches) / 16.0 AS est
+       |        FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id),
+       |$jaccardTruthCtes
+       |SELECT count(*) AS n_pairs,
+       |       round(avg(est), 4) AS mean_est,
+       |       round(avg(coalesce(jexact, 0)), 4) AS mean_exact,
+       |       round(avg(abs(est - coalesce(jexact, 0))), 4) AS mae
+       |FROM est LEFT JOIN jx USING (doc_a, doc_b)""".stripMargin
+  }
 
   /** Full e2b oracle: bit-identical LSH candidate pairs. */
   private def minhashOracleSql: String =
@@ -229,6 +253,12 @@ object Registry {
              |SELECT o_orderstatus, count(*) AS n_orders,
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    "q53_timestamp_travel" -> Entry(
+      Versioned.q53TimestampTravel,
+      // an instant between the commits resolves to v1
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity <= 25
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q48_log_checkpoint" -> Entry(
       Versioned.q48LogCheckpoint,
       // a checkpoint must be invisible to current-state reads: every insert
@@ -870,6 +900,8 @@ object Registry {
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     "e24_lsh_recall" -> Entry(
       Pipeline.e24LshRecall, Some(lshRecallOracleSql)),
+    "e26_minhash_calibration" -> Entry(
+      Pipeline.e26MinhashCalibration, Some(minhashCalibrationOracleSql)),
     "e22_ngram_novelty" -> Entry(
       Pipeline.e22NgramNovelty,
       // ln is shared; integer counts make the per-bigram ratios exact and

@@ -101,6 +101,31 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q53: timestamp-based time travel — `readAsOfTimestamp` resolves a
+    * wall-clock instant captured BETWEEN two commits to the earlier one
+    * (last commit at-or-before, the Scala-API twin of SQL `TIMESTAMP AS
+    * OF`); the oracle sees v1's rows. The sleeps bracket the captured
+    * instant strictly between the two commit timestamps. */
+  def q53TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_tstravel", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_tstravel"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: small quantities"))
+    Thread.sleep(5)
+    val betwixt = java.time.Instant.now()
+    Thread.sleep(5)
+    li.where(col("l_quantity") > 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: large quantities"))
+    VersionedReader(s, log).readAsOfTimestamp(table, betwixt)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q31: compaction — a deliberately fragmented insert (8-way repartition
     * → 8 files per partition dir) is rewritten by
     * [[graft.spark.Compaction.compact]] into one file per partition as a

@@ -30,6 +30,18 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   def readAsOf(table: TableDefinition, commit: CommitId): DataFrame =
     materialize(table, log.versionAt(table.name, commit))
 
+  /** Read the table as of a wall-clock instant — resolves to the LAST
+    * commit at or before `asOf` (the Scala-API twin of SQL `TIMESTAMP AS
+    * OF`, same resolution rule as the DSv2 catalog). Errors when the
+    * instant predates the table's first commit. */
+  def readAsOfTimestamp(table: TableDefinition, asOf: java.time.Instant): DataFrame = {
+    val commit = log.updates(table.name) // most recent first
+      .find(!_.timestamp.isAfter(asOf))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${table.name.fullyQualifiedName} has no commit at or before $asOf"))
+    readAsOf(table, commit.id)
+  }
+
   /** Read ONLY `partitions` at the table's current version — the pruned
     * input of partition-scoped operations ([[Merge.mergeInto]] reads just
     * the partitions it is about to rewrite, never the whole table).
