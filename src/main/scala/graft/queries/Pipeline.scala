@@ -888,6 +888,29 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_guess")
 
+  /** E27: the NEAR-DUP removal pipeline end-to-end, as one query — the
+    * full production dedup pass (the near-dup twin of `e15`'s exact-dedup
+    * composition): exact-Jaccard-verified pairs (shared pair-counts stage)
+    * → connected components → keep each cluster's representative (least
+    * doc_id) → per-source stats of the deduplicated corpus. Removal is an
+    * anti-join against the non-representative set (bounded by #duplicates,
+    * joined by shuffle — at corpus scale it is not broadcastable). */
+  def e27NearDupRemoval(s: SparkSession, dir: String): DataFrame = {
+    val dropped = graft.functions.DupClusters
+      .connectedComponents(
+        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .where(col("id") =!= col("cluster")) // non-representatives only
+      .select(col("id").as("doc_id"))
+    load(s, dir, "documents")
+      .join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("source")
+  }
+
   /** E26: MinHash calibration — the third evaluation query: over the LSH
     * candidate pairs, compare the SKETCH-estimated Jaccard (matching
     * signature components / 16) against the DF-capped exact Jaccard from

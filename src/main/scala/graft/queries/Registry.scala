@@ -902,6 +902,23 @@ object Registry {
       Pipeline.e24LshRecall, Some(lshRecallOracleSql)),
     "e26_minhash_calibration" -> Entry(
       Pipeline.e26MinhashCalibration, Some(minhashCalibrationOracleSql)),
+    "e27_neardup_removal" -> Entry(
+      Pipeline.e27NearDupRemoval,
+      // transitive closure of the verified pair graph; survivors = each
+      // component's least doc_id plus every unpaired doc
+      Some(s"""WITH RECURSIVE $jaccardTruthCtes,
+              |pairs AS (SELECT doc_a, doc_b FROM jx WHERE jexact >= 0.5),
+              |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |        UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM und
+              |                UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+              |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a
+              |            HAVING least(a, min(b)) <> a)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+              |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+              |GROUP BY source ORDER BY source""".stripMargin)),
     "e22_ngram_novelty" -> Entry(
       Pipeline.e22NgramNovelty,
       // ln is shared; integer counts make the per-bigram ratios exact and
