@@ -15,6 +15,32 @@ class VacuumSpec extends AnyFunSuite with Matchers {
   import spark.implicits._
   private val user = UserId("vacuum-test")
 
+  test("checkpoint + vacuum pair into one retention horizon: tail time-travels, history reclaims") {
+    val logDir = Files.createTempDirectory("graft_vac_ckpt_log")
+    val log = new JsonFileTableVersions(logDir)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_ckpt"),
+      Files.createTempDirectory("graft_vac_ckpt").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1 to 3).foreach { i =>
+      Seq(User(i.toLong, s"v$i")).toDS()
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v$i"))
+    }
+    // metadata horizon: fold init+v1 away, keep v2+v3 replayable (base = v2)
+    log.checkpoint(table.name, keepLast = 1) shouldBe true
+    val base = log.updates(table.name).last.id // the folded base carries v2's state
+    // data horizon to match: retain the states of the base + tail commits
+    val report = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0)
+    report.deleted should have size 1 // v1's dir — the folded-away history
+    // everything the checkpointed log can still name remains readable
+    VersionedReader(spark, log).read(table).as[User].collect() shouldBe Array(User(3, "v3"))
+    VersionedReader(spark, log).readAsOf(table, base).as[User].collect() shouldBe
+      Array(User(2, "v2"))
+  }
+
   test("vacuum deletes only version dirs no retained commit references") {
     val log = new InMemoryTableVersions
     val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
