@@ -163,8 +163,11 @@ object Pipeline {
   /** Shared LSH machinery: `(doc_id, band, key)` minhash band keys — 16
     * permutations in 4 bands of 4, the row-local native
     * [[graft.plans.MinHashSignature]] pass plus a portable polynomial band
-    * combine (values < M keep every product < 2^63). */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+    * combine (values < M keep every product < 2^63). With `carrySig` the
+    * full signature rides each band row, so a consumer comparing
+    * signatures per candidate pair (e26) needs no join back — the corpus
+    * signature pass runs exactly once. */
+  private def minhashBands(docs: DataFrame, carrySig: Boolean = false): DataFrame = {
     val nHashes = 16
     val bandSize = 4
     val M = graft.plans.MinHashSignature.Mod
@@ -180,9 +183,11 @@ object Pipeline {
         .reduce((acc, h) => s"($acc * 31 + $h) % $M")
       struct(lit(band).as("band"), expr(key).as("key")).as(s"b$band")
     }
+    val carryIn = if (carrySig) Seq(col("sigs").as("sig")) else Nil
+    val carryOut = if (carrySig) Seq(col("sig")) else Nil
     sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id") +: carryIn :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(col("doc_id") +: carryOut :+ col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
   /** E8b: incremental NEAR-dup dedup — the LSH twin of [[e8IncrementalDedup]]:
@@ -921,15 +926,17 @@ object Pipeline {
     * arrays (an eval query over candidate pairs, not a corpus hot path);
     * signatures join by SHUFFLE on doc ids. */
   def e26MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val sigs = load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= 3)
-      .select(col("doc_id"), graft.plans.GraftFunctions.minhashSignature(col("tk"), 16).as("sig"))
-    val est = e2bMinHashLsh(s, dir)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
+    // signatures RIDE the band rows into the aliased self-join (one corpus
+    // signature pass, exchange reused on both sides) — joining them back
+    // onto the e2b pair list would re-run the signature scan per join side
+    val bands = minhashBands(load(s, dir, "documents"), carrySig = true)
+    val est = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // same candidate set as e2b (sigs are doc-functional)
       .withColumn("est", expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / 16.0"))
       .select("doc_a", "doc_b", "est")

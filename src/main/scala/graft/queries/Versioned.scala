@@ -101,11 +101,13 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
-  /** Q53: timestamp-based time travel — `readAsOfTimestamp` resolves a
-    * wall-clock instant captured BETWEEN two commits to the earlier one
-    * (last commit at-or-before, the Scala-API twin of SQL `TIMESTAMP AS
-    * OF`); the oracle sees v1's rows. The sleeps bracket the captured
-    * instant strictly between the two commit timestamps. */
+  /** Q53: timestamp-based time travel — `readAsOfTimestamp` resolves an
+    * instant strictly between the two commits to the earlier one (last
+    * commit at-or-before, the Scala-API twin of SQL `TIMESTAMP AS OF`);
+    * the oracle sees v1's rows. The instant derives from the RECORDED
+    * commit timestamps (just before v2's), not a wall-clock capture, so a
+    * clock step between the writes can't move the resolution — it can only
+    * trip the ordering guard, which fails loudly instead of mismatching. */
   def q53TimestampTravel(s: SparkSession, dir: String): DataFrame = {
     val (ctx, log) = freshContext()
     val table = tempTable(
@@ -115,12 +117,13 @@ object Versioned {
       .select("l_orderkey", "l_quantity", "l_returnflag")
     li.where(col("l_quantity") <= 25)
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1: small quantities"))
-    Thread.sleep(5)
-    val betwixt = java.time.Instant.now()
-    Thread.sleep(5)
+    Thread.sleep(2) // keep the two commit timestamps distinct at micro resolution
     li.where(col("l_quantity") > 25)
       .versionedInsertInto(ctx, table, user, UpdateMessage("v2: large quantities"))
-    VersionedReader(s, log).readAsOfTimestamp(table, betwixt)
+    val commits = log.updates(table.name) // most recent first: v2, v1, init
+    require(commits(1).timestamp.isBefore(commits.head.timestamp),
+      "system clock stepped backwards between the two commits; rerun")
+    VersionedReader(s, log).readAsOfTimestamp(table, commits.head.timestamp.minusNanos(1))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
