@@ -924,7 +924,15 @@ object Pipeline {
     * sizing it up — the calibration step of deploying a sketch at corpus
     * scale. Signature comparison is a row-local zip over two 16-slot
     * arrays (an eval query over candidate pairs, not a corpus hot path);
-    * signatures join by SHUFFLE on doc ids. */
+    * signatures join by SHUFFLE on doc ids.
+    *
+    * DETERMINISM: every aggregate here sums in the INTEGER domain — the
+    * match count `m` is a long, and `jexact` / the per-pair error are
+    * snapped per-row to a fixed 1e-9 grid (`floor(x * 1e9)` as long)
+    * before summation. Per-row doubles are order-free (IEEE ops on the
+    * same inputs), integer sums are associative, and the single final
+    * division+round sees one fixed scalar — so the 4-dp output can no
+    * longer coin-flip with float summation order (the round-8 e26 flake). */
   def e26MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     // signatures RIDE the band rows into the aliased self-join (one corpus
     // signature pass, exchange reused on both sides) — joining them back
@@ -937,19 +945,22 @@ object Pipeline {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct() // same candidate set as e2b (sigs are doc-functional)
-      .withColumn("est", expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / 16.0"))
-      .select("doc_a", "doc_b", "est")
+      .withColumn("m", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("long"))
+      .select("doc_a", "doc_b", "m")
     val exact = shinglePairCounts(s, dir)
       .withColumn("jexact", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .select("doc_a", "doc_b", "jexact")
     est.join(exact, Seq("doc_a", "doc_b"), "left")
       .withColumn("jexact", coalesce(col("jexact"), lit(0.0)))
+      .withColumn("jx_n", floor(col("jexact") * lit(1e9)))
+      .withColumn("err_n",
+        floor(abs(col("m").cast("double") / lit(16.0) - col("jexact")) * lit(1e9)))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(avg("est"), 4).as("mean_est"),
-        round(avg("jexact"), 4).as("mean_exact"),
-        round(avg(abs(col("est") - col("jexact"))), 4).as("mae"))
+        round(sum("m") / (count(lit(1)) * lit(16.0)), 4).as("mean_est"),
+        round(sum("jx_n") / (count(lit(1)) * lit(1e9)), 4).as("mean_exact"),
+        round(sum("err_n") / (count(lit(1)) * lit(1e9)), 4).as("mae"))
   }
 
   /** E22: n-gram novelty scoring — the cheap language-model quality filter

@@ -101,7 +101,12 @@ object Registry {
        |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
        |             / (SELECT count(*) FROM cand), 6) AS precision""".stripMargin
 
-  /** e26 oracle: sketch-estimated vs exact Jaccard over the candidate set. */
+  /** e26 oracle: sketch-estimated vs exact Jaccard over the candidate set.
+    * Mirrors the engine's integer-domain aggregation (sum of long match
+    * counts; per-row floor(x*1e9) fixed-point snapping of jexact and the
+    * error) so the result is float-summation-order independent on BOTH
+    * engines — the 4-dp output is a function of exact integer sums, not of
+    * task completion order. */
   private def minhashCalibrationOracleSql: String = {
     val matches = (0 until 16)
       .map(p => s"(CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END)")
@@ -109,14 +114,15 @@ object Registry {
     s"""$minhashBandsCte,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-       |est AS (SELECT doc_a, doc_b, ($matches) / 16.0 AS est
+       |est AS (SELECT doc_a, doc_b, CAST(($matches) AS BIGINT) AS m
        |        FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id),
-       |$jaccardTruthCtes
+       |$jaccardTruthCtes,
+       |j AS (SELECT m, coalesce(jexact, 0) AS jexact FROM est LEFT JOIN jx USING (doc_a, doc_b))
        |SELECT count(*) AS n_pairs,
-       |       round(avg(est), 4) AS mean_est,
-       |       round(avg(coalesce(jexact, 0)), 4) AS mean_exact,
-       |       round(avg(abs(est - coalesce(jexact, 0))), 4) AS mae
-       |FROM est LEFT JOIN jx USING (doc_a, doc_b)""".stripMargin
+       |       round(sum(m) / (count(*) * 16.0), 4) AS mean_est,
+       |       round(sum(CAST(floor(jexact * 1e9) AS BIGINT)) / (count(*) * 1e9), 4) AS mean_exact,
+       |       round(sum(CAST(floor(abs(m / 16.0 - jexact) * 1e9) AS BIGINT)) / (count(*) * 1e9), 4) AS mae
+       |FROM j""".stripMargin
   }
 
   /** Full e2b oracle: bit-identical LSH candidate pairs. */
