@@ -18,6 +18,43 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q01,e13 restricts the dump (driver unset → all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // dev gate: SPARK_GRAFT_DETERMINISM=1 replaces the dump with a
+    // double-run — each query is built and collected twice under different
+    // shuffle partitioning (different partial-agg merge trees, so a float
+    // summation-order-dependent output diverges) and the sorted row sets
+    // are compared exactly. Catches round(avg(double)) boundary-sitters
+    // (the round-8 e26 flake class) before the driver's oracle does.
+    if (sys.env.get("SPARK_GRAFT_DETERMINISM").contains("1")) {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+      val bad = names.flatMap { name =>
+        val fn = SparkEntry.queries(name)
+        def runOnce(parts: String): Seq[String] = {
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          graft.queries.Pipeline.clearStageCache()
+          try fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+          finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        }
+        try {
+          val a = runOnce(cpus)
+          val b = runOnce("5")
+          val diff = a.zipAll(b, "<missing>", "<missing>").find(p => p._1 != p._2)
+          diff match {
+            case Some((x, y)) =>
+              System.err.println(s"[determinism] $name MISMATCH: $x != $y")
+              Some(name)
+            case None =>
+              println(s"[determinism] $name stable (${a.size} rows)"); None
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[determinism] $name failed: ${e.getMessage}")
+          Some(name)
+        }
+      }
+      println(s"[determinism] ${names.size - bad.size}/${names.size} stable")
+      spark.stop()
+      if (bad.nonEmpty) sys.exit(1) else return
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
