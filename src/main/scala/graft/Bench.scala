@@ -97,6 +97,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver tail-captures stdout, so the ~8 KB line above can lose its
+    // head (two rounds of BENCH "parsed": null). Repeat the headline total
+    // as a SHORT final line so the tail always contains a parseable record.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
