@@ -436,7 +436,15 @@ object Registry {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
-    "q11_approx_distinct" -> Entry(Relational.q11ApproxDistinct, None),
+    // q11's HLL estimate is engine-specific, so the oracle checks the exact
+    // count and asserts the estimate stayed within 2σ (10%) of it — the
+    // engine computes the boolean, the oracle claims TRUE; sketch drift
+    // fails the row hash. (Upgraded from rows-only in round 9.)
+    "q11_approx_distinct" -> Entry(
+      Relational.q11ApproxDistinct,
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |       TRUE AS approx_within_2sd
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "q12_window_rank" -> Entry(
       Relational.q12WindowRank,
       Some("""SELECT event_type, event_id, value, rn, rk, drk, quartile FROM (

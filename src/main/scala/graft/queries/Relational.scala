@@ -192,12 +192,25 @@ object Relational {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
-  /** Q11: HLL approximate distinct — sketch values are engine-specific, so
-    * this entry has no oracle SQL (driver records a rows-only check). */
+  /** Q11: HLL approximate distinct — sketch ESTIMATES are engine-specific
+    * (no cross-engine hash), so the oracle-checked surface is the exact
+    * distinct count plus a BOOLEAN asserting the HLL estimate landed within
+    * its advertised relative error (rsd 5%, checked at ≤10% = 2σ): the
+    * oracle claims `TRUE`, and a sketch drifting past the bound fails the
+    * row hash. Estimates are deterministic for fixed input, so the check is
+    * stable; this upgrades q11 from rows-only to a bounded correctness
+    * check. At scale this stays one partial+final HLL pass — the exact
+    * count rides the same shuffle as a second aggregate. */
   def q11ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.10)).as("approx_within_2sd"))
       .orderBy("event_type")
 
   /** Q12: ranking window functions, fully tie-broken by event_id. */
