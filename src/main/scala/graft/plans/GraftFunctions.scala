@@ -95,5 +95,8 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // post-hoc: runs after resolution has aligned the MERGE assignments and
     // before the planner's row-level-operation check would reject the table
     extensions.injectPostHocResolutionRule(s => graft.spark.GraftDmlRule(s))
+    // maintenance statements (OPTIMIZE / ZORDER / VACUUM) — everything else
+    // delegates to the stock parser
+    extensions.injectParser((_, parser) => new graft.spark.GraftSqlParser(parser))
   }
 }

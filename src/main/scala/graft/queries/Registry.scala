@@ -265,6 +265,13 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity <= 25
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q54_sql_optimize" -> Entry(
+      Versioned.q54SqlOptimize,
+      // SQL OPTIMIZE + VACUUM must be row-invisible: the oracle is the
+      // original insert
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity > 30
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q48_log_checkpoint" -> Entry(
       Versioned.q48LogCheckpoint,
       // a checkpoint must be invisible to current-state reads: every insert

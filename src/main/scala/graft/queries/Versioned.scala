@@ -129,6 +129,41 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q54: the SQL maintenance surface — `OPTIMIZE` and `VACUUM` issued as
+    * SQL TEXT through the injected parser ([[graft.spark.GraftSqlParser]]),
+    * completing SQL parity with the Scala maintenance APIs: a deliberately
+    * fragmented insert is bin-packed by `OPTIMIZE` (one ordinary
+    * time-travelable commit through [[graft.spark.Compaction]]) and the
+    * fragmented v1's version dirs are reclaimed by `VACUUM … RETAIN 1
+    * COMMITS GRACE 0 MINUTES` (asserted via the command's report row). The
+    * read-back by catalog name must be row-identical to the original
+    * insert — the oracle replays it relationally. `OPTIMIZE … ZORDER BY`'s
+    * SQL spelling is pinned in `GraftTableCatalogSpec`. */
+  def q54SqlOptimize(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq54", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq54", log)
+    val table = tempTable(
+      "li_sqlopt", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_sqlopt"))
+    graft.spark.GraftTableCatalog.register("graftq54", table)
+    val name = s"graftq54.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .where(col("l_quantity") > 30)
+      .repartition(8) // fragment: 8 writer tasks → 8 files per partition
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    s.sql(s"OPTIMIZE $name").collect()
+    val vac = s.sql(s"VACUUM $name RETAIN 1 COMMITS GRACE 0 MINUTES").collect()
+    require(vac.head.getInt(1) > 0, "VACUUM must reclaim the fragmented v1 dirs")
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q31: compaction — a deliberately fragmented insert (8-way repartition
     * → 8 files per partition dir) is rewritten by
     * [[graft.spark.Compaction.compact]] into one file per partition as a

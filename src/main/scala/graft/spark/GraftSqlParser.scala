@@ -1,0 +1,150 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+
+import graft.core.{TableDefinition, TableName}
+import graft.core.TableVersions.{UpdateMessage, UserId}
+
+/**
+ * SQL spellings for the MAINTENANCE operations, completing the SQL surface
+ * next to DML/DDL/time-travel (`GraftTableCatalog`, `GraftDmlRule`):
+ *
+ * {{{
+ *   OPTIMIZE graft.db.t                               -- bin-pack compaction
+ *   OPTIMIZE graft.db.t ZORDER BY (c1, c2)            -- Z-curve clustering
+ *   VACUUM graft.db.t                                 -- storage GC
+ *   VACUUM graft.db.t RETAIN 5 COMMITS GRACE 0 MINUTES
+ * }}}
+ *
+ * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
+ * (the Delta Lake pattern) recognizes exactly these two statement heads and
+ * delegates EVERYTHING else — including every error path — to the session's
+ * stock parser. Each statement executes through the corresponding Scala API
+ * ([[Compaction.compact]], [[ZOrder.zorderCompact]], [[Vacuum.vacuum]]), so
+ * OPTIMIZE is one ordinary time-travelable commit and VACUUM honors the
+ * same retention/grace contract as the programmatic call.
+ *
+ * Retention units are COMMITS (this engine's retention is commit-count, not
+ * wall-clock like Delta's `RETAIN n HOURS`) and grace is MINUTES (matching
+ * [[Vacuum.DefaultGraceMs]]'s writer-in-flight contract).
+ */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private[spark] object GraftMaintenanceSql {
+
+  // anchored full-statement matches; no stock Spark statement starts with
+  // either keyword, so a non-match falls through to the delegate untouched
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+\(?\s*([\w\s,]+?)\s*\)?)?\s*;?\s*""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case VacuumStmt(ident, keep, grace) =>
+      Some(GraftVacuumCommand(
+        split(ident),
+        Option(keep).map(_.toInt),
+        Option(grace).map(_.toLong)))
+    case OptimizeStmt(ident, cols) =>
+      Some(GraftOptimizeCommand(
+        split(ident),
+        Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+    case _ => None
+  }
+
+  private def split(ident: String): Seq[String] = ident.split("\\.").toSeq
+
+  /** Resolve `catalog.db.table` to its binding + definition at EXECUTION
+    * time (parse time has no catalog access). Touching the catalog through
+    * the manager first makes a conf-only (`logDir`) catalog initialize
+    * itself before the lookup. */
+  def resolve(
+      session: SparkSession,
+      parts: Seq[String]): (GraftTableCatalog.Binding, TableDefinition) = {
+    val fqn = parts.mkString(".")
+    parts match {
+      case Seq(cat, db, t) =>
+        try session.sessionState.catalogManager.catalog(cat)
+        catch { case _: Exception => () }
+        GraftTableCatalog.lookup(cat, TableName(db, t)).getOrElse(
+          sys.error(s"$fqn is not a registered graft table " +
+            s"(bind the catalog and register the table, or set logDir)"))
+      case _ =>
+        sys.error(s"graft maintenance SQL needs a catalog.db.table name, got $fqn")
+    }
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (cols)]` — one versioned compaction commit. */
+final case class GraftOptimizeCommand(
+    parts: Seq[String], zorderCols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("changed", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val (_, changes) =
+      if (zorderCols.isEmpty)
+        Compaction.compact(
+          session, ctx, defn, UserId("sql"), UpdateMessage("OPTIMIZE (SQL)"))
+      else
+        ZOrder.zorderCompact(
+          session, ctx, defn, UserId("sql"),
+          UpdateMessage(s"OPTIMIZE ZORDER (SQL) by ${zorderCols.mkString(",")}"),
+          zorderCols)
+    val op = if (zorderCols.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER"
+    Seq(Row(op, changes.operations.size))
+  }
+}
+
+/** `VACUUM t [RETAIN n COMMITS] [GRACE n MINUTES]` — storage GC through
+  * [[Vacuum.vacuum]]; driver-side metadata work only. */
+final case class GraftVacuumCommand(
+    parts: Seq[String],
+    keepLast: Option[Int],
+    graceMinutes: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("examined", IntegerType, nullable = false)(),
+    AttributeReference("deleted", IntegerType, nullable = false)(),
+    AttributeReference("failed", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val report = Vacuum.vacuum(
+      defn, binding.log, session.sessionState.newHadoopConf(),
+      keepLast = keepLast.getOrElse(3),
+      graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs))
+    Seq(Row(report.examined, report.deleted.size, report.failed.size))
+  }
+}

@@ -615,4 +615,11 @@ object GraftTableCatalog {
     bindings.getOrElse(catalogName,
       throw new IllegalStateException(s"catalog '$catalogName' is not bound"))
       .tables.put(table.name.fullyQualifiedName, (table, schema))
+
+  /** Execution-time lookup for the maintenance SQL commands
+    * ([[GraftMaintenanceSql]]): binding + definition by catalog and name. */
+  private[spark] def lookup(
+      catalogName: String, table: TableName): Option[(Binding, TableDefinition)] =
+    bindings.get(catalogName).flatMap(b =>
+      b.tables.get(table.fullyQualifiedName).map { case (d, _) => (b, d) })
 }

@@ -381,6 +381,54 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     e2.getMessage should include("graft MERGE INTO supports")
   }
 
+  test("SQL maintenance: OPTIMIZE bin-packs, OPTIMIZE ZORDER clusters, VACUUM reclaims — each as SQL text") {
+    val table = TableDefinition(
+      TableName("cdb", "maint"),
+      Files.createTempDirectory("graft_cat_maint").toUri,
+      PartitionSchema(List(PartitionColumn("label"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    val rows = (1L to 40L).map(i => CatRow(i, if (i % 2 == 0) "even" else "odd"))
+    rows.toDS().repartition(8) // fragment: up to 8 files per partition dir
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+
+    def filesPerPartition: Map[String, Int] = {
+      val root = java.nio.file.Paths.get(table.location)
+      import scala.jdk.CollectionConverters._
+      log.currentVersion(table.name) match {
+        case PartitionedTableVersion(pvs) => pvs.map { case (p, v) =>
+          val dir = root.resolve(
+            SparkPaths.escapedPartitionPath(p)).resolve(v.label)
+          p.toString -> Files.list(dir).iterator.asScala
+            .count(_.toString.endsWith(".parquet"))
+        }
+        case other => fail(s"unexpected $other")
+      }
+    }
+    filesPerPartition.values.max should be > 1 // genuinely fragmented
+
+    // OPTIMIZE: one commit, one file per partition, rows unchanged
+    val opt = spark.sql("OPTIMIZE graftcat.cdb.maint").collect()
+    opt.map(_.getString(0)) shouldBe Array("OPTIMIZE")
+    filesPerPartition.values.toSet shouldBe Set(1)
+    spark.sql("SELECT count(*) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 40L
+
+    // OPTIMIZE ZORDER BY: another time-travelable commit, rows unchanged
+    spark.sql("OPTIMIZE graftcat.cdb.maint ZORDER BY (id)").collect()
+    spark.sql("SELECT sum(id) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 820L
+    log.updates(table.name).head.message.content should include("ZORDER")
+
+    // VACUUM: the fragmented v1 dirs age out of a retain-1 window
+    val vac = spark.sql(
+      "VACUUM graftcat.cdb.maint RETAIN 1 COMMITS GRACE 0 MINUTES").collect()
+    vac.head.getInt(1) should be > 0 // deleted at least v1's version dirs
+    spark.sql("SELECT count(*) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 40L
+
+    // the parser must leave ordinary statements (and their errors) alone
+    spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
+    intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
+  }
+
   test("SQL UPDATE rewrites only touched partitions; row-level DELETE drops rows and empties partitions") {
     val table = TableDefinition(
       TableName("cdb", "dmlsql"),
