@@ -180,9 +180,19 @@ private[spark] final class GraftCdcTable(
     }
 }
 
-/** Offset = number of commits consumed from the (append-only) log. */
-private[spark] final case class CommitOffset(commits: Int) extends Offset {
-  override def json(): String = s"""{"commits":$commits}"""
+/** Offset = number of commits consumed from the (append-only) log, plus
+  * the ID of the last consumed commit as a tamper check: a bare index would
+  * silently remap to a DIFFERENT commit range if the log is checkpointed
+  * ([[graft.core.JsonFileTableVersions.checkpoint]] folds old history into
+  * a base entry, shrinking the commit list), losing or re-emitting changes
+  * without error. On restore the id must match the commit the index now
+  * names — a checkpointed-past-the-offset log fails loudly instead. */
+private[spark] final case class CommitOffset(
+    commits: Int, last: Option[String] = None) extends Offset {
+  override def json(): String = last match {
+    case Some(id) => s"""{"commits":$commits,"last":"$id"}"""
+    case None     => s"""{"commits":$commits}"""
+  }
 }
 
 private[spark] final class GraftCdcMicroBatchStream(
@@ -197,19 +207,46 @@ private[spark] final class GraftCdcMicroBatchStream(
 
   override def initialOffset(): Offset = CommitOffset(0)
 
-  override def latestOffset(): Offset = CommitOffset(chronoCommits(h).size)
+  override def latestOffset(): Offset = {
+    val chrono = chronoCommits(h)
+    CommitOffset(chrono.size, chrono.lastOption.map(_.id.id))
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"commits":(\d+)\}""".r
-    json.trim match {
-      case m(n) => CommitOffset(n.toInt)
-      case other => sys.error(s"malformed graft CDC offset: $other")
+    val withId = """\{"commits":(\d+),"last":"([^"]*)"\}""".r
+    val bare = """\{"commits":(\d+)\}""".r
+    val off = json.trim match {
+      case withId(n, id) => CommitOffset(n.toInt, Some(id))
+      case bare(n)       => CommitOffset(n.toInt) // pre-id checkpoint (legacy)
+      case other         => sys.error(s"malformed graft CDC offset: $other")
     }
+    validate(off)
+    off
+  }
+
+  /** A restored offset must still name the commit it was minted against:
+    * index `n`'s commit id is recorded in the offset, and a log checkpoint
+    * that folded that commit away (or a checkpoint belonging to a different
+    * log) surfaces as a loud mismatch, never a silently-shifted range. */
+  private def validate(off: CommitOffset): Unit = off.last.foreach { id =>
+    val chrono = chronoCommits(h)
+    require(off.commits > 0 && off.commits <= chrono.size &&
+      chrono(off.commits - 1).id.id == id,
+      s"graft CDC offset (${off.commits} commits, last $id) does not match the " +
+        s"commit history of ${h.defn.name.fullyQualifiedName}" +
+        chrono.lift(off.commits - 1).map(c => s" (index now names ${c.id.id})")
+          .getOrElse(s" (history has only ${chrono.size} commits)") +
+        ": the log was checkpointed past a live stream offset, or the " +
+        "checkpoint belongs to a different log; restart the stream from a " +
+        "fresh checkpoint")
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[CommitOffset].commits
-    val to = end.asInstanceOf[CommitOffset].commits
+    val startOff = start.asInstanceOf[CommitOffset]
+    val endOff = end.asInstanceOf[CommitOffset]
+    validate(startOff); validate(endOff)
+    val from = startOff.commits
+    val to = endOff.commits
     val (paths, opts) = changedPaths(h, from, to)
     if (paths.isEmpty) { currentBatch = None; Array.empty }
     else {

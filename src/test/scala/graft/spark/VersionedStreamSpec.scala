@@ -92,10 +92,47 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     val stream = new GraftCdcMicroBatchStream(
       VersionedStream.Handle(log, table), null,
       org.apache.spark.sql.types.StructType(Nil))
+    val initId = log.updates(table.name).head.id.id
     val off = stream.latestOffset()
-    off shouldBe CommitOffset(1) // the init commit
-    stream.deserializeOffset(off.json()) shouldBe CommitOffset(1)
+    off shouldBe CommitOffset(1, Some(initId)) // the init commit
+    stream.deserializeOffset(off.json()) shouldBe CommitOffset(1, Some(initId))
     stream.initialOffset() shouldBe CommitOffset(0)
+    // a pre-id (legacy) checkpoint still restores, without the guard
+    stream.deserializeOffset("""{"commits":1}""") shouldBe CommitOffset(1)
+  }
+
+  test("a checkpointed-away commit range fails offset restore loudly instead of remapping") {
+    val logDir = Files.createTempDirectory("graft_cdc_ckpt_log")
+    val log = JsonFileTableVersions(logDir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "cdc_ckpt"),
+      Files.createTempDirectory("graft_spec_cdc_ckpt").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"g$i")).toDF("k", "grp")
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v$i"))
+    }
+    val stream = new GraftCdcMicroBatchStream(
+      VersionedStream.Handle(log, table), null,
+      VersionedStream.resolveSchema(spark, VersionedStream.Handle(log, table)))
+    // a live stream consumed through commit 2 of 5 (init + v1..v4)
+    val consumed = stream.deserializeOffset(
+      CommitOffset(2, Some(log.updates(table.name)(3).id.id)).json())
+    consumed.asInstanceOf[CommitOffset].commits shouldBe 2
+
+    // the log is checkpointed down to 2 entries: index 2 now names the
+    // LAST commit — a bare index would silently skip v3/v4's changes
+    log.checkpoint(table.name, keepLast = 1) shouldBe true
+    log.updates(table.name).size shouldBe 2
+    val boom = intercept[IllegalArgumentException](
+      stream.deserializeOffset(consumed.json()))
+    boom.getMessage should include("checkpointed past a live stream offset")
+    // and planning with the stale offset is equally guarded
+    intercept[IllegalArgumentException](
+      stream.planInputPartitions(consumed, stream.latestOffset()))
   }
 
   test("an empty commit range plans zero partitions") {
