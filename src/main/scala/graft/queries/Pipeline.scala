@@ -461,7 +461,13 @@ object Pipeline {
     * kmeans++ sampling), assignment ties break on the smaller cell id, and
     * centroid components round to 6 dp after every update so cell
     * assignment is independent of float partial-agg merge order — which
-    * also lets the SQL oracle replay both iterations exactly. */
+    * also lets the SQL oracle replay both iterations exactly. Residual
+    * risk, accepted: a partial-agg mean landing WITHIN ~1 ulp of a 5e-7
+    * rounding boundary could still flip the 6-dp grid between merge
+    * orders; `DeterminismSpec` double-runs this query under different
+    * shuffle partitioning to catch that empirically, and the inputs (a
+    * fixed synthetic corpus) make the boundary event a measure-zero draw
+    * rather than a moving target. */
   def e17Kmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.GraftFunctions.cosineSim

@@ -596,6 +596,19 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Round-trip scratch dirs, one per (session, input dir, format): a
+    * fresh `createTempDirectory` per INVOCATION would leak a table copy
+    * into /tmp on every verify/bench repeat (`mode("overwrite")` never
+    * reuses a path it is handed for the first time). Keyed like the
+    * pipeline stage memo; contents are overwritten, not appended, on
+    * reuse. */
+  private val roundTripDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def roundTripDir(s: SparkSession, dir: String, format: String): String =
+    roundTripDirs.getOrElseUpdate((s, dir, format),
+      java.nio.file.Files.createTempDirectory(s"graft_$format").toString)
+
   /** Q49: CSV source round-trip — the engine's text-source path: nation is
     * written as headered CSV and read back with an EXPLICIT schema (schema
     * inference re-reads the data and guesses — never on a production path),
@@ -603,7 +616,7 @@ object Relational {
     * what the oracle hash checks. */
   def q49ScanCsv(s: SparkSession, dir: String): DataFrame = {
     val nation = load(s, dir, "nation")
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = roundTripDir(s, dir, "csv")
     nation.write.mode("overwrite").option("header", "true").csv(out)
     s.read.option("header", "true").schema(nation.schema).csv(out)
       .groupBy("n_regionkey")
@@ -619,7 +632,7 @@ object Relational {
   def q50ScanJson(s: SparkSession, dir: String): DataFrame = {
     val orders = load(s, dir, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
-    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val out = roundTripDir(s, dir, "json")
     orders.write.mode("overwrite").json(out)
     s.read.schema(orders.schema).json(out)
       .groupBy("o_orderstatus")

@@ -35,13 +35,15 @@ import graft.core._
 object FileStats {
 
   /** Per-file zone maps for `cols` over any DataFrame backed by a file
-    * scan: `file, n_rows, min_<c>, max_<c>…` — one distributed agg pass,
-    * result cardinality O(#files). */
-  def zoneMaps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * scan: `file, [carryCols…,] n_rows, min_<c>, max_<c>…` — one
+    * distributed agg pass, result cardinality O(#files). `carryCols` ride
+    * the grouping key (each file holds exactly one value of them — e.g.
+    * partition columns), so they become queryable sidecar columns. */
+  def zoneMaps(df: DataFrame, cols: Seq[String], carryCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "zoneMaps needs at least one stats column")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    df.groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -66,14 +68,18 @@ object FileStats {
   /** Collect zone maps for the CURRENT state of the table and persist them
     * as its sidecar. Runs as part of the write pipeline (stats for a state
     * are computed once, right after the commit lands — never per query).
-    * For partitioned tables the stats rows carry partition columns (from
-    * the `k=v` dirs), so pruning composes with partition pruning. */
+    * For partitioned tables the stats rows carry the partition columns
+    * (string-typed, as the versioned reader surfaces them), so a pruned
+    * read can filter the SIDECAR scan — and hence the driver-side kept-file
+    * list — by partition predicate before zone filtering. */
   def writeZoneMaps(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
       cols: Seq[String]): Unit =
-    zoneMaps(VersionedReader(spark, log).read(table), cols)
+    zoneMaps(
+      VersionedReader(spark, log).read(table), cols,
+      carryCols = table.partitionSchema.columns.map(_.name))
       .write.mode("overwrite").parquet(statsDir(log, table))
 
   /** The sidecar zone maps of the table's current state. */
@@ -85,15 +91,20 @@ object FileStats {
     * Files whose zone is all-null for `col` are kept (nulls carry no
     * bound). Callers apply the row-level predicate on top. Partitioned
     * tables keep their partition columns (recovered from the `k=v` dirs
-    * via `basePath`), so zone pruning composes with partition pruning. */
+    * via `basePath`), so zone pruning composes with partition pruning —
+    * and `partitionFilter` (a predicate over the sidecar's partition
+    * columns) prunes the SIDECAR scan first, bounding the driver-side
+    * kept-file list by the partition predicate instead of the whole
+    * table's file count. */
   def readSkipping(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
       column: String,
       lo: Any,
-      hi: Any): DataFrame = {
-    val stats = loadZoneMaps(spark, log, table)
+      hi: Any,
+      partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val stats = partitionFilter.foldLeft(loadZoneMaps(spark, log, table))(_.where(_))
     val keep = stats
       .where(
         col(s"min_$column").isNull || col(s"max_$column").isNull ||

@@ -98,6 +98,33 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     rows.where(col("grp") === "1").count() shouldBe 500L
   }
 
+  test("a partition predicate bounds the sidecar scan and the driver-side kept-file list") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_pf"),
+      Files.createTempDirectory("graft_spec_zonemap_pf").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.range(8000).toDF("k")
+      .withColumn("grp", (col("k") % 2).cast("string"))
+      .repartitionByRange(8, col("grp"), col("k"))
+      .sortWithinPartitions("grp", "k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+
+    val all = FileStats.readSkipping(spark, log, table, "k", 0L, 7999L)
+    val one = FileStats.readSkipping(
+      spark, log, table, "k", 0L, 7999L, partitionFilter = Some(col("grp") === "1"))
+    // the kept-file list shrinks with the partition predicate — at scale
+    // the driver never holds the whole table's file list
+    one.inputFiles.length should be < all.inputFiles.length
+    every(one.inputFiles.toSeq) should include("grp=1")
+    one.count() shouldBe 4000L // exactly grp=1's rows reach the scan
+  }
+
   test("partitioned sidecars key by the current POINTER: a rollback serves the old state's stats") {
     import org.apache.spark.sql.functions.col
     val log = new InMemoryTableVersions
