@@ -98,5 +98,8 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // maintenance statements (OPTIMIZE / ZORDER / VACUUM) — everything else
     // delegates to the stock parser
     extensions.injectParser((_, parser) => new graft.spark.GraftSqlParser(parser))
+    // SQL CDC: FROM table_changes('cat.db.t', c1, c2) resolves to the
+    // commit-log version diff (VersionedReader.readChanges)
+    extensions.injectTableFunction(graft.spark.GraftTableChanges.tableFunction)
   }
 }

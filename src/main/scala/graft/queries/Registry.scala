@@ -233,6 +233,13 @@ object Registry {
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q55_sql_table_changes" -> Entry(
+      Versioned.q55SqlTableChanges,
+      // SQL TVF replay of the q30 diff: only the rewritten 'R' partition's
+      // v2 contents
+      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

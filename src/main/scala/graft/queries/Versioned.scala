@@ -516,4 +516,37 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q55: the SQL spelling of the version-diff read — q30's machinery
+    * replayed as a `table_changes('cat.db.t', c1, c2)` table-valued
+    * function inside ordinary SQL text ([[graft.spark.GraftTableChangesRule]]
+    * rewrites the TVF to [[VersionedReader.readChanges]] at resolution):
+    * v1 writes every partition, v2 rewrites only 'R', and the statement
+    * aggregates exactly the moved partition's v2 contents. Same
+    * metadata-only diff, same single-partition scan — now reachable from
+    * `spark.sql`. */
+  def q55SqlTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq55", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq55", log)
+    val table = tempTable(
+      "li_sqldiff", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_sqldiff"))
+    graft.spark.GraftTableCatalog.register("graftq55", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1Commit = log.updates(table.name).head.id
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R partition"))
+    val v2Commit = log.updates(table.name).head.id
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty
+         |FROM table_changes('graftq55.${table.name.schema}.${table.name.name}',
+         |                   '${v1Commit.id}', '${v2Commit.id}')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

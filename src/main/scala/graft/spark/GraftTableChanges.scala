@@ -1,0 +1,49 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+import graft.core.TableVersions.CommitId
+
+/**
+ * SQL table-valued-function spelling of the version-diff (CDC) read — the
+ * Delta-parity `table_changes` surface, completing SQL reach for the last
+ * Scala-only read API ([[VersionedReader.readChanges]]):
+ *
+ * {{{
+ *   SELECT * FROM table_changes('graft.db.t', '<fromCommit>', '<toCommit>')
+ * }}}
+ *
+ * Registered through `SparkSessionExtensions.injectTableFunction` (the
+ * same registry Spark's own `range` TVF lives in), so the stock analyzer
+ * resolves the call; the builder rewrites it into the analyzed plan of
+ * `readChanges(from, to)` — the same metadata-only commit-log diff, with
+ * only the moved partitions' files reaching the scan — and the surrounding
+ * query (joins, aggregates, filters) composes over it like any relation.
+ */
+object GraftTableChanges {
+
+  /** `(identifier, info, builder)` for `injectTableFunction`. */
+  val tableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo(GraftTableChanges.getClass.getName, "table_changes"),
+    (args: Seq[Expression]) => build(args))
+
+  private def build(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(Literal(t, StringType), Literal(from, StringType), Literal(to, StringType)) =>
+      // resolution time, not parse time: the active session carries the
+      // catalog bindings the name resolves against
+      val spark = SparkSession.active
+      val (binding, defn) =
+        GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
+      VersionedReader(spark, binding.log)
+        .readChanges(defn, CommitId(String.valueOf(from)), CommitId(String.valueOf(to)))
+        .queryExecution.analyzed
+    case other =>
+      sys.error("graft table_changes takes three string literals: " +
+        s"(catalog.db.table, from_commit, to_commit), got ${other.map(_.sql).mkString(", ")}")
+  }
+}

@@ -429,6 +429,34 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
   }
 
+  test("table_changes TVF surfaces the commit-range diff inside ordinary SQL") {
+    val table = TableDefinition(
+      TableName("cdb", "tvf"),
+      Files.createTempDirectory("graft_cat_tvf").toUri,
+      PartitionSchema(List(PartitionColumn("label"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(CatRow(1, "a"), CatRow(2, "b")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.updates(table.name).head.id.id
+    Seq(CatRow(3, "b")).toDS() // only 'b' moves (replace-touched semantics)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2 = log.updates(table.name).head.id.id
+
+    val changed = spark.sql(
+      s"SELECT id, label FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2') ORDER BY id")
+    changed.as[CatRow].collect() shouldBe Array(CatRow(3, "b")) // 'a' untouched
+
+    // composes like any relation: aggregate over the diff
+    spark.sql(
+      s"""SELECT count(*) FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2')
+         |WHERE label = 'b'""".stripMargin).head.getLong(0) shouldBe 1L
+
+    // non-literal / wrong-arity calls fail loudly, unknown TVFs untouched
+    intercept[Exception](spark.sql("SELECT * FROM table_changes('graftcat.cdb.tvf')").collect())
+    intercept[Exception](spark.sql("SELECT * FROM no_such_tvf(1)").collect())
+  }
+
   test("SQL UPDATE rewrites only touched partitions; row-level DELETE drops rows and empties partitions") {
     val table = TableDefinition(
       TableName("cdb", "dmlsql"),
