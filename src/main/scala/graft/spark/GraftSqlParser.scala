@@ -20,6 +20,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   OPTIMIZE graft.db.t ZORDER BY (c1, c2)            -- Z-curve clustering
  *   VACUUM graft.db.t                                 -- storage GC
  *   VACUUM graft.db.t RETAIN 5 COMMITS GRACE 0 MINUTES
+ *   DESCRIBE HISTORY graft.db.t                       -- the commit log
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -65,8 +66,15 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+\(?\s*([\w\s,]+?)\s*\)?)?\s*;?\s*""".r
+  private val HistoryStmt =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    // dotted-name guard: `DESCRIBE history <col>` on a table literally
+    // named "history" must keep flowing to the stock column-describe; our
+    // resolver needs catalog.db.table anyway
+    case HistoryStmt(ident) if ident.contains(".") =>
+      Some(GraftDescribeHistoryCommand(split(ident)))
     case VacuumStmt(ident, keep, grace) =>
       Some(GraftVacuumCommand(
         split(ident),
@@ -124,6 +132,30 @@ final case class GraftOptimizeCommand(
           zorderCols)
     val op = if (zorderCols.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER"
     Seq(Row(op, changes.operations.size))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit log as a result set, newest first
+  * (the Delta spelling): one row per commit with its index (time-travel
+  * coordinates for the CDC offsets and `table_changes`), id (the
+  * `VERSION AS OF` coordinate), timestamp, user, and message. Metadata
+  * only — O(#commits) driver-side rows, no file I/O. */
+final case class GraftDescribeHistoryCommand(parts: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("commit_index", IntegerType, nullable = false)(),
+    AttributeReference("commit_id", StringType, nullable = false)(),
+    AttributeReference("timestamp", StringType, nullable = false)(),
+    AttributeReference("user_id", StringType, nullable = false)(),
+    AttributeReference("message", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val updates = binding.log.updates(defn.name) // newest first
+    val n = updates.size
+    updates.zipWithIndex.map { case (u, i) =>
+      Row(n - i, u.id.id, u.timestamp.toString, u.userId.value, u.message.content)
+    }
   }
 }
 

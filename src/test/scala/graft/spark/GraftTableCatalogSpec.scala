@@ -427,6 +427,13 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     // the parser must leave ordinary statements (and their errors) alone
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
     intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
+
+    // DESCRIBE HISTORY lists the commit log newest-first with coordinates
+    val hist = spark.sql("DESCRIBE HISTORY graftcat.cdb.maint").collect()
+    hist.length shouldBe log.updates(table.name).size
+    hist.map(_.getInt(0)).toSeq shouldBe (hist.length to 1 by -1)
+    hist.head.getString(4) should include("ZORDER") // newest commit (vacuum is GC, not a commit)
+    hist.last.getString(4) shouldBe "init"
   }
 
   test("table_changes TVF surfaces the commit-range diff inside ordinary SQL") {
