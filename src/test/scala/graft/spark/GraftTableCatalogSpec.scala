@@ -453,6 +453,9 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val changed = spark.sql(
       s"SELECT id, label FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2') ORDER BY id")
     changed.as[CatRow].collect() shouldBe Array(CatRow(3, "b")) // 'a' untouched
+    // scale property: ONLY the moved partition's files reach the scan —
+    // the diff is metadata-only, untouched partitions are never read
+    every(changed.inputFiles.toSeq) should include("label=b")
 
     // composes like any relation: aggregate over the diff
     spark.sql(
