@@ -40,6 +40,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
 
+  /** MUST forward explicitly: the interface default drops the parameter
+    * context (it just calls `parsePlan`), which would silently unbind every
+    * parameterized `spark.sql(sql, args)` routed through this wrapper —
+    * the delegate's real override only runs if we call it. Maintenance
+    * statements themselves take no bind parameters. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      parameters: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    GraftMaintenanceSql.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, parameters))
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -434,6 +434,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     hist.map(_.getInt(0)).toSeq shouldBe (hist.length to 1 by -1)
     hist.head.getString(4) should include("ZORDER") // newest commit (vacuum is GC, not a commit)
     hist.last.getString(4) shouldBe "init"
+
+    // parameterized SQL must keep its bind context through the wrapper
+    // (the ParserInterface default DROPS it; the delegate override only
+    // runs because GraftSqlParser forwards explicitly)
+    spark.sql("SELECT :a + 1 AS v", Map("a" -> 41)).head.getInt(0) shouldBe 42
+    spark.sql(
+      "SELECT count(*) FROM graftcat.cdb.maint WHERE label = :l", Map("l" -> "even"))
+      .head.getLong(0) shouldBe 20L
   }
 
   test("table_changes TVF surfaces the commit-range diff inside ordinary SQL") {
