@@ -724,6 +724,42 @@ object Pipeline {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** E28: QUALITY-AWARE near-dup removal — the production canonical-
+    * selection policy e27 simplifies away: within each duplicate cluster
+    * keep the member with the RICHEST vocabulary (distinct-token count)
+    * instead of the lowest id — dedup should discard the truncated/mangled
+    * copies, not whichever happened to arrive first. The score is an
+    * INTEGER (no new FP-determinism surface), ties break on lowest doc_id.
+    * Clusters come from the shared memoized pair stage + label
+    * propagation; the quality agg is one partial+final hash agg; canonical
+    * selection is a window partitioned on the cluster id
+    * (cluster-cardinality key — spreads over all reducers); removal is the
+    * same shuffled anti-join as e27. */
+  def e28QualityDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val quality = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("q"))
+    val members = graft.functions.DupClusters
+      .connectedComponents(
+        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val byCluster = Window.partitionBy("cluster").orderBy(desc("q"), asc("id"))
+    val dropped = members
+      .join(quality, members("id") === quality("doc_id"))
+      .withColumn("rk", row_number().over(byCluster))
+      .where(col("rk") =!= 1) // keep rank-1 (max quality, then min id)
+      .select(col("id").as("doc_id"))
+    docs
+      .join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("source")
+  }
+
   /** E8: incremental exact dedup — a NEW batch (odd doc_ids stand in for
     * today's arrivals) deduped against the EXISTING corpus (even doc_ids)
     * by content-hash anti-join: the shape every production ingest runs,

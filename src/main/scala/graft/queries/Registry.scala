@@ -947,6 +947,31 @@ object Registry {
               |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
               |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
               |GROUP BY source ORDER BY source""".stripMargin)),
+    "e28_quality_dedup" -> Entry(
+      Pipeline.e28QualityDedup,
+      // same transitive closure as e27, but each component keeps its
+      // highest-distinct-token member (tie: lowest id) — integer score,
+      // no FP surface
+      Some(s"""WITH RECURSIVE $jaccardTruthCtes,
+              |pairs AS (SELECT doc_a, doc_b FROM jx WHERE jexact >= 0.5),
+              |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |        UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM und
+              |                UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+              |q AS (SELECT doc_id, count(DISTINCT tok) AS q
+              |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              |      GROUP BY doc_id),
+              |ranked AS (SELECT c.doc_id,
+              |                  row_number() OVER (PARTITION BY c.cluster
+              |                                     ORDER BY q.q DESC, c.doc_id) AS rk
+              |           FROM comp c JOIN q ON c.doc_id = q.doc_id),
+              |dropped AS (SELECT doc_id FROM ranked WHERE rk <> 1)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+              |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+              |GROUP BY source ORDER BY source""".stripMargin)),
     "e22_ngram_novelty" -> Entry(
       Pipeline.e22NgramNovelty,
       // ln is shared; integer counts make the per-bigram ratios exact and

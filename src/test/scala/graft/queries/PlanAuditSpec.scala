@@ -243,6 +243,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("cosine_sim")
   }
 
+  test("e28: quality dedup removes via SHUFFLED anti-join; no corpus broadcast") {
+    val p = plan("e28_quality_dedup")
+    // the dropped set is duplicate-count-sized but corpus-derived — the
+    // shuffle_hash hint must hold so web-scale dedup never broadcasts it;
+    // canonical selection is a window keyed on the cluster id
+    p should include("ShuffledHashJoin")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
   test("e8b: the corpus band-key table joins by SHUFFLE, never broadcast") {
     val p = plan("e8b_incremental_neardup")
     // at web scale the stored band table is not broadcastable; the
