@@ -71,10 +71,28 @@ object Pipeline {
   private val pairCountsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Duplicate-cluster labels `(id, cluster)` — the second shared stage:
+    * e7 (cluster listing), e27 (lowest-id removal), and e28 (quality-aware
+    * removal) all consume the SAME label-propagation output over the same
+    * pair graph; recomputing the iterative propagation per query would
+    * triple the most expensive dedup stage. Same memo scope and lifecycle
+    * as [[pairCountsCache]]. */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.getOrElseUpdate((s, dir),
+      graft.functions.DupClusters
+        .connectedComponents(
+          jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .persist())
+
   /** Drops the memoized pair stages and releases their cache blocks. */
   def clearStageCache(): Unit = {
     pairCountsCache.values.foreach(_.unpersist())
     pairCountsCache.clear()
+    componentsCache.values.foreach(_.unpersist())
+    componentsCache.clear()
   }
 
   private def shinglePairCounts(s: SparkSession, dir: String): DataFrame =
@@ -718,9 +736,7 @@ object Pipeline {
     * round count). cluster_id = least doc_id of the component, i.e. the
     * representative a dedup pass would keep. */
   def e7DupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.functions.DupClusters
-      .connectedComponents(
-        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    dupComponents(s, dir)
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy("doc_id")
 
@@ -741,9 +757,7 @@ object Pipeline {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(countDistinct(col("tok")).as("q"))
-    val members = graft.functions.DupClusters
-      .connectedComponents(
-        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val members = dupComponents(s, dir)
     val byCluster = Window.partitionBy("cluster").orderBy(desc("q"), asc("id"))
     val dropped = members
       .join(quality, members("id") === quality("doc_id"))
@@ -943,9 +957,7 @@ object Pipeline {
     * anti-join against the non-representative set (bounded by #duplicates,
     * joined by shuffle — at corpus scale it is not broadcastable). */
   def e27NearDupRemoval(s: SparkSession, dir: String): DataFrame = {
-    val dropped = graft.functions.DupClusters
-      .connectedComponents(
-        jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val dropped = dupComponents(s, dir)
       .where(col("id") =!= col("cluster")) // non-representatives only
       .select(col("id").as("doc_id"))
     load(s, dir, "documents")
