@@ -78,7 +78,7 @@ object Bench {
         // e2 memoizes its pair stage: drop it so the repeat re-executes the
         // work instead of timing a cache hit. Other queries must NOT clear
         // it — e7 (which runs later) consumes e2's shared stage by design.
-        if (name == "e2_jaccard_neardup") graft.queries.Pipeline.clearStageCache()
+        if (name == "e2_jaccard_neardup") graft.queries.Pipeline.clearPairStageCache()
         timeOnce()
       }
       val elapsed =

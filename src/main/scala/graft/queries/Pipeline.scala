@@ -87,10 +87,19 @@ object Pipeline {
           jaccardPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
         .persist())
 
-  /** Drops the memoized pair stages and releases their cache blocks. */
-  def clearStageCache(): Unit = {
+  /** Drops ONLY the pair-counts memo (Bench's e2 repeat protocol: the pair
+    * stage must genuinely re-execute, but the components stage e7/e27/e28
+    * share stays warm — clearing it too would make a later e7 rebuild a
+    * stage it deliberately consumes). */
+  def clearPairStageCache(): Unit = {
     pairCountsCache.values.foreach(_.unpersist())
     pairCountsCache.clear()
+  }
+
+  /** Drops every memoized stage and releases its cache blocks (the
+    * determinism gate and any dir-mutating caller need a cold start). */
+  def clearStageCache(): Unit = {
+    clearPairStageCache()
     componentsCache.values.foreach(_.unpersist())
     componentsCache.clear()
   }
