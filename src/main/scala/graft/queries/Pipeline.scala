@@ -267,7 +267,7 @@ object Pipeline {
     * contribution to k rows, so the merge exchange carries ≤ k × #tasks rows
     * per query instead of the entire scored corpus. Output: one row per
     * (qid, rank) with columns (qid, rk, vec_id, cos). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[queries] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     scored
@@ -432,7 +432,12 @@ object Pipeline {
     * is independent of float summation order (partial-agg merge order is
     * not deterministic) — which also makes the whole query reproducible by
     * the SQL oracle. The final merge is the typed top-k aggregate. */
-  def e3eIvfAnn(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF coarse quantizer (e3e rebuild-per-query; e29 persists it):
+    * deterministic 6-dp label-mean centroids, nearest-cell assignment, and
+    * 2-cell probes for the query vectors (vec_id < 5). Returns
+    * (centroids, assigned, probes). */
+  private[queries] def ivfQuantizer(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import graft.plans.GraftFunctions.cosineSim
     val emb = load(s, dir, "embeddings").select("vec_id", "embedding")
@@ -462,6 +467,12 @@ object Pipeline {
       .withColumn("rk", row_number().over(byVec))
       .where(col("rk") <= 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cell"))
+    (cents, assigned, probes)
+  }
+
+  def e3eIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.cosineSim
+    val (_, assigned, probes) = ivfQuantizer(s, dir)
 
     // score only candidates living in a probed cell
     val cands = assigned.join(broadcast(probes), Seq("cell"))

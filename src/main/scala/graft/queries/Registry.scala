@@ -101,6 +101,38 @@ object Registry {
        |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
        |             / (SELECT count(*) FROM cand), 6) AS precision""".stripMargin
 
+  /** Shared by e3e (rebuild-per-query IVF) and e29 (persisted IVF): the
+    * deterministic quantizer, 2-cell probes, and in-cell top-5 replayed
+    * relationally — both entries must produce this exact result. */
+  private def ivfOracleSql: String =
+    """WITH cents0 AS (SELECT label AS cell, d,
+      |                       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS cv
+      |                FROM embeddings, generate_series(1, 64) g(d) GROUP BY label, d),
+      |cents AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM cents0 GROUP BY cell),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+      |      FROM embeddings),
+      |sims AS (SELECT vec_id, dvec, cell,
+      |                list_inner_product(dvec, centroid)
+      |                  / (sqrt(list_inner_product(dvec, dvec))
+      |                     * sqrt(list_inner_product(centroid, centroid))) AS sim
+      |         FROM v, cents),
+      |ranked AS (SELECT vec_id, dvec, cell,
+      |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+      |           FROM sims),
+      |assigned AS (SELECT vec_id, dvec, cell FROM ranked WHERE rk = 1),
+      |probes AS (SELECT vec_id AS qid, dvec AS qvec, cell
+      |           FROM ranked WHERE vec_id < 5 AND rk <= 2),
+      |cand AS (SELECT qid, vec_id,
+      |                list_inner_product(dvec, qvec)
+      |                  / (sqrt(list_inner_product(dvec, dvec))
+      |                     * sqrt(list_inner_product(qvec, qvec))) AS cos
+      |         FROM assigned JOIN probes USING (cell) WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, cos,
+      |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |      FROM cand)
+      |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   /** e26 oracle: sketch-estimated vs exact Jaccard over the candidate set.
     * Mirrors the engine's integer-domain aggregation (sum of long match
     * counts; per-row floor(x*1e9) fixed-point snapping of jexact and the
@@ -676,35 +708,11 @@ object Registry {
               |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
               |      FROM c)
               |SELECT qid, rk, vec_id FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
-    "e3e_ivf_ann" -> Entry(
-      Pipeline.e3eIvfAnn,
-      Some("""WITH cents0 AS (SELECT label AS cell, d,
-             |                       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS cv
-             |                FROM embeddings, generate_series(1, 64) g(d) GROUP BY label, d),
-             |cents AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM cents0 GROUP BY cell),
-             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
-             |      FROM embeddings),
-             |sims AS (SELECT vec_id, dvec, cell,
-             |                list_inner_product(dvec, centroid)
-             |                  / (sqrt(list_inner_product(dvec, dvec))
-             |                     * sqrt(list_inner_product(centroid, centroid))) AS sim
-             |         FROM v, cents),
-             |ranked AS (SELECT vec_id, dvec, cell,
-             |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
-             |           FROM sims),
-             |assigned AS (SELECT vec_id, dvec, cell FROM ranked WHERE rk = 1),
-             |probes AS (SELECT vec_id AS qid, dvec AS qvec, cell
-             |           FROM ranked WHERE vec_id < 5 AND rk <= 2),
-             |cand AS (SELECT qid, vec_id,
-             |                list_inner_product(dvec, qvec)
-             |                  / (sqrt(list_inner_product(dvec, dvec))
-             |                     * sqrt(list_inner_product(qvec, qvec))) AS cos
-             |         FROM assigned JOIN probes USING (cell) WHERE vec_id <> qid),
-             |r AS (SELECT qid, vec_id, cos,
-             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-             |      FROM cand)
-             |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
-             |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+    "e3e_ivf_ann" -> Entry(Pipeline.e3eIvfAnn, Some(ivfOracleSql)),
+    // e29 persists the SAME quantizer as versioned tables and answers the
+    // SAME probes from the index — so the e3e oracle verifies the whole
+    // build→commit→partition-pruned-read round trip byte-for-byte
+    "e29_persisted_ivf" -> Entry(Versioned.e29PersistedIvf, Some(ivfOracleSql)),
     "e3d_label_centroids" -> Entry(
       Pipeline.e3dLabelCentroids,
       Some("""SELECT label,

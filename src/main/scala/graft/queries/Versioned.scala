@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
@@ -515,6 +516,58 @@ object Versioned {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  /** E29: PERSISTED IVF index — at 100 TB the ANN index is not rebuilt per
+    * query (e3e's shape); it is a pair of VERSIONED TABLES maintained by
+    * the same commit machinery as any dataset: `centroids` (snapshot, k
+    * rows) and `postings` (PARTITIONED BY cell — the inverted lists).
+    * Build writes the e3e quantizer once through `versionedInsertInto`;
+    * the query path then reads ONLY the index back: probes come from the
+    * persisted (metadata-sized, broadcast) centroid table, the probed cell
+    * ids — k·nProbe strings, driver metadata like any partition-pruning
+    * list — become a partition filter on the postings read, so each query
+    * scans nProbe/k of the corpus files (pinned in `PlanAuditSpec`), and
+    * index maintenance inherits commit/rollback/time-travel/vacuum for
+    * free. Results are identical to e3e (same quantizer, same probes) —
+    * exactly what the shared oracle checks. */
+  def e29PersistedIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.cosineSim
+    val (ctx, log) = freshContext()
+    val (cents, assigned, _) = Pipeline.ivfQuantizer(s, dir)
+
+    val postings = tempTable(
+      "ivf_postings", PartitionSchema(List(PartitionColumn("cell"))), FileFormat.Parquet)
+    ctx.init(postings, user, UpdateMessage("create ivf postings"))
+    assigned.withColumn("cell", col("cell").cast("string"))
+      .versionedInsertInto(ctx, postings, user, UpdateMessage("v1: inverted lists"))
+    val centTable = tempTable("ivf_centroids", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(centTable, user, UpdateMessage("create ivf centroids"))
+    cents.versionedInsertInto(ctx, centTable, user, UpdateMessage("v1: quantizer"))
+
+    // query path: ONLY the persisted index below this line
+    val rcents = VersionedReader(s, log).read(centTable)
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    val probes = emb.where(col("vec_id") < 5)
+      .crossJoin(broadcast(rcents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") <= 2)
+      .select(
+        col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("cell").cast("string").as("cell"))
+    // the probe list: ≤ k·nProbe cell ids to the driver — metadata, the
+    // IVF analogue of a partition-pruning predicate
+    val cells = probes.select("cell").distinct().collect().map(_.getString(0))
+    val scoped = VersionedReader(s, log).read(postings)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val cands = scoped.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineSim(col("embedding"), col("qvec")))
+    Pipeline.topKPerQuery(cands, 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("qid", "rk")
   }
 
   /** Q55: the SQL spelling of the version-diff read — q30's machinery

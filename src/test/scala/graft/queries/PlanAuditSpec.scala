@@ -253,6 +253,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("e29: the persisted-IVF query scans the postings table with a cell partition filter") {
+    val p = plan("e29_persisted_ivf")
+    // the probe list must land as a PARTITION filter on the postings read:
+    // only nProbe/k of the index's files are handed to any task (the
+    // centroid scan in the same plan legitimately has no partition filter)
+    assert(p.split("PartitionFilters: ").exists(_.startsWith("[cell")),
+      s"no cell partition filter on the postings scan:\n$p")
+  }
+
   test("e8b: the corpus band-key table joins by SHUFFLE, never broadcast") {
     val p = plan("e8b_incremental_neardup")
     // at web scale the stored band table is not broadcastable; the
