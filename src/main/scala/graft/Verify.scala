@@ -37,7 +37,9 @@ object Verify {
         }
         try {
           val a = runOnce(cpus)
-          val b = runOnce("5")
+          // alternate partition count must actually differ from cpus, or
+          // both runs share one merge tree and the gate is vacuous
+          val b = runOnce(if (cpus == "5") "7" else "5")
           val diff = a.zipAll(b, "<missing>", "<missing>").find(p => p._1 != p._2)
           diff match {
             case Some((x, y)) =>

@@ -773,10 +773,13 @@ object Pipeline {
     * same shuffled anti-join as e27. */
   def e28QualityDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val quality = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("tok")).as("q"))
+    // ROW-LOCAL quality: distinct-token count needs no corpus explode or
+    // distinct-agg shuffle — the same integer as countDistinct over an
+    // exploded token table, computed map-only (the e5 pattern); the join
+    // below then ships only (doc_id, q) pairs, never tokens
+    val quality = docs.select(
+      col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
     val members = dupComponents(s, dir)
     val byCluster = Window.partitionBy("cluster").orderBy(desc("q"), asc("id"))
     val dropped = members

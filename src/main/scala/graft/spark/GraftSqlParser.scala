@@ -75,16 +75,22 @@ private[spark] object GraftMaintenanceSql {
   // either keyword, so a non-match falls through to the delegate untouched
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+  // ZORDER cols: either a BALANCED paren group or a bare comma list (which
+  // cannot contain parens) — `ZORDER BY (c1, c2` or `ZORDER BY c1)` match
+  // neither alternative, so the whole statement falls through to the stock
+  // parser and fails loudly instead of silently rewriting the table
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+\(?\s*([\w\s,]+?)\s*\)?)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    // dotted-name guard: `DESCRIBE history <col>` on a table literally
-    // named "history" must keep flowing to the stock column-describe; our
-    // resolver needs catalog.db.table anyway
-    case HistoryStmt(ident) if ident.contains(".") =>
+    // guard: intercept only `catalog.db.table` names whose catalog is a
+    // graft catalog (bound, or declared in the session conf for the
+    // logDir-only setup) — `DESCRIBE history addr.city` (column describe
+    // on a table literally named "history") keeps flowing to the stock
+    // parser because "addr" names no graft catalog
+    case HistoryStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftDescribeHistoryCommand(split(ident)))
     case VacuumStmt(ident, keep, grace) =>
       Some(GraftVacuumCommand(
@@ -94,11 +100,21 @@ private[spark] object GraftMaintenanceSql {
     case OptimizeStmt(ident, cols) =>
       Some(GraftOptimizeCommand(
         split(ident),
-        Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+        Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case _ => None
   }
 
   private def split(ident: String): Seq[String] = ident.split("\\.").toSeq
+
+  private def isGraftCatalogRef(parts: Seq[String]): Boolean = parts match {
+    case Seq(cat, _, _) =>
+      GraftTableCatalog.isBound(cat) ||
+        SparkSession.getActiveSession.exists(_.conf
+          .getOption(s"spark.sql.catalog.$cat")
+          .contains(classOf[GraftTableCatalog].getName))
+    case _ => false
+  }
 
   /** Resolve `catalog.db.table` to its binding + definition at EXECUTION
     * time (parse time has no catalog access). Touching the catalog through

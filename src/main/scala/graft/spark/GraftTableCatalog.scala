@@ -622,4 +622,9 @@ object GraftTableCatalog {
       catalogName: String, table: TableName): Option[(Binding, TableDefinition)] =
     bindings.get(catalogName).flatMap(b =>
       b.tables.get(table.fullyQualifiedName).map { case (d, _) => (b, d) })
+
+  /** Parse-time disambiguation for `DESCRIBE HISTORY`: is this name a
+    * bound graft catalog? */
+  private[spark] def isBound(catalogName: String): Boolean =
+    bindings.contains(catalogName)
 }

@@ -427,6 +427,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     // the parser must leave ordinary statements (and their errors) alone
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
     intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
+    // unbalanced ZORDER parens must fail as a parse error, never execute
+    intercept[Exception](spark.sql("OPTIMIZE graftcat.cdb.maint ZORDER BY (id").collect())
+    intercept[Exception](spark.sql("OPTIMIZE graftcat.cdb.maint ZORDER BY id)").collect())
+    // a dotted COLUMN path after a table named like HISTORY stays stock:
+    // "addr" names no graft catalog, so this is a normal analysis error,
+    // not our catalog.db.table complaint
+    val e = intercept[Exception](spark.sql("DESCRIBE history addr.city").collect())
+    e.getMessage should not include "graft maintenance SQL"
 
     // DESCRIBE HISTORY lists the commit log newest-first with coordinates
     val hist = spark.sql("DESCRIBE HISTORY graftcat.cdb.maint").collect()
