@@ -253,6 +253,33 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       contain("db.conft.jsonl")
   }
 
+  test("maintenance SQL works against a pure-conf (logDir) catalog") {
+    val logDir = Files.createTempDirectory("graft_cat_confmaint")
+    spark.conf.set("spark.sql.catalog.graftcm", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcm.logDir", logDir.toString)
+    val loc = Files.createTempDirectory("graft_cat_confmaint_t").toUri
+    spark.sql(
+      s"CREATE TABLE graftcm.db.cmt (id BIGINT, label STRING) USING parquet LOCATION '$loc'")
+    spark.sql("INSERT INTO graftcm.db.cmt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graftcm.db.cmt VALUES (4, 'd')")
+
+    // OPTIMIZE resolves the binding the conf created (execution-time
+    // catalog initialization inside GraftMaintenanceSql.resolve)
+    spark.sql("OPTIMIZE graftcm.db.cmt").collect()
+    spark.sql("SELECT count(*) FROM graftcm.db.cmt").head.getLong(0) shouldBe 4L
+
+    // DESCRIBE HISTORY's parse-time guard accepts the conf-declared
+    // catalog and lists the durable log newest-first
+    val hist = spark.sql("DESCRIBE HISTORY graftcm.db.cmt").collect()
+    hist.length should be >= 4 // create + 2 inserts + optimize
+    hist.head.getString(4) should include("OPTIMIZE")
+
+    // VACUUM reclaims the pre-optimize version dirs from the conf'd log
+    val vac = spark.sql("VACUUM graftcm.db.cmt RETAIN 1 COMMITS GRACE 0 MINUTES").collect()
+    vac.head.getInt(1) should be > 0
+    spark.sql("SELECT count(*) FROM graftcm.db.cmt").head.getLong(0) shouldBe 4L
+  }
+
   test("CREATE TABLE AS SELECT lands as one versioned commit, snapshot and partitioned") {
     val loc1 = Files.createTempDirectory("graft_cat_ctas_snap").toUri
     spark.sql(
