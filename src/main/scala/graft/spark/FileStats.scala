@@ -104,7 +104,16 @@ object FileStats {
       lo: Any,
       hi: Any,
       partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val stats = partitionFilter.foldLeft(loadZoneMaps(spark, log, table))(_.where(_))
+    val zones = loadZoneMaps(spark, log, table)
+    // a sidecar written before partition columns rode the grouping key
+    // (pre-r9) can't evaluate a partition predicate — fall back to
+    // zone-only pruning (a superset, still correct) instead of dying on
+    // an unresolved-column analysis error at collect time
+    val carryCols = table.partitionSchema.columns.map(_.name)
+    val sidecarHasCarry = carryCols.forall(zones.columns.contains)
+    val stats =
+      if (sidecarHasCarry) partitionFilter.foldLeft(zones)(_.where(_))
+      else zones
     val keep = stats
       .where(
         col(s"min_$column").isNull || col(s"max_$column").isNull ||

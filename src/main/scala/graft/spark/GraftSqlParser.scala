@@ -92,12 +92,16 @@ private[spark] object GraftMaintenanceSql {
     // parser because "addr" names no graft catalog
     case HistoryStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftDescribeHistoryCommand(split(ident)))
-    case VacuumStmt(ident, keep, grace) =>
+    // VACUUM/OPTIMIZE carry the same catalog guard as DESCRIBE HISTORY:
+    // stock Spark has neither statement, but a coexisting injected parser
+    // (Delta's, say) may define both — a non-graft (or 1/2-part) name must
+    // fall through to the delegate chain, not die on a graft lookup error
+    case VacuumStmt(ident, keep, grace) if isGraftCatalogRef(split(ident)) =>
       Some(GraftVacuumCommand(
         split(ident),
         Option(keep).map(_.toInt),
         Option(grace).map(_.toLong)))
-    case OptimizeStmt(ident, cols) =>
+    case OptimizeStmt(ident, cols) if isGraftCatalogRef(split(ident)) =>
       Some(GraftOptimizeCommand(
         split(ident),
         Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq

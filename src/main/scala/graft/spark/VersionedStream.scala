@@ -227,18 +227,39 @@ private[spark] final class GraftCdcMicroBatchStream(
   /** A restored offset must still name the commit it was minted against:
     * index `n`'s commit id is recorded in the offset, and a log checkpoint
     * that folded that commit away (or a checkpoint belonging to a different
-    * log) surfaces as a loud mismatch, never a silently-shifted range. */
-  private def validate(off: CommitOffset): Unit = off.last.foreach { id =>
-    val chrono = chronoCommits(h)
-    require(off.commits > 0 && off.commits <= chrono.size &&
-      chrono(off.commits - 1).id.id == id,
-      s"graft CDC offset (${off.commits} commits, last $id) does not match the " +
-        s"commit history of ${h.defn.name.fullyQualifiedName}" +
-        chrono.lift(off.commits - 1).map(c => s" (index now names ${c.id.id})")
-          .getOrElse(s" (history has only ${chrono.size} commits)") +
-        ": the log was checkpointed past a live stream offset, or the " +
-        "checkpoint belongs to a different log; restart the stream from a " +
-        "fresh checkpoint")
+    * log) surfaces as a loud mismatch, never a silently-shifted range.
+    *
+    * A LEGACY offset (pre-id `{"commits":n}` checkpoint) carries no commit
+    * id, so the strongest available check applies instead: the index must
+    * not exceed the current history length — a log checkpointed BELOW the
+    * offset would otherwise silently remap the stream to a different commit
+    * range, the exact failure the id was added to prevent. (One quirk of
+    * the format upgrade: a restored legacy end offset never string-equals
+    * the new id-carrying `latestOffset` JSON, so the engine may plan one
+    * extra micro-batch over an empty commit range on the first restart —
+    * `changedPaths(n, n)` is empty, the batch emits nothing, harmless.) */
+  private def validate(off: CommitOffset): Unit = {
+    lazy val chrono = chronoCommits(h)
+    off.last match {
+      case Some(id) =>
+        require(off.commits > 0 && off.commits <= chrono.size &&
+          chrono(off.commits - 1).id.id == id,
+          s"graft CDC offset (${off.commits} commits, last $id) does not match the " +
+            s"commit history of ${h.defn.name.fullyQualifiedName}" +
+            chrono.lift(off.commits - 1).map(c => s" (index now names ${c.id.id})")
+              .getOrElse(s" (history has only ${chrono.size} commits)") +
+            ": the log was checkpointed past a live stream offset, or the " +
+            "checkpoint belongs to a different log; restart the stream from a " +
+            "fresh checkpoint")
+      case None if off.commits > 0 =>
+        require(off.commits <= chrono.size,
+          s"graft CDC offset (${off.commits} commits, legacy pre-id format) exceeds " +
+            s"the ${chrono.size}-commit history of ${h.defn.name.fullyQualifiedName}: " +
+            "the log was checkpointed past a live stream offset, or the " +
+            "checkpoint belongs to a different log; restart the stream from a " +
+            "fresh checkpoint")
+      case None => ()
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

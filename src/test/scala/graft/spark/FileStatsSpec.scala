@@ -123,7 +123,30 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     one.inputFiles.length should be < all.inputFiles.length
     every(one.inputFiles.toSeq) should include("grp=1")
     one.count() shouldBe 4000L // exactly grp=1's rows reach the scan
+
+    // a PRE-carry-column sidecar (written before partition columns rode
+    // the grouping key) can't evaluate the partition predicate: the read
+    // must fall back to zone-only pruning — a correct superset — instead
+    // of an unresolved-column analysis error
+    val sidecar = spark.read.parquet(statsDirOf(log, table))
+    val legacyCols = sidecar.columns.filterNot(_ == "grp").map(col)
+    sidecar.select(legacyCols.toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(statsDirOf(log, table) + "_legacy")
+    // swap in the legacy sidecar
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(statsDirOf(log, table))
+    fs.delete(dir, true)
+    fs.rename(new org.apache.hadoop.fs.Path(statsDirOf(log, table) + "_legacy"), dir)
+    val fallback = FileStats.readSkipping(
+      spark, log, table, "k", 0L, 7999L, partitionFilter = Some(col("grp") === "1"))
+    fallback.count() shouldBe 8000L // superset: filter ignored, zones keep all
   }
+
+  /** The sidecar dir of the table's CURRENT state (mirrors FileStats.statsDir,
+    * which is private — partitioned tables key by current commit). */
+  private def statsDirOf(log: TableVersions, table: TableDefinition): String =
+    graft.core.Partition.normalizedDir(table.location).toString +
+      "_stats/commit-" + log.currentCommit(table.name).id
 
   test("partitioned sidecars key by the current POINTER: a rollback serves the old state's stats") {
     import org.apache.spark.sql.functions.col

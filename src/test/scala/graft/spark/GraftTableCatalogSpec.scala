@@ -453,7 +453,15 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
 
     // the parser must leave ordinary statements (and their errors) alone
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
-    intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
+    // non-graft names fall through to the DELEGATE parser (which has no
+    // OPTIMIZE/VACUUM statement → stock parse error, never a graft lookup
+    // error) — same guard DESCRIBE HISTORY always had; a coexisting
+    // extension's OPTIMIZE/VACUUM would not be shadowed
+    val optE = intercept[Exception](spark.sql("OPTIMIZE nosuch.db.t").collect())
+    optE.getMessage should not include "graft"
+    val vacE = intercept[Exception](spark.sql("VACUUM nosuch.db.t").collect())
+    vacE.getMessage should not include "graft"
+    intercept[Exception](spark.sql("VACUUM two.part").collect()) // 1/2-part: stock too
     // unbalanced ZORDER parens must fail as a parse error, never execute
     intercept[Exception](spark.sql("OPTIMIZE graftcat.cdb.maint ZORDER BY (id").collect())
     intercept[Exception](spark.sql("OPTIMIZE graftcat.cdb.maint ZORDER BY id)").collect())

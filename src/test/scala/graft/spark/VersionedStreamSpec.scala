@@ -133,6 +133,14 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     // and planning with the stale offset is equally guarded
     intercept[IllegalArgumentException](
       stream.planInputPartitions(consumed, stream.latestOffset()))
+
+    // a LEGACY (pre-id) offset past the shrunken history fails the same
+    // way — the strongest check an id-less offset admits (an in-range
+    // legacy index can't be verified further; documented limitation)
+    val legacyBoom = intercept[IllegalArgumentException](
+      stream.deserializeOffset("""{"commits":3}"""))
+    legacyBoom.getMessage should include("legacy pre-id format")
+    stream.deserializeOffset("""{"commits":2}""") shouldBe CommitOffset(2)
   }
 
   test("an empty commit range plans zero partitions") {
