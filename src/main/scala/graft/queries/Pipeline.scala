@@ -1177,15 +1177,27 @@ object Pipeline {
 
   // ---------------------------------------------------------------- E6
 
-  /** Document fingerprints: whole-text and prefix rolling hashes
-    * (engine-specific hash → rows-only check). */
+  /** Document fingerprints: whole-text and 64-char-prefix xxhash64,
+    * surfaced as a BOUNDED CLAIM the oracle can check (the q11 pattern —
+    * the hash is engine-native, so its VALUES can't be oracle-compared,
+    * but its contract can): a 64-bit fingerprint must be collision-free
+    * on this corpus, so #distinct fingerprints == #distinct texts,
+    * #distinct prefix fingerprints == #distinct 64-char prefixes, and the
+    * explicit collision count is zero. One map + one map-side-combined
+    * global agg — counts only ever reach the driver. Per-doc PORTABLE
+    * fingerprints (value-checked row by row) are e6b's surface. */
   def e6Fingerprint(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(
-        col("doc_id"),
+        col("text"),
         xxhash64(col("text")).as("fp"),
         xxhash64(substring(col("text"), 1, 64)).as("fp_prefix64"))
-      .orderBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        count_distinct(col("fp_prefix64")).as("n_distinct_prefix_fp"),
+        (count_distinct(col("text")) - count_distinct(col("fp")))
+          .as("n_fp_collisions"))
 
   /** E6: polynomial rolling hash `h = (h·31 + c) mod 1e9+7` over the
     * character codes — engine-portable (modular arithmetic, no overflow),

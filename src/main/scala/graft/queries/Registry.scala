@@ -1431,7 +1431,16 @@ object Registry {
              |SELECT bigram, count(*) AS n FROM b
              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
-    "e6_fingerprint" -> Entry(Pipeline.e6Fingerprint, None),
+    // bounded claim (q11 pattern): the oracle computes what a collision-free
+    // 64-bit fingerprint MUST produce — distinct-text counts and a zero
+    // collision count — and the engine's xxhash64 has to deliver it
+    "e6_fingerprint" -> Entry(
+      Pipeline.e6Fingerprint,
+      Some("""SELECT count(*) AS n_rows,
+             |       count(DISTINCT text) AS n_distinct_fp,
+             |       count(DISTINCT substring(text, 1, 64)) AS n_distinct_prefix_fp,
+             |       CAST(0 AS BIGINT) AS n_fp_collisions
+             |FROM documents""".stripMargin)),
     "e6b_rolling_hash" -> Entry(
       Pipeline.e6bRollingHash,
       Some("""SELECT doc_id,
