@@ -20,6 +20,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   OPTIMIZE graft.db.t ZORDER BY (c1, c2)            -- Z-curve clustering
  *   VACUUM graft.db.t                                 -- storage GC
  *   VACUUM graft.db.t RETAIN 5 COMMITS GRACE 0 MINUTES
+ *   VACUUM graft.db.t RETAIN 168 HOURS                -- wall-clock retention
  *   DESCRIBE HISTORY graft.db.t                       -- the commit log
  * }}}
  *
@@ -31,8 +32,10 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  * OPTIMIZE is one ordinary time-travelable commit and VACUUM honors the
  * same retention/grace contract as the programmatic call.
  *
- * Retention units are COMMITS (this engine's retention is commit-count, not
- * wall-clock like Delta's `RETAIN n HOURS`) and grace is MINUTES (matching
+ * Retention accepts both spellings: `RETAIN n COMMITS` (this engine's
+ * native commit-count retention) and `RETAIN n HOURS` (Delta's wall-clock
+ * contract — every commit recorded within the window is retained, next to
+ * the always-kept latest commit). Grace is MINUTES (matching
  * [[Vacuum.DefaultGraceMs]]'s writer-in-flight contract).
  */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -74,7 +77,7 @@ private[spark] object GraftMaintenanceSql {
   // anchored full-statement matches; no stock Spark statement starts with
   // either keyword, so a non-match falls through to the delegate untouched
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+COMMITS)?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(COMMITS|HOURS))?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
   // ZORDER cols: either a BALANCED paren group or a bare comma list (which
   // cannot contain parens) — `ZORDER BY (c1, c2` or `ZORDER BY c1)` match
   // neither alternative, so the whole statement falls through to the stock
@@ -96,11 +99,13 @@ private[spark] object GraftMaintenanceSql {
     // stock Spark has neither statement, but a coexisting injected parser
     // (Delta's, say) may define both — a non-graft (or 1/2-part) name must
     // fall through to the delegate chain, not die on a graft lookup error
-    case VacuumStmt(ident, keep, grace) if isGraftCatalogRef(split(ident)) =>
+    case VacuumStmt(ident, keep, unit, grace) if isGraftCatalogRef(split(ident)) =>
+      val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
       Some(GraftVacuumCommand(
         split(ident),
-        Option(keep).map(_.toInt),
-        Option(grace).map(_.toLong)))
+        keepLast = Option(keep).filterNot(_ => hours).map(_.toInt),
+        retainHours = Option(keep).filter(_ => hours).map(_.toLong),
+        graceMinutes = Option(grace).map(_.toLong)))
     case OptimizeStmt(ident, cols) if isGraftCatalogRef(split(ident)) =>
       Some(GraftOptimizeCommand(
         split(ident),
@@ -190,11 +195,14 @@ final case class GraftDescribeHistoryCommand(parts: Seq[String]) extends LeafRun
   }
 }
 
-/** `VACUUM t [RETAIN n COMMITS] [GRACE n MINUTES]` — storage GC through
-  * [[Vacuum.vacuum]]; driver-side metadata work only. */
+/** `VACUUM t [RETAIN n COMMITS | RETAIN n HOURS] [GRACE n MINUTES]` —
+  * storage GC through [[Vacuum.vacuum]]; driver-side metadata work only.
+  * The HOURS spelling keeps the latest commit plus every commit recorded
+  * within the window ([[Vacuum.vacuum]]'s `retainMs`). */
 final case class GraftVacuumCommand(
     parts: Seq[String],
     keepLast: Option[Int],
+    retainHours: Option[Long],
     graceMinutes: Option[Long]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -206,8 +214,11 @@ final case class GraftVacuumCommand(
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val report = Vacuum.vacuum(
       defn, binding.log, session.sessionState.newHadoopConf(),
-      keepLast = keepLast.getOrElse(3),
-      graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs))
+      // wall-clock retention keeps only the latest commit by count — the
+      // window itself decides what else survives
+      keepLast = keepLast.getOrElse(if (retainHours.isDefined) 1 else 3),
+      graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
+      retainMs = retainHours.map(_ * 3600000L))
     Seq(Row(report.examined, report.deleted.size, report.failed.size))
   }
 }

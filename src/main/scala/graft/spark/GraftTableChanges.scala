@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 
 import graft.core.TableVersions.CommitId
 
@@ -15,7 +15,15 @@ import graft.core.TableVersions.CommitId
  *
  * {{{
  *   SELECT * FROM table_changes('graft.db.t', '<fromCommit>', '<toCommit>')
+ *   SELECT * FROM table_changes('graft.db.t',
+ *     TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-02-01 00:00:00')
  * }}}
+ *
+ * Timestamp endpoints resolve to commits by the same at-or-before rule as
+ * `TIMESTAMP AS OF` time travel ([[VersionedReader.readAsOfTimestamp]]):
+ * each instant names the last commit at or before it, and the diff covers
+ * the changes between those two table STATES — so `(ts1, ts2)` reads
+ * exactly what a reader at ts1 was missing relative to ts2.
  *
  * Registered through `SparkSessionExtensions.injectTableFunction` (the
  * same registry Spark's own `range` TVF lives in), so the stock analyzer
@@ -42,8 +50,30 @@ object GraftTableChanges {
       VersionedReader(spark, binding.log)
         .readChanges(defn, CommitId(String.valueOf(from)), CommitId(String.valueOf(to)))
         .queryExecution.analyzed
+    case Seq(Literal(t, StringType), TimestampMicros(from), TimestampMicros(to)) =>
+      val spark = SparkSession.active
+      val (binding, defn) =
+        GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
+      val reader = VersionedReader(spark, binding.log)
+      reader
+        .readChanges(
+          defn,
+          reader.commitAtOrBefore(defn, from),
+          reader.commitAtOrBefore(defn, to))
+        .queryExecution.analyzed
     case other =>
-      sys.error("graft table_changes takes three string literals: " +
-        s"(catalog.db.table, from_commit, to_commit), got ${other.map(_.sql).mkString(", ")}")
+      sys.error("graft table_changes takes (catalog.db.table, from, to) with " +
+        "from/to both commit-id strings or both TIMESTAMP literals, got " +
+        other.map(_.sql).mkString(", "))
+  }
+
+  /** A folded `TIMESTAMP '...'` literal (LTZ or NTZ — micros since epoch;
+    * the engine pins the session zone to UTC, where the two coincide). */
+  private object TimestampMicros {
+    def unapply(e: Expression): Option[java.time.Instant] = e match {
+      case Literal(micros: java.lang.Long, TimestampType | TimestampNTZType) =>
+        Some(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+      case _ => None
+    }
   }
 }

@@ -34,14 +34,29 @@ object Vacuum {
 
   final case class Report(examined: Int, deleted: List[String], failed: List[String])
 
+  /** `keepLast` retains by commit COUNT; `retainMs` additionally retains by
+    * commit AGE (every commit whose recorded timestamp is within the
+    * window — the SQL `RETAIN n HOURS` spelling, Delta's wall-clock
+    * contract). When both apply the retained set is the UNION: age-based
+    * retention can only widen the count-based window, never narrow it
+    * below the latest `keepLast` commits. */
   def vacuum(
       table: TableDefinition,
       log: TableVersions,
       hadoopConf: Configuration,
       keepLast: Int = 3,
-      graceMs: Long = DefaultGraceMs): Report = {
+      graceMs: Long = DefaultGraceMs,
+      retainMs: Option[Long] = None): Report = {
 
-    val commits = log.updates(table.name).take(math.max(keepLast, 1))
+    val updates = log.updates(table.name) // most recent first
+    val byCount = updates.take(math.max(keepLast, 1))
+    val byAge = retainMs.toList.flatMap { ms =>
+      val cut = System.currentTimeMillis() - math.max(ms, 0L)
+      // the log is chronologically ordered; commits are newest-first, so
+      // the in-window prefix is exactly the age-retained set
+      updates.takeWhile(_.timestamp.toEpochMilli >= cut)
+    }
+    val commits = (byCount ++ byAge).distinctBy(_.id)
     val states = log.currentVersion(table.name) ::
       commits.map(c => log.versionAt(table.name, c.id))
 

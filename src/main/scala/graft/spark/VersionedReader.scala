@@ -34,13 +34,18 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     * commit at or before `asOf` (the Scala-API twin of SQL `TIMESTAMP AS
     * OF`, same resolution rule as the DSv2 catalog). Errors when the
     * instant predates the table's first commit. */
-  def readAsOfTimestamp(table: TableDefinition, asOf: java.time.Instant): DataFrame = {
-    val commit = log.updates(table.name) // most recent first
+  def readAsOfTimestamp(table: TableDefinition, asOf: java.time.Instant): DataFrame =
+    readAsOf(table, commitAtOrBefore(table, asOf))
+
+  /** The LAST commit at or before `asOf` — the shared resolution rule of
+    * `TIMESTAMP AS OF` time travel and timestamp-ranged `table_changes`.
+    * Errors when the instant predates the table's first commit. */
+  def commitAtOrBefore(table: TableDefinition, asOf: java.time.Instant): CommitId =
+    log.updates(table.name) // most recent first
       .find(!_.timestamp.isAfter(asOf))
       .getOrElse(throw new IllegalArgumentException(
         s"table ${table.name.fullyQualifiedName} has no commit at or before $asOf"))
-    readAsOf(table, commit.id)
-  }
+      .id
 
   /** Read ONLY `partitions` at the table's current version — the pruned
     * input of partition-scoped operations ([[Merge.mergeInto]] reads just

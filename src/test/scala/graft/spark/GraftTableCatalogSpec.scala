@@ -445,6 +445,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT sum(id) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 820L
     log.updates(table.name).head.message.content should include("ZORDER")
 
+    // VACUUM RETAIN n HOURS (wall-clock retention, the Delta spelling):
+    // every commit here was recorded seconds ago, so a 1000-hour window
+    // retains them all — nothing is reclaimed even at zero grace
+    val vacHours = spark.sql(
+      "VACUUM graftcat.cdb.maint RETAIN 1000 HOURS GRACE 0 MINUTES").collect()
+    vacHours.head.getInt(0) should be > 0 // examined the version dirs
+    vacHours.head.getInt(1) shouldBe 0    // all states inside the window
+
     // VACUUM: the fragmented v1 dirs age out of a retain-1 window
     val vac = spark.sql(
       "VACUUM graftcat.cdb.maint RETAIN 1 COMMITS GRACE 0 MINUTES").collect()
@@ -513,8 +521,31 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       s"""SELECT count(*) FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2')
          |WHERE label = 'b'""".stripMargin).head.getLong(0) shouldBe 1L
 
-    // non-literal / wrong-arity calls fail loudly, unknown TVFs untouched
+    // TIMESTAMP endpoints resolve by the at-or-before rule (the q53 /
+    // TIMESTAMP AS OF contract): each instant names the last commit at or
+    // before it, so (just-after-v1, just-after-v2) reads the same diff as
+    // the commit-id call (+1 ms: SQL literals are micros, commit instants
+    // carry nanos — truncation would land just before the commit)
+    def tsLit(c: String): String = log.updates(table.name)
+      .find(_.id.id == c).get.timestamp.plusMillis(1)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    spark.sql(
+      s"""SELECT id, label FROM table_changes('graftcat.cdb.tvf',
+         |  TIMESTAMP '${tsLit(v1)}', TIMESTAMP '${tsLit(v2)}') ORDER BY id""".stripMargin)
+      .as[CatRow].collect() shouldBe Array(CatRow(3, "b"))
+    // an instant before the first commit can't name a state
+    intercept[Exception](spark.sql(
+      s"""SELECT * FROM table_changes('graftcat.cdb.tvf',
+         |  TIMESTAMP '1999-01-01 00:00:00', TIMESTAMP '${tsLit(v2)}')""".stripMargin)
+      .collect())
+
+    // non-literal / wrong-arity / mixed-type calls fail loudly, unknown
+    // TVFs untouched
     intercept[Exception](spark.sql("SELECT * FROM table_changes('graftcat.cdb.tvf')").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('graftcat.cdb.tvf', '$v1', TIMESTAMP '${tsLit(v2)}')")
+      .collect())
     intercept[Exception](spark.sql("SELECT * FROM no_such_tvf(1)").collect())
   }
 
