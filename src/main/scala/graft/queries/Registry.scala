@@ -713,6 +713,10 @@ object Registry {
     // SAME probes from the index — so the e3e oracle verifies the whole
     // build→commit→partition-pruned-read round trip byte-for-byte
     "e29_persisted_ivf" -> Entry(Versioned.e29PersistedIvf, Some(ivfOracleSql)),
+    // e30 maintains e29's index INCREMENTALLY (base build + MERGE ingest of
+    // the arriving batch into only its touched cells); sharing the full-
+    // rebuild oracle is exactly the incremental == full-rebuild proof
+    "e30_ivf_ingest" -> Entry(Versioned.e30IvfIngest, Some(ivfOracleSql)),
     "e3d_label_centroids" -> Entry(
       Pipeline.e3dLabelCentroids,
       Some("""SELECT label,

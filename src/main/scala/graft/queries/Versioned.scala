@@ -570,6 +570,109 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** E30: INCREMENTAL IVF index maintenance — the missing piece after e29:
+    * a corpus append must cost O(batch), never a full index rebuild
+    * (O(corpus) per ingest is the production scale-killer for a 100 TB ANN
+    * story). The coarse quantizer is trained ONCE and persisted (standard
+    * IVF practice — retraining is a rare offline event, not an ingest-path
+    * step); ingest then composes the e17 assignment machinery with Q36's
+    * MERGE:
+    *
+    *  1. the arriving vectors cross-join the PERSISTED broadcast centroid
+    *     table and take the argmax cell (row-local scoring, window keyed
+    *     by vec_id — O(batch·k) work, spreads over all reducers);
+    *  2. [[graft.spark.Merge.mergeInto]] upserts them into the
+    *     cell-partitioned postings table — `cell` is the partition key, so
+    *     ONLY the batch's cells are read and rewritten; every untouched
+    *     cell keeps its version pointer (asserted below via the log, not
+    *     just claimed), and the ingest is one ordinary commit with
+    *     time-travel/rollback for free.
+    *
+    * The query path is byte-identical to e29 over the merged index, so the
+    * shared e3e oracle ALSO proves incremental == full rebuild: the final
+    * postings must equal what a from-scratch build over the whole corpus
+    * produces. */
+  def e30IvfIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.cosineSim
+    val (ctx, log) = freshContext()
+    val (cents, assigned, _) = Pipeline.ivfQuantizer(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+
+    // the arriving batch: the vectors that quantize into cells 8/9 (labels
+    // alone don't bound the assignment — the synthetic clusters overlap),
+    // so the touched-partition contract is observable: 2 of 10 inverted
+    // lists should move, 8 must not
+    val newIds = assigned.where(col("cell") >= 8).select("vec_id")
+
+    val postings = tempTable(
+      "ivf_postings_inc", PartitionSchema(List(PartitionColumn("cell"))), FileFormat.Parquet)
+    ctx.init(postings, user, UpdateMessage("create ivf postings"))
+    val centTable = tempTable("ivf_centroids_inc", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(centTable, user, UpdateMessage("create ivf centroids"))
+    cents.versionedInsertInto(ctx, centTable, user, UpdateMessage("v1: quantizer"))
+    // initial build: index the BASE corpus only (the one-time O(corpus) job)
+    assigned.join(newIds, Seq("vec_id"), "left_anti")
+      .withColumn("cell", col("cell").cast("string"))
+      .versionedInsertInto(ctx, postings, user, UpdateMessage("v1: base inverted lists"))
+    val baseVersions = partitionVersions(log, postings)
+
+    // ---- the ingest path: O(batch) from here ----
+    val rcents = VersionedReader(s, log).read(centTable)
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    val newPostings = emb.join(newIds, Seq("vec_id"))
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(rcents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("string").as("cell"))
+    graft.spark.Merge.mergeInto(
+      ctx, log, postings, newPostings, Seq("vec_id"),
+      user, UpdateMessage("v2: ingest batch into touched cells"))
+
+    // the incremental contract, checked against the COMMIT LOG: the cells
+    // the batch landed in moved; every other inverted list kept its exact
+    // version pointer (no full rebuild happened)
+    val afterVersions = partitionVersions(log, postings)
+    val moved = afterVersions.collect {
+      case (p, v) if !baseVersions.get(p).contains(v) => p
+    }.toSet
+    val batchCells = newPostings.select("cell").distinct()
+      .collect().map(r => s"cell=${r.getString(0)}").toSet // ≤ k ids: metadata
+    require(moved.map(_.toString) == batchCells,
+      s"ingest must rewrite exactly the batch's cells: moved $moved, batch $batchCells")
+    require(afterVersions.size > moved.size,
+      "no inverted list survived untouched — the ingest degenerated to a rebuild")
+
+    // query path: identical to e29 over the incrementally maintained index
+    val byQ = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    val probes = emb.select("vec_id", "embedding").where(col("vec_id") < 5)
+      .crossJoin(broadcast(rcents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= 2)
+      .select(
+        col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("cell").cast("string").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getString(0))
+    val scoped = VersionedReader(s, log).read(postings)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val cands = scoped.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineSim(col("embedding"), col("qvec")))
+    Pipeline.topKPerQuery(cands, 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
+  /** The partition→version map of a partitioned table's current state. */
+  private def partitionVersions(
+      log: TableVersions, table: TableDefinition): Map[Partition, Version] =
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs.toMap
+      case other => sys.error(s"expected a partitioned state, got $other")
+    }
+
   /** Q55: the SQL spelling of the version-diff read — q30's machinery
     * replayed as a `table_changes('cat.db.t', c1, c2)` table-valued
     * function inside ordinary SQL text ([[graft.spark.GraftTableChangesRule]]

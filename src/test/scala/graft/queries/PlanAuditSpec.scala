@@ -262,6 +262,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       s"no cell partition filter on the postings scan:\n$p")
   }
 
+  test("e30: the incrementally-maintained IVF index still probes via a cell partition filter") {
+    val p = plan("e30_ivf_ingest")
+    // the e29 read-path contract must survive incremental maintenance: the
+    // MERGE-ingested postings table is still partition-pruned by probe list.
+    // (The write-side contract — only the batch's cells rewrite, the other
+    // inverted lists keep their version pointers — is asserted against the
+    // commit log inside the query itself, which is stronger than a plan pin.)
+    assert(p.split("PartitionFilters: ").exists(_.startsWith("[cell")),
+      s"no cell partition filter on the postings scan:\n$p")
+  }
+
   test("e8b: the corpus band-key table joins by SHUFFLE, never broadcast") {
     val p = plan("e8b_incremental_neardup")
     // at web scale the stored band table is not broadcastable; the
