@@ -1280,6 +1280,29 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s12_stream_merge_sink" -> Entry(
+      StreamingQueries.s12StreamMergeSink,
+      // replay of the upsert sequence: v1 bootstraps the keys, the R delta
+      // overrides matching keys and inserts the rest — kept v1 rows are the
+      // NOT EXISTS remainder
+      Some("""WITH base AS (SELECT l_orderkey, l_returnflag,
+             |                     round(sum(l_quantity), 2) AS qty,
+             |                     count(*) AS n_items
+             |              FROM lineitem GROUP BY 1, 2),
+             |v1 AS (SELECT * FROM base WHERE l_orderkey % 3 <> 0),
+             |d AS (SELECT l_orderkey, l_returnflag, round(qty * 2, 2) AS qty, n_items
+             |      FROM base WHERE l_returnflag = 'R' AND l_orderkey % 2 = 0),
+             |m AS (SELECT * FROM d
+             |      UNION ALL
+             |      SELECT v1.* FROM v1 WHERE NOT EXISTS (
+             |        SELECT 1 FROM d
+             |        WHERE d.l_orderkey = v1.l_orderkey
+             |          AND d.l_returnflag = v1.l_returnflag))
+             |SELECT l_returnflag, count(*) AS n_keys,
+             |       round(sum(qty), 2) AS sum_qty,
+             |       CAST(sum(n_items) AS BIGINT) AS n_items
+             |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s10_versioned_cdc_source" -> Entry(
       StreamingQueries.s10VersionedCdcSource,
       // disjoint-partition commits stream each partition exactly once: the

@@ -343,6 +343,79 @@ object StreamingQueries {
       .orderBy("l_returnflag")
   }
 
+  /** S12: streaming MERGE sink — the production CDC-APPLY shape, composing
+    * the CDC source with Q36's MERGE ([[graft.streaming.Streams.mergeSink]]):
+    * each micro-batch UPSERTS by key into a versioned target instead of
+    * replacing partitions (s07/s08's contract), so unmatched existing rows
+    * survive even inside the partitions a batch touches. Batch 1 bootstraps
+    * the key set; a delta commit lands AFTER the first drain, so the upsert
+    * really flows through a second micro-batch that updates half of R's
+    * keys, inserts the missing ones, keeps the rest — and, asserted against
+    * the commit log, rewrites ONLY the R partition of the target. The
+    * oracle replays the upsert sequence relationally. */
+  def s12StreamMergeSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))),
+        FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val feed = mkTable("merge_feed")
+    val target = mkTable("merge_tgt")
+    // one row per key: TPC-H quantities are integral, so the 2-dp sums are
+    // exact and the doubled delta below stays FP-safe
+    val base = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n_items"))
+      .select("l_orderkey", "qty", "n_items", "l_returnflag")
+    base.where(col("l_orderkey") % 3 =!= 0)
+      .versionedInsertInto(ctx, feed, user, UpdateMessage("v1: initial keyed load"))
+    def targetVersions(): Map[String, String] =
+      log.currentVersion(target.name) match {
+        case PartitionedTableVersion(pvs) =>
+          pvs.map { case (p, v) => p.toString -> v.label }
+        case other => sys.error(s"expected a partitioned target state, got $other")
+      }
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.streaming.Streams.mergeSink(
+        graft.spark.VersionedStream.readStream(s, log, feed),
+        ctx, log, target, Seq("l_orderkey", "l_returnflag"), user)
+        .start()
+    }
+    try {
+      q.processAllAvailable() // batch 1: bootstrap every v1 key
+      val afterB1 = targetVersions()
+      // the delta: half of R's keys — updates where v1 had the key,
+      // inserts where it didn't (l_orderkey % 6 == 0), one partition
+      base.where(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0)
+        .withColumn("qty", round(col("qty") * 2, 2))
+        .versionedInsertInto(ctx, feed, user, UpdateMessage("v2: R delta"))
+      q.processAllAvailable() // batch 2: keyed upsert of the delta
+      val moved = targetVersions().collect {
+        case (p, v) if !afterB1.get(p).contains(v) => p
+      }.toSet
+      require(moved == Set("l_returnflag=R"),
+        s"the delta batch must rewrite exactly the R partition, moved: $moved")
+    } finally q.stop()
+    graft.spark.VersionedReader(s, log).read(target)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        round(sum("qty"), 2).as("sum_qty"),
+        sum("n_items").as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -156,4 +156,31 @@ object Streams {
         batch.versionedInsertInto(ctx, table, user, UpdateMessage(s"micro-batch $batchId"))
       ()
     }
+
+  /** MERGE sink: each micro-batch UPSERTS into `table` by `keyCols`
+    * through [[graft.spark.Merge.mergeInto]] — the production CDC-apply
+    * shape, complementing [[versionedSink]]'s replace-partitions contract:
+    * matched keys take the batch's row, unmatched existing rows SURVIVE
+    * (including in the partitions the batch touches), unmatched batch rows
+    * insert. Each batch is one ordinary commit reading and rewriting ONLY
+    * the partitions present in the batch, so applying a keyed change feed
+    * to a 100 TB table costs O(touched partitions) per micro-batch.
+    *
+    * The batch must be unique per key (pre-aggregate upstream if the feed
+    * can carry multiple changes per key in one batch — last-write-wins
+    * collapsing is the caller's policy, not the sink's). */
+  def mergeSink[T](
+      stream: Dataset[T],
+      ctx: VersionContext,
+      log: graft.core.TableVersions,
+      table: TableDefinition,
+      keyCols: Seq[String],
+      user: UserId): DataStreamWriter[T] =
+    stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      if (!batch.isEmpty)
+        graft.spark.Merge.mergeInto(
+          ctx, log, table, batch.toDF(), keyCols, user,
+          UpdateMessage(s"merge micro-batch $batchId"))
+      ()
+    }
 }
