@@ -286,6 +286,14 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q56_equality_skipping" -> Entry(
+      Versioned.q56EqualitySkipping,
+      // distinct-value-sketch pruning must be row-invisible: the one-file
+      // scan answers exactly the unpruned relational query
+      Some("""SELECT count(*) AS n_parts,
+             |       round(sum(p_retailprice), 2) AS sum_price,
+             |       count(DISTINCT p_type) AS n_types
+             |FROM part WHERE p_brand = 'Brand#1'""".stripMargin)),
     "q42_incremental_agg" -> Entry(
       Versioned.q42IncrementalAgg,
       // the oracle FULL-recomputes the aggregate over the final source

@@ -570,6 +570,40 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** Q56: EQUALITY data skipping — the pruning dimension zones can't
+    * cover: `col = 'x'` against hash-clustered (or unclustered) data has
+    * every file's `[min, max]` spanning the whole domain, so range zones
+    * keep everything; the per-file distinct-value sketches
+    * ([[graft.spark.FileStats.zoneMaps]] `distinctCols` — exact sorted
+    * lists under a cardinality cap, the ORC-dictionary trick) still drop
+    * every file whose value list misses the probe. The layout here is the
+    * adversarial one: `part` hash-repartitioned by brand, which pins all
+    * of a brand's rows into ONE of 8 files while leaving zone ranges
+    * fully overlapping — the probe must scan exactly that file (asserted
+    * below), and the rows hash-match the unpruned relational answer. */
+  def q56EqualitySkipping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("part_dvskip", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create part_dvskip"))
+    Tables.load(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_retailprice")
+      .repartition(8, col("p_brand")) // hash layout: zones span the domain
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: brand-hash-clustered"))
+    graft.spark.FileStats.writeZoneMaps(
+      s, log, table, Seq("p_brand"), distinctCols = Seq("p_brand"))
+    val pruned = graft.spark.FileStats
+      .readSkippingEquals(s, log, table, "p_brand", Seq("Brand#1"))
+    val total = VersionedReader(s, log).read(table).inputFiles.length
+    require(pruned.inputFiles.length == 1 && total > 1,
+      s"equality sketch must prune to the single brand file: " +
+        s"${pruned.inputFiles.length} of $total scanned")
+    pruned.where(col("p_brand") === "Brand#1")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(sum("p_retailprice"), 2).as("sum_price"),
+        count_distinct(col("p_type")).as("n_types"))
+  }
+
   /** E30: INCREMENTAL IVF index maintenance — the missing piece after e29:
     * a corpus append must cost O(batch), never a full index rebuild
     * (O(corpus) per ingest is the production scale-killer for a 100 TB ANN

@@ -34,15 +34,35 @@ import graft.core._
  */
 object FileStats {
 
+  /** Distinct-value sketches wider than this store NULL ("unknown — keep
+    * the file"), bounding sidecar size: the ORC-dictionary trick — exact
+    * lists only where they're small enough to be useful. */
+  val DefaultDistinctCap: Int = 64
+
   /** Per-file zone maps for `cols` over any DataFrame backed by a file
     * scan: `file, [carryCols…,] n_rows, min_<c>, max_<c>…` — one
     * distributed agg pass, result cardinality O(#files). `carryCols` ride
     * the grouping key (each file holds exactly one value of them — e.g.
-    * partition columns), so they become queryable sidecar columns. */
-  def zoneMaps(df: DataFrame, cols: Seq[String], carryCols: Seq[String] = Nil): DataFrame = {
+    * partition columns), so they become queryable sidecar columns.
+    *
+    * `distinctCols` adds per-file EXACT distinct-value lists (`dv_<c>`,
+    * sorted, NULL above `distinctCap`) — the pruning complement to
+    * min/max zones: a range zone on a hash-clustered or unclustered
+    * column spans everything, but an equality/IN predicate can still drop
+    * every file whose value list misses the probe values. */
+  def zoneMaps(
+      df: DataFrame,
+      cols: Seq[String],
+      carryCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil,
+      distinctCap: Int = DefaultDistinctCap): DataFrame = {
     require(cols.nonEmpty, "zoneMaps needs at least one stats column")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = (count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      distinctCols.map(c =>
+        when(size(collect_set(col(c))) <= distinctCap,
+          sort_array(collect_set(col(c))))
+          .otherwise(lit(null)).as(s"dv_$c"))
     df.groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -76,10 +96,12 @@ object FileStats {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      cols: Seq[String]): Unit =
+      cols: Seq[String],
+      distinctCols: Seq[String] = Nil): Unit =
     zoneMaps(
       VersionedReader(spark, log).read(table), cols,
-      carryCols = table.partitionSchema.columns.map(_.name))
+      carryCols = table.partitionSchema.columns.map(_.name),
+      distinctCols = distinctCols)
       .write.mode("overwrite").parquet(statsDir(log, table))
 
   /** The sidecar zone maps of the table's current state. */
@@ -103,7 +125,48 @@ object FileStats {
       column: String,
       lo: Any,
       hi: Any,
+      partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    prunedScan(spark, log, table, partitionFilter)(stats =>
+      stats.where(
+        col(s"min_$column").isNull || col(s"max_$column").isNull ||
+          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))))
+
+  /** Scan the table's current version reading ONLY the files whose
+    * distinct-value sketch (`dv_<column>`, written via `distinctCols`)
+    * intersects `values` — EQUALITY/IN skipping, which prunes where zones
+    * can't: a `col = 'x'` probe against hash-clustered (or merely
+    * unclustered) data has every file's `[min, max]` spanning the domain,
+    * but most files' value LISTS miss the probe. Files whose sketch is
+    * NULL (cardinality above the cap, or all-null values) are kept —
+    * the sketch only ever narrows. Same superset guarantee: callers
+    * apply the row-level predicate on top. */
+  def readSkippingEquals(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      column: String,
+      values: Seq[Any],
       partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(values.nonEmpty, "equality skipping needs at least one probe value")
+    prunedScan(spark, log, table, partitionFilter) { stats =>
+      require(stats.columns.contains(s"dv_$column"),
+        s"sidecar has no distinct-value sketch for '$column' — rewrite zone " +
+          s"maps with distinctCols = Seq(${'"'}$column${'"'})")
+      stats.where(
+        col(s"dv_$column").isNull ||
+          arrays_overlap(col(s"dv_$column"), array(values.map(lit): _*)))
+    }
+  }
+
+  /** Shared pruned-scan tail: apply the partition predicate to the sidecar
+    * (when it carries the partition columns), let `filePredicate` narrow
+    * the O(#files) metadata, and hand Spark the surviving file list. */
+  private def prunedScan(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      partitionFilter: Option[org.apache.spark.sql.Column])(
+      filePredicate: DataFrame => DataFrame): DataFrame = {
     val zones = loadZoneMaps(spark, log, table)
     // a sidecar written before partition columns rode the grouping key
     // (pre-r9) can't evaluate a partition predicate — fall back to
@@ -114,10 +177,7 @@ object FileStats {
     val stats =
       if (sidecarHasCarry) partitionFilter.foldLeft(zones)(_.where(_))
       else zones
-    val keep = stats
-      .where(
-        col(s"min_$column").isNull || col(s"max_$column").isNull ||
-          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi)))
+    val keep = filePredicate(stats)
       .select("file")
       .collect()
       .map(_.getString(0))

@@ -46,6 +46,48 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     stats.map(_.getAs[Long]("max_k")).max shouldBe 7999L
   }
 
+  test("equality skipping prunes by distinct-value sketch; over-cap sketches are NULL and kept") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dvskip"),
+      Files.createTempDirectory("graft_spec_dvskip").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // grp = g0..g7 hash-spread over 4 files: each file holds ~2 groups but
+    // its [min, max] STRING zone spans nearly the whole domain — the
+    // adversarial layout for range zones, the home turf of value sketches
+    spark.range(4000).toDF("k")
+      .withColumn("grp", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("g"), col("k") % 8))
+      .repartition(4, col("grp"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: hash layout"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("grp"), distinctCols = Seq("grp"))
+    val totalFiles = VersionedReader(spark, log).read(table).inputFiles.length
+
+    val pruned = FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3"))
+    pruned.inputFiles.length shouldBe 1 // hash layout: one file owns g3
+    totalFiles should be > 1
+    pruned.where(col("grp") === "g3").count() shouldBe 500L
+    // IN-list probes union the kept files
+    FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3", "no_such"))
+      .where(col("grp") === "g3").count() shouldBe 500L
+
+    // a sketch over the cap stores NULL → the file is KEPT, never dropped:
+    // k has 1000 distinct values per file, far over DefaultDistinctCap
+    FileStats.writeZoneMaps(spark, log, table, Seq("grp"), distinctCols = Seq("k"))
+    val overCap = FileStats.readSkippingEquals(spark, log, table, "k", Seq(17L))
+    overCap.inputFiles.length shouldBe totalFiles // no sketch → no pruning
+    overCap.where(col("k") === 17L).count() shouldBe 1L
+
+    // asking for a column with no sketch fails loudly, not silently full-scans
+    val boom = intercept[IllegalArgumentException](
+      FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3")).count())
+    boom.getMessage should include("no distinct-value sketch")
+  }
+
   test("readSkipping drops files outside the predicate range, keeps every matching row") {
     import org.apache.spark.sql.functions.col
     val (table, log) = rangeClusteredTable()
