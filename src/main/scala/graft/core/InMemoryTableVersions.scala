@@ -45,6 +45,29 @@ final class InMemoryTableVersions extends TableVersions {
       }
     }
 
+  override def commitIf(
+      table: TableName, update: TableUpdate, expected: CommitId): Boolean = {
+    // the flag rides the CAS loop: only the attempt that wins the
+    // compareAndSet leaves its value behind
+    var applied = false
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) if state.updates.exists(_.metadata.id == update.metadata.id) =>
+          Left(new IllegalArgumentException(
+            s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}"))
+        case Some(state) if state.currentVersion != expected =>
+          applied = false
+          Right(states) // conflict: another writer moved the pointer — no-op
+        case Some(state) =>
+          applied = true
+          Right(states + (table ->
+            TableState(currentVersion = update.metadata.id, updates = state.updates :+ update)))
+      }
+    }
+    applied
+  }
+
   override def setCurrentVersion(table: TableName, id: CommitId): Unit =
     modify { states =>
       states.get(table) match {

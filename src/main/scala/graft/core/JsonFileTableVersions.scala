@@ -321,6 +321,22 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       appendLines(table, Seq(commitLine(update)))
     }
 
+  override def commitIf(
+      table: TableName, update: TableUpdate, expected: CommitId): Boolean =
+    withTableLock(table) {
+      // state re-loads INSIDE the lock, so the pointer check and the append
+      // are one serialized step against every other mutating writer
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      if (state.updates.exists(_.metadata.id == update.metadata.id))
+        throw new IllegalArgumentException(
+          s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
+      if (state.currentVersion != expected) false
+      else {
+        appendLines(table, Seq(commitLine(update)))
+        true
+      }
+    }
+
   override def setCurrentVersion(table: TableName, id: CommitId): Unit =
     withTableLock(table) {
       val state = loadState(table).getOrElse(throw unknownTableError(table))

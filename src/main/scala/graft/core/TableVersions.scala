@@ -62,6 +62,17 @@ trait TableVersions {
   /** Append an update atomically; the new commit becomes current. */
   def commit(table: TableName, update: TableUpdate): Unit
 
+  /** Optimistic-concurrency commit: append `update` (pointer moves to it)
+    * ONLY if `expected` still names the current commit; returns false —
+    * committing nothing — when another writer moved the pointer first. The
+    * check and the append are one atomic step (the CAS loop for the
+    * in-memory log, the table lock for the file log), so two racing
+    * snapshot writers resolve to exactly one winner and one loud,
+    * retryable loser instead of a silent last-write-wins lost update.
+    * Disjoint-partition writers don't need it: their commits compose by
+    * construction and use plain [[commit]]. */
+  def commitIf(table: TableName, update: TableUpdate, expected: CommitId): Boolean
+
   /** Move the current pointer to an existing commit (rollback). Errors on an
    * unknown table or commit id. */
   def setCurrentVersion(table: TableName, id: CommitId): Unit

@@ -43,6 +43,16 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
     syncCatalog(table)
   }
 
+  /** Optimistic-concurrency commit ([[TableVersions.commitIf]]): applies —
+    * and syncs the catalog — only if `expected` still names the current
+    * commit. `None` = conflict; neither the log nor the catalog changed. */
+  def commitIf(
+      table: TableName,
+      update: TableUpdate,
+      expected: CommitId): Option[(TableVersion, TableChanges)] =
+    if (tableVersions.commitIf(table, update, expected)) Some(syncCatalog(table))
+    else None
+
   /** Select an existing commit as current and sync the metastore to match
    * (rollback / checkout — reference `VersionedMetastore.scala:59-66`). */
   def checkout(table: TableName, id: CommitId): Unit = {

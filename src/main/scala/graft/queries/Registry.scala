@@ -286,6 +286,18 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q57_multi_writer" -> Entry(
+      Versioned.q57MultiWriterConflict,
+      // the surviving sequence: disjoint partition writers union; of the
+      // racing snapshot writers, the refused writer's RETRY state is final
+      Some("""SELECT 'partitioned' AS section, l_returnflag AS grp,
+             |       count(*) AS n_rows, round(sum(l_quantity), 2) AS total
+             |FROM lineitem GROUP BY 2
+             |UNION ALL
+             |SELECT 'snapshot', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+             |FROM orders WHERE o_orderstatus = 'O'
+             |GROUP BY 2
+             |ORDER BY section, grp""".stripMargin)),
     "q56_equality_skipping" -> Entry(
       Versioned.q56EqualitySkipping,
       // distinct-value-sketch pruning must be row-invisible: the one-file

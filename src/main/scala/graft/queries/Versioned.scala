@@ -570,6 +570,73 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** Q57: MULTI-WRITER commit semantics as a driver-visible query, over
+    * the DURABLE file log (the medium real concurrent writers share —
+    * its lock/torn-tail machinery is contention-tested in
+    * `TableVersionsContractSpec`/`JsonFileTableVersions` suites):
+    *
+    *  - DISJOINT-PARTITION writers interleave freely: both derived their
+    *    input before either committed, both commits land, the final state
+    *    is their union — partition commits compose by construction.
+    *  - SNAPSHOT writers race: two writers observe the same commit; the
+    *    first [[graft.spark.VersionContext.DatasetVersionOps.versionedInsertIntoIf]]
+    *    wins, the second is REFUSED (optimistic-concurrency check under
+    *    the table lock — a loud conflict, not a silent lost update), the
+    *    log stays uncorrupted, and the loser's retry against the fresh
+    *    commit succeeds.
+    *
+    * The oracle replays the surviving sequence relationally: the union of
+    * both partition writers, and the retry's snapshot contents. */
+  def q57MultiWriterConflict(s: SparkSession, dir: String): DataFrame = {
+    val logDir = Files.createTempDirectory("graft_q57_log")
+    val log = JsonFileTableVersions(logDir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+
+    // A: disjoint-partition writers
+    val part = tempTable(
+      "li_mw", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(part, user, UpdateMessage("create li_mw"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_returnflag") === "A")
+      .versionedInsertInto(ctx, part, user, UpdateMessage("writer-1: A partition"))
+    li.where(col("l_returnflag") =!= "A")
+      .versionedInsertInto(ctx, part, user, UpdateMessage("writer-2: N+R partitions"))
+    require(log.updates(part.name).size == 3, "init + both partition writers must land")
+
+    // B: snapshot writers racing from the same observed commit
+    val snap = tempTable("ord_mw", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(snap, user, UpdateMessage("create ord_mw"))
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ord.where(col("o_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, snap, user, UpdateMessage("v1: base"))
+    val observed = log.currentCommit(snap.name) // BOTH writers read this state
+    val winner = ord.where(col("o_orderstatus") === "F")
+      .versionedInsertIntoIf(ctx, snap, user, UpdateMessage("writer-A: F orders"), observed)
+    require(winner.isDefined, "writer A raced nobody and must commit")
+    val loser = ord.where(col("o_orderstatus") === "O")
+      .versionedInsertIntoIf(ctx, snap, user, UpdateMessage("writer-B: O orders"), observed)
+    require(loser.isEmpty, "writer B must LOSE the optimistic race, not last-write-win")
+    require(log.updates(snap.name).head.message.content == "writer-A: F orders",
+      "the conflict must leave writer A's commit current and the log uncorrupted")
+    val retried = ord.where(col("o_orderstatus") === "O")
+      .versionedInsertIntoIf(
+        ctx, snap, user, UpdateMessage("writer-B: retry"), log.currentCommit(snap.name))
+    require(retried.isDefined, "writer B's retry on the fresh commit must succeed")
+
+    val reader = VersionedReader(s, log)
+    val pa = reader.read(part)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("total"))
+      .select(lit("partitioned").as("section"), col("grp"), col("n_rows"), col("total"))
+    val sa = reader.read(snap)
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("snapshot").as("section"), col("grp"), col("n_rows"), col("total"))
+    pa.unionByName(sa).orderBy("section", "grp")
+  }
+
   /** Q56: EQUALITY data skipping — the pruning dimension zones can't
     * cover: `col = 'x'` against hash-clustered (or unclustered) data has
     * every file's `[min, max]` spanning the whole domain, so range zones

@@ -62,6 +62,31 @@ object VersionContext {
       val update = TableUpdate(userId, message, Instant.now(), ops)
       ctx.metastore.commit(table.name, update)
     }
+
+    /** Optimistic-concurrency variant of [[versionedInsertInto]]: the data
+      * lands as usual (version dirs are invisible until referenced), but
+      * the commit applies only if `expected` still names the table's
+      * current commit. On conflict returns None and the fresh version dirs
+      * stay orphaned — never referenced, reclaimed by vacuum — so the
+      * losing writer re-reads the new state and retries with NO cleanup
+      * step. This is what SNAPSHOT writers race with: two writers that both
+      * derived their snapshot from the same observed commit must resolve
+      * to one winner and one loud conflict, never a silent lost update.
+      * (Disjoint-partition writers keep using [[versionedInsertInto]] —
+      * their commits compose.) */
+    def versionedInsertIntoIf(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage,
+        expected: TableVersions.CommitId): Option[(TableVersion, TableChanges)] = {
+      val version = ctx.newVersion()
+      val ops =
+        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
+        else writePartitioned(ds, table, version)
+      ctx.metastore.commitIf(
+        table.name, TableUpdate(userId, message, Instant.now(), ops), expected)
+    }
   }
 
   /** V18: whole-dataset write to `<location>/<label>/`. */

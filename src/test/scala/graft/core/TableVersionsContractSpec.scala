@@ -96,6 +96,35 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     log.currentVersion(tbl) shouldBe SnapshotTableVersion(v2)
   }
 
+  test(s"$implName: commitIf applies on a fresh expectation, refuses a stale one, and the retry wins") {
+    val log = newLog()
+    initSnapshot(log)
+    val base = TableUpdate(who, msg("v1"), Instant.now(),
+      List(TableOperation.AddTableVersion(v())))
+    log.commit(tbl, base)
+    val observed = log.currentCommit(tbl)
+
+    // two writers race from the same observed commit: one winner...
+    val a = TableUpdate(who, msg("writer-a"), Instant.now(),
+      List(TableOperation.AddTableVersion(v())))
+    log.commitIf(tbl, a, observed) shouldBe true
+    log.currentCommit(tbl) shouldBe a.metadata.id
+    // ...and one loud refusal that changes NOTHING
+    val b = TableUpdate(who, msg("writer-b"), Instant.now(),
+      List(TableOperation.AddTableVersion(v())))
+    log.commitIf(tbl, b, observed) shouldBe false
+    log.currentCommit(tbl) shouldBe a.metadata.id
+    log.updates(tbl).map(_.message.content) shouldBe List("writer-a", "v1", "init")
+
+    // the loser re-reads and retries against the fresh commit
+    log.commitIf(tbl, b, log.currentCommit(tbl)) shouldBe true
+    log.currentCommit(tbl) shouldBe b.metadata.id
+
+    // same duplicate-id guard as plain commit
+    an[IllegalArgumentException] should be thrownBy
+      log.commitIf(tbl, b, log.currentCommit(tbl))
+  }
+
   test(s"$implName: setCurrentVersion rolls back, and versionAt time-travels without mutation") {
     val log = newLog()
     initSnapshot(log)
