@@ -380,12 +380,8 @@ object StreamingQueries {
       .select("l_orderkey", "qty", "n_items", "l_returnflag")
     base.where(col("l_orderkey") % 3 =!= 0)
       .versionedInsertInto(ctx, feed, user, UpdateMessage("v1: initial keyed load"))
-    def targetVersions(): Map[String, String] =
-      log.currentVersion(target.name) match {
-        case PartitionedTableVersion(pvs) =>
-          pvs.map { case (p, v) => p.toString -> v.label }
-        case other => sys.error(s"expected a partitioned target state, got $other")
-      }
+    def targetVersions(): Map[String, Version] =
+      Versioned.partitionVersions(log, target).map { case (p, v) => p.toString -> v }
     val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
       graft.streaming.Streams.mergeSink(
         graft.spark.VersionedStream.readStream(s, log, feed),

@@ -746,11 +746,12 @@ object Versioned {
       "no inverted list survived untouched — the ingest degenerated to a rebuild")
 
     // query path: identical to e29 over the incrementally maintained index
-    val byQ = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    // (same byVec spec — its tie-break rule is load-bearing for the
+    // incremental == rebuild oracle proof)
     val probes = emb.select("vec_id", "embedding").where(col("vec_id") < 5)
       .crossJoin(broadcast(rcents))
       .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rk", row_number().over(byQ))
+      .withColumn("rk", row_number().over(byVec))
       .where(col("rk") <= 2)
       .select(
         col("vec_id").as("qid"), col("embedding").as("qvec"),
@@ -766,8 +767,9 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
-  /** The partition→version map of a partitioned table's current state. */
-  private def partitionVersions(
+  /** The partition→version map of a partitioned table's current state
+    * (shared by the e30/s12 only-touched-partitions assertions). */
+  private[queries] def partitionVersions(
       log: TableVersions, table: TableDefinition): Map[Partition, Version] =
     log.currentVersion(table.name) match {
       case PartitionedTableVersion(pvs) => pvs.toMap

@@ -52,9 +52,12 @@ object Vacuum {
     val byCount = updates.take(math.max(keepLast, 1))
     val byAge = retainMs.toList.flatMap { ms =>
       val cut = System.currentTimeMillis() - math.max(ms, 0L)
-      // the log is chronologically ordered; commits are newest-first, so
-      // the in-window prefix is exactly the age-retained set
-      updates.takeWhile(_.timestamp.toEpochMilli >= cut)
+      // filter, NOT takeWhile: commit timestamps are minted by writers
+      // BEFORE the table-lock append, so two racing writers can land in
+      // the log out of timestamp order — a prefix scan would stop at the
+      // first out-of-window stamp and silently drop an in-window commit
+      // from retention
+      updates.filter(_.timestamp.toEpochMilli >= cut)
     }
     val commits = (byCount ++ byAge).distinctBy(_.id)
     val states = log.currentVersion(table.name) ::
