@@ -286,6 +286,13 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q58_bloom_skipping" -> Entry(
+      Versioned.q58BloomSkipping,
+      // bloom pruning must be row-invisible: false positives only ever
+      // widen the scan, never change the answer
+      Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+             |FROM part WHERE p_partkey IN (42, 1337)
+             |ORDER BY p_partkey""".stripMargin)),
     "q57_multi_writer" -> Entry(
       Versioned.q57MultiWriterConflict,
       // the surviving sequence: disjoint partition writers union; of the

@@ -570,6 +570,38 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** Q58: BLOOM-FILTER data skipping — the third skipping tier, for the
+    * regime the exact value lists can't serve: a point probe on a
+    * HIGH-CARDINALITY key (every file's distinct count far above the
+    * dv cap, so q56's lists store NULL) against a hash layout (zones span
+    * the domain). Each file carries a fixed 64-long bloom
+    * ([[graft.spark.FileStats.BloomBits]]); `readSkippingEquals` tiers
+    * dv-list → bloom → keep, so the probe scans the one true file plus
+    * only bloom false positives — asserted below at under half the files,
+    * and the rows still hash-match the unpruned relational answer. */
+  def q58BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable("part_bloom", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create part_bloom"))
+    Tables.load(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+      .repartition(32, col("p_partkey")) // hash layout, ~n/32 distinct keys per file
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: key-hash layout"))
+    graft.spark.FileStats.writeZoneMaps(
+      s, log, table, Seq("p_partkey"),
+      distinctCols = Seq("p_partkey"), // overflows the cap → NULL → bloom tier
+      bloomCols = Seq("p_partkey"))
+    val pruned = graft.spark.FileStats
+      .readSkippingEquals(s, log, table, "p_partkey", Seq(42L, 1337L))
+    val total = VersionedReader(s, log).read(table).inputFiles.length
+    require(pruned.inputFiles.length < total / 2,
+      s"bloom must prune a point probe on a high-cardinality key: " +
+        s"${pruned.inputFiles.length} of $total scanned")
+    pruned.where(col("p_partkey").isin(42L, 1337L))
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   /** Q57: MULTI-WRITER commit semantics as a driver-visible query, over
     * the DURABLE file log (the medium real concurrent writers share —
     * its lock/torn-tail machinery is contention-tested in

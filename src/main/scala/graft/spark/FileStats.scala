@@ -39,6 +39,15 @@ object FileStats {
     * lists only where they're small enough to be useful. */
   val DefaultDistinctCap: Int = 64
 
+  /** Bloom filter geometry: 4096 bits (64 longs per file per column), 4
+    * xxhash64 probes — ~1% false-positive rate up to ~430 distinct values
+    * per file, degrading gracefully (never losing correctness: a saturated
+    * filter keeps everything). The Parquet-bloom analogue for the regime
+    * the exact lists can't serve. */
+  val BloomBits: Int = 4096
+  val BloomWords: Int = BloomBits / 64
+  val BloomHashes: Int = 4
+
   /** Per-file zone maps for `cols` over any DataFrame backed by a file
     * scan: `file, [carryCols…,] n_rows, min_<c>, max_<c>…` — one
     * distributed agg pass, result cardinality O(#files). `carryCols` ride
@@ -50,21 +59,49 @@ object FileStats {
     * min/max zones: a range zone on a hash-clustered or unclustered
     * column spans everything, but an equality/IN predicate can still drop
     * every file whose value list misses the probe values. */
+  /** `bloomCols` adds a per-file BLOOM FILTER (`bloom_<c>: array<long>`,
+    * [[BloomWords]] words) — the high-cardinality complement to the exact
+    * lists: where `dv_<c>` overflows its cap and stores NULL, the bloom
+    * still answers "definitely absent" for equality/IN probes at a fixed
+    * 64-long metadata cost per file. Bit positions are
+    * `pmod(xxhash64(seed_i, value), 4096)` — the read side recomputes the
+    * same positions for its probe literals. */
   def zoneMaps(
       df: DataFrame,
       cols: Seq[String],
       carryCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
-      distinctCap: Int = DefaultDistinctCap): DataFrame = {
+      distinctCap: Int = DefaultDistinctCap,
+      bloomCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "zoneMaps needs at least one stats column")
+    // row-level bit positions, computed ONCE per row (the per-word
+    // aggregates below all reference this array; nulls contribute no bits)
+    val withPos = bloomCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__pos_$c", expr(
+        s"""CASE WHEN `$c` IS NULL THEN array()
+           |ELSE transform(sequence(0, ${BloomHashes - 1}),
+           |               i -> pmod(xxhash64(CAST(i AS BIGINT), `$c`), ${BloomBits}L))
+           |END""".stripMargin)))
     val aggs = (count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
       distinctCols.map(c =>
         when(size(collect_set(col(c))) <= distinctCap,
           sort_array(collect_set(col(c))))
-          .otherwise(lit(null)).as(s"dv_$c"))
-    df.groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
+          .otherwise(lit(null)).as(s"dv_$c")) ++
+      bloomCols.flatMap(c => (0 until BloomWords).map(w =>
+        bit_or(expr(
+          s"""aggregate(`__pos_$c`, 0L, (acc, p) ->
+             |  acc | CASE WHEN CAST(p / 64 AS INT) = $w
+             |             THEN shiftleft(1L, CAST(p % 64 AS INT))
+             |             ELSE 0L END)""".stripMargin)).as(s"__bloom_${c}_$w")))
+    val grouped = withPos
+      .groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // pack the word aggregates into one array column per bloom'd column
+    bloomCols.foldLeft(grouped)((g, c) =>
+      g.withColumn(s"bloom_$c",
+        array((0 until BloomWords).map(w => col(s"__bloom_${c}_$w")): _*))
+        .drop((0 until BloomWords).map(w => s"__bloom_${c}_$w"): _*))
   }
 
   /** Sidecar location of the current state's stats: snapshot tables key by
@@ -97,11 +134,13 @@ object FileStats {
       log: TableVersions,
       table: TableDefinition,
       cols: Seq[String],
-      distinctCols: Seq[String] = Nil): Unit =
+      distinctCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit =
     zoneMaps(
       VersionedReader(spark, log).read(table), cols,
       carryCols = table.partitionSchema.columns.map(_.name),
-      distinctCols = distinctCols)
+      distinctCols = distinctCols,
+      bloomCols = bloomCols)
       .write.mode("overwrite").parquet(statsDir(log, table))
 
   /** The sidecar zone maps of the table's current state. */
@@ -149,14 +188,39 @@ object FileStats {
       partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(values.nonEmpty, "equality skipping needs at least one probe value")
     prunedScan(spark, log, table, partitionFilter) { stats =>
-      require(stats.columns.contains(s"dv_$column"),
-        s"sidecar has no distinct-value sketch for '$column' — rewrite zone " +
-          s"maps with distinctCols = Seq(${'"'}$column${'"'})")
-      stats.where(
-        col(s"dv_$column").isNull ||
-          arrays_overlap(col(s"dv_$column"), array(values.map(lit): _*)))
+      val hasDv = stats.columns.contains(s"dv_$column")
+      val hasBloom = stats.columns.contains(s"bloom_$column")
+      require(hasDv || hasBloom,
+        s"sidecar has no distinct-value sketch or bloom filter for '$column' " +
+          s"— rewrite zone maps with distinctCols/bloomCols = Seq(${'"'}$column${'"'})")
+      // tiered: a present exact list is authoritative; above its cap (dv
+      // NULL) the bloom answers "definitely absent"; with neither, keep
+      val dvDecides = if (hasDv) col(s"dv_$column").isNotNull else lit(false)
+      val dvKeep =
+        if (hasDv) arrays_overlap(col(s"dv_$column"), array(values.map(lit): _*))
+        else lit(false)
+      val bloomKeep =
+        if (hasBloom)
+          when(col(s"bloom_$column").isNull, lit(true))
+            .otherwise(values.map(v => bloomMayContain(col(s"bloom_$column"), v))
+              .reduce(_ || _))
+        else lit(true)
+      stats.where(when(dvDecides, dvKeep).otherwise(bloomKeep))
     }
   }
+
+  /** Probe `v` against a per-file bloom array: all [[BloomHashes]] bits
+    * must be set. Positions mirror the write side exactly —
+    * `pmod(xxhash64(CAST(i AS BIGINT), value), 4096)` — so the probe
+    * literal must carry the COLUMN'S type (a long probe against an int
+    * column hashes differently and would false-negative). */
+  private def bloomMayContain(bloom: org.apache.spark.sql.Column, v: Any): org.apache.spark.sql.Column =
+    (0 until BloomHashes).map { i =>
+      val pos = pmod(xxhash64(lit(i.toLong), lit(v)), lit(BloomBits.toLong))
+      val word = element_at(bloom, (pos / lit(64L)).cast("int") + lit(1))
+      val mask = call_function("shiftleft", lit(1L), (pos % lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
 
   /** Shared pruned-scan tail: apply the partition predicate to the sidecar
     * (when it carries the partition columns), let `filePredicate` narrow

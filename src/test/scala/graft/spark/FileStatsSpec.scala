@@ -86,6 +86,17 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     val boom = intercept[IllegalArgumentException](
       FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3")).count())
     boom.getMessage should include("no distinct-value sketch")
+
+    // BLOOM tier: k's dv overflows the cap (NULL) but its 4096-bit bloom
+    // still prunes point probes — the one true file plus false positives
+    FileStats.writeZoneMaps(
+      spark, log, table, Seq("grp"), distinctCols = Seq("k"), bloomCols = Seq("k"))
+    val bloomed = FileStats.readSkippingEquals(spark, log, table, "k", Seq(17L))
+    bloomed.inputFiles.length should be < totalFiles // FP rate ≪ 1 at 1000/file... pruned
+    bloomed.where(col("k") === 17L).count() shouldBe 1L // never a false negative
+    // absent values may keep FP files but must return zero rows
+    FileStats.readSkippingEquals(spark, log, table, "k", Seq(999999L))
+      .where(col("k") === 999999L).count() shouldBe 0L
   }
 
   test("readSkipping drops files outside the predicate range, keeps every matching row") {
