@@ -286,6 +286,19 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q59_incremental_stats" -> Entry(
+      Versioned.q59IncrementalStats,
+      // the final state: A/N from the full load, R from the refresh — the
+      // incremental sidecar must answer the pruned read over exactly this
+      Some("""WITH fin AS (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |             WHERE l_returnflag <> 'R'
+             |             UNION ALL
+             |             SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |             WHERE l_returnflag = 'R' AND l_quantity > 40)
+             |SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM fin WHERE l_orderkey BETWEEN 2000 AND 9000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q58_bloom_skipping" -> Entry(
       Versioned.q58BloomSkipping,
       // bloom pruning must be row-invisible: false positives only ever
@@ -1307,6 +1320,11 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s13_stream_ivf_ingest" -> Entry(
+      StreamingQueries.s13StreamIvfIngest,
+      // the streamed, incrementally-merged index must answer the probe
+      // exactly like a from-scratch build — the shared full-rebuild oracle
+      Some(ivfOracleSql)),
     "s12_stream_merge_sink" -> Entry(
       StreamingQueries.s12StreamMergeSink,
       // replay of the upsert sequence: v1 bootstraps the keys, the R delta

@@ -412,6 +412,108 @@ object StreamingQueries {
       .orderBy("l_returnflag")
   }
 
+  /** S13: STREAMING vector indexing — the e30 ingest path driven by a
+    * stream: an embeddings feed (versioned table, one commit per arrival
+    * batch) streams through the CDC source; each micro-batch assigns its
+    * vectors to the PERSISTED broadcast centroids (the e17 argmax — a
+    * batch-local transform, so it runs inside `foreachBatch` where window
+    * functions are legal) and MERGEs them into the cell-partitioned
+    * postings table. The index is continuously maintained at O(batch)
+    * per micro-batch: the second batch's merge moves ONLY the cells its
+    * vectors quantize to (asserted against the commit log), and the final
+    * index answers the shared e3e probe query — so the full-rebuild
+    * oracle proves the streamed index equals a from-scratch build. */
+  def s13StreamIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    import graft.plans.GraftFunctions.cosineSim
+    import org.apache.spark.sql.expressions.Window
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String, schema: PartitionSchema) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        schema, FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val feed = mkTable("ivf_feed", PartitionSchema(List(PartitionColumn("b"))))
+    val postings = mkTable("ivf_spost", PartitionSchema(List(PartitionColumn("cell"))))
+    val centTable = mkTable("ivf_scent", PartitionSchema.snapshot)
+
+    val (cents, assigned, _) = Pipeline.ivfQuantizer(s, dir)
+    cents.versionedInsertInto(ctx, centTable, user, UpdateMessage("v1: quantizer"))
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val lateIds = assigned.where(col("cell") >= 8).select("vec_id")
+    emb.join(lateIds, Seq("vec_id"), "left_anti").withColumn("b", lit("1"))
+      .versionedInsertInto(ctx, feed, user, UpdateMessage("v1: base vectors"))
+
+    val rcents = graft.spark.VersionedReader(s, log).read(centTable)
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    def assign(batch: DataFrame): DataFrame = batch
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(rcents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("string").as("cell"))
+    def postingVersions(): Map[String, Version] =
+      Versioned.partitionVersions(log, postings).map { case (p, v) => p.toString -> v }
+
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.spark.VersionedStream.readStream(s, log, feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // mergeSink with a per-batch prep stage: assignment is a
+          // batch-local transform (windows are illegal on streaming DFs)
+          if (!batch.isEmpty)
+            graft.spark.Merge.mergeInto(
+              ctx, log, postings, assign(batch), Seq("vec_id"),
+              user, UpdateMessage(s"index micro-batch $batchId"))
+          ()
+        }
+        .start()
+    }
+    try {
+      q.processAllAvailable() // batch 1: bootstrap the index from the base
+      val afterB1 = postingVersions()
+      emb.join(lateIds, Seq("vec_id")).withColumn("b", lit("2"))
+        .versionedInsertInto(ctx, feed, user, UpdateMessage("v2: arriving batch"))
+      q.processAllAvailable() // batch 2: O(batch) ingest into touched cells
+      val moved = postingVersions().collect {
+        case (p, v) if !afterB1.get(p).contains(v) => p
+      }.toSet
+      val expected = assigned.where(col("cell") >= 8)
+        .select(col("cell").cast("string")).distinct()
+        .collect().map(r => s"cell=${r.getString(0)}").toSet // metadata: ≤ k
+      require(moved == expected && postingVersions().size > moved.size,
+        s"the streamed ingest must move exactly the batch's cells: moved $moved, expected $expected")
+    } finally q.stop()
+
+    // the shared e3e probe over the streamed index
+    val probes = emb.where(col("vec_id") < 5)
+      .crossJoin(broadcast(rcents))
+      .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") <= 2)
+      .select(
+        col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("cell").cast("string").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getString(0))
+    val scoped = graft.spark.VersionedReader(s, log).read(postings)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val cands = scoped.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineSim(col("embedding"), col("qvec")))
+    Pipeline.topKPerQuery(cands, 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 5).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -570,6 +570,58 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** Q59: INCREMENTAL stats maintenance — the write-pipeline half of the
+    * data-skipping story at 100 TB: recomputing a table's zone-map sidecar
+    * from scratch after every commit costs O(table), which dwarfs the
+    * commit itself when a merge touched one partition.
+    * [[graft.spark.FileStats.updateZoneMaps]] diffs the partition→version
+    * maps of the two commits (metadata), rescans ONLY the moved
+    * partitions, and carries the previous sidecar's rows forward for the
+    * rest. The query asserts (a) the diff saw exactly the refreshed
+    * partition and (b) the incremental sidecar is ROW-IDENTICAL to a full
+    * recompute — then answers a zone-pruned read off it, which the oracle
+    * checks relationally. */
+  def q59IncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_incstats", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_incstats"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    def clustered(df: DataFrame) = df
+      .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey")
+    clustered(li).versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1 = log.currentCommit(table.name)
+    graft.spark.FileStats.writeZoneMaps(s, log, table, Seq("l_orderkey"))
+
+    // one partition refreshes; the sidecar follows incrementally
+    clustered(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
+    val moved = partitionVersions(log, table).collect {
+      case (p, v) if p.toString == "l_returnflag=R" => v
+    }
+    require(moved.nonEmpty, "the R partition must have moved")
+    graft.spark.FileStats.updateZoneMaps(s, log, table, v1, Seq("l_orderkey"))
+
+    // the incremental sidecar must equal a from-scratch recompute exactly
+    // (both O(#files) metadata frames — the compare is driver-cheap)
+    val incr = graft.spark.FileStats.loadZoneMaps(s, log, table)
+    val full = graft.spark.FileStats.zoneMaps(
+      VersionedReader(s, log).read(table), Seq("l_orderkey"),
+      carryCols = Seq("l_returnflag"))
+    require(
+      incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental sidecar diverged from the full recompute")
+
+    graft.spark.FileStats
+      .readSkipping(s, log, table, "l_orderkey", 2000L, 9000L)
+      .where(col("l_orderkey").between(2000L, 9000L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q58: BLOOM-FILTER data skipping — the third skipping tier, for the
     * regime the exact value lists can't serve: a point probe on a
     * HIGH-CARDINALITY key (every file's distinct count far above the

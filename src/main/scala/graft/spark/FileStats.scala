@@ -147,6 +147,77 @@ object FileStats {
   def loadZoneMaps(spark: SparkSession, log: TableVersions, table: TableDefinition): DataFrame =
     spark.read.parquet(statsDir(log, table))
 
+  /** INCREMENTAL sidecar maintenance for partitioned tables — the write
+    * pipeline's answer to "stats for a 100 TB table can't cost O(table)
+    * per commit": scan ONLY the partitions whose version pointers moved
+    * since `since` (the commit whose sidecar is being carried forward),
+    * keep the previous sidecar's rows for every unmoved partition, drop
+    * rows of partitions the new state no longer holds, and write the
+    * union as the current state's sidecar. The partition diff is
+    * metadata (two commit-log folds); the carried rows are O(#files)
+    * sidecar metadata; the only data scanned is the moved partitions' —
+    * the same bound the versioned write itself already paid.
+    *
+    * The previous sidecar must exist for `since` and carry the same
+    * stats columns (pass identical cols/distinctCols/bloomCols) — a
+    * schema mismatch fails loudly rather than writing a sidecar that
+    * silently lacks sketches for some files. */
+  def updateZoneMaps(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      since: TableVersions.CommitId,
+      cols: Seq[String],
+      distinctCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
+    require(!table.isSnapshot,
+      "incremental stats need partition granularity; snapshot states rewrite wholesale — use writeZoneMaps")
+    val partCols = table.partitionSchema.columns.map(_.name)
+    val prevDir = Partition.normalizedDir(table.location).toString + "_stats/commit-" + since.id
+    val prev = spark.read.parquet(prevDir)
+
+    def versionsOf(id: TableVersions.CommitId): Map[Partition, Version] =
+      log.versionAt(table.name, id) match {
+        case PartitionedTableVersion(pvs) => pvs
+        case other => sys.error(s"expected a partitioned state, got $other")
+      }
+    val before = versionsOf(since)
+    val now = versionsOf(log.currentCommit(table.name))
+    val moved = now.collect {
+      case (p, v) if !before.get(p).contains(v) => p
+    }.toList
+    val dropped = before.keySet -- now.keySet
+
+    val fresh = zoneMaps(
+      VersionedReader(spark, log).readPartitions(table, moved),
+      cols, carryCols = partCols, distinctCols = distinctCols, bloomCols = bloomCols)
+    require(prev.columns.sorted.sameElements(fresh.columns.sorted),
+      s"previous sidecar schema [${prev.columns.sorted.mkString(",")}] does not match " +
+        s"the requested stats [${fresh.columns.sorted.mkString(",")}] — run writeZoneMaps once to migrate")
+
+    // kept rows: previous sidecar minus moved + dropped partitions — an
+    // anti-join against a #changed-partitions literal frame (metadata)
+    val gone = (moved ++ dropped).map(p =>
+      p.columnValues.map(_.value) match {
+        case vs => org.apache.spark.sql.Row(vs: _*)
+      })
+    val kept =
+      if (gone.isEmpty) prev
+      else {
+        val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+        val goneDf = spark.createDataFrame(
+          java.util.Arrays.asList(gone: _*), schema)
+        prev.join(goneDf, partCols, "left_anti")
+      }
+    // the using-join above moves partition columns to the front; restore
+    // the canonical zoneMaps column order so every sidecar generation has
+    // the same schema layout
+    kept.unionByName(fresh)
+      .select(fresh.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(statsDir(log, table))
+  }
+
   /** Scan the table's current version reading ONLY the files whose
     * `[min_col, max_col]` zone intersects `[lo, hi]` (both inclusive).
     * Files whose zone is all-null for `col` are kept (nulls carry no
