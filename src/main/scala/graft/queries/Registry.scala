@@ -286,6 +286,15 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q60_timetravel_skipping" -> Entry(
+      Versioned.q60TimeTravelSkipping,
+      // the AS OF v1 pruned read must see v1's FULL contents — the current
+      // state's refreshed R partition must leak into neither the sidecar
+      // nor the file list
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 9000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q59_incremental_stats" -> Entry(
       Versioned.q59IncrementalStats,
       // the final state: A/N from the full load, R from the refresh — the

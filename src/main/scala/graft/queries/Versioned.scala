@@ -570,6 +570,39 @@ object Versioned {
       .orderBy("qid", "rk")
   }
 
+  /** Q60: TIME-TRAVELED data skipping — sidecars follow their STATE, not
+    * the table, so pruned reads compose with time travel: the v1 read
+    * below resolves v1's sidecar (`_stats/commit-<v1>`) AND v1's data
+    * dirs, even though the current pointer names v2 (whose R partition
+    * holds different rows). The oracle checks against the FULL v1
+    * contents — if either the sidecar or the file list leaked from the
+    * current state, the R numbers mismatch. Sidecar maintenance stays
+    * incremental across the commits ([[graft.spark.FileStats.updateZoneMaps]]). */
+  def q60TimeTravelSkipping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_ttskip", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_ttskip"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    def clustered(df: DataFrame) = df
+      .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey")
+    clustered(li).versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1 = log.currentCommit(table.name)
+    graft.spark.FileStats.writeZoneMaps(s, log, table, Seq("l_orderkey"))
+    clustered(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
+    graft.spark.FileStats.updateZoneMaps(s, log, table, v1, Seq("l_orderkey"))
+
+    graft.spark.FileStats
+      .readSkipping(s, log, table, "l_orderkey", 2000L, 9000L, asOf = Some(v1))
+      .where(col("l_orderkey").between(2000L, 9000L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q59: INCREMENTAL stats maintenance — the write-pipeline half of the
     * data-skipping story at 100 TB: recomputing a table's zone-map sidecar
     * from scratch after every commit costs O(table), which dwarfs the

@@ -104,21 +104,29 @@ object FileStats {
         .drop((0 until BloomWords).map(w => s"__bloom_${c}_$w"): _*))
   }
 
-  /** Sidecar location of the current state's stats: snapshot tables key by
-    * the version label; partitioned tables carry one version PER partition,
-    * so the state is identified by the commit the CURRENT POINTER names
-    * (`_stats/commit-<id>` — one sidecar per committed table state). The
-    * pointer, not the log head: after a rollback the head commit's sidecar
-    * describes a state the reader no longer serves — keying by head would
-    * silently prune against the wrong version's file list. */
-  private def statsDir(log: TableVersions, table: TableDefinition): String = {
+  /** Sidecar location of a state's stats: snapshot tables key by the
+    * version label; partitioned tables carry one version PER partition,
+    * so the state is identified by its COMMIT (`_stats/commit-<id>` — one
+    * sidecar per committed table state). With `at = None` the state is the
+    * one the CURRENT POINTER names — the pointer, not the log head: after
+    * a rollback the head commit's sidecar describes a state the reader no
+    * longer serves. With `at = Some(commit)` the sidecar is the one
+    * written when THAT state was current — sidecars follow their state's
+    * lifecycle, so pruned reads compose with time travel (and with vacuum:
+    * a reclaimed state's sidecar is gone along with its data dirs). */
+  private def statsDir(
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[TableVersions.CommitId] = None): String = {
     val base = Partition.normalizedDir(table.location).toString + "_stats/"
-    log.currentVersion(table.name) match {
+    val state = at.map(log.versionAt(table.name, _))
+      .getOrElse(log.currentVersion(table.name))
+    state match {
       case SnapshotTableVersion(v) if v != Version.Unversioned => base + v.label
       case SnapshotTableVersion(_) =>
         sys.error(s"table ${table.name.fullyQualifiedName} has no written version to collect stats for")
       case PartitionedTableVersion(_) =>
-        base + "commit-" + log.currentCommit(table.name).id
+        base + "commit-" + at.getOrElse(log.currentCommit(table.name)).id
     }
   }
 
@@ -235,8 +243,9 @@ object FileStats {
       column: String,
       lo: Any,
       hi: Any,
-      partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    prunedScan(spark, log, table, partitionFilter)(stats =>
+      partitionFilter: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[TableVersions.CommitId] = None): DataFrame =
+    prunedScan(spark, log, table, partitionFilter, asOf)(stats =>
       stats.where(
         col(s"min_$column").isNull || col(s"max_$column").isNull ||
           (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))))
@@ -256,9 +265,10 @@ object FileStats {
       table: TableDefinition,
       column: String,
       values: Seq[Any],
-      partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      partitionFilter: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[TableVersions.CommitId] = None): DataFrame = {
     require(values.nonEmpty, "equality skipping needs at least one probe value")
-    prunedScan(spark, log, table, partitionFilter) { stats =>
+    prunedScan(spark, log, table, partitionFilter, asOf) { stats =>
       val hasDv = stats.columns.contains(s"dv_$column")
       val hasBloom = stats.columns.contains(s"bloom_$column")
       require(hasDv || hasBloom,
@@ -300,9 +310,10 @@ object FileStats {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      partitionFilter: Option[org.apache.spark.sql.Column])(
+      partitionFilter: Option[org.apache.spark.sql.Column],
+      asOf: Option[TableVersions.CommitId] = None)(
       filePredicate: DataFrame => DataFrame): DataFrame = {
-    val zones = loadZoneMaps(spark, log, table)
+    val zones = spark.read.parquet(statsDir(log, table, asOf))
     // a sidecar written before partition columns rode the grouping key
     // (pre-r9) can't evaluate a partition predicate — fall back to
     // zone-only pruning (a superset, still correct) instead of dying on
@@ -316,8 +327,10 @@ object FileStats {
       .select("file")
       .collect()
       .map(_.getString(0))
-    if (keep.isEmpty) VersionedReader(spark, log).read(table).limit(0)
-    else
+    if (keep.isEmpty) {
+      val reader = VersionedReader(spark, log)
+      asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table)).limit(0)
+    } else
       // same string-pinned partition parsing as VersionedReader: values must
       // round-trip verbatim (schema resolves eagerly inside load())
       SessionConf.withConf(

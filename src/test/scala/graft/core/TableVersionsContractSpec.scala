@@ -125,6 +125,40 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
       log.commitIf(tbl, b, log.currentCommit(tbl))
   }
 
+  test(s"$implName: commitIf under thread contention — every writer lands exactly once via the OCC retry loop") {
+    val log = newLog()
+    initSnapshot(log)
+    log.commit(tbl, TableUpdate(who, msg("v1"), Instant.now(),
+      List(TableOperation.AddTableVersion(v()))))
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val attempts = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            // the standard OCC loop: observe, attempt, re-observe on refusal
+            var tries = 0
+            var done = false
+            while (!done) {
+              val observed = log.currentCommit(tbl)
+              tries += 1
+              done = log.commitIf(tbl,
+                TableUpdate(who, msg(s"w$i-$tries"), Instant.now(),
+                  List(TableOperation.AddTableVersion(v()))),
+                observed)
+            }
+            tries
+          }
+        })
+      }.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      attempts.sum should be >= n // refusals force extra tries, never duplicates
+    } finally { pool.shutdown(); () }
+    // init + v1 + exactly one commit per writer — no lost updates, no dupes
+    val msgs = log.updates(tbl).map(_.message.content)
+    msgs.size shouldBe n + 2
+    (1 to n).foreach(i => msgs.count(_.startsWith(s"w$i-")) shouldBe 1)
+  }
+
   test(s"$implName: setCurrentVersion rolls back, and versionAt time-travels without mutation") {
     val log = newLog()
     initSnapshot(log)

@@ -97,6 +97,14 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     // absent values may keep FP files but must return zero rows
     FileStats.readSkippingEquals(spark, log, table, "k", Seq(999999L))
       .where(col("k") === 999999L).count() shouldBe 0L
+
+    // bloom-only sidecar over a STRING column (no dv list at all): the
+    // tiering goes straight to the bloom, which prunes and never drops
+    // a true match — pinning type-faithful probe hashing for strings
+    FileStats.writeZoneMaps(spark, log, table, Seq("grp"), bloomCols = Seq("grp"))
+    val strBloom = FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3"))
+    strBloom.inputFiles.length should be <= totalFiles
+    strBloom.where(col("grp") === "g3").count() shouldBe 500L
   }
 
   test("readSkipping drops files outside the predicate range, keeps every matching row") {
