@@ -76,11 +76,15 @@ object FileStats {
     require(cols.nonEmpty, "zoneMaps needs at least one stats column")
     // row-level bit positions, computed ONCE per row (the per-word
     // aggregates below all reference this array; nulls contribute no bits)
+    // hash the STRING rendering, not the native value: a probe literal
+    // whose type differs from the column's (int vs long) would otherwise
+    // hash differently and FALSE-NEGATIVE — silently dropping true files.
+    // Both sides cast through Spark's own CAST, so renderings agree.
     val withPos = bloomCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__pos_$c", expr(
         s"""CASE WHEN `$c` IS NULL THEN array()
            |ELSE transform(sequence(0, ${BloomHashes - 1}),
-           |               i -> pmod(xxhash64(CAST(i AS BIGINT), `$c`), ${BloomBits}L))
+           |               i -> pmod(xxhash64(CAST(i AS BIGINT), CAST(`$c` AS STRING)), ${BloomBits}L))
            |END""".stripMargin)))
     val aggs = (count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
@@ -291,13 +295,14 @@ object FileStats {
   }
 
   /** Probe `v` against a per-file bloom array: all [[BloomHashes]] bits
-    * must be set. Positions mirror the write side exactly —
-    * `pmod(xxhash64(CAST(i AS BIGINT), value), 4096)` — so the probe
-    * literal must carry the COLUMN'S type (a long probe against an int
-    * column hashes differently and would false-negative). */
+    * must be set. Positions mirror the write side exactly — both hash the
+    * value's Spark STRING rendering, so a probe literal of a different
+    * numeric width than the column (int vs long) still lands on the same
+    * bits instead of silently false-negating. */
   private def bloomMayContain(bloom: org.apache.spark.sql.Column, v: Any): org.apache.spark.sql.Column =
     (0 until BloomHashes).map { i =>
-      val pos = pmod(xxhash64(lit(i.toLong), lit(v)), lit(BloomBits.toLong))
+      val pos = pmod(
+        xxhash64(lit(i.toLong), lit(v).cast("string")), lit(BloomBits.toLong))
       val word = element_at(bloom, (pos / lit(64L)).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), (pos % lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)

@@ -105,6 +105,12 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     val strBloom = FileStats.readSkippingEquals(spark, log, table, "grp", Seq("g3"))
     strBloom.inputFiles.length should be <= totalFiles
     strBloom.where(col("grp") === "g3").count() shouldBe 500L
+
+    // a probe literal of a DIFFERENT numeric width than the column must
+    // not false-negative: write/read both hash the string rendering
+    FileStats.writeZoneMaps(spark, log, table, Seq("grp"), bloomCols = Seq("k"))
+    FileStats.readSkippingEquals(spark, log, table, "k", Seq(17: Int))
+      .where(col("k") === 17L).count() shouldBe 1L
   }
 
   test("readSkipping drops files outside the predicate range, keeps every matching row") {
