@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns next to typed metadata (SURVEY.md §2.4 E4).
   *
   * The Spark-side plumbing — schema, batch iteration, partition-local
-  * decode — is real; the codec itself is STUBBED (no image/audio libraries
-  * in this container) with a deterministic fake that reads "header" bytes,
-  * so tests can pin exact outputs. Swap [[stubDecode]] for a real decoder
-  * (e.g. TwelveMonkeys/JCodec on the executor classpath) without touching
-  * any query.
+  * decode — is real, and since round 10 so is the IMAGE codec for PNG:
+  * [[pngEncode]]/[[pngDecodeFeatures]]/[[pngHalve]] run the JDK's own
+  * `javax.imageio` (public standard library, no external dependencies),
+  * verified end-to-end by e4f's SQL oracle (PNG is lossless, so decoded
+  * pixels are exact functions of the generator). The header-byte STUBS
+  * below remain for the formats the JDK doesn't ship (video containers,
+  * lossy audio); swap [[stubDecode]] for e.g. TwelveMonkeys/JCodec on the
+  * executor classpath without touching any query.
   *
   * Scale notes: decode runs inside `mapPartitions` (one JVM-local pass, no
   * shuffle); payloads >~100 MB should be pointer-style (path + offset in the
@@ -150,6 +153,61 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  // ------------------------------------------------------------ REAL codec
+
+  /** REAL image codec — `javax.imageio` (the JDK's own standard library,
+    * present in every Java runtime; no external image dependencies). PNG
+    * is LOSSLESS, so encode→decode round-trips pixels exactly: features
+    * computed from DECODED pixels are pure functions of the generator,
+    * which is what lets a SQL oracle verify a real codec end-to-end
+    * (e4f). The lossy/exotic-format stubs above remain for formats the
+    * JDK doesn't ship; this path proves the partition-local plumbing
+    * carries a true decoder. */
+  def pngEncode(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image features: dimensions + per-channel pixel sums (exact
+    * integer arithmetic — the oracle recomputes them from the generator). */
+  final case class PngFeatures(
+      width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  def pngDecodeFeatures(bytes: Array[Byte]): PngFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Nearest-neighbour 2× downsample THROUGH the real codec: decode,
+    * pick every second pixel (deterministic integer resample — AWT's
+    * interpolating scalers are not bit-pinned across platforms),
+    * re-encode. Both directions exercise the true PNG codec. */
+  def pngHalve(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+    pngEncode(w, h, (x, y) => img.getRGB(x * 2, y * 2))
   }
 
   /** Decode of a `(doc_id LONG, payload BINARY)` frame into

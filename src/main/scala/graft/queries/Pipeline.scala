@@ -590,6 +590,53 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** E4: the REAL image codec end-to-end (JDK `javax.imageio`, PNG) —
+    * every stage below a true encoder/decoder, nothing stubbed: each doc
+    * gets a deterministic RGB image (dimensions and pixels are integer
+    * functions of doc_id), PNG-ENCODED in one partition-local pass,
+    * PNG-DECODED in another (dims + exact per-channel pixel sums), then
+    * nearest-neighbour 2×-downsampled THROUGH the codec (decode → integer
+    * resample → re-encode → re-decode). PNG is lossless, so the oracle
+    * recomputes every output from the generator formula alone — if the
+    * codec corrupted a single pixel anywhere, a channel sum mismatches.
+    * Scale shape: map-only; encoders/decoders amortize per partition. */
+  def e4fRealCodec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // NOTE: call the codec via the fully-qualified module inside the
+    // closure — a local alias val would capture (and try to serialize)
+    // the whole object
+    import graft.functions.{Multimodal => M}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width_px", LongType, nullable = false),
+      StructField("height_px", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("half_width_px", LongType, nullable = false),
+      StructField("half_height_px", LongType, nullable = false),
+      StructField("half_sum_r", LongType, nullable = false)))
+    val rows = load(s, dir, "documents").select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((16 + id % 32).toInt, (16 + id % 24).toInt)
+        // pixel formula mirrored EXACTLY by the oracle's SQL arithmetic
+        val png = M.pngEncode(w, h, (x, y) => {
+          val red = ((id * 7 + x * 3 + y * 5) % 256).toInt
+          val green = (x * 11 + y) % 256
+          val blue = ((id + x + y * 13) % 256).toInt
+          (red << 16) | (green << 8) | blue
+        })
+        val f = M.pngDecodeFeatures(png)
+        val hf = M.pngDecodeFeatures(M.pngHalve(png))
+        Row(id, f.width.toLong, f.height.toLong, f.sumR, f.sumG, f.sumB,
+          hf.width.toLong, hf.height.toLong, hf.sumR)
+      }
+    }
+    s.createDataFrame(rows, outSchema).orderBy("doc_id")
+  }
+
   /** E4: codec-free feature extraction — byte-histogram Shannon entropy of
     * each payload. The fixed-order bin loop is deterministic, and the text
     * payloads are ASCII, so the oracle reproduces it byte-for-byte. */

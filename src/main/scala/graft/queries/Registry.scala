@@ -830,6 +830,37 @@ object Registry {
              |SELECT doc_id,
              |       GREATEST(1, CAST(trunc(len * sc * sc) AS BIGINT)) AS resized_bytes
              |FROM t ORDER BY doc_id""".stripMargin)),
+    "e4f_real_codec" -> Entry(
+      Pipeline.e4fRealCodec,
+      // PNG is lossless and the pixel generator is integer arithmetic, so
+      // the oracle recomputes the REAL codec's outputs exactly: any pixel
+      // the encode→decode→halve→decode chain corrupts breaks a channel sum
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h
+             |           FROM documents),
+             |px AS (SELECT doc_id, w, h, x, y
+             |       FROM d, generate_series(0, 46) gx(x), generate_series(0, 38) gy(y)
+             |       WHERE x < w AND y < h),
+             |fullsum AS (SELECT doc_id, w, h,
+             |                   sum((doc_id * 7 + x * 3 + y * 5) % 256) AS sum_r,
+             |                   sum((x * 11 + y) % 256) AS sum_g,
+             |                   sum((doc_id + x + y * 13) % 256) AS sum_b
+             |            FROM px GROUP BY doc_id, w, h),
+             |hpx AS (SELECT doc_id, (w + 1) // 2 AS hw, (h + 1) // 2 AS hh, x, y
+             |        FROM d, generate_series(0, 23) gx(x), generate_series(0, 19) gy(y)
+             |        WHERE x < (w + 1) // 2 AND y < (h + 1) // 2),
+             |halfsum AS (SELECT doc_id, hw, hh,
+             |                   sum((doc_id * 7 + (2 * x) * 3 + (2 * y) * 5) % 256) AS half_sum_r
+             |            FROM hpx GROUP BY doc_id, hw, hh)
+             |SELECT f.doc_id, CAST(f.w AS BIGINT) AS width_px,
+             |       CAST(f.h AS BIGINT) AS height_px,
+             |       CAST(f.sum_r AS BIGINT) AS sum_r,
+             |       CAST(f.sum_g AS BIGINT) AS sum_g,
+             |       CAST(f.sum_b AS BIGINT) AS sum_b,
+             |       CAST(hs.hw AS BIGINT) AS half_width_px,
+             |       CAST(hs.hh AS BIGINT) AS half_height_px,
+             |       CAST(hs.half_sum_r AS BIGINT) AS half_sum_r
+             |FROM fullsum f JOIN halfsum hs USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
     "e4e_perceptual_dedup" -> Entry(
       Pipeline.e4ePerceptualDedup,
       // 16 equal-span byte blocks (0-based byte i → block i*16/n, spelled
