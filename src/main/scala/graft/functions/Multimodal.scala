@@ -166,6 +166,7 @@ object Multimodal {
     * JDK doesn't ship; this path proves the partition-local plumbing
     * carries a true decoder. */
   def pngEncode(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -184,8 +185,20 @@ object Multimodal {
   final case class PngFeatures(
       width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
 
+  /** ImageIO's default stream cache spools every encode/decode through a
+    * temp FILE on disk — pure overhead for the few-KB in-memory payloads
+    * here (e4f makes ~4 codec passes per doc). Disabled once per JVM. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def pngDecodeFeatures(bytes: Array[Byte]): PngFeatures = {
+    imageIoNoDiskCache
+    // ImageIO.read signals "no reader accepts these bytes" with NULL, not
+    // an exception — surface a diagnosable error instead of a bare NPE
+    // deep inside a task
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"payload of ${bytes.length} bytes is not a decodable image (no ImageIO reader accepted it)")
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < img.getHeight) {
@@ -205,7 +218,10 @@ object Multimodal {
     * interpolating scalers are not bit-pinned across platforms),
     * re-encode. Both directions exercise the true PNG codec. */
   def pngHalve(bytes: Array[Byte]): Array[Byte] = {
+    imageIoNoDiskCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"payload of ${bytes.length} bytes is not a decodable image (no ImageIO reader accepted it)")
     val (w, h) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
     pngEncode(w, h, (x, y) => img.getRGB(x * 2, y * 2))
   }

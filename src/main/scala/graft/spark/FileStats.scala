@@ -185,7 +185,11 @@ object FileStats {
     require(!table.isSnapshot,
       "incremental stats need partition granularity; snapshot states rewrite wholesale — use writeZoneMaps")
     val partCols = table.partitionSchema.columns.map(_.name)
-    val prevDir = Partition.normalizedDir(table.location).toString + "_stats/commit-" + since.id
+    val prevDir = statsDir(log, table, Some(since))
+    val destDir = statsDir(log, table)
+    if (prevDir == destDir) return // `since` IS the current state: its sidecar
+    // already exists, and reading + overwriting the same path would destroy
+    // it (idempotent-retry safety)
     val prev = spark.read.parquet(prevDir)
 
     def versionsOf(id: TableVersions.CommitId): Map[Partition, Version] =
@@ -227,7 +231,7 @@ object FileStats {
     // the same schema layout
     kept.unionByName(fresh)
       .select(fresh.columns.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(statsDir(log, table))
+      .write.mode("overwrite").parquet(destDir)
   }
 
   /** Scan the table's current version reading ONLY the files whose
