@@ -11,15 +11,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise protocol: this container shows large exogenous timing spikes
   * (host CPU steal inflates even map-only scans 3-5× for seconds at a
-  * time). Queries whose first run exceeds [[RepeatThresholdSec]] are
-  * run twice more and report the MEDIAN of the three runs — the
-  * first run stays cold (plan + codegen), repeats are steady-state, and
-  * one stolen draw can no longer define the number. Queries UNDER the
-  * threshold get one extra run and report the MIN of the two (round-10
-  * protocol change, documented in BASELINE.md): a sub-second query that
-  * lands in a steal window would otherwise ride a single inflated cold
-  * draw — the second pass costs well under half a second and bounds the
-  * reported value by genuine steady-state work. The memoized Jaccard
+  * time). Every repeated query runs three times and reports the MEDIAN
+  * (round-11 protocol: uniform median-of-3; round 10's min-of-2 for
+  * sub-threshold queries reported the warm best case, biasing short
+  * queries downward vs the earlier protocol) — the first run stays cold
+  * (plan + codegen), repeats are steady-state, and one stolen draw can
+  * no longer define the number. The memoized Jaccard
   * pair stage is dropped before each e2 repeat so the stage genuinely
   * re-executes (a memo hit would time nothing); e7 is excluded from
   * repeats because consuming e2's shared stage is exactly its documented
@@ -28,7 +25,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val RepeatThresholdSec = 0.7
   private val NoRepeat = Set("e7_dup_clusters")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,9 +84,11 @@ object Bench {
       }
       val elapsed =
         try {
+          // median-of-3 for EVERY repeated query (short ones included):
+          // min-of-2 systematically reports the warm best case, biasing the
+          // per-query numbers and the total downward vs prior rounds' protocol
           val first = timeOnce()
           if (NoRepeat(name)) first
-          else if (first <= RepeatThresholdSec) math.min(first, repeatOnce())
           else Seq(first, repeatOnce(), repeatOnce()).sorted.apply(1)
         } catch {
           case e: Throwable =>

@@ -288,10 +288,25 @@ object FileStats {
       val dvKeep =
         if (hasDv) arrays_overlap(col(s"dv_$column"), array(values.map(lit): _*))
         else lit(false)
+      // the probe must hash the COLUMN type's string rendering (the write
+      // side hashes CAST(col AS STRING) of the native value): an int probe
+      // against a double column renders '17' vs '17.0' and would silently
+      // FALSE-NEGATE. The sidecar itself records the column's true type —
+      // min_<c> keeps it verbatim, dv_<c> in its element type — so coerce
+      // the literal through it before the string cast.
+      val columnType: Option[org.apache.spark.sql.types.DataType] =
+        stats.schema.find(_.name == s"min_$column").map(_.dataType)
+          .orElse(stats.schema.find(_.name == s"dv_$column").map(_.dataType).collect {
+            case org.apache.spark.sql.types.ArrayType(et, _) => et
+          })
+          // bloom-only sidecar: resolve from the table's own schema — one
+          // driver-side footer read, metadata-scale, and only on this path
+          .orElse(VersionedReader(spark, log).read(table)
+            .schema.find(_.name == column).map(_.dataType))
       val bloomKeep =
         if (hasBloom)
           when(col(s"bloom_$column").isNull, lit(true))
-            .otherwise(values.map(v => bloomMayContain(col(s"bloom_$column"), v))
+            .otherwise(values.map(v => bloomMayContain(col(s"bloom_$column"), v, columnType))
               .reduce(_ || _))
         else lit(true)
       stats.where(when(dvDecides, dvKeep).otherwise(bloomKeep))
@@ -300,13 +315,20 @@ object FileStats {
 
   /** Probe `v` against a per-file bloom array: all [[BloomHashes]] bits
     * must be set. Positions mirror the write side exactly — both hash the
-    * value's Spark STRING rendering, so a probe literal of a different
-    * numeric width than the column (int vs long) still lands on the same
-    * bits instead of silently false-negating. */
-  private def bloomMayContain(bloom: org.apache.spark.sql.Column, v: Any): org.apache.spark.sql.Column =
+    * value's Spark STRING rendering AS THE COLUMN'S TYPE: the probe literal
+    * is first cast through `columnType` (recovered from the sidecar's own
+    * typed columns) so an int probe against a double/decimal column renders
+    * '17.0' on both sides instead of silently false-negating. Without a
+    * recoverable type (bloom-only sidecar with no min/dv column) the
+    * literal's own rendering is used — exact for same-type probes. */
+  private def bloomMayContain(
+      bloom: org.apache.spark.sql.Column,
+      v: Any,
+      columnType: Option[org.apache.spark.sql.types.DataType]): org.apache.spark.sql.Column =
     (0 until BloomHashes).map { i =>
+      val typed = columnType.fold(lit(v))(t => lit(v).cast(t))
       val pos = pmod(
-        xxhash64(lit(i.toLong), lit(v).cast("string")), lit(BloomBits.toLong))
+        xxhash64(lit(i.toLong), typed.cast("string")), lit(BloomBits.toLong))
       val word = element_at(bloom, (pos / lit(64L)).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), (pos % lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)
@@ -329,6 +351,15 @@ object FileStats {
     // an unresolved-column analysis error at collect time
     val carryCols = table.partitionSchema.columns.map(_.name)
     val sidecarHasCarry = carryCols.forall(zones.columns.contains)
+    if (!sidecarHasCarry && partitionFilter.isDefined)
+      // visible signal, not just documented behavior: the caller's partition
+      // predicate is exact (partition columns are row-constant per file), so
+      // dropping it only widens the kept-file list — but silently returning
+      // extra partitions surprises operators; tell them how to migrate
+      System.err.println(
+        s"[graft] WARN: sidecar for ${table.name.fullyQualifiedName} predates carry columns " +
+          s"[${carryCols.mkString(",")}]; partition filter ignored for FILE pruning (superset, still " +
+          "correct) — run writeZoneMaps once to migrate the sidecar")
     val stats =
       if (sidecarHasCarry) partitionFilter.foldLeft(zones)(_.where(_))
       else zones

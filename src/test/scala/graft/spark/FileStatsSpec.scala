@@ -113,6 +113,40 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
       .where(col("k") === 17L).count() shouldBe 1L
   }
 
+  test("bloom probes coerce through the column's type — int probe vs double column") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("graft_spec", "dbl_bloom"),
+      Files.createTempDirectory("graft_spec_dblbloom").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // d is DOUBLE: its write-side bloom hashes '17.0', not '17' — an
+    // int probe 17 must still find the file (the round-10 bug was a raw
+    // lit(17).cast("string") rendering '17' and silently false-negating)
+    spark.range(4000).toDF("k")
+      .withColumn("d", col("k").cast("double"))
+      .repartition(4, col("k"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // tier 1: sidecar carries min_d (double) → type recovered from min
+    FileStats.writeZoneMaps(spark, log, table, Seq("d"), bloomCols = Seq("d"))
+    FileStats.readSkippingEquals(spark, log, table, "d", Seq(17: Int))
+      .where(col("d") === 17.0).count() shouldBe 1L
+
+    // tier 3: BLOOM-ONLY sidecar (no min_d, no dv_d) → type resolved from
+    // the table's own schema; the int probe must still hash '17.0'
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"), bloomCols = Seq("d"))
+    FileStats.readSkippingEquals(spark, log, table, "d", Seq(17: Int))
+      .where(col("d") === 17.0).count() shouldBe 1L
+    // and pruning is genuinely active for the double column (not keep-all)
+    val totalFiles = VersionedReader(spark, log).read(table).inputFiles.length
+    FileStats.readSkippingEquals(spark, log, table, "d", Seq(17: Int))
+      .inputFiles.length should be < totalFiles
+  }
+
   test("readSkipping drops files outside the predicate range, keeps every matching row") {
     import org.apache.spark.sql.functions.col
     val (table, log) = rangeClusteredTable()
