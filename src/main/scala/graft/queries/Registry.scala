@@ -379,6 +379,36 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity > 30
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q61_conditional_merge" -> Entry(
+      Versioned.q61ConditionalMerge,
+      // relational replay of the clause algebra in first-match order:
+      // matched & price<50k → +100; else matched & price>400k → delete;
+      // unmatched source 'O' rows → insert at +5; base rows with no even
+      // key match & key%5=0 → price zeroed
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |              FROM orders WHERE o_orderkey % 3 <> 0),
+             |src AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |        FROM orders WHERE o_orderkey % 2 = 0),
+             |marked AS (SELECT b.*,
+             |                  CASE WHEN s.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS m
+             |           FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey),
+             |applied AS (SELECT o_orderkey, o_custkey,
+             |                   CASE WHEN m = 1 AND o_totalprice < 50000.0 THEN o_totalprice + 100.0
+             |                        WHEN m = 0 AND o_orderkey % 5 = 0 THEN 0.0
+             |                        ELSE o_totalprice END AS o_totalprice,
+             |                   o_orderstatus
+             |            FROM marked
+             |            WHERE NOT (m = 1 AND NOT (o_totalprice < 50000.0)
+             |                       AND o_totalprice > 400000.0)),
+             |ins AS (SELECT s.o_orderkey, s.o_custkey,
+             |               s.o_totalprice + 5.0 AS o_totalprice, s.o_orderstatus
+             |        FROM src s
+             |        WHERE s.o_orderstatus = 'O'
+             |          AND s.o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+             |final AS (SELECT * FROM applied UNION ALL SELECT * FROM ins)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q39_sql_dml" -> Entry(
       Versioned.q39SqlDml,
       // relational replay of the statement sequence: base → UPDATE (+1000

@@ -442,6 +442,64 @@ object Versioned {
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q61: CONDITIONAL MERGE — the full clause algebra through SQL text:
+    * `WHEN MATCHED AND <cond> THEN UPDATE SET <col> = <expr>` (partial
+    * assignment), a second `WHEN MATCHED AND <cond> THEN DELETE`, a
+    * conditional `WHEN NOT MATCHED … THEN INSERT (cols) VALUES (exprs)`,
+    * and `WHEN NOT MATCHED BY SOURCE … THEN UPDATE` — first matching
+    * clause wins per row ([[graft.spark.Merge.mergeConditional]]): a
+    * narrow key-column discovery pass scopes the clause join table-wide
+    * (the Delta touched-file-discovery analog), one full-outer equi-join
+    * evaluates the clauses, and only partitions with actioned rows are
+    * rewritten. The oracle replays the clause sequence relationally in
+    * the same first-match order. */
+  def q61ConditionalMerge(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq61", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq61", log)
+    val table = tempTable(
+      "ord_condmerge", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_condmerge"))
+    graft.spark.GraftTableCatalog.register("graftq61", table)
+    val name = s"graftq61.${table.name.schema}.${table.name.name}"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.where(col("o_orderkey") % 3 =!= 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+    val v1 = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    orders.where(col("o_orderkey") % 2 === 0).createOrReplaceTempView("q61_src")
+    s.sql(
+      s"""MERGE INTO $name t USING q61_src src ON t.o_orderkey = src.o_orderkey
+         |WHEN MATCHED AND t.o_totalprice < 50000.0 THEN UPDATE SET o_totalprice = t.o_totalprice + 100.0
+         |WHEN MATCHED AND t.o_totalprice > 400000.0 THEN DELETE
+         |WHEN NOT MATCHED AND src.o_orderstatus = 'O'
+         |  THEN INSERT (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+         |       VALUES (src.o_orderkey, src.o_custkey, src.o_totalprice + 5.0, src.o_orderstatus)
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0 THEN UPDATE SET o_totalprice = 0.0
+         |""".stripMargin)
+    // one commit for the clause apply; history and time travel intact
+    require(log.updates(table.name).head.message.content == "MERGE (SQL)",
+      "conditional merge must land as one ordinary commit")
+    require(VersionedReader(s, log).readAsOf(table, log.updates(table.name).last.id) != null)
+    // partition granularity: every partition had actioned rows here, but the
+    // per-partition pointers must all have MOVED through the ordinary write
+    // path (no wholesale snapshot semantics)
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    require(after.keySet == v1.keySet, "clause apply must not add or drop partitions here")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q36: MERGE (upsert) — v1 base-loads two thirds of orders partitioned
     * by status; the source then updates every even-keyed 'O' order (+1000
     * price) and inserts the even 'O' orders v1 skipped. Only the 'O'

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, Cast, EqualTo, Expression, In, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable,
-  UpdateAction, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction,
+  MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -56,11 +56,15 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m
         case Some(rel) =>
           val table = rel.table.asInstanceOf[GraftV2Table]
-          validateActions(m)
           val keys = equiKeys(m.mergeCondition, m.targetTable, m.sourceTable)
-          GraftMergeCommand(
-            table.tableDefinition, table.tableBinding,
-            m.sourceTable, keys, rel.schema)
+          if (isCanonicalStar(m))
+            // the classic upsert keeps its one-join fast path (no
+            // table-wide discovery pass; source-partition-scoped contract)
+            GraftMergeCommand(
+              table.tableDefinition, table.tableBinding,
+              m.sourceTable, keys, rel.schema)
+          else
+            translateConditional(m, table, rel.schema, keys)
       }
 
     case u: UpdateTable if u.resolved =>
@@ -166,13 +170,13 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Accept exactly the analyzer's expansion of `UPDATE SET *` / `INSERT *`:
-    * EVERY target column assigned, each from the same-named SOURCE column
-    * (possibly cast). Coverage matters: GraftMergeCommand replaces whole
-    * rows from the source, so a partial assignment list (`SET label =
-    * s.label`) must reject — accepting it would silently clobber the
-    * unassigned columns with source values. */
-  private def validateActions(m: MergeIntoTable): Unit = {
+  /** The analyzer's expansion of the canonical `WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *` upsert: EVERY target column
+    * assigned, each from the same-named SOURCE column (possibly cast),
+    * both clauses unconditional, nothing else. This shape keeps the
+    * one-join [[GraftMergeCommand]] fast path; everything else goes
+    * through the conditional clause engine. */
+  private def isCanonicalStar(m: MergeIntoTable): Boolean = {
     val targetCols = m.targetTable.output.map(_.name.toLowerCase).toSet
     def starShaped(assigns: Seq[Assignment]): Boolean = {
       val covered = assigns.flatMap(a => rootAttr(a.key).map(_.name.toLowerCase)).toSet
@@ -184,22 +188,64 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     }
-    m.matchedActions match {
-      case Seq(UpdateAction(None, assigns, _)) if starShaped(assigns) => ()
-      case other => unsupported(s"graft MERGE INTO supports 'WHEN MATCHED THEN UPDATE SET *' " +
-        s"only; matched actions ${describe(other)}")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertAction(None, assigns)) if starShaped(assigns) => ()
-      case other => unsupported(s"graft MERGE INTO supports 'WHEN NOT MATCHED THEN INSERT *' " +
-        s"only; not-matched actions ${describe(other)}")
-    }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("MERGE WHEN NOT MATCHED BY SOURCE")
+    (m.matchedActions match {
+      case Seq(UpdateAction(None, assigns, _)) => starShaped(assigns)
+      case _                                   => false
+    }) && (m.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) => starShaped(assigns)
+      case _                                => false
+    }) && m.notMatchedBySourceActions.isEmpty
   }
 
-  private def describe(actions: Seq[MergeAction]): String =
-    if (actions.isEmpty) "(none)" else actions.map(_.getClass.getSimpleName).mkString(", ")
+  /** Translate a resolved non-star MERGE into the conditional-clause
+    * command. Attribute references in conditions and assignment values are
+    * detached SIDE-AWARE (`__t_`/`__s_` prefixes) — both relations carry
+    * the same column names, so plain by-name detachment would be ambiguous
+    * inside the merge join. */
+  private def translateConditional(
+      m: MergeIntoTable,
+      table: GraftV2Table,
+      relationSchema: StructType,
+      keys: Seq[String]): LogicalPlan = {
+    val defn = table.tableDefinition
+    val partCols = defn.partitionSchema.columns.map(_.name.toLowerCase).toSet
+    def side(e: Expression): Detached = {
+      rejectSubqueries(e)
+      new Detached(e.transform {
+        case a: AttributeReference if m.targetTable.outputSet.contains(a) =>
+          UnresolvedAttribute(Seq("__t_" + a.name))
+        case a: AttributeReference if m.sourceTable.outputSet.contains(a) =>
+          UnresolvedAttribute(Seq("__s_" + a.name))
+      })
+    }
+    def assigns(as: Seq[Assignment], clause: String): Seq[(String, Detached)] = as.map { a =>
+      val k = rootAttr(a.key).getOrElse(
+        unsupported(s"non-column assignment target ${a.key.sql} in $clause"))
+      k.name -> side(a.value)
+    }
+    def updateLike(action: MergeAction, clause: String): (Option[Detached], Option[Seq[(String, Detached)]]) =
+      action match {
+        case UpdateAction(cond, as, _) =>
+          as.foreach { a =>
+            rootAttr(a.key).foreach { k =>
+              if (partCols.contains(k.name.toLowerCase))
+                unsupported(s"UPDATE of partition column ${k.name} in $clause (rows would " +
+                  "migrate between partitions)")
+            }
+          }
+          (cond.map(side), Some(assigns(as, clause)))
+        case DeleteAction(cond) => (cond.map(side), None)
+        case other => unsupported(s"$clause action ${other.getClass.getSimpleName}")
+      }
+    val matched = m.matchedActions.map(updateLike(_, "WHEN MATCHED"))
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(cond, as) => (cond.map(side), assigns(as, "WHEN NOT MATCHED"))
+      case other => unsupported(s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+    }
+    val nmbs = m.notMatchedBySourceActions.map(updateLike(_, "WHEN NOT MATCHED BY SOURCE"))
+    GraftConditionalMergeCommand(
+      defn, table.tableBinding, m.sourceTable, keys, matched, notMatched, nmbs, relationSchema)
+  }
 }
 
 /** Opaque holder: keeps a detached expression OUT of the command node's
@@ -253,6 +299,40 @@ final case class GraftMergeCommand(
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     Merge.mergeInto(
       ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
+    Seq.empty
+  }
+}
+
+/** Driver-side execution of a CONDITIONAL MERGE (clauses beyond the
+  * canonical star upsert): materialize the source and hand the detached
+  * side-aware clause expressions to [[Merge.mergeConditional]] — table-wide
+  * matching via narrow discovery, one full-outer clause join, affected
+  * partitions only rewritten, one time-travelable commit. */
+final case class GraftConditionalMergeCommand(
+    defn: TableDefinition,
+    binding: GraftTableCatalog.Binding,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(Option[Detached], Option[Seq[(String, Detached)]])],
+    notMatched: Seq[(Option[Detached], Seq[(String, Detached)])],
+    notMatchedBySource: Seq[(Option[Detached], Option[Seq[(String, Detached)]])],
+    relationSchema: StructType) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftSqlShim.ofRows(session, source)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    def c(d: Detached): Column = GraftDml.column(d.expr)
+    def set(s: Seq[(String, Detached)]): Seq[(String, Column)] =
+      s.map { case (n, d) => n -> c(d) }
+    Merge.mergeConditional(
+      ctx, binding.log, defn, src, keys,
+      matched = matched.map { case (cond, as) => Merge.WhenMatched(cond.map(c), as.map(set)) },
+      notMatched = notMatched.map { case (cond, vs) => Merge.WhenNotMatched(cond.map(c), set(vs)) },
+      notMatchedBySource = notMatchedBySource.map { case (cond, as) =>
+        Merge.WhenMatched(cond.map(c), as.map(set)) },
+      userId = UserId("sql"),
+      message = UpdateMessage("MERGE (SQL)"),
+      emptySchema = Some(relationSchema))
     Seq.empty
   }
 }

@@ -1,7 +1,8 @@
 package graft.spark
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.core._
 import graft.core.TableVersions.{UpdateMessage, UserId}
@@ -84,5 +85,258 @@ object Merge {
         .versionedInsertInto(ctx, table, userId, message)
       ()
     } finally { src.unpersist(); () }
+  }
+
+  /** Target/source column references for conditional-merge clause
+    * expressions: [[mergeConditional]] joins the two sides under prefixed
+    * column names, so `tcol("flag") =!= scol("flag")` spells the SQL
+    * `t.flag <> s.flag`. */
+  def tcol(name: String): Column = col(s"__t_$name")
+  def scol(name: String): Column = col(s"__s_$name")
+
+  /** A `WHEN MATCHED [AND cond]` (or `WHEN NOT MATCHED BY SOURCE`) clause:
+    * `set = Some(assignments)` is UPDATE (unassigned columns carry their
+    * target value), `set = None` is DELETE. Conditions and assignment
+    * values reference columns through [[tcol]]/[[scol]]
+    * (`NOT MATCHED BY SOURCE` clauses may reference only [[tcol]]s — no
+    * source row exists for them). */
+  final case class WhenMatched(cond: Option[Column], set: Option[Seq[(String, Column)]])
+
+  /** A `WHEN NOT MATCHED [AND cond] THEN INSERT` clause: `values` must
+    * assign every partition column (rows need a partition to land in);
+    * unassigned data columns insert as NULL. Conditions and values may
+    * reference only [[scol]]s — there is no target row. */
+  final case class WhenNotMatched(cond: Option[Column], values: Seq[(String, Column)])
+
+  /** CONDITIONAL MERGE — the full Delta/Iceberg-style clause algebra
+    * (`WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE`, repeated;
+    * `WHEN NOT MATCHED [AND c] THEN INSERT …`; `WHEN NOT MATCHED BY
+    * SOURCE [AND c] THEN UPDATE/DELETE`) over the same partition-granular
+    * copy-on-write write primitive as [[mergeInto]]. First matching clause
+    * wins per row, SQL-standard; a NULL condition does not fire.
+    *
+    * Unlike [[mergeInto]] (whose documented contract scopes matching to
+    * the partitions present in the source), this is TABLE-WIDE matching —
+    * the honest `MERGE` semantics: a narrow DISCOVERY pass (key + partition
+    * columns only, column-pruned scan + shuffled semi join — the Delta
+    * touched-file-discovery analog) finds every partition holding a matched
+    * key; insert placement partitions are computed from the source alone
+    * (`NOT MATCHED` clauses may only reference the source, so their
+    * partition values need no target row). The full-outer clause join then
+    * reads ONLY those partitions, and only partitions with at least one
+    * actioned row are rewritten — the rest keep their version pointers.
+    * `WHEN NOT MATCHED BY SOURCE` necessarily scopes to the whole table
+    * (any partition may hold unmatched rows — the same full scan Delta
+    * pays for it), but still rewrites only affected partitions.
+    *
+    * Fully-deleted partitions produce no surviving rows, so their pointers
+    * don't move on the data write; a metadata-only follow-up commit removes
+    * them (the SQL DELETE pattern). Duplicate source keys are rejected —
+    * one target row matching two source rows is ambiguous under UPDATE.
+    *
+    * `emptySchema`: the table's declared schema, used only when merging
+    * into a never-written table (everything inserts). */
+  def mergeConditional(
+      ctx: VersionContext,
+      log: TableVersions,
+      table: TableDefinition,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[WhenMatched],
+      notMatched: Seq[WhenNotMatched],
+      notMatchedBySource: Seq[WhenMatched] = Nil,
+      userId: UserId = UserId("merge"),
+      message: UpdateMessage = UpdateMessage("MERGE (conditional)"),
+      emptySchema: Option[StructType] = None): Unit = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    require(keyCols.forall(source.columns.contains),
+      s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge requires at least one WHEN clause")
+    val partCols = table.partitionSchema.columns.map(_.name)
+    val partSet = partCols.map(_.toLowerCase).toSet
+    (matched ++ notMatchedBySource).foreach(_.set.foreach(_.foreach { case (n, _) =>
+      require(!partSet.contains(n.toLowerCase),
+        s"UPDATE of partition column $n (rows would migrate between partitions)")
+    }))
+    if (!table.isSnapshot) notMatched.foreach { cl =>
+      val assigned = cl.values.map(_._1.toLowerCase).toSet
+      require(partSet.subsetOf(assigned),
+        s"INSERT clause must assign every partition column (${partCols.mkString(", ")})")
+    }
+
+    val spark = source.sparkSession
+    val src = source.persist()
+    val acted =
+      try {
+        // one target row matching two source rows is ambiguous under UPDATE
+        // (and would double-insert under NOT MATCHED): reject, SQL-standard.
+        // NULL keys never match (===), so multiple null-key rows are fine.
+        val nonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+        require(
+          src.where(nonNullKeys).groupBy(keyCols.map(col): _*)
+            .count().where(col("count") > 1).isEmpty,
+          "merge source has duplicate key values — ambiguous match (pre-aggregate the source)")
+
+        val reader = VersionedReader(spark, log)
+        val current0 = reader.read(table)
+        val neverWritten = current0.columns.isEmpty
+        // the versioned reader surfaces partition columns as strings (they
+        // come from k=v dirs); mirror that in the never-written schema so
+        // both paths project identically
+        val current =
+          if (!neverWritten) current0
+          else {
+            val schema = emptySchema.getOrElse(sys.error(
+              s"merge into never-written ${table.name.fullyQualifiedName} needs its declared schema"))
+            val stringed = StructType(schema.map(f =>
+              if (partSet.contains(f.name.toLowerCase)) StructField(f.name, StringType)
+              else f))
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stringed)
+          }
+        if (!neverWritten)
+          require(keyCols.forall(k => current.columns.exists(_.equalsIgnoreCase(k))),
+            s"merge key columns ${keyCols.mkString(", ")} must all exist in the target")
+
+        val srcPref = src.select(src.columns.map(c => col(c).as(s"__s_$c")): _*)
+        // ---- scope: which partitions the clause join must read ----
+        val scoped =
+          if (table.isSnapshot || neverWritten) current
+          else if (notMatchedBySource.nonEmpty) current // any partition may hold unmatched rows
+          else {
+            // DISCOVERY (narrow): partitions holding a matched key — a
+            // column-pruned scan of (keys ∪ partition cols) semi-joined to
+            // the distinct source keys; collects O(#partitions) rows
+            val srcKeys = src.select(keyCols.map(col): _*).distinct()
+            val matchedParts = VersionContext.partitionValues(
+              current.select((keyCols ++ partCols).distinct.map(col): _*)
+                .join(srcKeys, keyCols, "left_semi"),
+              table.partitionSchema)
+            // insert placement: NOT MATCHED clauses reference only the
+            // source, so their partition values come from the source alone
+            // (a SUPERSET of the partitions real inserts land in — unneeded
+            // scope partitions fall out at the affected filter)
+            val insertParts = notMatched.flatMap { cl =>
+              val vals = cl.values.map { case (n, v) => n.toLowerCase -> v }.toMap
+              srcPref.where(coalesce(cl.cond.getOrElse(lit(true)), lit(false)))
+                .select(partCols.map(p => vals(p.toLowerCase).cast("string").as(p)): _*)
+                .distinct().collect().toList
+                .filter(r => (0 until r.length).forall(i => !r.isNullAt(i) && r.getString(i).nonEmpty))
+                .map(r => Partition(table.partitionSchema.columns.zipWithIndex.map {
+                  case (c, i) => ColumnValue(c, r.getString(i))
+                }))
+            }
+            reader.readPartitions(table, (matchedParts ++ insertParts).distinct)
+          }
+
+        // ---- the clause join: one shuffled full-outer equi-join ----
+        val tgtPref = scoped.select(scoped.columns.map(c => col(c).as(s"__t_$c")): _*)
+          .withColumn("__t_present", lit(true))
+        val srcSide = srcPref.withColumn("__s_present", lit(true))
+        val joinCond = keyCols.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
+        val joined = tgtPref.join(srcSide, joinCond, "full_outer")
+
+        // first matching clause wins; a NULL condition does not fire.
+        // codes: u<i>/n<k> update, i<j> insert, del delete,
+        // carry = untouched target row, skip = unmatched source row
+        def firstHit(clauses: Seq[(Option[Column], String)], default: String): Column =
+          clauses.foldRight(lit(default): Column) { case ((c, code), els) =>
+            when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(code)).otherwise(els)
+          }
+        val matchedCodes = matched.zipWithIndex.map { case (cl, i) =>
+          cl.cond -> (if (cl.set.isDefined) s"u$i" else "del") }
+        val insertCodes = notMatched.zipWithIndex.map { case (cl, j) => cl.cond -> s"i$j" }
+        val nmbsCodes = notMatchedBySource.zipWithIndex.map { case (cl, k) =>
+          cl.cond -> (if (cl.set.isDefined) s"n$k" else "del") }
+        val isMatchedRow = col("__t_present").isNotNull && col("__s_present").isNotNull
+        val action =
+          when(isMatchedRow, firstHit(matchedCodes, "carry"))
+            .when(col("__t_present").isNull, firstHit(insertCodes, "skip"))
+            .otherwise(firstHit(nmbsCodes, "carry"))
+        joined.withColumn("__action", action).persist()
+      } catch { case e: Throwable => src.unpersist(); throw e }
+
+    try {
+      val reader = VersionedReader(spark, log)
+      val current0 = reader.read(table)
+      val neverWritten = current0.columns.isEmpty
+      val outSchema: Seq[StructField] = {
+        val base = emptySchema.filter(_ => neverWritten)
+          .map(s => StructType(s.map(f =>
+            if (partSet.contains(f.name.toLowerCase)) StructField(f.name, StringType) else f)))
+          .getOrElse(current0.schema)
+        base.toSeq
+      }
+      // per-column projection: the winning clause's value, else carry
+      def projected(c: StructField): Column = {
+        val lc = c.name.toLowerCase
+        def from(set: Seq[(String, Column)], dflt: Column): Column =
+          set.collectFirst { case (n, v) if n.toLowerCase == lc => v }.getOrElse(dflt)
+        val cases: Seq[(String, Column)] =
+          matched.zipWithIndex.collect { case (WhenMatched(_, Some(set)), i) =>
+            s"u$i" -> from(set, col(s"__t_${c.name}")) } ++
+          notMatched.zipWithIndex.map { case (cl, j) =>
+            s"i$j" -> from(cl.values, lit(null)) } ++
+          notMatchedBySource.zipWithIndex.collect { case (WhenMatched(_, Some(set)), k) =>
+            s"n$k" -> from(set, col(s"__t_${c.name}")) }
+        cases.foldRight(col(s"__t_${c.name}"): Column) { case ((code, v), els) =>
+          when(col("__action") === code, v).otherwise(els)
+        }.cast(c.dataType).as(c.name)
+      }
+      // an assignment naming a column the table doesn't have would be
+      // silently ignored by the per-column projection — reject instead
+      val outNames = outSchema.map(_.name.toLowerCase).toSet
+      ((matched ++ notMatchedBySource).flatMap(_.set.toSeq.flatten) ++
+        notMatched.flatMap(_.values)).foreach { case (n, _) =>
+        require(outNames.contains(n.toLowerCase),
+          s"merge assignment targets unknown column $n (table has ${outNames.mkString(", ")})")
+      }
+      val actioned = acted.where(col("__action") =!= "carry" && col("__action") =!= "skip")
+
+      if (table.isSnapshot) {
+        if (!actioned.isEmpty) {
+          acted.where(col("__action") =!= "del" && col("__action") =!= "skip")
+            .select(outSchema.map(projected): _*)
+            .versionedInsertInto(ctx, table, userId, message)
+          ()
+        }
+      } else {
+        // affected partitions: only these rewrite — O(#partitions) metadata
+        val affected = actioned
+          .select(partCols.map(p => projected(outSchema.find(_.name.equalsIgnoreCase(p)).get)): _*)
+          .distinct().collect()
+        if (affected.nonEmpty) {
+          val affectedDf = spark.createDataFrame(
+            java.util.Arrays.asList(affected: _*),
+            StructType(partCols.map(StructField(_, StringType))))
+          val result = acted.where(col("__action") =!= "del" && col("__action") =!= "skip")
+            .select(outSchema.map(projected): _*)
+            .join(broadcast(affectedDf), partCols.toSeq, "left_semi")
+          val before = log.currentVersion(table.name) match {
+            case PartitionedTableVersion(pvs) => pvs
+            case _ if neverWritten            => Map.empty[Partition, Version]
+            case other                        => sys.error(s"unexpected $other")
+          }
+          result.versionedInsertInto(ctx, table, userId, message)
+          // fully-deleted partitions wrote nothing — pointers unmoved;
+          // remove them in a metadata-only follow-up commit
+          val after = log.currentVersion(table.name) match {
+            case PartitionedTableVersion(pvs) => pvs
+            case other                        => sys.error(s"unexpected $other")
+          }
+          val affectedParts = affected.map(r => Partition(
+            table.partitionSchema.columns.zipWithIndex.map { case (c, i) =>
+              ColumnValue(c, r.getString(i)) })).toList
+          val emptied = affectedParts.filter(p =>
+            before.contains(p) && before.get(p) == after.get(p))
+          if (emptied.nonEmpty) {
+            ctx.metastore.commit(table.name, TableVersions.TableUpdate(
+              userId, UpdateMessage(s"${message.content} prune"), java.time.Instant.now(),
+              emptied.map(TableVersions.TableOperation.RemovePartition(_))))
+            ()
+          }
+        }
+      }
+    } finally { acted.unpersist(); src.unpersist(); () }
   }
 }

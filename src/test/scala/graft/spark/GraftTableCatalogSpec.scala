@@ -392,20 +392,118 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       CatEvent(1, "old", "2024-01-01"), CatEvent(2, "old", "2024-01-02"),
       CatEvent(3, "old", "2024-01-02"))
 
-    // unsupported shapes reject loudly instead of silently approximating
+    // non-star shapes route through the CONDITIONAL clause engine now
+    // (see the dedicated conditional-merge test); genuinely unsupported
+    // shapes still reject loudly: an UPDATE of a partition column
     val e = intercept[Exception](spark.sql(
       """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
-        |WHEN MATCHED THEN DELETE""".stripMargin))
-    e.getMessage should include("graft MERGE INTO supports")
+        |WHEN MATCHED THEN UPDATE SET date = s.date, label = s.label""".stripMargin))
+    e.getMessage should include("partition column")
+  }
 
-    // a PARTIAL assignment list must also reject: the engine replaces whole
-    // rows from the source, so accepting `SET label = s.label` would
-    // silently clobber the unassigned columns too
-    val e2 = intercept[Exception](spark.sql(
-      """MERGE INTO graftcat.cdb.mergesql t USING merge_src s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET label = s.label
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    e2.getMessage should include("graft MERGE INTO supports")
+  test("SQL conditional MERGE: clause conditions, partial SET, DELETE, NOT MATCHED BY SOURCE") {
+    val table = TableDefinition(
+      TableName("cdb", "condmerge"),
+      Files.createTempDirectory("graft_cat_condmerge").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+
+    Seq(
+      CatEvent(1, "old", "2024-01-01"), CatEvent(2, "old", "2024-01-02"),
+      CatEvent(3, "old", "2024-01-02"), CatEvent(5, "stale", "2024-01-03"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Commit = log.updates(table.name).head.id
+    val v1Versions = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+
+    Seq(
+      CatEvent(2, "upd", "2024-01-02"), CatEvent(3, "del", "2024-01-02"),
+      CatEvent(4, "ins", "2024-01-02"), CatEvent(9, "skipme", "2024-01-04"))
+      .toDF().createOrReplaceTempView("cond_src")
+    spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge t USING cond_src s ON t.id = s.id
+        |WHEN MATCHED AND s.label = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET label = concat(s.label, '!')
+        |WHEN NOT MATCHED AND s.label = 'ins' THEN INSERT (id, label, date) VALUES (s.id, s.label, s.date)
+        |WHEN NOT MATCHED BY SOURCE AND t.label = 'stale' THEN DELETE""".stripMargin)
+
+    // first matching clause wins: 3 deleted (not updated); 2 updated with a
+    // PARTIAL SET (id/date carried); 4 inserted by its conditional clause;
+    // 9's insert condition is false → skipped; 1 carries; 5 NMBS-deleted
+    spark.sql("SELECT id, label, date FROM graftcat.cdb.condmerge ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "old", "2024-01-01"), CatEvent(2, "upd!", "2024-01-02"),
+      CatEvent(4, "ins", "2024-01-02"))
+
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    val day1 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    val day2 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-02"))
+    val day3 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-03"))
+    // NMBS scopes the scan to the whole table, but only AFFECTED partitions
+    // rewrite: day1 held only carried rows — pointer untouched
+    after(day1) shouldBe v1Versions(day1)
+    after(day2) should not be v1Versions(day2)
+    // day3 was fully NMBS-deleted: pruned from the partition map entirely
+    after.get(day3) shouldBe None
+
+    // pre-merge state still readable at the v1 commit (delete included)
+    spark.sql(
+      s"SELECT id, label, date FROM graftcat.cdb.condmerge VERSION AS OF '${v1Commit.id}' ORDER BY id")
+      .as[CatEvent].collect().map(_.id) shouldBe Array(1L, 2L, 3L, 5L)
+
+    // duplicate source keys are ambiguous under UPDATE → reject at runtime
+    Seq(CatEvent(2, "a", "2024-01-02"), CatEvent(2, "b", "2024-01-02"))
+      .toDF().createOrReplaceTempView("dup_src")
+    val dup = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge t USING dup_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET label = s.label""".stripMargin))
+    dup.getMessage should include("duplicate key")
+
+    // subqueries in clause conditions stay rejected
+    val sub = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge t USING cond_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id IN (SELECT id FROM cond_src) THEN DELETE""".stripMargin))
+    sub.getMessage should include("subquery")
+  }
+
+  test("SQL conditional MERGE: insert-if-absent, no-op replay, matched-only refinement") {
+    val table = TableDefinition(
+      TableName("cdb", "condmerge2"),
+      Files.createTempDirectory("graft_cat_condmerge2").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(CatRow(1, "a")).toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    Seq(CatRow(1, "a"), CatRow(2, "b")).toDF().createOrReplaceTempView("seed_src")
+    // insert-if-absent: a lone NOT MATCHED clause (the old star-only rule
+    // rejected it; the clause engine runs it honestly — matched rows carry)
+    spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge2 t USING seed_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("SELECT id, label FROM graftcat.cdb.condmerge2 ORDER BY id")
+      .as[CatRow].collect() shouldBe Array(CatRow(1, "a"), CatRow(2, "b"))
+
+    // replay the same merge: every key now matches, no clause fires for
+    // matched rows → NO new commit (a no-op must not pollute history)
+    val commits = log.updates(table.name).size
+    spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge2 t USING seed_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    log.updates(table.name).size shouldBe commits
+
+    // matched-only conditional update on the snapshot table
+    spark.sql(
+      """MERGE INTO graftcat.cdb.condmerge2 t USING seed_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id = 2 THEN UPDATE SET label = upper(s.label)""".stripMargin)
+    spark.sql("SELECT id, label FROM graftcat.cdb.condmerge2 ORDER BY id")
+      .as[CatRow].collect() shouldBe Array(CatRow(1, "a"), CatRow(2, "B"))
   }
 
   test("SQL maintenance: OPTIMIZE bin-packs, OPTIMIZE ZORDER clusters, VACUUM reclaims — each as SQL text") {

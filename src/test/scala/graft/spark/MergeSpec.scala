@@ -102,6 +102,76 @@ class MergeSpec extends AnyFunSuite with Matchers {
       Array(Event(1, "old", "d"), Event(2, "old", "d"))
   }
 
+  test("conditional merge matches TABLE-WIDE: a matched row outside the source's partitions still updates") {
+    import org.apache.spark.sql.functions.concat
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("condmerge_wide")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(
+      Event(1, "old", "2024-01-01"), Event(7, "old", "2024-01-05"),
+      Event(9, "old", "2024-01-09"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+
+    // the source row carries partition 2024-01-01, but its KEY (7) lives in
+    // 2024-01-05 — mergeInto's contract would never see it; the conditional
+    // engine's discovery pass must find and update it in place
+    val source = Seq(Event(7, "upd", "2024-01-01")).toDF()
+    Merge.mergeConditional(
+      ctx, log, table, source, Seq("id"),
+      matched = Seq(Merge.WhenMatched(None,
+        Some(Seq("kind" -> concat(Merge.scol("kind"), Merge.tcol("kind")))))),
+      notMatched = Seq(Merge.WhenNotMatched(None,
+        Seq("id" -> Merge.scol("id"), "kind" -> Merge.scol("kind"),
+          "date" -> Merge.scol("date")))),
+      userId = user, message = UpdateMessage("cond merge"))
+
+    VersionedReader(spark, log).read(table)
+      .orderBy("id").as[Event].collect() shouldBe Array(
+      Event(1, "old", "2024-01-01"), Event(7, "updold", "2024-01-05"),
+      Event(9, "old", "2024-01-09"))
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    // only the partition holding the matched key rewrote
+    after(Partition(ColumnValue(PartitionColumn("date"), "2024-01-05"))) should not be
+      v1(Partition(ColumnValue(PartitionColumn("date"), "2024-01-05")))
+    after(Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))) shouldBe
+      v1(Partition(ColumnValue(PartitionColumn("date"), "2024-01-01")))
+    after(Partition(ColumnValue(PartitionColumn("date"), "2024-01-09"))) shouldBe
+      v1(Partition(ColumnValue(PartitionColumn("date"), "2024-01-09")))
+  }
+
+  test("conditional merge into a never-written table inserts via the declared schema") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("condmerge_empty")
+    ctx.init(table, user, UpdateMessage("init"))
+    val source = Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02")).toDF()
+    Merge.mergeConditional(
+      ctx, log, table, source, Seq("id"),
+      matched = Nil,
+      notMatched = Seq(Merge.WhenNotMatched(None,
+        Seq("id" -> Merge.scol("id"), "kind" -> Merge.scol("kind"),
+          "date" -> Merge.scol("date")))),
+      userId = user, message = UpdateMessage("seed"),
+      emptySchema = Some(source.schema))
+    VersionedReader(spark, log).read(table)
+      .orderBy("id").as[Event].collect() shouldBe Array(
+      Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02"))
+
+    // an INSERT clause that misses a partition column rejects loudly
+    val e = intercept[IllegalArgumentException](Merge.mergeConditional(
+      ctx, log, table, source, Seq("id"),
+      matched = Nil,
+      notMatched = Seq(Merge.WhenNotMatched(None, Seq("id" -> Merge.scol("id")))),
+      userId = user, message = UpdateMessage("bad")))
+    e.getMessage should include("partition column")
+  }
+
   test("versioned partitioned reads take dynamic partition pruning from a dim-side filter") {
     import org.apache.spark.sql.functions.{broadcast, col}
     val (ctx, log) = freshContext()
