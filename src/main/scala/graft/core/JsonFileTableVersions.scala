@@ -82,6 +82,11 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     node.put("user", update.metadata.userId.value)
     node.put("message", update.metadata.message.content)
     node.put("timestamp", update.metadata.timestamp.toString)
+    update.metadata.txn.foreach { t =>
+      node.put("txnApp", t.appId)
+      node.put("txnBatch", t.batchId)
+      ()
+    }
     val ops = node.putArray("operations")
     update.operations.foreach(op => ops.add(opToJson(mapper.createObjectNode(), op)))
     mapper.writeValueAsString(node)
@@ -123,7 +128,10 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
                 CommitId(node.get("id").asText()),
                 UserId(node.get("user").asText()),
                 UpdateMessage(node.get("message").asText()),
-                Instant.parse(node.get("timestamp").asText()))
+                Instant.parse(node.get("timestamp").asText()),
+                // optional stream-txn marker (absent in pre-r11 logs)
+                txn = Option(node.get("txnApp")).map(app =>
+                  StreamTxn(app.asText(), node.get("txnBatch").asLong())))
               val ops = node.get("operations").asInstanceOf[ArrayNode]
               val parsed = (0 until ops.size()).toList
                 .map(i => opFromJson(ops.get(i).asInstanceOf[ObjectNode]))

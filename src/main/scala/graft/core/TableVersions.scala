@@ -45,6 +45,21 @@ trait TableVersions {
   def updates(table: TableName): List[TableUpdateMetadata] =
     tableState(table).updates.map(_.metadata).reverse
 
+  /** The highest micro-batch id the writer identified by `appId` has
+    * durably committed to this table, or None — the read side of the
+    * [[TableVersions.StreamTxn]] idempotence marker. O(history) metadata
+    * fold; callers check once per micro-batch. NOTE: log checkpointing
+    * folds away commits older than its retention, and their txn markers
+    * with them (the Delta setTransaction-expiry analog) — replay detection
+    * spans the retained history, which is always ≥ the streaming engine's
+    * own replay window of one batch. */
+  def lastTxnBatch(table: TableName, appId: String): Option[Long] =
+    tableState(table).updates.iterator
+      .flatMap(_.metadata.txn)
+      .filter(_.appId == appId)
+      .map(_.batchId)
+      .maxOption
+
   /** The commit the current pointer names — the state `currentVersion`
     * folds. ≠ `updates(table).head.id` after a rollback: consumers that key
     * per-state artifacts (zone-map sidecars) must use THIS, not the head. */
@@ -92,11 +107,20 @@ object TableVersions {
   final case class UserId(value: String)
   final case class UpdateMessage(content: String)
 
+  /** Idempotent-writer marker carried IN a commit's metadata (the Delta
+    * `txnAppId`/`txnVersion` pattern): a streaming sink records its stable
+    * application id and the micro-batch id it committed, so a batch
+    * REPLAYED after a crash-between-commit-and-checkpoint is detected
+    * (`batchId <= lastTxnBatch(appId)`) and skipped instead of committing
+    * twice. Distinct writers feeding one table must use distinct appIds. */
+  final case class StreamTxn(appId: String, batchId: Long)
+
   final case class TableUpdateMetadata(
       id: CommitId,
       userId: UserId,
       message: UpdateMessage,
-      timestamp: Instant
+      timestamp: Instant,
+      txn: Option[StreamTxn] = None
   )
 
   object TableUpdateMetadata {
@@ -114,6 +138,16 @@ object TableVersions {
         timestamp: Instant,
         operations: List[TableOperation]): TableUpdate =
       TableUpdate(TableUpdateMetadata(userId, message, timestamp), operations)
+
+    def apply(
+        userId: UserId,
+        message: UpdateMessage,
+        timestamp: Instant,
+        operations: List[TableOperation],
+        txn: Option[StreamTxn]): TableUpdate =
+      TableUpdate(
+        TableUpdateMetadata(CommitId(UUID.randomUUID().toString), userId, message, timestamp, txn),
+        operations)
   }
 
   /** ADT of operations recorded in the history

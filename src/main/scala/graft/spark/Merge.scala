@@ -47,7 +47,8 @@ object Merge {
       source: DataFrame,
       keyCols: Seq[String],
       userId: UserId,
-      message: UpdateMessage): Unit = {
+      message: UpdateMessage,
+      txn: Option[TableVersions.StreamTxn] = None): Unit = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     require(
       keyCols.forall(source.columns.contains),
@@ -82,7 +83,7 @@ object Merge {
         else current.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
       kept.select(cols: _*)
         .unionByName(src)
-        .versionedInsertInto(ctx, table, userId, message)
+        .versionedInsertInto(ctx, table, userId, message, txn)
       ()
     } finally { src.unpersist(); () }
   }

@@ -54,12 +54,13 @@ object VersionContext {
         ctx: VersionContext,
         table: TableDefinition,
         userId: UserId,
-        message: UpdateMessage): (TableVersion, TableChanges) = {
+        message: UpdateMessage,
+        txn: Option[TableVersions.StreamTxn] = None): (TableVersion, TableChanges) = {
       val version = ctx.newVersion()
       val ops =
         if (table.isSnapshot) List(writeSnapshot(ds, table, version))
         else writePartitioned(ds, table, version)
-      val update = TableUpdate(userId, message, Instant.now(), ops)
+      val update = TableUpdate(userId, message, Instant.now(), ops, txn)
       ctx.metastore.commit(table.name, update)
     }
 

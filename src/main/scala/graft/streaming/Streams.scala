@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.core.TableVersions.{StreamTxn, UpdateMessage, UserId}
 import graft.core.TableDefinition
 import graft.spark.VersionContext
 import graft.spark.VersionContext.DatasetVersionOps
@@ -135,9 +135,43 @@ object Streams {
       }
   }
 
+  /** The stable writer identity a sink records in its commits' [[StreamTxn]]
+    * markers. One stream per table needs no explicit id; multiple streams
+    * feeding one table must pass distinct `txnAppId`s or their batch-id
+    * sequences would shadow each other's replay detection. */
+  private def defaultAppId(table: TableDefinition): String =
+    s"stream:${table.name.fullyQualifiedName}"
+
+  /** One versioned-sink micro-batch, REPLAY-IDEMPOTENT: the commit records
+    * `(appId, batchId)` in its metadata, and a batch id at or below the
+    * last durably committed one for this appId is SKIPPED — the
+    * crash-between-commit-and-checkpoint replay would otherwise commit the
+    * same batch twice (harmless for this sink's replace-partitions content,
+    * but a duplicate commit in history; fatal for append semantics).
+    * Extracted from the `foreachBatch` closure so the replay path is
+    * directly testable. */
+  private[graft] def applyVersionedBatch[T](
+      batch: Dataset[T],
+      batchId: Long,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      appId: String): Unit = {
+    val replayed = ctx.metastore.tableVersions
+      .lastTxnBatch(table.name, appId).exists(_ >= batchId)
+    if (!replayed && !batch.isEmpty) {
+      batch.versionedInsertInto(
+        ctx, table, user, UpdateMessage(s"micro-batch $batchId"),
+        txn = Some(StreamTxn(appId, batchId)))
+      ()
+    }
+  }
+
   /** Versioned sink: each micro-batch commits one new version of `table`.
-    * Exactly-once at the version level — a replayed batch writes a fresh
-    * version dir and a fresh commit, never corrupting a published one.
+    * Exactly-once at the version level — a replayed batch is detected by
+    * its [[StreamTxn]] marker and skipped ([[applyVersionedBatch]]), so
+    * recovery after a crash between commit and checkpoint re-runs the
+    * batch without committing it twice.
     *
     * SEMANTICS — full-recompute outputs only: `versionedInsertInto`
     * REPLACES the partitions present in each batch (the whole table for
@@ -150,12 +184,13 @@ object Streams {
       stream: Dataset[T],
       ctx: VersionContext,
       table: TableDefinition,
-      user: UserId): DataStreamWriter[T] =
+      user: UserId,
+      txnAppId: Option[String] = None): DataStreamWriter[T] = {
+    val appId = txnAppId.getOrElse(defaultAppId(table))
     stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
-      if (!batch.isEmpty)
-        batch.versionedInsertInto(ctx, table, user, UpdateMessage(s"micro-batch $batchId"))
-      ()
+      applyVersionedBatch(batch, batchId, ctx, table, user, appId)
     }
+  }
 
   /** MERGE sink: each micro-batch UPSERTS into `table` by `keyCols`
     * through [[graft.spark.Merge.mergeInto]] — the production CDC-apply
@@ -175,12 +210,32 @@ object Streams {
       log: graft.core.TableVersions,
       table: TableDefinition,
       keyCols: Seq[String],
-      user: UserId): DataStreamWriter[T] =
+      user: UserId,
+      txnAppId: Option[String] = None): DataStreamWriter[T] = {
+    val appId = txnAppId.getOrElse(defaultAppId(table))
     stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
-      if (!batch.isEmpty)
-        graft.spark.Merge.mergeInto(
-          ctx, log, table, batch.toDF(), keyCols, user,
-          UpdateMessage(s"merge micro-batch $batchId"))
-      ()
+      applyMergeBatch(batch, batchId, ctx, log, table, keyCols, user, appId)
     }
+  }
+
+  /** One merge-sink micro-batch, REPLAY-IDEMPOTENT like
+    * [[applyVersionedBatch]]. The upsert content is key-idempotent anyway;
+    * the txn marker keeps the COMMIT HISTORY exactly-once too. */
+  private[graft] def applyMergeBatch[T](
+      batch: Dataset[T],
+      batchId: Long,
+      ctx: VersionContext,
+      log: graft.core.TableVersions,
+      table: TableDefinition,
+      keyCols: Seq[String],
+      user: UserId,
+      appId: String): Unit = {
+    val replayed = log.lastTxnBatch(table.name, appId).exists(_ >= batchId)
+    if (!replayed && !batch.isEmpty)
+      graft.spark.Merge.mergeInto(
+        ctx, log, table, batch.toDF(), keyCols, user,
+        UpdateMessage(s"merge micro-batch $batchId"),
+        txn = Some(StreamTxn(appId, batchId)))
+    ()
+  }
 }

@@ -11,6 +11,7 @@ import org.scalatest.matchers.should.Matchers
 import graft.core._
 import graft.core.TableVersions.{UpdateMessage, UserId}
 import graft.spark.{TestSpark, VersionContext, VersionedReader}
+import graft.spark.VersionContext.DatasetVersionOps
 
 case class Tick(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
@@ -147,5 +148,73 @@ class StreamsSpec extends AnyFunSuite with Matchers {
       VersionedReader(spark, log).read(table).as[Tick].collect()
         .map(_.event_type) shouldBe Array("view")
     } finally q.stop()
+  }
+
+  test("sink replay after crash-between-commit-and-checkpoint commits exactly once per batch id") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "stream_replay"),
+      Files.createTempDirectory("graft_stream_replay").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, UserId("stream"), UpdateMessage("init"))
+    val appId = "stream:test.stream_replay"
+
+    val b0 = Seq(Tick(t(1), "click", 1, 1.0)).toDS()
+    Streams.applyVersionedBatch(b0, 0L, ctx, table, UserId("stream"), appId)
+    log.updates(table.name).count(_.message.content.startsWith("micro-batch")) shouldBe 1
+
+    // the engine re-delivers batch 0 after recovery (commit landed, the
+    // streaming checkpoint didn't): the txn marker must suppress a second
+    // commit — identical content AND identical history
+    Streams.applyVersionedBatch(b0, 0L, ctx, table, UserId("stream"), appId)
+    log.updates(table.name).count(_.message.content.startsWith("micro-batch")) shouldBe 1
+    log.lastTxnBatch(table.name, appId) shouldBe Some(0L)
+
+    // the next genuine batch commits normally
+    Streams.applyVersionedBatch(
+      Seq(Tick(t(2), "view", 2, 2.0)).toDS(), 1L, ctx, table, UserId("stream"), appId)
+    log.updates(table.name).count(_.message.content.startsWith("micro-batch")) shouldBe 2
+    log.lastTxnBatch(table.name, appId) shouldBe Some(1L)
+
+    // a DIFFERENT writer identity is not shadowed by this one's batch ids
+    Streams.applyVersionedBatch(
+      Seq(Tick(t(3), "buy", 3, 3.0)).toDS(), 0L, ctx, table, UserId("stream"), "other-app")
+    log.updates(table.name).count(_.message.content.startsWith("micro-batch")) shouldBe 3
+
+    // merge-sink path shares the same replay guard
+    val mtable = TableDefinition(
+      TableName("test", "stream_replay_merge"),
+      Files.createTempDirectory("graft_stream_replay_m").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(mtable, UserId("stream"), UpdateMessage("init"))
+    Seq(Tick(t(1), "seed", 1, 1.0)).toDS()
+      .versionedInsertInto(ctx, mtable, UserId("stream"), UpdateMessage("v1"))
+    val mb = Seq(Tick(t(2), "upd", 1, 9.0)).toDS()
+    Streams.applyMergeBatch(mb, 0L, ctx, log, mtable, Seq("user_id"), UserId("stream"), "m-app")
+    Streams.applyMergeBatch(mb, 0L, ctx, log, mtable, Seq("user_id"), UserId("stream"), "m-app")
+    log.updates(mtable.name).count(_.message.content.startsWith("merge micro-batch")) shouldBe 1
+    VersionedReader(spark, log).read(mtable).as[Tick].collect().map(_.value) shouldBe Array(9.0)
+  }
+
+  test("txn markers round-trip the durable JSON log") {
+    val dir = Files.createTempDirectory("graft_txn_json")
+    val log = new JsonFileTableVersions(dir)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "txn_durable"),
+      Files.createTempDirectory("graft_txn_durable").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, UserId("stream"), UpdateMessage("init"))
+    Streams.applyVersionedBatch(
+      Seq(Tick(t(1), "click", 1, 1.0)).toDS(), 7L, ctx, table, UserId("stream"), "app-x")
+
+    // a RE-OPENED log (fresh process after a crash) must still see the marker
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.lastTxnBatch(table.name, "app-x") shouldBe Some(7L)
+    val ctx2 = VersionContext(VersionedMetastore(reopened, new InMemoryMetastore))
+    Streams.applyVersionedBatch(
+      Seq(Tick(t(1), "click", 1, 1.0)).toDS(), 7L, ctx2, table, UserId("stream"), "app-x")
+    reopened.updates(table.name).count(_.message.content.startsWith("micro-batch")) shouldBe 1
   }
 }
