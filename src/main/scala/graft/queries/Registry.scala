@@ -379,6 +379,26 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity > 30
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q62_alter_add_column" -> Entry(
+      Versioned.q62AlterAddColumn,
+      // even keys inserted pre-ALTER (disc NULL), odd keys post-ALTER
+      // (disc = l_discount)
+      Some("""WITH evolved AS (
+             |  SELECT l_orderkey, l_quantity, l_returnflag, NULL::DOUBLE AS disc
+             |  FROM lineitem WHERE l_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey, l_quantity, l_returnflag, l_discount AS disc
+             |  FROM lineitem WHERE l_orderkey % 2 = 1)
+             |SELECT l_returnflag, count(*) AS n_items, count(disc) AS n_disc,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
+             |FROM evolved GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q63_ctas" -> Entry(
+      Versioned.q63Ctas,
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_totalprice > 100000.0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q61_conditional_merge" -> Entry(
       Versioned.q61ConditionalMerge,
       // relational replay of the clause algebra in first-match order:

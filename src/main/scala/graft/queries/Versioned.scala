@@ -442,6 +442,72 @@ object Versioned {
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q62: `ALTER TABLE … ADD COLUMN` — the SQL spelling of additive schema
+    * evolution (q37 proved the footer-union read path; this is the DDL
+    * that drives it through the catalog): v1 inserts the even-keyed rows
+    * under the original schema, ALTER widens it with a `disc` column
+    * (a metadata-only audit commit — no version pointer moves), v2 inserts
+    * the odd-keyed rows WITH the column. Pre-ALTER files never held the
+    * column, so their rows read as NULL — `n_disc` counts only v2 rows
+    * while `n_items` counts both. */
+  def q62AlterAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq62", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq62", log)
+    val loc = java.nio.file.Files.createTempDirectory("graft_q62").toUri
+    val name = "graftq62.g.li_evolve"
+    s.sql(
+      s"""CREATE TABLE $name (l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+         |USING parquet PARTITIONED BY (l_returnflag) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+      .createOrReplaceTempView("q62_src")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT l_orderkey, l_quantity, l_returnflag FROM q62_src WHERE l_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $name ADD COLUMN disc DOUBLE")
+    s.sql(
+      s"""INSERT INTO $name (l_orderkey, l_quantity, l_returnflag, disc)
+         |SELECT l_orderkey, l_quantity, l_returnflag, l_discount
+         |FROM q62_src WHERE l_orderkey % 2 = 1""".stripMargin)
+    val tn = TableName("g", "li_evolve")
+    require(log.updates(tn).exists(_.message.content.startsWith("ALTER TABLE ADD COLUMNS")),
+      "the evolution must be an auditable history entry")
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items, count(disc) AS n_disc,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q63: `CREATE TABLE AS SELECT` — the one-statement table-manufacture
+    * path: the SELECT lands through the ordinary versioned write as the
+    * fresh table's first data commit, partitioned layout included, and the
+    * result is immediately queryable (and time-travelable) by name. */
+  def q63Ctas(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq63", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq63", log)
+    val loc = java.nio.file.Files.createTempDirectory("graft_q63").toUri
+    val name = "graftq63.g.ord_ctas"
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q63_orders")
+    s.sql(
+      s"""CREATE TABLE $name USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'
+         |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         |   FROM q63_orders WHERE o_totalprice > 100000.0""".stripMargin)
+    val tn = TableName("g", "ord_ctas")
+    require(log.currentVersion(tn) match {
+      case PartitionedTableVersion(pvs) => pvs.nonEmpty
+      case _                            => false
+    }, "CTAS must land as a partitioned versioned commit")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q61: CONDITIONAL MERGE — the full clause algebra through SQL text:
     * `WHEN MATCHED AND <cond> THEN UPDATE SET <col> = <expr>` (partial
     * assignment), a second `WHEN MATCHED AND <cond> THEN DELETE`, a

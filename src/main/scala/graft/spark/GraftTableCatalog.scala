@@ -287,8 +287,41 @@ final class GraftTableCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
+  /** `ALTER TABLE … ADD COLUMN(S)` — the SQL spelling of the engine's
+    * ADDITIVE schema evolution (Q37 proved the read side: footer-union
+    * reads surface later-added columns as NULL on older files). The change
+    * lands in the catalog's declared-schema slot — every subsequent read,
+    * current or time-traveled, projects the widened schema, so pre-ALTER
+    * versions show the new column as NULL — and is recorded as a
+    * metadata-only commit (no version pointer moves, no data touched), so
+    * the evolution is an auditable entry in DESCRIBE HISTORY. Only
+    * top-level nullable adds are accepted: anything else (drop, rename,
+    * type change) would invalidate immutable version dirs retroactively. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val tableName = tableNameOf(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val (defn, declared) = definitionOf(ident)
+    val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
+    val widened = changes.foldLeft(base) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got ${add.fieldNames().mkString(".")}")
+        require(add.isNullable,
+          s"added column ${add.fieldNames()(0)} must be nullable — existing versions hold no values for it")
+        val n = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)), s"column $n already exists")
+        schema.add(org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft catalog supports ALTER TABLE ADD COLUMN only, got ${other.getClass.getSimpleName}")
+    }
+    binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
+    val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames()(0) }
+    GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+      UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
+      java.time.Instant.now(), Nil))
+    loadTable(ident)
+  }
 
   /** External-table semantics: forget the catalog entry; data, versions,
     * and commit history stay on disk untouched. */
@@ -532,7 +565,12 @@ private[spark] object GraftV2Table {
       if (overwrite) (data, None)
       else currentOrNone(spark, binding, defn) match {
         case None => (data, None)
-        case Some(current) if defn.isSnapshot => (data.unionByName(current), None)
+        // allowMissingColumns: after ALTER TABLE ADD COLUMN the batch
+        // carries the widened schema but pre-ALTER files don't — their
+        // rows union in with NULL for the new column (the analyzer already
+        // guarantees the batch side is never narrower than the table)
+        case Some(current) if defn.isSnapshot =>
+          (data.unionByName(current, allowMissingColumns = true), None)
         case Some(current) =>
           // copy-on-write append: the touched partitions' fresh version must
           // carry their current rows too; `touched` is #partitions rows —
@@ -546,7 +584,9 @@ private[spark] object GraftV2Table {
           val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val partCols = defn.partitionSchema.columns.map(_.name)
           val touched = cached.select(partCols.map(col): _*).distinct()
-          (cached.unionByName(current.join(broadcast(touched), partCols, "left_semi")),
+          (cached.unionByName(
+            current.join(broadcast(touched), partCols, "left_semi"),
+            allowMissingColumns = true),
             Some(cached))
       }
     val beforeWrite: Map[Partition, Version] =

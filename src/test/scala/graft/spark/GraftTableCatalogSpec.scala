@@ -506,6 +506,47 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .as[CatRow].collect() shouldBe Array(CatRow(1, "a"), CatRow(2, "B"))
   }
 
+  test("ALTER TABLE ADD COLUMN widens the schema; pre-ALTER versions read NULLs") {
+    val loc = Files.createTempDirectory("graft_cat_alter").toUri.toString
+    spark.sql(
+      s"""CREATE TABLE graftcat.cdb.altc (id BIGINT, label STRING, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql("INSERT INTO graftcat.cdb.altc VALUES (1, 'a', '2024-01-01'), (2, 'b', '2024-01-02')")
+    val v1Commit = log.updates(TableName("cdb", "altc")).head.id
+
+    spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN score DOUBLE")
+    // evolution is auditable history, not a version change
+    log.updates(TableName("cdb", "altc")).head.message.content should include("ALTER TABLE ADD COLUMNS")
+
+    // old rows surface the new column as NULL
+    spark.sql("SELECT id, score FROM graftcat.cdb.altc ORDER BY id")
+      .as[(Long, Option[Double])].collect() shouldBe Array((1L, None), (2L, None))
+
+    // new writes carry the column; mixed reads keep NULLs for old files
+    // (explicit column list: the file table surfaces partition columns
+    // LAST, so the post-ALTER positional order is id, label, score, date)
+    spark.sql(
+      "INSERT INTO graftcat.cdb.altc (id, label, date, score) VALUES (3, 'c', '2024-01-03', 9.5)")
+    spark.sql("SELECT id, score FROM graftcat.cdb.altc ORDER BY id")
+      .as[(Long, Option[Double])].collect() shouldBe
+      Array((1L, None), (2L, None), (3L, Some(9.5)))
+
+    // time travel to the pre-ALTER commit still projects the widened
+    // schema — with NULLs, the additive-evolution read contract
+    spark.sql(
+      s"SELECT id, score FROM graftcat.cdb.altc VERSION AS OF '${v1Commit.id}' ORDER BY id")
+      .as[(Long, Option[Double])].collect() shouldBe Array((1L, None), (2L, None))
+
+    // non-additive changes reject loudly
+    val drop = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label"))
+    drop.getMessage should include("ADD COLUMN only")
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN label STRING"))
+    dup.getMessage should include("already exists")
+    spark.sql("DROP TABLE graftcat.cdb.altc")
+  }
+
   test("SQL maintenance: OPTIMIZE bin-packs, OPTIMIZE ZORDER clusters, VACUUM reclaims — each as SQL text") {
     val table = TableDefinition(
       TableName("cdb", "maint"),
