@@ -379,6 +379,14 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity > 30
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q64_deletion_vectors" -> Entry(
+      Versioned.q64DeletionVectors,
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |WHERE NOT (l_orderkey % 97 = 0) AND NOT (l_partkey % 89 = 0)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q62_alter_add_column" -> Entry(
       Versioned.q62AlterAddColumn,
       // even keys inserted pre-ALTER (disc NULL), odd keys post-ALTER

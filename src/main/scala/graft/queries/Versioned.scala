@@ -442,6 +442,56 @@ object Versioned {
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q64: MERGE-ON-READ deletes (deletion vectors) — the scattered-row
+    * DELETE copy-on-write can't afford: predicates touching a few rows in
+    * EVERY partition would rewrite the whole table under Q39's DML path;
+    * [[graft.spark.DeletionVectors]] instead writes a `(file, pos)`
+    * sidecar and an empty-ops commit. Pinned here: the delete commit moves
+    * ZERO version pointers (no data files written), two deletes COMPOSE
+    * cumulatively through one sidecar, time travel to the pre-delete
+    * commit still shows every row, and the DV-aware scan matches the
+    * relational oracle. */
+  def q64DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_dv", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_dv"))
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+    val preDelete = log.currentCommit(table.name)
+    val v1 = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    val total = graft.spark.DeletionVectors.read(s, log, table).count()
+
+    val n1 = graft.spark.DeletionVectors.delete(
+      ctx, log, table, col("l_orderkey") % 97 === 0, user, UpdateMessage("dv: %97 keys"))
+    val n2 = graft.spark.DeletionVectors.delete(
+      ctx, log, table, col("l_partkey") % 89 === 0, user, UpdateMessage("dv: %89 parts"))
+    require(n1 > 0 && n2 > 0, "both scattered deletes must hide rows")
+    // the commits moved NO version pointers and wrote no data files
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    require(after == v1, "DV commits must not move version pointers")
+    // merge-on-READ: physical rows intact; time travel sees the pre-delete state
+    require(VersionedReader(s, log).read(table).count() == total,
+      "raw scan must still hold every physical row")
+    require(graft.spark.DeletionVectors.read(s, log, table, Some(preDelete)).count() == total,
+      "time travel must show pre-delete rows")
+
+    graft.spark.DeletionVectors.read(s, log, table)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q62: `ALTER TABLE … ADD COLUMN` — the SQL spelling of additive schema
     * evolution (q37 proved the footer-union read path; this is the DDL
     * that drives it through the catalog): v1 inserts the even-keyed rows

@@ -43,8 +43,12 @@ object Compaction {
       filesPerPartition: Int = 1): (TableVersion, TableChanges) = {
     require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
     // read through the SAME log the commit lands in — a separately-passed
-    // log could resolve a different history than the one being committed to
-    val current = VersionedReader(spark, ctx.metastore.tableVersions).read(table)
+    // log could resolve a different history than the one being committed to.
+    // The DV-aware read (identical to the raw scan when no deletion
+    // sidecar exists) keeps OPTIMIZE from resurrecting merge-on-read
+    // deleted rows into the rewritten files — compaction is exactly where
+    // deletion vectors get absorbed into the physical layout.
+    val current = DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
       else {
