@@ -79,6 +79,43 @@ final class InMemoryTableVersions extends TableVersions {
       }
     }
 
+  override def commitDetached(table: TableName, update: TableUpdate): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) if state.updates.exists(_.metadata.id == update.metadata.id) =>
+          Left(new IllegalArgumentException(
+            s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}"))
+        case Some(state) =>
+          // the pointer does NOT move — that is the branch-write contract
+          Right(states + (table -> state.copy(updates = state.updates :+ update)))
+      }
+    }
+
+  override def setRef(table: TableName, name: String, id: CommitId, isTag: Boolean): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) =>
+          try {
+            validateRef(state, name, id, isTag)
+            Right(states + (table -> state.copy(refs = state.refs + (name -> RefEntry(id, isTag)))))
+          } catch { case e: Exception => Left(e) }
+      }
+    }
+
+  override def deleteRef(table: TableName, name: String): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) if !state.refs.contains(name) =>
+          Left(new IllegalArgumentException(
+            s"table ${table.fullyQualifiedName} has no ref named '$name'"))
+        case Some(state) =>
+          Right(states + (table -> state.copy(refs = state.refs - name)))
+      }
+    }
+
   override protected def tableState(table: TableName): TableState =
     ref.get().getOrElse(table, throw unknownTableError(table))
 

@@ -75,13 +75,14 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     }
   }
 
-  private def commitLine(update: TableUpdate): String = {
+  private def commitLine(update: TableUpdate, detached: Boolean = false): String = {
     val node = mapper.createObjectNode()
     node.put("record", "commit")
     node.put("id", update.metadata.id.id)
     node.put("user", update.metadata.userId.value)
     node.put("message", update.metadata.message.content)
     node.put("timestamp", update.metadata.timestamp.toString)
+    if (detached) { node.put("detached", true); () }
     update.metadata.txn.foreach { t =>
       node.put("txnApp", t.appId)
       node.put("txnBatch", t.batchId)
@@ -95,6 +96,18 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   private def checkoutLine(id: CommitId): String = {
     val node = mapper.createObjectNode()
     node.put("record", "checkout").put("id", id.id)
+    mapper.writeValueAsString(node)
+  }
+
+  private def refLine(name: String, id: CommitId, isTag: Boolean): String = {
+    val node = mapper.createObjectNode()
+    node.put("record", "ref").put("name", name).put("id", id.id).put("tag", isTag)
+    mapper.writeValueAsString(node)
+  }
+
+  private def refDeleteLine(name: String): String = {
+    val node = mapper.createObjectNode()
+    node.put("record", "ref-delete").put("name", name)
     mapper.writeValueAsString(node)
   }
 
@@ -120,6 +133,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
           .split("\n").iterator.filter(_.nonEmpty)
         val updates = scala.collection.mutable.ListBuffer.empty[TableUpdate]
         var pointer: Option[CommitId] = None
+        var refs = Map.empty[String, RefEntry]
         lines.foreach { line =>
           val node = mapper.readTree(line).asInstanceOf[ObjectNode]
           node.get("record").asText() match {
@@ -136,13 +150,21 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
               val parsed = (0 until ops.size()).toList
                 .map(i => opFromJson(ops.get(i).asInstanceOf[ObjectNode]))
               updates += TableUpdate(meta, parsed)
-              pointer = Some(meta.id)
+              // a DETACHED commit (branch write) is history without a
+              // pointer move — main readers never see it until a checkout
+              if (!Option(node.get("detached")).exists(_.asBoolean()))
+                pointer = Some(meta.id)
             case "checkout" =>
               pointer = Some(CommitId(node.get("id").asText()))
+            case "ref" =>
+              refs += node.get("name").asText() ->
+                RefEntry(CommitId(node.get("id").asText()), node.get("tag").asBoolean())
+            case "ref-delete" =>
+              refs -= node.get("name").asText()
             case other => sys.error(s"unknown log record: $other")
           }
         }
-        pointer.map(p => TableState(p, updates.toList))
+        pointer.map(p => TableState(p, updates.toList, refs))
       }
     }
   }
@@ -352,6 +374,31 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       appendLines(table, Seq(checkoutLine(id)))
     }
 
+  override def commitDetached(table: TableName, update: TableUpdate): Unit =
+    withTableLock(table) {
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      if (state.updates.exists(_.metadata.id == update.metadata.id))
+        throw new IllegalArgumentException(
+          s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
+      appendLines(table, Seq(commitLine(update, detached = true)))
+    }
+
+  override def setRef(table: TableName, name: String, id: CommitId, isTag: Boolean): Unit =
+    withTableLock(table) {
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      validateRef(state, name, id, isTag)
+      appendLines(table, Seq(refLine(name, id, isTag)))
+    }
+
+  override def deleteRef(table: TableName, name: String): Unit =
+    withTableLock(table) {
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      if (!state.refs.contains(name))
+        throw new IllegalArgumentException(
+          s"table ${table.fullyQualifiedName} has no ref named '$name'")
+      appendLines(table, Seq(refDeleteLine(name)))
+    }
+
   /** Fold the oldest history into a synthetic BASE commit, keeping the last
     * `keepLast` commits individually replayable — the log checkpoint that
     * bounds replay cost: without it every read folds O(#commits) lines over
@@ -391,11 +438,23 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
             pvs.toList.sortBy(_._1.hivePath)
               .map { case (p, v) => TableOperation.AddPartitionVersion(p, v) }
       }
+      // refs must survive the fold: a ref naming a folded-away commit would
+      // dangle (its fold prefix is gone) — refuse loudly, like the pointer
+      state.refs.foreach { case (name, r) =>
+        require(
+          r.id == base.metadata.id || tail.exists(_.metadata.id == r.id),
+          s"ref '$name' names commit ${r.id.id}, older than the checkpoint base; " +
+            "delete or advance the ref, or raise keepLast")
+      }
       val rewritten = TableUpdate(base.metadata, ops) :: tail
-      val pointerLine =
-        if (state.currentVersion == rewritten.last.metadata.id) Nil
-        else List(checkoutLine(state.currentVersion))
-      atomicWrite(table, (rewritten.map(commitLine) ++ pointerLine).mkString("", "\n", "\n"))
+      // every commit re-emits DETACHED + one explicit checkout pins the
+      // pointer: replay reproduces the exact pointer position without
+      // needing to know which original commits were branch writes
+      val refLines = state.refs.toList.sortBy(_._1)
+        .map { case (name, r) => refLine(name, r.id, r.isTag) }
+      atomicWrite(table,
+        (rewritten.map(commitLine(_, detached = true)) ++ refLines ++
+          List(checkoutLine(state.currentVersion))).mkString("", "\n", "\n"))
       true
     }
   }
@@ -408,7 +467,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       if (loadState(table).isEmpty) {
         val state = newTableState
         // init creates the file whole (appends are single-line afterwards)
-        atomicWrite(table, state.updates.map(commitLine).mkString("", "\n", "\n"))
+        atomicWrite(table, state.updates.map(commitLine(_)).mkString("", "\n", "\n"))
       }
     }
 }

@@ -92,6 +92,45 @@ trait TableVersions {
    * unknown table or commit id. */
   def setCurrentVersion(table: TableName, id: CommitId): Unit
 
+  /** Append a commit WITHOUT moving the current pointer — the branch-write
+    * primitive of WRITE-AUDIT-PUBLISH: the data lands in the history (its
+    * version dirs referenced only by this commit), main readers keep
+    * resolving the unmoved pointer, and the staged state is addressable via
+    * `versionAt`/a branch ref until a `setCurrentVersion` publishes it. */
+  def commitDetached(table: TableName, update: TableUpdate): Unit
+
+  /** Create or move a named ref to an existing commit. Branches move
+    * freely; a TAG is immutable once created (re-pointing it errors), and
+    * a name cannot change kind. Errors on unknown table/commit. */
+  def setRef(table: TableName, name: String, id: CommitId, isTag: Boolean = false): Unit
+
+  /** Drop a named ref (branch or tag). The commits it named stay in
+    * history. Errors if the ref does not exist. */
+  def deleteRef(table: TableName, name: String): Unit
+
+  /** All named refs of the table. */
+  final def refs(table: TableName): Map[String, RefEntry] = tableState(table).refs
+
+  /** Resolve a ref name to its commit; loud on a missing ref. */
+  final def refCommit(table: TableName, name: String): CommitId =
+    refs(table).getOrElse(name, throw new IllegalArgumentException(
+      s"table ${table.fullyQualifiedName} has no ref named '$name'")).id
+
+  /** Shared ref validation for implementations (call under their write
+    * exclusion): target must exist; tags are immutable; kinds are stable. */
+  protected final def validateRef(
+      state: TableState, name: String, id: CommitId, isTag: Boolean): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '\n' || c == '\r'),
+      s"invalid ref name '$name'")
+    if (!state.updates.exists(_.metadata.id == id)) throw unknownCommitId(id)
+    state.refs.get(name).foreach { existing =>
+      if (existing.isTag)
+        throw new IllegalArgumentException(s"tag '$name' is immutable (delete it first)")
+      if (isTag)
+        throw new IllegalArgumentException(s"'$name' is a branch; cannot re-create it as a tag")
+    }
+  }
+
   // Internal operations provided by implementations
 
   /** Full persisted state of the table; throws `unknownTableError` if untracked. */
@@ -161,11 +200,21 @@ object TableVersions {
     final case class RemovePartition(partition: Partition) extends TableOperation
   }
 
+  /** A named ref into a table's commit history: a BRANCH is a movable
+    * pointer (write-audit-publish staging), a TAG is frozen at creation
+    * (reproducibility anchors — "the state we trained on"). Refs never
+    * affect what the current pointer serves; they only NAME commits. */
+  final case class RefEntry(id: CommitId, isTag: Boolean)
+
   /**
    * Persisted state of a table: the full ordered update history plus the
-   * current-version pointer (≠ head only after a rollback).
+   * current-version pointer (≠ head only after a rollback) and the named
+   * refs (branches/tags) into that history.
    */
-  final case class TableState(currentVersion: CommitId, updates: List[TableUpdate])
+  final case class TableState(
+      currentVersion: CommitId,
+      updates: List[TableUpdate],
+      refs: Map[String, RefEntry] = Map.empty)
 
   /** Replay history up to (and including) the commit the pointer names.
    *

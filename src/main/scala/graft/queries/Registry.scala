@@ -379,6 +379,12 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity > 30
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q65_wap" -> Entry(
+      Versioned.q65Wap,
+      // after publish the table serves the full staged recompute
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q64_deletion_vectors" -> Entry(
       Versioned.q64DeletionVectors,
       Some("""SELECT l_returnflag, count(*) AS n_items,

@@ -442,6 +442,59 @@ object Versioned {
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q65: WRITE-AUDIT-PUBLISH via branch/tag refs — the staging pattern
+    * production pipelines wrap around every risky write: the new state
+    * lands as a DETACHED commit on branch 'audit' (immutable version dirs +
+    * history entry, main pointer untouched), audit queries address it as
+    * SQL `VERSION AS OF 'audit'` (refs resolve before commit ids), a TAG
+    * freezes the pre-publish state for reproducibility, and publish is an
+    * atomic pointer swap (checkout). Pinned: the main read NEVER sees
+    * unpublished data; the tag still serves the pre-publish state after
+    * the swap. */
+  def q65Wap(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq65", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq65", log)
+    val table = tempTable(
+      "ord_wap", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_wap"))
+    graft.spark.GraftTableCatalog.register("graftq65", table)
+    val name = s"graftq65.${table.name.schema}.${table.name.name}"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+    orders.where(col("o_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: even keys"))
+    val mainCount = s.sql(s"SELECT count(*) FROM $name").head().getLong(0)
+    log.setRef(table.name, "prod-v1", log.currentCommit(table.name), isTag = true)
+
+    // WRITE: stage the full recompute on a branch — main pointer unmoved
+    orders.versionedInsertIntoBranch(
+      ctx, table, user, UpdateMessage("staged: full load"), "audit")
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == mainCount,
+      "main readers must NEVER see unpublished branch data")
+
+    // AUDIT: the staged state is addressable by ref name in plain SQL
+    val auditCount = s.sql(
+      s"SELECT count(*) FROM $name VERSION AS OF 'audit'").head().getLong(0)
+    require(auditCount > mainCount, "the audit read must see the staged rows")
+
+    // PUBLISH: atomic pointer swap; the tag still serves the old state
+    ctx.metastore.checkout(table.name, log.refCommit(table.name, "audit"))
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == auditCount,
+      "publish must atomically expose the audited state")
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF 'prod-v1'").head().getLong(0) == mainCount,
+      "the tag must keep serving the pre-publish state")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q64: MERGE-ON-READ deletes (deletion vectors) — the scattered-row
     * DELETE copy-on-write can't afford: predicates touching a few rows in
     * EVERY partition would rewrite the whole table under Q39's DML path;

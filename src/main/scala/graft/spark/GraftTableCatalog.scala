@@ -122,7 +122,11 @@ final class GraftTableCatalog extends TableCatalog {
     * Read-only by construction: SQL has no INSERT-into-the-past. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (defn, schema) = definitionOf(ident)
-    fileTable(defn, binding.log.versionAt(defn.name, CommitId(version)), schema)
+    // `VERSION AS OF` accepts a REF NAME (branch/tag) or a raw commit id;
+    // refs win — they are human-chosen names, commit ids are uuids
+    val resolved = binding.log.refs(defn.name).get(version)
+      .map(_.id).getOrElse(CommitId(version))
+    fileTable(defn, binding.log.versionAt(defn.name, resolved), schema)
   }
 
   /** `TIMESTAMP AS OF <ts>` — resolves to the LAST commit at or before the

@@ -75,6 +75,32 @@ object VersionContext {
       * to one winner and one loud conflict, never a silent lost update.
       * (Disjoint-partition writers keep using [[versionedInsertInto]] —
       * their commits compose.) */
+    /** WRITE-AUDIT-PUBLISH branch write: the data lands as ordinary
+      * immutable version dirs and a DETACHED commit (the current pointer
+      * does not move — main readers are oblivious), and `branch` is
+      * created/advanced to the new commit. Audit the staged state through
+      * the branch ref (`versionAt`, or SQL `VERSION AS OF '<branch>'`);
+      * publish it with `metastore.checkout(table, log.refCommit(...))` —
+      * an atomic pointer swap; abandon it by deleting the ref (vacuum
+      * reclaims the unreferenced dirs). The external metastore is NOT
+      * synced by the branch write — that is publish's job. */
+    def versionedInsertIntoBranch(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage,
+        branch: String): TableVersions.CommitId = {
+      val version = ctx.newVersion()
+      val ops =
+        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
+        else writePartitioned(ds, table, version)
+      val update = TableUpdate(userId, message, Instant.now(), ops)
+      val log = ctx.metastore.tableVersions
+      log.commitDetached(table.name, update)
+      log.setRef(table.name, branch, update.metadata.id)
+      update.metadata.id
+    }
+
     def versionedInsertIntoIf(
         ctx: VersionContext,
         table: TableDefinition,

@@ -250,6 +250,62 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     an[Exception] should be thrownBy log.setCurrentVersion(tbl, CommitId("no-such-commit"))
     log.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
   }
+  test(s"$implName: detached commits stay invisible until a checkout publishes them (WAP)") {
+    val log = newLog()
+    initPartitioned(log)
+    val v1 = v()
+    addPartitions(log, p("2024-01-01") -> v1)
+    val mainCommit = log.currentCommit(tbl)
+    val mainState = log.currentVersion(tbl)
+
+    // branch write: detached commit + branch ref; main pointer unmoved
+    val v2 = v()
+    val staged = TableUpdate(who, msg("staged"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-02"), v2)))
+    log.commitDetached(tbl, staged)
+    log.setRef(tbl, "audit", staged.metadata.id)
+    log.currentCommit(tbl) shouldBe mainCommit
+    log.currentVersion(tbl) shouldBe mainState
+
+    // the staged state is addressable via the ref for auditing
+    log.versionAt(tbl, log.refCommit(tbl, "audit")) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs shouldBe Map(p("2024-01-01") -> v1, p("2024-01-02") -> v2)
+      case other => fail(s"unexpected $other")
+    }
+
+    // publish = atomic pointer swap; main now serves the audited state
+    log.setCurrentVersion(tbl, log.refCommit(tbl, "audit"))
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 2
+      case other                        => fail(s"unexpected $other")
+    }
+  }
+
+  test(s"$implName: tags are immutable, branches move, kinds are stable, targets must exist") {
+    val log = newLog()
+    initPartitioned(log)
+    val u1 = addPartitions(log, p("2024-01-01") -> v())
+    val u2 = addPartitions(log, p("2024-01-02") -> v())
+
+    log.setRef(tbl, "training-v1", u1.metadata.id, isTag = true)
+    log.setRef(tbl, "dev", u1.metadata.id)
+    log.setRef(tbl, "dev", u2.metadata.id) // branches move freely
+    log.refCommit(tbl, "dev") shouldBe u2.metadata.id
+    log.refs(tbl)("training-v1") shouldBe RefEntry(u1.metadata.id, isTag = true)
+
+    an[IllegalArgumentException] should be thrownBy
+      log.setRef(tbl, "training-v1", u2.metadata.id, isTag = true) // tag re-point
+    an[IllegalArgumentException] should be thrownBy
+      log.setRef(tbl, "dev", u2.metadata.id, isTag = true) // kind change
+    an[Exception] should be thrownBy
+      log.setRef(tbl, "nope", CommitId("no-such-commit"))
+    an[IllegalArgumentException] should be thrownBy log.deleteRef(tbl, "ghost")
+
+    log.deleteRef(tbl, "training-v1") // delete-then-recreate is the re-point path
+    log.setRef(tbl, "training-v1", u2.metadata.id, isTag = true)
+    log.refCommit(tbl, "training-v1") shouldBe u2.metadata.id
+  }
 }
 
 class InMemoryTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
