@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * repeats because consuming e2's shared stage is exactly its documented
   * pipeline semantics — a repeat would either hit that memo or rebuild a
   * stage it deliberately shares, misstating either way.
+  *
+  * Frozen reference: if a committed `BENCH_REF.json` is present (the
+  * per-query median of 5 same-binary draws, frozen once in round 11 —
+  * see BASELINE.md), the record also carries `ref_total`/`ref_ratio`
+  * over the queries both sides know, plus the full per-query ratio map
+  * in `BENCH_FULL.json`. Uniform ratio inflation = host steal; a lone
+  * per-query outlier = a plan regression worth chasing.
   */
 object Bench {
 
@@ -100,15 +107,59 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // FROZEN PERF REFERENCE (round 11): BENCH_REF.json is a committed
+    // per-query table — the median of 5 same-binary draws taken in one
+    // session — so every future draw reports a ratio against a FIXED bar
+    // instead of a per-round re-widened band. Host CPU steal shows up as a
+    // uniform ratio inflation across untouched queries; a plan regression
+    // shows up as an outlier per-query ratio. Queries absent from the
+    // reference (added later) are excluded from the ratio and counted in
+    // ref_new so the comparison stays apples-to-apples until re-frozen.
+    val ref: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_REF.json")
+        if (java.nio.file.Files.exists(p)) {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        } else Map.empty
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] BENCH_REF.json unreadable: $e"); Map.empty
+      }
+    val common = results.filter { case (k, v) => v >= 0 && ref.contains(k) }
+    val refTotal = common.iterator.map(c => ref(c._1)).sum
+    val refSuffix =
+      if (common.isEmpty || refTotal <= 0) ""
+      else {
+        val measured = common.iterator.map(_._2).sum
+        val ratio = measured / refTotal
+        val newQ = results.count { case (k, v) => v >= 0 && !ref.contains(k) }
+        f""","ref_total":$refTotal%.3f,"ref_ratio":$ratio%.3f,"ref_n":${common.size},"ref_new":$newQ"""
+      }
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$refSuffix}"""
     println(record)
     // The driver keeps only ~2 KB of stdout tail, which truncates the head
     // of the ~8 KB per-query map — persist the full record where a human
     // (or the judge) can read every per-query number.
+    // BENCH_FULL additionally carries the full per-query ratio map (too
+    // large for the driver's stdout tail) so a regression hunt can rank
+    // queries by ratio without re-deriving the reference join.
+    val fullRecord =
+      if (common.isEmpty) record
+      else {
+        val ratios = common
+          .map { case (k, v) => f""""$k":${v / math.max(ref(k), 1e-9)}%.2f""" }
+          .mkString("{", ",", "}")
+        record.dropRight(1) + s""","ref_ratios":$ratios}"""
+      }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fullRecord.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json: $e") }
     // The driver tail-captures stdout, so the ~8 KB line above can lose its
     // head (two rounds of BENCH "parsed": null). Repeat the headline total
@@ -116,7 +167,7 @@ object Bench {
     // No "queries" field and a distinct metric name: a consumer that sums
     // "total" records must not double-count, and a last-record-wins parser
     // must not mistake this safety line for the full per-query record.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir"$refSuffix}""")
     spark.stop()
   }
 }

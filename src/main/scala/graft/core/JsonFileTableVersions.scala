@@ -264,6 +264,18 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   /** Serialize a read-modify-rename cycle under a create-exclusive lock
     * file carrying a unique owner token.
     *
+    * REQUIREMENT — POSIX/HDFS filesystem semantics: correctness rests on
+    * atomic CREATE_NEW (the lock acquire), atomic whole-file rename (the
+    * stale-lock break and checkpoint/init rewrites), and read-after-write
+    * visibility of appends. Plain S3 provides none of these (CREATE_NEW is
+    * not atomic, rename is copy+delete): do NOT point `logDir` at a bare
+    * object-store path with concurrent writers. The production posture
+    * there is the same as Delta's: either a consistency layer that restores
+    * atomic create (S3A + a DynamoDB-style lock client), or a single-writer
+    * deployment where this lock only guards against same-host races. The
+    * data plane is unaffected — version dirs are never referenced until
+    * the commit lands, whatever the store.
+    *
     * Guarantee (and its limit): critical sections here are small-file reads
     * and an atomic rename — milliseconds — and `LockTimeoutMs` (30 s) is the
     * liveness bound a holder must finish within; a lock older than that is
