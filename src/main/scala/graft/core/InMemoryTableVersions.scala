@@ -39,8 +39,12 @@ final class InMemoryTableVersions extends TableVersions {
           Left(new IllegalArgumentException(
             s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}"))
         case Some(state) =>
-          val newState =
-            TableState(currentVersion = update.metadata.id, updates = state.updates :+ update)
+          // copy() — NOT a fresh TableState — so refs survive: rebuilding
+          // the state from scratch silently wiped every branch/tag on each
+          // ordinary commit
+          val attached = update.copy(metadata = update.metadata.copy(detached = false))
+          val newState = state.copy(
+            currentVersion = attached.metadata.id, updates = state.updates :+ attached)
           Right(states + (table -> newState))
       }
     }
@@ -61,8 +65,9 @@ final class InMemoryTableVersions extends TableVersions {
           Right(states) // conflict: another writer moved the pointer — no-op
         case Some(state) =>
           applied = true
-          Right(states + (table ->
-            TableState(currentVersion = update.metadata.id, updates = state.updates :+ update)))
+          val attached = update.copy(metadata = update.metadata.copy(detached = false))
+          Right(states + (table -> state.copy(
+            currentVersion = attached.metadata.id, updates = state.updates :+ attached)))
       }
     }
     applied
@@ -73,9 +78,14 @@ final class InMemoryTableVersions extends TableVersions {
       states.get(table) match {
         case None => Left(unknownTableError(table))
         case Some(state) =>
-          if (state.updates.exists(_.metadata.id == id))
-            Right(states + (table -> state.copy(currentVersion = id)))
-          else Left(unknownCommitId(id))
+          state.updates.find(_.metadata.id == id) match {
+            case None => Left(unknownCommitId(id))
+            case Some(u) if u.metadata.detached =>
+              Left(new IllegalArgumentException(
+                s"commit ${id.id} is a staged (detached) commit; use publish to attach it"))
+            case Some(_) =>
+              Right(states + (table -> state.copy(currentVersion = id)))
+          }
       }
     }
 
@@ -87,8 +97,31 @@ final class InMemoryTableVersions extends TableVersions {
           Left(new IllegalArgumentException(
             s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}"))
         case Some(state) =>
-          // the pointer does NOT move — that is the branch-write contract
-          Right(states + (table -> state.copy(updates = state.updates :+ update)))
+          // the pointer does NOT move, and the update is STAMPED detached so
+          // no pointer-based fold ever includes it until publish
+          val staged = update.copy(metadata = update.metadata.copy(detached = true))
+          Right(states + (table -> state.copy(updates = state.updates :+ staged)))
+      }
+    }
+
+  override def publish(table: TableName, id: CommitId): Unit =
+    modify { states =>
+      states.get(table) match {
+        case None => Left(unknownTableError(table))
+        case Some(state) =>
+          val idx = state.updates.indexWhere(_.metadata.id == id)
+          if (idx < 0) Left(unknownCommitId(id))
+          else {
+            // one CAS: attach the at-or-before staged set and move the
+            // pointer together — no interleaving where an attached commit
+            // is mainline-visible before the pointer swap completes
+            val attached = state.updates.zipWithIndex.map {
+              case (u, i) if i <= idx && u.metadata.detached =>
+                u.copy(metadata = u.metadata.copy(detached = false))
+              case (u, _) => u
+            }
+            Right(states + (table -> state.copy(currentVersion = id, updates = attached)))
+          }
       }
     }
 

@@ -75,14 +75,14 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     }
   }
 
-  private def commitLine(update: TableUpdate, detached: Boolean = false): String = {
+  private def commitLine(update: TableUpdate): String = {
     val node = mapper.createObjectNode()
     node.put("record", "commit")
     node.put("id", update.metadata.id.id)
     node.put("user", update.metadata.userId.value)
     node.put("message", update.metadata.message.content)
     node.put("timestamp", update.metadata.timestamp.toString)
-    if (detached) { node.put("detached", true); () }
+    if (update.metadata.detached) { node.put("detached", true); () }
     update.metadata.txn.foreach { t =>
       node.put("txnApp", t.appId)
       node.put("txnBatch", t.batchId)
@@ -108,6 +108,15 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   private def refDeleteLine(name: String): String = {
     val node = mapper.createObjectNode()
     node.put("record", "ref-delete").put("name", name)
+    mapper.writeValueAsString(node)
+  }
+
+  /** PUBLISH's attach record: clears a staged commit's detached mark in
+    * place — the commit id, operations, and any sidecars keyed by the id
+    * are untouched; only its fold visibility changes. */
+  private def attachLine(id: CommitId): String = {
+    val node = mapper.createObjectNode()
+    node.put("record", "attach").put("id", id.id)
     mapper.writeValueAsString(node)
   }
 
@@ -138,6 +147,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
           val node = mapper.readTree(line).asInstanceOf[ObjectNode]
           node.get("record").asText() match {
             case "commit" =>
+              val detached = Option(node.get("detached")).exists(_.asBoolean())
               val meta = TableUpdateMetadata(
                 CommitId(node.get("id").asText()),
                 UserId(node.get("user").asText()),
@@ -145,17 +155,25 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
                 Instant.parse(node.get("timestamp").asText()),
                 // optional stream-txn marker (absent in pre-r11 logs)
                 txn = Option(node.get("txnApp")).map(app =>
-                  StreamTxn(app.asText(), node.get("txnBatch").asLong())))
+                  StreamTxn(app.asText(), node.get("txnBatch").asLong())),
+                detached = detached)
               val ops = node.get("operations").asInstanceOf[ArrayNode]
               val parsed = (0 until ops.size()).toList
                 .map(i => opFromJson(ops.get(i).asInstanceOf[ObjectNode]))
               updates += TableUpdate(meta, parsed)
               // a DETACHED commit (branch write) is history without a
-              // pointer move — main readers never see it until a checkout
-              if (!Option(node.get("detached")).exists(_.asBoolean()))
-                pointer = Some(meta.id)
+              // pointer move — main readers never see it until published
+              if (!detached) pointer = Some(meta.id)
             case "checkout" =>
               pointer = Some(CommitId(node.get("id").asText()))
+            case "attach" =>
+              // publish cleared a staged commit's detached mark in place
+              val id = CommitId(node.get("id").asText())
+              val i = updates.indexWhere(_.metadata.id == id)
+              if (i >= 0) {
+                val u = updates(i)
+                updates(i) = u.copy(metadata = u.metadata.copy(detached = false))
+              }
             case "ref" =>
               refs += node.get("name").asText() ->
                 RefEntry(CommitId(node.get("id").asText()), node.get("tag").asBoolean())
@@ -360,7 +378,8 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       if (state.updates.exists(_.metadata.id == update.metadata.id))
         throw new IllegalArgumentException(
           s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
-      appendLines(table, Seq(commitLine(update)))
+      appendLines(table,
+        Seq(commitLine(update.copy(metadata = update.metadata.copy(detached = false)))))
     }
 
   override def commitIf(
@@ -374,7 +393,8 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
           s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
       if (state.currentVersion != expected) false
       else {
-        appendLines(table, Seq(commitLine(update)))
+        appendLines(table,
+          Seq(commitLine(update.copy(metadata = update.metadata.copy(detached = false)))))
         true
       }
     }
@@ -382,8 +402,13 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
   override def setCurrentVersion(table: TableName, id: CommitId): Unit =
     withTableLock(table) {
       val state = loadState(table).getOrElse(throw unknownTableError(table))
-      if (!state.updates.exists(_.metadata.id == id)) throw unknownCommitId(id)
-      appendLines(table, Seq(checkoutLine(id)))
+      state.updates.find(_.metadata.id == id) match {
+        case None => throw unknownCommitId(id)
+        case Some(u) if u.metadata.detached =>
+          throw new IllegalArgumentException(
+            s"commit ${id.id} is a staged (detached) commit; use publish to attach it")
+        case Some(_) => appendLines(table, Seq(checkoutLine(id)))
+      }
     }
 
   override def commitDetached(table: TableName, update: TableUpdate): Unit =
@@ -392,7 +417,24 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       if (state.updates.exists(_.metadata.id == update.metadata.id))
         throw new IllegalArgumentException(
           s"commit id ${update.metadata.id.id} already exists in the history of ${table.fullyQualifiedName}")
-      appendLines(table, Seq(commitLine(update, detached = true)))
+      appendLines(table,
+        Seq(commitLine(update.copy(metadata = update.metadata.copy(detached = true)))))
+    }
+
+  override def publish(table: TableName, id: CommitId): Unit =
+    withTableLock(table) {
+      val state = loadState(table).getOrElse(throw unknownTableError(table))
+      val idx = state.updates.indexWhere(_.metadata.id == id)
+      if (idx < 0) throw unknownCommitId(id)
+      // one fsync'd append: attach records for the at-or-before staged set,
+      // then the checkout that swaps the pointer. A crash mid-append can at
+      // worst leave some attach records without the checkout — staged
+      // commits the user was publishing anyway become attached and the
+      // retryable publish completes the swap; no unaudited data gains
+      // visibility (the attach set IS the audit-read set).
+      val attaches = state.updates.take(idx + 1)
+        .filter(_.metadata.detached).map(u => attachLine(u.metadata.id))
+      appendLines(table, attaches :+ checkoutLine(id))
     }
 
   override def setRef(table: TableName, name: String, id: CommitId, isTag: Boolean): Unit =
@@ -436,6 +478,13 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     else {
       val (prefix, tail) = state.updates.splitAt(n - keepLast)
       val base = prefix.last
+      // an unpublished STAGED commit must never fold into the base: its ops
+      // would silently join the mainline state the fold excludes them from
+      prefix.filter(_.metadata.detached).foreach { u =>
+        throw new IllegalStateException(
+          s"staged (detached) commit ${u.metadata.id.id} is older than the checkpoint " +
+            "base; publish it or delete its ref and vacuum, or raise keepLast")
+      }
       require(
         state.currentVersion == base.metadata.id ||
           tail.exists(_.metadata.id == state.currentVersion),
@@ -459,13 +508,13 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
             "delete or advance the ref, or raise keepLast")
       }
       val rewritten = TableUpdate(base.metadata, ops) :: tail
-      // every commit re-emits DETACHED + one explicit checkout pins the
-      // pointer: replay reproduces the exact pointer position without
-      // needing to know which original commits were branch writes
+      // commits re-emit with their TRUE detached flags (a staged tail
+      // commit must stay staged through a checkpoint) and one explicit
+      // checkout pins the pointer wherever the original history left it
       val refLines = state.refs.toList.sortBy(_._1)
         .map { case (name, r) => refLine(name, r.id, r.isTag) }
       atomicWrite(table,
-        (rewritten.map(commitLine(_, detached = true)) ++ refLines ++
+        (rewritten.map(commitLine) ++ refLines ++
           List(checkoutLine(state.currentVersion))).mkString("", "\n", "\n"))
       true
     }

@@ -88,16 +88,32 @@ trait TableVersions {
     * construction and use plain [[commit]]. */
   def commitIf(table: TableName, update: TableUpdate, expected: CommitId): Boolean
 
-  /** Move the current pointer to an existing commit (rollback). Errors on an
-   * unknown table or commit id. */
+  /** Move the current pointer to an existing PUBLISHED commit (rollback /
+    * checkout). Errors on an unknown table or commit id, and on a DETACHED
+    * (staged) commit — staged work enters the mainline only through
+    * [[publish]], which attaches it first. */
   def setCurrentVersion(table: TableName, id: CommitId): Unit
 
   /** Append a commit WITHOUT moving the current pointer — the branch-write
     * primitive of WRITE-AUDIT-PUBLISH: the data lands in the history (its
-    * version dirs referenced only by this commit), main readers keep
-    * resolving the unmoved pointer, and the staged state is addressable via
-    * `versionAt`/a branch ref until a `setCurrentVersion` publishes it. */
+    * version dirs referenced only by this commit), marked DETACHED so no
+    * pointer-based fold ever includes it, and the staged state stays
+    * addressable via `versionAt`/a branch ref until [[publish]] attaches
+    * it. The detached mark is stamped by the implementation — callers
+    * build an ordinary [[TableUpdate]]. */
   def commitDetached(table: TableName, update: TableUpdate): Unit
+
+  /** PUBLISH staged work: atomically attach (clear the detached mark of)
+    * every staged commit at-or-before `id` in the history, then move the
+    * current pointer to `id`. Attaching exactly the at-or-before set makes
+    * the published state identical to what the audit read (`versionAt` on
+    * the branch head) served — in a linear history, independent branches
+    * staged on one table are not isolated from each other: an earlier
+    * branch's staged commits are part of both the audit fold and the
+    * publish. Errors on an unknown table/commit. Idempotent for already-
+    * attached prefixes; publishing a non-detached commit degrades to a
+    * plain checkout. */
+  def publish(table: TableName, id: CommitId): Unit
 
   /** Create or move a named ref to an existing commit. Branches move
     * freely; a TAG is immutable once created (re-pointing it errors), and
@@ -159,7 +175,14 @@ object TableVersions {
       userId: UserId,
       message: UpdateMessage,
       timestamp: Instant,
-      txn: Option[StreamTxn] = None
+      txn: Option[StreamTxn] = None,
+      /** A DETACHED (staged, branch-write) commit: present in the history
+        * but excluded from every pointer-based fold until [[TableVersions.publish]]
+        * attaches it. Without this flag a staged commit would silently fold
+        * into main reads as soon as any LATER normal commit moved the
+        * pointer past it in the list — unpublished data served with no
+        * checkout ever issued. */
+      detached: Boolean = false
   )
 
   object TableUpdateMetadata {
@@ -227,10 +250,23 @@ object TableVersions {
   def currentVersionFromState(state: TableState): TableVersion =
     replay(visibleOperations(state))
 
+  /** The prefix of updates a fold at the pointer may see.
+    *
+    * DETACHED (staged) commits are excluded: they are history entries whose
+    * data main readers must never serve until published — and because the
+    * fold is a PREFIX of a linear list, a staged commit would otherwise
+    * become visible the moment any later normal commit moved the pointer
+    * past it. The one exception is an AUDIT READ: when the fold target
+    * itself is a detached commit (`versionAt` on a branch ref), every
+    * staged commit in the prefix is included — which is exactly the set
+    * [[TableVersions.publish]] attaches, so the audited state and the
+    * published state are the same state by construction. */
   private def visibleOperations(state: TableState): List[TableOperation] = {
     val idx = state.updates.indexWhere(_.metadata.id == state.currentVersion)
     val visible = if (idx < 0) state.updates else state.updates.take(idx + 1)
-    visible.flatMap(_.operations)
+    val auditRead = idx >= 0 && state.updates(idx).metadata.detached
+    val folded = if (auditRead) visible else visible.filterNot(_.metadata.detached)
+    folded.flatMap(_.operations)
   }
 
   /** Fold a linear operation history into the table version it produces.

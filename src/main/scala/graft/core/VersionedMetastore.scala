@@ -53,10 +53,21 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
     if (tableVersions.commitIf(table, update, expected)) Some(syncCatalog(table))
     else None
 
-  /** Select an existing commit as current and sync the metastore to match
-   * (rollback / checkout — reference `VersionedMetastore.scala:59-66`). */
+  /** Select an existing PUBLISHED commit as current and sync the metastore
+   * to match (rollback / checkout — reference `VersionedMetastore.scala:59-66`).
+   * Errors on a staged (detached) commit — use [[publish]]. */
   def checkout(table: TableName, id: CommitId): Unit = {
     tableVersions.setCurrentVersion(table, id)
+    syncCatalog(table)
+    ()
+  }
+
+  /** PUBLISH staged branch work ([[TableVersions.publish]]): atomically
+    * attach the staged commits at-or-before `id`, swap the pointer to `id`,
+    * and sync the external metastore to the published state — the
+    * write-audit-publish endgame. */
+  def publish(table: TableName, id: CommitId): Unit = {
+    tableVersions.publish(table, id)
     syncCatalog(table)
     ()
   }

@@ -476,13 +476,22 @@ object Versioned {
     require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == mainCount,
       "main readers must NEVER see unpublished branch data")
 
+    // an unrelated MAIN commit lands while the branch is under audit — the
+    // regression this pins: the pointer moving PAST the staged commit in
+    // the linear history must not fold the staged ops into main reads
+    ctx.metastore.commit(table.name, TableVersions.TableUpdate(
+      user, UpdateMessage("unrelated main commit"), java.time.Instant.now(), Nil))
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == mainCount,
+      "a later main commit must not leak staged branch data into main reads")
+
     // AUDIT: the staged state is addressable by ref name in plain SQL
     val auditCount = s.sql(
       s"SELECT count(*) FROM $name VERSION AS OF 'audit'").head().getLong(0)
     require(auditCount > mainCount, "the audit read must see the staged rows")
 
-    // PUBLISH: atomic pointer swap; the tag still serves the old state
-    ctx.metastore.checkout(table.name, log.refCommit(table.name, "audit"))
+    // PUBLISH: attach the staged chain + atomic pointer swap; the tag
+    // still serves the old state
+    ctx.metastore.publish(table.name, log.refCommit(table.name, "audit"))
     require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == auditCount,
       "publish must atomically expose the audited state")
     require(

@@ -59,6 +59,24 @@ object Compaction {
           else parts :+ pmod(spark_partition_id(), lit(filesPerPartition))
         current.repartition(keys: _*)
       }
-    packed.versionedInsertInto(ctx, table, userId, message)
+    val log = ctx.metastore.tableVersions
+    val before: Map[Partition, Version] = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case _                            => Map.empty
+    }
+    val result = packed.versionedInsertInto(ctx, table, userId, message)
+    // when the rewrite replaced EVERY live partition (or the snapshot), the
+    // old deletion vectors are fully absorbed into the new files — record
+    // that with an `_absorbed` marker so reads (and the SQL catalog guard)
+    // stop resolving the stale pair sidecars for the new state. A partition
+    // whose version did not move (e.g. every row DV-hidden → no rows to
+    // write) still needs the old pairs, so the marker is skipped.
+    val fullRewrite = table.isSnapshot || (result._1 match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.forall { case (p, v) => !before.get(p).contains(v) }
+      case _ => true
+    })
+    if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
+    result
   }
 }

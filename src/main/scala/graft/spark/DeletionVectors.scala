@@ -49,6 +49,7 @@ object DeletionVectors {
 
   private val FileCol = "__dv_file"
   private val PosCol = "__dv_pos"
+  private val AbsorbedMarker = "_absorbed"
 
   private def deletesDir(table: TableDefinition, id: CommitId): String =
     Partition.normalizedDir(table.location).toString + "_deletes/commit-" + id.id
@@ -64,17 +65,63 @@ object DeletionVectors {
 
   /** The nearest at-or-before cumulative sidecar directory, if any. The
     * walk is O(#commits) driver-side existence checks — metadata-scale,
-    * same bound as partition discovery. */
-  private def sidecarFor(
+    * same bound as partition discovery. Public: the SQL catalog uses it to
+    * REFUSE delegate file scans that cannot apply vectors, and rewrite
+    * paths use it to decide whether the DV anti-join is needed at all. */
+  def sidecarFor(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
+      at: Option[CommitId]): Option[String] =
+    sidecarFor(spark.sessionState.newHadoopConf(), log, table, at)
+
+  /** Session-free variant for callers that already hold a hadoop
+    * Configuration (vacuum runs driver-side without needing a session).
+    * An `_absorbed` MARKER sidecar (written by a full rewrite — OPTIMIZE /
+    * Z-order) resolves to None: the walk stops there, so the older pair
+    * sidecars stay live for time travel but no longer apply to states at
+    * or after the rewrite. */
+  def sidecarFor(
+      conf: org.apache.hadoop.conf.Configuration,
+      log: TableVersions,
+      table: TableDefinition,
       at: Option[CommitId]): Option[String] = {
-    val conf = spark.sessionState.newHadoopConf()
     val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    sidecarDirAt(fs, log, table, at)
+      .filterNot(dir => fs.exists(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker)))
+  }
+
+  /** The RAW nearest at-or-before sidecar dir — marker or pairs. Vacuum
+    * retention must use this (not [[sidecarFor]]): reclaiming a marker dir
+    * because "no vectors apply" would re-expose the older pair sidecar it
+    * shields to every current read. */
+  private[spark] def sidecarDirAt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Option[String] =
     lineage(log, table, at).iterator
       .map(m => deletesDir(table, m.id))
       .find(dir => fs.exists(new org.apache.hadoop.fs.Path(dir)))
+
+  /** Record that a FULL rewrite (every partition's version moved, or a
+    * snapshot replace) just landed as the current commit: any previously
+    * live vectors are physically absorbed — the rewritten files carry only
+    * surviving rows — so an `_absorbed` marker sidecar at the rewrite
+    * commit stops the resolution walk there. Callers must NOT invoke this
+    * after a PARTIAL rewrite (untouched partitions still need the old
+    * pairs). No-op when no vectors were live. */
+  def markAbsorbed(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (sidecarFor(conf, log, table, None).isEmpty) return // nothing live
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    val dir = new org.apache.hadoop.fs.Path(
+      deletesDir(table, log.currentCommit(table.name)))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker), true).close()
   }
 
   /** The DV-filtered scan WITH its `(file, pos)` pointer columns still
@@ -115,6 +162,70 @@ object DeletionVectors {
     if (df.columns.isEmpty) df else df.drop(FileCol, PosCol)
   }
 
+  /** DV-aware partition-scoped read — what every PARTITION-GRANULAR
+    * copy-on-write rewrite (MERGE, UPDATE, DELETE, INSERT's carry-union,
+    * Z-order) must scan instead of the raw [[VersionedReader]]: a raw read
+    * would materialize DV-hidden rows into the rewritten files,
+    * RESURRECTING them. Vectors match rows by (file, pos), so a rewrite
+    * reading through here absorbs the touched partitions' vectors while
+    * the carried sidecar keeps applying to untouched partitions' original
+    * files — both sides stay correct with no sidecar rewrite. */
+  def readPartitions(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      parts: Seq[Partition]): DataFrame = {
+    val base = VersionedReader(spark, log).readPartitions(table, parts)
+    sidecarFor(spark, log, table, None) match {
+      case None => base
+      case Some(dir) =>
+        if (base.columns.isEmpty) base
+        else {
+          val withPtr = base.select(
+            col("*"),
+            col("_metadata.file_path").as(FileCol),
+            col("_metadata.row_index").as(PosCol))
+          val dv = spark.read.parquet(dir)
+          withPtr
+            .join(dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
+            .drop(FileCol, PosCol)
+        }
+    }
+  }
+
+  /** Guard to run BEFORE [[TableVersions]] log checkpointing on a table
+    * that may carry deletion vectors. Sidecars anchor to COMMIT IDS, and a
+    * checkpoint folds old ids out of the history — if the id a retained
+    * state resolves its sidecar through is folded away, the at-or-before
+    * walk misses the sidecar and every DV-deleted row silently reappears.
+    * This refuses loudly when any retained state (the base, the tail, or
+    * the current pointer) resolves to a sidecar whose anchor would fold;
+    * the remedies are the message's: OPTIMIZE first (compaction absorbs
+    * the vectors into rewritten files, after which the old anchors age out
+    * of every retained lineage) or raise keepLast. The core log layer
+    * cannot run this check itself — it has no filesystem access to the
+    * table location — which is why it lives here. */
+  def requireCheckpointKeepsVectors(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      keepLast: Int): Unit = {
+    val updates = log.updates(table.name) // most recent first
+    if (updates.size <= keepLast + 1) return // checkpoint would no-op
+    val retained = updates.take(keepLast + 1)
+    val retainedIds = retained.map(_.id).toSet
+    (log.currentCommit(table.name) :: retained.map(_.id)).distinct.foreach { c =>
+      sidecarFor(spark, log, table, Some(c)).foreach { dir =>
+        val anchor = dir.substring(dir.lastIndexOf("commit-") + "commit-".length)
+        if (!retainedIds.contains(CommitId(anchor)))
+          throw new IllegalStateException(
+            s"checkpoint(keepLast=$keepLast) would fold away commit $anchor, which " +
+              s"anchors the deletion-vector sidecar $dir still serving retained " +
+              "states; run OPTIMIZE to absorb the vectors first, or raise keepLast")
+      }
+    }
+  }
+
   /** Merge-on-read DELETE: hide every current row matching `cond` (SQL
     * semantics — NULL predicates don't match) behind a fresh cumulative
     * sidecar + an empty-ops commit. Writes NO data files and moves NO
@@ -131,6 +242,13 @@ object DeletionVectors {
       user: UserId,
       message: UpdateMessage): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // OCC anchor, captured BEFORE the sidecar read: the delete is a
+    // read-modify-write of the cumulative sidecar, so two racing deletes
+    // reading the same previous sidecar would each union only their own
+    // pairs — whichever landed second would silently UNDELETE the first's
+    // rows. commitIf against this pointer resolves races to one winner and
+    // one loud, retryable refusal (the engine's q57 posture).
+    val expected = log.currentCommit(table.name)
     // match against the VISIBLE state (existing DVs applied): re-deleting
     // an already-hidden row must not inflate the count
     val visible = readWithPointers(spark, log, table, None)
@@ -147,9 +265,25 @@ object DeletionVectors {
         case Some(prev) => spark.read.parquet(prev).unionByName(newPairs).distinct()
       }
       val id = CommitId(UUID.randomUUID().toString)
-      cumulative.write.mode("overwrite").parquet(deletesDir(table, id))
-      ctx.metastore.commit(table.name, TableUpdate(
-        TableUpdateMetadata(id, user, message, java.time.Instant.now()), Nil))
+      val dir = deletesDir(table, id)
+      cumulative.write.mode("overwrite").parquet(dir)
+      val committed = ctx.metastore.commitIf(
+        table.name,
+        TableUpdate(TableUpdateMetadata(id, user, message, java.time.Instant.now()), Nil),
+        expected)
+      if (committed.isEmpty) {
+        // loser cleans its never-referenced sidecar (best-effort — vacuum
+        // reclaims it regardless) and refuses loudly; the caller retries
+        // against the new state
+        try {
+          val conf = spark.sessionState.newHadoopConf()
+          val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        } catch { case _: java.io.IOException => () }
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit moved ${table.name.fullyQualifiedName} past ${expected.id} " +
+            "during a deletion-vector delete; retry the delete against the new state")
+      }
       n
     } finally { newPairs.unpersist(); () }
   }

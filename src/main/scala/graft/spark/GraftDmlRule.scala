@@ -349,7 +349,8 @@ final case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val cond = condition.map(d => GraftDml.column(d.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val current = VersionedReader(session, binding.log).read(defn)
+    // DV-aware: rewriting from a raw read would resurrect hidden rows
+    val current = DeletionVectors.read(session, binding.log, defn)
     if (current.columns.isEmpty) return Seq.empty // never written
     // a no-match UPDATE must not commit: the history would gain a junk
     // entry (and a snapshot table a full identical rewrite) for a no-op
@@ -394,7 +395,8 @@ final case class GraftDeleteCommand(
     import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
     import graft.core.TableVersions.{TableOperation, TableUpdate}
     val cond = GraftDml.column(condition.expr)
-    val current = VersionedReader(session, binding.log).read(defn)
+    // DV-aware: rewriting from a raw read would resurrect hidden rows
+    val current = DeletionVectors.read(session, binding.log, defn)
     if (current.columns.isEmpty) return Seq.empty
     if (defn.isSnapshot) {
       // survivors = rows where the predicate is NOT TRUE (false OR null):

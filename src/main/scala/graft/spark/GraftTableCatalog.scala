@@ -109,8 +109,24 @@ final class GraftTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     tableNameOf(ident).exists(n => binding.tables.contains(n.fullyQualifiedName))
 
+  /** SQL scans go straight to the delegate FILE table, which cannot apply
+    * merge-on-read deletion vectors — serving it anyway would silently
+    * resurrect deleted rows into every SELECT. Refuse loudly instead; the
+    * vectors disappear from the current state after OPTIMIZE (compaction
+    * absorbs them) and the Scala API ([[DeletionVectors.read]]) always
+    * applies them. O(#commits) driver-side existence probes, only until
+    * the first sidecar hit — metadata-scale. */
+  private def requireNoVectors(defn: TableDefinition, at: Option[CommitId]): Unit =
+    DeletionVectors.sidecarFor(SparkSession.active, binding.log, defn, at).foreach { dir =>
+      throw new UnsupportedOperationException(
+        s"table ${defn.name.fullyQualifiedName} has unabsorbed merge-on-read deletion " +
+          s"vectors ($dir); a delegate file scan would resurrect deleted rows. " +
+          "Run OPTIMIZE to absorb them, or read through DeletionVectors.read")
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val (defn, schema) = definitionOf(ident)
+    requireNoVectors(defn, None)
     // wrapped: reads delegate to Spark's own file table, writes route onto
     // the versioned write path (the raw FileTable would happily append
     // files INTO an immutable version dir)
@@ -126,6 +142,7 @@ final class GraftTableCatalog extends TableCatalog {
     // refs win — they are human-chosen names, commit ids are uuids
     val resolved = binding.log.refs(defn.name).get(version)
       .map(_.id).getOrElse(CommitId(version))
+    requireNoVectors(defn, Some(resolved))
     fileTable(defn, binding.log.versionAt(defn.name, resolved), schema)
   }
 
@@ -139,6 +156,7 @@ final class GraftTableCatalog extends TableCatalog {
       .find(!_.timestamp.isAfter(asOf))
       .getOrElse(throw new IllegalArgumentException(
         s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
+    requireNoVectors(defn, Some(commit.id))
     fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema)
   }
 
@@ -312,6 +330,10 @@ final class GraftTableCatalog extends TableCatalog {
           s"graft ALTER TABLE supports top-level columns only, got ${add.fieldNames().mkString(".")}")
         require(add.isNullable,
           s"added column ${add.fieldNames()(0)} must be nullable — existing versions hold no values for it")
+        require(add.position() == null,
+          s"ALTER TABLE ADD COLUMN ${add.fieldNames()(0)} FIRST/AFTER is not supported — " +
+            "columns append at the end (accepting the statement but placing the column " +
+            "elsewhere would misalign positional INSERTs)")
         val n = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)), s"column $n already exists")
         schema.add(org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true))
@@ -542,7 +564,9 @@ private[spark] object GraftV2Table {
     binding.log.currentVersion(defn.name) match {
       case SnapshotTableVersion(v) if v == Version.Unversioned => None
       case PartitionedTableVersion(m) if m.isEmpty             => None
-      case _ => Some(VersionedReader(spark, binding.log).read(defn))
+      // DV-aware: INSERT's copy-on-write carry-union must not resurrect
+      // merge-on-read-deleted rows into the fresh version
+      case _ => Some(DeletionVectors.read(spark, binding.log, defn))
     }
 
   /** The caller's metastore when one is bound — SQL writes then sync their

@@ -59,11 +59,12 @@ object Merge {
     // partitions the discovery never saw (same guard as SQL INSERT INTO)
     val src = source.persist()
     try {
-      val reader = VersionedReader(spark, log)
+      // DV-aware: a raw read would resurrect merge-on-read-deleted rows
+      // into the rewritten partitions (and match them as upsert targets)
       val current =
-        if (table.isSnapshot) reader.read(table)
-        else reader.readPartitions(
-          table, VersionContext.partitionValues(src, table.partitionSchema))
+        if (table.isSnapshot) DeletionVectors.read(spark, log, table)
+        else DeletionVectors.readPartitions(
+          spark, log, table, VersionContext.partitionValues(src, table.partitionSchema))
       // a source missing one of the table's columns would silently REWRITE
       // the touched partitions without it (kept rows are projected to the
       // source's columns) — refuse instead; additive evolution goes the
@@ -179,8 +180,9 @@ object Merge {
             .count().where(col("count") > 1).isEmpty,
           "merge source has duplicate key values — ambiguous match (pre-aggregate the source)")
 
-        val reader = VersionedReader(spark, log)
-        val current0 = reader.read(table)
+        // DV-aware: a hidden row must neither match as an UPDATE/DELETE
+        // target nor count toward touched-partition discovery
+        val current0 = DeletionVectors.read(spark, log, table)
         val neverWritten = current0.columns.isEmpty
         // the versioned reader surfaces partition columns as strings (they
         // come from k=v dirs); mirror that in the never-written schema so
@@ -227,7 +229,8 @@ object Merge {
                   case (c, i) => ColumnValue(c, r.getString(i))
                 }))
             }
-            reader.readPartitions(table, (matchedParts ++ insertParts).distinct)
+            DeletionVectors.readPartitions(
+              spark, log, table, (matchedParts ++ insertParts).distinct)
           }
 
         // ---- the clause join: one shuffled full-outer equi-join ----
@@ -258,8 +261,7 @@ object Merge {
       } catch { case e: Throwable => src.unpersist(); throw e }
 
     try {
-      val reader = VersionedReader(spark, log)
-      val current0 = reader.read(table)
+      val current0 = DeletionVectors.read(spark, log, table)
       val neverWritten = current0.columns.isEmpty
       val outSchema: Seq[StructField] = {
         val base = emptySchema.filter(_ => neverWritten)
@@ -307,6 +309,20 @@ object Merge {
           .select(partCols.map(p => projected(outSchema.find(_.name.equalsIgnoreCase(p)).get)): _*)
           .distinct().collect()
         if (affected.nonEmpty) {
+          // reject loudly, like partitionValues does on the write path: a
+          // NULL/empty partition value (e.g. a NOT MATCHED insert of a null
+          // source column) would otherwise fall out of the equi-semi-join
+          // below (null never equals null) — the row neither written nor
+          // reported, a silent drop
+          affected.foreach { r =>
+            (0 until r.length).foreach { i =>
+              if (r.isNullAt(i) || r.getString(i).isEmpty)
+                throw new IllegalArgumentException(
+                  s"MERGE produced a row with a null or empty value for partition " +
+                    s"column ${partCols(i)}; null partition values are not supported " +
+                    "by the versioned layout")
+            }
+          }
           val affectedDf = spark.createDataFrame(
             java.util.Arrays.asList(affected: _*),
             StructType(partCols.map(StructField(_, StringType))))

@@ -59,9 +59,16 @@ object Vacuum {
       // from retention
       updates.filter(_.timestamp.toEpochMilli >= cut)
     }
-    val commits = (byCount ++ byAge).distinctBy(_.id)
+    // named refs PIN retention: a tag's state must stay readable for as
+    // long as the tag exists (reproducibility is the tag's whole point),
+    // and a staged branch commit under audit must not lose its data dirs
+    // just because keepLast newer commits landed on main. versionAt on a
+    // staged commit is the audit-read fold, so everything that read serves
+    // is retained.
+    val refIds = log.refs(table.name).values.map(_.id).toList
+    val retainedIds = ((byCount ++ byAge).map(_.id) ++ refIds).distinct
     val states = log.currentVersion(table.name) ::
-      commits.map(c => log.versionAt(table.name, c.id))
+      retainedIds.map(id => log.versionAt(table.name, id))
 
     // every (relative dir, label) any retained state references — in the
     // ESCAPED on-disk form, which is what the directory listing yields
@@ -105,7 +112,7 @@ object Vacuum {
     // retained: after a rollback its state's data dirs are deliberately
     // kept, and reclaiming its sidecar would orphan a live state's stats.
     val retainedCommitIds: Set[String] =
-      commits.map(_.id.id).toSet + log.currentCommit(table.name).id
+      retainedIds.map(_.id).toSet + log.currentCommit(table.name).id
     val statsRoot = new HPath(root, "_stats")
     val statsOnDisk: List[(String, Boolean)] =
       if (!fs.exists(statsRoot)) Nil
@@ -120,7 +127,34 @@ object Vacuum {
         }
       }
 
-    val doomed = (onDisk ++ statsOnDisk).collect {
+    // deletion-vector sidecars (`_deletes/commit-<id>`): a retained state
+    // resolves its vectors through the NEAREST AT-OR-BEFORE anchor, which
+    // can be OLDER than the retention window — keeping only retained ids
+    // would silently un-delete rows from live states. Keep exactly the
+    // sidecars some retained state (or the pointer) resolves through;
+    // everything else (orphans from crashed deletes, sidecars absorbed by
+    // compaction whose anchors aged out of every retained lineage)
+    // reclaims under the usual mtime grace.
+    // raw resolution (sidecarDirAt): an `_absorbed` marker dir is as
+    // load-bearing as a pair sidecar — reclaiming it would re-expose the
+    // older pairs it shields to every current read
+    val neededDeleteAnchors: Set[String] =
+      (log.currentCommit(table.name) :: retainedIds).distinct
+        .flatMap(c => DeletionVectors.sidecarDirAt(fs, log, table, Some(c)))
+        .map(dir => dir.substring(dir.lastIndexOf("commit-") + "commit-".length))
+        .toSet
+    val deletesRoot = new HPath(root, "_deletes")
+    val deletesOnDisk: List[(String, Boolean)] =
+      if (!fs.exists(deletesRoot)) Nil
+      else fs.listStatus(deletesRoot).toList.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("commit-") &&
+          !neededDeleteAnchors.contains(name.stripPrefix("commit-")))
+          List(s"_deletes/$name" -> (st.getModificationTime < cutoff))
+        else Nil
+      }
+
+    val doomed = (onDisk ++ statsOnDisk ++ deletesOnDisk).collect {
       case (rel, oldEnough)
         if oldEnough && !referenced.contains(rel.stripPrefix("_stats/")) => rel
     }
@@ -129,7 +163,7 @@ object Vacuum {
     val (deleted, failed) =
       doomed.partition(rel => fs.delete(new HPath(root, rel), true))
     Report(
-      examined = onDisk.size + statsOnDisk.size,
+      examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size,
       deleted = deleted.sorted, failed = failed.sorted)
   }
 }

@@ -80,10 +80,11 @@ object VersionContext {
       * does not move — main readers are oblivious), and `branch` is
       * created/advanced to the new commit. Audit the staged state through
       * the branch ref (`versionAt`, or SQL `VERSION AS OF '<branch>'`);
-      * publish it with `metastore.checkout(table, log.refCommit(...))` —
-      * an atomic pointer swap; abandon it by deleting the ref (vacuum
-      * reclaims the unreferenced dirs). The external metastore is NOT
-      * synced by the branch write — that is publish's job. */
+      * publish it with `metastore.publish(table, log.refCommit(...))` —
+      * attach the staged chain + atomic pointer swap; abandon it by
+      * deleting the ref (vacuum reclaims the unreferenced dirs). The
+      * external metastore is NOT synced by the branch write — that is
+      * publish's job. */
     def versionedInsertIntoBranch(
         ctx: VersionContext,
         table: TableDefinition,

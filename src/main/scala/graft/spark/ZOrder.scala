@@ -82,7 +82,9 @@ object ZOrder {
       bits: Int = 16): (TableVersion, TableChanges) = {
     require(zorderCols.nonEmpty, "zorder needs at least one column")
     require(numFiles > 0, "numFiles must be positive")
-    val current = VersionedReader(spark, ctx.metastore.tableVersions).read(table)
+    // DV-aware (like Compaction): the Z-order rewrite must not resurrect
+    // merge-on-read-deleted rows into the clustered files
+    val current = DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
     val z = zvalue(ranges(current, zorderCols), bits)
     val packed =
       if (table.isSnapshot)
@@ -97,6 +99,20 @@ object ZOrder {
           .sortWithinPartitions(parts :+ col("__z"): _*)
           .drop("__z")
       }
-    packed.versionedInsertInto(ctx, table, userId, message)
+    val log = ctx.metastore.tableVersions
+    val before: Map[Partition, Version] = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case _                            => Map.empty
+    }
+    val result = packed.versionedInsertInto(ctx, table, userId, message)
+    // same absorb rule as Compaction: a rewrite that replaced every live
+    // partition physically absorbed any deletion vectors
+    val fullRewrite = table.isSnapshot || (result._1 match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.forall { case (p, v) => !before.get(p).contains(v) }
+      case _ => true
+    })
+    if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
+    result
   }
 }

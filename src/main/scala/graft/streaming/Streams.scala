@@ -136,11 +136,22 @@ object Streams {
   }
 
   /** The stable writer identity a sink records in its commits' [[StreamTxn]]
-    * markers. One stream per table needs no explicit id; multiple streams
-    * feeding one table must pass distinct `txnAppId`s or their batch-id
-    * sequences would shadow each other's replay detection. */
-  private def defaultAppId(table: TableDefinition): String =
-    s"stream:${table.name.fullyQualifiedName}"
+    * markers. The default is keyed on the STREAMING QUERY ID (read at batch
+    * time from the `sql.streaming.queryId` local property the stream
+    * execution thread carries — the id is minted once per checkpoint and
+    * survives restarts), NOT on the table alone: a table-keyed default
+    * would make a NEW query with a fresh checkpoint — whose batch ids
+    * restart at 0 — silently skip every batch at or below the OLD query's
+    * high-water mark, and two live queries feeding one table would shadow
+    * each other's replay detection. A fresh checkpoint ⇒ fresh query id ⇒
+    * fresh marker sequence; a restart of the SAME checkpoint keeps the id
+    * and replay detection works. Callers wanting cross-checkpoint
+    * continuity pass an explicit `txnAppId`. */
+  private def defaultAppId(
+      spark: org.apache.spark.sql.SparkSession, table: TableDefinition): String = {
+    val queryId = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    s"stream:${table.name.fullyQualifiedName}" + queryId.map(":" + _).getOrElse("")
+  }
 
   /** One versioned-sink micro-batch, REPLAY-IDEMPOTENT: the commit records
     * `(appId, batchId)` in its metadata, and a batch id at or below the
@@ -185,12 +196,13 @@ object Streams {
       ctx: VersionContext,
       table: TableDefinition,
       user: UserId,
-      txnAppId: Option[String] = None): DataStreamWriter[T] = {
-    val appId = txnAppId.getOrElse(defaultAppId(table))
+      txnAppId: Option[String] = None): DataStreamWriter[T] =
+    // appId resolves INSIDE the batch closure: the query id property only
+    // exists on the stream execution thread, not at sink-construction time
     stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      val appId = txnAppId.getOrElse(defaultAppId(batch.sparkSession, table))
       applyVersionedBatch(batch, batchId, ctx, table, user, appId)
     }
-  }
 
   /** MERGE sink: each micro-batch UPSERTS into `table` by `keyCols`
     * through [[graft.spark.Merge.mergeInto]] — the production CDC-apply
@@ -211,12 +223,11 @@ object Streams {
       table: TableDefinition,
       keyCols: Seq[String],
       user: UserId,
-      txnAppId: Option[String] = None): DataStreamWriter[T] = {
-    val appId = txnAppId.getOrElse(defaultAppId(table))
+      txnAppId: Option[String] = None): DataStreamWriter[T] =
     stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      val appId = txnAppId.getOrElse(defaultAppId(batch.sparkSession, table))
       applyMergeBatch(batch, batchId, ctx, log, table, keyCols, user, appId)
     }
-  }
 
   /** One merge-sink micro-batch, REPLAY-IDEMPOTENT like
     * [[applyVersionedBatch]]. The upsert content is key-idempotent anyway;

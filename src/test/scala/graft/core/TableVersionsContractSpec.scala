@@ -250,7 +250,7 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     an[Exception] should be thrownBy log.setCurrentVersion(tbl, CommitId("no-such-commit"))
     log.currentVersion(tbl) shouldBe SnapshotTableVersion(v1)
   }
-  test(s"$implName: detached commits stay invisible until a checkout publishes them (WAP)") {
+  test(s"$implName: detached commits stay invisible until publish attaches them (WAP)") {
     val log = newLog()
     initPartitioned(log)
     val v1 = v()
@@ -274,12 +274,111 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
       case other => fail(s"unexpected $other")
     }
 
-    // publish = atomic pointer swap; main now serves the audited state
-    log.setCurrentVersion(tbl, log.refCommit(tbl, "audit"))
+    // a plain checkout must REFUSE a staged commit (publish is the only door)
+    an[IllegalArgumentException] should be thrownBy
+      log.setCurrentVersion(tbl, staged.metadata.id)
+
+    // publish = attach + atomic pointer swap; main now serves the audited state
+    log.publish(tbl, log.refCommit(tbl, "audit"))
     log.currentVersion(tbl) match {
       case PartitionedTableVersion(pvs) => pvs should have size 2
       case other                        => fail(s"unexpected $other")
     }
+    // once published, the commit is an ordinary checkout target (rollback works)
+    log.setCurrentVersion(tbl, mainCommit)
+    log.currentVersion(tbl) shouldBe mainState
+    log.setCurrentVersion(tbl, staged.metadata.id)
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 2
+      case other                        => fail(s"unexpected $other")
+    }
+  }
+
+  test(s"$implName: a later main commit does NOT leak staged data into main reads") {
+    val log = newLog()
+    initPartitioned(log)
+    val v1 = v()
+    addPartitions(log, p("2024-01-01") -> v1)
+
+    // stage a branch write, then land an unrelated MAIN commit: the pointer
+    // now sits PAST the staged commit in the linear history — the exact
+    // shape that used to fold staged ops into every main read
+    val staged = TableUpdate(who, msg("staged"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-02"), v())))
+    log.commitDetached(tbl, staged)
+    log.setRef(tbl, "audit", staged.metadata.id)
+    val v3 = v()
+    addPartitions(log, p("2024-01-03") -> v3)
+
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs shouldBe Map(p("2024-01-01") -> v1, p("2024-01-03") -> v3)
+      case other => fail(s"unexpected $other")
+    }
+    // abandoning the branch (ref delete) must leave main unaffected forever
+    log.deleteRef(tbl, "audit")
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs.keySet should not contain p("2024-01-02")
+      case other                        => fail(s"unexpected $other")
+    }
+    // publishing AFTER the interleaved main commit attaches the staged chain;
+    // the pointer lands on the staged commit, so the later main commit is
+    // not in the fold prefix (ordinary checkout semantics)
+    log.publish(tbl, staged.metadata.id)
+    log.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keySet should contain(p("2024-01-02"))
+        pvs.keySet should not contain p("2024-01-03")
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test(s"$implName: refs survive ordinary commits and commitIf") {
+    val log = newLog()
+    initPartitioned(log)
+    val u1 = addPartitions(log, p("2024-01-01") -> v())
+    log.setRef(tbl, "prod", u1.metadata.id, isTag = true)
+    log.setRef(tbl, "dev", u1.metadata.id)
+
+    // every state-rebuilding mutation must carry the refs along
+    addPartitions(log, p("2024-01-02") -> v())
+    log.refs(tbl).keySet shouldBe Set("prod", "dev")
+    val ok = log.commitIf(
+      tbl,
+      TableUpdate(who, msg("cas"), Instant.now(),
+        List(TableOperation.AddPartitionVersion(p("2024-01-03"), v()))),
+      expected = log.currentCommit(tbl))
+    ok shouldBe true
+    log.refs(tbl).keySet shouldBe Set("prod", "dev")
+    log.refCommit(tbl, "prod") shouldBe u1.metadata.id
+  }
+
+  test(s"$implName: publish attaches a multi-commit staged chain as one audited state") {
+    val log = newLog()
+    initPartitioned(log)
+    addPartitions(log, p("2024-01-01") -> v())
+
+    val s1 = TableUpdate(who, msg("stage 1"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-02"), v())))
+    log.commitDetached(tbl, s1)
+    val s2v = v()
+    val s2 = TableUpdate(who, msg("stage 2"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-02"), s2v),
+        TableOperation.AddPartitionVersion(p("2024-01-03"), v())))
+    log.commitDetached(tbl, s2)
+    log.setRef(tbl, "audit", s2.metadata.id)
+
+    // the audit read folds the WHOLE staged chain (s1 then s2)
+    val audited = log.versionAt(tbl, s2.metadata.id)
+    audited match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keySet shouldBe Set(p("2024-01-01"), p("2024-01-02"), p("2024-01-03"))
+        pvs(p("2024-01-02")) shouldBe s2v // last staged writer wins
+      case other => fail(s"unexpected $other")
+    }
+    // published state == audited state, by construction
+    log.publish(tbl, s2.metadata.id)
+    log.currentVersion(tbl) shouldBe audited
   }
 
   test(s"$implName: tags are immutable, branches move, kinds are stable, targets must exist") {
@@ -492,6 +591,43 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
     // and the refused checkpoint left the log fully intact
     log.updates(tbl) should have size 4
     log.currentVersion(tbl) shouldBe SnapshotTableVersion(Version.Unversioned)
+  }
+
+  test("JsonFileTableVersions: checkpoint refuses to fold away a staged commit; staged survives rewrite + reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_ckpt_staged")
+    val log = new JsonFileTableVersions(dir)
+    val tbl = TableName("db", "ckptstaged")
+    log.init(tbl, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    def part(d: String) = Partition(PartitionColumn("date"), d)
+    def add(d: String): TableUpdate = {
+      val u = TableUpdate(UserId("u"), UpdateMessage(d), Instant.now(),
+        List(TableOperation.AddPartitionVersion(part(d), Version(Instant.now(), UUID.randomUUID()))))
+      log.commit(tbl, u); u
+    }
+    add("2024-01-01")
+    val staged = TableUpdate(UserId("u"), UpdateMessage("staged"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(part("2024-01-09"), Version(Instant.now(), UUID.randomUUID()))))
+    log.commitDetached(tbl, staged)
+    log.setRef(tbl, "audit", staged.metadata.id)
+    (2 to 4).foreach(i => add(s"2024-01-0$i"))
+
+    // folding the staged commit into the base would silently attach it
+    an[IllegalStateException] should be thrownBy log.checkpoint(tbl, keepLast = 1)
+
+    // with the staged commit in the retained tail the checkpoint proceeds,
+    // and the staged commit is STILL staged after rewrite + reopen
+    log.checkpoint(tbl, keepLast = 4) shouldBe true
+    val reopened = new JsonFileTableVersions(dir)
+    reopened.currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs.keySet should not contain part("2024-01-09")
+      case other                        => fail(s"unexpected $other")
+    }
+    // and publish still attaches it
+    reopened.publish(tbl, staged.metadata.id)
+    new JsonFileTableVersions(dir).currentVersion(tbl) match {
+      case PartitionedTableVersion(pvs) => pvs.keySet should contain(part("2024-01-09"))
+      case other                        => fail(s"unexpected $other")
+    }
   }
 
   test("a duplicate commit id is rejected by both log implementations") {

@@ -72,6 +72,108 @@ class DeletionVectorsSpec extends AnyFunSuite with Matchers {
     VersionedReader(spark, log).read(table).count() shouldBe 77L // physically gone
   }
 
+  test("copy-on-write rewrites do NOT resurrect DV-hidden rows (MERGE, UPDATE, INSERT carry)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dv_cow"),
+      Files.createTempDirectory("graft_dv_cow").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 60L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 30, user, UpdateMessage("dv")) shouldBe 30L
+    DeletionVectors.read(spark, log, table).count() shouldBe 30L
+
+    // MERGE upsert touching every partition: hidden rows must neither match
+    // as targets nor be carried into the rewritten partitions
+    val src = Seq((101L, "k101", "2024-01-01"), (102L, "k102", "2024-01-02"),
+      (103L, "k103", "2024-01-03"))
+      .toDF("id", "kind", "date")
+    Merge.mergeInto(ctx, log, table, src, Seq("id"), user, UpdateMessage("merge"), None)
+    val afterMerge = DeletionVectors.read(spark, log, table)
+    afterMerge.count() shouldBe 33L
+    afterMerge.where(col("id") <= 30).count() shouldBe 0L
+    // the REWRITTEN partitions are physically clean too: the raw scan of
+    // the new state shows no resurrected rows (vectors absorbed)
+    VersionedReader(spark, log).read(table).where(col("id") <= 30).count() shouldBe 0L
+  }
+
+  test("checkpoint guard refuses to fold a load-bearing DV anchor; vacuum keeps it") {
+    val dir = Files.createTempDirectory("graft_dv_ckpt")
+    val log = new JsonFileTableVersions(dir)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dv_ckpt"),
+      Files.createTempDirectory("graft_dv_ckpt_data").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 20L).map(i => Event(i, s"k$i", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 4, user, UpdateMessage("dv")) shouldBe 4L
+    // push the DV anchor outside a keepLast=1 window with later commits to
+    // FRESH partitions (writing to the DV'd partitions would replace their
+    // files and deaden the vectors — not what this test pins)
+    (21L to 24L).map(i => Event(i, s"k$i", "2024-01-08"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    (25L to 28L).map(i => Event(i, s"k$i", "2024-01-09"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+
+    // folding the anchor commit away would silently un-delete 4 rows
+    an[IllegalStateException] should be thrownBy
+      DeletionVectors.requireCheckpointKeepsVectors(spark, log, table, keepLast = 1)
+    // with the anchor in the retained tail the guard passes and the
+    // checkpointed log still applies the vectors
+    DeletionVectors.requireCheckpointKeepsVectors(spark, log, table, keepLast = 3)
+    log.checkpoint(table.name, keepLast = 3) shouldBe true
+    DeletionVectors.read(spark, new JsonFileTableVersions(dir), table).count() shouldBe 24L
+
+    // vacuum must KEEP the sidecar while a retained state resolves through
+    // it, even though its anchor sits outside keepLast's commit window
+    val report = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 1, graceMs = 0L)
+    report.deleted.filter(_.startsWith("_deletes/")) shouldBe Nil
+    DeletionVectors.read(spark, log, table).count() shouldBe 24L
+
+    // an ORPHANED sidecar (commit never landed) reclaims
+    val orphan = new java.io.File(
+      new java.io.File(table.location), "_deletes/commit-orphan-id")
+    orphan.mkdirs() shouldBe true
+    val report2 = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 1, graceMs = 0L)
+    report2.deleted should contain("_deletes/commit-orphan-id")
+  }
+
+  test("SQL catalog scans refuse while unabsorbed vectors exist; OPTIMIZE unblocks them") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set(
+      "spark.sql.catalog.graftdv", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftdv", log)
+    val table = TableDefinition(
+      TableName("test", "dv_sql"),
+      Files.createTempDirectory("graft_dv_sql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftdv", table)
+    (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 30L
+
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 10, user, UpdateMessage("dv")) shouldBe 10L
+    // the delegate file scan cannot apply vectors — serving it would
+    // resurrect the 10 deleted rows into every SELECT; refuse loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").collect())
+    e.getMessage should include("deletion")
+    // compaction absorbs the vectors; SQL reads come back and are correct
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("optimize"))
+    spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 20L
+  }
+
   test("DV sidecars round-trip the durable log and snapshot tables") {
     val dir = Files.createTempDirectory("graft_dv_log")
     val log = new JsonFileTableVersions(dir)

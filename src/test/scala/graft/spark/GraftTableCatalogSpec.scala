@@ -544,6 +544,12 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val dup = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN label STRING"))
     dup.getMessage should include("already exists")
+    // positioned adds reject rather than silently appending at the end —
+    // accepting FIRST/AFTER but placing the column elsewhere would
+    // misalign positional INSERTs against the declared layout
+    val pos = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN early STRING FIRST"))
+    pos.getMessage should include("FIRST/AFTER")
     spark.sql("DROP TABLE graftcat.cdb.altc")
   }
 

@@ -172,6 +172,29 @@ class MergeSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("partition column")
   }
 
+  test("conditional merge rejects an insert producing a NULL partition value instead of dropping it") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("condmerge_nullpart")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // source row 2 carries a NULL date: the insert's partition value is
+    // null, which the equi-semi-join against affected partitions would
+    // silently drop — the engine must refuse loudly instead
+    val source = Seq((2L, "b", null: String)).toDF("id", "kind", "date")
+    val e = intercept[IllegalArgumentException](Merge.mergeConditional(
+      ctx, log, table, source, Seq("id"),
+      matched = Nil,
+      notMatched = Seq(Merge.WhenNotMatched(None,
+        Seq("id" -> Merge.scol("id"), "kind" -> Merge.scol("kind"),
+          "date" -> Merge.scol("date")))),
+      userId = user, message = UpdateMessage("null insert")))
+    e.getMessage should include("null or empty")
+    // nothing committed, table unchanged
+    VersionedReader(spark, log).read(table).count() shouldBe 1L
+  }
+
   test("versioned partitioned reads take dynamic partition pruning from a dim-side filter") {
     import org.apache.spark.sql.functions.{broadcast, col}
     val (ctx, log) = freshContext()

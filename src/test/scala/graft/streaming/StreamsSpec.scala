@@ -150,6 +150,44 @@ class StreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("a NEW query with a fresh checkpoint is not shadowed by an old query's batch ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "stream_fresh_ckpt"),
+      Files.createTempDirectory("graft_stream_fresh").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, UserId("stream"), UpdateMessage("init"))
+
+    // query 1 advances the table to batch ids 0 and 1 under ITS identity
+    val in1 = MemoryStream[Tick]
+    val q1 = Streams.versionedSink(in1.toDS(), ctx, table, UserId("stream"))
+      .option("checkpointLocation", Files.createTempDirectory("graft_fresh_c1").toString)
+      .start()
+    try {
+      in1.addData(Tick(t(1), "click", 1, 1.0)); q1.processAllAvailable()
+      in1.addData(Tick(t(2), "view", 2, 2.0)); q1.processAllAvailable()
+    } finally q1.stop()
+    val afterQ1 = log.updates(table.name).count(_.message.content.startsWith("micro-batch"))
+    afterQ1 shouldBe 2
+
+    // a brand-NEW query (fresh checkpoint → batch ids restart at 0) must
+    // COMMIT its batches, not silently skip them below the old high-water
+    // mark — the default txn identity is per-query, not per-table
+    val in2 = MemoryStream[Tick]
+    val q2 = Streams.versionedSink(in2.toDS(), ctx, table, UserId("stream"))
+      .option("checkpointLocation", Files.createTempDirectory("graft_fresh_c2").toString)
+      .start()
+    try {
+      in2.addData(Tick(t(3), "buy", 3, 3.0)); q2.processAllAvailable()
+    } finally q2.stop()
+    log.updates(table.name)
+      .count(_.message.content.startsWith("micro-batch")) shouldBe afterQ1 + 1
+    VersionedReader(spark, log).read(table).as[Tick].collect()
+      .map(_.event_type) shouldBe Array("buy")
+  }
+
   test("sink replay after crash-between-commit-and-checkpoint commits exactly once per batch id") {
     val log = new InMemoryTableVersions
     val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
