@@ -119,12 +119,20 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get("BENCH_REF.json")
         if (java.nio.file.Files.exists(p)) {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
-          val it = node.fields()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-          b.result()
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          // the reference is scale-factor-specific — ratios against a
+          // different SF's numbers would be meaningless
+          if (Option(root.get("sf")).map(_.asText()).contains(sfDir)) {
+            val node = root.get("queries")
+            val it = node.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            b.result()
+          } else {
+            System.err.println(s"[bench] BENCH_REF.json is for a different sf; skipping ratios")
+            Map.empty
+          }
         } else Map.empty
       } catch {
         case e: Exception =>
