@@ -5,35 +5,51 @@ import org.apache.spark.sql.functions._
 
 /**
  * SCALE SOAK for the dedup/ANN §2.4 claims (run on demand, not per-round):
- * replicates the sf0.1 corpus N× (near-dup text replicas, perturbed
- * embeddings — so the candidate structure grows, not just the row count)
- * and times the four scale-critical operators at both sizes:
+ * times the four scale-critical operators at sf0.1 and at N× that corpus,
+ * in two replication regimes that test two different claims:
  *
- *  - e2_jaccard_neardup  — inverted index + MaxShingleDf cap
- *  - e2b_minhash_lsh     — banded LSH bucketing
- *  - e29_persisted_ivf   — IVF index build + partition-pruned probes
- *  - e30_ivf_ingest      — incremental O(batch) index maintenance
+ * **Disjoint regime** (primary; all four operators): replica k's text is
+ * alphabet-ROTATED by k, so its shingles are disjoint from every other
+ * replica's while the intra-replica duplicate-cluster geometry stays
+ * isomorphic to base. Input rows, index size, candidate pairs, and the
+ * answer all grow exactly N× — so the claim "runtime grows ≤ ~linearly in
+ * corpus size" is directly falsifiable: guard ratio ≤ 2 × scale (2×
+ * headroom for shuffle overheads and host steal; a quadratic blowup at
+ * scale 10 would show ~100×).
  *
- * The claim under test: runtime grows ≤ ~linearly in corpus size (the
- * bucketed candidate generation and the DF cap hold — no quadratic
- * all-pairs blowup hiding below the tested scale). A superlinear guard of
- * 2× the scale factor accommodates shuffle overheads and host steal; a
- * quadratic blowup at scale 5 would show ~25× and fail loudly.
+ * **Dense regime** (adversarial; the pair-emitters e2/e2b): replicas are
+ * near-dups of their ORIGINALS, so duplicate clusters grow N× DENSER and
+ * the true answer — all pairs above threshold — grows ~N² by definition.
+ * No correct algorithm emits a quadratic answer in linear time, so a
+ * runtime-vs-input guard is meaningless here (it measures the data, not
+ * the engine). What IS falsifiable: per-EMITTED-PAIR cost must not grow.
+ * If the MaxShingleDf cap failed, stop-shingle buckets would generate
+ * candidates that mostly FAIL the Jaccard threshold — wasted work that
+ * inflates sec/pair; with the cap holding, sec/pair stays flat or falls
+ * (fixed overhead amortizes). Guard: scaled sec/pair ≤ 2 × base sec/pair.
  *
- * Usage: SPARK_GRAFT_SOAK_SCALE=5 sbt "runMain graft.Soak"
- * Emits one JSON line per operator + a summary line; exits non-zero on a
- * superlinear violation.
+ * Embeddings get a per-replica perturbation (distinct vectors, same
+ * cluster structure) in both regimes; e29 (index build) and e30 (O(batch)
+ * ingest) are index-maintenance ops with no pair answer, so they run in
+ * the disjoint regime only.
+ *
+ * Usage: SPARK_GRAFT_SOAK_SCALE=10 sbt "runMain graft.Soak"
+ * Emits one JSON line per measurement + a summary line; exits non-zero on
+ * any guard violation. Results land in SOAK_r11.json.
  */
 object Soak {
 
-  private val Queries = Seq(
+  private val DisjointQueries = Seq(
     "e2_jaccard_neardup", "e2b_minhash_lsh", "e29_persisted_ivf", "e30_ivf_ingest")
+  private val DenseQueries = Seq("e2_jaccard_neardup", "e2b_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val soakDir = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val disjointDir = s"$root/disjoint"
+    val denseDir = s"$root/dense"
 
     val spark = SparkSession.builder()
       .appName("graft-soak")
@@ -44,20 +60,37 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- build the scaled corpus --------------------------------------
-    // text replicas get a distinct suffix (near-dups of their original, so
-    // shingle DF and bucket sizes grow with scale); embeddings get a
-    // per-replica perturbation (distinct vectors, same cluster structure)
+    // ---- build the scaled corpora -------------------------------------
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val scaledDocs = (0 until scale).map { k =>
+
+    // disjoint: rotate the alphabet (letters and digits, case-preserved)
+    // by k — every word shingle changes, so replica k shares ~no shingles
+    // with replica j≠k, while equal base docs stay equal within a replica
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val scaledDisjoint = (0 until scale).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+        .withColumn("text", translate(col("text"),
+          lower + lower.toUpperCase + digits,
+          rot(lower, k) + rot(lower, k).toUpperCase + rot(digits, k)))
+    }.reduce(_ unionByName _)
+    scaledDisjoint.write.mode("overwrite").parquet(s"$disjointDir/documents.parquet")
+
+    // dense: replica text is a near-dup of its ORIGINAL (distinct suffix
+    // only), so every duplicate cluster grows scale× denser — the
+    // answer-quadratic regime
+    val scaledDense = (0 until scale).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
         .withColumn("text", concat(col("text"), lit(s" replica$k")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
-    scaledDocs.write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+    scaledDense.write.mode("overwrite").parquet(s"$denseDir/documents.parquet")
 
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -68,9 +101,13 @@ object Soak {
         .withColumn("embedding",
           transform(col("embedding"), x => (x + lit(k * 1e-4f)).cast("float")))
     }.reduce(_ unionByName _)
-    scaledEmbs.write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+    scaledEmbs.write.mode("overwrite").parquet(s"$disjointDir/embeddings.parquet")
+    // dense regime never reads embeddings, but keep the dir self-contained
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$denseDir/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$disjointDir/embeddings.parquet"))
 
-    // ---- time each operator at both sizes -----------------------------
+    // ---- time each operator -------------------------------------------
     def timeQuery(name: String, dir: String): (Double, Long) = {
       graft.queries.Pipeline.clearPairStageCache()
       val t0 = System.nanoTime()
@@ -82,33 +119,52 @@ object Soak {
     // base-vs-scaled comparison is steady-state (a cold first measurement
     // inflates base_sec and understates the growth ratio — the soak's
     // failure direction)
-    Queries.foreach { name =>
+    DisjointQueries.foreach { name =>
       graft.queries.Pipeline.clearPairStageCache()
       SparkEntry.queries(name)(spark, base).count()
     }
 
     var violations = 0
-    val results = Queries.map { name =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    DisjointQueries.foreach { name =>
       val (baseSec, baseRows) = timeQuery(name, base)
-      val (scaledSec, scaledRows) = timeQuery(name, soakDir)
+      val (scaledSec, scaledRows) = timeQuery(name, disjointDir)
       val ratio = scaledSec / math.max(baseSec, 0.001)
-      // superlinear guard: 2× headroom over proportional growth
-      val ok = ratio <= scale * 2.0
+      val ok = ratio <= scale * 2.0 // 2× headroom over proportional growth
       if (!ok) violations += 1
       val line =
-        f"""{"query":"$name","base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,""" +
-          f""""scale":$scale,"ratio":$ratio%.2f,"base_rows":$baseRows,""" +
-          f""""scaled_rows":$scaledRows,"linear_ok":$ok}"""
-      println(line)
-      line
+        f"""{"regime":"disjoint","query":"$name","base_sec":$baseSec%.2f,""" +
+          f""""scaled_sec":$scaledSec%.2f,"scale":$scale,"ratio":$ratio%.2f,""" +
+          f""""base_rows":$baseRows,"scaled_rows":$scaledRows,"linear_ok":$ok}"""
+      println(line); out += line
     }
-    println(
+
+    DenseQueries.foreach { name =>
+      val (baseSec, baseRows) = timeQuery(name, base)
+      val (scaledSec, scaledRows) = timeQuery(name, denseDir)
+      // per-emitted-row cost; base fixed overhead makes the base figure
+      // LENIENT (high), so a pass requires genuinely flat marginal cost
+      val basePer = baseSec / math.max(baseRows, 1L)
+      val scaledPer = scaledSec / math.max(scaledRows, 1L)
+      val ok = scaledPer <= 2.0 * basePer
+      if (!ok) violations += 1
+      val line =
+        f"""{"regime":"dense","query":"$name","base_sec":$baseSec%.2f,""" +
+          f""""scaled_sec":$scaledSec%.2f,"scale":$scale,""" +
+          f""""base_rows":$baseRows,"scaled_rows":$scaledRows,""" +
+          f""""base_ms_per_row":${basePer * 1000}%.3f,""" +
+          f""""scaled_ms_per_row":${scaledPer * 1000}%.3f,"throughput_ok":$ok}"""
+      println(line); out += line
+    }
+
+    val summary =
       s"""{"metric":"soak","scale":$scale,"violations":$violations,""" +
-        s""""queries":${Queries.size},"base":"$base"}""")
+        s""""measurements":${out.size},"base":"$base"}"""
+    println(summary); out += summary
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SOAK_r11.json"),
-      (results :+ s"""{"metric":"soak","scale":$scale,"violations":$violations}""")
-        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[soak] SOAK_r11.json: $e") }
     spark.stop()
     if (violations > 0) sys.exit(1)
