@@ -92,7 +92,12 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     GraftFunctions.sqlFunctions.foreach { case (ident, info, builder) =>
       extensions.injectFunction((ident, info, builder))
     }
-    // post-hoc: runs after resolution has aligned the MERGE assignments and
+    // post-hoc, ORDER MATTERS: the DV scan rewrite must run FIRST so MERGE
+    // sources and subqueries read merge-on-read state before GraftDmlRule
+    // captures them into commands (DML targets are skipped by the DV rule —
+    // the commands read DV-aware themselves)
+    extensions.injectPostHocResolutionRule(s => graft.spark.GraftDvScanRule(s))
+    // runs after resolution has aligned the MERGE assignments and
     // before the planner's row-level-operation check would reject the table
     extensions.injectPostHocResolutionRule(s => graft.spark.GraftDmlRule(s))
     // maintenance statements (OPTIMIZE / ZORDER / VACUUM) — everything else

@@ -393,6 +393,14 @@ object Registry {
              |FROM lineitem
              |WHERE NOT (l_orderkey % 97 = 0) AND NOT (l_partkey % 89 = 0)
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q66_sql_dv_scan" -> Entry(
+      Versioned.q66SqlDvScan,
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |WHERE NOT (l_orderkey % 101 = 0) AND NOT (l_partkey % 83 = 0)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q62_alter_add_column" -> Entry(
       Versioned.q62AlterAddColumn,
       // even keys inserted pre-ALTER (disc NULL), odd keys post-ALTER

@@ -554,6 +554,52 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q66: TRANSPARENT merge-on-read SQL scans — q64 proved deletion
+    * vectors through the Scala API; this drives them through plain SQL:
+    * [[graft.spark.GraftDvScanRule]] rewrites every scan of a catalog
+    * table carrying a live sidecar into the DV anti-join, so `SELECT`
+    * serves the post-delete state with no caller opt-in and `VERSION AS
+    * OF` the pre-delete commit still shows every row. Pinned: the SQL
+    * count drops by exactly the deleted-row count (vs the same statement
+    * pre-delete), SQL time travel sees the full state, and the aggregate
+    * matches the relational oracle. */
+  def q66SqlDvScan(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq66", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq66", log)
+    val table = tempTable(
+      "li_dv_sql", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_dv_sql"))
+    graft.spark.GraftTableCatalog.register("graftq66", table)
+    val name = s"graftq66.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+    val preDelete = log.currentCommit(table.name)
+    val total = s.sql(s"SELECT count(*) FROM $name").head().getLong(0)
+
+    val n1 = graft.spark.DeletionVectors.delete(
+      ctx, log, table, col("l_orderkey") % 101 === 0, user, UpdateMessage("dv: %101 keys"))
+    val n2 = graft.spark.DeletionVectors.delete(
+      ctx, log, table, col("l_partkey") % 83 === 0, user, UpdateMessage("dv: %83 parts"))
+    require(n1 > 0 && n2 > 0, "both scattered deletes must hide rows")
+    require(
+      s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == total - n1 - n2,
+      "plain SQL scans must serve the merge-on-read state")
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF '${preDelete.id}'")
+        .head().getLong(0) == total,
+      "SQL time travel to the pre-delete commit must show every row")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(l_extendedprice), 2) AS sum_price
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q62: `ALTER TABLE … ADD COLUMN` — the SQL spelling of additive schema
     * evolution (q37 proved the footer-union read path; this is the DDL
     * that drives it through the catalog): v1 inserts the even-keyed rows

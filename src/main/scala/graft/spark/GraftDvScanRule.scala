@@ -1,0 +1,103 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/**
+ * TRANSPARENT merge-on-read for SQL scans: rewrites every read of a graft
+ * catalog table that carries live deletion vectors ([[DeletionVectors]])
+ * into the DV-applying plan — the same `(file, pos)` anti-join the Scala
+ * API ([[DeletionVectors.read]]) performs — so plain `SELECT` (current or
+ * time-traveled), `INSERT … SELECT`, CTAS, and MERGE sources all serve the
+ * logical (post-delete) rows with no caller opt-in. Before this rule the
+ * catalog REFUSED such scans outright (the delegate file table cannot
+ * apply vectors, and serving it raw would silently resurrect deleted rows
+ * into every SELECT); now the refusal posture survives only for
+ * `_metadata` projections, which cannot be faithfully served through the
+ * anti-join (the scan's own metadata columns are consumed by it).
+ *
+ * Mechanics: the replacement subtree is built with the DataFrame API
+ * (already analyzed) and re-aliased column-by-column onto the original
+ * relation's attribute ids, so parent operators keep resolving untouched.
+ * A declared column present in NO data file yet (post-`ALTER TABLE ADD
+ * COLUMN`, pre-backfill) projects as a typed NULL — the q37/q62 evolution
+ * contract. Zero cost when no vectors apply: the sidecar probe is the
+ * same O(#commits) driver-side existence walk `loadTable` always paid.
+ *
+ * DML statements are deliberately NOT rewritten at the top level: graft
+ * UPDATE/DELETE/MERGE targets are routed by [[GraftDmlRule]] (injected
+ * AFTER this rule) onto copy-on-write commands that already read DV-aware
+ * ([[DeletionVectors.readPartitions]]) — rewriting the target relation
+ * here would hide it from that routing. MERGE *sources* and any subquery
+ * inside a DML statement are reads, and are rewritten.
+ */
+final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML: leave the target for GraftDmlRule; rewrite read positions only
+    case m: MergeIntoTable =>
+      rewriteSubqueryReads(m.copy(sourceTable = rewriteReads(m.sourceTable)))
+    case u: UpdateTable     => rewriteSubqueryReads(u)
+    case d: DeleteFromTable => rewriteSubqueryReads(d)
+    case other              => rewriteReads(other)
+  }
+
+  /** Rewrites graft relations in the node's OWN subquery expressions
+    * (condition / assignment subqueries), leaving its child plans — the
+    * DML target among them — untouched. */
+  private def rewriteSubqueryReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformExpressions {
+      case s: SubqueryExpression => s.withNewPlan(rewriteReads(s.plan))
+    }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+        val t = r.table.asInstanceOf[GraftV2Table]
+        DeletionVectors.sidecarFor(
+            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) match {
+          case None    => r
+          case Some(_) => dvPlan(r, t)
+        }
+    }
+
+  /** The DV-applying replacement for one relation, output-aliased onto the
+    * relation's own attribute ids. */
+  private def dvPlan(r: DataSourceV2Relation, t: GraftV2Table): LogicalPlan = {
+    // defensive: GraftV2Table exposes no metadata columns today, but if it
+    // ever gains SupportsMetadataColumns, serving `_metadata` through the
+    // anti-join would be wrong (the join consumes the scan's own metadata
+    // columns) — refuse rather than fabricate
+    if (r.output.exists(_.name.equalsIgnoreCase("_metadata")))
+      throw new UnsupportedOperationException(
+        s"_metadata over table ${t.name()} while it has unabsorbed deletion " +
+          "vectors: the DV anti-join consumes the scan's metadata columns. " +
+          "Run OPTIMIZE to absorb the vectors first")
+    val df = DeletionVectors.read(
+      spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf)
+    val child = df.queryExecution.analyzed
+    val byName = child.output
+      .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val projList: Seq[NamedExpression] = r.output.map { out =>
+      byName.get(out.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(in) =>
+          val e =
+            if (in.dataType == out.dataType) in
+            else Cast(in, out.dataType, tz)
+          Alias(e, out.name)(
+            exprId = out.exprId, qualifier = out.qualifier,
+            explicitMetadata = Some(out.metadata))
+        case None => // declared column no file holds yet: evolution NULL
+          Alias(Literal.create(null, out.dataType), out.name)(
+            exprId = out.exprId, qualifier = out.qualifier,
+            explicitMetadata = Some(out.metadata))
+      }
+    }
+    Project(projList, child)
+  }
+}

@@ -22,6 +22,8 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   VACUUM graft.db.t RETAIN 5 COMMITS GRACE 0 MINUTES
  *   VACUUM graft.db.t RETAIN 168 HOURS                -- wall-clock retention
  *   DESCRIBE HISTORY graft.db.t                       -- the commit log
+ *   RESTORE TABLE graft.db.t TO VERSION AS OF 'v'     -- rollback (ref or id)
+ *   RESTORE TABLE graft.db.t TO TIMESTAMP AS OF 'ts'  -- at-or-before rule
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -86,6 +88,10 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  // RESTORE TABLE t TO VERSION AS OF '<ref-or-commit-id>' (Delta spelling);
+  // the TIMESTAMP variant resolves at-or-before like q53's reader
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -111,6 +117,9 @@ private[spark] object GraftMaintenanceSql {
         split(ident),
         Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+    case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftRestoreCommand(
+        split(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
     case _ => None
   }
 
@@ -192,6 +201,57 @@ final case class GraftDescribeHistoryCommand(parts: Seq[String]) extends LeafRun
     updates.zipWithIndex.map { case (u, i) =>
       Row(n - i, u.id.id, u.timestamp.toString, u.userId.value, u.message.content)
     }
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF '<ref-or-commit-id>'` (or
+  * `TO TIMESTAMP AS OF '<instant>'`) — the SQL spelling of the rollback
+  * the Scala API has always had ([[graft.core.VersionedMetastore.checkout]],
+  * q26): resolve the target (ref names win over raw commit ids, the
+  * `VERSION AS OF` read contract; timestamps resolve to the LAST commit at
+  * or before the instant, q53's rule), then checkout — an atomic pointer
+  * swap recorded as one more history entry, so a restore is itself
+  * time-travelable and un-restorable. Data files are untouched: the
+  * restored state serves its original immutable version dirs (vacuum
+  * permitting — a vacuumed-away state refuses at read, not silently).
+  * Checkout's staged-commit guard holds here too: restoring INTO an
+  * unpublished WAP staging chain refuses loudly (publish is the only gate
+  * that attaches staged commits). */
+final case class GraftRestoreCommand(
+    parts: Seq[String], target: String, byTimestamp: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", StringType, nullable = false)(),
+    AttributeReference("commit_index", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val resolved: graft.core.TableVersions.CommitId =
+      if (byTimestamp) {
+        val asOf =
+          try java.time.Instant.parse(target)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              // the SQL-ish rendering: 'yyyy-MM-dd HH:mm:ss[.S]' read as UTC
+              java.time.LocalDateTime
+                .parse(target.trim.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
+          }
+        binding.log.updates(defn.name) // most recent first
+          .find(!_.timestamp.isAfter(asOf))
+          .map(_.id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
+      } else
+        binding.log.refs(defn.name).get(target)
+          .map(_.id).getOrElse(graft.core.TableVersions.CommitId(target))
+    GraftV2Table.metastoreFor(binding, defn).checkout(defn.name, resolved)
+    // report the DESCRIBE HISTORY coordinate of the restored-to commit
+    // (indices count from the log's tail, so the entry the checkout just
+    // appended doesn't shift it)
+    val updates = binding.log.updates(defn.name)
+    val idx = updates.size - updates.indexWhere(_.id == resolved)
+    Seq(Row(resolved.id, idx))
   }
 }
 

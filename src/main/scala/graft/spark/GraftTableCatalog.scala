@@ -109,41 +109,31 @@ final class GraftTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     tableNameOf(ident).exists(n => binding.tables.contains(n.fullyQualifiedName))
 
-  /** SQL scans go straight to the delegate FILE table, which cannot apply
-    * merge-on-read deletion vectors — serving it anyway would silently
-    * resurrect deleted rows into every SELECT. Refuse loudly instead; the
-    * vectors disappear from the current state after OPTIMIZE (compaction
-    * absorbs them) and the Scala API ([[DeletionVectors.read]]) always
-    * applies them. O(#commits) driver-side existence probes, only until
-    * the first sidecar hit — metadata-scale. */
-  private def requireNoVectors(defn: TableDefinition, at: Option[CommitId]): Unit =
-    DeletionVectors.sidecarFor(SparkSession.active, binding.log, defn, at).foreach { dir =>
-      throw new UnsupportedOperationException(
-        s"table ${defn.name.fullyQualifiedName} has unabsorbed merge-on-read deletion " +
-          s"vectors ($dir); a delegate file scan would resurrect deleted rows. " +
-          "Run OPTIMIZE to absorb them, or read through DeletionVectors.read")
-    }
-
   override def loadTable(ident: Identifier): Table = {
     val (defn, schema) = definitionOf(ident)
-    requireNoVectors(defn, None)
     // wrapped: reads delegate to Spark's own file table, writes route onto
     // the versioned write path (the raw FileTable would happily append
-    // files INTO an immutable version dir)
+    // files INTO an immutable version dir). Merge-on-read deletion vectors
+    // apply at PLAN level: [[GraftDvScanRule]] rewrites scans of wrapped
+    // tables whose state carries a live sidecar into the DV anti-join.
     new GraftV2Table(defn, binding,
       fileTable(defn, binding.log.currentVersion(defn.name), schema))
   }
 
   /** `VERSION AS OF '<commitId>'` — time travel through the commit log.
-    * Read-only by construction: SQL has no INSERT-into-the-past. */
+    * Read-only by construction: SQL has no INSERT-into-the-past. Wrapped
+    * like the current-state load (with the resolved commit pinned) so
+    * [[GraftDvScanRule]] can apply that STATE's deletion vectors — a
+    * post-delete state time-traveled to must keep hiding its rows. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (defn, schema) = definitionOf(ident)
     // `VERSION AS OF` accepts a REF NAME (branch/tag) or a raw commit id;
     // refs win — they are human-chosen names, commit ids are uuids
     val resolved = binding.log.refs(defn.name).get(version)
       .map(_.id).getOrElse(CommitId(version))
-    requireNoVectors(defn, Some(resolved))
-    fileTable(defn, binding.log.versionAt(defn.name, resolved), schema)
+    new GraftV2Table(defn, binding,
+      fileTable(defn, binding.log.versionAt(defn.name, resolved), schema),
+      Some(resolved))
   }
 
   /** `TIMESTAMP AS OF <ts>` — resolves to the LAST commit at or before the
@@ -156,8 +146,9 @@ final class GraftTableCatalog extends TableCatalog {
       .find(!_.timestamp.isAfter(asOf))
       .getOrElse(throw new IllegalArgumentException(
         s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
-    requireNoVectors(defn, Some(commit.id))
-    fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema)
+    new GraftV2Table(defn, binding,
+      fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema),
+      Some(commit.id))
   }
 
   private def fileTable(
@@ -373,7 +364,8 @@ final class GraftTableCatalog extends TableCatalog {
 private[spark] final class GraftV2Table(
     defn: TableDefinition,
     binding: GraftTableCatalog.Binding,
-    delegate: Table)
+    delegate: Table,
+    asOf: Option[CommitId] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
@@ -381,6 +373,9 @@ private[spark] final class GraftV2Table(
   // MERGE/UPDATE/DELETE statements onto the copy-on-write write path
   private[spark] def tableDefinition: TableDefinition = defn
   private[spark] def tableBinding: GraftTableCatalog.Binding = binding
+  // the pinned commit for a time-travel load (None = current pointer):
+  // GraftDvScanRule resolves THIS state's deletion-vector sidecar
+  private[spark] def tableAsOf: Option[CommitId] = asOf
 
   // ---- SupportsPartitionManagement: READ-ONLY — `SHOW PARTITIONS` lists
   // the CURRENT version's partition set straight from the commit log

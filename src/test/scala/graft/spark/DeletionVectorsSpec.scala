@@ -146,7 +146,7 @@ class DeletionVectorsSpec extends AnyFunSuite with Matchers {
     report2.deleted should contain("_deletes/commit-orphan-id")
   }
 
-  test("SQL catalog scans refuse while unabsorbed vectors exist; OPTIMIZE unblocks them") {
+  test("SQL catalog scans apply deletion vectors transparently (GraftDvScanRule)") {
     val log = new InMemoryTableVersions
     val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
     spark.conf.set(
@@ -161,17 +161,62 @@ class DeletionVectorsSpec extends AnyFunSuite with Matchers {
     (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
       .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
     spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 30L
+    val preDelete = log.currentCommit(table.name)
 
     DeletionVectors.delete(
       ctx, log, table, col("id") <= 10, user, UpdateMessage("dv")) shouldBe 10L
-    // the delegate file scan cannot apply vectors — serving it would
-    // resurrect the 10 deleted rows into every SELECT; refuse loudly
-    val e = intercept[Exception](
-      spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").collect())
-    e.getMessage should include("deletion")
-    // compaction absorbs the vectors; SQL reads come back and are correct
+    // plain SELECT serves the merge-on-read state — no caller opt-in
+    spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 20L
+    spark.sql("SELECT min(id) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 11L
+    // filters and aggregates compose over the rewritten plan
+    spark.sql(
+      "SELECT count(*) FROM graftdv.test.dv_sql WHERE id <= 15").head().getLong(0) shouldBe 5L
+    // time travel to the pre-delete commit shows every row; the CURRENT
+    // state keeps hiding them through its own pinned sidecar resolution
+    spark.sql(
+      s"SELECT count(*) FROM graftdv.test.dv_sql VERSION AS OF '${preDelete.id}'")
+      .head().getLong(0) shouldBe 30L
+    // physical rows intact: merge-on-READ, not a rewrite
+    VersionedReader(spark, log).read(table).count() shouldBe 30L
+
+    // INSERT … SELECT reads through the rewrite too — a write command's
+    // QUERY side must not resurrect hidden rows into the new table
+    val sink = TableDefinition(
+      TableName("test", "dv_sql_sink"),
+      Files.createTempDirectory("graft_dv_sql_sink").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(sink, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftdv", sink,
+      Some(spark.sql("SELECT * FROM graftdv.test.dv_sql").schema))
+    spark.sql(
+      "INSERT INTO graftdv.test.dv_sql_sink SELECT * FROM graftdv.test.dv_sql")
+    spark.sql("SELECT count(*) FROM graftdv.test.dv_sql_sink").head().getLong(0) shouldBe 20L
+
+    // a MERGE *source* reads through the rewrite as well (the DV rule runs
+    // before GraftDmlRule captures the source into the merge command):
+    // target holds 25..40; merging the DV table (visible: 11..30) updates
+    // 25..30 and inserts 11..24 — resurrection of 1..10 would show 40 rows
+    val tgt = TableDefinition(
+      TableName("test", "dv_sql_tgt"),
+      Files.createTempDirectory("graft_dv_sql_tgt").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(tgt, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftdv", tgt)
+    (25L to 40L).map(i => Event(i, s"old$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, tgt, user, UpdateMessage("v1"))
+    spark.sql(
+      """MERGE INTO graftdv.test.dv_sql_tgt t USING graftdv.test.dv_sql s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("SELECT count(*) FROM graftdv.test.dv_sql_tgt").head().getLong(0) shouldBe 30L
+    spark.sql("SELECT min(id) FROM graftdv.test.dv_sql_tgt").head().getLong(0) shouldBe 11L
+
+    // compaction absorbs the vectors; the raw delegate path returns and
+    // serves the identical state
     Compaction.compact(spark, ctx, table, user, UpdateMessage("optimize"))
     spark.sql("SELECT count(*) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 20L
+    spark.sql("SELECT min(id) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 11L
   }
 
   test("DV sidecars round-trip the durable log and snapshot tables") {

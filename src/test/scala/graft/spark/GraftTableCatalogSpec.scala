@@ -640,6 +640,54 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 20L
   }
 
+  test("RESTORE TABLE rolls the pointer back as SQL text; refs, timestamps, staged guard") {
+    val table = TableDefinition(
+      TableName("cdb", "restore"),
+      Files.createTempDirectory("graft_cat_restore").toUri,
+      PartitionSchema(List(PartitionColumn("label"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    val name = "graftcat.cdb.restore"
+    (1L to 20L).map(i => CatRow(i, if (i % 2 == 0) "even" else "odd")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Commit = log.currentCommit(table.name)
+    log.setRef(table.name, "good", v1Commit, isTag = true)
+    (1L to 40L).map(i => CatRow(i, if (i % 2 == 0) "even" else "odd")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2Ts = log.updates(table.name).head.timestamp
+    spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) shouldBe 40L
+
+    // restore by TAG name (refs win over commit ids, the read contract)
+    val res = spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 'good'").collect()
+    res.head.getString(0) shouldBe v1Commit.id
+    spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) shouldBe 20L
+    // the reported coordinate matches DESCRIBE HISTORY's for that commit
+    val hist = spark.sql(s"DESCRIBE HISTORY $name").collect()
+    hist.find(_.getString(1) == v1Commit.id).get.getInt(0) shouldBe res.head.getInt(1)
+    // the restore is itself one more history entry — and un-restorable:
+    // rolling forward by TIMESTAMP (at-or-before v2's instant) re-serves v2
+    spark.sql(s"RESTORE TABLE $name TO TIMESTAMP AS OF '$v2Ts'").collect()
+    spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) shouldBe 40L
+
+    // raw commit ids work like VERSION AS OF reads do
+    spark.sql(s"RESTORE TABLE $name TO VERSION AS OF '${v1Commit.id}'").collect()
+    spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) shouldBe 20L
+
+    // an unpublished WAP staging commit REFUSES — publish is the only gate
+    (41L to 50L).map(i => CatRow(i, "odd")).toDS()
+      .versionedInsertIntoBranch(ctx, table, user, UpdateMessage("staged"), "wip")
+    val staged = intercept[Exception](
+      spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 'wip'").collect())
+    staged.getMessage.toLowerCase should include("staged")
+    spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) shouldBe 20L
+
+    // non-graft names fall through to the stock parser (which has no
+    // RESTORE statement), never a graft lookup error
+    val e = intercept[Exception](
+      spark.sql("RESTORE TABLE nosuch.db.t TO VERSION AS OF 'x'").collect())
+    e.getMessage should not include "graft"
+  }
+
   test("table_changes TVF surfaces the commit-range diff inside ordinary SQL") {
     val table = TableDefinition(
       TableName("cdb", "tvf"),
