@@ -18,14 +18,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** The streamed events source: static load first — it resolves the schema
-    * a file stream must declare and pins the nanos-as-long parquet conf the
-    * stream read needs too. */
+  /** The streamed events source: a static read first — it resolves the
+    * RAW file schema a file stream must declare (and pins the
+    * nanos-as-long parquet conf the stream read needs too); the stream
+    * then normalizes `ts` to the corpus' nanos-long contract exactly like
+    * the batch loader. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(s, dir, "events").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet") // stream the events file only
-      .parquet(dir)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeEvents(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet") // stream the events file only
+        .parquet(dir))
       .withColumn("t", Tables.tsTimestamp("ts"))
   }
 

@@ -15,14 +15,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // nanos are read back as LONG; `tsTimestamp` rebuilds a timestamp col.
-    // One-way idempotent init (never toggled back), so concurrent loads
-    // can't race a save/restore window or leak a transient state.
+    // events.parquet has carried TIMESTAMP(NANOS) (which Spark 4 rejects
+    // unless nanos are read back as LONG) and, in regenerated drops,
+    // plain µs timestamps; `normalizeEvents` pins either to the corpus
+    // contract. One-way idempotent init (never toggled back), so
+    // concurrent loads can't race a save/restore window or leak a
+    // transient state.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events") normalizeEvents(df) else df
   }
+
+  /** The corpus contract for event time: `ts` is LONG NANOS since epoch.
+    * A testdata drop storing `ts` as a (µs) timestamp instead is converted
+    * on load — the session zone is pinned to UTC everywhere this engine
+    * builds a session, so the NTZ→LTZ cast is the identity reading DuckDB's
+    * `epoch_ns(ts)` agrees with. */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts") &&
+      df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn(
+        "ts", org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    else df
 
   /** Microsecond-precision timestamp from a nanos-as-long timestamp column.
     * Integer `div` — a double-routed division loses µs precision at
