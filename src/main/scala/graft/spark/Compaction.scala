@@ -33,6 +33,11 @@ import graft.spark.VersionContext.DatasetVersionOps
  */
 object Compaction {
 
+  /** `partitions`: when non-empty, a PARTITION-SCOPED compaction — only
+    * those partitions are read and rewritten (the 100 TB posture: OPTIMIZE
+    * the hot partitions, not the table). Untouched partitions keep their
+    * version pointers; the rewritten partitions' deletion vectors are shed
+    * via [[DeletionVectors.absorbStale]]. */
   def compact(
       spark: SparkSession,
       ctx: VersionContext,
@@ -40,15 +45,23 @@ object Compaction {
       userId: UserId,
       message: UpdateMessage,
       maxFiles: Int = 1,
-      filesPerPartition: Int = 1): (TableVersion, TableChanges) = {
+      filesPerPartition: Int = 1,
+      partitions: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
     require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
+    require(partitions.isEmpty || !table.isSnapshot,
+      "partition-scoped compaction requires a partitioned table")
     // read through the SAME log the commit lands in — a separately-passed
     // log could resolve a different history than the one being committed to.
     // The DV-aware read (identical to the raw scan when no deletion
     // sidecar exists) keeps OPTIMIZE from resurrecting merge-on-read
     // deleted rows into the rewritten files — compaction is exactly where
     // deletion vectors get absorbed into the physical layout.
-    val current = DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+    val current =
+      if (partitions.isEmpty)
+        DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+      else
+        DeletionVectors.readPartitions(
+          spark, ctx.metastore.tableVersions, table, partitions)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
       else {
@@ -77,6 +90,10 @@ object Compaction {
       case _ => true
     })
     if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
+    // a PARTIAL rewrite (partition-scoped, or a partition whose rows were
+    // all DV-hidden and so kept its old version) still sheds the vectors
+    // of the files it DID replace — tombstone the now-dead groups
+    else DeletionVectors.absorbStale(spark, log, table)
     result
   }
 }

@@ -3,7 +3,8 @@ package graft.spark
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, lit, max}
 
 import graft.core._
 import graft.core.TableVersions.{CommitId, TableUpdate, TableUpdateMetadata, UpdateMessage, UserId}
@@ -20,36 +21,67 @@ import graft.core.TableVersions.{CommitId, TableUpdate, TableUpdateMetadata, Upd
  *
  *  - a DV DELETE scans the current state WITH parquet's `_metadata`
  *    columns, collects the matching rows' `(file, pos)` pairs as a
- *    DataFrame (never driver-side — deletes can be row-scale), unions them
- *    with the previous cumulative sidecar, and writes the result to
- *    `<table>/_deletes/commit-<id>`;
+ *    DataFrame (never driver-side — deletes can be row-scale), and writes a
+ *    sidecar to `<table>/_deletes/commit-<id>` holding the full pair set
+ *    for ONLY the files this delete touched (previous pairs for those
+ *    files folded in). Untouched files' pairs stay in their older
+ *    sidecars — write cost per DELETE is O(deletes in the touched files),
+ *    NOT O(all rows ever deleted), which is what makes N scattered deletes
+ *    O(N·k) total instead of O(N²·k);
  *  - the commit itself carries NO operations: no version pointer moves, no
  *    data file is written — it just advances the pointer so the delete is
  *    an ordinary time-travelable history entry;
- *  - a merge-on-read scan applies exactly ONE sidecar — the nearest
- *    at-or-before commit that has one (sidecars are CUMULATIVE, so no
- *    union-walk over history) — as a `(file, pos)` anti-join against the
- *    scan's own `_metadata` columns. Version dirs are immutable, so row
- *    positions are stable by construction.
+ *  - a merge-on-read scan resolves the vectors PER FILE, LATEST WINS: of
+ *    every at-or-before sidecar (walking back until a full-rewrite
+ *    `_absorbed` marker), the newest sidecar mentioning a file owns that
+ *    file's pair set. One union + one windowed latest-wins filter + one
+ *    `(file, pos)` anti-join against the scan's own `_metadata` columns.
+ *    Version dirs are immutable, so row positions are stable by
+ *    construction. A row with `pos = -1` is a per-file TOMBSTONE: "this
+ *    file's vectors are absorbed as of this commit" — how partition-scoped
+ *    rewrites shed dead vectors ([[absorbStale]]) without a full-rewrite
+ *    marker.
+ *
+ * Backward compatibility: the previous format wrote CUMULATIVE sidecars
+ * (all live pairs at each delete). A cumulative sidecar carries the full
+ * pair set for every file it mentions, so per-file latest-wins resolves
+ * mixed histories correctly with no migration.
  *
  * Interplay with the rest of the engine:
- *  - TIME TRAVEL: a read as-of a pre-delete commit finds no at-or-before
- *    sidecar (or an older cumulative one) and shows the pre-delete rows.
+ *  - TIME TRAVEL: a read as-of a pre-delete commit resolves only the
+ *    sidecars at-or-before that commit and shows the pre-delete rows.
+ *    Tombstones written by later rewrites are equally invisible to it.
  *  - OPTIMIZE / copy-on-write DML: a rewrite commits new version dirs with
  *    new file paths; DV pairs referencing the replaced files become
- *    dead no-ops (the anti-join misses), which is exactly how compaction
- *    "absorbs" deletion vectors — rewritten partitions carry their
- *    surviving rows physically. NOTE: compaction planners must read
- *    through [[read]] (not the raw [[VersionedReader]]) or they would
- *    resurrect DV-hidden rows into the rewritten files.
+ *    dead no-ops (the anti-join misses). A FULL rewrite records an
+ *    `_absorbed` marker ([[markAbsorbed]]) that stops the resolution walk;
+ *    a PARTIAL rewrite tombstones just the files it replaced
+ *    ([[absorbStale]]). NOTE: rewrite planners must read through [[read]]
+ *    (not the raw [[VersionedReader]]) or they would resurrect DV-hidden
+ *    rows into the rewritten files.
  *  - VACUUM: sidecars follow their commit's lifecycle like `_stats`
  *    sidecars; an orphaned sidecar (commit never landed) is reclaimable.
+ *  - Sidecar-dir count grows with delete commits until a full rewrite;
+ *    [[squashSidecars]] folds every live group into one sidecar so reads
+ *    open O(1) dirs again — the DV analogue of log checkpointing.
  */
 object DeletionVectors {
 
   private val FileCol = "__dv_file"
   private val PosCol = "__dv_pos"
+  private val SeqCol = "__dv_seq"
   private val AbsorbedMarker = "_absorbed"
+
+  /** Marks a sidecar as carrying the COMPLETE vector state for its commit
+    * (written by [[squashSidecars]]): the resolution walk includes it and
+    * stops, so reads open O(1) sidecar dirs however many delete commits
+    * preceded it. Parquet scans ignore `_`-prefixed files, so the marker
+    * is invisible to the pair read itself. */
+  private val SquashedMarker = "_squashed"
+
+  /** Per-file tombstone position: after latest-wins resolution, a group
+    * whose rows are all `< 0` contributes no vectors. */
+  private val Tombstone = -1L
 
   private def deletesDir(table: TableDefinition, id: CommitId): String =
     Partition.normalizedDir(table.location).toString + "_deletes/commit-" + id.id
@@ -63,46 +95,90 @@ object DeletionVectors {
     log.updates(table.name).dropWhile(_.id != pointer)
   }
 
-  /** The nearest at-or-before cumulative sidecar directory, if any. The
+  /** Every sidecar dir CONTRIBUTING to the state at `at`, oldest first:
+    * the existing at-or-before dirs, walking back until a full-rewrite
+    * `_absorbed` marker (excluded — no vectors apply past it) or a
+    * `_squashed` sidecar (included — it carries the complete state). The
     * walk is O(#commits) driver-side existence checks — metadata-scale,
-    * same bound as partition discovery. Public: the SQL catalog uses it to
-    * REFUSE delegate file scans that cannot apply vectors, and rewrite
-    * paths use it to decide whether the DV anti-join is needed at all. */
-  def sidecarFor(
-      spark: SparkSession,
-      log: TableVersions,
-      table: TableDefinition,
-      at: Option[CommitId]): Option[String] =
-    sidecarFor(spark.sessionState.newHadoopConf(), log, table, at)
-
-  /** Session-free variant for callers that already hold a hadoop
-    * Configuration (vacuum runs driver-side without needing a session).
-    * An `_absorbed` MARKER sidecar (written by a full rewrite — OPTIMIZE /
-    * Z-order) resolves to None: the walk stops there, so the older pair
-    * sidecars stay live for time travel but no longer apply to states at
-    * or after the rewrite. */
-  def sidecarFor(
-      conf: org.apache.hadoop.conf.Configuration,
-      log: TableVersions,
-      table: TableDefinition,
-      at: Option[CommitId]): Option[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
-    sidecarDirAt(fs, log, table, at)
-      .filterNot(dir => fs.exists(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker)))
-  }
-
-  /** The RAW nearest at-or-before sidecar dir — marker or pairs. Vacuum
-    * retention must use this (not [[sidecarFor]]): reclaiming a marker dir
-    * because "no vectors apply" would re-expose the older pair sidecar it
-    * shields to every current read. */
-  private[spark] def sidecarDirAt(
+    * same bound as partition discovery. */
+  private[spark] def liveSidecarDirs(
       fs: org.apache.hadoop.fs.FileSystem,
       log: TableVersions,
       table: TableDefinition,
-      at: Option[CommitId]): Option[String] =
-    lineage(log, table, at).iterator
+      at: Option[CommitId]): List[String] =
+    rawSidecarDirs(fs, log, table, at)
+      .filterNot(dir => fs.exists(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker)))
+      .reverse
+
+  /** The RAW at-or-before sidecar dirs, most recent first, stopping AT
+    * (inclusive) the first `_absorbed` or `_squashed` marker. Vacuum
+    * retention and the checkpoint guard share this with resolution: a
+    * marker dir is as load-bearing as a pair sidecar — reclaiming or
+    * folding it would re-expose the older pairs it shields to every
+    * current read. */
+  private[spark] def rawSidecarDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): List[String] = {
+    val existing = lineage(log, table, at).iterator
       .map(m => deletesDir(table, m.id))
-      .find(dir => fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      .filter(dir => fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val (before, rest) = existing.span { dir =>
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, SquashedMarker))
+    }
+    before.toList ++ rest.toList.take(1)
+  }
+
+  /** Whether any deletion-vector sidecar applies to the state at `at` —
+    * the cheap probe the SQL catalog / scan rule use to decide whether a
+    * raw delegate scan is safe. Contributing dirs may resolve to zero live
+    * pairs (all tombstoned) — the rewrite is then a no-op anti-join, still
+    * correct. */
+  def hasVectors(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    liveSidecarDirs(fs, log, table, at).nonEmpty
+  }
+
+  /** The resolved live `(file, pos)` pair set for the state at `at`:
+    * per-file latest-wins across every contributing sidecar, tombstones
+    * dropped. None when no sidecar contributes. Sidecars are
+    * metadata-sized next to the data they annotate; the latest-wins window
+    * runs distributed and AQE broadcasts the result into the scan
+    * anti-join when small. */
+  private[spark] def resolvePairs(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Option[DataFrame] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    val dirs = liveSidecarDirs(fs, log, table, at) // oldest first
+    if (dirs.isEmpty) None
+    else if (dirs.sizeIs == 1)
+      Some(
+        spark.read.parquet(dirs.head)
+          .where(col("pos") >= 0L).select(col("file"), col("pos")))
+    else {
+      val unioned = dirs.zipWithIndex
+        .map { case (d, i) =>
+          spark.read.parquet(d).select(col("file"), col("pos"), lit(i).as(SeqCol))
+        }
+        .reduce(_ unionByName _)
+      val w = Window.partitionBy(col("file"))
+      Some(
+        unioned
+          .withColumn("__dv_max", max(col(SeqCol)).over(w))
+          .where(col(SeqCol) === col("__dv_max") && col("pos") >= 0L)
+          .select(col("file"), col("pos")))
+    }
+  }
 
   /** Record that a FULL rewrite (every partition's version moved, or a
     * snapshot replace) just landed as the current commit: any previously
@@ -110,18 +186,128 @@ object DeletionVectors {
     * surviving rows — so an `_absorbed` marker sidecar at the rewrite
     * commit stops the resolution walk there. Callers must NOT invoke this
     * after a PARTIAL rewrite (untouched partitions still need the old
-    * pairs). No-op when no vectors were live. */
+    * pairs) — use [[absorbStale]] there. No-op when no vectors were
+    * live. */
   def markAbsorbed(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    if (sidecarFor(conf, log, table, None).isEmpty) return // nothing live
     val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    if (liveSidecarDirs(fs, log, table, None).isEmpty) return // nothing live
     val dir = new org.apache.hadoop.fs.Path(
       deletesDir(table, log.currentCommit(table.name)))
     fs.mkdirs(dir)
     fs.create(new org.apache.hadoop.fs.Path(dir, AbsorbedMarker), true).close()
+  }
+
+  /** PARTIAL-rewrite absorption: tombstone every sidecar file group whose
+    * file is no longer referenced by the CURRENT table version (its
+    * version dir was replaced by a partition-scoped OPTIMIZE / Z-order /
+    * copy-on-write rewrite). The dead groups' pairs were already harmless
+    * no-ops (the anti-join misses replaced paths); tombstoning stops every
+    * future read from carrying them through the union — a DV-heavy
+    * partition's vectors are SHED the moment it is compacted, not only at
+    * the next full rewrite. Tombstones anchor to the current (rewrite)
+    * commit, so time travel to pre-rewrite states still resolves the old
+    * pairs. Returns the number of file groups tombstoned.
+    *
+    * Like [[markAbsorbed]], assumes no concurrent rollback: "dead" is
+    * judged against the current version's referenced dirs at call time.
+    * The distinct-file collect is file-list-scale — the same driver-side
+    * bound as [[FileStats]] scan planning. */
+  def absorbStale(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition): Long = {
+    val pairs = resolvePairs(spark, log, table, None).getOrElse(return 0L)
+    val files = pairs.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toList
+    if (files.isEmpty) return 0L
+    // a sidecar file is LIVE iff its path sits under a version dir the
+    // current state references — match on the `<escapedPartition>/<label>`
+    // segment, the same rendering Vacuum retention uses (labels embed a
+    // timestamp + random id, so segment collision is not a concern)
+    val referenced: Set[String] = log.currentVersion(table.name) match {
+      case SnapshotTableVersion(v) => Set(v.label)
+      case PartitionedTableVersion(pvs) =>
+        pvs.map { case (p, v) =>
+          s"${SparkPaths.escapedPartitionPath(p)}/${v.label}"
+        }.toSet
+    }
+    val dead = files.filterNot(f => referenced.exists(r => f.contains(s"/$r/")))
+    if (dead.isEmpty) return 0L
+    import spark.implicits._
+    writeSidecar(
+      spark, table,
+      dead.map(f => (f, Tombstone)).toDF("file", "pos"),
+      log.currentCommit(table.name))
+    dead.size.toLong
+  }
+
+  /** DV maintenance: fold every contributing sidecar into ONE sidecar at
+    * the current commit (live groups carried, every older-mentioned file
+    * without live pairs tombstoned), so subsequent reads open O(1) sidecar
+    * dirs instead of one per delete commit — the DV analogue of log
+    * checkpointing. Old sidecars stay on disk for time travel and reclaim
+    * via [[Vacuum]] once their anchors age out of retention. No-op (false)
+    * when 0 or 1 dirs contribute. */
+  def squashSidecars(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    val dirs = liveSidecarDirs(fs, log, table, None)
+    if (dirs.sizeIs <= 1) return false
+    // every mentioned file must appear in the squash: a live group by its
+    // pairs, a dead/tombstoned group by a tombstone — otherwise the older
+    // sidecar's entry would become "latest" again for that file
+    val mentioned = dirs
+      .map(d => spark.read.parquet(d).select(col("file")))
+      .reduce(_ union _)
+      .distinct()
+    val live = resolvePairs(spark, log, table, None)
+      .getOrElse(return false)
+    val tombstones = mentioned
+      .join(live.select(col("file")).distinct(), Seq("file"), "left_anti")
+      .withColumn("pos", lit(Tombstone))
+    writeSidecar(
+      spark, table, live.unionByName(tombstones),
+      log.currentCommit(table.name), squash = true)
+    true
+  }
+
+  /** Write (or fold into) the sidecar at `anchor` — a delete and a
+    * same-commit absorb compose by union rather than clobbering, and a
+    * pre-existing `_squashed` marker survives the fold (the union of a
+    * complete state with more pairs is still complete). */
+  private def writeSidecar(
+      spark: SparkSession,
+      table: TableDefinition,
+      pairs: DataFrame,
+      anchor: CommitId,
+      squash: Boolean = false): Unit = {
+    val dir = deletesDir(table, anchor)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val existed = fs.exists(dirPath)
+    val out =
+      if (existed) spark.read.parquet(dir).unionByName(pairs).distinct()
+      else pairs
+    val keepSquash = squash ||
+      (existed && fs.exists(new org.apache.hadoop.fs.Path(dirPath, SquashedMarker)))
+    // stage + rename: `overwrite` into a dir a concurrent reader may be
+    // unioning would serve it a partial sidecar
+    val staged = new org.apache.hadoop.fs.Path(
+      dir + "-staging-" + UUID.randomUUID().toString)
+    out.write.mode("overwrite").parquet(staged.toString)
+    if (keepSquash)
+      fs.create(new org.apache.hadoop.fs.Path(staged, SquashedMarker), true).close()
+    fs.delete(dirPath, true)
+    if (!fs.rename(staged, dirPath))
+      throw new java.io.IOException(s"failed to publish deletion sidecar $dir")
   }
 
   /** The DV-filtered scan WITH its `(file, pos)` pointer columns still
@@ -140,19 +326,18 @@ object DeletionVectors {
       col("*"),
       col("_metadata.file_path").as(FileCol),
       col("_metadata.row_index").as(PosCol))
-    sidecarFor(spark, log, table, asOf) match {
+    resolvePairs(spark, log, table, asOf) match {
       case None => withPtr
-      case Some(dir) =>
-        val dv = spark.read.parquet(dir)
+      case Some(dv) =>
         withPtr
           .join(dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
     }
   }
 
   /** Merge-on-read scan: the state at `asOf` (default current) minus every
-    * `(file, pos)` in the applicable cumulative deletion sidecar. One
-    * shuffled anti-join (AQE broadcasts it when the sidecar is small);
-    * zero extra cost when the table has no deletion vectors. */
+    * live `(file, pos)` vector. One shuffled anti-join (AQE broadcasts it
+    * when the vectors are small); zero extra cost when the table has no
+    * deletion vectors. */
   def read(
       spark: SparkSession,
       log: TableVersions,
@@ -168,7 +353,7 @@ object DeletionVectors {
     * would materialize DV-hidden rows into the rewritten files,
     * RESURRECTING them. Vectors match rows by (file, pos), so a rewrite
     * reading through here absorbs the touched partitions' vectors while
-    * the carried sidecar keeps applying to untouched partitions' original
+    * the untouched partitions' sidecars keep applying to their original
     * files — both sides stay correct with no sidecar rewrite. */
   def readPartitions(
       spark: SparkSession,
@@ -176,16 +361,15 @@ object DeletionVectors {
       table: TableDefinition,
       parts: Seq[Partition]): DataFrame = {
     val base = VersionedReader(spark, log).readPartitions(table, parts)
-    sidecarFor(spark, log, table, None) match {
+    resolvePairs(spark, log, table, None) match {
       case None => base
-      case Some(dir) =>
+      case Some(dv) =>
         if (base.columns.isEmpty) base
         else {
           val withPtr = base.select(
             col("*"),
             col("_metadata.file_path").as(FileCol),
             col("_metadata.row_index").as(PosCol))
-          val dv = spark.read.parquet(dir)
           withPtr
             .join(dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
             .drop(FileCol, PosCol)
@@ -195,16 +379,17 @@ object DeletionVectors {
 
   /** Guard to run BEFORE [[TableVersions]] log checkpointing on a table
     * that may carry deletion vectors. Sidecars anchor to COMMIT IDS, and a
-    * checkpoint folds old ids out of the history — if the id a retained
-    * state resolves its sidecar through is folded away, the at-or-before
-    * walk misses the sidecar and every DV-deleted row silently reappears.
+    * checkpoint folds old ids out of the history — if an id a retained
+    * state resolves its sidecars through is folded away, the at-or-before
+    * walk misses that sidecar and its DV-deleted rows silently reappear.
     * This refuses loudly when any retained state (the base, the tail, or
-    * the current pointer) resolves to a sidecar whose anchor would fold;
-    * the remedies are the message's: OPTIMIZE first (compaction absorbs
-    * the vectors into rewritten files, after which the old anchors age out
-    * of every retained lineage) or raise keepLast. The core log layer
-    * cannot run this check itself — it has no filesystem access to the
-    * table location — which is why it lives here. */
+    * the current pointer) resolves through a sidecar whose anchor would
+    * fold; the remedies are the message's: OPTIMIZE first (compaction
+    * absorbs the vectors, after which the old anchors age out of every
+    * retained lineage), [[squashSidecars]] (re-anchors every live group at
+    * the current commit), or raise keepLast. The core log layer cannot run
+    * this check itself — it has no filesystem access to the table
+    * location — which is why it lives here. */
   def requireCheckpointKeepsVectors(
       spark: SparkSession,
       log: TableVersions,
@@ -214,24 +399,31 @@ object DeletionVectors {
     if (updates.size <= keepLast + 1) return // checkpoint would no-op
     val retained = updates.take(keepLast + 1)
     val retainedIds = retained.map(_.id).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
     (log.currentCommit(table.name) :: retained.map(_.id)).distinct.foreach { c =>
-      sidecarFor(spark, log, table, Some(c)).foreach { dir =>
+      rawSidecarDirs(fs, log, table, Some(c)).foreach { dir =>
         val anchor = dir.substring(dir.lastIndexOf("commit-") + "commit-".length)
         if (!retainedIds.contains(CommitId(anchor)))
           throw new IllegalStateException(
             s"checkpoint(keepLast=$keepLast) would fold away commit $anchor, which " +
               s"anchors the deletion-vector sidecar $dir still serving retained " +
-              "states; run OPTIMIZE to absorb the vectors first, or raise keepLast")
+              "states; run OPTIMIZE or DeletionVectors.squashSidecars to re-anchor " +
+              "the vectors first, or raise keepLast")
       }
     }
   }
 
   /** Merge-on-read DELETE: hide every current row matching `cond` (SQL
-    * semantics — NULL predicates don't match) behind a fresh cumulative
-    * sidecar + an empty-ops commit. Writes NO data files and moves NO
-    * version pointers. Returns the number of newly deleted row positions;
-    * a no-match delete commits nothing. The sidecar is written BEFORE the
-    * commit that publishes it — a crash in between leaves an orphaned,
+    * semantics — NULL predicates don't match) behind a fresh sidecar + an
+    * empty-ops commit. Writes NO data files and moves NO version pointers.
+    * The sidecar carries the full pair set for ONLY the files this delete
+    * touched (prior pairs for those files folded in) — per-file
+    * latest-wins resolution keeps untouched files' older groups live, so
+    * the write is O(deletes in touched files), never O(all deletes ever).
+    * Returns the number of newly deleted row positions; a no-match delete
+    * commits nothing. The sidecar is written BEFORE the commit that
+    * publishes it — a crash in between leaves an orphaned,
     * never-referenced sidecar (the versioned write path's own staging
     * posture). */
   def delete(
@@ -243,11 +435,12 @@ object DeletionVectors {
       message: UpdateMessage): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
     // OCC anchor, captured BEFORE the sidecar read: the delete is a
-    // read-modify-write of the cumulative sidecar, so two racing deletes
-    // reading the same previous sidecar would each union only their own
-    // pairs — whichever landed second would silently UNDELETE the first's
-    // rows. commitIf against this pointer resolves races to one winner and
-    // one loud, retryable refusal (the engine's q57 posture).
+    // read-modify-write of the touched files' groups, so two racing
+    // deletes reading the same previous groups would each fold in only
+    // their own pairs — whichever landed second would silently UNDELETE
+    // the first's rows in any shared file. commitIf against this pointer
+    // resolves races to one winner and one loud, retryable refusal (the
+    // engine's q57 posture).
     val expected = log.currentCommit(table.name)
     // match against the VISIBLE state (existing DVs applied): re-deleting
     // an already-hidden row must not inflate the count
@@ -260,13 +453,18 @@ object DeletionVectors {
     try {
       val n = newPairs.count()
       if (n == 0L) return 0L
-      val cumulative = sidecarFor(spark, log, table, None) match {
-        case None       => newPairs
-        case Some(prev) => spark.read.parquet(prev).unionByName(newPairs).distinct()
+      val touched = newPairs.select(col("file")).distinct()
+      val sidecar = resolvePairs(spark, log, table, None) match {
+        case None => newPairs
+        case Some(prev) =>
+          prev
+            .join(broadcast(touched), Seq("file"), "left_semi")
+            .unionByName(newPairs)
+            .distinct()
       }
       val id = CommitId(UUID.randomUUID().toString)
       val dir = deletesDir(table, id)
-      cumulative.write.mode("overwrite").parquet(dir)
+      sidecar.write.mode("overwrite").parquet(dir)
       val committed = ctx.metastore.commitIf(
         table.name,
         TableUpdate(TableUpdateMetadata(id, user, message, java.time.Instant.now()), Nil),

@@ -58,11 +58,10 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         val t = r.table.asInstanceOf[GraftV2Table]
-        DeletionVectors.sidecarFor(
-            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) match {
-          case None    => r
-          case Some(_) => dvPlan(r, t)
-        }
+        if (DeletionVectors.hasVectors(
+            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf))
+          dvPlan(r, t)
+        else r
     }
 
   /** The DV-applying replacement for one relation, output-aliased onto the

@@ -128,19 +128,20 @@ object Vacuum {
       }
 
     // deletion-vector sidecars (`_deletes/commit-<id>`): a retained state
-    // resolves its vectors through the NEAREST AT-OR-BEFORE anchor, which
+    // resolves its vectors through EVERY at-or-before anchor back to the
+    // nearest full-rewrite marker (per-file latest-wins), and those anchors
     // can be OLDER than the retention window — keeping only retained ids
     // would silently un-delete rows from live states. Keep exactly the
     // sidecars some retained state (or the pointer) resolves through;
     // everything else (orphans from crashed deletes, sidecars absorbed by
     // compaction whose anchors aged out of every retained lineage)
     // reclaims under the usual mtime grace.
-    // raw resolution (sidecarDirAt): an `_absorbed` marker dir is as
+    // raw resolution (rawSidecarDirs): an `_absorbed` marker dir is as
     // load-bearing as a pair sidecar — reclaiming it would re-expose the
     // older pairs it shields to every current read
     val neededDeleteAnchors: Set[String] =
       (log.currentCommit(table.name) :: retainedIds).distinct
-        .flatMap(c => DeletionVectors.sidecarDirAt(fs, log, table, Some(c)))
+        .flatMap(c => DeletionVectors.rawSidecarDirs(fs, log, table, Some(c)))
         .map(dir => dir.substring(dir.lastIndexOf("commit-") + "commit-".length))
         .toSet
     val deletesRoot = new HPath(root, "_deletes")

@@ -113,6 +113,8 @@ object ZOrder {
       case _ => true
     })
     if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
+    // partial rewrites shed the replaced files' vectors (see Compaction)
+    else DeletionVectors.absorbStale(spark, log, table)
     result
   }
 }

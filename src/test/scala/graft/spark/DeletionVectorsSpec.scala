@@ -219,6 +219,114 @@ class DeletionVectorsSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT min(id) FROM graftdv.test.dv_sql").head().getLong(0) shouldBe 11L
   }
 
+  test("per-file sidecars: a delete rewrites only its touched files' groups, not the cumulative union") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dv_grouped"),
+      Files.createTempDirectory("graft_dv_grouped").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 100L).map(i => Event(i, s"k$i", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    def sidecarAt(commitIdx: Int): org.apache.spark.sql.DataFrame = {
+      val id = log.updates(table.name)(commitIdx).id.id
+      spark.read.parquet(
+        new java.io.File(new java.io.File(table.location), s"_deletes/commit-$id").toString)
+    }
+
+    // first delete: 20 rows scattered over BOTH partitions' files
+    DeletionVectors.delete(
+      ctx, log, table, col("id") % 5 === 0, user, UpdateMessage("d1")) shouldBe 20L
+    val files1 = sidecarAt(0).select("file").distinct().as[String].collect().toSet
+    files1.size should be >= 2
+
+    // second delete confined to ONE partition: its sidecar must mention
+    // only that partition's files and carry o(first sidecar) rows — the
+    // write-amplification pin (the old cumulative format would fold all
+    // 20 prior pairs into every later sidecar)
+    DeletionVectors.delete(
+      ctx, log, table,
+      col("date") === "2024-01-01" && col("id") % 7 === 1,
+      user, UpdateMessage("d2")) shouldBe 6L // even ids ≡1 (mod 7): 8,22,36,50,64,78,92 minus already-hidden 50
+    val sc2 = sidecarAt(0)
+    val files2 = sc2.select("file").distinct().as[String].collect().toSet
+    files2.foreach(f => assert(f.contains("/date=2024-01-01/"), f))
+    // carries the touched files' full groups (6 new + the prior %5 pairs
+    // in those same files), but NONE of the other partition's 10 pairs
+    val untouched = files1 -- files2
+    untouched should not be empty
+    sc2.as[(String, Long)].collect().map(_._1).toSet.intersect(untouched) shouldBe empty
+
+    // cumulative READ semantics survive the grouped layout
+    DeletionVectors.read(spark, log, table).count() shouldBe 74L
+  }
+
+  test("partition-scoped OPTIMIZE sheds the rewritten partitions' vectors (absorbStale)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dv_partial"),
+      Files.createTempDirectory("graft_dv_partial").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 100L).map(i => Event(i, s"k$i", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") % 5 === 0, user, UpdateMessage("dv")) shouldBe 20L
+    DeletionVectors.resolvePairs(spark, log, table, None).get.count() shouldBe 20L
+
+    // compact ONLY date=2024-01-01 (even ids; 10 of the 20 vectors)
+    val day1 = Partition(ColumnValue(PartitionColumn("date"), "2024-01-01"))
+    Compaction.compact(
+      spark, ctx, table, user, UpdateMessage("optimize day1"), partitions = Seq(day1))
+
+    // the rewritten partition is physically clean — no resurrection
+    VersionedReader(spark, log).readPartitions(table, Seq(day1))
+      .where(col("id") % 5 === 0).count() shouldBe 0L
+    // the table still reads correctly overall
+    DeletionVectors.read(spark, log, table).count() shouldBe 80L
+    // and the vectors SHRANK: only the untouched partition's 10 remain
+    val pairs = DeletionVectors.resolvePairs(spark, log, table, None).get
+    pairs.count() shouldBe 10L
+    pairs.select("file").as[String].collect()
+      .foreach(f => assert(f.contains("/date=2024-01-02/"), f))
+    // time travel BEFORE the rewrite still applies all 20
+    val preOptimize = log.updates(table.name)(1).id
+    DeletionVectors.read(spark, log, table, Some(preOptimize)).count() shouldBe 80L
+  }
+
+  test("squashSidecars folds many delete sidecars into one contributing dir") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "dv_squash"),
+      Files.createTempDirectory("graft_dv_squash").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 60L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    DeletionVectors.delete(ctx, log, table, col("id") <= 5, user, UpdateMessage("d1"))
+    DeletionVectors.delete(ctx, log, table, col("id").between(6, 9), user, UpdateMessage("d2"))
+    DeletionVectors.delete(ctx, log, table, col("id") === 10, user, UpdateMessage("d3"))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 3
+
+    DeletionVectors.squashSidecars(spark, log, table) shouldBe true
+    // one dir serves every subsequent read; content unchanged
+    DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 1
+    DeletionVectors.read(spark, log, table).count() shouldBe 50L
+    DeletionVectors.resolvePairs(spark, log, table, None).get.count() shouldBe 10L
+    // idempotent-ish: nothing left to fold
+    DeletionVectors.squashSidecars(spark, log, table) shouldBe false
+    // time travel to a mid-history state still resolves the OLD dirs
+    val afterD2 = log.updates(table.name)(1).id
+    DeletionVectors.read(spark, log, table, Some(afterD2)).count() shouldBe 51L
+  }
+
   test("DV sidecars round-trip the durable log and snapshot tables") {
     val dir = Files.createTempDirectory("graft_dv_log")
     val log = new JsonFileTableVersions(dir)
