@@ -1,0 +1,185 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.core._
+import graft.core.TableVersions.CommitId
+
+/**
+ * ROW-LEVEL change feed (CDF) between two table states — the Delta
+ * `table_changes` parity surface, and the fix for the one blind spot of
+ * the partition-granular diff ([[VersionedReader.readChanges]]): a
+ * deletion-vector DELETE moves no version pointer, so the partition diff
+ * is empty while the logical table content changed.
+ *
+ * The feed carries every table column plus `_change_type`:
+ *  - `insert` — a row visible at `to` that was not visible at `from`;
+ *  - `delete` — a row visible at `from` that is not visible at `to`.
+ *
+ * Classification is at PARTITION-REFRESH granularity, the engine's write
+ * model (there is no primary-key concept to pair an update's pre/post
+ * images): a partition whose version moved emits its old visible contents
+ * as `delete` and its new visible contents as `insert`; a partition whose
+ * version did NOT move but whose rows were hidden by deletion vectors in
+ * the range emits exactly the newly-hidden rows as `delete`. Replaying
+ * the feed over the `from` state — drop the `delete` rows, add the
+ * `insert` rows — reconstructs the `to` state EXACTLY (row-multiset
+ * equality), which is the contract an incremental consumer (materialized
+ * view, downstream merge) needs to converge.
+ *
+ * Scale shape: the version diff is O(#partitions) metadata; only moved
+ * partitions' files are scanned (both endpoints' versions — the same
+ * bound a partition-refresh emits); the DV diff is a set-difference of
+ * two metadata-sized pair sidecars, and only the unchanged partitions
+ * that actually own newly-hidden rows are scanned (file-list-scale
+ * driver-side pruning, then one `(file, pos)` semi-join). Nothing here
+ * reads partitions that didn't change.
+ */
+object ChangeFeed {
+
+  val ChangeTypeCol = "_change_type"
+  val Insert = "insert"
+  val Delete = "delete"
+
+  private val FileCol = "__cf_file"
+  private val PosCol = "__cf_pos"
+
+  /** The change feed from `from` (exclusive; None = the pre-init void, so
+    * everything visible at `to` is an insert) to `to` (inclusive). */
+  def read(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      from: Option[CommitId],
+      to: CommitId): DataFrame = {
+    val reader = VersionedReader(spark, log)
+    val vFrom: TableVersion = from
+      .map(log.versionAt(table.name, _))
+      .getOrElse(emptyStateLike(log.versionAt(table.name, to)))
+    val vTo = log.versionAt(table.name, to)
+    val pairsFrom = from.flatMap(f => DeletionVectors.resolvePairs(spark, log, table, Some(f)))
+    val pairsTo = DeletionVectors.resolvePairs(spark, log, table, Some(to))
+    // pairs newly hidden inside the range; vector ABSORPTION (tombstones,
+    // markers, rewrites) only removes pairs and never re-exposes rows, so
+    // the except direction is the whole story
+    val newHidden = pairsTo.map(t => pairsFrom.fold(t)(f => t.exceptAll(f)))
+
+    (vFrom, vTo) match {
+      case (SnapshotTableVersion(a), SnapshotTableVersion(b)) if a != b =>
+        // full replace: the whole visible-at-from state deletes, the whole
+        // visible-at-to state inserts
+        val deletes = from
+          .map(f => tag(DeletionVectors.read(spark, log, table, Some(f)), Delete))
+        val inserts = tag(DeletionVectors.read(spark, log, table, Some(to)), Insert)
+        deletes.fold(inserts)(_ unionByName inserts)
+
+      case (SnapshotTableVersion(_), SnapshotTableVersion(b)) =>
+        // version unchanged: only DV hiding can have happened
+        newHidden
+          .filter(_ => b != Version.Unversioned)
+          .map { nh =>
+            tag(hiddenRows(reader.readAsOf(table, to), nh), Delete)
+          }
+          .getOrElse(emptyFeed(spark, reader, table, to))
+
+      case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
+        val changedNew = pb.filter { case (p, v) => !pa.get(p).contains(v) }
+        val changedOld = pa.filter { case (p, v) => !pb.get(p).contains(v) }
+        val unchanged = pa.filter { case (p, v) => pb.get(p).contains(v) }
+
+        val inserts =
+          if (changedNew.isEmpty) None
+          else Some(tag(
+            dvApply(reader.materializeSubset(table, changedNew), pairsTo), Insert))
+        val deletesOld =
+          if (changedOld.isEmpty) None
+          else Some(tag(
+            dvApply(reader.materializeSubset(table, changedOld), pairsFrom), Delete))
+        // rows newly hidden in partitions that did NOT move: prune to the
+        // partitions that own an affected file (driver-side on the
+        // metadata-sized distinct-file list), then semi-join
+        val dvDeletes = newHidden.flatMap { nh =>
+          if (unchanged.isEmpty) None
+          else {
+            val files = nh.select(col("file")).distinct()
+              .collect().map(_.getString(0))
+            val affected = unchanged.filter { case (p, v) =>
+              val seg = s"/${SparkPaths.escapedPartitionPath(p)}/${v.label}/"
+              files.exists(_.contains(seg))
+            }
+            if (affected.isEmpty) None
+            else Some(tag(
+              hiddenRows(reader.materializeSubset(table, affected), nh), Delete))
+          }
+        }
+        (deletesOld.toList ++ dvDeletes.toList ++ inserts.toList) match {
+          case Nil          => emptyFeed(spark, reader, table, to)
+          case head :: rest => rest.foldLeft(head)(_ unionByName _)
+        }
+
+      case _ =>
+        sys.error(
+          s"table ${table.name.fullyQualifiedName} changed partitioning shape between commits")
+    }
+  }
+
+  /** Replay `feed` over `base` (the `from` state): drop the delete rows,
+    * add the insert rows — multiset semantics, the reconstruction contract
+    * consumers verify against. */
+  def replay(base: DataFrame, feed: DataFrame): DataFrame = {
+    val deletes = feed.where(col(ChangeTypeCol) === Delete).drop(ChangeTypeCol)
+    val inserts = feed.where(col(ChangeTypeCol) === Insert).drop(ChangeTypeCol)
+    base.exceptAll(deletes).unionByName(inserts)
+  }
+
+  private def tag(df: DataFrame, tpe: String): DataFrame =
+    df.withColumn(ChangeTypeCol, lit(tpe))
+
+  /** The rows of `scan` whose `(file, pos)` pointer is in `pairs`. */
+  private def hiddenRows(scan: DataFrame, pairs: DataFrame): DataFrame = {
+    if (scan.columns.isEmpty) return scan
+    val ptr = scan.select(
+      col("*"),
+      col("_metadata.file_path").as(FileCol),
+      col("_metadata.row_index").as(PosCol))
+    ptr
+      .join(pairs, ptr(FileCol) === pairs("file") && ptr(PosCol) === pairs("pos"), "left_semi")
+      .drop(FileCol, PosCol)
+  }
+
+  /** `scan` minus the rows whose pointer is in `pairs` (merge-on-read). */
+  private def dvApply(scan: DataFrame, pairs: Option[DataFrame]): DataFrame =
+    pairs match {
+      case None => scan
+      case Some(dv) =>
+        if (scan.columns.isEmpty) scan
+        else {
+          val ptr = scan.select(
+            col("*"),
+            col("_metadata.file_path").as(FileCol),
+            col("_metadata.row_index").as(PosCol))
+          ptr
+            .join(dv, ptr(FileCol) === dv("file") && ptr(PosCol) === dv("pos"), "left_anti")
+            .drop(FileCol, PosCol)
+        }
+    }
+
+  /** Zero rows, schema = table columns + `_change_type` (quiet ranges must
+    * keep resolving downstream references). */
+  private def emptyFeed(
+      spark: SparkSession,
+      reader: VersionedReader,
+      table: TableDefinition,
+      to: CommitId): DataFrame = {
+    val base = reader.readAsOf(table, to)
+    if (base.columns.isEmpty) base else tag(base.limit(0), Insert).limit(0)
+  }
+
+  /** The void twin of `shape` — an empty state of the same partitioning
+    * kind, so the match arms below stay total. */
+  private def emptyStateLike(shape: TableVersion): TableVersion = shape match {
+    case SnapshotTableVersion(_)    => SnapshotTableVersion(Version.Unversioned)
+    case PartitionedTableVersion(_) => PartitionedTableVersion(Map.empty)
+  }
+}

@@ -80,10 +80,19 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     * O(#partitions), no data read), then only the changed partitions'
     * `to`-version dirs are scanned — at 100 TB an incremental run reads
     * exactly the partitions that moved. Snapshot tables: the whole `to`
-    * snapshot if its version moved, else nothing. */
+    * snapshot if its version moved, else nothing.
+    *
+    * DELETION VECTORS: a DV delete moves no pointer, so it is invisible to
+    * this diff — and its newly-hidden rows cannot be expressed in a
+    * new-contents-only result. When the range hides rows behind vectors,
+    * this REFUSES loudly instead of silently diverging every downstream
+    * consumer; [[ChangeFeed.read]] is the surface that can say "deleted".
+    * Zero cost when the table has no sidecars (a driver-side existence
+    * walk, the same one every DV probe pays). */
   def readChanges(table: TableDefinition, from: CommitId, to: CommitId): DataFrame = {
     val vFrom = log.versionAt(table.name, from)
     val vTo = log.versionAt(table.name, to)
+    requireNoHiddenRows(table, from, to)
     (vFrom, vTo) match {
       case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
         if (a == b) emptyLike(table, vTo) else materialize(table, vTo)
@@ -96,6 +105,34 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           s"table ${table.name.fullyQualifiedName} changed partitioning shape between commits")
     }
   }
+
+  /** Refuses when deletion vectors hid rows between `from` and `to` —
+    * the condition under which a partition-granular diff is semantically
+    * incomplete. Absorption (markers/tombstones/rewrites) only REMOVES
+    * pairs and re-exposes nothing, so the except direction is the whole
+    * check. */
+  private def requireNoHiddenRows(
+      table: TableDefinition, from: CommitId, to: CommitId): Unit = {
+    val pairsTo = DeletionVectors.resolvePairs(spark, log, table, Some(to))
+      .getOrElse(return)
+    val pairsFrom = DeletionVectors.resolvePairs(spark, log, table, Some(from))
+    val newHidden = pairsFrom.fold(pairsTo)(f => pairsTo.exceptAll(f))
+    if (!newHidden.isEmpty)
+      throw new IllegalStateException(
+        s"readChanges(${from.id} -> ${to.id}) on ${table.name.fullyQualifiedName}: " +
+          "deletion vectors hid rows inside this commit range, which a " +
+          "new-contents-only diff cannot express; read the row-level feed via " +
+          "ChangeFeed.read / table_changes (emits _change_type='delete' rows) instead")
+  }
+
+  /** Materialize an explicit partition→version subset — the change feed's
+    * endpoint-scoped scans ([[ChangeFeed]]) and nothing else; keeping it
+    * package-private preserves the invariant that public reads always
+    * resolve through the commit log. */
+  private[spark] def materializeSubset(
+      table: TableDefinition, pvs: Map[Partition, Version]): DataFrame =
+    if (pvs.isEmpty) spark.emptyDataFrame
+    else materialize(table, PartitionedTableVersion(pvs))
 
   /** Zero rows WITH the table's schema — an incremental consumer's selects
     * and aggregations must keep resolving on quiet intervals (the steady

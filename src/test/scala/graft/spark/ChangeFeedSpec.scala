@@ -1,0 +1,161 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class ChangeFeedSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("cf-test")
+
+  private def multisetEqual(a: DataFrame, b: DataFrame): Unit = {
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
+
+  private def freshTable(name: String): (VersionContext, InMemoryTableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (ctx, log, table)
+  }
+
+  test("partition rewrite + DV delete in an unchanged partition: feed is exact and replays") {
+    val (ctx, log, table) = freshTable("cf_mixed")
+    // v1: 3 partitions, ids keyed so partition membership is readable
+    (1L to 90L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+
+    // rewrite ONLY date=2024-01-02 (ids ≡ 1 mod 3) with halved contents
+    (1L to 90L).filter(i => i % 3 == 1 && i <= 45)
+      .map(i => Event(i + 1000, s"new$i", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh d2"))
+
+    // DV delete in date=2024-01-01 (ids ≡ 0 mod 3), whose version did NOT move
+    DeletionVectors.delete(
+      ctx, log, table,
+      col("date") === "2024-01-01" && col("id") % 2 === 0,
+      user, UpdateMessage("dv")) shouldBe 15L
+    val head = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.read(spark, log, table, Some(v1), head)
+    feed.columns should contain(ChangeFeed.ChangeTypeCol)
+
+    val deletes = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+    val inserts = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+    // deletes: the 30 old rows of the rewritten d2 + the 15 newly-hidden d1 rows
+    deletes.count() shouldBe 45L
+    deletes.where(col("date") === "2024-01-01").count() shouldBe 15L
+    deletes.where(col("date") === "2024-01-02").count() shouldBe 30L
+    deletes.where(col("date") === "2024-01-03").count() shouldBe 0L
+    // inserts: the 15 new d2 rows only
+    inserts.count() shouldBe 15L
+    inserts.select("id").as[Long].collect().foreach(_ should be > 1000L)
+
+    // replay contract: from-state + feed == to-state (both DV-applied)
+    val fromState = DeletionVectors.read(spark, log, table, Some(v1))
+    val toState = DeletionVectors.read(spark, log, table, Some(head))
+    multisetEqual(ChangeFeed.replay(fromState, feed), toState)
+  }
+
+  test("append-only range emits only inserts; quiet range emits an empty typed feed") {
+    val (ctx, log, table) = freshTable("cf_append")
+    (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    (11L to 20L).map(i => Event(i, s"k$i", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2: new partition"))
+    val v2 = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.read(spark, log, table, Some(v1), v2)
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 0L
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 10L
+
+    // from == to: zero rows, schema intact (downstream references resolve)
+    val quiet = ChangeFeed.read(spark, log, table, Some(v2), v2)
+    quiet.count() shouldBe 0L
+    quiet.columns should contain(ChangeFeed.ChangeTypeCol)
+
+    // from = None (the void): everything visible at `to` is an insert
+    val fromVoid = ChangeFeed.read(spark, log, table, None, v2)
+    fromVoid.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 0L
+    fromVoid.count() shouldBe 20L
+  }
+
+  test("snapshot tables: full replace emits delete+insert; a DV-only range emits just the hidden rows") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "cf_snap"),
+      Files.createTempDirectory("graft_cf_snap").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 30L).map(i => Event(i, s"k$i", "d")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+
+    // DV-only range
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 5, user, UpdateMessage("dv")) shouldBe 5L
+    val afterDv = log.currentCommit(table.name)
+    val dvFeed = ChangeFeed.read(spark, log, table, Some(v1), afterDv)
+    dvFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 0L
+    val dvDeletes = dvFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+    dvDeletes.count() shouldBe 5L
+    dvDeletes.select("id").as[Long].collect().toSet shouldBe (1L to 5L).toSet
+
+    // full replace: visible-at-from deletes (25 — the DV'd 5 were already
+    // gone), new snapshot inserts
+    (101L to 110L).map(i => Event(i, s"k$i", "d")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: replace"))
+    val v2 = log.currentCommit(table.name)
+    val feed = ChangeFeed.read(spark, log, table, Some(afterDv), v2)
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 25L
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 10L
+
+    // replay across the whole history (v1 → v2) reconstructs the final state
+    val full = ChangeFeed.read(spark, log, table, Some(v1), v2)
+    multisetEqual(
+      ChangeFeed.replay(DeletionVectors.read(spark, log, table, Some(v1)), full),
+      DeletionVectors.read(spark, log, table, Some(v2)))
+  }
+
+  test("readChanges refuses a range whose DVs hid rows, and still serves DV-free ranges") {
+    val (ctx, log, table) = freshTable("cf_refuse")
+    (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 6, user, UpdateMessage("dv")) shouldBe 6L
+    val postDv = log.currentCommit(table.name)
+    (31L to 35L).map(i => Event(i, s"k$i", "2024-01-09"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2 = log.currentCommit(table.name)
+
+    val reader = VersionedReader(spark, log)
+    // spanning the DV commit: refuse, pointing at the change feed
+    val ex = the[IllegalStateException] thrownBy reader.readChanges(table, v1, v2)
+    ex.getMessage should include("ChangeFeed")
+    // the same logical range through the feed: 6 deletes + 5 inserts
+    val feed = ChangeFeed.read(spark, log, table, Some(v1), v2)
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 6L
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 5L
+    // a range NOT crossing the delete (vectors identical at both ends) is fine
+    reader.readChanges(table, postDv, v2).count() shouldBe 5L
+  }
+}
