@@ -267,11 +267,37 @@ object Registry {
 
     "q55_sql_table_changes" -> Entry(
       Versioned.q55SqlTableChanges,
-      // SQL TVF replay of the q30 diff: only the rewritten 'R' partition's
-      // v2 contents
-      Some("""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
-             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+      // SQL TVF over the row-level feed: the rewritten 'R' partition's old
+      // contents surface as deletes, its new contents as inserts
+      Some("""SELECT _change_type, l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT 'delete' AS _change_type, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_returnflag = 'R'
+             |  UNION ALL
+             |  SELECT 'insert' AS _change_type, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type, l_returnflag
+             |ORDER BY _change_type, l_returnflag""".stripMargin)),
+    "q67_dv_change_feed" -> Entry(
+      Versioned.q67DvChangeFeed,
+      // the feed spanning a partition rewrite AND a deletion-vector delete
+      // in an untouched partition: old-R + newly-hidden-A rows delete,
+      // new-R rows insert — the logical diff the oracle recomputes from
+      // the same source slice
+      Some("""SELECT _change_type, l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT 'delete' AS _change_type, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_returnflag = 'R'
+             |  UNION ALL
+             |  SELECT 'delete' AS _change_type, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT 'insert' AS _change_type, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type, l_returnflag
+             |ORDER BY _change_type, l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row
@@ -1467,6 +1493,23 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items,
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "s14_stream_dv_convergence" -> Entry(
+      StreamingQueries.s14StreamDvConvergence,
+      // replaying the streamed change feed reconstructs the logical final
+      // state: A minus the DV-hidden rows, N untouched, R as rewritten
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'A' AND l_orderkey % 10 <> 0
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'N'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "s01_stream_tumbling" -> Entry(
       StreamingQueries.s01StreamTumblingCounts,

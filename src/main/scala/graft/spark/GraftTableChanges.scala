@@ -9,9 +9,8 @@ import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 import graft.core.TableVersions.CommitId
 
 /**
- * SQL table-valued-function spelling of the version-diff (CDC) read — the
- * Delta-parity `table_changes` surface, completing SQL reach for the last
- * Scala-only read API ([[VersionedReader.readChanges]]):
+ * SQL table-valued-function spelling of the ROW-LEVEL change feed — the
+ * Delta-parity `table_changes` surface:
  *
  * {{{
  *   SELECT * FROM table_changes('graft.db.t', '<fromCommit>', '<toCommit>')
@@ -19,18 +18,23 @@ import graft.core.TableVersions.CommitId
  *     TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-02-01 00:00:00')
  * }}}
  *
- * Timestamp endpoints resolve to commits by the same at-or-before rule as
+ * The result carries every table column plus `_change_type`
+ * (`insert`/`delete`, [[ChangeFeed]]) — so the feed expresses
+ * deletion-vector deletes (a partition-granular new-contents diff cannot:
+ * no pointer moves) and replays to the exact `to` state. Timestamp
+ * endpoints resolve to commits by the same at-or-before rule as
  * `TIMESTAMP AS OF` time travel ([[VersionedReader.readAsOfTimestamp]]):
- * each instant names the last commit at or before it, and the diff covers
+ * each instant names the last commit at or before it, and the feed covers
  * the changes between those two table STATES — so `(ts1, ts2)` reads
  * exactly what a reader at ts1 was missing relative to ts2.
  *
  * Registered through `SparkSessionExtensions.injectTableFunction` (the
  * same registry Spark's own `range` TVF lives in), so the stock analyzer
  * resolves the call; the builder rewrites it into the analyzed plan of
- * `readChanges(from, to)` — the same metadata-only commit-log diff, with
- * only the moved partitions' files reaching the scan — and the surrounding
- * query (joins, aggregates, filters) composes over it like any relation.
+ * `ChangeFeed.read(from, to)` — a metadata-only commit-log diff plus a
+ * sidecar diff, with only moved/affected partitions' files reaching the
+ * scan — and the surrounding query (joins, aggregates, filters) composes
+ * over it like any relation.
  */
 object GraftTableChanges {
 
@@ -47,18 +51,18 @@ object GraftTableChanges {
       val spark = SparkSession.active
       val (binding, defn) =
         GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
-      VersionedReader(spark, binding.log)
-        .readChanges(defn, CommitId(String.valueOf(from)), CommitId(String.valueOf(to)))
+      ChangeFeed
+        .read(spark, binding.log, defn,
+          Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
         .queryExecution.analyzed
     case Seq(Literal(t, StringType), TimestampMicros(from), TimestampMicros(to)) =>
       val spark = SparkSession.active
       val (binding, defn) =
         GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
       val reader = VersionedReader(spark, binding.log)
-      reader
-        .readChanges(
-          defn,
-          reader.commitAtOrBefore(defn, from),
+      ChangeFeed
+        .read(spark, binding.log, defn,
+          Some(reader.commitAtOrBefore(defn, from)),
           reader.commitAtOrBefore(defn, to))
         .queryExecution.analyzed
     case other =>

@@ -66,6 +66,26 @@ object VersionedStream {
       .load()
   }
 
+  /** The CHANGE-FEED stream: same commit-indexed offsets, but each batch
+    * carries row-level `_change_type` (insert/delete, [[ChangeFeed]])
+    * instead of net new contents — the mode that can express
+    * deletion-vector deletes and partition rewrites, so a downstream
+    * consumer (merge sink, materialized view) CONVERGES to the source
+    * after any delete. Pure-append commit ranges keep the zero-copy file
+    * scan (rows tagged `insert` in flight); ranges containing a rewrite or
+    * a DV delete materialize the feed once into a checkpoint-scoped
+    * staging dir (batch-sized I/O, pruned as batches commit) and stream
+    * that. */
+  def readChangeFeed(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
+    val h = java.util.UUID.randomUUID().toString
+    handles.put(h, Handle(log, defn))
+    spark.readStream
+      .format(classOf[GraftCdcProvider].getName)
+      .option("handle", h)
+      .option("changeFeed", "true")
+      .load()
+  }
+
   /** Schema of the table as the batch reader would resolve it (data +
     * partition columns); file-footer metadata only. A never-written table
     * has no schema anywhere — fail with the real cause instead of pinning
@@ -98,6 +118,43 @@ object VersionedStream {
           s"${h.defn.name.fullyQualifiedName}: checkpoint/log mismatch")
       Some(h.log.versionAt(h.defn.name, chrono(n - 1).id))
     }
+
+  /** Whether the range REPLACES or REMOVES anything visible at `from` —
+    * the condition under which an insert-only emission is lossy and the
+    * change feed must also say `delete`. */
+  private[spark] def replacesState(h: Handle, from: Int, to: Int): Boolean =
+    (stateAt(h, from), stateAt(h, to)) match {
+      case (None, _) | (_, None) => false
+      case (Some(SnapshotTableVersion(a)), Some(SnapshotTableVersion(b))) =>
+        a != Version.Unversioned && a != b
+      case (Some(PartitionedTableVersion(pa)), Some(PartitionedTableVersion(pb))) =>
+        pa.exists { case (p, v) => !pb.get(p).contains(v) }
+      case _ => true // partitioning-shape change: never an append
+    }
+
+  /** Whether deletion vectors hid rows inside the commit range — the case
+    * a net-new-contents batch cannot express at all. Cheap when the table
+    * has no sidecars (driver-side existence walk); otherwise one
+    * metadata-sized set-difference job. */
+  private[spark] def dvHidRows(spark: SparkSession, h: Handle, from: Int, to: Int): Boolean = {
+    if (to <= 0) return false
+    val chrono = chronoCommits(h)
+    val toId = chrono(to - 1).id
+    val pairsTo = DeletionVectors.resolvePairs(spark, h.log, h.defn, Some(toId))
+      .getOrElse(return false)
+    val pairsFrom =
+      if (from <= 0) None
+      else DeletionVectors.resolvePairs(spark, h.log, h.defn, Some(chrono(from - 1).id))
+    !pairsFrom.fold(pairsTo)(f => pairsTo.exceptAll(f)).isEmpty
+  }
+
+  /** The change-feed rows for a commit range, as a batch DataFrame. */
+  private[spark] def feedFor(
+      spark: SparkSession, h: Handle, from: Int, to: Int): org.apache.spark.sql.DataFrame = {
+    val chrono = chronoCommits(h)
+    val fromId = if (from <= 0) None else Some(chrono(from - 1).id)
+    ChangeFeed.read(spark, h.log, h.defn, fromId, chrono(to - 1).id)
+  }
 
   /** Paths (+ reader options) of the partitions whose version moved between
     * commit index `from` and `to`. */
@@ -149,20 +206,29 @@ final class GraftCdcProvider extends TableProvider {
     handles.getOrElse(h, sys.error(s"unknown graft CDC handle: $h"))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolveSchema(SparkSession.active, handleOf(options))
+  private def isChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changeFeed", false)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = resolveSchema(SparkSession.active, handleOf(options))
+    if (isChangeFeed(options))
+      base.add(org.apache.spark.sql.types.StructField(
+        ChangeFeed.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = true))
+    else base
+  }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftCdcTable(handleOf(opts), opts.get("handle"), schema)
+    new GraftCdcTable(handleOf(opts), opts.get("handle"), schema, isChangeFeed(opts))
   }
 }
 
 private[spark] final class GraftCdcTable(
-    h: VersionedStream.Handle, handleId: String, tableSchema: StructType)
+    h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
+    changeFeed: Boolean)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
@@ -175,7 +241,8 @@ private[spark] final class GraftCdcTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdcMicroBatchStream(h, handleId, tableSchema)
+          new GraftCdcMicroBatchStream(
+            h, handleId, tableSchema, changeFeed, checkpointLocation)
       }
     }
 }
@@ -196,7 +263,8 @@ private[spark] final case class CommitOffset(
 }
 
 private[spark] final class GraftCdcMicroBatchStream(
-    h: VersionedStream.Handle, handleId: String, tableSchema: StructType)
+    h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
+    changeFeed: Boolean = false, checkpointLocation: String = "")
   extends MicroBatchStream {
   import VersionedStream._
 
@@ -262,28 +330,92 @@ private[spark] final class GraftCdcMicroBatchStream(
     }
   }
 
+  // whether the planned batch's rows need the constant `_change_type =
+  // 'insert'` appended in flight (fast append-only path in feed mode)
+  @volatile private var tagInserts: Boolean = false
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOff = start.asInstanceOf[CommitOffset]
     val endOff = end.asInstanceOf[CommitOffset]
     validate(startOff); validate(endOff)
     val from = startOff.commits
     val to = endOff.commits
-    val (paths, opts) = changedPaths(h, from, to)
-    if (paths.isEmpty) { currentBatch = None; Array.empty }
-    else {
-      val batch = fileTable(SparkSession.active, h.defn, paths, opts, tableSchema)
+    val spark = SparkSession.active
+    val replaced = replacesState(h, from, to)
+    val dvChanged = dvHidRows(spark, h, from, to)
+    if (!changeFeed && dvChanged)
+      // refusing is deliberate: silently emitting net new contents here
+      // would diverge every consumer from the source (the newly-hidden
+      // rows are not expressible without a _change_type column)
+      sys.error(
+        s"graft CDC stream over ${h.defn.name.fullyQualifiedName}: deletion vectors " +
+          s"hid rows in commit range ($from, $to], which an insert-only stream " +
+          "cannot express; consume the change feed instead " +
+          "(VersionedStream.readChangeFeed — emits _change_type)")
+    tagInserts = false
+    if (changeFeed && (replaced || dvChanged)) {
+      // materialize the feed once, batch-sized, under the query checkpoint
+      val staged = stageFeed(spark, from, to)
+      if (staged.isEmpty) { currentBatch = None; return Array.empty }
+      val batch = fileTable(spark, h.defn, staged.toSeq, Map.empty, tableSchema)
         .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
         .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
         .build()
         .toBatch
       currentBatch = Some(batch)
       batch.planInputPartitions()
+    } else {
+      val (paths, opts) = changedPaths(h, from, to)
+      if (paths.isEmpty) { currentBatch = None; Array.empty }
+      else {
+        // append-only range (or legacy mode): zero-copy scan of the new
+        // version dirs; feed mode tags rows 'insert' in the reader
+        val scanSchema =
+          if (changeFeed)
+            StructType(tableSchema.filterNot(_.name == ChangeFeed.ChangeTypeCol))
+          else tableSchema
+        val batch = fileTable(spark, h.defn, paths, opts, scanSchema)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+          .build()
+          .toBatch
+        currentBatch = Some(batch)
+        tagInserts = changeFeed
+        batch.planInputPartitions()
+      }
     }
+  }
+
+  /** Write the range's change-feed rows to
+    * `<checkpoint>/graft-cdc-feed/batch-<from>-<to>` (idempotent: a
+    * complete staging survives replays; an incomplete one — no _SUCCESS —
+    * is rebuilt; version dirs and sidecars are immutable, so a rebuild
+    * yields the same rows). Returns None when the feed is empty. */
+  private def stageFeed(spark: SparkSession, from: Int, to: Int): Option[String] = {
+    require(checkpointLocation.nonEmpty,
+      "graft change-feed staging requires a checkpoint location")
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc-feed"),
+      s"batch-$from-$to")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(success)) {
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val feed = feedFor(spark, h, from, to)
+        .select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      feed.write.mode("overwrite").parquet(dir.toString)
+    }
+    val hasData = fs.listStatus(dir).exists(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    if (hasData) Some(dir.toString) else None
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     currentBatch match {
-      case Some(b) => b.createReaderFactory()
+      case Some(b) =>
+        val delegate = b.createReaderFactory()
+        if (tagInserts) new AppendConstStringReaderFactory(delegate, ChangeFeed.Insert)
+        else delegate
       case None =>
         // empty range: no partition will ever reach this factory
         new PartitionReaderFactory {
@@ -292,10 +424,56 @@ private[spark] final class GraftCdcMicroBatchStream(
         }
     }
 
-  override def commit(end: Offset): Unit = ()
+  /** Prune staged feed dirs whose batch is durably committed (their range
+    * can never be replayed). */
+  override def commit(end: Offset): Unit = {
+    if (!changeFeed || checkpointLocation.isEmpty) return
+    val committed = end.asInstanceOf[CommitOffset].commits
+    try {
+      val root = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc-feed")
+      val fs = root.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      if (fs.exists(root)) {
+        val Batch = """batch-(\d+)-(\d+)""".r
+        fs.listStatus(root).foreach { st =>
+          st.getPath.getName match {
+            case Batch(_, to) if to.toInt <= committed => fs.delete(st.getPath, true); ()
+            case _ => ()
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () } // best-effort GC
+  }
 
   /** Drop the registry entry: the stopped stream's handle would otherwise
     * pin its log reference for the process lifetime (restarts re-enter
     * through a fresh `readStream` call with a fresh handle). */
   override def stop(): Unit = { if (handleId != null) handles.remove(handleId); () }
+}
+
+/** Appends a constant string as the LAST column of every row — the
+  * change-feed stream's zero-copy append path (`_change_type = 'insert'`
+  * over the raw new-version file scan, no staging write). Row-based on
+  * purpose: the constant join is an `InternalRow` concat, so columnar
+  * reads are declined. */
+private[spark] final class AppendConstStringReaderFactory(
+    delegate: PartitionReaderFactory, value: String) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(
+      p: InputPartition): org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = delegate.createReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val const = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value))
+      override def next(): Boolean = d.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        joined(d.get(), const)
+      override def close(): Unit = d.close()
+    }
+  }
 }

@@ -702,9 +702,13 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
     val v2 = log.updates(table.name).head.id.id
 
+    // the TVF returns the ROW-LEVEL FEED: the moved 'b' partition's old
+    // contents surface as delete, its new contents as insert; 'a' untouched
     val changed = spark.sql(
-      s"SELECT id, label FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2') ORDER BY id")
-    changed.as[CatRow].collect() shouldBe Array(CatRow(3, "b")) // 'a' untouched
+      s"""SELECT _change_type, id, label
+         |FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2') ORDER BY id""".stripMargin)
+    changed.as[(String, Long, String)].collect() shouldBe Array(
+      ("delete", 2L, "b"), ("insert", 3L, "b"))
     // scale property: ONLY the moved partition's files reach the scan —
     // the diff is metadata-only, untouched partitions are never read
     every(changed.inputFiles.toSeq) should include("label=b")
@@ -712,7 +716,8 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     // composes like any relation: aggregate over the diff
     spark.sql(
       s"""SELECT count(*) FROM table_changes('graftcat.cdb.tvf', '$v1', '$v2')
-         |WHERE label = 'b'""".stripMargin).head.getLong(0) shouldBe 1L
+         |WHERE label = 'b' AND _change_type = 'insert'""".stripMargin)
+      .head.getLong(0) shouldBe 1L
 
     // TIMESTAMP endpoints resolve by the at-or-before rule (the q53 /
     // TIMESTAMP AS OF contract): each instant names the last commit at or
@@ -725,7 +730,8 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     spark.sql(
       s"""SELECT id, label FROM table_changes('graftcat.cdb.tvf',
-         |  TIMESTAMP '${tsLit(v1)}', TIMESTAMP '${tsLit(v2)}') ORDER BY id""".stripMargin)
+         |  TIMESTAMP '${tsLit(v1)}', TIMESTAMP '${tsLit(v2)}')
+         |WHERE _change_type = 'insert' ORDER BY id""".stripMargin)
       .as[CatRow].collect() shouldBe Array(CatRow(3, "b"))
     // an instant before the first commit can't name a state
     intercept[Exception](spark.sql(
