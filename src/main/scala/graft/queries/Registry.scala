@@ -279,6 +279,14 @@ object Registry {
              |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY _change_type, l_returnflag
              |ORDER BY _change_type, l_returnflag""".stripMargin)),
+    "q68_constraints" -> Entry(
+      Versioned.q68Constraints,
+      // only the conforming slice is in the table: the violating batch
+      // rejected pre-commit (asserted in-query)
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_quantity <= 30
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q67_dv_change_feed" -> Entry(
       Versioned.q67DvChangeFeed,
       // the feed spanning a partition rewrite AND a deletion-vector delete

@@ -1272,4 +1272,49 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("_change_type", "l_returnflag")
   }
+
+  /** Q68: WRITE-PATH CONSTRAINTS (NOT NULL / CHECK) — invariants recorded
+    * in table metadata and enforced on every versioned write
+    * ([[graft.spark.Constraints]]): the gate rides the write's own pass
+    * (`raise_error` inside the staging job — zero extra scans), violations
+    * reject loudly PRE-COMMIT leaving only never-referenced staging dirs.
+    * Here: a quantity-band CHECK and a NOT NULL admit the conforming
+    * lineitem slice, a violating batch is proven to reject without moving
+    * the table state, and the oracle value-checks the final (conforming)
+    * contents. */
+  def q68Constraints(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_con", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_con"))
+    graft.spark.Constraints.add(
+      s, ctx, table, graft.spark.Constraints.check("qty_band", "l_quantity BETWEEN 1 AND 30"), user)
+    graft.spark.Constraints.add(
+      s, ctx, table, graft.spark.Constraints.notNull("l_orderkey"), user)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 30)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: conforming slice"))
+    val goodState = log.currentVersion(table.name)
+    // the violating batch (quantities > 50 exist in lineitem) must reject
+    // pre-commit and leave the state untouched
+    val rejected =
+      try {
+        li.where(col("l_quantity") > 30)
+          .versionedInsertInto(ctx, table, user, UpdateMessage("bad"))
+        false
+      } catch { case e: Throwable =>
+        // the raise_error surfaces wrapped in task/job failure layers —
+        // the constraint name must be somewhere down the cause chain
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(t => Option(t.getMessage).exists(_.contains("qty_band")))
+      }
+    require(rejected, "the violating write must reject with the constraint name")
+    require(log.currentVersion(table.name) == goodState,
+      "a rejected write must not move the table state")
+    graft.spark.VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

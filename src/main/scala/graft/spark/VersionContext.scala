@@ -117,13 +117,16 @@ object VersionContext {
     }
   }
 
-  /** V18: whole-dataset write to `<location>/<label>/`. */
+  /** V18: whole-dataset write to `<location>/<label>/`. The
+    * [[Constraints]] gate rides the write's own pass — a violating row
+    * fails the job before any commit publishes. */
   private def writeSnapshot[T](
       ds: Dataset[T],
       table: TableDefinition,
       version: Version): TableOperation = {
     val dest = VersionPaths.pathFor(table.location, version)
-    ds.toDF().write.mode(SaveMode.Append).format(table.format.name).save(dest.toString)
+    Constraints.enforced(ds, table)
+      .toDF().write.mode(SaveMode.Append).format(table.format.name).save(dest.toString)
     TableOperation.AddTableVersion(version)
   }
 
@@ -189,7 +192,9 @@ object VersionContext {
     val spark = ds.sparkSession
     val staging = new URI(
       Partition.normalizedDir(table.location).toString + s"_staging/${version.label}/")
-    ds.toDF().write
+    // constraint gate ([[Constraints]]): violations fail the staging job
+    // loudly, leaving only never-referenced dirs
+    Constraints.enforced(ds, table).toDF().write
       .partitionBy(table.partitionSchema.columns.map(_.name): _*)
       .mode(SaveMode.Append)
       .format(table.format.name)
