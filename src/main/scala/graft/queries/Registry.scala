@@ -287,6 +287,13 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem WHERE l_quantity <= 30
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q69_column_mapping" -> Entry(
+      Versioned.q69ColumnMapping,
+      // rename is row-invisible: the unified mapped read equals the plain
+      // full-table aggregate (the renamed column carries l_quantity values)
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q67_dv_change_feed" -> Entry(
       Versioned.q67DvChangeFeed,
       // the feed spanning a partition rewrite AND a deletion-vector delete

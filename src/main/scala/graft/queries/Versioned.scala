@@ -1317,4 +1317,46 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q69: COLUMN-MAPPING schema evolution — rename without rewriting a
+    * byte ([[graft.spark.ColumnMapping]], the Delta name-mapping
+    * pattern): v1 loads the A/N partitions, then `l_quantity` is RENAMED
+    * to `qty` (metadata-only), and v2 writes the R partition under the
+    * NEW logical name — its files store the same frozen physical name,
+    * so the mapped read unifies both file generations under `qty`.
+    * Asserted in-query: the raw scan still shows the physical name
+    * everywhere (no rewrite happened), and TIME TRAVEL to the pre-rename
+    * commit reads the schema of THAT commit (`l_quantity`, A/N rows
+    * only). The oracle value-checks the unified final aggregate. */
+  def q69ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_map", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_map"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.where(col("l_returnflag") =!= "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: A+N"))
+    val preRename = log.updates(table.name).head.id
+
+    graft.spark.ColumnMapping.rename(s, ctx, table, "l_quantity", "qty", user)
+    // v2 writes the R partition under the NEW logical name
+    li.where(col("l_returnflag") === "R")
+      .withColumnRenamed("l_quantity", "qty")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R under qty"))
+
+    // no rewrite happened: every file still stores the physical name
+    val raw = graft.spark.VersionedReader(s, log).read(table)
+    require(raw.columns.contains("l_quantity") && !raw.columns.contains("qty"),
+      "rename must be metadata-only — files keep the physical column name")
+    // time travel across the rename reads the addressed commit's schema
+    val old = graft.spark.ColumnMapping.read(s, log, table, Some(preRename))
+    require(old.columns.contains("l_quantity") && !old.columns.contains("qty"),
+      "a pre-rename read must show the pre-rename schema")
+
+    graft.spark.ColumnMapping.read(s, log, table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

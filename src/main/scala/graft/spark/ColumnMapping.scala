@@ -1,0 +1,262 @@
+package graft.spark
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, TableUpdate, UpdateMessage, UserId}
+
+/**
+ * COLUMN-MAPPING schema evolution (rename / drop) — the Delta
+ * name-mapping pattern: files always store a column's PHYSICAL name
+ * (frozen at column creation), while table metadata maps physical →
+ * LOGICAL per commit. A rename or drop is then metadata-only — no file
+ * rewrite, ever, at any scale:
+ *
+ *  - RENAME appends a mapping state (anchored to its audit commit) where
+ *    the physical column carries a new logical name; old and new files
+ *    agree on the physical name, so reads across generations stay
+ *    correct;
+ *  - DROP marks the physical column dropped — it stops projecting, while
+ *    the bytes stay in the immutable version dirs (time travel to a
+ *    pre-drop commit still shows them);
+ *  - TIME TRAVEL resolves the mapping state AT-OR-BEFORE the addressed
+ *    commit (the deletion-vector resolution discipline), so a read as of
+ *    a pre-rename commit sees the old logical schema.
+ *
+ * The write path ([[VersionContext]]) translates logical → physical
+ * before staging; the read path ([[read]], and the SQL scan rule for
+ * catalog tables) projects physical → logical after scanning. Partition
+ * columns are never mappable (their names are baked into the `k=v` dir
+ * layout), and a dropped logical name cannot be re-added (old files
+ * still carry the physical column of the same name — a by-name footer
+ * union would resurrect pre-drop values into the reborn column).
+ */
+object ColumnMapping {
+
+  /** One column's mapping; `dropped` columns stop projecting. */
+  final case class Entry(logical: String, physical: String, dropped: Boolean)
+
+  /** The full mapping in force from `commit` onward. */
+  final case class State(commit: String, entries: List[Entry])
+
+  private val FileName = "_column_mapping.json"
+  private val mapper = new ObjectMapper()
+
+  private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + FileName)
+
+  /** All recorded states, oldest first (empty = identity mapping). */
+  def states(spark: SparkSession, table: TableDefinition): List[State] = {
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = mapper.readTree(text)
+    (0 until node.size()).toList.map { i =>
+      val s = node.get(i)
+      val es = s.get("entries")
+      State(
+        s.get("commit").asText(),
+        (0 until es.size()).toList.map { j =>
+          val e = es.get(j)
+          Entry(e.get("logical").asText(), e.get("physical").asText(),
+            e.get("dropped").asBoolean())
+        })
+    }
+  }
+
+  private def write(
+      spark: SparkSession, table: TableDefinition, all: List[State]): Unit = {
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val arr = mapper.createArrayNode()
+    all.foreach { s =>
+      val n = mapper.createObjectNode()
+      n.put("commit", s.commit)
+      val es = mapper.createArrayNode()
+      s.entries.foreach { e =>
+        val en = mapper.createObjectNode()
+        en.put("logical", e.logical); en.put("physical", e.physical)
+        en.put("dropped", e.dropped)
+        es.add(en)
+      }
+      n.set("entries", es)
+      arr.add(n)
+    }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The mapping in force at `at` (default: the current pointer): the
+    * newest state whose anchor commit is at-or-before `at` in the lineage.
+    * None = identity. */
+  def stateAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Option[State] = {
+    val all = states(spark, table)
+    if (all.isEmpty) return None
+    val byAnchor = all.map(s => s.commit -> s).toMap
+    val pointer = at.getOrElse(log.currentCommit(table.name))
+    log.updates(table.name)
+      .dropWhile(_.id != pointer)
+      .iterator
+      .map(m => byAnchor.get(m.id.id))
+      .collectFirst { case Some(s) => s }
+  }
+
+  /** RENAME COLUMN (metadata-only). Refuses partition columns, unknown
+    * columns, and name collisions. */
+  def rename(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      from: String,
+      to: String,
+      user: UserId): Unit = {
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(from)),
+      s"cannot rename partition column $from — its name is baked into the dir layout")
+    val log = ctx.metastore.tableVersions
+    val current = effectiveEntries(spark, log, table, None)
+    val entry = current.find(_.logical.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $from on ${table.name.fullyQualifiedName}"))
+    require(!entry.dropped, s"column $from was dropped")
+    require(!current.exists(e => !e.dropped && e.logical.equalsIgnoreCase(to)),
+      s"column $to already exists on ${table.name.fullyQualifiedName}")
+    val next = current.map {
+      case e if e.logical.equalsIgnoreCase(from) => e.copy(logical = to)
+      case e                                     => e
+    }
+    commitState(spark, ctx, table, next,
+      UpdateMessage(s"ALTER TABLE RENAME COLUMN $from TO $to"), user)
+  }
+
+  /** DROP COLUMN (metadata-only; files keep the bytes for time travel). */
+  def dropColumn(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      name: String,
+      user: UserId): Unit = {
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(name)),
+      s"cannot drop partition column $name")
+    val log = ctx.metastore.tableVersions
+    val current = effectiveEntries(spark, log, table, None)
+    val entry = current.find(e => !e.dropped && e.logical.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $name on ${table.name.fullyQualifiedName}"))
+    val next = current.map {
+      case e if e.physical == entry.physical => e.copy(dropped = true)
+      case e                                 => e
+    }
+    commitState(spark, ctx, table, next,
+      UpdateMessage(s"ALTER TABLE DROP COLUMN $name"), user)
+  }
+
+  private def commitState(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      entries: List[Entry],
+      message: UpdateMessage,
+      user: UserId): Unit = {
+    val (_, _) = ctx.metastore.commit(table.name, TableUpdate(
+      user, message, java.time.Instant.now(), Nil))
+    val anchor = ctx.metastore.tableVersions.currentCommit(table.name)
+    write(spark, table, states(spark, table) :+ State(anchor.id, entries))
+  }
+
+  /** The mapping entries in force at `at`, seeded from the PHYSICAL schema
+    * (current data columns) for columns with no recorded entry. */
+  private def effectiveEntries(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): List[Entry] =
+    stateAt(spark, log, table, at) match {
+      case Some(s) => s.entries
+      case None =>
+        val phys = VersionedReader(spark, log).read(table).columns
+        val parts = table.partitionSchema.columns.map(_.name.toLowerCase).toSet
+        phys.toList
+          .filterNot(c => parts.contains(c.toLowerCase))
+          .map(c => Entry(c, c, dropped = false))
+    }
+
+  /** Logical → physical translation for a batch about to be written.
+    * Identity when the table has no mapping states. A write naming a
+    * DROPPED logical column refuses (silently storing bytes into a
+    * dead physical slot would corrupt a future un-drop). */
+  def toPhysical[T](ds: Dataset[T], table: TableDefinition, log: TableVersions): DataFrame = {
+    val spark = ds.sparkSession
+    val df = ds.toDF()
+    stateAt(spark, log, table, None) match {
+      case None => df
+      case Some(s) =>
+        val byLogical = s.entries.map(e => e.logical.toLowerCase -> e).toMap
+        val cols = df.columns.toList.map { c =>
+          byLogical.get(c.toLowerCase) match {
+            case Some(e) if e.dropped =>
+              throw new IllegalArgumentException(
+                s"write to ${table.name.fullyQualifiedName} names dropped column $c")
+            case Some(e) => col(c).as(e.physical)
+            case None    => col(c) // partition cols + never-mapped columns
+          }
+        }
+        df.select(cols: _*)
+    }
+  }
+
+  /** Physical → logical projection over a scan of the state at `at`.
+    * Identity when no mapping applies. */
+  def applyLogical(
+      df: DataFrame,
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): DataFrame =
+    stateAt(spark, log, table, at) match {
+      case None => df
+      case Some(s) =>
+        val byPhysical = s.entries.map(e => e.physical.toLowerCase -> e).toMap
+        val cols = df.columns.toList.flatMap { c =>
+          byPhysical.get(c.toLowerCase) match {
+            case Some(e) if e.dropped => Nil
+            case Some(e)              => List(col(c).as(e.logical))
+            case None                 => List(col(c))
+          }
+        }
+        df.select(cols: _*)
+    }
+
+  /** The mapped (logical-schema) read at `at` — merge-on-read deletes
+    * applied, then the mapping of the addressed commit: a read as of a
+    * pre-rename commit shows the old names, a post-drop read stops
+    * projecting the column. */
+  def read(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      asOf: Option[CommitId] = None): DataFrame =
+    applyLogical(
+      DeletionVectors.read(spark, log, table, asOf), spark, log, table, asOf)
+
+  /** Whether any mapping state applies at `at` — the SQL scan rule's cheap
+    * probe (a driver-side metadata-file read). */
+  def hasMapping(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Boolean =
+    stateAt(spark, log, table, at).isDefined
+}

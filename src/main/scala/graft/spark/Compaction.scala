@@ -56,12 +56,13 @@ object Compaction {
     // sidecar exists) keeps OPTIMIZE from resurrecting merge-on-read
     // deleted rows into the rewritten files — compaction is exactly where
     // deletion vectors get absorbed into the physical layout.
-    val current =
+    val current = ColumnMapping.applyLogical(
       if (partitions.isEmpty)
         DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
       else
         DeletionVectors.readPartitions(
-          spark, ctx.metastore.tableVersions, table, partitions)
+          spark, ctx.metastore.tableVersions, table, partitions),
+      spark, ctx.metastore.tableVersions, table, None)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
       else {

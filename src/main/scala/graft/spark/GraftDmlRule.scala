@@ -349,8 +349,11 @@ final case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val cond = condition.map(d => GraftDml.column(d.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    // DV-aware: rewriting from a raw read would resurrect hidden rows
-    val current = DeletionVectors.read(session, binding.log, defn)
+    // DV-aware + column-mapped: rewriting from a raw read would resurrect
+    // hidden rows / break against logical column references
+    val current = ColumnMapping.applyLogical(
+      DeletionVectors.read(session, binding.log, defn),
+      session, binding.log, defn, None)
     if (current.columns.isEmpty) return Seq.empty // never written
     // a no-match UPDATE must not commit: the history would gain a junk
     // entry (and a snapshot table a full identical rewrite) for a no-op
@@ -395,8 +398,10 @@ final case class GraftDeleteCommand(
     import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
     import graft.core.TableVersions.{TableOperation, TableUpdate}
     val cond = GraftDml.column(condition.expr)
-    // DV-aware: rewriting from a raw read would resurrect hidden rows
-    val current = DeletionVectors.read(session, binding.log, defn)
+    // DV-aware + column-mapped (see GraftUpdateCommand)
+    val current = ColumnMapping.applyLogical(
+      DeletionVectors.read(session, binding.log, defn),
+      session, binding.log, defn, None)
     if (current.columns.isEmpty) return Seq.empty
     if (defn.isSnapshot) {
       // survivors = rows where the predicate is NOT TRUE (false OR null):

@@ -58,7 +58,12 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         val t = r.table.asInstanceOf[GraftV2Table]
+        // rewrite when deletion vectors apply OR a column mapping is in
+        // force — both are logical-view indirections the raw delegate
+        // file scan cannot serve
         if (DeletionVectors.hasVectors(
+            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
+          ColumnMapping.hasMapping(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf))
           dvPlan(r, t)
         else r
@@ -76,7 +81,9 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
         s"_metadata over table ${t.name()} while it has unabsorbed deletion " +
           "vectors: the DV anti-join consumes the scan's metadata columns. " +
           "Run OPTIMIZE to absorb the vectors first")
-    val df = DeletionVectors.read(
+    // merge-on-read deletes applied, then the mapping of the addressed
+    // commit (identity when absent) — the full logical view
+    val df = ColumnMapping.read(
       spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf)
     val child = df.queryExecution.analyzed
     val byName = child.output

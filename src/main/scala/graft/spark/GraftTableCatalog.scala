@@ -327,16 +327,46 @@ final class GraftTableCatalog extends TableCatalog {
             "elsewhere would misalign positional INSERTs)")
         val n = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)), s"column $n already exists")
+        // a dropped logical name cannot be reborn: old files still carry
+        // its physical column, and a by-name footer union would resurrect
+        // pre-drop values into the new column
+        val spark = SparkSession.active
+        require(!ColumnMapping.stateAt(spark, binding.log, defn, None)
+          .exists(_.entries.exists(e => e.dropped && e.logical.equalsIgnoreCase(n))),
+          s"column $n was dropped via column mapping and cannot be re-added")
         schema.add(org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true))
+      case (schema, ren: TableChange.RenameColumn) =>
+        // COLUMN MAPPING rename: metadata-only, zero file rewrites — the
+        // physical name stays frozen in every file generation
+        require(ren.fieldNames().length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames()(0)
+        val spark = SparkSession.active
+        ColumnMapping.rename(
+          spark, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, from, ren.newName(), UserId("sql"))
+        org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = ren.newName()) else f))
+      case (schema, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        val spark = SparkSession.active
+        ColumnMapping.dropColumn(
+          spark, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, name, UserId("sql"))
+        org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name.equalsIgnoreCase(name)))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ALTER TABLE ADD COLUMN only, got ${other.getClass.getSimpleName}")
+          s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN only, got ${other.getClass.getSimpleName}")
     }
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
     val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames()(0) }
-    GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
-      UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
-      java.time.Instant.now(), Nil))
+    if (added.nonEmpty)
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+        UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
+        java.time.Instant.now(), Nil))
     loadTable(ident)
   }
 
@@ -559,9 +589,12 @@ private[spark] object GraftV2Table {
     binding.log.currentVersion(defn.name) match {
       case SnapshotTableVersion(v) if v == Version.Unversioned => None
       case PartitionedTableVersion(m) if m.isEmpty             => None
-      // DV-aware: INSERT's copy-on-write carry-union must not resurrect
-      // merge-on-read-deleted rows into the fresh version
-      case _ => Some(DeletionVectors.read(spark, binding.log, defn))
+      // DV-aware + column-mapped: INSERT's copy-on-write carry-union must
+      // not resurrect merge-on-read-deleted rows, and must carry LOGICAL
+      // names so the union with the (logical) insert batch lines up
+      case _ => Some(ColumnMapping.applyLogical(
+        DeletionVectors.read(spark, binding.log, defn),
+        spark, binding.log, defn, None))
     }
 
   /** The caller's metastore when one is bound — SQL writes then sync their

@@ -61,10 +61,11 @@ object Merge {
     try {
       // DV-aware: a raw read would resurrect merge-on-read-deleted rows
       // into the rewritten partitions (and match them as upsert targets)
-      val current =
+      val current = ColumnMapping.applyLogical(
         if (table.isSnapshot) DeletionVectors.read(spark, log, table)
         else DeletionVectors.readPartitions(
-          spark, log, table, VersionContext.partitionValues(src, table.partitionSchema))
+          spark, log, table, VersionContext.partitionValues(src, table.partitionSchema)),
+        spark, log, table, None)
       // a source missing one of the table's columns would silently REWRITE
       // the touched partitions without it (kept rows are projected to the
       // source's columns) — refuse instead; additive evolution goes the
@@ -182,7 +183,8 @@ object Merge {
 
         // DV-aware: a hidden row must neither match as an UPDATE/DELETE
         // target nor count toward touched-partition discovery
-        val current0 = DeletionVectors.read(spark, log, table)
+        val current0 = ColumnMapping.applyLogical(
+          DeletionVectors.read(spark, log, table), spark, log, table, None)
         val neverWritten = current0.columns.isEmpty
         // the versioned reader surfaces partition columns as strings (they
         // come from k=v dirs); mirror that in the never-written schema so
@@ -229,8 +231,10 @@ object Merge {
                   case (c, i) => ColumnValue(c, r.getString(i))
                 }))
             }
-            DeletionVectors.readPartitions(
-              spark, log, table, (matchedParts ++ insertParts).distinct)
+            ColumnMapping.applyLogical(
+              DeletionVectors.readPartitions(
+                spark, log, table, (matchedParts ++ insertParts).distinct),
+              spark, log, table, None)
           }
 
         // ---- the clause join: one shuffled full-outer equi-join ----
@@ -261,7 +265,8 @@ object Merge {
       } catch { case e: Throwable => src.unpersist(); throw e }
 
     try {
-      val current0 = DeletionVectors.read(spark, log, table)
+      val current0 = ColumnMapping.applyLogical(
+        DeletionVectors.read(spark, log, table), spark, log, table, None)
       val neverWritten = current0.columns.isEmpty
       val outSchema: Seq[StructField] = {
         val base = emptySchema.filter(_ => neverWritten)

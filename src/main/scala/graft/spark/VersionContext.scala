@@ -57,9 +57,10 @@ object VersionContext {
         message: UpdateMessage,
         txn: Option[TableVersions.StreamTxn] = None): (TableVersion, TableChanges) = {
       val version = ctx.newVersion()
+      val mapped = mappedForWrite(ds, ctx, table)
       val ops =
-        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
-        else writePartitioned(ds, table, version)
+        if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
+        else writePartitioned(mapped, table, version)
       val update = TableUpdate(userId, message, Instant.now(), ops, txn)
       ctx.metastore.commit(table.name, update)
     }
@@ -92,9 +93,10 @@ object VersionContext {
         message: UpdateMessage,
         branch: String): TableVersions.CommitId = {
       val version = ctx.newVersion()
+      val mapped = mappedForWrite(ds, ctx, table)
       val ops =
-        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
-        else writePartitioned(ds, table, version)
+        if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
+        else writePartitioned(mapped, table, version)
       val update = TableUpdate(userId, message, Instant.now(), ops)
       val log = ctx.metastore.tableVersions
       log.commitDetached(table.name, update)
@@ -109,24 +111,38 @@ object VersionContext {
         message: UpdateMessage,
         expected: TableVersions.CommitId): Option[(TableVersion, TableChanges)] = {
       val version = ctx.newVersion()
+      val mapped = mappedForWrite(ds, ctx, table)
       val ops =
-        if (table.isSnapshot) List(writeSnapshot(ds, table, version))
-        else writePartitioned(ds, table, version)
+        if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
+        else writePartitioned(mapped, table, version)
       ctx.metastore.commitIf(
         table.name, TableUpdate(userId, message, Instant.now(), ops), expected)
     }
+
+    /** The shared pre-write pipeline of all three commit variants:
+      * [[Constraints.enforced]] first (constraints speak LOGICAL names;
+      * the gate rides the staging job's own pass via `raise_error`), then
+      * the [[ColumnMapping]] logical→physical translation files store.
+      * Both are identity for plain tables, costing one driver-side
+      * metadata read each. */
+    private def mappedForWrite(
+        ds: Dataset[T],
+        ctx: VersionContext,
+        table: TableDefinition): Dataset[_] =
+      ColumnMapping.toPhysical(
+        Constraints.enforced(ds, table), table, ctx.metastore.tableVersions)
   }
 
-  /** V18: whole-dataset write to `<location>/<label>/`. The
-    * [[Constraints]] gate rides the write's own pass — a violating row
-    * fails the job before any commit publishes. */
+  /** V18: whole-dataset write to `<location>/<label>/`. The caller
+    * (`mappedForWrite`) has already applied the [[Constraints]] gate —
+    * it rides this write's own pass, failing the job before any commit
+    * publishes — and the [[ColumnMapping]] logical→physical translation. */
   private def writeSnapshot[T](
       ds: Dataset[T],
       table: TableDefinition,
       version: Version): TableOperation = {
     val dest = VersionPaths.pathFor(table.location, version)
-    Constraints.enforced(ds, table)
-      .toDF().write.mode(SaveMode.Append).format(table.format.name).save(dest.toString)
+    ds.toDF().write.mode(SaveMode.Append).format(table.format.name).save(dest.toString)
     TableOperation.AddTableVersion(version)
   }
 
@@ -192,9 +208,7 @@ object VersionContext {
     val spark = ds.sparkSession
     val staging = new URI(
       Partition.normalizedDir(table.location).toString + s"_staging/${version.label}/")
-    // constraint gate ([[Constraints]]): violations fail the staging job
-    // loudly, leaving only never-referenced dirs
-    Constraints.enforced(ds, table).toDF().write
+    ds.toDF().write
       .partitionBy(table.partitionSchema.columns.map(_.name): _*)
       .mode(SaveMode.Append)
       .format(table.format.name)

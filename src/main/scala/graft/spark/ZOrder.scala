@@ -84,7 +84,9 @@ object ZOrder {
     require(numFiles > 0, "numFiles must be positive")
     // DV-aware (like Compaction): the Z-order rewrite must not resurrect
     // merge-on-read-deleted rows into the clustered files
-    val current = DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+    val current = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, ctx.metastore.tableVersions, table),
+      spark, ctx.metastore.tableVersions, table, None)
     val z = zvalue(ranges(current, zorderCols), bits)
     val packed =
       if (table.isSnapshot)

@@ -1,0 +1,143 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class ColumnMappingSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("map-test")
+
+  private def freshTable(name: String): (VersionContext, InMemoryTableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (ctx, log, table)
+  }
+
+  test("rename is metadata-only: old and new files read under the new name; time travel shows the old") {
+    val (ctx, log, table) = freshTable("map_rename")
+    (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preRename = log.currentCommit(table.name)
+
+    ColumnMapping.rename(spark, ctx, table, "kind", "category", user)
+    log.updates(table.name).head.message.content should include("RENAME COLUMN kind TO category")
+
+    // post-rename writes use the LOGICAL name; files store the physical
+    Seq((11L, "catX", "2024-01-02")).toDF("id", "category", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    // the raw (physical) scan shows the original column name in BOTH files
+    VersionedReader(spark, log).read(table).columns should contain("kind")
+
+    // the mapped read unifies both generations under the new logical name
+    val mapped = ColumnMapping.read(spark, log, table)
+    mapped.columns should contain("category")
+    mapped.columns should not contain "kind"
+    mapped.count() shouldBe 11L
+    mapped.where(col("category") === "catX").count() shouldBe 1L
+    mapped.where(col("category") === "k3").count() shouldBe 1L
+
+    // time travel to the pre-rename commit reads the schema of THAT commit
+    val old = ColumnMapping.read(spark, log, table, Some(preRename))
+    old.columns should contain("kind")
+    old.columns should not contain "category"
+    old.count() shouldBe 10L
+  }
+
+  test("drop stops projecting without touching files; pre-drop commits still show the column") {
+    val (ctx, log, table) = freshTable("map_drop")
+    (1L to 6L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preDrop = log.currentCommit(table.name)
+    ColumnMapping.dropColumn(spark, ctx, table, "kind", user)
+
+    val now = ColumnMapping.read(spark, log, table)
+    now.columns.toList shouldBe List("id", "date") // kind gone, bytes intact
+    VersionedReader(spark, log).read(table).columns should contain("kind")
+    ColumnMapping.read(spark, log, table, Some(preDrop)).columns should contain("kind")
+
+    // a write naming the dropped column refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Seq((7L, "zombie", "2024-01-01")).toDF("id", "kind", "date")
+        .versionedInsertInto(ctx, table, user, UpdateMessage("bad"))
+    }
+    ex.getMessage should include("dropped column")
+    // a write WITHOUT it is fine
+    Seq((8L, "2024-01-02")).toDF("id", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    ColumnMapping.read(spark, log, table).count() shouldBe 7L
+  }
+
+  test("refusals: partition columns, unknown columns, collisions; rename composes with DV deletes") {
+    val (ctx, log, table) = freshTable("map_refuse")
+    (1L to 8L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    intercept[IllegalArgumentException](
+      ColumnMapping.rename(spark, ctx, table, "date", "day", user))
+    intercept[IllegalArgumentException](
+      ColumnMapping.rename(spark, ctx, table, "no_such", "x", user))
+    intercept[IllegalArgumentException](
+      ColumnMapping.rename(spark, ctx, table, "kind", "id", user))
+
+    // DV delete then rename: the mapped read applies vectors AND mapping
+    DeletionVectors.delete(
+      ctx, log, table, col("id") <= 3, user, UpdateMessage("dv")) shouldBe 3L
+    ColumnMapping.rename(spark, ctx, table, "kind", "category", user)
+    val mapped = ColumnMapping.read(spark, log, table)
+    mapped.count() shouldBe 5L
+    mapped.columns should contain("category")
+
+    // two renames stack: the latest state wins for current reads
+    ColumnMapping.rename(spark, ctx, table, "category", "label", user)
+    ColumnMapping.read(spark, log, table).columns should contain("label")
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN drive the mapping; SELECT serves the logical view") {
+    val (ctx, log, table) = freshTable("map_sql")
+    spark.conf.set(
+      "spark.sql.catalog.graftmap", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmap", log)
+    (1L to 10L).map(i => Event(i, s"k$i", "a"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    GraftTableCatalog.register("graftmap", table,
+      Some(VersionedReader(spark, log).read(table).schema))
+    val preRename = log.currentCommit(table.name)
+
+    spark.sql("ALTER TABLE graftmap.test.map_sql RENAME COLUMN kind TO category")
+    // SELECT resolves the NEW logical name over the OLD physical files
+    spark.sql("SELECT category FROM graftmap.test.map_sql WHERE id = 3")
+      .head.getString(0) shouldBe "k3"
+    // the old name is gone from the SQL surface
+    intercept[Exception](
+      spark.sql("SELECT kind FROM graftmap.test.map_sql").collect())
+    // INSERT under the new name lands in the same physical column
+    spark.sql("INSERT INTO graftmap.test.map_sql VALUES (11, 'fresh', 'b')")
+    spark.sql(
+      "SELECT category FROM graftmap.test.map_sql WHERE id = 11").head.getString(0) shouldBe "fresh"
+    VersionedReader(spark, log).read(table).columns should contain("kind") // physical everywhere
+
+    // time travel BEFORE the rename serves that commit's schema via the
+    // Scala surface (SQL relation output is pinned to the current schema)
+    ColumnMapping.read(spark, log, table, Some(preRename)).columns should contain("kind")
+
+    // DROP stops projecting; re-adding the dropped name refuses
+    spark.sql("ALTER TABLE graftmap.test.map_sql DROP COLUMN category")
+    spark.sql("SELECT * FROM graftmap.test.map_sql").columns.toList shouldBe List("id", "date")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftmap.test.map_sql ADD COLUMN category STRING"))
+  }
+}

@@ -537,10 +537,6 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       s"SELECT id, score FROM graftcat.cdb.altc VERSION AS OF '${v1Commit.id}' ORDER BY id")
       .as[(Long, Option[Double])].collect() shouldBe Array((1L, None), (2L, None))
 
-    // non-additive changes reject loudly
-    val drop = intercept[Exception](
-      spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label"))
-    drop.getMessage should include("ADD COLUMN only")
     val dup = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN label STRING"))
     dup.getMessage should include("already exists")
@@ -550,6 +546,13 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val pos = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN early STRING FIRST"))
     pos.getMessage should include("FIRST/AFTER")
+    // other column changes still reject (RENAME/DROP are served by column
+    // mapping, pinned in ColumnMappingSpec)
+    val tpe = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.cdb.altc ALTER COLUMN label COMMENT 'x'"))
+    tpe.getMessage should include("ADD/RENAME/DROP COLUMN only")
+    spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label")
+    spark.sql("SELECT * FROM graftcat.cdb.altc").columns should not contain "label"
     spark.sql("DROP TABLE graftcat.cdb.altc")
   }
 
