@@ -140,6 +140,34 @@ object Soak {
       println(line); out += line
     }
 
+    // e31 SemDeDup: the perturbed embedding replicas are NEAR-DUPS of
+    // base (same cluster structure), so IVF cells grow scale× denser and
+    // the in-cell scored-pair count grows ~scale² BY DESIGN — a
+    // runtime-vs-input guard would measure the data, not the engine. The
+    // falsifiable claim is per-SCORED-PAIR cost staying flat (the in-cell
+    // equi-join shape doing no extra work per candidate).
+    locally {
+      def scoredPairs(dir: String): Long =
+        graft.queries.Pipeline.ivfQuantizer(spark, dir)._2
+          .groupBy("cell").count()
+          .agg(sum(expr("(count * (count - 1)) DIV 2"))).head().getLong(0)
+      val (baseSec, _) = timeQuery("e31_semdedup", base)
+      val basePairs = scoredPairs(base)
+      val (scaledSec, _) = timeQuery("e31_semdedup", disjointDir)
+      val scaledPairs = scoredPairs(disjointDir)
+      val basePer = baseSec / math.max(basePairs, 1L)
+      val scaledPer = scaledSec / math.max(scaledPairs, 1L)
+      val ok = scaledPer <= 2.0 * basePer
+      if (!ok) violations += 1
+      val line =
+        f"""{"regime":"cell_dense","query":"e31_semdedup","base_sec":$baseSec%.2f,""" +
+          f""""scaled_sec":$scaledSec%.2f,"scale":$scale,""" +
+          f""""base_pairs":$basePairs,"scaled_pairs":$scaledPairs,""" +
+          f""""base_us_per_pair":${basePer * 1e6}%.3f,""" +
+          f""""scaled_us_per_pair":${scaledPer * 1e6}%.3f,"throughput_ok":$ok}"""
+      println(line); out += line
+    }
+
     DenseQueries.foreach { name =>
       val (baseSec, baseRows) = timeQuery(name, base)
       val (scaledSec, scaledRows) = timeQuery(name, denseDir)
@@ -162,10 +190,11 @@ object Soak {
       s"""{"metric":"soak","scale":$scale,"violations":$violations,""" +
         s""""measurements":${out.size},"base":"$base"}"""
     println(summary); out += summary
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r13.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("SOAK_r11.json"),
+      java.nio.file.Paths.get(outFile),
       out.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[soak] SOAK_r11.json: $e") }
+    catch { case e: Exception => System.err.println(s"[soak] $outFile: $e") }
     spark.stop()
     if (violations > 0) sys.exit(1)
   }

@@ -400,6 +400,38 @@ object Pipeline {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** E31: SEMANTIC DEDUP over the IVF cell structure (the SemDeDup
+    * recipe): candidate pairs come only from WITHIN a coarse-quantizer
+    * cell — the scoring bound is Σ cell², NEVER corpus² (at 100 TB the
+    * quantizer's k scales up so cells stay capped; the per-cell self-join
+    * is an equi-join shuffled on the cell key, so cells process in
+    * parallel across executors) — and the removal rule is deterministic:
+    * a vector with any smaller-id same-cell neighbor at cosine ≥ τ is
+    * removed (keep-lowest-id representative, one pass, no iteration).
+    * Pair scoring is the native codegen'd [[graft.plans.CosineSimilarity]].
+    * Output: per-cell corpus/removed/kept counts; the oracle brute-force
+    * replays the same in-cell pair set relationally. */
+  def e31SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftFunctions.cosineSim
+    val (_, assigned, _) = ivfQuantizer(s, dir)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val removed = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineSim(col("ea"), col("eb")))
+      .where(col("cos") >= 0.3)
+      .select(col("cell"), col("vec_b").as("vec_id"))
+      .distinct()
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .join(removed.groupBy("cell").agg(count(lit(1)).as("n_removed")), Seq("cell"), "left")
+      .select(
+        col("cell"),
+        col("n_vectors"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_vectors") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
+
   /** E3: per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
     * (IVF coarse-quantizer prototypes). Partial aggregation ships one
     * 64-slot buffer per label per map task. First four centroid dimensions
@@ -436,7 +468,7 @@ object Pipeline {
     * deterministic 6-dp label-mean centroids, nearest-cell assignment, and
     * 2-cell probes for the query vectors (vec_id < 5). Returns
     * (centroids, assigned, probes). */
-  private[queries] def ivfQuantizer(
+  private[graft] def ivfQuantizer(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import graft.plans.GraftFunctions.cosineSim

@@ -101,13 +101,12 @@ object Registry {
        |       round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) * 1.0
        |             / (SELECT count(*) FROM cand), 6) AS precision""".stripMargin
 
-  /** Shared by e3e (rebuild-per-query IVF) and e29 (persisted IVF): the
-    * deterministic quantizer, 2-cell probes, and in-cell top-5 replayed
-    * relationally — both entries must produce this exact result. */
-  private def ivfOracleSql: String =
-    """WITH cents0 AS (SELECT label AS cell, d,
-      |                       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS cv
-      |                FROM embeddings, generate_series(1, 64) g(d) GROUP BY label, d),
+  /** The deterministic IVF coarse quantizer replayed relationally —
+    * shared by the e3e/e29 probe oracle and the e31 SemDeDup oracle. */
+  private def ivfQuantizerCtes: String =
+    """cents0 AS (SELECT label AS cell, d,
+      |                  round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS cv
+      |           FROM embeddings, generate_series(1, 64) g(d) GROUP BY label, d),
       |cents AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM cents0 GROUP BY cell),
       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
       |      FROM embeddings),
@@ -119,7 +118,13 @@ object Registry {
       |ranked AS (SELECT vec_id, dvec, cell,
       |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
       |           FROM sims),
-      |assigned AS (SELECT vec_id, dvec, cell FROM ranked WHERE rk = 1),
+      |assigned AS (SELECT vec_id, dvec, cell FROM ranked WHERE rk = 1)""".stripMargin
+
+  /** Shared by e3e (rebuild-per-query IVF) and e29 (persisted IVF): the
+    * deterministic quantizer, 2-cell probes, and in-cell top-5 replayed
+    * relationally — both entries must produce this exact result. */
+  private def ivfOracleSql: String =
+    s"""WITH $ivfQuantizerCtes,
       |probes AS (SELECT vec_id AS qid, dvec AS qvec, cell
       |           FROM ranked WHERE vec_id < 5 AND rk <= 2),
       |cand AS (SELECT qid, vec_id,
@@ -132,6 +137,24 @@ object Registry {
       |      FROM cand)
       |SELECT qid, rk, vec_id, round(cos, 5) AS cos_sim
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** e31 oracle: the SemDeDup in-cell pair sweep brute-force replayed —
+    * same quantizer, same keep-lowest-id removal rule. */
+  private def semDedupOracleSql: String =
+    s"""WITH $ivfQuantizerCtes,
+      |pairs AS (SELECT a.cell, b.vec_id AS vb,
+      |                 list_inner_product(a.dvec, b.dvec)
+      |                   / (sqrt(list_inner_product(a.dvec, a.dvec))
+      |                      * sqrt(list_inner_product(b.dvec, b.dvec))) AS cos
+      |          FROM assigned a JOIN assigned b
+      |            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |removed AS (SELECT DISTINCT cell, vb FROM pairs WHERE cos >= 0.3),
+      |nv AS (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell),
+      |nr AS (SELECT cell, count(*) AS n_removed FROM removed GROUP BY cell)
+      |SELECT cell, n_vectors,
+      |       coalesce(n_removed, 0) AS n_removed,
+      |       n_vectors - coalesce(n_removed, 0) AS n_kept
+      |FROM nv LEFT JOIN nr USING (cell) ORDER BY cell""".stripMargin
 
   /** e26 oracle: sketch-estimated vs exact Jaccard over the candidate set.
     * Mirrors the engine's integer-domain aggregation (sum of long match
@@ -871,6 +894,7 @@ object Registry {
               |      FROM c)
               |SELECT qid, rk, vec_id FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
     "e3e_ivf_ann" -> Entry(Pipeline.e3eIvfAnn, Some(ivfOracleSql)),
+    "e31_semdedup" -> Entry(Pipeline.e31SemDedup, Some(semDedupOracleSql)),
     // e29 persists the SAME quantizer as versioned tables and answers the
     // SAME probes from the index — so the e3e oracle verifies the whole
     // build→commit→partition-pruned-read round trip byte-for-byte

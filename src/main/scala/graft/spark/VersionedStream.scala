@@ -284,12 +284,33 @@ private[spark] final class GraftCdcMicroBatchStream(
     val withId = """\{"commits":(\d+),"last":"([^"]*)"\}""".r
     val bare = """\{"commits":(\d+)\}""".r
     val off = json.trim match {
-      case withId(n, id) => CommitOffset(n.toInt, Some(id))
+      case withId(n, id) => reanchor(CommitOffset(n.toInt, Some(id)))
       case bare(n)       => CommitOffset(n.toInt) // pre-id checkpoint (legacy)
       case other         => sys.error(s"malformed graft CDC offset: $other")
     }
     validate(off)
     off
+  }
+
+  /** Graceful resume across LOG CHECKPOINTS: a fold shifts commit indexes,
+    * but it keeps the ids of every retained commit AND anchors the
+    * synthetic base at the id of the last folded commit — so an offset
+    * whose `last` id still exists anywhere in the new history names the
+    * SAME table state at a new index, and the stream re-anchors there and
+    * continues (states of retained commits are fold-invariant, so every
+    * subsequent diff is unchanged). Only an offset STRICTLY INSIDE the
+    * folded prefix is unresumable — the state it consumed through is gone,
+    * so the missed diff cannot be computed — and [[validate]] keeps
+    * refusing it loudly. */
+  private def reanchor(off: CommitOffset): CommitOffset = off.last match {
+    case Some(id) if off.commits > 0 =>
+      val chrono = chronoCommits(h)
+      if (off.commits <= chrono.size && chrono(off.commits - 1).id.id == id) off
+      else chrono.indexWhere(_.id.id == id) match {
+        case -1 => off // not found: validate() raises the loud refusal
+        case j  => CommitOffset(j + 1, Some(id))
+      }
+    case _ => off
   }
 
   /** A restored offset must still name the commit it was minted against:

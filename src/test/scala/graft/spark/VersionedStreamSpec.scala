@@ -143,6 +143,60 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     stream.deserializeOffset("""{"commits":2}""") shouldBe CommitOffset(2)
   }
 
+  test("an offset whose commit survives a log checkpoint RE-ANCHORS by id and resumes") {
+    val logDir = Files.createTempDirectory("graft_cdc_reanchor_log")
+    val log = JsonFileTableVersions(logDir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "cdc_reanchor"),
+      Files.createTempDirectory("graft_spec_cdc_reanchor").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq((1L, "a")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    Seq((2L, "b")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+
+    val checkpoint = Files.createTempDirectory("graft_cdc_reanchor_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = VersionedStream.readStream(spark, log, table)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").as[Long].collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // consumes init + v1 + v2
+    import scala.jdk.CollectionConverters._
+    got.asScala.toArray.sorted shouldBe Array(1L, 2L)
+
+    // while no query runs: one more commit, then the log checkpoints —
+    // the stream's offset id (v2's commit) SURVIVES the fold in the tail
+    Seq((3L, "c")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+    log.checkpoint(table.name, keepLast = 2) shouldBe true
+    log.updates(table.name).size shouldBe 3 // base + v2 + v3
+
+    // the restarted query re-anchors to the shifted index and delivers
+    // exactly the missed commit — no refusal, no replay, no skip
+    got.clear()
+    run()
+    got.asScala.toArray.sorted shouldBe Array(3L)
+
+    // unit level: an offset that consumed EXACTLY the folded range
+    // re-anchors onto the synthetic base (which keeps that commit's id)
+    val stream = new GraftCdcMicroBatchStream(
+      VersionedStream.Handle(log, table), null,
+      VersionedStream.resolveSchema(spark, VersionedStream.Handle(log, table)))
+    val baseId = log.updates(table.name).last.id.id
+    stream.deserializeOffset(s"""{"commits":1,"last":"$baseId"}""") shouldBe
+      CommitOffset(1, Some(baseId))
+  }
+
   test("an empty commit range plans zero partitions") {
     val (table, log, ctx) = freshTable("cdc_empty")
     Seq((1L, "a")).toDF("k", "grp")
