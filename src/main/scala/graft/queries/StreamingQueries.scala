@@ -548,10 +548,16 @@ object StreamingQueries {
     li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
 
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
-    val sinkName = s"graft_s14_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // the consumer persists each typed batch to a parquet feed dir — fully
+    // distributed, batch-sized I/O; NOTHING row-scale reaches the driver
+    // (a memory sink here would collect the whole feed driver-side)
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_cdf_feed").toString
     val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
       graft.spark.VersionedStream.readChangeFeed(s, log, table)
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(feedDir); ()
+        }
         .option("checkpointLocation", checkpoint)
         .start()
     }
@@ -566,10 +572,7 @@ object StreamingQueries {
         .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
       q.processAllAvailable() // batch 3: old-R deletes + new-R inserts
     } finally q.stop()
-    val sink = s.table(sinkName)
-    val feed = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(sinkName)
+    val feed = s.read.parquet(feedDir)
     // replay: the streamed feed alone reconstructs the final logical state
     // (from the void, the net effect is inserts minus deletes — multiset)
     val ct = graft.spark.ChangeFeed.ChangeTypeCol
