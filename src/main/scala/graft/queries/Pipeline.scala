@@ -416,7 +416,10 @@ object Pipeline {
     val (_, assigned, _) = ivfQuantizer(s, dir)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    val removed = a.join(b, Seq("cell"))
+    // corpus × corpus self-join: neither side is broadcastable at scale —
+    // the shuffle_hash hint pins the plan the 100 TB run needs (pinned in
+    // PlanAuditSpec), and the cell key spreads cells across reducers
+    val removed = a.join(b.hint("shuffle_hash"), Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosineSim(col("ea"), col("eb")))
       .where(col("cos") >= 0.3)

@@ -283,4 +283,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("LeftSemi")
     p should not include "CartesianProduct"
   }
+
+  test("e31: SemDeDup pairs come from a cell-keyed equi-join — no cartesian, no corpus broadcast") {
+    val p = plan("e31_semdedup")
+    // the in-cell pair sweep must be an equi-join ON THE CELL KEY (Σ cell²
+    // work, parallel across cells), never an all-pairs product over the
+    // corpus. (The plan's BroadcastNestedLoopJoins are the quantizer's
+    // broadcast(centroids) cross joins — k rows, metadata-sized, the
+    // e3e/e17 pattern.)
+    p should not include "CartesianProduct"
+    p should include("ShuffledHashJoin")
+    p.split("\n").find(_.contains("ShuffledHashJoin")).get should include("cell")
+  }
 }
