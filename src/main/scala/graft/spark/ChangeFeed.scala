@@ -46,8 +46,23 @@ object ChangeFeed {
   private val PosCol = "__cf_pos"
 
   /** The change feed from `from` (exclusive; None = the pre-init void, so
-    * everything visible at `to` is an insert) to `to` (inclusive). */
+    * everything visible at `to` is an insert) to `to` (inclusive). The
+    * feed speaks the LOGICAL schema of the `to` state ([[ColumnMapping]]):
+    * one uniform column set for every emitted row — a rename inside the
+    * range projects the old generations' deletes under the current
+    * logical names, the Delta-CDF latest-schema posture. */
   def read(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      from: Option[CommitId],
+      to: CommitId): DataFrame = {
+    val raw = read0(spark, log, table, from, to)
+    if (raw.columns.isEmpty) raw
+    else ColumnMapping.applyLogical(raw, spark, log, table, Some(to))
+  }
+
+  private def read0(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,

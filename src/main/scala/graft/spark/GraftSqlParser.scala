@@ -24,6 +24,8 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   DESCRIBE HISTORY graft.db.t                       -- the commit log
  *   RESTORE TABLE graft.db.t TO VERSION AS OF 'v'     -- rollback (ref or id)
  *   RESTORE TABLE graft.db.t TO TIMESTAMP AS OF 'ts'  -- at-or-before rule
+ *   ALTER TABLE graft.db.t ADD CONSTRAINT nm CHECK (expr)  -- write-path invariant
+ *   ALTER TABLE graft.db.t DROP CONSTRAINT nm
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -92,6 +94,12 @@ private[spark] object GraftMaintenanceSql {
   // the TIMESTAMP variant resolves at-or-before like q53's reader
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  // ALTER TABLE t ADD CONSTRAINT name CHECK (expr) — Delta spelling; the
+  // greedy group runs to the LAST ')', so parenthesized expressions nest
+  private val AddConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -120,6 +128,10 @@ private[spark] object GraftMaintenanceSql {
     case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRestoreCommand(
         split(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
+    case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftAddConstraintCommand(split(ident), name, expr.trim))
+    case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftDropConstraintCommand(split(ident), name))
     case _ => None
   }
 
@@ -280,5 +292,44 @@ final case class GraftVacuumCommand(
       graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
       retainMs = retainHours.map(_ * 3600000L))
     Seq(Row(report.examined, report.deleted.size, report.failed.size))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — the SQL spelling of
+  * the [[Constraints]] write-path invariants (Delta parity): validates
+  * EXISTING rows first (a constraint is never born violated), records the
+  * constraint in table metadata + one audit commit, and every subsequent
+  * versioned write (Scala or SQL) enforces it inside its own staging
+  * pass. */
+final case class GraftAddConstraintCommand(
+    parts: Seq[String], name: String, expr: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    Constraints.add(session, ctx, defn, Constraints.check(name, expr), UserId("sql"))
+    Seq(Row(name, "added"))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — removes the invariant (a
+  * missing name refuses loudly; a silent typo-drop would leave the caller
+  * believing enforcement stopped). */
+final case class GraftDropConstraintCommand(
+    parts: Seq[String], name: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    Constraints.drop(session, ctx, defn, name, UserId("sql"))
+    Seq(Row(name, "dropped"))
   }
 }

@@ -87,12 +87,14 @@ object VersionedStream {
   }
 
   /** Schema of the table as the batch reader would resolve it (data +
-    * partition columns); file-footer metadata only. A never-written table
-    * has no schema anywhere — fail with the real cause instead of pinning
-    * an empty schema into the stream (which would break every downstream
-    * column reference with an unrelated analysis error). */
+    * partition columns, LOGICAL names when a column mapping applies);
+    * file-footer metadata only. A never-written table has no schema
+    * anywhere — fail with the real cause instead of pinning an empty
+    * schema into the stream (which would break every downstream column
+    * reference with an unrelated analysis error). */
   private[spark] def resolveSchema(spark: SparkSession, h: Handle): StructType = {
-    val schema = VersionedReader(spark, h.log).read(h.defn).schema
+    val schema = ColumnMapping.applyLogical(
+      VersionedReader(spark, h.log).read(h.defn), spark, h.log, h.defn, None).schema
     if (schema.isEmpty)
       sys.error(
         s"table ${h.defn.name.fullyQualifiedName} has no committed data to resolve a " +
@@ -364,17 +366,24 @@ private[spark] final class GraftCdcMicroBatchStream(
     val spark = SparkSession.active
     val replaced = replacesState(h, from, to)
     val dvChanged = dvHidRows(spark, h, from, to)
-    if (!changeFeed && dvChanged)
+    // a column mapping makes raw file scans unserveable (footers carry
+    // PHYSICAL names; the stream schema is LOGICAL): the feed mode routes
+    // such ranges through staging, the insert-only mode refuses
+    val mapped = to > 0 && ColumnMapping.hasMapping(
+      spark, h.log, h.defn, Some(chronoCommits(h)(to - 1).id))
+    if (!changeFeed && (dvChanged || mapped))
       // refusing is deliberate: silently emitting net new contents here
       // would diverge every consumer from the source (the newly-hidden
-      // rows are not expressible without a _change_type column)
+      // rows are not expressible without a _change_type column, and a
+      // mapped table's raw scan would serve the wrong column names)
       sys.error(
-        s"graft CDC stream over ${h.defn.name.fullyQualifiedName}: deletion vectors " +
-          s"hid rows in commit range ($from, $to], which an insert-only stream " +
-          "cannot express; consume the change feed instead " +
-          "(VersionedStream.readChangeFeed — emits _change_type)")
+        s"graft CDC stream over ${h.defn.name.fullyQualifiedName}: commit range " +
+          s"($from, $to] " +
+          (if (dvChanged) "hides rows behind deletion vectors" else "carries a column mapping") +
+          ", which an insert-only raw-scan stream cannot express; consume the " +
+          "change feed instead (VersionedStream.readChangeFeed — emits _change_type)")
     tagInserts = false
-    if (changeFeed && (replaced || dvChanged)) {
+    if (changeFeed && (replaced || dvChanged || mapped)) {
       // materialize the feed once, batch-sized, under the query checkpoint
       val staged = stageFeed(spark, from, to)
       if (staged.isEmpty) { currentBatch = None; return Array.empty }

@@ -135,6 +135,39 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
       DeletionVectors.read(spark, log, table, Some(v2)))
   }
 
+  test("the feed speaks the to-state's logical schema across a mid-range rename") {
+    val (ctx, log, table) = freshTable("cf_mapped")
+    (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    ColumnMapping.rename(spark, ctx, table, "kind", "category", user)
+    // rewrite the partition under the new logical name
+    (1L to 5L).map(i => (i + 100L, s"new$i", "2024-01-01"))
+      .toDF("id", "category", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val head = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.read(spark, log, table, Some(v1), head)
+    // uniform CURRENT logical schema — the old generation's deletes
+    // project under the new name too (Delta-CDF latest-schema posture)
+    feed.columns should contain("category")
+    feed.columns should not contain "kind"
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 10L
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 5L
+    // replay under the CURRENT logical view (the from-state projected
+    // through the to-state's mapping — the feed's own column space)
+    // reconstructs the current logical state
+    val base = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, log, table, Some(v1)),
+      spark, log, table, Some(head)).select("id", "category", "date")
+    val replayed = ChangeFeed.replay(
+      base, feed.select("id", "category", "date", ChangeFeed.ChangeTypeCol))
+    val now = ColumnMapping.read(spark, log, table, Some(head))
+      .select("id", "category", "date")
+    replayed.exceptAll(now).count() shouldBe 0L
+    now.exceptAll(replayed).count() shouldBe 0L
+  }
+
   test("readChanges refuses a range whose DVs hid rows, and still serves DV-free ranges") {
     val (ctx, log, table) = freshTable("cf_refuse")
     (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))

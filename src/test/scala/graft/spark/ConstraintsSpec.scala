@@ -115,4 +115,45 @@ class ConstraintsSpec extends AnyFunSuite with Matchers {
     exMerge.getMessage should include("id_cap")
     spark.sql("SELECT count(*) FROM graftcon.test.con_sql").head.getLong(0) shouldBe 6L
   }
+
+  test("SQL DDL: ADD/DROP CONSTRAINT and ALTER COLUMN SET/DROP NOT NULL") {
+    val (ctx, log, table) = freshTable("con_ddl")
+    spark.conf.set(
+      "spark.sql.catalog.graftddl", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftddl", log)
+    GraftTableCatalog.register("graftddl", table,
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 5L).map(i => Event(i, s"k$i", "a"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    spark.sql("ALTER TABLE graftddl.test.con_ddl ADD CONSTRAINT small CHECK (id < 100)")
+    Constraints.list(spark, table).map(_.name) shouldBe List("small")
+    // enforced on the next SQL write
+    intercept[Exception](
+      spark.sql("INSERT INTO graftddl.test.con_ddl VALUES (500, 'x', 'a')"))
+      .getMessage should include("small")
+    // born-violated refuses through the SQL spelling too
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftddl.test.con_ddl ADD CONSTRAINT neg CHECK (id < 3)"))
+    spark.sql("ALTER TABLE graftddl.test.con_ddl DROP CONSTRAINT small")
+    Constraints.list(spark, table) shouldBe Nil
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftddl.test.con_ddl DROP CONSTRAINT no_such"))
+
+    // NOT NULL from SQL spells as a CHECK (Spark's analyzer refuses
+    // `ALTER COLUMN … SET NOT NULL` on any nullable column before a
+    // catalog ever sees it; `c IS NOT NULL` is FALSE — not unknown — on a
+    // null, so the standard CHECK semantics enforce it exactly)
+    spark.sql(
+      "ALTER TABLE graftddl.test.con_ddl ADD CONSTRAINT kind_nn CHECK (kind IS NOT NULL)")
+    intercept[Exception] {
+      Seq((9L, null: String, "a")).toDF("id", "kind", "date")
+        .versionedInsertInto(ctx, table, user, UpdateMessage("bad"))
+    }.getMessage should include("kind_nn")
+    spark.sql("ALTER TABLE graftddl.test.con_ddl DROP CONSTRAINT kind_nn")
+    Constraints.list(spark, table) shouldBe Nil
+  }
 }
