@@ -367,19 +367,40 @@ object FileStats {
       .select("file")
       .collect()
       .map(_.getString(0))
-    if (keep.isEmpty) {
-      val reader = VersionedReader(spark, log)
-      asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table)).limit(0)
-    } else
-      // same string-pinned partition parsing as VersionedReader: values must
-      // round-trip verbatim (schema resolves eagerly inside load())
-      SessionConf.withConf(
-        spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-        val reader = spark.read.format(table.format.name)
-        val based =
-          if (table.isSnapshot) reader
-          else reader.option("basePath", table.location.toString)
-        based.load(keep.toIndexedSeq: _*)
-      }
+    val scan =
+      if (keep.isEmpty) {
+        val reader = VersionedReader(spark, log)
+        asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table)).limit(0)
+      } else
+        // same string-pinned partition parsing as VersionedReader: values must
+        // round-trip verbatim (schema resolves eagerly inside load())
+        SessionConf.withConf(
+          spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+          val reader = spark.read.format(table.format.name)
+          val based =
+            if (table.isSnapshot) reader
+            else reader.option("basePath", table.location.toString)
+          based.load(keep.toIndexedSeq: _*)
+        }
+    // merge-on-read deletes apply to PRUNED scans too — a raw kept-file
+    // read would resurrect DV-hidden rows into every skipping query
+    // (zone maps only narrow the FILE list; the anti-join is row truth).
+    // Zero cost when the table has no sidecars.
+    DeletionVectors.resolvePairs(spark, log, table, asOf) match {
+      case None => scan
+      case Some(dv) =>
+        if (scan.columns.isEmpty) scan
+        else {
+          val ptr = scan.select(
+            col("*"),
+            col("_metadata.file_path").as("__fs_file"),
+            col("_metadata.row_index").as("__fs_pos"))
+          ptr.join(
+              dv,
+              ptr("__fs_file") === dv("file") && ptr("__fs_pos") === dv("pos"),
+              "left_anti")
+            .drop("__fs_file", "__fs_pos")
+        }
+    }
   }
 }

@@ -134,6 +134,17 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
     // Scala surface (SQL relation output is pinned to the current schema)
     ColumnMapping.read(spark, log, table, Some(preRename)).columns should contain("kind")
 
+    // row-level SQL DML speaks the LOGICAL name and flows through the
+    // copy-on-write commands (which read logical and write back mapped)
+    spark.sql(
+      "UPDATE graftmap.test.map_sql SET category = 'upd' WHERE id = 2")
+    spark.sql(
+      "SELECT category FROM graftmap.test.map_sql WHERE id = 2").head.getString(0) shouldBe "upd"
+    spark.sql("DELETE FROM graftmap.test.map_sql WHERE category = 'upd'")
+    spark.sql(
+      "SELECT count(*) FROM graftmap.test.map_sql").head.getLong(0) shouldBe 10L // 11 - 1
+    VersionedReader(spark, log).read(table).columns should contain("kind") // still physical
+
     // DROP stops projecting; re-adding the dropped name refuses
     spark.sql("ALTER TABLE graftmap.test.map_sql DROP COLUMN category")
     spark.sql("SELECT * FROM graftmap.test.map_sql").columns.toList shouldBe List("id", "date")

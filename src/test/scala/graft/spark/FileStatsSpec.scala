@@ -164,6 +164,39 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
       (1500L to 2500L).map(_ * 2).sum
   }
 
+  test("pruned skipping reads apply deletion vectors — no resurrection") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_dv"),
+      Files.createTempDirectory("graft_spec_zonemap_dv").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.range(8000).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: range-clustered"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+    val preDelete = log.currentCommit(table.name)
+
+    DeletionVectors.delete(
+      ctx, log, table, col("k").between(1000, 1099), user, UpdateMessage("dv")) shouldBe 100L
+
+    // the PRUNED scan must not resurrect the hidden rows
+    val pruned = FileStats.readSkipping(spark, log, table, "k", 500, 1500)
+      .where(col("k").between(500, 1500))
+    pruned.count() shouldBe 901L // 1001 in range minus the 100 hidden
+    pruned.where(col("k").between(1000, 1099)).count() shouldBe 0L
+    // file pruning is still in force (a handful of files, not all 8)
+    pruned.inputFiles.length should be < 8
+    // the pre-delete state still serves every row through the same sidecar
+    FileStats.readSkipping(spark, log, table, "k", 500, 1500, asOf = Some(preDelete))
+      .where(col("k").between(500, 1500)).count() shouldBe 1001L
+  }
+
   test("an empty surviving file set degrades to zero rows with the table schema") {
     val (table, log) = rangeClusteredTable()
     FileStats.writeZoneMaps(spark, log, table, Seq("k"))
