@@ -87,7 +87,11 @@ private[spark] object GraftMaintenanceSql {
   // neither alternative, so the whole statement falls through to the stock
   // parser and fails loudly instead of silently rewriting the table
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
+  // `WHERE` accepts a conjunction of partition-column equalities (the Delta
+  // contract — OPTIMIZE scoping is partition-granular by nature); anything
+  // else refuses loudly at execution
+  private val WhereEq = """(?is)\s*(\w+)\s*=\s*(?:'([^']*)'|(\w+))\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   // RESTORE TABLE t TO VERSION AS OF '<ref-or-commit-id>' (Delta spelling);
@@ -120,11 +124,19 @@ private[spark] object GraftMaintenanceSql {
         keepLast = Option(keep).filterNot(_ => hours).map(_.toInt),
         retainHours = Option(keep).filter(_ => hours).map(_.toLong),
         graceMinutes = Option(grace).map(_.toLong)))
-    case OptimizeStmt(ident, cols) if isGraftCatalogRef(split(ident)) =>
+    case OptimizeStmt(ident, where, cols) if isGraftCatalogRef(split(ident)) =>
+      val scope = Option(where).map { w =>
+        w.split("(?i)\\s+AND\\s+").toSeq.map {
+          case WhereEq(k, quoted, bare) => k -> Option(quoted).getOrElse(bare)
+          case other => sys.error(
+            s"OPTIMIZE ... WHERE accepts partition-column equalities only, got: $other")
+        }
+      }.getOrElse(Nil)
       Some(GraftOptimizeCommand(
         split(ident),
         Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        scope))
     case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRestoreCommand(
         split(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
@@ -167,9 +179,16 @@ private[spark] object GraftMaintenanceSql {
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (cols)]` — one versioned compaction commit. */
+/** `OPTIMIZE t [WHERE <partition equalities>] [ZORDER BY (cols)]` — one
+  * versioned compaction commit. `WHERE` scopes the rewrite to the matching
+  * partitions (the 100 TB posture: OPTIMIZE the hot partitions, not the
+  * table); their deletion vectors are shed, untouched partitions keep
+  * their version pointers. A predicate matching nothing is a no-op (0
+  * changes, no commit). */
 final case class GraftOptimizeCommand(
-    parts: Seq[String], zorderCols: Seq[String]) extends LeafRunnableCommand {
+    parts: Seq[String],
+    zorderCols: Seq[String],
+    whereScope: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
@@ -178,16 +197,39 @@ final case class GraftOptimizeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val op = (if (zorderCols.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER") +
+      (if (whereScope.nonEmpty) " WHERE" else "")
+    val scope: Seq[graft.core.Partition] =
+      if (whereScope.isEmpty) Nil
+      else {
+        require(!defn.isSnapshot,
+          "OPTIMIZE ... WHERE requires a partitioned table")
+        val partCols = defn.partitionSchema.columns.map(_.name.toLowerCase).toSet
+        whereScope.foreach { case (k, _) =>
+          require(partCols.contains(k.toLowerCase),
+            s"OPTIMIZE ... WHERE accepts partition columns only; $k is not one " +
+              s"of [${defn.partitionSchema.columns.map(_.name).mkString(", ")}]")
+        }
+        val current = binding.log.currentVersion(defn.name) match {
+          case graft.core.PartitionedTableVersion(pvs) => pvs.keys.toSeq
+          case _                                       => Nil
+        }
+        current.filter(p => whereScope.forall { case (k, v) =>
+          p.columnValues.exists(cv =>
+            cv.column.name.equalsIgnoreCase(k) && cv.value == v)
+        })
+      }
+    if (whereScope.nonEmpty && scope.isEmpty) return Seq(Row(op, 0))
     val (_, changes) =
       if (zorderCols.isEmpty)
         Compaction.compact(
-          session, ctx, defn, UserId("sql"), UpdateMessage("OPTIMIZE (SQL)"))
+          session, ctx, defn, UserId("sql"), UpdateMessage(s"$op (SQL)"),
+          partitions = scope)
       else
         ZOrder.zorderCompact(
           session, ctx, defn, UserId("sql"),
-          UpdateMessage(s"OPTIMIZE ZORDER (SQL) by ${zorderCols.mkString(",")}"),
-          zorderCols)
-    val op = if (zorderCols.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER"
+          UpdateMessage(s"$op (SQL) by ${zorderCols.mkString(",")}"),
+          zorderCols, partitions = scope)
     Seq(Row(op, changes.operations.size))
   }
 }

@@ -71,6 +71,12 @@ object ZOrder {
     * files, each owning a compact Z-curve segment. Partitioned tables: one
     * writer per Hive partition (like [[Compaction.compact]]) with rows
     * z-sorted WITHIN each partition, clustering at row-group granularity. */
+  /** `partitions`: when non-empty, a PARTITION-SCOPED Z-order — only those
+    * partitions are read and re-clustered (OPTIMIZE the hot partitions);
+    * untouched partitions keep their version pointers, and the rewritten
+    * partitions' deletion vectors are shed via
+    * [[DeletionVectors.absorbStale]]. Z-value ranges are computed over the
+    * SCOPED data, which is what clusters it best. */
   def zorderCompact(
       spark: SparkSession,
       ctx: VersionContext,
@@ -79,13 +85,20 @@ object ZOrder {
       message: UpdateMessage,
       zorderCols: Seq[String],
       numFiles: Int = 8,
-      bits: Int = 16): (TableVersion, TableChanges) = {
+      bits: Int = 16,
+      partitions: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
     require(zorderCols.nonEmpty, "zorder needs at least one column")
     require(numFiles > 0, "numFiles must be positive")
+    require(partitions.isEmpty || !table.isSnapshot,
+      "partition-scoped Z-order requires a partitioned table")
     // DV-aware (like Compaction): the Z-order rewrite must not resurrect
     // merge-on-read-deleted rows into the clustered files
     val current = ColumnMapping.applyLogical(
-      DeletionVectors.read(spark, ctx.metastore.tableVersions, table),
+      if (partitions.isEmpty)
+        DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+      else
+        DeletionVectors.readPartitions(
+          spark, ctx.metastore.tableVersions, table, partitions),
       spark, ctx.metastore.tableVersions, table, None)
     val z = zvalue(ranges(current, zorderCols), bits)
     val packed =

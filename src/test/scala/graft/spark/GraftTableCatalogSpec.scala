@@ -593,6 +593,33 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT sum(id) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 820L
     log.updates(table.name).head.message.content should include("ZORDER")
 
+    // OPTIMIZE ... WHERE: partition-scoped — only the named partition's
+    // pointer moves, the other keeps its version
+    val beforeScoped = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    // re-fragment just the 'even' partition so the scoped rewrite has work
+    rows.filter(_.label == "even").toDS().repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("refragment even"))
+    spark.sql("OPTIMIZE graftcat.cdb.maint WHERE label = 'even'").collect()
+    val afterScoped = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    val odd = Partition(ColumnValue(PartitionColumn("label"), "odd"))
+    afterScoped(odd) shouldBe beforeScoped(odd) // untouched partition pinned
+    filesPerPartition("label=even") shouldBe 1
+    spark.sql("SELECT count(*) FROM graftcat.cdb.maint").head.getLong(0) shouldBe 40L
+    // a no-match predicate is a no-op: no commit lands
+    val headBefore = log.updates(table.name).head.id
+    spark.sql("OPTIMIZE graftcat.cdb.maint WHERE label = 'nope'").collect()
+    log.updates(table.name).head.id shouldBe headBefore
+    // non-partition columns refuse loudly
+    intercept[Exception](
+      spark.sql("OPTIMIZE graftcat.cdb.maint WHERE id = '3'").collect())
+      .getMessage should include("partition columns only")
+
     // VACUUM RETAIN n HOURS (wall-clock retention, the Delta spelling):
     // every commit here was recorded seconds ago, so a 1000-hour window
     // retains them all — nothing is reclaimed even at zero grace
@@ -631,7 +658,8 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val hist = spark.sql("DESCRIBE HISTORY graftcat.cdb.maint").collect()
     hist.length shouldBe log.updates(table.name).size
     hist.map(_.getInt(0)).toSeq shouldBe (hist.length to 1 by -1)
-    hist.head.getString(4) should include("ZORDER") // newest commit (vacuum is GC, not a commit)
+    // newest commit is the scoped OPTIMIZE (vacuum is GC, not a commit)
+    hist.head.getString(4) should include("OPTIMIZE WHERE")
     hist.last.getString(4) shouldBe "init"
 
     // parameterized SQL must keep its bind context through the wrapper
