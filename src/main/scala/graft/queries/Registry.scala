@@ -317,6 +317,14 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items,
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q70_dv_maintenance" -> Entry(
+      Versioned.q70DvMaintenance,
+      // every maintenance step (scoped OPTIMIZE absorb, tombstones,
+      // squash) must be row-invisible beyond the three deletes themselves
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_orderkey % 10 NOT IN (0, 1, 2)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q67_dv_change_feed" -> Entry(
       Versioned.q67DvChangeFeed,
       // the feed spanning a partition rewrite AND a deletion-vector delete

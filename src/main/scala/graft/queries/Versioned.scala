@@ -1359,4 +1359,59 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("qty"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q70: the DELETION-VECTOR MAINTENANCE lifecycle — the round-13
+    * scale-story end-to-end, oracle-checked: scattered DV deletes land in
+    * per-file-grouped sidecars; a PARTITION-SCOPED OPTIMIZE of 'R' sheds
+    * exactly its vectors ([[graft.spark.DeletionVectors.absorbStale]]
+    * tombstones — asserted: the resolved pair set shrinks to the
+    * untouched partitions'); `squashSidecars` folds the remaining groups
+    * into ONE contributing dir (asserted) so reads open O(1) sidecars; a
+    * further delete composes on top. The oracle recomputes the final
+    * logical state relationally — every maintenance step must be
+    * row-invisible beyond the deletes themselves. */
+  def q70DvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.DeletionVectors
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_dvm", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_dvm"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+
+    // two scattered deletes: every partition's files gain vectors
+    DeletionVectors.delete(
+      ctx, log, table, col("l_orderkey") % 10 === 0, user, UpdateMessage("dv1"))
+    DeletionVectors.delete(
+      ctx, log, table, col("l_orderkey") % 10 === 1, user, UpdateMessage("dv2"))
+
+    // partition-scoped OPTIMIZE of 'R': physically absorbs its vectors,
+    // tombstones its dead groups — the untouched partitions' pairs remain
+    val rPart = Partition(ColumnValue(PartitionColumn("l_returnflag"), "R"))
+    graft.spark.Compaction.compact(
+      s, ctx, table, user, UpdateMessage("optimize R"), partitions = Seq(rPart))
+    val pairs = DeletionVectors.resolvePairs(s, log, table, None)
+      .map(_.select("file").distinct().collect().map(_.getString(0)).toList)
+      .getOrElse(Nil)
+    require(pairs.nonEmpty && pairs.forall(!_.contains("/l_returnflag=R/")),
+      "the scoped rewrite must shed exactly the R partition's vectors")
+
+    // squash: one contributing dir serves every subsequent read
+    require(DeletionVectors.squashSidecars(s, log, table),
+      "multiple sidecar dirs expected before the squash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, s.sessionState.newHadoopConf())
+    require(DeletionVectors.liveSidecarDirs(fs, log, table, None).sizeIs == 1,
+      "squash must fold the contributing dirs to one")
+
+    // a further delete composes on the squashed layout
+    DeletionVectors.delete(
+      ctx, log, table, col("l_orderkey") % 10 === 2, user, UpdateMessage("dv3"))
+
+    DeletionVectors.read(s, log, table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

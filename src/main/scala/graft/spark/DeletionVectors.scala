@@ -101,7 +101,7 @@ object DeletionVectors {
     * `_squashed` sidecar (included — it carries the complete state). The
     * walk is O(#commits) driver-side existence checks — metadata-scale,
     * same bound as partition discovery. */
-  private[spark] def liveSidecarDirs(
+  private[graft] def liveSidecarDirs(
       fs: org.apache.hadoop.fs.FileSystem,
       log: TableVersions,
       table: TableDefinition,
@@ -152,7 +152,7 @@ object DeletionVectors {
     * metadata-sized next to the data they annotate; the latest-wins window
     * runs distributed and AQE broadcasts the result into the scan
     * anti-join when small. */
-  private[spark] def resolvePairs(
+  private[graft] def resolvePairs(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
