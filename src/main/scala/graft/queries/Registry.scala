@@ -317,6 +317,22 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items,
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q71_feed_incremental_agg" -> Entry(
+      Versioned.q71FeedIncrementalAgg,
+      // delta-maintained aggregate == full recompute of the final state
+      // (A minus its DV-hidden rows, N untouched, R as rewritten)
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'A' AND l_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'N'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q70_dv_maintenance" -> Entry(
       Versioned.q70DvMaintenance,
       // every maintenance step (scoped OPTIMIZE absorb, tombstones,

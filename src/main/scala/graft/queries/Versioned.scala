@@ -1414,4 +1414,56 @@ object Versioned {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q71: incremental AGGREGATE maintenance from the change feed's SIGNED
+    * DELTAS — the consumer pattern the row-level feed unlocks (q42's
+    * partition-recompute cannot even SEE a DV delete; it now refuses):
+    * the maintained aggregate is updated by `group → (Σ±1, Σ±qty)` deltas
+    * computed from the feed — O(changed rows) work, no partition
+    * re-scan — and must equal the full recompute (the oracle) exactly.
+    * Here the changes span BOTH feed sources: a partition rewrite (old
+    * rows delete / new rows insert) and a scattered DV delete in an
+    * untouched partition. Counts and sums are exact integers/decimals, so
+    * incremental == full is bit-checkable. */
+  def q71FeedIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_cdfagg", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_cdfagg"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1 = log.updates(table.name).head.id
+
+    // the maintained aggregate, built once from v1
+    val base = graft.spark.VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+
+    // changes: rewrite R, DV-delete scattered rows of A
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table,
+      col("l_returnflag") === "A" && col("l_orderkey") % 7 === 0,
+      user, UpdateMessage("dv: scattered delete in A"))
+    val head = log.currentCommit(table.name)
+
+    // O(changed rows): signed per-group deltas straight off the feed
+    val feed = graft.spark.ChangeFeed.read(s, log, table, Some(v1), head)
+    val sign = when(
+      col(graft.spark.ChangeFeed.ChangeTypeCol) === graft.spark.ChangeFeed.Insert, lit(1L))
+      .otherwise(lit(-1L))
+    val deltas = feed.groupBy("l_returnflag")
+      .agg(
+        sum(sign).as("d_items"),
+        sum(sign * col("l_quantity")).as("d_qty"))
+    base.join(deltas, Seq("l_returnflag"), "full_outer")
+      .select(
+        col("l_returnflag"),
+        (coalesce(col("n_items"), lit(0L)) + coalesce(col("d_items"), lit(0L))).as("n_items"),
+        round(coalesce(col("sum_qty"), lit(0.0)) + coalesce(col("d_qty"), lit(0.0)), 2).as("sum_qty"))
+      .where(col("n_items") > 0)
+      .orderBy("l_returnflag")
+  }
 }
