@@ -88,6 +88,85 @@ trait TableVersions {
     * construction and use plain [[commit]]. */
   def commitIf(table: TableName, update: TableUpdate, expected: CommitId): Boolean
 
+  /**
+   * Read-modify-write OCC commit with SEMANTIC conflict detection — the
+   * transaction discipline COW rewrites (MERGE / UPDATE / row-DELETE)
+   * need that [[commitIf]] alone cannot give them. A rewrite derives its
+   * output from the state it READ (`readCommit`); by commit time other
+   * writers may have appended. [[commit]] would silently clobber their
+   * work on shared partitions (lost update); bare [[commitIf]] would
+   * refuse even when the intervening commits touch DISJOINT partitions,
+   * serializing the whole table through one writer — at 1000 concurrent
+   * pipeline writers that is the difference between a working table and a
+   * retry storm. The Delta/Iceberg answer, replayed here: check the
+   * intervening commits' partition scope against ours; disjoint → REBASE
+   * (retry the CAS against the new head — our ops are still valid because
+   * partition pointer writes compose); overlapping → throw
+   * [[TableVersions.ConcurrentWriteException]] loudly so the caller
+   * re-reads and re-derives. Never a silent lost update, never a spurious
+   * serialization of independent writers.
+   *
+   * Conflict rules (scope of an update = what its ops touch):
+   *  - `AddTableVersion` / `InitTable` scope the WHOLE table (a snapshot
+   *    rewrite conflicts with any intervening commit, and vice versa);
+   *  - partition ops scope their partitions; two sets conflict iff they
+   *    intersect;
+   *  - an intervening commit with EMPTY ops is a metadata commit whose
+   *    row effect we cannot see from ops alone (deletion-vector deletes
+   *    commit this shape) — treated as whole-table, conservatively;
+   *  - a pointer that moved BACKWARDS past `readCommit` (rollback since
+   *    our read) conflicts: appending would resurrect what the operator
+   *    explicitly rolled back;
+   *  - DETACHED intervening commits don't conflict (no pointer-based fold
+   *    sees them until publish).
+   *
+   * Returns the new head commit id on success. O(intervening) metadata
+   * work per attempt; `maxRetries` bounds CAS contention loops. Throws
+   * [[TableVersions.ConcurrentWriteException]] on a semantic conflict and
+   * `unknownCommitId` if `readCommit` was checkpoint-folded away.
+   */
+  final def commitRebase(
+      table: TableName,
+      update: TableUpdate,
+      readCommit: CommitId,
+      maxRetries: Int = 8): CommitId = {
+    import TableVersions._
+    val mine = conflictScope(update.operations)
+    var attempts = 0
+    while (true) {
+      val state = tableState(table)
+      val idxRead = state.updates.indexWhere(_.metadata.id == readCommit)
+      if (idxRead < 0) throw unknownCommitId(readCommit)
+      val head = state.currentVersion
+      val idxHead = state.updates.indexWhere(_.metadata.id == head)
+      if (idxHead < idxRead)
+        throw new ConcurrentWriteException(
+          s"table ${table.fullyQualifiedName} was rolled back (current " +
+            s"${head.id} precedes the read state ${readCommit.id}); committing " +
+            "would resurrect the rolled-back commits — re-read and re-derive")
+      val intervening =
+        state.updates.slice(idxRead + 1, idxHead + 1).filterNot(_.metadata.detached)
+      intervening.foreach { u =>
+        val clash = (mine, conflictScope(u.operations)) match {
+          case (WholeTable, _) | (_, WholeTable) => true
+          case (Partitions(a), Partitions(b))    => a.exists(b)
+        }
+        if (clash)
+          throw new ConcurrentWriteException(
+            s"concurrent commit ${u.metadata.id.id} ('${u.metadata.message.content}') " +
+              s"on table ${table.fullyQualifiedName} overlaps this write's scope " +
+              s"($mine); derived from ${readCommit.id} — re-read and re-derive")
+      }
+      if (commitIf(table, update, head)) return update.metadata.id
+      attempts += 1
+      if (attempts > maxRetries)
+        throw new ConcurrentWriteException(
+          s"table ${table.fullyQualifiedName}: CAS lost $attempts times under " +
+            "contention; giving up (maxRetries exceeded)")
+    }
+    sys.error("unreachable")
+  }
+
   /** Move the current pointer to an existing PUBLISHED commit (rollback /
     * checkout). Errors on an unknown table or commit id, and on a DETACHED
     * (staged) commit — staged work enters the mainline only through
@@ -221,6 +300,38 @@ object TableVersions {
     final case class AddTableVersion(version: Version) extends TableOperation
     final case class AddPartitionVersion(partition: Partition, version: Version) extends TableOperation
     final case class RemovePartition(partition: Partition) extends TableOperation
+  }
+
+  /** Loud refusal of a read-modify-write commit whose read state was
+    * concurrently invalidated (see [[TableVersions.commitRebase]]). The
+    * caller's recovery is always the same: re-read the table, re-derive
+    * the rewrite, re-commit. */
+  final class ConcurrentWriteException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  /** What a commit's operations touch, for conflict detection. */
+  sealed trait ConflictScope
+  case object WholeTable extends ConflictScope {
+    override def toString: String = "whole-table"
+  }
+  final case class Partitions(set: Set[Partition]) extends ConflictScope {
+    override def toString: String =
+      set.toList.map(_.hivePath).sorted.mkString("partitions{", ", ", "}")
+  }
+
+  /** Scope of an op list: any whole-table op (or an EMPTY list — metadata
+    * commits like deletion-vector deletes whose row effect the ops don't
+    * express) scopes the whole table; else the touched partition set. */
+  def conflictScope(ops: List[TableOperation]): ConflictScope = {
+    import TableOperation._
+    if (ops.isEmpty || ops.exists {
+          case _: AddTableVersion | _: InitTable => true
+          case _                                 => false
+        }) WholeTable
+    else Partitions(ops.collect {
+      case AddPartitionVersion(p, _) => p
+      case RemovePartition(p)        => p
+    }.toSet)
   }
 
   /** A named ref into a table's commit history: a BRANCH is a movable

@@ -53,6 +53,18 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
     if (tableVersions.commitIf(table, update, expected)) Some(syncCatalog(table))
     else None
 
+  /** Read-modify-write OCC commit ([[TableVersions.commitRebase]]): rebase
+    * over disjoint-partition intervening commits, throw
+    * [[TableVersions.ConcurrentWriteException]] on overlap, then sync the
+    * catalog to the committed state. */
+  def commitRebase(
+      table: TableName,
+      update: TableUpdate,
+      readCommit: CommitId): (TableVersion, TableChanges) = {
+    tableVersions.commitRebase(table, update, readCommit)
+    syncCatalog(table)
+  }
+
   /** Select an existing PUBLISHED commit as current and sync the metastore
    * to match (rollback / checkout — reference `VersionedMetastore.scala:59-66`).
    * Errors on a staged (detached) commit — use [[publish]]. */

@@ -403,6 +403,17 @@ object Registry {
       Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
              |FROM part WHERE p_partkey IN (42, 1337)
              |ORDER BY p_partkey""".stripMargin)),
+    "q72_occ_rebase" -> Entry(
+      Versioned.q72OccRebase,
+      // each partition's final content = its LAST successful writer's
+      // filter; the refused stale rewrite leaves no trace
+      Some("""SELECT l_returnflag AS grp, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS total
+             |FROM lineitem
+             |WHERE (l_returnflag = 'A' AND l_quantity > 25)
+             |   OR (l_returnflag = 'N' AND l_quantity <= 25)
+             |   OR (l_returnflag = 'R' AND l_orderkey % 2 = 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q57_multi_writer" -> Entry(
       Versioned.q57MultiWriterConflict,
       // the surviving sequence: disjoint partition writers union; of the

@@ -999,6 +999,65 @@ object Versioned {
     *
     * The oracle replays the surviving sequence relationally: the union of
     * both partition writers, and the retry's snapshot contents. */
+  /** Q72: READ-MODIFY-WRITE OCC with semantic conflict detection
+    * ([[graft.core.TableVersions.commitRebase]]) — the transaction
+    * discipline COW rewrites need beyond q57's partition-compose and
+    * commitIf races. A rewrite derives from the state it read; by commit
+    * time other writers may have landed. The rebase commit checks the
+    * INTERVENING commits' partition scope against its own:
+    *  - DISJOINT → the commit REBASES onto the new head (both effects
+    *    survive — 1000 pipeline writers on distinct partitions never
+    *    serialize through conflicts);
+    *  - OVERLAPPING → loud [[graft.core.TableVersions.ConcurrentWriteException]]
+    *    and NOTHING committed — the lost-update window of a stale rewrite,
+    *    closed (plain commit would silently clobber the racer's write).
+    *
+    * The oracle replays the surviving rewrites relationally: each
+    * partition's final content is exactly the filter its LAST successful
+    * writer applied; the refused stale rewrite leaves no trace. */
+  def q72OccRebase(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_rb", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_rb"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: all partitions"))
+
+    // writer A derives a rewrite of partition A from this state...
+    val aRead = log.currentCommit(table.name)
+    // ...writer B lands a DISJOINT rewrite (partition N) first...
+    li.where(col("l_returnflag") === "N" && col("l_quantity") <= 25)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("writer-B: N := qty<=25"))
+    // ...and A's commit REBASES over it — both effects must survive
+    li.where(col("l_returnflag") === "A" && col("l_quantity") > 25)
+      .versionedInsertIntoRebase(
+        ctx, table, user, UpdateMessage("writer-A: A := qty>25 (rebased)"), aRead)
+    require(log.updates(table.name).head.message.content.startsWith("writer-A"),
+      "the rebased commit must land as head")
+
+    // a racer rewrites partition R, then a STALE rewrite of R (derived
+    // before the racer) must be refused loudly, committing nothing
+    val cRead = log.currentCommit(table.name)
+    li.where(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("racer: R := even keys"))
+    val refused =
+      try {
+        li.where(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 1)
+          .versionedInsertIntoRebase(
+            ctx, table, user, UpdateMessage("stale R rewrite"), cRead)
+        false
+      } catch { case _: TableVersions.ConcurrentWriteException => true }
+    require(refused, "a stale rewrite of a concurrently-rewritten partition must be refused")
+    require(log.updates(table.name).head.message.content.startsWith("racer"),
+      "the refused rewrite must leave the head (and the state) untouched")
+
+    VersionedReader(s, log).read(table)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("total"))
+      .orderBy("grp")
+  }
+
   def q57MultiWriterConflict(s: SparkSession, dir: String): DataFrame = {
     val logDir = Files.createTempDirectory("graft_q57_log")
     val log = JsonFileTableVersions(logDir.toString)

@@ -261,14 +261,21 @@ private[spark] object GraftDml {
 
   def column(e: Expression): Column = org.apache.spark.sql.GraftSqlShim.column(e)
 
+  /** Commit a COW rewrite derived from state `readCommit` with the
+    * [[graft.core.TableVersions.commitRebase]] discipline: rebase over
+    * concurrent disjoint-partition commits, refuse loudly on overlap. */
   def commit(
       defn: TableDefinition,
       binding: GraftTableCatalog.Binding,
       df: DataFrame,
-      message: String): Unit = {
+      message: String,
+      readCommit: graft.core.TableVersions.CommitId,
+      alsoRemove: Seq[graft.core.Partition] = Nil): Unit = {
     import graft.spark.VersionContext.DatasetVersionOps
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    df.versionedInsertInto(ctx, defn, UserId("sql"), UpdateMessage(message))
+    df.versionedInsertIntoRebase(
+      ctx, defn, UserId("sql"), UpdateMessage(message), readCommit,
+      alsoRemove = alsoRemove)
     ()
   }
 }
@@ -349,6 +356,8 @@ final case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val cond = condition.map(d => GraftDml.column(d.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // the state this rewrite derives from (rebase discipline)
+    val readCommit = binding.log.currentCommit(defn.name)
     // DV-aware + column-mapped: rewriting from a raw read would resurrect
     // hidden rows / break against logical column references
     val current = ColumnMapping.applyLogical(
@@ -374,7 +383,7 @@ final case class GraftUpdateCommand(
         case None    => col(c)
       }
     }: _*)
-    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)")
+    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)", readCommit)
     Seq.empty
   }
 }
@@ -383,12 +392,11 @@ final case class GraftUpdateCommand(
   * matching rows WITHOUT those rows; untouched partitions keep their
   * version. (Partition-value-only deletes never reach here — they stay on
   * the metadata-only RemovePartition path.) A partition whose EVERY row
-  * matched produces no surviving rows — the write leaves its pointer
-  * unmoved, so a follow-up metadata-only commit removes it (same
-  * two-commit pattern as SQL INSERT OVERWRITE's prune, same transient
-  * window the reference's non-atomic commit→sync already exposes).
-  * Reading `current` twice is safe here: it scans immutable version dirs,
-  * not a re-runnable source query. */
+  * matched produces no surviving rows — its `RemovePartition` op rides
+  * the same atomic rebase-checked commit (`alsoRemove`), so there is no
+  * window where the emptied partition still serves its rows and no racer
+  * can resurrect it unnoticed. Reading `current` twice is safe here: it
+  * scans immutable version dirs, not a re-runnable source query. */
 final case class GraftDeleteCommand(
     defn: TableDefinition,
     binding: GraftTableCatalog.Binding,
@@ -398,6 +406,8 @@ final case class GraftDeleteCommand(
     import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
     import graft.core.TableVersions.{TableOperation, TableUpdate}
     val cond = GraftDml.column(condition.expr)
+    // the state this rewrite derives from (rebase discipline)
+    val readCommit = binding.log.currentCommit(defn.name)
     // DV-aware + column-mapped (see GraftUpdateCommand)
     val current = ColumnMapping.applyLogical(
       DeletionVectors.read(session, binding.log, defn),
@@ -410,7 +420,7 @@ final case class GraftDeleteCommand(
         defn, binding,
         current.where(!org.apache.spark.sql.functions.coalesce(
           cond, org.apache.spark.sql.functions.lit(false))),
-        "DELETE (SQL)")
+        "DELETE (SQL)", readCommit)
       return Seq.empty
     }
     val partCols = defn.partitionSchema.columns
@@ -434,24 +444,15 @@ final case class GraftDeleteCommand(
       case PartitionedTableVersion(pvs) => pvs
       case other                        => sys.error(s"row-level delete does not apply to $other")
     }
+    // fully-emptied partitions produce no staged dir; their RemovePartition
+    // ops ride the SAME rebase-checked commit (alsoRemove) — one atomic
+    // commit, no transient window serving the deleted rows, and the
+    // emptied partitions sit in the conflict scope
     GraftDml.commit(
       defn, binding,
       scope.where(!org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false))),
-      "DELETE (SQL)")
-    // fully-emptied partitions wrote nothing — their pointers didn't move;
-    // drop them in a metadata-only follow-up commit
-    val after = binding.log.currentVersion(defn.name) match {
-      case PartitionedTableVersion(pvs) => pvs
-      case other                        => sys.error(s"unexpected $other")
-    }
-    val emptied = touched.filter(p => before.get(p) == after.get(p))
-    if (emptied.nonEmpty) {
-      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
-        UserId("sql"), UpdateMessage("DELETE prune (SQL)"), java.time.Instant.now(),
-        emptied.map(TableOperation.RemovePartition(_))))
-      ()
-    }
+      "DELETE (SQL)", readCommit, alsoRemove = touched.filter(before.contains))
     Seq.empty
   }
 }

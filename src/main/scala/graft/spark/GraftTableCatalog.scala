@@ -645,38 +645,25 @@ private[spark] object GraftV2Table {
             allowMissingColumns = true),
             Some(cached))
       }
-    val beforeWrite: Map[Partition, Version] =
-      binding.log.currentVersion(defn.name) match {
-        case PartitionedTableVersion(pvs) => pvs
-        case _                            => Map.empty
-      }
-    val (afterWrite, _) =
-      try toWrite.versionedInsertInto(ctx, defn, UserId("sql"), message)
-      finally pinned.foreach { df => df.unpersist(); () }
-    if (overwrite && !defn.isSnapshot) {
-      // SQL INSERT OVERWRITE is a STATIC whole-table replace: partitions
-      // absent from the new data must go too (the Scala API's
-      // versionedInsertInto keeps Hive-style replace-touched-only
-      // semantics). The untouched set comes from the COMMIT METADATA — a
-      // partition whose version the write did not move — never from
-      // re-evaluating `data`, which would re-run the source query and,
-      // for a non-deterministic source, prune partitions the write just
-      // created. The prune is a second, metadata-only commit — readers
-      // between the two see the same transient merged state the
-      // reference's non-atomic commit→metastore sync already exposes.
-      val stale = afterWrite match {
-        case PartitionedTableVersion(afterPvs) =>
-          afterPvs.collect {
-            case (p, v) if beforeWrite.get(p).contains(v) => p
-          }.toList
-        case _ => Nil
-      }
-      if (stale.nonEmpty) {
-        ctx.metastore.commit(defn.name, TableUpdate(
-          UserId("sql"), UpdateMessage("INSERT OVERWRITE prune (SQL)"),
-          java.time.Instant.now(), stale.map(TableOperation.RemovePartition(_))))
-      }
-    }
+    // SQL INSERT OVERWRITE is a STATIC whole-table replace: partitions
+    // absent from the new data must go too (the Scala API's
+    // versionedInsertInto keeps Hive-style replace-touched-only
+    // semantics). The doomed set is every CURRENT partition; alsoRemove
+    // drops the ones the write job did NOT produce — decided from the
+    // staged-output ops, never from re-evaluating `data` (a
+    // non-deterministic source re-run could disagree with what was
+    // written) — in the SAME commit: one atomic replace, no transient
+    // merged state between a write and a follow-up prune.
+    val doomed: Seq[Partition] =
+      if (overwrite && !defn.isSnapshot)
+        binding.log.currentVersion(defn.name) match {
+          case PartitionedTableVersion(pvs) => pvs.keys.toList
+          case _                            => Nil
+        }
+      else Nil
+    try toWrite.versionedInsertInto(
+      ctx, defn, UserId("sql"), message, alsoRemove = doomed)
+    finally pinned.foreach { df => df.unpersist(); () }
     ()
   }
 }

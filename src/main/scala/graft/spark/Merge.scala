@@ -54,6 +54,11 @@ object Merge {
       keyCols.forall(source.columns.contains),
       s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
     val spark = source.sparkSession
+    // the state this rewrite derives from: the commit below REBASES over
+    // concurrent disjoint-partition commits and refuses loudly if anything
+    // landed on the partitions being rewritten (the lost-update window
+    // between this read and the commit, closed)
+    val readCommit = log.currentCommit(table.name)
     // persist across touched-partition discovery and the final write: a
     // non-deterministic source re-evaluated between the two could touch
     // partitions the discovery never saw (same guard as SQL INSERT INTO)
@@ -85,7 +90,7 @@ object Merge {
         else current.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
       kept.select(cols: _*)
         .unionByName(src)
-        .versionedInsertInto(ctx, table, userId, message, txn)
+        .versionedInsertIntoRebase(ctx, table, userId, message, readCommit, txn)
       ()
     } finally { src.unpersist(); () }
   }
@@ -132,9 +137,9 @@ object Merge {
     * (any partition may hold unmatched rows — the same full scan Delta
     * pays for it), but still rewrites only affected partitions.
     *
-    * Fully-deleted partitions produce no surviving rows, so their pointers
-    * don't move on the data write; a metadata-only follow-up commit removes
-    * them (the SQL DELETE pattern). Duplicate source keys are rejected —
+    * Fully-deleted partitions produce no surviving rows; their
+    * `RemovePartition` ops ride the same atomic rebase-checked commit
+    * (`alsoRemove`). Duplicate source keys are rejected —
     * one target row matching two source rows is ambiguous under UPDATE.
     *
     * `emptySchema`: the table's declared schema, used only when merging
@@ -169,6 +174,8 @@ object Merge {
     }
 
     val spark = source.sparkSession
+    // the state this rewrite derives from (rebase discipline, see mergeInto)
+    val readCommit = log.currentCommit(table.name)
     val src = source.persist()
     val acted =
       try {
@@ -305,7 +312,7 @@ object Merge {
         if (!actioned.isEmpty) {
           acted.where(col("__action") =!= "del" && col("__action") =!= "skip")
             .select(outSchema.map(projected): _*)
-            .versionedInsertInto(ctx, table, userId, message)
+            .versionedInsertIntoRebase(ctx, table, userId, message, readCommit)
           ()
         }
       } else {
@@ -339,24 +346,18 @@ object Merge {
             case _ if neverWritten            => Map.empty[Partition, Version]
             case other                        => sys.error(s"unexpected $other")
           }
-          result.versionedInsertInto(ctx, table, userId, message)
-          // fully-deleted partitions wrote nothing — pointers unmoved;
-          // remove them in a metadata-only follow-up commit
-          val after = log.currentVersion(table.name) match {
-            case PartitionedTableVersion(pvs) => pvs
-            case other                        => sys.error(s"unexpected $other")
-          }
+          // fully-deleted partitions produce no staged dir, so the write
+          // alone would leave their pointers unmoved; alsoRemove folds
+          // their RemovePartition ops into the SAME commit — one atomic
+          // rebase-checked commit, no transient emptied-partition window,
+          // and the emptied partitions sit in the conflict scope (a racer
+          // deriving from the pre-merge state cannot resurrect them)
           val affectedParts = affected.map(r => Partition(
             table.partitionSchema.columns.zipWithIndex.map { case (c, i) =>
               ColumnValue(c, r.getString(i)) })).toList
-          val emptied = affectedParts.filter(p =>
-            before.contains(p) && before.get(p) == after.get(p))
-          if (emptied.nonEmpty) {
-            ctx.metastore.commit(table.name, TableVersions.TableUpdate(
-              userId, UpdateMessage(s"${message.content} prune"), java.time.Instant.now(),
-              emptied.map(TableVersions.TableOperation.RemovePartition(_))))
-            ()
-          }
+          val emptiable = affectedParts.filter(before.contains)
+          result.versionedInsertIntoRebase(
+            ctx, table, userId, message, readCommit, alsoRemove = emptiable)
         }
       }
     } finally { acted.unpersist(); src.unpersist(); () }

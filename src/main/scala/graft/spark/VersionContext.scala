@@ -55,13 +55,23 @@ object VersionContext {
         table: TableDefinition,
         userId: UserId,
         message: UpdateMessage,
-        txn: Option[TableVersions.StreamTxn] = None): (TableVersion, TableChanges) = {
+        txn: Option[TableVersions.StreamTxn] = None,
+        alsoRemove: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
       val version = ctx.newVersion()
       val mapped = mappedForWrite(ds, ctx, table)
-      val ops =
+      val written =
         if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
         else writePartitioned(mapped, table, version)
-      val update = TableUpdate(userId, message, Instant.now(), ops, txn)
+      // alsoRemove: partitions to drop in the SAME commit unless the job
+      // wrote them (static INSERT OVERWRITE's stale set, a DELETE's fully
+      // emptied partitions) — one atomic commit instead of a write +
+      // follow-up-prune pair with its transient merged-state window
+      val present = written.collect {
+        case TableOperation.AddPartitionVersion(p, _) => p
+      }.toSet
+      val removes = alsoRemove.distinct.filterNot(present)
+        .map(TableOperation.RemovePartition(_)).toList
+      val update = TableUpdate(userId, message, Instant.now(), written ++ removes, txn)
       ctx.metastore.commit(table.name, update)
     }
 
@@ -101,6 +111,52 @@ object VersionContext {
       val log = ctx.metastore.tableVersions
       log.commitDetached(table.name, update)
       log.setRef(table.name, branch, update.metadata.id)
+      update.metadata.id
+    }
+
+    /** COW-rewrite commit discipline ([[TableVersions.commitRebase]]):
+      * the dataset is this writer's REWRITE of state `readCommit`; the
+      * data lands as ordinary invisible version dirs, then the commit
+      * rebases over intervening disjoint-partition commits and throws
+      * [[TableVersions.ConcurrentWriteException]] when an intervening
+      * commit overlaps the rewritten scope — the MERGE/UPDATE lost-update
+      * window closed without serializing independent partition writers.
+      * On conflict the fresh dirs stay unreferenced (vacuum reclaims).
+      *
+      * `alsoRemove`: partitions the rewrite meant to touch that may end up
+      * with NO surviving rows (a DELETE that empties a partition, a MERGE
+      * whose every clause deleted). The write job produces no dir for
+      * them, so their `RemovePartition` ops ride THIS commit — one atomic
+      * commit instead of the write + follow-up-prune pair, which (a)
+      * closes the transient window where the emptied partition still
+      * served its old rows and (b) puts the emptied partitions in the
+      * commit's CONFLICT SCOPE, so a concurrent rebase deriving from the
+      * pre-delete state cannot silently resurrect them. Partitions the
+      * job did write are filtered out (their Add op wins). */
+    def versionedInsertIntoRebase(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage,
+        readCommit: TableVersions.CommitId,
+        txn: Option[TableVersions.StreamTxn] = None,
+        alsoRemove: Seq[Partition] = Nil): TableVersions.CommitId = {
+      val version = ctx.newVersion()
+      val mapped = mappedForWrite(ds, ctx, table)
+      val written =
+        if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
+        else writePartitioned(mapped, table, version)
+      val present = written.collect {
+        case TableOperation.AddPartitionVersion(p, _) => p
+      }.toSet
+      val removes = alsoRemove.distinct.filterNot(present)
+        .map(TableOperation.RemovePartition(_)).toList
+      val ops = written ++ removes
+      // nothing written, nothing removed: committing an EMPTY-ops update
+      // would be a junk history entry with whole-table conflict scope
+      if (ops.isEmpty) return readCommit
+      val update = TableUpdate(userId, message, Instant.now(), ops, txn)
+      ctx.metastore.commitRebase(table.name, update, readCommit)
       update.metadata.id
     }
 

@@ -159,6 +159,98 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     (1 to n).foreach(i => msgs.count(_.startsWith(s"w$i-")) shouldBe 1)
   }
 
+  test(s"$implName: commitRebase rebases over disjoint partitions, refuses overlap/rollback/empty-ops, loudly") {
+    val log = newLog()
+    initPartitioned(log)
+    val (pa, pb, pc) = (p("2024-01-01"), p("2024-01-02"), p("2024-01-03"))
+    addPartitions(log, pa -> v(), pb -> v())
+    val readAt = log.currentCommit(tbl)
+
+    // an intervening DISJOINT-partition commit lands...
+    val theirs = addPartitions(log, pb -> v())
+    // ...and a rewrite of pa derived from readAt REBASES over it
+    val mineV = v()
+    val mine = TableUpdate(who, msg("rewrite-pa"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pa, mineV)))
+    log.commitRebase(tbl, mine, readAt) shouldBe mine.metadata.id
+    log.currentCommit(tbl) shouldBe mine.metadata.id
+    // both effects survive: theirs on pb, ours on pa
+    val folded = log.currentVersion(tbl).asInstanceOf[PartitionedTableVersion].partitionVersions
+    folded(pa) shouldBe mineV
+    folded(pb) shouldBe theirs.operations.collectFirst {
+      case TableOperation.AddPartitionVersion(`pb`, vv) => vv }.get
+
+    // OVERLAPPING scope: someone rewrote pa after our read → loud conflict
+    val readAt2 = log.currentCommit(tbl)
+    addPartitions(log, pa -> v())
+    val stale = TableUpdate(who, msg("stale-pa"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pa, v())))
+    a[ConcurrentWriteException] should be thrownBy log.commitRebase(tbl, stale, readAt2)
+    // the refusal changed nothing
+    log.updates(tbl).head.message.content shouldBe "add"
+
+    // WHOLE-TABLE scope on either side conflicts: an intervening
+    // EMPTY-ops commit (deletion-vector delete shape) blocks any rebase
+    val readAt3 = log.currentCommit(tbl)
+    log.commit(tbl, TableUpdate(who, msg("dv-delete"), Instant.now(), Nil))
+    val disjoint = TableUpdate(who, msg("rewrite-pc"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pc, v())))
+    a[ConcurrentWriteException] should be thrownBy log.commitRebase(tbl, disjoint, readAt3)
+
+    // ROLLBACK since read: appending would resurrect the rolled-back tail
+    val readAt4 = log.currentCommit(tbl)
+    log.setCurrentVersion(tbl, readAt3)
+    a[ConcurrentWriteException] should be thrownBy log.commitRebase(tbl, TableUpdate(
+      who, msg("after-rollback"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pc, v()))), readAt4)
+
+    // head == readCommit degenerates to a plain OCC commit
+    val head = log.currentCommit(tbl)
+    val ok = TableUpdate(who, msg("plain"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pc, v())))
+    log.commitRebase(tbl, ok, head) shouldBe ok.metadata.id
+  }
+
+  test(s"$implName: commitRebase ignores DETACHED intervening commits (staged work conflicts with nobody)") {
+    val log = newLog()
+    initPartitioned(log)
+    val pa = p("2024-01-01")
+    addPartitions(log, pa -> v())
+    val readAt = log.currentCommit(tbl)
+    // a staged (branch) commit on the SAME partition lands after our read —
+    // no pointer-based fold sees it, so the rebase must not conflict
+    log.commitDetached(tbl, TableUpdate(who, msg("staged-pa"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pa, v()))))
+    val mine = TableUpdate(who, msg("rewrite-pa"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(pa, v())))
+    log.commitRebase(tbl, mine, readAt) shouldBe mine.metadata.id
+  }
+
+  test(s"$implName: commitRebase under contention — disjoint writers all land, same-partition lost updates impossible") {
+    val log = newLog()
+    initPartitioned(log)
+    val base = log.currentCommit(tbl)
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // every writer derived from the SAME base state but touches its
+            // own partition: all must land via rebase, none may conflict
+            log.commitRebase(tbl, TableUpdate(who, msg(s"writer-$i"), Instant.now(),
+              List(TableOperation.AddPartitionVersion(p(f"2024-02-$i%02d"), v()))),
+              base, maxRetries = 64)
+            ()
+          }
+        })
+      }.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally { pool.shutdown(); () }
+    val folded = log.currentVersion(tbl).asInstanceOf[PartitionedTableVersion].partitionVersions
+    folded.keySet.size shouldBe n // no writer lost
+    log.updates(tbl).size shouldBe n + 1
+  }
+
   test(s"$implName: setCurrentVersion rolls back, and versionAt time-travels without mutation") {
     val log = newLog()
     initSnapshot(log)

@@ -132,10 +132,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT id FROM graftcat.cdb.dml_part ORDER BY id")
       .as[Long].collect() shouldBe Array(9L)
 
-    // every DML effect is a commit — all time-travelable (the static
-    // overwrite is two: the write plus the metadata-only prune)
-    log.updates(table.name) should have size 5
-    val appendCommit = log.updates(table.name)(2).id
+    // every DML effect is ONE commit — all time-travelable; the static
+    // overwrite's prune of untouched partitions rides the same atomic
+    // commit (write ops + RemovePartition ops together, no transient
+    // merged state between a write and a follow-up prune)
+    log.updates(table.name) should have size 4
+    val overwriteOps = log.currentVersion(table.name)
+    overwriteOps.asInstanceOf[PartitionedTableVersion].partitionVersions.keySet shouldBe Set(p2)
+    val appendCommit = log.updates(table.name)(1).id
     spark.sql(
       s"SELECT id FROM graftcat.cdb.dml_part VERSION AS OF '${appendCommit.id}' ORDER BY id")
       .as[Long].collect() shouldBe Array(1L, 2L, 3L)

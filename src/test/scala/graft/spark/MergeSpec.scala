@@ -252,4 +252,60 @@ class MergeSpec extends AnyFunSuite with Matchers {
     byId(3L).getDouble(byId(3L).fieldIndex("score")) shouldBe 0.5
     byId.keySet shouldBe Set(1L, 3L) // v2 overwrote the whole 01-02 partition
   }
+
+  test("a COW rewrite rebases over a disjoint intervening commit and refuses an overlapping one") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("rebase")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // writer A derives a rewrite of 01-01 from this state...
+    val readAt = log.currentCommit(table.name)
+    // ...writer B lands on the DISJOINT 01-02 first...
+    Seq(Event(3, "c", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("writer-B"))
+    // ...and A's commit REBASES instead of losing or refusing
+    Seq(Event(1, "a2", "2024-01-01"))
+      .toDS().versionedInsertIntoRebase(
+        ctx, table, user, UpdateMessage("writer-A rebased"), readAt)
+    val rows = VersionedReader(spark, log).read(table).as[Event].collect().sortBy(_.id)
+    rows.map(_.kind).toSeq shouldBe Seq("a2", "c") // B replaced 01-02 wholesale, A rewrote 01-01
+
+    // an intervening commit on the SAME partition the rewrite touches
+    // must refuse loudly — the lost-update window, closed
+    val readAt2 = log.currentCommit(table.name)
+    Seq(Event(9, "x", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("racer"))
+    a[TableVersions.ConcurrentWriteException] should be thrownBy {
+      Seq(Event(1, "stale", "2024-01-01"))
+        .toDS().versionedInsertIntoRebase(
+          ctx, table, user, UpdateMessage("stale rewrite"), readAt2)
+    }
+    // the refusal committed nothing
+    log.updates(table.name).head.message.content shouldBe "racer"
+  }
+
+  test("a conditional MERGE that empties a partition removes it in ONE atomic commit") {
+    val (ctx, log) = freshContext()
+    val table = partitionedTable("merge_empty")
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val commitsBefore = log.updates(table.name).size
+
+    // WHEN MATCHED THEN DELETE with a source covering all of 01-02
+    Merge.mergeConditional(
+      ctx, log, table,
+      Seq(Event(2, "b", "2024-01-02")).toDF(), Seq("id"),
+      matched = Seq(Merge.WhenMatched(None, None)), notMatched = Nil,
+      userId = user, message = UpdateMessage("delete-02"))
+
+    // exactly one commit: the RemovePartition op rides the rewrite commit
+    log.updates(table.name).size shouldBe commitsBefore + 1
+    val folded = log.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    folded.keySet.map(_.hivePath) shouldBe Set("date=2024-01-01")
+    VersionedReader(spark, log).read(table).as[Event].collect().map(_.id).toSeq shouldBe Seq(1L)
+  }
 }
