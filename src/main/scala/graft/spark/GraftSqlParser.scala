@@ -104,6 +104,11 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  // CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF '<ref-or-commit-id>']
+  // — zero-copy fork (Delta spelling); both names must be graft refs in
+  // the SAME catalog (one commit log owns the shared location's linkage)
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -140,6 +145,10 @@ private[spark] object GraftMaintenanceSql {
     case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRestoreCommand(
         split(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
+    case CloneStmt(dst, src, asOf)
+        if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
+          split(src).head == split(dst).head =>
+      Some(GraftShallowCloneCommand(split(dst), split(src), Option(asOf)))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddConstraintCommand(split(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
@@ -373,5 +382,37 @@ final case class GraftDropConstraintCommand(
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     Constraints.drop(session, ctx, defn, name, UserId("sql"))
     Seq(Row(name, "dropped"))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF '<ref-or-id>']` —
+  * the SQL spelling of [[ShallowClone.clone]]: a zero-copy fork whose
+  * first commit references the source's immutable version dirs
+  * (O(#partitions) metadata, no data movement at any table size). The
+  * clone registers in the same catalog and is immediately readable;
+  * `VERSION AS OF` resolves ref names first, then raw commit ids — the
+  * standard read contract. */
+final case class GraftShallowCloneCommand(
+    dstParts: Seq[String], srcParts: Seq[String], asOf: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned", StringType, nullable = false)(),
+    AttributeReference("from_commit", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, srcDefn) = GraftMaintenanceSql.resolve(session, srcParts)
+    val Seq(cat, db, t) = dstParts
+    val dstName = TableName(db, t)
+    require(GraftTableCatalog.lookup(cat, dstName).isEmpty,
+      s"cannot clone onto existing table ${dstParts.mkString(".")}")
+    val at = asOf.map(a =>
+      binding.log.refs(srcDefn.name).get(a).map(_.id)
+        .getOrElse(graft.core.TableVersions.CommitId(a)))
+      .getOrElse(binding.log.currentCommit(srcDefn.name))
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, srcDefn))
+    val dstDefn = ShallowClone.clone(session, ctx, srcDefn, dstName, UserId("sql"), Some(at))
+    GraftTableCatalog.register(cat, dstDefn, None) // schema infers from shared files
+    Seq(Row(dstParts.mkString("."), at.id))
   }
 }

@@ -48,6 +48,16 @@ object Vacuum {
       graceMs: Long = DefaultGraceMs,
       retainMs: Option[Long] = None): Report = {
 
+    // a live shallow-clone link means TWO logs reference dirs under this
+    // location; a vacuum driven by one log would reclaim the other's dirs
+    // (the clone's post-fork writes look unreferenced to the source).
+    // Refuse until the link is severed (ShallowClone.unlink).
+    if (ShallowClone.hasCloneLink(log, table.name))
+      throw new IllegalStateException(
+        s"cannot vacuum ${table.name.fullyQualifiedName}: a shallow-clone link is " +
+          "live (clone:/cloned-from: tag present) and the shared location is " +
+          "referenced by more than one commit log — unlink the clone first")
+
     val updates = log.updates(table.name) // most recent first
     val byCount = updates.take(math.max(keepLast, 1))
     val byAge = retainMs.toList.flatMap { ms =>
