@@ -403,6 +403,20 @@ object Registry {
       Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
              |FROM part WHERE p_partkey IN (42, 1337)
              |ORDER BY p_partkey""".stripMargin)),
+    "q73_shallow_clone" -> Entry(
+      Versioned.q73ShallowClone,
+      // source = its latest full write; clone = the cloned even-key state
+      // with partition O replaced by the clone's own odd-key write
+      Some("""SELECT 'source' AS section, o_orderstatus AS grp,
+             |       count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 2
+             |UNION ALL
+             |SELECT 'clone', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+             |FROM orders
+             |WHERE (o_orderstatus <> 'O' AND o_orderkey % 2 = 0)
+             |   OR (o_orderstatus = 'O' AND o_orderkey % 2 = 1)
+             |GROUP BY 2
+             |ORDER BY section, grp""".stripMargin)),
     "q72_occ_rebase" -> Entry(
       Versioned.q72OccRebase,
       // each partition's final content = its LAST successful writer's

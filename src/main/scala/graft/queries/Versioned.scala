@@ -1015,6 +1015,51 @@ object Versioned {
     * The oracle replays the surviving rewrites relationally: each
     * partition's final content is exactly the filter its LAST successful
     * writer applied; the refused stale rewrite leaves no trace. */
+  /** Q73: SHALLOW CLONE ([[graft.spark.ShallowClone]]) — a zero-copy fork
+    * whose first commit references the source's immutable version dirs.
+    * The query exercises the full isolation contract: clone at an OLD
+    * commit (sees that state, not the source head), write to the clone
+    * (the source's pointer and contents must not move), and read both
+    * sides. The oracle replays the two lineages relationally: the source
+    * is its latest write; the clone is the cloned state with one
+    * partition replaced by the clone's own write. */
+  def q73ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val src = tempTable(
+      "ord_cl", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("create ord_cl"))
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ord.where(col("o_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, src, user, UpdateMessage("v1: even keys"))
+    val v1 = log.currentCommit(src.name)
+    ord.versionedInsertInto(ctx, src, user, UpdateMessage("v2: all orders"))
+
+    // fork at v1 — O(#partitions) metadata, zero data movement
+    val clone = graft.spark.ShallowClone.clone(
+      s, ctx, src, TableName("tmp", "ord_cl_fork"), user, Some(v1))
+    require(log.refs(src.name).contains("clone:tmp.ord_cl_fork"),
+      "the clone link must pin the source state via a tag")
+
+    // the clone's write replaces ITS partition 'O'; the source must not move
+    val srcHead = log.currentCommit(src.name)
+    ord.where(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 1)
+      .versionedInsertInto(ctx, clone, user, UpdateMessage("clone: O := odd keys"))
+    require(log.currentCommit(src.name) == srcHead,
+      "a clone write must never move the source's pointer")
+
+    val reader = VersionedReader(s, log)
+    val srcAgg = reader.read(src)
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("source").as("section"), col("grp"), col("n_rows"), col("total"))
+    val cloneAgg = reader.read(clone)
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("clone").as("section"), col("grp"), col("n_rows"), col("total"))
+    srcAgg.unionByName(cloneAgg).orderBy("section", "grp")
+  }
+
   def q72OccRebase(s: SparkSession, dir: String): DataFrame = {
     val (ctx, log) = freshContext()
     val table = tempTable(
