@@ -106,5 +106,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // SQL CDC: FROM table_changes('cat.db.t', c1, c2) resolves to the
     // commit-log version diff (VersionedReader.readChanges)
     extensions.injectTableFunction(graft.spark.GraftTableChanges.tableFunction)
+    // metadata inspection: graft_partitions / graft_files (the Iceberg
+    // table$partitions / table$files idiom as TVFs)
+    extensions.injectTableFunction(graft.spark.GraftMetadataTables.partitionsFunction)
+    extensions.injectTableFunction(graft.spark.GraftMetadataTables.filesFunction)
   }
 }

@@ -403,6 +403,17 @@ object Registry {
       Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
              |FROM part WHERE p_partkey IN (42, 1337)
              |ORDER BY p_partkey""".stripMargin)),
+    "q74_metadata_tables" -> Entry(
+      Versioned.q74MetadataTables,
+      // counts come from reading exactly the TVF-listed files; the oracle
+      // recomputes both states' per-partition counts from the data
+      Some("""SELECT 'current' AS section, l_returnflag AS grp,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY 2
+             |UNION ALL
+             |SELECT 'v1', l_returnflag, count(*)
+             |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 2
+             |ORDER BY section, grp""".stripMargin)),
     "q73_shallow_clone" -> Entry(
       Versioned.q73ShallowClone,
       // source = its latest full write; clone = the cloned even-key state

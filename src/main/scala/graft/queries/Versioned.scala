@@ -1015,6 +1015,69 @@ object Versioned {
     * The oracle replays the surviving rewrites relationally: each
     * partition's final content is exactly the filter its LAST successful
     * writer applied; the refused stale rewrite leaves no trace. */
+  /** Q74: METADATA TABLES ([[graft.spark.GraftMetadataTables]]) — the
+    * `graft_partitions` / `graft_files` TVFs (Iceberg `table$partitions` /
+    * `table$files` parity). The value checked is INVENTORY COMPLETENESS:
+    * the files the TVF lists for a state must be EXACTLY what a versioned
+    * read of that state scans (asserted against `inputFiles`), and reading
+    * those listed files per partition must reproduce the state's row
+    * counts — at the current head AND time-traveled to a tag. The oracle
+    * replays both states' per-partition counts relationally. */
+  def q74MetadataTables(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq74", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq74", log)
+    val table = tempTable(
+      "li_meta", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_meta"))
+    graft.spark.GraftTableCatalog.register("graftq74", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: even keys"))
+    log.setRef(table.name, "v1", log.currentCommit(table.name), isTag = true)
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v2: full load"))
+
+    val fqn = s"graftq74.${table.name.schema}.${table.name.name}"
+    def normalize(path: String): String =
+      new org.apache.hadoop.fs.Path(path).toUri.getPath
+    def inventory(stateArg: String): Map[String, Seq[String]] =
+      s.sql(s"SELECT partition, file FROM graft_files('$fqn'$stateArg)")
+        .collect().toSeq
+        .groupBy(_.getString(0))
+        .map { case (p, rows) => p -> rows.map(_.getString(1)) }
+
+    // completeness vs the reader: the TVF's current-state file set must be
+    // exactly what a versioned scan reads (normalized: URI scheme forms)
+    val current = inventory("")
+    val reader = VersionedReader(s, log)
+    require(
+      current.values.flatten.map(normalize).toSet ==
+        reader.read(table).inputFiles.map(normalize).toSet,
+      "graft_files must list exactly the files a versioned read scans")
+    // partitions TVF: metadata-only fold, one row per partition
+    val partsListed = s.sql(s"SELECT partition FROM graft_partitions('$fqn')")
+      .collect().map(_.getString(0)).toSet
+    require(partsListed == current.keySet,
+      "graft_partitions and graft_files must agree on the partition set")
+    require(
+      s.sql(s"SELECT sum(size_bytes) FROM graft_files('$fqn')")
+        .collect().head.getLong(0) > 0, "file sizes must be real")
+
+    // per-partition row counts from reading EXACTLY the listed files —
+    // current head and the time-traveled 'v1' tag
+    def counts(section: String, inv: Map[String, Seq[String]]): Seq[(String, String, Long)] =
+      inv.toSeq.sortBy(_._1).map { case (p, files) =>
+        val grp = p.stripPrefix("l_returnflag=")
+        (section, grp, s.read.parquet(files: _*).count())
+      }
+    val rows = counts("current", current) ++ counts("v1", inventory(", 'v1'"))
+    import s.implicits._
+    rows.toDF("section", "grp", "n_rows").orderBy("section", "grp")
+  }
+
   /** Q73: SHALLOW CLONE ([[graft.spark.ShallowClone]]) — a zero-copy fork
     * whose first commit references the source's immutable version dirs.
     * The query exercises the full isolation contract: clone at an OLD

@@ -1,0 +1,121 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core._
+import graft.core.TableVersions.CommitId
+
+/**
+ * Metadata inspection TVFs — the Iceberg `table$partitions` / `table$files`
+ * idiom as SQL table functions (Delta's `DESCRIBE DETAIL` ground):
+ *
+ * {{{
+ *   SELECT * FROM graft_partitions('graft.db.t')              -- current state
+ *   SELECT * FROM graft_partitions('graft.db.t', '<ref|id>')  -- any state
+ *   SELECT * FROM graft_files('graft.db.t' [, '<ref|id>'])
+ * }}}
+ *
+ * `graft_partitions` returns `(partition, version)` straight from the
+ * commit-log fold — pure metadata, zero filesystem access, O(#partitions).
+ * `graft_files` adds the physical inventory: one row per data file of each
+ * referenced version dir `(partition, file, size_bytes)` — O(#files)
+ * driver-side listing, the same bound Spark's FileIndex pays for any scan,
+ * and the ops ground truth for "what exactly would this state read".
+ * Version args resolve ref names first, then raw commit ids (the standard
+ * read contract), so `graft_files('t', 'my-tag')` audits a tagged state.
+ *
+ * Both compose as ordinary relations (joins, aggregates, filters), so the
+ * ops questions — file-count skew per partition, small-file pressure
+ * before OPTIMIZE, bytes per partition — are one SQL query each.
+ */
+object GraftMetadataTables {
+
+  val partitionsFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_partitions"),
+    new ExpressionInfo(GraftMetadataTables.getClass.getName, "graft_partitions"),
+    (args: Seq[Expression]) => buildPartitions(args))
+
+  val filesFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_files"),
+    new ExpressionInfo(GraftMetadataTables.getClass.getName, "graft_files"),
+    (args: Seq[Expression]) => buildFiles(args))
+
+  /** The snapshot-table rendering in the `partition` column. */
+  val SnapshotPartition = "<snapshot>"
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("version", StringType, nullable = false)))
+
+  private val filesSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  private def resolveState(
+      args: Seq[Expression],
+      fn: String): (SparkSession, TableDefinition, TableVersion) = {
+    val (tableName, asOf) = args match {
+      case Seq(Literal(t, StringType)) => (String.valueOf(t), None)
+      case Seq(Literal(t, StringType), Literal(v, StringType)) =>
+        (String.valueOf(t), Some(String.valueOf(v)))
+      case other =>
+        sys.error(s"$fn takes ('catalog.db.table'[, 'ref-or-commit-id']), got " +
+          other.map(_.sql).mkString(", "))
+    }
+    val spark = SparkSession.active
+    val (binding, defn) =
+      GraftMaintenanceSql.resolve(spark, tableName.split("\\.").toSeq)
+    val state = asOf match {
+      case None => binding.log.currentVersion(defn.name)
+      case Some(target) =>
+        val id = binding.log.refs(defn.name).get(target)
+          .map(_.id).getOrElse(CommitId(target))
+        binding.log.versionAt(defn.name, id)
+    }
+    (spark, defn, state)
+  }
+
+  /** `(partition path, version label, physical dir)` per referenced dir. */
+  private def referencedDirs(
+      defn: TableDefinition, state: TableVersion): List[(String, String, String)] =
+    state match {
+      case SnapshotTableVersion(v) =>
+        if (v == Version.Unversioned) Nil
+        else List((SnapshotPartition, v.label,
+          Partition.normalizedDir(defn.location).toString + v.label))
+      case PartitionedTableVersion(pvs) =>
+        pvs.toList.map { case (p, v) =>
+          (p.hivePath, v.label, SparkPaths.dirFor(defn.location, p, v))
+        }
+    }
+
+  private def buildPartitions(args: Seq[Expression]): LogicalPlan = {
+    val (spark, defn, state) = resolveState(args, "graft_partitions")
+    val rows = referencedDirs(defn, state).map { case (p, v, _) => Row(p, v) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), partitionsSchema).queryExecution.analyzed
+  }
+
+  private def buildFiles(args: Seq[Expression]): LogicalPlan = {
+    val (spark, defn, state) = resolveState(args, "graft_files")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      defn.location, spark.sessionState.newHadoopConf())
+    val rows = referencedDirs(defn, state).flatMap { case (p, _, dir) =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(path)) Nil
+      else fs.listStatus(path).toList
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .map(st => Row(p, st.getPath.toString, st.getLen))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), filesSchema).queryExecution.analyzed
+  }
+}
