@@ -1294,4 +1294,63 @@ object Pipeline {
             |  transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)),
             |  0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("rhash"))
       .orderBy("doc_id")
+
+  /** Shared seeded shard hash of E32/E33: affine-mod over the doc id —
+    * portable BIGINT arithmetic both engines compute bit-identically (no
+    * overflow: doc_id·2654435761 ≪ 2⁶³ at any SF the fleet generates). */
+  private def shardHash = expr("(doc_id * 2654435761 + 97) % 1000000007")
+  private[queries] val NumShards = 8
+
+  /** E32: DETERMINISTIC SHUFFLE-SHARD EXPORT — the training-data export
+    * step: spread the corpus over N shards pseudo-randomly but
+    * REPRODUCIBLY (seeded hash, not `rand()`), with a deterministic
+    * within-shard order. This is the scale answer to "globally shuffle
+    * 100 TB for training": no global sort — ONE hash exchange to shard
+    * the corpus, then a per-shard local sort (Spark's window runs
+    * per-partition once the exchange lands, shards process in parallel;
+    * at fleet scale shard count ≫ executor count keeps every core busy).
+    * Every (shard, position) assignment is value-checked by the oracle's
+    * identical arithmetic — rerunning the export yields byte-identical
+    * shards, the property that makes training runs reproducible. */
+  def e32ShardExport(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), shardHash.as("h"))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+      .orderBy("shard", "pos")
+
+  /** E33: SEQUENCE PACKING (concat-and-chunk) — turn documents into
+    * fixed-length training sequences: concatenate the corpus in the
+    * deterministic per-shard order of [[e32ShardExport]] and cut every
+    * `SeqLen` tokens; a document straddling a cut contributes a slice to
+    * each side (the GPT-style packing that wastes zero tokens on
+    * padding). Parallelism is the E32 story: the cumulative token offset
+    * is a window sum WITHIN each shard — no global sequential state, so
+    * 100 TB packs as thousands of independent shards. Each sequence's
+    * token count is exactly `SeqLen` except a shard's last (asserted by
+    * the oracle's identical replay, along with every doc/slice count). */
+  def e33SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val L = 128
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), shardHash.as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("off", coalesce(sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // the sequences this doc overlaps: floor(off/L) .. floor((off+n-1)/L)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cast(floor(off / $L) as bigint), cast(floor((off + n_tok - 1) / $L) as bigint))")))
+      .withColumn("slice_tokens",
+        least(col("off") + col("n_tok"), (col("seq_id") + 1) * L) -
+          greatest(col("off"), col("seq_id") * L))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("slice_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("shard", "seq_id")
+  }
 }

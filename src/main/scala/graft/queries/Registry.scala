@@ -403,6 +403,21 @@ object Registry {
       Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
              |FROM part WHERE p_partkey IN (42, 1337)
              |ORDER BY p_partkey""".stripMargin)),
+    "q75_type_widening" -> Entry(
+      Versioned.q75TypeWidening,
+      // both generations replayed relationally; float-cast min/max are
+      // order-independent (no float-summation hazard), sums integral
+      Some("""SELECT 'even' AS par, count(*) AS n_rows,
+             |       CAST(sum(p_size) AS BIGINT) AS sum_n,
+             |       CAST(min(CAST(p_retailprice AS FLOAT)) AS DOUBLE) AS min_x,
+             |       CAST(max(CAST(p_retailprice AS FLOAT)) AS DOUBLE) AS max_x
+             |FROM part WHERE p_partkey % 2 = 0
+             |UNION ALL
+             |SELECT 'odd', count(*),
+             |       CAST(sum(CAST(p_size AS BIGINT) * 1000000000) AS BIGINT),
+             |       min(p_retailprice), max(p_retailprice)
+             |FROM part WHERE p_partkey % 2 = 1
+             |ORDER BY par""".stripMargin)),
     "q74_metadata_tables" -> Entry(
       Versioned.q74MetadataTables,
       // counts come from reading exactly the TVF-listed files; the oracle
@@ -955,6 +970,41 @@ object Registry {
               |SELECT qid, rk, vec_id FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
     "e3e_ivf_ann" -> Entry(Pipeline.e3eIvfAnn, Some(ivfOracleSql)),
     "e31_semdedup" -> Entry(Pipeline.e31SemDedup, Some(semDedupOracleSql)),
+    "e32_shard_export" -> Entry(
+      Pipeline.e32ShardExport,
+      // the oracle computes the identical seeded shard + in-shard position
+      // arithmetic — reproducible shuffle, value-checked per document
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |                 (doc_id * 2654435761 + 97) % 1000000007 AS h
+             |          FROM documents)
+             |SELECT h % 8 AS shard,
+             |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             |            AS BIGINT) AS pos,
+             |       doc_id, n_chars
+             |FROM t ORDER BY shard, pos""".stripMargin)),
+    "e33_sequence_packing" -> Entry(
+      Pipeline.e33SequencePacking,
+      // identical per-shard concat-and-chunk replay: offsets, slices,
+      // boundary-straddling docs and the partial last sequence all match
+      Some("""WITH t AS (SELECT doc_id,
+             |                 (doc_id * 2654435761 + 97) % 1000000007 AS h,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |          FROM documents),
+             |s AS (SELECT doc_id, h, n_tok, h % 8 AS shard,
+             |             COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8
+             |               ORDER BY h, doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |               0) AS off
+             |      FROM t),
+             |x AS (SELECT shard, doc_id, off, n_tok,
+             |             unnest(generate_series(CAST(off // 128 AS BIGINT),
+             |               CAST((off + n_tok - 1) // 128 AS BIGINT))) AS seq_id
+             |      FROM s)
+             |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(LEAST(off + n_tok, (seq_id + 1) * 128)
+             |                - GREATEST(off, seq_id * 128)) AS BIGINT) AS n_tokens,
+             |       min(doc_id) AS first_doc
+             |FROM x GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin)),
     // e29 persists the SAME quantizer as versioned tables and answers the
     // SAME probes from the index — so the e3e oracle verifies the whole
     // build→commit→partition-pruned-read round trip byte-for-byte

@@ -1015,6 +1015,61 @@ object Versioned {
     * The oracle replays the surviving rewrites relationally: each
     * partition's final content is exactly the filter its LAST successful
     * writer applied; the refused stale rewrite leaves no trace. */
+  /** Q75: TYPE WIDENING ([[graft.spark.ColumnMapping.widen]]) — ALTER
+    * COLUMN TYPE as metadata-only evolution: files written before the
+    * widen keep their narrow physical type (int/float), post-widen writes
+    * store the wide type (bigint/double — including values only the wide
+    * type can hold), and every scan of a widened state requests the wide
+    * schema so the parquet reader upcasts the old files. The query builds
+    * both generations, asserts the narrow type survives under time travel,
+    * and aggregates across the mixed-width files; the oracle replays both
+    * generations' values relationally (min/max on the float-cast column —
+    * order-independent, so no float-summation hazard). */
+  def q75TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "part_wide", PartitionSchema(List(PartitionColumn("par"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create part_wide"))
+    val part = Tables.load(s, dir, "part")
+    // v1: the NARROW generation (int sizes, float prices), even keys
+    part.where(col("p_partkey") % 2 === 0)
+      .select(
+        col("p_partkey"),
+        col("p_size").cast("int").as("n"),
+        col("p_retailprice").cast("float").as("x"),
+        lit("even").as("par"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow even"))
+    val preWiden = log.currentCommit(table.name)
+
+    graft.spark.ColumnMapping.widen(s, ctx, table, "n", "bigint", user)
+    graft.spark.ColumnMapping.widen(s, ctx, table, "x", "double", user)
+
+    // v2: the WIDE generation — values only bigint/double can hold
+    part.where(col("p_partkey") % 2 === 1)
+      .select(
+        col("p_partkey"),
+        (col("p_size").cast("long") * 1000000000L).as("n"),
+        col("p_retailprice").as("x"),
+        lit("odd").as("par"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: wide odd"))
+
+    val mapped = graft.spark.ColumnMapping.read(s, log, table)
+    require(mapped.schema("n").dataType.catalogString == "bigint" &&
+      mapped.schema("x").dataType.catalogString == "double",
+      "the widened state must serve the wide types")
+    require(graft.spark.ColumnMapping.read(s, log, table, Some(preWiden))
+      .schema("n").dataType.catalogString == "int",
+      "time travel to the pre-widen commit must read the narrow type")
+
+    mapped.groupBy(col("par"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("n").as("sum_n"),
+        min("x").as("min_x"),
+        max("x").as("max_x"))
+      .orderBy("par")
+  }
+
   /** Q74: METADATA TABLES ([[graft.spark.GraftMetadataTables]]) — the
     * `graft_partitions` / `graft_files` TVFs (Iceberg `table$partitions` /
     * `table$files` parity). The value checked is INVENTORY COMPLETENESS:

@@ -36,8 +36,15 @@ import graft.core.TableVersions.{CommitId, TableUpdate, UpdateMessage, UserId}
  */
 object ColumnMapping {
 
-  /** One column's mapping; `dropped` columns stop projecting. */
-  final case class Entry(logical: String, physical: String, dropped: Boolean)
+  /** One column's mapping; `dropped` columns stop projecting. `widened`
+    * (a Catalyst type string, e.g. "bigint") is TYPE WIDENING: files
+    * written before the widen keep their narrow physical type, and every
+    * scan of a widened state requests the wide type — the parquet reader's
+    * upcast (int→bigint, float→double) serves old files, so the change is
+    * metadata-only at any scale. */
+  final case class Entry(
+      logical: String, physical: String, dropped: Boolean,
+      widened: Option[String] = None)
 
   /** The full mapping in force from `commit` onward. */
   final case class State(commit: String, entries: List[Entry])
@@ -67,7 +74,8 @@ object ColumnMapping {
         (0 until es.size()).toList.map { j =>
           val e = es.get(j)
           Entry(e.get("logical").asText(), e.get("physical").asText(),
-            e.get("dropped").asBoolean())
+            e.get("dropped").asBoolean(),
+            Option(e.get("widened")).filterNot(_.isNull).map(_.asText()))
         })
     }
   }
@@ -85,6 +93,7 @@ object ColumnMapping {
         val en = mapper.createObjectNode()
         en.put("logical", e.logical); en.put("physical", e.physical)
         en.put("dropped", e.dropped)
+        e.widened.foreach(en.put("widened", _))
         es.add(en)
       }
       n.set("entries", es)
@@ -140,6 +149,72 @@ object ColumnMapping {
     commitState(spark, ctx, table, next,
       UpdateMessage(s"ALTER TABLE RENAME COLUMN $from TO $to"), user)
   }
+
+  /** The widening pairs the parquet/ORC readers upcast natively — the
+    * set is deliberately LOSSLESS-only. */
+  private val WideningAllowed: Set[(String, String)] =
+    Set("int" -> "bigint", "float" -> "double", "int" -> "double")
+
+  /** ALTER COLUMN TYPE — lossless TYPE WIDENING (int→bigint, float→double,
+    * int→double), metadata-only: no file rewrite at any scale. Old files
+    * keep the narrow physical type; scans of widened states request the
+    * wide type and the columnar readers upcast. Time travel to a
+    * pre-widen commit reads the narrow type (the at-or-before mapping
+    * discipline). Narrowing and lossy changes refuse. */
+  def widen(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      column: String,
+      newType: String,
+      user: UserId): Unit = {
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(column)),
+      s"cannot change the type of partition column $column (partition values are strings)")
+    val log = ctx.metastore.tableVersions
+    val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(newType).catalogString
+    val current = effectiveEntries(spark, log, table, None)
+    val entry = current.find(e => !e.dropped && e.logical.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $column on ${table.name.fullyQualifiedName}"))
+    // the column's CURRENT effective type: a prior widen wins over the
+    // file type (old files are narrower by design)
+    val fileType = read(spark, log, table).schema
+      .find(_.name.equalsIgnoreCase(column))
+      .map(_.dataType.catalogString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $column has no readable type on ${table.name.fullyQualifiedName}"))
+    val from = entry.widened.getOrElse(fileType)
+    require(from != target, s"column $column is already $target")
+    require(WideningAllowed.contains(from -> target),
+      s"ALTER COLUMN TYPE supports lossless widening only " +
+        s"(${WideningAllowed.map(p => s"${p._1}→${p._2}").mkString(", ")}); " +
+        s"got $from→$target for $column")
+    val next = current.map {
+      case e if e.physical == entry.physical => e.copy(widened = Some(target))
+      case e                                 => e
+    }
+    commitState(spark, ctx, table, next,
+      UpdateMessage(s"ALTER TABLE ALTER COLUMN $column TYPE $target"), user)
+  }
+
+  /** physical-name-lower → widened Catalyst type for the state at `at`
+    * (empty = no widening in force; the scan needs no override). */
+  def widenedTypesAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Map[String, org.apache.spark.sql.types.DataType] =
+    stateAt(spark, log, table, at) match {
+      case None => Map.empty
+      case Some(s) =>
+        s.entries.collect {
+          case e if e.widened.isDefined && !e.dropped =>
+            e.physical.toLowerCase ->
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(e.widened.get)
+        }.toMap
+    }
 
   /** DROP COLUMN (metadata-only; files keep the bytes for time travel). */
   def dropColumn(
@@ -209,7 +284,11 @@ object ColumnMapping {
             case Some(e) if e.dropped =>
               throw new IllegalArgumentException(
                 s"write to ${table.name.fullyQualifiedName} names dropped column $c")
-            case Some(e) => col(c).as(e.physical)
+            case Some(e) =>
+              // widened columns write the WIDE type from now on (an int
+              // batch into a bigint column upcasts; old narrow files
+              // upcast at scan instead)
+              e.widened.foldLeft(col(c))((cc, t) => cc.cast(t)).as(e.physical)
             case None    => col(c) // partition cols + never-mapped columns
           }
         }

@@ -132,7 +132,7 @@ final class GraftTableCatalog extends TableCatalog {
     val resolved = binding.log.refs(defn.name).get(version)
       .map(_.id).getOrElse(CommitId(version))
     new GraftV2Table(defn, binding,
-      fileTable(defn, binding.log.versionAt(defn.name, resolved), schema),
+      fileTable(defn, binding.log.versionAt(defn.name, resolved), schema, Some(resolved)),
       Some(resolved))
   }
 
@@ -147,18 +147,35 @@ final class GraftTableCatalog extends TableCatalog {
       .getOrElse(throw new IllegalArgumentException(
         s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
     new GraftV2Table(defn, binding,
-      fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema),
+      fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema, Some(commit.id)),
       Some(commit.id))
   }
 
   private def fileTable(
-      defn: TableDefinition, tv: TableVersion, registered: Option[StructType]): Table = {
+      defn: TableDefinition,
+      tv: TableVersion,
+      registered: Option[StructType],
+      at: Option[CommitId] = None): Table = {
     val (paths, opts) = pathsFor(defn, tv)
     // a schema source for states with no files to infer from (never-written
     // snapshot, all-partitions-deleted, time travel to init): the
     // registered schema, else the newest data-bearing version in history
     val schema = registered.orElse(if (paths.isEmpty) schemaFromHistory(defn) else None)
-    buildFileTable(defn, paths, opts, schema)
+    // TYPE WIDENING: the relation must DECLARE the wide type — files from
+    // before the widen carry the narrow physical type, and a narrow
+    // declaration would make consumers (and the scan-rule re-alias cast)
+    // truncate post-widen values. Same override as
+    // VersionedReader.withWidening; zero cost when nothing is widened.
+    val widenMap = ColumnMapping.widenedTypesAt(
+      SparkSession.active, binding.log, defn, at)
+    val finalSchema =
+      if (widenMap.isEmpty) schema
+      else {
+        val base = schema.getOrElse(buildFileTable(defn, paths, opts, None).schema())
+        Some(StructType(base.map(f =>
+          widenMap.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))))
+      }
+    buildFileTable(defn, paths, opts, finalSchema)
   }
 
   private def pathsFor(
@@ -357,9 +374,22 @@ final class GraftTableCatalog extends TableCatalog {
           defn, name, UserId("sql"))
         org.apache.spark.sql.types.StructType(
           schema.filterNot(_.name.equalsIgnoreCase(name)))
+      case (schema, upd: TableChange.UpdateColumnType) =>
+        // TYPE WIDENING via column mapping: metadata-only, no file
+        // rewrite; narrowing/lossy changes refuse inside widen
+        require(upd.fieldNames().length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames()(0)
+        val spark = SparkSession.active
+        ColumnMapping.widen(
+          spark, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, name, upd.newDataType().catalogString, UserId("sql"))
+        org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name.equalsIgnoreCase(name)) f.copy(dataType = upd.newDataType()) else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN only, got ${other.getClass.getSimpleName}")
+          s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN and " +
+            s"ALTER COLUMN TYPE (widening) only, got ${other.getClass.getSimpleName}")
     }
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
     val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames()(0) }

@@ -28,7 +28,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
 
   /** Read the table as of a specific commit (time travel). */
   def readAsOf(table: TableDefinition, commit: CommitId): DataFrame =
-    materialize(table, log.versionAt(table.name, commit))
+    materialize(table, log.versionAt(table.name, commit), at = Some(commit))
 
   /** Read the table as of a wall-clock instant — resolves to the LAST
     * commit at or before `asOf` (the Scala-API twin of SQL `TIMESTAMP AS
@@ -147,7 +147,8 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   private def materialize(
       table: TableDefinition,
       tv: TableVersion,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      at: Option[CommitId] = None): DataFrame = {
     // partition values are strings in the version model; pin Spark's
     // partition-dir parsing to strings so values round-trip verbatim
     // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1").
@@ -156,14 +157,37 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // exists for partition inference).
     SessionConf.withConf(
       spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      doMaterialize(table, tv, mergeSchema)
+      doMaterialize(table, tv, mergeSchema, at)
+    }
+  }
+
+  /** TYPE WIDENING override ([[ColumnMapping.widen]]): when the state at
+    * `at` widens columns, the scan must REQUEST the wide schema — files
+    * from before the widen carry the narrow physical type, and without an
+    * explicit schema a mixed-width load would resolve to whichever footer
+    * inference sampled (upcast-or-crash by luck). Base columns come from
+    * the same single-footer inference a plain load does; only the widened
+    * fields' types change. Zero cost when nothing is widened (one
+    * metadata-file probe). */
+  private def withWidening(
+      table: TableDefinition,
+      at: Option[CommitId],
+      build: org.apache.spark.sql.types.StructType => DataFrame,
+      plain: => DataFrame): DataFrame = {
+    val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)
+    if (widened.isEmpty) plain
+    else {
+      val base = plain.schema
+      build(org.apache.spark.sql.types.StructType(base.map(f =>
+        widened.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))))
     }
   }
 
   private def doMaterialize(
       table: TableDefinition,
       tv: TableVersion,
-      mergeSchema: Boolean): DataFrame =
+      mergeSchema: Boolean,
+      at: Option[CommitId]): DataFrame =
     tv match {
       case SnapshotTableVersion(v) if v == Version.Unversioned =>
         // the Unversioned sentinel maps to the BARE table location, which
@@ -173,19 +197,27 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         // read path this engine supports.
         spark.emptyDataFrame
       case SnapshotTableVersion(v) =>
-        spark.read
-          .option("mergeSchema", mergeSchema.toString)
-          .format(table.format.name)
-          .load(VersionPaths.pathFor(table.location, v).toString)
+        def loadWith(schema: Option[org.apache.spark.sql.types.StructType]) = {
+          val r = spark.read
+            .option("mergeSchema", mergeSchema.toString)
+            .format(table.format.name)
+          schema.foreach(r.schema)
+          r.load(VersionPaths.pathFor(table.location, v).toString)
+        }
+        withWidening(table, at, s => loadWith(Some(s)), loadWith(None))
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         val paths = pvs.toSeq
           .map { case (p, v) => SparkPaths.dirFor(table.location, p, v) }
           .sorted
-        spark.read
-          .option("basePath", table.location.toString)
-          .option("mergeSchema", mergeSchema.toString)
-          .format(table.format.name)
-          .load(paths: _*)
+        def loadWith(schema: Option[org.apache.spark.sql.types.StructType]) = {
+          val r = spark.read
+            .option("basePath", table.location.toString)
+            .option("mergeSchema", mergeSchema.toString)
+            .format(table.format.name)
+          schema.foreach(r.schema)
+          r.load(paths: _*)
+        }
+        withWidening(table, at, s => loadWith(Some(s)), loadWith(None))
       case PartitionedTableVersion(_) =>
         spark.emptyDataFrame
     }

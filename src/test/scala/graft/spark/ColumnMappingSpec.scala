@@ -151,4 +151,65 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
     intercept[Exception](
       spark.sql("ALTER TABLE graftmap.test.map_sql ADD COLUMN category STRING"))
   }
+
+  test("type widening is metadata-only: narrow old files upcast, wide writes land, time travel stays narrow") {
+    val (ctx, log, table) = freshTable("map_widen")
+    // v1 stores int + float (the narrow physical types)
+    Seq((1, 1.5f, "2024-01-01"), (2, 2.5f, "2024-01-01"))
+      .toDF("n", "x", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow"))
+    val preWiden = log.currentCommit(table.name)
+    VersionedReader(spark, log).read(table).schema("n").dataType.catalogString shouldBe "int"
+
+    ColumnMapping.widen(spark, ctx, table, "n", "bigint", user)
+    ColumnMapping.widen(spark, ctx, table, "x", "double", user)
+
+    // post-widen write carries values only the wide type can hold
+    Seq((6000000000L, 3.5d, "2024-01-02")).toDF("n", "x", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: wide"))
+
+    // the mapped read serves BOTH generations as the wide type
+    val mapped = ColumnMapping.read(spark, log, table)
+    mapped.schema("n").dataType.catalogString shouldBe "bigint"
+    mapped.schema("x").dataType.catalogString shouldBe "double"
+    mapped.select("n").as[Long].collect().sorted shouldBe Array(1L, 2L, 6000000000L)
+    mapped.where(col("n") === 2).select("x").as[Double].head() shouldBe 2.5d
+
+    // time travel BEFORE the widen reads the narrow type (at-or-before)
+    ColumnMapping.read(spark, log, table, Some(preWiden))
+      .schema("n").dataType.catalogString shouldBe "int"
+
+    // refusals: narrowing, lossy, unknown, partition columns
+    intercept[IllegalArgumentException](
+      ColumnMapping.widen(spark, ctx, table, "n", "int", user))
+    intercept[IllegalArgumentException](
+      ColumnMapping.widen(spark, ctx, table, "x", "float", user))
+    intercept[IllegalArgumentException](
+      ColumnMapping.widen(spark, ctx, table, "nope", "bigint", user))
+    intercept[IllegalArgumentException](
+      ColumnMapping.widen(spark, ctx, table, "date", "bigint", user))
+  }
+
+  test("SQL ALTER COLUMN TYPE widens; scans, aggregates and inserts serve the wide type") {
+    val (ctx, log, table) = freshTable("map_widen_sql")
+    spark.conf.set(
+      "spark.sql.catalog.graftwiden", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftwiden", log)
+    Seq((1, "a", "d1"), (2, "b", "d1")).toDF("n", "kind", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: int"))
+    GraftTableCatalog.register("graftwiden", table,
+      Some(VersionedReader(spark, log).read(table).schema))
+
+    spark.sql("ALTER TABLE graftwiden.test.map_widen_sql ALTER COLUMN n TYPE BIGINT")
+    // an insert beyond int range lands and reads back
+    spark.sql("INSERT INTO graftwiden.test.map_widen_sql VALUES (6000000000, 'c', 'd2')")
+    val rows = spark.sql(
+      "SELECT n FROM graftwiden.test.map_widen_sql ORDER BY n").as[Long].collect()
+    rows shouldBe Array(1L, 2L, 6000000000L)
+    spark.sql("SELECT sum(n) FROM graftwiden.test.map_widen_sql")
+      .head.getLong(0) shouldBe 6000000003L
+    // narrowing refuses through SQL too
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftwiden.test.map_widen_sql ALTER COLUMN n TYPE INT"))
+  }
 }

@@ -554,7 +554,7 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     // mapping, pinned in ColumnMappingSpec)
     val tpe = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ALTER COLUMN label COMMENT 'x'"))
-    tpe.getMessage should include("ADD/RENAME/DROP COLUMN only")
+    tpe.getMessage should include("ALTER COLUMN TYPE (widening) only")
     spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label")
     spark.sql("SELECT * FROM graftcat.cdb.altc").columns should not contain "label"
     spark.sql("DROP TABLE graftcat.cdb.altc")
