@@ -1321,11 +1321,12 @@ object Pipeline {
       .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
       .orderBy("shard", "pos")
 
-  /** E33: SEQUENCE PACKING (concat-and-chunk) — turn documents into
-    * fixed-length training sequences: concatenate the corpus in the
-    * deterministic per-shard order of [[e32ShardExport]] and cut every
-    * `SeqLen` tokens; a document straddling a cut contributes a slice to
-    * each side (the GPT-style packing that wastes zero tokens on
+  /** E33: CONCAT-AND-CHUNK SEQUENCE PACKING — the zero-padding
+    * counterpart of [[e20SequencePacking]] (e20 keeps documents whole and
+    * pads each sequence's tail; this concatenates the corpus in the
+    * deterministic per-shard order of [[e32ShardExport]] and cuts every
+    * `SeqLen` tokens, a document straddling a cut contributing a slice to
+    * each side — the GPT-style packing that wastes zero tokens on
     * padding). Parallelism is the E32 story: the cumulative token offset
     * is a window sum WITHIN each shard — no global sequential state, so
     * 100 TB packs as thousands of independent shards. Each sequence's

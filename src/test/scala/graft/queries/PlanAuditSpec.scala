@@ -284,6 +284,27 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("e32: shard export is one hash exchange + per-shard window — no global sort, no single reducer") {
+    val p = plan("e32_shard_export")
+    p should include("windowspecdefinition(shard")
+    p should not include "SinglePartition"
+    // exactly one exchange feeds the window (the shard hash partitioning);
+    // the only other exchange is the presentation sort's range partitioner
+    p.split("Exchange hashpartitioning").length shouldBe 2
+  }
+
+  test("e33: concat-and-chunk packing windows on the shard key and stays shard-parallel") {
+    val p = plan("e33_sequence_packing")
+    p should include("windowspecdefinition(shard")
+    p should not include "SinglePartition"
+    p should not include "CartesianProduct"
+  }
+
+  test("q72/q73: the rebase and clone queries aggregate with partial+final hash agg") {
+    plan("q72_occ_rebase") should include("HashAggregate")
+    plan("q73_shallow_clone") should include("HashAggregate")
+  }
+
   test("e31: SemDeDup pairs come from a cell-keyed equi-join — no cartesian, no corpus broadcast") {
     val p = plan("e31_semdedup")
     // the in-cell pair sweep must be an equi-join ON THE CELL KEY (Σ cell²
