@@ -403,6 +403,14 @@ object Registry {
       Some("""SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
              |FROM part WHERE p_partkey IN (42, 1337)
              |ORDER BY p_partkey""".stripMargin)),
+    "q76_auto_compact" -> Entry(
+      Versioned.q76AutoCompact,
+      // auto-compaction must be row-invisible: the post-compaction state
+      // aggregates exactly like the raw data
+      Some("""SELECT l_returnflag AS grp, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q75_type_widening" -> Entry(
       Versioned.q75TypeWidening,
       // both generations replayed relationally; float-cast min/max are

@@ -1015,6 +1015,50 @@ object Versioned {
     * The oracle replays the surviving rewrites relationally: each
     * partition's final content is exactly the filter its LAST successful
     * writer applied; the refused stale rewrite leaves no trace. */
+  /** Q76: AUTO-COMPACTION ([[graft.spark.Compaction.autoCompact]]) —
+    * small-file-pressure-driven OPTIMIZE: only partitions whose current
+    * version holds ≥ minFiles data files rewrite; a tightly-written
+    * partition keeps its pointer, a second pass is a commitless no-op.
+    * Detection = one driver-side listing per partition (the
+    * graft_files bound, no data read). The query fragments two of three
+    * partitions, auto-compacts, asserts exactly those two rewrote to one
+    * file each and the third's pointer never moved — then proves
+    * row-invisibility via the relational aggregate the oracle replays. */
+  def q76AutoCompact(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_auto", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_auto"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    // partition N rewritten tight — stays below the pressure threshold
+    li.where(col("l_returnflag") === "N").repartition(2)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: N tight"))
+    val before = log.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+
+    val report = graft.spark.Compaction.autoCompact(
+      s, ctx, table, user, minFiles = 4)
+    require(report.partitions.map(_.hivePath).toSet ==
+      Set("l_returnflag=A", "l_returnflag=R"),
+      s"exactly the pressured partitions must compact, got ${report.partitions}")
+    val after = log.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    val tight = Partition(ColumnValue(PartitionColumn("l_returnflag"), "N"))
+    require(after(tight) == before(tight),
+      "the below-threshold partition's pointer must not move")
+    require(!graft.spark.Compaction.autoCompact(s, ctx, table, user, minFiles = 4)
+      .compactedAnything, "a second pass over packed partitions must be a no-op")
+
+    VersionedReader(s, log).read(table)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("grp")
+  }
+
   /** Q75: TYPE WIDENING ([[graft.spark.ColumnMapping.widen]]) — ALTER
     * COLUMN TYPE as metadata-only evolution: files written before the
     * widen keep their narrow physical type (int/float), post-widen writes

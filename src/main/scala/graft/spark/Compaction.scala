@@ -97,4 +97,63 @@ object Compaction {
     else DeletionVectors.absorbStale(spark, log, table)
     result
   }
+
+  /** AUTO-COMPACTION: compact exactly the partitions under SMALL-FILE
+    * PRESSURE — every partition whose current version dir holds ≥
+    * `minFiles` data files rewrites (to `filesPerPartition` files);
+    * everything else keeps its version pointer untouched. The detection
+    * pass is the [[GraftMetadataTables]] bound: one driver-side dir
+    * listing per partition, O(#files) metadata, no data read — so running
+    * this after every few streaming commits costs nothing until pressure
+    * actually builds, and then rewrites only where it built (the 100 TB
+    * posture: a table with 3 hot streaming partitions compacts 3
+    * partitions, not 10 000). Snapshot tables compact whole when their
+    * single version dir crosses the threshold.
+    *
+    * Returns what was compacted (nothing = no commit happened — pressure
+    * below threshold is a no-op, not a junk history entry). */
+  final case class AutoCompactReport(partitions: Seq[Partition], snapshot: Boolean) {
+    def compactedAnything: Boolean = snapshot || partitions.nonEmpty
+  }
+
+  def autoCompact(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      userId: UserId,
+      minFiles: Int = 4,
+      filesPerPartition: Int = 1): AutoCompactReport = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite partitions already at one file")
+    val log = ctx.metastore.tableVersions
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+    log.currentVersion(table.name) match {
+      case SnapshotTableVersion(v) =>
+        val pressured = v != Version.Unversioned &&
+          dataFiles(Partition.normalizedDir(table.location).toString + v.label) >= minFiles
+        if (pressured) {
+          compact(spark, ctx, table, userId,
+            UpdateMessage(s"AUTO OPTIMIZE (>=$minFiles files)"), maxFiles = filesPerPartition)
+          ()
+        }
+        AutoCompactReport(Nil, snapshot = pressured)
+      case PartitionedTableVersion(pvs) =>
+        val doomed = pvs.toList.collect {
+          case (p, v) if dataFiles(SparkPaths.dirFor(table.location, p, v)) >= minFiles => p
+        }
+        if (doomed.nonEmpty) {
+          compact(spark, ctx, table, userId,
+            UpdateMessage(s"AUTO OPTIMIZE ${doomed.size} partitions (>=$minFiles files)"),
+            filesPerPartition = filesPerPartition, partitions = doomed)
+          ()
+        }
+        AutoCompactReport(doomed, snapshot = false)
+    }
+  }
 }

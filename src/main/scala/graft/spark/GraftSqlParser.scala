@@ -88,6 +88,10 @@ private[spark] object GraftMaintenanceSql {
   // parser and fails loudly instead of silently rewriting the table
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
+  // OPTIMIZE t AUTO [MIN n FILES]: compact only the partitions under
+  // small-file pressure (Compaction.autoCompact); below-threshold = no-op
+  private val AutoOptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+AUTO(?:\s+MIN\s+(\d+)\s+FILES)?\s*;?\s*""".r
   // `WHERE` accepts a conjunction of partition-column equalities (the Delta
   // contract — OPTIMIZE scoping is partition-granular by nature); anything
   // else refuses loudly at execution
@@ -129,6 +133,9 @@ private[spark] object GraftMaintenanceSql {
         keepLast = Option(keep).filterNot(_ => hours).map(_.toInt),
         retainHours = Option(keep).filter(_ => hours).map(_.toLong),
         graceMinutes = Option(grace).map(_.toLong)))
+    case AutoOptimizeStmt(ident, minFiles) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftAutoOptimizeCommand(
+        split(ident), Option(minFiles).map(_.toInt).getOrElse(4)))
     case OptimizeStmt(ident, where, cols) if isGraftCatalogRef(split(ident)) =>
       val scope = Option(where).map { w =>
         w.split("(?i)\\s+AND\\s+").toSeq.map {
@@ -382,6 +389,30 @@ final case class GraftDropConstraintCommand(
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     Constraints.drop(session, ctx, defn, name, UserId("sql"))
     Seq(Row(name, "dropped"))
+  }
+}
+
+/** `OPTIMIZE t AUTO [MIN n FILES]` — small-file-pressure-driven
+  * compaction ([[Compaction.autoCompact]]): only partitions whose current
+  * version holds ≥ n data files rewrite; below threshold the statement is
+  * a clean no-op (no commit). Detection is driver-side metadata listing,
+  * the graft_files bound. */
+final case class GraftAutoOptimizeCommand(
+    parts: Seq[String], minFiles: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("compacted_partitions", IntegerType, nullable = false)(),
+    AttributeReference("compacted", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val report = Compaction.autoCompact(
+      session, ctx, defn, UserId("sql"), minFiles = minFiles)
+    Seq(Row(
+      report.partitions.size,
+      if (report.snapshot) "snapshot"
+      else if (report.partitions.nonEmpty) "partitions" else "nothing"))
   }
 }
 

@@ -82,4 +82,70 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     }
     dataFiles(Paths.get(table.location).resolve(label)) should be <= 2L
   }
+
+  test("autoCompact rewrites only pressured partitions; below-threshold is a commitless no-op") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "autocompact"),
+      Files.createTempDirectory("graft_spec_autocompact").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    val events = (1L to 60L).map(i =>
+      Event(i, s"k$i", if (i % 3 == 0) "2024-01-01" else if (i % 3 == 1) "2024-01-02" else "2024-01-03"))
+    events.toDS().repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    // partition 01-03 rewritten tight: 2 files — below the threshold
+    events.filter(_.date == "2024-01-03").toDS().repartition(2)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: 01-03 tight"))
+    val before = log.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    val tight = Partition(ColumnValue(PartitionColumn("date"), "2024-01-03"))
+
+    val report = Compaction.autoCompact(spark, ctx, table, user, minFiles = 4)
+    report.snapshot shouldBe false
+    report.partitions.map(_.hivePath).toSet shouldBe
+      Set("date=2024-01-01", "date=2024-01-02")
+    val after = log.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    after(tight) shouldBe before(tight) // untouched pointer
+    report.partitions.foreach { p =>
+      after(p) should not be before(p)
+      dataFiles(Paths.get(table.location)
+        .resolve(p.hivePath).resolve(after(p).label)) shouldBe 1L
+    }
+    VersionedReader(spark, log).read(table)
+      .as[Event].collect().sortBy(_.id) shouldBe events.toArray
+
+    // everything now packed: a second pass is a clean no-op, no commit
+    val commits = log.updates(table.name).size
+    Compaction.autoCompact(spark, ctx, table, user, minFiles = 4)
+      .compactedAnything shouldBe false
+    log.updates(table.name).size shouldBe commits
+  }
+
+  test("SQL OPTIMIZE ... AUTO drives autoCompact through the catalog") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "autocompact_sql"),
+      Files.createTempDirectory("graft_spec_autocompact_sql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.conf.set(
+      "spark.sql.catalog.graftauto", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftauto", log)
+    GraftTableCatalog.register("graftauto", table)
+    (1L to 30L).map(i => Event(i, s"k$i", "2024-01-01")).toDS().repartition(6)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+
+    val row = spark.sql("OPTIMIZE graftauto.test.autocompact_sql AUTO MIN 4 FILES").head
+    (row.getInt(0), row.getString(1)) shouldBe ((1, "partitions"))
+    spark.sql("SELECT count(*) FROM graftauto.test.autocompact_sql")
+      .head.getLong(0) shouldBe 30L
+    // packed now — re-running reports nothing
+    val again = spark.sql("OPTIMIZE graftauto.test.autocompact_sql AUTO MIN 4 FILES").head
+    (again.getInt(0), again.getString(1)) shouldBe ((0, "nothing"))
+  }
 }
