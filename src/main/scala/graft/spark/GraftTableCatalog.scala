@@ -527,8 +527,14 @@ private[spark] final class GraftV2Table(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  // wrapped for DYNAMIC PARTITION PRUNING: Spark's V2 FileScan exposes no
+  // runtime-filtering interface, so without this a star join against the
+  // versioned table scans every partition the log references even when the
+  // dim filter admits two (see GraftRuntimeFiltering). Pushdown forwards
+  // through untouched (pinned in GraftTableCatalogSpec).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new org.apache.spark.sql.execution.datasources.v2.GraftDppScanBuilder(
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options))
 
   private val partitionColNames = defn.partitionSchema.columns.map(_.name).toSet
 
