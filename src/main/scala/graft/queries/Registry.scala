@@ -360,6 +360,36 @@ object Registry {
              |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY _change_type, l_returnflag
              |ORDER BY _change_type, l_returnflag""".stripMargin)),
+    "q77_keyed_change_feed" -> Entry(
+      Versioned.q77KeyedChangeFeed,
+      // the minimal keyed diff: rewrite no-ops vanish, in-place changes
+      // pair as update pre/post images, DV hides and re-keys classify as
+      // plain delete/insert — the oracle recomputes all four classes from
+      // the same source slice
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag,
+             |         max(l_quantity) AS l_quantity,
+             |         max(l_extendedprice) AS l_extendedprice
+             |  FROM lineitem GROUP BY 1, 2, 3)
+             |SELECT _change_type, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM (
+             |  SELECT 'delete' AS _change_type, l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'A' AND l_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT 'delete', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity <= 20
+             |  UNION ALL
+             |  SELECT 'insert', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity <= 10
+             |  UNION ALL
+             |  SELECT 'update_preimage', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |  UNION ALL
+             |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

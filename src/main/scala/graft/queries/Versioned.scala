@@ -1732,4 +1732,71 @@ object Versioned {
       .where(col("n_items") > 0)
       .orderBy("l_returnflag")
   }
+
+  /** Q77: the KEYED change feed — full Delta-CDF type vocabulary
+    * ([[graft.spark.ChangeFeed.readKeyed]]): with a declared row identity
+    * (lineitem's natural key `(l_orderkey, l_linenumber)`), the feed (a)
+    * SUPPRESSES rewrite no-ops — rows a partition rewrite re-emitted
+    * byte-identical vanish instead of surfacing as delete+insert noise —
+    * and (b) PAIRS the surviving halves of in-place changes as
+    * `update_preimage`/`update_postimage`. The scenario exercises all
+    * four types at once: v2 rewrites 'R' keeping qty>20 (discounting
+    * qty>40 rows 10% — updates; the (20,40] band unchanged — suppressed),
+    * re-keys the qty≤10 rows (inserts; their originals delete), and a DV
+    * DELETE hides scattered 'A' rows (pure deletes in an unmoved
+    * partition). Replay of the extended vocabulary must still
+    * reconstruct the head state exactly (asserted in-query). */
+  def q77KeyedChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_kcdf", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_kcdf"))
+    // the synthetic lineitem has no unique natural key, so the keyed table
+    // is the per-(orderkey, linenumber, returnflag) rollup — key-unique by
+    // construction (duplicate-key grace is pinned in ChangeFeedSpec)
+    val li = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_linenumber", "l_returnflag")
+      .agg(
+        max("l_quantity").as("l_quantity"),
+        max("l_extendedprice").as("l_extendedprice"))
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val v1 = log.updates(table.name).head.id
+
+    val oldR = li.where(col("l_returnflag") === "R")
+    val newR = oldR.where(col("l_quantity") > 20)
+      .withColumn("l_extendedprice",
+        when(col("l_quantity") > 40, col("l_extendedprice") * 0.9)
+          .otherwise(col("l_extendedprice")))
+      .unionByName(oldR.where(col("l_quantity") <= 10)
+        .withColumn("l_linenumber", col("l_linenumber") + 100))
+    newR.versionedInsertInto(ctx, table, user, UpdateMessage("v2: rework R"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table,
+      col("l_returnflag") === "A" && col("l_orderkey") % 10 === 0,
+      user, UpdateMessage("dv: scattered delete in A"))
+    val head = log.currentCommit(table.name)
+
+    val feed = graft.spark.ChangeFeed.readKeyed(
+      s, log, table, Some(v1), head,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+    // no-op suppression: the unchanged (20,40] band of the rewritten
+    // partition must not surface at all
+    require(feed.where(
+        col("l_returnflag") === "R" &&
+        col("l_quantity") > 20 && col("l_quantity") <= 40).isEmpty,
+      "rewrite no-ops must be suppressed from the keyed feed")
+    // replay contract with the extended vocabulary
+    val replayed = graft.spark.ChangeFeed.replay(
+      graft.spark.DeletionVectors.read(s, log, table, Some(v1)), feed)
+    val now = graft.spark.DeletionVectors.read(s, log, table, Some(head))
+    require(replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty,
+      "keyed-feed replay must reconstruct the head state")
+
+    feed.groupBy("_change_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("_change_type")
+  }
 }

@@ -1,7 +1,8 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{abs, array_repeat, col, explode, lit, row_number, sum, when}
 
 import graft.core._
 import graft.core.TableVersions.CommitId
@@ -41,6 +42,8 @@ object ChangeFeed {
   val ChangeTypeCol = "_change_type"
   val Insert = "insert"
   val Delete = "delete"
+  val UpdatePre = "update_preimage"
+  val UpdatePost = "update_postimage"
 
   private val FileCol = "__cf_file"
   private val PosCol = "__cf_pos"
@@ -60,6 +63,72 @@ object ChangeFeed {
     val raw = read0(spark, log, table, from, to)
     if (raw.columns.isEmpty) raw
     else ColumnMapping.applyLogical(raw, spark, log, table, Some(to))
+  }
+
+  /** The KEYED change feed — the full Delta-CDF type vocabulary, derivable
+    * only when the caller declares a row identity (`keys`, e.g. the
+    * table's natural primary key). Two refinements over [[read]]:
+    *
+    *  1. NO-OP SUPPRESSION. A partition rewrite re-emits every row of the
+    *     partition; rows whose full value is unchanged appear once as
+    *     `delete` and once as `insert`. The keyed feed nets identical
+    *     values out (multiset-correct: k deletes against n inserts of the
+    *     same value leave |n-k| survivors), so untouched rows vanish from
+    *     the feed — the minimal logical diff.
+    *  2. UPDATE PAIRING. A surviving `delete` and `insert` sharing a key
+    *     are the two halves of an in-place change: they re-emerge as
+    *     `update_preimage` / `update_postimage`. Duplicate keys stay
+    *     safe — each side is row-numbered deterministically (ordered by
+    *     the full row value) within the key and paired 1-1 on
+    *     `(key, rank)`; unpaired remainders stay plain insert/delete.
+    *
+    * Both steps are feed-sized (the changed rows, never the table): one
+    * hash aggregate and one `(key)`-partitioned window + self-join.
+    * [[replay]] understands the extended vocabulary, so the reconstruction
+    * contract (from-state + feed == to-state) is preserved verbatim. */
+  def readKeyed(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      from: Option[CommitId],
+      to: CommitId,
+      keys: Seq[String]): DataFrame = {
+    val raw = read(spark, log, table, from, to)
+    if (raw.columns.isEmpty) return raw
+    val dataCols = raw.columns.filterNot(_ == ChangeTypeCol).toSeq
+    require(keys.nonEmpty && keys.forall(dataCols.contains),
+      s"change-feed keys $keys must be table columns $dataCols")
+
+    // 1. net identical full-row values: +1 per insert, -1 per delete;
+    //    net 0 disappears, survivors re-expand to |net| rows of one type
+    val netted = raw
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col(ChangeTypeCol) === Insert, 1).otherwise(-1)).as("__cf_net"))
+      .where(col("__cf_net") =!= 0)
+      .withColumn(ChangeTypeCol,
+        when(col("__cf_net") > 0, lit(Insert)).otherwise(lit(Delete)))
+      .withColumn("__cf_dup", explode(array_repeat(lit(1), abs(col("__cf_net")).cast("int"))))
+      .drop("__cf_net", "__cf_dup")
+
+    // 2. pair per key: rank each side deterministically, full-outer on
+    //    (key, rank); both present = an update's two images
+    val keyCols = keys.map(col)
+    val ordered = Window.partitionBy(keyCols: _*)
+      .orderBy(dataCols.map(c => col(c).asc_nulls_first): _*)
+    val del = netted.where(col(ChangeTypeCol) === Delete)
+      .withColumn("__cf_rk", row_number().over(ordered))
+    val ins = netted.where(col(ChangeTypeCol) === Insert)
+      .withColumn("__cf_rk", row_number().over(ordered))
+    val joinCond = keys.map(k => del(k) <=> ins(k))
+      .reduce(_ && _) && del("__cf_rk") === ins("__cf_rk")
+    val paired = del.as("d").join(ins.as("i"), joinCond, "full_outer")
+
+    def side(alias: String, tpe: Column): DataFrame = paired
+      .where(col(s"$alias.$ChangeTypeCol").isNotNull)
+      .select(dataCols.map(c => col(s"$alias.$c").as(c)) :+ tpe.as(ChangeTypeCol): _*)
+    val dBoth = col(s"d.$ChangeTypeCol").isNotNull && col(s"i.$ChangeTypeCol").isNotNull
+    side("d", when(dBoth, lit(UpdatePre)).otherwise(lit(Delete)))
+      .unionByName(side("i", when(dBoth, lit(UpdatePost)).otherwise(lit(Insert))))
   }
 
   private def read0(
@@ -143,8 +212,10 @@ object ChangeFeed {
     * add the insert rows — multiset semantics, the reconstruction contract
     * consumers verify against. */
   def replay(base: DataFrame, feed: DataFrame): DataFrame = {
-    val deletes = feed.where(col(ChangeTypeCol) === Delete).drop(ChangeTypeCol)
-    val inserts = feed.where(col(ChangeTypeCol) === Insert).drop(ChangeTypeCol)
+    val deletes = feed
+      .where(col(ChangeTypeCol).isin(Delete, UpdatePre)).drop(ChangeTypeCol)
+    val inserts = feed
+      .where(col(ChangeTypeCol).isin(Insert, UpdatePost)).drop(ChangeTypeCol)
     base.exceptAll(deletes).unionByName(inserts)
   }
 

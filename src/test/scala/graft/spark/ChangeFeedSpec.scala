@@ -191,4 +191,60 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
     // a range NOT crossing the delete (vectors identical at both ends) is fine
     reader.readChanges(table, postDv, v2).count() shouldBe 5L
   }
+
+  test("keyed feed: no-op suppression, update pairing, and replay of the extended vocabulary") {
+    val (ctx, log, table) = freshTable("cf_keyed")
+    // one partition, 10 unique keys
+    (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    // rewrite: ids 1-4 unchanged (suppress), 5-7 rekinded (update),
+    // 8-10 dropped (delete), 11-12 fresh (insert)
+    ((1L to 4L).map(i => Event(i, s"k$i", "2024-01-01")) ++
+      (5L to 7L).map(i => Event(i, s"CHANGED$i", "2024-01-01")) ++
+      (11L to 12L).map(i => Event(i, s"k$i", "2024-01-01")))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val head = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.readKeyed(spark, log, table, Some(v1), head, Seq("id"))
+    def ofType(t: String) = feed.where(col(ChangeFeed.ChangeTypeCol) === t)
+    // ids 1-4 appear nowhere
+    feed.where(col("id") <= 4).count() shouldBe 0L
+    ofType(ChangeFeed.UpdatePre).select("id").as[Long].collect().sorted shouldBe Array(5L, 6L, 7L)
+    ofType(ChangeFeed.UpdatePre).select("kind").as[String].collect().foreach(_ should startWith("k"))
+    ofType(ChangeFeed.UpdatePost).select("kind").as[String].collect().foreach(_ should startWith("CHANGED"))
+    ofType(ChangeFeed.Delete).select("id").as[Long].collect().sorted shouldBe Array(8L, 9L, 10L)
+    ofType(ChangeFeed.Insert).select("id").as[Long].collect().sorted shouldBe Array(11L, 12L)
+
+    val fromState = DeletionVectors.read(spark, log, table, Some(v1))
+    val toState = DeletionVectors.read(spark, log, table, Some(head))
+    multisetEqual(ChangeFeed.replay(fromState, feed), toState)
+  }
+
+  test("keyed feed with duplicate keys: rank-paired 1-1, remainders stay plain, replay exact") {
+    val (ctx, log, table) = freshTable("cf_dupkeys")
+    // key id=1 has THREE rows at v1, id=2 has one
+    Seq(Event(1L, "a", "2024-01-01"), Event(1L, "b", "2024-01-01"),
+        Event(1L, "c", "2024-01-01"), Event(2L, "x", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    // v2 keeps one id=1 row changed, drops the other two; id=2 unchanged
+    Seq(Event(1L, "z", "2024-01-01"), Event(2L, "x", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val head = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.readKeyed(spark, log, table, Some(v1), head, Seq("id"))
+    def ofType(t: String) = feed.where(col(ChangeFeed.ChangeTypeCol) === t)
+    // id=2 suppressed entirely; id=1: deletes {a,b,c} vs insert {z} —
+    // rank 1 pairs (a → z), b and c remain plain deletes
+    feed.where(col("id") === 2L).count() shouldBe 0L
+    ofType(ChangeFeed.UpdatePre).select("kind").as[String].collect() shouldBe Array("a")
+    ofType(ChangeFeed.UpdatePost).select("kind").as[String].collect() shouldBe Array("z")
+    ofType(ChangeFeed.Delete).select("kind").as[String].collect().sorted shouldBe Array("b", "c")
+    ofType(ChangeFeed.Insert).count() shouldBe 0L
+
+    val fromState = DeletionVectors.read(spark, log, table, Some(v1))
+    val toState = DeletionVectors.read(spark, log, table, Some(head))
+    multisetEqual(ChangeFeed.replay(fromState, feed), toState)
+  }
 }
