@@ -390,6 +390,24 @@ object Registry {
              |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
              |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
+    "q78_materialized_view" -> Entry(
+      Versioned.q78MaterializedView,
+      // the incrementally-maintained MV == a full recompute of its
+      // definition over the final source state (A minus the DV-hidden
+      // rows, N untouched, R as rewritten), WHERE applied
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'A' AND l_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'N'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) WHERE l_quantity > 5
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

@@ -1733,6 +1733,63 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
+    * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
+    * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS
+    * SELECT` (analyzed, only the self-maintainable count/sum GROUP BY
+    * shape admitted), then `REFRESH MATERIALIZED VIEW` advances it to the
+    * source head with SIGNED deltas off the change feed — O(changed
+    * rows), DV-delete-correct, one atomic MV commit carrying the new
+    * anchor. Asserted in-query: the refresh reports `incremental`, a
+    * repeat reports `no-op`, and the MV's commit history shows exactly
+    * create+refresh. The oracle full-recomputes the view definition over
+    * the final source state — incremental == full. */
+  def q78MaterializedView(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq78", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq78", log)
+    val table = tempTable(
+      "li_mvsrc", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_mvsrc"))
+    graft.spark.GraftTableCatalog.register("graftq78", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+
+    val mvLoc = Files.createTempDirectory("graft_li_mv").toUri
+    val src = s"graftq78.${table.name.schema}.${table.name.name}"
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW graftq78.${table.name.schema}.li_mv
+         |LOCATION '$mvLoc'
+         |AS SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         |FROM $src WHERE l_quantity > 5 GROUP BY l_returnflag""".stripMargin)
+
+    // source moves on: R rewritten, scattered DV delete in untouched A
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table,
+      col("l_returnflag") === "A" && col("l_orderkey") % 7 === 0,
+      user, UpdateMessage("dv: scattered delete in A"))
+
+    val refresh = s.sql("REFRESH MATERIALIZED VIEW graftq78.graft.li_mv").collect()
+    require(refresh.head.getString(0) == "incremental",
+      s"first refresh must be incremental, got ${refresh.head.getString(0)}")
+    val again = s.sql("REFRESH MATERIALIZED VIEW graftq78.graft.li_mv").collect()
+    require(again.head.getString(0) == "no-op",
+      s"repeat refresh must be a no-op, got ${again.head.getString(0)}")
+    // exactly create + one refresh commit in the MV history (the no-op
+    // must not have committed)
+    require(log.updates(TableName("graft", "li_mv")).size == 3,
+      "MV history must be init + full build + one incremental refresh")
+
+    s.sql(
+      """SELECT l_returnflag, n_items, round(sum_qty, 2) AS sum_qty
+        |FROM graftq78.graft.li_mv ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q77: the KEYED change feed — full Delta-CDF type vocabulary
     * ([[graft.spark.ChangeFeed.readKeyed]]): with a declared row identity
     * (lineitem's natural key `(l_orderkey, l_linenumber)`), the feed (a)

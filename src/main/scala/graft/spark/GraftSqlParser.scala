@@ -113,6 +113,13 @@ private[spark] object GraftMaintenanceSql {
   // the SAME catalog (one commit log owns the shared location's linkage)
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+  // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
+  // SELECT is analyzed (not regex-parsed) at execution; only the
+  // incrementally-maintainable shape is admitted (MaterializedView)
+  private val CreateMvStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -156,6 +163,10 @@ private[spark] object GraftMaintenanceSql {
         if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
           split(src).head == split(dst).head =>
       Some(GraftShallowCloneCommand(split(dst), split(src), Option(asOf)))
+    case CreateMvStmt(ident, loc, select) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftCreateMvCommand(split(ident), Option(loc), select.trim))
+    case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddConstraintCommand(split(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
@@ -445,5 +456,69 @@ final case class GraftShallowCloneCommand(
     val dstDefn = ShallowClone.clone(session, ctx, srcDefn, dstName, UserId("sql"), Some(at))
     GraftTableCatalog.register(cat, dstDefn, None) // schema infers from shared files
     Seq(Row(dstParts.mkString("."), at.id))
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ...` — the
+  * SELECT is ANALYZED (Catalyst, not regex) and must be the
+  * incrementally-maintainable shape ([[MaterializedView]]): one graft
+  * source table, optional deterministic WHERE, GROUP BY plain columns,
+  * count/sum aggregates with at least one `count(*)`. The MV is built
+  * fully once and registered as an ordinary versioned snapshot table;
+  * LOCATION defaults to a `_mv_<name>` sibling of the source. */
+final case class GraftCreateMvCommand(
+    mvParts: Seq[String], location: Option[String], selectSql: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("created", StringType, nullable = false)(),
+    AttributeReference("anchor", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val Seq(cat, db, t) = mvParts
+    val mvName = TableName(db, t)
+    require(GraftTableCatalog.lookup(cat, mvName).isEmpty,
+      s"table ${mvParts.mkString(".")} already exists")
+    // location: explicit, or derived next to the source table's dir once
+    // the SELECT names it — derive lazily inside create via a sibling URI
+    val loc = location.map(java.net.URI.create).getOrElse {
+      val parsed = session.sessionState.sqlParser.parsePlan(selectSql)
+      val src = parsed.collectFirst {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if r.multipartIdentifier.size == 3 =>
+          GraftTableCatalog.lookup(
+            r.multipartIdentifier.head,
+            TableName(r.multipartIdentifier(1), r.multipartIdentifier(2)))
+            .map(_._2.location)
+      }.flatten.getOrElse(sys.error("MV SELECT names no registered graft table"))
+      java.net.URI.create(
+        graft.core.Partition.normalizedDir(src).toString.stripSuffix("/") + s"_mv_$t/")
+    }
+    val defn = MaterializedView.create(session, cat, mvName, loc, selectSql, UserId("sql"))
+    val anchor = MaterializedView.currentAnchor(
+      GraftMaintenanceSql.resolve(session, mvParts)._1.log, defn.name)
+    Seq(Row(mvParts.mkString("."), anchor.map(_.id).getOrElse("")))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW mv [FULL]` — advance the MV to the source's
+  * head: incremental (signed deltas off the change feed, O(changed rows))
+  * unless FULL forces a rebuild (the escape hatch when a source
+  * checkpoint folded the anchor away). One atomic MV commit carrying the
+  * new anchor; a no-op when the anchor already IS the head. */
+final case class GraftRefreshMvCommand(mvParts: Seq[String], full: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("from_commit", StringType, nullable = false)(),
+    AttributeReference("to_commit", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, mvDefn) = GraftMaintenanceSql.resolve(session, mvParts)
+    val Seq(cat, _, _) = mvParts
+    val (from, to, mode) =
+      MaterializedView.refresh(session, cat, mvDefn, UserId("sql"), full = full)
+    Seq(Row(mode, from.id, to.id))
   }
 }

@@ -1,0 +1,322 @@
+package graft.spark
+
+import java.net.URI
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * MATERIALIZED VIEWS with feed-driven incremental refresh — the q71
+ * maintenance loop promoted to a first-class, SQL-addressable object.
+ *
+ * An MV is itself an ordinary versioned (snapshot) graft table: every
+ * REFRESH is one atomic commit, so readers flip between consistent states,
+ * the MV time-travels like any table, and its history IS the refresh
+ * audit log. Two pieces of metadata make it a view:
+ *
+ *  - the STATIC definition (source table, optional WHERE, group columns,
+ *    aggregate list), extracted once at CREATE from the analyzed Catalyst
+ *    plan of the defining SELECT and persisted at `<mv>/_mv.json`;
+ *  - the dynamic REFRESH ANCHOR (the source commit the current MV state
+ *    reflects), carried IN the MV commit's message (`anchor=<commit-id>`)
+ *    so state and anchor move in ONE atomic commit — a crash between
+ *    "write MV" and "record anchor" cannot exist.
+ *
+ * Incremental refresh is O(changed rows), never O(source): the change
+ * feed from anchor→head ([[ChangeFeed.read]] — deletion-vector-aware by
+ * construction) is filtered by the view's WHERE, aggregated with SIGNED
+ * weights (+1 insert, −1 delete) into per-group deltas, and full-outer
+ * merged onto the current MV state; groups whose maintained `count(*)`
+ * reaches zero drop out. Only `count(*)`/`count(c)` and `sum(c)` are
+ * admitted at CREATE — they are the self-maintainable aggregates (min/max
+ * would need a re-scan on delete), and at least one `count(*)` is
+ * REQUIRED because group liveness is undecidable from sums alone.
+ *
+ * Scale shape: the delta aggregation shuffles the feed (changed rows
+ * only); the merge join is MV-sized (#groups, which for a grouped MV is
+ * orders below row count — AQE broadcasts it when small). A source
+ * checkpoint that folded the anchor away refuses loudly and
+ * `refresh(full = true)` (SQL `REFRESH … FULL`) rebuilds from a source
+ * scan — the same posture as the streaming source's re-anchor rule.
+ */
+object MaterializedView {
+
+  /** One maintained aggregate: `fn` ∈ count|sum over `input` (count with
+    * input "*" is count(1)), surfaced as MV column `alias`. */
+  final case class AggSpec(fn: String, input: String, alias: String)
+
+  final case class MvDef(
+      sourceParts: Seq[String],
+      where: Option[String],
+      groupCols: Seq[String],
+      aggs: Seq[AggSpec])
+
+  private val FileName = "_mv.json"
+  private val mapper = new ObjectMapper()
+  private val AnchorMark = """anchor=([0-9a-fA-F-]{8,})""".r.unanchored
+
+  // ---------------------------------------------------------------- create
+
+  /** Create + fully build an MV from `selectSql`, register it in catalog
+    * `cat`, and return its definition. The SELECT must be an aggregate of
+    * a single graft table of the same catalog (optional WHERE), with only
+    * count/sum aggregates and at least one `count(*)`. */
+  def create(
+      session: SparkSession,
+      cat: String,
+      mvName: TableName,
+      location: URI,
+      selectSql: String,
+      user: UserId): TableDefinition = {
+    // extraction works on the PARSED (unresolved) plan: the shapes are the
+    // grammar's, stable against resolution rules (the DV scan rule rewrites
+    // graft relations during analysis, which would hide the source)
+    val plan = session.sessionState.sqlParser.parsePlan(selectSql)
+    val (mvDef, srcDefn, binding) = extract(session, cat, plan)
+    // determinism is only decidable post-resolution (an unresolved rand()
+    // reports deterministic): analyze the WHERE against the source scan
+    // before anything is created
+    mvDef.where.foreach { w =>
+      val cond = VersionedReader(session, binding.log).read(srcDefn)
+        .where(expr(w)).queryExecution.analyzed
+        .collect { case f: Filter => f.condition }
+      require(cond.forall(_.deterministic),
+        s"not incrementally maintainable: WHERE must be deterministic, got $w")
+    }
+
+    val mvDefn = TableDefinition(mvName, location, PartitionSchema.snapshot, FileFormat.Parquet)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, mvDefn))
+    ctx.init(mvDefn, user, UpdateMessage(
+      s"CREATE MATERIALIZED VIEW over ${mvDef.sourceParts.mkString(".")}"))
+    writeDef(session, mvDefn, mvDef)
+
+    val anchor = binding.log.currentCommit(srcDefn.name)
+    val full = fullState(session, binding, srcDefn, mvDef, anchor)
+    full.versionedInsertInto(
+      ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${anchor.id}"))
+    GraftTableCatalog.register(cat, mvDefn, None)
+    mvDefn
+  }
+
+  // --------------------------------------------------------------- refresh
+
+  /** Refresh the MV to the source's head. Returns (old anchor, new anchor,
+    * `"incremental"|"full"|"no-op"`). Incremental unless `full` is set or
+    * the view was never refreshable (anchor folded away → loud error
+    * naming the FULL escape hatch). */
+  def refresh(
+      session: SparkSession,
+      cat: String,
+      mvDefn: TableDefinition,
+      user: UserId,
+      full: Boolean = false): (CommitId, CommitId, String) = {
+    val binding = GraftTableCatalog.lookup(cat, mvDefn.name).map(_._1)
+      .getOrElse(sys.error(s"$cat.${mvDefn.name.fullyQualifiedName} is not registered"))
+    val mvDef = readDef(session, mvDefn)
+    val srcDefn = GraftTableCatalog.lookup(cat, TableName(
+      mvDef.sourceParts(1), mvDef.sourceParts(2))).map(_._2)
+      .getOrElse(sys.error(s"MV source ${mvDef.sourceParts.mkString(".")} is not registered"))
+
+    val anchor = currentAnchor(binding.log, mvDefn.name)
+    val head = binding.log.currentCommit(srcDefn.name)
+    if (anchor.contains(head) && !full) return (head, head, "no-op")
+
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, mvDefn))
+    if (full || anchor.isEmpty) {
+      fullState(session, binding, srcDefn, mvDef, head).versionedInsertInto(
+        ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${head.id}"))
+      return (anchor.getOrElse(head), head, "full")
+    }
+
+    val feed =
+      try ChangeFeed.read(session, binding.log, srcDefn, anchor, head)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"cannot read the change feed from anchor ${anchor.get.id} (a source " +
+            "checkpoint may have folded it away) — use REFRESH ... FULL to rebuild",
+          e)
+      }
+    val feedF = mvDef.where.map(w => feed.where(expr(w))).getOrElse(feed)
+    val sign = when(
+      col(ChangeFeed.ChangeTypeCol).isin(ChangeFeed.Insert, ChangeFeed.UpdatePost), lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = mvDef.aggs.map { a =>
+      val d: Column = a.fn match {
+        case "count" if a.input == "*" => sum(sign)
+        case "count" => sum(when(col(a.input).isNotNull, sign).otherwise(lit(0L)))
+        case "sum"   => sum(sign * col(a.input))
+      }
+      d.as(s"__d_${a.alias}")
+    }
+    val deltas = feedF.groupBy(mvDef.groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    val current = VersionedReader(session, binding.log).read(mvDefn)
+    val liveness = mvDef.aggs.find(a => a.fn == "count" && a.input == "*").get.alias
+    val merged = current.join(deltas, mvDef.groupCols, "full_outer")
+      .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map { a =>
+        val cur = coalesce(col(a.alias), lit(0L).cast("long"))
+        val d = coalesce(col(s"__d_${a.alias}"), lit(0L).cast("long"))
+        (cur + d).cast(current.schema(a.alias).dataType).as(a.alias)
+      }: _*)
+      .where(col(liveness) > 0)
+    merged.versionedInsertInto(
+      ctx, mvDefn, user, UpdateMessage(s"REFRESH (incremental) anchor=${head.id}"))
+    (anchor.get, head, "incremental")
+  }
+
+  /** The source commit the MV's current state reflects: the `anchor=` mark
+    * of the newest refresh commit (None = never built, nothing to be
+    * incremental against). */
+  def currentAnchor(log: TableVersions, mv: TableName): Option[CommitId] =
+    log.updates(mv).iterator
+      .map(_.message.content)
+      .collectFirst { case AnchorMark(id) => CommitId(id) }
+
+  // ------------------------------------------------------------- internals
+
+  private def fullState(
+      session: SparkSession,
+      binding: GraftTableCatalog.Binding,
+      srcDefn: TableDefinition,
+      mvDef: MvDef,
+      at: CommitId): DataFrame = {
+    val base = DeletionVectors.read(session, binding.log, srcDefn, Some(at))
+    val basef = mvDef.where.map(w => base.where(expr(w))).getOrElse(base)
+    val aggs = mvDef.aggs.map { a =>
+      val c: Column = a.fn match {
+        case "count" if a.input == "*" => org.apache.spark.sql.functions.count(lit(1))
+        case "count" => org.apache.spark.sql.functions.count(col(a.input))
+        case "sum"   => sum(col(a.input))
+      }
+      c.as(a.alias)
+    }
+    basef.groupBy(mvDef.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pull (source, where, groups, aggs) out of the PARSED plan of the
+    * defining SELECT; reject every shape the signed-delta loop cannot
+    * maintain, loudly and specifically. Column existence is validated by
+    * the full build that immediately follows (ordinary analysis errors). */
+  private def extract(
+      session: SparkSession,
+      cat: String,
+      plan: LogicalPlan): (MvDef, TableDefinition, GraftTableCatalog.Binding) = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"not incrementally maintainable: $why (an MV SELECT is " +
+        "SELECT <group cols>, count(*)/count(c)/sum(c) ... FROM <one graft table> " +
+        "[WHERE <row predicate>] GROUP BY <group cols>)")
+
+    val agg = plan match {
+      case a: Aggregate => a
+      case _ => fail("the defining query is not a GROUP BY aggregate")
+    }
+    // peel to the relation, collecting at most one Filter
+    var where: Option[Expression] = None
+    var node: LogicalPlan = agg.child
+    var done = false
+    while (!done) node match {
+      case SubqueryAlias(_, c) => node = c
+      case Filter(cond, c) =>
+        if (where.nonEmpty) fail("more than one WHERE layer")
+        where = Some(cond); node = c
+      case _ => done = true
+    }
+    val (srcDefn, binding) = node match {
+      case r: UnresolvedRelation => r.multipartIdentifier match {
+        case Seq(c, db, t) =>
+          if (c != cat) fail(s"source catalog $c must be the MV's catalog $cat")
+          if (r.options.containsKey("versionAsOf") || r.options.containsKey("timestampAsOf"))
+            fail("a time-traveled source cannot be maintained forward")
+          GraftTableCatalog.lookup(c, TableName(db, t))
+            .map { case (b, d) => (d, b) }
+            .getOrElse(fail(s"${r.multipartIdentifier.mkString(".")} is not a registered graft table"))
+        case other => fail(s"FROM must name catalog.db.table, got ${other.mkString(".")}")
+      }
+      case other => fail(s"FROM must be one graft table, got ${other.nodeName}")
+    }
+
+    val groupCols = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => fail(s"GROUP BY supports plain columns only, got ${other.sql}")
+    }
+    val aggs = agg.aggregateExpressions.flatMap {
+      case a: UnresolvedAttribute =>
+        if (!groupCols.contains(a.nameParts.last)) fail(s"non-grouped bare column ${a.name}")
+        None
+      case Alias(f: UnresolvedFunction, name) =>
+        if (f.isDistinct) fail(s"DISTINCT aggregate $name")
+        if (f.filter.nonEmpty) fail(s"FILTER clause on $name")
+        (f.nameParts.map(_.toLowerCase), f.arguments) match {
+          case (Seq("count"), Seq(UnresolvedStar(None))) => Some(AggSpec("count", "*", name))
+          case (Seq("count"), Seq(Literal(_, _)))        => Some(AggSpec("count", "*", name))
+          case (Seq("count"), Seq(a: UnresolvedAttribute)) =>
+            Some(AggSpec("count", a.nameParts.last, name))
+          case (Seq("sum"), Seq(a: UnresolvedAttribute)) =>
+            Some(AggSpec("sum", a.nameParts.last, name))
+          case (fn, _) => fail(s"aggregate ${fn.mkString(".")} is not self-maintainable " +
+            "under deletes (count/sum of a plain column only)")
+        }
+      case f: UnresolvedFunction =>
+        fail(s"aggregate ${f.nameParts.mkString(".")} needs an AS alias")
+      case other => fail(s"unsupported select item ${other.sql}")
+    }
+    if (!aggs.exists(a => a.fn == "count" && a.input == "*"))
+      fail("at least one count(*) is required (group liveness under deletes)")
+
+    val mvDef = MvDef(
+      Seq(cat, srcDefn.name.schema, srcDefn.name.name),
+      where.map(_.sql), groupCols, aggs)
+    (mvDef, srcDefn, binding)
+  }
+
+  private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + FileName)
+
+  private def writeDef(session: SparkSession, mv: TableDefinition, d: MvDef): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("source", d.sourceParts.mkString("."))
+    d.where.foreach(w => n.put("where", w))
+    val g = n.putArray("group"); d.groupCols.foreach(g.add)
+    val a = n.putArray("aggs")
+    d.aggs.foreach { s =>
+      val o = mapper.createObjectNode()
+      o.put("fn", s.fn); o.put("input", s.input); o.put("alias", s.alias)
+      a.add(o)
+    }
+    val p = filePath(mv)
+    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readDef(session: SparkSession, mv: TableDefinition): MvDef = {
+    val p = filePath(mv)
+    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
+    require(fs.exists(p), s"${mv.name.fullyQualifiedName} is not a materialized view")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = mapper.readTree(text)
+    MvDef(
+      node.get("source").asText().split("\\.").toSeq,
+      Option(node.get("where")).map(_.asText()),
+      (0 until node.get("group").size()).map(node.get("group").get(_).asText()),
+      (0 until node.get("aggs").size()).map { i =>
+        val o = node.get("aggs").get(i)
+        AggSpec(o.get("fn").asText(), o.get("input").asText(), o.get("alias").asText())
+      })
+  }
+}

@@ -1,0 +1,131 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class MaterializedViewSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("mv-test")
+
+  /** A fresh catalog+log with one registered partitioned source table. */
+  private def setup(cat: String): (VersionContext, InMemoryTableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind(cat, log)
+    val table = TableDefinition(
+      TableName("db", "events"),
+      Files.createTempDirectory(s"graft_mv_$cat").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register(cat, table)
+    (ctx, log, table)
+  }
+
+  private def mvLoc(): String = Files.createTempDirectory("graft_mv_loc").toUri.toString
+
+  test("incremental refresh tracks inserts, rewrites, and DV deletes; group death drops the row") {
+    val (ctx, log, table) = setup("mvc1")
+    (1L to 30L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc1.db.by_kind LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(id) AS sum_id
+         |FROM mvc1.db.events GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc1", TableName("db", "by_kind")).get._2
+    val reader = VersionedReader(spark, log)
+    reader.read(mv).orderBy("kind").as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 15L, 240L), ("odd", 15L, 225L))
+
+    // DV-delete EVERY odd row (group death) and half the evens
+    DeletionVectors.delete(
+      ctx, log, table, col("id") % 2 === 1, user, UpdateMessage("kill odds"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") % 4 === 0, user, UpdateMessage("thin evens"))
+    val out = spark.sql("REFRESH MATERIALIZED VIEW mvc1.db.by_kind").collect()
+    out.head.getString(0) shouldBe "incremental"
+    // odd group died; evens: ids 2,6,10,...,30 (8 rows)
+    reader.read(mv).orderBy("kind").as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 8L, 128L))
+
+    // the MV is an ordinary versioned table: time travel to the full build
+    val buildCommit = log.updates(mv.name).reverse(1).id // init, build, refresh
+    reader.readAsOf(mv, buildCommit).orderBy("kind").as[(String, Long, Long)]
+      .collect().map(_._1) shouldBe Array("even", "odd")
+  }
+
+  test("FULL refresh rebuilds from a source scan and lands the same state as incremental") {
+    val (ctx, log, table) = setup("mvc2")
+    (1L to 20L).map(i => Event(i, s"k${i % 4}", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc2.db.mv2 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(id) AS sum_id
+         |FROM mvc2.db.events WHERE id > 2 GROUP BY kind""".stripMargin)
+    (21L to 25L).map(i => Event(i, s"k${i % 4}", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+
+    val mv = GraftTableCatalog.lookup("mvc2", TableName("db", "mv2")).get._2
+    spark.sql("REFRESH MATERIALIZED VIEW mvc2.db.mv2 FULL").collect()
+      .head.getString(0) shouldBe "full"
+    val full = VersionedReader(spark, log).read(mv).orderBy("kind")
+      .as[(String, Long, Long)].collect()
+    // oracle by hand: ids 3..25, grouped by i%4, WHERE id > 2
+    val expected = (3L to 25L).groupBy(i => s"k${i % 4}").toSeq.sortBy(_._1)
+      .map { case (k, ids) => (k, ids.size.toLong, ids.sum) }
+    full shouldBe expected
+  }
+
+  test("non-maintainable shapes reject loudly at CREATE") {
+    val (ctx, _, table) = setup("mvc3")
+    (1L to 5L).map(i => Event(i, "a", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    def rejects(select: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"CREATE MATERIALIZED VIEW mvc3.db.bad LOCATION '${mvLoc()}' AS $select")
+      }
+      e.getMessage should include(needle)
+      GraftTableCatalog.lookup("mvc3", TableName("db", "bad")) shouldBe None
+    }
+    rejects("SELECT kind, avg(id) AS a, count(*) AS n FROM mvc3.db.events GROUP BY kind",
+      "not self-maintainable")
+    rejects("SELECT kind, sum(id) AS s FROM mvc3.db.events GROUP BY kind",
+      "count(*) is required")
+    rejects("SELECT kind, count(DISTINCT id) AS n FROM mvc3.db.events GROUP BY kind",
+      "DISTINCT")
+    rejects("SELECT kind, count(*) AS n FROM mvc3.db.events WHERE rand() > 0.5 GROUP BY kind",
+      "deterministic")
+    rejects("SELECT count(*) AS n FROM mvc3.db.events e JOIN mvc3.db.events f ON e.id = f.id",
+      "maintainable")
+  }
+
+  test("refresh applies the view's WHERE to the feed (filtered deltas only)") {
+    val (ctx, log, table) = setup("mvc4")
+    (1L to 10L).map(i => Event(i, "g", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc4.db.mv4 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(id) AS sum_id
+         |FROM mvc4.db.events WHERE id >= 5 GROUP BY kind""".stripMargin)
+    // deletes BELOW the predicate must not change the MV; one above must
+    DeletionVectors.delete(ctx, log, table, col("id") <= 2, user, UpdateMessage("below"))
+    DeletionVectors.delete(ctx, log, table, col("id") === 9, user, UpdateMessage("above"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvc4.db.mv4").collect()
+      .head.getString(0) shouldBe "incremental"
+    val mv = GraftTableCatalog.lookup("mvc4", TableName("db", "mv4")).get._2
+    VersionedReader(spark, log).read(mv).as[(String, Long, Long)].collect() shouldBe
+      Array(("g", 5L, 5L + 6L + 7L + 8L + 10L))
+  }
+}
