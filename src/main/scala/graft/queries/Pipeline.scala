@@ -1354,4 +1354,137 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"))
       .orderBy("shard", "seq_id")
   }
+
+  // ------------------------------------------------------- E34 BM25
+
+  /** Per-(qid, doc) BM25 contributions in exact micro-integer space (the
+    * shared kernel of [[e34Bm25]] and the hybrid fusion [[e36HybridRrf]]).
+    * Query terms: the first 4 tokens of docs 0/7/14/21 (qid = doc_id/7),
+    * set semantics. Each per-(doc, term) contribution is deterministic
+    * arithmetic scaled to a BIGINT (`round(1e6·x)`), so the per-doc SUM is
+    * integer-exact and independent of aggregation order — no FP-summation
+    * hash hazard against the oracle. k1 = 1.2, b = 0.75, BM25+ idf
+    * (`ln(1 + (N − df + ½)/(df + ½))`, never negative).
+    *
+    * Scale shape: tf/df/dlen are corpus-keyed aggregates (token and doc_id
+    * keys — partial+final, no vocabulary broadcast); the query-term set is
+    * metadata-sized and broadcast; the global (N, avgdl) pair rides a
+    * broadcast cross join. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val q = docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 28)
+      .select(expr("doc_id div 7").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("token"))
+      .distinct()
+    tf.join(broadcast(q), "token")
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(lit(1000000.0) *
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))), 0)
+        .cast("long"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("c").as("score_micro"))
+  }
+
+  /** E34: BM25 retrieval — score every document against each query-term
+    * set and return the top 3 per query. The classic lexical half of a
+    * retrieval/dedup stack (next to the dense [[e3CosineTopK]] family);
+    * ranking keys are integers (micro-scaled score, doc_id tiebreak) so
+    * the result is engine-exact. */
+  def e34Bm25(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score_micro"), asc("doc_id"))
+    bm25Scores(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("qid", "rk", "doc_id", "score_micro")
+      .orderBy("qid", "rk")
+  }
+
+  // -------------------------------------------------- E35 bigram LM
+
+  /** E35: n-gram language-model quality scoring (the CCNet/KenLM idea, with
+    * the corpus itself as training data): a bigram LM with add-½ smoothing
+    * over the full corpus — `P(w2|w1) = (c12 + ½)/(c1 + ½·V)` — scores each
+    * sampled document's total log-probability. Low-probability documents
+    * (token soup the corpus-wide LM finds surprising) are the filter
+    * candidates. Per-bigram log-probs are micro-scaled BIGINTs, so per-doc
+    * sums are exact and aggregation-order-free.
+    *
+    * Scale shape: LM "training" is two corpus aggregates (bigram and
+    * unigram counts — partial+final on bounded keys); scoring joins ONLY
+    * the sampled documents' bigram occurrences against the model (the
+    * filter pushes below the joins); nothing is broadcast except the
+    * 1-row vocab size. */
+  def e35BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bigrams = tk.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = tk.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    bigrams
+      .where(col("doc_id") % 25 === 0) // score the sample, train on everything
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(lit(1000000.0) *
+          log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v"))), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logprob_micro"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ E36 hybrid RRF
+
+  /** E36: HYBRID retrieval — reciprocal-rank fusion of the lexical
+    * ([[bm25Scores]] top 10) and dense (cosine top 10, the [[e3cCosineNative]]
+    * kernel) rankings: `rrf = Σ round(1e6/(60 + rank))` over the systems
+    * that retrieved the doc (the standard RRF k = 60). Fusion arithmetic
+    * is integer-exact; only the dense rank order itself is FP (the same
+    * accepted posture as the e3 family). Queries pair the first-4-token
+    * term sets with the SAME documents' embeddings (vec 0/7/14/21).
+    *
+    * Scale shape: both retrieval legs are corpus-pass + bounded top-k;
+    * fusion joins two ≤(k × #queries)-row sides — metadata-sized. */
+  def e36HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.partitionBy("qid").orderBy(desc("score_micro"), asc("doc_id"))
+    val lex = bm25Scores(s, dir)
+      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      .where(col("rank_lex") <= 10)
+      .select("qid", "doc_id", "rank_lex")
+
+    val emb = load(s, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") % 7 === 0 && col("vec_id") < 28)
+      .select(expr("vec_id div 7").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .withColumn("cos", graft.plans.GraftFunctions.cosineSim(col("embedding"), col("qvec")))
+    val dense = topKPerQuery(scored, 10)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rk").as("rank_dense"))
+
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        when(col("rank_lex").isNotNull, round(lit(1000000.0) / (col("rank_lex") + 60), 0))
+          .otherwise(lit(0L)).cast("long") +
+        when(col("rank_dense").isNotNull, round(lit(1000000.0) / (col("rank_dense") + 60), 0))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("rrf_micro"), asc("doc_id"))).cast("long"))
+      .where(col("rk") <= 3)
+      .select("qid", "rk", "doc_id", "rrf_micro")
+      .orderBy("qid", "rk")
+  }
 }

@@ -1615,6 +1615,116 @@ object Registry {
     "q46_lateral" -> Entry(
       Relational.q46Lateral, Some(Relational.q46Sql)),
 
+    "e34_bm25" -> Entry(
+      Pipeline.e34Bm25,
+      // per-(doc, term) contributions are micro-scaled BIGINTs, so sums and
+      // ranks are integer-exact across engines; arithmetic shape mirrored
+      // operation-for-operation
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |q AS (SELECT DISTINCT qid, token FROM (
+             |        SELECT doc_id // 7 AS qid,
+             |               unnest(list_slice(string_split(text, ' '), 1, 4)) AS token
+             |        FROM documents WHERE doc_id % 7 = 0 AND doc_id < 28)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(round(1000000.0 *
+             |                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+             |                   (tf * 2.2) /
+             |                   (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)), 0) AS BIGINT) AS c
+             |       FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+             |            JOIN dl ON tf.doc_id = dl.doc_id, stats),
+             |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT qid, doc_id, score_micro,
+             |             row_number() OVER (PARTITION BY qid
+             |                                ORDER BY score_micro DESC, doc_id) AS rk
+             |      FROM agg)
+             |SELECT qid, rk, doc_id, score_micro FROM r WHERE rk <= 3
+             |ORDER BY qid, rk""".stripMargin)),
+    "e35_bigram_lm" -> Entry(
+      Pipeline.e35BigramLm,
+      // the LM trains on the whole corpus, scores the sampled docs; bigram
+      // log-probs are micro-scaled BIGINTs so per-doc sums are exact
+      Some("""WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |            WHERE len(string_split(text, ' ')) >= 2),
+             |bg AS (SELECT doc_id,
+             |              unnest(list_transform(generate_series(1, len(tk) - 1),
+             |                                    i -> tk[i])) AS w1,
+             |              unnest(list_transform(generate_series(1, len(tk) - 1),
+             |                                    i -> tk[i + 1])) AS w2
+             |       FROM d2),
+             |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |c1c AS (SELECT w1, count(*) AS c1
+             |        FROM (SELECT unnest(tk) AS w1 FROM d2) GROUP BY 1),
+             |v AS (SELECT count(*) AS v FROM c1c),
+             |sc AS (SELECT bg.doc_id,
+             |              CAST(round(1000000.0 *
+             |                   ln((c12 + 0.5) / (c1 + 0.5 * v)), 0) AS BIGINT) AS lp
+             |       FROM bg JOIN c2 USING (w1, w2) JOIN c1c USING (w1), v
+             |       WHERE bg.doc_id % 25 = 0)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(sum(lp) AS BIGINT) AS logprob_micro
+             |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+    "e36_hybrid_rrf" -> Entry(
+      Pipeline.e36HybridRrf,
+      // reciprocal-rank fusion of the BM25 and cosine top-10s; fusion
+      // arithmetic is integer-exact, only the dense rank order is FP (the
+      // e3-family posture)
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |q AS (SELECT DISTINCT qid, token FROM (
+             |        SELECT doc_id // 7 AS qid,
+             |               unnest(list_slice(string_split(text, ' '), 1, 4)) AS token
+             |        FROM documents WHERE doc_id % 7 = 0 AND doc_id < 28)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(round(1000000.0 *
+             |                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+             |                   (tf * 2.2) /
+             |                   (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)), 0) AS BIGINT) AS c
+             |       FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+             |            JOIN dl ON tf.doc_id = dl.doc_id, stats),
+             |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+             |        FROM sc GROUP BY 1, 2),
+             |lexr AS (SELECT qid, doc_id,
+             |                row_number() OVER (PARTITION BY qid
+             |                                   ORDER BY score_micro DESC, doc_id) AS rank_lex
+             |         FROM agg),
+             |lex AS (SELECT qid, doc_id, rank_lex FROM lexr WHERE rank_lex <= 10),
+             |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |             list_sum(list_transform(embedding,
+             |                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+             |      FROM embeddings),
+             |qv AS (SELECT vec_id // 7 AS qid, v AS qvec, nrm AS qn FROM n
+             |       WHERE vec_id % 7 = 0 AND vec_id < 28),
+             |sc2 AS (SELECT qid, vec_id AS doc_id,
+             |               list_inner_product(v, qvec) / (sqrt(nrm) * sqrt(qn)) AS cos
+             |        FROM n, qv),
+             |dr AS (SELECT qid, doc_id,
+             |              row_number() OVER (PARTITION BY qid
+             |                                 ORDER BY cos DESC, doc_id) AS rank_dense
+             |       FROM sc2),
+             |dense AS (SELECT qid, doc_id, rank_dense FROM dr WHERE rank_dense <= 10),
+             |fused AS (SELECT coalesce(lex.qid, dense.qid) AS qid,
+             |                 coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+             |                 coalesce(CAST(round(1000000.0 / (rank_lex + 60), 0) AS BIGINT), 0)
+             |               + coalesce(CAST(round(1000000.0 / (rank_dense + 60), 0) AS BIGINT), 0)
+             |                 AS rrf_micro
+             |          FROM lex FULL OUTER JOIN dense
+             |               ON lex.qid = dense.qid AND lex.doc_id = dense.doc_id),
+             |fr AS (SELECT qid, doc_id, rrf_micro,
+             |              row_number() OVER (PARTITION BY qid
+             |                                 ORDER BY rrf_micro DESC, doc_id) AS rk
+             |       FROM fused)
+             |SELECT qid, rk, doc_id, rrf_micro FROM fr WHERE rk <= 3
+             |ORDER BY qid, rk""".stripMargin)),
     "e10_tfidf" -> Entry(
       Pipeline.e10TfIdf,
       // ranking keys are integers (tf desc, df asc, token) so the top-3 set
