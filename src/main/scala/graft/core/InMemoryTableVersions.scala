@@ -49,6 +49,28 @@ final class InMemoryTableVersions extends TableVersions {
       }
     }
 
+  /** One CAS over the whole table map IS the transaction: every reader
+    * sees either the pre-image of all tables or the post-image of all. */
+  override def commitAll(commits: Seq[(TableName, TableUpdate)]): Unit = {
+    require(commits.map(_._1).distinct.size == commits.size,
+      "commitAll: each table may appear at most once per transaction")
+    if (commits.isEmpty) return
+    modify { states =>
+      val bad = commits.collectFirst {
+        case (t, _) if !states.contains(t) => Left(unknownTableError(t))
+        case (t, u) if states(t).updates.exists(_.metadata.id == u.metadata.id) =>
+          Left(new IllegalArgumentException(
+            s"commit id ${u.metadata.id.id} already exists in the history of ${t.fullyQualifiedName}"))
+      }
+      bad.getOrElse(Right(commits.foldLeft(states) { case (acc, (t, u)) =>
+        val attached = u.copy(metadata = u.metadata.copy(detached = false))
+        val s = acc(t)
+        acc + (t -> s.copy(
+          currentVersion = attached.metadata.id, updates = s.updates :+ attached))
+      }))
+    }
+  }
+
   override def commitIf(
       table: TableName, update: TableUpdate, expected: CommitId): Boolean = {
     // the flag rides the CAS loop: only the attempt that wins the

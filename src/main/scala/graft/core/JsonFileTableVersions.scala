@@ -75,13 +75,16 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     }
   }
 
-  private def commitLine(update: TableUpdate): String = {
+  private def commitLine(update: TableUpdate, txnPending: Option[String] = None): String = {
     val node = mapper.createObjectNode()
     node.put("record", "commit")
     node.put("id", update.metadata.id.id)
     node.put("user", update.metadata.userId.value)
     node.put("message", update.metadata.message.content)
     node.put("timestamp", update.metadata.timestamp.toString)
+    // multi-table transaction membership: the line is INVISIBLE to replay
+    // until `_txns/<id>.committed` exists (the transaction's commit point)
+    txnPending.foreach { t => node.put("txnPending", t); () }
     if (update.metadata.detached) { node.put("detached", true); () }
     update.metadata.txn.foreach { t =>
       node.put("txnApp", t.appId)
@@ -146,6 +149,12 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
         lines.foreach { line =>
           val node = mapper.readTree(line).asInstanceOf[ObjectNode]
           node.get("record").asText() match {
+            case "commit" if Option(node.get("txnPending")).exists(t =>
+                !txnCommitted(t.asText())) =>
+              // a multi-table transaction member whose commit point never
+              // landed: pending or aborted — invisible to every fold, not
+              // addressable, exactly as if the append never happened
+              ()
             case "commit" =>
               val detached = Option(node.get("detached")).exists(_.asBoolean())
               val meta = TableUpdateMetadata(
@@ -382,6 +391,96 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
         Seq(commitLine(update.copy(metadata = update.metadata.copy(detached = false)))))
     }
 
+  /** Multi-table transaction, two phases with a single atomic commit point
+    * (WAL-marker protocol):
+    *
+    *  1. PREPARE — per table (name-ordered, each under its own lock), append
+    *     a commit line carrying `txnPending = <txn id>`. Replay skips such
+    *     lines while the marker is absent, so nothing is visible yet; a
+    *     crash here aborts the transaction wholesale (the lines stay as
+    *     dead weight, the staged version dirs unreferenced — vacuum's
+    *     ordinary posture).
+    *  2. COMMIT POINT — one atomic CREATE_NEW of `_txns/<id>.committed`.
+    *     Every table's replay flips together on that single filesystem
+    *     event: all-or-nothing visibility with no cross-table lock.
+    *
+    * All tables are validated (tracked, fresh commit ids) before any line
+    * is appended, so validation failures leave no trace at all. */
+  override def commitAll(commits: Seq[(TableName, TableUpdate)]): Unit = {
+    require(commits.map(_._1).distinct.size == commits.size,
+      "commitAll: each table may appear at most once per transaction")
+    if (commits.isEmpty) return
+    if (commits.size == 1) return commit(commits.head._1, commits.head._2)
+    txnMarkerCreate(txnPrepare(commits))
+  }
+
+  /** Phase 1 (package-visible so the contract suite can simulate a crash
+    * between prepare and commit point). Returns the transaction id. */
+  private[core] def txnPrepare(commits: Seq[(TableName, TableUpdate)]): String = {
+    // validate everything first — a failed transaction should leave nothing
+    commits.foreach { case (t, u) =>
+      val state = loadState(t).getOrElse(throw unknownTableError(t))
+      if (state.updates.exists(_.metadata.id == u.metadata.id))
+        throw new IllegalArgumentException(
+          s"commit id ${u.metadata.id.id} already exists in the history of ${t.fullyQualifiedName}")
+    }
+    val txnId = java.util.UUID.randomUUID().toString
+    commits.sortBy(_._1.fullyQualifiedName).foreach { case (t, u) =>
+      withTableLock(t) {
+        val state = loadState(t).getOrElse(throw unknownTableError(t))
+        if (state.updates.exists(_.metadata.id == u.metadata.id))
+          throw new IllegalArgumentException(
+            s"commit id ${u.metadata.id.id} already exists in the history of ${t.fullyQualifiedName}")
+        appendLines(t, Seq(commitLine(
+          u.copy(metadata = u.metadata.copy(detached = false)), txnPending = Some(txnId))))
+      }
+    }
+    txnId
+  }
+
+  /** Phase 2: the commit point. Create-exclusive + dir fsync — after this
+    * returns, every table's pending lines replay as ordinary commits. */
+  private[core] def txnMarkerCreate(txnId: String): Unit = {
+    Files.createDirectories(txnDir)
+    Files.write(txnDir.resolve(s"$txnId.committed"), Array.emptyByteArray,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // the marker's directory entry must survive a crash, like the log's
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        txnDir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  private def txnDir: Path = logDir.resolve("_txns")
+
+  /** Committed-marker check; positives cache forever (a marker is never
+    * deleted — the cheap, immutable record that the transaction landed). */
+  private def txnCommitted(txnId: String): Boolean =
+    JsonFileTableVersions.committedTxns.contains(txnId) || {
+      val yes = Files.exists(txnDir.resolve(s"$txnId.committed"))
+      if (yes) JsonFileTableVersions.committedTxns.add(txnId)
+      yes
+    }
+
+  /** Does the raw file hold pending-transaction lines (marker absent)?
+    * Replay skips them, so [[checkpoint]] must refuse rather than rewrite
+    * them away — a marker landing later would otherwise resurrect the
+    * transaction on SOME tables only. */
+  private def hasPendingTxnLines(table: TableName): Boolean = {
+    val f = fileFor(table)
+    Files.exists(f) && {
+      val raw = Files.readAllBytes(f)
+      val end = raw.lastIndexOf('\n'.toByte)
+      end >= 0 && new String(raw, 0, end + 1, StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).exists { line =>
+          val node = mapper.readTree(line).asInstanceOf[ObjectNode]
+          node.get("record").asText() == "commit" &&
+            Option(node.get("txnPending")).exists(t => !txnCommitted(t.asText()))
+        }
+    }
+  }
+
   override def commitIf(
       table: TableName, update: TableUpdate, expected: CommitId): Boolean =
     withTableLock(table) {
@@ -472,6 +571,13 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     * @return true if the log was rewritten, false if already minimal. */
   def checkpoint(table: TableName, keepLast: Int): Boolean = withTableLock(table) {
     require(keepLast >= 0, s"keepLast must be non-negative, got $keepLast")
+    // a pending multi-table transaction line is invisible to replay, so the
+    // rewrite would silently drop it — and a marker landing later would
+    // then resurrect the transaction on some tables but not this one
+    if (hasPendingTxnLines(table))
+      throw new IllegalStateException(
+        s"table ${table.fullyQualifiedName} holds commit lines of a PENDING " +
+          "multi-table transaction; commit or abandon it (vacuum) before checkpointing")
     val state = loadState(table).getOrElse(throw unknownTableError(table))
     val n = state.updates.size
     if (n <= keepLast + 1) false
@@ -514,7 +620,7 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
       val refLines = state.refs.toList.sortBy(_._1)
         .map { case (name, r) => refLine(name, r.id, r.isTag) }
       atomicWrite(table,
-        (rewritten.map(commitLine) ++ refLines ++
+        (rewritten.map(commitLine(_)) ++ refLines ++
           List(checkoutLine(state.currentVersion))).mkString("", "\n", "\n"))
       true
     }
@@ -537,6 +643,11 @@ object JsonFileTableVersions {
   private[core] val LockTimeoutMs = 30000L
   private[core] val LockRetryMs = 5L
   private[core] val LockBreakRecheckMs = 50L
+
+  /** Positive-only marker cache shared across instances (a committed
+    * transaction never un-commits; negatives are re-checked on disk). */
+  private val committedTxns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def apply(logDir: String): JsonFileTableVersions =
     new JsonFileTableVersions(Paths.get(logDir))

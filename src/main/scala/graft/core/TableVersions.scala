@@ -167,6 +167,26 @@ trait TableVersions {
     sys.error("unreachable")
   }
 
+  /** ATOMIC MULTI-TABLE COMMIT: append one update to EACH named table and
+    * move every pointer, all-or-nothing — no reader ever observes some of
+    * the tables committed and others not, and a crash mid-protocol aborts
+    * the whole transaction (the staged version dirs stay unreferenced,
+    * vacuum's ordinary posture). The tables must share THIS log instance —
+    * that shared log is what arbitrates the transaction.
+    *
+    * Implementations: the in-memory log commits under one CAS over the
+    * whole table map; the durable file log stages per-table commit lines
+    * marked with a transaction id (invisible to every fold while pending)
+    * and then creates the transaction's COMMITTED marker with one atomic
+    * file create — the commit point all tables' replays gate on.
+    *
+    * Validation: `commits` must name distinct, tracked tables with fresh
+    * commit ids; violations throw before anything becomes visible.
+    * Conflict posture is plain [[commit]] (partition ops compose);
+    * read-modify-write transactions should derive per-table updates from
+    * freshly read states. */
+  def commitAll(commits: Seq[(TableName, TableUpdate)]): Unit
+
   /** Move the current pointer to an existing PUBLISHED commit (rollback /
     * checkout). Errors on an unknown table or commit id, and on a DETACHED
     * (staged) commit — staged work enters the mainline only through

@@ -43,6 +43,16 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
     syncCatalog(table)
   }
 
+  /** ATOMIC MULTI-TABLE COMMIT ([[TableVersions.commitAll]]): all tables'
+    * pointers move in one atomic step of the shared log, then each table's
+    * catalog syncs. The catalog sync is the same non-atomic mirror phase as
+    * single-table [[commit]] — the log is truth, commit-log-resolved
+    * readers flip together at the log's commit point. */
+  def commitAll(commits: Seq[(TableName, TableUpdate)]): Seq[(TableVersion, TableChanges)] = {
+    tableVersions.commitAll(commits)
+    commits.map { case (t, _) => syncCatalog(t) }
+  }
+
   /** Optimistic-concurrency commit ([[TableVersions.commitIf]]): applies —
     * and syncs the catalog — only if `expected` still names the current
     * commit. `None` = conflict; neither the log nor the catalog changed. */

@@ -408,6 +408,20 @@ object Registry {
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) WHERE l_quantity > 5
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q79_multi_table_txn" -> Entry(
+      Versioned.q79MultiTableTxn,
+      // the summary table, committed atomically WITH its detail table twice
+      // (full load, then R-partition refresh): final state = A/N full + R
+      // filtered, rolled up
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

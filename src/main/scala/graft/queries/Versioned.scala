@@ -1733,6 +1733,61 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q79: ATOMIC MULTI-TABLE TRANSACTIONS
+    * ([[graft.core.TableVersions.commitAll]] /
+    * [[graft.spark.VersionContext.commitTransaction]]) — a fact table and
+    * its summary table move together or not at all: each transaction
+    * stages both writes (data lands as never-referenced version dirs),
+    * then ONE atomic commit point — the durable log's `_txns/<id>.committed`
+    * marker, a single file create — flips every table's replay at once.
+    * No reader can observe the detail refreshed but the summary stale.
+    * Runs on the DURABLE file log so the marker protocol (not the
+    * in-memory CAS) is what's exercised; the crash windows are pinned in
+    * the contract suite. Asserted in-query: two marker files exist, and
+    * the summary table equals a rollup of the detail table read back —
+    * cross-table consistency after both transactions. */
+  def q79MultiTableTxn(s: SparkSession, dir: String): DataFrame = {
+    val logDir = Files.createTempDirectory("graft_txnlog")
+    val log = graft.core.JsonFileTableVersions(logDir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val detail = tempTable(
+      "li_txn_detail", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    val summary = tempTable("li_txn_summary", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(detail, user, UpdateMessage("create detail"))
+    ctx.init(summary, user, UpdateMessage("create summary"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    def rollup(df: DataFrame): DataFrame = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+
+    // txn 1: full load + its rollup, one atomic commit point
+    VersionContext.commitTransaction(ctx, Seq(
+      li.versionedStage(ctx, detail, user, UpdateMessage("txn1: detail full load")),
+      rollup(li).versionedStage(ctx, summary, user, UpdateMessage("txn1: summary"))))
+
+    // txn 2: refresh the R partition AND the matching summary — together
+    val finalState = li.where(col("l_returnflag") =!= "R")
+      .unionByName(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40))
+    VersionContext.commitTransaction(ctx, Seq(
+      li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+        .versionedStage(ctx, detail, user, UpdateMessage("txn2: refresh R")),
+      rollup(finalState).versionedStage(ctx, summary, user, UpdateMessage("txn2: summary"))))
+
+    // both transactions committed through the marker protocol
+    val markers = Files.list(logDir.resolve("_txns")).count()
+    require(markers == 2L, s"expected 2 committed-transaction markers, found $markers")
+    // cross-table consistency: the summary IS the rollup of the detail
+    val reader = graft.spark.VersionedReader(s, log)
+    val fromDetail = rollup(reader.read(detail))
+    val summ = reader.read(summary)
+    require(summ.exceptAll(fromDetail).isEmpty && fromDetail.exceptAll(summ).isEmpty,
+      "summary table must equal the rollup of the detail table it committed with")
+
+    summ.select(
+        col("l_returnflag"), col("n_items"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS

@@ -45,8 +45,42 @@ final case class VersionContext(
 
 object VersionContext {
 
+  /** A write whose data landed (invisible version dirs) but whose commit
+    * is deferred to [[commitTransaction]]. */
+  final case class StagedCommit(table: TableDefinition, update: TableUpdate)
+
+  /** ATOMIC MULTI-TABLE TRANSACTION commit: every staged table's pointer
+    * moves in one atomic step of the shared commit log
+    * ([[TableVersions.commitAll]]) — readers of the table GROUP see either
+    * none of the transaction or all of it, with no cross-table lock (the
+    * durable log's commit point is a single marker-file create). On any
+    * failure before the commit point the staged version dirs stay
+    * unreferenced — vacuum's ordinary orphan posture, no cleanup step. */
+  def commitTransaction(ctx: VersionContext, staged: Seq[StagedCommit]): Unit = {
+    ctx.metastore.commitAll(staged.map(s => s.table.name -> s.update))
+    ()
+  }
+
   /** Enrichment giving `Dataset[T]` the reference's headline write API. */
   implicit final class DatasetVersionOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Stage this dataset as a new version of `table` for a multi-table
+      * transaction: the write job runs NOW (constraints enforced, column
+      * mapping applied — the ordinary pre-write pipeline), the data lands
+      * as never-referenced version dirs, and the commit is deferred to
+      * [[VersionContext.commitTransaction]]. */
+    def versionedStage(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage): StagedCommit = {
+      val version = ctx.newVersion()
+      val mapped = mappedForWrite(ds, ctx, table)
+      val written =
+        if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
+        else writePartitioned(mapped, table, version)
+      StagedCommit(table, TableUpdate(userId, message, Instant.now(), written))
+    }
 
     /** Write this dataset as a new version of `table`, then commit + sync.
       * Returns the resulting table version and the catalog ops applied. */

@@ -497,6 +497,52 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     log.setRef(tbl, "training-v1", u2.metadata.id, isTag = true)
     log.refCommit(tbl, "training-v1") shouldBe u2.metadata.id
   }
+
+  test(s"$implName: commitAll moves every table's pointer; all tables land") {
+    val log = newLog()
+    val ta = TableName("db", "txn_a")
+    val tb = TableName("db", "txn_b")
+    log.init(ta, isSnapshot = false, who, msg("init a"), at(0))
+    log.init(tb, isSnapshot = true, who, msg("init b"), at(0))
+    val va = v(); val vb = v()
+    val ua = TableUpdate(who, msg("txn a"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-01"), va)))
+    val ub = TableUpdate(who, msg("txn b"), Instant.now(),
+      List(TableOperation.AddTableVersion(vb)))
+    log.commitAll(Seq(ta -> ua, tb -> ub))
+    log.currentVersion(ta) shouldBe PartitionedTableVersion(Map(p("2024-01-01") -> va))
+    log.currentVersion(tb) shouldBe SnapshotTableVersion(vb)
+    log.currentCommit(ta) shouldBe ua.metadata.id
+    log.currentCommit(tb) shouldBe ub.metadata.id
+    log.updates(ta).head.message shouldBe msg("txn a")
+  }
+
+  test(s"$implName: commitAll validation is all-or-nothing") {
+    val log = newLog()
+    val ta = TableName("db", "txn_v")
+    log.init(ta, isSnapshot = false, who, msg("init"), at(0))
+    val before = log.currentCommit(ta)
+    val good = TableUpdate(who, msg("ok"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(p("2024-01-01"), v())))
+    // unknown second table: nothing commits anywhere
+    an[Exception] should be thrownBy log.commitAll(Seq(
+      ta -> good,
+      TableName("db", "ghost") -> TableUpdate(who, msg("x"), Instant.now(), Nil)))
+    log.currentCommit(ta) shouldBe before
+    // a table may appear at most once
+    an[IllegalArgumentException] should be thrownBy log.commitAll(Seq(
+      ta -> good,
+      ta -> TableUpdate(who, msg("y"), Instant.now(), Nil)))
+    log.currentCommit(ta) shouldBe before
+    // a reused commit id is rejected before visibility
+    log.commit(ta, good)
+    val tb = TableName("db", "txn_v2")
+    log.init(tb, isSnapshot = true, who, msg("init"), at(0))
+    an[IllegalArgumentException] should be thrownBy log.commitAll(Seq(
+      ta -> good,
+      tb -> TableUpdate(who, msg("z"), Instant.now(), Nil)))
+    log.currentCommit(tb) should not be good.metadata.id
+  }
 }
 
 class InMemoryTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
@@ -735,6 +781,48 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
       // a blind retry reusing the same update must fail, not silently make
       // "current" resolve to the FIRST occurrence of the id
       an[IllegalArgumentException] should be thrownBy log.commit(tbl, u)
+    }
+  }
+
+  test("JsonFileTableVersions: a prepared-but-unmarked transaction is invisible; the marker flips all tables atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_txn")
+    val log = new JsonFileTableVersions(dir)
+    val ta = TableName("db", "txn_crash_a")
+    val tb = TableName("db", "txn_crash_b")
+    log.init(ta, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    log.init(tb, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    def part(d: String) = Partition(PartitionColumn("date"), d)
+    val va = Version(Instant.now(), UUID.randomUUID())
+    val vb = Version(Instant.now(), UUID.randomUUID())
+    val ua = TableUpdate(UserId("u"), UpdateMessage("a"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(part("2024-01-01"), va)))
+    val ub = TableUpdate(UserId("u"), UpdateMessage("b"), Instant.now(),
+      List(TableOperation.AddTableVersion(vb)))
+
+    // CRASH SIMULATION: phase 1 lands, the process dies before the marker
+    val txnId = log.txnPrepare(Seq(ta -> ua, tb -> ub))
+    val reader = new JsonFileTableVersions(dir) // fresh "process"
+    reader.currentVersion(ta) shouldBe PartitionedTableVersion(Map.empty)
+    reader.currentVersion(tb) shouldBe SnapshotTableVersion(Version.Unversioned)
+    // the pending commit is not even addressable
+    an[Exception] should be thrownBy reader.versionAt(ta, ua.metadata.id)
+    // a checkpoint would drop the pending line — it must refuse
+    an[IllegalStateException] should be thrownBy reader.checkpoint(ta, keepLast = 0)
+
+    // RECOVERY: the marker lands (retry of phase 2) — both tables flip
+    log.txnMarkerCreate(txnId)
+    val after = new JsonFileTableVersions(dir)
+    after.currentVersion(ta) shouldBe PartitionedTableVersion(Map(part("2024-01-01") -> va))
+    after.currentVersion(tb) shouldBe SnapshotTableVersion(vb)
+    after.currentCommit(ta) shouldBe ua.metadata.id
+    // and the now-committed history checkpoints normally
+    after.commit(ta, TableUpdate(UserId("u"), UpdateMessage("more"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(part("2024-01-02"),
+        Version(Instant.now(), UUID.randomUUID())))))
+    after.checkpoint(ta, keepLast = 1) shouldBe true
+    new JsonFileTableVersions(dir).currentVersion(ta) match {
+      case PartitionedTableVersion(pvs) => pvs.keySet shouldBe Set(part("2024-01-01"), part("2024-01-02"))
+      case other                        => fail(s"unexpected $other")
     }
   }
 
