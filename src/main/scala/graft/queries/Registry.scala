@@ -422,6 +422,19 @@ object Registry {
              |  SELECT l_returnflag, l_quantity FROM lineitem
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q80_storage_partitioned_join" -> Entry(
+      Versioned.q80StoragePartitionedJoin,
+      // the exchange-free co-partitioned join must be row-identical to the
+      // relational replay of the same join
+      Some("""WITH b AS (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |           WHERE l_quantity > 10),
+             |     s AS (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |           WHERE l_quantity <= 10)
+             |SELECT b.l_returnflag, count(*) AS n_pairs,
+             |       round(sum(b.l_quantity + s.l_quantity), 2) AS sum_qty
+             |FROM b JOIN s ON b.l_returnflag = s.l_returnflag
+             |              AND b.l_orderkey = s.l_orderkey
+             |GROUP BY b.l_returnflag ORDER BY b.l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

@@ -1788,6 +1788,81 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q80: STORAGE-PARTITIONED JOIN — two versioned tables partitioned the
+    * same way join on their partition column with NO exchange under either
+    * side ([[org.apache.spark.sql.execution.datasources.v2.GraftKeyedFileScan]]:
+    * the scan reports `KeyGroupedPartitioning` and plans one
+    * `HasPartitionKey` input partition per partition value; opt-in via
+    * `spark.graft.storagePartitionedJoin.enabled` — the stock v2-bucketing
+    * conf gates only the planner side and defaults on). At 100 TB
+    * this is the difference between shuffling two fact tables and
+    * streaming co-located partition pairs. Asserted in-query: zero
+    * `ShuffleExchange` nodes below the join while the switch is on. The
+    * oracle replays the join relationally. */
+  def q80StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq80", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq80", log)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    def mk(name: String, df: DataFrame): TableDefinition = {
+      val t = tempTable(
+        name, PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      graft.spark.GraftTableCatalog.register("graftq80", t)
+      df.versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      t
+    }
+    mk("li_spj_big", li.where(col("l_quantity") > 10))
+    mk("li_spj_small", li.where(col("l_quantity") <= 10))
+
+    val sql =
+      s"""SELECT b.l_returnflag, count(*) AS n_pairs,
+         |       round(sum(b.l_quantity + s.l_quantity), 2) AS sum_qty
+         |FROM graftq80.graft.li_spj_big b
+         |JOIN graftq80.graft.li_spj_small s
+         |  ON b.l_returnflag = s.l_returnflag AND b.l_orderkey = s.l_orderkey
+         |GROUP BY b.l_returnflag ORDER BY b.l_returnflag""".stripMargin
+
+    val confKeys = Seq(
+      "spark.graft.storagePartitionedJoin.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      // the join adds l_orderkey on top of the partition key: co-partition
+      // on the SUBSET (the partition column) is still a valid clustering
+      "spark.sql.requireAllClusterKeysForCoPartition")
+    val saved = confKeys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.graft.storagePartitionedJoin.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val df = s.sql(sql)
+      df.collect() // materialize the adaptive plan
+      // zero exchanges below the join: the co-partitioned layout IS the
+      // distribution the join needs
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q) ++ walk(q.plan)
+        case other => Seq(other) ++ other.children.flatMap(walk)
+      }
+      val nodes = walk(df.queryExecution.executedPlan)
+      val join = nodes.find(_.nodeName.contains("Join")).getOrElse(
+        sys.error("q80: no join node in the executed plan"))
+      val below = walk(join).drop(1).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      require(below == 0,
+        s"q80: expected an exchange-free storage-partitioned join, found $below shuffles")
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS
