@@ -435,6 +435,15 @@ object Registry {
              |FROM b JOIN s ON b.l_returnflag = s.l_returnflag
              |              AND b.l_orderkey = s.l_orderkey
              |GROUP BY b.l_returnflag ORDER BY b.l_returnflag""".stripMargin)),
+    "q81_generated_columns" -> Entry(
+      Versioned.q81GeneratedColumns,
+      // the engine-derived partition column must equal the relational
+      // banding recomputed from the raw data
+      Some("""SELECT CASE WHEN l_quantity <= 20 THEN 'low'
+             |            WHEN l_quantity <= 40 THEN 'mid'
+             |            ELSE 'high' END AS qty_band,
+             |       count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

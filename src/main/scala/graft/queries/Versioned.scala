@@ -1863,6 +1863,53 @@ object Versioned {
     }
   }
 
+  /** Q81: GENERATED COLUMNS ([[graft.spark.GeneratedColumns]], the Delta
+    * `GENERATED ALWAYS AS` feature) as DERIVED PARTITION COLUMNS: the
+    * table partitions on `qty_band`, a column NO writer supplies — the
+    * generation rule computes it inside the write's own pass, so every
+    * writer lands rows in the right partitions without knowing the
+    * partitioning scheme. A batch that supplies a WRONG value rejects
+    * pre-commit (asserted in-query, state pinned unmoved); the derived
+    * partition set is asserted against the commit log. The oracle
+    * recomputes the banding relationally. */
+  def q81GeneratedColumns(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_gen", PartitionSchema(List(PartitionColumn("qty_band"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_gen"))
+    graft.spark.GeneratedColumns.add(
+      s, ctx, table,
+      graft.spark.GeneratedColumns.GeneratedColumn(
+        "qty_band",
+        "CASE WHEN l_quantity <= 20 THEN 'low' WHEN l_quantity <= 40 THEN 'mid' ELSE 'high' END"),
+      user)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    // the writer never mentions qty_band — the rule derives it
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: banded load"))
+    val bands = partitionVersions(log, table).keySet.map(_.columnValues.head.value)
+    require(bands == Set("low", "mid", "high"),
+      s"derived partitions must be the three bands, got $bands")
+    // a batch that LIES about the generated column rejects pre-commit
+    val goodState = log.currentVersion(table.name)
+    val rejected =
+      try {
+        li.limit(50).withColumn("qty_band", lit("low"))
+          .versionedInsertInto(ctx, table, user, UpdateMessage("bad"))
+        false
+      } catch { case e: Throwable =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(t => Option(t.getMessage).exists(_.contains("GENERATED")))
+      }
+    require(rejected, "a wrong generated-column value must reject with the rule name")
+    require(log.currentVersion(table.name) == goodState,
+      "a rejected write must not move the table state")
+    graft.spark.VersionedReader(s, log).read(table)
+      .groupBy("qty_band")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("qty_band")
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS

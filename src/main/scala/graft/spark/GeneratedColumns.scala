@@ -1,0 +1,135 @@
+package graft.spark
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+
+/**
+ * GENERATED COLUMNS (the Delta `GENERATED ALWAYS AS (expr)` feature):
+ * a column declared as a deterministic expression of the row's other
+ * columns, recorded in table metadata and enforced on EVERY versioned
+ * write through the shared pre-write pipeline (next to [[Constraints]]):
+ *
+ *  - a batch that OMITS the column gets it computed in place (the common
+ *    case — writers supply the base columns, the engine derives the rest);
+ *  - a batch that SUPPLIES the column is validated row-by-row
+ *    (`raise_error` riding the write's own pass, zero extra scans): a
+ *    value disagreeing with the expression rejects the write pre-commit.
+ *
+ * The headline use is DERIVED PARTITION COLUMNS: partition by
+ * `ship_month GENERATED ALWAYS AS (substring(ship_ts, 1, 7))` and every
+ * writer that never heard of the partitioning scheme still lands rows in
+ * the right partitions — and partition pruning on the generated column
+ * works unchanged (it IS an ordinary partition column at rest).
+ *
+ * Metadata lives at `<table>/_generated.json` (the [[Constraints]]
+ * pattern: location-scoped, one driver-side read per write, audited as a
+ * metadata-only commit).
+ */
+object GeneratedColumns {
+
+  /** `column GENERATED ALWAYS AS (expr)` — `expr` is SQL text over the
+    * table's other columns; it must be deterministic. */
+  final case class GeneratedColumn(column: String, expr: String)
+
+  private val FileName = "_generated.json"
+  private val mapper = new ObjectMapper()
+
+  private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + FileName)
+
+  def list(spark: org.apache.spark.sql.SparkSession, table: TableDefinition): List[GeneratedColumn] = {
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = mapper.readTree(text)
+    (0 until node.size()).toList.map { i =>
+      val c = node.get(i)
+      GeneratedColumn(c.get("column").asText(), c.get("expr").asText())
+    }
+  }
+
+  /** Declare a generated column. Must be declared before the first write
+    * that carries or needs it (a generation rule is never born violated:
+    * if the table already has data, existing rows are validated first —
+    * one scan of the DV-applied current state). The declaration lands as
+    * a metadata-only audit commit. */
+  def add(
+      spark: org.apache.spark.sql.SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      g: GeneratedColumn,
+      user: UserId): Unit = {
+    val existing = list(spark, table)
+    require(!existing.exists(_.column.equalsIgnoreCase(g.column)),
+      s"column ${g.column} already has a generation rule on ${table.name.fullyQualifiedName}")
+    val log = ctx.metastore.tableVersions
+    val current = DeletionVectors.read(spark, log, table)
+    if (current.columns.nonEmpty) {
+      // determinism is decidable once the expression resolves against the
+      // table's real schema (an unresolved rand() reports deterministic)
+      val resolved = current.select(expr(g.expr).as("__gen"))
+        .queryExecution.analyzed.expressions
+      require(resolved.forall(_.deterministic),
+        s"generation expression must be deterministic: ${g.expr}")
+      if (current.columns.map(_.toLowerCase).contains(g.column.toLowerCase)) {
+        // a generation rule is never born violated
+        val bad = current.where(!(col(g.column) <=> expr(g.expr))).count()
+        require(bad == 0L,
+          s"cannot declare ${g.column} GENERATED ALWAYS AS (${g.expr}): " +
+            s"$bad existing rows disagree")
+      }
+    }
+    write(spark, table, existing :+ g)
+    log.commit(table.name, TableVersions.TableUpdate(
+      user, UpdateMessage(s"ALTER TABLE ADD GENERATED COLUMN ${g.column} AS (${g.expr})"),
+      java.time.Instant.now(), Nil))
+  }
+
+  private def write(
+      spark: org.apache.spark.sql.SparkSession,
+      table: TableDefinition,
+      gs: List[GeneratedColumn]): Unit = {
+    val arr = mapper.createArrayNode()
+    gs.foreach { g =>
+      val n = mapper.createObjectNode()
+      n.put("column", g.column); n.put("expr", g.expr)
+      arr.add(n)
+    }
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The write-path gate: compute absent generated columns, validate
+    * supplied ones (null-safe equality — a disagreement raises inside the
+    * write job, pre-commit). */
+  def applied(df: DataFrame, table: TableDefinition): DataFrame = {
+    val gs =
+      try list(df.sparkSession, table)
+      catch { case _: java.io.IOException => Nil }
+    if (gs.isEmpty) return df
+    val names = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    gs.foldLeft(df) { (acc, g) =>
+      if (!names.contains(g.column.toLowerCase(java.util.Locale.ROOT)))
+        acc.withColumn(g.column, expr(g.expr))
+      else
+        acc.filter(coalesce(
+          when(!(col(g.column) <=> expr(g.expr)), raise_error(lit(
+            s"GENERATED column ${g.column} violated on write to " +
+              s"${table.name.fullyQualifiedName}: expected ${g.expr}"))),
+          lit(true)))
+    }
+  }
+}

@@ -120,6 +120,11 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val RefreshMvStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
+  // ALTER TABLE t ADD COLUMN c <type> GENERATED ALWAYS AS (expr) — the
+  // Delta spelling; records the generation rule (write-path derivation +
+  // validation), the column itself materializes via additive evolution
+  private val AddGeneratedStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+\w+\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -167,6 +172,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftCreateMvCommand(split(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
+    case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddConstraintCommand(split(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
@@ -520,5 +527,26 @@ final case class GraftRefreshMvCommand(mvParts: Seq[String], full: Boolean)
     val (from, to, mode) =
       MaterializedView.refresh(session, cat, mvDefn, UserId("sql"), full = full)
     Seq(Row(mode, from.id, to.id))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN c <type> GENERATED ALWAYS AS (expr)` — the
+  * Delta generated-column spelling: records the generation rule
+  * ([[GeneratedColumns.add]] — write-path derivation when absent,
+  * row-level validation when supplied); the column itself materializes on
+  * the next write and reads through additive schema evolution. */
+final case class GraftAddGeneratedColumnCommand(
+    parts: Seq[String], column: String, genExpr: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    GeneratedColumns.add(
+      session, ctx, defn, GeneratedColumns.GeneratedColumn(column, genExpr), UserId("sql"))
+    Seq(Row(column, s"generated always as ($genExpr)"))
   }
 }

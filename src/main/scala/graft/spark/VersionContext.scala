@@ -220,7 +220,9 @@ object VersionContext {
         ctx: VersionContext,
         table: TableDefinition): Dataset[_] =
       ColumnMapping.toPhysical(
-        Constraints.enforced(ds, table), table, ctx.metastore.tableVersions)
+        Constraints.enforced(
+          GeneratedColumns.applied(ds.toDF(), table), table),
+        table, ctx.metastore.tableVersions)
   }
 
   /** V18: whole-dataset write to `<location>/<label>/`. The caller
