@@ -55,6 +55,19 @@ object GraftTableChanges {
         .read(spark, binding.log, defn,
           Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
         .queryExecution.analyzed
+    // 4-arg form: a comma-separated ROW-IDENTITY declaration upgrades the
+    // feed to the full CDF vocabulary (update_pre/postimage pairing +
+    // rewrite-no-op suppression — ChangeFeed.readKeyed)
+    case Seq(Literal(t, StringType), Literal(from, StringType), Literal(to, StringType),
+        Literal(keys, StringType)) =>
+      val spark = SparkSession.active
+      val (binding, defn) =
+        GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
+      ChangeFeed
+        .readKeyed(spark, binding.log, defn,
+          Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)),
+          String.valueOf(keys).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .queryExecution.analyzed
     case Seq(Literal(t, StringType), TimestampMicros(from), TimestampMicros(to)) =>
       val spark = SparkSession.active
       val (binding, defn) =
@@ -66,8 +79,9 @@ object GraftTableChanges {
           reader.commitAtOrBefore(defn, to))
         .queryExecution.analyzed
     case other =>
-      sys.error("graft table_changes takes (catalog.db.table, from, to) with " +
-        "from/to both commit-id strings or both TIMESTAMP literals, got " +
+      sys.error("graft table_changes takes (catalog.db.table, from, to[, 'k1,k2']) with " +
+        "from/to both commit-id strings or both TIMESTAMP literals and the optional " +
+        "4th argument a comma-separated key-column list (keyed CDF), got " +
         other.map(_.sql).mkString(", "))
   }
 

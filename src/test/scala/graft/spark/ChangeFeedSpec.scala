@@ -221,6 +221,31 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
     multisetEqual(ChangeFeed.replay(fromState, feed), toState)
   }
 
+  test("the 4-arg table_changes TVF serves the keyed feed from SQL text") {
+    val (ctx, log, table) = freshTable("cf_sqlkeyed")
+    spark.conf.set("spark.sql.catalog.graftcfk", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftcfk", log)
+    GraftTableCatalog.register("graftcfk", table)
+    (1L to 6L).map(i => Event(i, s"k$i", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    // ids 1-4 unchanged, 5 rekinded, 6 dropped
+    ((1L to 4L).map(i => Event(i, s"k$i", "2024-01-01")) :+ Event(5L, "NEW", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val head = log.currentCommit(table.name)
+
+    val rows = spark.sql(
+      s"""SELECT _change_type, id, kind
+         |FROM table_changes('graftcfk.${table.name.schema}.${table.name.name}',
+         |                   '${v1.id}', '${head.id}', 'id')
+         |ORDER BY _change_type, id""".stripMargin)
+      .as[(String, Long, String)].collect()
+    rows shouldBe Array(
+      ("delete", 6L, "k6"),
+      (ChangeFeed.UpdatePost, 5L, "NEW"),
+      (ChangeFeed.UpdatePre, 5L, "k5"))
+  }
+
   test("keyed feed with duplicate keys: rank-paired 1-1, remainders stay plain, replay exact") {
     val (ctx, log, table) = freshTable("cf_dupkeys")
     // key id=1 has THREE rows at v1, id=2 has one
