@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   private val DisjointQueries = Seq(
-    "e2_jaccard_neardup", "e2b_minhash_lsh", "e29_persisted_ivf", "e30_ivf_ingest")
+    "e2_jaccard_neardup", "e2b_minhash_lsh", "e29_persisted_ivf", "e30_ivf_ingest",
+    // round-13 retrieval/LM additions: BM25's tf/df/dlen aggregates, the
+    // bigram-LM counts+scoring joins, and both hybrid legs are all
+    // corpus-keyed linear shapes — rotated replicas grow the vocabulary
+    // and the corpus N× while the top-k answers stay bounded
+    "e34_bm25", "e35_bigram_lm", "e36_hybrid_rrf")
   private val DenseQueries = Seq("e2_jaccard_neardup", "e2b_minhash_lsh")
 
   def main(args: Array[String]): Unit = {

@@ -2010,27 +2010,40 @@ object Versioned {
       user, UpdateMessage("dv: scattered delete in A"))
     val head = log.currentCommit(table.name)
 
+    // the feed is consumed by three downstream checks — cache it once
+    // (feed-sized: the changed rows, never the table)
     val feed = graft.spark.ChangeFeed.readKeyed(
       s, log, table, Some(v1), head,
-      Seq("l_orderkey", "l_linenumber", "l_returnflag"))
-    // no-op suppression: the unchanged (20,40] band of the rewritten
-    // partition must not surface at all
-    require(feed.where(
-        col("l_returnflag") === "R" &&
-        col("l_quantity") > 20 && col("l_quantity") <= 40).isEmpty,
-      "rewrite no-ops must be suppressed from the keyed feed")
-    // replay contract with the extended vocabulary
-    val replayed = graft.spark.ChangeFeed.replay(
-      graft.spark.DeletionVectors.read(s, log, table, Some(v1)), feed)
-    val now = graft.spark.DeletionVectors.read(s, log, table, Some(head))
-    require(replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty,
-      "keyed-feed replay must reconstruct the head state")
+      Seq("l_orderkey", "l_linenumber", "l_returnflag")).cache()
+    try {
+      // no-op suppression: the unchanged (20,40] band of the rewritten
+      // partition must not surface at all
+      require(feed.where(
+          col("l_returnflag") === "R" &&
+          col("l_quantity") > 20 && col("l_quantity") <= 40).isEmpty,
+        "rewrite no-ops must be suppressed from the keyed feed")
+      // replay contract with the extended vocabulary: one symmetric
+      // signed-count compare (a single aggregate pass per side) instead of
+      // two exceptAll subtractions — multiset equality either way
+      val replayed = graft.spark.ChangeFeed.replay(
+        graft.spark.DeletionVectors.read(s, log, table, Some(v1)), feed)
+      val now = graft.spark.DeletionVectors.read(s, log, table, Some(head))
+      val cols = now.columns.map(col)
+      val diff = replayed.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
+        .join(now.groupBy(cols: _*).agg(count(lit(1)).as("__m")),
+          now.columns.toSeq, "full_outer")
+        .where(!(col("__n") <=> col("__m")))
+      require(diff.isEmpty, "keyed-feed replay must reconstruct the head state")
 
-    feed.groupBy("_change_type")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
-      .orderBy("_change_type")
+      // localCheckpoint(eager) materializes the 4-row result and cuts the
+      // lineage, so unpersisting the feed below cannot force a recompute
+      feed.groupBy("_change_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("_change_type")
+        .localCheckpoint(true)
+    } finally { feed.unpersist(); () }
   }
 }
