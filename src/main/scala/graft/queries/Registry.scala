@@ -444,6 +444,19 @@ object Registry {
              |            ELSE 'high' END AS qty_band,
              |       count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q82_copy_into" -> Entry(
+      Versioned.q82CopyInto,
+      // two idempotent ingests (A+N files, then one R file) — final state
+      // equals the union of the landed slices, each loaded exactly once
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

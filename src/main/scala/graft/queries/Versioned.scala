@@ -1910,6 +1910,69 @@ object Versioned {
       .orderBy("qty_band")
   }
 
+  /** Q82: `COPY INTO` — IDEMPOTENT bulk file ingestion
+    * ([[graft.spark.CopyInto]]): each source file loads exactly once
+    * across arbitrary retries, because the loaded-file record rides IN
+    * the ingest commit's message — data and bookkeeping are one atomic
+    * record, so there is no crash window that double-loads or forgets.
+    * Asserted in-query: the re-run of an already-ingested directory is a
+    * no-op (0 files, no commit), and a directory gaining one new file
+    * ingests exactly that file. Ingestion is copy-on-write append through
+    * the ordinary pre-write pipeline. The oracle recomputes the final
+    * table contents from the same slices. */
+  def q82CopyInto(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq82", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq82", log)
+    val table = tempTable(
+      "li_copy", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_copy"))
+    graft.spark.GraftTableCatalog.register("graftq82", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+    // a landing directory accumulating files over time
+    val src = Files.createTempDirectory("graft_copysrc")
+    def land(df: DataFrame, prefix: String, parts: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_copytmp")
+      df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+      val stream = java.nio.file.Files.list(tmp)
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, src.resolve(s"${prefix}_$i.parquet")); ()
+        }
+      finally stream.close()
+    }
+    land(li.where(col("l_returnflag") =!= "R"), "b1", 2)
+
+    def copy(): org.apache.spark.sql.Row = s.sql(
+      s"COPY INTO graftq82.${table.name.schema}.${table.name.name} " +
+        s"FROM '$src' FILEFORMAT = PARQUET").collect().head
+    val first = copy()
+    require(first.getInt(0) == 2 && first.getInt(1) == 0,
+      s"first COPY INTO must ingest both files, got $first")
+    // idempotence: the re-run ingests nothing and commits nothing
+    val headBefore = log.currentCommit(table.name)
+    val rerun = copy()
+    require(rerun.getInt(0) == 0 && rerun.getInt(1) == 2,
+      s"re-run must skip every already-loaded file, got $rerun")
+    require(log.currentCommit(table.name) == headBefore,
+      "an all-skipped COPY INTO must not commit")
+    // one new file arrives; only it ingests
+    land(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40), "b2", 1)
+    val second = copy()
+    require(second.getInt(0) == 1 && second.getInt(1) == 2,
+      s"incremental COPY INTO must ingest exactly the new file, got $second")
+
+    graft.spark.VersionedReader(s, log).read(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS

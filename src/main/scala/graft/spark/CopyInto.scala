@@ -1,0 +1,106 @@
+package graft.spark
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * `COPY INTO` — IDEMPOTENT bulk file ingestion (the Delta parity surface):
+ * load files from a source directory into a versioned table such that
+ * re-running the same command ingests each source file EXACTLY ONCE,
+ * however many times it is retried and wherever it crashed.
+ *
+ * The load-history lives IN the commit log: each ingest commit's message
+ * carries the source files it loaded (`COPY INTO … files=[a.parquet;…]`),
+ * so the ingested-file set and the data commit are ONE atomic record — a
+ * crash between "write data" and "remember the files" cannot exist, and
+ * recovery is a metadata fold (scan the retained history's messages), the
+ * same O(#commits) bound every other log fold pays. A log checkpoint
+ * folds old ingest records away with their commits — pair the checkpoint
+ * horizon with the source's retention, exactly like the StreamTxn
+ * replay-marker contract.
+ *
+ * Ingestion is COPY-ON-WRITE APPEND (the SQL `INSERT INTO` posture): the
+ * new files' rows union with the current contents of the partitions they
+ * touch, through the ordinary pre-write pipeline — generated columns
+ * derive, constraints enforce, column mapping applies — then one
+ * versioned commit. Scale shape: file listing is driver-side
+ * O(#source-files) metadata; only the partitions the new rows land in are
+ * read and rewritten; the already-ingested check is a set lookup, never a
+ * data read.
+ */
+object CopyInto {
+
+  private val FilesMark = """COPY INTO [^\n]*? files=\[([^\]]*)\]""".r.unanchored
+
+  final case class Result(
+      ingestedFiles: Seq[String],
+      skippedFiles: Seq[String],
+      rows: Long,
+      commit: Option[CommitId])
+
+  /** Source files already loaded into `table` (the retained history's
+    * ingest records, newest-first fold). */
+  def loadedFiles(log: TableVersions, table: TableName): Set[String] =
+    log.updates(table).iterator
+      .flatMap(u => FilesMark.findFirstMatchIn(u.message.content))
+      .flatMap(_.group(1).split(";").iterator.map(_.trim).filter(_.nonEmpty))
+      .toSet
+
+  /** Ingest every not-yet-loaded file under `srcDir` (non-recursive,
+    * hidden/underscore files skipped). Returns what was ingested, what was
+    * skipped, and the commit that recorded it (None = nothing new). */
+  def ingest(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      srcDir: String,
+      format: String,
+      user: UserId): Result = {
+    val log = ctx.metastore.tableVersions
+    val dir = new HPath(srcDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val candidates = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString)
+      .sorted
+    require(candidates.nonEmpty, s"COPY INTO: no data files under $srcDir")
+    val done = loadedFiles(log, table.name)
+    val fresh = candidates.filterNot(p => done.contains(fileKey(p)))
+    if (fresh.isEmpty)
+      return Result(Nil, candidates, 0L, None)
+
+    val batch = spark.read.format(format).load(fresh: _*)
+    val rows = batch.count()
+    // copy-on-write append: union with the current contents of the touched
+    // partitions only (a snapshot table unions with its whole state)
+    val current = DeletionVectors.read(spark, log, table)
+    val toWrite: DataFrame =
+      if (current.columns.isEmpty) batch
+      else if (table.isSnapshot) current.unionByName(batch, allowMissingColumns = true)
+      else {
+        val partCols = table.partitionSchema.columns.map(_.name)
+        val touched = batch.select(partCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct()
+        val existing = current.join(touched, partCols, "left_semi")
+        existing.unionByName(batch, allowMissingColumns = true)
+      }
+    val msg = UpdateMessage(
+      s"COPY INTO ${table.name.fullyQualifiedName} from $srcDir " +
+        s"files=[${fresh.map(fileKey).mkString(";")}]")
+    toWrite.versionedInsertInto(ctx, table, user, msg)
+    Result(fresh, candidates.filterNot(fresh.contains), rows,
+      Some(log.currentCommit(table.name)))
+  }
+
+  /** History records key files by NAME (stable across copy/rename of the
+    * parent dir, the Delta COPY INTO posture of identifying a load by its
+    * file identity within the source). */
+  private def fileKey(path: String): String = new HPath(path).getName
+}

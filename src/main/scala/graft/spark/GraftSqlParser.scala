@@ -120,6 +120,10 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val RefreshMvStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
+  // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|ORC|CSV|JSON — Delta's
+  // idempotent bulk ingest: each source file loads exactly once (CopyInto)
+  private val CopyIntoStmt =
+    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""".r
   // ALTER TABLE t ADD COLUMN c <type> GENERATED ALWAYS AS (expr) — the
   // Delta spelling; records the generation rule (write-path derivation +
   // validation), the column itself materializes via additive evolution
@@ -172,6 +176,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftCreateMvCommand(split(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
+    case CopyIntoStmt(ident, src, fmt) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftCopyIntoCommand(split(ident), src, fmt.toLowerCase))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
@@ -548,5 +554,25 @@ final case class GraftAddGeneratedColumnCommand(
     GeneratedColumns.add(
       session, ctx, defn, GeneratedColumns.GeneratedColumn(column, genExpr), UserId("sql"))
     Seq(Row(column, s"generated always as ($genExpr)"))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = <fmt>` — idempotent bulk
+  * ingestion ([[CopyInto.ingest]]): every source file loads exactly once
+  * across arbitrary retries; the load history rides IN the ingest
+  * commits' messages, so data and bookkeeping are one atomic record. */
+final case class GraftCopyIntoCommand(
+    parts: Seq[String], srcDir: String, format: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ingested_files", IntegerType, nullable = false)(),
+    AttributeReference("skipped_files", IntegerType, nullable = false)(),
+    AttributeReference("rows", org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val r = CopyInto.ingest(session, ctx, defn, srcDir, format, UserId("sql"))
+    Seq(Row(r.ingestedFiles.size, r.skippedFiles.size, r.rows))
   }
 }
