@@ -316,4 +316,31 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("ShuffledHashJoin")
     p.split("\n").find(_.contains("ShuffledHashJoin")).get should include("cell")
   }
+
+  test("e34: BM25 HINT-broadcasts only the query-term set and the 1-row stats") {
+    // the vocabulary-keyed df/dlen tables must never be FORCED broadcast —
+    // a web-scale vocabulary isn't broadcastable (the optimizer may still
+    // choose to broadcast them on toy data; that is its call, not a hint)
+    val a = analyzed("e34_bm25")
+    a.split("\n").count(_.contains("UnresolvedHint")) shouldBe 0
+    a.split("\n").count(_.toLowerCase.contains("broadcast")) should be <= 2
+    plan("e34_bm25") should not include "CartesianProduct"
+  }
+
+  test("e35: the LM scorer filters the SAMPLED docs below the model joins") {
+    val p = plan("e35_bigram_lm")
+    // the sample predicate must reach the scan side feeding the count
+    // joins — scoring joins carry only the sampled docs' bigrams
+    p should include("(doc_id#")
+    p.split("\n").exists(l => l.contains("Filter") && l.contains("% 25")) shouldBe true
+    p should not include "CartesianProduct"
+  }
+
+  test("e36: hybrid fusion joins two bounded top-k sides — no corpus-sized join") {
+    val p = plan("e36_hybrid_rrf")
+    // the dense leg merges through the typed top-k aggregate (objecthashagg
+    // over the TopKAggregator), never a corpus-wide window
+    p should include("ObjectHashAggregate")
+    p should not include "CartesianProduct"
+  }
 }

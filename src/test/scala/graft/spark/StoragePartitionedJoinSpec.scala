@@ -99,4 +99,34 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with Matchers {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("a partition-key aggregation needs no exchange under the SPJ opt-in") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftspja", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftspja", log)
+    val t = TableDefinition(
+      TableName("db", "aggd"),
+      Files.createTempDirectory("graft_spja").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftspja", t)
+    (1L to 120L).map(i => Event(i, s"k$i", s"2024-01-0${i % 4 + 1}"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    val saved = spark.conf.getOption("spark.graft.storagePartitionedJoin.enabled")
+    try {
+      spark.conf.set("spark.graft.storagePartitionedJoin.enabled", "true")
+      val df = spark.sql(
+        "SELECT date, count(*) AS n FROM graftspja.db.aggd GROUP BY date")
+      val rows = df.as[(String, Long)].collect().sortBy(_._1)
+      rows.map(_._2) shouldBe Array(30L, 30L, 30L, 30L)
+      // the scan's key-grouped layout IS the clustering the aggregate
+      // needs: partial+final collapse with zero exchanges
+      shuffles(df.queryExecution.executedPlan) shouldBe 0
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.storagePartitionedJoin.enabled", v)
+      case None    => spark.conf.unset("spark.graft.storagePartitionedJoin.enabled")
+    }
+  }
 }
