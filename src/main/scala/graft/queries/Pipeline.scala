@@ -1355,6 +1355,40 @@ object Pipeline {
       .orderBy("shard", "seq_id")
   }
 
+  /** E37: EDIT-DISTANCE fuzzy dedup — the eighth dedup family: LSH band
+    * candidates (the e2b machinery — bounded buckets, never corpus²)
+    * VERIFIED by Levenshtein distance, keeping pairs whose edit distance
+    * is ≤ ¼ of the longer text (`dist·4 ≤ maxlen`, exact integer
+    * arithmetic — no FP threshold edge). Character-level verification
+    * catches near-dups token-set measures miss (reorderings score high
+    * Jaccard; small in-place edits score low edit distance) and is the
+    * standard last-pass check of fuzzy-matching pipelines.
+    *
+    * Scale shape: candidates come only from shared LSH band keys
+    * (collision-probability-bounded); the O(len²) DP runs per CANDIDATE
+    * pair, never per corpus pair, and Spark's thresholded Levenshtein
+    * (banded DP, O(len·k)) is the drop-in lever when texts grow. */
+  def e37EditDistanceDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select("doc_id", "text")
+    val bands = minhashBands(docs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .where(col("dist") * 4 <= col("mx"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("dist").cast("long").as("edit_dist"),
+        round(col("dist").cast("double") / col("mx"), 6).as("rel_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------- E34 BM25
 
   /** Per-(qid, doc) BM25 contributions in exact micro-integer space (the

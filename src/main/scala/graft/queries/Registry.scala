@@ -1044,6 +1044,24 @@ object Registry {
              |                 JOIN sz sb ON doc_b = sb.doc_id) t
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
     "e2b_minhash_lsh" -> Entry(Pipeline.e2bMinHashLsh, Some(minhashOracleSql)),
+    "e37_edit_distance_dedup" -> Entry(
+      Pipeline.e37EditDistanceDedup,
+      // LSH candidates verified by Levenshtein; the keep test is exact
+      // integer arithmetic (dist*4 <= maxlen), distances are integers,
+      // and rel_dist is a pure per-row ratio — hash-exact across engines
+      Some(s"""$minhashBandsCte,
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              |         FROM bands a JOIN bands c
+              |           ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+              |sc AS (SELECT doc_a, doc_b,
+              |              levenshtein(da.text, db.text) AS dist,
+              |              greatest(len(da.text), len(db.text)) AS mx
+              |       FROM cand JOIN documents da ON doc_a = da.doc_id
+              |                 JOIN documents db ON doc_b = db.doc_id)
+              |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_dist,
+              |       round(CAST(dist AS DOUBLE) / mx, 6) AS rel_dist
+              |FROM sc WHERE dist * 4 <= mx
+              |ORDER BY doc_a, doc_b""".stripMargin)),
     "e2c_simhash" -> Entry(Pipeline.e2cSimHash, Some(simhashOracleSql)),
     "e3_cosine_topk" -> Entry(
       Pipeline.e3CosineTopK,
