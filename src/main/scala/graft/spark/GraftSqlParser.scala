@@ -81,7 +81,7 @@ private[spark] object GraftMaintenanceSql {
   // anchored full-statement matches; no stock Spark statement starts with
   // either keyword, so a non-match falls through to the delegate untouched
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(COMMITS|HOURS))?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(COMMITS|HOURS))?(?:\s+GRACE\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   // ZORDER cols: either a BALANCED paren group or a bare comma list (which
   // cannot contain parens) — `ZORDER BY (c1, c2` or `ZORDER BY c1)` match
   // neither alternative, so the whole statement falls through to the stock
@@ -98,6 +98,8 @@ private[spark] object GraftMaintenanceSql {
   private val WhereEq = """(?is)\s*(\w+)\s*=\s*(?:'([^']*)'|(\w+))\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val DetailStmt =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   // RESTORE TABLE t TO VERSION AS OF '<ref-or-commit-id>' (Delta spelling);
   // the TIMESTAMP variant resolves at-or-before like q53's reader
   private val RestoreStmt =
@@ -138,17 +140,20 @@ private[spark] object GraftMaintenanceSql {
     // parser because "addr" names no graft catalog
     case HistoryStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftDescribeHistoryCommand(split(ident)))
+    case DetailStmt(ident) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftDescribeDetailCommand(split(ident)))
     // VACUUM/OPTIMIZE carry the same catalog guard as DESCRIBE HISTORY:
     // stock Spark has neither statement, but a coexisting injected parser
     // (Delta's, say) may define both — a non-graft (or 1/2-part) name must
     // fall through to the delegate chain, not die on a graft lookup error
-    case VacuumStmt(ident, keep, unit, grace) if isGraftCatalogRef(split(ident)) =>
+    case VacuumStmt(ident, keep, unit, grace, dry) if isGraftCatalogRef(split(ident)) =>
       val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
       Some(GraftVacuumCommand(
         split(ident),
         keepLast = Option(keep).filterNot(_ => hours).map(_.toInt),
         retainHours = Option(keep).filter(_ => hours).map(_.toLong),
-        graceMinutes = Option(grace).map(_.toLong)))
+        graceMinutes = Option(grace).map(_.toLong),
+        dryRun = Option(dry).exists(_.trim.nonEmpty)))
     case AutoOptimizeStmt(ident, minFiles) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAutoOptimizeCommand(
         split(ident), Option(minFiles).map(_.toInt).getOrElse(4)))
@@ -357,12 +362,14 @@ final case class GraftVacuumCommand(
     parts: Seq[String],
     keepLast: Option[Int],
     retainHours: Option[Long],
-    graceMinutes: Option[Long]) extends LeafRunnableCommand {
+    graceMinutes: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("examined", IntegerType, nullable = false)(),
     AttributeReference("deleted", IntegerType, nullable = false)(),
-    AttributeReference("failed", IntegerType, nullable = false)())
+    AttributeReference("failed", IntegerType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
@@ -372,8 +379,9 @@ final case class GraftVacuumCommand(
       // window itself decides what else survives
       keepLast = keepLast.getOrElse(if (retainHours.isDefined) 1 else 3),
       graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
-      retainMs = retainHours.map(_ * 3600000L))
-    Seq(Row(report.examined, report.deleted.size, report.failed.size))
+      retainMs = retainHours.map(_ * 3600000L),
+      dryRun = dryRun)
+    Seq(Row(report.examined, report.deleted.size, report.failed.size, report.dryRun))
   }
 }
 
@@ -574,5 +582,68 @@ final case class GraftCopyIntoCommand(
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     val r = CopyInto.ingest(session, ctx, defn, srcDir, format, UserId("sql"))
     Seq(Row(r.ingestedFiles.size, r.skippedFiles.size, r.rows))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the one-row table summary (Delta spelling):
+  * format, location, partitioning, current state's file inventory
+  * (count + bytes, the same listing bound as `graft_files`), commit-log
+  * depth, and which metadata features are live (constraints, generated
+  * columns, column mapping, clone links). Metadata + directory listing
+  * only — no data pass. */
+final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_partitions", IntegerType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_commits", IntegerType, nullable = false)(),
+    AttributeReference("current_commit", StringType, nullable = false)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)(),
+    AttributeReference("num_generated_columns", IntegerType, nullable = false)(),
+    AttributeReference("column_mapping", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("clone_link", org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.core.{PartitionedTableVersion, SnapshotTableVersion, Partition, Version}
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val state = binding.log.currentVersion(defn.name)
+    val dirs: List[String] = state match {
+      case SnapshotTableVersion(v) =>
+        if (v == Version.Unversioned) Nil
+        else List(Partition.normalizedDir(defn.location).toString + v.label)
+      case PartitionedTableVersion(pvs) =>
+        pvs.toList.map { case (p, v) => SparkPaths.dirFor(defn.location, p, v) }
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      defn.location, session.sessionState.newHadoopConf())
+    val files = dirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toList.filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    }
+    val nPartitions = state match {
+      case PartitionedTableVersion(pvs) => pvs.size
+      case _                            => 0
+    }
+    Seq(Row(
+      defn.format.name,
+      defn.location.toString,
+      defn.partitionSchema.columns.map(_.name).mkString(","),
+      nPartitions,
+      files.size,
+      files.map(_.getLen).sum,
+      binding.log.updates(defn.name).size,
+      binding.log.currentCommit(defn.name).id,
+      Constraints.list(session, defn).size,
+      GeneratedColumns.list(session, defn).size,
+      ColumnMapping.stateAt(session, binding.log, defn, None).isDefined,
+      ShallowClone.hasCloneLink(binding.log, defn.name)))
   }
 }

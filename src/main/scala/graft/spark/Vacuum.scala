@@ -32,7 +32,10 @@ object Vacuum {
   /** Default deletion grace for young version dirs (ms). */
   val DefaultGraceMs: Long = 10 * 60 * 1000L
 
-  final case class Report(examined: Int, deleted: List[String], failed: List[String])
+  final case class Report(
+      examined: Int, deleted: List[String], failed: List[String],
+      /** true = nothing was touched; `deleted` is the WOULD-delete set */
+      dryRun: Boolean = false)
 
   /** `keepLast` retains by commit COUNT; `retainMs` additionally retains by
     * commit AGE (every commit whose recorded timestamp is within the
@@ -46,7 +49,8 @@ object Vacuum {
       hadoopConf: Configuration,
       keepLast: Int = 3,
       graceMs: Long = DefaultGraceMs,
-      retainMs: Option[Long] = None): Report = {
+      retainMs: Option[Long] = None,
+      dryRun: Boolean = false): Report = {
 
     // a live shallow-clone link means TWO logs reference dirs under this
     // location; a vacuum driven by one log would reclaim the other's dirs
@@ -169,6 +173,12 @@ object Vacuum {
       case (rel, oldEnough)
         if oldEnough && !referenced.contains(rel.stripPrefix("_stats/")) => rel
     }
+    // DRY RUN reports the reclaim set without touching a byte — the
+    // operator's pre-flight check (Delta's VACUUM ... DRY RUN)
+    if (dryRun)
+      return Report(
+        examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size,
+        deleted = doomed.sorted, failed = Nil, dryRun = true)
     // honor the delete result: a false return (permissions, races) must not
     // be reported as reclaimed space
     val (deleted, failed) =

@@ -57,12 +57,18 @@ object VersionedStream {
     * re-enters through a fresh `readStream` call — a defined-but-never-
     * started DataFrame keeps its entry, a few object references, for the
     * process lifetime). */
-  def readStream(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
+  def readStream(
+      spark: SparkSession,
+      log: TableVersions,
+      defn: TableDefinition,
+      maxCommitsPerTrigger: Option[Int] = None): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
-    spark.readStream
+    val r = spark.readStream
       .format(classOf[GraftCdcProvider].getName)
       .option("handle", h)
+    maxCommitsPerTrigger
+      .fold(r)(n => r.option("maxCommitsPerTrigger", n.toString))
       .load()
   }
 
@@ -244,7 +250,9 @@ private[spark] final class GraftCdcTable(
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftCdcMicroBatchStream(
-            h, handleId, tableSchema, changeFeed, checkpointLocation)
+            h, handleId, tableSchema, changeFeed, checkpointLocation,
+            maxCommitsPerTrigger =
+              Option(options.get("maxCommitsPerTrigger")).map(_.toInt))
       }
     }
 }
@@ -266,9 +274,36 @@ private[spark] final case class CommitOffset(
 
 private[spark] final class GraftCdcMicroBatchStream(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
-    changeFeed: Boolean = false, checkpointLocation: String = "")
-  extends MicroBatchStream {
+    changeFeed: Boolean = false, checkpointLocation: String = "",
+    maxCommitsPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import VersionedStream._
+
+  // ---- admission control: `maxCommitsPerTrigger` caps each micro-batch's
+  // commit range, so a stream catching up over a long history (or a bulk
+  // backfill) processes bounded batches instead of one giant first batch —
+  // the maxFilesPerTrigger analog for commit-indexed offsets
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxCommitsPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n.toLong))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val chrono = chronoCommits(h)
+    val from = start.asInstanceOf[CommitOffset].commits
+    val capped = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(chrono.size, from + r.maxRows().toInt)
+      case _ => chrono.size
+    }
+    CommitOffset(capped, chrono.take(capped).lastOption.map(_.id.id))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   // planInputPartitions builds the per-range file scan; the engine asks for
   // the reader factory right after, for the same range (single-threaded

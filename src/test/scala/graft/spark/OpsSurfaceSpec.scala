@@ -1,0 +1,83 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/** The round-13 operator-facing polish: VACUUM DRY RUN and
+  * DESCRIBE DETAIL. */
+class OpsSurfaceSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("ops-test")
+
+  test("VACUUM DRY RUN reports the reclaim set without deleting; the real run deletes it") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftops1", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftops1", log)
+    val t = TableDefinition(
+      TableName("db", "vac"),
+      Files.createTempDirectory("graft_ops_vac").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftops1", t)
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "tag")
+        .versionedInsertInto(ctx, t, user, UpdateMessage(s"v$i"))
+    }
+
+    val dry = spark.sql(
+      "VACUUM graftops1.db.vac RETAIN 1 COMMITS GRACE 0 MINUTES DRY RUN").collect().head
+    dry.getBoolean(3) shouldBe true
+    val wouldDelete = dry.getInt(1)
+    wouldDelete should be > 0
+    // nothing was touched: every version dir still on disk, all states readable
+    val reader = VersionedReader(spark, log)
+    reader.read(t).count() shouldBe 1L
+    val v1 = log.updates(t.name).reverse(1).id
+    reader.readAsOf(t, v1).count() shouldBe 1L // oldest state still served
+
+    val real = spark.sql(
+      "VACUUM graftops1.db.vac RETAIN 1 COMMITS GRACE 0 MINUTES").collect().head
+    real.getBoolean(3) shouldBe false
+    real.getInt(1) shouldBe wouldDelete // the dry run predicted exactly this
+    reader.read(t).count() shouldBe 1L  // current state untouched
+  }
+
+  test("DESCRIBE DETAIL summarizes state, inventory, and live metadata features") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftops2", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftops2", log)
+    val t = TableDefinition(
+      TableName("db", "det"),
+      Files.createTempDirectory("graft_ops_det").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftops2", t)
+    Constraints.add(spark, ctx, t, Constraints.notNull("id"), user)
+    Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "grp")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    val d = spark.sql("DESCRIBE DETAIL graftops2.db.det").collect().head
+    d.getString(0) shouldBe "parquet"
+    d.getString(2) shouldBe "grp"
+    d.getInt(3) shouldBe 2 // partitions a, b
+    d.getInt(4) should be > 0 // files
+    d.getLong(5) should be > 0L // bytes
+    d.getInt(6) shouldBe 3 // init + constraint audit + v1
+    d.getString(7) shouldBe log.currentCommit(t.name).id
+    d.getInt(8) shouldBe 1 // the NOT NULL constraint
+    d.getInt(9) shouldBe 0
+    d.getBoolean(10) shouldBe false
+    d.getBoolean(11) shouldBe false
+  }
+}

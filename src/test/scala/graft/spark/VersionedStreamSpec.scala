@@ -56,6 +56,34 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("maxCommitsPerTrigger paces catch-up: one commit per micro-batch, same total rows") {
+    val (table, log, ctx) = freshTable("cdc_paced")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"g$i")).toDF("k", "grp")
+        .versionedInsertInto(ctx, table, user, UpdateMessage(s"v$i"))
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = VersionedStream.readStream(spark, log, table, maxCommitsPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); batches.synchronized { batches += n; () }; ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // 4 commits → 4 paced non-empty batches of one commit each, instead
+      // of one giant catch-up batch; nothing lost, nothing duplicated
+      batches.synchronized {
+        batches.filter(_ > 0) shouldBe Seq(1L, 1L, 1L, 1L)
+      }
+      // and the stream keeps following new commits under the same pacing
+      Seq((9L, "g9")).toDF("k", "grp")
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v5"))
+      q.processAllAvailable()
+      batches.synchronized { batches.sum shouldBe 5L }
+    } finally q.stop()
+  }
+
   test("a restarted query resumes from its checkpoint and reads only new commits") {
     val (table, log, ctx) = freshTable("cdc_restart")
     Seq((1L, "a"), (2L, "b")).toDF("k", "grp")
