@@ -1876,6 +1876,39 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s15_stream_keyed_feed" -> Entry(
+      StreamingQueries.s15StreamKeyedFeed,
+      // three paced batches (full load, DV delete, R rework) through the
+      // KEYED feed stream: per-type aggregates recomputed relationally off
+      // the deduplicated base — suppressed keys surface only as their
+      // batch-1 insert
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag,
+             |         max(l_quantity) AS l_quantity,
+             |         max(l_extendedprice) AS l_extendedprice
+             |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2, 3)
+             |SELECT _change_type, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM (
+             |  SELECT 'insert' AS _change_type, l_quantity, l_extendedprice
+             |  FROM base
+             |  UNION ALL
+             |  SELECT 'insert', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity <= 10
+             |  UNION ALL
+             |  SELECT 'delete', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'A' AND l_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT 'delete', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity <= 20
+             |  UNION ALL
+             |  SELECT 'update_preimage', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |  UNION ALL
+             |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
     "s14_stream_dv_convergence" -> Entry(
       StreamingQueries.s14StreamDvConvergence,
       // replaying the streamed change feed reconstructs the logical final

@@ -584,6 +584,98 @@ object StreamingQueries {
       .orderBy("l_returnflag")
   }
 
+  /** S15: the KEYED change-feed stream — each micro-batch carries the full
+    * CDF vocabulary ([[graft.spark.ChangeFeed.readKeyed]] per commit
+    * range): rewrite no-ops are SUPPRESSED batch-locally and in-place
+    * changes arrive as `update_preimage`/`update_postimage` pairs, so a
+    * keyed consumer (a mirror table, a cache) applies point updates
+    * instead of delete+insert churn. The source is the q77 keyed rollup;
+    * three batches cover all four types: full load (inserts), a DV delete
+    * (pure deletes), and an R-partition rework (updates + drops + re-keys,
+    * with the unchanged band suppressed — asserted: those keys appear
+    * exactly once, as their batch-1 insert). Replay of the streamed feed
+    * (inserts+postimages minus deletes+preimages, multiset) reconstructs
+    * the final logical state; the oracle value-checks the per-type
+    * aggregates. */
+  def s15StreamKeyedFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    val table = TableDefinition(
+      TableName("graft", "kcdf_src"),
+      java.nio.file.Files.createTempDirectory("graft_kcdf_src").toUri,
+      PartitionSchema(List(PartitionColumn("l_returnflag"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create kcdf_src"))
+    // a quarter slice: the scenario exercises every feed type
+    // end-to-end without paying two full-corpus versioned writes per run
+    val li = Tables.load(s, dir, "lineitem")
+      .where(col("l_orderkey") % 4 === 0)
+      .groupBy("l_orderkey", "l_linenumber", "l_returnflag")
+      .agg(
+        max("l_quantity").as("l_quantity"),
+        max("l_extendedprice").as("l_extendedprice"))
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_kcdf_ckpt").toString
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_kcdf_feed").toString
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.spark.VersionedStream.readChangeFeed(
+          s, log, table, keys = Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(feedDir); ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
+    try {
+      q.processAllAvailable() // batch 1: the full load as inserts
+      graft.spark.DeletionVectors.delete(
+        ctx, log, table,
+        col("l_returnflag") === "A" && col("l_orderkey") % 10 === 0,
+        user, UpdateMessage("dv: scattered delete in A"))
+      q.processAllAvailable() // batch 2: pure keyed deletes
+      val oldR = li.where(col("l_returnflag") === "R")
+      oldR.where(col("l_quantity") > 20)
+        .withColumn("l_extendedprice",
+          when(col("l_quantity") > 40, col("l_extendedprice") * 0.9)
+            .otherwise(col("l_extendedprice")))
+        .unionByName(oldR.where(col("l_quantity") <= 10)
+          .withColumn("l_linenumber", col("l_linenumber") + 100))
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v2: rework R"))
+      q.processAllAvailable() // batch 3: updates + drops + re-keys, no-ops suppressed
+    } finally q.stop()
+    val feed = s.read.parquet(feedDir)
+    val ct = graft.spark.ChangeFeed.ChangeTypeCol
+    // suppression, observable end-to-end: an unchanged (20,40] R key shows
+    // up exactly once (its batch-1 insert), never again in batch 3
+    val band = feed.where(
+      col("l_returnflag") === "R" &&
+      col("l_quantity") > 20 && col("l_quantity") <= 40)
+    require(band.where(col(ct) =!= graft.spark.ChangeFeed.Insert).isEmpty,
+      "suppressed no-op keys must never re-surface after their first insert")
+    // replay: streamed feed alone reconstructs the final logical state
+    val adds = feed.where(col(ct).isin(
+      graft.spark.ChangeFeed.Insert, graft.spark.ChangeFeed.UpdatePost)).drop(ct)
+    val dels = feed.where(col(ct).isin(
+      graft.spark.ChangeFeed.Delete, graft.spark.ChangeFeed.UpdatePre)).drop(ct)
+    val now = graft.spark.DeletionVectors.read(s, log, table)
+    val replayed = adds.exceptAll(dels)
+    require(replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty,
+      "keyed-feed stream replay must reconstruct the source's final state")
+    feed.groupBy(ct)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(ct)
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

@@ -82,13 +82,18 @@ object VersionedStream {
     * a DV delete materialize the feed once into a checkpoint-scoped
     * staging dir (batch-sized I/O, pruned as batches commit) and stream
     * that. */
-  def readChangeFeed(spark: SparkSession, log: TableVersions, defn: TableDefinition): DataFrame = {
+  def readChangeFeed(
+      spark: SparkSession,
+      log: TableVersions,
+      defn: TableDefinition,
+      keys: Seq[String] = Nil): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
-    spark.readStream
+    val r = spark.readStream
       .format(classOf[GraftCdcProvider].getName)
       .option("handle", h)
       .option("changeFeed", "true")
+    (if (keys.isEmpty) r else r.option("feedKeys", keys.mkString(",")))
       .load()
   }
 
@@ -158,10 +163,14 @@ object VersionedStream {
 
   /** The change-feed rows for a commit range, as a batch DataFrame. */
   private[spark] def feedFor(
-      spark: SparkSession, h: Handle, from: Int, to: Int): org.apache.spark.sql.DataFrame = {
+      spark: SparkSession, h: Handle, from: Int, to: Int,
+      keys: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val chrono = chronoCommits(h)
     val fromId = if (from <= 0) None else Some(chrono(from - 1).id)
-    ChangeFeed.read(spark, h.log, h.defn, fromId, chrono(to - 1).id)
+    if (keys.isEmpty) ChangeFeed.read(spark, h.log, h.defn, fromId, chrono(to - 1).id)
+    // KEYED mode: the batch's feed carries the full CDF vocabulary —
+    // rewrite no-ops suppressed, update pre/post images paired per key
+    else ChangeFeed.readKeyed(spark, h.log, h.defn, fromId, chrono(to - 1).id, keys)
   }
 
   /** Paths (+ reader options) of the partitions whose version moved between
@@ -230,13 +239,16 @@ final class GraftCdcProvider extends TableProvider {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftCdcTable(handleOf(opts), opts.get("handle"), schema, isChangeFeed(opts))
+    new GraftCdcTable(
+      handleOf(opts), opts.get("handle"), schema, isChangeFeed(opts),
+      feedKeys = Option(opts.get("feedKeys")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 }
 
 private[spark] final class GraftCdcTable(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
-    changeFeed: Boolean)
+    changeFeed: Boolean, feedKeys: Seq[String] = Nil)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
@@ -252,7 +264,8 @@ private[spark] final class GraftCdcTable(
           new GraftCdcMicroBatchStream(
             h, handleId, tableSchema, changeFeed, checkpointLocation,
             maxCommitsPerTrigger =
-              Option(options.get("maxCommitsPerTrigger")).map(_.toInt))
+              Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
+            feedKeys = feedKeys)
       }
     }
 }
@@ -275,7 +288,7 @@ private[spark] final case class CommitOffset(
 private[spark] final class GraftCdcMicroBatchStream(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
     changeFeed: Boolean = false, checkpointLocation: String = "",
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None, feedKeys: Seq[String] = Nil)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import VersionedStream._
@@ -466,7 +479,7 @@ private[spark] final class GraftCdcMicroBatchStream(
     val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     if (!fs.exists(success)) {
       if (fs.exists(dir)) fs.delete(dir, true)
-      val feed = feedFor(spark, h, from, to)
+      val feed = feedFor(spark, h, from, to, feedKeys)
         .select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       feed.write.mode("overwrite").parquet(dir.toString)
     }
