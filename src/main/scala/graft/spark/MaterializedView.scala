@@ -174,13 +174,19 @@ object MaterializedView {
     (anchor.get, head, "incremental")
   }
 
-  /** The source commit the MV's current state reflects: the `anchor=` mark
-    * of the newest refresh commit (None = never built, nothing to be
-    * incremental against). */
-  def currentAnchor(log: TableVersions, mv: TableName): Option[CommitId] =
-    log.updates(mv).iterator
+  /** The source commit the MV's CURRENT state reflects: the `anchor=` mark
+    * of the newest refresh commit AT OR BEFORE the current pointer — not
+    * the newest in history, which after a RESTORE of the MV names a
+    * rolled-back state (an incremental refresh anchored there would apply
+    * deltas onto contents they were not derived from: silent corruption).
+    * None = never built, nothing to be incremental against. */
+  def currentAnchor(log: TableVersions, mv: TableName): Option[CommitId] = {
+    val cur = log.currentCommit(mv)
+    log.updates(mv).iterator // newest first
+      .dropWhile(_.id != cur)
       .map(_.message.content)
       .collectFirst { case AnchorMark(id) => CommitId(id) }
+  }
 
   // ------------------------------------------------------------- internals
 

@@ -87,6 +87,35 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
     full shouldBe expected
   }
 
+  test("after RESTORE of the MV, incremental refresh re-anchors to the restored state") {
+    val (ctx, log, table) = setup("mvc5")
+    (1L to 10L).map(i => Event(i, "g", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc5.db.mv5 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(id) AS sum_id
+         |FROM mvc5.db.events GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc5", TableName("db", "mv5")).get._2
+    val builtCommit = log.currentCommit(mv.name)
+
+    // source moves, MV refreshes (anchor advances past the build)
+    DeletionVectors.delete(ctx, log, table, col("id") <= 3, user, UpdateMessage("d1"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvc5.db.mv5").collect()
+      .head.getString(0) shouldBe "incremental"
+
+    // the MV is RESTORED to the original build: its state reflects the
+    // PRE-delete source, so the next refresh must re-apply the d1 deltas
+    log.setCurrentVersion(mv.name, builtCommit) // RESTORE the MV
+    DeletionVectors.delete(ctx, log, table, col("id") === 10, user, UpdateMessage("d2"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvc5.db.mv5").collect()
+      .head.getString(0) shouldBe "incremental"
+    // correct final state: ids 4..9 (d1 re-applied onto the restored
+    // contents + d2) — the pre-fix behavior anchored at the rolled-back
+    // refresh and silently skipped d1
+    VersionedReader(spark, log).read(mv).as[(String, Long, Long)].collect() shouldBe
+      Array(("g", 6L, (4L to 9L).sum))
+  }
+
   test("non-maintainable shapes reject loudly at CREATE") {
     val (ctx, _, table) = setup("mvc3")
     (1L to 5L).map(i => Event(i, "a", "2024-01-01"))
