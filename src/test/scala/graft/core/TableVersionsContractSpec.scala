@@ -517,6 +517,37 @@ trait TableVersionsContract extends Matchers { self: AnyFunSuite =>
     log.updates(ta).head.message shouldBe msg("txn a")
   }
 
+  test(s"$implName: commitAll races plain single-table commits without losing either") {
+    val log = newLog()
+    val ta = TableName("db", "txn_race_a")
+    val tb = TableName("db", "txn_race_b")
+    log.init(ta, isSnapshot = false, who, msg("init a"), at(0))
+    log.init(tb, isSnapshot = false, who, msg("init b"), at(0))
+    def pv(d: String) = TableOperation.AddPartitionVersion(p(d), v())
+    val txnThreads = (1 to 4).map { i =>
+      new Thread(() => log.commitAll(Seq(
+        ta -> TableUpdate(who, msg(s"txn$i a"), Instant.now(), List(pv(s"t$i-a"))),
+        tb -> TableUpdate(who, msg(s"txn$i b"), Instant.now(), List(pv(s"t$i-b"))))))
+    }
+    val plainThreads = (1 to 4).map { i =>
+      new Thread(() => log.commit(ta,
+        TableUpdate(who, msg(s"plain$i"), Instant.now(), List(pv(s"p$i")))))
+    }
+    (txnThreads ++ plainThreads).foreach(_.start())
+    (txnThreads ++ plainThreads).foreach(_.join())
+    // every commit landed: 4 txn + 4 plain on a, 4 txn on b (+ inits)
+    log.updates(ta) should have size 9
+    log.updates(tb) should have size 5
+    log.currentVersion(ta) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 8
+      case other                        => fail(s"unexpected $other")
+    }
+    log.currentVersion(tb) match {
+      case PartitionedTableVersion(pvs) => pvs should have size 4
+      case other                        => fail(s"unexpected $other")
+    }
+  }
+
   test(s"$implName: commitAll validation is all-or-nothing") {
     val log = newLog()
     val ta = TableName("db", "txn_v")
