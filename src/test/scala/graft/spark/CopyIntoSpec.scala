@@ -1,0 +1,66 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+
+class CopyIntoSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("copy-test")
+
+  private def land(src: java.nio.file.Path, prefix: String, rows: Seq[(Long, String)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_copyspec_tmp")
+    rows.toDF("id", "grp").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val stream = Files.list(tmp)
+    try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, src.resolve(s"${prefix}_$i.parquet")); ()
+      }
+    finally stream.close()
+  }
+
+  test("ingest history survives a RESTORE: rolled-back loads are not re-ingested (the resurrect quirk makes their rows return with the next commit)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_restore"),
+      Files.createTempDirectory("graft_copyspec").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    val src = Files.createTempDirectory("graft_copyspec_src")
+
+    land(src, "b1", Seq((1L, "a"), (2L, "b")))
+    CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+      .ingestedFiles should have size 1
+    val afterB1 = log.currentCommit(t.name)
+    land(src, "b2", Seq((3L, "c")))
+    CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+      .ingestedFiles should have size 1
+
+    // RESTORE past the second load: its rows leave the current state, but
+    // the ingest RECORD deliberately survives — the commit-log fold quirk
+    // (a later commit resurrects intermediate history) will bring the
+    // rows back with the next commit, so re-ingesting would double-load
+    log.setCurrentVersion(t.name, afterB1)
+    VersionedReader(spark, log).read(t).count() shouldBe 2L
+    val rerun = CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+    rerun.ingestedFiles shouldBe empty
+    rerun.skippedFiles should have size 2
+    rerun.commit shouldBe None
+
+    // the next ordinary load resurrects b2's partition alongside b3's
+    land(src, "b3", Seq((4L, "d")))
+    CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+      .ingestedFiles should have size 1
+    VersionedReader(spark, log).read(t)
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+}
