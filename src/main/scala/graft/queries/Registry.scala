@@ -457,6 +457,14 @@ object Registry {
              |  SELECT l_returnflag, l_quantity FROM lineitem
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q83_identity_columns" -> Entry(
+      Versioned.q83IdentityColumns,
+      // the ids' invariants (global uniqueness, cross-batch monotonicity,
+      // ALWAYS rejection) are asserted in-query; the oracle value-checks
+      // the data the ids were assigned to
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

@@ -1973,6 +1973,54 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q83: IDENTITY COLUMNS ([[graft.spark.IdentityColumns]], the Delta
+    * `GENERATED ALWAYS AS IDENTITY` shape): engine-assigned unique,
+    * batch-monotone row ids with no executor coordination (per-task
+    * disjoint 2³³ ranges over a commit-carried high-water mark — the
+    * advance and the data ride one atomic commit). Asserted in-query:
+    * ids are globally UNIQUE, the second batch's ids all sit ABOVE the
+    * first's (the mark advanced), and a batch supplying the column
+    * rejects (ALWAYS semantics). The id VALUES are deliberately not in
+    * the output (gaps are the distributed-assignment contract); the
+    * oracle value-checks the data the ids were assigned to. */
+  def q83IdentityColumns(s: SparkSession, dir: String): DataFrame = {
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_ident", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_ident"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    graft.spark.IdentityColumns.insertWithIdentity(
+      li.where(col("l_returnflag") =!= "R"), ctx, table, "row_id",
+      user, UpdateMessage("v1: A+N"))
+    graft.spark.IdentityColumns.insertWithIdentity(
+      li.where(col("l_returnflag") === "R"), ctx, table, "row_id",
+      user, UpdateMessage("v2: R"))
+
+    val read = graft.spark.VersionedReader(s, log).read(table)
+    val Array(n, nDistinct) = read.agg(
+      count(lit(1)), countDistinct(col("row_id"))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == nDistinct, s"identity ids must be globally unique ($nDistinct of $n)")
+    val Array(maxB1, minB2) = read.agg(
+      max(when(col("l_returnflag") =!= "R", col("row_id"))),
+      min(when(col("l_returnflag") === "R", col("row_id"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(minB2 > maxB1,
+      s"batch 2 ids must sit above batch 1's high-water mark ($minB2 !> $maxB1)")
+    val rejected =
+      try {
+        graft.spark.IdentityColumns.insertWithIdentity(
+          li.limit(5).withColumn("row_id", lit(1L)), ctx, table, "row_id",
+          user, UpdateMessage("bad"))
+        false
+      } catch { case e: IllegalArgumentException => e.getMessage.contains("ALWAYS") }
+    require(rejected, "a batch supplying the identity column must reject")
+
+    read.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS

@@ -52,6 +52,42 @@ class OpsSurfaceSpec extends AnyFunSuite with Matchers {
     reader.read(t).count() shouldBe 1L  // current state untouched
   }
 
+  test("identity high-water mark survives a log restart and rolls back with RESTORE") {
+    val dir = Files.createTempDirectory("graft_ops_ident")
+    val log = graft.core.JsonFileTableVersions(dir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "ident"),
+      Files.createTempDirectory("graft_ops_ident_t").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    IdentityColumns.insertWithIdentity(
+      (1L to 5L).map(i => (i, "a")).toDF("v", "grp"), ctx, t, "row_id",
+      user, UpdateMessage("b1"))
+    val afterB1 = log.currentCommit(t.name)
+    val hwm1 = IdentityColumns.currentHighWaterMark(log, t.name, "row_id")
+    hwm1 should be > 0L
+
+    // restart: a fresh log instance over the same dir sees the same mark
+    val reopened = graft.core.JsonFileTableVersions(dir.toString)
+    IdentityColumns.currentHighWaterMark(reopened, t.name, "row_id") shouldBe hwm1
+    val ctx2 = VersionContext(VersionedMetastore(reopened, new InMemoryMetastore))
+    ctx2.init(t, user, UpdateMessage("reattach")) // idempotent; registers the catalog mirror
+    IdentityColumns.insertWithIdentity(
+      (6L to 8L).map(i => (i, "b")).toDF("v", "grp"), ctx2, t, "row_id",
+      user, UpdateMessage("b2"))
+    IdentityColumns.currentHighWaterMark(reopened, t.name, "row_id") should be > hwm1
+    // ids across the restart stay disjoint
+    val reader = VersionedReader(spark, reopened)
+    val ids = reader.read(t).select("row_id").as[Long].collect()
+    ids.distinct.length shouldBe 8
+
+    // RESTORE rolls the sequence back WITH the data it rolled back (the
+    // fold's resurrect quirk revives both together on the next commit)
+    reopened.setCurrentVersion(t.name, afterB1)
+    IdentityColumns.currentHighWaterMark(reopened, t.name, "row_id") shouldBe hwm1
+  }
+
   test("DESCRIBE DETAIL summarizes state, inventory, and live metadata features") {
     val log = new InMemoryTableVersions
     val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
