@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id}
 
 import graft.core._
 import graft.core.Metastore.TableChanges
-import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.core.TableVersions.{TableOperation, UpdateMessage, UserId}
 import graft.spark.VersionContext.DatasetVersionOps
 
 /**
@@ -15,11 +15,18 @@ import graft.spark.VersionContext.DatasetVersionOps
  * become few large ones, without changing a single row.
  *
  * Because it rides the ordinary versioned write path, compaction inherits
- * every safety property of [[VersionContext.DatasetVersionOps.versionedInsertInto]]:
+ * every safety property of [[VersionContext.DatasetVersionOps.versionedStage]]:
  * the packed files land in never-referenced staging dirs, readers flip to
  * them atomically at commit, the old (fragmented) version dirs remain on
  * disk for time travel, and [[Vacuum]] reclaims them once they age out of
- * retention. A crash mid-compaction leaves only invisible orphans.
+ * retention. A crash mid-compaction leaves only invisible orphans. The
+ * commit itself uses the COW-rewrite OCC discipline
+ * ([[graft.core.TableVersions.commitRebase]], the Q72 rule): anchored at
+ * the commit the read resolved, rebasing over disjoint-partition writers
+ * and throwing [[graft.core.TableVersions.ConcurrentWriteException]] when
+ * an intervening commit (a DV delete, an overlapping DML) touches what was
+ * rewritten — OPTIMIZE can never silently resurrect concurrently deleted
+ * rows or drop another writer's commit.
  *
  * Packing strategy:
  *  - snapshot tables: `coalesce(maxFiles)` — a narrow (no-shuffle) merge of
@@ -50,6 +57,14 @@ object Compaction {
     require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
     require(partitions.isEmpty || !table.isSnapshot,
       "partition-scoped compaction requires a partitioned table")
+    val log = ctx.metastore.tableVersions
+    // OCC anchor, captured BEFORE the read resolves: the rewrite is a
+    // read-modify-write of the state this commit names, so the commit below
+    // REBASES over it ([[TableVersions.commitRebase]]) — an intervening
+    // DV delete (empty-ops commit → whole-table scope) or an overlapping
+    // DML conflicts loudly instead of being pointer-flipped away (deleted
+    // rows silently resurrected); disjoint-partition writers compose.
+    val readCommit = log.currentCommit(table.name)
     // read through the SAME log the commit lands in — a separately-passed
     // log could resolve a different history than the one being committed to.
     // The DV-aware read (identical to the raw scan when no deletion
@@ -58,11 +73,10 @@ object Compaction {
     // deletion vectors get absorbed into the physical layout.
     val current = ColumnMapping.applyLogical(
       if (partitions.isEmpty)
-        DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+        DeletionVectors.read(spark, log, table, Some(readCommit))
       else
-        DeletionVectors.readPartitions(
-          spark, ctx.metastore.tableVersions, table, partitions),
-      spark, ctx.metastore.tableVersions, table, None)
+        DeletionVectors.readPartitions(spark, log, table, partitions),
+      spark, log, table, None)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
       else {
@@ -73,23 +87,30 @@ object Compaction {
           else parts :+ pmod(spark_partition_id(), lit(filesPerPartition))
         current.repartition(keys: _*)
       }
-    val log = ctx.metastore.tableVersions
-    val before: Map[Partition, Version] = log.currentVersion(table.name) match {
+    val before: Map[Partition, Version] = log.versionAt(table.name, readCommit) match {
       case PartitionedTableVersion(pvs) => pvs
       case _                            => Map.empty
     }
-    val result = packed.versionedInsertInto(ctx, table, userId, message)
+    // stage the packed files (invisible version dirs), then commit with the
+    // Q72 rebase discipline anchored at the read state — never plain
+    // last-writer-wins: OPTIMIZE must not clobber a concurrent writer
+    val staged = packed.versionedStage(ctx, table, userId, message)
+    if (staged.update.operations.isEmpty) // empty table: nothing to rewrite
+      return (log.currentVersion(table.name), TableChanges(Nil))
+    val result = ctx.metastore.commitRebase(table.name, staged.update, readCommit)
     // when the rewrite replaced EVERY live partition (or the snapshot), the
     // old deletion vectors are fully absorbed into the new files — record
     // that with an `_absorbed` marker so reads (and the SQL catalog guard)
     // stop resolving the stale pair sidecars for the new state. A partition
     // whose version did not move (e.g. every row DV-hidden → no rows to
-    // write) still needs the old pairs, so the marker is skipped.
-    val fullRewrite = table.isSnapshot || (result._1 match {
-      case PartitionedTableVersion(pvs) =>
-        pvs.forall { case (p, v) => !before.get(p).contains(v) }
-      case _ => true
-    })
+    // write) still needs the old pairs, so the marker is skipped. Scope is
+    // judged against the READ state and OUR staged ops: a disjoint commit
+    // the rebase composed with neither adds vectors (DV commits conflict)
+    // nor keeps stale ones (its own overwrite already orphaned them).
+    val written = staged.update.operations.collect {
+      case TableOperation.AddPartitionVersion(p, _) => p
+    }.toSet
+    val fullRewrite = table.isSnapshot || before.keySet.subsetOf(written)
     if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
     // a PARTIAL rewrite (partition-scoped, or a partition whose rows were
     // all DV-hidden and so kept its old version) still sheds the vectors

@@ -60,6 +60,11 @@ object MaterializedView {
       groupCols: Seq[String],
       aggs: Seq[AggSpec])
 
+  /** Test seam: invoked between a refresh's read-state capture and its
+    * commit, so a spec can interleave a competing writer at exactly the
+    * racy point deterministically. No-op outside tests. */
+  private[spark] var interleaveForTest: () => Unit = () => ()
+
   private val FileName = "_mv.json"
   private val mapper = new ObjectMapper()
   private val AnchorMark = """anchor=([0-9a-fA-F-]{8,})""".r.unanchored
@@ -99,12 +104,35 @@ object MaterializedView {
       s"CREATE MATERIALIZED VIEW over ${mvDef.sourceParts.mkString(".")}"))
     writeDef(session, mvDefn, mvDef)
 
+    // even the initial build commits with the rebase discipline, anchored
+    // at the state observed here (the init commit): a concurrent
+    // create/refresh of the same MV name conflicts loudly instead of
+    // last-writer-wins clobbering
+    val mvRead = ctx.metastore.tableVersions.currentCommit(mvDefn.name)
     val anchor = binding.log.currentCommit(srcDefn.name)
     val full = fullState(session, binding, srcDefn, mvDef, anchor)
-    full.versionedInsertInto(
-      ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${anchor.id}"))
+    commitMvRebase(ctx, mvDefn,
+      full.versionedStage(ctx, mvDefn, user,
+        UpdateMessage(s"REFRESH (full) anchor=${anchor.id}")),
+      mvRead)
     GraftTableCatalog.register(cat, mvDefn, None)
     mvDefn
+  }
+
+  /** All MV state commits ride the Q72 [[graft.core.TableVersions.commitRebase]]
+    * discipline anchored at the MV commit the refresh READ: the MV is a
+    * snapshot table, so ANY intervening MV commit (a racing refresh) is a
+    * whole-table conflict — the loser throws
+    * [[graft.core.TableVersions.ConcurrentWriteException]] and its staged
+    * dirs stay unreferenced, never a delta merged onto contents it was not
+    * derived from. */
+  private def commitMvRebase(
+      ctx: VersionContext,
+      mvDefn: TableDefinition,
+      staged: VersionContext.StagedCommit,
+      readCommit: CommitId): Unit = {
+    ctx.metastore.commitRebase(mvDefn.name, staged.update, readCommit)
+    ()
   }
 
   // --------------------------------------------------------------- refresh
@@ -126,14 +154,21 @@ object MaterializedView {
       mvDef.sourceParts(1), mvDef.sourceParts(2))).map(_._2)
       .getOrElse(sys.error(s"MV source ${mvDef.sourceParts.mkString(".")} is not registered"))
 
-    val anchor = currentAnchor(binding.log, mvDefn.name)
+    // the MV state this refresh derives from — both the anchor lookup and
+    // the incremental merge read THIS commit, and the commit below rebases
+    // against it, so a racing refresh landing in between conflicts loudly
+    val mvRead = binding.log.currentCommit(mvDefn.name)
+    interleaveForTest()
+    val anchor = anchorAt(binding.log, mvDefn.name, mvRead)
     val head = binding.log.currentCommit(srcDefn.name)
     if (anchor.contains(head) && !full) return (head, head, "no-op")
 
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, mvDefn))
     if (full || anchor.isEmpty) {
-      fullState(session, binding, srcDefn, mvDef, head).versionedInsertInto(
-        ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${head.id}"))
+      commitMvRebase(ctx, mvDefn,
+        fullState(session, binding, srcDefn, mvDef, head).versionedStage(
+          ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${head.id}")),
+        mvRead)
       return (anchor.getOrElse(head), head, "full")
     }
 
@@ -160,7 +195,7 @@ object MaterializedView {
     val deltas = feedF.groupBy(mvDef.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    val current = VersionedReader(session, binding.log).read(mvDefn)
+    val current = VersionedReader(session, binding.log).readAsOf(mvDefn, mvRead)
     val liveness = mvDef.aggs.find(a => a.fn == "count" && a.input == "*").get.alias
     val merged = current.join(deltas, mvDef.groupCols, "full_outer")
       .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map { a =>
@@ -169,8 +204,10 @@ object MaterializedView {
         (cur + d).cast(current.schema(a.alias).dataType).as(a.alias)
       }: _*)
       .where(col(liveness) > 0)
-    merged.versionedInsertInto(
-      ctx, mvDefn, user, UpdateMessage(s"REFRESH (incremental) anchor=${head.id}"))
+    commitMvRebase(ctx, mvDefn,
+      merged.versionedStage(
+        ctx, mvDefn, user, UpdateMessage(s"REFRESH (incremental) anchor=${head.id}")),
+      mvRead)
     (anchor.get, head, "incremental")
   }
 
@@ -180,13 +217,16 @@ object MaterializedView {
     * rolled-back state (an incremental refresh anchored there would apply
     * deltas onto contents they were not derived from: silent corruption).
     * None = never built, nothing to be incremental against. */
-  def currentAnchor(log: TableVersions, mv: TableName): Option[CommitId] = {
-    val cur = log.currentCommit(mv)
+  def currentAnchor(log: TableVersions, mv: TableName): Option[CommitId] =
+    anchorAt(log, mv, log.currentCommit(mv))
+
+  /** The anchor as of a SPECIFIC MV commit — the refresh path resolves it
+    * against the commit it rebases on, not a possibly-moved pointer. */
+  private def anchorAt(log: TableVersions, mv: TableName, at: CommitId): Option[CommitId] =
     log.updates(mv).iterator // newest first
-      .dropWhile(_.id != cur)
+      .dropWhile(_.id != at)
       .map(_.message.content)
       .collectFirst { case AnchorMark(id) => CommitId(id) }
-  }
 
   // ------------------------------------------------------------- internals
 

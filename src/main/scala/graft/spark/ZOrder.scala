@@ -91,15 +91,19 @@ object ZOrder {
     require(numFiles > 0, "numFiles must be positive")
     require(partitions.isEmpty || !table.isSnapshot,
       "partition-scoped Z-order requires a partitioned table")
+    val log = ctx.metastore.tableVersions
+    // OCC anchor (like Compaction): the rewrite commits with the Q72 rebase
+    // discipline against the state it read — a racing DV delete or
+    // overlapping DML conflicts loudly instead of being silently clobbered
+    val readCommit = log.currentCommit(table.name)
     // DV-aware (like Compaction): the Z-order rewrite must not resurrect
     // merge-on-read-deleted rows into the clustered files
     val current = ColumnMapping.applyLogical(
       if (partitions.isEmpty)
-        DeletionVectors.read(spark, ctx.metastore.tableVersions, table)
+        DeletionVectors.read(spark, log, table, Some(readCommit))
       else
-        DeletionVectors.readPartitions(
-          spark, ctx.metastore.tableVersions, table, partitions),
-      spark, ctx.metastore.tableVersions, table, None)
+        DeletionVectors.readPartitions(spark, log, table, partitions),
+      spark, log, table, None)
     val z = zvalue(ranges(current, zorderCols), bits)
     val packed =
       if (table.isSnapshot)
@@ -114,19 +118,20 @@ object ZOrder {
           .sortWithinPartitions(parts :+ col("__z"): _*)
           .drop("__z")
       }
-    val log = ctx.metastore.tableVersions
-    val before: Map[Partition, Version] = log.currentVersion(table.name) match {
+    val before: Map[Partition, Version] = log.versionAt(table.name, readCommit) match {
       case PartitionedTableVersion(pvs) => pvs
       case _                            => Map.empty
     }
-    val result = packed.versionedInsertInto(ctx, table, userId, message)
+    val staged = packed.versionedStage(ctx, table, userId, message)
+    if (staged.update.operations.isEmpty) // empty table: nothing to rewrite
+      return (log.currentVersion(table.name), TableChanges(Nil))
+    val result = ctx.metastore.commitRebase(table.name, staged.update, readCommit)
     // same absorb rule as Compaction: a rewrite that replaced every live
-    // partition physically absorbed any deletion vectors
-    val fullRewrite = table.isSnapshot || (result._1 match {
-      case PartitionedTableVersion(pvs) =>
-        pvs.forall { case (p, v) => !before.get(p).contains(v) }
-      case _ => true
-    })
+    // (at the read state) partition physically absorbed any deletion vectors
+    val written = staged.update.operations.collect {
+      case graft.core.TableVersions.TableOperation.AddPartitionVersion(p, _) => p
+    }.toSet
+    val fullRewrite = table.isSnapshot || before.keySet.subsetOf(written)
     if (fullRewrite) DeletionVectors.markAbsorbed(spark, log, table)
     // partial rewrites shed the replaced files' vectors (see Compaction)
     else DeletionVectors.absorbStale(spark, log, table)
