@@ -481,6 +481,28 @@ final class JsonFileTableVersions(logDir: Path) extends TableVersions {
     }
   }
 
+  /** The ops of every pending-transaction line (marker absent) — the
+    * version dirs they reference are live-in-waiting; see
+    * [[TableVersions.pendingOperations]]. */
+  override def pendingOperations(table: TableName): List[TableOperation] = {
+    val f = fileFor(table)
+    if (!Files.exists(f)) Nil
+    else {
+      val raw = Files.readAllBytes(f)
+      val end = raw.lastIndexOf('\n'.toByte)
+      if (end < 0) Nil
+      else new String(raw, 0, end + 1, StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).flatMap { line =>
+          val node = mapper.readTree(line).asInstanceOf[ObjectNode]
+          if (node.get("record").asText() == "commit" &&
+            Option(node.get("txnPending")).exists(t => !txnCommitted(t.asText()))) {
+            val ops = node.get("operations").asInstanceOf[ArrayNode]
+            (0 until ops.size()).map(i => opFromJson(ops.get(i).asInstanceOf[ObjectNode]))
+          } else Nil
+        }.toList
+    }
+  }
+
   override def commitIf(
       table: TableName, update: TableUpdate, expected: CommitId): Boolean =
     withTableLock(table) {

@@ -214,6 +214,16 @@ trait TableVersions {
     * plain checkout. */
   def publish(table: TableName, id: CommitId): Unit
 
+  /** Operations staged by NOT-YET-COMMITTED state the implementation keeps
+    * outside every fold — e.g. a multi-table transaction's per-table commit
+    * lines appended by prepare whose commit-point marker has not landed.
+    * Storage GC must treat the version dirs these reference as LIVE: the
+    * marker can land at any moment, and reclaiming the dirs in the
+    * prepare-to-marker window would leave freshly committed versions
+    * pointing at deleted data (the checkpoint already refuses on the same
+    * condition). Default: none (single-step logs have no pending window). */
+  def pendingOperations(table: TableName): List[TableOperation] = Nil
+
   /** Create or move a named ref to an existing commit. Branches move
     * freely; a TAG is immutable once created (re-pointing it errors), and
     * a name cannot change kind. Errors on unknown table/commit. */

@@ -43,9 +43,14 @@ object CopyInto {
       commit: Option[CommitId])
 
   /** Source files already loaded into `table` (the retained history's
-    * ingest records, newest-first fold). */
+    * ingest records, newest-first fold). Only messages with THIS module's
+    * exact emission shape — `COPY INTO <this table's fq name> …` at the
+    * head of the message — are parsed, so an unrelated commit whose
+    * free-text happens to mention a files=[…] list is not absorbed into
+    * the loaded set. */
   def loadedFiles(log: TableVersions, table: TableName): Set[String] =
     log.updates(table).iterator
+      .filter(_.message.content.startsWith(s"COPY INTO ${table.fullyQualifiedName} "))
       .flatMap(u => FilesMark.findFirstMatchIn(u.message.content))
       .flatMap(_.group(1).split(";").iterator.map(_.trim).filter(_.nonEmpty))
       .toSet
@@ -71,6 +76,15 @@ object CopyInto {
       .map(_.getPath.toString)
       .sorted
     require(candidates.nonEmpty, s"COPY INTO: no data files under $srcDir")
+    // the history record delimits file names with ';' inside '[…]' — a
+    // name containing the delimiters (or a newline, which the log's line
+    // format reserves) would corrupt the parse into wrong skip/re-ingest
+    // decisions, so such sources are rejected up front, loudly
+    candidates.map(fileKey).foreach { n =>
+      require(!n.exists(c => c == ';' || c == ']' || c == '[' || c == '\n' || c == '\r'),
+        s"COPY INTO: source file name '$n' contains a reserved character " +
+          "(';', '[', ']', or a newline) — rename the file to ingest it")
+    }
     val done = loadedFiles(log, table.name)
     val fresh = candidates.filterNot(p => done.contains(fileKey(p)))
     if (fresh.isEmpty)

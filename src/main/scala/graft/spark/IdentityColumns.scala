@@ -25,7 +25,10 @@ import graft.spark.VersionContext.DatasetVersionOps
  * fork the sequence, and the mark resolves from the commit the CURRENT
  * POINTER names (newest at-or-before — a RESTORE rolls the sequence back
  * with the data it rolled back; the fold's resurrect-on-next-commit quirk
- * then revives both together, keeping ids and rows consistent).
+ * then revives both together, keeping ids and rows consistent). The
+ * recorded advance is the max id actually present in the staged output —
+ * ground truth, immune to the write job planning a different partition
+ * count than any pre-write observation.
  *
  * Scope (deliberate v1): assignment happens through
  * [[insertWithIdentity]] — the dedicated write entry — rather than being
@@ -61,12 +64,35 @@ object IdentityColumns {
       s"identity column $column is GENERATED ALWAYS — the batch must not supply it")
     val log = ctx.metastore.tableVersions
     val hwm = currentHighWaterMark(log, table.name, column)
-    // per-task disjoint ranges: task p stamps p·2³³ + offset. +1 headroom
-    // task keeps the advance strictly above every assignable id
-    val nParts = math.max(df.rdd.getNumPartitions, 1).toLong
-    val newHwm = hwm + ((nParts + 1L) << 33)
-    df.withColumn(column, lit(hwm + 1L) + monotonically_increasing_id())
-      .versionedInsertInto(ctx, table, userId,
-        UpdateMessage(s"${message.content} identity:$column hwm=$newHwm"))
+    // stage first, commit second: the advance recorded in the commit is the
+    // MAX ID ACTUALLY ASSIGNED, read back from the staged output — never a
+    // prediction from an observed partition count (AQE can re-plan the
+    // write with more partitions than a separate df.rdd conversion showed,
+    // which would assign ids above a predicted headroom and let the next
+    // batch collide). One batch-sized single-column scan of the files just
+    // written; parquet column stats keep it footer-cheap.
+    val staged = df.withColumn(column, lit(hwm + 1L) + monotonically_increasing_id())
+      .versionedStage(ctx, table, userId, message)
+    val spark = df.sparkSession
+    val dirs = staged.update.operations.collect {
+      case TableVersions.TableOperation.AddTableVersion(v) =>
+        VersionPaths.pathFor(table.location, v).toString
+      case TableVersions.TableOperation.AddPartitionVersion(p, v) =>
+        SparkPaths.dirFor(table.location, p, v)
+    }
+    val assignedMax: Option[Long] =
+      if (dirs.isEmpty) None
+      else {
+        val raw = spark.read.format(table.format.name).load(dirs: _*)
+        // staged files carry PHYSICAL names under column mapping
+        val logical = ColumnMapping.applyLogical(raw, spark, log, table, None)
+        val r = logical.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(column))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val newHwm = assignedMax.getOrElse(hwm)
+    val update = staged.update.copy(metadata = staged.update.metadata.copy(
+      message = UpdateMessage(s"${message.content} identity:$column hwm=$newHwm")))
+    ctx.metastore.commit(table.name, update)
   }
 }

@@ -88,11 +88,22 @@ object Vacuum {
     // ESCAPED on-disk form, which is what the directory listing yields
     // (raw hivePath here would doom live dirs of partitions whose values
     // need Hive escaping)
+    // pending multi-table-transaction lines (prepare done, commit-point
+    // marker not yet landed) reference dirs no fold sees — the marker can
+    // land any moment, so those dirs are live-in-waiting, NOT orphans; a
+    // vacuum past the grace window must not reclaim data of a transaction
+    // whose marker then lands (checkpoint refuses on the same condition)
+    val pendingRefs: Set[String] =
+      log.pendingOperations(table.name).collect {
+        case TableVersions.TableOperation.AddTableVersion(v) => v.label
+        case TableVersions.TableOperation.AddPartitionVersion(p, v) =>
+          s"${SparkPaths.escapedPartitionPath(p)}/${v.label}"
+      }.toSet
     val referenced: Set[String] = states.flatMap {
       case SnapshotTableVersion(v) => List(v.label)
       case PartitionedTableVersion(pvs) =>
         pvs.map { case (p, v) => s"${SparkPaths.escapedPartitionPath(p)}/${v.label}" }
-    }.toSet
+    }.toSet ++ pendingRefs
 
     val fs = FileSystem.get(table.location, hadoopConf)
     val root = new HPath(table.location.toString.stripSuffix("/"))

@@ -867,4 +867,57 @@ class JsonFileTableVersionsSpec extends AnyFunSuite with TableVersionsContract {
     java.nio.file.Files.writeString(file, "not json at all\n" + intact)
     an[Exception] should be thrownBy new JsonFileTableVersions(dir).currentVersion(tbl)
   }
+
+  test("vacuum treats version dirs of a prepared-but-unmarked transaction as live") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log_txn_vac")
+    val log = new JsonFileTableVersions(dir)
+    val loc = java.nio.file.Files.createTempDirectory("graft_txn_vac_data")
+    val ta = TableName("db", "txn_vac_a")
+    log.init(ta, isSnapshot = false, UserId("u"), UpdateMessage("init"), Instant.now())
+    def part(d: String) = Partition(PartitionColumn("date"), d)
+
+    // a committed v1 so the table has normal retained state
+    val v1 = Version(Instant.now().minusSeconds(3600), UUID.randomUUID())
+    java.nio.file.Files.createDirectories(loc.resolve(s"date=2024-01-01/${v1.label}"))
+    java.nio.file.Files.writeString(
+      loc.resolve(s"date=2024-01-01/${v1.label}/part-0.parquet"), "d1")
+    log.commit(ta, TableUpdate(UserId("u"), UpdateMessage("v1"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(part("2024-01-01"), v1))))
+
+    // phase 1 of a transaction references a STAGED dir whose label clock is
+    // far older than any grace window (a long multi-table write job)
+    val vStaged = Version(Instant.now().minusSeconds(7200), UUID.randomUUID())
+    val stagedDir = loc.resolve(s"date=2024-01-02/${vStaged.label}")
+    java.nio.file.Files.createDirectories(stagedDir)
+    java.nio.file.Files.writeString(stagedDir.resolve("part-0.parquet"), "d2")
+    val ua = TableUpdate(UserId("u"), UpdateMessage("txn a"), Instant.now(),
+      List(TableOperation.AddPartitionVersion(part("2024-01-02"), vStaged)))
+    val tb = TableName("db", "txn_vac_b")
+    log.init(tb, isSnapshot = true, UserId("u"), UpdateMessage("init"), Instant.now())
+    val ub = TableUpdate(UserId("u"), UpdateMessage("txn b"), Instant.now(),
+      List(TableOperation.AddTableVersion(Version(Instant.now(), UUID.randomUUID()))))
+    val txnId = log.txnPrepare(Seq(ta -> ua, tb -> ub))
+
+    log.pendingOperations(ta) should contain(
+      TableOperation.AddPartitionVersion(part("2024-01-02"), vStaged))
+
+    // an aggressive vacuum (zero grace) past the label clock must NOT
+    // reclaim the pending dir: the marker can land at any moment
+    val defn = TableDefinition(ta, loc.toUri, 
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    val rep = graft.spark.Vacuum.vacuum(
+      defn, log, new org.apache.hadoop.conf.Configuration(),
+      keepLast = 3, graceMs = 0L)
+    java.nio.file.Files.exists(stagedDir) shouldBe true
+    rep.deleted.exists(_.contains(vStaged.label)) shouldBe false
+
+    // marker lands: the dir is now referenced by a committed state and the
+    // transaction's data reads normally
+    log.txnMarkerCreate(txnId)
+    log.pendingOperations(ta) shouldBe Nil
+    new JsonFileTableVersions(dir).currentVersion(ta) match {
+      case PartitionedTableVersion(pvs) => pvs(part("2024-01-02")) shouldBe vStaged
+      case other                        => fail(s"unexpected $other")
+    }
+  }
 }

@@ -7,6 +7,7 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.core._
 import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
 
 class CopyIntoSpec extends AnyFunSuite with Matchers {
 
@@ -62,5 +63,46 @@ class CopyIntoSpec extends AnyFunSuite with Matchers {
       .ingestedFiles should have size 1
     VersionedReader(spark, log).read(t)
       .select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
+  test("reserved characters in source file names are rejected up front (history-format safety)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_badname"),
+      Files.createTempDirectory("graft_copy_badname").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    val src = Files.createTempDirectory("graft_copy_badname_src")
+    land(src, "ok", Seq((1L, "a")))
+    // a name carrying the history record's delimiters would corrupt the
+    // files=[a;b;...] parse into wrong skip/re-ingest decisions
+    val bad = src.resolve("evil;name].parquet")
+    Files.copy(Files.list(src).toArray.head.asInstanceOf[java.nio.file.Path], bad)
+    val e = the[IllegalArgumentException] thrownBy
+      CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+    e.getMessage should include("reserved character")
+    log.updates(t.name).size shouldBe 1 // nothing ingested
+  }
+
+  test("an unrelated commit message mentioning files=[...] is not absorbed into the load history") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_absorb"),
+      Files.createTempDirectory("graft_copy_absorb").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    val src = Files.createTempDirectory("graft_copy_absorb_src")
+    land(src, "batch1", Seq((1L, "a"), (2L, "b")))
+    // a free-text commit that happens to QUOTE a COPY INTO command — e.g. a
+    // manual write whose message cites a runbook — must not mark its files
+    // as already loaded
+    Seq((99L, "z")).toDF("id", "grp").versionedInsertInto(ctx, t, user,
+      UpdateMessage("manual load, see COPY INTO db.copy_absorb from /x files=[batch1_0.parquet]"))
+    CopyInto.loadedFiles(log, t.name) shouldBe Set.empty
+    val r = CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+    r.ingestedFiles.size shouldBe 1 // batch1_0.parquet WAS ingested
+    CopyInto.loadedFiles(log, t.name) shouldBe Set("batch1_0.parquet")
   }
 }

@@ -116,4 +116,34 @@ class OpsSurfaceSpec extends AnyFunSuite with Matchers {
     d.getBoolean(10) shouldBe false
     d.getBoolean(11) shouldBe false
   }
+
+  test("identity hwm is the max id ACTUALLY assigned — ground truth from the staged output") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "ident_hwm"),
+      Files.createTempDirectory("graft_ops_ident_hwm").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    // a multi-partition source: the write job's planned partition count is
+    // the engine's business — the recorded advance must equal max(row_id)
+    // whatever layout the job picked
+    IdentityColumns.insertWithIdentity(
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("v", "grp")
+        .repartition(7),
+      ctx, t, "row_id", user, UpdateMessage("b1"))
+    val reader = VersionedReader(spark, log)
+    val ids1 = reader.read(t).select("row_id").as[Long].collect()
+    ids1.distinct.length shouldBe 100
+    IdentityColumns.currentHighWaterMark(log, t.name, "row_id") shouldBe ids1.max
+
+    // the next batch starts strictly above — no collision whatever the
+    // previous job's partitioning was
+    IdentityColumns.insertWithIdentity(
+      (101L to 130L).map(i => (i, "c")).toDF("v", "grp").repartition(3),
+      ctx, t, "row_id", user, UpdateMessage("b2"))
+    val all = reader.read(t).select("row_id").as[Long].collect()
+    all.distinct.length shouldBe 130
+    IdentityColumns.currentHighWaterMark(log, t.name, "row_id") shouldBe all.max
+  }
 }
