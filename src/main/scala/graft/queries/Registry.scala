@@ -408,6 +408,26 @@ object Registry {
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) WHERE l_quantity > 5
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q78b_mv_shapes" -> Entry(
+      Versioned.q78bMvShapes,
+      // the widened-algebra MV (avg/min/max + count/sum) == a full
+      // recompute of its definition over the final source state
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       min(l_quantity) AS min_qty,
+             |       max(l_extendedprice) AS max_price
+             |FROM (
+             |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+             |  WHERE l_returnflag = 'A' AND l_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+             |  WHERE l_returnflag = 'N'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) WHERE l_quantity > 5
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q79_multi_table_txn" -> Entry(
       Versioned.q79MultiTableTxn,
       // the summary table, committed atomically WITH its detail table twice

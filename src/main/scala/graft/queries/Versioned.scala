@@ -2078,6 +2078,75 @@ object Versioned {
         |FROM graftq78.graft.li_mv ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Q78b: the WIDENED MV shape algebra — avg/min/max alongside count/sum,
+    * maintained exactly under a partition rewrite and a scattered DV
+    * delete. `avg` sends every touched group down the re-scan path; the
+    * delete makes sum/min/max groups re-scan too (a removed row can carry
+    * the group's min/max or its last non-null summand — no delta repairs
+    * that); untouched groups pass through. The in-query gate asserts
+    * incremental == full recompute of the definition over the final source
+    * state (rounded where float summation order may differ); the oracle
+    * recomputes the same thing in SQL. */
+  def q78bMvShapes(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq78b", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq78b", log)
+    val table = tempTable(
+      "li_mvshapes", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_mvshapes"))
+    graft.spark.GraftTableCatalog.register("graftq78b", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+
+    val mvLoc = Files.createTempDirectory("graft_li_mvshapes").toUri
+    val src = s"graftq78b.${table.name.schema}.${table.name.name}"
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW graftq78b.${table.name.schema}.li_mvs
+         |LOCATION '$mvLoc'
+         |AS SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+         |          avg(l_quantity) AS avg_qty, min(l_quantity) AS min_qty,
+         |          max(l_extendedprice) AS max_price
+         |FROM $src WHERE l_quantity > 5 GROUP BY l_returnflag""".stripMargin)
+
+    // source moves on: R rewritten (only the >40 band survives), scattered
+    // DV delete in untouched A, N untouched entirely
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: refresh R"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table,
+      col("l_returnflag") === "A" && col("l_orderkey") % 7 === 0,
+      user, UpdateMessage("dv: scattered delete in A"))
+
+    val refresh = s.sql("REFRESH MATERIALIZED VIEW graftq78b.graft.li_mvs").collect()
+    require(refresh.head.getString(0) == "incremental",
+      s"refresh must be incremental, got ${refresh.head.getString(0)}")
+
+    // incremental == full: recompute the definition over the final state
+    def rounded(df: DataFrame): Array[org.apache.spark.sql.Row] = df
+      .select(col("l_returnflag"), col("n_items").cast("long").as("n_items"),
+        round(col("sum_qty"), 2).as("sum_qty"), round(col("avg_qty"), 4).as("avg_qty"),
+        col("min_qty"), col("max_price"))
+      .orderBy("l_returnflag").collect()
+    val got = rounded(s.sql("SELECT * FROM graftq78b.graft.li_mvs"))
+    val want = rounded(
+      graft.spark.DeletionVectors.read(s, log, table)
+        .where(col("l_quantity") > 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+          avg("l_quantity").as("avg_qty"), min("l_quantity").as("min_qty"),
+          max("l_extendedprice").as("max_price")))
+    require(got.sameElements(want),
+      s"incremental MV must equal the full recompute:\n got=${got.mkString(",")}\nwant=${want.mkString(",")}")
+
+    s.sql(
+      """SELECT l_returnflag, n_items, round(sum_qty, 2) AS sum_qty,
+        |       round(avg_qty, 4) AS avg_qty, min_qty, max_price
+        |FROM graftq78b.graft.li_mvs ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q77: the KEYED change feed — full Delta-CDF type vocabulary
     * ([[graft.spark.ChangeFeed.readKeyed]]): with a declared row identity
     * (lineitem's natural key `(l_orderkey, l_linenumber)`), the feed (a)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{avg, broadcast, coalesce, col, count, expr, greatest, least, lit, max, min, not, sum, when}
 
 import graft.core._
 import graft.core.TableVersions.{CommitId, UpdateMessage, UserId}
@@ -31,22 +31,37 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    so state and anchor move in ONE atomic commit — a crash between
  *    "write MV" and "record anchor" cannot exist.
  *
- * Incremental refresh is O(changed rows), never O(source): the change
- * feed from anchor→head ([[ChangeFeed.read]] — deletion-vector-aware by
- * construction) is filtered by the view's WHERE, aggregated with SIGNED
- * weights (+1 insert, −1 delete) into per-group deltas, and full-outer
- * merged onto the current MV state; groups whose maintained `count(*)`
- * reaches zero drop out. Only `count(*)`/`count(c)` and `sum(c)` are
- * admitted at CREATE — they are the self-maintainable aggregates (min/max
- * would need a re-scan on delete), and at least one `count(*)` is
- * REQUIRED because group liveness is undecidable from sums alone.
+ * Incremental refresh is never O(source). The change feed from
+ * anchor→head ([[ChangeFeed.read]] — deletion-vector-aware by
+ * construction) is filtered by the view's WHERE and aggregated ONCE into
+ * per-group deltas plus a per-group had-deletes flag; groups then split
+ * two ways:
  *
- * Scale shape: the delta aggregation shuffles the feed (changed rows
- * only); the merge join is MV-sized (#groups, which for a grouped MV is
- * orders below row count — AQE broadcasts it when small). A source
- * checkpoint that folded the anchor away refuses loudly and
- * `refresh(full = true)` (SQL `REFRESH … FULL`) rebuilds from a source
- * scan — the same posture as the streaming source's re-anchor rule.
+ *  - DELTA groups (insert-only feed for the group, or a count-only view):
+ *    signed weights (+1 insert, −1 delete) merge onto the current MV
+ *    state full-outer; `min`/`max` fold inserted values in via
+ *    `least`/`greatest`; `sum` is NULL-exact (a group stays NULL until a
+ *    non-null value arrives — never coalesced to a phantom 0). O(changed
+ *    rows).
+ *  - RE-SCAN groups (the feed DELETED rows of a group maintaining
+ *    sum/min/max, or any touched group of a view with `avg`): recomputed
+ *    from the source at head, restricted to exactly those group keys by a
+ *    broadcast semi-join — a delete can remove the current min/max or the
+ *    last non-null summand, which no delta can repair. O(source rows of
+ *    the touched groups), with dynamic partition pruning when the group
+ *    keys include partition columns.
+ *
+ * Admitted at CREATE: `count(*)`/`count(c)`, `sum(c)`, `avg(c)`,
+ * `min(c)`, `max(c)` over plain columns; at least one `count(*)` is
+ * REQUIRED because group liveness is undecidable from the other
+ * aggregates alone.
+ *
+ * Scale shape: one feed-sized shuffle for the deltas; the merge join is
+ * MV-sized (#groups — AQE broadcasts it when small); the re-scan reads
+ * only the touched groups' source rows. A source checkpoint that folded
+ * the anchor away refuses loudly and `refresh(full = true)` (SQL
+ * `REFRESH … FULL`) rebuilds from a source scan — the same posture as
+ * the streaming source's re-anchor rule.
  */
 object MaterializedView {
 
@@ -74,7 +89,7 @@ object MaterializedView {
   /** Create + fully build an MV from `selectSql`, register it in catalog
     * `cat`, and return its definition. The SELECT must be an aggregate of
     * a single graft table of the same catalog (optional WHERE), with only
-    * count/sum aggregates and at least one `count(*)`. */
+    * count/sum/avg/min/max aggregates and at least one `count(*)`. */
   def create(
       session: SparkSession,
       cat: String,
@@ -181,31 +196,71 @@ object MaterializedView {
           e)
       }
     val feedF = mvDef.where.map(w => feed.where(expr(w))).getOrElse(feed)
-    val sign = when(
-      col(ChangeFeed.ChangeTypeCol).isin(ChangeFeed.Insert, ChangeFeed.UpdatePost), lit(1L))
-      .otherwise(lit(-1L))
-    val deltaAggs = mvDef.aggs.map { a =>
-      val d: Column = a.fn match {
-        case "count" if a.input == "*" => sum(sign)
-        case "count" => sum(when(col(a.input).isNotNull, sign).otherwise(lit(0L)))
-        case "sum"   => sum(sign * col(a.input))
+    val isInsert =
+      col(ChangeFeed.ChangeTypeCol).isin(ChangeFeed.Insert, ChangeFeed.UpdatePost)
+    val sign = when(isInsert, lit(1L)).otherwise(lit(-1L))
+    // ONE feed-sized aggregation: every delta plus the had-deletes flag
+    val deltaAggs: Seq[Column] = mvDef.aggs.flatMap { a =>
+      val d: Option[Column] = a.fn match {
+        case "count" if a.input == "*" => Some(sum(sign))
+        case "count" => Some(sum(when(col(a.input).isNotNull, sign).otherwise(lit(0L))))
+        case "sum"   => Some(sum(sign * col(a.input)))
+        // min/max deltas fold INSERTED values only; a deleted min/max
+        // sends the group to the re-scan path instead
+        case "min"   => Some(min(when(isInsert, col(a.input))))
+        case "max"   => Some(max(when(isInsert, col(a.input))))
+        case "avg"   => None // avg groups always re-scan when touched
       }
-      d.as(s"__d_${a.alias}")
-    }
-    val deltas = feedF.groupBy(mvDef.groupCols.map(col): _*)
+      d.map(_.as(s"__d_${a.alias}")).toSeq
+    } :+ max(when(isInsert, lit(0)).otherwise(lit(1))).as("__has_del")
+    // materialize once: the touched-groups frame feeds the re-scan key set,
+    // the anti-join, and the delta merge — tiny (#touched groups)
+    val touched = feedF.groupBy(mvDef.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint(true)
+
+    val hasAvg = mvDef.aggs.exists(_.fn == "avg")
+    val rescanOnDelete = mvDef.aggs.exists(a => Set("sum", "min", "max")(a.fn))
+    val rescanCond: Column =
+      if (hasAvg) lit(true)
+      else if (rescanOnDelete) col("__has_del") === 1
+      else lit(false)
+    val pureDelta = !hasAvg && !rescanOnDelete
 
     val current = VersionedReader(session, binding.log).readAsOf(mvDefn, mvRead)
     val liveness = mvDef.aggs.find(a => a.fn == "count" && a.input == "*").get.alias
-    val merged = current.join(deltas, mvDef.groupCols, "full_outer")
+    val rescanKeys = touched.where(rescanCond).select(mvDef.groupCols.map(col): _*)
+    val currentKept =
+      if (pureDelta) current
+      else current.join(broadcast(rescanKeys), mvDef.groupCols, "left_anti")
+    val merged = currentKept
+      .join(touched.where(not(rescanCond)), mvDef.groupCols, "full_outer")
       .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map { a =>
-        val cur = coalesce(col(a.alias), lit(0L).cast("long"))
-        val d = coalesce(col(s"__d_${a.alias}"), lit(0L).cast("long"))
-        (cur + d).cast(current.schema(a.alias).dataType).as(a.alias)
+        val dt = current.schema(a.alias).dataType
+        val old = col(a.alias)
+        val d = if (a.fn == "avg") old else col(s"__d_${a.alias}")
+        val next: Column = a.fn match {
+          case "count" => coalesce(old, lit(0L)) + coalesce(d, lit(0L))
+          // NULL-exact: a group whose live rows hold no non-null value IS
+          // NULL, matching the full build — never a phantom 0 (deletes
+          // that could empty the non-null set re-scan instead)
+          case "sum" => when(old.isNull && d.isNull, lit(null))
+            .otherwise(coalesce(old, lit(0).cast(dt)) + coalesce(d, lit(0).cast(dt)))
+          case "min" => least(old, d) // least/greatest skip nulls
+          case "max" => greatest(old, d)
+          case "avg" => old // every touched avg group is in the re-scan set
+        }
+        next.cast(dt).as(a.alias)
       }: _*)
       .where(col(liveness) > 0)
+    val next =
+      if (pureDelta) merged
+      else merged.unionByName(
+        fullState(session, binding, srcDefn, mvDef, head, Some(rescanKeys))
+          .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map(a =>
+            col(a.alias).cast(current.schema(a.alias).dataType).as(a.alias)): _*))
     commitMvRebase(ctx, mvDefn,
-      merged.versionedStage(
+      next.versionedStage(
         ctx, mvDefn, user, UpdateMessage(s"REFRESH (incremental) anchor=${head.id}")),
       mvRead)
     (anchor.get, head, "incremental")
@@ -230,23 +285,35 @@ object MaterializedView {
 
   // ------------------------------------------------------------- internals
 
+  /** The view's defining aggregate over the source at `at` — the whole
+    * source, or (`restrictTo`) only the rows of the given group keys: the
+    * re-scan path's bound, applied BEFORE the aggregation via a broadcast
+    * semi-join so the scan reads just the touched groups (and prunes
+    * partitions dynamically when group keys include partition columns). */
   private def fullState(
       session: SparkSession,
       binding: GraftTableCatalog.Binding,
       srcDefn: TableDefinition,
       mvDef: MvDef,
-      at: CommitId): DataFrame = {
+      at: CommitId,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val base = DeletionVectors.read(session, binding.log, srcDefn, Some(at))
     val basef = mvDef.where.map(w => base.where(expr(w))).getOrElse(base)
+    val scoped = restrictTo
+      .map(k => basef.join(broadcast(k), mvDef.groupCols, "left_semi"))
+      .getOrElse(basef)
     val aggs = mvDef.aggs.map { a =>
       val c: Column = a.fn match {
-        case "count" if a.input == "*" => org.apache.spark.sql.functions.count(lit(1))
-        case "count" => org.apache.spark.sql.functions.count(col(a.input))
+        case "count" if a.input == "*" => count(lit(1))
+        case "count" => count(col(a.input))
         case "sum"   => sum(col(a.input))
+        case "avg"   => avg(col(a.input))
+        case "min"   => min(col(a.input))
+        case "max"   => max(col(a.input))
       }
       c.as(a.alias)
     }
-    basef.groupBy(mvDef.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    scoped.groupBy(mvDef.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Pull (source, where, groups, aggs) out of the PARSED plan of the
@@ -259,8 +326,8 @@ object MaterializedView {
       plan: LogicalPlan): (MvDef, TableDefinition, GraftTableCatalog.Binding) = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"not incrementally maintainable: $why (an MV SELECT is " +
-        "SELECT <group cols>, count(*)/count(c)/sum(c) ... FROM <one graft table> " +
-        "[WHERE <row predicate>] GROUP BY <group cols>)")
+        "SELECT <group cols>, count(*)/count(c)/sum(c)/avg(c)/min(c)/max(c) ... " +
+        "FROM <one graft table> [WHERE <row predicate>] GROUP BY <group cols>)")
 
     val agg = plan match {
       case a: Aggregate => a
@@ -307,10 +374,11 @@ object MaterializedView {
           case (Seq("count"), Seq(Literal(_, _)))        => Some(AggSpec("count", "*", name))
           case (Seq("count"), Seq(a: UnresolvedAttribute)) =>
             Some(AggSpec("count", a.nameParts.last, name))
-          case (Seq("sum"), Seq(a: UnresolvedAttribute)) =>
-            Some(AggSpec("sum", a.nameParts.last, name))
-          case (fn, _) => fail(s"aggregate ${fn.mkString(".")} is not self-maintainable " +
-            "under deletes (count/sum of a plain column only)")
+          case (Seq(fn), Seq(a: UnresolvedAttribute))
+            if Set("sum", "avg", "min", "max")(fn) =>
+            Some(AggSpec(fn, a.nameParts.last, name))
+          case (fn, _) => fail(s"aggregate ${fn.mkString(".")} is not maintainable " +
+            "(count/sum/avg/min/max of a plain column only)")
         }
       case f: UnresolvedFunction =>
         fail(s"aggregate ${f.nameParts.mkString(".")} needs an AS alias")

@@ -128,8 +128,8 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
       e.getMessage should include(needle)
       GraftTableCatalog.lookup("mvc3", TableName("db", "bad")) shouldBe None
     }
-    rejects("SELECT kind, avg(id) AS a, count(*) AS n FROM mvc3.db.events GROUP BY kind",
-      "not self-maintainable")
+    rejects("SELECT kind, collect_list(id) AS a, count(*) AS n FROM mvc3.db.events GROUP BY kind",
+      "not maintainable")
     rejects("SELECT kind, sum(id) AS s FROM mvc3.db.events GROUP BY kind",
       "count(*) is required")
     rejects("SELECT kind, count(DISTINCT id) AS n FROM mvc3.db.events GROUP BY kind",
@@ -156,5 +156,89 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
     val mv = GraftTableCatalog.lookup("mvc4", TableName("db", "mv4")).get._2
     VersionedReader(spark, log).read(mv).as[(String, Long, Long)].collect() shouldBe
       Array(("g", 5L, 5L + 6L + 7L + 8L + 10L))
+  }
+
+  test("avg/min/max maintain exactly under DV deletes and rewrites (re-scan path): incremental == full recompute") {
+    val (ctx, log, table) = setup("mvc6")
+    (1L to 40L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc6.db.mv6 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, avg(id) AS avg_id, min(id) AS min_id,
+         |          max(id) AS max_id, sum(id) AS sum_id
+         |FROM mvc6.db.events GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc6", TableName("db", "mv6")).get._2
+
+    // kill each group's current min and max plus scattered middles, then
+    // insert fresh rows — exactly the shape no pure delta can repair
+    DeletionVectors.delete(ctx, log, table,
+      col("id").isin(1L, 2L, 39L, 40L) || col("id") % 5 === 0,
+      user, UpdateMessage("dv: clip extremes"))
+    (41L to 45L).map(i => Event(i, "odd", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v2: more odds"))
+
+    MaterializedView.refresh(spark, "mvc6", mv, user)._3 shouldBe "incremental"
+
+    val got = VersionedReader(spark, log).read(mv)
+      .orderBy("kind").collect().map(_.toSeq)
+    val expected = DeletionVectors.read(spark, log, table)
+      .groupBy("kind")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.avg("id").as("avg_id"),
+        org.apache.spark.sql.functions.min("id").as("min_id"),
+        org.apache.spark.sql.functions.max("id").as("max_id"),
+        org.apache.spark.sql.functions.sum("id").as("sum_id"))
+      .orderBy("kind").collect().map(_.toSeq)
+    got shouldBe expected
+  }
+
+  test("sum/min NULL-exactness: an all-null group stays NULL through insert-only and delete refreshes") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.mvc7", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("mvc7", log)
+    val table = TableDefinition(
+      TableName("db", "vals"),
+      Files.createTempDirectory("graft_mv_mvc7").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("mvc7", table)
+    Seq((1L, "g1", Option(5L), "2024-01-01"), (2L, "g2", Option.empty[Long], "2024-01-01"))
+      .toDF("id", "kind", "v", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc7.db.mv7 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(v) AS sum_v, min(v) AS min_v
+         |FROM mvc7.db.vals GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc7", TableName("db", "mv7")).get._2
+    val reader = VersionedReader(spark, log)
+    def state(): Map[String, (Long, Option[Long], Option[Long])] =
+      reader.read(mv).as[(String, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // full build: the all-null group's sum is NULL, not 0
+    state()("g2") shouldBe ((1L, None, None))
+
+    // insert-only refresh adding another null: STAYS NULL (delta path must
+    // not coalesce the absent sum into a phantom 0)
+    Seq((3L, "g2", Option.empty[Long], "2024-01-02")).toDF("id", "kind", "v", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    MaterializedView.refresh(spark, "mvc7", mv, user)._3 shouldBe "incremental"
+    state()("g2") shouldBe ((2L, None, None))
+
+    // first non-null arrives: sum/min materialize
+    Seq((4L, "g2", Option(7L), "2024-01-03")).toDF("id", "kind", "v", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+    MaterializedView.refresh(spark, "mvc7", mv, user)._3 shouldBe "incremental"
+    state()("g2") shouldBe ((3L, Some(7L), Some(7L)))
+
+    // deleting the only non-null row returns the group to NULL (re-scan
+    // path) while the untouched group passes through unchanged
+    DeletionVectors.delete(ctx, log, table, col("v") === 7L,
+      user, UpdateMessage("dv: drop the non-null"))
+    MaterializedView.refresh(spark, "mvc7", mv, user)._3 shouldBe "incremental"
+    state() shouldBe Map(
+      "g1" -> ((1L, Some(5L), Some(5L))),
+      "g2" -> ((2L, None, None)))
   }
 }
