@@ -485,6 +485,14 @@ object Registry {
       Some("""SELECT l_returnflag, count(*) AS n_items,
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q83b_sql_identity" -> Entry(
+      Versioned.q83bSqlIdentity,
+      // the SQL-declared identity column's invariants (uniqueness,
+      // batch monotonicity) are asserted in-query; the oracle
+      // value-checks the ingested data
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q43_file_skipping" -> Entry(
       Versioned.q43FileSkipping,
       // zone-map pruning must be row-invisible: the pruned scan + row

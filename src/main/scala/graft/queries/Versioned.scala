@@ -2021,6 +2021,61 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q83b: the SQL IDENTITY lifecycle — `ALTER TABLE … ADD COLUMN row_id
+    * BIGINT GENERATED ALWAYS AS IDENTITY` declares the engine-owned id
+    * column (schema evolution + the `_identity.json` registration), then
+    * plain SQL `INSERT INTO … (user columns)` statements stamp unique,
+    * batch-monotone ids with the advanced high-water mark riding each
+    * write commit. In-query requires pin global uniqueness and
+    * cross-batch monotonicity; the oracle value-checks the data the ids
+    * were assigned to (the ids themselves are engine values). */
+  def q83bSqlIdentity(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq83b", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq83b", log)
+    val table = tempTable(
+      "li_idsql", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_idsql"))
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    graft.spark.GraftTableCatalog.register("graftq83b", table, Some(StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))))
+
+    s.sql(
+      "ALTER TABLE graftq83b.graft.li_idsql ADD COLUMN row_id BIGINT " +
+        "GENERATED ALWAYS AS IDENTITY").collect()
+
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .createOrReplaceTempView("li_src_q83b")
+    s.sql(
+      """INSERT INTO graftq83b.graft.li_idsql (l_orderkey, l_quantity, l_returnflag)
+        |SELECT l_orderkey, l_quantity, l_returnflag FROM li_src_q83b
+        |WHERE l_returnflag <> 'R'""".stripMargin)
+    s.sql(
+      """INSERT INTO graftq83b.graft.li_idsql (l_orderkey, l_quantity, l_returnflag)
+        |SELECT l_orderkey, l_quantity, l_returnflag FROM li_src_q83b
+        |WHERE l_returnflag = 'R'""".stripMargin)
+
+    val inv = s.sql(
+      """SELECT count(*), count(DISTINCT row_id),
+        |       max(CASE WHEN l_returnflag <> 'R' THEN row_id END),
+        |       min(CASE WHEN l_returnflag = 'R' THEN row_id END)
+        |FROM graftq83b.graft.li_idsql""".stripMargin).head()
+    require(inv.getLong(0) == inv.getLong(1),
+      s"identity ids must be globally unique (${inv.getLong(1)} of ${inv.getLong(0)})")
+    require(inv.getLong(3) > inv.getLong(2),
+      s"batch 2 ids must sit above batch 1's high-water mark " +
+        s"(${inv.getLong(3)} !> ${inv.getLong(2)})")
+
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM graftq83b.graft.li_idsql
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q78: SQL MATERIALIZED VIEWS with feed-driven incremental refresh
     * ([[graft.spark.MaterializedView]]) — the q71 maintenance loop
     * promoted to a first-class object: `CREATE MATERIALIZED VIEW … AS

@@ -131,6 +131,11 @@ private[spark] object GraftMaintenanceSql {
   // validation), the column itself materializes via additive evolution
   private val AddGeneratedStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+\w+\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  // ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY — the
+  // Delta identity spelling (no parens — disjoint from AddGeneratedStmt):
+  // declares the engine-assigned id column; SQL INSERTs then stamp it
+  private val AddIdentityStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -183,6 +188,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
     case CopyIntoStmt(ident, src, fmt) if isGraftCatalogRef(split(ident)) =>
       Some(GraftCopyIntoCommand(split(ident), src, fmt.toLowerCase))
+    case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftAddIdentityColumnCommand(split(ident), column, dtype))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
@@ -562,6 +569,35 @@ final case class GraftAddGeneratedColumnCommand(
     GeneratedColumns.add(
       session, ctx, defn, GeneratedColumns.GeneratedColumn(column, genExpr), UserId("sql"))
     Seq(Row(column, s"generated always as ($genExpr)"))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY` — the
+  * Delta identity-column spelling: evolves the registered schema with the
+  * (nullable, engine-owned) id column, then records the identity
+  * declaration ([[IdentityColumns.declare]]). Every subsequent SQL INSERT
+  * that omits the column (or lists other columns, leaving it NULL-filled)
+  * gets unique, batch-monotone ids stamped by the engine; supplying
+  * values rejects. */
+final case class GraftAddIdentityColumnCommand(
+    parts: Seq[String], column: String, dtype: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(Set("bigint", "long")(dtype.toLowerCase),
+      s"identity columns are BIGINT (ids are 64-bit), got $dtype")
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    // widen the registered schema first so the analyzer accepts INSERTs
+    // that list only the user columns (stock ADD COLUMNS path: schema
+    // evolution + its own audit commit)
+    session.sql(
+      s"ALTER TABLE ${parts.mkString(".")} ADD COLUMNS ($column BIGINT)").collect()
+    IdentityColumns.declare(session, ctx, defn, column, UserId("sql"))
+    Seq(Row(column, "generated always as identity"))
   }
 }
 

@@ -653,16 +653,33 @@ private[spark] object GraftV2Table {
     val ctx = VersionContext(metastoreFor(binding, defn))
     val message =
       UpdateMessage(if (overwrite) "INSERT OVERWRITE (SQL)" else "INSERT INTO (SQL)")
+    // a DECLARED identity column stamps engine-assigned ids into the batch
+    // (GENERATED ALWAYS: the batch may omit the column or carry it
+    // all-NULL — the analyzer's fill for an omitted column-list entry — a
+    // supplied value rejects); the carried current rows below keep the ids
+    // they already own
+    val identity = IdentityColumns.declared(spark, defn)
+    val data0 = identity match {
+      case None => data
+      case Some(c) =>
+        val supplied = data.columns.find(_.equalsIgnoreCase(c))
+        supplied.foreach { cc =>
+          require(data.where(col(cc).isNotNull).isEmpty,
+            s"identity column $c is GENERATED ALWAYS — the batch must not supply values")
+        }
+        val hwm = IdentityColumns.currentHighWaterMark(binding.log, defn.name, c)
+        IdentityColumns.stamped(supplied.map(data.drop(_)).getOrElse(data), c, hwm)
+    }
     val (toWrite, pinned) =
-      if (overwrite) (data, None)
+      if (overwrite) (data0, None)
       else currentOrNone(spark, binding, defn) match {
-        case None => (data, None)
+        case None => (data0, None)
         // allowMissingColumns: after ALTER TABLE ADD COLUMN the batch
         // carries the widened schema but pre-ALTER files don't — their
         // rows union in with NULL for the new column (the analyzer already
         // guarantees the batch side is never narrower than the table)
         case Some(current) if defn.isSnapshot =>
-          (data.unionByName(current, allowMissingColumns = true), None)
+          (data0.unionByName(current, allowMissingColumns = true), None)
         case Some(current) =>
           // copy-on-write append: the touched partitions' fresh version must
           // carry their current rows too; `touched` is #partitions rows —
@@ -673,7 +690,7 @@ private[spark] object GraftV2Table {
           // dropping that partition's current rows from the fresh version
           // (the same hazard the overwrite prune below avoids by diffing
           // commit metadata instead of re-reading `data`).
-          val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cached = data0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val partCols = defn.partitionSchema.columns.map(_.name)
           val touched = cached.select(partCols.map(col): _*).distinct()
           (cached.unionByName(
@@ -697,9 +714,14 @@ private[spark] object GraftV2Table {
           case _                            => Nil
         }
       else Nil
-    try toWrite.versionedInsertInto(
-      ctx, defn, UserId("sql"), message, alsoRemove = doomed)
-    finally pinned.foreach { df => df.unpersist(); () }
+    // an identity write commits through the stage→derive-hwm→commit path
+    // so the advanced high-water mark rides the same atomic commit
+    try identity match {
+      case Some(c) => IdentityColumns.stageAndCommit(
+        toWrite.toDF(), ctx, defn, c, UserId("sql"), message, alsoRemove = doomed)
+      case None => toWrite.versionedInsertInto(
+        ctx, defn, UserId("sql"), message, alsoRemove = doomed)
+    } finally pinned.foreach { df => df.unpersist(); () }
     ()
   }
 }

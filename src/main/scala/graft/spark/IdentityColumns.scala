@@ -30,14 +30,80 @@ import graft.spark.VersionContext.DatasetVersionOps
  * ground truth, immune to the write job planning a different partition
  * count than any pre-write observation.
  *
- * Scope (deliberate v1): assignment happens through
- * [[insertWithIdentity]] — the dedicated write entry — rather than being
- * hooked into every write path; a batch that already carries the column
- * is rejected (`ALWAYS` semantics: the engine owns the sequence).
+ * Scope: assignment happens through [[insertWithIdentity]] — the
+ * dedicated write entry — and, once [[declare]]d (`ALTER TABLE … ADD
+ * COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY`), through every SQL
+ * `INSERT INTO`/`INSERT OVERWRITE` on the table's graft catalog. A batch
+ * that supplies its own values is rejected (`ALWAYS` semantics: the
+ * engine owns the sequence); direct Scala-API `versionedInsertInto`
+ * writes bypass stamping — use [[insertWithIdentity]] there.
  */
 object IdentityColumns {
 
   private val Mark = """identity:(\w+) hwm=(\d+)""".r.unanchored
+  private val DeclFileName = "_identity.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def declFile(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + DeclFileName)
+
+  /** The table's DECLARED identity column, if any — the SQL
+    * `GENERATED ALWAYS AS IDENTITY` registration ([[declare]]). One
+    * driver-side metadata read, the [[Constraints]]/`_generated.json`
+    * pattern. */
+  def declared(
+      spark: org.apache.spark.sql.SparkSession, table: TableDefinition): Option[String] = {
+    val p = declFile(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(mapper.readTree(text).get("column").asText())
+    }
+  }
+
+  /** Declare `column` as the table's engine-assigned identity column
+    * (the `ALTER TABLE … ADD COLUMN c BIGINT GENERATED ALWAYS AS
+    * IDENTITY` registration): every subsequent SQL INSERT that omits the
+    * column (or carries it all-NULL — the analyzer's fill for an omitted
+    * column-list entry) gets ids stamped by the engine; a batch supplying
+    * values rejects (`ALWAYS` semantics). One identity column per table;
+    * partition columns and generated columns are ineligible. The
+    * declaration lands as a metadata-only audit commit. */
+  def declare(
+      spark: org.apache.spark.sql.SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      column: String,
+      user: UserId): Unit = {
+    declared(spark, table).foreach(existing => throw new IllegalArgumentException(
+      s"table ${table.name.fullyQualifiedName} already has identity column $existing"))
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(column)),
+      s"identity column $column cannot be a partition column")
+    require(!GeneratedColumns.list(spark, table).exists(_.column.equalsIgnoreCase(column)),
+      s"column $column already has a generation rule")
+    val node = mapper.createObjectNode()
+    node.put("column", column)
+    val p = declFile(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+    ctx.metastore.commit(table.name, graft.core.TableVersions.TableUpdate(
+      user, UpdateMessage(s"ALTER TABLE ADD IDENTITY COLUMN $column"),
+      java.time.Instant.now(), Nil))
+    ()
+  }
+
+  /** Stamp fresh ids into `column` of a batch that does not carry it:
+    * `hwm + 1 + monotonically_increasing_id()` — per-task-disjoint ranges,
+    * no shuffle, no driver round-trip. */
+  private[spark] def stamped(df: DataFrame, column: String, hwm: Long): DataFrame =
+    df.withColumn(column, lit(hwm + 1L) + monotonically_increasing_id())
 
   /** The column's high-water mark as of the CURRENT pointer (0 = never
     * assigned). Newest at-or-before fold, like every per-state artifact. */
@@ -62,17 +128,34 @@ object IdentityColumns {
       message: UpdateMessage): (TableVersion, TableChanges) = {
     require(!df.columns.exists(_.equalsIgnoreCase(column)),
       s"identity column $column is GENERATED ALWAYS — the batch must not supply it")
+    val hwm = currentHighWaterMark(ctx.metastore.tableVersions, table.name, column)
+    stageAndCommit(stamped(df, column, hwm), ctx, table, column, userId, message)
+  }
+
+  /** Stage a batch whose `column` ids are already stamped, derive the
+    * committed high-water mark from the STAGED OUTPUT, and commit — the
+    * shared core of [[insertWithIdentity]] and the SQL INSERT path.
+    *
+    * Stage first, commit second: the advance recorded in the commit is the
+    * MAX ID ACTUALLY ASSIGNED, read back from the staged files — never a
+    * prediction from an observed partition count (AQE can re-plan the
+    * write with more partitions than a separate df.rdd conversion showed,
+    * which would assign ids above a predicted headroom and let the next
+    * batch collide). One batch-sized single-column scan of the files just
+    * written; parquet column stats keep it footer-cheap.
+    *
+    * `alsoRemove` partitions the job did not write ride the same commit
+    * (the SQL INSERT OVERWRITE stale set — [[VersionContext]]'s contract). */
+  private[spark] def stageAndCommit(
+      df: DataFrame,
+      ctx: VersionContext,
+      table: TableDefinition,
+      column: String,
+      userId: UserId,
+      message: UpdateMessage,
+      alsoRemove: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
     val log = ctx.metastore.tableVersions
-    val hwm = currentHighWaterMark(log, table.name, column)
-    // stage first, commit second: the advance recorded in the commit is the
-    // MAX ID ACTUALLY ASSIGNED, read back from the staged output — never a
-    // prediction from an observed partition count (AQE can re-plan the
-    // write with more partitions than a separate df.rdd conversion showed,
-    // which would assign ids above a predicted headroom and let the next
-    // batch collide). One batch-sized single-column scan of the files just
-    // written; parquet column stats keep it footer-cheap.
-    val staged = df.withColumn(column, lit(hwm + 1L) + monotonically_increasing_id())
-      .versionedStage(ctx, table, userId, message)
+    val staged = df.versionedStage(ctx, table, userId, message)
     val spark = df.sparkSession
     val dirs = staged.update.operations.collect {
       case TableVersions.TableOperation.AddTableVersion(v) =>
@@ -90,9 +173,17 @@ object IdentityColumns {
           org.apache.spark.sql.functions.col(column))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
-    val newHwm = assignedMax.getOrElse(hwm)
-    val update = staged.update.copy(metadata = staged.update.metadata.copy(
-      message = UpdateMessage(s"${message.content} identity:$column hwm=$newHwm")))
+    val hwmBefore = currentHighWaterMark(log, table.name, column)
+    val newHwm = assignedMax.map(math.max(_, hwmBefore)).getOrElse(hwmBefore)
+    val present = staged.update.operations.collect {
+      case TableVersions.TableOperation.AddPartitionVersion(p, _) => p
+    }.toSet
+    val removes = alsoRemove.distinct.filterNot(present)
+      .map(TableVersions.TableOperation.RemovePartition(_)).toList
+    val update = staged.update.copy(
+      metadata = staged.update.metadata.copy(
+        message = UpdateMessage(s"${message.content} identity:$column hwm=$newHwm")),
+      operations = staged.update.operations ++ removes)
     ctx.metastore.commit(table.name, update)
   }
 }

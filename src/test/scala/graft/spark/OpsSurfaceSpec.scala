@@ -146,4 +146,48 @@ class OpsSurfaceSpec extends AnyFunSuite with Matchers {
     all.distinct.length shouldBe 130
     IdentityColumns.currentHighWaterMark(log, t.name, "row_id") shouldBe all.max
   }
+
+  test("SQL identity: GENERATED ALWAYS AS IDENTITY declares; INSERTs stamp unique, batch-monotone ids") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftops3", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftops3", log)
+    val t = TableDefinition(
+      TableName("db", "idsql"),
+      Files.createTempDirectory("graft_ops_idsql").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftops3", t, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType)))))
+
+    val decl = spark.sql(
+      "ALTER TABLE graftops3.db.idsql ADD COLUMN row_id BIGINT GENERATED ALWAYS AS IDENTITY")
+      .collect()
+    decl.head.getString(1) should include("identity")
+
+    spark.sql("INSERT INTO graftops3.db.idsql (v, grp) VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("INSERT INTO graftops3.db.idsql (v, grp) VALUES (4, 'c'), (5, 'c')")
+
+    val rows = spark.sql("SELECT v, row_id FROM graftops3.db.idsql")
+      .as[(Long, Long)].collect()
+    rows.length shouldBe 5
+    rows.map(_._2).distinct.length shouldBe 5 // all non-null, all unique
+    val b1max = rows.filter(_._1 <= 3).map(_._2).max
+    val b2min = rows.filter(_._1 >= 4).map(_._2).min
+    b2min should be > b1max // batch 2 starts above batch 1's high-water mark
+
+    // GENERATED ALWAYS: supplying a value rejects
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graftops3.db.idsql (v, grp, row_id) VALUES (9, 'z', 42)")
+    }
+    e.getMessage should include("ALWAYS")
+    spark.sql("SELECT count(*) FROM graftops3.db.idsql").head.getLong(0) shouldBe 5L
+
+    // a second identity column rejects; BIGINT is required
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftops3.db.idsql ADD COLUMN id2 BIGINT GENERATED ALWAYS AS IDENTITY")
+    }.getMessage should include("already has identity column")
+  }
 }
