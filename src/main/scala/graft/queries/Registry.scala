@@ -477,6 +477,20 @@ object Registry {
              |  SELECT l_returnflag, l_quantity FROM lineitem
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q82b_copy_csv" -> Entry(
+      Versioned.q82bCopyCsv,
+      // CSV ingests with the registered schema pinned + PATTERN scoping:
+      // final state equals the union of the landed csv slices, each
+      // loaded exactly once, the foreign .json file invisible
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q83_identity_columns" -> Entry(
       Versioned.q83IdentityColumns,
       // the ids' invariants (global uniqueness, cross-batch monotonicity,

@@ -2021,6 +2021,75 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q82b: COPY INTO for a SCHEMA-CARRYING text source — CSV batches
+    * ingest with the table's REGISTERED schema pinned (never per-batch
+    * inference, whose types can drift between batches), `PATTERN` scopes
+    * the landing dir to `*.csv` (a foreign `.json` file in the same dir is
+    * invisible — neither ingested nor counted), and `FORMAT_OPTIONS`
+    * feeds the header flag to the reader. Same idempotence contract as
+    * q82: re-runs skip, new files ingest incrementally. */
+  def q82bCopyCsv(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq82b", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq82b", log)
+    val table = tempTable(
+      "li_copycsv", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_copycsv"))
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    graft.spark.GraftTableCatalog.register("graftq82b", table, Some(StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+
+    val src = Files.createTempDirectory("graft_copycsv_src")
+    def land(df: DataFrame, prefix: String, parts: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_copycsv_tmp")
+      df.repartition(parts).write.mode("overwrite")
+        .option("header", "true").csv(tmp.toString)
+      val stream = java.nio.file.Files.list(tmp)
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, src.resolve(s"${prefix}_$i.csv")); ()
+        }
+      finally stream.close()
+    }
+    land(li.where(col("l_returnflag") =!= "R"), "b1", 2)
+    // a foreign feed's file in the same landing dir: PATTERN hides it
+    java.nio.file.Files.writeString(src.resolve("foreign.json"), """{"x":1}""")
+
+    def copy(): org.apache.spark.sql.Row = s.sql(
+      s"COPY INTO graftq82b.${table.name.schema}.${table.name.name} " +
+        s"FROM '$src' FILEFORMAT = CSV PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true')").collect().head
+    val first = copy()
+    require(first.getInt(0) == 2 && first.getInt(1) == 0,
+      s"first COPY INTO must ingest both csv files and see nothing else, got $first")
+    val headBefore = log.currentCommit(table.name)
+    val rerun = copy()
+    require(rerun.getInt(0) == 0 && rerun.getInt(1) == 2,
+      s"re-run must skip every already-loaded file, got $rerun")
+    require(log.currentCommit(table.name) == headBefore,
+      "an all-skipped COPY INTO must not commit")
+    land(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40), "b2", 1)
+    val second = copy()
+    require(second.getInt(0) == 1 && second.getInt(1) == 2,
+      s"incremental COPY INTO must ingest exactly the new file, got $second")
+    // pinned schema, not inference: the quantity column is the declared
+    // DOUBLE even though a csv batch of integral-looking strings would
+    // infer integer
+    val qtyType = s.sql("SELECT * FROM graftq82b.graft.li_copycsv").schema("l_quantity").dataType
+    require(qtyType == DoubleType, s"pinned schema must hold, got $qtyType")
+
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM graftq82b.graft.li_copycsv
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q83b: the SQL IDENTITY lifecycle — `ALTER TABLE … ADD COLUMN row_id
     * BIGINT GENERATED ALWAYS AS IDENTITY` declares the engine-owned id
     * column (schema evolution + the `_identity.json` registration), then

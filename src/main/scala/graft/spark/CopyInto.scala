@@ -57,21 +57,40 @@ object CopyInto {
 
   /** Ingest every not-yet-loaded file under `srcDir` (non-recursive,
     * hidden/underscore files skipped). Returns what was ingested, what was
-    * skipped, and the commit that recorded it (None = nothing new). */
+    * skipped, and the commit that recorded it (None = nothing new).
+    *
+    * `pattern`: a file-name glob (`*.csv`, `part-??.json`) — only matching
+    * files are considered AT ALL (non-matching files are neither ingested
+    * nor recorded as skipped: a landing dir shared with other feeds stays
+    * other feeds' business).
+    *
+    * `schema`/`options`: schema-CARRYING text sources (CSV/JSON) must
+    * never schema-infer per batch — two batches of the same feed can
+    * infer different types (all-integral numbers one day, a decimal the
+    * next), silently forking the table's column types between commits. A
+    * CSV/JSON ingest therefore REQUIRES a pinned schema: the explicit one,
+    * or the table's current schema when it already has data. Self-describing
+    * formats (parquet/ORC) ignore both. `options` feed the reader
+    * (`header`, `delimiter`, …). */
   def ingest(
       spark: SparkSession,
       ctx: VersionContext,
       table: TableDefinition,
       srcDir: String,
       format: String,
-      user: UserId): Result = {
+      user: UserId,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      pattern: Option[String] = None,
+      options: Map[String, String] = Map.empty): Result = {
     val log = ctx.metastore.tableVersions
     val dir = new HPath(srcDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val globFilter = pattern.map(new org.apache.hadoop.fs.GlobFilter(_))
     val candidates = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && {
         val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        !n.startsWith("_") && !n.startsWith(".") &&
+          globFilter.forall(_.accept(s.getPath))
       })
       .map(_.getPath.toString)
       .sorted
@@ -90,7 +109,20 @@ object CopyInto {
     if (fresh.isEmpty)
       return Result(Nil, candidates, 0L, None)
 
-    val batch = spark.read.format(format).load(fresh: _*)
+    val reader0 = spark.read.format(format).options(options)
+    val reader = format.toLowerCase match {
+      case "csv" | "json" =>
+        val pinned = schema.orElse {
+          val current = DeletionVectors.read(spark, log, table)
+          if (current.columns.nonEmpty) Some(current.schema) else None
+        }.getOrElse(throw new IllegalArgumentException(
+          s"COPY INTO from $format needs a pinned schema: pass one explicitly " +
+            "or load the table's first data through a self-describing format " +
+            "(per-batch schema inference drifts between ingests)"))
+        reader0.schema(pinned)
+      case _ => schema.map(reader0.schema).getOrElse(reader0)
+    }
+    val batch = reader.load(fresh: _*)
     val rows = batch.count()
     // copy-on-write append: union with the current contents of the touched
     // partitions only (a snapshot table unions with its whole state)

@@ -122,10 +122,14 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val RefreshMvStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
-  // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|ORC|CSV|JSON — Delta's
-  // idempotent bulk ingest: each source file loads exactly once (CopyInto)
+  // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|ORC|CSV|JSON
+  //   [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)] — Delta's
+  // idempotent bulk ingest: each source file loads exactly once (CopyInto);
+  // PATTERN scopes the landing dir, FORMAT_OPTIONS feed the reader, and
+  // CSV/JSON ingests pin the table's declared schema (never per-batch
+  // inference)
   private val CopyIntoStmt =
-    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""".r
   // ALTER TABLE t ADD COLUMN c <type> GENERATED ALWAYS AS (expr) — the
   // Delta spelling; records the generation rule (write-path derivation +
   // validation), the column itself materializes via additive evolution
@@ -186,8 +190,9 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftCreateMvCommand(split(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
-    case CopyIntoStmt(ident, src, fmt) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftCopyIntoCommand(split(ident), src, fmt.toLowerCase))
+    case CopyIntoStmt(ident, src, fmt, pat, opts) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftCopyIntoCommand(
+        split(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
     case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddIdentityColumnCommand(split(ident), column, dtype))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
@@ -200,6 +205,16 @@ private[spark] object GraftMaintenanceSql {
   }
 
   private def split(ident: String): Seq[String] = ident.split("\\.").toSeq
+
+  /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. */
+  private val OptionPair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+  private def parseOptionPairs(body: String): Map[String, String] =
+    Option(body).filter(_.trim.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map {
+        case OptionPair(k, v) => k -> v
+        case other => sys.error(
+          s"FORMAT_OPTIONS expects 'key' = 'value' pairs, got '${other.trim}'")
+      }).toMap
 
   private def isGraftCatalogRef(parts: Seq[String]): Boolean = parts match {
     case Seq(cat, _, _) =>
@@ -601,12 +616,19 @@ final case class GraftAddIdentityColumnCommand(
   }
 }
 
-/** `COPY INTO t FROM '<dir>' FILEFORMAT = <fmt>` — idempotent bulk
-  * ingestion ([[CopyInto.ingest]]): every source file loads exactly once
-  * across arbitrary retries; the load history rides IN the ingest
-  * commits' messages, so data and bookkeeping are one atomic record. */
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
+  * [FORMAT_OPTIONS (…)]` — idempotent bulk ingestion
+  * ([[CopyInto.ingest]]): every source file loads exactly once across
+  * arbitrary retries; the load history rides IN the ingest commits'
+  * messages, so data and bookkeeping are one atomic record. CSV/JSON
+  * ingests pin the table's REGISTERED schema (falling back to its current
+  * data's schema) — never per-batch inference. */
 final case class GraftCopyIntoCommand(
-    parts: Seq[String], srcDir: String, format: String) extends LeafRunnableCommand {
+    parts: Seq[String],
+    srcDir: String,
+    format: String,
+    pattern: Option[String] = None,
+    options: Map[String, String] = Map.empty) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("ingested_files", IntegerType, nullable = false)(),
@@ -616,7 +638,9 @@ final case class GraftCopyIntoCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    val r = CopyInto.ingest(session, ctx, defn, srcDir, format, UserId("sql"))
+    val registered = GraftTableCatalog.registeredSchema(parts.head, defn.name)
+    val r = CopyInto.ingest(session, ctx, defn, srcDir, format, UserId("sql"),
+      schema = registered, pattern = pattern, options = options)
     Seq(Row(r.ingestedFiles.size, r.skippedFiles.size, r.rows))
   }
 }

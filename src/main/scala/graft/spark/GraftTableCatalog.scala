@@ -757,6 +757,14 @@ object GraftTableCatalog {
       throw new IllegalStateException(s"catalog '$catalogName' is not bound"))
       .tables.put(table.name.fullyQualifiedName, (table, schema))
 
+  /** The schema a table was registered (or ALTERed) with, if any — the
+    * declared-schema source COPY INTO pins text-format ingests to. */
+  private[spark] def registeredSchema(
+      catalogName: String, table: TableName): Option[StructType] =
+    bindings.get(catalogName)
+      .flatMap(_.tables.get(table.fullyQualifiedName))
+      .flatMap(_._2)
+
   /** Execution-time lookup for the maintenance SQL commands
     * ([[GraftMaintenanceSql]]): binding + definition by catalog and name. */
   private[spark] def lookup(

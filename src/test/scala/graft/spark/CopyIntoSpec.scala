@@ -105,4 +105,29 @@ class CopyIntoSpec extends AnyFunSuite with Matchers {
     r.ingestedFiles.size shouldBe 1 // batch1_0.parquet WAS ingested
     CopyInto.loadedFiles(log, t.name) shouldBe Set("batch1_0.parquet")
   }
+
+  test("CSV COPY INTO refuses schema inference: an empty table with no declared schema errors loudly") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_csv_noschema"),
+      Files.createTempDirectory("graft_copy_noschema").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    val src = Files.createTempDirectory("graft_copy_noschema_src")
+    Files.writeString(src.resolve("a.csv"), "id,grp\n1,a\n2,b\n")
+    val e = the[IllegalArgumentException] thrownBy
+      CopyInto.ingest(spark, ctx, t, src.toString, "csv", user)
+    e.getMessage should include("pinned schema")
+    // with an explicit schema the same ingest lands, typed as declared
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType)))
+    val r = CopyInto.ingest(spark, ctx, t, src.toString, "csv", user,
+      schema = Some(schema), options = Map("header" -> "true"))
+    r.ingestedFiles.map(new org.apache.hadoop.fs.Path(_).getName) shouldBe Seq("a.csv")
+    val read = VersionedReader(spark, log).read(t)
+    read.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    read.count() shouldBe 2L
+  }
 }
