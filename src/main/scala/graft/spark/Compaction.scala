@@ -122,14 +122,17 @@ object Compaction {
   /** AUTO-COMPACTION: compact exactly the partitions under SMALL-FILE
     * PRESSURE — every partition whose current version dir holds ≥
     * `minFiles` data files rewrites (to `filesPerPartition` files);
-    * everything else keeps its version pointer untouched. The detection
-    * pass is the [[GraftMetadataTables]] bound: one driver-side dir
-    * listing per partition, O(#files) metadata, no data read — so running
-    * this after every few streaming commits costs nothing until pressure
-    * actually builds, and then rewrites only where it built (the 100 TB
-    * posture: a table with 3 hot streaming partitions compacts 3
-    * partitions, not 10 000). Snapshot tables compact whole when their
-    * single version dir crosses the threshold.
+    * everything else keeps its version pointer untouched. Detection never
+    * does O(#files) work on the driver: when the current state carries a
+    * [[FileStats]] `_stats` sidecar the per-partition counts come from its
+    * per-file rows (a pure metadata read — no filesystem listing at all);
+    * otherwise ONE Spark job lists the partition dirs in parallel and
+    * returns O(#partitions) counts. Either way the very condition
+    * auto-compact targets — small-file pressure at 10 000 partitions —
+    * cannot make the detection pass itself the bottleneck, and a table
+    * with 3 hot streaming partitions compacts 3 partitions, not 10 000.
+    * Snapshot tables compact whole when their single version dir crosses
+    * the threshold.
     *
     * Returns what was compacted (nothing = no commit happened — pressure
     * below threshold is a no-op, not a junk history entry). */
@@ -146,18 +149,10 @@ object Compaction {
       filesPerPartition: Int = 1): AutoCompactReport = {
     require(minFiles >= 2, "minFiles < 2 would rewrite partitions already at one file")
     val log = ctx.metastore.tableVersions
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      table.location, spark.sessionState.newHadoopConf())
-    def dataFiles(dir: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    }
     log.currentVersion(table.name) match {
       case SnapshotTableVersion(v) =>
-        val pressured = v != Version.Unversioned &&
-          dataFiles(Partition.normalizedDir(table.location).toString + v.label) >= minFiles
+        val pressured = v != Version.Unversioned && snapshotFileCount(
+          spark, log, table, v) >= minFiles
         if (pressured) {
           compact(spark, ctx, table, userId,
             UpdateMessage(s"AUTO OPTIMIZE (>=$minFiles files)"), maxFiles = filesPerPartition)
@@ -165,9 +160,8 @@ object Compaction {
         }
         AutoCompactReport(Nil, snapshot = pressured)
       case PartitionedTableVersion(pvs) =>
-        val doomed = pvs.toList.collect {
-          case (p, v) if dataFiles(SparkPaths.dirFor(table.location, p, v)) >= minFiles => p
-        }
+        val counts = partitionFileCounts(spark, log, table, pvs)
+        val doomed = pvs.keys.toList.filter(p => counts.getOrElse(p, 0) >= minFiles)
         if (doomed.nonEmpty) {
           compact(spark, ctx, table, userId,
             UpdateMessage(s"AUTO OPTIMIZE ${doomed.size} partitions (>=$minFiles files)"),
@@ -177,4 +171,88 @@ object Compaction {
         AutoCompactReport(doomed, snapshot = false)
     }
   }
+
+  /** Per-partition data-file counts of the CURRENT state: the `_stats`
+    * sidecar's per-file rows when the state has one (metadata only),
+    * else a distributed listing of the partition dirs. */
+  private def partitionFileCounts(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      pvs: Map[Partition, Version]): Map[Partition, Int] =
+    sidecarCounts(spark, log, table, pvs)
+      .getOrElse(listedCounts(spark, table, pvs))
+
+  /** Counts from the current state's zone-map sidecar: each row is one
+    * data file, so counting rows per (partition path, version label) —
+    * parsed from the tail of the recorded file path — is the whole job.
+    * None when the state has no sidecar (or its rows don't cover the
+    * layout) — the caller falls back to listing. */
+  private def sidecarCounts(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      pvs: Map[Partition, Version]): Option[Map[Partition, Int]] =
+    try {
+      val zm = FileStats.loadZoneMaps(spark, log, table)
+      val np = table.partitionSchema.columns.size
+      // …/<k=v levels>/<label>/<file> — parse from the END of the path, no
+      // assumptions about how the table location prefix is rendered
+      val counted = zm
+        .select(org.apache.spark.sql.functions.split(col("file"), "/").as("seg"))
+        .select(
+          org.apache.spark.sql.functions.concat_ws(
+            "/", org.apache.spark.sql.functions.expr(s"slice(seg, -${np + 2}, $np)")).as("ppath"),
+          org.apache.spark.sql.functions.expr("element_at(seg, -2)").as("label"))
+        .groupBy("ppath", "label")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect()
+      val byKey = counted.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
+      Some(pvs.map { case (p, v) =>
+        p -> byKey.getOrElse((SparkPaths.escapedPartitionPath(p), v.label), 0)
+      })
+    } catch { case _: Exception => None }
+
+  /** ONE Spark job listing every partition's current version dir in
+    * parallel — O(#partitions) driver memory, zero driver filesystem
+    * walks. */
+  private def listedCounts(
+      spark: SparkSession,
+      table: TableDefinition,
+      pvs: Map[Partition, Version]): Map[Partition, Int] = {
+    if (pvs.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirs = pvs.toList.map { case (p, v) =>
+      (SparkPaths.escapedPartitionPath(p), SparkPaths.dirFor(table.location, p, v))
+    }
+    val slices = math.max(1, math.min(dirs.size, spark.sparkContext.defaultParallelism))
+    val counted = spark.sparkContext.parallelize(dirs, slices).map { case (key, dir) =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(conf.value)
+      val n =
+        if (!fs.exists(path)) 0
+        else fs.listStatus(path).count(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      (key, n)
+    }.collect().toMap
+    pvs.keys.map(p => p -> counted.getOrElse(SparkPaths.escapedPartitionPath(p), 0)).toMap
+  }
+
+  /** A snapshot state's file count: sidecar rows when present, else one
+    * driver listing of the single version dir. */
+  private def snapshotFileCount(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      v: Version): Int =
+    (try Some(FileStats.loadZoneMaps(spark, log, table).count().toInt)
+     catch { case _: Exception => None }).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(
+        Partition.normalizedDir(table.location).toString + v.label)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
 }

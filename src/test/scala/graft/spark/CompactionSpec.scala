@@ -148,4 +148,31 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     val again = spark.sql("OPTIMIZE graftauto.test.autocompact_sql AUTO MIN 4 FILES").head
     (again.getInt(0), again.getString(1)) shouldBe ((0, "nothing"))
   }
+
+  test("autoCompact detection reads the _stats sidecar when present (no listing dependency)") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "autocompact_stats"),
+      Files.createTempDirectory("graft_spec_autocompact_stats").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    val events = (1L to 40L).map(i =>
+      Event(i, s"k$i", if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+    events.toDS().repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+    // the current state carries a per-file sidecar — detection must agree
+    // with it and compact both pressured partitions
+    FileStats.writeZoneMaps(spark, log, table, Seq("id"))
+    val report = Compaction.autoCompact(spark, ctx, table, user, minFiles = 4)
+    report.partitions.map(_.hivePath).toSet shouldBe
+      Set("date=2024-01-01", "date=2024-01-02")
+    VersionedReader(spark, log).read(table)
+      .as[Event].collect().sortBy(_.id) shouldBe events.toArray
+
+    // post-compaction state has no sidecar for the new commit: the
+    // distributed-listing fallback sees 1 file per partition — clean no-op
+    Compaction.autoCompact(spark, ctx, table, user, minFiles = 4)
+      .compactedAnything shouldBe false
+  }
 }
