@@ -272,4 +272,40 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
     val toState = DeletionVectors.read(spark, log, table, Some(head))
     multisetEqual(ChangeFeed.replay(fromState, feed), toState)
   }
+
+  test("plan pin: a feed consumer's projection prunes the underlying scans (MV-refresh shape)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "cf_prune"),
+      Files.createTempDirectory("graft_cf_prune").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 40L).map(i => (i, s"wide_payload_$i", i * 2.5, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "payload", "price", "grp")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val anchor = log.currentCommit(t.name)
+    (1L to 10L).map(i => (i + 100, s"new_$i", i * 1.5, "a")).toDF("id", "payload", "price", "grp")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v2: rewrite a"))
+    DeletionVectors.delete(ctx, log, t, col("id") === 3L, user, UpdateMessage("dv in b"))
+    val head = log.currentCommit(t.name)
+
+    // the MV-refresh consumer shape: group cols + one agg input; the feed
+    // union (rewrite deletes+inserts, DV deletes) must NOT read the wide
+    // untouched columns — Catalyst pushes the projection through the
+    // unions, the DV (file,pos) joins, and the column-mapping projections
+    // down to every parquet scan
+    val feed = ChangeFeed.read(spark, log, t, Some(anchor), head)
+    val agg = feed.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert, col("id"))).as("s"))
+    val p = agg.queryExecution.executedPlan.toString
+    val readSchemas = p.split("ReadSchema: ").drop(1).map(_.takeWhile(_ != '\n'))
+    readSchemas should not be empty
+    readSchemas.foreach { rs =>
+      rs should not include "payload"
+      rs should not include "price"
+    }
+  }
 }
