@@ -598,6 +598,21 @@ object Registry {
              |   OR (o_orderstatus = 'O' AND o_orderkey % 2 = 1)
              |GROUP BY 2
              |ORDER BY section, grp""".stripMargin)),
+    "q73b_clone_dv" -> Entry(
+      Versioned.q73bCloneDv,
+      // fork with live DVs (%3 hidden at clone time), then diverging
+      // post-fork deletes: %5 source-only, %7 clone-only
+      Some("""SELECT 'source' AS section, o_orderstatus AS grp,
+             |       count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+             |GROUP BY 2
+             |UNION ALL
+             |SELECT 'clone', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+             |FROM orders
+             |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+             |GROUP BY 2
+             |ORDER BY section, grp""".stripMargin)),
     "q72_occ_rebase" -> Entry(
       Versioned.q72OccRebase,
       // each partition's final content = its LAST successful writer's

@@ -1222,6 +1222,56 @@ object Versioned {
     srcAgg.unionByName(cloneAgg).orderBy("section", "grp")
   }
 
+  /** Q73b: SHALLOW CLONE of a table with LIVE DELETION VECTORS — the
+    * commit-anchored metadata carry: the source's resolved DV pair state
+    * materializes as a complete sidecar under the clone's own commit id
+    * at clone time, so the cloned read keeps hiding deleted rows, and
+    * each side's post-fork deletes anchor in its own lineage — invisible
+    * to the other (asserted in-query both ways). The oracle replays both
+    * lineages relationally over the final states. */
+  def q73bCloneDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.DeletionVectors
+    val (ctx, log) = freshContext()
+    val src = tempTable(
+      "ord_cldv", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("create ord_cldv"))
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ord.versionedInsertInto(ctx, src, user, UpdateMessage("v1: all orders"))
+
+    // live vectors at clone time: %3 rows hidden merge-on-read
+    DeletionVectors.delete(
+      ctx, log, src, col("o_orderkey") % 3 === 0, user, UpdateMessage("dv: %3"))
+
+    val clone = graft.spark.ShallowClone.clone(
+      s, ctx, src, TableName("tmp", "ord_cldv_fork"), user)
+
+    // post-fork deletes diverge: %5 on the source only, %7 on the clone
+    // only — neither side may see the other's
+    DeletionVectors.delete(
+      ctx, log, src, col("o_orderkey") % 5 === 0, user, UpdateMessage("dv: src %5"))
+    DeletionVectors.delete(
+      ctx, log, clone, col("o_orderkey") % 7 === 0, user, UpdateMessage("dv: clone %7"))
+
+    val srcRows = DeletionVectors.read(s, log, src)
+    val cloneRows = DeletionVectors.read(s, log, clone)
+    val srcBad = srcRows.where(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 0).count()
+    val cloneBad = cloneRows.where(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 7 === 0).count()
+    require(srcBad == 0 && cloneBad == 0,
+      s"carried + own vectors must hide exactly each side's rows (src=$srcBad clone=$cloneBad)")
+    require(cloneRows.where(col("o_orderkey") % 5 === 0).count() > 0,
+      "the source's post-fork delete must NOT leak into the clone")
+    require(srcRows.where(col("o_orderkey") % 7 === 0).count() > 0,
+      "the clone's post-fork delete must NOT leak into the source")
+
+    def agg(section: String, df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit(section).as("section"), col("grp"), col("n_rows"), col("total"))
+    agg("source", srcRows).unionByName(agg("clone", cloneRows))
+      .orderBy("section", "grp")
+  }
+
   def q72OccRebase(s: SparkSession, dir: String): DataFrame = {
     val (ctx, log) = freshContext()
     val table = tempTable(

@@ -123,6 +123,19 @@ object ColumnMapping {
       .collectFirst { case Some(s) => s }
   }
 
+  /** SHALLOW-CLONE carry: append the source's effective mapping state
+    * re-anchored at the CLONE's state commit. The mapping file is shared
+    * (same location), but states resolve through each table's OWN log
+    * lineage — the re-anchored copy is visible only to the clone, and
+    * later renames/drops on either side append states under their own
+    * anchors: independent evolution over one file. */
+  private[spark] def cloneStateTo(
+      spark: SparkSession,
+      table: TableDefinition,
+      state: State,
+      anchor: CommitId): Unit =
+    write(spark, table, states(spark, table) :+ State(anchor.id, state.entries))
+
   /** RENAME COLUMN (metadata-only). Refuses partition columns, unknown
     * columns, and name collisions. */
   def rename(

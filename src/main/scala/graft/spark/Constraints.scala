@@ -42,19 +42,33 @@ object Constraints {
   def notNull(column: String): Constraint = Constraint(s"${column}_not_null", "notnull", column)
   def check(name: String, sqlExpr: String): Constraint = Constraint(name, "check", sqlExpr)
 
-  private val FileName = "_constraints.json"
+  private val LegacyFileName = "_constraints.json"
   private val mapper = new ObjectMapper()
 
-  private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
+  /** Constraint metadata is keyed by TABLE NAME under the (possibly
+    * shared) location: `_constraints/<schema.table>.json`. A shallow
+    * clone and its source share one physical namespace but must own
+    * INDEPENDENT constraint sets — a location-global file would let one
+    * side mutate the other's enforcement. Reads fall back to the legacy
+    * location-global `_constraints.json` when no keyed file exists;
+    * writes always target the keyed file (the effective list was read
+    * first), so legacy metadata migrates on the first DDL. */
+  private def keyedPath(table: TableDefinition): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      Partition.normalizedDir(table.location).toString + FileName)
+      Partition.normalizedDir(table.location).toString +
+        s"_constraints/${table.name.fullyQualifiedName}.json")
+
+  private def legacyPath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + LegacyFileName)
 
   /** The table's recorded constraints (empty when none were ever added).
     * One driver-side metadata read — the same bound as a commit-log
     * open. */
   def list(spark: SparkSession, table: TableDefinition): List[Constraint] = {
-    val p = filePath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val keyed = keyedPath(table)
+    val fs = keyed.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = if (fs.exists(keyed)) keyed else legacyPath(table)
     if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val text =
@@ -67,9 +81,16 @@ object Constraints {
     }
   }
 
+  /** Seed the keyed constraint file directly — the shallow-clone carry
+    * (the clone INHERITS the source's constraints at clone time and owns
+    * them independently from then on). */
+  private[spark] def seed(
+      spark: SparkSession, table: TableDefinition, cs: List[Constraint]): Unit =
+    write(spark, table, cs)
+
   private def write(
       spark: SparkSession, table: TableDefinition, cs: List[Constraint]): Unit = {
-    val p = filePath(table)
+    val p = keyedPath(table)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val arr = mapper.createArrayNode()
     cs.foreach { c =>

@@ -278,6 +278,24 @@ object DeletionVectors {
     true
   }
 
+  /** SHALLOW-CLONE carry: materialize the RESOLVED live pair state of
+    * `table` at `at` as one COMPLETE (`_squashed`) sidecar anchored at
+    * `anchor` — the clone's first state commit. The clone's lineage holds
+    * none of the source's sidecar anchors, so it gets its own
+    * consolidated sidecar under its own commit id; the shared `_deletes`
+    * namespace keys by uuid commit ids, so the new dir is invisible to
+    * the source's resolution walk (and vice versa) — fork isolation by
+    * construction. No-op when the state carries no vectors. */
+  private[spark] def cloneResolvedState(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: CommitId,
+      anchor: CommitId): Unit =
+    resolvePairs(spark, log, table, Some(at)).foreach { live =>
+      writeSidecar(spark, table, live, anchor, squash = true)
+    }
+
   /** Write (or fold into) the sidecar at `anchor` — a delete and a
     * same-commit absorb compose by union rather than clobbering, and a
     * pre-existing `_squashed` marker survives the fold (the union of a

@@ -32,15 +32,22 @@ import graft.core.TableVersions.{CommitId, TableOperation, TableUpdate, UpdateMe
  * (e.g. the clone's post-fork writes look unreferenced to the source).
  * Dropping the link (`deleteRef`) re-enables vacuum.
  *
- * Refused (loudly) when the cloned state depends on commit-anchored or
- * location-global metadata the clone's fresh history cannot resolve:
- *  - live deletion vectors (the clone's lineage holds none of the
- *    source's sidecar anchors — cloned reads would resurrect deleted
- *    rows); OPTIMIZE the source first to absorb them;
- *  - an active column mapping (same anchor problem: the clone would
- *    silently revert renames/drops);
- *  - table constraints (`_constraints.json` is location-global state —
- *    the clone would share and mutate the source's enforcement).
+ * Commit-anchored / shared metadata is CARRIED into the clone's own
+ * namespace at clone time, so states that depend on it stay correct and
+ * the fork stays isolated both ways:
+ *  - live DELETION VECTORS: the source's resolved pair state
+ *    materializes as one complete (`_squashed`) sidecar anchored at the
+ *    clone's state commit — cloned reads keep hiding deleted rows, and
+ *    each side's later deletes anchor under its own (uuid) commit ids,
+ *    invisible to the other's resolution walk;
+ *  - an active COLUMN MAPPING: the effective mapping state is appended
+ *    to the shared mapping file re-anchored at the clone's commit —
+ *    renames/drops survive the clone, and each side evolves the mapping
+ *    independently through its own lineage;
+ *  - table CONSTRAINTS: the clone inherits the source's current list
+ *    into its own name-keyed metadata file ([[Constraints]] keys by
+ *    table name under the shared location), owning enforcement
+ *    independently from then on.
  */
 object ShallowClone {
 
@@ -68,22 +75,6 @@ object ShallowClone {
     val at = asOf.getOrElse(log.currentCommit(src.name))
     require(dst != src.name, "a table cannot clone itself")
 
-    if (DeletionVectors.hasVectors(spark, log, src, Some(at)))
-      throw new IllegalArgumentException(
-        s"cannot shallow-clone ${src.name.fullyQualifiedName} at ${at.id}: the state " +
-          "carries live deletion vectors, which are anchored to the source's commit " +
-          "history and unresolvable from the clone's — run OPTIMIZE (full rewrite) " +
-          "on the source to absorb them first")
-    if (ColumnMapping.stateAt(spark, log, src, Some(at)).isDefined)
-      throw new IllegalArgumentException(
-        s"cannot shallow-clone ${src.name.fullyQualifiedName}: an active column " +
-          "mapping is anchored to the source's commit history; the clone would " +
-          "silently revert renames/drops")
-    if (Constraints.list(spark, src).nonEmpty)
-      throw new IllegalArgumentException(
-        s"cannot shallow-clone ${src.name.fullyQualifiedName}: table constraints are " +
-          "location-global metadata the clone would share and mutate; drop them first")
-
     val state = log.versionAt(src.name, at)
     val dstDefn = TableDefinition(dst, src.location, src.partitionSchema, src.format)
     ctx.init(dstDefn, user, UpdateMessage(
@@ -100,6 +91,18 @@ object ShallowClone {
         Instant.now(), ops))
       ()
     }
+    // carry commit-anchored / shared metadata into the clone's own
+    // namespace, re-anchored at the clone's state commit (see the class
+    // doc): DV pairs, the effective column mapping, and the current
+    // constraint list all survive the fork with both-ways isolation
+    val cloneAnchor = log.currentCommit(dst)
+    if (DeletionVectors.hasVectors(spark, log, src, Some(at)))
+      DeletionVectors.cloneResolvedState(spark, log, src, at, cloneAnchor)
+    ColumnMapping.stateAt(spark, log, src, Some(at)).foreach { s =>
+      ColumnMapping.cloneStateTo(spark, src, s, cloneAnchor)
+    }
+    val constraints = Constraints.list(spark, src)
+    if (constraints.nonEmpty) Constraints.seed(spark, dstDefn, constraints)
     // linkage tags: pin the cloned state against source vacuum, mark both
     // sides so vacuum refuses while the link lives
     log.setRef(src.name, CloneTagPrefix + dst.fullyQualifiedName, at, isTag = true)

@@ -86,43 +86,56 @@ class ShallowCloneSpec extends AnyFunSuite with Matchers {
     noException should be thrownBy Vacuum.vacuum(src, log, conf, graceMs = 0)
   }
 
-  test("clone refuses on live deletion vectors, active column mapping, and constraints") {
+  test("clone carries live DVs, column mapping, and constraints; the fork stays isolated both ways") {
+    import org.apache.spark.sql.functions.col
     val (ctx, log) = freshContext()
-    val src = partitionedTable("clone_guard")
+    val src = partitionedTable("clone_carry")
     ctx.init(src, user, UpdateMessage("init"))
-    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-01"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-01"), Event(3, "c", "2024-01-02"))
       .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    // live DV + active rename + a constraint — everything the clone used
+    // to refuse on
+    DeletionVectors.delete(ctx, log, src, col("id") === 1, user, UpdateMessage("dv1"))
+    ColumnMapping.rename(spark, ctx, src, "kind", "category", user)
+    Constraints.add(spark, ctx, src, Constraints.notNull("id"), user)
 
-    // live DV: a merge-on-read delete anchors a sidecar to src's history
-    DeletionVectors.delete(
-      ctx, log, src, org.apache.spark.sql.functions.col("id") === 1,
-      user, UpdateMessage("dv delete"))
-    val e1 = intercept[IllegalArgumentException](
-      ShallowClone.clone(spark, ctx, src, TableName("test", "g1"), user))
-    e1.getMessage should include("deletion vectors")
+    val clone = ShallowClone.clone(
+      spark, ctx, src, TableName("test", "clone_carry_dst"), user)
+    def logicalIds(t: TableDefinition): Array[Long] =
+      ColumnMapping.applyLogical(
+        DeletionVectors.read(spark, log, t), spark, log, t, None)
+        .select("id").as[Long].collect().sorted
+    def logicalCols(t: TableDefinition): Array[String] =
+      ColumnMapping.applyLogical(
+        DeletionVectors.read(spark, log, t), spark, log, t, None).columns
 
-    // constraints are location-global metadata
-    val (ctx2, _) = freshContext()
-    val src2 = partitionedTable("clone_guard2")
-    ctx2.init(src2, user, UpdateMessage("init"))
-    Seq(Event(1, "a", "2024-01-01"))
-      .toDS().versionedInsertInto(ctx2, src2, user, UpdateMessage("v1"))
-    Constraints.add(spark, ctx2, src2, Constraints.notNull("kind"), user)
-    val e2 = intercept[IllegalArgumentException](
-      ShallowClone.clone(spark, ctx2, src2, TableName("test", "g2"), user))
-    e2.getMessage should include("constraints")
+    // DV carried: the deleted row stays hidden in the clone; mapping
+    // carried: the renamed logical column projects; constraints inherited
+    logicalIds(clone) shouldBe Array(2L, 3L)
+    logicalCols(clone) should contain("category")
+    Constraints.list(spark, clone).map(_.name) shouldBe List("id_not_null")
 
-    // active column mapping anchors to src's commits
-    val (ctx3, log3) = freshContext()
-    val src3 = partitionedTable("clone_guard3")
-    ctx3.init(src3, user, UpdateMessage("init"))
-    Seq(Event(1, "a", "2024-01-01"))
-      .toDS().versionedInsertInto(ctx3, src3, user, UpdateMessage("v1"))
-    ColumnMapping.rename(spark, ctx3, src3, "kind", "category", user)
-    val e3 = intercept[IllegalArgumentException](
-      ShallowClone.clone(spark, ctx3, src3, TableName("test", "g3"), user))
-    e3.getMessage should include("column mapping")
-    log3.refs(src3.name) shouldBe empty // no half-made linkage on refusal
+    // source-side delete after the fork never leaks into the clone
+    DeletionVectors.delete(ctx, log, src, col("id") === 2, user, UpdateMessage("dv2 src"))
+    logicalIds(src) shouldBe Array(3L)
+    logicalIds(clone) shouldBe Array(2L, 3L)
+
+    // clone-side delete never leaks into the source
+    DeletionVectors.delete(ctx, log, clone, col("id") === 3, user, UpdateMessage("dv3 clone"))
+    logicalIds(clone) shouldBe Array(2L)
+    logicalIds(src) shouldBe Array(3L)
+
+    // mapping evolves independently: a clone-side rename is invisible to
+    // the source
+    ColumnMapping.rename(spark, ctx, clone, "category", "label", user)
+    logicalCols(clone) should contain("label")
+    logicalCols(src) should contain("category")
+
+    // constraint sets diverge independently: a clone-side drop leaves the
+    // source enforcing
+    Constraints.drop(spark, ctx, clone, "id_not_null", user)
+    Constraints.list(spark, clone) shouldBe Nil
+    Constraints.list(spark, src).map(_.name) shouldBe List("id_not_null")
   }
 
   test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF forks and reads through the catalog") {
