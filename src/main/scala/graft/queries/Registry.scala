@@ -477,6 +477,19 @@ object Registry {
              |  SELECT l_returnflag, l_quantity FROM lineitem
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q84_partition_evolution" -> Entry(
+      Versioned.q84PartitionEvolution,
+      // final state: the DV-thinned rows re-partitioned by linestatus,
+      // with partition O replaced by the new-era qty>45 overwrite
+      Some("""SELECT l_linestatus, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_linestatus, l_quantity FROM lineitem
+             |  WHERE l_linestatus <> 'O' AND l_orderkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT l_linestatus, l_quantity FROM lineitem
+             |  WHERE l_linestatus = 'O' AND l_quantity > 45
+             |) GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
     "q82b_copy_csv" -> Entry(
       Versioned.q82bCopyCsv,
       // CSV ingests with the registered schema pinned + PATTERN scoping:

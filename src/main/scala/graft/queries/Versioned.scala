@@ -2071,6 +2071,64 @@ object Versioned {
       .orderBy("l_returnflag")
   }
 
+  /** Q84: PARTITION-SCHEME EVOLUTION ([[graft.spark.PartitionEvolution]])
+    * — the Iceberg repartitioning parity: the table's partition columns
+    * change at a commit boundary (one atomic rewrite commit: every
+    * new-scheme partition added, every old-scheme partition removed, DVs
+    * absorbed), the era registry scopes each commit range to its scheme,
+    * and time travel reads each era under its own layout. The query
+    * builds a by-returnflag table, DV-deletes scattered rows, evolves to
+    * by-linestatus, then overwrites one NEW-era partition — asserting
+    * in-query that the old era time-travels intact, the new layout is
+    * linestatus-keyed, and a stale-scheme writer refuses. The oracle
+    * replays the final state relationally. */
+  def q84PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.{DeletionVectors, PartitionEvolution}
+    val (ctx, log) = freshContext()
+    val t = tempTable(
+      "li_evolve", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("create li_evolve"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    li.versionedInsertInto(ctx, t, user, UpdateMessage("v1: by returnflag"))
+    val preDelete = log.currentCommit(t.name)
+    DeletionVectors.delete(
+      ctx, log, t, col("l_orderkey") % 11 === 0, user, UpdateMessage("dv: %11"))
+
+    val evolved = PartitionEvolution.evolve(
+      s, ctx, t, PartitionSchema(List(PartitionColumn("l_linestatus"))), user)
+    // the new era's fold is linestatus-keyed; the boundary absorbed the DVs
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        require(pvs.keys.forall(_.hivePath.startsWith("l_linestatus=")),
+          "post-boundary folds must hold only new-scheme partitions")
+      case other => sys.error(s"unexpected $other")
+    }
+    require(!DeletionVectors.hasVectors(s, log, evolved, None),
+      "the boundary rewrite must absorb the deletion vectors")
+    // old era time-travels intact under its own layout
+    require(VersionedReader(s, log).readAsOf(t, preDelete).count() == li.count(),
+      "pre-boundary time travel must serve the old era's full state")
+    require(PartitionEvolution.schemeAt(s, log, t, Some(preDelete))
+      .columns.map(_.name) == List("l_returnflag"), "old era scheme must resolve")
+    // a stale-scheme writer refuses loudly
+    val refused =
+      try {
+        li.limit(3).versionedInsertInto(ctx, t, user, UpdateMessage("stale"))
+        false
+      } catch { case e: IllegalStateException => e.getMessage.contains("stale scheme") }
+    require(refused, "a write holding the pre-evolution definition must refuse")
+
+    // a NEW-era partition overwrite composes normally
+    li.where(col("l_linestatus") === "O" && col("l_quantity") > 45)
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2: O := qty>45"))
+
+    VersionedReader(s, log).read(evolved)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
   /** Q82b: COPY INTO for a SCHEMA-CARRYING text source — CSV batches
     * ingest with the table's REGISTERED schema pinned (never per-batch
     * inference, whose types can drift between batches), `PATTERN` scopes

@@ -137,6 +137,16 @@ object ChangeFeed {
       table: TableDefinition,
       from: Option[CommitId],
       to: CommitId): DataFrame = {
+    // a range crossing a partition-evolution boundary has no single
+    // logical schema to speak (the eras' reconstructed rows differ by
+    // their partition columns) — refuse with the re-anchor remediation
+    if (PartitionEvolution.crossesBoundary(spark, log, table, from, to))
+      throw new IllegalStateException(
+        s"change feed ${from.map(_.id).getOrElse("<void>")} -> ${to.id} on " +
+          s"${table.name.fullyQualifiedName} crosses a partition-evolution " +
+          "boundary: the two eras reconstruct different logical schemas — " +
+          "re-anchor at-or-after the boundary commit, or rebuild the " +
+          "consumer (REFRESH ... FULL)")
     val reader = VersionedReader(spark, log)
     val vFrom: TableVersion = from
       .map(log.versionAt(table.name, _))

@@ -1,0 +1,287 @@
+package graft.spark
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, TableOperation, UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * PARTITION-SCHEME EVOLUTION (the Iceberg `ALTER TABLE … WRITE ORDERED/
+ * PARTITIONED BY` capability, re-expressed on the version-dir model): a
+ * partitioned table changes its partition columns at a COMMIT BOUNDARY,
+ * and every commit range reads under the scheme that was in force when
+ * it was written — fold-scoped eras, the [[ColumnMapping]] at-or-before
+ * discipline applied to the layout itself.
+ *
+ * Unlike Iceberg (file-scoped manifests, where mixed-scheme data files
+ * coexist), this engine's state is a map of `k=v` partition DIRS — two
+ * schemes cannot share one folded state (their dir layouts disagree). So
+ * the boundary is a REWRITE: [[evolve]] reads the current state (DV-
+ * applied, column-mapped) and lands it re-partitioned under the new
+ * scheme as ONE atomic commit that both adds every new-scheme partition
+ * and removes every old-scheme partition — post-boundary folds hold only
+ * new-scheme dirs, pre-boundary folds only old-scheme dirs, and time
+ * travel to either era materializes a consistent layout. The old era's
+ * version dirs stay on disk for time travel until vacuum ages them out.
+ * One shuffle keyed by the new partition columns — the same cost shape
+ * as OPTIMIZE; the commit rides [[graft.core.TableVersions.commitRebase]]
+ * anchored at the read state, so a concurrent writer conflicts loudly
+ * instead of landing old-scheme dirs into the new era.
+ *
+ * The ERA REGISTRY (`_partitioning.json`) records `(anchor commit,
+ * partition columns)` states: the scheme at a commit is the newest state
+ * at-or-before it in the table's OWN lineage (shared-location clones are
+ * isolated by their uuid anchors, like every other sidecar). A table
+ * that never evolved has no registry and reads its definition's scheme.
+ *
+ * Safety rails:
+ *  - every versioned write checks the registry ([[requireCurrentScheme]],
+ *    riding the shared pre-write pipeline): a STALE writer holding the
+ *    pre-evolution definition refuses loudly instead of landing
+ *    old-scheme dirs into the new era;
+ *  - incremental readers ([[VersionedReader.readChanges]],
+ *    [[ChangeFeed]]) refuse ranges that CROSS a boundary — the two eras'
+ *    reconstructed logical schemas differ by their partition columns, so
+ *    no row-level diff can speak one schema; consumers re-anchor at the
+ *    boundary or rebuild (`REFRESH … FULL`), the MV/streaming re-anchor
+ *    posture.
+ */
+object PartitionEvolution {
+
+  /** The scheme in force FROM `commit` (its anchor) onward. */
+  final case class SchemeState(commit: String, columns: List[String])
+
+  private val FileName = "_partitioning.json"
+  private val mapper = new ObjectMapper()
+
+  /** Re-entrancy escape for [[requireCurrentScheme]]: the evolve rewrite
+    * itself writes under the NEW scheme before the registry records it. */
+  private val evolving = new scala.util.DynamicVariable[Boolean](false)
+
+  private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + FileName)
+
+  /** All recorded scheme states, oldest first (empty = never evolved). */
+  def states(spark: SparkSession, table: TableDefinition): List[SchemeState] = {
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = mapper.readTree(text)
+    (0 until node.size()).toList.map { i =>
+      val s = node.get(i)
+      val cs = s.get("columns")
+      SchemeState(
+        s.get("commit").asText(),
+        (0 until cs.size()).toList.map(cs.get(_).asText()))
+    }
+  }
+
+  private def write(
+      spark: SparkSession, table: TableDefinition, all: List[SchemeState]): Unit = {
+    val p = filePath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val arr = mapper.createArrayNode()
+    all.foreach { s =>
+      val n = mapper.createObjectNode()
+      n.put("commit", s.commit)
+      val cs = n.putArray("columns")
+      s.columns.foreach(cs.add)
+      arr.add(n)
+    }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The newest scheme state anchored at-or-before `at` in this table's
+    * lineage; None = never evolved (or `at` predates the first record). */
+  def stateAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Option[SchemeState] = {
+    val all = states(spark, table)
+    if (all.isEmpty) return None
+    val byAnchor = all.map(s => s.commit -> s).toMap
+    val pointer = at.getOrElse(log.currentCommit(table.name))
+    log.updates(table.name)
+      .dropWhile(_.id != pointer)
+      .iterator
+      .map(m => byAnchor.get(m.id.id))
+      .collectFirst { case Some(s) => s }
+  }
+
+  /** The partition scheme in force at `at` — registry state when one
+    * applies, else the definition's declared scheme. */
+  def schemeAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): PartitionSchema =
+    stateAt(spark, log, table, at)
+      .map(s => PartitionSchema(s.columns.map(PartitionColumn(_))))
+      .getOrElse(table.partitionSchema)
+
+  /** The table definition with its ERA-CORRECT partition scheme — what a
+    * writer must hold after an evolution (the stale-definition guard
+    * names this). */
+  def definitionAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId] = None): TableDefinition =
+    table.copy(partitionSchema = schemeAt(spark, log, table, at))
+
+  /** Write-path guard (rides the shared pre-write pipeline): a write must
+    * carry the CURRENT era's scheme — landing old-scheme dirs into a
+    * post-evolution state would fork the layout silently. One metadata
+    * probe; no-op for never-evolved tables and during [[evolve]]'s own
+    * rewrite. */
+  private[spark] def requireCurrentScheme(
+      spark: SparkSession, log: TableVersions, table: TableDefinition): Unit = {
+    if (evolving.value || table.isSnapshot) return
+    stateAt(spark, log, table, None).foreach { s =>
+      val held = table.partitionSchema.columns.map(_.name.toLowerCase)
+      val current = s.columns.map(_.toLowerCase)
+      if (held != current)
+        throw new IllegalStateException(
+          s"table ${table.name.fullyQualifiedName} is partitioned by " +
+            s"(${s.columns.mkString(", ")}) since commit ${s.commit}, but this " +
+            s"write carries the stale scheme (${table.partitionSchema.columns
+              .map(_.name).mkString(", ")}) — re-resolve the definition " +
+            "(PartitionEvolution.definitionAt) before writing")
+    }
+  }
+
+  /** True when the partition scheme differs between `from` and `to` — the
+    * condition under which incremental readers must refuse the range
+    * (see the class doc). */
+  private[spark] def crossesBoundary(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      from: Option[CommitId],
+      to: CommitId): Boolean = {
+    if (states(spark, table).isEmpty) return false
+    val a = from.map(f => schemeAt(spark, log, table, Some(f)))
+      .getOrElse(PartitionSchema(Nil))
+    val b = schemeAt(spark, log, table, Some(to))
+    from.isDefined && a.columns.map(_.name.toLowerCase) != b.columns.map(_.name.toLowerCase)
+  }
+
+  /** Change the table's partition columns at a commit boundary. Returns
+    * the definition carrying the NEW scheme — the handle every subsequent
+    * write must use. `filesPerPartition` salts the rewrite shuffle like
+    * [[Compaction.compact]]. */
+  def evolve(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      newSchema: PartitionSchema,
+      user: UserId,
+      filesPerPartition: Int = 1): TableDefinition = {
+    require(!table.isSnapshot && newSchema.columns.nonEmpty,
+      "partition evolution is partitioned→partitioned: the fold shape " +
+        "(snapshot vs partitioned) is fixed at init")
+    val log = ctx.metastore.tableVersions
+    val current = schemeAt(spark, log, table, None)
+    require(
+      current.columns.map(_.name.toLowerCase) != newSchema.columns.map(_.name.toLowerCase),
+      s"table ${table.name.fullyQualifiedName} is already partitioned by " +
+        s"(${current.columns.map(_.name).mkString(", ")})")
+
+    // OCC anchor + era-correct read (DV-applied, column-mapped): the
+    // boundary rewrite derives from exactly this state
+    val readCommit = log.currentCommit(table.name)
+    val curDefn = table.copy(partitionSchema = current)
+    val rows = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, log, curDefn, Some(readCommit)),
+      spark, log, curDefn, None)
+    if (rows.columns.nonEmpty)
+      newSchema.columns.foreach(c =>
+        require(rows.columns.exists(_.equalsIgnoreCase(c.name)),
+          s"new partition column ${c.name} is not a column of " +
+            s"${table.name.fullyQualifiedName} (${rows.columns.mkString(", ")})"))
+    val before: Map[Partition, Version] = log.versionAt(table.name, readCommit) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case _                            => Map.empty
+    }
+
+    val newDefn = table.copy(partitionSchema = newSchema)
+    val message = UpdateMessage(
+      s"EVOLVE PARTITIONING to (${newSchema.columns.map(_.name).mkString(", ")}) " +
+        s"from (${current.columns.map(_.name).mkString(", ")})")
+    val anchor: CommitId =
+      if (rows.columns.isEmpty || rows.isEmpty) {
+        // empty table: the boundary is metadata-only — drop any lingering
+        // old-scheme pointers in one commit (usually none)
+        val removes = before.keys.toList.map(TableOperation.RemovePartition(_))
+        if (removes.isEmpty) readCommit
+        else {
+          val update = TableVersions.TableUpdate(
+            user, message, java.time.Instant.now(), removes)
+          ctx.metastore.commitRebase(table.name, update, readCommit)
+          update.metadata.id
+        }
+      } else {
+        // one shuffle keyed by the new partition columns (salted when one
+        // new partition exceeds a single writer's comfort)
+        val parts = newSchema.columns.map(c => col(c.name))
+        val keys =
+          if (filesPerPartition == 1) parts
+          else parts :+ org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.spark_partition_id(),
+            org.apache.spark.sql.functions.lit(filesPerPartition))
+        val packed = rows.repartition(keys: _*)
+        val staged = evolving.withValue(true) {
+          packed.versionedStage(ctx, newDefn, user, message)
+        }
+        val present = staged.update.operations.collect {
+          case TableOperation.AddPartitionVersion(p, _) => p
+        }.toSet
+        // adds + removes in ONE atomic commit: no fold ever mixes eras
+        val removes = before.keys.toList.filterNot(present)
+          .map(TableOperation.RemovePartition(_))
+        val update = staged.update.copy(
+          operations = staged.update.operations ++ removes)
+        ctx.metastore.commitRebase(table.name, update, readCommit)
+        update.metadata.id
+      }
+
+    // era registry: seed the base era at the table's first commit on the
+    // first evolution (so pre-boundary resolution is explicit), then the
+    // new era at the boundary commit
+    val existing = states(spark, table)
+    val seeded =
+      if (existing.nonEmpty) existing
+      else {
+        val first = log.updates(table.name).last.id
+        List(SchemeState(first.id, current.columns.map(_.name)))
+      }
+    write(spark, table, seeded :+ SchemeState(anchor.id, newSchema.columns.map(_.name)))
+    // the boundary rewrite physically absorbed any deletion vectors
+    // (every surviving row was re-written); mark so reads stop resolving
+    // the stale pair sidecars
+    DeletionVectors.markAbsorbed(spark, log, table)
+    newDefn
+  }
+
+  /** SHALLOW-CLONE carry: re-anchor the source's effective scheme at the
+    * clone's state commit, so the clone reads/writes its era correctly
+    * and evolves independently through its own lineage. */
+  private[spark] def cloneStateTo(
+      spark: SparkSession,
+      src: TableDefinition,
+      state: SchemeState,
+      anchor: CommitId): Unit =
+    write(spark, src, states(spark, src) :+ SchemeState(anchor.id, state.columns))
+}

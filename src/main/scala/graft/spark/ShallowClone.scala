@@ -76,7 +76,11 @@ object ShallowClone {
     require(dst != src.name, "a table cannot clone itself")
 
     val state = log.versionAt(src.name, at)
-    val dstDefn = TableDefinition(dst, src.location, src.partitionSchema, src.format)
+    // the clone's definition carries the ERA-CORRECT scheme of the cloned
+    // state (an evolved source's caller may hold a stale definition)
+    val dstDefn = TableDefinition(
+      dst, src.location,
+      PartitionEvolution.schemeAt(spark, log, src, Some(at)), src.format)
     ctx.init(dstDefn, user, UpdateMessage(
       s"SHALLOW CLONE of ${src.name.fullyQualifiedName} @ ${at.id}"))
     val ops: List[TableOperation] = state match {
@@ -103,6 +107,9 @@ object ShallowClone {
     }
     val constraints = Constraints.list(spark, src)
     if (constraints.nonEmpty) Constraints.seed(spark, dstDefn, constraints)
+    PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
+      PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor)
+    }
     // linkage tags: pin the cloned state against source vacuum, mark both
     // sides so vacuum refuses while the link lives
     log.setRef(src.name, CloneTagPrefix + dst.fullyQualifiedName, at, isTag = true)

@@ -209,20 +209,25 @@ object VersionContext {
         table.name, TableUpdate(userId, message, Instant.now(), ops), expected)
     }
 
-    /** The shared pre-write pipeline of all three commit variants:
-      * [[Constraints.enforced]] first (constraints speak LOGICAL names;
-      * the gate rides the staging job's own pass via `raise_error`), then
+    /** The shared pre-write pipeline of all three commit variants: the
+      * [[PartitionEvolution]] stale-scheme guard first (a writer holding
+      * a pre-evolution definition must not land old-scheme dirs), then
+      * [[Constraints.enforced]] (constraints speak LOGICAL names; the
+      * gate rides the staging job's own pass via `raise_error`), then
       * the [[ColumnMapping]] logical→physical translation files store.
-      * Both are identity for plain tables, costing one driver-side
-      * metadata read each. */
+      * All identity for plain tables, costing one driver-side metadata
+      * read each. */
     private def mappedForWrite(
         ds: Dataset[T],
         ctx: VersionContext,
-        table: TableDefinition): Dataset[_] =
+        table: TableDefinition): Dataset[_] = {
+      PartitionEvolution.requireCurrentScheme(
+        ds.sparkSession, ctx.metastore.tableVersions, table)
       ColumnMapping.toPhysical(
         Constraints.enforced(
           GeneratedColumns.applied(ds.toDF(), table), table),
         table, ctx.metastore.tableVersions)
+    }
   }
 
   /** V18: whole-dataset write to `<location>/<label>/`. The caller

@@ -92,6 +92,11 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   def readChanges(table: TableDefinition, from: CommitId, to: CommitId): DataFrame = {
     val vFrom = log.versionAt(table.name, from)
     val vTo = log.versionAt(table.name, to)
+    if (PartitionEvolution.crossesBoundary(spark, log, table, Some(from), to))
+      throw new IllegalStateException(
+        s"readChanges(${from.id} -> ${to.id}) on ${table.name.fullyQualifiedName}: " +
+          "the range crosses a partition-evolution boundary (the eras' logical " +
+          "schemas differ) — re-anchor at-or-after the boundary commit")
     requireNoHiddenRows(table, from, to)
     (vFrom, vTo) match {
       case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>

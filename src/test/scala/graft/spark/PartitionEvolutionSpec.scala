@@ -1,0 +1,157 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("evolve-test")
+
+  private def fresh(): (VersionContext, TableVersions) = {
+    val log = new InMemoryTableVersions
+    (VersionContext(VersionedMetastore(log, new InMemoryMetastore)), log)
+  }
+
+  private def table(name: String, partCol: String): TableDefinition = TableDefinition(
+    TableName("test", name),
+    Files.createTempDirectory(s"graft_evolve_$name").toUri,
+    PartitionSchema(List(PartitionColumn(partCol))),
+    FileFormat.Parquet)
+
+  test("evolve re-partitions at a commit boundary; each era time-travels under its own scheme") {
+    val (ctx, log) = fresh()
+    val t = table("evo1", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    val events = (1L to 30L).map(i =>
+      Event(i, if (i % 3 == 0) "x" else "y", if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+    events.toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val preBoundary = log.currentCommit(t.name)
+
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    evolved.partitionSchema.columns.map(_.name) shouldBe List("kind")
+
+    val reader = VersionedReader(spark, log)
+    // rows identical across the boundary; the layout is now kind=...
+    reader.read(evolved).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("kind=x", "kind=y")
+      case other => fail(s"unexpected $other")
+    }
+    Files.exists(Paths.get(t.location).resolve("kind=x")) shouldBe true
+
+    // pre-boundary time travel: the OLD era's layout and full rows
+    val old = reader.readAsOf(t, preBoundary)
+    old.as[Event].collect().sortBy(_.id) shouldBe events.toArray
+    log.versionAt(t.name, preBoundary) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("date=2024-01-01", "date=2024-01-02")
+      case other => fail(s"unexpected $other")
+    }
+    // the registry resolves each era's scheme
+    PartitionEvolution.schemeAt(spark, log, t, Some(preBoundary))
+      .columns.map(_.name) shouldBe List("date")
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+  }
+
+  test("the boundary rewrite absorbs deletion vectors and composes with new-era writes") {
+    val (ctx, log) = fresh()
+    val t = table("evo2", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    val events = (1L to 20L).map(i => Event(i, s"k${i % 2}", "2024-01-01"))
+    events.toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    DeletionVectors.delete(ctx, log, t, col("id") <= 5, user, UpdateMessage("dv"))
+
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    val reader = VersionedReader(spark, log)
+    // DV-hidden rows never reach the new era, and the vectors are absorbed
+    reader.read(evolved).as[Event].collect().map(_.id).sorted shouldBe (6L to 20L).toArray
+    DeletionVectors.hasVectors(spark, log, evolved, None) shouldBe false
+
+    // new-era writes land under the new scheme and compose
+    Seq(Event(100, "k2", "2024-02-02")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2 new era"))
+    reader.read(evolved).as[Event].collect().map(_.id).sorted shouldBe
+      ((6L to 20L) :+ 100L).toArray
+  }
+
+  test("a stale writer holding the pre-evolution definition refuses loudly") {
+    val (ctx, log) = fresh()
+    val t = table("evo3", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+
+    val e = the[IllegalStateException] thrownBy {
+      Seq(Event(2, "b", "2024-01-02")).toDS()
+        .versionedInsertInto(ctx, t, user, UpdateMessage("stale write"))
+    }
+    e.getMessage should include("stale scheme")
+    // the refused write staged nothing into the fold
+    VersionedReader(spark, log).read(
+      PartitionEvolution.definitionAt(spark, log, t)).count() shouldBe 1L
+  }
+
+  test("incremental readers refuse ranges crossing the boundary; within-era ranges work") {
+    val (ctx, log) = fresh()
+    val t = table("evo4", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val pre = log.currentCommit(t.name)
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    val boundary = log.currentCommit(t.name)
+    Seq(Event(3, "c", "2024-01-03")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+    val head = log.currentCommit(t.name)
+
+    val reader = VersionedReader(spark, log)
+    (the[IllegalStateException] thrownBy reader.readChanges(evolved, pre, head))
+      .getMessage should include("partition-evolution boundary")
+    (the[IllegalStateException] thrownBy
+      ChangeFeed.read(spark, log, evolved, Some(pre), head))
+      .getMessage should include("partition-evolution boundary")
+    // re-anchored at the boundary, the feed speaks the new era only
+    val feed = ChangeFeed.read(spark, log, evolved, Some(boundary), head)
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+      .select("id").as[Long].collect() shouldBe Array(3L)
+    reader.readChanges(evolved, boundary, head).select("id").as[Long].collect() shouldBe Array(3L)
+  }
+
+  test("a shallow clone of an evolved table carries the era registry") {
+    val (ctx, log) = fresh()
+    val t = table("evo5", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+
+    val clone = ShallowClone.clone(
+      spark, ctx, evolved, TableName("test", "evo5_fork"), user)
+    clone.partitionSchema.columns.map(_.name) shouldBe List("kind")
+    VersionedReader(spark, log).read(clone).as[Event]
+      .collect().map(_.id).sorted shouldBe Array(1L, 2L)
+    // the clone writes under its carried scheme without tripping the guard
+    Seq(Event(9, "z", "2024-09-09")).toDS()
+      .versionedInsertInto(ctx, clone, user, UpdateMessage("clone write"))
+    VersionedReader(spark, log).read(clone).as[Event]
+      .collect().map(_.id).sorted shouldBe Array(1L, 2L, 9L)
+  }
+}
