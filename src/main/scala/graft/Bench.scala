@@ -76,7 +76,12 @@ object Bench {
       q.awaitTermination(); q.stop()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop only (driver leaves it unset): restrict to named queries,
+    // mirroring Verify's SPARK_GRAFT_ONLY
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

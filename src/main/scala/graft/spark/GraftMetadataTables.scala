@@ -105,17 +105,27 @@ object GraftMetadataTables {
 
   private def buildFiles(args: Seq[Expression]): LogicalPlan = {
     val (spark, defn, state) = resolveState(args, "graft_files")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      defn.location, spark.sessionState.newHadoopConf())
-    val rows = referencedDirs(defn, state).flatMap { case (p, _, dir) =>
+    val dirs = referencedDirs(defn, state).map { case (p, _, dir) => (p, dir) }
+    if (dirs.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), filesSchema).queryExecution.analyzed
+    // the inventory is O(#files) ROWS but never O(#files) DRIVER work: one
+    // Spark job lists the referenced dirs in parallel, and the rows stay
+    // distributed until the consumer's own plan decides what to do with
+    // them (a count/sum aggregates executor-side; only a bare SELECT *
+    // collects them all)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(dirs.size, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(dirs, slices).flatMap { case (p, dir) =>
       val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(conf.value)
       if (!fs.exists(path)) Nil
       else fs.listStatus(path).toList
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
           && !st.getPath.getName.startsWith("."))
         .map(st => Row(p, st.getPath.toString, st.getLen))
     }
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), filesSchema).queryExecution.analyzed
+    spark.createDataFrame(rows, filesSchema).queryExecution.analyzed
   }
 }

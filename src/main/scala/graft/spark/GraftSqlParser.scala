@@ -678,16 +678,30 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
       case PartitionedTableVersion(pvs) =>
         pvs.toList.map { case (p, v) => SparkPaths.dirFor(defn.location, p, v) }
     }
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      defn.location, session.sessionState.newHadoopConf())
-    val files = dirs.flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toList.filter(s => s.isFile && {
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-    }
+    // the inventory distributes: one Spark job lists the dirs in parallel
+    // and only (count, bytes) per slice return to the driver — at 10 000
+    // small-file partitions the summary itself stays O(#partitions)
+    val (nFiles, totalBytes) =
+      if (dirs.isEmpty) (0, 0L)
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          session.sessionState.newHadoopConf())
+        val slices = math.max(1,
+          math.min(dirs.size, session.sparkContext.defaultParallelism))
+        val (n, b) = session.sparkContext.parallelize(dirs, slices).map { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(conf.value)
+          if (!fs.exists(p)) (0, 0L)
+          else {
+            val sts = fs.listStatus(p).filter(s => s.isFile && {
+              val n = s.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            })
+            (sts.length, sts.map(_.getLen).sum)
+          }
+        }.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
+        (n, b)
+      }
     val nPartitions = state match {
       case PartitionedTableVersion(pvs) => pvs.size
       case _                            => 0
@@ -697,8 +711,8 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
       defn.location.toString,
       defn.partitionSchema.columns.map(_.name).mkString(","),
       nPartitions,
-      files.size,
-      files.map(_.getLen).sum,
+      nFiles,
+      totalBytes,
       binding.log.updates(defn.name).size,
       binding.log.currentCommit(defn.name).id,
       Constraints.list(session, defn).size,
