@@ -26,6 +26,10 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   RESTORE TABLE graft.db.t TO TIMESTAMP AS OF 'ts'  -- at-or-before rule
  *   ALTER TABLE graft.db.t ADD CONSTRAINT nm CHECK (expr)  -- write-path invariant
  *   ALTER TABLE graft.db.t DROP CONSTRAINT nm
+ *   ALTER TABLE graft.db.t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY
+ *   ALTER TABLE graft.db.t SET PARTITIONED BY (c1, c2)     -- scheme evolution
+ *   COPY INTO graft.db.t FROM '<dir>' FILEFORMAT = CSV
+ *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -140,6 +144,11 @@ private[spark] object GraftMaintenanceSql {
   // declares the engine-assigned id column; SQL INSERTs then stamp it
   private val AddIdentityStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*;?\s*""".r
+  // ALTER TABLE t SET PARTITIONED BY (c1, c2) — partition-scheme
+  // evolution at a commit boundary (PartitionEvolution.evolve): one
+  // atomic re-partitioning rewrite; eras resolve per commit range
+  private val SetPartitionedStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -195,6 +204,10 @@ private[spark] object GraftMaintenanceSql {
         split(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
     case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddIdentityColumnCommand(split(ident), column, dtype))
+    case SetPartitionedStmt(ident, cols) if isGraftCatalogRef(split(ident)) =>
+      val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
+      Some(GraftSetPartitionedCommand(split(ident), names))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
@@ -613,6 +626,38 @@ final case class GraftAddIdentityColumnCommand(
       s"ALTER TABLE ${parts.mkString(".")} ADD COLUMNS ($column BIGINT)").collect()
     IdentityColumns.declare(session, ctx, defn, column, UserId("sql"))
     Seq(Row(column, "generated always as identity"))
+  }
+}
+
+/** `ALTER TABLE t SET PARTITIONED BY (c1, c2)` — partition-scheme
+  * evolution ([[PartitionEvolution.evolve]]): one atomic boundary rewrite
+  * re-partitions the current state under the new columns; time travel
+  * reads each era under its own layout; the catalog registration flips to
+  * the new scheme so subsequent SQL writes carry it. */
+final case class GraftSetPartitionedCommand(
+    parts: Seq[String], columns: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("old_scheme", StringType, nullable = false)(),
+    AttributeReference("new_scheme", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, registered) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, registered))
+    // resolve the ERA-CORRECT current definition (the registration may be
+    // stale after a previous evolution driven programmatically)
+    val defn = PartitionEvolution.definitionAt(
+      session, binding.log, registered)
+    val oldScheme = defn.partitionSchema.columns.map(_.name).mkString(", ")
+    val evolved = PartitionEvolution.evolve(
+      session, ctx, defn,
+      graft.core.PartitionSchema(columns.map(graft.core.PartitionColumn(_)).toList),
+      UserId("sql"))
+    GraftTableCatalog.register(
+      parts.head, evolved,
+      GraftTableCatalog.registeredSchema(
+        parts.head, evolved.name))
+    Seq(Row(oldScheme, columns.mkString(", ")))
   }
 }
 

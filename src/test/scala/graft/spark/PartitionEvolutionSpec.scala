@@ -154,4 +154,36 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     VersionedReader(spark, log).read(clone).as[Event]
       .collect().map(_.id).sorted shouldBe Array(1L, 2L, 9L)
   }
+
+  test("SQL: ALTER TABLE ... SET PARTITIONED BY evolves the scheme and flips the catalog") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftevo", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftevo", log)
+    val t = table("evo_sql", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftevo", t)
+    (1L to 12L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val pre = log.currentCommit(t.name)
+
+    val out = spark.sql(
+      "ALTER TABLE graftevo.test.evo_sql SET PARTITIONED BY (kind)").collect().head
+    (out.getString(0), out.getString(1)) shouldBe (("date", "kind"))
+
+    // current SQL reads serve the evolved state; writes carry the new scheme
+    spark.sql("SELECT count(*) FROM graftevo.test.evo_sql").head.getLong(0) shouldBe 12L
+    spark.sql(
+      "INSERT INTO graftevo.test.evo_sql (id, kind, date) VALUES (99, 'zz', '2024-02-02')")
+    spark.sql("SELECT count(*) FROM graftevo.test.evo_sql").head.getLong(0) shouldBe 13L
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("kind=even", "kind=odd", "kind=zz")
+      case other => fail(s"unexpected $other")
+    }
+    // SQL time travel to the old era still serves its layout
+    spark.sql(
+      s"SELECT count(*) FROM graftevo.test.evo_sql VERSION AS OF '${pre.id}'")
+      .head.getLong(0) shouldBe 12L
+  }
 }
