@@ -31,7 +31,7 @@ def main(ref_path, draw_paths):
     ref["total"] = round(sum(ref["queries"].values()), 2)
     prov = ref.get("provenance", "")
     ref["provenance"] = (prov + ("; " if prov else "") +
-        f"round-13 session medians merged for {len(missing)} new queries: " +
+        f"same-binary session medians merged for {len(missing)} new queries: " +
         ", ".join(missing))
     json.dump(ref, sys.stdout, indent=1)
     print()
