@@ -241,4 +241,44 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
       "g1" -> ((1L, Some(5L), Some(5L))),
       "g2" -> ((2L, None, None)))
   }
+
+  test("MV refresh across a source partition-evolution boundary refuses with the FULL remediation; FULL rebuilds") {
+    val (ctx, log, table) = setup("mvc8")
+    (1L to 20L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc8.db.mv8 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(id) AS sum_id
+         |FROM mvc8.db.events GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc8", TableName("db", "mv8")).get._2
+
+    // the source evolves its partitioning: the MV's anchor now sits in the
+    // OLD era — the incremental feed cannot cross the boundary
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, table, PartitionSchema(List(PartitionColumn("kind"))), user)
+    // NB: the table is now partitioned by kind — a new-era insert touching
+    // an existing kind would REPLACE that partition (correct overwrite
+    // semantics), so the fresh rows land in a brand-new kind
+    Seq(Event(21, "new", "2024-02-02")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2 new era"))
+
+    val e = intercept[IllegalStateException] {
+      MaterializedView.refresh(spark, "mvc8", mv, user)
+    }
+    e.getMessage should include("REFRESH ... FULL")
+
+    // FULL rebuilds from a source scan of the new era and re-anchors
+    MaterializedView.refresh(spark, "mvc8", mv, user, full = true)._3 shouldBe "full"
+    VersionedReader(spark, log).read(mv).orderBy("kind")
+      .as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 10L, (2L to 20L by 2).sum), ("new", 1L, 21L),
+        ("odd", 10L, (1L to 19L by 2).sum))
+    // and the NEXT incremental refresh (within the new era) works again:
+    // the DV delete kills the 'new' group
+    DeletionVectors.delete(ctx, log, evolved, col("id") === 21, user, UpdateMessage("dv"))
+    MaterializedView.refresh(spark, "mvc8", mv, user)._3 shouldBe "incremental"
+    VersionedReader(spark, log).read(mv).orderBy("kind")
+      .as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 10L, (2L to 20L by 2).sum), ("odd", 10L, (1L to 19L by 2).sum))
+  }
 }

@@ -186,4 +186,39 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
       s"SELECT count(*) FROM graftevo.test.evo_sql VERSION AS OF '${pre.id}'")
       .head.getLong(0) shouldBe 12L
   }
+
+  test("multiple evolutions: three eras, each time-traveling under its own scheme") {
+    val (ctx, log) = fresh()
+    val t = table("evo6", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    val events = (1L to 12L).map(i =>
+      Event(i, if (i % 2 == 0) "even" else "odd", if (i <= 6) "2024-01-01" else "2024-01-02"))
+    events.toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val era1 = log.currentCommit(t.name)
+
+    val byKind = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    val era2 = log.currentCommit(t.name)
+
+    // ...and back again: the data column round-trips through both layouts
+    val byDate = PartitionEvolution.evolve(
+      spark, ctx, byKind, PartitionSchema(List(PartitionColumn("date"))), user)
+    val reader = VersionedReader(spark, log)
+    reader.read(byDate).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("date=2024-01-01", "date=2024-01-02")
+      case other => fail(s"unexpected $other")
+    }
+    // every era resolves and reads its own layout
+    PartitionEvolution.schemeAt(spark, log, t, Some(era1)).columns.map(_.name) shouldBe List("date")
+    PartitionEvolution.schemeAt(spark, log, t, Some(era2)).columns.map(_.name) shouldBe List("kind")
+    reader.readAsOf(t, era1).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+    reader.readAsOf(t, era2).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+    log.versionAt(t.name, era2) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("kind=even", "kind=odd")
+      case other => fail(s"unexpected $other")
+    }
+  }
 }
