@@ -48,8 +48,8 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    from the source at head, restricted to exactly those group keys by a
  *    broadcast semi-join — a delete can remove the current min/max or the
  *    last non-null summand, which no delta can repair. O(source rows of
- *    the touched groups), with dynamic partition pruning when the group
- *    keys include partition columns.
+ *    the touched groups); the key joins are NULL-SAFE (`<=>`) because
+ *    GROUP BY treats NULL as a group.
  *
  * Admitted at CREATE: `count(*)`/`count(c)`, `sum(c)`, `avg(c)`,
  * `min(c)`, `max(c)` over plain columns; at least one `count(*)` is
@@ -230,15 +230,26 @@ object MaterializedView {
     val current = VersionedReader(session, binding.log).readAsOf(mvDefn, mvRead)
     val liveness = mvDef.aggs.find(a => a.fn == "count" && a.input == "*").get.alias
     val rescanKeys = touched.where(rescanCond).select(mvDef.groupCols.map(col): _*)
+    // every group-key join below is NULL-SAFE (<=>): GROUP BY treats NULL
+    // as a group, so a null-keyed group must merge/anti/semi-join like any
+    // other — plain equality would duplicate it on merge and strand its
+    // stale value on re-scan
+    def keyMatch(left: String, right: String): Column = mvDef.groupCols
+      .map(c => col(s"$left.$c") <=> col(s"$right.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val currentKept =
       if (pureDelta) current
-      else current.join(broadcast(rescanKeys), mvDef.groupCols, "left_anti")
-    val merged = currentKept
-      .join(touched.where(not(rescanCond)), mvDef.groupCols, "full_outer")
-      .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map { a =>
+      else current.alias("__mv_c0")
+        .join(broadcast(rescanKeys.alias("__mv_rk")),
+          keyMatch("__mv_c0", "__mv_rk"), "left_anti")
+    val merged = currentKept.alias("__mv_cur")
+      .join(touched.where(not(rescanCond)).alias("__mv_d"),
+        keyMatch("__mv_cur", "__mv_d"), "full_outer")
+      .select(mvDef.groupCols.map(c =>
+        coalesce(col(s"__mv_cur.$c"), col(s"__mv_d.$c")).as(c)) ++ mvDef.aggs.map { a =>
         val dt = current.schema(a.alias).dataType
-        val old = col(a.alias)
-        val d = if (a.fn == "avg") old else col(s"__d_${a.alias}")
+        val old = col(s"__mv_cur.${a.alias}")
+        val d = if (a.fn == "avg") old else col(s"__mv_d.__d_${a.alias}")
         val next: Column = a.fn match {
           case "count" => coalesce(old, lit(0L)) + coalesce(d, lit(0L))
           // NULL-exact: a group whose live rows hold no non-null value IS
@@ -299,8 +310,13 @@ object MaterializedView {
       restrictTo: Option[DataFrame] = None): DataFrame = {
     val base = DeletionVectors.read(session, binding.log, srcDefn, Some(at))
     val basef = mvDef.where.map(w => base.where(expr(w))).getOrElse(base)
+    // null-safe semi-join: a NULL group key is a group like any other
     val scoped = restrictTo
-      .map(k => basef.join(broadcast(k), mvDef.groupCols, "left_semi"))
+      .map { k =>
+        basef.alias("__pe_b").join(broadcast(k.alias("__pe_k")),
+          mvDef.groupCols.map(c => col(s"__pe_b.$c") <=> col(s"__pe_k.$c"))
+            .reduceOption(_ && _).getOrElse(lit(true)), "left_semi")
+      }
       .getOrElse(basef)
     val aggs = mvDef.aggs.map { a =>
       val c: Column = a.fn match {

@@ -281,4 +281,48 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
       .as[(String, Long, Long)].collect() shouldBe
       Array(("even", 10L, (2L to 20L by 2).sum), ("odd", 10L, (1L to 19L by 2).sum))
   }
+
+  test("NULL group keys are groups: insert-only and delete-triggered refreshes keep them exact") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.mvc9", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("mvc9", log)
+    val table = TableDefinition(
+      TableName("db", "nullkeys"),
+      Files.createTempDirectory("graft_mv_mvc9").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("mvc9", table)
+    // the GROUP column carries NULLs — GROUP BY makes them a real group
+    Seq((1L, Option("g1"), Option(5L), "2024-01-01"),
+        (2L, Option.empty[String], Option(7L), "2024-01-01"),
+        (3L, Option.empty[String], Option(9L), "2024-01-01"))
+      .toDF("id", "kind", "v", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc9.db.mv9 LOCATION '${mvLoc()}'
+         |AS SELECT kind, count(*) AS n, sum(v) AS sum_v, min(v) AS min_v
+         |FROM mvc9.db.nullkeys GROUP BY kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc9", TableName("db", "mv9")).get._2
+    val reader = VersionedReader(spark, log)
+    def state(): Map[Option[String], (Long, Option[Long], Option[Long])] =
+      reader.read(mv).as[(Option[String], Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    state()(None) shouldBe ((2L, Some(16L), Some(7L)))
+
+    // insert-only refresh into the NULL group: exactly one merged row
+    Seq((4L, Option.empty[String], Option(1L), "2024-01-02"))
+      .toDF("id", "kind", "v", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    MaterializedView.refresh(spark, "mvc9", mv, user)._3 shouldBe "incremental"
+    reader.read(mv).where(col("kind").isNull).count() shouldBe 1L // never duplicated
+    state()(None) shouldBe ((3L, Some(17L), Some(1L)))
+
+    // delete the NULL group's min: the re-scan path must find the group
+    DeletionVectors.delete(ctx, log, table, col("v") === 1L, user, UpdateMessage("dv"))
+    MaterializedView.refresh(spark, "mvc9", mv, user)._3 shouldBe "incremental"
+    state() shouldBe Map(
+      Some("g1") -> ((1L, Some(5L), Some(5L))),
+      None -> ((2L, Some(16L), Some(7L))))
+  }
 }
