@@ -142,14 +142,23 @@ object PartitionEvolution {
     table.copy(partitionSchema = schemeAt(spark, log, table, at))
 
   /** Write-path guard (rides the shared pre-write pipeline): a write must
-    * carry the CURRENT era's scheme — landing old-scheme dirs into a
-    * post-evolution state would fork the layout silently. One metadata
-    * probe; no-op for never-evolved tables and during [[evolve]]'s own
-    * rewrite. */
+    * carry the scheme its COMMIT will fold under — landing old-scheme
+    * dirs into a post-evolution state would fork the layout silently.
+    *
+    * Resolution is at the log HEAD, not the current pointer: after a
+    * RESTORE to a pre-boundary commit, the fold's resurrect-on-next-
+    * commit quirk brings the boundary commit back the moment anything new
+    * lands — so the state a post-RESTORE write produces includes the
+    * evolution, and the write must carry the NEW scheme (a RESTORE
+    * rewinds reads, it does not un-evolve future writes — the same
+    * fold-quirk consistency rule the identity hwm and COPY INTO history
+    * follow). One metadata probe; no-op for never-evolved tables and
+    * during [[evolve]]'s own rewrite. */
   private[spark] def requireCurrentScheme(
       spark: SparkSession, log: TableVersions, table: TableDefinition): Unit = {
     if (evolving.value || table.isSnapshot) return
-    stateAt(spark, log, table, None).foreach { s =>
+    val head = log.updates(table.name).headOption.map(_.id)
+    stateAt(spark, log, table, head).foreach { s =>
       val held = table.partitionSchema.columns.map(_.name.toLowerCase)
       val current = s.columns.map(_.toLowerCase)
       if (held != current)

@@ -221,4 +221,41 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
       case other => fail(s"unexpected $other")
     }
   }
+
+  test("RESTORE rewinds reads but does not un-evolve writes (fold-quirk consistency)") {
+    val (ctx, log) = fresh()
+    val t = table("evo7", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    val events = (1L to 10L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+    events.toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val pre = log.currentCommit(t.name)
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+
+    // RESTORE to the pre-boundary commit: reads serve the old era...
+    log.setCurrentVersion(t.name, pre)
+    val reader = VersionedReader(spark, log)
+    reader.read(PartitionEvolution.definitionAt(spark, log, t))
+      .as[Event].collect().sortBy(_.id) shouldBe events.toArray
+
+    // ...but the NEXT commit resurrects the boundary (the fold quirk), so
+    // an old-scheme write must still refuse — it would land date= dirs
+    // into a state the resurrected boundary re-keys by kind
+    val e = the[IllegalStateException] thrownBy {
+      Seq(Event(11, "zz", "2024-03-03")).toDS()
+        .versionedInsertInto(ctx, t, user, UpdateMessage("post-restore stale"))
+    }
+    e.getMessage should include("stale scheme")
+
+    // a NEW-scheme write composes: the resurrected fold is kind-keyed
+    Seq(Event(11, "zz", "2024-03-03")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("post-restore new-scheme"))
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.map(_.hivePath).toSet shouldBe Set("kind=even", "kind=odd", "kind=zz")
+      case other => fail(s"unexpected $other")
+    }
+    reader.read(evolved).as[Event].collect().sortBy(_.id) shouldBe
+      (events :+ Event(11, "zz", "2024-03-03")).toArray
+  }
 }
