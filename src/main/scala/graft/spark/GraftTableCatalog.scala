@@ -659,6 +659,7 @@ private[spark] object GraftV2Table {
     // supplied value rejects); the carried current rows below keep the ids
     // they already own
     val identity = IdentityColumns.declared(spark, defn)
+    var hwmAtStamp = -1L
     val data0 = identity match {
       case None => data
       case Some(c) =>
@@ -667,8 +668,8 @@ private[spark] object GraftV2Table {
           require(data.where(col(cc).isNotNull).isEmpty,
             s"identity column $c is GENERATED ALWAYS — the batch must not supply values")
         }
-        val hwm = IdentityColumns.currentHighWaterMark(binding.log, defn.name, c)
-        IdentityColumns.stamped(supplied.map(data.drop(_)).getOrElse(data), c, hwm)
+        hwmAtStamp = IdentityColumns.currentHighWaterMark(binding.log, defn.name, c)
+        IdentityColumns.stamped(supplied.map(data.drop(_)).getOrElse(data), c, hwmAtStamp)
     }
     val (toWrite, pinned) =
       if (overwrite) (data0, None)
@@ -718,7 +719,8 @@ private[spark] object GraftV2Table {
     // so the advanced high-water mark rides the same atomic commit
     try identity match {
       case Some(c) => IdentityColumns.stageAndCommit(
-        toWrite.toDF(), ctx, defn, c, UserId("sql"), message, alsoRemove = doomed)
+        toWrite.toDF(), ctx, defn, c, UserId("sql"), message,
+        alsoRemove = doomed, hwmAtStamp = hwmAtStamp)
       case None => toWrite.versionedInsertInto(
         ctx, defn, UserId("sql"), message, alsoRemove = doomed)
     } finally pinned.foreach { df => df.unpersist(); () }

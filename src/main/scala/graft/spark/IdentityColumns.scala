@@ -129,7 +129,8 @@ object IdentityColumns {
     require(!df.columns.exists(_.equalsIgnoreCase(column)),
       s"identity column $column is GENERATED ALWAYS — the batch must not supply it")
     val hwm = currentHighWaterMark(ctx.metastore.tableVersions, table.name, column)
-    stageAndCommit(stamped(df, column, hwm), ctx, table, column, userId, message)
+    stageAndCommit(stamped(df, column, hwm), ctx, table, column, userId, message,
+      hwmAtStamp = hwm)
   }
 
   /** Stage a batch whose `column` ids are already stamped, derive the
@@ -145,7 +146,20 @@ object IdentityColumns {
     * written; parquet column stats keep it footer-cheap.
     *
     * `alsoRemove` partitions the job did not write ride the same commit
-    * (the SQL INSERT OVERWRITE stale set — [[VersionContext]]'s contract). */
+    * (the SQL INSERT OVERWRITE stale set — [[VersionContext]]'s contract).
+    *
+    * CONCURRENCY: the high-water mark is whole-table state invisible to
+    * partition conflict scopes, so two identity writers stamping from the
+    * same observed mark would mint OVERLAPPING ids even when their
+    * partitions compose — the one silent failure the uniqueness contract
+    * cannot tolerate. The commit is therefore a CAS loop that serializes
+    * ONLY against hwm-advancing commits: an intervening commit that left
+    * the mark untouched (an ordinary partition write) just re-targets the
+    * CAS; an intervening commit that ADVANCED the mark means this batch's
+    * ids were derived stale — throw
+    * [[graft.core.TableVersions.ConcurrentWriteException]] loudly (the
+    * staged dirs stay unreferenced; the caller re-runs, which re-reads
+    * the mark and re-stamps). */
   private[spark] def stageAndCommit(
       df: DataFrame,
       ctx: VersionContext,
@@ -153,7 +167,8 @@ object IdentityColumns {
       column: String,
       userId: UserId,
       message: UpdateMessage,
-      alsoRemove: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
+      alsoRemove: Seq[Partition] = Nil,
+      hwmAtStamp: Long = -1L): (TableVersion, TableChanges) = {
     val log = ctx.metastore.tableVersions
     val staged = df.versionedStage(ctx, table, userId, message)
     val spark = df.sparkSession
@@ -173,8 +188,10 @@ object IdentityColumns {
           org.apache.spark.sql.functions.col(column))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
-    val hwmBefore = currentHighWaterMark(log, table.name, column)
-    val newHwm = assignedMax.map(math.max(_, hwmBefore)).getOrElse(hwmBefore)
+    val stampBase =
+      if (hwmAtStamp >= 0L) hwmAtStamp
+      else currentHighWaterMark(log, table.name, column)
+    val newHwm = assignedMax.map(math.max(_, stampBase)).getOrElse(stampBase)
     val present = staged.update.operations.collect {
       case TableVersions.TableOperation.AddPartitionVersion(p, _) => p
     }.toSet
@@ -184,6 +201,26 @@ object IdentityColumns {
       metadata = staged.update.metadata.copy(
         message = UpdateMessage(s"${message.content} identity:$column hwm=$newHwm")),
       operations = staged.update.operations ++ removes)
-    ctx.metastore.commit(table.name, update)
+    var attempts = 0
+    while (true) {
+      val expected = log.currentCommit(table.name)
+      val hwmNow = currentHighWaterMark(log, table.name, column)
+      if (hwmNow != stampBase)
+        throw new TableVersions.ConcurrentWriteException(
+          s"identity column $column of ${table.name.fullyQualifiedName}: a " +
+            s"concurrent writer advanced the high-water mark ($stampBase -> " +
+            s"$hwmNow) after this batch's ids were stamped — the ids would " +
+            "overlap; re-run the insert (it re-reads the mark and re-stamps)")
+      ctx.metastore.commitIf(table.name, update, expected) match {
+        case Some(r) => return r
+        case None =>
+          attempts += 1
+          if (attempts > 8)
+            throw new TableVersions.ConcurrentWriteException(
+              s"identity write to ${table.name.fullyQualifiedName}: CAS lost " +
+                s"$attempts times under contention; giving up")
+      }
+    }
+    sys.error("unreachable")
   }
 }

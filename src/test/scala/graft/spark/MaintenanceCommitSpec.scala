@@ -208,4 +208,45 @@ class MaintenanceCommitSpec extends AnyFunSuite with Matchers {
     // and a retry of the loser is a clean no-op (already at head)
     MaterializedView.refresh(spark, "mvrace", mv, user)._3 shouldBe "no-op"
   }
+
+  test("concurrent identity writers cannot mint overlapping ids: the stale stamper refuses") {
+    val (ctx, log) = fresh()
+    val table = TableDefinition(
+      TableName("test", "ident_race"),
+      Files.createTempDirectory("graft_maint_identrace").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    import spark.implicits._
+    IdentityColumns.insertWithIdentity(
+      (1L to 10L).map(i => (i, "a")).toDF("v", "grp"), ctx, table, "row_id",
+      user, UpdateMessage("b1"))
+
+    // the competing identity write lands between the loser's stamp and its
+    // commit — DISJOINT partitions, so plain commits would compose and the
+    // overlapping ids would land silently; the hwm CAS refuses instead
+    val racy = interleaved(ctx) {
+      IdentityColumns.insertWithIdentity(
+        (100L to 104L).map(i => (i, "w")).toDF("v", "grp"), ctx, table, "row_id",
+        user, UpdateMessage("winner"))
+    }
+    a[TableVersions.ConcurrentWriteException] should be thrownBy
+      IdentityColumns.insertWithIdentity(
+        (200L to 204L).map(i => (i, "l")).toDF("v", "grp"), racy, table, "row_id",
+        user, UpdateMessage("loser"))
+
+    // the surviving state: first batch + winner, every id unique
+    val rows = VersionedReader(spark, log).read(table)
+      .select("v", "row_id").as[(Long, Long)].collect()
+    rows.length shouldBe 15
+    rows.map(_._2).distinct.length shouldBe 15
+    // a RETRY of the loser (fresh stamp off the advanced mark) lands clean
+    IdentityColumns.insertWithIdentity(
+      (200L to 204L).map(i => (i, "l")).toDF("v", "grp"), ctx, table, "row_id",
+      user, UpdateMessage("loser retry"))
+    val all = VersionedReader(spark, log).read(table)
+      .select("row_id").as[Long].collect()
+    all.length shouldBe 20
+    all.distinct.length shouldBe 20
+  }
 }
