@@ -41,12 +41,22 @@ import graft.spark.VersionContext.DatasetVersionOps
 object IdentityColumns {
 
   private val Mark = """identity:(\w+) hwm=(\d+)""".r.unanchored
-  private val DeclFileName = "_identity.json"
+  private val LegacyDeclFileName = "_identity.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Declarations are keyed by TABLE NAME under the (possibly shared)
+    * location — `_identity/<schema.table>.json` — so a shallow clone and
+    * its source own independent declarations (the [[Constraints]]
+    * discipline); the legacy location-global file is read as a fallback
+    * and migrates on the next declare. */
   private def declFile(table: TableDefinition): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      Partition.normalizedDir(table.location).toString + DeclFileName)
+      Partition.normalizedDir(table.location).toString +
+        s"_identity/${table.name.fullyQualifiedName}.json")
+
+  private def legacyDeclFile(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + LegacyDeclFileName)
 
   /** The table's DECLARED identity column, if any — the SQL
     * `GENERATED ALWAYS AS IDENTITY` registration ([[declare]]). One
@@ -54,8 +64,9 @@ object IdentityColumns {
     * pattern. */
   def declared(
       spark: org.apache.spark.sql.SparkSession, table: TableDefinition): Option[String] = {
-    val p = declFile(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val keyed = declFile(table)
+    val fs = keyed.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = if (fs.exists(keyed)) keyed else legacyDeclFile(table)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -64,6 +75,20 @@ object IdentityColumns {
         finally in.close()
       Some(mapper.readTree(text).get("column").asText())
     }
+  }
+
+  /** Seed the keyed declaration directly — the shallow-clone carry. */
+  private[spark] def seedDeclaration(
+      spark: org.apache.spark.sql.SparkSession,
+      table: TableDefinition,
+      column: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("column", column)
+    val p = declFile(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Declare `column` as the table's engine-assigned identity column
@@ -86,13 +111,7 @@ object IdentityColumns {
       s"identity column $column cannot be a partition column")
     require(!GeneratedColumns.list(spark, table).exists(_.column.equalsIgnoreCase(column)),
       s"column $column already has a generation rule")
-    val node = mapper.createObjectNode()
-    node.put("column", column)
-    val p = declFile(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-    finally out.close()
+    seedDeclaration(spark, table, column)
     ctx.metastore.commit(table.name, graft.core.TableVersions.TableUpdate(
       user, UpdateMessage(s"ALTER TABLE ADD IDENTITY COLUMN $column"),
       java.time.Instant.now(), Nil))
@@ -107,14 +126,23 @@ object IdentityColumns {
 
   /** The column's high-water mark as of the CURRENT pointer (0 = never
     * assigned). Newest at-or-before fold, like every per-state artifact. */
-  def currentHighWaterMark(log: TableVersions, table: TableName, column: String): Long = {
-    val cur = log.currentCommit(table)
+  def currentHighWaterMark(log: TableVersions, table: TableName, column: String): Long =
+    highWaterMarkAt(log, table, column, log.currentCommit(table))
+
+  /** The mark as of a SPECIFIC commit — the shallow-clone carry resolves
+    * the source's mark at the cloned state. */
+  private[spark] def highWaterMarkAt(
+      log: TableVersions, table: TableName, column: String, at: TableVersions.CommitId): Long =
     log.updates(table).iterator // newest first
-      .dropWhile(_.id != cur)
+      .dropWhile(_.id != at)
       .map(_.message.content)
       .collectFirst { case Mark(c, n) if c.equalsIgnoreCase(column) => n.toLong }
       .getOrElse(0L)
-  }
+
+  /** The mark text appended to a commit message — shared by the write
+    * path and the shallow-clone state commit. */
+  private[spark] def markText(column: String, hwm: Long): String =
+    s"identity:$column hwm=$hwm"
 
   /** Write `df` as a new version of `table` with engine-assigned ids in
     * `column`. One ordinary versioned write; the id column and the
@@ -199,7 +227,7 @@ object IdentityColumns {
       .map(TableVersions.TableOperation.RemovePartition(_)).toList
     val update = staged.update.copy(
       metadata = staged.update.metadata.copy(
-        message = UpdateMessage(s"${message.content} identity:$column hwm=$newHwm")),
+        message = UpdateMessage(s"${message.content} ${markText(column, newHwm)}")),
       operations = staged.update.operations ++ removes)
     var attempts = 0
     while (true) {

@@ -89,9 +89,19 @@ object ShallowClone {
       case PartitionedTableVersion(pvs) =>
         pvs.toList.map { case (p, v) => TableOperation.AddPartitionVersion(p, v) }
     }
+    // identity carry: the clone inherits the declaration into its OWN
+    // name-keyed file, and the source's high-water mark AT the cloned
+    // state rides the clone-state commit message — a clone write stamping
+    // from a fresh mark of 0 would collide with the carried rows' ids
+    val identityMark = IdentityColumns.declared(spark, src).map { c =>
+      IdentityColumns.seedDeclaration(spark, dstDefn, c)
+      " " + IdentityColumns.markText(
+        c, IdentityColumns.highWaterMarkAt(log, src.name, c, at))
+    }.getOrElse("")
     if (ops.nonEmpty) {
       ctx.metastore.commit(dst, TableUpdate(
-        user, UpdateMessage(s"clone state of ${src.name.fullyQualifiedName} @ ${at.id}"),
+        user, UpdateMessage(
+          s"clone state of ${src.name.fullyQualifiedName} @ ${at.id}$identityMark"),
         Instant.now(), ops))
       ()
     }

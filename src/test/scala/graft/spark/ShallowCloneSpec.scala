@@ -170,4 +170,38 @@ class ShallowCloneSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.catalog.graftclone")
     }
   }
+
+  test("clone carries the identity declaration and high-water mark; forks stamp independently") {
+    import org.apache.spark.sql.functions.col
+    val (ctx, log) = freshContext()
+    val src = partitionedTable("clone_ident")
+    ctx.init(src, user, UpdateMessage("init"))
+    IdentityColumns.declare(spark, ctx, src, "row_id", user)
+    IdentityColumns.insertWithIdentity(
+      (1L to 10L).map(i => (i, s"k$i", "2024-01-01")).toDF("id", "kind", "date"),
+      ctx, src, "row_id", user, UpdateMessage("b1"))
+    val srcHwm = IdentityColumns.currentHighWaterMark(log, src.name, "row_id")
+
+    val clone = ShallowClone.clone(
+      spark, ctx, src, TableName("test", "clone_ident_dst"), user)
+    // the declaration carried into the clone's own keyed file, and the
+    // mark resolves from the clone-state commit — not a fresh 0
+    IdentityColumns.declared(spark, clone) shouldBe Some("row_id")
+    IdentityColumns.currentHighWaterMark(log, clone.name, "row_id") shouldBe srcHwm
+
+    // a clone write stamps ABOVE the carried rows' ids — no collision
+    IdentityColumns.insertWithIdentity(
+      (11L to 15L).map(i => (i, s"c$i", "2024-02-02")).toDF("id", "kind", "date"),
+      ctx, clone, "row_id", user, UpdateMessage("clone b1"))
+    val cloneIds = VersionedReader(spark, log).read(clone)
+      .select("row_id").as[Long].collect()
+    cloneIds.length shouldBe 15
+    cloneIds.distinct.length shouldBe 15
+    cloneIds.max should be > srcHwm
+
+    // the source's sequence is untouched by the clone's advance
+    IdentityColumns.currentHighWaterMark(log, src.name, "row_id") shouldBe srcHwm
+    VersionedReader(spark, log).read(src)
+      .select("row_id").as[Long].collect().length shouldBe 10
+  }
 }
