@@ -36,16 +36,27 @@ object GeneratedColumns {
     * table's other columns; it must be deterministic. */
   final case class GeneratedColumn(column: String, expr: String)
 
-  private val FileName = "_generated.json"
+  private val LegacyFileName = "_generated.json"
   private val mapper = new ObjectMapper()
 
+  /** Rules are keyed by TABLE NAME under the (possibly shared) location —
+    * `_generated/<schema.table>.json` — so a shallow clone and its source
+    * own independent rule sets (the [[Constraints]] discipline); the
+    * legacy location-global file is read as a fallback and migrates on
+    * the next declare. */
   private def filePath(table: TableDefinition): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      Partition.normalizedDir(table.location).toString + FileName)
+      Partition.normalizedDir(table.location).toString +
+        s"_generated/${table.name.fullyQualifiedName}.json")
+
+  private def legacyPath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + LegacyFileName)
 
   def list(spark: org.apache.spark.sql.SparkSession, table: TableDefinition): List[GeneratedColumn] = {
-    val p = filePath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val keyed = filePath(table)
+    val fs = keyed.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = if (fs.exists(keyed)) keyed else legacyPath(table)
     if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val text =
@@ -94,6 +105,12 @@ object GeneratedColumns {
       user, UpdateMessage(s"ALTER TABLE ADD GENERATED COLUMN ${g.column} AS (${g.expr})"),
       java.time.Instant.now(), Nil))
   }
+
+  /** Seed the keyed rule file directly — the shallow-clone carry. */
+  private[spark] def seed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: TableDefinition,
+      gs: List[GeneratedColumn]): Unit = write(spark, table, gs)
 
   private def write(
       spark: org.apache.spark.sql.SparkSession,

@@ -117,6 +117,8 @@ object ShallowClone {
     }
     val constraints = Constraints.list(spark, src)
     if (constraints.nonEmpty) Constraints.seed(spark, dstDefn, constraints)
+    val generated = GeneratedColumns.list(spark, src)
+    if (generated.nonEmpty) GeneratedColumns.seed(spark, dstDefn, generated)
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
       PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor)
     }
