@@ -46,8 +46,12 @@ object ColumnMapping {
       logical: String, physical: String, dropped: Boolean,
       widened: Option[String] = None)
 
-  /** The full mapping in force from `commit` onward. */
-  final case class State(commit: String, entries: List[Entry])
+  /** The full mapping in force from `commit` onward. `owner` names the
+    * table whose lineage anchored the state — shared-location forks
+    * (shallow clones) write into one file, and the retention fallback
+    * must never adopt another lineage's state (absent = legacy entry,
+    * single-table usage). */
+  final case class State(commit: String, entries: List[Entry], owner: Option[String] = None)
 
   private val FileName = "_column_mapping.json"
   private val mapper = new ObjectMapper()
@@ -76,7 +80,8 @@ object ColumnMapping {
           Entry(e.get("logical").asText(), e.get("physical").asText(),
             e.get("dropped").asBoolean(),
             Option(e.get("widened")).filterNot(_.isNull).map(_.asText()))
-        })
+        },
+        Option(s.get("table")).filterNot(_.isNull).map(_.asText()))
     }
   }
 
@@ -88,6 +93,7 @@ object ColumnMapping {
     all.foreach { s =>
       val n = mapper.createObjectNode()
       n.put("commit", s.commit)
+      s.owner.foreach(n.put("table", _))
       val es = mapper.createArrayNode()
       s.entries.foreach { e =>
         val en = mapper.createObjectNode()
@@ -106,7 +112,14 @@ object ColumnMapping {
 
   /** The mapping in force at `at` (default: the current pointer): the
     * newest state whose anchor commit is at-or-before `at` in the lineage.
-    * None = identity. */
+    * None = identity.
+    *
+    * RETENTION FALLBACK: a log checkpoint folds old commits — and the
+    * anchors riding them — away. When no anchor survives in `at`'s
+    * lineage but states whose anchors predate the whole retained history
+    * exist, the NEWEST such pre-horizon state still governs (everything
+    * retained is at-or-after it); without this, a checkpoint would
+    * silently revert renames/drops to the identity mapping. */
   def stateAt(
       spark: SparkSession,
       log: TableVersions,
@@ -115,12 +128,20 @@ object ColumnMapping {
     val all = states(spark, table)
     if (all.isEmpty) return None
     val byAnchor = all.map(s => s.commit -> s).toMap
+    val retained = log.updates(table.name) // newest first
     val pointer = at.getOrElse(log.currentCommit(table.name))
-    log.updates(table.name)
+    retained
       .dropWhile(_.id != pointer)
       .iterator
       .map(m => byAnchor.get(m.id.id))
       .collectFirst { case Some(s) => s }
+      .orElse {
+        // only MY lineage's pre-horizon states are eligible: a shared-file
+        // fork's states carry its own owner name
+        val ids = retained.map(_.id.id).toSet
+        all.filter(_.owner.forall(_ == table.name.fullyQualifiedName))
+          .filterNot(s => ids(s.commit)).lastOption // states are oldest-first
+      }
   }
 
   /** SHALLOW-CLONE carry: append the source's effective mapping state
@@ -133,8 +154,10 @@ object ColumnMapping {
       spark: SparkSession,
       table: TableDefinition,
       state: State,
-      anchor: CommitId): Unit =
-    write(spark, table, states(spark, table) :+ State(anchor.id, state.entries))
+      anchor: CommitId,
+      owner: TableName): Unit =
+    write(spark, table, states(spark, table) :+
+      State(anchor.id, state.entries, Some(owner.fullyQualifiedName)))
 
   /** RENAME COLUMN (metadata-only). Refuses partition columns, unknown
     * columns, and name collisions. */
@@ -261,7 +284,8 @@ object ColumnMapping {
     val (_, _) = ctx.metastore.commit(table.name, TableUpdate(
       user, message, java.time.Instant.now(), Nil))
     val anchor = ctx.metastore.tableVersions.currentCommit(table.name)
-    write(spark, table, states(spark, table) :+ State(anchor.id, entries))
+    write(spark, table, states(spark, table) :+
+      State(anchor.id, entries, Some(table.name.fullyQualifiedName)))
   }
 
   /** The mapping entries in force at `at`, seeded from the PHYSICAL schema

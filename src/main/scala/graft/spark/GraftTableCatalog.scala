@@ -668,7 +668,7 @@ private[spark] object GraftV2Table {
           require(data.where(col(cc).isNotNull).isEmpty,
             s"identity column $c is GENERATED ALWAYS — the batch must not supply values")
         }
-        hwmAtStamp = IdentityColumns.currentHighWaterMark(binding.log, defn.name, c)
+        hwmAtStamp = IdentityColumns.effectiveHighWaterMark(spark, binding.log, defn, c)
         IdentityColumns.stamped(supplied.map(data.drop(_)).getOrElse(data), c, hwmAtStamp)
     }
     val (toWrite, pinned) =

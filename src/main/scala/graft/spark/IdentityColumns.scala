@@ -133,11 +133,43 @@ object IdentityColumns {
     * the source's mark at the cloned state. */
   private[spark] def highWaterMarkAt(
       log: TableVersions, table: TableName, column: String, at: TableVersions.CommitId): Long =
+    markAt(log, table, column, at).getOrElse(0L)
+
+  private def markAt(
+      log: TableVersions,
+      table: TableName,
+      column: String,
+      at: TableVersions.CommitId): Option[Long] =
     log.updates(table).iterator // newest first
       .dropWhile(_.id != at)
       .map(_.message.content)
       .collectFirst { case Mark(c, n) if c.equalsIgnoreCase(column) => n.toLong }
-      .getOrElse(0L)
+
+  /** The mark the WRITE PATH stamps from: the lineage-resolved mark, or —
+    * when NO mark survives in the retained history (a log checkpoint
+    * folds commit messages with their commits) — the max id physically
+    * present in the table's files, DV-hidden rows included: ids must keep
+    * starting above every id ever assigned even after the bookkeeping
+    * horizon moved, and a deleted row's id is never reused. One
+    * single-column scan, only in the mark-less case. */
+  private[spark] def effectiveHighWaterMark(
+      spark: org.apache.spark.sql.SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      column: String): Long =
+    markAt(log, table.name, column, log.currentCommit(table.name)).getOrElse {
+      val raw = VersionedReader(spark, log).read(table)
+      if (raw.columns.isEmpty) 0L
+      else {
+        val logical = ColumnMapping.applyLogical(raw, spark, log, table, None)
+        if (!logical.columns.exists(_.equalsIgnoreCase(column))) 0L
+        else {
+          val r = logical.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(column))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+      }
+    }
 
   /** The mark text appended to a commit message — shared by the write
     * path and the shallow-clone state commit. */
@@ -156,7 +188,8 @@ object IdentityColumns {
       message: UpdateMessage): (TableVersion, TableChanges) = {
     require(!df.columns.exists(_.equalsIgnoreCase(column)),
       s"identity column $column is GENERATED ALWAYS — the batch must not supply it")
-    val hwm = currentHighWaterMark(ctx.metastore.tableVersions, table.name, column)
+    val hwm = effectiveHighWaterMark(
+      df.sparkSession, ctx.metastore.tableVersions, table, column)
     stageAndCommit(stamped(df, column, hwm), ctx, table, column, userId, message,
       hwmAtStamp = hwm)
   }
@@ -218,7 +251,7 @@ object IdentityColumns {
       }
     val stampBase =
       if (hwmAtStamp >= 0L) hwmAtStamp
-      else currentHighWaterMark(log, table.name, column)
+      else effectiveHighWaterMark(spark, log, table, column)
     val newHwm = assignedMax.map(math.max(_, stampBase)).getOrElse(stampBase)
     val present = staged.update.operations.collect {
       case TableVersions.TableOperation.AddPartitionVersion(p, _) => p
@@ -232,7 +265,7 @@ object IdentityColumns {
     var attempts = 0
     while (true) {
       val expected = log.currentCommit(table.name)
-      val hwmNow = currentHighWaterMark(log, table.name, column)
+      val hwmNow = effectiveHighWaterMark(spark, log, table, column)
       if (hwmNow != stampBase)
         throw new TableVersions.ConcurrentWriteException(
           s"identity column $column of ${table.name.fullyQualifiedName}: a " +

@@ -52,8 +52,11 @@ import graft.spark.VersionContext.DatasetVersionOps
  */
 object PartitionEvolution {
 
-  /** The scheme in force FROM `commit` (its anchor) onward. */
-  final case class SchemeState(commit: String, columns: List[String])
+  /** The scheme in force FROM `commit` (its anchor) onward. `owner`
+    * names the lineage that anchored it (shared-location forks write one
+    * file; the retention fallback must not adopt a foreign state). */
+  final case class SchemeState(
+      commit: String, columns: List[String], owner: Option[String] = None)
 
   private val FileName = "_partitioning.json"
   private val mapper = new ObjectMapper()
@@ -81,7 +84,8 @@ object PartitionEvolution {
       val cs = s.get("columns")
       SchemeState(
         s.get("commit").asText(),
-        (0 until cs.size()).toList.map(cs.get(_).asText()))
+        (0 until cs.size()).toList.map(cs.get(_).asText()),
+        Option(s.get("table")).filterNot(_.isNull).map(_.asText()))
     }
   }
 
@@ -93,6 +97,7 @@ object PartitionEvolution {
     all.foreach { s =>
       val n = mapper.createObjectNode()
       n.put("commit", s.commit)
+      s.owner.foreach(n.put("table", _))
       val cs = n.putArray("columns")
       s.columns.foreach(cs.add)
       arr.add(n)
@@ -103,7 +108,13 @@ object PartitionEvolution {
   }
 
   /** The newest scheme state anchored at-or-before `at` in this table's
-    * lineage; None = never evolved (or `at` predates the first record). */
+    * lineage; None = never evolved (or `at` predates the first record).
+    *
+    * RETENTION FALLBACK (the [[ColumnMapping.stateAt]] rule): when a log
+    * checkpoint folded every anchor out of `at`'s lineage, the newest
+    * state whose anchor predates the whole retained history still
+    * governs — without it a checkpoint would silently flip resolution
+    * back to the definition's scheme. */
   def stateAt(
       spark: SparkSession,
       log: TableVersions,
@@ -112,12 +123,20 @@ object PartitionEvolution {
     val all = states(spark, table)
     if (all.isEmpty) return None
     val byAnchor = all.map(s => s.commit -> s).toMap
+    val retained = log.updates(table.name) // newest first
     val pointer = at.getOrElse(log.currentCommit(table.name))
-    log.updates(table.name)
+    retained
       .dropWhile(_.id != pointer)
       .iterator
       .map(m => byAnchor.get(m.id.id))
       .collectFirst { case Some(s) => s }
+      .orElse {
+        // only MY lineage's pre-horizon states are eligible: a shared-file
+        // fork's states carry its own owner name
+        val ids = retained.map(_.id.id).toSet
+        all.filter(_.owner.forall(_ == table.name.fullyQualifiedName))
+          .filterNot(s => ids(s.commit)).lastOption // states are oldest-first
+      }
   }
 
   /** The partition scheme in force at `at` — registry state when one
@@ -270,13 +289,15 @@ object PartitionEvolution {
     // first evolution (so pre-boundary resolution is explicit), then the
     // new era at the boundary commit
     val existing = states(spark, table)
+    val me = Some(table.name.fullyQualifiedName)
     val seeded =
       if (existing.nonEmpty) existing
       else {
         val first = log.updates(table.name).last.id
-        List(SchemeState(first.id, current.columns.map(_.name)))
+        List(SchemeState(first.id, current.columns.map(_.name), me))
       }
-    write(spark, table, seeded :+ SchemeState(anchor.id, newSchema.columns.map(_.name)))
+    write(spark, table,
+      seeded :+ SchemeState(anchor.id, newSchema.columns.map(_.name), me))
     // the boundary rewrite physically absorbed any deletion vectors
     // (every surviving row was re-written); mark so reads stop resolving
     // the stale pair sidecars
@@ -291,6 +312,8 @@ object PartitionEvolution {
       spark: SparkSession,
       src: TableDefinition,
       state: SchemeState,
-      anchor: CommitId): Unit =
-    write(spark, src, states(spark, src) :+ SchemeState(anchor.id, state.columns))
+      anchor: CommitId,
+      owner: TableName): Unit =
+    write(spark, src, states(spark, src) :+
+      SchemeState(anchor.id, state.columns, Some(owner.fullyQualifiedName)))
 }

@@ -113,14 +113,14 @@ object ShallowClone {
     if (DeletionVectors.hasVectors(spark, log, src, Some(at)))
       DeletionVectors.cloneResolvedState(spark, log, src, at, cloneAnchor)
     ColumnMapping.stateAt(spark, log, src, Some(at)).foreach { s =>
-      ColumnMapping.cloneStateTo(spark, src, s, cloneAnchor)
+      ColumnMapping.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }
     val constraints = Constraints.list(spark, src)
     if (constraints.nonEmpty) Constraints.seed(spark, dstDefn, constraints)
     val generated = GeneratedColumns.list(spark, src)
     if (generated.nonEmpty) GeneratedColumns.seed(spark, dstDefn, generated)
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
-      PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor)
+      PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }
     // linkage tags: pin the cloned state against source vacuum, mark both
     // sides so vacuum refuses while the link lives
