@@ -71,7 +71,10 @@ object CopyInto {
     * CSV/JSON ingest therefore REQUIRES a pinned schema: the explicit one,
     * or the table's current schema when it already has data. Self-describing
     * formats (parquet/ORC) ignore both. `options` feed the reader
-    * (`header`, `delimiter`, …). */
+    * (`header`, `delimiter`, …). NOTE the stock Spark CSV contract: a
+    * user-provided schema maps to CSV columns POSITIONALLY (the header
+    * row is skipped, not used for mapping) — the feed's column order must
+    * match the pinned schema's. JSON maps by field name. */
   def ingest(
       spark: SparkSession,
       ctx: VersionContext,
