@@ -308,7 +308,12 @@ object MaterializedView {
       mvDef: MvDef,
       at: CommitId,
       restrictTo: Option[DataFrame] = None): DataFrame = {
-    val base = DeletionVectors.read(session, binding.log, srcDefn, Some(at))
+    // LOGICAL names: the view definition speaks the source's logical
+    // schema, so a column-mapped source must project physical → logical
+    // before the WHERE/GROUP BY resolve (the change-feed path already does)
+    val base = ColumnMapping.applyLogical(
+      DeletionVectors.read(session, binding.log, srcDefn, Some(at)),
+      session, binding.log, srcDefn, Some(at))
     val basef = mvDef.where.map(w => base.where(expr(w))).getOrElse(base)
     // null-safe semi-join: a NULL group key is a group like any other
     val scoped = restrictTo

@@ -325,4 +325,28 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
       Some("g1") -> ((1L, Some(5L), Some(5L))),
       None -> ((2L, Some(16L), Some(7L))))
   }
+
+  test("an MV over a column-mapped (renamed) source builds and refreshes under logical names") {
+    val (ctx, log, table) = setup("mvc10")
+    (1L to 12L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // rename kind -> label: files keep the physical name, the view speaks
+    // the LOGICAL one
+    ColumnMapping.rename(spark, ctx, table, "kind", "label", user)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvc10.db.mv10 LOCATION '${mvLoc()}'
+         |AS SELECT label, count(*) AS n, min(id) AS min_id
+         |FROM mvc10.db.events GROUP BY label""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvc10", TableName("db", "mv10")).get._2
+    val reader = VersionedReader(spark, log)
+    reader.read(mv).orderBy("label").as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 6L, 2L), ("odd", 6L, 1L))
+
+    // a DV delete of each group's min forces the re-scan path — which must
+    // also resolve the logical name
+    DeletionVectors.delete(ctx, log, table, col("id") <= 2, user, UpdateMessage("dv"))
+    MaterializedView.refresh(spark, "mvc10", mv, user)._3 shouldBe "incremental"
+    reader.read(mv).orderBy("label").as[(String, Long, Long)].collect() shouldBe
+      Array(("even", 5L, 4L), ("odd", 5L, 3L))
+  }
 }
