@@ -122,6 +122,20 @@ object ShallowClone {
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
       PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }
+    // COPY INTO load history: the clone's data already contains the
+    // source's ingested rows, so the loaded-file set must carry — without
+    // it, a COPY INTO on the clone from the same landing dir would
+    // re-ingest (duplicate) them. One metadata-only commit whose message
+    // speaks the clone's own ingest-record shape.
+    val loaded = CopyInto.loadedFiles(log, src.name)
+    if (loaded.nonEmpty) {
+      ctx.metastore.commit(dst, TableUpdate(
+        user, UpdateMessage(
+          s"COPY INTO ${dst.fullyQualifiedName} from clone-carry of " +
+            s"${src.name.fullyQualifiedName} files=[${loaded.toList.sorted.mkString(";")}]"),
+        Instant.now(), Nil))
+      ()
+    }
     // linkage tags: pin the cloned state against source vacuum, mark both
     // sides so vacuum refuses while the link lives
     log.setRef(src.name, CloneTagPrefix + dst.fullyQualifiedName, at, isTag = true)

@@ -130,4 +130,33 @@ class CopyIntoSpec extends AnyFunSuite with Matchers {
     read.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
     read.count() shouldBe 2L
   }
+
+  test("a shallow clone carries the COPY INTO load history: no re-ingest of carried files") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_clone_src"),
+      Files.createTempDirectory("graft_copy_clone").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    val src = Files.createTempDirectory("graft_copy_clone_land")
+    land(src, "b1", Seq((1L, "a"), (2L, "b")))
+    CopyInto.ingest(spark, ctx, t, src.toString, "parquet", user)
+      .ingestedFiles should not be empty
+
+    val clone = ShallowClone.clone(
+      spark, ctx, t, TableName("db", "copy_clone_dst"), user)
+    CopyInto.loadedFiles(log, clone.name) shouldBe CopyInto.loadedFiles(log, t.name)
+
+    // re-running against the same landing dir skips everything (the rows
+    // are already in the cloned data); a NEW file ingests incrementally
+    val rerun = CopyInto.ingest(spark, ctx, clone, src.toString, "parquet", user)
+    rerun.ingestedFiles shouldBe empty
+    land(src, "b2", Seq((3L, "c")))
+    val incr = CopyInto.ingest(spark, ctx, clone, src.toString, "parquet", user)
+    incr.ingestedFiles.map(new org.apache.hadoop.fs.Path(_).getName) shouldBe Seq("b2_0.parquet")
+    VersionedReader(spark, log).read(clone).count() shouldBe 3L
+    // the source is untouched by the clone's ingest
+    VersionedReader(spark, log).read(t).count() shouldBe 2L
+  }
 }
