@@ -44,10 +44,16 @@ import graft.core.TableVersions.{CommitId, TableOperation, TableUpdate, UpdateMe
  *    to the shared mapping file re-anchored at the clone's commit —
  *    renames/drops survive the clone, and each side evolves the mapping
  *    independently through its own lineage;
- *  - table CONSTRAINTS: the clone inherits the source's current list
- *    into its own name-keyed metadata file ([[Constraints]] keys by
- *    table name under the shared location), owning enforcement
- *    independently from then on.
+ *  - table CONSTRAINTS, GENERATED-COLUMN rules, and the IDENTITY
+ *    declaration: the clone inherits the source's current set into its
+ *    own name-keyed metadata files, owning them independently from then
+ *    on; the identity HIGH-WATER MARK rides the clone-state commit
+ *    message so clone writes never re-mint carried ids;
+ *  - the PARTITION-EVOLUTION era registry: the effective scheme
+ *    re-anchors at the clone's commit (owner-tagged in the shared file);
+ *  - the COPY INTO load history: one metadata commit carries the
+ *    source's loaded-file set so the clone never re-ingests rows it
+ *    already holds.
  */
 object ShallowClone {
 
