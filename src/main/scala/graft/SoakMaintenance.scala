@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.{DeletionVectors, MaterializedView, PartitionEvolution, VersionContext}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/**
+ * SCALE SOAK for the round-14 maintenance claims (run on demand, like
+ * [[Soak]]; results land in SOAK_r14.json):
+ *
+ * 1. MV INCREMENTAL REFRESH IS NEVER O(source). The falsifiable SCALE
+ *    claim is FLATNESS: the refresh cost is bounded by the changed set +
+ *    the touched groups' rows + fixed stage overheads, NONE of which grow
+ *    with the untouched remainder — so scaling the corpus N× with the
+ *    delete held constant must leave the incremental cost ~flat while
+ *    the FULL rebuild tracks the corpus. Guard: incremental(N×) ≤ 2 ×
+ *    incremental(1×) (a refresh that secretly re-scanned the source
+ *    would grow ~N×). NB at local sf0.1 sizes the fixed overheads of the
+ *    feed pipeline exceed one in-cache source scan, so full-vs-
+ *    incremental ABSOLUTE comparisons measure constants, not asymptotics
+ *    — the reported full times are context, not a guard.
+ *
+ * 2. PARTITION EVOLUTION IS ONE LINEAR SHUFFLE. Claim: the boundary
+ *    rewrite costs one repartition of the live rows — linear in corpus
+ *    size. Measured: evolve seconds at 1× and REPLICA×. Guard: scaled ≤
+ *    2 × scale × base (the [[Soak]] disjoint-regime headroom; a
+ *    quadratic blowup at scale 4 would show ~16×).
+ *
+ * Usage: SPARK_GRAFT_SOAK_SCALE=4 sbt "runMain graft.SoakMaintenance"
+ * Emits one JSON line per measurement + a summary; exits non-zero on a
+ * guard violation.
+ */
+object SoakMaintenance {
+
+  private val user = UserId("soak-maint")
+
+  private def time[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = graft.queries.Tables.load(spark, base, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    // replicas shift the order keys into disjoint ranges: same group
+    // geometry (returnflag/linestatus), N× the rows
+    def replicated(n: Int): DataFrame =
+      (0 until n).map(k => li.withColumn(
+        "l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+
+    var failed = List.empty[String]
+    def guard(name: String, ok: Boolean, detail: String): Unit = {
+      println(s"""{"check":"$name","ok":$ok,"detail":"$detail"}""")
+      if (!ok) failed ::= name
+    }
+
+    // ---------------------------------------------------------------- MV
+    // the corpus carries a 1000-ary bucket key so the touched-group
+    // fraction stays ~0.1% at every scale, and the delete is confined to
+    // the FIRST replica's key range so the changed set is CONSTANT — the
+    // two premises of the flatness claim
+    def mvRound(tag: String, rows: DataFrame): (Double, Double) = {
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val cat = s"soakmv$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.spark.GraftTableCatalog].getName)
+      graft.spark.GraftTableCatalog.bind(cat, log)
+      val t = TableDefinition(
+        TableName("db", s"mvsrc$tag"),
+        Files.createTempDirectory(s"graft_soakmv_$tag").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      graft.spark.GraftTableCatalog.register(cat, t)
+      rows.withColumn("l_bucket", col("l_orderkey") % 1000)
+        .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      val mvLoc = Files.createTempDirectory(s"graft_soakmv_loc_$tag").toUri
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.db.mv$tag
+           |LOCATION '$mvLoc'
+           |AS SELECT l_bucket, count(*) AS n, sum(l_quantity) AS s,
+           |          min(l_quantity) AS mn
+           |FROM $cat.db.mvsrc$tag GROUP BY l_bucket""".stripMargin)
+      val mv = TableDefinition(
+        TableName("db", s"mv$tag"), mvLoc, PartitionSchema.snapshot, FileFormat.Parquet)
+      // a CONSTANT-SIZE delete confined to one bucket of the first
+      // replica (min/max present → the re-scan path exercises)
+      DeletionVectors.delete(ctx, log, t,
+        col("l_bucket") === 0 && col("l_orderkey") < 100000000L,
+        user, UpdateMessage("dv"))
+      val (incSec, _) = time(MaterializedView.refresh(spark, cat, mv, user))
+      val (fullSec, _) = time(MaterializedView.refresh(spark, cat, mv, user, full = true))
+      (incSec, fullSec)
+    }
+
+    mvRound("w", li) // warm-up: codegen + stage classes, discarded
+    val (inc1, full1) = mvRound("b", li)
+    val (incN, fullN) = mvRound("s", replicated(scale))
+    println(s"""{"metric":"mv_refresh","base":{"incremental":$inc1,"full":$full1},""" +
+      s""""scaled_${scale}x":{"incremental":$incN,"full":$fullN}}""")
+    guard("mv_incremental_flat",
+      incN <= 2.0 * inc1,
+      f"scaled incremental $incN%.2fs vs base $inc1%.2fs (flatness bound 2x)")
+
+    // ---------------------------------------------------------- evolution
+    def evolveRound(tag: String, rows: DataFrame): Double = {
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val t = TableDefinition(
+        TableName("db", s"evo$tag"),
+        Files.createTempDirectory(s"graft_soakevo_$tag").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      rows.versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      val (sec, _) = time(PartitionEvolution.evolve(
+        spark, ctx, t, PartitionSchema(List(PartitionColumn("l_linestatus"))), user))
+      sec
+    }
+
+    val evo1 = evolveRound("b", li)
+    val evoN = evolveRound("s", replicated(scale))
+    println(s"""{"metric":"evolve","base":$evo1,"scaled_${scale}x":$evoN,"scale":$scale}""")
+    guard("evolve_linear",
+      evoN <= 2.0 * scale * evo1,
+      f"scaled $evoN%.2fs vs base $evo1%.2fs at scale $scale (bound 2x scale)")
+
+    println(s"""{"summary":"soak-maintenance","scale":$scale,""" +
+      s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
