@@ -88,7 +88,6 @@ object ColumnMapping {
   private def write(
       spark: SparkSession, table: TableDefinition, all: List[State]): Unit = {
     val p = filePath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val arr = mapper.createArrayNode()
     all.foreach { s =>
       val n = mapper.createObjectNode()
@@ -105,9 +104,8 @@ object ColumnMapping {
       n.set("entries", es)
       arr.add(n)
     }
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
   /** The mapping in force at `at` (default: the current pointer): the

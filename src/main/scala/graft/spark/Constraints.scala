@@ -91,18 +91,14 @@ object Constraints {
   private def write(
       spark: SparkSession, table: TableDefinition, cs: List[Constraint]): Unit = {
     val p = keyedPath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val arr = mapper.createArrayNode()
     cs.foreach { c =>
       val n = mapper.createObjectNode()
       n.put("name", c.name); n.put("kind", c.kind); n.put("expr", c.expr)
       arr.add(n)
     }
-    // overwrite-via-create is atomic enough for driver-side DDL metadata
-    // (single-writer DDL, same posture as the catalog's declared schema)
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
   /** Violation predicate (true = row violates `c`). */

@@ -123,10 +123,8 @@ object GeneratedColumns {
       arr.add(n)
     }
     val p = filePath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
   /** The write-path gate: compute absent generated columns, validate

@@ -85,10 +85,8 @@ object IdentityColumns {
     val node = mapper.createObjectNode()
     node.put("column", column)
     val p = declFile(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(node))
   }
 
   /** Declare `column` as the table's engine-assigned identity column

@@ -430,10 +430,8 @@ object MaterializedView {
       a.add(o)
     }
     val p = filePath(mv)
-    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      session.sessionState.newHadoopConf(), p, mapper.writeValueAsString(n))
   }
 
   def readDef(session: SparkSession, mv: TableDefinition): MvDef = {

@@ -92,7 +92,6 @@ object PartitionEvolution {
   private def write(
       spark: SparkSession, table: TableDefinition, all: List[SchemeState]): Unit = {
     val p = filePath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val arr = mapper.createArrayNode()
     all.foreach { s =>
       val n = mapper.createObjectNode()
@@ -102,9 +101,8 @@ object PartitionEvolution {
       s.columns.foreach(cs.add)
       arr.add(n)
     }
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8"))
-    finally out.close()
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
   /** The newest scheme state anchored at-or-before `at` in this table's
