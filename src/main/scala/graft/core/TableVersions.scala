@@ -129,12 +129,26 @@ trait TableVersions {
       table: TableName,
       update: TableUpdate,
       readCommit: CommitId,
-      maxRetries: Int = 8): CommitId = {
+      maxRetries: Int = 8,
+      wholeTableScope: Boolean = false,
+      revalidate: () => Unit = () => ()): CommitId = {
     import TableVersions._
-    val mine = conflictScope(update.operations)
+    // `wholeTableScope` widens THIS update's scope to the whole table
+    // regardless of its ops — a restructuring commit (partition-scheme
+    // evolution) must conflict with EVERY intervening commit, including
+    // disjoint new partitions its rewrite could not have seen.
+    // `revalidate` runs once per CAS attempt after the state snapshot and
+    // before the conditional commit: a guard that throws here is ordered
+    // strictly before this attempt's head check, so a concurrent commit
+    // landing after the guard passed simply fails the CAS and re-runs the
+    // guard — the validate-then-commit TOCTOU window is closed.
+    val mine =
+      if (wholeTableScope) (WholeTable: ConflictScope)
+      else conflictScope(update.operations)
     var attempts = 0
     while (true) {
       val state = tableState(table)
+      revalidate()
       val idxRead = state.updates.indexWhere(_.metadata.id == readCommit)
       if (idxRead < 0) throw unknownCommitId(readCommit)
       val head = state.currentVersion

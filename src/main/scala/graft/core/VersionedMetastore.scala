@@ -70,8 +70,12 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
   def commitRebase(
       table: TableName,
       update: TableUpdate,
-      readCommit: CommitId): (TableVersion, TableChanges) = {
-    tableVersions.commitRebase(table, update, readCommit)
+      readCommit: CommitId,
+      wholeTableScope: Boolean = false,
+      revalidate: () => Unit = () => ()): (TableVersion, TableChanges) = {
+    tableVersions.commitRebase(
+      table, update, readCommit,
+      wholeTableScope = wholeTableScope, revalidate = revalidate)
     syncCatalog(table)
   }
 

@@ -112,12 +112,17 @@ object CopyInto {
     if (fresh.isEmpty)
       return Result(Nil, candidates, 0L, None)
 
+    // the table's current state in LOGICAL names: everything COPY INTO
+    // derives from it (the pinned-schema fallback, the copy-on-write
+    // union) enters the logical->physical write pipeline, so a raw
+    // (physical-named) read would misresolve renamed columns
+    lazy val currentLogical = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, log, table), spark, log, table, None)
     val reader0 = spark.read.format(format).options(options)
     val reader = format.toLowerCase match {
       case "csv" | "json" =>
         val pinned = schema.orElse {
-          val current = DeletionVectors.read(spark, log, table)
-          if (current.columns.nonEmpty) Some(current.schema) else None
+          if (currentLogical.columns.nonEmpty) Some(currentLogical.schema) else None
         }.getOrElse(throw new IllegalArgumentException(
           s"COPY INTO from $format needs a pinned schema: pass one explicitly " +
             "or load the table's first data through a self-describing format " +
@@ -129,7 +134,7 @@ object CopyInto {
     val rows = batch.count()
     // copy-on-write append: union with the current contents of the touched
     // partitions only (a snapshot table unions with its whole state)
-    val current = DeletionVectors.read(spark, log, table)
+    val current = currentLogical
     val toWrite: DataFrame =
       if (current.columns.isEmpty) batch
       else if (table.isSnapshot) current.unionByName(batch, allowMissingColumns = true)

@@ -219,15 +219,21 @@ private[spark] object GraftMaintenanceSql {
 
   private def split(ident: String): Seq[String] = ident.split("\\.").toSeq
 
-  /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. */
-  private val OptionPair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+  /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. The body
+    * is scanned with the pair regex (never pre-split on commas: a quoted
+    * VALUE may itself contain one — `'sep' = ','`), and full coverage is
+    * verified so a malformed stretch between pairs still fails loudly. */
+  private val OptionPair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*(,|$)""".r
   private def parseOptionPairs(body: String): Map[String, String] =
-    Option(body).filter(_.trim.nonEmpty).toSeq
-      .flatMap(_.split(",").toSeq.map {
-        case OptionPair(k, v) => k -> v
-        case other => sys.error(
-          s"FORMAT_OPTIONS expects 'key' = 'value' pairs, got '${other.trim}'")
-      }).toMap
+    Option(body).filter(_.trim.nonEmpty).map { b =>
+      val ms = OptionPair.findAllMatchIn(b).toList
+      val covered = ms.headOption.exists(_.start == 0) &&
+        ms.zip(ms.drop(1)).forall { case (a, c) => a.end == c.start } &&
+        ms.lastOption.exists(_.end == b.length)
+      if (!covered) sys.error(
+        s"FORMAT_OPTIONS expects 'key' = 'value' pairs, got '${b.trim}'")
+      ms.map(m => m.group(1) -> m.group(2)).toMap
+    }.getOrElse(Map.empty)
 
   private def isGraftCatalogRef(parts: Seq[String]): Boolean = parts match {
     case Seq(cat, _, _) =>

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, raise_error, when}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -664,12 +664,20 @@ private[spark] object GraftV2Table {
       case None => data
       case Some(c) =>
         val supplied = data.columns.find(_.equalsIgnoreCase(c))
-        supplied.foreach { cc =>
-          require(data.where(col(cc).isNotNull).isEmpty,
-            s"identity column $c is GENERATED ALWAYS — the batch must not supply values")
+        // a supplied non-NULL id rejects INSIDE the staged write's own
+        // pass (the Constraints.enforced raise_error posture) — a
+        // separate pre-pass action would execute the source query twice
+        // and, for a nondeterministic source, check different rows than
+        // the write lands
+        val checked = supplied.fold(data) { cc =>
+          data.filter(coalesce(
+            when(col(cc).isNotNull, raise_error(lit(
+              s"identity column $c is GENERATED ALWAYS — the batch must " +
+                "not supply values"))),
+            lit(true)))
         }
         hwmAtStamp = IdentityColumns.effectiveHighWaterMark(spark, binding.log, defn, c)
-        IdentityColumns.stamped(supplied.map(data.drop(_)).getOrElse(data), c, hwmAtStamp)
+        IdentityColumns.stamped(supplied.map(checked.drop(_)).getOrElse(checked), c, hwmAtStamp)
     }
     val (toWrite, pinned) =
       if (overwrite) (data0, None)

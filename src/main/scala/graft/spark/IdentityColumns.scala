@@ -155,11 +155,25 @@ object IdentityColumns {
       log: TableVersions,
       table: TableDefinition,
       column: String): Long =
-    markAt(log, table.name, column, log.currentCommit(table.name)).getOrElse {
-      val raw = VersionedReader(spark, log).read(table)
+    effectiveHighWaterMarkAt(spark, log, table, column, None)
+
+  /** As-of form of [[effectiveHighWaterMark]] — the shallow-clone carry
+    * resolves the source's mark AT the cloned state with the same scan
+    * fallback as the write path: a checkpoint that folded the mark out of
+    * retained history must not make the clone re-mint carried ids. */
+  private[spark] def effectiveHighWaterMarkAt(
+      spark: org.apache.spark.sql.SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      column: String,
+      asOf: Option[TableVersions.CommitId]): Long = {
+    val at = asOf.getOrElse(log.currentCommit(table.name))
+    markAt(log, table.name, column, at).getOrElse {
+      val reader = VersionedReader(spark, log)
+      val raw = asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table))
       if (raw.columns.isEmpty) 0L
       else {
-        val logical = ColumnMapping.applyLogical(raw, spark, log, table, None)
+        val logical = ColumnMapping.applyLogical(raw, spark, log, table, asOf)
         if (!logical.columns.exists(_.equalsIgnoreCase(column))) 0L
         else {
           val r = logical.agg(org.apache.spark.sql.functions.max(
@@ -168,6 +182,7 @@ object IdentityColumns {
         }
       }
     }
+  }
 
   /** The mark text appended to a commit message — shared by the write
     * path and the shallow-clone state commit. */
@@ -263,6 +278,10 @@ object IdentityColumns {
     var attempts = 0
     while (true) {
       val expected = log.currentCommit(table.name)
+      // same critical-section discipline as the hwm check below: a
+      // partition-scheme boundary landing after this guard moves the
+      // head, so the commitIf refuses and the guard re-runs
+      PartitionEvolution.requireCurrentScheme(spark, log, table)
       val hwmNow = effectiveHighWaterMark(spark, log, table, column)
       if (hwmNow != stampBase)
         throw new TableVersions.ConcurrentWriteException(

@@ -39,10 +39,16 @@ import graft.spark.VersionContext.DatasetVersionOps
  * that never evolved has no registry and reads its definition's scheme.
  *
  * Safety rails:
- *  - every versioned write checks the registry ([[requireCurrentScheme]],
- *    riding the shared pre-write pipeline): a STALE writer holding the
- *    pre-evolution definition refuses loudly instead of landing
- *    old-scheme dirs into the new era;
+ *  - every versioned write checks the registry ([[requireCurrentScheme]])
+ *    TWICE: at stage time (shared pre-write pipeline, fail before paying
+ *    the write job) and again INSIDE its commit's head-CAS critical
+ *    section — the boundary writes its new era as a pre-commit INTENT
+ *    (pending registry state) and commits whole-table-scoped, so a
+ *    writer that staged old-scheme dirs before the boundary cannot
+ *    commit them after it (the CAS fails, the re-run guard sees the
+ *    landed era and refuses loudly). Branch (WAP) writes stage detached
+ *    and validate only at stage time — publishing a pre-boundary branch
+ *    after an evolution is the operator's re-derive responsibility;
  *  - incremental readers ([[VersionedReader.readChanges]],
  *    [[ChangeFeed]]) refuse ranges that CROSS a boundary — the two eras'
  *    reconstructed logical schemas differ by their partition columns, so
@@ -56,7 +62,8 @@ object PartitionEvolution {
     * names the lineage that anchored it (shared-location forks write one
     * file; the retention fallback must not adopt a foreign state). */
   final case class SchemeState(
-      commit: String, columns: List[String], owner: Option[String] = None)
+      commit: String, columns: List[String], owner: Option[String] = None,
+      pending: Boolean = false)
 
   private val FileName = "_partitioning.json"
   private val mapper = new ObjectMapper()
@@ -85,7 +92,8 @@ object PartitionEvolution {
       SchemeState(
         s.get("commit").asText(),
         (0 until cs.size()).toList.map(cs.get(_).asText()),
-        Option(s.get("table")).filterNot(_.isNull).map(_.asText()))
+        Option(s.get("table")).filterNot(_.isNull).map(_.asText()),
+        Option(s.get("pending")).exists(_.asBoolean(false)))
     }
   }
 
@@ -97,6 +105,7 @@ object PartitionEvolution {
       val n = mapper.createObjectNode()
       n.put("commit", s.commit)
       s.owner.foreach(n.put("table", _))
+      if (s.pending) n.put("pending", true)
       val cs = n.putArray("columns")
       s.columns.foreach(cs.add)
       arr.add(n)
@@ -118,10 +127,26 @@ object PartitionEvolution {
       log: TableVersions,
       table: TableDefinition,
       at: Option[CommitId]): Option[SchemeState] = {
-    val all = states(spark, table)
+    val raw = states(spark, table)
+    if (raw.isEmpty) return None
+    val retained = log.updates(table.name) // newest first
+    val ids = retained.map(_.id.id).toSet
+    // PENDING states are an evolve's pre-commit INTENT (written before
+    // the boundary commit so the commit-time write guard observes the
+    // era flip atomically with the commit). Anchor landed in the log =>
+    // the boundary committed and the evolve crashed before finalizing —
+    // adopt the state and persist the finalization here (idempotent,
+    // rare). Anchor NOT in the log => the evolve is in flight or crashed
+    // before its commit — the state must not govern and must never
+    // hijack the pre-horizon fallback.
+    if (raw.exists(s => s.pending && ids(s.commit)))
+      write(spark, table,
+        raw.map(s => if (s.pending && ids(s.commit)) s.copy(pending = false) else s))
+    val all = raw
+      .map(s => if (s.pending && ids(s.commit)) s.copy(pending = false) else s)
+      .filterNot(_.pending)
     if (all.isEmpty) return None
     val byAnchor = all.map(s => s.commit -> s).toMap
-    val retained = log.updates(table.name) // newest first
     val pointer = at.getOrElse(log.currentCommit(table.name))
     retained
       .dropWhile(_.id != pointer)
@@ -131,7 +156,6 @@ object PartitionEvolution {
       .orElse {
         // only MY lineage's pre-horizon states are eligible: a shared-file
         // fork's states carry its own owner name
-        val ids = retained.map(_.id.id).toSet
         all.filter(_.owner.forall(_ == table.name.fullyQualifiedName))
           .filterNot(s => ids(s.commit)).lastOption // states are oldest-first
       }
@@ -246,18 +270,83 @@ object PartitionEvolution {
     val message = UpdateMessage(
       s"EVOLVE PARTITIONING to (${newSchema.columns.map(_.name).mkString(", ")}) " +
         s"from (${current.columns.map(_.name).mkString(", ")})")
-    val anchor: CommitId =
+    val me = Some(table.name.fullyQualifiedName)
+
+    // era registry base: seed the pre-boundary era at the table's first
+    // commit on the first evolution (so pre-boundary resolution is
+    // explicit), finalize any landed pending left by a crashed evolve,
+    // and prune danglings whose boundary never committed
+    def seededStates(): List[SchemeState] = {
+      val ids = log.updates(table.name).map(_.id.id).toSet
+      val existing = states(spark, table)
+        .map(st => if (st.pending && ids(st.commit)) st.copy(pending = false) else st)
+        .filterNot(st => st.pending && !ids(st.commit))
+      if (existing.nonEmpty) existing
+      else {
+        val first = log.updates(table.name).last.id
+        List(SchemeState(first.id, current.columns.map(_.name), me))
+      }
+    }
+
+    // INTENT-then-commit: the new era lands in the registry as a PENDING
+    // state BEFORE the boundary commit, so the write-path guard (which
+    // re-validates inside its commit CAS) observes the flip atomically
+    // with the commit — a writer that staged old-scheme dirs before the
+    // boundary can never commit them after it. A crash between intent and
+    // commit leaves a dangling pending state that never governs; a crash
+    // between commit and finalize leaves a landed pending state that
+    // [[stateAt]] adopts and finalizes lazily. The commit itself is
+    // WHOLE-TABLE scoped: a restructuring must conflict with every
+    // intervening commit, including disjoint new partitions its rewrite
+    // could not have seen.
+    def committedBoundary(update: TableVersions.TableUpdate): CommitId = {
+      val mine = update.metadata.id.id
+      write(spark, table, seededStates() :+
+        SchemeState(mine, newSchema.columns.map(_.name), me, pending = true))
+      try {
+        ctx.metastore.commitRebase(
+          table.name, update, readCommit, wholeTableScope = true)
+        ()
+      } catch {
+        case t: Throwable =>
+          // surgical rollback: drop only OUR intent — the file may have
+          // been rewritten by a concurrent evolve since
+          try {
+            val cur = states(spark, table)
+            if (cur.exists(_.commit == mine))
+              write(spark, table, cur.filterNot(_.commit == mine))
+          } catch { case _: Throwable => () } // dangling pending never governs
+          throw t
+      }
+      // finalize: re-read (racing registry writers may have moved the
+      // file) and mark ours landed, re-appending if a racer dropped it
+      val cur = states(spark, table)
+      if (cur.exists(_.commit == mine))
+        write(spark, table,
+          cur.map(st => if (st.commit == mine) st.copy(pending = false) else st))
+      else
+        write(spark, table,
+          cur :+ SchemeState(mine, newSchema.columns.map(_.name), me))
+      update.metadata.id
+    }
+
+    // the boundary anchor: committed (or, for an empty no-op boundary,
+    // the read commit the registry re-anchors at)
+    val _: CommitId =
       if (rows.columns.isEmpty || rows.isEmpty) {
         // empty table: the boundary is metadata-only — drop any lingering
         // old-scheme pointers in one commit (usually none)
         val removes = before.keys.toList.map(TableOperation.RemovePartition(_))
-        if (removes.isEmpty) readCommit
-        else {
-          val update = TableVersions.TableUpdate(
-            user, message, java.time.Instant.now(), removes)
-          ctx.metastore.commitRebase(table.name, update, readCommit)
-          update.metadata.id
-        }
+        if (removes.isEmpty) {
+          // nothing to commit: the registry write IS the boundary,
+          // anchored at the already-landed read commit — one atomic
+          // write, no crash window to stage through
+          write(spark, table, seededStates() :+
+            SchemeState(readCommit.id, newSchema.columns.map(_.name), me))
+          readCommit
+        } else
+          committedBoundary(TableVersions.TableUpdate(
+            user, message, java.time.Instant.now(), removes))
       } else {
         // one shuffle keyed by the new partition columns (salted when one
         // new partition exceeds a single writer's comfort)
@@ -279,23 +368,9 @@ object PartitionEvolution {
           .map(TableOperation.RemovePartition(_))
         val update = staged.update.copy(
           operations = staged.update.operations ++ removes)
-        ctx.metastore.commitRebase(table.name, update, readCommit)
-        update.metadata.id
+        committedBoundary(update)
       }
 
-    // era registry: seed the base era at the table's first commit on the
-    // first evolution (so pre-boundary resolution is explicit), then the
-    // new era at the boundary commit
-    val existing = states(spark, table)
-    val me = Some(table.name.fullyQualifiedName)
-    val seeded =
-      if (existing.nonEmpty) existing
-      else {
-        val first = log.updates(table.name).last.id
-        List(SchemeState(first.id, current.columns.map(_.name), me))
-      }
-    write(spark, table,
-      seeded :+ SchemeState(anchor.id, newSchema.columns.map(_.name), me))
     // the boundary rewrite physically absorbed any deletion vectors
     // (every surviving row was re-written); mark so reads stop resolving
     // the stale pair sidecars

@@ -101,10 +101,15 @@ object ShallowClone {
     // from a fresh mark of 0 would collide with the carried rows' ids
     val identityMark = IdentityColumns.declared(spark, src).map { c =>
       IdentityColumns.seedDeclaration(spark, dstDefn, c)
+      // resolve like the WRITE path (lineage mark, else max(id) over the
+      // cloned state, DV-hidden rows included): a checkpoint that folded
+      // the source's mark must not carry hwm=0 and re-mint carried ids
       " " + IdentityColumns.markText(
-        c, IdentityColumns.highWaterMarkAt(log, src.name, c, at))
+        c, IdentityColumns.effectiveHighWaterMarkAt(spark, log, src, c, Some(at)))
     }.getOrElse("")
-    if (ops.nonEmpty) {
+    // the mark must ride a commit even when the cloned state has no ops
+    // (an empty-state clone still inherits the never-reuse-ids contract)
+    if (ops.nonEmpty || identityMark.nonEmpty) {
       ctx.metastore.commit(dst, TableUpdate(
         user, UpdateMessage(
           s"clone state of ${src.name.fullyQualifiedName} @ ${at.id}$identityMark"),

@@ -57,8 +57,50 @@ object VersionContext {
     * failure before the commit point the staged version dirs stay
     * unreferenced — vacuum's ordinary orphan posture, no cleanup step. */
   def commitTransaction(ctx: VersionContext, staged: Seq[StagedCommit]): Unit = {
+    // scheme re-validation at the commit step: each staged table must
+    // still carry its current era. commitAll has no per-table CAS loop,
+    // so a boundary landing inside this tiny metadata window is caught
+    // by the boundary's own whole-table conflict scope only when it
+    // commits AFTER this transaction — the remaining exposure is an
+    // evolve racing a multi-table txn at microsecond granularity.
+    val spark = org.apache.spark.sql.SparkSession.active
+    staged.foreach(s => PartitionEvolution.requireCurrentScheme(
+      spark, ctx.metastore.tableVersions, s.table))
     ctx.metastore.commitAll(staged.map(s => s.table.name -> s.update))
     ()
+  }
+
+  /** Plain-commit discipline with the [[PartitionEvolution]] stale-scheme
+    * guard re-run INSIDE the head-CAS critical section: per attempt, read
+    * the head, re-validate the scheme at it, then commit iff the head is
+    * unchanged. An evolution boundary landing after the guard passed
+    * necessarily moves the head, failing the CAS and re-running the
+    * guard against the new registry state — the validate-then-commit
+    * TOCTOU window of a stage-time-only check is closed. Disjoint
+    * concurrent writers just re-target the CAS (same composition as
+    * plain commit; the retry bound only trips under pathological
+    * contention). */
+  private def commitSchemeGuarded(
+      spark: org.apache.spark.sql.SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      update: TableUpdate): (TableVersion, TableChanges) = {
+    val log = ctx.metastore.tableVersions
+    var attempts = 0
+    while (true) {
+      val head = log.currentCommit(table.name)
+      PartitionEvolution.requireCurrentScheme(spark, log, table)
+      ctx.metastore.commitIf(table.name, update, head) match {
+        case Some(r) => return r
+        case None =>
+          attempts += 1
+          if (attempts > 64)
+            throw new ConcurrentWriteException(
+              s"table ${table.name.fullyQualifiedName}: commit lost the head " +
+                s"CAS $attempts times under contention; giving up")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Enrichment giving `Dataset[T]` the reference's headline write API. */
@@ -106,7 +148,7 @@ object VersionContext {
       val removes = alsoRemove.distinct.filterNot(present)
         .map(TableOperation.RemovePartition(_)).toList
       val update = TableUpdate(userId, message, Instant.now(), written ++ removes, txn)
-      ctx.metastore.commit(table.name, update)
+      commitSchemeGuarded(ds.sparkSession, ctx, table, update)
     }
 
     /** Optimistic-concurrency variant of [[versionedInsertInto]]: the data
@@ -190,7 +232,10 @@ object VersionContext {
       // would be a junk history entry with whole-table conflict scope
       if (ops.isEmpty) return readCommit
       val update = TableUpdate(userId, message, Instant.now(), ops, txn)
-      ctx.metastore.commitRebase(table.name, update, readCommit)
+      ctx.metastore.commitRebase(
+        table.name, update, readCommit,
+        revalidate = () => PartitionEvolution.requireCurrentScheme(
+          ds.sparkSession, ctx.metastore.tableVersions, table))
       update.metadata.id
     }
 
@@ -205,6 +250,11 @@ object VersionContext {
       val ops =
         if (table.isSnapshot) List(writeSnapshot(mapped, table, version))
         else writePartitioned(mapped, table, version)
+      // scheme re-validation at commit time: an evolution landing after
+      // this check necessarily moved the head, so the commitIf below
+      // refuses — validate-then-commit has no stale-scheme window
+      PartitionEvolution.requireCurrentScheme(
+        ds.sparkSession, ctx.metastore.tableVersions, table)
       ctx.metastore.commitIf(
         table.name, TableUpdate(userId, message, Instant.now(), ops), expected)
     }

@@ -258,4 +258,117 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     reader.read(evolved).as[Event].collect().sortBy(_.id) shouldBe
       (events :+ Event(11, "zz", "2024-03-03")).toArray
   }
+
+  // ---- intent-then-commit crash/race coverage (round 15) ----
+
+  private def registryPath(t: TableDefinition) =
+    Paths.get(t.location).resolve("_partitioning.json")
+
+  test("a writer that STAGED before the boundary cannot COMMIT after it (commit-time guard)") {
+    val (ctx, log) = fresh()
+    val t = table("evo_race_commit", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "x", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // stage with the OLD definition — the stage-time guard passes (no
+    // registry yet), and the data lands as unreferenced version dirs
+    val staged = Seq(Event(2, "y", "2024-01-02")).toDS()
+      .versionedStage(ctx, t, user, UpdateMessage("staged before boundary"))
+
+    PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+
+    // the deferred commit must now refuse: old-scheme dirs cannot land in
+    // the post-boundary fold
+    (the[IllegalStateException] thrownBy {
+      VersionContext.commitTransaction(ctx, Seq(staged))
+    }).getMessage should include("stale scheme")
+    log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        all(pvs.keys.map(_.hivePath)) should startWith("kind=")
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("a crash between the boundary commit and the registry finalize still resolves the new era") {
+    val (ctx, log) = fresh()
+    val t = table("evo_crash_finalize", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "x", "2024-01-01"), Event(2, "y", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+
+    // simulate the crash: un-finalize the boundary entry (pending=true is
+    // exactly the on-disk state between commit and finalize)
+    val text = new String(Files.readAllBytes(registryPath(t)), "UTF-8")
+    text should not include "pending"
+    val unfinalized = text.replace("{\"commit\"", "{\"pending\":true,\"commit\"")
+    Files.write(registryPath(t), unfinalized.getBytes("UTF-8"))
+
+    // a landed pending state governs — and resolution finalizes the file
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+    new String(Files.readAllBytes(registryPath(t)), "UTF-8") should not include "pending"
+  }
+
+  test("a dangling pending intent (crash before the boundary commit) never governs") {
+    val (ctx, log) = fresh()
+    val t = table("evo_dangling", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "x", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // what a crashed evolve leaves: a pending state whose anchor never landed
+    val intent = "[{\"commit\":\"never-landed-commit\",\"table\":\"test.evo_dangling\"," +
+      "\"pending\":true,\"columns\":[\"kind\"]}]"
+    Files.write(registryPath(t), intent.getBytes("UTF-8"))
+
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("date")
+    // ordinary writes keep working under the real scheme
+    Seq(Event(2, "y", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v2"))
+    VersionedReader(spark, log).read(t).count() shouldBe 2L
+  }
+
+  test("evolve conflicts with ANY intervening commit — disjoint new partitions included — and rolls back its intent") {
+    val (ctx, log) = fresh()
+    val t = table("evo_whole_table", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    Seq(Event(1, "x", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // the competing writer lands a BRAND-NEW partition (disjoint from the
+    // rewrite's read state) inside evolve's stage window
+    var fired = false
+    val racy = ctx.copy(newVersion = () => {
+      if (!fired) {
+        fired = true
+        Seq(Event(50, "z", "2024-06-01")).toDS()
+          .versionedInsertInto(ctx, t, user, UpdateMessage("racing insert"))
+        ()
+      }
+      Version.generateVersion()
+    })
+
+    val boom = intercept[TableVersions.ConcurrentWriteException] {
+      PartitionEvolution.evolve(
+        spark, racy, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    }
+    boom.getMessage should include("overlaps this write's scope")
+
+    // intent rolled back: the registry never flips the scheme, no pending
+    // entry survives, and BOTH rows live under the old scheme
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("date")
+    if (Files.exists(registryPath(t)))
+      new String(Files.readAllBytes(registryPath(t)), "UTF-8") should not include "pending"
+    VersionedReader(spark, log).read(t).count() shouldBe 2L
+    // and a clean evolve afterwards succeeds, carrying every row across
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    VersionedReader(spark, log).read(evolved).count() shouldBe 2L
+  }
 }

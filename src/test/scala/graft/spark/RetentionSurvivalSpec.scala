@@ -111,4 +111,50 @@ class RetentionSurvivalSpec extends AnyFunSuite with Matchers {
     ids.distinct.length shouldBe ids.length
     ids.filter(_ > hwm1).length shouldBe 5 // the new batch sits above the old max
   }
+
+  test("a shallow clone carries the identity mark even after a checkpoint folded it away") {
+    val (ctx, log, t) = durable("id_clone_ckpt")
+    IdentityColumns.declare(spark, ctx, t, "row_id", user)
+    IdentityColumns.insertWithIdentity(
+      (1L to 10L).map(i => (i, "a")).toDF("v", "date"), ctx, t, "row_id",
+      user, UpdateMessage("b1"))
+    val hwm1 = IdentityColumns.currentHighWaterMark(log, t.name, "row_id")
+    hwm1 should be > 0L
+    (1 to 3).foreach(i =>
+      Seq((100L + i, Option.empty[Long], s"2024-02-0$i")).toDF("v", "row_id", "date")
+        .versionedInsertInto(ctx, t, user, UpdateMessage(s"plain $i")))
+    log.checkpoint(t.name, keepLast = 1) shouldBe true
+    IdentityColumns.currentHighWaterMark(log, t.name, "row_id") shouldBe 0L // marks folded
+
+    // the clone-state commit must carry the SCAN-RESOLVED mark, not the
+    // folded lineage's 0 — otherwise the clone's first insert re-mints
+    // ids already present in the carried rows
+    val dst = TableName("db", "id_clone_dst")
+    val dstDefn = ShallowClone.clone(spark, ctx, t, dst, user)
+    IdentityColumns.currentHighWaterMark(log, dst, "row_id") shouldBe hwm1
+
+    IdentityColumns.insertWithIdentity(
+      (11L to 15L).map(i => (i, "b")).toDF("v", "date"), ctx, dstDefn, "row_id",
+      user, UpdateMessage("clone b2"))
+    val ids = VersionedReader(spark, log).read(dstDefn)
+      .where(col("row_id").isNotNull).select("row_id").as[Long].collect()
+    ids.distinct.length shouldBe ids.length // no collision with carried ids
+  }
+
+  test("cloning an identity table with an empty state still commits the mark") {
+    val (ctx, log, t) = durable("id_clone_empty")
+    IdentityColumns.declare(spark, ctx, t, "row_id", user)
+    val dst = TableName("db", "id_clone_empty_dst")
+    val dstDefn = ShallowClone.clone(spark, ctx, t, dst, user)
+    // the declaration carried, and the mark rode a commit (hwm=0 is real
+    // state, not an accident of a missing commit)
+    IdentityColumns.declared(spark, dstDefn) shouldBe Some("row_id")
+    log.updates(dst).map(_.message.content)
+      .exists(_.contains("identity:row_id hwm=0")) shouldBe true
+    IdentityColumns.insertWithIdentity(
+      Seq((1L, "a")).toDF("v", "date"), ctx, dstDefn, "row_id",
+      user, UpdateMessage("first"))
+    VersionedReader(spark, log).read(dstDefn)
+      .select("row_id").as[Long].collect().toList shouldBe List(1L)
+  }
 }
