@@ -32,6 +32,13 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    2 × scale × base (the [[Soak]] disjoint-regime headroom; a
  *    quadratic blowup at scale 4 would show ~16×).
  *
+ * 3. THE METADATA-ONLY BOUNDARY IS O(metadata) (round 15,
+ *    [[graft.spark.PartitionEvolution.evolveMetadataOnly]]). Claim: the
+ *    boundary commit reads no data and moves no dir, so its cost is FLAT
+ *    in corpus size. Guard: boundary(N×) ≤ 2 × boundary(1×). Context
+ *    (reported, not guarded): the era-union read over the mixed fold and
+ *    the deferred consolidation (the linear rewrite of claim 2).
+ *
  * Usage: SPARK_GRAFT_SOAK_SCALE=4 sbt "runMain graft.SoakMaintenance"
  * Emits one JSON line per measurement + a summary; exits non-zero on a
  * guard violation.
@@ -143,6 +150,41 @@ object SoakMaintenance {
     guard("evolve_linear",
       evoN <= 2.0 * scale * evo1,
       f"scaled $evoN%.2fs vs base $evo1%.2fs at scale $scale (bound 2x scale)")
+
+    // ---------------------------------- metadata-only evolution (r15)
+    // claim: the [[PartitionEvolution.evolveMetadataOnly]] boundary is
+    // O(metadata) — FLAT in corpus size (the rewrite evolve above is the
+    // linear comparison). Context: the era-union read over the mixed fold
+    // and the deferred consolidation (linear, the same shuffle as evolve).
+    def evolveMetaRound(tag: String, rows: DataFrame): (Double, Double, Double) = {
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val t = TableDefinition(
+        TableName("db", s"evometa$tag"),
+        Files.createTempDirectory(s"graft_soakevometa_$tag").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      rows.versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      val (boundarySec, evolved) = time(PartitionEvolution.evolveMetadataOnly(
+        spark, ctx, t, PartitionSchema(List(PartitionColumn("l_linestatus"))), user))
+      // a CONSTANT-SIZE post-boundary batch makes the fold genuinely mixed
+      li.where(col("l_quantity") > 49)
+        .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+      val (readSec, _) = time(
+        DeletionVectors.read(spark, log, evolved)
+          .agg(count(lit(1)), sum("l_quantity")).collect())
+      val (consolidateSec, _) =
+        time(PartitionEvolution.consolidateEras(spark, ctx, evolved, user))
+      (boundarySec, readSec, consolidateSec)
+    }
+
+    val (mb1, mr1, mc1) = evolveMetaRound("b", li)
+    val (mbN, mrN, mcN) = evolveMetaRound("s", replicated(scale))
+    println(s"""{"metric":"evolve_metadata_only","base":{"boundary":$mb1,"union_read":$mr1,"consolidate":$mc1},""" +
+      s""""scaled_${scale}x":{"boundary":$mbN,"union_read":$mrN,"consolidate":$mcN}}""")
+    guard("evolve_metadata_boundary_flat",
+      mbN <= 2.0 * mb1,
+      f"scaled boundary $mbN%.2fs vs base $mb1%.2fs at scale $scale (flatness bound 2x)")
 
     println(s"""{"summary":"soak-maintenance","scale":$scale,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")

@@ -490,6 +490,20 @@ object Registry {
              |  SELECT l_linestatus, l_quantity FROM lineitem
              |  WHERE l_linestatus = 'O' AND l_quantity > 45
              |) GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+    "q84b_metadata_evolution" -> Entry(
+      Versioned.q84bMetadataEvolution,
+      // final state: full era-1 rows plus the era-2 high-qty re-insert,
+      // DV-thinned by the %13 delete spanning both eras, grouped under
+      // the post-boundary scheme (identical before/after consolidation)
+      Some("""SELECT l_linestatus, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_linestatus, l_quantity FROM lineitem
+             |  WHERE l_orderkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT l_linestatus, l_quantity FROM lineitem
+             |  WHERE l_quantity > 45 AND l_orderkey % 13 <> 0
+             |) GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
     "q82b_copy_csv" -> Entry(
       Versioned.q82bCopyCsv,
       // CSV ingests with the registered schema pinned + PATTERN scoping:

@@ -2129,6 +2129,69 @@ object Versioned {
       .orderBy("l_linestatus")
   }
 
+  /** Q84b: METADATA-ONLY partition evolution — the 100 TB boundary. The
+    * scheme flips in ONE empty-ops commit (no rewrite job: the fold's
+    * partition->version map is bit-identical across the boundary), new-era
+    * writes land beside the old era's dirs, reads UNION the per-era scans
+    * transparently, deletion vectors keep applying across BOTH eras
+    * (per-era pointer capture), rewrites refuse loudly until
+    * `consolidateEras` unifies the layout — after which the same read
+    * serves the same rows from a uniform new-scheme fold. */
+  def q84bMetadataEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.{DeletionVectors, PartitionEvolution}
+    val (ctx, log) = freshContext()
+    val t = tempTable(
+      "li_evolve_meta", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("create li_evolve_meta"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    li.versionedInsertInto(ctx, t, user, UpdateMessage("v1: by returnflag"))
+    val preBoundary = log.currentCommit(t.name)
+    val foldBefore = log.currentVersion(t.name)
+
+    val evolved = PartitionEvolution.evolveMetadataOnly(
+      s, ctx, t, PartitionSchema(List(PartitionColumn("l_linestatus"))), user)
+    // O(metadata) boundary: the fold is UNCHANGED (no dir moved, no row read)
+    require(log.currentVersion(t.name) == foldBefore,
+      "the metadata-only boundary must not touch the fold")
+
+    // new-era writes land linestatus-keyed dirs BESIDE the old era's
+    li.where(col("l_quantity") > 45)
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2: high-qty rows"))
+    require(PartitionEvolution.eraSignatures(log.currentVersion(t.name)).size == 2,
+      "the fold must hold both eras side by side")
+
+    // one DV delete hides rows across BOTH eras' files
+    DeletionVectors.delete(
+      ctx, log, evolved, col("l_orderkey") % 13 === 0, user, UpdateMessage("dv: %13"))
+
+    // old era time-travels intact; rewrites refuse with the escape named
+    require(VersionedReader(s, log).readAsOf(t, preBoundary).count() == li.count(),
+      "pre-boundary time travel must serve the old era's full state")
+    val refused =
+      try { graft.spark.Compaction.compact(s, ctx, evolved, user, UpdateMessage("opt")); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("consolidateEras") }
+    require(refused, "a mixed fold must refuse OPTIMIZE loudly")
+
+    val mixedResult = DeletionVectors.read(s, log, evolved)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+    val mixedRows = mixedResult.orderBy("l_linestatus").collect()
+
+    // consolidation unifies the layout; the answer must not move
+    PartitionEvolution.consolidateEras(s, ctx, evolved, user)
+    require(PartitionEvolution.eraSignatures(log.currentVersion(t.name)) ==
+      Set(List("l_linestatus")), "consolidation must leave one era")
+    require(!DeletionVectors.hasVectors(s, log, evolved, None),
+      "consolidation must absorb the deletion vectors")
+    val consolidated = DeletionVectors.read(s, log, evolved)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+    require(consolidated.orderBy("l_linestatus").collect().toSeq == mixedRows.toSeq,
+      "the era-union read and the consolidated read must agree")
+    consolidated.orderBy("l_linestatus")
+  }
+
   /** Q82b: COPY INTO for a SCHEMA-CARRYING text source — CSV batches
     * ingest with the table's REGISTERED schema pinned (never per-batch
     * inference, whose types can drift between batches), `PATTERN` scopes

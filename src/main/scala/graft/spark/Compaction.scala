@@ -58,6 +58,7 @@ object Compaction {
     require(partitions.isEmpty || !table.isSnapshot,
       "partition-scoped compaction requires a partitioned table")
     val log = ctx.metastore.tableVersions
+    PartitionEvolution.requireUniformFold(log, table, "OPTIMIZE")
     // OCC anchor, captured BEFORE the read resolves: the rewrite is a
     // read-modify-write of the state this commit names, so the commit below
     // REBASES over it ([[TableVersions.commitRebase]]) — an intervening
@@ -149,6 +150,7 @@ object Compaction {
       filesPerPartition: Int = 1): AutoCompactReport = {
     require(minFiles >= 2, "minFiles < 2 would rewrite partitions already at one file")
     val log = ctx.metastore.tableVersions
+    PartitionEvolution.requireUniformFold(log, table, "auto-compaction")
     log.currentVersion(table.name) match {
       case SnapshotTableVersion(v) =>
         val pressured = v != Version.Unversioned && snapshotFileCount(

@@ -338,12 +338,10 @@ object DeletionVectors {
       table: TableDefinition,
       asOf: Option[CommitId]): DataFrame = {
     val reader = VersionedReader(spark, log)
-    val base = asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table))
-    if (base.columns.isEmpty) return base
-    val withPtr = base.select(
-      col("*"),
-      col("_metadata.file_path").as(FileCol),
-      col("_metadata.row_index").as(PosCol))
+    // pointer capture happens INSIDE the reader, per era scan: `_metadata`
+    // does not resolve through the union a mixed-era fold materializes as
+    val withPtr = reader.readPointed(table, asOf, FileCol, PosCol)
+    if (withPtr.columns.isEmpty) return withPtr
     resolvePairs(spark, log, table, asOf) match {
       case None => withPtr
       case Some(dv) =>
@@ -378,20 +376,15 @@ object DeletionVectors {
       log: TableVersions,
       table: TableDefinition,
       parts: Seq[Partition]): DataFrame = {
-    val base = VersionedReader(spark, log).readPartitions(table, parts)
+    val reader = VersionedReader(spark, log)
     resolvePairs(spark, log, table, None) match {
-      case None => base
+      case None => reader.readPartitions(table, parts)
       case Some(dv) =>
-        if (base.columns.isEmpty) base
-        else {
-          val withPtr = base.select(
-            col("*"),
-            col("_metadata.file_path").as(FileCol),
-            col("_metadata.row_index").as(PosCol))
-          withPtr
-            .join(dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
-            .drop(FileCol, PosCol)
-        }
+        val withPtr = reader.readPartitionsPointed(table, parts, FileCol, PosCol)
+        if (withPtr.columns.isEmpty) withPtr
+        else withPtr
+          .join(dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
+          .drop(FileCol, PosCol)
     }
   }
 

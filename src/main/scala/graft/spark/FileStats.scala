@@ -344,6 +344,9 @@ object FileStats {
       partitionFilter: Option[org.apache.spark.sql.Column],
       asOf: Option[TableVersions.CommitId] = None)(
       filePredicate: DataFrame => DataFrame): DataFrame = {
+    // zone-map pruning rebuilds a file-list scan under ONE layout; a
+    // mixed-era fold (metadata-only partition evolution) refuses loudly
+    PartitionEvolution.requireUniformFold(log, table, "zone-map-pruned scan")
     val zones = spark.read.parquet(statsDir(log, table, asOf))
     // a sidecar written before partition columns rode the grouping key
     // (pre-r9) can't evaluate a partition predicate — fall back to

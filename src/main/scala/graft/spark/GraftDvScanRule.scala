@@ -58,10 +58,12 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         val t = r.table.asInstanceOf[GraftV2Table]
-        // rewrite when deletion vectors apply OR a column mapping is in
-        // force — both are logical-view indirections the raw delegate
-        // file scan cannot serve
-        if (DeletionVectors.hasVectors(
+        // rewrite when deletion vectors apply, a column mapping is in
+        // force, or the state holds mixed partition-scheme eras — all
+        // logical-view indirections the raw delegate file scan cannot
+        // serve (the mixed delegate carries only one era's files)
+        if (t.isMixedFold ||
+          DeletionVectors.hasVectors(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
           ColumnMapping.hasMapping(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf))

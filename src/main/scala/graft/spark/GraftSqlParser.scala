@@ -148,7 +148,7 @@ private[spark] object GraftMaintenanceSql {
   // evolution at a commit boundary (PartitionEvolution.evolve): one
   // atomic re-partitioning rewrite; eras resolve per commit range
   private val SetPartitionedStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)(\s+METADATA\s+ONLY)?\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -204,10 +204,10 @@ private[spark] object GraftMaintenanceSql {
         split(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
     case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddIdentityColumnCommand(split(ident), column, dtype))
-    case SetPartitionedStmt(ident, cols) if isGraftCatalogRef(split(ident)) =>
+    case SetPartitionedStmt(ident, cols, metaOnly) if isGraftCatalogRef(split(ident)) =>
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
-      Some(GraftSetPartitionedCommand(split(ident), names))
+      Some(GraftSetPartitionedCommand(split(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
@@ -641,7 +641,8 @@ final case class GraftAddIdentityColumnCommand(
   * reads each era under its own layout; the catalog registration flips to
   * the new scheme so subsequent SQL writes carry it. */
 final case class GraftSetPartitionedCommand(
-    parts: Seq[String], columns: Seq[String]) extends LeafRunnableCommand {
+    parts: Seq[String], columns: Seq[String],
+    metadataOnly: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("old_scheme", StringType, nullable = false)(),
@@ -655,10 +656,15 @@ final case class GraftSetPartitionedCommand(
     val defn = PartitionEvolution.definitionAt(
       session, binding.log, registered)
     val oldScheme = defn.partitionSchema.columns.map(_.name).mkString(", ")
-    val evolved = PartitionEvolution.evolve(
-      session, ctx, defn,
-      graft.core.PartitionSchema(columns.map(graft.core.PartitionColumn(_)).toList),
-      UserId("sql"))
+    val target =
+      graft.core.PartitionSchema(columns.map(graft.core.PartitionColumn(_)).toList)
+    // METADATA ONLY: the O(metadata) boundary — the fold keeps both eras'
+    // dirs until PartitionEvolution.consolidateEras (reads union the eras)
+    val evolved =
+      if (metadataOnly)
+        PartitionEvolution.evolveMetadataOnly(session, ctx, defn, target, UserId("sql"))
+      else
+        PartitionEvolution.evolve(session, ctx, defn, target, UserId("sql"))
     GraftTableCatalog.register(
       parts.head, evolved,
       GraftTableCatalog.registeredSchema(

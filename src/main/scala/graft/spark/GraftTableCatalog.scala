@@ -116,8 +116,9 @@ final class GraftTableCatalog extends TableCatalog {
     // files INTO an immutable version dir). Merge-on-read deletion vectors
     // apply at PLAN level: [[GraftDvScanRule]] rewrites scans of wrapped
     // tables whose state carries a live sidecar into the DV anti-join.
-    new GraftV2Table(defn, binding,
-      fileTable(defn, binding.log.currentVersion(defn.name), schema))
+    val tv = binding.log.currentVersion(defn.name)
+    new GraftV2Table(defn, binding, fileTable(defn, tv, schema),
+      mixedFold = isMixed(tv))
   }
 
   /** `VERSION AS OF '<commitId>'` — time travel through the commit log.
@@ -131,9 +132,10 @@ final class GraftTableCatalog extends TableCatalog {
     // refs win — they are human-chosen names, commit ids are uuids
     val resolved = binding.log.refs(defn.name).get(version)
       .map(_.id).getOrElse(CommitId(version))
+    val tv = binding.log.versionAt(defn.name, resolved)
     new GraftV2Table(defn, binding,
-      fileTable(defn, binding.log.versionAt(defn.name, resolved), schema, Some(resolved)),
-      Some(resolved))
+      fileTable(defn, tv, schema, Some(resolved)),
+      Some(resolved), mixedFold = isMixed(tv))
   }
 
   /** `TIMESTAMP AS OF <ts>` — resolves to the LAST commit at or before the
@@ -146,9 +148,10 @@ final class GraftTableCatalog extends TableCatalog {
       .find(!_.timestamp.isAfter(asOf))
       .getOrElse(throw new IllegalArgumentException(
         s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
+    val tvAt = binding.log.versionAt(defn.name, commit.id)
     new GraftV2Table(defn, binding,
-      fileTable(defn, binding.log.versionAt(defn.name, commit.id), schema, Some(commit.id)),
-      Some(commit.id))
+      fileTable(defn, tvAt, schema, Some(commit.id)),
+      Some(commit.id), mixedFold = isMixed(tvAt))
   }
 
   private def fileTable(
@@ -156,7 +159,35 @@ final class GraftTableCatalog extends TableCatalog {
       tv: TableVersion,
       registered: Option[StructType],
       at: Option[CommitId] = None): Table = {
-    val (paths, opts) = pathsFor(defn, tv)
+    // MIXED fold (metadata-only partition evolution, pre-consolidation):
+    // one delegate file table cannot span two layouts (conflicting
+    // partition-column inference). The delegate narrows to the CURRENT
+    // definition's era — a schema carrier only: [[GraftDvScanRule]]
+    // rewrites every scan of a mixed table onto the era-union read, and
+    // [[GraftV2Table.newScanBuilder]] refuses if that rule is absent.
+    val sigs = PartitionEvolution.eraSignatures(tv)
+    val servedTv =
+      if (sigs.size <= 1) tv
+      else {
+        val currentSig = defn.partitionSchema.columns.map(_.name)
+        tv match {
+          case PartitionedTableVersion(pvs) =>
+            val own = pvs.filter {
+              case (p, _) => p.columnValues.map(_.column.name) == currentSig
+            }
+            // before the new era's first write, any one era works as the
+            // schema carrier (every era holds the full logical column set)
+            if (own.nonEmpty) PartitionedTableVersion(own)
+            else {
+              val firstSig = pvs.keys.head.columnValues.map(_.column.name)
+              PartitionedTableVersion(pvs.filter {
+                case (p, _) => p.columnValues.map(_.column.name) == firstSig
+              })
+            }
+          case other => other
+        }
+      }
+    val (paths, opts) = pathsFor(defn, servedTv)
     // a schema source for states with no files to infer from (never-written
     // snapshot, all-partitions-deleted, time travel to init): the
     // registered schema, else the newest data-bearing version in history
@@ -177,6 +208,11 @@ final class GraftTableCatalog extends TableCatalog {
       }
     buildFileTable(defn, paths, opts, finalSchema)
   }
+
+  /** 2+ partition-column signatures in the state a load serves — the
+    * mixed-fold marker [[GraftV2Table]] refuses raw scans on. */
+  private def isMixed(tv: TableVersion): Boolean =
+    PartitionEvolution.eraSignatures(tv).size > 1
 
   private def pathsFor(
       defn: TableDefinition, tv: TableVersion): (Seq[String], Map[String, String]) =
@@ -425,7 +461,8 @@ private[spark] final class GraftV2Table(
     defn: TableDefinition,
     binding: GraftTableCatalog.Binding,
     delegate: Table,
-    asOf: Option[CommitId] = None)
+    asOf: Option[CommitId] = None,
+    mixedFold: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
@@ -436,6 +473,10 @@ private[spark] final class GraftV2Table(
   // the pinned commit for a time-travel load (None = current pointer):
   // GraftDvScanRule resolves THIS state's deletion-vector sidecar
   private[spark] def tableAsOf: Option[CommitId] = asOf
+  // mixed-era state (metadata-only partition evolution): the delegate
+  // carries ONE era's files as a schema source; only the scan rule's
+  // era-union rewrite may serve rows
+  private[spark] def isMixedFold: Boolean = mixedFold
 
   // ---- SupportsPartitionManagement: READ-ONLY — `SHOW PARTITIONS` lists
   // the CURRENT version's partition set straight from the commit log
@@ -532,9 +573,19 @@ private[spark] final class GraftV2Table(
   // versioned table scans every partition the log references even when the
   // dim filter admits two (see GraftRuntimeFiltering). Pushdown forwards
   // through untouched (pinned in GraftTableCatalogSpec).
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a mixed-era scan must never execute raw: the delegate holds ONE
+    // era's files (a schema carrier). GraftDvScanRule replaces the
+    // relation with the era-union read during analysis; reaching here
+    // means the graft extensions are not installed on this session.
+    if (mixedFold)
+      throw new IllegalStateException(
+        s"table ${defn.name.fullyQualifiedName} holds mixed partition-scheme " +
+          "eras (metadata-only evolution): scans require the graft session " +
+          "extensions (GraftDvScanRule) or PartitionEvolution.consolidateEras")
     new org.apache.spark.sql.execution.datasources.v2.GraftDppScanBuilder(
       delegate.asInstanceOf[SupportsRead].newScanBuilder(options))
+  }
 
   private val partitionColNames = defn.partitionSchema.columns.map(_.name).toSet
 

@@ -53,6 +53,7 @@ object Merge {
     require(
       keyCols.forall(source.columns.contains),
       s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
+    PartitionEvolution.requireUniformFold(log, table, "MERGE")
     val spark = source.sparkSession
     // the state this rewrite derives from: the commit below REBASES over
     // concurrent disjoint-partition commits and refuses loudly if anything

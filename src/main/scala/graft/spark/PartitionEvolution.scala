@@ -271,64 +271,12 @@ object PartitionEvolution {
       s"EVOLVE PARTITIONING to (${newSchema.columns.map(_.name).mkString(", ")}) " +
         s"from (${current.columns.map(_.name).mkString(", ")})")
     val me = Some(table.name.fullyQualifiedName)
-
-    // era registry base: seed the pre-boundary era at the table's first
-    // commit on the first evolution (so pre-boundary resolution is
-    // explicit), finalize any landed pending left by a crashed evolve,
-    // and prune danglings whose boundary never committed
-    def seededStates(): List[SchemeState] = {
-      val ids = log.updates(table.name).map(_.id.id).toSet
-      val existing = states(spark, table)
-        .map(st => if (st.pending && ids(st.commit)) st.copy(pending = false) else st)
-        .filterNot(st => st.pending && !ids(st.commit))
-      if (existing.nonEmpty) existing
-      else {
-        val first = log.updates(table.name).last.id
-        List(SchemeState(first.id, current.columns.map(_.name), me))
-      }
-    }
-
-    // INTENT-then-commit: the new era lands in the registry as a PENDING
-    // state BEFORE the boundary commit, so the write-path guard (which
-    // re-validates inside its commit CAS) observes the flip atomically
-    // with the commit — a writer that staged old-scheme dirs before the
-    // boundary can never commit them after it. A crash between intent and
-    // commit leaves a dangling pending state that never governs; a crash
-    // between commit and finalize leaves a landed pending state that
-    // [[stateAt]] adopts and finalizes lazily. The commit itself is
-    // WHOLE-TABLE scoped: a restructuring must conflict with every
-    // intervening commit, including disjoint new partitions its rewrite
-    // could not have seen.
-    def committedBoundary(update: TableVersions.TableUpdate): CommitId = {
-      val mine = update.metadata.id.id
-      write(spark, table, seededStates() :+
-        SchemeState(mine, newSchema.columns.map(_.name), me, pending = true))
-      try {
-        ctx.metastore.commitRebase(
-          table.name, update, readCommit, wholeTableScope = true)
-        ()
-      } catch {
-        case t: Throwable =>
-          // surgical rollback: drop only OUR intent — the file may have
-          // been rewritten by a concurrent evolve since
-          try {
-            val cur = states(spark, table)
-            if (cur.exists(_.commit == mine))
-              write(spark, table, cur.filterNot(_.commit == mine))
-          } catch { case _: Throwable => () } // dangling pending never governs
-          throw t
-      }
-      // finalize: re-read (racing registry writers may have moved the
-      // file) and mark ours landed, re-appending if a racer dropped it
-      val cur = states(spark, table)
-      if (cur.exists(_.commit == mine))
-        write(spark, table,
-          cur.map(st => if (st.commit == mine) st.copy(pending = false) else st))
-      else
-        write(spark, table,
-          cur :+ SchemeState(mine, newSchema.columns.map(_.name), me))
-      update.metadata.id
-    }
+    def seededStates(): List[SchemeState] =
+      seededStatesFor(spark, log, table, current.columns.map(_.name))
+    def committedBoundary(update: TableVersions.TableUpdate): CommitId =
+      commitBoundaryWithIntent(
+        spark, ctx, table, current.columns.map(_.name),
+        newSchema.columns.map(_.name), update, readCommit)
 
     // the boundary anchor: committed (or, for an empty no-op boundary,
     // the read commit the registry re-anchors at)
@@ -376,6 +324,203 @@ object PartitionEvolution {
     // the stale pair sidecars
     DeletionVectors.markAbsorbed(spark, log, table)
     newDefn
+  }
+
+  /** METADATA-ONLY partition evolution: flip the scheme at a commit
+    * boundary WITHOUT rewriting the table — the 100 TB answer to the
+    * rewrite [[evolve]]'s O(table) boundary cost. The boundary is one
+    * empty-ops commit (whole-table conflict scope, the same intent-then-
+    * commit registry discipline), post-boundary writes land new-scheme
+    * dirs, and the fold holds BOTH eras' dirs side by side until
+    * [[consolidateEras]] (or the next whole-table rewrite) unifies them.
+    * Reads union the per-era scans transparently
+    * ([[VersionedReader]]'s era groups — every era carries the full
+    * logical column set, its own partition columns from dir names).
+    *
+    * What a MIXED fold refuses until consolidation (loudly, with this
+    * escape hatch named): partition-granular rewrites (OPTIMIZE /
+    * Z-ORDER / auto-compaction / MERGE) and zone-map-pruned scans —
+    * their partition arithmetic assumes one layout. Row-level DV deletes,
+    * inserts, incremental reads within an era, and time travel all work.
+    *
+    * Returns the definition carrying the new scheme — the handle every
+    * subsequent write must use. */
+  def evolveMetadataOnly(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      newSchema: PartitionSchema,
+      user: UserId): TableDefinition = {
+    require(!table.isSnapshot && newSchema.columns.nonEmpty,
+      "partition evolution is partitioned→partitioned: the fold shape " +
+        "(snapshot vs partitioned) is fixed at init")
+    val log = ctx.metastore.tableVersions
+    val current = schemeAt(spark, log, table, None)
+    require(
+      current.columns.map(_.name.toLowerCase) != newSchema.columns.map(_.name.toLowerCase),
+      s"table ${table.name.fullyQualifiedName} is already partitioned by " +
+        s"(${current.columns.map(_.name).mkString(", ")})")
+    val readCommit = log.currentCommit(table.name)
+    // schema probe is metadata-only (footer resolution, no data pass)
+    val curDefn = table.copy(partitionSchema = current)
+    val cols = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, log, curDefn, Some(readCommit)),
+      spark, log, curDefn, None).columns
+    if (cols.nonEmpty)
+      newSchema.columns.foreach(c =>
+        require(cols.exists(_.equalsIgnoreCase(c.name)),
+          s"new partition column ${c.name} is not a column of " +
+            s"${table.name.fullyQualifiedName} (${cols.mkString(", ")})"))
+    val update = TableVersions.TableUpdate(
+      user,
+      UpdateMessage(
+        s"EVOLVE PARTITIONING (METADATA ONLY) to " +
+          s"(${newSchema.columns.map(_.name).mkString(", ")}) " +
+          s"from (${current.columns.map(_.name).mkString(", ")})"),
+      java.time.Instant.now(), Nil)
+    commitBoundaryWithIntent(
+      spark, ctx, table, current.columns.map(_.name),
+      newSchema.columns.map(_.name), update, readCommit)
+    table.copy(partitionSchema = newSchema)
+  }
+
+  /** The partition-column signatures present in a fold — 2+ = a MIXED
+    * fold, produced by [[evolveMetadataOnly]] until consolidation. */
+  def eraSignatures(tv: TableVersion): Set[List[String]] = tv match {
+    case PartitionedTableVersion(pvs) =>
+      pvs.keys.map(_.columnValues.map(_.column.name)).toSet
+    case _ => Set.empty
+  }
+
+  /** Loud refusal for operations whose partition arithmetic assumes one
+    * layout (compaction, Z-order, MERGE, zone-map pruning) on a mixed
+    * fold. Metadata-only probe of the current fold. */
+  private[spark] def requireUniformFold(
+      log: TableVersions, table: TableDefinition, op: String): Unit = {
+    val sigs = eraSignatures(log.currentVersion(table.name))
+    if (sigs.size > 1)
+      throw new IllegalStateException(
+        s"$op on ${table.name.fullyQualifiedName}: the fold holds mixed " +
+          s"partition-scheme eras (${sigs.map(_.mkString("(", ",", ")")).mkString(" + ")}) " +
+          "after a metadata-only evolution — run " +
+          "PartitionEvolution.consolidateEras (one whole-table rewrite) first")
+  }
+
+  /** Physically unify a MIXED fold under the table's CURRENT scheme —
+    * the deferred rewrite of [[evolveMetadataOnly]], identical in cost
+    * shape to OPTIMIZE: one shuffle keyed by the current partition
+    * columns, adds + removes in one whole-table-scoped rebase commit,
+    * deletion vectors absorbed. No-op on a uniform fold. */
+  def consolidateEras(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      filesPerPartition: Int = 1): Unit = {
+    val log = ctx.metastore.tableVersions
+    val readCommit = log.currentCommit(table.name)
+    if (eraSignatures(log.versionAt(table.name, readCommit)).size <= 1) return
+    requireCurrentScheme(spark, log, table) // the caller must hold the new-era handle
+    val rows = ColumnMapping.applyLogical(
+      DeletionVectors.read(spark, log, table, Some(readCommit)),
+      spark, log, table, None)
+    val before: Map[Partition, Version] = log.versionAt(table.name, readCommit) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case _                            => Map.empty
+    }
+    val parts = table.partitionSchema.columns.map(c => col(c.name))
+    val keys =
+      if (filesPerPartition == 1) parts
+      else parts :+ org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.spark_partition_id(),
+        org.apache.spark.sql.functions.lit(filesPerPartition))
+    val message = UpdateMessage(
+      s"CONSOLIDATE PARTITION ERAS under " +
+        s"(${table.partitionSchema.columns.map(_.name).mkString(", ")})")
+    val staged =
+      rows.repartition(keys: _*).versionedStage(ctx, table, user, message)
+    val present = staged.update.operations.collect {
+      case TableOperation.AddPartitionVersion(p, _) => p
+    }.toSet
+    val removes = before.keys.toList.filterNot(present)
+      .map(TableOperation.RemovePartition(_))
+    val update = staged.update.copy(
+      operations = staged.update.operations ++ removes)
+    ctx.metastore.commitRebase(
+      table.name, update, readCommit, wholeTableScope = true)
+    DeletionVectors.markAbsorbed(spark, log, table)
+    ()
+  }
+
+  /** Era-registry base for a boundary write: seed the pre-boundary era
+    * at the table's first commit on the first evolution (so pre-boundary
+    * resolution is explicit), finalize any landed pending left by a
+    * crashed evolve, and prune danglings whose boundary never committed. */
+  private def seededStatesFor(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      currentCols: List[String]): List[SchemeState] = {
+    val me = Some(table.name.fullyQualifiedName)
+    val ids = log.updates(table.name).map(_.id.id).toSet
+    val existing = states(spark, table)
+      .map(st => if (st.pending && ids(st.commit)) st.copy(pending = false) else st)
+      .filterNot(st => st.pending && !ids(st.commit))
+    if (existing.nonEmpty) existing
+    else {
+      val first = log.updates(table.name).last.id
+      List(SchemeState(first.id, currentCols, me))
+    }
+  }
+
+  /** INTENT-then-commit: the new era lands in the registry as a PENDING
+    * state BEFORE the boundary commit, so the write-path guard (which
+    * re-validates inside its commit CAS) observes the flip atomically
+    * with the commit — a writer that staged old-scheme dirs before the
+    * boundary can never commit them after it. A crash between intent and
+    * commit leaves a dangling pending state that never governs; a crash
+    * between commit and finalize leaves a landed pending state that
+    * [[stateAt]] adopts and finalizes lazily. The commit itself is
+    * WHOLE-TABLE scoped: a restructuring must conflict with every
+    * intervening commit, including disjoint new partitions a rewrite
+    * could not have seen (or, metadata-only, rows that would era-mix). */
+  private def commitBoundaryWithIntent(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      currentCols: List[String],
+      newCols: List[String],
+      update: TableVersions.TableUpdate,
+      readCommit: CommitId): CommitId = {
+    val log = ctx.metastore.tableVersions
+    val me = Some(table.name.fullyQualifiedName)
+    val mine = update.metadata.id.id
+    write(spark, table, seededStatesFor(spark, log, table, currentCols) :+
+      SchemeState(mine, newCols, me, pending = true))
+    try {
+      ctx.metastore.commitRebase(
+        table.name, update, readCommit, wholeTableScope = true)
+      ()
+    } catch {
+      case t: Throwable =>
+        // surgical rollback: drop only OUR intent — the file may have
+        // been rewritten by a concurrent evolve since
+        try {
+          val cur = states(spark, table)
+          if (cur.exists(_.commit == mine))
+            write(spark, table, cur.filterNot(_.commit == mine))
+        } catch { case _: Throwable => () } // dangling pending never governs
+        throw t
+    }
+    // finalize: re-read (racing registry writers may have moved the
+    // file) and mark ours landed, re-appending if a racer dropped it
+    val cur = states(spark, table)
+    if (cur.exists(_.commit == mine))
+      write(spark, table,
+        cur.map(st => if (st.commit == mine) st.copy(pending = false) else st))
+    else
+      write(spark, table, cur :+ SchemeState(mine, newCols, me))
+    update.metadata.id
   }
 
   /** SHALLOW-CLONE carry: re-anchor the source's effective scheme at the

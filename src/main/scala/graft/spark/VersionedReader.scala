@@ -153,7 +153,8 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       table: TableDefinition,
       tv: TableVersion,
       mergeSchema: Boolean = false,
-      at: Option[CommitId] = None): DataFrame = {
+      at: Option[CommitId] = None,
+      pointers: Option[(String, String)] = None): DataFrame = {
     // partition values are strings in the version model; pin Spark's
     // partition-dir parsing to strings so values round-trip verbatim
     // (SURVEY.md §2.3 Q1 note: otherwise hour="01" reads back as "1").
@@ -162,9 +163,54 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // exists for partition inference).
     SessionConf.withConf(
       spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      doMaterialize(table, tv, mergeSchema, at)
+      doMaterialize(table, tv, mergeSchema, at, pointers)
     }
   }
+
+  /** `(file, pos)` pointer columns attached to a scan — `_metadata`
+    * resolves only on the scan relation itself, never through a union,
+    * so mixed-era folds attach per era scan BEFORE eras combine. */
+  private def point(df: DataFrame, pointers: Option[(String, String)]): DataFrame =
+    pointers.fold(df) { case (fileCol, posCol) =>
+      import org.apache.spark.sql.functions.col
+      df.select(
+        col("*"),
+        col("_metadata.file_path").as(fileCol),
+        col("_metadata.row_index").as(posCol))
+    }
+
+  /** [[read]]/[[readAsOf]] with `(file, pos)` pointers attached under the
+    * given aliases — the one scan shape the deletion-vector machinery may
+    * use (see [[point]] for why the attachment lives here). */
+  private[spark] def readPointed(
+      table: TableDefinition,
+      asOf: Option[CommitId],
+      fileCol: String,
+      posCol: String): DataFrame = {
+    val tv = asOf.map(log.versionAt(table.name, _))
+      .getOrElse(log.currentVersion(table.name))
+    materialize(table, tv, at = asOf, pointers = Some((fileCol, posCol)))
+  }
+
+  /** [[readPartitions]] with `(file, pos)` pointers attached. */
+  private[spark] def readPartitionsPointed(
+      table: TableDefinition,
+      partitions: Seq[Partition],
+      fileCol: String,
+      posCol: String): DataFrame =
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        val wanted = partitions.toSet
+        val subset = pvs.filter { case (p, _) => wanted.contains(p) }
+        val ptr = Some((fileCol, posCol))
+        if (subset.nonEmpty)
+          materialize(table, PartitionedTableVersion(subset), pointers = ptr)
+        else if (pvs.isEmpty) spark.emptyDataFrame
+        else materialize(table, PartitionedTableVersion(pvs), pointers = ptr).limit(0)
+      case _ =>
+        sys.error(
+          s"readPartitions requires a partitioned table: ${table.name.fullyQualifiedName}")
+    }
 
   /** TYPE WIDENING override ([[ColumnMapping.widen]]): when the state at
     * `at` widens columns, the scan must REQUEST the wide schema — files
@@ -192,7 +238,8 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       table: TableDefinition,
       tv: TableVersion,
       mergeSchema: Boolean,
-      at: Option[CommitId]): DataFrame =
+      at: Option[CommitId],
+      pointers: Option[(String, String)] = None): DataFrame =
     tv match {
       case SnapshotTableVersion(v) if v == Version.Unversioned =>
         // the Unversioned sentinel maps to the BARE table location, which
@@ -209,12 +256,31 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           schema.foreach(r.schema)
           r.load(VersionPaths.pathFor(table.location, v).toString)
         }
-        withWidening(table, at, s => loadWith(Some(s)), loadWith(None))
+        point(withWidening(table, at, s => loadWith(Some(s)), loadWith(None)), pointers)
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
-        val paths = pvs.toSeq
-          .map { case (p, v) => SparkPaths.dirFor(table.location, p, v) }
-          .sorted
-        def loadWith(schema: Option[org.apache.spark.sql.types.StructType]) = {
+        // one scan per partition-column SIGNATURE: a metadata-only
+        // partition evolution ([[PartitionEvolution.evolveMetadataOnly]])
+        // leaves old-era dirs in the fold beside new-era ones, and one
+        // load over both layouts would see conflicting partition columns.
+        // Each era scans under its own layout (its partition columns from
+        // dirs, everything else in-file) and the eras union by name —
+        // every era carries the full logical column set. The CURRENT
+        // scheme's era leads so the result keeps the table's natural
+        // column order.
+        val currentSig = table.partitionSchema.columns.map(_.name)
+        val groups = pvs.toSeq
+          .groupBy { case (p, _) => p.columnValues.map(_.column.name) }
+          .toSeq
+          .sortBy { case (sig, _) =>
+            (if (sig == currentSig) 0 else 1, sig.mkString(","))
+          }
+          .map(_._2)
+        def loadGroup(
+            entries: Seq[(Partition, Version)],
+            schema: Option[org.apache.spark.sql.types.StructType]) = {
+          val paths = entries
+            .map { case (p, v) => SparkPaths.dirFor(table.location, p, v) }
+            .sorted
           val r = spark.read
             .option("basePath", table.location.toString)
             .option("mergeSchema", mergeSchema.toString)
@@ -222,7 +288,28 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           schema.foreach(r.schema)
           r.load(paths: _*)
         }
-        withWidening(table, at, s => loadWith(Some(s)), loadWith(None))
+        if (groups.lengthCompare(1) == 0)
+          point(withWidening(
+            table, at,
+            s => loadGroup(groups.head, Some(s)),
+            loadGroup(groups.head, None)), pointers)
+        else {
+          // widening derives from the POINTER-FREE union schema (pointer
+          // columns are computed, never in files), then every era loads
+          // the same explicit wide schema so the union needs no resolution
+          val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)
+          val schemaOpt =
+            if (widened.isEmpty) None
+            else {
+              val base = groups.map(loadGroup(_, None))
+                .reduce(_.unionByName(_, allowMissingColumns = true)).schema
+              Some(org.apache.spark.sql.types.StructType(base.map(f =>
+                widened.get(f.name.toLowerCase)
+                  .map(t => f.copy(dataType = t)).getOrElse(f))))
+            }
+          groups.map(g => point(loadGroup(g, schemaOpt), pointers))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        }
       case PartitionedTableVersion(_) =>
         spark.emptyDataFrame
     }

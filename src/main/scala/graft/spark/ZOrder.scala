@@ -92,6 +92,7 @@ object ZOrder {
     require(partitions.isEmpty || !table.isSnapshot,
       "partition-scoped Z-order requires a partitioned table")
     val log = ctx.metastore.tableVersions
+    PartitionEvolution.requireUniformFold(log, table, "Z-ORDER")
     // OCC anchor (like Compaction): the rewrite commits with the Q72 rebase
     // discipline against the state it read — a racing DV delete or
     // overlapping DML conflicts loudly instead of being silently clobbered

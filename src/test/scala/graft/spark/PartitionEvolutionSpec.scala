@@ -371,4 +371,141 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
       spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
     VersionedReader(spark, log).read(evolved).count() shouldBe 2L
   }
+  // ---- metadata-only evolution: era-union reads (round 15) ----
+
+  test("evolveMetadataOnly flips the scheme with an O(metadata) boundary; reads union the eras") {
+    val (ctx, log) = fresh()
+    val t = table("evo_meta", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    val era1 = (1L to 20L).map(i =>
+      Event(i, if (i % 2 == 0) "x" else "y", if (i % 4 == 0) "2024-01-01" else "2024-01-02"))
+    era1.toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val preBoundary = log.currentCommit(t.name)
+    val oldVersions = log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+
+    val evolved = PartitionEvolution.evolveMetadataOnly(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    evolved.partitionSchema.columns.map(_.name) shouldBe List("kind")
+    // the boundary commit carries NO ops — no data moved, old dirs stay
+    log.updates(t.name).head.message.content should include("METADATA ONLY")
+    val afterBoundary = log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => fail(s"unexpected $other")
+    }
+    afterBoundary shouldBe oldVersions
+
+    // post-boundary writes land NEW-scheme dirs beside the old ones
+    val era2 = (21L to 30L).map(i => Event(i, if (i % 2 == 0) "x" else "z", "2024-02-01"))
+    era2.toDS().versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+    val mixed = log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) => pvs.keys.map(_.hivePath).toSet
+      case other                        => fail(s"unexpected $other")
+    }
+    mixed should contain allOf ("date=2024-01-01", "date=2024-01-02", "kind=x", "kind=z")
+
+    // the full read unions both eras with the complete logical column set
+    val reader = VersionedReader(spark, log)
+    val rows = reader.read(evolved).as[Event].collect().sortBy(_.id)
+    rows shouldBe (era1 ++ era2).sortBy(_.id).toArray
+
+    // time travel to the pre-boundary commit reads the old era alone
+    reader.readAsOf(t, preBoundary).as[Event].collect().sortBy(_.id) shouldBe era1.toArray
+
+    // a stale writer holding the pre-boundary definition still refuses
+    (the[IllegalStateException] thrownBy {
+      Seq(Event(99, "q", "2024-03-03")).toDS()
+        .versionedInsertInto(ctx, t, user, UpdateMessage("stale"))
+    }).getMessage should include("stale scheme")
+  }
+
+  test("DV deletes compose with a mixed fold: per-era pointer capture keeps merge-on-read exact") {
+    val (ctx, log) = fresh()
+    val t = table("evo_meta_dv", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 10L).map(i => Event(i, "a", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val evolved = PartitionEvolution.evolveMetadataOnly(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    (11L to 14L).map(i => Event(i, "b", "2024-02-01")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+
+    // delete rows from BOTH eras through one predicate
+    DeletionVectors.delete(
+      ctx, log, evolved, col("id") <= 2 || col("id") === 12L,
+      user, UpdateMessage("dv: drop 1,2,12"))
+    val ids = DeletionVectors.read(spark, log, evolved)
+      .select("id").as[Long].collect().sorted
+    ids shouldBe Array(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 14L)
+  }
+
+  test("a mixed fold refuses rewrites loudly and consolidateEras restores them") {
+    val (ctx, log) = fresh()
+    val t = table("evo_meta_consolidate", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 12L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val evolved = PartitionEvolution.evolveMetadataOnly(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    (13L to 16L).map(i => Event(i, "x", "2024-02-01")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+    DeletionVectors.delete(
+      ctx, log, evolved, col("id") === 1L, user, UpdateMessage("dv: drop 1"))
+
+    (the[IllegalStateException] thrownBy {
+      Compaction.compact(spark, ctx, evolved, user, UpdateMessage("opt"))
+    }).getMessage should include("consolidateEras")
+    (the[IllegalStateException] thrownBy {
+      Merge.mergeInto(ctx, log, evolved,
+        Seq(Event(99, "x", "2024-02-01")).toDF(), Seq("id"), user, UpdateMessage("m"))
+    }).getMessage should include("consolidateEras")
+
+    PartitionEvolution.consolidateEras(spark, ctx, evolved, user)
+    val fold = log.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) => pvs.keys.map(_.hivePath).toSet
+      case other                        => fail(s"unexpected $other")
+    }
+    all(fold) should startWith("kind=")
+    val reader = VersionedReader(spark, log)
+    reader.read(evolved).select("id").as[Long].collect().sorted shouldBe (2L to 16L).toArray
+    // rewrites work again post-consolidation
+    Compaction.compact(spark, ctx, evolved, user, UpdateMessage("opt2"))
+    reader.read(evolved).count() shouldBe 15L
+  }
+
+  test("SQL: SET PARTITIONED BY ... METADATA ONLY flips the scheme without moving the fold") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftevometa", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftevometa", log)
+    val t = table("evo_sql_meta", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    // declared schema: partition VALUES are strings in the version model;
+    // without a registration the delegate's dir inference would type
+    // date-shaped values as DATE and refuse string inserts
+    GraftTableCatalog.register("graftevometa", t, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 12L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val foldBefore = log.currentVersion(t.name)
+
+    val out = spark.sql(
+      "ALTER TABLE graftevometa.test.evo_sql_meta SET PARTITIONED BY (kind) METADATA ONLY")
+      .collect().head
+    (out.getString(0), out.getString(1)) shouldBe (("date", "kind"))
+    log.currentVersion(t.name) shouldBe foldBefore // no rewrite commit
+
+    // SQL reads union the eras; SQL writes land new-scheme dirs
+    spark.sql("SELECT count(*) FROM graftevometa.test.evo_sql_meta").head.getLong(0) shouldBe 12L
+    spark.sql(
+      "INSERT INTO graftevometa.test.evo_sql_meta (id, kind, date) VALUES (99, 'zz', '2024-02-02')")
+    spark.sql("SELECT count(*) FROM graftevometa.test.evo_sql_meta").head.getLong(0) shouldBe 13L
+    PartitionEvolution.eraSignatures(log.currentVersion(t.name)) shouldBe
+      Set(List("date"), List("kind"))
+  }
 }
