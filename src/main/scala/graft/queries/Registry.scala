@@ -408,6 +408,21 @@ object Registry {
              |  WHERE l_returnflag = 'R' AND l_quantity > 40
              |) WHERE l_quantity > 5
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q78c_star_mv" -> Entry(
+      Versioned.q78cStarMv,
+      // the star MV's final state == its defining fact ⋈ dim aggregate
+      // over the final fact state (R rewritten to qty>40, %7 DV-thinned)
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       min(l_quantity) AS min_qty
+             |FROM (
+             |  SELECT l_partkey, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R' AND l_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT l_partkey, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40 AND l_orderkey % 7 <> 0
+             |) f JOIN part p ON f.l_partkey = p.p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
     "q78b_mv_shapes" -> Entry(
       Versioned.q78bMvShapes,
       // the widened-algebra MV (avg/min/max + count/sum) == a full

@@ -2373,6 +2373,74 @@ object Versioned {
         |FROM graftq78.graft.li_mv ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Q78c: STAR-SCHEMA materialized view — fact ⋈ dim + GROUP BY on a
+    * DIM attribute, the most common production MV shape. The dim
+    * (broadcast) joins both the full build and the fact change feed; a
+    * fact partition rewrite plus a scattered cross-partition DV delete
+    * maintain incrementally (delete-touched groups re-scan); the
+    * in-query gate pins incremental == FULL rebuild on the final state,
+    * and a DIM change re-anchors with an automatic FULL (never a
+    * stale-join delta). */
+  def q78cStarMv(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq78c", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq78c", log)
+    val fact = tempTable(
+      "li_star", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(fact, user, UpdateMessage("create li_star"))
+    graft.spark.GraftTableCatalog.register("graftq78c", fact)
+    val dim = tempTable("part_star", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(dim, user, UpdateMessage("create part_star"))
+    graft.spark.GraftTableCatalog.register("graftq78c", dim)
+
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val part = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    li.versionedInsertInto(ctx, fact, user, UpdateMessage("v1: full load"))
+    part.versionedInsertInto(ctx, dim, user, UpdateMessage("dim load"))
+
+    val mvLoc = Files.createTempDirectory("graft_li_star_mv").toUri
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW graftq78c.graft.star_mv
+         |LOCATION '$mvLoc'
+         |AS SELECT p.p_brand, count(*) AS n_items,
+         |          sum(f.l_quantity) AS sum_qty, min(f.l_quantity) AS min_qty
+         |FROM graftq78c.graft.li_star f
+         |JOIN graftq78c.graft.part_star p ON f.l_partkey = p.p_partkey
+         |GROUP BY p.p_brand""".stripMargin)
+
+    // fact moves: R rewritten to its high-qty slice, then a scattered
+    // cross-partition DV delete — both maintained incrementally
+    li.where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .versionedInsertInto(ctx, fact, user, UpdateMessage("v2: R := qty>40"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, fact, col("l_orderkey") % 7 === 0,
+      user, UpdateMessage("dv: %7"))
+    val refresh = s.sql("REFRESH MATERIALIZED VIEW graftq78c.graft.star_mv").collect()
+    require(refresh.head.getString(0) == "incremental",
+      s"fact-side refresh must be incremental, got ${refresh.head.getString(0)}")
+
+    // the incremental state must equal a FULL rebuild of the same state
+    val incremental = s.sql(
+      "SELECT * FROM graftq78c.graft.star_mv ORDER BY p_brand").collect().toSeq
+    s.sql("REFRESH MATERIALIZED VIEW graftq78c.graft.star_mv FULL")
+    val rebuilt = s.sql(
+      "SELECT * FROM graftq78c.graft.star_mv ORDER BY p_brand").collect().toSeq
+    require(incremental == rebuilt, "incremental must equal the FULL rebuild")
+
+    // a DIM change invalidates fact-delta maintenance: auto-FULL re-anchor
+    part.versionedInsertInto(ctx, dim, user, UpdateMessage("dim reload"))
+    val dimRefresh = s.sql("REFRESH MATERIALIZED VIEW graftq78c.graft.star_mv").collect()
+    require(dimRefresh.head.getString(0) == "full",
+      s"a dim move must force a FULL refresh, got ${dimRefresh.head.getString(0)}")
+
+    s.sql(
+      """SELECT p_brand, n_items, round(sum_qty, 2) AS sum_qty, min_qty
+        |FROM graftq78c.graft.star_mv ORDER BY p_brand""".stripMargin)
+  }
+
   /** Q78b: the WIDENED MV shape algebra — avg/min/max alongside count/sum,
     * maintained exactly under a partition rewrite and a scattered DV
     * delete. `avg` sends every touched group down the re-scan path; the

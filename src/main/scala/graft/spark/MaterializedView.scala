@@ -7,7 +7,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.functions.{avg, broadcast, coalesce, col, count, expr, greatest, least, lit, max, min, not, sum, when}
 
 import graft.core._
@@ -69,11 +70,23 @@ object MaterializedView {
     * input "*" is count(1)), surfaced as MV column `alias`. */
   final case class AggSpec(fn: String, input: String, alias: String)
 
+  /** One STAR-SCHEMA dimension join: the fact side INNER-equi-joins
+    * `dimParts` (broadcast at refresh), both sides addressable through
+    * their aliases so the stored ON text re-resolves verbatim. */
+  final case class JoinSpec(dimParts: Seq[String], alias: String, onSql: String)
+
   final case class MvDef(
       sourceParts: Seq[String],
       where: Option[String],
       groupCols: Seq[String],
-      aggs: Seq[AggSpec])
+      aggs: Seq[AggSpec],
+      joins: Seq[JoinSpec] = Nil,
+      factAlias: Option[String] = None,
+      groupRefs: Seq[String] = Nil) {
+    /** Qualified references that resolve against the JOINED row shape;
+      * join-free views reference their bare names directly. */
+    def refsForGroups: Seq[String] = if (groupRefs.nonEmpty) groupRefs else groupCols
+  }
 
   /** Test seam: invoked between a refresh's read-state capture and its
     * commit, so a spec can interleave a competing writer at exactly the
@@ -83,6 +96,11 @@ object MaterializedView {
   private val FileName = "_mv.json"
   private val mapper = new ObjectMapper()
   private val AnchorMark = """anchor=([0-9a-fA-F-]{8,})""".r.unanchored
+  // `dims=<fqtn>:<commit>;...` — the DIM anchors a refresh reflected; a
+  // dim that moved since invalidates fact-delta maintenance (the deltas
+  // would join TODAY's dim rows while the untouched groups keep
+  // yesterday's), so the next refresh detects the move and goes FULL
+  private val DimsMark = """dims=(\S+)""".r.unanchored
 
   // ---------------------------------------------------------------- create
 
@@ -106,11 +124,23 @@ object MaterializedView {
     // reports deterministic): analyze the WHERE against the source scan
     // before anything is created
     mvDef.where.foreach { w =>
-      val cond = VersionedReader(session, binding.log).read(srcDefn)
+      val cond = applyJoins(
+        session, binding, mvDef, srcDefn,
+        VersionedReader(session, binding.log).read(srcDefn))
         .where(expr(w)).queryExecution.analyzed
         .collect { case f: Filter => f.condition }
       require(cond.forall(_.deterministic),
         s"not incrementally maintainable: WHERE must be deterministic, got $w")
+    }
+    if (mvDef.joins.nonEmpty) {
+      // ON determinism is decidable only post-resolution, like the WHERE
+      val conds = applyJoins(
+        session, binding, mvDef, srcDefn,
+        VersionedReader(session, binding.log).read(srcDefn))
+        .queryExecution.analyzed
+        .collect { case j: Join => j.condition }.flatten
+      require(conds.forall(_.deterministic),
+        "not incrementally maintainable: JOIN ON must be deterministic")
     }
 
     val mvDefn = TableDefinition(mvName, location, PartitionSchema.snapshot, FileFormat.Parquet)
@@ -128,7 +158,8 @@ object MaterializedView {
     val full = fullState(session, binding, srcDefn, mvDef, anchor)
     commitMvRebase(ctx, mvDefn,
       full.versionedStage(ctx, mvDefn, user,
-        UpdateMessage(s"REFRESH (full) anchor=${anchor.id}")),
+        UpdateMessage(
+          s"REFRESH (full) anchor=${anchor.id}" + dimsMark(binding.log, mvDef))),
       mvRead)
     GraftTableCatalog.register(cat, mvDefn, None)
     mvDefn
@@ -176,13 +207,24 @@ object MaterializedView {
     interleaveForTest()
     val anchor = anchorAt(binding.log, mvDefn.name, mvRead)
     val head = binding.log.currentCommit(srcDefn.name)
-    if (anchor.contains(head) && !full) return (head, head, "no-op")
+    // a DIM that moved since the recorded anchors invalidates fact-delta
+    // maintenance (deltas would join TODAY's dim rows while untouched
+    // groups keep yesterday's aggregates) — re-anchor with a FULL build
+    val dimsNow: Map[String, String] =
+      if (mvDef.joins.isEmpty) Map.empty
+      else dimDefns(mvDef)
+        .map(d => d.name.fullyQualifiedName -> binding.log.currentCommit(d.name).id)
+        .toMap
+    val dimsMoved = mvDef.joins.nonEmpty &&
+      !dimAnchorsAt(binding.log, mvDefn.name, mvRead).contains(dimsNow)
+    if (anchor.contains(head) && !full && !dimsMoved) return (head, head, "no-op")
 
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, mvDefn))
-    if (full || anchor.isEmpty) {
+    if (full || anchor.isEmpty || dimsMoved) {
       commitMvRebase(ctx, mvDefn,
         fullState(session, binding, srcDefn, mvDef, head).versionedStage(
-          ctx, mvDefn, user, UpdateMessage(s"REFRESH (full) anchor=${head.id}")),
+          ctx, mvDefn, user, UpdateMessage(
+            s"REFRESH (full) anchor=${head.id}" + dimsMark(binding.log, mvDef))),
         mvRead)
       return (anchor.getOrElse(head), head, "full")
     }
@@ -195,12 +237,18 @@ object MaterializedView {
             "checkpoint may have folded it away) — use REFRESH ... FULL to rebuild",
           e)
       }
-    val feedF = mvDef.where.map(w => feed.where(expr(w))).getOrElse(feed)
+    // the fact feed joins the dims exactly like the full build (the
+    // `_change_type` column rides through the join untouched), then
+    // collapses to the view's own bare column space
+    val feedJ = applyJoins(session, binding, mvDef, srcDefn, feed)
+    val feedW = mvDef.where.map(w => feedJ.where(expr(w))).getOrElse(feedJ)
+    val (feedF, aggsBare) =
+      normalized(feedW, mvDef, extraCols = Seq(ChangeFeed.ChangeTypeCol))
     val isInsert =
       col(ChangeFeed.ChangeTypeCol).isin(ChangeFeed.Insert, ChangeFeed.UpdatePost)
     val sign = when(isInsert, lit(1L)).otherwise(lit(-1L))
     // ONE feed-sized aggregation: every delta plus the had-deletes flag
-    val deltaAggs: Seq[Column] = mvDef.aggs.flatMap { a =>
+    val deltaAggs: Seq[Column] = aggsBare.flatMap { a =>
       val d: Option[Column] = a.fn match {
         case "count" if a.input == "*" => Some(sum(sign))
         case "count" => Some(sum(when(col(a.input).isNotNull, sign).otherwise(lit(0L))))
@@ -272,7 +320,8 @@ object MaterializedView {
             col(a.alias).cast(current.schema(a.alias).dataType).as(a.alias)): _*))
     commitMvRebase(ctx, mvDefn,
       next.versionedStage(
-        ctx, mvDefn, user, UpdateMessage(s"REFRESH (incremental) anchor=${head.id}")),
+        ctx, mvDefn, user, UpdateMessage(
+          s"REFRESH (incremental) anchor=${head.id}" + dimsMark(binding.log, mvDef))),
       mvRead)
     (anchor.get, head, "incremental")
   }
@@ -296,6 +345,82 @@ object MaterializedView {
 
   // ------------------------------------------------------------- internals
 
+  /** Resolve the view's dimension tables (create-time validated, so a
+    * later failure means a dim was dropped from the catalog — loud). */
+  private def dimDefns(
+      mvDef: MvDef): Seq[TableDefinition] = mvDef.joins.map { j =>
+    GraftTableCatalog.lookup(j.dimParts.head, TableName(j.dimParts(1), j.dimParts(2)))
+      .map(_._2)
+      .getOrElse(sys.error(
+        s"MV dimension ${j.dimParts.mkString(".")} is not a registered graft table"))
+  }
+
+  /** The STAR JOIN: `base` (fact rows or the fact change feed) aliased,
+    * then every dimension INNER-joined BROADCAST at its current state
+    * (DV-applied, column-mapped). Identity for join-free views. Used by
+    * the full build, the re-scan path, and the feed delta pipeline alike
+    * — one definition of the join, three consumers. */
+  private def applyJoins(
+      session: SparkSession,
+      binding: GraftTableCatalog.Binding,
+      mvDef: MvDef,
+      factDefn: TableDefinition,
+      base: DataFrame): DataFrame = {
+    if (mvDef.joins.isEmpty) return base
+    val aliased = base.alias(mvDef.factAlias.getOrElse(factDefn.name.name))
+    mvDef.joins.zip(dimDefns(mvDef)).foldLeft(aliased) { case (acc, (j, dimDefn)) =>
+      val dim = ColumnMapping.applyLogical(
+        DeletionVectors.read(session, binding.log, dimDefn, None),
+        session, binding.log, dimDefn, None)
+      acc.join(broadcast(dim.alias(j.alias)), expr(j.onSql), "inner")
+    }
+  }
+
+  /** For a STAR view, collapse the joined row shape onto the view's own
+    * column space: each qualified group ref becomes its bare MV column
+    * name and each aggregate input its bare last segment (uniqueness
+    * enforced at CREATE), so every downstream join/aggregation speaks
+    * unambiguous names even when fact and dim share column names.
+    * Identity for join-free views (their refs are already bare), and the
+    * rewritten agg list to use downstream. */
+  private def normalized(
+      df: DataFrame,
+      mvDef: MvDef,
+      extraCols: Seq[String] = Nil): (DataFrame, Seq[AggSpec]) = {
+    def bare(ref: String): String = ref.split("\\.").last
+    val aggsBare = mvDef.aggs.map(a =>
+      if (a.input == "*") a else a.copy(input = bare(a.input)))
+    if (mvDef.joins.isEmpty) return (df, aggsBare)
+    val groupPart = mvDef.refsForGroups.zip(mvDef.groupCols)
+      .map { case (r, n) => col(r).as(n) }
+    val groupRefSet = mvDef.refsForGroups.toSet
+    val inputPart = mvDef.aggs.filter(_.input != "*").map(_.input).distinct
+      .filterNot(groupRefSet) // same ref already projected under its bare name
+      .map(r => col(r).as(bare(r)))
+    val extras = extraCols.map(col)
+    (df.select(groupPart ++ inputPart ++ extras: _*), aggsBare)
+  }
+
+  /** The dims-anchor text appended to every refresh commit of a join MV. */
+  private def dimsMark(log: TableVersions, mvDef: MvDef): String =
+    if (mvDef.joins.isEmpty) ""
+    else " dims=" + dimDefns(mvDef)
+      .map(d => s"${d.name.fullyQualifiedName}:${log.currentCommit(d.name).id}")
+      .mkString(";")
+
+  /** The dim anchors recorded by the newest refresh at-or-before `at`. */
+  private def dimAnchorsAt(
+      log: TableVersions, mv: TableName, at: CommitId): Option[Map[String, String]] =
+    log.updates(mv).iterator
+      .dropWhile(_.id != at)
+      .map(_.message.content)
+      .collectFirst { case DimsMark(body) =>
+        body.split(";").toList.flatMap(_.split(":") match {
+          case Array(n, c) => List(n -> c)
+          case _           => Nil
+        }).toMap
+      }
+
   /** The view's defining aggregate over the source at `at` — the whole
     * source, or (`restrictTo`) only the rows of the given group keys: the
     * re-scan path's bound, applied BEFORE the aggregation via a broadcast
@@ -314,16 +439,23 @@ object MaterializedView {
     val base = ColumnMapping.applyLogical(
       DeletionVectors.read(session, binding.log, srcDefn, Some(at)),
       session, binding.log, srcDefn, Some(at))
-    val basef = mvDef.where.map(w => base.where(expr(w))).getOrElse(base)
+    // star join first: the WHERE (and the group columns) may speak dim
+    // attributes; dims read at their CURRENT state (the refresh recorded
+    // their anchors and re-anchors FULL when one moved)
+    val joined = applyJoins(session, binding, mvDef, srcDefn, base)
+    val basef = mvDef.where.map(w => joined.where(expr(w))).getOrElse(joined)
+    // star views collapse to the view's own (bare, unambiguous) columns
+    // before any further joins — fact and dim may share column names
+    val (norm, aggsBare) = normalized(basef, mvDef)
     // null-safe semi-join: a NULL group key is a group like any other
     val scoped = restrictTo
       .map { k =>
-        basef.alias("__pe_b").join(broadcast(k.alias("__pe_k")),
+        norm.alias("__pe_b").join(broadcast(k.alias("__pe_k")),
           mvDef.groupCols.map(c => col(s"__pe_b.$c") <=> col(s"__pe_k.$c"))
             .reduceOption(_ && _).getOrElse(lit(true)), "left_semi")
       }
-      .getOrElse(basef)
-    val aggs = mvDef.aggs.map { a =>
+      .getOrElse(norm)
+    val aggs = aggsBare.map { a =>
       val c: Column = a.fn match {
         case "count" if a.input == "*" => count(lit(1))
         case "count" => count(col(a.input))
@@ -348,7 +480,8 @@ object MaterializedView {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"not incrementally maintainable: $why (an MV SELECT is " +
         "SELECT <group cols>, count(*)/count(c)/sum(c)/avg(c)/min(c)/max(c) ... " +
-        "FROM <one graft table> [WHERE <row predicate>] GROUP BY <group cols>)")
+        "FROM <fact graft table> [JOIN <dim graft table> ON <equi cond>]* " +
+        "[WHERE <row predicate>] GROUP BY <group cols>)")
 
     val agg = plan match {
       case a: Aggregate => a
@@ -365,24 +498,51 @@ object MaterializedView {
         where = Some(cond); node = c
       case _ => done = true
     }
-    val (srcDefn, binding) = node match {
-      case r: UnresolvedRelation => r.multipartIdentifier match {
+    // peel a LEFT-DEEP star-join tree: Join(Join(fact, dim1), dim2) —
+    // the LEFTMOST relation is the FACT (the feed-driven source), every
+    // right side a broadcastable dimension
+    def relationOf(n: LogicalPlan, side: String): (UnresolvedRelation, Option[String]) =
+      n match {
+        case SubqueryAlias(id, r: UnresolvedRelation) => (r, Some(id.name))
+        case r: UnresolvedRelation                    => (r, None)
+        case other => fail(s"$side must be one graft table, got ${other.nodeName}")
+      }
+    var dimJoins = List.empty[(UnresolvedRelation, Option[String], Expression)]
+    while (node.isInstanceOf[Join]) {
+      val j = node.asInstanceOf[Join]
+      if (j.joinType != Inner)
+        fail(s"only INNER dimension joins are maintainable, got ${j.joinType.sql}")
+      val cond = j.condition.getOrElse(fail("a dimension join needs an ON condition"))
+      val (r, al) = relationOf(j.right, "JOIN right side")
+      dimJoins ::= ((r, al, cond))
+      node = j.left
+    }
+    val (factRel, factAlias) = relationOf(node, "FROM")
+
+    def resolveParts(r: UnresolvedRelation): (TableDefinition, GraftTableCatalog.Binding) =
+      r.multipartIdentifier match {
         case Seq(c, db, t) =>
           if (c != cat) fail(s"source catalog $c must be the MV's catalog $cat")
           if (r.options.containsKey("versionAsOf") || r.options.containsKey("timestampAsOf"))
             fail("a time-traveled source cannot be maintained forward")
           GraftTableCatalog.lookup(c, TableName(db, t))
-            .map { case (b, d) => (d, b) }
             .getOrElse(fail(s"${r.multipartIdentifier.mkString(".")} is not a registered graft table"))
+            .swap
         case other => fail(s"FROM must name catalog.db.table, got ${other.mkString(".")}")
       }
-      case other => fail(s"FROM must be one graft table, got ${other.nodeName}")
+    val (srcDefn, binding) = resolveParts(factRel)
+    val joinSpecs = dimJoins.map { case (r, al, cond) =>
+      val (dimDefn, _) = resolveParts(r)
+      JoinSpec(
+        Seq(cat, dimDefn.name.schema, dimDefn.name.name),
+        al.getOrElse(dimDefn.name.name), cond.sql)
     }
 
-    val groupCols = agg.groupingExpressions.map {
-      case a: UnresolvedAttribute => a.nameParts.last
+    val groupRefs = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => a.nameParts.mkString(".")
       case other => fail(s"GROUP BY supports plain columns only, got ${other.sql}")
     }
+    val groupCols = groupRefs.map(_.split("\\.").last)
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
         if (!groupCols.contains(a.nameParts.last)) fail(s"non-grouped bare column ${a.name}")
@@ -394,10 +554,10 @@ object MaterializedView {
           case (Seq("count"), Seq(UnresolvedStar(None))) => Some(AggSpec("count", "*", name))
           case (Seq("count"), Seq(Literal(_, _)))        => Some(AggSpec("count", "*", name))
           case (Seq("count"), Seq(a: UnresolvedAttribute)) =>
-            Some(AggSpec("count", a.nameParts.last, name))
+            Some(AggSpec("count", a.nameParts.mkString("."), name))
           case (Seq(fn), Seq(a: UnresolvedAttribute))
             if Set("sum", "avg", "min", "max")(fn) =>
-            Some(AggSpec(fn, a.nameParts.last, name))
+            Some(AggSpec(fn, a.nameParts.mkString("."), name))
           case (fn, _) => fail(s"aggregate ${fn.mkString(".")} is not maintainable " +
             "(count/sum/avg/min/max of a plain column only)")
         }
@@ -408,9 +568,28 @@ object MaterializedView {
     if (!aggs.exists(a => a.fn == "count" && a.input == "*"))
       fail("at least one count(*) is required (group liveness under deletes)")
 
+    // a star view collapses to BARE names post-join — the bare shapes of
+    // group refs and aggregate inputs must be collision-free
+    if (joinSpecs.nonEmpty) {
+      def bare(r: String): String = r.split("\\.").last
+      if (groupCols.distinct.size != groupCols.size)
+        fail(s"group columns collide on bare names (${groupCols.mkString(", ")})")
+      val byBare = aggs.map(_.input).filter(_ != "*").distinct.groupBy(bare)
+      byBare.foreach { case (n, refs) =>
+        if (refs.size > 1)
+          fail(s"aggregate inputs ${refs.mkString(", ")} collide on bare name $n")
+        groupRefs.zip(groupCols).find(_._2 == n).foreach { case (gr, _) =>
+          if (refs.head != gr)
+            fail(s"aggregate input ${refs.head} and group column $gr collide on bare name $n")
+        }
+      }
+    }
+
     val mvDef = MvDef(
       Seq(cat, srcDefn.name.schema, srcDefn.name.name),
-      where.map(_.sql), groupCols, aggs)
+      where.map(_.sql), groupCols, aggs,
+      joins = joinSpecs, factAlias = factAlias,
+      groupRefs = if (joinSpecs.nonEmpty) groupRefs else Nil)
     (mvDef, srcDefn, binding)
   }
 
@@ -421,6 +600,7 @@ object MaterializedView {
   private def writeDef(session: SparkSession, mv: TableDefinition, d: MvDef): Unit = {
     val n = mapper.createObjectNode()
     n.put("source", d.sourceParts.mkString("."))
+    d.factAlias.foreach(n.put("factAlias", _))
     d.where.foreach(w => n.put("where", w))
     val g = n.putArray("group"); d.groupCols.foreach(g.add)
     val a = n.putArray("aggs")
@@ -428,6 +608,16 @@ object MaterializedView {
       val o = mapper.createObjectNode()
       o.put("fn", s.fn); o.put("input", s.input); o.put("alias", s.alias)
       a.add(o)
+    }
+    if (d.joins.nonEmpty) {
+      val js = n.putArray("joins")
+      d.joins.foreach { j =>
+        val o = mapper.createObjectNode()
+        o.put("dim", j.dimParts.mkString("."))
+        o.put("alias", j.alias); o.put("on", j.onSql)
+        js.add(o)
+      }
+      val gr = n.putArray("groupRefs"); d.refsForGroups.foreach(gr.add)
     }
     val p = filePath(mv)
     AtomicSidecar.writeUtf8(
@@ -450,6 +640,16 @@ object MaterializedView {
       (0 until node.get("aggs").size()).map { i =>
         val o = node.get("aggs").get(i)
         AggSpec(o.get("fn").asText(), o.get("input").asText(), o.get("alias").asText())
-      })
+      },
+      joins = Option(node.get("joins")).map(js =>
+        (0 until js.size()).map { i =>
+          val o = js.get(i)
+          JoinSpec(
+            o.get("dim").asText().split("\\.").toSeq,
+            o.get("alias").asText(), o.get("on").asText())
+        }.toSeq).getOrElse(Nil),
+      factAlias = Option(node.get("factAlias")).map(_.asText()),
+      groupRefs = Option(node.get("groupRefs")).map(gr =>
+        (0 until gr.size()).map(gr.get(_).asText()).toSeq).getOrElse(Nil))
   }
 }

@@ -349,4 +349,170 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
     reader.read(mv).orderBy("label").as[(String, Long, Long)].collect() shouldBe
       Array(("even", 5L, 4L), ("odd", 5L, 3L))
   }
+  // ---- star-schema (join) MVs (round 15) ----
+
+  /** A snapshot dimension table registered beside the fact. */
+  private def dimTable(cat: String, ctx: VersionContext, name: String): TableDefinition = {
+    val d = TableDefinition(
+      TableName("db", name),
+      Files.createTempDirectory(s"graft_mvdim_$name").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(d, user, UpdateMessage("init dim"))
+    GraftTableCatalog.register(cat, d)
+    d
+  }
+
+  test("a star-join MV builds, tracks fact inserts incrementally, and re-scans on fact deletes") {
+    val (ctx, log, fact) = setup("mvj1")
+    val dim = dimTable("mvj1", ctx, "kinds")
+    Seq(("even", "E"), ("odd", "O")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("dims"))
+    (1L to 20L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v1"))
+
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvj1.db.by_label LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n, sum(f.id) AS sum_id, min(f.id) AS min_id
+         |FROM mvj1.db.events f JOIN mvj1.db.kinds d ON f.kind = d.kind
+         |GROUP BY d.label""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvj1", TableName("db", "by_label")).get._2
+    val reader = VersionedReader(spark, log)
+    reader.read(mv).orderBy("label").as[(String, Long, Long, Long)].collect() shouldBe
+      Array(("E", 10L, 110L, 2L), ("O", 10L, 100L, 1L))
+
+    // fact INSERTS: delta path (joined to the dims) — mode incremental
+    (21L to 24L).map(i => Event(i, "even", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v2"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvj1.db.by_label")
+      .collect().head.getString(0) shouldBe "incremental"
+    reader.read(mv).orderBy("label").as[(String, Long, Long, Long)].collect() shouldBe
+      Array(("E", 14L, 200L, 2L), ("O", 10L, 100L, 1L))
+
+    // fact DV DELETE (removes the current min of O): re-scan path
+    DeletionVectors.delete(
+      ctx, log, fact, col("id") <= 3, user, UpdateMessage("dv: drop 1..3"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvj1.db.by_label")
+      .collect().head.getString(0) shouldBe "incremental"
+    val afterDelete = reader.read(mv).orderBy("label")
+      .as[(String, Long, Long, Long)].collect()
+    afterDelete shouldBe Array(("E", 13L, 198L, 4L), ("O", 8L, 96L, 5L))
+
+    // incremental == FULL on the same state
+    spark.sql("REFRESH MATERIALIZED VIEW mvj1.db.by_label FULL")
+    reader.read(mv).orderBy("label")
+      .as[(String, Long, Long, Long)].collect() shouldBe afterDelete
+  }
+
+  test("a DIM change re-anchors the star MV with a FULL rebuild (never a stale-join delta)") {
+    val (ctx, log, fact) = setup("mvj2")
+    val dim = dimTable("mvj2", ctx, "kinds")
+    Seq(("even", "E"), ("odd", "O")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("dims"))
+    (1L to 10L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvj2.db.mvj LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n
+         |FROM mvj2.db.events f JOIN mvj2.db.kinds d ON f.kind = d.kind
+         |GROUP BY d.label""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvj2", TableName("db", "mvj")).get._2
+
+    // relabel the dim (snapshot overwrite) — the fact is untouched
+    Seq(("even", "EVEN"), ("odd", "ODD")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("relabel"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvj2.db.mvj")
+      .collect().head.getString(0) shouldBe "full"
+    VersionedReader(spark, log).read(mv).orderBy("label")
+      .as[(String, Long)].collect() shouldBe Array(("EVEN", 5L), ("ODD", 5L))
+
+    // quiet fact + quiet dims → no-op
+    spark.sql("REFRESH MATERIALIZED VIEW mvj2.db.mvj")
+      .collect().head.getString(0) shouldBe "no-op"
+  }
+
+  test("star MV: WHERE over a dim attribute filters both the build and the feed") {
+    val (ctx, log, fact) = setup("mvj3")
+    val dim = dimTable("mvj3", ctx, "kinds")
+    Seq(("even", "keep"), ("odd", "drop")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("dims"))
+    (1L to 10L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvj3.db.mvw LOCATION '${mvLoc()}'
+         |AS SELECT f.kind, count(*) AS n
+         |FROM mvj3.db.events f JOIN mvj3.db.kinds d ON f.kind = d.kind
+         |WHERE d.label = 'keep' GROUP BY f.kind""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvj3", TableName("db", "mvw")).get._2
+    val reader = VersionedReader(spark, log)
+    reader.read(mv).as[(String, Long)].collect() shouldBe Array(("even", 5L))
+
+    Seq(Event(11, "even", "2024-01-02"), Event(12, "odd", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v2"))
+    spark.sql("REFRESH MATERIALIZED VIEW mvj3.db.mvw")
+      .collect().head.getString(0) shouldBe "incremental"
+    reader.read(mv).as[(String, Long)].collect() shouldBe Array(("even", 6L))
+  }
+
+  test("star MV: racing refreshes still conflict via the MV rebase commit") {
+    val (ctx, log, fact) = setup("mvj4")
+    val dim = dimTable("mvj4", ctx, "kinds")
+    Seq(("even", "E"), ("odd", "O")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("dims"))
+    (1L to 10L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, fact, user, UpdateMessage("v1"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvj4.db.mvr LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n
+         |FROM mvj4.db.events f JOIN mvj4.db.kinds d ON f.kind = d.kind
+         |GROUP BY d.label""".stripMargin)
+    val mv = GraftTableCatalog.lookup("mvj4", TableName("db", "mvr")).get._2
+    Seq(Event(11, "even", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, fact, user, UpdateMessage("v2"))
+
+    // a competing refresh lands inside this refresh's race window
+    MaterializedView.interleaveForTest = () => {
+      MaterializedView.interleaveForTest = () => ()
+      MaterializedView.refresh(spark, "mvj4", mv, user)
+      ()
+    }
+    try {
+      intercept[TableVersions.ConcurrentWriteException] {
+        MaterializedView.refresh(spark, "mvj4", mv, user)
+      }
+    } finally MaterializedView.interleaveForTest = () => ()
+    // the winner's state is consistent
+    VersionedReader(spark, log).read(mv).orderBy("label")
+      .as[(String, Long)].collect() shouldBe Array(("E", 6L), ("O", 5L))
+  }
+
+  test("non-maintainable join shapes reject loudly at CREATE") {
+    val (ctx, log, fact) = setup("mvj5")
+    val dim = dimTable("mvj5", ctx, "kinds")
+    Seq(("even", "E")).toDF("kind", "label")
+      .versionedInsertInto(ctx, dim, user, UpdateMessage("dims"))
+    Seq(Event(1, "even", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, fact, user, UpdateMessage("v1"))
+    def rejects(sql: String, needle: String): Unit =
+      (the[IllegalArgumentException] thrownBy spark.sql(sql))
+        .getMessage should include(needle)
+
+    rejects(
+      s"""CREATE MATERIALIZED VIEW mvj5.db.bad1 LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n
+         |FROM mvj5.db.events f LEFT JOIN mvj5.db.kinds d ON f.kind = d.kind
+         |GROUP BY d.label""".stripMargin,
+      "INNER")
+    rejects(
+      s"""CREATE MATERIALIZED VIEW mvj5.db.bad2 LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n
+         |FROM mvj5.db.events f CROSS JOIN mvj5.db.kinds d
+         |GROUP BY d.label""".stripMargin,
+      "INNER")
+    rejects(
+      s"""CREATE MATERIALIZED VIEW mvj5.db.bad3 LOCATION '${mvLoc()}'
+         |AS SELECT d.label, count(*) AS n
+         |FROM mvj5.db.events f JOIN mvj5.db.kinds d
+         |GROUP BY d.label""".stripMargin,
+      "ON condition")
+  }
 }
