@@ -365,6 +365,20 @@ object ColumnMapping {
     applyLogical(
       DeletionVectors.read(spark, log, table, asOf), spark, log, table, asOf)
 
+  /** The PHYSICAL (in-file) name behind logical `column` at `at`
+    * (default: current) — identity when no mapping entry covers it.
+    * Physical names are stable across renames, so artifacts keyed at
+    * write time (zone-map sidecars) resolve through this. */
+  private[spark] def physicalName(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      column: String,
+      at: Option[CommitId] = None): String =
+    stateAt(spark, log, table, at)
+      .flatMap(_.entries.find(e => !e.dropped && e.logical.equalsIgnoreCase(column)))
+      .map(_.physical).getOrElse(column)
+
   /** Whether any mapping state applies at `at` — the SQL scan rule's cheap
     * probe (a driver-side metadata-file read). */
   def hasMapping(

@@ -147,13 +147,18 @@ object FileStats {
       table: TableDefinition,
       cols: Seq[String],
       distinctCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit =
+      bloomCols: Seq[String] = Nil): Unit = {
+    // callers speak LOGICAL names; the sidecar (like the raw scan it
+    // indexes) is keyed by the stable PHYSICAL names, so renames never
+    // strand it — probes translate back through the same mapping
+    def phys(c: String) = ColumnMapping.physicalName(spark, log, table, c)
     zoneMaps(
-      VersionedReader(spark, log).read(table), cols,
+      VersionedReader(spark, log).read(table), cols.map(phys),
       carryCols = table.partitionSchema.columns.map(_.name),
-      distinctCols = distinctCols,
-      bloomCols = bloomCols)
+      distinctCols = distinctCols.map(phys),
+      bloomCols = bloomCols.map(phys))
       .write.mode("overwrite").parquet(statsDir(log, table))
+  }
 
   /** The sidecar zone maps of the table's current state. */
   def loadZoneMaps(spark: SparkSession, log: TableVersions, table: TableDefinition): DataFrame =
@@ -185,6 +190,10 @@ object FileStats {
     require(!table.isSnapshot,
       "incremental stats need partition granularity; snapshot states rewrite wholesale — use writeZoneMaps")
     val partCols = table.partitionSchema.columns.map(_.name)
+    def phys(c: String) = ColumnMapping.physicalName(spark, log, table, c)
+    val physCols = cols.map(phys)
+    val physDistinct = distinctCols.map(phys)
+    val physBloom = bloomCols.map(phys)
     val prevDir = statsDir(log, table, Some(since))
     val destDir = statsDir(log, table)
     if (prevDir == destDir) return // `since` IS the current state: its sidecar
@@ -206,7 +215,7 @@ object FileStats {
 
     val fresh = zoneMaps(
       VersionedReader(spark, log).readPartitions(table, moved),
-      cols, carryCols = partCols, distinctCols = distinctCols, bloomCols = bloomCols)
+      physCols, carryCols = partCols, distinctCols = physDistinct, bloomCols = physBloom)
     require(prev.columns.sorted.sameElements(fresh.columns.sorted),
       s"previous sidecar schema [${prev.columns.sorted.mkString(",")}] does not match " +
         s"the requested stats [${fresh.columns.sorted.mkString(",")}] — run writeZoneMaps once to migrate")
@@ -252,11 +261,15 @@ object FileStats {
       lo: Any,
       hi: Any,
       partitionFilter: Option[org.apache.spark.sql.Column] = None,
-      asOf: Option[TableVersions.CommitId] = None): DataFrame =
+      asOf: Option[TableVersions.CommitId] = None): DataFrame = {
+    // probes speak the CURRENT logical name; the sidecar is keyed by the
+    // stable physical name, so a rename never strands it
+    val pc = ColumnMapping.physicalName(spark, log, table, column)
     prunedScan(spark, log, table, partitionFilter, asOf)(stats =>
       stats.where(
-        col(s"min_$column").isNull || col(s"max_$column").isNull ||
-          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))))
+        col(s"min_$pc").isNull || col(s"max_$pc").isNull ||
+          (col(s"max_$pc") >= lit(lo) && col(s"min_$pc") <= lit(hi))))
+  }
 
   /** Scan the table's current version reading ONLY the files whose
     * distinct-value sketch (`dv_<column>`, written via `distinctCols`)
@@ -271,11 +284,13 @@ object FileStats {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      column: String,
+      logicalColumn: String,
       values: Seq[Any],
       partitionFilter: Option[org.apache.spark.sql.Column] = None,
       asOf: Option[TableVersions.CommitId] = None): DataFrame = {
     require(values.nonEmpty, "equality skipping needs at least one probe value")
+    // current logical probe name -> the sidecar's stable physical key
+    val column = ColumnMapping.physicalName(spark, log, table, logicalColumn)
     prunedScan(spark, log, table, partitionFilter, asOf) { stats =>
       val hasDv = stats.columns.contains(s"dv_$column")
       val hasBloom = stats.columns.contains(s"bloom_$column")
@@ -389,7 +404,7 @@ object FileStats {
     // read would resurrect DV-hidden rows into every skipping query
     // (zone maps only narrow the FILE list; the anti-join is row truth).
     // Zero cost when the table has no sidecars.
-    DeletionVectors.resolvePairs(spark, log, table, asOf) match {
+    val dvApplied = DeletionVectors.resolvePairs(spark, log, table, asOf) match {
       case None => scan
       case Some(dv) =>
         if (scan.columns.isEmpty) scan
@@ -405,5 +420,8 @@ object FileStats {
             .drop("__fs_file", "__fs_pos")
         }
     }
+    // the pruned scan reads files (physical names); serve the LOGICAL
+    // view like every other read path — identity without a mapping
+    ColumnMapping.applyLogical(dvApplied, spark, log, table, asOf)
   }
 }

@@ -343,4 +343,48 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     FileStats.writeZoneMaps(spark, log, table, Seq("k"))
     VersionedReader(spark, log).read(table).count() shouldBe 8000L
   }
+
+  test("zone-map skipping survives ALTER TABLE RENAME COLUMN (round 15)") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonerename"),
+      Files.createTempDirectory("graft_spec_zonerename").toUri,
+      PartitionSchema.snapshot,
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.range(8000).toDF("k")
+      .withColumn("grp", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("g"), col("k") % 8))
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k", "grp"), distinctCols = Seq("grp"))
+    val totalFiles = VersionedReader(spark, log).read(table).inputFiles.length
+
+    ColumnMapping.rename(spark, ctx, table, "k", "key", user)
+    ColumnMapping.rename(spark, ctx, table, "grp", "bucket", user)
+
+    // RANGE probe under the NEW name: still prunes, still logical output
+    // (a snapshot sidecar keys by VERSION label, so the metadata-only
+    // rename commits do not strand it)
+    val pruned = FileStats.readSkipping(spark, log, table, "key", 1000L, 1999L)
+    pruned.inputFiles.length should be < totalFiles
+    pruned.columns should contain("key")
+    pruned.columns should not contain "k"
+    pruned.where(col("key").between(1000, 1999)).count() shouldBe 1000L
+
+    // EQUALITY probe under the NEW name
+    val eq = FileStats.readSkippingEquals(spark, log, table, "bucket", Seq("g3"))
+    eq.columns should contain("bucket")
+    eq.where(col("bucket") === "g3").count() shouldBe 1000L
+
+    // and REWRITING the sidecar under the new logical names keys the same
+    // physical columns: the probe keeps resolving
+    FileStats.writeZoneMaps(spark, log, table, Seq("key", "bucket"), distinctCols = Seq("bucket"))
+    val fresh = FileStats.readSkipping(spark, log, table, "key", 0L, 10L)
+    fresh.inputFiles.length should be < totalFiles
+    fresh.where(col("key") <= 10).count() shouldBe 11L
+  }
 }
