@@ -16,6 +16,12 @@ import graft.core._
  * still works); everything older is deleted. Runs driver-side with
  * O(#versions) metadata ops — no Spark job needed.
  *
+ * Shallow-clone links: linked tables share one storage namespace, so
+ * vacuum REFERENCE-COUNTS across the whole transitively linked family —
+ * a dir reclaims only when no retained commit of ANY linked table
+ * references it (retention parameters apply per table, per call). A link
+ * naming an untracked table refuses loudly.
+ *
  * Concurrent-writer safety: a `versionedInsertInto` in flight has written
  * (or is renaming) its version directories BEFORE its commit lands in the
  * log, so those dirs look unreferenced. A version dir younger than
@@ -31,6 +37,46 @@ object Vacuum {
 
   /** Default deletion grace for young version dirs (ms). */
   val DefaultGraceMs: Long = 10 * 60 * 1000L
+
+  /** Every table transitively linked to `start` by shallow-clone tags
+    * (`clone:`/`cloned-from:`), `start` included — the tables whose
+    * histories share one storage namespace and therefore vote on every
+    * reclaim. A link naming a table the log does not track refuses
+    * loudly: an unverifiable claim on shared dirs cannot be reference-
+    * counted. */
+  private[spark] def linkedFamily(
+      log: TableVersions, start: TableName): List[TableName] = {
+    def partnersOf(name: TableName): List[TableName] =
+      log.refs(name).keys.toList.flatMap { tag =>
+        val fq =
+          if (tag.startsWith(ShallowClone.CloneTagPrefix))
+            Some(tag.stripPrefix(ShallowClone.CloneTagPrefix))
+          else if (tag.startsWith(ShallowClone.ClonedFromTagPrefix))
+            Some(tag.stripPrefix(ShallowClone.ClonedFromTagPrefix))
+          else None
+        fq.map { f =>
+          val parts = f.split("\\.", 2)
+          require(parts.length == 2, s"malformed clone tag '$tag' on ${name.fullyQualifiedName}")
+          val partner = TableName(parts(0), parts(1))
+          try { log.currentCommit(partner); partner }
+          catch {
+            case _: NoSuchElementException =>
+              throw new IllegalStateException(
+                s"cannot vacuum ${start.fullyQualifiedName}: clone link names " +
+                  s"${partner.fullyQualifiedName}, which this log does not track — " +
+                  "sever the link (ShallowClone.unlink) first")
+          }
+        }.toList
+      }
+    var seen = Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(partnersOf).filterNot(seen)
+      seen ++= next
+      frontier = next
+    }
+    seen.toList.sortBy(_.fullyQualifiedName)
+  }
 
   final case class Report(
       examined: Int, deleted: List[String], failed: List[String],
@@ -52,37 +98,44 @@ object Vacuum {
       retainMs: Option[Long] = None,
       dryRun: Boolean = false): Report = {
 
-    // a live shallow-clone link means TWO logs reference dirs under this
-    // location; a vacuum driven by one log would reclaim the other's dirs
-    // (the clone's post-fork writes look unreferenced to the source).
-    // Refuse until the link is severed (ShallowClone.unlink).
-    if (ShallowClone.hasCloneLink(log, table.name))
-      throw new IllegalStateException(
-        s"cannot vacuum ${table.name.fullyQualifiedName}: a shallow-clone link is " +
-          "live (clone:/cloned-from: tag present) and the shared location is " +
-          "referenced by more than one commit log — unlink the clone first")
+    // a live shallow-clone link means MULTIPLE tables' histories reference
+    // dirs under this shared location (the linked logs share one
+    // namespace). Vacuum is REFERENCE-COUNTED across the link: every
+    // transitively linked table contributes its retained states, stats
+    // commits, and DV anchors, and a dir reclaims only when EVERY side
+    // considers it dead. A link whose partner no longer resolves in the
+    // log refuses loudly (a clone dropped without ShallowClone.unlink
+    // leaves an unverifiable claim on the shared dirs).
+    val family: List[TableName] = linkedFamily(log, table.name)
 
-    val updates = log.updates(table.name) // most recent first
-    val byCount = updates.take(math.max(keepLast, 1))
-    val byAge = retainMs.toList.flatMap { ms =>
-      val cut = System.currentTimeMillis() - math.max(ms, 0L)
-      // filter, NOT takeWhile: commit timestamps are minted by writers
-      // BEFORE the table-lock append, so two racing writers can land in
-      // the log out of timestamp order — a prefix scan would stop at the
-      // first out-of-window stamp and silently drop an in-window commit
-      // from retention
-      updates.filter(_.timestamp.toEpochMilli >= cut)
+    // retained-commit rule, applied PER TABLE of the family: the newest
+    // keepLast commits, the age window, every named ref, and the pointer
+    def retainedIdsOf(name: TableName): List[TableVersions.CommitId] = {
+      val updates = log.updates(name) // most recent first
+      val byCount = updates.take(math.max(keepLast, 1))
+      val byAge = retainMs.toList.flatMap { ms =>
+        val cut = System.currentTimeMillis() - math.max(ms, 0L)
+        // filter, NOT takeWhile: commit timestamps are minted by writers
+        // BEFORE the table-lock append, so two racing writers can land in
+        // the log out of timestamp order — a prefix scan would stop at the
+        // first out-of-window stamp and silently drop an in-window commit
+        // from retention
+        updates.filter(_.timestamp.toEpochMilli >= cut)
+      }
+      // named refs PIN retention: a tag's state must stay readable for as
+      // long as the tag exists (reproducibility is the tag's whole point),
+      // and a staged branch commit under audit must not lose its data dirs
+      // just because keepLast newer commits landed on main. versionAt on a
+      // staged commit is the audit-read fold, so everything that read
+      // serves is retained.
+      val refIds = log.refs(name).values.map(_.id).toList
+      ((byCount ++ byAge).map(_.id) ++ refIds).distinct
     }
-    // named refs PIN retention: a tag's state must stay readable for as
-    // long as the tag exists (reproducibility is the tag's whole point),
-    // and a staged branch commit under audit must not lose its data dirs
-    // just because keepLast newer commits landed on main. versionAt on a
-    // staged commit is the audit-read fold, so everything that read serves
-    // is retained.
-    val refIds = log.refs(table.name).values.map(_.id).toList
-    val retainedIds = ((byCount ++ byAge).map(_.id) ++ refIds).distinct
-    val states = log.currentVersion(table.name) ::
-      retainedIds.map(id => log.versionAt(table.name, id))
+    val retainedIds = retainedIdsOf(table.name)
+    val states = family.flatMap { name =>
+      log.currentVersion(name) ::
+        retainedIdsOf(name).map(id => log.versionAt(name, id))
+    }
 
     // every (relative dir, label) any retained state references — in the
     // ESCAPED on-disk form, which is what the directory listing yields
@@ -94,11 +147,11 @@ object Vacuum {
     // vacuum past the grace window must not reclaim data of a transaction
     // whose marker then lands (checkpoint refuses on the same condition)
     val pendingRefs: Set[String] =
-      log.pendingOperations(table.name).collect {
+      family.flatMap(name => log.pendingOperations(name).collect {
         case TableVersions.TableOperation.AddTableVersion(v) => v.label
         case TableVersions.TableOperation.AddPartitionVersion(p, v) =>
           s"${SparkPaths.escapedPartitionPath(p)}/${v.label}"
-      }.toSet
+      }).toSet
     val referenced: Set[String] = states.flatMap {
       case SnapshotTableVersion(v) => List(v.label)
       case PartitionedTableVersion(pvs) =>
@@ -137,7 +190,8 @@ object Vacuum {
     // retained: after a rollback its state's data dirs are deliberately
     // kept, and reclaiming its sidecar would orphan a live state's stats.
     val retainedCommitIds: Set[String] =
-      retainedIds.map(_.id).toSet + log.currentCommit(table.name).id
+      family.flatMap(name =>
+        log.currentCommit(name).id :: retainedIdsOf(name).map(_.id)).toSet
     val statsRoot = new HPath(root, "_stats")
     val statsOnDisk: List[(String, Boolean)] =
       if (!fs.exists(statsRoot)) Nil
@@ -165,8 +219,11 @@ object Vacuum {
     // load-bearing as a pair sidecar — reclaiming it would re-expose the
     // older pairs it shields to every current read
     val neededDeleteAnchors: Set[String] =
-      (log.currentCommit(table.name) :: retainedIds).distinct
-        .flatMap(c => DeletionVectors.rawSidecarDirs(fs, log, table, Some(c)))
+      family.flatMap { name =>
+        val defn = table.copy(name = name) // linked tables share the location
+        (log.currentCommit(name) :: retainedIdsOf(name)).distinct
+          .flatMap(c => DeletionVectors.rawSidecarDirs(fs, log, defn, Some(c)))
+      }
         .map(dir => dir.substring(dir.lastIndexOf("commit-") + "commit-".length))
         .toSet
     val deletesRoot = new HPath(root, "_deletes")

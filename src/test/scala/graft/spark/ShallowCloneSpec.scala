@@ -67,21 +67,45 @@ class ShallowCloneSpec extends AnyFunSuite with Matchers {
       .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L)
   }
 
-  test("clone linkage tags pin the source state and vacuum refuses on both sides until unlink") {
+  test("vacuum under a live clone link is reference-counted: only both-sides-dead dirs reclaim") {
     val (ctx, log) = freshContext()
     val src = partitionedTable("clone_vac")
     ctx.init(src, user, UpdateMessage("init"))
-    Seq(Event(1, "a", "2024-01-01"))
-      .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    def write(t: TableDefinition, id: Long, msg: String): Unit =
+      Seq(Event(id, "a", "2024-01-01"))
+        .toDS().versionedInsertInto(ctx, t, user, UpdateMessage(msg))
+    write(src, 1, "v1") // this version becomes dead to BOTH sides
+    write(src, 2, "v2") // the forked state
     val clone = ShallowClone.clone(spark, ctx, src, TableName("test", "clone_vac_dst"), user)
-
     log.refs(src.name).keys should contain("clone:test.clone_vac_dst")
     log.refs(clone.name).keys should contain("cloned-from:test.clone_vac")
+    // both sides write on after the fork, overwriting the shared partition
+    write(src, 3, "v3 src")
+    write(clone, 4, "v4 clone")
 
     val conf = spark.sessionState.newHadoopConf()
-    an[IllegalStateException] should be thrownBy Vacuum.vacuum(src, log, conf)
-    an[IllegalStateException] should be thrownBy Vacuum.vacuum(clone, log, conf)
+    val report = Vacuum.vacuum(src, log, conf, keepLast = 1, graceMs = 0)
+    // exactly the both-sides-dead v1 dir reclaimed; everything either
+    // side still references — src head, clone head, the tag-pinned fork
+    // state — survives
+    report.deleted should have size 1
+    VersionedReader(spark, log).read(src).select("id").as[Long].collect() shouldBe Array(3L)
+    VersionedReader(spark, log).read(clone).select("id").as[Long].collect() shouldBe Array(4L)
+    val forkCommit = log.refs(src.name)("clone:test.clone_vac_dst").id
+    VersionedReader(spark, log).readAsOf(src, forkCommit)
+      .select("id").as[Long].collect() shouldBe Array(2L)
 
+    // the clone-driven vacuum agrees: nothing more is dead on both sides
+    Vacuum.vacuum(clone, log, conf, keepLast = 1, graceMs = 0).deleted shouldBe empty
+
+    // a stale link (partner dropped without unlink) refuses loudly —
+    // an unverifiable claim on shared dirs cannot be reference-counted
+    log.setRef(src.name, "clone:test.never_tracked", log.currentCommit(src.name), isTag = true)
+    an[IllegalStateException] should be thrownBy
+      Vacuum.vacuum(src, log, conf, keepLast = 1, graceMs = 0)
+    log.deleteRef(src.name, "clone:test.never_tracked")
+
+    // unlink severs the family: vacuum falls back to single-table counting
     ShallowClone.unlink(log, src.name, clone.name)
     noException should be thrownBy Vacuum.vacuum(src, log, conf, graceMs = 0)
   }
