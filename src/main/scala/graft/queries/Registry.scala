@@ -360,6 +360,24 @@ object Registry {
              |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY _change_type, l_returnflag
              |ORDER BY _change_type, l_returnflag""".stripMargin)),
+    "q77c_tracked_change_feed" -> Entry(
+      Versioned.q77cTrackedChangeFeed,
+      // keyless classification by engine row ids: ONLY the value-changed
+      // rows surface (as update pairs) plus the DV deletes — the oracle
+      // recomputes the three classes from the same source slice
+      Some("""SELECT _change_type, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM (
+             |  SELECT 'delete' AS _change_type, l_quantity, l_extendedprice
+             |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT 'update_preimage', l_quantity, l_extendedprice
+             |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |  UNION ALL
+             |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
+             |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
     "q77_keyed_change_feed" -> Entry(
       Versioned.q77KeyedChangeFeed,
       // the minimal keyed diff: rewrite no-ops vanish, in-place changes

@@ -2523,6 +2523,70 @@ object Versioned {
     * DELETE hides scattered 'A' rows (pure deletes in an unmoved
     * partition). Replay of the extended vocabulary must still
     * reconstruct the head state exactly (asserted in-query). */
+  /** Q77c: KEYLESS update classification — ROW TRACKING
+    * ([[graft.spark.RowTracking]]). The table declares NO key: the
+    * engine's stamped `_graft_row_id` (per-task disjoint ranges,
+    * commit-carried high-water mark) is the pairing identity. A
+    * read-modify-write rewrite of partition R carries every surviving
+    * row's id back, so the tracked feed nets the untouched rows out
+    * entirely and pairs each changed row's images exactly — no rollup,
+    * no declared key, full-row duplicates included (each duplicate owns
+    * its own id). Replay reconstructs the head state verbatim. */
+  def q77cTrackedChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.RowTracking
+    val (ctx, log) = freshContext()
+    val table = tempTable(
+      "li_rtcdf", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_rtcdf"))
+    RowTracking.enable(s, ctx, table, user)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    RowTracking.insert(li, ctx, table, user, UpdateMessage("v1: full load"))
+    val v1 = log.currentCommit(table.name)
+
+    // read-modify-write: the R partition re-lands with every row's id
+    // carried; only the qty>40 rows change value
+    val r = graft.spark.DeletionVectors.read(s, log, table)
+      .where(col("l_returnflag") === "R")
+    RowTracking.insert(
+      r.withColumn("l_extendedprice",
+        when(col("l_quantity") > 40, col("l_extendedprice") * 0.9)
+          .otherwise(col("l_extendedprice"))),
+      ctx, table, user, UpdateMessage("v2: discount high-qty R"))
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table,
+      col("l_returnflag") === "A" && col("l_orderkey") % 10 === 0,
+      user, UpdateMessage("dv: scattered delete in A"))
+    val head = log.currentCommit(table.name)
+
+    val feed = graft.spark.ChangeFeed.readTracked(s, log, table, Some(v1), head).cache()
+    try {
+      // untouched carried rows vanish: the rewritten partition's qty<=40
+      // rows net out by (full value, id)
+      require(feed.where(
+          col("l_returnflag") === "R" && col("l_quantity") <= 40).isEmpty,
+        "carried unchanged rows must be absent from the tracked feed")
+      // replay contract: one symmetric signed-count compare
+      val replayed = graft.spark.ChangeFeed.replay(
+        graft.spark.DeletionVectors.read(s, log, table, Some(v1)), feed)
+      val now = graft.spark.DeletionVectors.read(s, log, table, Some(head))
+      val cols = now.columns.map(col)
+      val diff = replayed.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
+        .join(now.groupBy(cols: _*).agg(count(lit(1)).as("__m")),
+          now.columns.toSeq, "full_outer")
+        .where(!(col("__n") <=> col("__m")))
+      require(diff.isEmpty, "tracked-feed replay must reconstruct the head state")
+
+      feed.groupBy("_change_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("_change_type")
+        .localCheckpoint(true)
+    } finally { feed.unpersist(); () }
+  }
+
   def q77KeyedChangeFeed(s: SparkSession, dir: String): DataFrame = {
     val (ctx, log) = freshContext()
     val table = tempTable(

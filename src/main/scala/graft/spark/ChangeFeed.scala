@@ -98,7 +98,38 @@ object ChangeFeed {
     val dataCols = raw.columns.filterNot(_ == ChangeTypeCol).toSeq
     require(keys.nonEmpty && keys.forall(dataCols.contains),
       s"change-feed keys $keys must be table columns $dataCols")
+    keyedOn(raw, dataCols, keys, bypassNullKeys = false)
+  }
 
+  /** The KEYLESS keyed feed — ROW TRACKING ([[RowTracking]]): the
+    * engine's stamped row id is the pairing key, so no caller-declared
+    * key is needed. Rows whose id is NULL (written outside the stamping
+    * paths) never pair — two unrelated untracked rows must not masquerade
+    * as one update — and emit as plain insert/delete; everything else
+    * gets exact per-row update classification. Same replay contract. */
+  def readTracked(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      from: Option[CommitId],
+      to: CommitId): DataFrame = {
+    val idCol = RowTracking.trackingColumn(spark, table).getOrElse(sys.error(
+      s"table ${table.name.fullyQualifiedName} has no row tracking — " +
+        "RowTracking.enable (or declare an identity column) first"))
+    val raw = read(spark, log, table, from, to)
+    if (raw.columns.isEmpty) return raw
+    val dataCols = raw.columns.filterNot(_ == ChangeTypeCol).toSeq
+    require(dataCols.exists(_.equalsIgnoreCase(idCol)),
+      s"tracking column $idCol missing from the feed columns $dataCols")
+    keyedOn(raw, dataCols, Seq(idCol), bypassNullKeys = true)
+  }
+
+  /** Shared netting + pairing core of [[readKeyed]]/[[readTracked]]. */
+  private def keyedOn(
+      raw: DataFrame,
+      dataCols: Seq[String],
+      keys: Seq[String],
+      bypassNullKeys: Boolean): DataFrame = {
     // 1. net identical full-row values: +1 per insert, -1 per delete;
     //    net 0 disappears, survivors re-expand to |net| rows of one type
     val netted = raw
@@ -109,15 +140,20 @@ object ChangeFeed {
         when(col("__cf_net") > 0, lit(Insert)).otherwise(lit(Delete)))
       .withColumn("__cf_dup", explode(array_repeat(lit(1), abs(col("__cf_net")).cast("int"))))
       .drop("__cf_net", "__cf_dup")
+    // NULL-keyed rows: GROUP BY semantics pair them for DECLARED keys (a
+    // null key is a group); for row tracking a NULL id means untracked —
+    // bypass the pairing entirely
+    val anyNullKey = keys.map(col(_).isNull).reduceLeft(_ || _)
+    val pairable = if (bypassNullKeys) netted.where(!anyNullKey) else netted
 
     // 2. pair per key: rank each side deterministically, full-outer on
     //    (key, rank); both present = an update's two images
     val keyCols = keys.map(col)
     val ordered = Window.partitionBy(keyCols: _*)
       .orderBy(dataCols.map(c => col(c).asc_nulls_first): _*)
-    val del = netted.where(col(ChangeTypeCol) === Delete)
+    val del = pairable.where(col(ChangeTypeCol) === Delete)
       .withColumn("__cf_rk", row_number().over(ordered))
-    val ins = netted.where(col(ChangeTypeCol) === Insert)
+    val ins = pairable.where(col(ChangeTypeCol) === Insert)
       .withColumn("__cf_rk", row_number().over(ordered))
     val joinCond = keys.map(k => del(k) <=> ins(k))
       .reduce(_ && _) && del("__cf_rk") === ins("__cf_rk")
@@ -127,8 +163,9 @@ object ChangeFeed {
       .where(col(s"$alias.$ChangeTypeCol").isNotNull)
       .select(dataCols.map(c => col(s"$alias.$c").as(c)) :+ tpe.as(ChangeTypeCol): _*)
     val dBoth = col(s"d.$ChangeTypeCol").isNotNull && col(s"i.$ChangeTypeCol").isNotNull
-    side("d", when(dBoth, lit(UpdatePre)).otherwise(lit(Delete)))
+    val out = side("d", when(dBoth, lit(UpdatePre)).otherwise(lit(Delete)))
       .unionByName(side("i", when(dBoth, lit(UpdatePost)).otherwise(lit(Insert))))
+    if (bypassNullKeys) out.unionByName(netted.where(anyNullKey)) else out
   }
 
   private def read0(

@@ -552,7 +552,12 @@ private[spark] final class GraftV2Table(
     util.Collections.emptyMap()
 
   override def name(): String = delegate.name()
-  override def schema(): StructType = delegate.schema()
+  // the engine's row-tracking id is a real file column but NOT part of
+  // the table's SQL surface: SELECT * never shows it, INSERT never names
+  // it (the write path stamps it like any GENERATED ALWAYS identity)
+  override def schema(): StructType =
+    StructType(delegate.schema().filterNot(
+      _.name.equalsIgnoreCase(RowTracking.RowIdCol)))
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def properties(): util.Map[String, String] = delegate.properties()
 

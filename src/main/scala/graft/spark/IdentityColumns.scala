@@ -122,6 +122,37 @@ object IdentityColumns {
   private[spark] def stamped(df: DataFrame, column: String, hwm: Long): DataFrame =
     df.withColumn(column, lit(hwm + 1L) + monotonically_increasing_id())
 
+  /** ID-PRESERVING write — the ROW-TRACKING rewrite path
+    * ([[RowTracking]]): the batch MAY carry `column`, and a non-null
+    * carried value is kept verbatim (the read-modify-write contract: a
+    * carried id must come from this table's own reads, which is what
+    * keeps it unique); null or absent ids mint fresh above the high-water
+    * mark. Same staged-max hwm derivation and CAS commit as
+    * [[insertWithIdentity]] — the carried ids are ≤ the observed mark, so
+    * the recorded advance stays exact. */
+  private[spark] def insertPreserving(
+      df: DataFrame,
+      ctx: VersionContext,
+      table: TableDefinition,
+      column: String,
+      userId: UserId,
+      message: UpdateMessage): (TableVersion, TableChanges) = {
+    val spark = df.sparkSession
+    val hwm = effectiveHighWaterMark(
+      spark, ctx.metastore.tableVersions, table, column)
+    val withCol =
+      if (df.columns.exists(_.equalsIgnoreCase(column))) df.toDF()
+      else df.toDF().withColumn(
+        column, org.apache.spark.sql.functions.lit(null).cast("long"))
+    val stampedDf = withCol.withColumn(
+      column,
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col(column),
+        lit(hwm + 1L) + monotonically_increasing_id()))
+    stageAndCommit(stampedDf, ctx, table, column, userId, message,
+      hwmAtStamp = hwm)
+  }
+
   /** The column's high-water mark as of the CURRENT pointer (0 = never
     * assigned). Newest at-or-before fold, like every per-state artifact. */
   def currentHighWaterMark(log: TableVersions, table: TableName, column: String): Long =

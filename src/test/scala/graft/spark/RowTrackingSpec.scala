@@ -1,0 +1,126 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, when}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+class RowTrackingSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("rowtrack-test")
+
+  private def fresh(name: String): (VersionContext, InMemoryTableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_rt_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    (ctx, log, t)
+  }
+
+  private def rows(t: TableDefinition, log: TableVersions,
+      asOf: Option[TableVersions.CommitId] = None) =
+    DeletionVectors.read(spark, log, t, asOf)
+
+  test("keyless CDF: a read-modify-write rewrite pairs updates by row id; untouched rows vanish") {
+    val (ctx, log, t) = fresh("rt_update")
+    RowTracking.enable(spark, ctx, t, user)
+    RowTracking.insert(
+      (1L to 20L).map(i => (i, "k", if (i <= 10) "2024-01-01" else "2024-01-02"))
+        .toDF("id", "kind", "date"),
+      ctx, t, user, UpdateMessage("b1"))
+    // stamped: unique non-null ids
+    val ids0 = rows(t, log).select(RowTracking.RowIdCol).as[Long].collect()
+    ids0.length shouldBe 20
+    ids0.distinct.length shouldBe 20
+    val from = log.currentCommit(t.name)
+
+    // read-modify-write of ONE partition: even ids get kind=MOD, every
+    // row carries its id back
+    val part = rows(t, log).where(col("date") === "2024-01-01")
+    RowTracking.insert(
+      part.withColumn("kind", when(col("id") % 2 === 0, "MOD").otherwise(col("kind"))),
+      ctx, t, user, UpdateMessage("b2: modify evens of 01-01"))
+
+    val feed = ChangeFeed.readTracked(spark, log, t, Some(from), log.currentCommit(t.name))
+    val byType = feed.groupBy(ChangeFeed.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 modified rows (ids 2,4,6,8,10): exact update pairs, nothing else —
+    // the 5 untouched carried rows of the rewritten partition netted out
+    byType shouldBe Map(
+      ChangeFeed.UpdatePre -> 5L, ChangeFeed.UpdatePost -> 5L)
+    // pairing is BY ROW ID: one row's images agree on id, differ on kind
+    val pre = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePre)
+      .select(col(RowTracking.RowIdCol), col("kind")).as[(Long, String)].collect().toMap
+    val post = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePost)
+      .select(col(RowTracking.RowIdCol), col("kind")).as[(Long, String)].collect().toMap
+    post.keySet shouldBe pre.keySet
+    pre.values.toSet shouldBe Set("k")
+    post.values.toSet shouldBe Set("MOD")
+
+    // replay: from-state + feed == to-state, row ids included
+    val replayed = ChangeFeed.replay(rows(t, log, Some(from)), feed)
+      .orderBy(RowTracking.RowIdCol).collect()
+    replayed shouldBe rows(t, log).orderBy(RowTracking.RowIdCol).collect()
+  }
+
+  test("DV deletes emit tracked deletes; untracked (null-id) rows never pair as updates") {
+    val (ctx, log, t) = fresh("rt_del")
+    RowTracking.enable(spark, ctx, t, user)
+    RowTracking.insert(
+      (1L to 6L).map(i => (i, "a", "2024-01-01")).toDF("id", "kind", "date"),
+      ctx, t, user, UpdateMessage("b1"))
+    val from = log.currentCommit(t.name)
+    DeletionVectors.delete(ctx, log, t, col("id") <= 2, user, UpdateMessage("dv"))
+    // an untracked write into ANOTHER partition (raw path, no stamping):
+    // its rows carry NULL ids
+    Seq((100L, Option.empty[Long], "z", "2024-02-01"))
+      .toDF("id", RowTracking.RowIdCol, "kind", "date")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("raw"))
+
+    val feed = ChangeFeed.readTracked(spark, log, t, Some(from), log.currentCommit(t.name))
+    val byType = feed.groupBy(ChangeFeed.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2 tracked deletes + 1 untracked insert — and NO update pairing
+    // between the deleted rows and the null-id insert
+    byType shouldBe Map(ChangeFeed.Delete -> 2L, ChangeFeed.Insert -> 1L)
+    val replayed = ChangeFeed.replay(rows(t, log, Some(from)), feed)
+    replayed.count() shouldBe rows(t, log).count()
+  }
+
+  test("enable refuses non-empty tables and double identity; SQL hides the id and stamps on INSERT") {
+    val (ctx, log, t) = fresh("rt_sql")
+    // non-empty refuses
+    Seq((1L, "a", "2024-01-01")).toDF("id", "kind", "date")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    an[IllegalArgumentException] should be thrownBy RowTracking.enable(spark, ctx, t, user)
+
+    val (ctx2, log2, t2) = fresh("rt_sql2")
+    RowTracking.enable(spark, ctx2, t2, user)
+    // double identity refuses (one slot — the id IS an identity column)
+    an[RuntimeException] should be thrownBy
+      IdentityColumns.declare(spark, ctx2, t2, "other_id", user)
+
+    spark.conf.set("spark.sql.catalog.graftrt", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftrt", log2)
+    GraftTableCatalog.register("graftrt", t2, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    spark.sql("INSERT INTO graftrt.test.rt_sql2 (id, kind, date) VALUES (1, 'a', '2024-01-01')")
+    // SELECT * never shows the engine id; the file carries it, stamped
+    spark.sql("SELECT * FROM graftrt.test.rt_sql2").columns should not contain RowTracking.RowIdCol
+    rows(t2, log2).select(RowTracking.RowIdCol).as[Long].collect() shouldBe Array(1L)
+  }
+}
