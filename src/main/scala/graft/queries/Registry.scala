@@ -537,6 +537,20 @@ object Registry {
              |  SELECT l_linestatus, l_quantity FROM lineitem
              |  WHERE l_quantity > 45 AND l_orderkey % 13 <> 0
              |) GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+    "q82c_copy_orc_nested" -> Entry(
+      Versioned.q82cCopyOrcNested,
+      // nested-glob ORC ingest: final state is the union of the landed
+      // nested slices, each loaded exactly once; the top-level decoy and
+      // the nested non-orc file never ingest
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q82b_copy_csv" -> Entry(
       Versioned.q82bCopyCsv,
       // CSV ingests with the registered schema pinned + PATTERN scoping:

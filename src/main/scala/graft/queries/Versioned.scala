@@ -2261,6 +2261,76 @@ object Versioned {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Q82c: COPY INTO from a NESTED landing layout — ORC batches under
+    * per-batch subdirectories, scoped by a nested glob PATTERN
+    * (star-slash-star.orc). Pins the globbing contract: the pattern is a
+    * Hadoop glob relative to the landing dir (one `*` per path segment),
+    * top-level files and non-matching nested files are invisible, and
+    * the load history keys files by their RELATIVE path — same-named
+    * files in different subdirs are distinct loads, each ingested exactly
+    * once across retries. ORC is self-describing: no schema pin needed,
+    * and the ORC batches land in a parquet table through the ordinary
+    * versioned write. */
+  def q82cCopyOrcNested(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionedMetastore(log, new InMemoryMetastore)
+    val vctx = VersionContext(ctx)
+    s.conf.set(
+      "spark.sql.catalog.graftq82c", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq82c", log)
+    val table = tempTable(
+      "li_copyorc", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    vctx.init(table, user, UpdateMessage("create li_copyorc"))
+    graft.spark.GraftTableCatalog.register("graftq82c", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+
+    val src = Files.createTempDirectory("graft_copyorc_src")
+    def landOne(df: DataFrame, subdir: String, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_copyorc_tmp")
+      df.coalesce(1).write.mode("overwrite").orc(tmp.toString)
+      val stream = java.nio.file.Files.list(tmp)
+      val part =
+        try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".orc")).get
+        finally stream.close()
+      val destDir = if (subdir.isEmpty) src else src.resolve(subdir)
+      java.nio.file.Files.createDirectories(destDir)
+      java.nio.file.Files.move(part, destDir.resolve(name))
+      ()
+    }
+    // batch 1: two nested files with the SAME NAME in different subdirs —
+    // the relative-path history key must treat them as distinct loads
+    landOne(li.where(col("l_returnflag") =!= "R" && col("l_orderkey") % 2 === 0),
+      "batch1", "data.orc")
+    landOne(li.where(col("l_returnflag") =!= "R" && col("l_orderkey") % 2 =!= 0),
+      "batch2", "data.orc")
+    // invisible to the nested pattern: a top-level orc and a nested non-orc
+    landOne(li.where(col("l_returnflag") === "R"), "", "decoy.orc")
+    java.nio.file.Files.writeString(src.resolve("batch1").resolve("notes.txt"), "x")
+
+    def copy(): org.apache.spark.sql.Row = s.sql(
+      s"COPY INTO graftq82c.${table.name.schema}.${table.name.name} " +
+        s"FROM '$src' FILEFORMAT = ORC PATTERN = '*/*.orc'").collect().head
+    val first = copy()
+    require(first.getInt(0) == 2 && first.getInt(1) == 0,
+      s"first COPY INTO must ingest both nested orc files (only), got $first")
+    val rerun = copy()
+    require(rerun.getInt(0) == 0 && rerun.getInt(1) == 2,
+      s"re-run must skip every already-loaded file, got $rerun")
+    // a third same-named file in a new subdir is a NEW load
+    landOne(li.where(col("l_returnflag") === "R" && col("l_quantity") > 40),
+      "batch3", "data.orc")
+    val second = copy()
+    require(second.getInt(0) == 1 && second.getInt(1) == 2,
+      s"incremental COPY INTO must ingest exactly the new nested file, got $second")
+
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM graftq82c.graft.li_copyorc
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q83b: the SQL IDENTITY lifecycle — `ALTER TABLE … ADD COLUMN row_id
     * BIGINT GENERATED ALWAYS AS IDENTITY` declares the engine-owned id
     * column (schema evolution + the `_identity.json` registration), then

@@ -88,27 +88,31 @@ object CopyInto {
     val log = ctx.metastore.tableVersions
     val dir = new HPath(srcDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val globFilter = pattern.map(new org.apache.hadoop.fs.GlobFilter(_))
-    val candidates = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && {
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          globFilter.forall(_.accept(s.getPath))
-      })
-      .map(_.getPath.toString)
-      .sorted
+    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    // PATTERN is a Hadoop-style glob RELATIVE to the landing dir: `*.csv`
+    // scopes top-level files, `sub/*.orc` / `*/*.csv` cross directory
+    // levels (one `*` per path segment — nested feeds keep their layout).
+    // Without a pattern the contract stays top-level files only.
+    val candidates = (pattern match {
+      case Some(pat) =>
+        Option(fs.globStatus(new HPath(dir, pat))).map(_.toSeq).getOrElse(Nil)
+      case None => fs.listStatus(dir).toSeq
+    }).filter(visible).map(_.getPath.toString).sorted
     require(candidates.nonEmpty, s"COPY INTO: no data files under $srcDir")
     // the history record delimits file names with ';' inside '[…]' — a
     // name containing the delimiters (or a newline, which the log's line
     // format reserves) would corrupt the parse into wrong skip/re-ingest
     // decisions, so such sources are rejected up front, loudly
-    candidates.map(fileKey).foreach { n =>
+    candidates.map(fileKey(dir, _)).foreach { n =>
       require(!n.exists(c => c == ';' || c == ']' || c == '[' || c == '\n' || c == '\r'),
         s"COPY INTO: source file name '$n' contains a reserved character " +
           "(';', '[', ']', or a newline) — rename the file to ingest it")
     }
     val done = loadedFiles(log, table.name)
-    val fresh = candidates.filterNot(p => done.contains(fileKey(p)))
+    val fresh = candidates.filterNot(p => done.contains(fileKey(dir, p)))
     if (fresh.isEmpty)
       return Result(Nil, candidates, 0L, None)
 
@@ -147,14 +151,21 @@ object CopyInto {
       }
     val msg = UpdateMessage(
       s"COPY INTO ${table.name.fullyQualifiedName} from $srcDir " +
-        s"files=[${fresh.map(fileKey).mkString(";")}]")
+        s"files=[${fresh.map(fileKey(dir, _)).mkString(";")}]")
     toWrite.versionedInsertInto(ctx, table, user, msg)
     Result(fresh, candidates.filterNot(fresh.contains), rows,
       Some(log.currentCommit(table.name)))
   }
 
-  /** History records key files by NAME (stable across copy/rename of the
-    * parent dir, the Delta COPY INTO posture of identifying a load by its
-    * file identity within the source). */
-  private def fileKey(path: String): String = new HPath(path).getName
+  /** History records key files by their path RELATIVE to the landing dir
+    * (stable across copy/rename of the parent dir, the Delta COPY INTO
+    * posture of identifying a load by its identity within the source) —
+    * for top-level files that is the bare name, preserving every record
+    * written before nested PATTERNs existed; nested files keep their
+    * subpath so same-named files in different subdirs never collide. */
+  private def fileKey(base: HPath, path: String): String = {
+    val b = base.toUri.getPath.stripSuffix("/") + "/"
+    val p = new HPath(path).toUri.getPath
+    if (p.startsWith(b)) p.substring(b.length) else new HPath(path).getName
+  }
 }
