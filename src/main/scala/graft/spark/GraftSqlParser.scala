@@ -85,47 +85,47 @@ private[spark] object GraftMaintenanceSql {
   // anchored full-statement matches; no stock Spark statement starts with
   // either keyword, so a non-match falls through to the delegate untouched
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(COMMITS|HOURS))?(?:\s+GRACE\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+RETAIN\s+(\d+)\s+(COMMITS|HOURS))?(?:\s+GRACE\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   // ZORDER cols: either a BALANCED paren group or a bare comma list (which
   // cannot contain parens) — `ZORDER BY (c1, c2` or `ZORDER BY c1)` match
   // neither alternative, so the whole statement falls through to the stock
   // parser and fails loudly instead of silently rewriting the table
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
   // OPTIMIZE t AUTO [MIN n FILES]: compact only the partitions under
   // small-file pressure (Compaction.autoCompact); below-threshold = no-op
   private val AutoOptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+AUTO(?:\s+MIN\s+(\d+)\s+FILES)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+AUTO(?:\s+MIN\s+(\d+)\s+FILES)?\s*;?\s*""".r
   // `WHERE` accepts a conjunction of partition-column equalities (the Delta
   // contract — OPTIMIZE scoping is partition-granular by nature); anything
   // else refuses loudly at execution
   private val WhereEq = """(?is)\s*(\w+)\s*=\s*(?:'([^']*)'|(\w+))\s*""".r
   private val HistoryStmt =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
   private val DetailStmt =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
   // RESTORE TABLE t TO VERSION AS OF '<ref-or-commit-id>' (Delta spelling);
   // the TIMESTAMP variant resolves at-or-before like q53's reader
   private val RestoreStmt =
-    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   // ALTER TABLE t ADD CONSTRAINT name CHECK (expr) — Delta spelling; the
   // greedy group runs to the LAST ')', so parenthesized expressions nest
   private val AddConstraintStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   // CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF '<ref-or-commit-id>']
   // — zero-copy fork (Delta spelling); both names must be graft refs in
   // the SAME catalog (one commit log owns the shared location's linkage)
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SHALLOW\s+CLONE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
   // SELECT is analyzed (not regex-parsed) at execution; only the
   // incrementally-maintainable shape is admitted (MaterializedView)
   private val CreateMvStmt =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val RefreshMvStmt =
-    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+FULL)?\s*;?\s*""".r
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(\s+FULL)?\s*;?\s*""".r
   // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|ORC|CSV|JSON
   //   [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)] — Delta's
   // idempotent bulk ingest: each source file loads exactly once (CopyInto);
@@ -133,22 +133,22 @@ private[spark] object GraftMaintenanceSql {
   // CSV/JSON ingests pin the table's declared schema (never per-batch
   // inference)
   private val CopyIntoStmt =
-    """(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""".r
   // ALTER TABLE t ADD COLUMN c <type> GENERATED ALWAYS AS (expr) — the
   // Delta spelling; records the generation rule (write-path derivation +
   // validation), the column itself materializes via additive evolution
   private val AddGeneratedStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+\w+\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ADD\s+COLUMN\s+(\w+)\s+\w+\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
   // ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY — the
   // Delta identity spelling (no parens — disjoint from AddGeneratedStmt):
   // declares the engine-assigned id column; SQL INSERTs then stamp it
   private val AddIdentityStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*;?\s*""".r
   // ALTER TABLE t SET PARTITIONED BY (c1, c2) — partition-scheme
   // evolution at a commit boundary (PartitionEvolution.evolve): one
   // atomic re-partitioning rewrite; eras resolve per commit range
   private val SetPartitionedStmt =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)(\s+METADATA\s+ONLY)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)(\s+METADATA\s+ONLY)?\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -157,9 +157,9 @@ private[spark] object GraftMaintenanceSql {
     // on a table literally named "history") keeps flowing to the stock
     // parser because "addr" names no graft catalog
     case HistoryStmt(ident) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftDescribeHistoryCommand(split(ident)))
+      Some(GraftDescribeHistoryCommand(parts(ident)))
     case DetailStmt(ident) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftDescribeDetailCommand(split(ident)))
+      Some(GraftDescribeDetailCommand(parts(ident)))
     // VACUUM/OPTIMIZE carry the same catalog guard as DESCRIBE HISTORY:
     // stock Spark has neither statement, but a coexisting injected parser
     // (Delta's, say) may define both — a non-graft (or 1/2-part) name must
@@ -167,14 +167,14 @@ private[spark] object GraftMaintenanceSql {
     case VacuumStmt(ident, keep, unit, grace, dry) if isGraftCatalogRef(split(ident)) =>
       val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
       Some(GraftVacuumCommand(
-        split(ident),
+        parts(ident),
         keepLast = Option(keep).filterNot(_ => hours).map(_.toInt),
         retainHours = Option(keep).filter(_ => hours).map(_.toLong),
         graceMinutes = Option(grace).map(_.toLong),
         dryRun = Option(dry).exists(_.trim.nonEmpty)))
     case AutoOptimizeStmt(ident, minFiles) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAutoOptimizeCommand(
-        split(ident), Option(minFiles).map(_.toInt).getOrElse(4)))
+        parts(ident), Option(minFiles).map(_.toInt).getOrElse(4)))
     case OptimizeStmt(ident, where, cols) if isGraftCatalogRef(split(ident)) =>
       val scope = Option(where).map { w =>
         w.split("(?i)\\s+AND\\s+").toSeq.map {
@@ -184,40 +184,79 @@ private[spark] object GraftMaintenanceSql {
         }
       }.getOrElse(Nil)
       Some(GraftOptimizeCommand(
-        split(ident),
+        parts(ident),
         Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
         scope))
     case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRestoreCommand(
-        split(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
+        parts(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
     case CloneStmt(dst, src, asOf)
         if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
           split(src).head == split(dst).head =>
-      Some(GraftShallowCloneCommand(split(dst), split(src), Option(asOf)))
+      Some(GraftShallowCloneCommand(parts(dst), parts(src), Option(asOf)))
     case CreateMvStmt(ident, loc, select) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftCreateMvCommand(split(ident), Option(loc), select.trim))
+      Some(GraftCreateMvCommand(parts(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftRefreshMvCommand(split(ident), full = Option(full).exists(_.trim.nonEmpty)))
+      Some(GraftRefreshMvCommand(parts(ident), full = Option(full).exists(_.trim.nonEmpty)))
     case CopyIntoStmt(ident, src, fmt, pat, opts) if isGraftCatalogRef(split(ident)) =>
       Some(GraftCopyIntoCommand(
-        split(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
+        parts(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
     case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftAddIdentityColumnCommand(split(ident), column, dtype))
+      Some(GraftAddIdentityColumnCommand(parts(ident), column, dtype))
     case SetPartitionedStmt(ident, cols, metaOnly) if isGraftCatalogRef(split(ident)) =>
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
-      Some(GraftSetPartitionedCommand(split(ident), names, metaOnly != null))
+      Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftAddGeneratedColumnCommand(split(ident), column, genExpr.trim))
+      Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftAddConstraintCommand(split(ident), name, expr.trim))
+      Some(GraftAddConstraintCommand(parts(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftDropConstraintCommand(split(ident), name))
+      Some(GraftDropConstraintCommand(parts(ident), name))
     case _ => None
   }
 
-  private def split(ident: String): Seq[String] = ident.split("\\.").toSeq
+  // identifier segments: dots split only OUTSIDE backquotes
+  private def segments(ident: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    ident.foreach {
+      case '`' => inQ = !inQ; sb += '`'
+      case '.' if !inQ => out += sb.result(); sb.clear()
+      case c => sb += c
+    }
+    out += sb.result()
+    out.toList
+  }
+
+  /** Guard-side split: backquotes strip, nothing rejects — a NON-graft
+    * statement must keep falling through to the delegate parser. */
+  private def split(ident: String): Seq[String] =
+    segments(ident).map(seg =>
+      if (seg.startsWith("`")) seg.stripPrefix("`").stripSuffix("`") else seg)
+
+  /** Construction-side split: like [[split]], but an UNQUOTED segment
+    * colliding with this grammar's own keywords refuses loudly (backquote
+    * it) — a silent mis-parse (`OPTIMIZE auto` reading as auto-compaction
+    * of nothing) is the failure mode this guards. */
+  private def parts(ident: String): Seq[String] =
+    segments(ident).map { seg =>
+      if (seg.startsWith("`")) seg.stripPrefix("`").stripSuffix("`")
+      else if (ReservedWords(seg.toLowerCase(java.util.Locale.ROOT))) sys.error(
+        s"identifier segment '$seg' collides with a reserved word of the " +
+          s"graft SQL surface — backquote it (`$seg`)")
+      else seg
+    }
+
+  private val ReservedWords: Set[String] = Set(
+    "optimize", "vacuum", "restore", "describe", "history", "detail",
+    "zorder", "auto", "copy", "into", "pattern", "fileformat",
+    "format_options", "shallow", "clone", "refresh", "materialized",
+    "view", "constraint", "generated", "identity", "partitioned",
+    "metadata", "retain", "grace", "dry", "run", "commits", "hours",
+    "minutes", "only", "always")
 
   /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. The body
     * is scanned with the pair regex (never pre-split on commas: a quoted
