@@ -169,6 +169,32 @@ object ColumnMapping {
     require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(from)),
       s"cannot rename partition column $from — its name is baked into the dir layout")
     val log = ctx.metastore.tableVersions
+    // engine-owned and rule-referenced columns are addressed by NAME in
+    // their registrations; renaming out from under them would silently
+    // desynchronize stamping/derivation/enforcement — checked FIRST (the
+    // registration exists even before any file carries the column)
+    IdentityColumns.declared(spark, table).foreach(c =>
+      require(!c.equalsIgnoreCase(from),
+        s"cannot rename $from: it is the table's identity (row-tracking) " +
+          "column — the engine stamps it by name"))
+    val gens = GeneratedColumns.list(spark, table)
+    gens.foreach { g =>
+      require(!g.column.equalsIgnoreCase(from),
+        s"cannot rename $from: it carries a generation rule (${g.expr}) — " +
+          "drop the rule first")
+      require(!exprReferences(spark, g.expr, from),
+        s"cannot rename $from: generation rule for ${g.column} references " +
+          s"it (${g.expr}) — drop and re-declare the rule first")
+    }
+    Constraints.list(spark, table).foreach { c =>
+      val refs = c.kind match {
+        case "notnull" => c.expr.equalsIgnoreCase(from)
+        case _         => exprReferences(spark, c.expr, from)
+      }
+      require(!refs,
+        s"cannot rename $from: constraint ${c.name} references it " +
+          s"(${c.kind} ${c.expr}) — drop and re-add the constraint first")
+    }
     val current = effectiveEntries(spark, log, table, None)
     val entry = current.find(_.logical.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(
@@ -183,6 +209,17 @@ object ColumnMapping {
     commitState(spark, ctx, table, next,
       UpdateMessage(s"ALTER TABLE RENAME COLUMN $from TO $to"), user)
   }
+
+  /** Does `sqlExpr` reference column `name`? Parsed, not analyzed: the
+    * registered rule texts speak the table's logical names verbatim. */
+  private def exprReferences(
+      spark: SparkSession, sqlExpr: String, name: String): Boolean =
+    try {
+      spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }.exists(_.equalsIgnoreCase(name))
+    } catch { case _: Exception => true } // unparseable => conservative refuse
 
   /** The widening pairs the parquet/ORC readers upcast natively — the
     * set is deliberately LOSSLESS-only. */

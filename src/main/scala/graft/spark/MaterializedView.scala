@@ -155,11 +155,12 @@ object MaterializedView {
     // last-writer-wins clobbering
     val mvRead = ctx.metastore.tableVersions.currentCommit(mvDefn.name)
     val anchor = binding.log.currentCommit(srcDefn.name)
-    val full = fullState(session, binding, srcDefn, mvDef, anchor)
+    val pinned = pinDims(binding.log, mvDef)
+    val full = fullState(session, binding, srcDefn, mvDef, anchor, dimAts = pinned)
     commitMvRebase(ctx, mvDefn,
       full.versionedStage(ctx, mvDefn, user,
         UpdateMessage(
-          s"REFRESH (full) anchor=${anchor.id}" + dimsMark(binding.log, mvDef))),
+          s"REFRESH (full) anchor=${anchor.id}" + dimsMark(pinned))),
       mvRead)
     GraftTableCatalog.register(cat, mvDefn, None)
     mvDefn
@@ -210,11 +211,9 @@ object MaterializedView {
     // a DIM that moved since the recorded anchors invalidates fact-delta
     // maintenance (deltas would join TODAY's dim rows while untouched
     // groups keep yesterday's aggregates) — re-anchor with a FULL build
-    val dimsNow: Map[String, String] =
-      if (mvDef.joins.isEmpty) Map.empty
-      else dimDefns(mvDef)
-        .map(d => d.name.fullyQualifiedName -> binding.log.currentCommit(d.name).id)
-        .toMap
+    val pinned: Map[String, CommitId] =
+      if (mvDef.joins.isEmpty) Map.empty else pinDims(binding.log, mvDef)
+    val dimsNow: Map[String, String] = pinned.map { case (n, c) => n -> c.id }
     val dimsMoved = mvDef.joins.nonEmpty &&
       !dimAnchorsAt(binding.log, mvDefn.name, mvRead).contains(dimsNow)
     if (anchor.contains(head) && !full && !dimsMoved) return (head, head, "no-op")
@@ -222,9 +221,10 @@ object MaterializedView {
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, mvDefn))
     if (full || anchor.isEmpty || dimsMoved) {
       commitMvRebase(ctx, mvDefn,
-        fullState(session, binding, srcDefn, mvDef, head).versionedStage(
-          ctx, mvDefn, user, UpdateMessage(
-            s"REFRESH (full) anchor=${head.id}" + dimsMark(binding.log, mvDef))),
+        fullState(session, binding, srcDefn, mvDef, head, dimAts = pinned)
+          .versionedStage(
+            ctx, mvDefn, user, UpdateMessage(
+              s"REFRESH (full) anchor=${head.id}" + dimsMark(pinned))),
         mvRead)
       return (anchor.getOrElse(head), head, "full")
     }
@@ -240,7 +240,7 @@ object MaterializedView {
     // the fact feed joins the dims exactly like the full build (the
     // `_change_type` column rides through the join untouched), then
     // collapses to the view's own bare column space
-    val feedJ = applyJoins(session, binding, mvDef, srcDefn, feed)
+    val feedJ = applyJoins(session, binding, mvDef, srcDefn, feed, pinned)
     val feedW = mvDef.where.map(w => feedJ.where(expr(w))).getOrElse(feedJ)
     val (feedF, aggsBare) =
       normalized(feedW, mvDef, extraCols = Seq(ChangeFeed.ChangeTypeCol))
@@ -315,13 +315,13 @@ object MaterializedView {
     val next =
       if (pureDelta) merged
       else merged.unionByName(
-        fullState(session, binding, srcDefn, mvDef, head, Some(rescanKeys))
+        fullState(session, binding, srcDefn, mvDef, head, Some(rescanKeys), pinned)
           .select(mvDef.groupCols.map(col) ++ mvDef.aggs.map(a =>
             col(a.alias).cast(current.schema(a.alias).dataType).as(a.alias)): _*))
     commitMvRebase(ctx, mvDefn,
       next.versionedStage(
         ctx, mvDefn, user, UpdateMessage(
-          s"REFRESH (incremental) anchor=${head.id}" + dimsMark(binding.log, mvDef))),
+          s"REFRESH (incremental) anchor=${head.id}" + dimsMark(pinned))),
       mvRead)
     (anchor.get, head, "incremental")
   }
@@ -365,16 +365,29 @@ object MaterializedView {
       binding: GraftTableCatalog.Binding,
       mvDef: MvDef,
       factDefn: TableDefinition,
-      base: DataFrame): DataFrame = {
+      base: DataFrame,
+      dimAts: Map[String, CommitId] = Map.empty): DataFrame = {
     if (mvDef.joins.isEmpty) return base
     val aliased = base.alias(mvDef.factAlias.getOrElse(factDefn.name.name))
     mvDef.joins.zip(dimDefns(mvDef)).foldLeft(aliased) { case (acc, (j, dimDefn)) =>
+      // dims read at the refresh's PINNED commits: one resolution per
+      // refresh shared by the guard, every join, and the recorded mark —
+      // a dim landing mid-refresh cannot make the mark claim a state the
+      // join never read
+      val at = dimAts.get(dimDefn.name.fullyQualifiedName)
       val dim = ColumnMapping.applyLogical(
-        DeletionVectors.read(session, binding.log, dimDefn, None),
-        session, binding.log, dimDefn, None)
+        DeletionVectors.read(session, binding.log, dimDefn, at),
+        session, binding.log, dimDefn, at)
       acc.join(broadcast(dim.alias(j.alias)), expr(j.onSql), "inner")
     }
   }
+
+  /** Pin every dimension's current commit — the ONE resolution a refresh
+    * shares across its guard, joins, and recorded mark. */
+  private def pinDims(
+      log: TableVersions, mvDef: MvDef): Map[String, CommitId] =
+    dimDefns(mvDef)
+      .map(d => d.name.fullyQualifiedName -> log.currentCommit(d.name)).toMap
 
   /** For a STAR view, collapse the joined row shape onto the view's own
     * column space: each qualified group ref becomes its bare MV column
@@ -402,11 +415,10 @@ object MaterializedView {
   }
 
   /** The dims-anchor text appended to every refresh commit of a join MV. */
-  private def dimsMark(log: TableVersions, mvDef: MvDef): String =
-    if (mvDef.joins.isEmpty) ""
-    else " dims=" + dimDefns(mvDef)
-      .map(d => s"${d.name.fullyQualifiedName}:${log.currentCommit(d.name).id}")
-      .mkString(";")
+  private def dimsMark(pinned: Map[String, CommitId]): String =
+    if (pinned.isEmpty) ""
+    else " dims=" + pinned.toSeq.sortBy(_._1)
+      .map { case (n, c) => s"$n:${c.id}" }.mkString(";")
 
   /** The dim anchors recorded by the newest refresh at-or-before `at`. */
   private def dimAnchorsAt(
@@ -432,7 +444,8 @@ object MaterializedView {
       srcDefn: TableDefinition,
       mvDef: MvDef,
       at: CommitId,
-      restrictTo: Option[DataFrame] = None): DataFrame = {
+      restrictTo: Option[DataFrame] = None,
+      dimAts: Map[String, CommitId] = Map.empty): DataFrame = {
     // LOGICAL names: the view definition speaks the source's logical
     // schema, so a column-mapped source must project physical → logical
     // before the WHERE/GROUP BY resolve (the change-feed path already does)
@@ -442,7 +455,7 @@ object MaterializedView {
     // star join first: the WHERE (and the group columns) may speak dim
     // attributes; dims read at their CURRENT state (the refresh recorded
     // their anchors and re-anchors FULL when one moved)
-    val joined = applyJoins(session, binding, mvDef, srcDefn, base)
+    val joined = applyJoins(session, binding, mvDef, srcDefn, base, dimAts)
     val basef = mvDef.where.map(w => joined.where(expr(w))).getOrElse(joined)
     // star views collapse to the view's own (bare, unambiguous) columns
     // before any further joins — fact and dim may share column names

@@ -212,4 +212,33 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
     intercept[Exception](spark.sql(
       "ALTER TABLE graftwiden.test.map_widen_sql ALTER COLUMN n TYPE INT"))
   }
+
+  test("rename refuses engine-owned and rule-referenced columns (round 15)") {
+    val (ctx, _, table) = freshTable("map_guard")
+    Seq((1L, "a", 5L, "n", "2024-01-01")).toDF("id", "kind", "qty", "note", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    IdentityColumns.declare(spark, ctx, table, "id", user)
+    (the[IllegalArgumentException] thrownBy
+      ColumnMapping.rename(spark, ctx, table, "id", "rid", user))
+      .getMessage should include("identity")
+
+    GeneratedColumns.add(spark, ctx, table,
+      GeneratedColumns.GeneratedColumn("y", "concat(kind, 'x')"), user)
+    (the[IllegalArgumentException] thrownBy
+      ColumnMapping.rename(spark, ctx, table, "y", "yy", user))
+      .getMessage should include("generation rule")
+    (the[IllegalArgumentException] thrownBy
+      ColumnMapping.rename(spark, ctx, table, "kind", "category", user))
+      .getMessage should include("generation rule")
+
+    Constraints.add(spark, ctx, table, Constraints.check("qty_pos", "qty > 0"), user)
+    (the[IllegalArgumentException] thrownBy
+      ColumnMapping.rename(spark, ctx, table, "qty", "quantity", user))
+      .getMessage should include("constraint")
+
+    // an unreferenced column still renames freely
+    noException should be thrownBy
+      ColumnMapping.rename(spark, ctx, table, "note", "comment", user)
+  }
 }

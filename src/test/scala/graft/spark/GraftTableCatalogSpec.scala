@@ -682,7 +682,9 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       PartitionSchema(List(PartitionColumn("label"))), FileFormat.Parquet)
     ctx.init(table, user, UpdateMessage("init"))
     GraftTableCatalog.register("graftcat", table)
-    val name = "graftcat.cdb.restore"
+    // 'restore' is a reserved word of the graft SQL surface since round
+    // 15 — addressable backquoted, like any reserved identifier
+    val name = "graftcat.cdb.`restore`"
     (1L to 20L).map(i => CatRow(i, if (i % 2 == 0) "even" else "odd")).toDS()
       .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
     val v1Commit = log.currentCommit(table.name)
