@@ -140,17 +140,24 @@ object IdentityColumns {
     val spark = df.sparkSession
     val hwm = effectiveHighWaterMark(
       spark, ctx.metastore.tableVersions, table, column)
+    stageAndCommit(stampedPreserving(df, column, hwm), ctx, table, column,
+      userId, message, hwmAtStamp = hwm)
+  }
+
+  /** Coalesce-stamp: rows already carrying a non-null id keep it, the
+    * rest mint fresh above `hwm` — the shared core of the id-preserving
+    * write paths ([[insertPreserving]], conditional MERGE). */
+  private[spark] def stampedPreserving(
+      df: DataFrame, column: String, hwm: Long): DataFrame = {
     val withCol =
       if (df.columns.exists(_.equalsIgnoreCase(column))) df.toDF()
       else df.toDF().withColumn(
         column, org.apache.spark.sql.functions.lit(null).cast("long"))
-    val stampedDf = withCol.withColumn(
+    withCol.withColumn(
       column,
       org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.col(column),
         lit(hwm + 1L) + monotonically_increasing_id()))
-    stageAndCommit(stampedDf, ctx, table, column, userId, message,
-      hwmAtStamp = hwm)
   }
 
   /** The column's high-water mark as of the CURRENT pointer (0 = never
@@ -273,7 +280,9 @@ object IdentityColumns {
       userId: UserId,
       message: UpdateMessage,
       alsoRemove: Seq[Partition] = Nil,
-      hwmAtStamp: Long = -1L): (TableVersion, TableChanges) = {
+      hwmAtStamp: Long = -1L,
+      rebaseAt: Option[TableVersions.CommitId] = None,
+      txn: Option[TableVersions.StreamTxn] = None): (TableVersion, TableChanges) = {
     val log = ctx.metastore.tableVersions
     val staged = df.versionedStage(ctx, table, userId, message)
     val spark = df.sparkSession
@@ -304,8 +313,30 @@ object IdentityColumns {
       .map(TableVersions.TableOperation.RemovePartition(_)).toList
     val update = staged.update.copy(
       metadata = staged.update.metadata.copy(
-        message = UpdateMessage(s"${message.content} ${markText(column, newHwm)}")),
+        message = UpdateMessage(s"${message.content} ${markText(column, newHwm)}"),
+        txn = txn.orElse(staged.update.metadata.txn)),
       operations = staged.update.operations ++ removes)
+    // MERGE's commit discipline: REBASE anchored at the rewrite's read
+    // state (partition conflicts throw, disjoint commits compose), with
+    // the hwm check and the scheme guard run INSIDE the rebase's CAS
+    // critical section via the revalidate hook — an intervening mark
+    // advance means this batch's ids were stamped stale, exactly the
+    // condition the CAS loop below checks for plain identity writes.
+    rebaseAt match {
+      case Some(rc) =>
+        return ctx.metastore.commitRebase(
+          table.name, update, rc,
+          revalidate = () => {
+            PartitionEvolution.requireCurrentScheme(spark, log, table)
+            val hwmNow = effectiveHighWaterMark(spark, log, table, column)
+            if (hwmNow != stampBase)
+              throw new TableVersions.ConcurrentWriteException(
+                s"identity column $column of ${table.name.fullyQualifiedName}: a " +
+                  s"concurrent writer advanced the high-water mark ($stampBase -> " +
+                  s"$hwmNow) after this merge's ids were stamped — re-run")
+          })
+      case None => ()
+    }
     var attempts = 0
     while (true) {
       val expected = log.currentCommit(table.name)

@@ -76,9 +76,16 @@ object Merge {
       // the touched partitions without it (kept rows are projected to the
       // source's columns) — refuse instead; additive evolution goes the
       // other way (extra source columns), via readMergedSchema on the read
+      // the ENGINE-OWNED identity / row-tracking column is never the
+      // source's to supply (GENERATED ALWAYS): it is exempt from the
+      // every-column rule and rejected if present
+      val idCol = IdentityColumns.declared(spark, table)
+      idCol.foreach(c => require(!source.columns.exists(_.equalsIgnoreCase(c)),
+        s"identity column $c is GENERATED ALWAYS — the merge source must not supply it"))
       if (current.columns.nonEmpty) {
         val missing = current.columns.filterNot(c =>
-          source.columns.exists(_.equalsIgnoreCase(c)))
+          source.columns.exists(_.equalsIgnoreCase(c)) ||
+            idCol.exists(_.equalsIgnoreCase(c)))
         require(missing.isEmpty,
           s"merge source must carry every current table column; missing: ${missing.mkString(", ")}")
       }
@@ -89,10 +96,30 @@ object Merge {
       val kept =
         if (current.columns.isEmpty) src.limit(0) // never-written table
         else current.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
-      kept.select(cols: _*)
-        .unionByName(src)
-        .versionedInsertIntoRebase(ctx, table, userId, message, readCommit, txn)
-      ()
+      idCol match {
+        case None =>
+          kept.select(cols: _*)
+            .unionByName(src)
+            .versionedInsertIntoRebase(ctx, table, userId, message, readCommit, txn)
+          ()
+        case Some(c) =>
+          // row-tracked / identity table: KEPT rows keep their ids; every
+          // source row minted fresh — UPDATE SET * is replacement, so the
+          // tracked change feed sees it as delete+insert (the id-preserving
+          // update path is mergeConditional's SET, or RowTracking.insert).
+          // Commit = rebase anchored at readCommit with the hwm check in
+          // the CAS critical section (stageAndCommit's rebase mode).
+          val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
+          val keptCols = (src.columns.toSeq :+ c).map(col)
+          val merged =
+            (if (current.columns.isEmpty) kept.withColumn(c, lit(null).cast("long"))
+             else kept.select(keptCols: _*))
+              .unionByName(IdentityColumns.stamped(src, c, hwm))
+          IdentityColumns.stageAndCommit(
+            merged, ctx, table, c, userId, message,
+            hwmAtStamp = hwm, rebaseAt = Some(readCommit), txn = txn)
+          ()
+      }
     } finally { src.unpersist(); () }
   }
 
@@ -302,19 +329,42 @@ object Merge {
       // an assignment naming a column the table doesn't have would be
       // silently ignored by the per-column projection — reject instead
       val outNames = outSchema.map(_.name.toLowerCase).toSet
+      val idColC = IdentityColumns.declared(spark, table)
       ((matched ++ notMatchedBySource).flatMap(_.set.toSeq.flatten) ++
         notMatched.flatMap(_.values)).foreach { case (n, _) =>
         require(outNames.contains(n.toLowerCase),
           s"merge assignment targets unknown column $n (table has ${outNames.mkString(", ")})")
+        idColC.foreach(c => require(!n.equalsIgnoreCase(c),
+          s"identity column $c is GENERATED ALWAYS — merge clauses must not assign it"))
       }
       val actioned = acted.where(col("__action") =!= "carry" && col("__action") =!= "skip")
 
+      // identity / row-tracked tables: UPDATE SET rows and carried rows
+      // keep their ids (they flow from the target side), NOT MATCHED
+      // inserts stamp fresh — so the tracked feed classifies a
+      // conditional-merge UPDATE as a true update pair. The commit rides
+      // stageAndCommit's rebase mode: partition conflicts throw, and the
+      // hwm check runs inside the CAS critical section.
+      def commitMerged(out: DataFrame, emptiable: Seq[Partition]): Unit =
+        idColC match {
+          case None =>
+            out.versionedInsertIntoRebase(
+              ctx, table, userId, message, readCommit, alsoRemove = emptiable)
+            ()
+          case Some(c) =>
+            val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
+            IdentityColumns.stageAndCommit(
+              IdentityColumns.stampedPreserving(out, c, hwm),
+              ctx, table, c, userId, message,
+              alsoRemove = emptiable, hwmAtStamp = hwm, rebaseAt = Some(readCommit))
+            ()
+        }
       if (table.isSnapshot) {
         if (!actioned.isEmpty) {
-          acted.where(col("__action") =!= "del" && col("__action") =!= "skip")
-            .select(outSchema.map(projected): _*)
-            .versionedInsertIntoRebase(ctx, table, userId, message, readCommit)
-          ()
+          commitMerged(
+            acted.where(col("__action") =!= "del" && col("__action") =!= "skip")
+              .select(outSchema.map(projected): _*),
+            Nil)
         }
       } else {
         // affected partitions: only these rewrite — O(#partitions) metadata
@@ -357,8 +407,7 @@ object Merge {
             table.partitionSchema.columns.zipWithIndex.map { case (c, i) =>
               ColumnValue(c, r.getString(i)) })).toList
           val emptiable = affectedParts.filter(before.contains)
-          result.versionedInsertIntoRebase(
-            ctx, table, userId, message, readCommit, alsoRemove = emptiable)
+          commitMerged(result, emptiable)
         }
       }
     } finally { acted.unpersist(); src.unpersist(); () }

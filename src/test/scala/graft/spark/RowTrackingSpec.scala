@@ -123,4 +123,72 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT * FROM graftrt.test.rt_sql2").columns should not contain RowTracking.RowIdCol
     rows(t2, log2).select(RowTracking.RowIdCol).as[Long].collect() shouldBe Array(1L)
   }
+  test("mergeInto on a tracked table: kept rows keep ids, replacements re-id (delete+insert in the feed)") {
+    val (ctx, log, t) = fresh("rt_merge")
+    RowTracking.enable(spark, ctx, t, user)
+    RowTracking.insert(
+      (1L to 6L).map(i => (i, s"v$i", "2024-01-01")).toDF("id", "payload", "date"),
+      ctx, t, user, UpdateMessage("b1"))
+    val from = log.currentCommit(t.name)
+
+    // upsert: replace ids 5,6 and insert 7 (source must NOT carry the id)
+    Merge.mergeInto(ctx, log, t,
+      Seq((5L, "V5", "2024-01-01"), (6L, "V6", "2024-01-01"), (7L, "v7", "2024-01-01"))
+        .toDF("id", "payload", "date"),
+      Seq("id"), user, UpdateMessage("upsert"))
+
+    val rows = DeletionVectors.read(spark, log, t)
+    rows.count() shouldBe 7L
+    val ids = rows.select(RowTracking.RowIdCol).as[Long].collect()
+    ids.distinct.length shouldBe 7 // unique across kept + re-minted
+
+    val feed = ChangeFeed.readTracked(spark, log, t, Some(from), log.currentCommit(t.name))
+    val byType = feed.groupBy(ChangeFeed.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replacement = delete+insert per replaced row (fresh ids), plus the
+    // new insert; untouched kept rows 1..4 net out entirely
+    byType shouldBe Map(ChangeFeed.Delete -> 2L, ChangeFeed.Insert -> 3L)
+    // a source supplying the id refuses
+    (the[IllegalArgumentException] thrownBy Merge.mergeInto(ctx, log, t,
+      Seq((8L, 99L, "x", "2024-01-01")).toDF("id", RowTracking.RowIdCol, "payload", "date"),
+      Seq("id"), user, UpdateMessage("bad"))).getMessage should include("ALWAYS")
+  }
+
+  test("conditional MERGE on a tracked table: SET preserves the id — a true update pair in the feed") {
+    val (ctx, log, t) = fresh("rt_cmerge")
+    RowTracking.enable(spark, ctx, t, user)
+    RowTracking.insert(
+      (1L to 6L).map(i => (i, s"v$i", "2024-01-01")).toDF("id", "payload", "date"),
+      ctx, t, user, UpdateMessage("b1"))
+    val from = log.currentCommit(t.name)
+
+    Merge.mergeConditional(
+      ctx, log, t,
+      Seq((5L, "V5"), (9L, "v9")).toDF("id", "payload"),
+      Seq("id"),
+      matched = Seq(Merge.WhenMatched(None, Some(Seq("payload" -> Merge.scol("payload"))))),
+      notMatched = Seq(Merge.WhenNotMatched(None, Seq(
+        "id" -> Merge.scol("id"), "payload" -> Merge.scol("payload"),
+        "date" -> org.apache.spark.sql.functions.lit("2024-01-01")))),
+      userId = user,
+      message = UpdateMessage("cmerge"))
+
+    val feed = ChangeFeed.readTracked(spark, log, t, Some(from), log.currentCommit(t.name))
+    val byType = feed.groupBy(ChangeFeed.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the SET row keeps its id -> exact update pair; the new row minted
+    byType shouldBe Map(
+      ChangeFeed.UpdatePre -> 1L, ChangeFeed.UpdatePost -> 1L, ChangeFeed.Insert -> 1L)
+    val ids = DeletionVectors.read(spark, log, t)
+      .select(RowTracking.RowIdCol).as[Long].collect()
+    ids.distinct.length shouldBe 7
+
+    // clauses must not assign the engine's id
+    (the[IllegalArgumentException] thrownBy Merge.mergeConditional(
+      ctx, log, t, Seq((5L, "x")).toDF("id", "payload"), Seq("id"),
+      matched = Seq(Merge.WhenMatched(None, Some(Seq(
+        RowTracking.RowIdCol -> org.apache.spark.sql.functions.lit(0L))))),
+      notMatched = Nil, userId = user,
+      message = UpdateMessage("bad"))).getMessage should include("ALWAYS")
+  }
 }
