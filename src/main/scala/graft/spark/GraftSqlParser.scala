@@ -147,6 +147,12 @@ private[spark] object GraftMaintenanceSql {
   // ALTER TABLE t SET PARTITIONED BY (c1, c2) — partition-scheme
   // evolution at a commit boundary (PartitionEvolution.evolve): one
   // atomic re-partitioning rewrite; eras resolve per commit range
+  // ALTER TABLE t SET ROW TRACKING — declare the engine's hidden stable
+  // row id (RowTracking.enable); keyless CDF update classification
+  private val SetRowTrackingStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + """((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)""" +
+      """\s+SET\s+ROW\s+TRACKING\s*;?\s*""").r
+
   private val SetPartitionedStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)(\s+METADATA\s+ONLY)?\s*;?\s*""".r
 
@@ -204,6 +210,8 @@ private[spark] object GraftMaintenanceSql {
         parts(ident), src, fmt.toLowerCase, Option(pat), parseOptionPairs(opts)))
     case AddIdentityStmt(ident, column, dtype) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddIdentityColumnCommand(parts(ident), column, dtype))
+    case SetRowTrackingStmt(ident) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftSetRowTrackingCommand(parts(ident)))
     case SetPartitionedStmt(ident, cols, metaOnly) if isGraftCatalogRef(split(ident)) =>
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
@@ -709,6 +717,24 @@ final case class GraftSetPartitionedCommand(
       GraftTableCatalog.registeredSchema(
         parts.head, evolved.name))
     Seq(Row(oldScheme, columns.mkString(", ")))
+  }
+}
+
+/** `ALTER TABLE t SET ROW TRACKING` — declare the engine-stamped stable
+  * row id on an EMPTY table ([[RowTracking.enable]]): keyless
+  * change-feed update classification from then on; the id is hidden
+  * from the SQL schema and stamped by every INSERT. */
+final case class GraftSetRowTrackingCommand(
+    parts: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tracking_column", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    RowTracking.enable(session, ctx, defn, UserId("sql"))
+    Seq(Row(RowTracking.RowIdCol))
   }
 }
 

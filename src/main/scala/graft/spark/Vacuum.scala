@@ -237,7 +237,27 @@ object Vacuum {
         else Nil
       }
 
-    val doomed = (onDisk ++ statsOnDisk ++ deletesOnDisk).collect {
+    // crashed atomic sidecar writers ([[AtomicSidecar]]) leave
+    // `.<name>.tmp-<uuid>` staging files behind — harmless (a dangling
+    // temp never resolves) but immortal; reclaim the stale ones under
+    // the same mtime grace. An IN-FLIGHT writer's temp is younger than
+    // any sane grace window by construction.
+    val tmpDirs = root ::
+      List("_constraints", "_generated", "_identity").map(new HPath(root, _))
+    val tmpOnDisk: List[(String, Boolean)] = tmpDirs
+      .filter(fs.exists(_)).flatMap { d =>
+        fs.listStatus(d).toList.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          n.startsWith(".") && n.contains(".tmp-")
+        }).map { st =>
+          val rel =
+            if (d == root) st.getPath.getName
+            else s"${d.getName}/${st.getPath.getName}"
+          rel -> (st.getModificationTime < cutoff)
+        }
+      }
+
+    val doomed = (onDisk ++ statsOnDisk ++ deletesOnDisk ++ tmpOnDisk).collect {
       case (rel, oldEnough)
         if oldEnough && !referenced.contains(rel.stripPrefix("_stats/")) => rel
     }
@@ -245,14 +265,14 @@ object Vacuum {
     // operator's pre-flight check (Delta's VACUUM ... DRY RUN)
     if (dryRun)
       return Report(
-        examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size,
+        examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size + tmpOnDisk.size,
         deleted = doomed.sorted, failed = Nil, dryRun = true)
     // honor the delete result: a false return (permissions, races) must not
     // be reported as reclaimed space
     val (deleted, failed) =
       doomed.partition(rel => fs.delete(new HPath(root, rel), true))
     Report(
-      examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size,
+      examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size + tmpOnDisk.size,
       deleted = deleted.sorted, failed = failed.sorted)
   }
 }

@@ -191,4 +191,35 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
       notMatched = Nil, userId = user,
       message = UpdateMessage("bad"))).getMessage should include("ALWAYS")
   }
+
+  test("SQL: ALTER TABLE ... SET ROW TRACKING declares the hidden id; vacuum reclaims crashed temps") {
+    val (ctx, log, t) = fresh("rt_ddl")
+    spark.conf.set("spark.sql.catalog.graftrtddl", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftrtddl", log)
+    GraftTableCatalog.register("graftrtddl", t, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    spark.sql("ALTER TABLE graftrtddl.test.rt_ddl SET ROW TRACKING")
+      .collect().head.getString(0) shouldBe RowTracking.RowIdCol
+    RowTracking.enabled(spark, t) shouldBe true
+    spark.sql("INSERT INTO graftrtddl.test.rt_ddl (id, kind, date) VALUES (1, 'a', '2024-01-01')")
+    rows(t, log).select(RowTracking.RowIdCol).as[Long].collect() shouldBe Array(1L)
+
+    // a crashed sidecar writer's staging temp reclaims under vacuum
+    val p = new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(t.location).toString +
+        s"_identity/${t.name.fullyQualifiedName}.json")
+    val boom = intercept[RuntimeException] {
+      AtomicSidecar.writeUtf8(
+        spark.sessionState.newHadoopConf(), p, "{}",
+        () => throw new RuntimeException("crash"))
+    }
+    boom.getMessage shouldBe "crash"
+    val report = Vacuum.vacuum(t, log, spark.sessionState.newHadoopConf(), graceMs = 0)
+    report.deleted.exists(_.contains(".tmp-")) shouldBe true
+    // the declaration itself survives (only the orphaned temp went)
+    RowTracking.enabled(spark, t) shouldBe true
+  }
 }
