@@ -51,10 +51,18 @@ object GraftTableChanges {
       val spark = SparkSession.active
       val (binding, defn) =
         GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
-      ChangeFeed
-        .read(spark, binding.log, defn,
-          Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
-        .queryExecution.analyzed
+      // a ROW-TRACKED table knows its own identity: the key-less form
+      // serves the full CDF vocabulary paired on the engine's stamped id
+      // (the feed then carries the id column — the pairing witness);
+      // untracked tables keep the plain insert/delete feed
+      val feed =
+        if (RowTracking.enabled(spark, defn))
+          ChangeFeed.readTracked(spark, binding.log, defn,
+            Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
+        else
+          ChangeFeed.read(spark, binding.log, defn,
+            Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
+      feed.queryExecution.analyzed
     // 4-arg form: a comma-separated ROW-IDENTITY declaration upgrades the
     // feed to the full CDF vocabulary (update_pre/postimage pairing +
     // rewrite-no-op suppression — ChangeFeed.readKeyed)

@@ -222,4 +222,31 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
     // the declaration itself survives (only the orphaned temp went)
     RowTracking.enabled(spark, t) shouldBe true
   }
+
+  test("SQL table_changes on a tracked table serves the keyless CDF vocabulary") {
+    val (ctx, log, t) = fresh("rt_tvf")
+    spark.conf.set("spark.sql.catalog.graftrttvf", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftrttvf", log)
+    GraftTableCatalog.register("graftrttvf", t)
+    RowTracking.enable(spark, ctx, t, user)
+    RowTracking.insert(
+      (1L to 6L).map(i => (i, s"v$i", "2024-01-01")).toDF("id", "payload", "date"),
+      ctx, t, user, UpdateMessage("b1"))
+    val from = log.currentCommit(t.name)
+    val part = rows(t, log)
+    RowTracking.insert(
+      part.withColumn("payload",
+        when(col("id") === 3L, org.apache.spark.sql.functions.lit("MOD"))
+          .otherwise(col("payload"))),
+      ctx, t, user, UpdateMessage("b2"))
+    val head = log.currentCommit(t.name)
+
+    val byType = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM " +
+        s"table_changes('graftrttvf.test.rt_tvf', '${from.id}', '${head.id}') " +
+        "GROUP BY _change_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType shouldBe Map(
+      ChangeFeed.UpdatePre -> 1L, ChangeFeed.UpdatePost -> 1L)
+  }
 }
