@@ -46,9 +46,13 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    (pending registry state) and commits whole-table-scoped, so a
  *    writer that staged old-scheme dirs before the boundary cannot
  *    commit them after it (the CAS fails, the re-run guard sees the
- *    landed era and refuses loudly). Branch (WAP) writes stage detached
- *    and validate only at stage time — publishing a pre-boundary branch
- *    after an evolution is the operator's re-derive responsibility;
+ *    landed era and refuses loudly). Branch (WAP) writes validate at
+ *    stage time; publishing a PRE-boundary staged commit after an
+ *    evolution is a pointer rewind to a consistent old-era fold (the
+ *    at-or-before fold excludes the later boundary), and the rare
+ *    stage-guard-passed/boundary-landed/detach-appended interleaving
+ *    yields a mixed fold the era-union reader serves correctly (rewrites
+ *    refuse until consolidation) — never silent era corruption;
  *  - incremental readers ([[VersionedReader.readChanges]],
  *    [[ChangeFeed]]) refuse ranges that CROSS a boundary — the two eras'
  *    reconstructed logical schemas differ by their partition columns, so
