@@ -508,4 +508,40 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     PartitionEvolution.eraSignatures(log.currentVersion(t.name)) shouldBe
       Set(List("date"), List("kind"))
   }
+
+  test("two concurrent evolves: the loser conflicts loudly and its rollback never clobbers the winner") {
+    val (ctx, log) = fresh()
+    val t = table("evo_double", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 8L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // evolve B (to id-parity via kind) lands INSIDE evolve A's stage window
+    var fired = false
+    val racy = ctx.copy(newVersion = () => {
+      if (!fired) {
+        fired = true
+        PartitionEvolution.evolve(
+          spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+        ()
+      }
+      Version.generateVersion()
+    })
+    intercept[TableVersions.ConcurrentWriteException] {
+      PartitionEvolution.evolve(
+        spark, racy, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    }
+
+    // the WINNER's era governs; the loser's surgical rollback left no
+    // pending garbage and did not drop the winner's registry state
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+    new String(Files.readAllBytes(registryPath(t)), "UTF-8") should not include "pending"
+    val evolved = t.copy(partitionSchema = PartitionSchema(List(PartitionColumn("kind"))))
+    VersionedReader(spark, log).read(evolved).count() shouldBe 8L
+    // and the table keeps evolving normally afterwards
+    Seq(Event(9, "z", "2024-02-01")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+    VersionedReader(spark, log).read(evolved).count() shouldBe 9L
+  }
 }
