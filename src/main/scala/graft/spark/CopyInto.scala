@@ -86,8 +86,13 @@ object CopyInto {
       pattern: Option[String] = None,
       options: Map[String, String] = Map.empty): Result = {
     val log = ctx.metastore.tableVersions
-    val dir = new HPath(srcDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir0 = new HPath(srcDir)
+    val fs = dir0.getFileSystem(spark.sessionState.newHadoopConf())
+    // qualified ONCE (scheme + authority + absolute path): candidate paths
+    // come back qualified from listStatus/globStatus, so relativizing
+    // against an unqualified (e.g. relative) srcDir would miss the prefix
+    // and collapse same-named files in different subdirs onto one load key
+    val dir = fs.makeQualified(dir0)
     def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = st.isFile && {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
@@ -163,9 +168,14 @@ object CopyInto {
     * for top-level files that is the bare name, preserving every record
     * written before nested PATTERNs existed; nested files keep their
     * subpath so same-named files in different subdirs never collide. */
-  private def fileKey(base: HPath, path: String): String = {
-    val b = base.toUri.getPath.stripSuffix("/") + "/"
+  private def fileKey(qualifiedBase: HPath, path: String): String = {
+    val b = qualifiedBase.toUri.getPath.stripSuffix("/") + "/"
     val p = new HPath(path).toUri.getPath
-    if (p.startsWith(b)) p.substring(b.length) else new HPath(path).getName
+    if (p.startsWith(b)) p.substring(b.length)
+    else sys.error(
+      s"COPY INTO: file $path does not relativize against the landing dir " +
+        s"$qualifiedBase — refusing to fall back to the bare file name " +
+        "(same-named files in different subdirs would share one load key " +
+        "and silently skip)")
   }
 }

@@ -53,10 +53,14 @@ object GraftTableChanges {
         GraftMaintenanceSql.resolve(spark, String.valueOf(t).split("\\.").toSeq)
       // a ROW-TRACKED table knows its own identity: the key-less form
       // serves the full CDF vocabulary paired on the engine's stamped id
-      // (the feed then carries the id column — the pairing witness);
-      // untracked tables keep the plain insert/delete feed
+      // (the feed then carries the id column — the pairing witness).
+      // Gated on the engine's OWN `_graft_row_id`, i.e. an explicit
+      // `SET ROW TRACKING` opt-in: a user-declared identity column must
+      // NOT flip this TVF's output schema/vocabulary (pre-existing
+      // identity tables keep the plain insert/delete feed — and only the
+      // id-preserving write paths actually carry ids across rewrites)
       val feed =
-        if (RowTracking.enabled(spark, defn))
+        if (RowTracking.engineTracked(spark, defn))
           ChangeFeed.readTracked(spark, binding.log, defn,
             Some(CommitId(String.valueOf(from))), CommitId(String.valueOf(to)))
         else

@@ -189,6 +189,11 @@ object Merge {
       s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one WHEN clause")
+    // same refusal as mergeInto: the clause join's partition arithmetic
+    // (touched-partition discovery, alsoRemove) assumes ONE layout — on a
+    // mixed fold the rewrite would re-land old-era rows into new-scheme
+    // dirs and leave the old copies referenced (silent duplication)
+    PartitionEvolution.requireUniformFold(log, table, "conditional MERGE")
     val partCols = table.partitionSchema.columns.map(_.name)
     val partSet = partCols.map(_.toLowerCase).toSet
     (matched ++ notMatchedBySource).foreach(_.set.foreach(_.foreach { case (n, _) =>

@@ -118,6 +118,42 @@ object PartitionEvolution {
       spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
+  /** REGISTRY MUTATION DISCIPLINE: the file is shared by concurrent
+    * evolves and (for shared-location clones) by other lineages, and the
+    * FS gives us atomic whole-file rename but no compare-and-swap — so a
+    * rewrite built from a stale read could drop a racer's just-appended
+    * intent or a clone's committed state. Every rewrite therefore
+    * (1) re-reads the file IMMEDIATELY before writing, (2) applies an
+    * IDEMPOTENT set-like transform (append-if-absent / mark / remove-own)
+    * to the fresh list — never replaces the file with a locally-held
+    * snapshot, (3) publishes atomically, then (4) re-reads to verify its
+    * transform survived, retrying against the racer's content when a
+    * concurrent rename clobbered ours in the window. Convergence:
+    * transforms commute on disjoint entries (each writer only appends or
+    * marks its OWN commit id), so a bounded number of retries settles;
+    * exhaustion throws loudly rather than publishing a maybe-lost edit. */
+  private def mutateRegistry(
+      spark: SparkSession, table: TableDefinition)(
+      transform: List[SchemeState] => List[SchemeState]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val fresh = states(spark, table)
+      val next = transform(fresh)
+      if (next == fresh) done = true
+      else {
+        write(spark, table, next)
+        if (states(spark, table) == next) done = true
+        else if (attempts >= 20)
+          throw new IllegalStateException(
+            s"partition-scheme registry for ${table.name.fullyQualifiedName} " +
+              s"kept moving under $attempts merge attempts (${filePath(table)}) — " +
+              "concurrent evolves are thrashing; re-run the losing operation")
+      }
+    }
+  }
+
   /** The newest scheme state anchored at-or-before `at` in this table's
     * lineage; None = never evolved (or `at` predates the first record).
     *
@@ -144,8 +180,8 @@ object PartitionEvolution {
     // before its commit — the state must not govern and must never
     // hijack the pre-horizon fallback.
     if (raw.exists(s => s.pending && ids(s.commit)))
-      write(spark, table,
-        raw.map(s => if (s.pending && ids(s.commit)) s.copy(pending = false) else s))
+      mutateRegistry(spark, table)(cur =>
+        cur.map(s => if (s.pending && ids(s.commit)) s.copy(pending = false) else s))
     val all = raw
       .map(s => if (s.pending && ids(s.commit)) s.copy(pending = false) else s)
       .filterNot(_.pending)
@@ -275,8 +311,6 @@ object PartitionEvolution {
       s"EVOLVE PARTITIONING to (${newSchema.columns.map(_.name).mkString(", ")}) " +
         s"from (${current.columns.map(_.name).mkString(", ")})")
     val me = Some(table.name.fullyQualifiedName)
-    def seededStates(): List[SchemeState] =
-      seededStatesFor(spark, log, table, current.columns.map(_.name))
     def committedBoundary(update: TableVersions.TableUpdate): CommitId =
       commitBoundaryWithIntent(
         spark, ctx, table, current.columns.map(_.name),
@@ -293,8 +327,10 @@ object PartitionEvolution {
           // nothing to commit: the registry write IS the boundary,
           // anchored at the already-landed read commit — one atomic
           // write, no crash window to stage through
-          write(spark, table, seededStates() :+
-            SchemeState(readCommit.id, newSchema.columns.map(_.name), me))
+          mutateRegistry(spark, table)(fr =>
+            if (fr.exists(s => s.commit == readCommit.id && !s.pending)) fr
+            else seededStatesFor(fr, log, table, current.columns.map(_.name)) :+
+              SchemeState(readCommit.id, newSchema.columns.map(_.name), me))
           readCommit
         } else
           committedBoundary(TableVersions.TableUpdate(
@@ -343,8 +379,12 @@ object PartitionEvolution {
     *
     * What a MIXED fold refuses until consolidation (loudly, with this
     * escape hatch named): partition-granular rewrites (OPTIMIZE /
-    * Z-ORDER / auto-compaction / MERGE) and zone-map-pruned scans —
-    * their partition arithmetic assumes one layout. Row-level DV deletes,
+    * Z-ORDER / auto-compaction / MERGE — both the star upsert and the
+    * conditional-clause form — and copy-on-write SQL UPDATE / DELETE)
+    * and zone-map-pruned scans — their partition arithmetic assumes one
+    * layout, and a rewrite that re-lands old-era rows into new-scheme
+    * dirs without removing the old-era dirs would silently duplicate
+    * (UPDATE) or resurrect (DELETE) rows. Row-level DV deletes,
     * inserts, incremental reads within an era, and time travel all work.
     *
     * Returns the definition carrying the new scheme — the handle every
@@ -456,24 +496,29 @@ object PartitionEvolution {
     ()
   }
 
-  /** Era-registry base for a boundary write: seed the pre-boundary era
+  /** Era-registry base for a boundary write, computed over the FRESH list
+    * a [[mutateRegistry]] transform receives: seed the pre-boundary era
     * at the table's first commit on the first evolution (so pre-boundary
-    * resolution is explicit), finalize any landed pending left by a
-    * crashed evolve, and prune danglings whose boundary never committed. */
+    * resolution is explicit) and finalize any landed pending left by a
+    * crashed evolve. Pendings whose anchor is not in MY log are KEPT, not
+    * pruned: a concurrent evolve's just-appended intent and a
+    * shared-location clone's states (which land in the CLONE's log) are
+    * indistinguishable from a crashed dangling here, and danglings never
+    * govern anyway — dropping one could permanently erase a racer's
+    * committed-but-unfinalized state. */
   private def seededStatesFor(
-      spark: SparkSession,
+      fresh: List[SchemeState],
       log: TableVersions,
       table: TableDefinition,
       currentCols: List[String]): List[SchemeState] = {
     val me = Some(table.name.fullyQualifiedName)
     val ids = log.updates(table.name).map(_.id.id).toSet
-    val existing = states(spark, table)
+    val adopted = fresh
       .map(st => if (st.pending && ids(st.commit)) st.copy(pending = false) else st)
-      .filterNot(st => st.pending && !ids(st.commit))
-    if (existing.nonEmpty) existing
+    if (adopted.exists(!_.pending)) adopted
     else {
       val first = log.updates(table.name).last.id
-      List(SchemeState(first.id, currentCols, me))
+      SchemeState(first.id, currentCols, me) :: adopted
     }
   }
 
@@ -499,31 +544,29 @@ object PartitionEvolution {
     val log = ctx.metastore.tableVersions
     val me = Some(table.name.fullyQualifiedName)
     val mine = update.metadata.id.id
-    write(spark, table, seededStatesFor(spark, log, table, currentCols) :+
-      SchemeState(mine, newCols, me, pending = true))
+    mutateRegistry(spark, table)(fr =>
+      if (fr.exists(_.commit == mine)) fr
+      else seededStatesFor(fr, log, table, currentCols) :+
+        SchemeState(mine, newCols, me, pending = true))
     try {
       ctx.metastore.commitRebase(
         table.name, update, readCommit, wholeTableScope = true)
       ()
     } catch {
       case t: Throwable =>
-        // surgical rollback: drop only OUR intent — the file may have
-        // been rewritten by a concurrent evolve since
-        try {
-          val cur = states(spark, table)
-          if (cur.exists(_.commit == mine))
-            write(spark, table, cur.filterNot(_.commit == mine))
-        } catch { case _: Throwable => () } // dangling pending never governs
+        // surgical rollback: drop only OUR intent — merged against a
+        // fresh read, so a concurrent evolve's entries are never touched
+        try mutateRegistry(spark, table)(_.filterNot(_.commit == mine))
+        catch { case _: Throwable => () } // dangling pending never governs
         throw t
     }
-    // finalize: re-read (racing registry writers may have moved the
-    // file) and mark ours landed, re-appending if a racer dropped it
-    val cur = states(spark, table)
-    if (cur.exists(_.commit == mine))
-      write(spark, table,
-        cur.map(st => if (st.commit == mine) st.copy(pending = false) else st))
-    else
-      write(spark, table, cur :+ SchemeState(mine, newCols, me))
+    // finalize: mark ours landed (merged — racing registry writers may
+    // have moved the file), re-appending if a racer's stale prune era
+    // ever dropped it
+    mutateRegistry(spark, table)(fr =>
+      if (fr.exists(_.commit == mine))
+        fr.map(st => if (st.commit == mine) st.copy(pending = false) else st)
+      else fr :+ SchemeState(mine, newCols, me))
     update.metadata.id
   }
 
@@ -536,6 +579,8 @@ object PartitionEvolution {
       state: SchemeState,
       anchor: CommitId,
       owner: TableName): Unit =
-    write(spark, src, states(spark, src) :+
-      SchemeState(anchor.id, state.columns, Some(owner.fullyQualifiedName)))
+    mutateRegistry(spark, src)(fr =>
+      if (fr.exists(s =>
+          s.commit == anchor.id && s.owner.contains(owner.fullyQualifiedName))) fr
+      else fr :+ SchemeState(anchor.id, state.columns, Some(owner.fullyQualifiedName)))
 }

@@ -72,6 +72,15 @@ object RowTracking {
   def enabled(spark: SparkSession, table: TableDefinition): Boolean =
     trackingColumn(spark, table).isDefined
 
+  /** True only for an EXPLICIT `SET ROW TRACKING` opt-in (the engine's
+    * own hidden id column) — the gate for surfaces whose output contract
+    * changes under tracking (the 2-arg `table_changes` TVF): a
+    * user-declared identity column provides usable ids to callers who ask
+    * for them, but must not silently re-shape a pre-existing table's
+    * feed. */
+  def engineTracked(spark: SparkSession, table: TableDefinition): Boolean =
+    trackingColumn(spark, table).contains(RowIdCol)
+
   /** Write a batch to a tracked table. Rows carrying a non-null id KEEP
     * it (the read-modify-write rewrite: read with ids, modify values,
     * write back — carried ids must come from this table's own reads);

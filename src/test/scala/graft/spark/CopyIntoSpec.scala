@@ -159,4 +159,53 @@ class CopyIntoSpec extends AnyFunSuite with Matchers {
     // the source is untouched by the clone's ingest
     VersionedReader(spark, log).read(t).count() shouldBe 2L
   }
+
+  test("a RELATIVE landing dir still keys nested same-named files distinctly (qualified relativization)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val t = TableDefinition(
+      TableName("db", "copy_relative"),
+      Files.createTempDirectory("graft_copyspec_rel_tbl").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+
+    // landing dir addressed RELATIVE to the working dir: before the fix,
+    // relativization missed (qualified statuses vs unqualified base) and
+    // every nested file fell back to its BARE NAME — a/part.parquet and
+    // b/part.parquet shared one load key and the second was silently
+    // skipped as already loaded
+    val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+    val abs = Files.createTempDirectory(
+      java.nio.file.Files.createDirectories(cwd.resolve("target/tmp-copyrel")),
+      "landing")
+    val rel = cwd.relativize(abs).toString
+    val subA = Files.createDirectory(abs.resolve("a"))
+    val subB = Files.createDirectory(abs.resolve("b"))
+    def landNamed(dir: java.nio.file.Path, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_copyspec_rel_tmp")
+      rows.toDF("id", "grp").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val stream = Files.list(tmp)
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p => Files.move(p, dir.resolve("part.parquet")); () }
+      finally stream.close()
+    }
+    landNamed(subA, Seq((1L, "a"), (2L, "a")))
+    landNamed(subB, Seq((3L, "b")))
+
+    val r = CopyInto.ingest(
+      spark, ctx, t, rel, "parquet", user, pattern = Some("*/*.parquet"))
+    r.ingestedFiles should have size 2
+    r.rows shouldBe 3L
+    VersionedReader(spark, log).read(t).count() shouldBe 3L
+
+    // both keys recorded distinctly: a re-run ingests nothing
+    val rerun = CopyInto.ingest(
+      spark, ctx, t, rel, "parquet", user, pattern = Some("*/*.parquet"))
+    rerun.ingestedFiles shouldBe empty
+    // and the ABSOLUTE spelling of the same dir resolves the same keys
+    val again = CopyInto.ingest(
+      spark, ctx, t, abs.toString, "parquet", user, pattern = Some("*/*.parquet"))
+    again.ingestedFiles shouldBe empty
+  }
 }

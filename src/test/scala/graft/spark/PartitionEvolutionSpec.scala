@@ -544,4 +544,85 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
       .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
     VersionedReader(spark, log).read(evolved).count() shouldBe 9L
   }
+
+  test("a mixed fold refuses SQL UPDATE / DELETE / conditional MERGE until consolidation") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftevodml", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftevodml", log)
+    val t = table("evo_dml_mixed", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftevodml", t, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 8L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    // the SQL boundary re-registers the catalog under the new scheme, so
+    // the post-consolidation DML below plans against the right layout
+    spark.sql(
+      "ALTER TABLE graftevodml.test.evo_dml_mixed SET PARTITIONED BY (kind) METADATA ONLY")
+    val evolved = t.copy(partitionSchema = PartitionSchema(List(PartitionColumn("kind"))))
+    Seq(Event(9, "z", "2024-02-01")).toDS()
+      .versionedInsertInto(ctx, evolved, user, UpdateMessage("v2"))
+    PartitionEvolution.eraSignatures(log.currentVersion(t.name)).size shouldBe 2
+
+    // copy-on-write UPDATE would re-land old-era rows into new-scheme dirs
+    // and leave the old copies referenced — silent duplication; refuse
+    (the[IllegalStateException] thrownBy {
+      spark.sql("UPDATE graftevodml.test.evo_dml_mixed SET id = 100 WHERE id = 1")
+    }).getMessage should include("consolidateEras")
+    // row-level DELETE would remove only the new-scheme copies — the
+    // old-era dirs would resurrect the rows; refuse
+    (the[IllegalStateException] thrownBy {
+      spark.sql("DELETE FROM graftevodml.test.evo_dml_mixed WHERE id = 2")
+    }).getMessage should include("consolidateEras")
+    // the conditional-clause MERGE has the same partition arithmetic
+    (the[IllegalStateException] thrownBy {
+      Merge.mergeConditional(
+        ctx, log, evolved, Seq(Event(1, "x", "2024-01-01")).toDF(), Seq("id"),
+        matched = Seq(Merge.WhenMatched(None, None)), notMatched = Nil)
+    }).getMessage should include("consolidateEras")
+    // nothing committed by the refusals; state intact
+    VersionedReader(spark, log).read(evolved).count() shouldBe 9L
+
+    // consolidation restores all three
+    PartitionEvolution.consolidateEras(spark, ctx, evolved, user)
+    spark.sql("UPDATE graftevodml.test.evo_dml_mixed SET id = 200 WHERE id = 1")
+    spark.sql("DELETE FROM graftevodml.test.evo_dml_mixed WHERE id = 2")
+    Merge.mergeConditional(
+      ctx, log, evolved, Seq(Event(3, "x", "2024-01-01")).toDF(), Seq("id"),
+      matched = Seq(Merge.WhenMatched(None, None)), notMatched = Nil)
+    VersionedReader(spark, log).read(evolved).count() shouldBe 7L
+  }
+
+  test("registry rewrites never drop a racer's just-appended intent (merge-by-union)") {
+    val (ctx, log) = fresh()
+    val t = table("evo_registry_merge", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 6L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // what a concurrent evolve (or a shared-location clone mid-commit)
+    // leaves in the file the instant before OUR evolve rewrites it: a
+    // pending intent whose anchor is not in OUR log. The old registry
+    // writer pruned these wholesale — permanently erasing a racer's
+    // committed-but-unfinalized state; the merged writer must carry it.
+    val foreign = "[{\"commit\":\"racer-in-flight-commit\",\"table\":\"test.someone_else\"," +
+      "\"pending\":true,\"columns\":[\"region\"]}]"
+    Files.write(registryPath(t), foreign.getBytes("UTF-8"))
+
+    val evolved = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    VersionedReader(spark, log).read(evolved).count() shouldBe 6L
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+
+    // the racer's intent SURVIVED every registry rewrite of the evolve
+    // (intent append, finalize) — and still never governs this lineage
+    val text = new String(Files.readAllBytes(registryPath(t)), "UTF-8")
+    text should include("racer-in-flight-commit")
+    text should include("test.someone_else")
+  }
 }

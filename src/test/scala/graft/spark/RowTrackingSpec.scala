@@ -249,4 +249,36 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
     byType shouldBe Map(
       ChangeFeed.UpdatePre -> 1L, ChangeFeed.UpdatePost -> 1L)
   }
+
+  test("a USER identity column does not flip the 2-arg table_changes contract (opt-in only)") {
+    val (ctx, log, t) = fresh("rt_ident_tvf")
+    spark.conf.set("spark.sql.catalog.graftrtident", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftrtident", log)
+    GraftTableCatalog.register("graftrtident", t)
+    // a user-declared identity column, NOT `SET ROW TRACKING`: pre-existing
+    // identity tables must keep the plain insert/delete feed — routing them
+    // through the tracked pairing would silently change the TVF's output
+    // schema (the id column surfaces) and net rows written by id-agnostic
+    // paths
+    IdentityColumns.declare(spark, ctx, t, "seq_no", user)
+    RowTracking.enabled(spark, t) shouldBe true // identity provides ids...
+    RowTracking.engineTracked(spark, t) shouldBe false // ...but was not opted in
+
+    IdentityColumns.insertWithIdentity(
+      (1L to 4L).map(i => (i, s"v$i", "2024-01-01")).toDF("id", "payload", "date"),
+      ctx, t, "seq_no", user, UpdateMessage("b1"))
+    val from = log.currentCommit(t.name)
+    // rewrite the partition unchanged: the PLAIN feed reports the full
+    // delete+insert churn; the tracked feed would net it all out
+    val carried = rows(t, log).drop("seq_no")
+    IdentityColumns.insertWithIdentity(carried, ctx, t, "seq_no", user, UpdateMessage("b2"))
+    val head = log.currentCommit(t.name)
+
+    val feed = spark.sql(
+      s"SELECT * FROM table_changes('graftrtident.test.rt_ident_tvf', " +
+        s"'${from.id}', '${head.id}')")
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType shouldBe Map(ChangeFeed.Insert -> 4L, ChangeFeed.Delete -> 4L)
+  }
 }
