@@ -354,6 +354,11 @@ final case class GraftUpdateCommand(
     condition: Option[Detached]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
+    // copy-on-write UPDATE rewrites whole partitions under the CURRENT
+    // scheme without removing old-era dirs — on a mixed fold (after a
+    // metadata-only evolution) the old copies would stay referenced and
+    // the updated rows duplicate; refuse until consolidateEras
+    PartitionEvolution.requireUniformFold(binding.log, defn, "UPDATE (SQL)")
     val cond = condition.map(d => GraftDml.column(d.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // the state this rewrite derives from (rebase discipline)
@@ -406,6 +411,22 @@ final case class GraftDeleteCommand(
     import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
     import graft.core.TableVersions.{TableOperation, TableUpdate}
     val cond = GraftDml.column(condition.expr)
+    // MERGE-ON-READ mode (`SET spark.graft.dml.mergeOnRead=true`): hide the
+    // matched rows behind a deletion-vector sidecar + empty-ops commit
+    // instead of rewriting partitions — O(matched rows) written, no data
+    // files moved, the 100 TB shape for scattered row deletes (a predicate
+    // touching every partition costs a full-table rewrite copy-on-write).
+    // DVs resolve per file, so this also works on a MIXED fold where the
+    // copy-on-write path must refuse. Partition-value-only predicates
+    // never reach here either way — they stay on the metadata-only
+    // RemovePartition path (strictly better than both). UPDATE stays
+    // copy-on-write: a DV expresses hidden rows, not changed values.
+    if (session.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+      DeletionVectors.delete(
+        VersionContext(GraftV2Table.metastoreFor(binding, defn)), binding.log,
+        defn, cond, UserId("sql"), UpdateMessage("DELETE (SQL, merge-on-read)"))
+      return Seq.empty
+    }
     // the state this rewrite derives from (rebase discipline)
     val readCommit = binding.log.currentCommit(defn.name)
     // DV-aware + column-mapped (see GraftUpdateCommand)
@@ -423,6 +444,10 @@ final case class GraftDeleteCommand(
         "DELETE (SQL)", readCommit)
       return Seq.empty
     }
+    // partition-granular rewrite: removes are computed against the
+    // CURRENT scheme's dirs only — a mixed fold's old-era copies would
+    // survive and resurrect the deleted rows; refuse until consolidateEras
+    PartitionEvolution.requireUniformFold(binding.log, defn, "DELETE (SQL)")
     val partCols = defn.partitionSchema.columns
     val names = partCols.map(_.name)
     val touchedRows = current.where(cond)

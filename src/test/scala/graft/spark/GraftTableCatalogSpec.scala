@@ -851,4 +851,60 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     log.updates(table.name).head.message.content shouldBe "DELETE (SQL)"
     spark.sql("SELECT id FROM graftcat.cdb.dmlsql").as[Long].collect() shouldBe Array(1L)
   }
+
+  test("merge-on-read SQL DELETE hides rows behind a DV sidecar; no version pointer moves") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftmor", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmor", log)
+    val table = TableDefinition(
+      TableName("cdb", "mordel"),
+      Files.createTempDirectory("graft_cat_mordel").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // partition VALUES are strings in the version model: without a
+    // registration the delegate's dir inference would type date-shaped
+    // values as DATE and refuse string inserts
+    GraftTableCatalog.register("graftmor", table, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 9L).map(i => CatEvent(i, s"l$i", s"2024-01-0${(i % 3) + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1Fold = log.currentVersion(table.name)
+    val v1Commit = log.currentCommit(table.name)
+
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      // a predicate scattered across EVERY partition: copy-on-write would
+      // rewrite the whole table; merge-on-read writes one sidecar
+      spark.sql("DELETE FROM graftmor.cdb.mordel WHERE id % 2 = 0")
+      // no data moved: every partition keeps its version pointer
+      log.currentVersion(table.name) shouldBe v1Fold
+      log.updates(table.name).head.message.content shouldBe "DELETE (SQL, merge-on-read)"
+      // SQL reads apply the sidecar transparently (GraftDvScanRule)
+      spark.sql("SELECT id FROM graftmor.cdb.mordel ORDER BY id")
+        .as[Long].collect() shouldBe Array(1L, 3L, 5L, 7L, 9L)
+      // time travel to the pre-delete commit still serves every row
+      spark.sql(
+        s"SELECT count(*) FROM graftmor.cdb.mordel VERSION AS OF '${v1Commit.id}'")
+        .head.getLong(0) shouldBe 9L
+      // no-match deletes commit nothing
+      val commits = log.updates(table.name).size
+      spark.sql("DELETE FROM graftmor.cdb.mordel WHERE id = 999")
+      log.updates(table.name) should have size commits.toLong
+
+      // merge-on-read composes with a MIXED fold (metadata-only evolution)
+      // — exactly where the copy-on-write path must refuse
+      spark.sql(
+        "ALTER TABLE graftmor.cdb.mordel SET PARTITIONED BY (label) METADATA ONLY")
+      spark.sql(
+        "INSERT INTO graftmor.cdb.mordel (id, label, date) VALUES (10, 'lx', '2024-01-01')")
+      PartitionEvolution.eraSignatures(log.currentVersion(table.name)).size shouldBe 2
+      spark.sql("DELETE FROM graftmor.cdb.mordel WHERE id = 3 OR id = 10")
+      spark.sql("SELECT id FROM graftmor.cdb.mordel ORDER BY id")
+        .as[Long].collect() shouldBe Array(1L, 5L, 7L, 9L)
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+  }
 }
