@@ -537,6 +537,16 @@ object Registry {
              |  SELECT l_linestatus, l_quantity FROM lineitem
              |  WHERE l_quantity > 45 AND l_orderkey % 13 <> 0
              |) GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+    "q85_mor_delete" -> Entry(
+      Versioned.q85MorDelete,
+      // two stacked merge-on-read deletes: the visible state is the base
+      // load minus both predicates; zero rewrites (pinned in-query)
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |WHERE l_orderkey % 7 <> 0 AND l_quantity <= 48
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q82c_copy_orc_nested" -> Entry(
       Versioned.q82cCopyOrcNested,
       // nested-glob ORC ingest: final state is the union of the landed

@@ -2723,4 +2723,45 @@ object Versioned {
         .localCheckpoint(true)
     } finally { feed.unpersist(); () }
   }
+
+  /** Q85: MERGE-ON-READ SQL DELETE — `SET spark.graft.dml.mergeOnRead`
+    * routes row-level DELETE onto a deletion-vector sidecar + empty-ops
+    * commit ([[graft.spark.GraftDmlRule]] -> [[graft.spark.DeletionVectors
+    * .delete]]): O(matched rows) written, ZERO version-pointer moves —
+    * the 100 TB shape for predicates scattered across every partition,
+    * where copy-on-write would rewrite the whole table. Two stacked
+    * deletes fold per-file (latest-wins groups); SQL reads apply the
+    * sidecars transparently (GraftDvScanRule). Pinned in-query: the fold
+    * after both deletes is BYTE-IDENTICAL to the pre-delete fold. */
+  def q85MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq85", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq85", log)
+    val table = tempTable(
+      "li_mordel", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_mordel"))
+    graft.spark.GraftTableCatalog.register("graftq85", table)
+    val name = s"graftq85.${table.name.schema}.${table.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val foldBefore = log.currentVersion(table.name)
+
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      // scattered across EVERY partition — the copy-on-write worst case
+      s.sql(s"DELETE FROM $name WHERE l_orderkey % 7 = 0")
+      // a second delete stacks: touched files' groups fold, latest wins
+      s.sql(s"DELETE FROM $name WHERE l_quantity > 48")
+    }
+    require(log.currentVersion(table.name) == foldBefore,
+      "merge-on-read DELETE must not move version pointers")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(l_extendedprice), 2) AS sum_price
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }
