@@ -2058,6 +2058,31 @@ object Registry {
              |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
              |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
              |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
+    "s16_stream_tracked_feed" -> Entry(
+      StreamingQueries.s16StreamTrackedFeed,
+      // three paced batches (full load, R read-modify-write discounting
+      // qty>40 only, scattered DV delete in A) through the TRACKED keyless
+      // feed stream: per-type aggregates recomputed relationally — carried
+      // unchanged rows surface only as their batch-1 insert
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+             |  FROM lineitem WHERE l_orderkey % 4 = 1)
+             |SELECT _change_type, count(*) AS n_rows,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM (
+             |  SELECT 'insert' AS _change_type, l_quantity, l_extendedprice
+             |  FROM base
+             |  UNION ALL
+             |  SELECT 'delete', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'A' AND l_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT 'update_preimage', l_quantity, l_extendedprice
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |  UNION ALL
+             |  SELECT 'update_postimage', l_quantity, l_extendedprice * 0.9
+             |  FROM base WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
     "s14_stream_dv_convergence" -> Entry(
       StreamingQueries.s14StreamDvConvergence,
       // replaying the streamed change feed reconstructs the logical final

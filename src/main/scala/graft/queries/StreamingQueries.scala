@@ -676,6 +676,95 @@ object StreamingQueries {
       .orderBy(ct)
   }
 
+  /** S16: the TRACKED (keyless) change-feed STREAM —
+    * [[graft.spark.VersionedStream.readTrackedChangeFeed]] over a
+    * row-tracked table: no declared key anywhere; each micro-batch's
+    * update pre/post images pair on the engine-stamped `_graft_row_id`
+    * and carried unchanged rows net out entirely. Three paced batches:
+    * full load (inserts), a read-modify-write of partition R discounting
+    * only qty>40 rows (exact update pairs, untouched carried rows
+    * suppressed), and a scattered DV delete in A (pure deletes). Pinned
+    * in-query: suppressed rows never resurface after their batch-1
+    * insert, and replaying the streamed feed (ids included) reconstructs
+    * the source's final state verbatim. */
+  def s16StreamTrackedFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    val table = TableDefinition(
+      TableName("graft", "rtcdf_src"),
+      java.nio.file.Files.createTempDirectory("graft_rtcdf_src").toUri,
+      PartitionSchema(List(PartitionColumn("l_returnflag"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create rtcdf_src"))
+    graft.spark.RowTracking.enable(s, ctx, table, user)
+    // a quarter slice, FULL rows — no rollup: row tracking makes even
+    // full-row duplicates exactly pairable (each duplicate owns its id)
+    val base = Tables.load(s, dir, "lineitem")
+      .where(col("l_orderkey") % 4 === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    graft.spark.RowTracking.insert(base, ctx, table, user, UpdateMessage("v1: full load"))
+
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_rtcdf_ckpt").toString
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_rtcdf_feed").toString
+    val idCol = graft.spark.RowTracking.RowIdCol
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.spark.VersionedStream.readTrackedChangeFeed(s, log, table)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(feedDir); ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
+    try {
+      q.processAllAvailable() // batch 1: the full load as inserts
+      // read-modify-write of R: every surviving row's id carried back,
+      // only qty>40 rows change value
+      val r = graft.spark.DeletionVectors.read(s, log, table)
+        .where(col("l_returnflag") === "R")
+      graft.spark.RowTracking.insert(
+        r.withColumn("l_extendedprice",
+          when(col("l_quantity") > 40, col("l_extendedprice") * 0.9)
+            .otherwise(col("l_extendedprice"))),
+        ctx, table, user, UpdateMessage("v2: discount high-qty R"))
+      q.processAllAvailable() // batch 2: exact update pairs, rest netted
+      graft.spark.DeletionVectors.delete(
+        ctx, log, table,
+        col("l_returnflag") === "A" && col("l_orderkey") % 5 === 0,
+        user, UpdateMessage("dv: scattered delete in A"))
+      q.processAllAvailable() // batch 3: pure tracked deletes
+    } finally q.stop()
+    val feed = s.read.parquet(feedDir)
+    val ct = graft.spark.ChangeFeed.ChangeTypeCol
+    // netting, observable end-to-end: an unchanged carried R row (qty<=40)
+    // surfaces exactly once — its batch-1 insert — never again
+    require(feed.where(
+        col("l_returnflag") === "R" && col("l_quantity") <= 40 &&
+        col(ct) =!= graft.spark.ChangeFeed.Insert).isEmpty,
+      "carried unchanged rows must never re-surface in the tracked stream")
+    // replay, ids included: streamed feed alone reconstructs the final state
+    val adds = feed.where(col(ct).isin(
+      graft.spark.ChangeFeed.Insert, graft.spark.ChangeFeed.UpdatePost)).drop(ct)
+    val dels = feed.where(col(ct).isin(
+      graft.spark.ChangeFeed.Delete, graft.spark.ChangeFeed.UpdatePre)).drop(ct)
+    val now = graft.spark.DeletionVectors.read(s, log, table)
+    val replayed = adds.exceptAll(dels)
+    require(replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty,
+      "tracked-feed stream replay must reconstruct the source's final state")
+    require(feed.where(col(idCol).isNull).isEmpty,
+      "every tracked-feed row must carry its row id")
+    feed.groupBy(ct)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(ct)
+  }
+
   /** S2: sliding 1-hour/30-minute event counts through the streaming
     * engine — every event lands in exactly two overlapping windows, both
     * epoch-aligned, so the SQL oracle reproduces the window starts. */

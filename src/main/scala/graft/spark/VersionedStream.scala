@@ -97,6 +97,32 @@ object VersionedStream {
       .load()
   }
 
+  /** The TRACKED change-feed stream — the keyless full-CDF vocabulary over
+    * a row-tracked table: each batch's update pre/post images pair on the
+    * engine's stamped row id and carried unchanged rows net out entirely
+    * ([[ChangeFeed.readTracked]]), no declared key needed. The feed
+    * carries the tracking column (the pairing witness). Same
+    * commit-indexed offsets, staging discipline, and convergence contract
+    * as [[readChangeFeed]]; pure-append ranges keep the zero-copy scan
+    * (fresh-id rows are inserts by construction). */
+  def readTrackedChangeFeed(
+      spark: SparkSession,
+      log: TableVersions,
+      defn: TableDefinition): DataFrame = {
+    require(RowTracking.enabled(spark, defn),
+      s"table ${defn.name.fullyQualifiedName} has no row-tracking / identity " +
+        "column — RowTracking.enable (or declare an identity column) first, " +
+        "or consume readChangeFeed(keys = ...)")
+    val h = java.util.UUID.randomUUID().toString
+    handles.put(h, Handle(log, defn))
+    spark.readStream
+      .format(classOf[GraftCdcProvider].getName)
+      .option("handle", h)
+      .option("changeFeed", "true")
+      .option("trackedFeed", "true")
+      .load()
+  }
+
   /** Schema of the table as the batch reader would resolve it (data +
     * partition columns, LOGICAL names when a column mapping applies);
     * file-footer metadata only. A never-written table has no schema
@@ -164,10 +190,13 @@ object VersionedStream {
   /** The change-feed rows for a commit range, as a batch DataFrame. */
   private[spark] def feedFor(
       spark: SparkSession, h: Handle, from: Int, to: Int,
-      keys: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      keys: Seq[String] = Nil,
+      tracked: Boolean = false): org.apache.spark.sql.DataFrame = {
     val chrono = chronoCommits(h)
     val fromId = if (from <= 0) None else Some(chrono(from - 1).id)
-    if (keys.isEmpty) ChangeFeed.read(spark, h.log, h.defn, fromId, chrono(to - 1).id)
+    // TRACKED mode: keyless full-CDF pairing on the engine-stamped row id
+    if (tracked) ChangeFeed.readTracked(spark, h.log, h.defn, fromId, chrono(to - 1).id)
+    else if (keys.isEmpty) ChangeFeed.read(spark, h.log, h.defn, fromId, chrono(to - 1).id)
     // KEYED mode: the batch's feed carries the full CDF vocabulary —
     // rewrite no-ops suppressed, update pre/post images paired per key
     else ChangeFeed.readKeyed(spark, h.log, h.defn, fromId, chrono(to - 1).id, keys)
@@ -242,13 +271,15 @@ final class GraftCdcProvider extends TableProvider {
     new GraftCdcTable(
       handleOf(opts), opts.get("handle"), schema, isChangeFeed(opts),
       feedKeys = Option(opts.get("feedKeys")).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      trackedFeed = opts.getBoolean("trackedFeed", false))
   }
 }
 
 private[spark] final class GraftCdcTable(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
-    changeFeed: Boolean, feedKeys: Seq[String] = Nil)
+    changeFeed: Boolean, feedKeys: Seq[String] = Nil,
+    trackedFeed: Boolean = false)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
@@ -265,7 +296,7 @@ private[spark] final class GraftCdcTable(
             h, handleId, tableSchema, changeFeed, checkpointLocation,
             maxCommitsPerTrigger =
               Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
-            feedKeys = feedKeys)
+            feedKeys = feedKeys, trackedFeed = trackedFeed)
       }
     }
 }
@@ -288,7 +319,8 @@ private[spark] final case class CommitOffset(
 private[spark] final class GraftCdcMicroBatchStream(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
     changeFeed: Boolean = false, checkpointLocation: String = "",
-    maxCommitsPerTrigger: Option[Int] = None, feedKeys: Seq[String] = Nil)
+    maxCommitsPerTrigger: Option[Int] = None, feedKeys: Seq[String] = Nil,
+    trackedFeed: Boolean = false)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import VersionedStream._
@@ -479,7 +511,7 @@ private[spark] final class GraftCdcMicroBatchStream(
     val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     if (!fs.exists(success)) {
       if (fs.exists(dir)) fs.delete(dir, true)
-      val feed = feedFor(spark, h, from, to, feedKeys)
+      val feed = feedFor(spark, h, from, to, feedKeys, trackedFeed)
         .select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       feed.write.mode("overwrite").parquet(dir.toString)
     }
