@@ -28,6 +28,8 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   ALTER TABLE graft.db.t DROP CONSTRAINT nm
  *   ALTER TABLE graft.db.t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY
  *   ALTER TABLE graft.db.t SET PARTITIONED BY (c1, c2)     -- scheme evolution
+ *   ALTER TABLE graft.db.t SET PARTITIONED BY (c1) METADATA ONLY
+ *   ALTER TABLE graft.db.t CONSOLIDATE PARTITION ERAS      -- deferred rewrite
  *   COPY INTO graft.db.t FROM '<dir>' FILEFORMAT = CSV
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  * }}}
@@ -155,6 +157,13 @@ private[spark] object GraftMaintenanceSql {
 
   private val SetPartitionedStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SET\s+PARTITIONED\s+BY\s*\(([^()]*)\)(\s+METADATA\s+ONLY)?\s*;?\s*""".r
+  // ALTER TABLE t CONSOLIDATE PARTITION ERAS [FILES n PER PARTITION] —
+  // the deferred rewrite of a METADATA ONLY evolution
+  // (PartitionEvolution.consolidateEras): one whole-table-scoped commit
+  // unifies a mixed fold under the current scheme, restoring the
+  // rewrite-shaped ops (OPTIMIZE / Z-ORDER / UPDATE / DELETE / MERGE)
+  private val ConsolidateErasStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+CONSOLIDATE\s+PARTITION\s+ERAS(?:\s+FILES\s+(\d+)\s+PER\s+PARTITION)?\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -212,6 +221,9 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftAddIdentityColumnCommand(parts(ident), column, dtype))
     case SetRowTrackingStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftSetRowTrackingCommand(parts(ident)))
+    case ConsolidateErasStmt(ident, files) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftConsolidateErasCommand(
+        parts(ident), Option(files).map(_.toInt).getOrElse(1)))
     case SetPartitionedStmt(ident, cols, metaOnly) if isGraftCatalogRef(split(ident)) =>
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
@@ -717,6 +729,36 @@ final case class GraftSetPartitionedCommand(
       GraftTableCatalog.registeredSchema(
         parts.head, evolved.name))
     Seq(Row(oldScheme, columns.mkString(", ")))
+  }
+}
+
+/** `ALTER TABLE t CONSOLIDATE PARTITION ERAS [FILES n PER PARTITION]` —
+  * the SQL spelling of [[PartitionEvolution.consolidateEras]]: physically
+  * unify a mixed fold (left by `SET PARTITIONED BY … METADATA ONLY`)
+  * under the current scheme. One shuffle keyed by the current partition
+  * columns, whole-table-scoped rebase commit; no-op on a uniform fold.
+  * Resolves the era-correct definition itself, so it works whether the
+  * boundary was driven from SQL or the Scala API. */
+final case class GraftConsolidateErasCommand(
+    parts: Seq[String], filesPerPartition: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("consolidated", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, registered) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, registered))
+    val defn = PartitionEvolution.definitionAt(session, binding.log, registered)
+    val before = PartitionEvolution.eraSignatures(
+      binding.log.currentVersion(defn.name)).size
+    PartitionEvolution.consolidateEras(
+      session, ctx, defn, UserId("sql"), filesPerPartition)
+    // the registration flips to the era-correct scheme (it may be stale
+    // after an API-driven metadata-only boundary)
+    GraftTableCatalog.register(
+      parts.head, defn,
+      GraftTableCatalog.registeredSchema(parts.head, defn.name))
+    Seq(Row(if (before > 1) "consolidated" else "noop"))
   }
 }
 

@@ -447,7 +447,8 @@ object PartitionEvolution {
         s"$op on ${table.name.fullyQualifiedName}: the fold holds mixed " +
           s"partition-scheme eras (${sigs.map(_.mkString("(", ",", ")")).mkString(" + ")}) " +
           "after a metadata-only evolution — run " +
-          "PartitionEvolution.consolidateEras (one whole-table rewrite) first")
+          "PartitionEvolution.consolidateEras (SQL: ALTER TABLE ... " +
+          "CONSOLIDATE PARTITION ERAS; one whole-table rewrite) first")
   }
 
   /** Physically unify a MIXED fold under the table's CURRENT scheme —

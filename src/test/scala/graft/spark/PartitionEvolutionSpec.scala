@@ -507,6 +507,19 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT count(*) FROM graftevometa.test.evo_sql_meta").head.getLong(0) shouldBe 13L
     PartitionEvolution.eraSignatures(log.currentVersion(t.name)) shouldBe
       Set(List("date"), List("kind"))
+
+    // the SQL spelling of the deferred rewrite unifies the fold in place
+    spark.sql("ALTER TABLE graftevometa.test.evo_sql_meta CONSOLIDATE PARTITION ERAS")
+      .collect().head.getString(0) shouldBe "consolidated"
+    PartitionEvolution.eraSignatures(log.currentVersion(t.name)) shouldBe
+      Set(List("kind"))
+    spark.sql("SELECT count(*) FROM graftevometa.test.evo_sql_meta").head.getLong(0) shouldBe 13L
+    // rewrite-shaped ops work again, straight from SQL
+    spark.sql("OPTIMIZE graftevometa.test.evo_sql_meta")
+    spark.sql("SELECT count(*) FROM graftevometa.test.evo_sql_meta").head.getLong(0) shouldBe 13L
+    // idempotent: a second consolidation is a loud no-op, not a rewrite
+    spark.sql("ALTER TABLE graftevometa.test.evo_sql_meta CONSOLIDATE PARTITION ERAS")
+      .collect().head.getString(0) shouldBe "noop"
   }
 
   test("two concurrent evolves: the loser conflicts loudly and its rollback never clobbers the winner") {
