@@ -453,10 +453,26 @@ object DeletionVectors {
     // resolves races to one winner and one loud, retryable refusal (the
     // engine's q57 posture).
     val expected = log.currentCommit(table.name)
-    // match against the VISIBLE state (existing DVs applied): re-deleting
-    // an already-hidden row must not inflate the count
-    val visible = readWithPointers(spark, log, table, None)
+    // match against the VISIBLE state (existing DVs applied) in LOGICAL
+    // column names: predicates come from callers who see the mapped view
+    // (SQL DELETE, feed consumers), and matching against the raw physical
+    // frame would silently hit the WRONG column once renames stack (a
+    // rename swap leaves the old physical name meaning a different
+    // logical column). Unmapped columns — the (file, pos) pointers
+    // included — pass through untouched.
+    val visible = ColumnMapping.applyLogical(
+      readWithPointers(spark, log, table, None), spark, log, table, None)
     if (visible.columns.isEmpty) return 0L
+    // stale-name guard: the analyzer's missing-reference fallback would
+    // resolve a predicate naming a PRE-RENAME physical column straight
+    // through the mapping projection into the child scan — silently
+    // matching a column that now means something else. Analyzing the
+    // predicate against a LINEAGE-FREE empty frame carrying only the
+    // logical view's columns has no child to fall through, so any stale
+    // reference fails loudly here (metadata-only, no job runs).
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), visible.schema)
+      .where(cond)
     val newPairs = visible
       .where(cond)
       .select(col(FileCol).as("file"), col(PosCol).as("pos"))

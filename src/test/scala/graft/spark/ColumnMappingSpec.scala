@@ -104,6 +104,19 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
     // two renames stack: the latest state wins for current reads
     ColumnMapping.rename(spark, ctx, table, "category", "label", user)
     ColumnMapping.read(spark, log, table).columns should contain("label")
+
+    // DV delete AFTER the renames resolves the predicate against the
+    // LOGICAL view: the new name prunes, the stale physical name refuses
+    // loudly (matching raw physical names would silently hit the wrong
+    // column once renames stack)
+    DeletionVectors.delete(
+      ctx, log, table, col("label") === "k4", user, UpdateMessage("dv2")) shouldBe 1L
+    ColumnMapping.read(spark, log, table).count() shouldBe 4L
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy {
+      DeletionVectors.delete(
+        ctx, log, table, col("kind") === "k5", user, UpdateMessage("dv3"))
+    }
+    ()
   }
 
   test("SQL ALTER TABLE RENAME/DROP COLUMN drive the mapping; SELECT serves the logical view") {
