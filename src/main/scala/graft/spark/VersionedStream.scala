@@ -61,12 +61,14 @@ object VersionedStream {
       spark: SparkSession,
       log: TableVersions,
       defn: TableDefinition,
-      maxCommitsPerTrigger: Option[Int] = None): DataFrame = {
+      maxCommitsPerTrigger: Option[Int] = None,
+      startingAt: Option[TableVersions.CommitId] = None): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
-    val r = spark.readStream
+    val r0 = spark.readStream
       .format(classOf[GraftCdcProvider].getName)
       .option("handle", h)
+    val r = startingAt.fold(r0)(c => r0.option("startingCommit", c.id))
     maxCommitsPerTrigger
       .fold(r)(n => r.option("maxCommitsPerTrigger", n.toString))
       .load()
@@ -86,13 +88,15 @@ object VersionedStream {
       spark: SparkSession,
       log: TableVersions,
       defn: TableDefinition,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      startingAt: Option[TableVersions.CommitId] = None): DataFrame = {
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
-    val r = spark.readStream
+    val r0 = spark.readStream
       .format(classOf[GraftCdcProvider].getName)
       .option("handle", h)
       .option("changeFeed", "true")
+    val r = startingAt.fold(r0)(c => r0.option("startingCommit", c.id))
     (if (keys.isEmpty) r else r.option("feedKeys", keys.mkString(",")))
       .load()
   }
@@ -108,18 +112,20 @@ object VersionedStream {
   def readTrackedChangeFeed(
       spark: SparkSession,
       log: TableVersions,
-      defn: TableDefinition): DataFrame = {
+      defn: TableDefinition,
+      startingAt: Option[TableVersions.CommitId] = None): DataFrame = {
     require(RowTracking.enabled(spark, defn),
       s"table ${defn.name.fullyQualifiedName} has no row-tracking / identity " +
         "column — RowTracking.enable (or declare an identity column) first, " +
         "or consume readChangeFeed(keys = ...)")
     val h = java.util.UUID.randomUUID().toString
     handles.put(h, Handle(log, defn))
-    spark.readStream
+    val r0 = spark.readStream
       .format(classOf[GraftCdcProvider].getName)
       .option("handle", h)
       .option("changeFeed", "true")
       .option("trackedFeed", "true")
+    startingAt.fold(r0)(c => r0.option("startingCommit", c.id))
       .load()
   }
 
@@ -272,14 +278,35 @@ final class GraftCdcProvider extends TableProvider {
       handleOf(opts), opts.get("handle"), schema, isChangeFeed(opts),
       feedKeys = Option(opts.get("feedKeys")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      trackedFeed = opts.getBoolean("trackedFeed", false))
+      trackedFeed = opts.getBoolean("trackedFeed", false),
+      startingCommit = startingAtOf(opts))
+  }
+
+  /** `startingCommit` / `startingTimestamp` (mutually exclusive): the
+    * commit a fresh stream starts AFTER — a timestamp resolves to the
+    * last commit at or before it, the `TIMESTAMP AS OF` rule. */
+  private def startingAtOf(options: CaseInsensitiveStringMap): Option[String] = {
+    val byCommit = Option(options.get("startingCommit"))
+    val byTs = Option(options.get("startingTimestamp"))
+    require(byCommit.isEmpty || byTs.isEmpty,
+      "startingCommit and startingTimestamp are mutually exclusive")
+    byCommit.orElse(byTs.map { ts =>
+      val h = handleOf(options)
+      val asOf = java.time.Instant.parse(ts)
+      h.log.updates(h.defn.name) // newest first
+        .find(!_.timestamp.isAfter(asOf))
+        .getOrElse(sys.error(
+          s"startingTimestamp $ts predates the history of " +
+            s"${h.defn.name.fullyQualifiedName}"))
+        .id.id
+    })
   }
 }
 
 private[spark] final class GraftCdcTable(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
     changeFeed: Boolean, feedKeys: Seq[String] = Nil,
-    trackedFeed: Boolean = false)
+    trackedFeed: Boolean = false, startingCommit: Option[String] = None)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-cdc:${h.defn.name.fullyQualifiedName}"
@@ -296,7 +323,8 @@ private[spark] final class GraftCdcTable(
             h, handleId, tableSchema, changeFeed, checkpointLocation,
             maxCommitsPerTrigger =
               Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
-            feedKeys = feedKeys, trackedFeed = trackedFeed)
+            feedKeys = feedKeys, trackedFeed = trackedFeed,
+            startingCommit = startingCommit)
       }
     }
 }
@@ -320,7 +348,7 @@ private[spark] final class GraftCdcMicroBatchStream(
     h: VersionedStream.Handle, handleId: String, tableSchema: StructType,
     changeFeed: Boolean = false, checkpointLocation: String = "",
     maxCommitsPerTrigger: Option[Int] = None, feedKeys: Seq[String] = Nil,
-    trackedFeed: Boolean = false)
+    trackedFeed: Boolean = false, startingCommit: Option[String] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import VersionedStream._
@@ -355,7 +383,24 @@ private[spark] final class GraftCdcMicroBatchStream(
   // planning per micro-batch)
   @volatile private var currentBatch: Option[Batch] = None
 
-  override def initialOffset(): Offset = CommitOffset(0)
+  /** Where a FRESH stream (no checkpoint) starts: the pre-init void by
+    * default — or, with `startingCommit`, just AFTER that commit: the
+    * consumer declares it already holds the state as of it (a batch
+    * backfill, a clone fork point) and wants only subsequent changes.
+    * The 100 TB posture: without it, every new consumer's first batch
+    * replays the entire table. Checkpointed restarts never pass through
+    * here — their offset wins, exactly like Delta's startingVersion. */
+  override def initialOffset(): Offset = startingCommit match {
+    case None => CommitOffset(0)
+    case Some(id) =>
+      val chrono = chronoCommits(h)
+      val j = chrono.indexWhere(_.id.id == id)
+      require(j >= 0,
+        s"startingCommit $id is not in the history of " +
+          s"${h.defn.name.fullyQualifiedName} (checkpointed away, or a " +
+          "different table's commit); start from a commit the log retains")
+      CommitOffset(j + 1, Some(id))
+  }
 
   override def latestOffset(): Offset = {
     val chrono = chronoCommits(h)

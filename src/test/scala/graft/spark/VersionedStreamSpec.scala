@@ -56,6 +56,62 @@ class VersionedStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("startingCommit skips history: a fresh stream emits only post-anchor changes") {
+    val (table, log, ctx) = freshTable("cdc_starting")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+    Seq((3L, "c")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val v2At = log.updates(table.name).head.timestamp
+    Seq((4L, "d")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+
+    // startingAt = v1: the consumer already holds v1's state (a batch
+    // backfill) — the stream must NOT replay the 100 TB history, only the
+    // post-anchor commits
+    val sink = s"cdc_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = VersionedStream.readStream(spark, log, table, startingAt = Some(v1))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(sink).select("k").as[Long].collect().sorted shouldBe Array(3L, 4L)
+      // and it keeps following new commits
+      Seq((5L, "e")).toDF("k", "grp")
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v4"))
+      q.processAllAvailable()
+      spark.table(sink).select("k").as[Long].collect().sorted shouldBe Array(3L, 4L, 5L)
+    } finally q.stop()
+
+    // startingTimestamp: at-or-before resolution (v2's instant names v2)
+    val sink2 = s"cdc_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val h = java.util.UUID.randomUUID().toString
+    VersionedStream.handles.put(h, VersionedStream.Handle(log, table))
+    val q2 = spark.readStream
+      .format(classOf[GraftCdcProvider].getName)
+      .option("handle", h)
+      .option("startingTimestamp", v2At.toString)
+      .load()
+      .writeStream.format("memory").queryName(sink2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      spark.table(sink2).select("k").as[Long].collect().sorted shouldBe Array(4L, 5L)
+    } finally q2.stop()
+
+    // an unknown anchor refuses loudly instead of replaying from zero
+    val q3 = VersionedStream.readStream(
+      spark, log, table, startingAt = Some(TableVersions.CommitId("no-such-commit")))
+      .writeStream.format("memory")
+      .queryName(s"cdc_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      .outputMode("append").start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      ex.getMessage should include("startingCommit")
+    } finally q3.stop()
+  }
+
   test("maxCommitsPerTrigger paces catch-up: one commit per micro-batch, same total rows") {
     val (table, log, ctx) = freshTable("cdc_paced")
     (1 to 4).foreach { i =>
