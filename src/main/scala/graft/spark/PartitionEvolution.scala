@@ -132,6 +132,11 @@ object PartitionEvolution {
     * transforms commute on disjoint entries (each writer only appends or
     * marks its OWN commit id), so a bounded number of retries settles;
     * exhaustion throws loudly rather than publishing a maybe-lost edit. */
+  /** Test seam: runs between a registry publish and its verify re-read —
+    * the window a concurrent whole-file rename can clobber ours in. */
+  private[spark] val interleaveRegistryForTest =
+    new scala.util.DynamicVariable[Option[() => Unit]](None)
+
   private def mutateRegistry(
       spark: SparkSession, table: TableDefinition)(
       transform: List[SchemeState] => List[SchemeState]): Unit = {
@@ -144,6 +149,7 @@ object PartitionEvolution {
       if (next == fresh) done = true
       else {
         write(spark, table, next)
+        interleaveRegistryForTest.value.foreach(_.apply())
         if (states(spark, table) == next) done = true
         else if (attempts >= 20)
           throw new IllegalStateException(

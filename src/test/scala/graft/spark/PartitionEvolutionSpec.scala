@@ -638,4 +638,41 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     text should include("racer-in-flight-commit")
     text should include("test.someone_else")
   }
+
+  test("a racer's rename landing AFTER our registry publish is detected and re-merged (verify-retry)") {
+    val (ctx, log) = fresh()
+    val t = table("evo_registry_retry", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 6L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // the racer: a whole-file rename landing in the publish→verify window,
+    // built from a read that PREDATES our write — the atomic-rename loser
+    // scenario the merge-by-union retry exists for. Fire once per distinct
+    // registry rewrite (the evolve performs several), clobbering each.
+    val racer = "{\"commit\":\"racer-clobber-commit\",\"table\":\"test.other\"," +
+      "\"pending\":true,\"columns\":[\"region\"]}"
+    var fired = 0
+    val clobber: () => Unit = () => {
+      // overwrite with ONLY the racer's content: our just-published edit
+      // is gone, exactly as if the racer's rename landed second
+      if (fired < 3) {
+        fired += 1
+        Files.write(registryPath(t), s"[$racer]".getBytes("UTF-8"))
+      }
+    }
+    val evolved = PartitionEvolution.interleaveRegistryForTest.withValue(Some(clobber)) {
+      PartitionEvolution.evolve(
+        spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    }
+    fired should be >= 1
+
+    // our edits were re-merged against the racer's content: the new era
+    // governs AND the racer's entry survived
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+    VersionedReader(spark, log).read(evolved).count() shouldBe 6L
+    val text = new String(Files.readAllBytes(registryPath(t)), "UTF-8")
+    text should include("racer-clobber-commit")
+  }
 }
