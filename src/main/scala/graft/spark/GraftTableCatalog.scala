@@ -118,7 +118,7 @@ final class GraftTableCatalog extends TableCatalog {
     // tables whose state carries a live sidecar into the DV anti-join.
     val tv = binding.log.currentVersion(defn.name)
     new GraftV2Table(defn, binding, fileTable(defn, tv, schema),
-      mixedFold = isMixed(tv))
+      mixedFold = isMixed(tv), catalogName = Some(catalogName))
   }
 
   /** `VERSION AS OF '<commitId>'` — time travel through the commit log.
@@ -462,7 +462,8 @@ private[spark] final class GraftV2Table(
     binding: GraftTableCatalog.Binding,
     delegate: Table,
     asOf: Option[CommitId] = None,
-    mixedFold: Boolean = false)
+    mixedFold: Boolean = false,
+    catalogName: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
@@ -570,6 +571,7 @@ private[spark] final class GraftV2Table(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -588,8 +590,26 @@ private[spark] final class GraftV2Table(
         s"table ${defn.name.fullyQualifiedName} holds mixed partition-scheme " +
           "eras (metadata-only evolution): scans require the graft session " +
           "extensions (GraftDvScanRule) or PartitionEvolution.consolidateEras")
+    // `readStream.table("cat.db.t")`: the NET-CONTENTS stream, options
+    // maxCommitsPerTrigger / startingCommit / startingTimestamp. The feed
+    // modes add a `_change_type` column the fixed relation schema here
+    // cannot carry — refuse with the handle-API pointer instead of
+    // silently serving the wrong shape. Time-travel loads never stream.
+    Seq("changefeed", "feedkeys", "trackedfeed").foreach { k =>
+      if (options.containsKey(k))
+        throw new UnsupportedOperationException(
+          s"readStream.table does not support option '$k' (the change-feed " +
+            "stream carries an extra _change_type column): use " +
+            "VersionedStream.readChangeFeed / readTrackedChangeFeed")
+    }
+    val streamInfo = catalogName.filter(_ => asOf.isEmpty).map(c =>
+      VersionedStream.GraftStreamInfo(
+        c, defn.name.fullyQualifiedName, schema(),
+        Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
+        Option(options.get("startingCommit")),
+        Option(options.get("startingTimestamp"))))
     new org.apache.spark.sql.execution.datasources.v2.GraftDppScanBuilder(
-      delegate.asInstanceOf[SupportsRead].newScanBuilder(options))
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options), streamInfo)
   }
 
   private val partitionColNames = defn.partitionSchema.columns.map(_.name).toSet

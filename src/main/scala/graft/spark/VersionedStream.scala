@@ -129,6 +129,50 @@ object VersionedStream {
       .load()
   }
 
+  /** Everything a CATALOG-NAMED stream needs, as plain values — carried
+    * inside the batch scan wrappers (`GraftDppFileScan`) so
+    * `spark.readStream.table("cat.db.t")` works without a handle, while
+    * the case-class equality that exchange/scan reuse depends on stays
+    * structural. Resolution back to (log, definition) happens at
+    * stream-start time through the catalog registry. */
+  final case class GraftStreamInfo(
+      catalog: String,
+      table: String,
+      schema: StructType,
+      maxCommitsPerTrigger: Option[Int],
+      startingCommit: Option[String],
+      startingTimestamp: Option[String])
+
+  /** Build the micro-batch stream for a catalog-named table — the
+    * NET-CONTENTS mode only (each batch = new contents of moved
+    * partitions, the same semantics as [[readStream]]): the feed modes
+    * add a `_change_type` column the fixed relation schema of
+    * `readStream.table` cannot carry — consume
+    * [[readChangeFeed]]/[[readTrackedChangeFeed]] for those. */
+  def microBatchStream(
+      info: GraftStreamInfo, checkpointLocation: String): MicroBatchStream = {
+    val (binding, defn) = TableName.fromFullyQualified(info.table).toOption
+      .flatMap(n => GraftTableCatalog.lookup(info.catalog, n))
+      .getOrElse(sys.error(
+        s"catalog '${info.catalog}' no longer binds table ${info.table}: " +
+          "re-register before streaming"))
+    require(info.startingCommit.isEmpty || info.startingTimestamp.isEmpty,
+      "startingCommit and startingTimestamp are mutually exclusive")
+    val startAt = info.startingCommit.orElse(info.startingTimestamp.map { ts =>
+      val asOf = java.time.Instant.parse(ts)
+      binding.log.updates(defn.name) // newest first
+        .find(!_.timestamp.isAfter(asOf))
+        .getOrElse(sys.error(
+          s"startingTimestamp $ts predates the history of ${info.table}"))
+        .id.id
+    })
+    new GraftCdcMicroBatchStream(
+      Handle(binding.log, defn), null, info.schema,
+      changeFeed = false, checkpointLocation = checkpointLocation,
+      maxCommitsPerTrigger = info.maxCommitsPerTrigger,
+      startingCommit = startAt)
+  }
+
   /** Schema of the table as the batch reader would resolve it (data +
     * partition columns, LOGICAL names when a column mapping applies);
     * file-footer metadata only. A never-written table has no schema

@@ -44,7 +44,9 @@ import org.apache.spark.sql.types.StructType
  * optimization; correctness comes from the join itself). The wrapper is
  * a case class over the delegate so exchange/scan reuse keeps working.
  */
-final class GraftDppScanBuilder(delegate: ScanBuilder)
+final class GraftDppScanBuilder(
+    delegate: ScanBuilder,
+    streamInfo: Option[graft.spark.VersionedStream.GraftStreamInfo] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -87,8 +89,8 @@ final class GraftDppScanBuilder(delegate: ScanBuilder)
       val spjOptIn = SQLConf.get
         .getConfString("spark.graft.storagePartitionedJoin.enabled", "false")
         .toBoolean
-      if (spjOptIn && SQLConf.get.v2BucketingEnabled) GraftKeyedFileScan(fs)
-      else GraftDppFileScan(fs)
+      if (spjOptIn && SQLConf.get.v2BucketingEnabled) GraftKeyedFileScan(fs, streamInfo)
+      else GraftDppFileScan(fs, streamInfo)
     case other => other
   }
 }
@@ -107,9 +109,18 @@ final class GraftDppScanBuilder(delegate: ScanBuilder)
  * contract), and DPP loses nothing: the join that would prune is the one
  * being co-located.
  */
-final case class GraftKeyedFileScan(delegate: FileScan)
+final case class GraftKeyedFileScan(
+    delegate: FileScan,
+    streamInfo: Option[graft.spark.VersionedStream.GraftStreamInfo] = None)
   extends Scan with SupportsReportPartitioning with SupportsReportStatistics
   with SupportsMetadata {
+
+  // readStream.table("cat.db.t") — the catalog-named NET-CONTENTS stream
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamInfo.map(graft.spark.VersionedStream.microBatchStream(_, checkpointLocation))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"table ${delegate.fileIndex} does not support streaming reads from this load"))
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
@@ -183,9 +194,19 @@ final class GraftUnwrapReaderFactory(delegate: PartitionReaderFactory)
     delegate.supportColumnarReads(unwrap(p))
 }
 
-final case class GraftDppFileScan(delegate: FileScan)
+final case class GraftDppFileScan(
+    delegate: FileScan,
+    streamInfo: Option[graft.spark.VersionedStream.GraftStreamInfo] = None)
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
   with SupportsMetadata {
+
+  // readStream.table("cat.db.t") — the catalog-named NET-CONTENTS stream
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamInfo.map(graft.spark.VersionedStream.microBatchStream(_, checkpointLocation))
+      .getOrElse(throw new UnsupportedOperationException(
+        "this graft scan does not support streaming reads (time-travel " +
+          "loads and mixed-era states stream via the VersionedStream API)"))
 
   // the delegate re-planned with the runtime partition filters appended;
   // deliberately NOT part of the case-class equality (reuse compares the
