@@ -2025,6 +2025,17 @@ object Registry {
              |       round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s17_stream_by_table_name" -> Entry(
+      StreamingQueries.s17StreamByTableName,
+      // startingCommit anchor: only the post-anchor commits stream — the
+      // R partition (v2) and the refreshed N slice (v3); A never replays
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |WHERE l_returnflag = 'R'
+             |   OR (l_returnflag = 'N' AND l_quantity > 30)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s15_stream_keyed_feed" -> Entry(
       StreamingQueries.s15StreamKeyedFeed,
       // three paced batches (full load, DV delete, R rework) through the

@@ -289,6 +289,65 @@ object StreamingQueries {
       .orderBy("l_returnflag")
   }
 
+  /** S17: the CATALOG-NAMED stream — `spark.readStream.table("cat.db.t")`
+    * with a `startingCommit` anchor: no handle plumbing anywhere; the
+    * consumer declares it already holds v1's state and receives ONLY the
+    * post-anchor commits (v2's R partition, then v3's N refresh — each
+    * moved partition's new contents exactly once). At 100 TB the anchor
+    * is the difference between a first batch of the whole table and a
+    * first batch of one partition. */
+  def s17StreamByTableName(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("graft", "bytable_src"),
+      java.nio.file.Files.createTempDirectory("graft_bytable_src").toUri,
+      PartitionSchema(List(PartitionColumn("l_returnflag"))),
+      FileFormat.Parquet)
+    val user = UserId("graft-verify")
+    ctx.init(table, user, UpdateMessage("create bytable_src"))
+    s.conf.set(
+      "spark.sql.catalog.grafts17", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("grafts17", log)
+    graft.spark.GraftTableCatalog.register("grafts17", table)
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_returnflag") =!= "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: A+N"))
+    val anchor = log.currentCommit(table.name)
+    li.where(col("l_returnflag") === "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R"))
+
+    val sinkName = s"graft_s17_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      s.readStream.option("startingCommit", anchor.id)
+        .table("grafts17.graft.bytable_src")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
+    }
+    try {
+      q.processAllAvailable() // batch 1: ONLY the post-anchor R partition
+      // v3 refreshes N — the stream follows with exactly N's new contents
+      li.where(col("l_returnflag") === "N" && col("l_quantity") > 30)
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v3: N refresh"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table(sinkName)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(sinkName)
+    // the pre-anchor A partition must never surface
+    require(out.where(col("l_returnflag") === "A").isEmpty,
+      "pre-anchor partitions must not replay through a startingCommit stream")
+    out.select(col("l_returnflag"), col("n_items"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** S11: streaming MATERIALIZED-VIEW maintenance — the CDC source and the
     * versioned sink COMPOSED: a source table's commits stream through
     * [[graft.spark.VersionedStream]], and each micro-batch recomputes the
