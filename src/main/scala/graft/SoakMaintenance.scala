@@ -186,6 +186,47 @@ object SoakMaintenance {
       mbN <= 2.0 * mb1,
       f"scaled boundary $mbN%.2fs vs base $mb1%.2fs at scale $scale (flatness bound 2x)")
 
+    // ------------------------------------- merge-on-read DELETE (r16)
+    // claim: a row delete scattered across EVERY partition pays one
+    // predicate scan plus a pair-sized sidecar write under merge-on-read
+    // (`spark.graft.dml.mergeOnRead`), while copy-on-write pays the scan
+    // PLUS re-landing every touched partition — a corpus-sized write. At
+    // scale both pay the linear scan; only CoW pays the linear write, so
+    // MOR must undercut CoW at the scaled corpus.
+    def morRound(tag: String, rows: DataFrame, mergeOnRead: Boolean): Double = {
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val cat = s"soakmor$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.spark.GraftTableCatalog].getName)
+      graft.spark.GraftTableCatalog.bind(cat, log)
+      val t = TableDefinition(
+        TableName("db", s"mor$tag"),
+        Files.createTempDirectory(s"graft_soakmor_$tag").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      graft.spark.GraftTableCatalog.register(cat, t)
+      rows.versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      spark.conf.set("spark.graft.dml.mergeOnRead", mergeOnRead.toString)
+      try {
+        val (sec, _) = time(spark.sql(
+          s"DELETE FROM $cat.db.mor$tag WHERE l_orderkey % 1009 = 0"))
+        sec
+      } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+    }
+
+    morRound("w", li, mergeOnRead = true) // warm-up, discarded
+    val morBase = morRound("mb", li, mergeOnRead = true)
+    val cowBase = morRound("cb", li, mergeOnRead = false)
+    val morN = morRound("ms", replicated(scale), mergeOnRead = true)
+    val cowN = morRound("cs", replicated(scale), mergeOnRead = false)
+    println(s"""{"metric":"mor_delete","base":{"mor":$morBase,"cow":$cowBase},""" +
+      s""""scaled_${scale}x":{"mor":$morN,"cow":$cowN}}""")
+    guard("mor_delete_beats_cow_at_scale",
+      morN <= cowN,
+      f"scaled MOR $morN%.2fs vs CoW $cowN%.2fs at scale $scale " +
+        "(CoW re-lands every partition; MOR writes only the pair sidecar)")
+
     println(s"""{"summary":"soak-maintenance","scale":$scale,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()
