@@ -333,8 +333,13 @@ object PartitionEvolution {
           // nothing to commit: the registry write IS the boundary,
           // anchored at the already-landed read commit — one atomic
           // write, no crash window to stage through
+          // idempotence matches on (anchor, columns): a SECOND empty-table
+          // evolve at the same read commit must still append — resolution
+          // is last-wins per anchor, so the newest entry governs
           mutateRegistry(spark, table)(fr =>
-            if (fr.exists(s => s.commit == readCommit.id && !s.pending)) fr
+            if (fr.exists(s => s.commit == readCommit.id && !s.pending &&
+                s.columns.map(_.toLowerCase) ==
+                  newSchema.columns.map(_.name.toLowerCase))) fr
             else seededStatesFor(fr, log, table, current.columns.map(_.name)) :+
               SchemeState(readCommit.id, newSchema.columns.map(_.name), me))
           readCommit

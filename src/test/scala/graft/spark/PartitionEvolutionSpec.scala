@@ -639,6 +639,31 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     text should include("test.someone_else")
   }
 
+  test("an EMPTY table evolves twice at the same commit: the second boundary still lands") {
+    val (ctx, log) = fresh()
+    val t = table("evo_empty_twice", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    // no data commits: both boundaries are registry-only, anchored at the
+    // SAME read commit — the idempotence check must match on (anchor,
+    // columns), not anchor alone, or the second evolve silently no-ops
+    val toKind = PartitionEvolution.evolve(
+      spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+    val toId = PartitionEvolution.evolve(
+      spark, ctx, toKind, PartitionSchema(List(PartitionColumn("id"))), user)
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("id")
+    // writes under the final scheme work; the stale handle refuses
+    Seq(Event(1, "x", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, toId, user, UpdateMessage("v1"))
+    VersionedReader(spark, log).read(toId).count() shouldBe 1L
+    (the[IllegalStateException] thrownBy {
+      Seq(Event(2, "y", "2024-01-01")).toDS()
+        .versionedInsertInto(ctx, toKind, user, UpdateMessage("stale"))
+    }).getMessage should include("stale scheme")
+  }
+
   test("a racer's rename landing AFTER our registry publish is detected and re-merged (verify-retry)") {
     val (ctx, log) = fresh()
     val t = table("evo_registry_retry", "date")
