@@ -829,7 +829,16 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
     AttributeReference("num_constraints", IntegerType, nullable = false)(),
     AttributeReference("num_generated_columns", IntegerType, nullable = false)(),
     AttributeReference("column_mapping", org.apache.spark.sql.types.BooleanType, nullable = false)(),
-    AttributeReference("clone_link", org.apache.spark.sql.types.BooleanType, nullable = false)())
+    AttributeReference("clone_link", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    // round 16: the operator-diagnosis fields — the ERA-CORRECT scheme
+    // (the declared partition_columns go stale after an evolution), how
+    // many scheme eras the CURRENT fold mixes (2+ = rewrites refuse until
+    // CONSOLIDATE PARTITION ERAS), the tracking/identity column if any,
+    // and whether live deletion-vector sidecars apply to current reads
+    AttributeReference("effective_partition_columns", StringType, nullable = false)(),
+    AttributeReference("partition_scheme_eras", IntegerType, nullable = false)(),
+    AttributeReference("row_tracking", StringType, nullable = false)(),
+    AttributeReference("live_deletion_vectors", org.apache.spark.sql.types.BooleanType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     import graft.core.{PartitionedTableVersion, SnapshotTableVersion, Partition, Version}
@@ -882,6 +891,11 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
       Constraints.list(session, defn).size,
       GeneratedColumns.list(session, defn).size,
       ColumnMapping.stateAt(session, binding.log, defn, None).isDefined,
-      ShallowClone.hasCloneLink(binding.log, defn.name)))
+      ShallowClone.hasCloneLink(binding.log, defn.name),
+      PartitionEvolution.schemeAt(session, binding.log, defn, None)
+        .columns.map(_.name).mkString(","),
+      math.max(1, PartitionEvolution.eraSignatures(state).size),
+      RowTracking.trackingColumn(session, defn).getOrElse(""),
+      DeletionVectors.hasVectors(session, binding.log, defn, None)))
   }
 }

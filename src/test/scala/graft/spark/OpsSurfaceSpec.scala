@@ -115,6 +115,27 @@ class OpsSurfaceSpec extends AnyFunSuite with Matchers {
     d.getInt(9) shouldBe 0
     d.getBoolean(10) shouldBe false
     d.getBoolean(11) shouldBe false
+    // round-16 diagnosis fields: era-correct scheme, era count, tracking,
+    // live DVs
+    d.getString(12) shouldBe "grp"
+    d.getInt(13) shouldBe 1
+    d.getString(14) shouldBe ""
+    d.getBoolean(15) shouldBe false
+
+    // the fields flip with the state: a metadata-only evolution + a DV
+    // delete show up as a mixed fold with live vectors
+    spark.sql("ALTER TABLE graftops2.db.det SET PARTITIONED BY (id) METADATA ONLY")
+    Seq((9L, "c")).toDF("id", "grp")
+      .versionedInsertInto(ctx,
+        t.copy(partitionSchema = PartitionSchema(List(PartitionColumn("id")))),
+        user, UpdateMessage("v2"))
+    DeletionVectors.delete(ctx, log, t.copy(
+        partitionSchema = PartitionSchema(List(PartitionColumn("id")))),
+      org.apache.spark.sql.functions.col("id") === 2L, user, UpdateMessage("dv"))
+    val d2 = spark.sql("DESCRIBE DETAIL graftops2.db.det").collect().head
+    d2.getString(12) shouldBe "id"
+    d2.getInt(13) shouldBe 2
+    d2.getBoolean(15) shouldBe true
   }
 
   test("identity hwm is the max id ACTUALLY assigned — ground truth from the staged output") {
