@@ -100,7 +100,16 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val partCols = defn.partitionSchema.columns.map(_.name).toSet
           // partition-value-only predicates keep the metadata-only
           // SupportsDelete path (RemovePartition commit, zero data rewrite)
-          if (!defn.isSnapshot && partitionOnly(cond, partCols)) d
+          // — but ONLY on a uniform fold: that path matches partitions by
+          // the CURRENT scheme's column values, so on a mixed fold (after
+          // a metadata-only evolution) old-era dirs keyed by the old
+          // column would silently survive a predicate they match. Mixed
+          // folds route to the row-level command, where merge-on-read
+          // handles them and copy-on-write refuses with the
+          // consolidation escape hatch named.
+          val uniform = PartitionEvolution.eraSignatures(
+            table.tableBinding.log.currentVersion(defn.name)).size <= 1
+          if (!defn.isSnapshot && uniform && partitionOnly(cond, partCols)) d
           else {
             rejectSubqueries(cond)
             GraftDeleteCommand(defn, table.tableBinding, new Detached(detach(cond)))
@@ -418,9 +427,11 @@ final case class GraftDeleteCommand(
     // touching every partition costs a full-table rewrite copy-on-write).
     // DVs resolve per file, so this also works on a MIXED fold where the
     // copy-on-write path must refuse. Partition-value-only predicates
-    // never reach here either way — they stay on the metadata-only
-    // RemovePartition path (strictly better than both). UPDATE stays
-    // copy-on-write: a DV expresses hidden rows, not changed values.
+    // reach here only on mixed folds — on a uniform fold they stay on the
+    // metadata-only RemovePartition path (strictly better than both; on a
+    // mixed fold that path would match only current-scheme dirs and leave
+    // old-era rows alive). UPDATE stays copy-on-write: a DV expresses
+    // hidden rows, not changed values.
     if (session.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
       DeletionVectors.delete(
         VersionContext(GraftV2Table.metastoreFor(binding, defn)), binding.log,

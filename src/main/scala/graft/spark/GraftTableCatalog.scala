@@ -664,6 +664,14 @@ private[spark] final class GraftV2Table(
     !defn.isSnapshot && filters.forall(partitionOnly)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // belt-and-braces twin of the rule-side routing: a VALUE-matching
+    // partition delete keys on the CURRENT scheme's columns, so a mixed
+    // fold's old-era dirs would silently survive — refuse here too for
+    // any direct SupportsDelete caller. An UNCONDITIONAL delete (no
+    // value filters) drops every dir of every era and stays legal.
+    if (filters.exists(f => !f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      PartitionEvolution.requireUniformFold(
+        binding.log, defn, "partition-granular DELETE")
     val current = binding.log.currentVersion(defn.name) match {
       case PartitionedTableVersion(pvs) => pvs
       case other => sys.error(s"partition delete does not apply to $other")

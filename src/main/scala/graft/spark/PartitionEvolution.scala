@@ -333,15 +333,22 @@ object PartitionEvolution {
           // nothing to commit: the registry write IS the boundary,
           // anchored at the already-landed read commit — one atomic
           // write, no crash window to stage through
-          // idempotence matches on (anchor, columns): a SECOND empty-table
-          // evolve at the same read commit must still append — resolution
-          // is last-wins per anchor, so the newest entry governs
-          mutateRegistry(spark, table)(fr =>
-            if (fr.exists(s => s.commit == readCommit.id && !s.pending &&
-                s.columns.map(_.toLowerCase) ==
-                  newSchema.columns.map(_.name.toLowerCase))) fr
-            else seededStatesFor(fr, log, table, current.columns.map(_.name)) :+
-              SchemeState(readCommit.id, newSchema.columns.map(_.name), me))
+          // idempotence compares against the GOVERNING entry at the
+          // anchor — the LAST one, since resolution is last-wins per
+          // anchor. Matching ANY historical entry would break scheme
+          // CYCLES on an empty table (A→B→A anchors every boundary at
+          // the same commit: the seed entry already says A, but B still
+          // governs until a new A entry is appended).
+          mutateRegistry(spark, table) { fr =>
+            val base = seededStatesFor(fr, log, table, current.columns.map(_.name))
+            val governs = base
+              .filter(s => !s.pending && s.commit == readCommit.id)
+              .lastOption
+              .exists(_.columns.map(_.toLowerCase) ==
+                newSchema.columns.map(_.name.toLowerCase))
+            if (governs) base // idempotent retry: the anchor already resolves here
+            else base :+ SchemeState(readCommit.id, newSchema.columns.map(_.name), me)
+          }
           readCommit
         } else
           committedBoundary(TableVersions.TableUpdate(

@@ -149,6 +149,29 @@ object VersionedStream {
     * add a `_change_type` column the fixed relation schema of
     * `readStream.table` cannot carry — consume
     * [[readChangeFeed]]/[[readTrackedChangeFeed]] for those. */
+  /** Resolve the mutually-exclusive `startingCommit`/`startingTimestamp`
+    * pair to the commit a fresh stream starts AFTER — a timestamp names
+    * the last commit at or before it, the `TIMESTAMP AS OF` rule. ONE
+    * definition for both the handle-API provider and the catalog-named
+    * stream, so the at-or-before contract cannot diverge between them. */
+  private[spark] def resolveStartingAt(
+      log: TableVersions,
+      name: TableName,
+      byCommit: Option[String],
+      byTs: Option[String]): Option[String] = {
+    require(byCommit.isEmpty || byTs.isEmpty,
+      "startingCommit and startingTimestamp are mutually exclusive")
+    byCommit.orElse(byTs.map { ts =>
+      val asOf = java.time.Instant.parse(ts)
+      log.updates(name) // newest first
+        .find(!_.timestamp.isAfter(asOf))
+        .getOrElse(sys.error(
+          s"startingTimestamp $ts predates the history of " +
+            name.fullyQualifiedName))
+        .id.id
+    })
+  }
+
   def microBatchStream(
       info: GraftStreamInfo, checkpointLocation: String): MicroBatchStream = {
     val (binding, defn) = TableName.fromFullyQualified(info.table).toOption
@@ -156,16 +179,8 @@ object VersionedStream {
       .getOrElse(sys.error(
         s"catalog '${info.catalog}' no longer binds table ${info.table}: " +
           "re-register before streaming"))
-    require(info.startingCommit.isEmpty || info.startingTimestamp.isEmpty,
-      "startingCommit and startingTimestamp are mutually exclusive")
-    val startAt = info.startingCommit.orElse(info.startingTimestamp.map { ts =>
-      val asOf = java.time.Instant.parse(ts)
-      binding.log.updates(defn.name) // newest first
-        .find(!_.timestamp.isAfter(asOf))
-        .getOrElse(sys.error(
-          s"startingTimestamp $ts predates the history of ${info.table}"))
-        .id.id
-    })
+    val startAt = resolveStartingAt(
+      binding.log, defn.name, info.startingCommit, info.startingTimestamp)
     new GraftCdcMicroBatchStream(
       Handle(binding.log, defn), null, info.schema,
       changeFeed = false, checkpointLocation = checkpointLocation,
@@ -326,24 +341,17 @@ final class GraftCdcProvider extends TableProvider {
       startingCommit = startingAtOf(opts))
   }
 
-  /** `startingCommit` / `startingTimestamp` (mutually exclusive): the
-    * commit a fresh stream starts AFTER — a timestamp resolves to the
-    * last commit at or before it, the `TIMESTAMP AS OF` rule. */
+  /** `startingCommit` / `startingTimestamp` options, resolved through
+    * [[VersionedStream.resolveStartingAt]] — one at-or-before contract
+    * shared with the catalog-named stream. */
   private def startingAtOf(options: CaseInsensitiveStringMap): Option[String] = {
     val byCommit = Option(options.get("startingCommit"))
     val byTs = Option(options.get("startingTimestamp"))
-    require(byCommit.isEmpty || byTs.isEmpty,
-      "startingCommit and startingTimestamp are mutually exclusive")
-    byCommit.orElse(byTs.map { ts =>
+    if (byCommit.isEmpty && byTs.isEmpty) None
+    else {
       val h = handleOf(options)
-      val asOf = java.time.Instant.parse(ts)
-      h.log.updates(h.defn.name) // newest first
-        .find(!_.timestamp.isAfter(asOf))
-        .getOrElse(sys.error(
-          s"startingTimestamp $ts predates the history of " +
-            s"${h.defn.name.fullyQualifiedName}"))
-        .id.id
-    })
+      VersionedStream.resolveStartingAt(h.log, h.defn.name, byCommit, byTs)
+    }
   }
 }
 

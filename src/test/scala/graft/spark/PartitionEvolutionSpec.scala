@@ -597,17 +597,32 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
         ctx, log, evolved, Seq(Event(1, "x", "2024-01-01")).toDF(), Seq("id"),
         matched = Seq(Merge.WhenMatched(None, None)), notMatched = Nil)
     }).getMessage should include("consolidateEras")
+    // a PARTITION-VALUE-only predicate must not slip onto the metadata
+    // path: it would drop only current-scheme dirs and silently leave
+    // old-era rows alive — on a mixed fold it routes to the row-level
+    // command, which refuses copy-on-write...
+    (the[IllegalStateException] thrownBy {
+      spark.sql("DELETE FROM graftevodml.test.evo_dml_mixed WHERE kind = 'x'")
+    }).getMessage should include("consolidateEras")
     // nothing committed by the refusals; state intact
     VersionedReader(spark, log).read(evolved).count() shouldBe 9L
+    // ...and the same partition-value delete succeeds under merge-on-read
+    // (deletion vectors resolve per era — row 9's DVs hide it everywhere)
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      spark.sql("DELETE FROM graftevodml.test.evo_dml_mixed WHERE kind = 'z'")
+      graft.spark.DeletionVectors.read(spark, log, evolved).count() shouldBe 8L
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
 
-    // consolidation restores all three
+    // consolidation restores all three (and absorbs the DV delete)
     PartitionEvolution.consolidateEras(spark, ctx, evolved, user)
+    VersionedReader(spark, log).read(evolved).count() shouldBe 8L
     spark.sql("UPDATE graftevodml.test.evo_dml_mixed SET id = 200 WHERE id = 1")
     spark.sql("DELETE FROM graftevodml.test.evo_dml_mixed WHERE id = 2")
     Merge.mergeConditional(
       ctx, log, evolved, Seq(Event(3, "x", "2024-01-01")).toDF(), Seq("id"),
       matched = Seq(Merge.WhenMatched(None, None)), notMatched = Nil)
-    VersionedReader(spark, log).read(evolved).count() shouldBe 7L
+    VersionedReader(spark, log).read(evolved).count() shouldBe 6L
   }
 
   test("registry rewrites never drop a racer's just-appended intent (merge-by-union)") {
@@ -654,10 +669,18 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
       spark, ctx, toKind, PartitionSchema(List(PartitionColumn("id"))), user)
     PartitionEvolution.schemeAt(spark, log, t, None)
       .columns.map(_.name) shouldBe List("id")
-    // writes under the final scheme work; the stale handle refuses
+    // a CYCLE back to the ORIGINAL scheme at the same anchor: the seed
+    // entry already says (date) but (id) still governs — the idempotence
+    // check must compare the GOVERNING (last) entry at the anchor, not
+    // any historical one, or this evolve silently no-ops
+    val backToDate = PartitionEvolution.evolve(
+      spark, ctx, toId, PartitionSchema(List(PartitionColumn("date"))), user)
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("date")
+    // writes under the final scheme work; the stale handles refuse
     Seq(Event(1, "x", "2024-01-01")).toDS()
-      .versionedInsertInto(ctx, toId, user, UpdateMessage("v1"))
-    VersionedReader(spark, log).read(toId).count() shouldBe 1L
+      .versionedInsertInto(ctx, backToDate, user, UpdateMessage("v1"))
+    VersionedReader(spark, log).read(backToDate).count() shouldBe 1L
     (the[IllegalStateException] thrownBy {
       Seq(Event(2, "y", "2024-01-01")).toDS()
         .versionedInsertInto(ctx, toKind, user, UpdateMessage("stale"))
