@@ -86,6 +86,23 @@ object DeletionVectors {
   private def deletesDir(table: TableDefinition, id: CommitId): String =
     Partition.normalizedDir(table.location).toString + "_deletes/commit-" + id.id
 
+  private[spark] def deletesDirFor(table: TableDefinition, id: CommitId): String =
+    deletesDir(table, id)
+
+  /** Write `(file, pos)` pairs into the sidecar anchored at `anchor` — the
+    * merge-on-read UPDATE/append path ([[RowOverlay.append]]) stages its
+    * preimage-hiding vectors at its own commit id BEFORE that commit lands
+    * (invisible until referenced, orphaned-for-vacuum on a lost race). The
+    * caller is responsible for the per-file completeness contract: pairs
+    * for a file this sidecar mentions must be that file's FULL live set
+    * (latest-wins resolution makes the newest mention authoritative). */
+  private[spark] def writePairsAt(
+      spark: SparkSession,
+      table: TableDefinition,
+      pairs: DataFrame,
+      anchor: CommitId): Unit =
+    writeSidecar(spark, table, pairs, anchor)
+
   /** The commits at or before `at` (default: the CURRENT POINTER — not the
     * log head; after a rollback the head's deletes are not visible), most
     * recent first. */

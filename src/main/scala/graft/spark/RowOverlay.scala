@@ -1,0 +1,277 @@
+package graft.spark
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+
+import graft.core._
+import graft.core.TableVersions.{CommitId, TableOperation, TableUpdate, TableUpdateMetadata, UpdateMessage, UserId}
+
+/**
+ * MERGE-ON-READ row appends (the "row overlay") — the scattered-row INSERT
+ * and UPDATE postimage path that copy-on-write can't afford. The engine's
+ * write model is partition-replacement (a commit points a partition at a
+ * whole new version dir — reference `core/.../TableVersions.scala` fold,
+ * `updated(p, v)` last-wins), so appending 10 rows to a 1 TB partition
+ * rewrites the partition under the copy-on-write INSERT path. Here the
+ * rows land as a commit-scoped DATA SIDECAR and ZERO existing files move:
+ *
+ *  - a merge-on-read append writes the batch under
+ *    `<table>/_appends/commit-<id>/` (Hive `k=v` subdirs for partitioned
+ *    tables — one overlay file belongs to exactly ONE partition — flat
+ *    for snapshots), then commits an update whose only ops are the
+ *    version dirs for rows landing in partitions that did not exist yet.
+ *    The dir is keyed by the commit id, so it is invisible until the
+ *    commit lands — the DV-sidecar staging posture ([[DeletionVectors]]);
+ *  - reads union the overlay rows into the state ([[VersionedReader]]
+ *    does this for every state-resolving read), and deletion vectors
+ *    apply uniformly on top: overlay files are ordinary immutable files,
+ *    so a later DV DELETE or merge-on-read UPDATE hides overlay rows by
+ *    `(file, pos)` exactly like base rows.
+ *
+ * ABSORPTION IS DERIVED FROM THE LOG, not written by rewriters: an
+ * overlay dir anchored at commit `c` contributes partition `P`'s rows to
+ * the state at `at` iff
+ *
+ *     versionAt(at).get(P) == versionAt(c).get(P)   (and is defined)
+ *
+ * (snapshots: the snapshot version is unchanged between `c` and `at`).
+ * Version labels are unique per write, so equality means "P was not
+ * replaced or removed in between". Any partition-replacing commit —
+ * copy-on-write DML, OPTIMIZE/Z-ORDER, INSERT OVERWRITE, partition
+ * DELETE, era consolidation — therefore absorbs the overlay rows it
+ * re-landed (its rewrite read the overlay-inclusive state) with NO
+ * bookkeeping write and NO hook to forget, and time travel, RESTORE and
+ * WAP branches resolve correctly because liveness is recomputed against
+ * whatever lineage the read anchors to. The one invariant the writer
+ * must keep: overlay rows only ever land in partitions whose dir EXISTS
+ * at the append's commit (rows for absent partitions get a real version
+ * dir in the same commit) — a row in a never-present partition would be
+ * dead on arrival under the rule above.
+ *
+ * Concurrency: appends commit with strict compare-and-swap
+ * ([[graft.core.VersionedMetastore.commitIf]] against the pointer
+ * observed at entry — the DV-delete posture). A rebase would not see the
+ * overlay-touched partitions in the ops' conflict scope (the append
+ * carries no op for them), so an interleaved replacement of such a
+ * partition would silently absorb the fresh rows — strict OCC turns that
+ * lost update into a loud retry.
+ *
+ * Maintenance: sidecar-dir count grows with append commits until a
+ * rewrite of the touched partitions (OPTIMIZE absorbs overlay rows into
+ * real dirs) or [[squash]] (folds live overlay rows into one dir so reads
+ * open O(1) dirs — the DV-squash analogue). Vacuum reclaims orphaned and
+ * expired dirs on the `_deletes` lifecycle.
+ */
+object RowOverlay {
+
+  private[spark] val SquashedMarker = "_squashed"
+
+  private[spark] def appendsDir(table: TableDefinition, id: CommitId): String =
+    Partition.normalizedDir(table.location).toString + "_appends/commit-" + id.id
+
+  /** The commits at or before `at` (default: the current pointer — after a
+    * rollback the head's appends are not visible), most recent first. */
+  private def lineage(
+      log: TableVersions, table: TableDefinition, at: Option[CommitId]): List[TableUpdateMetadata] = {
+    val pointer = at.getOrElse(log.currentCommit(table.name))
+    log.updates(table.name).dropWhile(_.id != pointer)
+  }
+
+  /** The at-or-before overlay dirs with their anchor commits, most recent
+    * first, stopping AT (inclusive) the first `_squashed` dir — it carries
+    * the complete live overlay state of its anchor. Same driver-side
+    * existence-walk bound as [[DeletionVectors.rawSidecarDirs]]. */
+  private[spark] def rawOverlayDirs(
+      fs: FileSystem,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): List[(CommitId, String)] = {
+    val existing = lineage(log, table, at).iterator
+      .map(m => (m.id, appendsDir(table, m.id)))
+      .filter { case (_, d) => fs.exists(new HPath(d)) }
+    val (before, rest) = existing.span { case (_, d) =>
+      !fs.exists(new HPath(d, SquashedMarker))
+    }
+    before.toList ++ rest.toList.take(1)
+  }
+
+  /** Whether any overlay dir contributes to the state at `at` — the cheap
+    * probe the SQL scan rule uses. A contributing dir may resolve to zero
+    * live rows (every partition since replaced) — the union is then a
+    * no-op, still correct. */
+  def hasOverlay(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Boolean = {
+    val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+    rawOverlayDirs(fs, log, table, at).nonEmpty
+  }
+
+  /** One overlay dir's live contribution: the dir, its anchor, and the
+    * leaf paths to load (each with the partition its rows belong to;
+    * `None` partition = snapshot table, the dir itself is the leaf). */
+  private[spark] final case class Contribution(
+      anchor: CommitId,
+      dir: String,
+      leaves: List[(Option[Partition], String)])
+
+  /** Parse a partitioned overlay dir's Hive `k=v` leaf tree. The dir's own
+    * structure is authoritative (it was written under the scheme in force
+    * at its anchor — after a partition-scheme evolution, older dirs keep
+    * their own layout, exactly like old-era version dirs). */
+  private def leafPartitions(fs: FileSystem, root: HPath): List[(Partition, HPath)] = {
+    def walk(dir: HPath, acc: List[ColumnValue]): List[(Partition, HPath)] = {
+      val subs = fs.listStatus(dir).toList
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) {
+        if (acc.isEmpty) Nil // no k=v level: not a partitioned leaf (marker files etc.)
+        else List((Partition(acc.reverse), dir))
+      } else
+        subs.flatMap { s =>
+          val name = s.getPath.getName
+          val (k, v) = name.span(_ != '=')
+          walk(
+            s.getPath,
+            ColumnValue(
+              PartitionColumn(org.apache.spark.sql.GraftSqlShim.unescapePathName(k)),
+              org.apache.spark.sql.GraftSqlShim.unescapePathName(v.drop(1))) :: acc)
+        }
+    }
+    walk(root, Nil)
+  }
+
+  /** Every live overlay contribution to the state at `at`, oldest first.
+    * Liveness is the log-derived rule in the class doc: a leaf survives
+    * iff its partition's version is UNCHANGED between the dir's anchor
+    * and `at`. Metadata-scale: one lineage walk + one `versionAt` fold +
+    * one listing per contributing dir. */
+  private[spark] def contributions(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): List[Contribution] = {
+    val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+    val dirs = rawOverlayDirs(fs, log, table, at)
+    if (dirs.isEmpty) return Nil
+    val vAt = at.map(log.versionAt(table.name, _)).getOrElse(log.currentVersion(table.name))
+    dirs.reverse.flatMap { case (anchor, dir) =>
+      val vThen = log.versionAt(table.name, anchor)
+      (vThen, vAt) match {
+        case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
+          if (a == b && a != Version.Unversioned)
+            Some(Contribution(anchor, dir, List((None, dir))))
+          else None
+        case (PartitionedTableVersion(pThen), PartitionedTableVersion(pAt)) =>
+          val leaves = leafPartitions(fs, new HPath(dir)).collect {
+            case (p, path) if pAt.get(p).exists(v => pThen.get(p).contains(v)) =>
+              (Some(p): Option[Partition], path.toString)
+          }
+          if (leaves.isEmpty) None else Some(Contribution(anchor, dir, leaves))
+        case _ => None // partitioning-shape change between anchor and at: nothing survives
+      }
+    }
+  }
+
+  /** MERGE-ON-READ APPEND: land `df`'s rows into the current state of
+    * `table` without rewriting any existing file. Rows whose partition
+    * already has a version dir go to the overlay; rows for absent
+    * partitions get ordinary new version dirs (no carry needed — nothing
+    * is replaced); both ride ONE strict-OCC commit. `extraPairs`
+    * (deletion-vector `(file, pos)` rows) ride the same commit — the
+    * merge-on-read UPDATE writes its preimage-hiding vectors here so hide
+    * + re-land are atomic. Returns the new commit id; an empty batch (and
+    * no pairs) commits nothing and returns the observed head.
+    *
+    * The batch passes the same write gates as every versioned insert:
+    * current-scheme validation, generated-column fill, CHECK constraints,
+    * logical→physical column mapping. */
+  def append(
+      df: DataFrame,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      message: UpdateMessage,
+      extraPairs: Option[DataFrame] = None): CommitId = {
+    val spark = df.sparkSession
+    val expected = ctx.metastore.tableVersions.currentCommit(table.name)
+    val log = ctx.metastore.tableVersions
+    PartitionEvolution.requireCurrentScheme(spark, log, table)
+    val mapped = ColumnMapping.toPhysical(
+      Constraints.enforced(GeneratedColumns.applied(df, table), table),
+      table, log).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (mapped.isEmpty && extraPairs.isEmpty) return expected
+      val commitId = CommitId(UUID.randomUUID().toString)
+      val dir = appendsDir(table, commitId)
+      val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+      val ops: List[TableOperation] =
+        if (table.isSnapshot) {
+          log.currentVersion(table.name) match {
+            case SnapshotTableVersion(v) if v != Version.Unversioned => ()
+            case _ =>
+              throw new IllegalStateException(
+                s"merge-on-read append needs an existing snapshot state on " +
+                  s"${table.name.fullyQualifiedName}; write the first version with " +
+                  "versionedInsertInto")
+          }
+          if (!mapped.isEmpty)
+            mapped.write.format(table.format.name).save(dir)
+          Nil
+        } else {
+          val pvs = log.currentVersion(table.name) match {
+            case PartitionedTableVersion(m) => m
+            case other => sys.error(s"unexpected table version $other")
+          }
+          // null/empty partition values refuse here, same as every write
+          val parts = VersionContext.partitionValues(mapped, table.partitionSchema)
+          val existing = parts.filter(pvs.contains)
+          val partCols = table.partitionSchema.columns.map(_.name)
+          // membership split on the SAME string cast partitionValues used;
+          // the existing set is #partitions rows — broadcast at any scale
+          val existingDf = {
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(
+              existing.map(p => org.apache.spark.sql.Row(p.columnValues.map(_.value): _*)).asJava,
+              org.apache.spark.sql.types.StructType(partCols.map(n =>
+                org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+          }
+          val keyed = mapped.withColumns(
+            partCols.map(c => s"__ro_$c" -> col(c).cast("string")).toMap)
+          val joinKeys = partCols.map(c => keyed(s"__ro_$c") === existingDf(c)).reduceOption(_ && _)
+            .getOrElse(lit(false))
+          val overlayRows = keyed.join(broadcast(existingDf), joinKeys, "left_semi")
+            .drop(partCols.map(c => s"__ro_$c"): _*)
+          val dirRows = keyed.join(broadcast(existingDf), joinKeys, "left_anti")
+            .drop(partCols.map(c => s"__ro_$c"): _*)
+          if (existing.nonEmpty)
+            overlayRows.write
+              .partitionBy(partCols: _*)
+              .format(table.format.name)
+              .save(dir)
+          if (parts.exists(p => !pvs.contains(p)))
+            VersionContext.writePartitioned(dirRows, table, ctx.newVersion())
+          else Nil
+        }
+      extraPairs.foreach(p => DeletionVectors.writePairsAt(spark, table, p, commitId))
+      val update = TableUpdate(
+        TableUpdateMetadata(commitId, user, message, java.time.Instant.now()), ops)
+      val committed = ctx.metastore.commitIf(table.name, update, expected)
+      if (committed.isEmpty) {
+        // loser cleans its never-referenced sidecars; fresh version dirs
+        // stay orphaned for vacuum (the versioned write path's posture)
+        try {
+          fs.delete(new HPath(dir), true)
+          fs.delete(new HPath(DeletionVectors.deletesDirFor(table, commitId)), true)
+        } catch { case _: java.io.IOException => () }
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit moved ${table.name.fullyQualifiedName} past ${expected.id} " +
+            "during a merge-on-read append; retry against the new state")
+      }
+      commitId
+    } finally { mapped.unpersist(); () }
+  }
+}

@@ -348,7 +348,7 @@ object VersionContext {
 
   /** V17: one `partitionBy` job into staging, then per-partition rename
     * into `<partition>/<label>` (SURVEY.md §7.3). */
-  private def writePartitioned[T](
+  private[spark] def writePartitioned[T](
       ds: Dataset[T],
       table: TableDefinition,
       version: Version): List[TableOperation] = {

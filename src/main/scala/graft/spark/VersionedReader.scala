@@ -24,11 +24,14 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
 
   /** Read the table at its current version. */
   def read(table: TableDefinition): DataFrame =
-    materialize(table, log.currentVersion(table.name))
+    overlayUnion(table, materialize(table, log.currentVersion(table.name)), None, None)
 
   /** Read the table as of a specific commit (time travel). */
   def readAsOf(table: TableDefinition, commit: CommitId): DataFrame =
-    materialize(table, log.versionAt(table.name, commit), at = Some(commit))
+    overlayUnion(
+      table,
+      materialize(table, log.versionAt(table.name, commit), at = Some(commit)),
+      Some(commit), None)
 
   /** Read the table as of a wall-clock instant — resolves to the LAST
     * commit at or before `asOf` (the Scala-API twin of SQL `TIMESTAMP AS
@@ -58,8 +61,10 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       case PartitionedTableVersion(pvs) =>
         val wanted = partitions.toSet
         val subset = pvs.filter { case (p, _) => wanted.contains(p) }
-        if (subset.nonEmpty) materialize(table, PartitionedTableVersion(subset))
-        else emptyLike(table, PartitionedTableVersion(pvs))
+        val base =
+          if (subset.nonEmpty) materialize(table, PartitionedTableVersion(subset))
+          else emptyLike(table, PartitionedTableVersion(pvs))
+        overlayUnion(table, base, None, None, only = Some(wanted))
       case _ =>
         sys.error(
           s"readPartitions requires a partitioned table: ${table.name.fullyQualifiedName}")
@@ -71,7 +76,10 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     * before the column existed. Merging unions the parquet/ORC footers of
     * each selected dir (metadata-only; no extra data pass). */
   def readMergedSchema(table: TableDefinition): DataFrame =
-    materialize(table, log.currentVersion(table.name), mergeSchema = true)
+    overlayUnion(
+      table,
+      materialize(table, log.currentVersion(table.name), mergeSchema = true),
+      None, None)
 
   /** Incremental (CDC-style) read: the NEW contents of every partition
     * whose version changed between `from` (exclusive) and `to` (inclusive)
@@ -98,7 +106,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           "the range crosses a partition-evolution boundary (the eras' logical " +
           "schemas differ) — re-anchor at-or-after the boundary commit")
     requireNoHiddenRows(table, from, to)
-    (vFrom, vTo) match {
+    val base = (vFrom, vTo) match {
       case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
         if (a == b) emptyLike(table, vTo) else materialize(table, vTo)
       case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
@@ -109,6 +117,14 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         sys.error(
           s"table ${table.name.fullyQualifiedName} changed partitioning shape between commits")
     }
+    // merge-on-read appends ([[RowOverlay]]) land inside the range with no
+    // version-pointer movement — they are NEW CONTENTS this diff must carry.
+    // Dirs anchored at-or-before `from` already belonged to the from state;
+    // liveness at `to` drops rows whose partition was since replaced (those
+    // rows ride the replacement dir's scan above instead — no double count).
+    overlayUnion(
+      table, base, Some(to), None,
+      excludeAnchors = log.updates(table.name).dropWhile(_.id != from).map(_.id).toSet)
   }
 
   /** Refuses when deletion vectors hid rows between `from` and `to` —
@@ -179,6 +195,56 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         col("_metadata.row_index").as(posCol))
     }
 
+  /** Union the live merge-on-read overlay rows ([[RowOverlay]]) into a
+    * state scan. Each contributing `_appends/commit-<id>` dir loads under
+    * its own layout (partition columns from its `k=v` subdirs, string-
+    * pinned like every versioned read) with pointer columns attached per
+    * scan — `_metadata` never resolves through a union — and type-widening
+    * casts applied, then unions by name (missing columns NULL — the
+    * additive-evolution posture). Zero cost when no overlay dir exists
+    * (one driver-side existence walk, the deletion-vector probe bound).
+    *
+    * `only` restricts to a wanted-partition set (partition-scoped reads);
+    * `excludeAnchors` drops dirs anchored at-or-before a range start
+    * ([[readChanges]]). A schema-less `base` (never-written table) skips
+    * the union — overlay rows can only exist on written tables. */
+  private def overlayUnion(
+      table: TableDefinition,
+      base: DataFrame,
+      at: Option[CommitId],
+      pointers: Option[(String, String)],
+      only: Option[Set[Partition]] = None,
+      excludeAnchors: Set[CommitId] = Set.empty): DataFrame = {
+    if (base.columns.isEmpty) return base
+    val contribs = RowOverlay.contributions(spark, log, table, at)
+      .filterNot(c => excludeAnchors.contains(c.anchor))
+    if (contribs.isEmpty) return base
+    import org.apache.spark.sql.functions.col
+    val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)
+    val frames = contribs.flatMap { c =>
+      val leaves = only match {
+        case None       => c.leaves
+        case Some(want) => c.leaves.filter { case (p, _) => p.forall(want.contains) }
+      }
+      if (leaves.isEmpty) None
+      else {
+        val partitioned = leaves.head._1.isDefined
+        val df0 = SessionConf.withConf(
+          spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+          val r = spark.read.format(table.format.name)
+          (if (partitioned) r.option("basePath", c.dir) else r)
+            .load(leaves.map(_._2): _*)
+        }
+        val pointed = point(df0, pointers)
+        Some(widened.foldLeft(pointed) { case (d, (name, t)) =>
+          d.columns.find(_.toLowerCase == name)
+            .fold(d)(cn => d.withColumn(cn, col(cn).cast(t)))
+        })
+      }
+    }
+    frames.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** [[read]]/[[readAsOf]] with `(file, pos)` pointers attached under the
     * given aliases — the one scan shape the deletion-vector machinery may
     * use (see [[point]] for why the attachment lives here). */
@@ -189,7 +255,10 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       posCol: String): DataFrame = {
     val tv = asOf.map(log.versionAt(table.name, _))
       .getOrElse(log.currentVersion(table.name))
-    materialize(table, tv, at = asOf, pointers = Some((fileCol, posCol)))
+    overlayUnion(
+      table,
+      materialize(table, tv, at = asOf, pointers = Some((fileCol, posCol))),
+      asOf, Some((fileCol, posCol)))
   }
 
   /** [[readPartitions]] with `(file, pos)` pointers attached. */
@@ -203,10 +272,12 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         val wanted = partitions.toSet
         val subset = pvs.filter { case (p, _) => wanted.contains(p) }
         val ptr = Some((fileCol, posCol))
-        if (subset.nonEmpty)
-          materialize(table, PartitionedTableVersion(subset), pointers = ptr)
-        else if (pvs.isEmpty) spark.emptyDataFrame
-        else materialize(table, PartitionedTableVersion(pvs), pointers = ptr).limit(0)
+        val base =
+          if (subset.nonEmpty)
+            materialize(table, PartitionedTableVersion(subset), pointers = ptr)
+          else if (pvs.isEmpty) spark.emptyDataFrame
+          else materialize(table, PartitionedTableVersion(pvs), pointers = ptr).limit(0)
+        overlayUnion(table, base, None, ptr, only = Some(wanted))
       case _ =>
         sys.error(
           s"readPartitions requires a partitioned table: ${table.name.fullyQualifiedName}")
