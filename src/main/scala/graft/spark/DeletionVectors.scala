@@ -345,6 +345,40 @@ object DeletionVectors {
       throw new java.io.IOException(s"failed to publish deletion sidecar $dir")
   }
 
+  /** The VISIBLE state (vectors applied, logical column names) with the
+    * `(file, pos)` pointers still attached under the engine's internal
+    * aliases — what row-level preimage collectors (the merge-on-read
+    * UPDATE, [[RowOverlay.update]]) match predicates against. Pointer
+    * columns pass through the mapping untouched (never mapped). */
+  private[spark] def readVisiblePointed(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      asOf: Option[CommitId]): (DataFrame, String, String) =
+    (ColumnMapping.applyLogical(
+      readWithPointers(spark, log, table, asOf), spark, log, table, asOf),
+      FileCol, PosCol)
+
+  /** Fold `newPairs` with the prior pairs of the files they touch — the
+    * per-file-completeness discipline every sidecar write must keep (see
+    * [[delete]]): the newest sidecar mentioning a file owns that file's
+    * FULL pair set. */
+  private[spark] def foldedPairs(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      newPairs: DataFrame): DataFrame = {
+    val touched = newPairs.select(col("file")).distinct()
+    resolvePairs(spark, log, table, None) match {
+      case None => newPairs
+      case Some(prev) =>
+        prev
+          .join(broadcast(touched), Seq("file"), "left_semi")
+          .unionByName(newPairs)
+          .distinct()
+    }
+  }
+
   /** The DV-filtered scan WITH its `(file, pos)` pointer columns still
     * attached — `_metadata` resolves only on the scan relation itself, so
     * anything that needs row pointers (the delete path) must capture them

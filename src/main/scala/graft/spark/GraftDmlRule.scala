@@ -74,11 +74,18 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val table = rel.table.asInstanceOf[GraftV2Table]
           val defn = table.tableDefinition
           val partCols = defn.partitionSchema.columns.map(_.name).toSet
+          // merge-on-read UPDATE handles cross-partition row migration
+          // natively (old copy vector-hidden, new copy lands wherever its
+          // values say); only the copy-on-write rewrite reserves that
+          // shape for MERGE
+          val morMode =
+            spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean
           u.assignments.foreach { a =>
             rootAttr(a.key) match {
-              case Some(k) if partCols.exists(_.equalsIgnoreCase(k.name)) =>
+              case Some(k) if !morMode && partCols.exists(_.equalsIgnoreCase(k.name)) =>
                 unsupported(s"UPDATE of partition column ${k.name} (rows would " +
-                  "migrate between partitions; use MERGE with an explicit source)")
+                  "migrate between partitions; use MERGE with an explicit " +
+                  "source, or SET spark.graft.dml.mergeOnRead=true)")
               case Some(_) => ()
               case None => unsupported(s"non-column assignment target ${a.key.sql}")
             }
@@ -363,6 +370,19 @@ final case class GraftUpdateCommand(
     condition: Option[Detached]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
+    // MERGE-ON-READ mode (`SET spark.graft.dml.mergeOnRead=true`): hide the
+    // matched preimages behind deletion vectors and land the postimages as
+    // a row overlay — O(matched rows) written, no partition rewritten, and
+    // it works on MIXED folds where copy-on-write must refuse.
+    if (session.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+      RowOverlay.update(
+        VersionContext(GraftV2Table.metastoreFor(binding, defn)), defn,
+        condition.map(d => GraftDml.column(d.expr))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)),
+        assignments.map { case (n, e) => n -> GraftDml.column(e.expr) },
+        UserId("sql"), UpdateMessage("UPDATE (SQL, merge-on-read)"))
+      return Seq.empty
+    }
     // copy-on-write UPDATE rewrites whole partitions under the CURRENT
     // scheme without removing old-era dirs — on a mixed fold (after a
     // metadata-only evolution) the old copies would stay referenced and

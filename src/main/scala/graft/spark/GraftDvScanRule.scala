@@ -58,12 +58,15 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         val t = r.table.asInstanceOf[GraftV2Table]
-        // rewrite when deletion vectors apply, a column mapping is in
-        // force, or the state holds mixed partition-scheme eras — all
-        // logical-view indirections the raw delegate file scan cannot
-        // serve (the mixed delegate carries only one era's files)
+        // rewrite when deletion vectors apply, merge-on-read overlay rows
+        // contribute, a column mapping is in force, or the state holds
+        // mixed partition-scheme eras — all logical-view indirections the
+        // raw delegate file scan cannot serve (the mixed delegate carries
+        // only one era's files; the delegate never lists overlay dirs)
         if (t.isMixedFold ||
           DeletionVectors.hasVectors(
+            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
+          RowOverlay.hasOverlay(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
           ColumnMapping.hasMapping(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf))

@@ -763,6 +763,22 @@ private[spark] object GraftV2Table {
         hwmAtStamp = IdentityColumns.effectiveHighWaterMark(spark, binding.log, defn, c)
         IdentityColumns.stamped(supplied.map(checked.drop(_)).getOrElse(checked), c, hwmAtStamp)
     }
+    // MERGE-ON-READ append (`SET spark.graft.dml.mergeOnRead=true`): the
+    // batch lands as a row-overlay sidecar ([[RowOverlay]]) plus real dirs
+    // only for partitions that don't exist yet — O(batch) written, NO
+    // partition rewritten (the copy-on-write carry below re-lands every
+    // touched partition wholesale). Not for OVERWRITE (a replace must move
+    // pointers) and not for the table's first write (nothing to carry —
+    // the ordinary path is already O(batch) there).
+    if (!overwrite &&
+        spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean &&
+        currentOrNone(spark, binding, defn).isDefined) {
+      RowOverlay.append(
+        data0.toDF(), ctx, defn, UserId("sql"),
+        UpdateMessage("INSERT INTO (SQL, merge-on-read)"),
+        identity = identity.map(c => (c, hwmAtStamp)))
+      return
+    }
     val (toWrite, pinned) =
       if (overwrite) (data0, None)
       else currentOrNone(spark, binding, defn) match {

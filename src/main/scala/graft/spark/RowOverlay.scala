@@ -195,9 +195,12 @@ object RowOverlay {
       table: TableDefinition,
       user: UserId,
       message: UpdateMessage,
-      extraPairs: Option[DataFrame] = None): CommitId = {
+      extraPairs: Option[DataFrame] = None,
+      identity: Option[(String, Long)] = None,
+      expectedOverride: Option[CommitId] = None): CommitId = {
     val spark = df.sparkSession
-    val expected = ctx.metastore.tableVersions.currentCommit(table.name)
+    val expected = expectedOverride.getOrElse(
+      ctx.metastore.tableVersions.currentCommit(table.name))
     val log = ctx.metastore.tableVersions
     PartitionEvolution.requireCurrentScheme(spark, log, table)
     val mapped = ColumnMapping.toPhysical(
@@ -208,6 +211,7 @@ object RowOverlay {
       val commitId = CommitId(UUID.randomUUID().toString)
       val dir = appendsDir(table, commitId)
       val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+      var wroteOverlay = false
       val ops: List[TableOperation] =
         if (table.isSnapshot) {
           log.currentVersion(table.name) match {
@@ -218,8 +222,10 @@ object RowOverlay {
                   s"${table.name.fullyQualifiedName}; write the first version with " +
                   "versionedInsertInto")
           }
-          if (!mapped.isEmpty)
+          if (!mapped.isEmpty) {
             mapped.write.format(table.format.name).save(dir)
+            wroteOverlay = true
+          }
           Nil
         } else {
           val pvs = log.currentVersion(table.name) match {
@@ -247,18 +253,58 @@ object RowOverlay {
             .drop(partCols.map(c => s"__ro_$c"): _*)
           val dirRows = keyed.join(broadcast(existingDf), joinKeys, "left_anti")
             .drop(partCols.map(c => s"__ro_$c"): _*)
-          if (existing.nonEmpty)
+          if (existing.nonEmpty) {
             overlayRows.write
               .partitionBy(partCols: _*)
               .format(table.format.name)
               .save(dir)
+            wroteOverlay = true
+          }
           if (parts.exists(p => !pvs.contains(p)))
             VersionContext.writePartitioned(dirRows, table, ctx.newVersion())
           else Nil
         }
       extraPairs.foreach(p => DeletionVectors.writePairsAt(spark, table, p, commitId))
+      // identity writes derive the advanced high-water mark from the max id
+      // ACTUALLY present in the files just written (AQE-proof — the
+      // [[IdentityColumns.stageAndCommit]] posture), and the mark rides the
+      // same atomic commit via the message text
+      val finalMessage = identity match {
+        case None => message
+        case Some((column, hwmAtStamp)) =>
+          val written = (if (wroteOverlay) List(dir) else Nil) ++ ops.collect {
+            case TableOperation.AddTableVersion(v) =>
+              VersionPaths.pathFor(table.location, v).toString
+            case TableOperation.AddPartitionVersion(p, v) =>
+              SparkPaths.dirFor(table.location, p, v)
+          }
+          val assignedMax: Option[Long] =
+            if (written.isEmpty) None
+            else {
+              val raw = spark.read.format(table.format.name).load(written: _*)
+              val logical = ColumnMapping.applyLogical(raw, spark, log, table, None)
+              val r = logical.agg(org.apache.spark.sql.functions.max(col(column))).head()
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            }
+          val stampBase =
+            if (hwmAtStamp >= 0L) hwmAtStamp
+            else IdentityColumns.effectiveHighWaterMark(spark, log, table, column)
+          // a concurrent writer advancing the mark AFTER this batch's ids
+          // were stamped means the ids overlap; any advance after THIS
+          // check necessarily moves the head, so the strict commitIf below
+          // completes the critical section
+          val hwmNow = IdentityColumns.effectiveHighWaterMark(spark, log, table, column)
+          if (hwmNow != stampBase)
+            throw new TableVersions.ConcurrentWriteException(
+              s"identity column $column of ${table.name.fullyQualifiedName}: a " +
+                s"concurrent writer advanced the high-water mark ($stampBase -> " +
+                s"$hwmNow) after this merge-on-read append's ids were stamped — re-run")
+          val newHwm = assignedMax.map(math.max(_, stampBase)).getOrElse(stampBase)
+          UpdateMessage(
+            s"${message.content} ${IdentityColumns.markText(column, newHwm)}")
+      }
       val update = TableUpdate(
-        TableUpdateMetadata(commitId, user, message, java.time.Instant.now()), ops)
+        TableUpdateMetadata(commitId, user, finalMessage, java.time.Instant.now()), ops)
       val committed = ctx.metastore.commitIf(table.name, update, expected)
       if (committed.isEmpty) {
         // loser cleans its never-referenced sidecars; fresh version dirs
@@ -273,5 +319,70 @@ object RowOverlay {
       }
       commitId
     } finally { mapped.unpersist(); () }
+  }
+
+  /** MERGE-ON-READ UPDATE: hide every matching row's preimage behind
+    * deletion vectors and land the postimages (assignments applied)
+    * through [[append]] — ONE atomic commit carrying both the pair
+    * sidecar and the overlay rows, so no reader ever sees the row absent
+    * or doubled. Writes O(matched rows), never a partition rewrite — the
+    * scattered-row UPDATE shape at 100 TB (a predicate touching one row
+    * in every partition costs a full-table rewrite copy-on-write). Works
+    * on MIXED partition-scheme folds too: preimages are hidden by
+    * `(file, pos)` regardless of era, postimages land under the current
+    * scheme — the same reason merge-on-read DELETE never needs the
+    * uniform-fold guard.
+    *
+    * Rows moved across partitions by a SET on a partition column land in
+    * their new partition (overlay, or a real dir when absent) while the
+    * old copies are vector-hidden. Assignments resolve against the
+    * LOGICAL view; a stale pre-rename name refuses loudly (the
+    * [[DeletionVectors.delete]] empty-frame guard). Returns the number of
+    * updated rows; a no-match update commits nothing. */
+  def update(
+      ctx: VersionContext,
+      table: TableDefinition,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      user: UserId,
+      message: UpdateMessage): Long = {
+    val spark = SparkSession.active
+    val log = ctx.metastore.tableVersions
+    val expected = log.currentCommit(table.name)
+    val (visible, fileCol, posCol) =
+      DeletionVectors.readVisiblePointed(spark, log, table, None)
+    if (visible.columns.isEmpty) return 0L
+    // stale-name guard (the DV-delete posture): analyze predicate and
+    // assignment expressions against a lineage-free frame of the logical
+    // view so a pre-rename name fails loudly instead of resolving through
+    // the mapping projection into the wrong physical column
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        visible.schema.filterNot(f => f.name == fileCol || f.name == posCol)))
+    probe.where(cond)
+    assignments.foreach { case (_, v) => probe.select(v) }
+    val dataCols = visible.columns.filterNot(c => c == fileCol || c == posCol).toSeq
+    assignments.foreach { case (n, _) =>
+      require(dataCols.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE assignment targets unknown column $n on ${table.name.fullyQualifiedName}")
+    }
+    val matched = visible.where(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0L) return 0L
+      val sidecar = DeletionVectors.foldedPairs(
+        spark, log, table,
+        matched.select(col(fileCol).as("file"), col(posCol).as("pos")))
+      val byName = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+      val updated = matched.select(dataCols.map { c =>
+        byName.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      append(
+        updated, ctx, table, user, message,
+        extraPairs = Some(sidecar), expectedOverride = Some(expected))
+      n
+    } finally { matched.unpersist(); () }
   }
 }

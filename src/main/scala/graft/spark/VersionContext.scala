@@ -151,6 +151,20 @@ object VersionContext {
       commitSchemeGuarded(ds.sparkSession, ctx, table, update)
     }
 
+    /** MERGE-ON-READ append ([[RowOverlay.append]]): land this dataset's
+      * rows into `table`'s current state without rewriting ANY existing
+      * file — rows for existing partitions ride a row-overlay sidecar,
+      * rows for absent partitions get ordinary new version dirs, one
+      * strict-OCC commit. The scattered-row append shape at 100 TB; the
+      * copy-on-write [[versionedInsertInto]] stays the bulk/regeneration
+      * path. */
+    def versionedAppendInto(
+        ctx: VersionContext,
+        table: TableDefinition,
+        userId: UserId,
+        message: UpdateMessage): TableVersions.CommitId =
+      RowOverlay.append(ds.toDF(), ctx, table, userId, message)
+
     /** Optimistic-concurrency variant of [[versionedInsertInto]]: the data
       * lands as usual (version dirs are invisible until referenced), but
       * the commit applies only if `expected` still names the table's

@@ -166,6 +166,147 @@ class RowOverlaySpec extends AnyFunSuite with Matchers {
     ids should be >= 1L
   }
 
+  test("MOR UPDATE: preimages vector-hidden, postimages overlaid, one commit; partition moves work") {
+    val (ctx, log, table) = fresh("ro_upd", PartitionSchema(List(PartitionColumn("date"))))
+    (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preUpdate = log.currentCommit(table.name)
+    val v1 = log.currentVersion(table.name)
+
+    // scattered single-row-per-partition update — the copy-on-write killer
+    val n = RowOverlay.update(
+      ctx, table, col("id") % 10 === 0,
+      Seq("kind" -> org.apache.spark.sql.functions.lit("updated")),
+      user, UpdateMessage("mor update"))
+    n shouldBe 3L
+    log.currentVersion(table.name) shouldBe v1 // zero pointer movement
+    val reader = VersionedReader(spark, log)
+    val visible = DeletionVectors.read(spark, log, table)
+    visible.count() shouldBe 30L // same cardinality: update, not delete
+    visible.where(col("kind") === "updated").count() shouldBe 3L
+    visible.where(col("id") === 10L).select("kind").head.getString(0) shouldBe "updated"
+    // time travel shows the preimages
+    DeletionVectors.read(spark, log, table, Some(preUpdate))
+      .where(col("kind") === "updated").count() shouldBe 0L
+
+    // a second update RE-updates an overlay row (DV on overlay file + new overlay)
+    RowOverlay.update(
+      ctx, table, col("id") === 10L,
+      Seq("kind" -> org.apache.spark.sql.functions.lit("twice")),
+      user, UpdateMessage("mor update 2")) shouldBe 1L
+    val after2 = DeletionVectors.read(spark, log, table)
+    after2.count() shouldBe 30L
+    after2.where(col("id") === 10L).select("kind").head.getString(0) shouldBe "twice"
+
+    // SET on the partition column moves the row across partitions
+    RowOverlay.update(
+      ctx, table, col("id") === 20L,
+      Seq("date" -> org.apache.spark.sql.functions.lit("2024-03-01")),
+      user, UpdateMessage("move")) shouldBe 1L
+    val moved = DeletionVectors.read(spark, log, table)
+    moved.count() shouldBe 30L
+    moved.where(col("id") === 20L).select("date").head.getString(0) shouldBe "2024-03-01"
+    // the new partition landed as a real dir (it didn't exist before)
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keySet should contain(
+          Partition(List(ColumnValue(PartitionColumn("date"), "2024-03-01"))))
+      case other => fail(s"unexpected $other")
+    }
+
+    // OPTIMIZE absorbs everything; values survive, cardinality constant
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("optimize"))
+    val compacted = DeletionVectors.read(spark, log, table)
+    compacted.count() shouldBe 30L
+    compacted.where(col("kind").isin("updated", "twice")).count() shouldBe 3L
+    VersionedReader(spark, log).read(table).count() shouldBe 30L
+  }
+
+  test("SQL INSERT and UPDATE under mergeOnRead: overlay semantics through the catalog") {
+    val log2 = new InMemoryTableVersions
+    val ctx2 = VersionContext(VersionedMetastore(log2, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftro", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftro", log2)
+    val table = TableDefinition(
+      TableName("rodb", "morins"),
+      Files.createTempDirectory("graft_ro_sql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx2.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftro", table, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 6L).map(i => Event(i, "base", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx2, table, user, UpdateMessage("v1"))
+    val v1 = log2.currentVersion(table.name)
+
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      spark.sql(
+        "INSERT INTO graftro.rodb.morins VALUES (100, 'new', '2024-01-01'), (101, 'new', '2024-01-02')")
+      // appends moved NO pointer (both dates exist)
+      log2.currentVersion(table.name) shouldBe v1
+      log2.updates(table.name).head.message.content shouldBe "INSERT INTO (SQL, merge-on-read)"
+      spark.sql("SELECT count(*) FROM graftro.rodb.morins").head.getLong(0) shouldBe 8L
+      spark.sql("SELECT kind FROM graftro.rodb.morins WHERE id = 100").head.getString(0) shouldBe "new"
+
+      spark.sql("UPDATE graftro.rodb.morins SET kind = 'upd' WHERE id IN (2, 100)")
+      log2.currentVersion(table.name) shouldBe v1 // still no pointer movement
+      spark.sql("SELECT count(*) FROM graftro.rodb.morins").head.getLong(0) shouldBe 8L
+      spark.sql("SELECT kind FROM graftro.rodb.morins WHERE id = 2").head.getString(0) shouldBe "upd"
+      spark.sql("SELECT kind FROM graftro.rodb.morins WHERE id = 100").head.getString(0) shouldBe "upd"
+
+      // DELETE composes on top of the overlay
+      spark.sql("DELETE FROM graftro.rodb.morins WHERE id = 101")
+      spark.sql("SELECT count(*) FROM graftro.rodb.morins").head.getLong(0) shouldBe 7L
+
+      // merge-on-read UPDATE works on a MIXED fold (CoW refuses there)
+      spark.sql("ALTER TABLE graftro.rodb.morins SET PARTITIONED BY (kind) METADATA ONLY")
+      spark.sql("UPDATE graftro.rodb.morins SET kind = 'mixed' WHERE id = 3")
+      spark.sql("SELECT kind FROM graftro.rodb.morins WHERE id = 3").head.getString(0) shouldBe "mixed"
+      spark.sql("SELECT count(*) FROM graftro.rodb.morins").head.getLong(0) shouldBe 7L
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+  }
+
+  test("identity columns stamp unique ids through merge-on-read inserts; hwm rides the commit") {
+    val log3 = new InMemoryTableVersions
+    val ctx3 = VersionContext(VersionedMetastore(log3, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftroid", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftroid", log3)
+    val table = TableDefinition(
+      TableName("rodb", "morid"),
+      Files.createTempDirectory("graft_ro_id").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx3.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftroid", table, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    Seq(("seed", "2024-01-01"), ("seed", "2024-01-02")).toDF("kind", "date")
+      .versionedInsertInto(ctx3, table, user, UpdateMessage("v1"))
+    spark.sql(
+      "ALTER TABLE graftroid.rodb.morid ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY")
+
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      spark.sql("INSERT INTO graftroid.rodb.morid (kind, date) VALUES ('a', '2024-01-01')")
+      spark.sql("INSERT INTO graftroid.rodb.morid (kind, date) VALUES ('b', '2024-01-01'), ('c', '2024-01-02')")
+      val ids = spark.sql(
+        "SELECT rid FROM graftroid.rodb.morid WHERE kind IN ('a','b','c')")
+        .collect().map(_.getLong(0))
+      ids.distinct.length shouldBe 3 // engine-assigned, never overlapping
+      // the advanced mark rides the merge-on-read commit message
+      log3.updates(table.name).head.message.content should include("identity:rid hwm=")
+      // a copy-on-write insert AFTER the overlay inserts continues above them
+      spark.conf.unset("spark.graft.dml.mergeOnRead")
+      spark.sql("INSERT INTO graftroid.rodb.morid (kind, date) VALUES ('d', '2024-01-01')")
+      val all = spark.sql("SELECT rid FROM graftroid.rodb.morid WHERE kind IN ('a','b','c','d')")
+        .collect().map(_.getLong(0))
+      all.distinct.length shouldBe 4
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+  }
+
   test("change feed diff (readChanges) carries overlay appends as new contents") {
     val (ctx, log, table) = fresh("ro_changes", PartitionSchema(List(PartitionColumn("date"))))
     (1L to 10L).map(i => Event(i, "k", "2024-01-01"))
