@@ -196,23 +196,108 @@ object ChangeFeed {
     // the except direction is the whole story
     val newHidden = pairsTo.map(t => pairsFrom.fold(t)(f => t.exceptAll(f)))
 
+    // merge-on-read row overlays ([[RowOverlay]]): dirs anchored inside the
+    // range are INSERTS (minus rows already hidden at `to`); rows visible
+    // at `from` whose overlay contribution ends inside the range — hidden
+    // by a vector, or their partition replaced/removed — are DELETES. An
+    // overlay SQUASH inside the range re-homes older rows under an
+    // in-range anchor, which anchor-based attribution cannot express —
+    // refuse with the re-anchor remediation (the evolution-boundary
+    // posture).
+    val fromAnchors: Set[CommitId] = from
+      .map(f => log.updates(table.name).dropWhile(_.id != f).map(_.id).toSet)
+      .getOrElse(Set.empty)
+    val contribsTo = RowOverlay.contributions(spark, log, table, Some(to))
+    if (contribsTo.exists(c => c.squashed && !fromAnchors.contains(c.anchor)))
+      throw new IllegalStateException(
+        s"change feed ${from.map(_.id).getOrElse("<void>")} -> ${to.id} on " +
+          s"${table.name.fullyQualifiedName}: a row-overlay squash landed inside " +
+          "this commit range, which re-anchors older appended rows — re-anchor " +
+          "the consumer at-or-after the squash commit")
+    val widenedTo = ColumnMapping.widenedTypesAt(spark, log, table, Some(to))
+    val overlayInserts: Option[DataFrame] = {
+      val frames = contribsTo.filterNot(c => fromAnchors.contains(c.anchor)).map(c =>
+        RowOverlay.loadLeaves(spark, table, c.dir, c.leaves, Some((FileCol, PosCol)), widenedTo))
+      if (frames.isEmpty) None
+      else {
+        val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        val visible = pairsTo match {
+          case None => unioned
+          case Some(dv) =>
+            unioned.join(
+              dv, unioned(FileCol) === dv("file") && unioned(PosCol) === dv("pos"), "left_anti")
+        }
+        Some(tag(visible.drop(FileCol, PosCol), Insert))
+      }
+    }
+    val overlayDeletes: Option[DataFrame] = from.flatMap { f =>
+      val contribsFrom = RowOverlay.contributions(spark, log, table, Some(f))
+      if (contribsFrom.isEmpty) None
+      else {
+        val pvsOfF = log.versionAt(table.name, f)
+        val pvsOfTo = vTo
+        def leafAlive(p: Option[Partition]): Boolean = (pvsOfF, pvsOfTo) match {
+          case (SnapshotTableVersion(a), SnapshotTableVersion(b)) => a == b
+          case (PartitionedTableVersion(pa0), PartitionedTableVersion(pb0)) =>
+            p.forall(pp => pa0.get(pp) == pb0.get(pp) && pa0.contains(pp))
+          case _ => false
+        }
+        val widenedFrom = ColumnMapping.widenedTypesAt(spark, log, table, Some(f))
+        val frames = contribsFrom.flatMap { c =>
+          val (kept, died) = c.leaves.partition { case (p, _) => leafAlive(p) }
+          // a died leaf's every from-visible row is a delete (the overlay
+          // contribution ended with the partition's replacement/removal);
+          // a kept leaf's rows delete only when newly vector-hidden
+          val diedRows =
+            if (died.isEmpty) None
+            else {
+              val d = RowOverlay.loadLeaves(
+                spark, table, c.dir, died, Some((FileCol, PosCol)), widenedFrom)
+              Some(pairsFrom match {
+                case None => d
+                case Some(dv) =>
+                  d.join(dv, d(FileCol) === dv("file") && d(PosCol) === dv("pos"), "left_anti")
+              })
+            }
+          val keptRows = (kept, newHidden) match {
+            case (Nil, _) | (_, None) => None
+            case (ks, Some(nh)) =>
+              val k = RowOverlay.loadLeaves(
+                spark, table, c.dir, ks, Some((FileCol, PosCol)), widenedFrom)
+              Some(k.join(
+                nh, k(FileCol) === nh("file") && k(PosCol) === nh("pos"), "left_semi"))
+          }
+          diedRows.toList ++ keptRows.toList
+        }
+        if (frames.isEmpty) None
+        else Some(tag(
+          frames.reduce(_.unionByName(_, allowMissingColumns = true)).drop(FileCol, PosCol),
+          Delete))
+      }
+    }
     (vFrom, vTo) match {
       case (SnapshotTableVersion(a), SnapshotTableVersion(b)) if a != b =>
         // full replace: the whole visible-at-from state deletes, the whole
-        // visible-at-to state inserts
+        // visible-at-to state inserts — both endpoint reads are already
+        // overlay-inclusive, so the overlay branches must NOT add here
         val deletes = from
           .map(f => tag(DeletionVectors.read(spark, log, table, Some(f)), Delete))
         val inserts = tag(DeletionVectors.read(spark, log, table, Some(to)), Insert)
         deletes.fold(inserts)(_ unionByName inserts)
 
       case (SnapshotTableVersion(_), SnapshotTableVersion(b)) =>
-        // version unchanged: only DV hiding can have happened
-        newHidden
+        // version unchanged: DV hiding and overlay appends. The hidden-row
+        // scan reads the RAW state at `to` (overlay-inclusive), so it
+        // already covers newly-hidden overlay rows — only the in-range
+        // overlay INSERTS need adding.
+        val dvDel = newHidden
           .filter(_ => b != Version.Unversioned)
-          .map { nh =>
-            tag(hiddenRows(reader.readAsOf(table, to), nh), Delete)
-          }
-          .getOrElse(emptyFeed(spark, reader, table, to))
+          .map(nh => tag(hiddenRows(reader.readAsOf(table, to), nh), Delete))
+        (dvDel.toList ++ overlayInserts.toList) match {
+          case Nil          => emptyFeed(spark, reader, table, to)
+          case head :: rest =>
+            rest.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
+        }
 
       case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
         val changedNew = pb.filter { case (p, v) => !pa.get(p).contains(v) }
@@ -244,9 +329,11 @@ object ChangeFeed {
               hiddenRows(reader.materializeSubset(table, affected), nh), Delete))
           }
         }
-        (deletesOld.toList ++ dvDeletes.toList ++ inserts.toList) match {
+        (deletesOld.toList ++ dvDeletes.toList ++ inserts.toList ++
+          overlayDeletes.toList ++ overlayInserts.toList) match {
           case Nil          => emptyFeed(spark, reader, table, to)
-          case head :: rest => rest.foldLeft(head)(_ unionByName _)
+          case head :: rest =>
+            rest.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
         }
 
       case _ =>

@@ -252,7 +252,22 @@ object DeletionVectors {
           s"${SparkPaths.escapedPartitionPath(p)}/${v.label}"
         }.toSet
     }
-    val dead = files.filterNot(f => referenced.exists(r => f.contains(s"/$r/")))
+    // row-overlay files ([[RowOverlay]]) sit under `_appends`, never under
+    // a version dir — but their pairs are LIVE as long as the dir's
+    // (anchor, partition) contribution is: tombstoning them would
+    // resurrect merge-on-read-deleted overlay rows into every read
+    val overlayLive: List[String] = RowOverlay.contributions(spark, log, table, None)
+      .flatMap { c =>
+        c.leaves.map {
+          case (Some(p), _) =>
+            s"_appends/commit-${c.anchor.id}/${SparkPaths.escapedPartitionPath(p)}/"
+          case (None, _) =>
+            s"_appends/commit-${c.anchor.id}/"
+        }
+      }
+    val dead = files.filterNot(f =>
+      referenced.exists(r => f.contains(s"/$r/")) ||
+        overlayLive.exists(seg => f.contains(s"/$seg")))
     if (dead.isEmpty) return 0L
     import spark.implicits._
     writeSidecar(
@@ -310,7 +325,13 @@ object DeletionVectors {
       at: CommitId,
       anchor: CommitId): Unit =
     resolvePairs(spark, log, table, Some(at)).foreach { live =>
-      writeSidecar(spark, table, live, anchor, squash = true)
+      // pairs on ROW-OVERLAY files are dropped: the clone carries the
+      // RESOLVED overlay rows ([[RowOverlay.cloneResolvedState]] — hidden
+      // rows already excluded there), and the carried pairs would point at
+      // source overlay files the clone's overlay resolution never unions
+      writeSidecar(
+        spark, table,
+        live.where(!col("file").contains("/_appends/")), anchor, squash = true)
     }
 
   /** Write (or fold into) the sidecar at `anchor` — a delete and a
@@ -472,6 +493,17 @@ object DeletionVectors {
               s"anchors the deletion-vector sidecar $dir still serving retained " +
               "states; run OPTIMIZE or DeletionVectors.squashSidecars to re-anchor " +
               "the vectors first, or raise keepLast")
+      }
+      // row-overlay dirs ([[RowOverlay]]) have the same anchor-resolution
+      // dependency, PLUS their liveness rule needs `versionAt(anchor)` —
+      // folding an overlay anchor away breaks both
+      RowOverlay.rawOverlayDirs(fs, log, table, Some(c)).foreach { case (anchor, dir) =>
+        if (!retainedIds.contains(anchor))
+          throw new IllegalStateException(
+            s"checkpoint(keepLast=$keepLast) would fold away commit ${anchor.id}, " +
+              s"which anchors the row-overlay sidecar $dir still serving retained " +
+              "states; run OPTIMIZE (absorbs the overlay) or RowOverlay.squash to " +
+              "re-anchor the rows first, or raise keepLast")
       }
     }
   }

@@ -152,8 +152,11 @@ object FileStats {
     // indexes) is keyed by the stable PHYSICAL names, so renames never
     // strand it — probes translate back through the same mapping
     def phys(c: String) = ColumnMapping.physicalName(spark, log, table, c)
+    // RAW dirs scan: stats key by FILE and cover exactly the version-dir
+    // files — live row-overlay rows union unpruned into every skipping
+    // read (prunedScan), so indexing overlay files would double-count
     zoneMaps(
-      VersionedReader(spark, log).read(table), cols.map(phys),
+      VersionedReader(spark, log).readRawDirs(table), cols.map(phys),
       carryCols = table.partitionSchema.columns.map(_.name),
       distinctCols = distinctCols.map(phys),
       bloomCols = bloomCols.map(phys))
@@ -214,7 +217,7 @@ object FileStats {
     val dropped = before.keySet -- now.keySet
 
     val fresh = zoneMaps(
-      VersionedReader(spark, log).readPartitions(table, moved),
+      VersionedReader(spark, log).readRawDirsPartitions(table, moved),
       physCols, carryCols = partCols, distinctCols = physDistinct, bloomCols = physBloom)
     require(prev.columns.sorted.sameElements(fresh.columns.sorted),
       s"previous sidecar schema [${prev.columns.sorted.mkString(",")}] does not match " +
@@ -386,10 +389,13 @@ object FileStats {
       .collect()
       .map(_.getString(0))
     val scan =
-      if (keep.isEmpty) {
-        val reader = VersionedReader(spark, log)
-        asOf.map(reader.readAsOf(table, _)).getOrElse(reader.read(table)).limit(0)
-      } else
+      if (keep.isEmpty)
+        // pointer-attached empty frame: the overlay/DV plumbing below may
+        // still contribute rows, and `_metadata` cannot be captured on the
+        // (possibly unioned) public read — readPointed attaches per scan
+        VersionedReader(spark, log)
+          .readPointed(table, asOf, "__fs_file", "__fs_pos").limit(0)
+      else
         // same string-pinned partition parsing as VersionedReader: values must
         // round-trip verbatim (schema resolves eagerly inside load())
         SessionConf.withConf(
@@ -400,25 +406,45 @@ object FileStats {
             else reader.option("basePath", table.location.toString)
           based.load(keep.toIndexedSeq: _*)
         }
-    // merge-on-read deletes apply to PRUNED scans too — a raw kept-file
-    // read would resurrect DV-hidden rows into every skipping query
-    // (zone maps only narrow the FILE list; the anti-join is row truth).
-    // Zero cost when the table has no sidecars.
-    val dvApplied = DeletionVectors.resolvePairs(spark, log, table, asOf) match {
-      case None => scan
+    // merge-on-read state applies to PRUNED scans too: live row-overlay
+    // rows UNION in (stats sidecars never cover overlay files — the union
+    // keeps the skipping contract a superset; the caller's row predicate
+    // still applies, and `partitionFilter` prunes overlay rows by value
+    // since they carry their partition columns), then DV pairs anti-join
+    // out — a raw kept-file read would resurrect DV-hidden rows into
+    // every skipping query. Zero cost when the table has no sidecars.
+    val pairs = DeletionVectors.resolvePairs(spark, log, table, asOf)
+    val contribs =
+      if (scan.columns.isEmpty) Nil
+      else RowOverlay.contributions(spark, log, table, asOf)
+    val ptrCols = Some(("__fs_file", "__fs_pos"))
+    val widened = ColumnMapping.widenedTypesAt(spark, log, table, asOf)
+    val overlayFrames = contribs.map { c =>
+      val f = RowOverlay.loadLeaves(spark, table, c.dir, c.leaves, ptrCols, widened)
+      partitionFilter.foldLeft(f)(_.where(_))
+    }
+    val scanHasPtr = keep.isEmpty && scan.columns.nonEmpty
+    val basePtr =
+      if (scan.columns.isEmpty || scanHasPtr ||
+        (pairs.isEmpty && overlayFrames.isEmpty)) scan
+      else scan.select(
+        col("*"),
+        col("_metadata.file_path").as("__fs_file"),
+        col("_metadata.row_index").as("__fs_pos"))
+    val unioned = overlayFrames
+      .foldLeft(basePtr)(_.unionByName(_, allowMissingColumns = true))
+    val hasPtr = scanHasPtr || (basePtr ne scan) || overlayFrames.nonEmpty
+    val dvApplied = pairs match {
+      case None =>
+        if (hasPtr && unioned.columns.nonEmpty) unioned.drop("__fs_file", "__fs_pos")
+        else unioned
       case Some(dv) =>
-        if (scan.columns.isEmpty) scan
-        else {
-          val ptr = scan.select(
-            col("*"),
-            col("_metadata.file_path").as("__fs_file"),
-            col("_metadata.row_index").as("__fs_pos"))
-          ptr.join(
-              dv,
-              ptr("__fs_file") === dv("file") && ptr("__fs_pos") === dv("pos"),
-              "left_anti")
-            .drop("__fs_file", "__fs_pos")
-        }
+        if (unioned.columns.isEmpty) unioned
+        else unioned.join(
+            dv,
+            unioned("__fs_file") === dv("file") && unioned("__fs_pos") === dv("pos"),
+            "left_anti")
+          .drop("__fs_file", "__fs_pos")
     }
     // the pruned scan reads files (physical names); serve the LOGICAL
     // view like every other read path — identity without a mapping

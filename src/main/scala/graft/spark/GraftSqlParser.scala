@@ -838,7 +838,8 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
     AttributeReference("effective_partition_columns", StringType, nullable = false)(),
     AttributeReference("partition_scheme_eras", IntegerType, nullable = false)(),
     AttributeReference("row_tracking", StringType, nullable = false)(),
-    AttributeReference("live_deletion_vectors", org.apache.spark.sql.types.BooleanType, nullable = false)())
+    AttributeReference("live_deletion_vectors", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("live_row_overlays", org.apache.spark.sql.types.IntegerType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     import graft.core.{PartitionedTableVersion, SnapshotTableVersion, Partition, Version}
@@ -896,6 +897,9 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
         .columns.map(_.name).mkString(","),
       math.max(1, PartitionEvolution.eraSignatures(state).size),
       RowTracking.trackingColumn(session, defn).getOrElse(""),
-      DeletionVectors.hasVectors(session, binding.log, defn, None)))
+      DeletionVectors.hasVectors(session, binding.log, defn, None),
+      // contributing merge-on-read overlay dirs ([[RowOverlay]]) — when it
+      // grows, OPTIMIZE (absorb) or RowOverlay.squash (fold) is due
+      RowOverlay.contributions(session, binding.log, defn, None).size))
   }
 }

@@ -117,7 +117,8 @@ object RowOverlay {
   private[spark] final case class Contribution(
       anchor: CommitId,
       dir: String,
-      leaves: List[(Option[Partition], String)])
+      leaves: List[(Option[Partition], String)],
+      squashed: Boolean = false)
 
   /** Parse a partitioned overlay dir's Hive `k=v` leaf tree. The dir's own
     * structure is authoritative (it was written under the scheme in force
@@ -159,20 +160,52 @@ object RowOverlay {
     if (dirs.isEmpty) return Nil
     val vAt = at.map(log.versionAt(table.name, _)).getOrElse(log.currentVersion(table.name))
     dirs.reverse.flatMap { case (anchor, dir) =>
+      val squashed = fs.exists(new HPath(dir, SquashedMarker))
       val vThen = log.versionAt(table.name, anchor)
       (vThen, vAt) match {
         case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
           if (a == b && a != Version.Unversioned)
-            Some(Contribution(anchor, dir, List((None, dir))))
+            Some(Contribution(anchor, dir, List((None, dir)), squashed))
           else None
         case (PartitionedTableVersion(pThen), PartitionedTableVersion(pAt)) =>
           val leaves = leafPartitions(fs, new HPath(dir)).collect {
             case (p, path) if pAt.get(p).exists(v => pThen.get(p).contains(v)) =>
               (Some(p): Option[Partition], path.toString)
           }
-          if (leaves.isEmpty) None else Some(Contribution(anchor, dir, leaves))
+          if (leaves.isEmpty) None else Some(Contribution(anchor, dir, leaves, squashed))
         case _ => None // partitioning-shape change between anchor and at: nothing survives
       }
+    }
+  }
+
+  /** Load one contribution's leaves as a DataFrame: the dir's own layout
+    * (partition columns from its `k=v` subdirs, string-pinned like every
+    * versioned read), optional `(file, pos)` pointer capture per scan, and
+    * type-widening casts. Shared by [[VersionedReader]]'s state union and
+    * the change feed's range-scoped overlay scans. */
+  private[spark] def loadLeaves(
+      spark: SparkSession,
+      table: TableDefinition,
+      dir: String,
+      leaves: List[(Option[Partition], String)],
+      pointers: Option[(String, String)],
+      widened: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+    val partitioned = leaves.head._1.isDefined
+    val df0 = SessionConf.withConf(
+      spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      val r = spark.read.format(table.format.name)
+      (if (partitioned) r.option("basePath", dir) else r)
+        .load(leaves.map(_._2): _*)
+    }
+    val pointed = pointers.fold(df0) { case (f, p) =>
+      df0.select(
+        col("*"),
+        col("_metadata.file_path").as(f),
+        col("_metadata.row_index").as(p))
+    }
+    widened.foldLeft(pointed) { case (d, (name, t)) =>
+      d.columns.find(_.toLowerCase == name)
+        .fold(d)(cn => d.withColumn(cn, col(cn).cast(t)))
     }
   }
 
@@ -319,6 +352,97 @@ object RowOverlay {
       }
       commitId
     } finally { mapped.unpersist(); () }
+  }
+
+  /** Overlay maintenance: fold every live overlay contribution into ONE
+    * `_squashed` dir anchored at the current commit — subsequent reads
+    * open O(1) overlay dirs however many append commits preceded (the
+    * [[DeletionVectors.squashSidecars]] analogue). Only LIVE rows are
+    * carried (DV-hidden overlay rows drop physically; their pairs become
+    * dead no-ops), so the squash also sheds delete debt. Old dirs stay on
+    * disk for time travel and reclaim via [[Vacuum]] once their anchors
+    * age out. No-op (false) when 0 or 1 dirs contribute. Refuses on a
+    * mixed partition-scheme fold: re-landing old-era rows under the
+    * current scheme would re-key their liveness to partitions that have
+    * no dir. Like the DV squash, assumes no concurrent rollback. */
+  def squash(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition): Boolean = {
+    PartitionEvolution.requireUniformFold(log, table, "row-overlay squash")
+    val contribs = contributions(spark, log, table, None)
+    if (contribs.sizeIs <= 1) return false
+    val fileCol = "__ro_file"; val posCol = "__ro_pos"
+    val widened = ColumnMapping.widenedTypesAt(spark, log, table, None)
+    val unioned = contribs
+      .map(c => loadLeaves(spark, table, c.dir, c.leaves, Some((fileCol, posCol)), widened))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val live = (DeletionVectors.resolvePairs(spark, log, table, None) match {
+      case None => unioned
+      case Some(dv) =>
+        unioned.join(
+          dv, unioned(fileCol) === dv("file") && unioned(posCol) === dv("pos"), "left_anti")
+    }).drop(fileCol, posCol)
+    val anchor = log.currentCommit(table.name)
+    val dir = appendsDir(table, anchor)
+    val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+    // stage + swap (the DV-sidecar publish posture): the anchor may itself
+    // hold an overlay dir (the newest contribution) — its live rows are
+    // already in `live`, so the swap replaces it wholesale
+    val staged = new HPath(dir + "-staging-" + UUID.randomUUID().toString)
+    val writer = live.write.format(table.format.name)
+    if (table.isSnapshot) writer.save(staged.toString)
+    else writer.partitionBy(table.partitionSchema.columns.map(_.name): _*)
+      .save(staged.toString)
+    fs.create(new HPath(staged, SquashedMarker), true).close()
+    fs.delete(new HPath(dir), true)
+    if (!fs.rename(staged, new HPath(dir)))
+      throw new java.io.IOException(s"failed to publish row-overlay squash $dir")
+    true
+  }
+
+  /** SHALLOW-CLONE carry ([[ShallowClone]]): materialize the source's
+    * RESOLVED overlay rows at `at` (live contributions minus DV-hidden
+    * rows) as one complete `_squashed` dir anchored at the clone's state
+    * commit. The clone's lineage holds none of the source's anchors —
+    * commit-id-keyed dirs give fork isolation by construction, exactly
+    * like the DV pair carry. Refuses when a live contribution's layout
+    * is not the current scheme (clone the consolidated table instead). */
+  private[spark] def cloneResolvedState(
+      spark: SparkSession,
+      log: TableVersions,
+      src: TableDefinition,
+      at: CommitId,
+      cloneAnchor: CommitId): Unit = {
+    val contribs = contributions(spark, log, src, Some(at))
+    if (contribs.isEmpty) return
+    val curSig = src.partitionSchema.columns.map(_.name)
+    contribs.foreach(c => c.leaves.foreach {
+      case (Some(p), _) =>
+        require(p.columnValues.map(_.column.name) == curSig,
+          s"shallow clone of ${src.name.fullyQualifiedName} @ ${at.id}: a live " +
+            "row-overlay contribution predates the current partition scheme — " +
+            "consolidate eras (or OPTIMIZE) before cloning")
+      case _ => ()
+    })
+    val fileCol = "__ro_file"; val posCol = "__ro_pos"
+    val widened = ColumnMapping.widenedTypesAt(spark, log, src, Some(at))
+    val unioned = contribs
+      .map(c => loadLeaves(spark, src, c.dir, c.leaves, Some((fileCol, posCol)), widened))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val live = (DeletionVectors.resolvePairs(spark, log, src, Some(at)) match {
+      case None => unioned
+      case Some(dv) =>
+        unioned.join(
+          dv, unioned(fileCol) === dv("file") && unioned(posCol) === dv("pos"), "left_anti")
+    }).drop(fileCol, posCol)
+    val dir = appendsDir(src, cloneAnchor) // linked tables share the location
+    val fs = FileSystem.get(src.location, spark.sessionState.newHadoopConf())
+    val writer = live.write.format(src.format.name)
+    if (src.isSnapshot) writer.save(dir)
+    else writer.partitionBy(curSig: _*).save(dir)
+    fs.create(new HPath(dir, SquashedMarker), true).close()
+    ()
   }
 
   /** MERGE-ON-READ UPDATE: hide every matching row's preimage behind

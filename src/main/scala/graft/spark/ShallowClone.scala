@@ -123,6 +123,9 @@ object ShallowClone {
     val cloneAnchor = log.currentCommit(dst)
     if (DeletionVectors.hasVectors(spark, log, src, Some(at)))
       DeletionVectors.cloneResolvedState(spark, log, src, at, cloneAnchor)
+    // merge-on-read overlay rows: resolved (live, DV-applied) rows carry as
+    // one complete overlay dir anchored at the clone's state commit
+    RowOverlay.cloneResolvedState(spark, log, src, at, cloneAnchor)
     ColumnMapping.stateAt(spark, log, src, Some(at)).foreach { s =>
       ColumnMapping.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }

@@ -237,6 +237,31 @@ object Vacuum {
         else Nil
       }
 
+    // row-overlay data sidecars (`_appends/commit-<id>`, [[RowOverlay]]):
+    // same rule as the deletion-vector sidecars — a retained state unions
+    // every at-or-before overlay dir back to the nearest `_squashed` dir,
+    // so keep exactly the dirs some retained state (or the pointer)
+    // resolves through; orphans from lost OCC races and dirs whose anchors
+    // aged out of every retained lineage reclaim under the mtime grace.
+    val neededAppendAnchors: Set[String] =
+      family.flatMap { name =>
+        val defn = table.copy(name = name)
+        (log.currentCommit(name) :: retainedIdsOf(name)).distinct
+          .flatMap(c => RowOverlay.rawOverlayDirs(fs, log, defn, Some(c)).map(_._2))
+      }
+        .map(dir => dir.substring(dir.lastIndexOf("commit-") + "commit-".length))
+        .toSet
+    val appendsRoot = new HPath(root, "_appends")
+    val appendsOnDisk: List[(String, Boolean)] =
+      if (!fs.exists(appendsRoot)) Nil
+      else fs.listStatus(appendsRoot).toList.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("commit-") &&
+          !neededAppendAnchors.contains(name.stripPrefix("commit-")))
+          List(s"_appends/$name" -> (st.getModificationTime < cutoff))
+        else Nil
+      }
+
     // crashed atomic sidecar writers ([[AtomicSidecar]]) leave
     // `.<name>.tmp-<uuid>` staging files behind — harmless (a dangling
     // temp never resolves) but immortal; reclaim the stale ones under
@@ -257,7 +282,7 @@ object Vacuum {
         }
       }
 
-    val doomed = (onDisk ++ statsOnDisk ++ deletesOnDisk ++ tmpOnDisk).collect {
+    val doomed = (onDisk ++ statsOnDisk ++ deletesOnDisk ++ appendsOnDisk ++ tmpOnDisk).collect {
       case (rel, oldEnough)
         if oldEnough && !referenced.contains(rel.stripPrefix("_stats/")) => rel
     }
@@ -265,14 +290,16 @@ object Vacuum {
     // operator's pre-flight check (Delta's VACUUM ... DRY RUN)
     if (dryRun)
       return Report(
-        examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size + tmpOnDisk.size,
+        examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size +
+          appendsOnDisk.size + tmpOnDisk.size,
         deleted = doomed.sorted, failed = Nil, dryRun = true)
     // honor the delete result: a false return (permissions, races) must not
     // be reported as reclaimed space
     val (deleted, failed) =
       doomed.partition(rel => fs.delete(new HPath(root, rel), true))
     Report(
-      examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size + tmpOnDisk.size,
+      examined = onDisk.size + statsOnDisk.size + deletesOnDisk.size +
+        appendsOnDisk.size + tmpOnDisk.size,
       deleted = deleted.sorted, failed = failed.sorted)
   }
 }

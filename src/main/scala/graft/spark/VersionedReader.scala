@@ -50,6 +50,29 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         s"table ${table.name.fullyQualifiedName} has no commit at or before $asOf"))
       .id
 
+  /** RAW current-state scan over VERSION DIRS only — no overlay union, no
+    * vector application: the zone-map writers' input ([[FileStats]]).
+    * Stats sidecars key by file and must cover exactly the version-dir
+    * files; live overlay rows union UNPRUNED into every skipping read, so
+    * indexing them would double-count. */
+  private[spark] def readRawDirs(table: TableDefinition): DataFrame =
+    materialize(table, log.currentVersion(table.name))
+
+  /** [[readRawDirs]] scoped to a partition subset (the incremental stats
+    * refresh scans only moved partitions). */
+  private[spark] def readRawDirsPartitions(
+      table: TableDefinition, partitions: Seq[Partition]): DataFrame =
+    log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        val wanted = partitions.toSet
+        val subset = pvs.filter { case (p, _) => wanted.contains(p) }
+        if (subset.nonEmpty) materialize(table, PartitionedTableVersion(subset))
+        else emptyLike(table, PartitionedTableVersion(pvs))
+      case _ =>
+        sys.error(
+          s"readRawDirsPartitions requires a partitioned table: ${table.name.fullyQualifiedName}")
+    }
+
   /** Read ONLY `partitions` at the table's current version — the pruned
     * input of partition-scoped operations ([[Merge.mergeInto]] reads just
     * the partitions it is about to rewrite, never the whole table).
@@ -122,9 +145,17 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // Dirs anchored at-or-before `from` already belonged to the from state;
     // liveness at `to` drops rows whose partition was since replaced (those
     // rows ride the replacement dir's scan above instead — no double count).
-    overlayUnion(
-      table, base, Some(to), None,
-      excludeAnchors = log.updates(table.name).dropWhile(_.id != from).map(_.id).toSet)
+    val fromAnchors = log.updates(table.name).dropWhile(_.id != from).map(_.id).toSet
+    // an overlay SQUASH anchored inside the range re-homes PRE-range rows
+    // under an in-range anchor — anchor-based attribution would report them
+    // as new contents; refuse with the re-anchor remediation instead
+    if (RowOverlay.contributions(spark, log, table, Some(to))
+        .exists(c => c.squashed && !fromAnchors.contains(c.anchor)))
+      throw new IllegalStateException(
+        s"readChanges(${from.id} -> ${to.id}) on ${table.name.fullyQualifiedName}: " +
+          "a row-overlay squash landed inside this commit range, which re-anchors " +
+          "older appended rows — re-anchor the consumer at-or-after the squash commit")
+    overlayUnion(table, base, Some(to), None, excludeAnchors = fromAnchors)
   }
 
   /** Refuses when deletion vectors hid rows between `from` and `to` —
@@ -219,7 +250,6 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     val contribs = RowOverlay.contributions(spark, log, table, at)
       .filterNot(c => excludeAnchors.contains(c.anchor))
     if (contribs.isEmpty) return base
-    import org.apache.spark.sql.functions.col
     val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)
     val frames = contribs.flatMap { c =>
       val leaves = only match {
@@ -227,20 +257,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         case Some(want) => c.leaves.filter { case (p, _) => p.forall(want.contains) }
       }
       if (leaves.isEmpty) None
-      else {
-        val partitioned = leaves.head._1.isDefined
-        val df0 = SessionConf.withConf(
-          spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-          val r = spark.read.format(table.format.name)
-          (if (partitioned) r.option("basePath", c.dir) else r)
-            .load(leaves.map(_._2): _*)
-        }
-        val pointed = point(df0, pointers)
-        Some(widened.foldLeft(pointed) { case (d, (name, t)) =>
-          d.columns.find(_.toLowerCase == name)
-            .fold(d)(cn => d.withColumn(cn, col(cn).cast(t)))
-        })
-      }
+      else Some(RowOverlay.loadLeaves(spark, table, c.dir, leaves, pointers, widened))
     }
     frames.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }

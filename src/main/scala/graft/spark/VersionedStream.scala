@@ -267,6 +267,22 @@ object VersionedStream {
     else ChangeFeed.readKeyed(spark, h.log, h.defn, fromId, chrono(to - 1).id, keys)
   }
 
+  /** Whether any merge-on-read append ([[RowOverlay]]) landed inside the
+    * commit range — a driver-side existence walk over the range's commits
+    * only (zero cost on tables that never used the overlay). Overlay rows
+    * live under `_appends`, not under any version dir, so the zero-copy
+    * changed-dirs scan cannot serve them: feed ranges route through
+    * staging, net-contents ranges stage the diff. */
+  private[spark] def overlayTouched(
+      spark: SparkSession, h: Handle, from: Int, to: Int): Boolean = {
+    if (to <= 0) return false
+    val chrono = chronoCommits(h)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      h.defn.location, spark.sessionState.newHadoopConf())
+    chrono.slice(math.max(from, 0), to).exists(m =>
+      fs.exists(new org.apache.hadoop.fs.Path(RowOverlay.appendsDir(h.defn, m.id))))
+  }
+
   /** Paths (+ reader options) of the partitions whose version moved between
     * commit index `from` and `to`. */
   private[spark] def changedPaths(
@@ -560,9 +576,25 @@ private[spark] final class GraftCdcMicroBatchStream(
           ", which an insert-only raw-scan stream cannot express; consume the " +
           "change feed instead (VersionedStream.readChangeFeed — emits _change_type)")
     tagInserts = false
-    if (changeFeed && (replaced || dvChanged || mapped)) {
+    val overlaid = VersionedStream.overlayTouched(spark, h, from, to)
+    if (changeFeed && (replaced || dvChanged || mapped || overlaid)) {
       // materialize the feed once, batch-sized, under the query checkpoint
       val staged = stageFeed(spark, from, to)
+      if (staged.isEmpty) { currentBatch = None; return Array.empty }
+      val batch = fileTable(spark, h.defn, staged.toSeq, Map.empty, tableSchema)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        .build()
+        .toBatch
+      currentBatch = Some(batch)
+      batch.planInputPartitions()
+    } else if (!changeFeed && overlaid) {
+      // merge-on-read appends ARE net new contents, but overlay files keep
+      // partition values as data while version dirs keep them as `k=v`
+      // levels — one raw file scan cannot mix the layouts; stage the
+      // range's net contents once under the checkpoint (the feed-staging
+      // idempotence discipline)
+      val staged = stageNet(spark, from, to)
       if (staged.isEmpty) { currentBatch = None; return Array.empty }
       val batch = fileTable(spark, h.defn, staged.toSeq, Map.empty, tableSchema)
         .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -617,6 +649,37 @@ private[spark] final class GraftCdcMicroBatchStream(
     if (hasData) Some(dir.toString) else None
   }
 
+  /** Net-contents twin of [[stageFeed]] for overlay-carrying ranges: the
+    * version-diff new contents plus the range's live overlay rows, staged
+    * to `<checkpoint>/graft-cdc-feed/net-<from>-<to>` with the same
+    * idempotence contract (immutable inputs; rebuilds yield the same
+    * rows). */
+  private def stageNet(spark: SparkSession, from: Int, to: Int): Option[String] = {
+    require(checkpointLocation.nonEmpty,
+      "graft overlay-range staging requires a checkpoint location")
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc-feed"),
+      s"net-$from-$to")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(success)) {
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val chrono = VersionedStream.chronoCommits(h)
+      val toId = chrono(to - 1).id
+      val rows =
+        if (from <= 0)
+          // first batch from the void: the whole state at `to`
+          DeletionVectors.read(spark, h.log, h.defn, Some(toId))
+        else
+          VersionedReader(spark, h.log).readChanges(h.defn, chrono(from - 1).id, toId)
+      rows.select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val hasData = fs.listStatus(dir).exists(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    if (hasData) Some(dir.toString) else None
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     currentBatch match {
       case Some(b) =>
@@ -634,14 +697,16 @@ private[spark] final class GraftCdcMicroBatchStream(
   /** Prune staged feed dirs whose batch is durably committed (their range
     * can never be replayed). */
   override def commit(end: Offset): Unit = {
-    if (!changeFeed || checkpointLocation.isEmpty) return
+    if (checkpointLocation.isEmpty) return
     val committed = end.asInstanceOf[CommitOffset].commits
     try {
       val root = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc-feed")
       val fs = root.getFileSystem(
         SparkSession.active.sessionState.newHadoopConf())
       if (fs.exists(root)) {
-        val Batch = """batch-(\d+)-(\d+)""".r
+        // feed stagings (batch-*) and net-contents stagings (net-*) share
+        // the root and the same committed-range GC rule
+        val Batch = """(?:batch|net)-(\d+)-(\d+)""".r
         fs.listStatus(root).foreach { st =>
           st.getPath.getName match {
             case Batch(_, to) if to.toInt <= committed => fs.delete(st.getPath, true); ()

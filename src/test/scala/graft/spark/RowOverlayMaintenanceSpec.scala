@@ -1,0 +1,170 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/** Maintenance lifecycle of the merge-on-read row overlay: squash, vacuum,
+  * checkpoint guard, shallow-clone carry, zone-map interplay. */
+class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("ro-maint")
+
+  private def fresh(name: String): (VersionContext, TableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_rom_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (ctx, log, table)
+  }
+
+  private def overlayDirCount(spark0: org.apache.spark.sql.SparkSession, t: TableDefinition): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      t.location, spark0.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(t.location).toString + "_appends")
+    if (!fs.exists(root)) 0 else fs.listStatus(root).count(_.isDirectory)
+  }
+
+  test("squash folds live overlay dirs into one; deleted rows stay gone; time travel intact") {
+    val (ctx, log, table) = fresh("squash")
+    (1L to 20L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    (1 to 4).foreach { k =>
+      RowOverlay.append(
+        Seq(Event(100L + k, "o", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage(s"append $k"))
+    }
+    val preSquash = log.currentCommit(table.name)
+    DeletionVectors.delete(
+      ctx, log, table, col("id") === 102L, user, UpdateMessage("del overlay row")) shouldBe 1L
+
+    RowOverlay.squash(spark, log, table) shouldBe true
+    val after = DeletionVectors.read(spark, log, table)
+    after.count() shouldBe 23L // 20 base + 4 appends - 1 delete
+    after.where(col("id") === 102L).count() shouldBe 0L
+    after.where(col("id") === 104L).count() shouldBe 1L
+    // reads resolve ONE overlay dir now (the squash); older dirs are for
+    // time travel only
+    RowOverlay.contributions(spark, log, table, None).size shouldBe 1
+    // time travel to pre-squash still resolves the old dirs
+    DeletionVectors.read(spark, log, table, Some(preSquash)).count() shouldBe 24L
+    // idempotent no-op on a single contributing dir
+    RowOverlay.squash(spark, log, table) shouldBe false
+
+    // checkpoint guard: pre-squash anchors still serve retained states —
+    // folding them refuses; with retention covering the squash it passes
+    DeletionVectors.requireCheckpointKeepsVectors(spark, log, table, keepLast = 50)
+    val thrown = intercept[IllegalStateException] {
+      DeletionVectors.requireCheckpointKeepsVectors(spark, log, table, keepLast = 1)
+    }
+    thrown.getMessage should include("sidecar")
+  }
+
+  test("vacuum reclaims orphaned overlay dirs, keeps live ones") {
+    val (ctx, log, table) = fresh("vac")
+    (1L to 10L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    RowOverlay.append(
+      Seq(Event(100L, "o", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("mor"))
+    // simulate a lost OCC race: an overlay dir whose commit never landed
+    val orphan = Partition.normalizedDir(table.location).toString +
+      "_appends/commit-" + java.util.UUID.randomUUID().toString
+    Seq(Event(999L, "x", "2024-01-01")).toDF()
+      .write.parquet(orphan)
+    overlayDirCount(spark, table) shouldBe 2
+
+    val report = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 10, graceMs = 0L)
+    report.deleted.exists(_.startsWith("_appends/")) shouldBe true
+    overlayDirCount(spark, table) shouldBe 1 // live dir kept
+    DeletionVectors.read(spark, log, table).count() shouldBe 11L
+
+    // a second vacuum is a no-op for the overlay
+    val again = Vacuum.vacuum(
+      table, log, spark.sessionState.newHadoopConf(), keepLast = 10, graceMs = 0L)
+    again.deleted.count(_.startsWith("_appends/")) shouldBe 0
+  }
+
+  test("shallow clone carries resolved overlay rows with fork isolation") {
+    val (ctx, log, table) = fresh("clone_src")
+    (1L to 10L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    RowOverlay.append(
+      (101L to 104L).map(i => Event(i, "o", "2024-01-01")).toDF(),
+      ctx, table, user, UpdateMessage("mor"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") === 103L, user, UpdateMessage("del")) shouldBe 1L
+
+    val dst = ShallowClone.clone(spark, ctx, table, TableName("test", "clone_dst"), user)
+    val cloneRows = DeletionVectors.read(spark, log, dst)
+    cloneRows.count() shouldBe 13L // 10 base + 4 overlay - 1 deleted
+    cloneRows.where(col("id") === 103L).count() shouldBe 0L
+    cloneRows.where(col("id") === 104L).count() shouldBe 1L
+
+    // fork isolation: source-side MOR ops never leak into the clone
+    RowOverlay.append(
+      Seq(Event(200L, "s", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("src only"))
+    DeletionVectors.read(spark, log, table).count() shouldBe 14L
+    DeletionVectors.read(spark, log, dst).count() shouldBe 13L
+    // clone-side MOR delete of a carried overlay row never leaks back
+    DeletionVectors.delete(
+      ctx, log, dst, col("id") === 104L, user, UpdateMessage("clone del")) shouldBe 1L
+    DeletionVectors.read(spark, log, dst).count() shouldBe 12L
+    DeletionVectors.read(spark, log, table).where(col("id") === 104L).count() shouldBe 1L
+  }
+
+  test("zone-map skipping composes: overlay rows union unpruned, stats cover dirs only") {
+    val (ctx, log, table) = fresh("zm")
+    (1L to 50L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("id"))
+    val statsAt = log.currentCommit(table.name)
+    // overlay rows land OUTSIDE every base file's [min,max] zone
+    RowOverlay.append(
+      Seq(Event(1000L, "o", "2024-01-01"), Event(2000L, "o", "2024-01-02")).toDF(),
+      ctx, table, user, UpdateMessage("mor"))
+    // stats follow their state: the incremental refresh after the append
+    // sees ZERO moved partitions and re-anchors the sidecar — overlay
+    // files are deliberately not indexed (they union unpruned below)
+    FileStats.updateZoneMaps(spark, log, table, statsAt, Seq("id"))
+
+    // a probe hitting only overlay values: every base file prunes, the
+    // overlay rows still arrive (superset contract)
+    val hit = FileStats.readSkipping(spark, log, table, "id", 1500L, 2500L)
+      .where(col("id").between(1500L, 2500L))
+    hit.collect().map(_.getLong(0)) shouldBe Array(2000L)
+    // a base-range probe returns base + overlay rows consistently
+    val mixed = FileStats.readSkipping(spark, log, table, "id", 1L, 5000L)
+    mixed.count() shouldBe 52L
+    // the sidecar itself indexes only version-dir files (no overlay paths)
+    val statsRoot = new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + "_stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    val statsFiles = fs.listStatus(statsRoot).toList.filter(_.isDirectory)
+      .flatMap(d => spark.read.parquet(d.getPath.toString)
+        .select("file").collect().map(_.getString(0)))
+    statsFiles should not be empty
+    statsFiles.exists(_.contains("_appends")) shouldBe false
+    // a MOR delete composes with the pruned scan (stats re-anchored after)
+    val preDel = log.currentCommit(table.name)
+    DeletionVectors.delete(
+      ctx, log, table, col("id") === 2000L, user, UpdateMessage("del")) shouldBe 1L
+    FileStats.updateZoneMaps(spark, log, table, preDel, Seq("id"))
+    FileStats.readSkipping(spark, log, table, "id", 1500L, 2500L)
+      .where(col("id").between(1500L, 2500L)).count() shouldBe 0L
+  }
+}

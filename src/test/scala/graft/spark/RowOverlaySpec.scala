@@ -307,6 +307,111 @@ class RowOverlaySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
   }
 
+  test("row-level change feed: MOR append/update/delete emit exact feeds; replay reconstructs") {
+    val (ctx, log, table) = fresh("ro_feed", PartitionSchema(List(PartitionColumn("date"))))
+    (1L to 12L).map(i => Event(i, "base", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val c1 = log.currentCommit(table.name)
+
+    // MOR append: feed = pure inserts
+    RowOverlay.append(
+      Seq(Event(101L, "n", "2024-01-01"), Event(102L, "n", "2024-01-02")).toDF(),
+      ctx, table, user, UpdateMessage("mor append"))
+    val c2 = log.currentCommit(table.name)
+    val feed1 = ChangeFeed.read(spark, log, table, Some(c1), c2)
+    feed1.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert).count() shouldBe 2L
+    feed1.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 0L
+
+    // MOR update: raw feed = 1 delete (preimage) + 1 insert (postimage);
+    // the keyed feed pairs them into update_preimage/update_postimage
+    RowOverlay.update(
+      ctx, table, col("id") === 5L,
+      Seq("kind" -> org.apache.spark.sql.functions.lit("upd")),
+      user, UpdateMessage("mor update")) shouldBe 1L
+    val c3 = log.currentCommit(table.name)
+    val feed2 = ChangeFeed.read(spark, log, table, Some(c2), c3)
+    feed2.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+      .select("id").head.getLong(0) shouldBe 5L
+    feed2.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+      .select("kind").head.getString(0) shouldBe "upd"
+    val keyed = ChangeFeed.readKeyed(spark, log, table, Some(c2), c3, Seq("id"))
+    keyed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePre).count() shouldBe 1L
+    keyed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.UpdatePost).count() shouldBe 1L
+
+    // replay contract across the whole MOR range
+    val base1 = DeletionVectors.read(spark, log, table, Some(c1))
+    val replayed = ChangeFeed.replay(base1, ChangeFeed.read(spark, log, table, Some(c1), c3))
+    val now = DeletionVectors.read(spark, log, table, Some(c3))
+    replayed.exceptAll(now).count() shouldBe 0L
+    now.exceptAll(replayed).count() shouldBe 0L
+
+    // a CoW rewrite absorbing the overlay (died leaves): feed stays
+    // replay-exact — absorbed overlay rows emit delete + re-insert, which
+    // the keyed feed then nets out
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("optimize"))
+    val c4 = log.currentCommit(table.name)
+    val feed3 = ChangeFeed.read(spark, log, table, Some(c3), c4)
+    val replayed2 = ChangeFeed.replay(
+      DeletionVectors.read(spark, log, table, Some(c3)), feed3)
+    val now2 = DeletionVectors.read(spark, log, table, Some(c4))
+    replayed2.exceptAll(now2).count() shouldBe 0L
+    now2.exceptAll(replayed2).count() shouldBe 0L
+    // keyed feed over the rewrite range nets unchanged rows to zero
+    ChangeFeed.readKeyed(spark, log, table, Some(c3), c4, Seq("id")).count() shouldBe 0L
+
+    // and the feed across EVERYTHING (void -> head) equals the final state
+    val full = ChangeFeed.read(spark, log, table, None, c4)
+    val fromVoid = full.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+      .drop(ChangeFeed.ChangeTypeCol)
+      .exceptAll(full.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+        .drop(ChangeFeed.ChangeTypeCol))
+    fromVoid.exceptAll(now2).count() shouldBe 0L
+    now2.exceptAll(fromVoid).count() shouldBe 0L
+  }
+
+  test("streams over MOR commits: net stream stages overlay appends, feed stream serves updates") {
+    val (ctx, log, table) = fresh("ro_stream", PartitionSchema(List(PartitionColumn("date"))))
+    (1L to 6L).map(i => Event(i, "base", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // NET-CONTENTS stream follows MOR appends (staged batch, same rows)
+    val sink = s"ro_net_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = VersionedStream.readStream(spark, log, table)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(sink).count() shouldBe 6L
+      RowOverlay.append(
+        Seq(Event(100L, "n", "2024-01-01"), Event(101L, "n", "2024-02-05")).toDF(),
+        ctx, table, user, UpdateMessage("mor append"))
+      q.processAllAvailable()
+      // the overlay row AND the new-partition dir row both arrive
+      spark.table(sink).select("id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L, 3L, 4L, 5L, 6L, 100L, 101L)
+      // partition columns survive the staged batch
+      spark.table(sink).where(col("date") === "2024-02-05").count() shouldBe 1L
+    } finally q.stop()
+
+    // FEED stream serves a MOR update as delete+insert rows
+    val sink2 = s"ro_feed_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q2 = VersionedStream.readChangeFeed(spark, log, table)
+      .writeStream.format("memory").queryName(sink2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      RowOverlay.update(
+        ctx, table, col("id") === 100L,
+        Seq("kind" -> org.apache.spark.sql.functions.lit("upd")),
+        user, UpdateMessage("mor update")) shouldBe 1L
+      q2.processAllAvailable()
+      val changes = spark.table(sink2)
+        .where(col("id") === 100L)
+        .select(ChangeFeed.ChangeTypeCol, "kind")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      changes should contain(("delete", "n"))
+      changes should contain(("insert", "upd"))
+    } finally q2.stop()
+  }
+
   test("change feed diff (readChanges) carries overlay appends as new contents") {
     val (ctx, log, table) = fresh("ro_changes", PartitionSchema(List(PartitionColumn("date"))))
     (1L to 10L).map(i => Event(i, "k", "2024-01-01"))
