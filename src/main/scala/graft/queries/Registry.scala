@@ -547,6 +547,32 @@ object Registry {
              |FROM lineitem
              |WHERE l_orderkey % 7 <> 0 AND l_quantity <= 48
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q86_mor_insert" -> Entry(
+      Versioned.q86MorInsert,
+      // two stacked merge-on-read appends derived from the table itself:
+      // the visible state is base + both batches; zero partition rewrites
+      // (fold bit-equality pinned in-query)
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity + 1000 FROM lineitem WHERE l_orderkey % 97 = 0
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity + 5000 FROM lineitem WHERE l_orderkey % 97 = 0
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q87_mor_update" -> Entry(
+      Versioned.q87MorUpdate,
+      // scattered value update + partition-column migration, both
+      // merge-on-read: preimages vector-hidden, postimages overlaid /
+      // re-landed; original dirs pinned untouched in-query
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT CASE WHEN l_orderkey % 1000 = 1 THEN 'Z' ELSE l_returnflag END AS l_returnflag,
+             |         CASE WHEN l_orderkey % 11 = 0 THEN l_quantity + 100 ELSE l_quantity END AS l_quantity
+             |  FROM lineitem
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q82c_copy_orc_nested" -> Entry(
       Versioned.q82cCopyOrcNested,
       // nested-glob ORC ingest: final state is the union of the landed

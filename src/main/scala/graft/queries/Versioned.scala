@@ -2764,4 +2764,92 @@ object Versioned {
          |       round(sum(l_extendedprice), 2) AS sum_price
          |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Q86 — MERGE-ON-READ INSERT ([[graft.spark.RowOverlay]]): a batch
+    * scattered over EVERY existing partition lands as a row-overlay
+    * sidecar with ZERO partition rewrites (the copy-on-write carry would
+    * re-land every touched partition wholesale — the 100 TB append
+    * killer). Pinned in-query: the partition→version fold is bit-identical
+    * before and after the insert. */
+  def q86MorInsert(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq86", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq86", log)
+    val table = tempTable(
+      "li_morins", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_morins"))
+    graft.spark.GraftTableCatalog.register("graftq86", table)
+    val name = s"graftq86.${table.name.schema}.${table.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val foldBefore = log.currentVersion(table.name)
+
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      // the batch derives from the table itself and touches every
+      // partition; two appends stack (each its own overlay dir)
+      s.sql(
+        s"""INSERT INTO $name
+           |SELECT l_orderkey, l_linenumber, l_quantity + 1000, l_extendedprice, l_returnflag
+           |FROM $name WHERE l_orderkey % 97 = 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $name
+           |SELECT l_orderkey, l_linenumber, l_quantity + 5000, l_extendedprice, l_returnflag
+           |FROM $name WHERE l_orderkey % 97 = 0 AND l_quantity < 1000""".stripMargin)
+    }
+    require(log.currentVersion(table.name) == foldBefore,
+      "merge-on-read INSERT into existing partitions must not move version pointers")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q87 — MERGE-ON-READ UPDATE ([[graft.spark.RowOverlay.update]]):
+    * preimages hide behind deletion vectors, postimages land as overlay
+    * rows, one atomic commit, O(matched) written — including a SET on the
+    * PARTITION column (rows migrate by hide + re-land, the shape the
+    * copy-on-write path reserves for MERGE). Pinned in-query: the original
+    * partitions keep their version dirs through both updates. */
+  def q87MorUpdate(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq87", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq87", log)
+    val table = tempTable(
+      "li_morupd", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_morupd"))
+    graft.spark.GraftTableCatalog.register("graftq87", table)
+    val name = s"graftq87.${table.name.schema}.${table.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.versionedInsertInto(ctx, table, user, UpdateMessage("v1: full load"))
+    val before = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      // scattered value update across every partition
+      s.sql(s"UPDATE $name SET l_quantity = l_quantity + 100 WHERE l_orderkey % 11 = 0")
+      // partition-column update: matched rows MIGRATE into partition 'Z'
+      // (old copies vector-hidden, new copies land in a fresh dir)
+      s.sql(s"UPDATE $name SET l_returnflag = 'Z' WHERE l_orderkey % 1000 = 1")
+    }
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    require(before.forall { case (p, v) => after.get(p).contains(v) },
+      "merge-on-read UPDATE must keep every pre-existing partition's version dir")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(l_quantity), 2) AS sum_qty
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }
