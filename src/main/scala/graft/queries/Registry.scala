@@ -573,6 +573,34 @@ object Registry {
              |         CASE WHEN l_orderkey % 11 = 0 THEN l_quantity + 100 ELSE l_quantity END AS l_quantity
              |  FROM lineitem
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q88_mor_merge" -> Entry(
+      Versioned.q88MorMerge,
+      // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches
+      // delete, the rest update (flag migrates to 'R'), unmatched source
+      // keys insert; every pre-existing partition's version dir pinned
+      // untouched in-query
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, min(l_returnflag) AS flag,
+             |         count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |), s AS (
+             |  SELECT l_orderkey, 'R' AS flag, n_lines + 10000 AS n_lines, qty
+             |  FROM t WHERE l_orderkey % 50 = 0
+             |), merged AS (
+             |  SELECT CASE WHEN s.l_orderkey IS NOT NULL THEN s.flag ELSE t.flag END AS flag,
+             |         CASE WHEN s.l_orderkey IS NOT NULL THEN s.n_lines ELSE t.n_lines END AS n_lines,
+             |         t.qty AS qty
+             |  FROM t LEFT JOIN s USING (l_orderkey)
+             |  WHERE NOT (s.l_orderkey IS NOT NULL AND t.qty > 100)
+             |), ins AS (
+             |  SELECT 'Z' AS flag, CAST(1 AS BIGINT) AS n_lines, CAST(0.0 AS DOUBLE) AS qty
+             |  FROM t WHERE l_orderkey % 200 = 0
+             |), final AS (
+             |  SELECT * FROM merged UNION ALL SELECT * FROM ins
+             |)
+             |SELECT flag, count(*) AS n_keys, CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+             |       round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY flag ORDER BY flag""".stripMargin)),
     "q82c_copy_orc_nested" -> Entry(
       Versioned.q82cCopyOrcNested,
       // nested-glob ORC ingest: final state is the union of the landed

@@ -2852,4 +2852,64 @@ object Versioned {
          |       round(sum(l_quantity), 2) AS sum_qty
          |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Q88 — MERGE-ON-READ MERGE ([[graft.spark.Merge.mergeConditional]]
+    * under `spark.graft.dml.mergeOnRead`): matched DELETEs and UPDATEs
+    * hide preimages behind vectors, UPDATE postimages and NOT MATCHED
+    * inserts land as overlay rows — one atomic commit, zero partition
+    * rewrites, and the UPDATE legally SETs the PARTITION column (rows
+    * migrate by hide + re-land; copy-on-write refuses that shape).
+    * Pinned in-query: every pre-existing partition keeps its version. */
+  def q88MorMerge(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq88", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq88", log)
+    val table = tempTable(
+      "ord_mormrg", PartitionSchema(List(PartitionColumn("flag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_mormrg"))
+    graft.spark.GraftTableCatalog.register("graftq88", table)
+    val name = s"graftq88.${table.name.schema}.${table.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+    li.createOrReplaceTempView("q88_lineitem")
+    val target = s.sql(
+      """SELECT l_orderkey, min(l_returnflag) AS flag, count(*) AS n_lines,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM q88_lineitem GROUP BY l_orderkey""".stripMargin)
+    target.versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup load"))
+    val before = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    s.sql(
+      s"""SELECT l_orderkey, 'R' AS flag, n_lines + 10000 AS n_lines, qty
+         |FROM $name WHERE l_orderkey % 50 = 0
+         |UNION ALL
+         |SELECT l_orderkey + 100000000 AS l_orderkey, 'Z' AS flag,
+         |       CAST(1 AS BIGINT) AS n_lines, CAST(0.0 AS DOUBLE) AS qty
+         |FROM $name WHERE l_orderkey % 200 = 0""".stripMargin)
+      .createOrReplaceTempView("q88_src")
+
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      s.sql(
+        s"""MERGE INTO $name t USING q88_src s ON t.l_orderkey = s.l_orderkey
+           |WHEN MATCHED AND t.qty > 100 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_lines = s.n_lines, flag = s.flag
+           |WHEN NOT MATCHED THEN
+           |  INSERT (l_orderkey, flag, n_lines, qty) VALUES (s.l_orderkey, s.flag, s.n_lines, s.qty)
+           |""".stripMargin)
+    }
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other                        => sys.error(s"unexpected $other")
+    }
+    require(before.forall { case (p, v) => after.get(p).contains(v) },
+      "merge-on-read MERGE must keep every pre-existing partition's version dir")
+
+    s.sql(
+      s"""SELECT flag, count(*) AS n_keys, sum(n_lines) AS sum_lines,
+         |       round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY flag ORDER BY flag""".stripMargin)
+  }
 }

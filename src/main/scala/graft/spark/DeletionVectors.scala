@@ -380,6 +380,25 @@ object DeletionVectors {
       readWithPointers(spark, log, table, asOf), spark, log, table, asOf),
       FileCol, PosCol)
 
+  /** Partition-scoped twin of [[readVisiblePointed]] — the merge-on-read
+    * MERGE's pruned target read. */
+  private[spark] def readPartitionsVisiblePointed(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      parts: Seq[Partition]): (DataFrame, String, String) = {
+    val reader = VersionedReader(spark, log)
+    val withPtr = reader.readPartitionsPointed(table, parts, FileCol, PosCol)
+    val dvApplied = resolvePairs(spark, log, table, None) match {
+      case None => withPtr
+      case Some(dv) =>
+        if (withPtr.columns.isEmpty) withPtr
+        else withPtr.join(
+          dv, withPtr(FileCol) === dv("file") && withPtr(PosCol) === dv("pos"), "left_anti")
+    }
+    (ColumnMapping.applyLogical(dvApplied, spark, log, table, None), FileCol, PosCol)
+  }
+
   /** Fold `newPairs` with the prior pairs of the files they touch — the
     * per-file-completeness discipline every sidecar write must keep (see
     * [[delete]]): the newest sidecar mentioning a file owns that file's

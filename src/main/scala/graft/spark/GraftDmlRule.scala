@@ -57,9 +57,13 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(rel) =>
           val table = rel.table.asInstanceOf[GraftV2Table]
           val keys = equiKeys(m.mergeCondition, m.targetTable, m.sourceTable)
-          if (isCanonicalStar(m))
+          if (isCanonicalStar(m) &&
+            !spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean)
             // the classic upsert keeps its one-join fast path (no
-            // table-wide discovery pass; source-partition-scoped contract)
+            // table-wide discovery pass; source-partition-scoped contract).
+            // Merge-on-read mode routes through the conditional engine
+            // instead — its output lands as vectors + overlay rows with no
+            // partition rewrite ([[Merge.mergeConditional]]).
             GraftMergeCommand(
               table.tableDefinition, table.tableBinding,
               m.sourceTable, keys, rel.schema)
@@ -244,9 +248,11 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case UpdateAction(cond, as, _) =>
           as.foreach { a =>
             rootAttr(a.key).foreach { k =>
-              if (partCols.contains(k.name.toLowerCase))
+              // merge-on-read migrates rows natively (hide + re-land)
+              if (partCols.contains(k.name.toLowerCase) &&
+                !spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean)
                 unsupported(s"UPDATE of partition column ${k.name} in $clause (rows would " +
-                  "migrate between partitions)")
+                  "migrate between partitions; SET spark.graft.dml.mergeOnRead=true to allow)")
             }
           }
           (cond.map(side), Some(assigns(as, clause)))

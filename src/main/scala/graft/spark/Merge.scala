@@ -34,6 +34,11 @@ import graft.spark.VersionContext.DatasetVersionOps
  */
 object Merge {
 
+  /** Pointer-column aliases the merge-on-read MERGE threads through the
+    * clause join (always dropped before output). */
+  private val MorFileCol = "__mor_file"
+  private val MorPosCol = "__mor_pos"
+
   /** Apply `source` to `table` by `keyCols`: matched current rows are
     * replaced by their source row, unmatched source rows are inserted,
     * unmatched current rows are kept. The source must be unique per key —
@@ -189,16 +194,27 @@ object Merge {
       s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one WHEN clause")
+    // MERGE-ON-READ mode (`spark.graft.dml.mergeOnRead`): matched
+    // preimages hide behind deletion vectors, postimages + inserts land
+    // as a row overlay ([[RowOverlay]]) — one atomic strict-OCC commit,
+    // O(changed rows) written, NO partition rewritten. That also lifts
+    // two copy-on-write restrictions: mixed era folds are legal (pairs
+    // hide by file regardless of era; new rows land current-scheme), and
+    // partition-column SETs migrate rows by hide + re-land.
+    val morMode = source.sparkSession.conf
+      .get("spark.graft.dml.mergeOnRead", "false").toBoolean
     // same refusal as mergeInto: the clause join's partition arithmetic
     // (touched-partition discovery, alsoRemove) assumes ONE layout — on a
     // mixed fold the rewrite would re-land old-era rows into new-scheme
     // dirs and leave the old copies referenced (silent duplication)
-    PartitionEvolution.requireUniformFold(log, table, "conditional MERGE")
+    if (!morMode)
+      PartitionEvolution.requireUniformFold(log, table, "conditional MERGE")
     val partCols = table.partitionSchema.columns.map(_.name)
     val partSet = partCols.map(_.toLowerCase).toSet
     (matched ++ notMatchedBySource).foreach(_.set.foreach(_.foreach { case (n, _) =>
-      require(!partSet.contains(n.toLowerCase),
-        s"UPDATE of partition column $n (rows would migrate between partitions)")
+      require(morMode || !partSet.contains(n.toLowerCase),
+        s"UPDATE of partition column $n (rows would migrate between partitions; " +
+          "SET spark.graft.dml.mergeOnRead=true to allow)")
     }))
     if (!table.isSnapshot) notMatched.foreach { cl =>
       val assigned = cl.values.map(_._1.toLowerCase).toSet
@@ -222,9 +238,18 @@ object Merge {
           "merge source has duplicate key values — ambiguous match (pre-aggregate the source)")
 
         // DV-aware: a hidden row must neither match as an UPDATE/DELETE
-        // target nor count toward touched-partition discovery
-        val current0 = ColumnMapping.applyLogical(
-          DeletionVectors.read(spark, log, table), spark, log, table, None)
+        // target nor count toward touched-partition discovery. In
+        // merge-on-read mode the target read ALSO carries row pointers —
+        // the preimage pairs come straight off the clause join's target
+        // side (pointer columns ride the __t_ prefix like any column and
+        // never reach the output projection).
+        val current0 =
+          if (morMode) {
+            val (df, f, p) = DeletionVectors.readVisiblePointed(spark, log, table, None)
+            if (df.columns.isEmpty) df
+            else df.withColumnRenamed(f, MorFileCol).withColumnRenamed(p, MorPosCol)
+          } else ColumnMapping.applyLogical(
+            DeletionVectors.read(spark, log, table), spark, log, table, None)
         val neverWritten = current0.columns.isEmpty
         // the versioned reader surfaces partition columns as strings (they
         // come from k=v dirs); mirror that in the never-written schema so
@@ -244,10 +269,15 @@ object Merge {
             s"merge key columns ${keyCols.mkString(", ")} must all exist in the target")
 
         val srcPref = src.select(src.columns.map(c => col(c).as(s"__s_$c")): _*)
+        // a mixed era fold (merge-on-read only — copy-on-write refused
+        // above) has no single partition keying for the narrow scope's
+        // dir-subset read: scan the whole era-union state instead
+        val mixedFold = !table.isSnapshot &&
+          PartitionEvolution.eraSignatures(log.currentVersion(table.name)).size > 1
         // ---- scope: which partitions the clause join must read ----
         val scoped =
           if (table.isSnapshot || neverWritten) current
-          else if (notMatchedBySource.nonEmpty) current // any partition may hold unmatched rows
+          else if (notMatchedBySource.nonEmpty || (morMode && mixedFold)) current
           else {
             // DISCOVERY (narrow): partitions holding a matched key — a
             // column-pruned scan of (keys ∪ partition cols) semi-joined to
@@ -271,9 +301,14 @@ object Merge {
                   case (c, i) => ColumnValue(c, r.getString(i))
                 }))
             }
-            ColumnMapping.applyLogical(
-              DeletionVectors.readPartitions(
-                spark, log, table, (matchedParts ++ insertParts).distinct),
+            val wanted = (matchedParts ++ insertParts).distinct
+            if (morMode) {
+              val (df, f, p) = DeletionVectors.readPartitionsVisiblePointed(
+                spark, log, table, wanted)
+              if (df.columns.isEmpty) df
+              else df.withColumnRenamed(f, MorFileCol).withColumnRenamed(p, MorPosCol)
+            } else ColumnMapping.applyLogical(
+              DeletionVectors.readPartitions(spark, log, table, wanted),
               spark, log, table, None)
           }
 
@@ -313,7 +348,8 @@ object Merge {
           .map(s => StructType(s.map(f =>
             if (partSet.contains(f.name.toLowerCase)) StructField(f.name, StringType) else f)))
           .getOrElse(current0.schema)
-        base.toSeq
+        // merge-on-read pointer columns are plumbing, never output
+        base.toSeq.filterNot(f => f.name == MorFileCol || f.name == MorPosCol)
       }
       // per-column projection: the winning clause's value, else carry
       def projected(c: StructField): Column = {
@@ -364,7 +400,37 @@ object Merge {
               alsoRemove = emptiable, hwmAtStamp = hwm, rebaseAt = Some(readCommit))
             ()
         }
-      if (table.isSnapshot) {
+      // ---- MERGE-ON-READ output: pairs hide the changed target rows,
+      // postimages + inserts land via the row overlay, one atomic commit.
+      // Carried rows stay PUT (copy-on-write re-lands them; here nothing
+      // else in their partitions moves). A never-written target falls back
+      // to the copy-on-write first write (already O(batch) there).
+      if (morMode && !neverWritten) {
+        if (!actioned.isEmpty) {
+          val pre = actioned.where(col("__t_present").isNotNull)
+            .select(
+              col(s"__t_$MorFileCol").as("file"),
+              col(s"__t_$MorPosCol").as("pos"))
+          val pairsOpt =
+            if (pre.isEmpty) None
+            else Some(DeletionVectors.foldedPairs(spark, log, table, pre))
+          val post = actioned.where(col("__action") =!= "del")
+            .select(outSchema.map(projected): _*)
+          idColC match {
+            case None =>
+              RowOverlay.append(
+                post, ctx, table, userId, message,
+                extraPairs = pairsOpt, expectedOverride = Some(readCommit))
+            case Some(c) =>
+              val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
+              RowOverlay.append(
+                IdentityColumns.stampedPreserving(post, c, hwm), ctx, table, userId, message,
+                extraPairs = pairsOpt, identity = Some((c, hwm)),
+                expectedOverride = Some(readCommit))
+          }
+          ()
+        }
+      } else if (table.isSnapshot) {
         if (!actioned.isEmpty) {
           commitMerged(
             acted.where(col("__action") =!= "del" && col("__action") =!= "skip")

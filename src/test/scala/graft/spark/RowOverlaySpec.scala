@@ -412,6 +412,62 @@ class RowOverlaySpec extends AnyFunSuite with Matchers {
     } finally q2.stop()
   }
 
+  test("MOR MERGE: matched rows hide+re-land, inserts overlay, carried rows never move") {
+    val (ctx, log, table) = fresh("ro_merge", PartitionSchema(List(PartitionColumn("date"))))
+    (1L to 12L).map(i => Event(i, "old", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentVersion(table.name)
+
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      // update id=5 (exists), delete id=6 (exists), insert id=100 (new,
+      // into an existing partition) and id=101 (new partition)
+      val source = Seq(
+        Event(5L, "upd", "2024-01-01"), Event(6L, "del", "2024-01-01"),
+        Event(100L, "new", "2024-01-01"), Event(101L, "new", "2024-05-05")).toDF()
+      Merge.mergeConditional(
+        ctx, log, table, source, Seq("id"),
+        matched = Seq(
+          Merge.WhenMatched(Some(Merge.scol("kind") === "del"), None), // delete
+          Merge.WhenMatched(None, Some(Seq("kind" -> Merge.scol("kind"))))),
+        notMatched = Seq(Merge.WhenNotMatched(None,
+          Seq("id" -> Merge.scol("id"), "kind" -> Merge.scol("kind"),
+            "date" -> Merge.scol("date")))),
+        userId = user, message = UpdateMessage("mor merge"))
+
+      // the pre-existing partitions kept their version dirs (no rewrite)
+      val after = log.currentVersion(table.name) match {
+        case PartitionedTableVersion(pvs) => pvs
+        case other                        => fail(s"unexpected $other")
+      }
+      val before = v1 match {
+        case PartitionedTableVersion(pvs) => pvs
+        case other                        => fail(s"unexpected $other")
+      }
+      before.foreach { case (p, v) => after.get(p) shouldBe Some(v) }
+      after.size shouldBe before.size + 1 // only 2024-05-05 landed as a dir
+
+      val state = DeletionVectors.read(spark, log, table)
+      state.count() shouldBe 13L // 12 - 1 delete + 2 inserts
+      state.where(col("id") === 5L).select("kind").head.getString(0) shouldBe "upd"
+      state.where(col("id") === 6L).count() shouldBe 0L
+      state.where(col("id") === 100L).count() shouldBe 1L
+      state.where(col("id") === 101L).select("date").head.getString(0) shouldBe "2024-05-05"
+      // carried rows: still exactly one copy each
+      state.where(col("id") === 1L).count() shouldBe 1L
+
+      // MERGE with a partition-column SET migrates the row (CoW refuses this)
+      Merge.mergeConditional(
+        ctx, log, table, Seq(Event(5L, "x", "ignored")).toDF(), Seq("id"),
+        matched = Seq(Merge.WhenMatched(None,
+          Some(Seq("date" -> org.apache.spark.sql.functions.lit("2024-06-06"))))),
+        notMatched = Nil, userId = user, message = UpdateMessage("mor move"))
+      val moved = DeletionVectors.read(spark, log, table)
+      moved.count() shouldBe 13L
+      moved.where(col("id") === 5L).select("date").head.getString(0) shouldBe "2024-06-06"
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+  }
+
   test("change feed diff (readChanges) carries overlay appends as new contents") {
     val (ctx, log, table) = fresh("ro_changes", PartitionSchema(List(PartitionColumn("date"))))
     (1L to 10L).map(i => Event(i, "k", "2024-01-01"))
