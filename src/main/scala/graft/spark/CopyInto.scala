@@ -143,6 +143,24 @@ object CopyInto {
     val rows = batch.count()
     // copy-on-write append: union with the current contents of the touched
     // partitions only (a snapshot table unions with its whole state)
+    // CARRY SOURCE: current-scheme dirs only — on a mixed era fold the
+    // old-era dirs are not replaced by this ingest, so carrying their rows
+    // into fresh current-scheme dirs would serve them twice (the
+    // insertVersioned carry rule)
+    lazy val carrySource: DataFrame = {
+      val curSig = table.partitionSchema.columns.map(_.name)
+      val schemeParts = log.currentVersion(table.name) match {
+        case graft.core.PartitionedTableVersion(m) =>
+          m.keys.filter(_.columnValues.map(_.column.name) == curSig).toList
+        case _ => Nil
+      }
+      if (schemeParts.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+      else ColumnMapping.applyLogical(
+        DeletionVectors.readPartitions(spark, log, table, schemeParts),
+        spark, log, table, None)
+    }
     val current = currentLogical
     val toWrite: DataFrame =
       if (current.columns.isEmpty) batch
@@ -151,7 +169,7 @@ object CopyInto {
         val partCols = table.partitionSchema.columns.map(_.name)
         val touched = batch.select(partCols.map(org.apache.spark.sql.functions.col): _*)
           .distinct()
-        val existing = current.join(touched, partCols, "left_semi")
+        val existing = carrySource.join(touched, partCols, "left_semi")
         existing.unionByName(batch, allowMissingColumns = true)
       }
     val msg = UpdateMessage(

@@ -61,6 +61,14 @@ object GraftMetadataTables {
   private def resolveState(
       args: Seq[Expression],
       fn: String): (SparkSession, TableDefinition, TableVersion) = {
+    val (spark, defn, state, _, _) = resolveStateFull(args, fn)
+    (spark, defn, state)
+  }
+
+  private def resolveStateFull(
+      args: Seq[Expression],
+      fn: String): (SparkSession, TableDefinition, TableVersion,
+        GraftTableCatalog.Binding, Option[CommitId]) = {
     val (tableName, asOf) = args match {
       case Seq(Literal(t, StringType)) => (String.valueOf(t), None)
       case Seq(Literal(t, StringType), Literal(v, StringType)) =>
@@ -72,14 +80,14 @@ object GraftMetadataTables {
     val spark = SparkSession.active
     val (binding, defn) =
       GraftMaintenanceSql.resolve(spark, tableName.split("\\.").toSeq)
-    val state = asOf match {
-      case None => binding.log.currentVersion(defn.name)
-      case Some(target) =>
-        val id = binding.log.refs(defn.name).get(target)
-          .map(_.id).getOrElse(CommitId(target))
-        binding.log.versionAt(defn.name, id)
+    val at: Option[CommitId] = asOf.map { target =>
+      binding.log.refs(defn.name).get(target).map(_.id).getOrElse(CommitId(target))
     }
-    (spark, defn, state)
+    val state = at match {
+      case None     => binding.log.currentVersion(defn.name)
+      case Some(id) => binding.log.versionAt(defn.name, id)
+    }
+    (spark, defn, state, binding, at)
   }
 
   /** `(partition path, version label, physical dir)` per referenced dir. */
@@ -104,8 +112,16 @@ object GraftMetadataTables {
   }
 
   private def buildFiles(args: Seq[Expression]): LogicalPlan = {
-    val (spark, defn, state) = resolveState(args, "graft_files")
-    val dirs = referencedDirs(defn, state).map { case (p, _, dir) => (p, dir) }
+    val (spark, defn, state, binding, at) = resolveStateFull(args, "graft_files")
+    // live merge-on-read overlay leaves ([[RowOverlay]]) are state files
+    // too — a storage audit that missed them would undercount
+    val overlayLeaves = RowOverlay.contributions(spark, binding.log, defn, at)
+      .flatMap(c => c.leaves.map {
+        case (Some(p), path) => (p.hivePath, path)
+        case (None, path)    => (SnapshotPartition, path)
+      })
+    val dirs = referencedDirs(defn, state).map { case (p, _, dir) => (p, dir) } ++
+      overlayLeaves
     if (dirs.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), filesSchema).queryExecution.analyzed

@@ -711,7 +711,21 @@ private[spark] object GraftV2Table {
       case PartitionedTableVersion(m) if m.isEmpty             => None
       // DV-aware + column-mapped: INSERT's copy-on-write carry-union must
       // not resurrect merge-on-read-deleted rows, and must carry LOGICAL
-      // names so the union with the (logical) insert batch lines up
+      // names so the union with the (logical) insert batch lines up.
+      // CURRENT-SCHEME DIRS ONLY: on a mixed era fold (metadata-only
+      // evolution) the old-era dirs are NOT replaced by this write —
+      // carrying their rows into a fresh current-scheme dir would serve
+      // them TWICE (both dirs stay referenced). Overlay rows of the
+      // current-scheme partitions ride along (readPartitions) — those ARE
+      // absorbed when their partition re-lands.
+      case PartitionedTableVersion(m) =>
+        val curSig = defn.partitionSchema.columns.map(_.name)
+        val schemeParts = m.keys
+          .filter(_.columnValues.map(_.column.name) == curSig).toList
+        if (schemeParts.isEmpty) None
+        else Some(ColumnMapping.applyLogical(
+          DeletionVectors.readPartitions(spark, binding.log, defn, schemeParts),
+          spark, binding.log, defn, None))
       case _ => Some(ColumnMapping.applyLogical(
         DeletionVectors.read(spark, binding.log, defn),
         spark, binding.log, defn, None))

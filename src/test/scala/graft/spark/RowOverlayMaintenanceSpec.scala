@@ -126,6 +126,146 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
     DeletionVectors.read(spark, log, table).where(col("id") === 104L).count() shouldBe 1L
   }
 
+  test("RESTORE composes: rollback hides appended rows, roll-forward re-serves them") {
+    val (ctx, log, table) = fresh("restore")
+    (1L to 10L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preAppend = log.currentCommit(table.name)
+    RowOverlay.append(
+      Seq(Event(100L, "o", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("mor"))
+    val postAppend = log.currentCommit(table.name)
+    DeletionVectors.read(spark, log, table).count() shouldBe 11L
+
+    // rollback: the append commit leaves the lineage, its dir stops contributing
+    ctx.metastore.checkout(table.name, preAppend)
+    DeletionVectors.read(spark, log, table).count() shouldBe 10L
+    // roll-forward: the dir contributes again
+    ctx.metastore.checkout(table.name, postAppend)
+    DeletionVectors.read(spark, log, table).count() shouldBe 11L
+
+    // write-after-rollback: the V3 RESURRECTION QUIRK (the reference's
+    // fold replays every logged update once a new commit lands after a
+    // rollback) applies to overlay dirs exactly as it does to partition
+    // versions and DV sidecars — the rolled-back append re-enters the
+    // lineage alongside the new one. Consistency with the engine's fold
+    // semantics, pinned here on purpose.
+    ctx.metastore.checkout(table.name, preAppend)
+    RowOverlay.append(
+      Seq(Event(200L, "p", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("mor2"))
+    val rows = DeletionVectors.read(spark, log, table)
+      .select("id").collect().map(_.getLong(0)).sorted
+    rows shouldBe ((1L to 10L) ++ Seq(100L, 200L)).toArray
+  }
+
+  test("column mapping composes: rename and ADD COLUMN around overlay writes") {
+    val (ctx, log, table) = fresh("mapping")
+    (1L to 6L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    RowOverlay.append(
+      Seq(Event(100L, "pre", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("mor"))
+
+    // rename a data column AFTER the overlay write: physical names are
+    // stable, so overlay rows surface under the new logical name
+    ColumnMapping.rename(spark, ctx, table, "kind", "category", user)
+    val renamed = ColumnMapping.read(spark, log, table)
+    renamed.columns should contain("category")
+    renamed.where(col("id") === 100L).select("category").head.getString(0) shouldBe "pre"
+
+    // MOR update through the NEW name; the stale name refuses loudly
+    RowOverlay.update(
+      ctx, table, col("id") === 100L,
+      Seq("category" -> org.apache.spark.sql.functions.lit("renamed")),
+      user, UpdateMessage("upd")) shouldBe 1L
+    ColumnMapping.read(spark, log, table)
+      .where(col("id") === 100L).select("category").head.getString(0) shouldBe "renamed"
+    intercept[Exception] {
+      RowOverlay.update(
+        ctx, table, col("kind") === "x",
+        Seq("category" -> org.apache.spark.sql.functions.lit("y")),
+        user, UpdateMessage("stale"))
+    }
+
+    // additive evolution: an overlay append CARRYING a new column — older
+    // files miss it, the union fills NULL (the q37 additive posture)
+    RowOverlay.append(
+      Seq((200L, "post", 7L, "2024-01-01")).toDF("id", "category", "score", "date"),
+      ctx, table, user, UpdateMessage("mor widened"))
+    val widened = ColumnMapping.read(spark, log, table)
+    widened.where(col("id") === 200L).select("score").head.getLong(0) shouldBe 7L
+    widened.where(col("id") === 1L).select("score").head.isNullAt(0) shouldBe true
+    widened.count() shouldBe 8L
+  }
+
+  test("multi-level and Hive-escaped partition values round-trip through the overlay") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "esc"),
+      Files.createTempDirectory("graft_rom_esc").toUri,
+      PartitionSchema(List(PartitionColumn("date"), PartitionColumn("kind"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    Seq(
+      Event(1L, "plain", "2024-01-01"), Event(2L, "w space", "2024-01-01"),
+      Event(3L, "a:b=c", "2024-01-02"))
+      .toDF("id", "kind", "date").select("id", "kind", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentVersion(table.name)
+    RowOverlay.append(
+      Seq(Event(10L, "w space", "2024-01-01"), Event(11L, "a:b=c", "2024-01-02")).toDF(),
+      ctx, table, user, UpdateMessage("mor"))
+    log.currentVersion(table.name) shouldBe v1 // both leaves existed
+    val rows = DeletionVectors.read(spark, log, table)
+    rows.count() shouldBe 5L
+    rows.where(col("kind") === "w space").count() shouldBe 2L
+    rows.where(col("kind") === "a:b=c").count() shouldBe 2L
+    // partition-scoped read matches the escaped leaf
+    val p = Partition(List(
+      ColumnValue(PartitionColumn("date"), "2024-01-01"),
+      ColumnValue(PartitionColumn("kind"), "w space")))
+    VersionedReader(spark, log).readPartitions(table, Seq(p)).count() shouldBe 2L
+    // a rewrite of one escaped partition absorbs exactly its overlay rows
+    Compaction.compact(spark, ctx, table, user, UpdateMessage("opt"), partitions = Seq(p))
+    DeletionVectors.read(spark, log, table).count() shouldBe 5L
+    VersionedReader(spark, log).read(table).count() shouldBe 5L
+  }
+
+  test("CoW INSERT and COPY INTO carry from current-scheme dirs only (mixed-fold no-dup)") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftromx", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftromx", log)
+    val table = TableDefinition(
+      TableName("pdb", "mixins"),
+      Files.createTempDirectory("graft_rom_mix").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftromx", table, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    (1L to 6L).map(i => Event(i, s"k$i", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // metadata-only evolution to (kind): old-era dirs stay live beside
+    // new-scheme writes
+    spark.sql("ALTER TABLE graftromx.pdb.mixins SET PARTITIONED BY (kind) METADATA ONLY")
+    // a CoW INSERT whose kind VALUE matches an old-era row: the carry must
+    // NOT re-land that old-era row (its dir stays referenced — re-landing
+    // would serve it twice)
+    spark.sql("INSERT INTO graftromx.pdb.mixins (id, kind, date) VALUES (100, 'k1', '2024-01-01')")
+    spark.sql("SELECT count(*) FROM graftromx.pdb.mixins").head.getLong(0) shouldBe 7L
+    spark.sql("SELECT count(*) FROM graftromx.pdb.mixins WHERE kind='k1'")
+      .head.getLong(0) shouldBe 2L
+    // a second insert into the SAME new-scheme partition: the carry now
+    // legitimately re-lands the new-scheme dir's row — still no old-era dup
+    spark.sql("INSERT INTO graftromx.pdb.mixins (id, kind, date) VALUES (101, 'k1', '2024-01-02')")
+    spark.sql("SELECT count(*) FROM graftromx.pdb.mixins").head.getLong(0) shouldBe 8L
+    spark.sql("SELECT count(*) FROM graftromx.pdb.mixins WHERE kind='k1'")
+      .head.getLong(0) shouldBe 3L
+    spark.sql("SELECT count(*) FROM graftromx.pdb.mixins WHERE id=1").head.getLong(0) shouldBe 1L
+  }
+
   test("zone-map skipping composes: overlay rows union unpruned, stats cover dirs only") {
     val (ctx, log, table) = fresh("zm")
     (1L to 50L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
