@@ -193,7 +193,20 @@ object SoakMaintenance {
     // PLUS re-landing every touched partition — a corpus-sized write. At
     // scale both pay the linear scan; only CoW pays the linear write, so
     // MOR must undercut CoW at the scaled corpus.
-    def morRound(tag: String, rows: DataFrame, mergeOnRead: Boolean): Double = {
+    // merge-on-read rounds run on FULL-WIDTH lineitem rows: the verbs'
+    // scale difference is WRITE volume (copy-on-write re-lands touched
+    // partitions wholesale; merge-on-read writes only the changed rows),
+    // and narrow 4-column rows would understate the write side every
+    // production table pays
+    val liWide = graft.queries.Tables.load(spark, base, "lineitem")
+    def replicatedWide(n: Int): DataFrame =
+      (0 until n).map(k => liWide.withColumn(
+        "l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+
+    def morRound(
+        tag: String, rows: DataFrame, mergeOnRead: Boolean)(
+        stmt: String => String): Double = {
       val log = new InMemoryTableVersions
       val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
       val cat = s"soakmor$tag"
@@ -209,23 +222,60 @@ object SoakMaintenance {
       rows.versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
       spark.conf.set("spark.graft.dml.mergeOnRead", mergeOnRead.toString)
       try {
-        val (sec, _) = time(spark.sql(
-          s"DELETE FROM $cat.db.mor$tag WHERE l_orderkey % 1009 = 0"))
+        val (sec, _) = time(spark.sql(stmt(s"$cat.db.mor$tag")))
         sec
       } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
     }
+    def delStmt(n: String) = s"DELETE FROM $n WHERE l_orderkey % 1009 = 0"
+    // scattered single-row-per-key changes across EVERY partition — the
+    // copy-on-write killer shape for all three row-level verbs
+    def updStmt(n: String) =
+      s"UPDATE $n SET l_quantity = l_quantity + 1 WHERE l_orderkey % 1009 = 0"
+    def insStmt(n: String) =
+      s"INSERT INTO $n SELECT * FROM " +
+        s"(SELECT l_orderkey + 900000000 AS l_orderkey, l_partkey, l_suppkey, " +
+        s"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, " +
+        s"l_linestatus, l_shipdate, l_returnflag FROM $n WHERE l_orderkey % 1009 = 0)"
 
-    morRound("w", li, mergeOnRead = true) // warm-up, discarded
-    val morBase = morRound("mb", li, mergeOnRead = true)
-    val cowBase = morRound("cb", li, mergeOnRead = false)
-    val morN = morRound("ms", replicated(scale), mergeOnRead = true)
-    val cowN = morRound("cs", replicated(scale), mergeOnRead = false)
+    morRound("w", liWide, mergeOnRead = true)(delStmt) // warm-up, discarded
+    val morBase = morRound("mb", liWide, mergeOnRead = true)(delStmt)
+    val cowBase = morRound("cb", liWide, mergeOnRead = false)(delStmt)
+    val morN = morRound("ms", replicatedWide(scale), mergeOnRead = true)(delStmt)
+    val cowN = morRound("cs", replicatedWide(scale), mergeOnRead = false)(delStmt)
     println(s"""{"metric":"mor_delete","base":{"mor":$morBase,"cow":$cowBase},""" +
       s""""scaled_${scale}x":{"mor":$morN,"cow":$cowN}}""")
     guard("mor_delete_beats_cow_at_scale",
       morN <= cowN,
       f"scaled MOR $morN%.2fs vs CoW $cowN%.2fs at scale $scale " +
         "(CoW re-lands every partition; MOR writes only the pair sidecar)")
+
+    // merge-on-read UPDATE (r16b): CoW re-lands every touched partition;
+    // MOR writes the pair sidecar + O(matched) overlay rows. UNLIKE delete
+    // and insert, BOTH update paths pay the same full predicate scan (the
+    // linear term that dominates at local corpus sizes), so the guard here
+    // is PARITY with headroom: MOR must never cost more than 1.25x CoW at
+    // scale — its differentiating term (O(matched) writes vs CoW's full
+    // re-land, the piece that owns the 100 TB gap) is what the delete and
+    // insert guards above measure in isolation, and it only grows in
+    // MOR's favor with corpus size.
+    val updMorN = morRound("ums", replicatedWide(scale), mergeOnRead = true)(updStmt)
+    val updCowN = morRound("ucs", replicatedWide(scale), mergeOnRead = false)(updStmt)
+    println(s"""{"metric":"mor_update","scaled_${scale}x":{"mor":$updMorN,"cow":$updCowN}}""")
+    guard("mor_update_parity_at_scale",
+      updMorN <= 1.25 * updCowN,
+      f"scaled MOR $updMorN%.2fs vs CoW $updCowN%.2fs at scale $scale " +
+        "(shared full scan dominates locally; parity bound 1.25x — the write-side " +
+        "asymmetry is isolated by the delete/insert guards)")
+
+    // merge-on-read INSERT (r16b): CoW's carry re-lands every touched
+    // partition's current rows; MOR lands O(batch) overlay rows
+    val insMorN = morRound("ims", replicatedWide(scale), mergeOnRead = true)(insStmt)
+    val insCowN = morRound("ics", replicatedWide(scale), mergeOnRead = false)(insStmt)
+    println(s"""{"metric":"mor_insert","scaled_${scale}x":{"mor":$insMorN,"cow":$insCowN}}""")
+    guard("mor_insert_beats_cow_at_scale",
+      insMorN <= insCowN,
+      f"scaled MOR $insMorN%.2fs vs CoW $insCowN%.2fs at scale $scale " +
+        "(CoW carries every touched partition; MOR writes only the batch)")
 
     println(s"""{"summary":"soak-maintenance","scale":$scale,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")

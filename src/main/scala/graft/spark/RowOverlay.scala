@@ -240,7 +240,9 @@ object RowOverlay {
       Constraints.enforced(GeneratedColumns.applied(df, table), table),
       table, log).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (mapped.isEmpty && extraPairs.isEmpty) return expected
+      // the emptiness probe is folded into partitionValues for partitioned
+      // tables (below) — one job instead of two; snapshots keep the probe
+      if (table.isSnapshot && mapped.isEmpty && extraPairs.isEmpty) return expected
       val commitId = CommitId(UUID.randomUUID().toString)
       val dir = appendsDir(table, commitId)
       val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
@@ -265,8 +267,10 @@ object RowOverlay {
             case PartitionedTableVersion(m) => m
             case other => sys.error(s"unexpected table version $other")
           }
-          // null/empty partition values refuse here, same as every write
+          // null/empty partition values refuse here, same as every write;
+          // zero distinct partitions = empty batch (the emptiness probe)
           val parts = VersionContext.partitionValues(mapped, table.partitionSchema)
+          if (parts.isEmpty && extraPairs.isEmpty) return expected
           val existing = parts.filter(pvs.contains)
           val partCols = table.partitionSchema.columns.map(_.name)
           // membership split on the SAME string cast partitionValues used;
@@ -282,10 +286,18 @@ object RowOverlay {
             partCols.map(c => s"__ro_$c" -> col(c).cast("string")).toMap)
           val joinKeys = partCols.map(c => keyed(s"__ro_$c") === existingDf(c)).reduceOption(_ && _)
             .getOrElse(lit(false))
-          val overlayRows = keyed.join(broadcast(existingDf), joinKeys, "left_semi")
-            .drop(partCols.map(c => s"__ro_$c"): _*)
-          val dirRows = keyed.join(broadcast(existingDf), joinKeys, "left_anti")
-            .drop(partCols.map(c => s"__ro_$c"): _*)
+          // split-skip fast paths: the common scattered append/update hits
+          // ONLY existing partitions (overlay = whole batch, no join), a
+          // first-load-style batch hits only new ones
+          val allExisting = existing.size == parts.size
+          val overlayRows =
+            if (allExisting) mapped
+            else keyed.join(broadcast(existingDf), joinKeys, "left_semi")
+              .drop(partCols.map(c => s"__ro_$c"): _*)
+          val dirRows =
+            if (existing.isEmpty) mapped
+            else keyed.join(broadcast(existingDf), joinKeys, "left_anti")
+              .drop(partCols.map(c => s"__ro_$c"): _*)
           if (existing.nonEmpty) {
             overlayRows.write
               .partitionBy(partCols: _*)
