@@ -418,7 +418,11 @@ object FileStats {
       if (scan.columns.isEmpty) Nil
       else RowOverlay.contributions(spark, log, table, asOf)
     val ptrCols = Some(("__fs_file", "__fs_pos"))
-    val widened = ColumnMapping.widenedTypesAt(spark, log, table, asOf)
+    // the widening probe reads a metadata sidecar — only pay it when an
+    // overlay frame actually loads
+    val widened =
+      if (contribs.isEmpty) Map.empty[String, org.apache.spark.sql.types.DataType]
+      else ColumnMapping.widenedTypesAt(spark, log, table, asOf)
     val overlayFrames = contribs.map { c =>
       val f = RowOverlay.loadLeaves(spark, table, c.dir, c.leaves, ptrCols, widened)
       partitionFilter.foldLeft(f)(_.where(_))

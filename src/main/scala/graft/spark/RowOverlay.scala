@@ -89,6 +89,11 @@ object RowOverlay {
       log: TableVersions,
       table: TableDefinition,
       at: Option[CommitId]): List[(CommitId, String)] = {
+    // tables that never used the overlay pay ONE existence check, not a
+    // per-commit walk — every read path probes through here
+    if (!fs.exists(new HPath(
+        Partition.normalizedDir(table.location).toString + "_appends")))
+      return Nil
     val existing = lineage(log, table, at).iterator
       .map(m => (m.id, appendsDir(table, m.id)))
       .filter { case (_, d) => fs.exists(new HPath(d)) }
