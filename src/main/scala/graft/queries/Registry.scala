@@ -2090,6 +2090,16 @@ object Registry {
              |   OR (l_returnflag = 'N' AND l_quantity > 30)
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s18_append_sink" -> Entry(
+      StreamingQueries.s18AppendSink,
+      // streaming merge-on-read ingest: preload (qty<=10) plus the two
+      // streamed disjoint slices = the whole table; zero pointer moves and
+      // replay exactly-once are pinned in-query
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s15_stream_keyed_feed" -> Entry(
       StreamingQueries.s15StreamKeyedFeed,
       // three paced batches (full load, DV delete, R rework) through the

@@ -833,4 +833,70 @@ object StreamingQueries {
         _, tsCol = "t", width = "1 hour", slide = "30 minutes", watermark = "1 hour"))
       .select(col("w_start"), col("event_type"), col("n_events"))
       .orderBy("w_start", "event_type")
+
+  /** S18: streaming MERGE-ON-READ INGEST — the CDC source composed with
+    * the APPEND SINK ([[graft.streaming.Streams.appendSink]]): a source
+    * table's commits stream micro-batch by micro-batch into a pre-loaded
+    * target as ROW OVERLAYS, so each trigger writes O(batch) and moves NO
+    * target partition pointer (the versionedSink would re-land every
+    * touched partition per trigger — the 100 TB streaming-ingest killer).
+    * Pinned in-query: the target's partition fold is bit-identical after
+    * both micro-batches, and a REPLAYED batch id commits nothing
+    * (exactly-once under the StreamTxn marker). The oracle recomputes the
+    * final target: the disjoint preload ∪ streamed slices = all of
+    * lineitem. */
+  def s18AppendSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))),
+        FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val src = mkTable("apsink_src")
+    val dst = mkTable("apsink_dst")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    // preload covers every flag (quantities are uniform 1..50), so the
+    // streamed appends hit EXISTING partitions — pure overlay
+    li.where(col("l_quantity") <= 10)
+      .versionedInsertInto(ctx, dst, user, UpdateMessage("dst preload"))
+    val foldBefore = log.currentVersion(dst.name)
+    li.where(col("l_quantity") > 10 && col("l_returnflag") =!= "R")
+      .versionedInsertInto(ctx, src, user, UpdateMessage("src v1"))
+
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.streaming.Streams.appendSink(
+        graft.spark.VersionedStream.readStream(s, log, src),
+        ctx, dst, user, txnAppId = Some("s18")).start()
+    }
+    try {
+      q.processAllAvailable() // micro-batch 0: the src backfill appends
+      li.where(col("l_quantity") > 10 && col("l_returnflag") === "R")
+        .versionedInsertInto(ctx, src, user, UpdateMessage("src v2: R"))
+      q.processAllAvailable() // micro-batch 1: the R slice appends
+    } finally q.stop()
+    require(log.currentVersion(dst.name) == foldBefore,
+      "streaming merge-on-read ingest must not move target partition pointers")
+    // exactly-once: replaying an already-committed batch id is a no-op
+    val commits = log.updates(dst.name).size
+    graft.streaming.Streams.applyAppendBatch(
+      li.limit(5), 1L, ctx, dst, user, "s18")
+    require(log.updates(dst.name).size == commits,
+      "a replayed micro-batch id must not commit twice")
+
+    graft.spark.DeletionVectors.read(s, log, dst)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -235,7 +235,8 @@ object RowOverlay {
       message: UpdateMessage,
       extraPairs: Option[DataFrame] = None,
       identity: Option[(String, Long)] = None,
-      expectedOverride: Option[CommitId] = None): CommitId = {
+      expectedOverride: Option[CommitId] = None,
+      txn: Option[TableVersions.StreamTxn] = None): CommitId = {
     val spark = df.sparkSession
     val expected = expectedOverride.getOrElse(
       ctx.metastore.tableVersions.currentCommit(table.name))
@@ -354,7 +355,7 @@ object RowOverlay {
             s"${message.content} ${IdentityColumns.markText(column, newHwm)}")
       }
       val update = TableUpdate(
-        TableUpdateMetadata(commitId, user, finalMessage, java.time.Instant.now()), ops)
+        TableUpdateMetadata(commitId, user, finalMessage, java.time.Instant.now(), txn), ops)
       val committed = ctx.metastore.commitIf(table.name, update, expected)
       if (committed.isEmpty) {
         // loser cleans its never-referenced sidecars; fresh version dirs

@@ -204,6 +204,50 @@ object Streams {
       applyVersionedBatch(batch, batchId, ctx, table, user, appId)
     }
 
+  /** APPEND sink (merge-on-read): each micro-batch lands as a ROW OVERLAY
+    * ([[graft.spark.RowOverlay.append]]) — O(batch) written per trigger,
+    * NO partition rewritten, the streaming-ingest shape at 100 TB (the
+    * [[versionedSink]] replace-partitions contract would re-land every
+    * touched partition per micro-batch; an append-mode row stream there
+    * LOSES earlier batches' rows). Exactly-once via the same
+    * [[StreamTxn]] replay detection; a lost strict-OCC race fails the
+    * query loudly and the restarted batch (never committed) retries.
+    * Overlay dirs accumulate one per trigger — schedule OPTIMIZE or
+    * [[graft.spark.RowOverlay.squash]] on the DESCRIBE DETAIL
+    * `live_row_overlays` gauge, like any merge-on-read ingest. */
+  def appendSink[T](
+      stream: Dataset[T],
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      txnAppId: Option[String] = None): DataStreamWriter[T] =
+    stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      val appId = txnAppId.getOrElse(defaultAppId(batch.sparkSession, table))
+      applyAppendBatch(batch, batchId, ctx, table, user, appId)
+    }
+
+  /** One append-sink micro-batch, REPLAY-IDEMPOTENT like
+    * [[applyVersionedBatch]] — without the marker a crash between commit
+    * and checkpoint would land the batch's rows TWICE (append semantics
+    * make duplicate commits fatal, not merely cosmetic). */
+  private[graft] def applyAppendBatch[T](
+      batch: Dataset[T],
+      batchId: Long,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      appId: String): Unit = {
+    val replayed = ctx.metastore.tableVersions
+      .lastTxnBatch(table.name, appId).exists(_ >= batchId)
+    if (!replayed && !batch.isEmpty) {
+      graft.spark.RowOverlay.append(
+        batch.toDF(), ctx, table, user,
+        UpdateMessage(s"append micro-batch $batchId"),
+        txn = Some(StreamTxn(appId, batchId)))
+      ()
+    }
+  }
+
   /** MERGE sink: each micro-batch UPSERTS into `table` by `keyCols`
     * through [[graft.spark.Merge.mergeInto]] — the production CDC-apply
     * shape, complementing [[versionedSink]]'s replace-partitions contract:
