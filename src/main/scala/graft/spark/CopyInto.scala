@@ -175,7 +175,16 @@ object CopyInto {
     val msg = UpdateMessage(
       s"COPY INTO ${table.name.fullyQualifiedName} from $srcDir " +
         s"files=[${fresh.map(fileKey(dir, _)).mkString(";")}]")
-    toWrite.versionedInsertInto(ctx, table, user, msg)
+    // MERGE-ON-READ ingest (`spark.graft.dml.mergeOnRead`): the batch is
+    // an APPEND — under the flag it lands as a row overlay (O(batch), no
+    // partition re-carried; the load-history keys ride the same commit
+    // message). First loads keep the ordinary path (nothing to carry).
+    if (current.columns.nonEmpty &&
+        spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+      RowOverlay.append(batch, ctx, table, user, msg); ()
+    } else {
+      toWrite.versionedInsertInto(ctx, table, user, msg); ()
+    }
     Result(fresh, candidates.filterNot(fresh.contains), rows,
       Some(log.currentCommit(table.name)))
   }

@@ -242,8 +242,24 @@ object RowOverlay {
       ctx.metastore.tableVersions.currentCommit(table.name))
     val log = ctx.metastore.tableVersions
     PartitionEvolution.requireCurrentScheme(spark, log, table)
+    // identity / row-tracking parity for DIRECT callers (streaming append
+    // sink, versionedAppendInto): a declared identity column stamps here
+    // unless the caller already did (SQL INSERT, merge) — rows carrying an
+    // id keep it (the update-postimage/preservation contract), NULL-id
+    // rows mint above the observed mark, and the advanced mark rides this
+    // commit's message like every stamping write path
+    val (df0, identity0) = identity match {
+      case some @ Some(_) => (df, some)
+      case None =>
+        IdentityColumns.declared(spark, table) match {
+          case None => (df, None)
+          case Some(c) =>
+            val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
+            (IdentityColumns.stampedPreserving(df, c, hwm), Some((c, hwm)))
+        }
+    }
     val mapped = ColumnMapping.toPhysical(
-      Constraints.enforced(GeneratedColumns.applied(df, table), table),
+      Constraints.enforced(GeneratedColumns.applied(df0, table), table),
       table, log).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the emptiness probe is folded into partitionValues for partitioned
@@ -320,7 +336,7 @@ object RowOverlay {
       // ACTUALLY present in the files just written (AQE-proof — the
       // [[IdentityColumns.stageAndCommit]] posture), and the mark rides the
       // same atomic commit via the message text
-      val finalMessage = identity match {
+      val finalMessage = identity0 match {
         case None => message
         case Some((column, hwmAtStamp)) =>
           val written = (if (wroteOverlay) List(dir) else Nil) ++ ops.collect {

@@ -266,6 +266,60 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT count(*) FROM graftromx.pdb.mixins WHERE id=1").head.getLong(0) shouldBe 1L
   }
 
+  test("direct appends auto-stamp declared identity ids; COPY INTO honors merge-on-read") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftroas", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftroas", log)
+    val table = TableDefinition(
+      TableName("rodb", "autostamp"),
+      Files.createTempDirectory("graft_rom_as").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftroas", table, Some(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))))
+    Seq(("seed", "2024-01-01")).toDF("kind", "date")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    spark.sql(
+      "ALTER TABLE graftroas.rodb.autostamp ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY")
+    // a DIRECT overlay append (no identity plumbing at the call site)
+    // still stamps unique ids and advances the mark
+    RowOverlay.append(
+      Seq(("a", "2024-01-01"), ("b", "2024-01-01")).toDF("kind", "date"),
+      ctx, table, user, UpdateMessage("direct append"))
+    log.updates(table.name).head.message.content should include("identity:rid hwm=")
+    val ids = ColumnMapping.read(spark, log, table)
+      .where(col("kind").isin("a", "b")).select("rid")
+      .collect().map(_.getLong(0))
+    ids.distinct.length shouldBe 2
+
+    // COPY INTO under merge-on-read: the ingest lands as overlay, no
+    // partition re-carried, load history still deduplicates
+    val landing = Files.createTempDirectory("graft_rom_copy")
+    Seq(("c1", "2024-01-01"), ("c2", "2024-01-01")).toDF("kind", "date")
+      .coalesce(1).write.parquet(landing.resolve("slice1").toString)
+    val fold = log.currentVersion(table.name)
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try {
+      val r1 = CopyInto.ingest(
+        spark, ctx, table, landing.toUri.toString, "parquet", user,
+        pattern = Some("*/*.parquet"))
+      r1.ingestedFiles should have size 1
+      log.currentVersion(table.name) shouldBe fold // pure overlay
+      // idempotent re-run: nothing fresh
+      CopyInto.ingest(
+        spark, ctx, table, landing.toUri.toString, "parquet", user,
+        pattern = Some("*/*.parquet")).ingestedFiles shouldBe empty
+      ColumnMapping.read(spark, log, table)
+        .where(col("kind").isin("c1", "c2")).count() shouldBe 2L
+      // ingested rows got identity ids too (append auto-stamp)
+      ColumnMapping.read(spark, log, table)
+        .where(col("kind").isin("c1", "c2") && col("rid").isNotNull).count() shouldBe 2L
+    } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+  }
+
   test("zone-map skipping composes: overlay rows union unpruned, stats cover dirs only") {
     val (ctx, log, table) = fresh("zm")
     (1L to 50L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
