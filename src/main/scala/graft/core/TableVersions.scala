@@ -131,12 +131,18 @@ trait TableVersions {
       readCommit: CommitId,
       maxRetries: Int = 8,
       wholeTableScope: Boolean = false,
-      revalidate: () => Unit = () => ()): CommitId = {
+      revalidate: () => Unit = () => (),
+      scopeOverride: Option[TableVersions.ConflictScope] = None): CommitId = {
     import TableVersions._
     // `wholeTableScope` widens THIS update's scope to the whole table
     // regardless of its ops — a restructuring commit (partition-scheme
     // evolution) must conflict with EVERY intervening commit, including
     // disjoint new partitions its rewrite could not have seen.
+    // `scopeOverride` NARROWS it instead: a merge-on-read append's ops
+    // cannot express the overlay-touched partitions (no pointer moves),
+    // so the empty op list would default to whole-table and serialize
+    // every concurrent appender; the caller declares the true scope and
+    // pairs it with a `revalidate` guard for the declared partitions.
     // `revalidate` runs once per CAS attempt after the state snapshot and
     // before the conditional commit: a guard that throws here is ordered
     // strictly before this attempt's head check, so a concurrent commit
@@ -144,7 +150,7 @@ trait TableVersions {
     // guard — the validate-then-commit TOCTOU window is closed.
     val mine =
       if (wholeTableScope) (WholeTable: ConflictScope)
-      else conflictScope(update.operations)
+      else scopeOverride.getOrElse(conflictScope(update.operations))
     var attempts = 0
     while (true) {
       val state = tableState(table)
@@ -161,7 +167,20 @@ trait TableVersions {
       val intervening =
         state.updates.slice(idxRead + 1, idxHead + 1).filterNot(_.metadata.detached)
       intervening.foreach { u =>
-        val clash = (mine, conflictScope(u.operations)) match {
+        // a declared-scope caller (scopeOverride) composes with op-less
+        // intervening commits: those move NO pointer (merge-on-read
+        // appends/deletes, metadata markers), so they cannot invalidate a
+        // write whose own validity the caller re-checks per attempt via
+        // `revalidate` — declared partitions unchanged AND the scheme
+        // still current (a metadata-only evolution is op-less too).
+        // Default callers keep the conservative empty-ops-is-whole-table
+        // reading: a rewrite derived before a deletion-vector delete would
+        // resurrect its hidden rows.
+        val theirs =
+          if (scopeOverride.isDefined && u.operations.isEmpty)
+            (Partitions(Set.empty): ConflictScope)
+          else conflictScope(u.operations)
+        val clash = (mine, theirs) match {
           case (WholeTable, _) | (_, WholeTable) => true
           case (Partitions(a), Partitions(b))    => a.exists(b)
         }

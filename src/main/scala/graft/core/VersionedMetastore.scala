@@ -72,10 +72,12 @@ final case class VersionedMetastore(tableVersions: TableVersions, metastore: Met
       update: TableUpdate,
       readCommit: CommitId,
       wholeTableScope: Boolean = false,
-      revalidate: () => Unit = () => ()): (TableVersion, TableChanges) = {
+      revalidate: () => Unit = () => (),
+      scopeOverride: Option[TableVersions.ConflictScope] = None): (TableVersion, TableChanges) = {
     tableVersions.commitRebase(
       table, update, readCommit,
-      wholeTableScope = wholeTableScope, revalidate = revalidate)
+      wholeTableScope = wholeTableScope, revalidate = revalidate,
+      scopeOverride = scopeOverride)
     syncCatalog(table)
   }
 

@@ -69,6 +69,12 @@ object RowOverlay {
 
   private[spark] val SquashedMarker = "_squashed"
 
+  /** Test seam ([[graft.spark.MaterializedView]] discipline): runs inside
+    * [[append]] after the sidecars are staged and before the commit's
+    * critical section — deterministic race injection for the
+    * append-compose specs. */
+  private[spark] var interleaveForTest: Option[() => Unit] = None
+
   private[spark] def appendsDir(table: TableDefinition, id: CommitId): String =
     Partition.normalizedDir(table.location).toString + "_appends/commit-" + id.id
 
@@ -269,9 +275,14 @@ object RowOverlay {
       val dir = appendsDir(table, commitId)
       val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
       var wroteOverlay = false
+      // the observed state — CONSISTENT with `expected` (versionAt, not a
+      // second currentVersion read): the append-compose commit's revalidate
+      // compares the touched partitions' versions against exactly this
+      val observed = log.versionAt(table.name, expected)
+      var touchedExisting: List[Partition] = Nil
       val ops: List[TableOperation] =
         if (table.isSnapshot) {
-          log.currentVersion(table.name) match {
+          observed match {
             case SnapshotTableVersion(v) if v != Version.Unversioned => ()
             case _ =>
               throw new IllegalStateException(
@@ -285,7 +296,7 @@ object RowOverlay {
           }
           Nil
         } else {
-          val pvs = log.currentVersion(table.name) match {
+          val pvs = observed match {
             case PartitionedTableVersion(m) => m
             case other => sys.error(s"unexpected table version $other")
           }
@@ -294,6 +305,7 @@ object RowOverlay {
           val parts = VersionContext.partitionValues(mapped, table.partitionSchema)
           if (parts.isEmpty && extraPairs.isEmpty) return expected
           val existing = parts.filter(pvs.contains)
+          touchedExisting = existing
           val partCols = table.partitionSchema.columns.map(_.name)
           // membership split on the SAME string cast partitionValues used;
           // the existing set is #partitions rows — broadcast at any scale
@@ -336,8 +348,8 @@ object RowOverlay {
       // ACTUALLY present in the files just written (AQE-proof — the
       // [[IdentityColumns.stageAndCommit]] posture), and the mark rides the
       // same atomic commit via the message text
-      val finalMessage = identity0 match {
-        case None => message
+      val (finalMessage, stampInfo) = identity0 match {
+        case None => (message, None)
         case Some((column, hwmAtStamp)) =>
           val written = (if (wroteOverlay) List(dir) else Nil) ++ ops.collect {
             case TableOperation.AddTableVersion(v) =>
@@ -356,33 +368,97 @@ object RowOverlay {
           val stampBase =
             if (hwmAtStamp >= 0L) hwmAtStamp
             else IdentityColumns.effectiveHighWaterMark(spark, log, table, column)
-          // a concurrent writer advancing the mark AFTER this batch's ids
-          // were stamped means the ids overlap; any advance after THIS
-          // check necessarily moves the head, so the strict commitIf below
-          // completes the critical section
-          val hwmNow = IdentityColumns.effectiveHighWaterMark(spark, log, table, column)
-          if (hwmNow != stampBase)
-            throw new TableVersions.ConcurrentWriteException(
-              s"identity column $column of ${table.name.fullyQualifiedName}: a " +
-                s"concurrent writer advanced the high-water mark ($stampBase -> " +
-                s"$hwmNow) after this merge-on-read append's ids were stamped — re-run")
           val newHwm = assignedMax.map(math.max(_, stampBase)).getOrElse(stampBase)
-          UpdateMessage(
-            s"${message.content} ${IdentityColumns.markText(column, newHwm)}")
+          (UpdateMessage(
+            s"${message.content} ${IdentityColumns.markText(column, newHwm)}"),
+            Some((column, stampBase)))
       }
       val update = TableUpdate(
         TableUpdateMetadata(commitId, user, finalMessage, java.time.Instant.now(), txn), ops)
-      val committed = ctx.metastore.commitIf(table.name, update, expected)
-      if (committed.isEmpty) {
-        // loser cleans its never-referenced sidecars; fresh version dirs
-        // stay orphaned for vacuum (the versioned write path's posture)
+      def cleanupSidecars(): Unit =
         try {
           fs.delete(new HPath(dir), true)
           fs.delete(new HPath(DeletionVectors.deletesDirFor(table, commitId)), true)
+          ()
         } catch { case _: java.io.IOException => () }
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit moved ${table.name.fullyQualifiedName} past ${expected.id} " +
-            "during a merge-on-read append; retry against the new state")
+      // a concurrent identity writer advancing the mark AFTER this batch's
+      // ids were stamped means the ids overlap — checked inside whichever
+      // commit critical section runs below
+      def requireStampStillValid(): Unit = stampInfo.foreach { case (column, stampBase) =>
+        val hwmNow = IdentityColumns.effectiveHighWaterMark(spark, log, table, column)
+        if (hwmNow != stampBase)
+          throw new TableVersions.ConcurrentWriteException(
+            s"identity column $column of ${table.name.fullyQualifiedName}: a " +
+              s"concurrent writer advanced the high-water mark ($stampBase -> " +
+              s"$hwmNow) after this merge-on-read append's ids were stamped — re-run")
+      }
+      // deterministic race injection for the append-compose specs: fires
+      // between sidecar staging and the commit's critical section
+      interleaveForTest.foreach(f => f())
+      if (extraPairs.isEmpty && expectedOverride.isEmpty) {
+        // APPEND-COMPOSE commit: pure appends rebase over concurrent
+        // disjoint commits AND over each other (two appends into the same
+        // partition move no pointer — both land). The ops' conflict scope
+        // cannot see the overlay-touched partitions (no op for them), so
+        // the revalidate hook — ordered inside every CAS attempt — refuses
+        // when any touched partition's version moved since `expected`: a
+        // replacement landing mid-append would silently absorb the fresh
+        // rows under the log-derived liveness rule. Writes carrying DV
+        // pairs (UPDATE/MERGE) stay strict below: two pair sidecars
+        // folding the same files' groups must never interleave.
+        // declared scope: the overlay-touched partitions plus any real
+        // ops' partitions (an op-less update would default to whole-table
+        // and serialize every concurrent appender); the revalidate hook
+        // below is the guard that makes the narrow declaration safe
+        val declaredScope: TableVersions.ConflictScope =
+          if (table.isSnapshot) TableVersions.Partitions(Set.empty)
+          else TableVersions.Partitions(
+            touchedExisting.toSet ++ ops.collect {
+              case TableOperation.AddPartitionVersion(p, _) => p
+            })
+        try {
+          ctx.metastore.commitRebase(
+            table.name, update, expected,
+            scopeOverride = Some(declaredScope),
+            revalidate = () => {
+              PartitionEvolution.requireCurrentScheme(spark, log, table)
+              requireStampStillValid()
+              (observed, log.currentVersion(table.name)) match {
+                case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
+                  if (a != b)
+                    throw new TableVersions.ConcurrentWriteException(
+                      s"snapshot ${table.name.fullyQualifiedName} was replaced " +
+                        "during a merge-on-read append — re-run against the new state")
+                case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
+                  touchedExisting.foreach { p =>
+                    if (pb.get(p) != pa.get(p))
+                      throw new TableVersions.ConcurrentWriteException(
+                        s"partition ${p.hivePath} of ${table.name.fullyQualifiedName} " +
+                          "was replaced during a merge-on-read append (the fresh rows " +
+                          "would be silently absorbed) — re-run against the new state")
+                  }
+                case _ =>
+                  throw new TableVersions.ConcurrentWriteException(
+                    s"table ${table.name.fullyQualifiedName} changed partitioning " +
+                      "shape during a merge-on-read append — re-run")
+              }
+            })
+          ()
+        } catch {
+          case e: TableVersions.ConcurrentWriteException =>
+            cleanupSidecars(); throw e
+        }
+      } else {
+        requireStampStillValid()
+        val committed = ctx.metastore.commitIf(table.name, update, expected)
+        if (committed.isEmpty) {
+          // loser cleans its never-referenced sidecars; fresh version dirs
+          // stay orphaned for vacuum (the versioned write path's posture)
+          cleanupSidecars()
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit moved ${table.name.fullyQualifiedName} past ${expected.id} " +
+              "during a merge-on-read append; retry against the new state")
+        }
       }
       commitId
     } finally { mapped.unpersist(); () }

@@ -320,6 +320,53 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.dml.mergeOnRead")
   }
 
+  test("append-compose: concurrent appends to the same partition BOTH land; a racing rewrite refuses") {
+    val (ctx, log, table) = fresh("compose")
+    (1L to 6L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // a competing APPEND lands between this append's staging and its
+    // commit: appends move no pointer, so the rebase + revalidate critical
+    // section composes them — BOTH batches survive, two commits land
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None // the inner append races nobody
+      RowOverlay.append(
+        Seq(Event(200L, "inner", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage("inner append"))
+      ()
+    })
+    try {
+      RowOverlay.append(
+        Seq(Event(100L, "outer", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage("outer append"))
+    } finally RowOverlay.interleaveForTest = None
+    val rows = DeletionVectors.read(spark, log, table)
+    rows.where(col("id").isin(100L, 200L)).count() shouldBe 2L
+    rows.count() shouldBe 8L
+
+    // a competing REWRITE of the touched partition: the revalidate hook
+    // refuses loudly — composing would silently absorb the fresh rows
+    // under the log-derived liveness rule
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None
+      Compaction.compact(spark, ctx, table, user, UpdateMessage("racing optimize"))
+      ()
+    })
+    try {
+      intercept[graft.core.TableVersions.ConcurrentWriteException] {
+        RowOverlay.append(
+          Seq(Event(300L, "late", "2024-01-01")).toDF(), ctx, table, user,
+          UpdateMessage("losing append"))
+      }
+    } finally RowOverlay.interleaveForTest = None
+    val after = DeletionVectors.read(spark, log, table)
+    after.count() shouldBe 8L // the losing append left nothing behind
+    after.where(col("id") === 300L).count() shouldBe 0L
+    // the loser's sidecar dir was cleaned
+    RowOverlay.contributions(spark, log, table, None)
+      .flatMap(_.leaves.map(_._2)).foreach(_ should not include "losing")
+  }
+
   test("zone-map skipping composes: overlay rows union unpruned, stats cover dirs only") {
     val (ctx, log, table) = fresh("zm")
     (1L to 50L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
