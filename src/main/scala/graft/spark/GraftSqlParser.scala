@@ -30,6 +30,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   ALTER TABLE graft.db.t SET PARTITIONED BY (c1, c2)     -- scheme evolution
  *   ALTER TABLE graft.db.t SET PARTITIONED BY (c1) METADATA ONLY
  *   ALTER TABLE graft.db.t CONSOLIDATE PARTITION ERAS      -- deferred rewrite
+ *   ALTER TABLE graft.db.t SQUASH SIDECARS                  -- fold DV + overlay debt
  *   COPY INTO graft.db.t FROM '<dir>' FILEFORMAT = CSV
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  * }}}
@@ -165,6 +166,14 @@ private[spark] object GraftMaintenanceSql {
   private val ConsolidateErasStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+CONSOLIDATE\s+PARTITION\s+ERAS(?:\s+FILES\s+(\d+)\s+PER\s+PARTITION)?\s*;?\s*""".r
 
+  // ALTER TABLE t SQUASH SIDECARS — fold the merge-on-read debt without a
+  // data rewrite: every live deletion-vector sidecar re-anchors as ONE
+  // complete pair set (DeletionVectors.squashSidecars) and every live
+  // row-overlay dir as ONE complete dir (RowOverlay.squash), so reads
+  // open O(1) sidecars again; OPTIMIZE stays the rewrite that absorbs
+  private val SquashSidecarsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SQUASH\s+SIDECARS\s*;?\s*""".r
+
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
     // graft catalog (bound, or declared in the session conf for the
@@ -224,6 +233,8 @@ private[spark] object GraftMaintenanceSql {
     case ConsolidateErasStmt(ident, files) if isGraftCatalogRef(split(ident)) =>
       Some(GraftConsolidateErasCommand(
         parts(ident), Option(files).map(_.toInt).getOrElse(1)))
+    case SquashSidecarsStmt(ident) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftSquashSidecarsCommand(parts(ident)))
     case SetPartitionedStmt(ident, cols, metaOnly) if isGraftCatalogRef(split(ident)) =>
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
@@ -759,6 +770,30 @@ final case class GraftConsolidateErasCommand(
       parts.head, defn,
       GraftTableCatalog.registeredSchema(parts.head, defn.name))
     Seq(Row(if (before > 1) "consolidated" else "noop"))
+  }
+}
+
+/** `ALTER TABLE t SQUASH SIDECARS` — the merge-on-read debt fold without
+  * a data rewrite: live deletion-vector sidecars collapse to ONE complete
+  * pair set ([[DeletionVectors.squashSidecars]]) and live row-overlay
+  * dirs to ONE complete dir ([[RowOverlay.squash]]), both re-anchored at
+  * the current commit so reads open O(1) sidecar dirs again. Time travel
+  * keeps resolving the old anchors; vacuum reclaims them once they age
+  * out of retention. `OPTIMIZE` remains the rewrite that ABSORBS the
+  * debt into data files; this is the cheaper between-rewrites fold. */
+final case class GraftSquashSidecarsCommand(
+    parts: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("squashed_vectors", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("squashed_overlays", org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, registered) = GraftMaintenanceSql.resolve(session, parts)
+    val defn = PartitionEvolution.definitionAt(session, binding.log, registered)
+    val dv = DeletionVectors.squashSidecars(session, binding.log, defn)
+    val ov = RowOverlay.squash(session, binding.log, defn)
+    Seq(Row(dv, ov))
   }
 }
 

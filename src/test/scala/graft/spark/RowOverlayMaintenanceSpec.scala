@@ -367,6 +367,40 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
       .flatMap(_.leaves.map(_._2)).foreach(_ should not include "losing")
   }
 
+  test("SQL ALTER TABLE ... SQUASH SIDECARS folds vectors and overlays in one statement") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.graftrosq", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftrosq", log)
+    val table = TableDefinition(
+      TableName("rodb", "sqsq"),
+      Files.createTempDirectory("graft_rom_sq").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftrosq", table)
+    (1L to 12L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    (1 to 3).foreach { k =>
+      RowOverlay.append(
+        Seq(Event(100L + k, "o", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage(s"a$k"))
+      DeletionVectors.delete(
+        ctx, log, table, col("id") === k.toLong, user, UpdateMessage(s"d$k"))
+    }
+    val r = spark.sql("ALTER TABLE graftrosq.rodb.sqsq SQUASH SIDECARS").head
+    r.getBoolean(0) shouldBe true // vectors folded
+    r.getBoolean(1) shouldBe true // overlays folded
+    RowOverlay.contributions(spark, log, table, None).size shouldBe 1
+    val state = DeletionVectors.read(spark, log, table)
+    state.count() shouldBe 12L // 12 - 3 deletes + 3 appends
+    state.where(col("id") <= 3L).count() shouldBe 0L
+    state.where(col("id") >= 101L).count() shouldBe 3L
+    // idempotent: a second squash is a double no-op
+    val r2 = spark.sql("ALTER TABLE graftrosq.rodb.sqsq SQUASH SIDECARS").head
+    r2.getBoolean(0) shouldBe false
+    r2.getBoolean(1) shouldBe false
+  }
+
   test("zone-map skipping composes: overlay rows union unpruned, stats cover dirs only") {
     val (ctx, log, table) = fresh("zm")
     (1L to 50L).map(i => Event(i, "b", s"2024-01-0${i % 2 + 1}"))
