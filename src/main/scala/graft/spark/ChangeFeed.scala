@@ -290,9 +290,14 @@ object ChangeFeed {
         // scan reads the RAW state at `to` (overlay-inclusive), so it
         // already covers newly-hidden overlay rows — only the in-range
         // overlay INSERTS need adding.
+        // the raw state at `to` can be a Union (base scan + overlay
+        // leaves) and Union carries no _metadata — take the pointer-
+        // attached read, which stamps (file, pos) per scan BEFORE unioning
         val dvDel = newHidden
           .filter(_ => b != Version.Unversioned)
-          .map(nh => tag(hiddenRows(reader.readAsOf(table, to), nh), Delete))
+          .map(nh => tag(
+            hiddenRowsPointed(reader.readPointed(table, Some(to), FileCol, PosCol), nh),
+            Delete))
         (dvDel.toList ++ overlayInserts.toList) match {
           case Nil          => emptyFeed(spark, reader, table, to)
           case head :: rest =>
@@ -356,13 +361,23 @@ object ChangeFeed {
   private def tag(df: DataFrame, tpe: String): DataFrame =
     df.withColumn(ChangeTypeCol, lit(tpe))
 
-  /** The rows of `scan` whose `(file, pos)` pointer is in `pairs`. */
+  /** The rows of `scan` whose `(file, pos)` pointer is in `pairs` —
+    * `scan` must be a DIRECT file scan (never a Union: Union carries no
+    * `_metadata`; overlay-inclusive callers use [[hiddenRowsPointed]]). */
   private def hiddenRows(scan: DataFrame, pairs: DataFrame): DataFrame = {
     if (scan.columns.isEmpty) return scan
     val ptr = scan.select(
       col("*"),
       col("_metadata.file_path").as(FileCol),
       col("_metadata.row_index").as(PosCol))
+    hiddenRowsPointed(ptr, pairs)
+  }
+
+  /** [[hiddenRows]] over a scan that already carries `(FileCol, PosCol)`
+    * pointers — the shape [[VersionedReader.readPointed]] produces, which
+    * stamps pointers per scan before any overlay union. */
+  private def hiddenRowsPointed(ptr: DataFrame, pairs: DataFrame): DataFrame = {
+    if (ptr.columns.isEmpty) return ptr
     ptr
       .join(pairs, ptr(FileCol) === pairs("file") && ptr(PosCol) === pairs("pos"), "left_semi")
       .drop(FileCol, PosCol)

@@ -135,6 +135,61 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
       DeletionVectors.read(spark, log, table, Some(v2)))
   }
 
+  test("snapshot table with live overlay + live DVs: the hidden-row scan resolves (MOR update feed)") {
+    // the exact state after a merge-on-read UPDATE: the raw read at `to`
+    // is a Union (base scan + overlay leaves), and Union carries no
+    // _metadata — the hidden-row scan must come pointer-attached per scan
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "cf_snap_mor"),
+      Files.createTempDirectory("graft_cf_snap_mor").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 20L).map(i => Event(i, s"k$i", "d")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+
+    // live overlay (MOR append), then a MOR UPDATE that vector-hides
+    // base AND overlay rows while adding postimage overlay rows
+    RowOverlay.append(
+      Seq(Event(100L, "o1", "d"), Event(101L, "o2", "d")).toDF(),
+      ctx, table, user, UpdateMessage("mor append"))
+    val afterAppend = log.currentCommit(table.name)
+    RowOverlay.update(
+      ctx, table, col("id") === 3L || col("id") === 100L,
+      Seq("kind" -> org.apache.spark.sql.functions.lit("upd")),
+      user, UpdateMessage("mor update")) shouldBe 2L
+    val head = log.currentCommit(table.name)
+
+    // the append range: pure overlay inserts
+    val appendFeed = ChangeFeed.read(spark, log, table, Some(v1), afterAppend)
+    appendFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+      .count() shouldBe 2L
+    appendFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+      .count() shouldBe 0L
+
+    // the update range crosses live DVs + a live overlay at BOTH endpoints
+    val updFeed = ChangeFeed.read(spark, log, table, Some(afterAppend), head)
+    val dels = updFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+    dels.count() shouldBe 2L
+    dels.select("id").as[Long].collect().toSet shouldBe Set(3L, 100L)
+    val ins = updFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+    ins.count() shouldBe 2L
+    ins.select("kind").as[String].collect().toSet shouldBe Set("upd")
+
+    // replay across every sub-range and the whole range
+    multisetEqual(
+      ChangeFeed.replay(
+        DeletionVectors.read(spark, log, table, Some(afterAppend)), updFeed),
+      DeletionVectors.read(spark, log, table, Some(head)))
+    multisetEqual(
+      ChangeFeed.replay(
+        DeletionVectors.read(spark, log, table, Some(v1)),
+        ChangeFeed.read(spark, log, table, Some(v1), head)),
+      DeletionVectors.read(spark, log, table, Some(head)))
+  }
+
   test("the feed speaks the to-state's logical schema across a mid-range rename") {
     val (ctx, log, table) = freshTable("cf_mapped")
     (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
