@@ -1714,7 +1714,7 @@ object Versioned {
       "the scoped rewrite must shed exactly the R partition's vectors")
 
     // squash: one contributing dir serves every subsequent read
-    require(DeletionVectors.squashSidecars(s, log, table),
+    require(DeletionVectors.squashSidecars(s, ctx, table, user, UpdateMessage("squash sidecars")),
       "multiple sidecar dirs expected before the squash")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       table.location, s.sessionState.newHadoopConf())

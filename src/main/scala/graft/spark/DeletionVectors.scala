@@ -278,19 +278,30 @@ object DeletionVectors {
   }
 
   /** DV maintenance: fold every contributing sidecar into ONE sidecar at
-    * the current commit (live groups carried, every older-mentioned file
-    * without live pairs tombstoned), so subsequent reads open O(1) sidecar
-    * dirs instead of one per delete commit — the DV analogue of log
-    * checkpointing. Old sidecars stay on disk for time travel and reclaim
-    * via [[Vacuum]] once their anchors age out of retention. No-op (false)
-    * when 0 or 1 dirs contribute. */
+    * a fresh squash COMMIT (live groups carried, every older-mentioned
+    * file without live pairs tombstoned), so subsequent reads open O(1)
+    * sidecar dirs instead of one per delete commit — the DV analogue of
+    * log checkpointing. Old sidecars stay on disk for time travel and
+    * reclaim via [[Vacuum]] once their anchors age out of retention.
+    * No-op (false) when 0 or 1 dirs contribute.
+    *
+    * CONCURRENCY ([[RowOverlay.squash]] posture): the fold resolves at an
+    * anchor captured on entry and publishes through a strict `commitIf`
+    * CAS against it — the sidecar is keyed by the NEW commit id (invisible
+    * until the commit lands), no existing sidecar is touched, and any
+    * concurrent delete/append/replace makes the CAS lose: the
+    * never-referenced sidecar is removed and the squash refuses loudly. */
   def squashSidecars(
       spark: SparkSession,
-      log: TableVersions,
-      table: TableDefinition): Boolean = {
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      message: UpdateMessage): Boolean = {
+    val log = ctx.metastore.tableVersions
     val conf = spark.sessionState.newHadoopConf()
     val fs = org.apache.hadoop.fs.FileSystem.get(table.location, conf)
-    val dirs = liveSidecarDirs(fs, log, table, None)
+    val anchor = log.currentCommit(table.name)
+    val dirs = liveSidecarDirs(fs, log, table, Some(anchor))
     if (dirs.sizeIs <= 1) return false
     // every mentioned file must appear in the squash: a live group by its
     // pairs, a dead/tombstoned group by a tombstone — otherwise the older
@@ -299,14 +310,24 @@ object DeletionVectors {
       .map(d => spark.read.parquet(d).select(col("file")))
       .reduce(_ union _)
       .distinct()
-    val live = resolvePairs(spark, log, table, None)
+    val live = resolvePairs(spark, log, table, Some(anchor))
       .getOrElse(return false)
     val tombstones = mentioned
       .join(live.select(col("file")).distinct(), Seq("file"), "left_anti")
       .withColumn("pos", lit(Tombstone))
+    val commitId = CommitId(UUID.randomUUID().toString)
     writeSidecar(
-      spark, table, live.unionByName(tombstones),
-      log.currentCommit(table.name), squash = true)
+      spark, table, live.unionByName(tombstones), commitId, squash = true)
+    RowOverlay.interleaveSquashForTest.foreach(f => f())
+    val update = TableUpdate(
+      TableUpdateMetadata(commitId, user, message, java.time.Instant.now(), None), Nil)
+    if (ctx.metastore.commitIf(table.name, update, anchor).isEmpty) {
+      try { fs.delete(new org.apache.hadoop.fs.Path(deletesDirFor(table, commitId)), true); () }
+      catch { case _: java.io.IOException => () }
+      throw new TableVersions.ConcurrentWriteException(
+        s"concurrent commit moved ${table.name.fullyQualifiedName} past ${anchor.id} " +
+          "during a deletion-vector squash — nothing changed, re-run")
+    }
     true
   }
 

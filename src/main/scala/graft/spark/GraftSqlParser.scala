@@ -791,8 +791,11 @@ final case class GraftSquashSidecarsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, registered) = GraftMaintenanceSql.resolve(session, parts)
     val defn = PartitionEvolution.definitionAt(session, binding.log, registered)
-    val dv = DeletionVectors.squashSidecars(session, binding.log, defn)
-    val ov = RowOverlay.squash(session, binding.log, defn)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val dv = DeletionVectors.squashSidecars(
+      session, ctx, defn, UserId("sql"), UpdateMessage("SQUASH SIDECARS: deletion vectors (SQL)"))
+    val ov = RowOverlay.squash(
+      session, ctx, defn, UserId("sql"), UpdateMessage("SQUASH SIDECARS: row overlay (SQL)"))
     Seq(Row(dv, ov))
   }
 }

@@ -137,28 +137,45 @@ object PartitionEvolution {
   private[spark] val interleaveRegistryForTest =
     new scala.util.DynamicVariable[Option[() => Unit]](None)
 
+  /** Test seam: runs between a rewrite's fresh re-read and its rename —
+    * the window the round-16 audit flagged: a racer completing a FULL
+    * write+verify cycle in here would be clobbered by our rename while
+    * our verify (which only checks our own edit) still passed. The
+    * [[MetadataLock]] closes it: a full cycle injected here blocks on
+    * the lock until ours releases. */
+  private[spark] val interleaveRegistryReadForTest =
+    new scala.util.DynamicVariable[Option[() => Unit]](None)
+
   private def mutateRegistry(
       spark: SparkSession, table: TableDefinition)(
-      transform: List[SchemeState] => List[SchemeState]): Unit = {
-    var attempts = 0
-    var done = false
-    while (!done) {
-      attempts += 1
-      val fresh = states(spark, table)
-      val next = transform(fresh)
-      if (next == fresh) done = true
-      else {
-        write(spark, table, next)
-        interleaveRegistryForTest.value.foreach(_.apply())
-        if (states(spark, table) == next) done = true
-        else if (attempts >= 20)
-          throw new IllegalStateException(
-            s"partition-scheme registry for ${table.name.fullyQualifiedName} " +
-              s"kept moving under $attempts merge attempts (${filePath(table)}) — " +
-              "concurrent evolves are thrashing; re-run the losing operation")
+      transform: List[SchemeState] => List[SchemeState]): Unit =
+    // MUTUAL EXCLUSION, not just verify-retry: the whole
+    // read-transform-rename-verify cycle runs under the registry file's
+    // create-exclusive lock (keyed by the file PATH, so shared-location
+    // clones contend on the same lock). Verify-retry stays as the
+    // belt-and-suspenders check — it also converges against writers that
+    // bypass the lock (an older binary, a hand edit).
+    MetadataLock.withLock(spark.sessionState.newHadoopConf(), filePath(table)) {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        val fresh = states(spark, table)
+        interleaveRegistryReadForTest.value.foreach(_.apply())
+        val next = transform(fresh)
+        if (next == fresh) done = true
+        else {
+          write(spark, table, next)
+          interleaveRegistryForTest.value.foreach(_.apply())
+          if (states(spark, table) == next) done = true
+          else if (attempts >= 20)
+            throw new IllegalStateException(
+              s"partition-scheme registry for ${table.name.fullyQualifiedName} " +
+                s"kept moving under $attempts merge attempts (${filePath(table)}) — " +
+                "concurrent evolves are thrashing; re-run the losing operation")
+        }
       }
     }
-  }
 
   /** The newest scheme state anchored at-or-before `at` in this table's
     * lineage; None = never evolved (or `at` predates the first record).

@@ -75,6 +75,11 @@ object RowOverlay {
     * append-compose specs. */
   private[spark] var interleaveForTest: Option[() => Unit] = None
 
+  /** Race seam for [[squash]]: fires after the squashed dir is staged and
+    * before the publish CAS — a commit injected here must make the squash
+    * refuse with nothing lost. */
+  private[spark] var interleaveSquashForTest: Option[() => Unit] = None
+
   private[spark] def appendsDir(table: TableDefinition, id: CommitId): String =
     Partition.normalizedDir(table.location).toString + "_appends/commit-" + id.id
 
@@ -106,7 +111,10 @@ object RowOverlay {
     val (before, rest) = existing.span { case (_, d) =>
       !fs.exists(new HPath(d, SquashedMarker))
     }
-    before.toList ++ rest.toList.take(1)
+    // consume lazily so the walk TRULY stops at the squashed dir — forcing
+    // `rest` would fs.exists-probe every remaining lineage commit
+    val kept = before.toList
+    kept ++ rest.take(1).toList
   }
 
   /** Whether any overlay dir contributes to the state at `at` — the cheap
@@ -449,7 +457,14 @@ object RowOverlay {
             cleanupSidecars(); throw e
         }
       } else {
-        requireStampStillValid()
+        try requireStampStillValid()
+        catch {
+          // same posture as the rebase branch: the loser's staged overlay
+          // and pair dirs are never-referenced — clean them, don't leave
+          // them for vacuum
+          case e: TableVersions.ConcurrentWriteException =>
+            cleanupSidecars(); throw e
+        }
         val committed = ctx.metastore.commitIf(table.name, update, expected)
         if (committed.isEmpty) {
           // loser cleans its never-referenced sidecars; fresh version dirs
@@ -465,7 +480,7 @@ object RowOverlay {
   }
 
   /** Overlay maintenance: fold every live overlay contribution into ONE
-    * `_squashed` dir anchored at the current commit — subsequent reads
+    * `_squashed` dir anchored at a fresh squash COMMIT — subsequent reads
     * open O(1) overlay dirs however many append commits preceded (the
     * [[DeletionVectors.squashSidecars]] analogue). Only LIVE rows are
     * carried (DV-hidden overlay rows drop physically; their pairs become
@@ -474,40 +489,60 @@ object RowOverlay {
     * age out. No-op (false) when 0 or 1 dirs contribute. Refuses on a
     * mixed partition-scheme fold: re-landing old-era rows under the
     * current scheme would re-key their liveness to partitions that have
-    * no dir. Like the DV squash, assumes no concurrent rollback. */
+    * no dir.
+    *
+    * CONCURRENCY: the fold is computed at an anchor captured ON ENTRY and
+    * published through a strict `commitIf` CAS against that anchor — the
+    * squashed dir is keyed by the NEW commit id, so it is invisible until
+    * the commit lands (the append-sidecar staging posture) and NO existing
+    * dir is ever deleted or renamed. A concurrent append, DV delete,
+    * replacement or rollback landing anywhere in the window moves the
+    * pointer, the CAS loses, the never-referenced dir is removed and the
+    * squash refuses loudly ([[graft.core.TableVersions.ConcurrentWriteException]])
+    * — nothing is lost, re-run. A crash before the commit leaves only an
+    * unreferenced dir for [[Vacuum]]. */
   def squash(
       spark: SparkSession,
-      log: TableVersions,
-      table: TableDefinition): Boolean = {
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      message: UpdateMessage): Boolean = {
+    val log = ctx.metastore.tableVersions
     PartitionEvolution.requireUniformFold(log, table, "row-overlay squash")
-    val contribs = contributions(spark, log, table, None)
+    // OCC anchor FIRST: contributions and pair resolution both resolve at
+    // exactly this commit; the publish CAS below refuses if anything moved
+    val anchor = log.currentCommit(table.name)
+    val contribs = contributions(spark, log, table, Some(anchor))
     if (contribs.sizeIs <= 1) return false
     val fileCol = "__ro_file"; val posCol = "__ro_pos"
-    val widened = ColumnMapping.widenedTypesAt(spark, log, table, None)
+    val widened = ColumnMapping.widenedTypesAt(spark, log, table, Some(anchor))
     val unioned = contribs
       .map(c => loadLeaves(spark, table, c.dir, c.leaves, Some((fileCol, posCol)), widened))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val live = (DeletionVectors.resolvePairs(spark, log, table, None) match {
+    val live = (DeletionVectors.resolvePairs(spark, log, table, Some(anchor)) match {
       case None => unioned
       case Some(dv) =>
         unioned.join(
           dv, unioned(fileCol) === dv("file") && unioned(posCol) === dv("pos"), "left_anti")
     }).drop(fileCol, posCol)
-    val anchor = log.currentCommit(table.name)
-    val dir = appendsDir(table, anchor)
+    val commitId = CommitId(UUID.randomUUID().toString)
+    val dir = appendsDir(table, commitId) // invisible until the commit lands
     val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
-    // stage + swap (the DV-sidecar publish posture): the anchor may itself
-    // hold an overlay dir (the newest contribution) — its live rows are
-    // already in `live`, so the swap replaces it wholesale
-    val staged = new HPath(dir + "-staging-" + UUID.randomUUID().toString)
     val writer = live.write.format(table.format.name)
-    if (table.isSnapshot) writer.save(staged.toString)
+    if (table.isSnapshot) writer.save(dir)
     else writer.partitionBy(table.partitionSchema.columns.map(_.name): _*)
-      .save(staged.toString)
-    fs.create(new HPath(staged, SquashedMarker), true).close()
-    fs.delete(new HPath(dir), true)
-    if (!fs.rename(staged, new HPath(dir)))
-      throw new java.io.IOException(s"failed to publish row-overlay squash $dir")
+      .save(dir)
+    fs.create(new HPath(dir, SquashedMarker), true).close()
+    interleaveSquashForTest.foreach(f => f())
+    val update = TableUpdate(
+      TableUpdateMetadata(commitId, user, message, java.time.Instant.now(), None), Nil)
+    if (ctx.metastore.commitIf(table.name, update, anchor).isEmpty) {
+      try { fs.delete(new HPath(dir), true); () }
+      catch { case _: java.io.IOException => () }
+      throw new TableVersions.ConcurrentWriteException(
+        s"concurrent commit moved ${table.name.fullyQualifiedName} past ${anchor.id} " +
+          "during a row-overlay squash — nothing changed, re-run")
+    }
     true
   }
 

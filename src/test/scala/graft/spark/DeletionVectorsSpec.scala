@@ -309,21 +309,21 @@ class DeletionVectorsSpec extends AnyFunSuite with Matchers {
       .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
     DeletionVectors.delete(ctx, log, table, col("id") <= 5, user, UpdateMessage("d1"))
     DeletionVectors.delete(ctx, log, table, col("id").between(6, 9), user, UpdateMessage("d2"))
+    val afterD2 = log.currentCommit(table.name) // the d2 commit
     DeletionVectors.delete(ctx, log, table, col("id") === 10, user, UpdateMessage("d3"))
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       table.location, spark.sessionState.newHadoopConf())
     DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 3
 
-    DeletionVectors.squashSidecars(spark, log, table) shouldBe true
+    DeletionVectors.squashSidecars(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
     // one dir serves every subsequent read; content unchanged
     DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 1
     DeletionVectors.read(spark, log, table).count() shouldBe 50L
     DeletionVectors.resolvePairs(spark, log, table, None).get.count() shouldBe 10L
     // idempotent-ish: nothing left to fold
-    DeletionVectors.squashSidecars(spark, log, table) shouldBe false
+    DeletionVectors.squashSidecars(spark, ctx, table, user, UpdateMessage("squash")) shouldBe false
     // time travel to a mid-history state still resolves the OLD dirs
-    val afterD2 = log.updates(table.name)(1).id
     DeletionVectors.read(spark, log, table, Some(afterD2)).count() shouldBe 51L
   }
 

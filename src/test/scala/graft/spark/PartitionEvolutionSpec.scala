@@ -687,6 +687,61 @@ class PartitionEvolutionSpec extends AnyFunSuite with Matchers {
     }).getMessage should include("stale scheme")
   }
 
+  test("registry lock: a racer's FULL write+verify cycle inside our read→rename window blocks; both edits survive") {
+    // the round-16 `weak`: without mutual exclusion, a racer that
+    // completes its whole cycle (write + verify-own-edit passes) inside
+    // our re-read→rename gap is silently clobbered by our rename. The
+    // MetadataLock serializes whole cycles, so the injected racer BLOCKS
+    // until ours releases — then lands, and both edits survive.
+    val (ctx, log) = fresh()
+    val t = table("evo_registry_lock", "date")
+    ctx.init(t, user, UpdateMessage("init"))
+    (1L to 6L).map(i => Event(i, if (i % 2 == 0) "x" else "y", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    val racerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var racer: Thread = null
+    var blockedWhileHeld = false
+    var fired = false
+    val inject: () => Unit = () => {
+      if (!fired) {
+        fired = true
+        racer = new Thread {
+          override def run(): Unit = {
+            // a full registry rewrite cycle of its own (cloneStateTo is
+            // mutateRegistry-backed): must serialize behind our lock
+            PartitionEvolution.cloneStateTo(
+              spark, t,
+              PartitionEvolution.SchemeState("racer-anchor", List("region"), None),
+              graft.core.TableVersions.CommitId("racer-anchor"),
+              TableName("test", "other"))
+            racerDone.set(true)
+          }
+        }
+        racer.start()
+        Thread.sleep(300) // give the racer time to reach the lock
+        blockedWhileHeld = !racerDone.get() // still waiting = excluded
+      }
+    }
+    val evolved = PartitionEvolution.interleaveRegistryReadForTest.withValue(Some(inject)) {
+      PartitionEvolution.evolve(
+        spark, ctx, t, PartitionSchema(List(PartitionColumn("kind"))), user)
+    }
+    racer.join(60000)
+    racerDone.get() shouldBe true
+    blockedWhileHeld shouldBe true
+
+    // both edits survived: the evolve governs, the racer's entry persists
+    PartitionEvolution.schemeAt(spark, log, t, None)
+      .columns.map(_.name) shouldBe List("kind")
+    VersionedReader(spark, log).read(evolved).count() shouldBe 6L
+    val text = new String(Files.readAllBytes(registryPath(t)), "UTF-8")
+    text should include("racer-anchor")
+    // the lock file released
+    Files.exists(
+      registryPath(t).getParent.resolve("._partitioning.json.lock")) shouldBe false
+  }
+
   test("a racer's rename landing AFTER our registry publish is detected and re-merged (verify-retry)") {
     val (ctx, log) = fresh()
     val t = table("evo_registry_retry", "date")

@@ -51,7 +51,7 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
     DeletionVectors.delete(
       ctx, log, table, col("id") === 102L, user, UpdateMessage("del overlay row")) shouldBe 1L
 
-    RowOverlay.squash(spark, log, table) shouldBe true
+    RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
     val after = DeletionVectors.read(spark, log, table)
     after.count() shouldBe 23L // 20 base + 4 appends - 1 delete
     after.where(col("id") === 102L).count() shouldBe 0L
@@ -62,7 +62,7 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
     // time travel to pre-squash still resolves the old dirs
     DeletionVectors.read(spark, log, table, Some(preSquash)).count() shouldBe 24L
     // idempotent no-op on a single contributing dir
-    RowOverlay.squash(spark, log, table) shouldBe false
+    RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash")) shouldBe false
 
     // checkpoint guard: pre-squash anchors still serve retained states —
     // folding them refuses; with retention covering the squash it passes
@@ -71,6 +71,70 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
       DeletionVectors.requireCheckpointKeepsVectors(spark, log, table, keepLast = 1)
     }
     thrown.getMessage should include("sidecar")
+  }
+
+  test("squash OCC: a commit racing into the fold window makes the squash refuse with nothing lost") {
+    val (ctx, log, table) = fresh("squash_occ")
+    (1L to 10L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    (1 to 3).foreach { k =>
+      RowOverlay.append(
+        Seq(Event(100L + k, "o", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage(s"append $k"))
+    }
+    // a merge-on-read append lands INSIDE the squash's window (after the
+    // fold is computed and staged, before its publish CAS): the squash
+    // must refuse — publishing would anchor the squashed dir past the
+    // append and silently drop its rows from every subsequent read
+    RowOverlay.interleaveSquashForTest = Some(() => {
+      RowOverlay.interleaveSquashForTest = None
+      RowOverlay.append(
+        Seq(Event(200L, "late", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage("racing append"))
+      ()
+    })
+    try {
+      intercept[TableVersions.ConcurrentWriteException] {
+        RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash"))
+      }
+    } finally RowOverlay.interleaveSquashForTest = None
+    // nothing lost: the racing append's row AND every pre-squash row read back
+    val ids = DeletionVectors.read(spark, log, table)
+      .select("id").as[Long].collect().toSet
+    ids should contain allOf (200L, 101L, 102L, 103L)
+    ids.size shouldBe 14
+    // the refused squash left no referenced debris: a clean squash now
+    // folds everything, racing row included
+    RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
+    RowOverlay.contributions(spark, log, table, None).size shouldBe 1
+    DeletionVectors.read(spark, log, table)
+      .select("id").as[Long].collect().toSet shouldBe ids
+  }
+
+  test("DV squash OCC: a racing delete makes the sidecar squash refuse; its pairs survive") {
+    val (ctx, log, table) = fresh("dv_squash_occ")
+    (1L to 30L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    DeletionVectors.delete(ctx, log, table, col("id") <= 3, user, UpdateMessage("d1"))
+    DeletionVectors.delete(ctx, log, table, col("id") === 4, user, UpdateMessage("d2"))
+    RowOverlay.interleaveSquashForTest = Some(() => {
+      RowOverlay.interleaveSquashForTest = None
+      DeletionVectors.delete(ctx, log, table, col("id") === 5, user, UpdateMessage("racing"))
+      ()
+    })
+    try {
+      intercept[TableVersions.ConcurrentWriteException] {
+        DeletionVectors.squashSidecars(spark, ctx, table, user, UpdateMessage("squash"))
+      }
+    } finally RowOverlay.interleaveSquashForTest = None
+    // the racing delete held: 30 - 5 visible
+    DeletionVectors.read(spark, log, table).count() shouldBe 25L
+    // clean squash folds all three sidecars, racing pairs included
+    DeletionVectors.squashSidecars(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
+    DeletionVectors.read(spark, log, table).count() shouldBe 25L
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 1
   }
 
   test("vacuum reclaims orphaned overlay dirs, keeps live ones") {
