@@ -277,6 +277,62 @@ object SoakMaintenance {
       f"scaled MOR $insMorN%.2fs vs CoW $insCowN%.2fs at scale $scale " +
         "(CoW carries every touched partition; MOR writes only the batch)")
 
+    // --------------------------------------------- overlay debt / squash
+    // claim (r17): without maintenance every merge-on-read append adds a
+    // read-side union leg + existence probe; auto-squash bounds the debt
+    // so a read after N appends costs ~ a read after a full squash, not
+    // N union legs. Three tables, same content: debt (N raw appends),
+    // auto (sink wiring: autoSquash after each append), squashed (debt
+    // then one manual squash).
+    locally {
+      val nAppends = 48
+      def overlayRound(tag: String, maintained: Boolean): (Double, TableDefinition, VersionContext) = {
+        val log = new InMemoryTableVersions
+        val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+        val t = TableDefinition(
+          TableName("db", s"ovdebt$tag"),
+          Files.createTempDirectory(s"graft_soakov_$tag").toUri,
+          PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+        ctx.init(t, user, UpdateMessage("init"))
+        li.limit(0).unionByName(li.where(col("l_orderkey") % 7 === 0))
+          .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+        val batch = li.where(col("l_orderkey") % 997 === 0).cache()
+        batch.count()
+        (1 to nAppends).foreach { k =>
+          graft.spark.RowOverlay.append(
+            batch.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L)),
+            ctx, t, user, UpdateMessage(s"append $k"))
+          if (maintained) {
+            graft.spark.RowOverlay.autoSquash(spark, ctx, t, user, maxDirs = 8)
+            ()
+          }
+        }
+        batch.unpersist()
+        val (sec, _) = time(
+          graft.spark.DeletionVectors.read(spark, log, t)
+            .groupBy("l_returnflag")
+            .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect())
+        (sec, t, ctx)
+      }
+      val (debtSec, debtT, debtCtx) = overlayRound("raw", maintained = false)
+      val (autoSec, autoT, _) = overlayRound("auto", maintained = true)
+      // one manual squash over the debt table = the O(1)-dirs floor
+      graft.spark.RowOverlay.squash(
+        spark, debtCtx, debtT, user, UpdateMessage("squash"))
+      val (squashedSec, _) = time(
+        graft.spark.DeletionVectors.read(
+          spark, debtCtx.metastore.tableVersions, debtT)
+          .groupBy("l_returnflag")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect())
+      val _ = autoT
+      println(s"""{"metric":"overlay_debt","appends":$nAppends,""" +
+        s""""read_debt":$debtSec,"read_auto":$autoSec,"read_squashed":$squashedSec}""")
+      guard("auto_squash_bounds_read_debt",
+        autoSec <= math.max(1.5 * squashedSec, squashedSec + 0.5),
+        f"auto-maintained read $autoSec%.2fs vs squashed floor $squashedSec%.2fs " +
+          f"(raw $nAppends-append debt read: $debtSec%.2fs)")
+    }
+
     println(s"""{"summary":"soak-maintenance","scale":$scale,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()

@@ -2100,6 +2100,17 @@ object Registry {
              |FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s19_auto_squash" -> Entry(
+      StreamingQueries.s19AutoSquash,
+      // self-maintaining append sink: five paced overlay batches, folded
+      // by the sink's auto-squash to ONE contributing dir (pinned
+      // in-query, with zero pointer moves); content = preload + slices =
+      // the whole table
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s15_stream_keyed_feed" -> Entry(
       StreamingQueries.s15StreamKeyedFeed,
       // three paced batches (full load, DV delete, R rework) through the

@@ -899,4 +899,74 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** S19: SELF-MAINTAINING STREAMING INGEST — the append sink's
+    * auto-squash ([[graft.streaming.Streams.appendSink]] with
+    * `autoSquashMaxDirs`): five paced micro-batches land five overlay
+    * dirs on the target, and the sink folds them whenever more than two
+    * contribute, so reads open O(1) overlay dirs however long the stream
+    * runs — no operator watching the DESCRIBE DETAIL gauge, the
+    * [[graft.spark.Compaction.autoCompact]] posture for sidecar debt.
+    * Pinned in-query: the final contributing-dir count is 1 (not 5), at
+    * least one AUTO SQUASH commit landed, no target partition pointer
+    * ever moved, and the row content equals the plain union the oracle
+    * recomputes. */
+  def s19AutoSquash(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))),
+        FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val src = mkTable("asq_src")
+    val dst = mkTable("asq_dst")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.where(col("l_quantity") <= 10)
+      .versionedInsertInto(ctx, dst, user, UpdateMessage("dst preload"))
+    val foldBefore = log.currentVersion(dst.name)
+
+    // five disjoint quantity slices, one source commit (= one micro-batch)
+    // each; every append hits existing partitions — pure overlay
+    val slices = List((10, 18), (18, 26), (26, 34), (34, 42), (42, 50))
+    li.where(col("l_quantity") > slices.head._1 && col("l_quantity") <= slices.head._2)
+      .versionedInsertInto(ctx, src, user, UpdateMessage("src slice 1"))
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.streaming.Streams.appendSink(
+        graft.spark.VersionedStream.readStream(s, log, src),
+        ctx, dst, user, txnAppId = Some("s19"), autoSquashMaxDirs = 2).start()
+    }
+    try {
+      q.processAllAvailable()
+      slices.tail.zipWithIndex.foreach { case ((lo, hi), i) =>
+        li.where(col("l_quantity") > lo && col("l_quantity") <= hi)
+          .versionedInsertInto(ctx, src, user, UpdateMessage(s"src slice ${i + 2}"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    require(log.currentVersion(dst.name) == foldBefore,
+      "auto-squashed streaming ingest must not move target partition pointers")
+    // the debt stayed bounded WITHOUT manual maintenance: one contributing
+    // dir (the newest fold), not one per trigger
+    val contribs = graft.spark.RowOverlay.contributions(s, log, dst, None)
+    require(contribs.sizeIs <= 2,
+      s"auto-squash must bound live overlay dirs, found ${contribs.size}")
+    require(log.updates(dst.name).exists(_.message.content.startsWith("AUTO SQUASH")),
+      "at least one auto-squash commit must have landed")
+
+    graft.spark.DeletionVectors.read(s, log, dst)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -331,6 +331,26 @@ object DeletionVectors {
     true
   }
 
+  /** AUTO-SQUASH ([[RowOverlay.autoSquash]] posture): fold the pair
+    * sidecars via [[squashSidecars]] when more than `maxDirs` contribute
+    * to current reads; no-op below the threshold. Best-effort under
+    * concurrency — the underlying squash refuses loudly on a racing
+    * commit. Returns whether a squash happened. */
+  def autoSquash(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      maxDirs: Int = 16): Boolean = {
+    require(maxDirs >= 1, "autoSquash maxDirs must be >= 1")
+    val log = ctx.metastore.tableVersions
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    if (liveSidecarDirs(fs, log, table, None).sizeIs <= maxDirs) false
+    else squashSidecars(spark, ctx, table, user,
+      UpdateMessage(s"AUTO SQUASH deletion vectors (>$maxDirs sidecars)"))
+  }
+
   /** SHALLOW-CLONE carry: materialize the RESOLVED live pair state of
     * `table` at `at` as one COMPLETE (`_squashed`) sidecar anchored at
     * `anchor` — the clone's first state commit. The clone's lineage holds

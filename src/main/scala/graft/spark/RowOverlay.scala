@@ -169,7 +169,7 @@ object RowOverlay {
     * iff its partition's version is UNCHANGED between the dir's anchor
     * and `at`. Metadata-scale: one lineage walk + one `versionAt` fold +
     * one listing per contributing dir. */
-  private[spark] def contributions(
+  private[graft] def contributions(
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
@@ -544,6 +544,31 @@ object RowOverlay {
           "during a row-overlay squash — nothing changed, re-run")
     }
     true
+  }
+
+  /** AUTO-SQUASH — the merge-on-read analogue of
+    * [[Compaction.autoCompact]]: when more than `maxDirs` overlay dirs
+    * contribute to current reads (each one is an fs-existence probe plus
+    * a union leg on EVERY read), fold them via [[squash]]; below the
+    * threshold it is a no-op, not a junk history entry. The streaming
+    * append sink calls this per micro-batch so a long-running stream
+    * self-maintains instead of accruing one dir per trigger until an
+    * operator notices the DESCRIBE DETAIL gauge. Best-effort under
+    * concurrency: a racing commit makes the underlying squash refuse —
+    * callers that cannot tolerate the throw (the sink) catch it and let
+    * the next trigger retry. Returns whether a squash happened. */
+  def autoSquash(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId,
+      maxDirs: Int = 16): Boolean = {
+    require(maxDirs >= 1, "autoSquash maxDirs must be >= 1")
+    val log = ctx.metastore.tableVersions
+    val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+    if (rawOverlayDirs(fs, log, table, None).sizeIs <= maxDirs) false
+    else squash(spark, ctx, table, user,
+      UpdateMessage(s"AUTO SQUASH row overlay (>$maxDirs dirs)"))
   }
 
   /** SHALLOW-CLONE carry ([[ShallowClone]]): materialize the source's

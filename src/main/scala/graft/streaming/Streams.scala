@@ -212,18 +212,37 @@ object Streams {
     * LOSES earlier batches' rows). Exactly-once via the same
     * [[StreamTxn]] replay detection; a lost strict-OCC race fails the
     * query loudly and the restarted batch (never committed) retries.
-    * Overlay dirs accumulate one per trigger — schedule OPTIMIZE or
-    * [[graft.spark.RowOverlay.squash]] on the DESCRIBE DETAIL
-    * `live_row_overlays` gauge, like any merge-on-read ingest. */
+    *
+    * SELF-MAINTAINING: overlay dirs accumulate one per trigger, and each
+    * live dir costs every read an existence probe plus a union leg — at a
+    * 1-minute cadence that is ~1.4k dirs/day of read debt. So after each
+    * batch the sink runs [[graft.spark.RowOverlay.autoSquash]] (folding
+    * the dirs to ONE once more than `autoSquashMaxDirs` contribute — the
+    * [[graft.spark.Compaction.autoCompact]] posture for sidecar pressure;
+    * `autoSquashMaxDirs = 0` disables). The squash is OCC'd and
+    * best-effort: a racing external commit makes it refuse, the batch
+    * still succeeds, and the next trigger retries the fold. */
   def appendSink[T](
       stream: Dataset[T],
       ctx: VersionContext,
       table: TableDefinition,
       user: UserId,
-      txnAppId: Option[String] = None): DataStreamWriter[T] =
+      txnAppId: Option[String] = None,
+      autoSquashMaxDirs: Int = 16): DataStreamWriter[T] =
     stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
       val appId = txnAppId.getOrElse(defaultAppId(batch.sparkSession, table))
       applyAppendBatch(batch, batchId, ctx, table, user, appId)
+      if (autoSquashMaxDirs > 0) {
+        try {
+          graft.spark.RowOverlay.autoSquash(
+            batch.sparkSession, ctx, table, user, maxDirs = autoSquashMaxDirs)
+          ()
+        } catch {
+          // maintenance must never fail the ingest: a racing commit made
+          // the fold refuse (nothing changed) — the next trigger retries
+          case _: graft.core.TableVersions.ConcurrentWriteException => ()
+        }
+      }
     }
 
   /** One append-sink micro-batch, REPLAY-IDEMPOTENT like

@@ -111,6 +111,44 @@ class RowOverlayMaintenanceSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().toSet shouldBe ids
   }
 
+  test("autoSquash bounds overlay dirs across many appends; below threshold is a no-op") {
+    val (ctx, log, table) = fresh("auto_squash")
+    (1L to 10L).map(i => Event(i, "b", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // 12 appends with maintenance after each (the sink's wiring): the
+    // contributing-dir count never exceeds maxDirs + 1
+    (1 to 12).foreach { k =>
+      RowOverlay.append(
+        Seq(Event(100L + k, "o", "2024-01-01")).toDF(), ctx, table, user,
+        UpdateMessage(s"append $k"))
+      RowOverlay.autoSquash(spark, ctx, table, user, maxDirs = 3)
+      RowOverlay.contributions(spark, log, table, None).size should be <= 4
+    }
+    // the fold kept every row
+    val ids = DeletionVectors.read(spark, log, table)
+      .where(col("id") > 100L).select("id").as[Long].collect().toSet
+    ids shouldBe (101L to 112L).toSet
+    // steady state: reads open O(1) overlay dirs with no manual squash
+    RowOverlay.contributions(spark, log, table, None).size should be <= 4
+    // below the threshold nothing commits (no junk history)
+    val commits = log.updates(table.name).size
+    RowOverlay.autoSquash(spark, ctx, table, user, maxDirs = 16) shouldBe false
+    log.updates(table.name).size shouldBe commits
+
+    // DV analogue: deletes accrue sidecars, autoSquash folds them
+    (1 to 5).foreach { k =>
+      DeletionVectors.delete(
+        ctx, log, table, col("id") === (100L + k), user, UpdateMessage(s"d$k"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    DeletionVectors.liveSidecarDirs(fs, log, table, None).size should be >= 5
+    DeletionVectors.autoSquash(spark, ctx, table, user, maxDirs = 3) shouldBe true
+    DeletionVectors.liveSidecarDirs(fs, log, table, None) should have size 1
+    DeletionVectors.read(spark, log, table)
+      .where(col("id") > 100L).count() shouldBe 7L
+  }
+
   test("DV squash OCC: a racing delete makes the sidecar squash refuse; its pairs survive") {
     val (ctx, log, table) = fresh("dv_squash_occ")
     (1L to 30L).map(i => Event(i, "b", "2024-01-01"))
