@@ -407,26 +407,37 @@ object Merge {
       // to the copy-on-write first write (already O(batch) there).
       if (morMode && !neverWritten) {
         if (!actioned.isEmpty) {
-          val pre = actioned.where(col("__t_present").isNotNull)
+          val preRows = actioned.where(col("__t_present").isNotNull)
+          val pre = preRows
             .select(
               col(s"__t_$MorFileCol").as("file"),
               col(s"__t_$MorPosCol").as("pos"))
           val pairsOpt =
             if (pre.isEmpty) None
             else Some(DeletionVectors.foldedPairs(spark, log, table, pre))
+          // scoped OCC (q72 composition): declare the preimage partitions
+          // so disjoint concurrent writers land without retry
+          val preimageParts: Set[Partition] =
+            if (table.isSnapshot || pre.isEmpty) Set.empty
+            else VersionContext.partitionValues(
+              preRows.select(table.partitionSchema.columns.map(c =>
+                col(s"__t_${c.name}").as(c.name)): _*),
+              table.partitionSchema).toSet
           val post = actioned.where(col("__action") =!= "del")
             .select(outSchema.map(projected): _*)
           idColC match {
             case None =>
               RowOverlay.append(
                 post, ctx, table, userId, message,
-                extraPairs = pairsOpt, expectedOverride = Some(readCommit))
+                extraPairs = pairsOpt, expectedOverride = Some(readCommit),
+                pairScope = Some(preimageParts))
             case Some(c) =>
               val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
               RowOverlay.append(
                 IdentityColumns.stampedPreserving(post, c, hwm), ctx, table, userId, message,
                 extraPairs = pairsOpt, identity = Some((c, hwm)),
-                expectedOverride = Some(readCommit))
+                expectedOverride = Some(readCommit),
+                pairScope = Some(preimageParts))
           }
           ()
         }

@@ -51,13 +51,22 @@ import graft.core.TableVersions.{CommitId, TableOperation, TableUpdate, TableUpd
  * dir in the same commit) — a row in a never-present partition would be
  * dead on arrival under the rule above.
  *
- * Concurrency: appends commit with strict compare-and-swap
- * ([[graft.core.VersionedMetastore.commitIf]] against the pointer
- * observed at entry — the DV-delete posture). A rebase would not see the
- * overlay-touched partitions in the ops' conflict scope (the append
- * carries no op for them), so an interleaved replacement of such a
- * partition would silently absorb the fresh rows — strict OCC turns that
- * lost update into a loud retry.
+ * Concurrency: pure appends COMPOSE — they commit through the declared-
+ * scope rebase (`scopeOverride` = the overlay-touched partitions, with a
+ * per-CAS-attempt revalidate refusing when any touched partition's
+ * version moved, the scheme changed, or the identity mark advanced), so
+ * two appends into the same partition and disjoint concurrent commits
+ * all land without retry. PAIR-CARRYING writes (UPDATE/MERGE postimages
+ * with preimage DV pairs) compose under the same rebase when the caller
+ * declares `pairScope` (the preimage partitions): the revalidate
+ * additionally refuses an intervening pair sidecar folding any of our
+ * preimage FILES' groups (per-file resolution is latest-wins — same-file
+ * folds must never interleave) and an intervening overlay squash (its
+ * fold re-lands rows our pairs never reference). Blind concurrent
+ * appends into a scoped update's partitions land unvetted — their rows
+ * were not visible to the update's predicate (the WriteSerializable
+ * posture). Callers that declare nothing keep the strict
+ * compare-and-swap ([[graft.core.VersionedMetastore.commitIf]]).
  *
  * Maintenance: sidecar-dir count grows with append commits until a
  * rewrite of the touched partitions (OPTIMIZE absorbs overlay rows into
@@ -250,7 +259,8 @@ object RowOverlay {
       extraPairs: Option[DataFrame] = None,
       identity: Option[(String, Long)] = None,
       expectedOverride: Option[CommitId] = None,
-      txn: Option[TableVersions.StreamTxn] = None): CommitId = {
+      txn: Option[TableVersions.StreamTxn] = None,
+      pairScope: Option[Set[Partition]] = None): CommitId = {
     val spark = df.sparkSession
     val expected = expectedOverride.getOrElse(
       ctx.metastore.tableVersions.currentCommit(table.name))
@@ -403,7 +413,7 @@ object RowOverlay {
       // deterministic race injection for the append-compose specs: fires
       // between sidecar staging and the commit's critical section
       interleaveForTest.foreach(f => f())
-      if (extraPairs.isEmpty && expectedOverride.isEmpty) {
+      if ((extraPairs.isEmpty && expectedOverride.isEmpty) || pairScope.isDefined) {
         // APPEND-COMPOSE commit: pure appends rebase over concurrent
         // disjoint commits AND over each other (two appends into the same
         // partition move no pointer — both land). The ops' conflict scope
@@ -411,19 +421,61 @@ object RowOverlay {
         // the revalidate hook — ordered inside every CAS attempt — refuses
         // when any touched partition's version moved since `expected`: a
         // replacement landing mid-append would silently absorb the fresh
-        // rows under the log-derived liveness rule. Writes carrying DV
-        // pairs (UPDATE/MERGE) stay strict below: two pair sidecars
-        // folding the same files' groups must never interleave.
+        // rows under the log-derived liveness rule.
+        //
+        // PAIR-CARRYING writes (UPDATE/MERGE) compose too when the caller
+        // declares `pairScope` (the preimage partitions): their extra
+        // hazards are (a) an intervening pair sidecar folding any of OUR
+        // preimage FILES' groups — per-file resolution is latest-wins
+        // across sidecars, so same-file folds must never interleave — and
+        // (b) an intervening overlay SQUASH, which re-lands overlay rows
+        // under fresh files our pairs never reference. Both are vetted
+        // per CAS attempt below; disjoint-file/partition writers land
+        // without contention (the q72 composition the strict path lost).
         // declared scope: the overlay-touched partitions plus any real
-        // ops' partitions (an op-less update would default to whole-table
-        // and serialize every concurrent appender); the revalidate hook
-        // below is the guard that makes the narrow declaration safe
+        // ops' partitions plus the preimage partitions (an op-less update
+        // would default to whole-table and serialize every concurrent
+        // appender); the revalidate hook below makes the narrow
+        // declaration safe
+        val guardParts = touchedExisting.toSet ++ pairScope.getOrElse(Set.empty)
         val declaredScope: TableVersions.ConflictScope =
           if (table.isSnapshot) TableVersions.Partitions(Set.empty)
           else TableVersions.Partitions(
-            touchedExisting.toSet ++ ops.collect {
+            guardParts ++ ops.collect {
               case TableOperation.AddPartitionVersion(p, _) => p
             })
+        // the preimage files whose pair groups this commit folds — read
+        // back from the just-staged sidecar (metadata-scale, one job)
+        val pairFiles: Set[String] =
+          if (extraPairs.isEmpty) Set.empty
+          else spark.read.parquet(DeletionVectors.deletesDirFor(table, commitId))
+            .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+        // commits that landed after `expected` carrying sidecars that
+        // interleave with ours: same-file pair folds or an overlay squash
+        def requireInterveningSidecarsSafe(): Unit =
+          if (pairScope.isDefined) {
+            val intervening = log.updates(table.name)
+              .takeWhile(_.id != expected).filterNot(_.id == commitId)
+            intervening.foreach { m =>
+              if (fs.exists(new HPath(appendsDir(table, m.id), SquashedMarker)))
+                throw new TableVersions.ConcurrentWriteException(
+                  s"a row-overlay squash (${m.id.id}) landed on " +
+                    s"${table.name.fullyQualifiedName} during a merge-on-read " +
+                    "update — its fold re-landed rows this write's pairs never " +
+                    "reference; re-run against the new state")
+              val dvDir = DeletionVectors.deletesDirFor(table, m.id)
+              if (pairFiles.nonEmpty && fs.exists(new HPath(dvDir))) {
+                val theirs = spark.read.parquet(dvDir)
+                  .select(col("file")).distinct().collect().map(_.getString(0))
+                if (theirs.exists(pairFiles))
+                  throw new TableVersions.ConcurrentWriteException(
+                    s"concurrent commit ${m.id.id} folded deletion-vector groups " +
+                      s"for files this merge-on-read update also touches on " +
+                      s"${table.name.fullyQualifiedName} — same-file pair folds " +
+                      "must not interleave (latest-wins resolution); re-run")
+              }
+            }
+          }
         try {
           ctx.metastore.commitRebase(
             table.name, update, expected,
@@ -431,6 +483,7 @@ object RowOverlay {
             revalidate = () => {
               PartitionEvolution.requireCurrentScheme(spark, log, table)
               requireStampStillValid()
+              requireInterveningSidecarsSafe()
               (observed, log.currentVersion(table.name)) match {
                 case (SnapshotTableVersion(a), SnapshotTableVersion(b)) =>
                   if (a != b)
@@ -438,7 +491,7 @@ object RowOverlay {
                       s"snapshot ${table.name.fullyQualifiedName} was replaced " +
                         "during a merge-on-read append — re-run against the new state")
                 case (PartitionedTableVersion(pa), PartitionedTableVersion(pb)) =>
-                  touchedExisting.foreach { p =>
+                  guardParts.foreach { p =>
                     if (pb.get(p) != pa.get(p))
                       throw new TableVersions.ConcurrentWriteException(
                         s"partition ${p.hivePath} of ${table.name.fullyQualifiedName} " +
@@ -673,9 +726,16 @@ object RowOverlay {
       val updated = matched.select(dataCols.map { c =>
         byName.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c))
       }: _*)
+      // scoped OCC (q72 composition): the preimage partitions join the
+      // declared conflict scope, so disjoint concurrent writers land
+      // without retry while same-partition/same-file ones refuse loudly
+      val preimageParts: Set[Partition] =
+        if (table.isSnapshot) Set.empty
+        else VersionContext.partitionValues(matched, table.partitionSchema).toSet
       append(
         updated, ctx, table, user, message,
-        extraPairs = Some(sidecar), expectedOverride = Some(expected))
+        extraPairs = Some(sidecar), expectedOverride = Some(expected),
+        pairScope = Some(preimageParts))
       n
     } finally { matched.unpersist(); () }
   }

@@ -166,6 +166,91 @@ class RowOverlaySpec extends AnyFunSuite with Matchers {
     ids should be >= 1L
   }
 
+  test("scoped OCC: disjoint concurrent commits compose with a MOR update; overlapping ones refuse") {
+    val (ctx, log, table) = fresh("ro_scoped", PartitionSchema(List(PartitionColumn("date"))))
+    (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // 1. a DISJOINT-partition plain append lands inside the update's
+    // window → the update still commits (no retry, no refusal)
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None
+      RowOverlay.append(
+        Seq(Event(500L, "blind", "2024-01-03")).toDF(), ctx, table, user,
+        UpdateMessage("disjoint append"))
+      ()
+    })
+    try {
+      RowOverlay.update(
+        ctx, table, col("date") === "2024-01-01" && col("id") % 3 === 0,
+        Seq("kind" -> org.apache.spark.sql.functions.lit("u1")),
+        user, UpdateMessage("mor update d1")) should be > 0L
+    } finally RowOverlay.interleaveForTest = None
+    val after1 = DeletionVectors.read(spark, log, table)
+    after1.where(col("kind") === "u1").count() should be > 0L
+    after1.where(col("id") === 500L).count() shouldBe 1L // both landed
+
+    // 2. a DISJOINT-file MOR delete lands inside the window → composes
+    // (different files' pair groups never interleave)
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None
+      DeletionVectors.delete(
+        ctx, log, table, col("date") === "2024-01-02" && col("id") === 4L,
+        user, UpdateMessage("disjoint delete"))
+      ()
+    })
+    try {
+      RowOverlay.update(
+        ctx, table, col("date") === "2024-01-03" && col("id") === 5L,
+        Seq("kind" -> org.apache.spark.sql.functions.lit("u2")),
+        user, UpdateMessage("mor update d3")) shouldBe 1L
+    } finally RowOverlay.interleaveForTest = None
+    val after2 = DeletionVectors.read(spark, log, table)
+    after2.where(col("id") === 4L).count() shouldBe 0L  // the delete held
+    after2.where(col("id") === 5L).select("kind").head.getString(0) shouldBe "u2"
+
+    // 3. a SAME-partition replacement (CoW write) inside the window →
+    // refuses loudly (the postimage rows would be silently absorbed)
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None
+      import graft.spark.VersionContext.DatasetVersionOps
+      after2.where(col("date") === "2024-01-01").as[Event]
+        .versionedInsertInto(ctx, table, user, UpdateMessage("replace d1"))
+      ()
+    })
+    try {
+      intercept[TableVersions.ConcurrentWriteException] {
+        RowOverlay.update(
+          ctx, table, col("date") === "2024-01-01" && col("id") === 12L,
+          Seq("kind" -> org.apache.spark.sql.functions.lit("u3")),
+          user, UpdateMessage("mor update d1 again"))
+      }
+    } finally RowOverlay.interleaveForTest = None
+    DeletionVectors.read(spark, log, table)
+      .where(col("kind") === "u3").count() shouldBe 0L
+
+    // 4. a SAME-FILE pair fold (MOR delete hitting the update's preimage
+    // file) inside the window → refuses loudly (latest-wins groups)
+    RowOverlay.interleaveForTest = Some(() => {
+      RowOverlay.interleaveForTest = None
+      DeletionVectors.delete(
+        ctx, log, table, col("id") === 8L,
+        user, UpdateMessage("same-file delete"))
+      ()
+    })
+    try {
+      intercept[TableVersions.ConcurrentWriteException] {
+        RowOverlay.update(
+          ctx, table, col("id") === 8L,
+          Seq("kind" -> org.apache.spark.sql.functions.lit("u4")),
+          user, UpdateMessage("mor update same row"))
+      }
+    } finally RowOverlay.interleaveForTest = None
+    val end = DeletionVectors.read(spark, log, table)
+    end.where(col("id") === 8L).count() shouldBe 0L  // the delete held
+    end.where(col("kind") === "u4").count() shouldBe 0L // the update refused
+  }
+
   test("MOR UPDATE: preimages vector-hidden, postimages overlaid, one commit; partition moves work") {
     val (ctx, log, table) = fresh("ro_upd", PartitionSchema(List(PartitionColumn("date"))))
     (1L to 30L).map(i => Event(i, s"k$i", s"2024-01-0${i % 3 + 1}"))
