@@ -573,6 +573,36 @@ object Registry {
              |         CASE WHEN l_orderkey % 11 = 0 THEN l_quantity + 100 ELSE l_quantity END AS l_quantity
              |  FROM lineitem
              |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q89_subquery_dml" -> Entry(
+      Versioned.q89SubqueryDml,
+      // DELETE with IN-subquery (CoW), UPDATE with IN-subquery (MOR,
+      // pointer-move-free pinned in-query), MERGE with a subquery-filtered
+      // source — the IN-lists come from a second graft table mirroring
+      // the orders keys
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), hot AS (
+             |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 25 = 0
+             |), d AS (
+             |  SELECT * FROM agg WHERE l_orderkey NOT IN
+             |    (SELECT o_orderkey FROM hot WHERE o_orderstatus = 'F')
+             |), u AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_orderkey IN
+             |             (SELECT o_orderkey FROM hot WHERE o_orderstatus = 'O')
+             |           THEN qty + 100 ELSE qty END AS qty
+             |  FROM d
+             |), m AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_orderkey IN
+             |             (SELECT o_orderkey FROM hot WHERE o_orderstatus = 'P')
+             |           THEN qty + 10000 ELSE qty END AS qty
+             |  FROM u
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -2912,4 +2912,69 @@ object Versioned {
          |       round(sum(qty), 2) AS sum_qty
          |FROM $name GROUP BY flag ORDER BY flag""".stripMargin)
   }
+
+  /** Q89: SUBQUERY CONDITIONS IN DML ([[graft.spark.GraftDmlRule]]) —
+    * `DELETE … WHERE k IN (SELECT …)`, merge-on-read `UPDATE … WHERE k IN
+    * (SELECT …)`, and a MERGE whose source is a subquery-filtered SELECT:
+    * the analyzed subquery re-anchors inside each command's own read and
+    * Spark's subquery planning rewrites it into the semi join a SELECT
+    * would get — no driver-side key materialization, the 100 TB shape
+    * (the key set stays distributed; Delta parity). The IN-lists derive
+    * from a SECOND graft table (`hot`, the orders keys), so the subquery
+    * exercises a real cross-table plan. Pinned in-query: the
+    * merge-on-read UPDATE moves no version pointers. */
+  def q89SubqueryDml(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq89", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq89", log)
+    val agg = tempTable(
+      "li_subq", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(agg, user, UpdateMessage("create li_subq"))
+    graft.spark.GraftTableCatalog.register("graftq89", agg)
+    val hot = tempTable("hot_orders", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(hot, user, UpdateMessage("create hot_orders"))
+    graft.spark.GraftTableCatalog.register("graftq89", hot)
+
+    // per-(orderkey, returnflag) rollup: a unique key for the MERGE
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+      .versionedInsertInto(ctx, agg, user, UpdateMessage("v1: rollup"))
+    Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") % 25 === 0)
+      .select("o_orderkey", "o_orderstatus")
+      .versionedInsertInto(ctx, hot, user, UpdateMessage("hot keys"))
+    val aggName = "graftq89.graft.li_subq"
+    val hotName = "graftq89.graft.hot_orders"
+
+    // 1. copy-on-write DELETE with an IN-subquery over the other table
+    s.sql(
+      s"""DELETE FROM $aggName WHERE l_orderkey IN
+         |(SELECT o_orderkey FROM $hotName WHERE o_orderstatus = 'F')""".stripMargin)
+    // 2. merge-on-read UPDATE with an IN-subquery: vectors + overlay,
+    // zero pointer moves
+    val foldBefore = log.currentVersion(agg.name)
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      s.sql(
+        s"""UPDATE $aggName SET qty = qty + 100 WHERE l_orderkey IN
+           |(SELECT o_orderkey FROM $hotName WHERE o_orderstatus = 'O')""".stripMargin)
+    }
+    require(log.currentVersion(agg.name) == foldBefore,
+      "merge-on-read UPDATE with a subquery condition must not move pointers")
+    // 3. MERGE whose source is a subquery-filtered SELECT of the target
+    s.sql(
+      s"""MERGE INTO $aggName t USING (
+         |  SELECT l_orderkey, l_returnflag, qty + 10000 AS qty FROM $aggName
+         |  WHERE l_orderkey IN
+         |    (SELECT o_orderkey FROM $hotName WHERE o_orderstatus = 'P')
+         |) s ON t.l_orderkey = s.l_orderkey AND t.l_returnflag = s.l_returnflag
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $aggName GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

@@ -44,7 +44,9 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  * supports the canonical `UPDATE SET * / INSERT *` form with same-named
  * equi-keys; UPDATE may not assign partition columns (rows would migrate
  * between partitions — a rewrite shape this layout reserves for MERGE with
- * explicit sources); conditions may not contain subqueries.
+ * explicit sources); DELETE/UPDATE conditions admit NON-correlated
+ * subqueries (re-planned as the semi/anti join a SELECT would get);
+ * correlated ones and subqueries in SET values refuse.
  *
  * Registered by `graft.plans.GraftExtensions` (post-hoc resolution rule).
  */
@@ -94,7 +96,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case None => unsupported(s"non-column assignment target ${a.key.sql}")
             }
           }
-          u.condition.foreach(rejectSubqueries)
+          u.condition.foreach(rejectCorrelatedSubqueries)
           u.assignments.foreach(a => rejectSubqueries(a.value))
           GraftUpdateCommand(
             defn, table.tableBinding,
@@ -122,7 +124,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             table.tableBinding.log.currentVersion(defn.name)).size <= 1
           if (!defn.isSnapshot && uniform && partitionOnly(cond, partCols)) d
           else {
-            rejectSubqueries(cond)
+            rejectCorrelatedSubqueries(cond)
             GraftDeleteCommand(defn, table.tableBinding, new Detached(detach(cond)))
           }
       }
@@ -139,6 +141,22 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rejectSubqueries(e: Expression): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       unsupported(s"subquery in condition: ${e.sql}")
+
+  /** DELETE/UPDATE conditions admit NON-correlated subqueries (`k IN
+    * (SELECT …)`, `EXISTS (SELECT …)`): the subquery plan is already
+    * analyzed and self-contained, so the command's own read re-anchors
+    * the outer attributes by name and Spark's subquery planning rewrites
+    * the predicate into the semi/anti join it would be in a SELECT — no
+    * driver-side materialization. CORRELATED subqueries refuse: their
+    * outer references bind to the statement's attribute ids, which do
+    * not exist in the command's re-read. */
+  private def rejectCorrelatedSubqueries(e: Expression): Unit =
+    e.foreach {
+      case s: SubqueryExpression if s.isCorrelated =>
+        unsupported(s"CORRELATED subquery in condition: ${e.sql} " +
+          "(non-correlated IN/EXISTS subqueries are supported)")
+      case _ => ()
+    }
 
   /** Re-anchor a resolved expression onto a fresh DataFrame: attribute ids
     * belong to the statement's relation, so rebind by NAME and let the
