@@ -134,6 +134,56 @@ object FileStats {
     }
   }
 
+  /** READ-SIDE sidecar resolution: the sidecar covering the state at `at`.
+    * Op-less commits (merge-on-read appends/deletes, sidecar squashes,
+    * metadata markers) move no version pointer, so the sidecar written at
+    * an EARLIER commit still describes exactly the same version-dir files
+    * — walk the lineage back to the nearest commit whose sidecar exists
+    * and accept it iff the partition fold is unchanged since (metadata
+    * equality, no data read). A fold that moved refuses loudly: serving a
+    * stale sidecar's kept-file list would scan superseded version dirs.
+    * Without this, every merge-on-read commit would strand pruned reads
+    * until someone re-ran writeZoneMaps. */
+  private def resolveStatsDir(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[TableVersions.CommitId]): String = {
+    val state = at.map(log.versionAt(table.name, _))
+      .getOrElse(log.currentVersion(table.name))
+    state match {
+      case SnapshotTableVersion(_) => statsDir(log, table, at)
+      case PartitionedTableVersion(foldAt) =>
+        val base = Partition.normalizedDir(table.location).toString + "_stats/"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // tables that never wrote stats pay ONE probe, not a lineage walk
+        // (every merge-on-read append probes through here)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(base)))
+          return statsDir(log, table, at)
+        val pointer = at.getOrElse(log.currentCommit(table.name))
+        val lineage = log.updates(table.name).dropWhile(_.id != pointer)
+        lineage.iterator
+          .map(m => (m.id, base + "commit-" + m.id.id))
+          .find { case (_, d) => fs.exists(new org.apache.hadoop.fs.Path(d)) }
+          .map { case (anchor, d) =>
+            val foldThen = log.versionAt(table.name, anchor) match {
+              case PartitionedTableVersion(pvs) => pvs
+              case other => sys.error(s"unexpected state $other under a stats sidecar")
+            }
+            if (foldThen != foldAt)
+              sys.error(
+                s"stats sidecar for ${table.name.fullyQualifiedName} (commit ${anchor.id}) " +
+                  "predates a partition rewrite — run writeZoneMaps (or updateZoneMaps) " +
+                  "for the current state")
+            d
+          }
+          .getOrElse(statsDir(log, table, at)) // no sidecar anywhere: the
+          // original path, so the read fails with the same path-not-found
+          // signal writeZoneMaps-less tables always produced
+    }
+  }
+
   /** Collect zone maps for the CURRENT state of the table and persist them
     * as its sidecar. Runs as part of the write pipeline (stats for a state
     * are computed once, right after the commit lands — never per query).
@@ -153,8 +203,8 @@ object FileStats {
     // strand it — probes translate back through the same mapping
     def phys(c: String) = ColumnMapping.physicalName(spark, log, table, c)
     // RAW dirs scan: stats key by FILE and cover exactly the version-dir
-    // files — live row-overlay rows union unpruned into every skipping
-    // read (prunedScan), so indexing overlay files would double-count
+    // files — overlay files carry their own per-dir `_stats` sidecar
+    // (writeOverlayStats); indexing them here would double-count
     zoneMaps(
       VersionedReader(spark, log).readRawDirs(table), cols.map(phys),
       carryCols = table.partitionSchema.columns.map(_.name),
@@ -166,6 +216,69 @@ object FileStats {
   /** The sidecar zone maps of the table's current state. */
   def loadZoneMaps(spark: SparkSession, log: TableVersions, table: TableDefinition): DataFrame =
     spark.read.parquet(statsDir(log, table))
+
+  /** The main sidecar's schema for the current state, if one exists —
+    * the overlay-side stats derive their column config from it. */
+  private def mainStatsSchema(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition): Option[org.apache.spark.sql.types.StructType] =
+    (try Some(resolveStatsDir(spark, log, table, None))
+     catch { case _: RuntimeException => None })
+      .flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) Some(spark.read.parquet(d).schema) else None
+      }
+
+  /** OVERLAY-SIDE zone maps ([[RowOverlay]]): per-file stats for a
+    * just-staged overlay dir, written to `<dir>/_stats` (underscore-
+    * prefixed — invisible to every data scan of the dir) with the SAME
+    * column config as the table's current main sidecar, so pruned reads
+    * ([[readSkipping]]/[[readSkippingEquals]]) can drop non-matching
+    * overlay leaves instead of unioning every overlay row unpruned. The
+    * batch was just written, so this is one O(batch) job — and a no-op
+    * when the table has no zone maps (nothing would consume the stats).
+    * Dirs without a `_stats` sidecar keep the unpruned-union fallback:
+    * stats are an optimization, never a correctness gate. The MAIN
+    * sidecar still never covers overlay files (it keys the version-dir
+    * scan; indexing overlay files there would double-count). */
+  private[spark] def writeOverlayStats(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      overlayDir: String): Unit =
+    mainStatsSchema(spark, log, table).foreach { schema =>
+      val names = schema.map(_.name)
+      val statCols = names.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      if (statCols.nonEmpty) {
+        val scan = SessionConf.withConf(
+          spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+          val reader = spark.read.format(table.format.name)
+          (if (table.isSnapshot) reader else reader.option("basePath", overlayDir))
+            .load(overlayDir)
+        }
+        // a stats column absent from the batch (additive schema evolution)
+        // contributes no zones; the pruned read's predicate fallback keeps
+        // such dirs unpruned rather than failing
+        val present = scan.columns.map(_.toLowerCase).toSet
+        def have(cs: Seq[String]) = cs.filter(c => present(c.toLowerCase))
+        val cols = have(statCols)
+        if (cols.nonEmpty) {
+          zoneMaps(
+            scan, cols,
+            carryCols =
+              if (table.isSnapshot) Nil
+              else table.partitionSchema.columns.map(_.name).filter(c => present(c.toLowerCase)),
+            distinctCols =
+              have(names.collect { case n if n.startsWith("dv_") => n.stripPrefix("dv_") }),
+            bloomCols =
+              have(names.collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }))
+            .write.mode("overwrite")
+            .parquet(overlayDir.stripSuffix("/") + "/_stats")
+        }
+      }
+    }
 
   /** INCREMENTAL sidecar maintenance for partitioned tables — the write
     * pipeline's answer to "stats for a 100 TB table can't cost O(table)
@@ -365,7 +478,7 @@ object FileStats {
     // zone-map pruning rebuilds a file-list scan under ONE layout; a
     // mixed-era fold (metadata-only partition evolution) refuses loudly
     PartitionEvolution.requireUniformFold(log, table, "zone-map-pruned scan")
-    val zones = spark.read.parquet(statsDir(log, table, asOf))
+    val zones = spark.read.parquet(resolveStatsDir(spark, log, table, asOf))
     // a sidecar written before partition columns rode the grouping key
     // (pre-r9) can't evaluate a partition predicate — fall back to
     // zone-only pruning (a superset, still correct) instead of dying on
@@ -407,12 +520,14 @@ object FileStats {
           based.load(keep.toIndexedSeq: _*)
         }
     // merge-on-read state applies to PRUNED scans too: live row-overlay
-    // rows UNION in (stats sidecars never cover overlay files — the union
-    // keeps the skipping contract a superset; the caller's row predicate
-    // still applies, and `partitionFilter` prunes overlay rows by value
-    // since they carry their partition columns), then DV pairs anti-join
-    // out — a raw kept-file read would resurrect DV-hidden rows into
-    // every skipping query. Zero cost when the table has no sidecars.
+    // rows union in, then DV pairs anti-join out — a raw kept-file read
+    // would resurrect DV-hidden rows into every skipping query. Zero cost
+    // when the table has no sidecars. Overlay dirs carrying a `_stats`
+    // sidecar (written at append/squash time, [[writeOverlayStats]]) get
+    // LEAF-LEVEL SKIPPING through the same predicates as the main scan;
+    // dirs without one (or whose stats predate a config change) union
+    // unpruned — a superset, still correct (the caller's row predicate
+    // applies on top, and `partitionFilter` prunes overlay rows by value).
     val pairs = DeletionVectors.resolvePairs(spark, log, table, asOf)
     val contribs =
       if (scan.columns.isEmpty) Nil
@@ -423,9 +538,34 @@ object FileStats {
     val widened =
       if (contribs.isEmpty) Map.empty[String, org.apache.spark.sql.types.DataType]
       else ColumnMapping.widenedTypesAt(spark, log, table, asOf)
-    val overlayFrames = contribs.map { c =>
-      val f = RowOverlay.loadLeaves(spark, table, c.dir, c.leaves, ptrCols, widened)
-      partitionFilter.foldLeft(f)(_.where(_))
+    def uriPath(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    def prunedLeaves(c: RowOverlay.Contribution): List[(Option[graft.core.Partition], String)] = {
+      val sPath = new org.apache.hadoop.fs.Path(c.dir.stripSuffix("/") + "/_stats")
+      val ofs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!ofs.exists(sPath)) return c.leaves
+      try {
+        val ost = spark.read.parquet(sPath.toString)
+        val filtered =
+          if (carryCols.forall(ost.columns.contains))
+            partitionFilter.foldLeft(ost)(_.where(_))
+          else ost
+        val keptFiles = filePredicate(filtered)
+          .select("file").collect().map(r => uriPath(r.getString(0))).toSet
+        c.leaves.filter { case (_, leafPath) =>
+          val lp = uriPath(leafPath)
+          keptFiles.exists(f => f.startsWith(lp + "/") || f == lp)
+        }
+      } catch {
+        // stats written under an older column config can't evaluate this
+        // probe — unpruned superset, never a failure
+        case _: org.apache.spark.sql.AnalysisException => c.leaves
+      }
+    }
+    val overlayFrames = contribs.flatMap { c =>
+      val leaves = prunedLeaves(c)
+      if (leaves.isEmpty) None
+      else Some(partitionFilter.foldLeft(
+        RowOverlay.loadLeaves(spark, table, c.dir, leaves, ptrCols, widened))(_.where(_)))
     }
     val scanHasPtr = keep.isEmpty && scan.columns.nonEmpty
     val basePtr =

@@ -362,6 +362,10 @@ object RowOverlay {
           else Nil
         }
       extraPairs.foreach(p => DeletionVectors.writePairsAt(spark, table, p, commitId))
+      // overlay-aware data skipping: stage per-file zone maps inside the
+      // not-yet-visible dir so pruned reads can drop non-matching leaves;
+      // no-op unless the table keeps a main stats sidecar
+      if (wroteOverlay) FileStats.writeOverlayStats(spark, log, table, dir)
       // identity writes derive the advanced high-water mark from the max id
       // ACTUALLY present in the files just written (AQE-proof — the
       // [[IdentityColumns.stageAndCommit]] posture), and the mark rides the
@@ -586,6 +590,8 @@ object RowOverlay {
     else writer.partitionBy(table.partitionSchema.columns.map(_.name): _*)
       .save(dir)
     fs.create(new HPath(dir, SquashedMarker), true).close()
+    // the fold replaces every older dir's stats coverage with its own
+    FileStats.writeOverlayStats(spark, log, table, dir)
     interleaveSquashForTest.foreach(f => f())
     val update = TableUpdate(
       TableUpdateMetadata(commitId, user, message, java.time.Instant.now(), None), Nil)

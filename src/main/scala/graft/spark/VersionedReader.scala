@@ -53,8 +53,8 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
   /** RAW current-state scan over VERSION DIRS only — no overlay union, no
     * vector application: the zone-map writers' input ([[FileStats]]).
     * Stats sidecars key by file and must cover exactly the version-dir
-    * files; live overlay rows union UNPRUNED into every skipping read, so
-    * indexing them would double-count. */
+    * files (overlay rows carry their OWN per-dir stats — indexing them
+    * here would double-count). */
   private[spark] def readRawDirs(table: TableDefinition): DataFrame =
     materialize(table, log.currentVersion(table.name))
 

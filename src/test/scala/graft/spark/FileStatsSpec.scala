@@ -387,4 +387,54 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     fresh.inputFiles.length should be < totalFiles
     fresh.where(col("key") <= 10).count() shouldBe 11L
   }
+
+  test("overlay-aware skipping: pruned reads drop non-matching overlay leaves") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_overlay"),
+      Files.createTempDirectory("graft_spec_zm_ov").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.range(2000).toDF("k")
+      .withColumn("date", org.apache.spark.sql.functions
+        .when(col("k") % 2 === 0, "2024-01-01").otherwise("2024-01-02"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"))
+
+    // two overlay batches in the SAME partition, disjoint k ranges — each
+    // append stages its own per-dir stats because the table has zone maps
+    val c1 = RowOverlay.append(
+      (10000L to 10099L).map(i => (i, "2024-01-01")).toDF("k", "date"),
+      ctx, table, user, UpdateMessage("ov1"))
+    val c2 = RowOverlay.append(
+      (20000L to 20099L).map(i => (i, "2024-01-01")).toDF("k", "date"),
+      ctx, table, user, UpdateMessage("ov2"))
+
+    val probe = FileStats.readSkipping(spark, log, table, "k", 10000L, 10049L)
+    probe.where(col("k").between(10000L, 10049L)).count() shouldBe 50L
+    val files = probe.inputFiles
+    files.exists(_.contains(s"commit-${c1.id}")) shouldBe true   // matching leaf read
+    files.exists(_.contains(s"commit-${c2.id}")) shouldBe false  // non-matching leaf skipped
+    // base-table zones prune too: no base file with max < 10000 is read
+    // (the probe range lies entirely above the base data)
+    files.count(f => !f.contains("/_appends/")) shouldBe 0
+
+    // a dir WITHOUT stats (written before zone maps existed) stays an
+    // unpruned superset — correctness never gates on the optimization
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RowOverlay.appendsDir(table, c2), "_stats"), true)
+    val probe2 = FileStats.readSkipping(spark, log, table, "k", 10000L, 10049L)
+    probe2.where(col("k").between(10000L, 10049L)).count() shouldBe 50L
+    probe2.inputFiles.exists(_.contains(s"commit-${c2.id}")) shouldBe true
+
+    // the squash's fold carries fresh stats for the squashed dir
+    RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
+    val probe3 = FileStats.readSkipping(spark, log, table, "k", 10000L, 10049L)
+    probe3.where(col("k").between(10000L, 10049L)).count() shouldBe 50L
+  }
 }
