@@ -201,19 +201,42 @@ object ChangeFeed {
     // at `from` whose overlay contribution ends inside the range — hidden
     // by a vector, or their partition replaced/removed — are DELETES. An
     // overlay SQUASH inside the range re-homes older rows under an
-    // in-range anchor, which anchor-based attribution cannot express —
-    // refuse with the re-anchor remediation (the evolution-boundary
-    // posture).
+    // in-range anchor, which anchor-based attribution cannot express — so
+    // ranged reads resolve against the PRE-squash dirs instead (they stay
+    // on disk for time travel; [[RowOverlay.contributionsAcrossSquash]]
+    // refuses only when vacuum reclaimed them). A void `from` needs no
+    // attribution: the complete overlay state at `to` — squash folds
+    // included — is all inserts.
     val fromAnchors: Set[CommitId] = from
       .map(f => log.updates(table.name).dropWhile(_.id != f).map(_.id).toSet)
       .getOrElse(Set.empty)
-    val contribsTo = RowOverlay.contributions(spark, log, table, Some(to))
-    if (contribsTo.exists(c => c.squashed && !fromAnchors.contains(c.anchor)))
-      throw new IllegalStateException(
-        s"change feed ${from.map(_.id).getOrElse("<void>")} -> ${to.id} on " +
-          s"${table.name.fullyQualifiedName}: a row-overlay squash landed inside " +
-          "this commit range, which re-anchors older appended rows — re-anchor " +
-          "the consumer at-or-after the squash commit")
+    val contribsTo = from match {
+      case Some(_) =>
+        val (contribs, skipped) =
+          RowOverlay.contributionsAcrossSquash(spark, log, table, to, fromAnchors)
+        // raw-dir rows key by their ORIGINAL (file, pos); the pair state
+        // must not have moved since the skipped squash (a post-squash hide
+        // references the re-landed file, a post-squash absorb tombstones
+        // the raw one — either re-keys hiding invisibly to raw resolution)
+        skipped.foreach { s =>
+          val pairsAtSquash = DeletionVectors.resolvePairs(spark, log, table, Some(s))
+          val moved = (pairsTo, pairsAtSquash) match {
+            case (None, None)       => false
+            case (Some(a), Some(b)) =>
+              a.exceptAll(b).limit(1).count() > 0 || b.exceptAll(a).limit(1).count() > 0
+            case _                  => true
+          }
+          if (moved)
+            throw new IllegalStateException(
+              s"change feed ${from.map(_.id).getOrElse("<void>")} -> ${to.id} on " +
+                s"${table.name.fullyQualifiedName}: deletion vectors moved after the " +
+                s"in-range row-overlay squash ${s.id}, which re-keys hiding in a way " +
+                "pre-squash resolution cannot express — re-anchor the consumer " +
+                "at-or-after the squash commit")
+        }
+        contribs
+      case None => RowOverlay.contributions(spark, log, table, Some(to))
+    }
     val widenedTo = ColumnMapping.widenedTypesAt(spark, log, table, Some(to))
     val overlayInserts: Option[DataFrame] = {
       val frames = contribsTo.filterNot(c => fromAnchors.contains(c.anchor)).map(c =>

@@ -187,6 +187,18 @@ object RowOverlay {
     val dirs = rawOverlayDirs(fs, log, table, at)
     if (dirs.isEmpty) return Nil
     val vAt = at.map(log.versionAt(table.name, _)).getOrElse(log.currentVersion(table.name))
+    resolveContributions(fs, log, table, vAt, dirs)
+  }
+
+  /** The log-derived liveness mapping shared by [[contributions]] and
+    * [[contributionsAcrossSquash]]: oldest-first contributions of the
+    * given (anchor, dir) list against the state `vAt`. */
+  private def resolveContributions(
+      fs: FileSystem,
+      log: TableVersions,
+      table: TableDefinition,
+      vAt: TableVersion,
+      dirs: List[(CommitId, String)]): List[Contribution] =
     dirs.reverse.flatMap { case (anchor, dir) =>
       val squashed = fs.exists(new HPath(dir, SquashedMarker))
       val vThen = log.versionAt(table.name, anchor)
@@ -204,6 +216,73 @@ object RowOverlay {
         case _ => None // partitioning-shape change between anchor and at: nothing survives
       }
     }
+
+  /** RANGE resolution for the change feed ([[ChangeFeed]],
+    * [[VersionedReader.readChanges]]): the contributions at `at` with the
+    * dir walk SKIPPING squashed dirs anchored OUTSIDE `stopAnchors`. An
+    * in-range squash re-homes older rows under its own anchor, which
+    * anchor-based range attribution cannot express — but the pre-squash
+    * dirs remain on disk for time travel, so the range resolves against
+    * THEM (each row keeps its true append anchor) and the feed composes
+    * across the squash. The walk still stops at the first squashed dir
+    * anchored IN `stopAnchors` (a pre-range fold: complete from-state).
+    * Refuses when a skipped squash's source dirs are gone — vacuum
+    * reclaimed them once no retained state resolved through them — the
+    * one case the re-anchor remediation is actually needed. Returns the
+    * contributions plus the FIRST skipped squash anchor: raw-dir rows key
+    * by their ORIGINAL (file, pos), so callers that apply pair sidecars
+    * must verify the pair state did not move between that anchor and `at`
+    * (a post-squash hide references the re-landed file; a post-squash
+    * absorb tombstones the raw file's pairs — either re-keys hiding in a
+    * way raw resolution cannot see). */
+  private[graft] def contributionsAcrossSquash(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: CommitId,
+      stopAnchors: Set[CommitId]): (List[Contribution], Option[CommitId]) = {
+    val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(
+        Partition.normalizedDir(table.location).toString + "_appends")))
+      return (Nil, None)
+    val line = lineage(log, table, Some(at))
+    // a maintenance squash commit is OP-LESS (moves no pointer); a
+    // shallow-clone CARRY dir is `_squashed` too but rides the clone's
+    // STATE-bearing commit — it re-homes nothing (the clone's lineage has
+    // no earlier overlay dirs) and must count as a plain contribution
+    def opLess(anchor: CommitId): Boolean = {
+      val idx = line.indexWhere(_.id == anchor)
+      idx >= 0 && idx + 1 < line.length &&
+        log.versionAt(table.name, anchor) == log.versionAt(table.name, line(idx + 1).id)
+    }
+    val existing = line.iterator
+      .map(m => (m.id, appendsDir(table, m.id)))
+      .filter { case (_, d) => fs.exists(new HPath(d)) }
+    val dirs = scala.collection.mutable.ListBuffer[(CommitId, String)]()
+    var skippedSquash: Option[CommitId] = None
+    var sawPastSkip = false
+    var stop = false
+    while (!stop && existing.hasNext) {
+      val (anchor, d) = existing.next()
+      val squashed = fs.exists(new HPath(d, SquashedMarker))
+      if (squashed && !stopAnchors.contains(anchor) && opLess(anchor)) {
+        if (skippedSquash.isEmpty) skippedSquash = Some(anchor)
+      } else {
+        if (skippedSquash.isDefined) sawPastSkip = true
+        dirs += ((anchor, d))
+        if (squashed) stop = true
+      }
+    }
+    skippedSquash.foreach { s =>
+      if (!sawPastSkip)
+        throw new IllegalStateException(
+          s"change-feed range on ${table.name.fullyQualifiedName} crosses the " +
+            s"row-overlay squash ${s.id} and its pre-squash source dirs were " +
+            "reclaimed by vacuum — re-anchor the consumer at-or-after the " +
+            "squash commit")
+    }
+    (resolveContributions(fs, log, table, log.versionAt(table.name, at), dirs.toList),
+      skippedSquash)
   }
 
   /** Load one contribution's leaves as a DataFrame: the dir's own layout

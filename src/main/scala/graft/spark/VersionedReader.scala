@@ -147,15 +147,16 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
     // rows ride the replacement dir's scan above instead — no double count).
     val fromAnchors = log.updates(table.name).dropWhile(_.id != from).map(_.id).toSet
     // an overlay SQUASH anchored inside the range re-homes PRE-range rows
-    // under an in-range anchor — anchor-based attribution would report them
-    // as new contents; refuse with the re-anchor remediation instead
-    if (RowOverlay.contributions(spark, log, table, Some(to))
-        .exists(c => c.squashed && !fromAnchors.contains(c.anchor)))
-      throw new IllegalStateException(
-        s"readChanges(${from.id} -> ${to.id}) on ${table.name.fullyQualifiedName}: " +
-          "a row-overlay squash landed inside this commit range, which re-anchors " +
-          "older appended rows — re-anchor the consumer at-or-after the squash commit")
-    overlayUnion(table, base, Some(to), None, excludeAnchors = fromAnchors)
+    // under an in-range anchor — anchor-based attribution resolves against
+    // the PRE-squash dirs instead (still on disk for time travel; refuses
+    // only when vacuum reclaimed them). No pair guard needed here: this
+    // read already refused any in-range DV movement (requireNoHiddenRows),
+    // and pre-range movement never touches in-range dirs' rows.
+    val (contribs, _) =
+      RowOverlay.contributionsAcrossSquash(spark, log, table, to, fromAnchors)
+    overlayUnion(
+      table, base, Some(to), None, excludeAnchors = fromAnchors,
+      contribsOverride = Some(contribs))
   }
 
   /** Refuses when deletion vectors hid rows between `from` and `to` —
@@ -245,9 +246,11 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       at: Option[CommitId],
       pointers: Option[(String, String)],
       only: Option[Set[Partition]] = None,
-      excludeAnchors: Set[CommitId] = Set.empty): DataFrame = {
+      excludeAnchors: Set[CommitId] = Set.empty,
+      contribsOverride: Option[List[RowOverlay.Contribution]] = None): DataFrame = {
     if (base.columns.isEmpty) return base
-    val contribs = RowOverlay.contributions(spark, log, table, at)
+    val contribs = contribsOverride
+      .getOrElse(RowOverlay.contributions(spark, log, table, at))
       .filterNot(c => excludeAnchors.contains(c.anchor))
     if (contribs.isEmpty) return base
     val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)

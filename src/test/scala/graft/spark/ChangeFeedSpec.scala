@@ -190,6 +190,69 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers {
       DeletionVectors.read(spark, log, table, Some(head)))
   }
 
+  test("the feed composes across an in-range overlay squash; refuses only vacuumed sources or post-squash DV moves") {
+    val (ctx, log, table) = freshTable("cf_squash")
+    (1L to 12L).map(i => Event(i, "base", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    RowOverlay.append(
+      Seq(Event(100L, "pre", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("pre"))
+    val from = log.currentCommit(table.name)
+
+    // in-range: two appends, then a squash, then another append
+    RowOverlay.append(
+      Seq(Event(101L, "in1", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("in1"))
+    RowOverlay.append(
+      Seq(Event(102L, "in2", "2024-01-02")).toDF(), ctx, table, user, UpdateMessage("in2"))
+    RowOverlay.squash(spark, ctx, table, user, UpdateMessage("squash")) shouldBe true
+    RowOverlay.append(
+      Seq(Event(103L, "post", "2024-01-01")).toDF(), ctx, table, user, UpdateMessage("post"))
+    val head = log.currentCommit(table.name)
+
+    // the range crosses the squash: in-range appends attribute exactly
+    // (the pre-range row 100 re-homed by the squash is NOT an insert)
+    val feed = ChangeFeed.read(spark, log, table, Some(from), head)
+    val ins = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+    ins.select("id").as[Long].collect().toSet shouldBe Set(101L, 102L, 103L)
+    feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete).count() shouldBe 0L
+    // replay contract holds across the squash
+    multisetEqual(
+      ChangeFeed.replay(DeletionVectors.read(spark, log, table, Some(from)), feed),
+      DeletionVectors.read(spark, log, table, Some(head)))
+    // the partition-granular diff composes too
+    val changes = VersionedReader(spark, log).readChanges(table, from, head)
+    changes.select("id").as[Long].collect().toSet shouldBe Set(101L, 102L, 103L)
+
+    // a DV delete AFTER the squash re-keys hiding — the crossing range
+    // refuses with the re-anchor remediation; a post-squash range serves it
+    DeletionVectors.delete(
+      ctx, log, table, col("id") === 101L, user, UpdateMessage("post-squash dv")) shouldBe 1L
+    val head2 = log.currentCommit(table.name)
+    val thrown = intercept[IllegalStateException] {
+      ChangeFeed.read(spark, log, table, Some(from), head2).count()
+    }
+    thrown.getMessage should include("re-anchor")
+    val squashCommit = log.updates(table.name)
+      .find(_.message.content == "squash").get.id
+    val postFeed = ChangeFeed.read(spark, log, table, Some(squashCommit), head2)
+    postFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+      .select("id").as[Long].collect().toSet shouldBe Set(101L)
+    postFeed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+      .select("id").as[Long].collect().toSet shouldBe Set(103L)
+
+    // vacuumed pre-squash sources: the crossing range refuses loudly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+    log.updates(table.name).filter(m =>
+      Set("pre", "in1", "in2").contains(m.message.content)).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        RowOverlay.appendsDir(table, m.id)), true)
+    }
+    val gone = intercept[IllegalStateException] {
+      ChangeFeed.read(spark, log, table, Some(from), head).count()
+    }
+    gone.getMessage should include("vacuum")
+  }
+
   test("the feed speaks the to-state's logical schema across a mid-range rename") {
     val (ctx, log, table) = freshTable("cf_mapped")
     (1L to 10L).map(i => Event(i, s"k$i", "2024-01-01"))
