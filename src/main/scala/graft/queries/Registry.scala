@@ -603,6 +603,28 @@ object Registry {
              |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
              |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q90_column_defaults" -> Entry(
+      Versioned.q90ColumnDefaults,
+      // SET DEFAULT lifecycle: pre-declaration rows keep 'base'; the
+      // Scala no-column batch, MOR append, SQL column-list INSERT and the
+      // DEFAULT keyword all fill 'late'; existing rows never rewritten
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), final AS (
+             |  SELECT 'base' AS src, qty FROM agg
+             |  UNION ALL
+             |  SELECT 'late' AS src, qty FROM agg WHERE l_orderkey % 100 = 0
+             |  UNION ALL
+             |  SELECT 'late' AS src, qty FROM agg WHERE l_orderkey % 97 = 0
+             |  UNION ALL
+             |  SELECT 'late' AS src, qty FROM agg WHERE l_orderkey % 101 = 0
+             |  UNION ALL
+             |  SELECT 'late' AS src, qty FROM agg WHERE l_orderkey % 103 = 0
+             |)
+             |SELECT src, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY src ORDER BY src""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -2977,4 +2977,59 @@ object Versioned {
       s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
          |FROM $aggName GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Q90: COLUMN DEFAULT VALUES ([[graft.spark.ColumnDefaults]]) — the
+    * SQL-standard `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr`
+    * lifecycle: after the declaration, a Scala batch OMITTING the column,
+    * a merge-on-read append omitting it, a SQL column-list INSERT, and
+    * the `DEFAULT` keyword all fill the declared constant, while the
+    * pre-declaration rows keep their written values — defaults never
+    * rewrite existing rows (Delta parity; existing-rows invariance is
+    * what the oracle replays). SQL inserts resolve through Spark's own
+    * default-column analysis (CURRENT_DEFAULT schema metadata). */
+  def q90ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq90", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq90", log)
+    val table = tempTable(
+      "li_defaults", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_defaults"))
+    graft.spark.GraftTableCatalog.register("graftq90", table)
+    val name = s"graftq90.${table.name.schema}.${table.name.name}"
+    val agg = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+    agg.withColumn("src", lit("base"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: base load"))
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN src SET DEFAULT 'late'")
+
+    // Scala batches omitting the column: the write pipeline fills it
+    // (merge-on-read appends — the versioned write REPLACES partitions,
+    // which is the point of q3/q86, not of this lifecycle)
+    graft.spark.RowOverlay.append(
+      agg.where(col("l_orderkey") % 100 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L),
+      ctx, table, user, UpdateMessage("v2: no src"))
+    // a second append composes on the same default
+    graft.spark.RowOverlay.append(
+      agg.where(col("l_orderkey") % 97 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 20000000L),
+      ctx, table, user, UpdateMessage("mor: no src"))
+    // SQL column-list INSERT and the DEFAULT keyword
+    s.sql(
+      s"""INSERT INTO $name (l_orderkey, l_returnflag, qty)
+         |SELECT l_orderkey + 30000000, l_returnflag, qty
+         |FROM $name WHERE src = 'base' AND l_orderkey % 101 = 0""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $name (l_orderkey, l_returnflag, qty, src)
+         |SELECT l_orderkey + 40000000, l_returnflag, qty, DEFAULT
+         |FROM $name WHERE src = 'base' AND l_orderkey % 103 = 0""".stripMargin)
+
+    s.sql(
+      s"""SELECT src, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY src ORDER BY src""".stripMargin)
+  }
 }

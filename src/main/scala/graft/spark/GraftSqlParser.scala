@@ -173,6 +173,14 @@ private[spark] object GraftMaintenanceSql {
   // open O(1) sidecars again; OPTIMIZE stays the rewrite that absorbs
   private val SquashSidecarsStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SQUASH\s+SIDECARS\s*;?\s*""".r
+  // ALTER TABLE t ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT — the
+  // SQL-standard column-default spelling (ColumnDefaults): future writes
+  // that omit the column fill it with the declared constant; existing
+  // rows are never rewritten
+  private val SetDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val DropDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // guard: intercept only `catalog.db.table` names whose catalog is a
@@ -241,6 +249,10 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
+    case SetDefaultStmt(ident, column, defExpr) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftSetDefaultCommand(parts(ident), column, Some(defExpr.trim)))
+    case DropDefaultStmt(ident, column) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftSetDefaultCommand(parts(ident), column, None))
     case AddConstraintStmt(ident, name, expr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddConstraintCommand(parts(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
@@ -673,6 +685,33 @@ final case class GraftAddGeneratedColumnCommand(
     GeneratedColumns.add(
       session, ctx, defn, GeneratedColumns.GeneratedColumn(column, genExpr), UserId("sql"))
     Seq(Row(column, s"generated always as ($genExpr)"))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` — the
+  * SQL-standard column default ([[ColumnDefaults]]): writes that omit the
+  * column fill it with the declared constant (SQL `INSERT` column lists
+  * resolve through the analyzer via the schema's CURRENT_DEFAULT
+  * metadata); supplied values — NULLs included — pass verbatim, and
+  * existing rows are never rewritten. */
+final case class GraftSetDefaultCommand(
+    parts: Seq[String], column: String, defaultExpr: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    defaultExpr match {
+      case Some(e) =>
+        ColumnDefaults.set(session, ctx, defn, column, e, UserId("sql"))
+        Seq(Row(column, s"default $e"))
+      case None =>
+        ColumnDefaults.drop(session, ctx, defn, column, UserId("sql"))
+        Seq(Row(column, "default dropped"))
+    }
   }
 }
 

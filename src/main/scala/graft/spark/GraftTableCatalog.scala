@@ -557,8 +557,13 @@ private[spark] final class GraftV2Table(
   // the table's SQL surface: SELECT * never shows it, INSERT never names
   // it (the write path stamps it like any GENERATED ALWAYS identity)
   override def schema(): StructType =
-    StructType(delegate.schema().filterNot(
-      _.name.equalsIgnoreCase(RowTracking.RowIdCol)))
+    // declared column DEFAULTs ride the schema as CURRENT_DEFAULT field
+    // metadata, so SQL INSERT column lists and the DEFAULT keyword fill
+    // through the analyzer's own machinery
+    ColumnDefaults.decorate(
+      org.apache.spark.sql.SparkSession.active, defn,
+      StructType(delegate.schema().filterNot(
+        _.name.equalsIgnoreCase(RowTracking.RowIdCol))))
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def properties(): util.Map[String, String] = delegate.properties()
 

@@ -362,7 +362,8 @@ object RowOverlay {
         }
     }
     val mapped = ColumnMapping.toPhysical(
-      Constraints.enforced(GeneratedColumns.applied(df0, table), table),
+      Constraints.enforced(
+        GeneratedColumns.applied(ColumnDefaults.applied(df0, table), table), table),
       table, log).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the emptiness probe is folded into partitionValues for partitioned

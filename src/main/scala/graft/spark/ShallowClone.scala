@@ -133,6 +133,8 @@ object ShallowClone {
     if (constraints.nonEmpty) Constraints.seed(spark, dstDefn, constraints)
     val generated = GeneratedColumns.list(spark, src)
     if (generated.nonEmpty) GeneratedColumns.seed(spark, dstDefn, generated)
+    val defaults = ColumnDefaults.list(spark, src)
+    if (defaults.nonEmpty) ColumnDefaults.seed(spark, dstDefn, defaults)
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
       PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }

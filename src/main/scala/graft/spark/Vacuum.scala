@@ -268,7 +268,7 @@ object Vacuum {
     // the same mtime grace. An IN-FLIGHT writer's temp is younger than
     // any sane grace window by construction.
     val tmpDirs = root ::
-      List("_constraints", "_generated", "_identity").map(new HPath(root, _))
+      List("_constraints", "_generated", "_identity", "_defaults").map(new HPath(root, _))
     val tmpOnDisk: List[(String, Boolean)] = tmpDirs
       .filter(fs.exists(_)).flatMap { d =>
         fs.listStatus(d).toList.filter(st => st.isFile && {

@@ -289,7 +289,8 @@ object VersionContext {
         ds.sparkSession, ctx.metastore.tableVersions, table)
       ColumnMapping.toPhysical(
         Constraints.enforced(
-          GeneratedColumns.applied(ds.toDF(), table), table),
+          GeneratedColumns.applied(
+            ColumnDefaults.applied(ds.toDF(), table), table), table),
         table, ctx.metastore.tableVersions)
     }
   }
