@@ -577,8 +577,8 @@ object Registry {
       Versioned.q89SubqueryDml,
       // DELETE with IN-subquery (CoW), UPDATE with IN-subquery (MOR,
       // pointer-move-free pinned in-query), MERGE with a subquery-filtered
-      // source — the IN-lists come from a second graft table mirroring
-      // the orders keys
+      // source, then CORRELATED EXISTS delete (CoW) and update (MOR) —
+      // the subqueries read a second graft table mirroring the orders keys
       Some("""WITH agg AS (
              |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
              |  FROM lineitem GROUP BY 1, 2
@@ -599,9 +599,21 @@ object Registry {
              |             (SELECT o_orderkey FROM hot WHERE o_orderstatus = 'P')
              |           THEN qty + 10000 ELSE qty END AS qty
              |  FROM u
+             |), c1 AS (
+             |  SELECT * FROM m WHERE NOT EXISTS (
+             |    SELECT 1 FROM hot h
+             |    WHERE h.o_orderkey = m.l_orderkey AND h.o_orderstatus = 'O'
+             |      AND m.qty > 200)
+             |), c2 AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN EXISTS (
+             |             SELECT 1 FROM hot h
+             |             WHERE h.o_orderkey = c1.l_orderkey AND h.o_orderstatus = 'P')
+             |           THEN qty + 1000 ELSE qty END AS qty
+             |  FROM c1
              |)
              |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
-             |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |FROM c2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "q90_column_defaults" -> Entry(
       Versioned.q90ColumnDefaults,

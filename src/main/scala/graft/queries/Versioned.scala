@@ -2972,6 +2972,21 @@ object Versioned {
          |) s ON t.l_orderkey = s.l_orderkey AND t.l_returnflag = s.l_returnflag
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // 4. CORRELATED EXISTS delete (copy-on-write): the condition references
+    // the target on two columns inside the subquery — re-expressed by the
+    // DML rule as a non-correlated row-membership test
+    s.sql(
+      s"""DELETE FROM $aggName t WHERE EXISTS (
+         |  SELECT 1 FROM $hotName h
+         |  WHERE h.o_orderkey = t.l_orderkey AND h.o_orderstatus = 'O'
+         |    AND t.qty > 200)""".stripMargin)
+    // 5. CORRELATED EXISTS update, merge-on-read: vectors + overlay only
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      s.sql(
+        s"""UPDATE $aggName t SET qty = qty + 1000 WHERE EXISTS (
+           |  SELECT 1 FROM $hotName h
+           |  WHERE h.o_orderkey = t.l_orderkey AND h.o_orderstatus = 'P')""".stripMargin)
+    }
 
     s.sql(
       s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty

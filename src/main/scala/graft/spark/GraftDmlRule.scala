@@ -3,9 +3,10 @@ package graft.spark
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, Cast, EqualTo, Expression, In, Literal, SubqueryExpression}
+  And, AttributeReference, Cast, CreateNamedStruct, EqualTo, Expression, In, InSubquery,
+  ListQuery, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction,
+  Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, LogicalPlan, MergeAction,
   MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -44,9 +45,11 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  * supports the canonical `UPDATE SET * / INSERT *` form with same-named
  * equi-keys; UPDATE may not assign partition columns (rows would migrate
  * between partitions — a rewrite shape this layout reserves for MERGE with
- * explicit sources); DELETE/UPDATE conditions admit NON-correlated
- * subqueries (re-planned as the semi/anti join a SELECT would get);
- * correlated ones and subqueries in SET values refuse.
+ * explicit sources); DELETE/UPDATE conditions admit subqueries —
+ * non-correlated ones re-plan as the semi/anti join a SELECT would get,
+ * correlated ones re-express as a non-correlated membership test over the
+ * statement's own resolved plan ([[membershipRewrite]]); subqueries in
+ * SET values refuse.
  *
  * Registered by `graft.plans.GraftExtensions` (post-hoc resolution rule).
  */
@@ -96,12 +99,11 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case None => unsupported(s"non-column assignment target ${a.key.sql}")
             }
           }
-          u.condition.foreach(rejectCorrelatedSubqueries)
           u.assignments.foreach(a => rejectSubqueries(a.value))
           GraftUpdateCommand(
             defn, table.tableBinding,
             u.assignments.map(a => rootAttr(a.key).get.name -> new Detached(detach(a.value))),
-            u.condition.map(c => new Detached(detach(c))))
+            u.condition.map(c => new Detached(detach(membershipRewrite(c, u.table)))))
       }
 
     case d @ DeleteFromTable(target, cond) if d.resolved =>
@@ -123,10 +125,10 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val uniform = PartitionEvolution.eraSignatures(
             table.tableBinding.log.currentVersion(defn.name)).size <= 1
           if (!defn.isSnapshot && uniform && partitionOnly(cond, partCols)) d
-          else {
-            rejectCorrelatedSubqueries(cond)
-            GraftDeleteCommand(defn, table.tableBinding, new Detached(detach(cond)))
-          }
+          else
+            GraftDeleteCommand(
+              defn, table.tableBinding,
+              new Detached(detach(membershipRewrite(cond, target))))
       }
   }
 
@@ -142,20 +144,44 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       unsupported(s"subquery in condition: ${e.sql}")
 
-  /** DELETE/UPDATE conditions admit NON-correlated subqueries (`k IN
-    * (SELECT …)`, `EXISTS (SELECT …)`): the subquery plan is already
-    * analyzed and self-contained, so the command's own read re-anchors
-    * the outer attributes by name and Spark's subquery planning rewrites
-    * the predicate into the semi/anti join it would be in a SELECT — no
-    * driver-side materialization. CORRELATED subqueries refuse: their
-    * outer references bind to the statement's attribute ids, which do
-    * not exist in the command's re-read. */
-  private def rejectCorrelatedSubqueries(e: Expression): Unit =
-    e.foreach {
-      case s: SubqueryExpression if s.isCorrelated =>
-        unsupported(s"CORRELATED subquery in condition: ${e.sql} " +
-          "(non-correlated IN/EXISTS subqueries are supported)")
-      case _ => ()
+  /** DELETE/UPDATE conditions admit subqueries, correlated or not.
+    *
+    * NON-correlated (`k IN (SELECT …)`, `EXISTS (SELECT …)`): the subquery
+    * plan is already analyzed and self-contained, so the command's own
+    * read re-anchors the outer attributes by name and Spark's subquery
+    * planning rewrites the predicate into the semi/anti join it would be
+    * in a SELECT — no driver-side materialization.
+    *
+    * CORRELATED (`EXISTS (SELECT 1 FROM s WHERE s.k = t.k)`): the outer
+    * references bind to the STATEMENT's attribute ids, which do not exist
+    * in the command's re-read — so [[membershipRewrite]] re-expresses the
+    * WHOLE condition as a non-correlated membership test built from the
+    * statement's own resolved nodes:
+    *
+    * {{{ struct(cols) IN (SELECT struct(cols) FROM target WHERE cond) }}}
+    *
+    * The correlation now closes over the target INSIDE the subquery
+    * (ids consistent — standard decorrelation territory), while the outer
+    * struct's attributes detach by name like any other condition and the
+    * planner turns the test into one semi-join (left-anti for survivors).
+    * Matching is by VALUE, which is exactly DML semantics: a
+    * deterministic predicate holds for every copy of identical rows or
+    * none. Struct equality in Spark is ordering-based — null FIELDS
+    * compare equal — so rows carrying nulls in columns the predicate
+    * never touches still match their own values (a bare tuple IN would
+    * wrongly drop them to UNKNOWN). */
+  private def membershipRewrite(cond: Expression, target: LogicalPlan): Expression =
+    if (!cond.exists {
+      case s: SubqueryExpression => s.isCorrelated
+      case _ => false
+    }) cond
+    else {
+      def rowStruct = CreateNamedStruct(
+        target.output.flatMap(a => Seq(Literal(a.name), a)))
+      val matched = org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(org.apache.spark.sql.catalyst.expressions.Alias(rowStruct, "__graft_row")()),
+        Filter(cond, target))
+      InSubquery(Seq(rowStruct), ListQuery(matched))
     }
 
   /** Re-anchor a resolved expression onto a fresh DataFrame: attribute ids
