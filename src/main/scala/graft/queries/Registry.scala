@@ -637,6 +637,29 @@ object Registry {
              |SELECT src, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
              |FROM final GROUP BY src ORDER BY src""".stripMargin)),
 
+    "q91_replace_where" -> Entry(
+      Versioned.q91ReplaceWhere,
+      // INSERT INTO … REPLACE WHERE, both tiers: partition-scoped 'A'
+      // (zero-read dynamic overwrite, qty+5 recomputation) then a general
+      // row predicate replacing the {N, key%10=0} region with its qty>30
+      // subset at doubled qty — net deletion inside the region
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), r1 AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_returnflag = 'A' THEN qty + 5 ELSE qty END AS qty
+             |  FROM agg
+             |), r2 AS (
+             |  SELECT * FROM r1
+             |  WHERE NOT (l_returnflag = 'N' AND l_orderkey % 10 = 0)
+             |  UNION ALL
+             |  SELECT l_orderkey, l_returnflag, qty * 2 AS qty FROM r1
+             |  WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0 AND qty > 30
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -3047,4 +3047,62 @@ object Versioned {
       s"""SELECT src, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
          |FROM $name GROUP BY src ORDER BY src""".stripMargin)
   }
+
+  /** Q91: `INSERT INTO … REPLACE WHERE` ([[graft.spark.ReplaceWhere]]) —
+    * Delta's transactional selective overwrite, both tiers. A
+    * partition-scoped predicate (`l_returnflag = 'A'`) resolves matched
+    * partitions from the fold's VALUES — zero data files read, new dirs +
+    * RemovePartition ops in one rebase-checked commit (untouched pointers
+    * pinned in-query). A general row predicate rewrites only partitions
+    * holding matching/incoming rows: survivors carry, the region's rows
+    * are replaced by the statement's (here a strict subset with doubled
+    * qty — net deletion inside the region). The source SELECT reads the
+    * TARGET table itself: version dirs are immutable and the write stages
+    * to fresh dirs before the pointer swap, so self-referential overwrite
+    * is safe by construction. */
+  def q91ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq91", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq91", log)
+    val table = tempTable(
+      "li_rw", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_rw"))
+    graft.spark.GraftTableCatalog.register("graftq91", table)
+    val name = s"graftq91.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+
+    // 1. partition-scoped tier: zero-read dynamic overwrite of 'A'
+    val before = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"unexpected fold $other")
+    }
+    s.sql(
+      s"""INSERT INTO $name REPLACE WHERE l_returnflag = 'A'
+         |SELECT l_orderkey, l_returnflag, qty + 5 AS qty
+         |FROM $name WHERE l_returnflag = 'A'""".stripMargin)
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"unexpected fold $other")
+    }
+    val aPart = before.keys.find(_.columnValues.head.value == "A").get
+    require(after(aPart) != before(aPart), "matched partition must move")
+    require((after - aPart) == (before - aPart),
+      "REPLACE WHERE (partition-scoped) must pin every untouched pointer")
+
+    // 2. general-predicate tier: replace the {N, key%10=0} region with its
+    // qty>30 subset at doubled qty — survivors carried, one commit
+    s.sql(
+      s"""INSERT INTO $name REPLACE WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0
+         |SELECT l_orderkey, l_returnflag, qty * 2 AS qty FROM $name
+         |WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0 AND qty > 30""".stripMargin)
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

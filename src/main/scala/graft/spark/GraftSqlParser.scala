@@ -33,6 +33,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   ALTER TABLE graft.db.t SQUASH SIDECARS                  -- fold DV + overlay debt
  *   COPY INTO graft.db.t FROM '<dir>' FILEFORMAT = CSV
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
+ *   INSERT INTO graft.db.t REPLACE WHERE pred SELECT …  -- selective overwrite
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -177,6 +178,13 @@ private[spark] object GraftMaintenanceSql {
   // SQL-standard column-default spelling (ColumnDefaults): future writes
   // that omit the column fill it with the declared constant; existing
   // rows are never rewritten
+  // INSERT INTO t REPLACE WHERE <pred> <SELECT …> — transactional
+  // selective overwrite (Delta's replaceWhere). The predicate is the
+  // non-greedy stretch before the source query's head keyword, so it must
+  // be subquery-free (it is a region descriptor, not a query; a SELECT
+  // inside it misparses and refuses at execution, never silently).
+  private val ReplaceWhereStmt =
+    """(?is)\s*INSERT\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.*?)\s*;?\s*""".r
   private val SetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val DropDefaultStmt =
@@ -249,6 +257,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
+    case ReplaceWhereStmt(ident, predSql, srcSql) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftReplaceWhereCommand(parts(ident), predSql.trim, srcSql.trim))
     case SetDefaultStmt(ident, column, defExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftSetDefaultCommand(parts(ident), column, Some(defExpr.trim)))
     case DropDefaultStmt(ident, column) if isGraftCatalogRef(split(ident)) =>
@@ -299,7 +309,7 @@ private[spark] object GraftMaintenanceSql {
     "format_options", "shallow", "clone", "refresh", "materialized",
     "view", "constraint", "generated", "identity", "partitioned",
     "metadata", "retain", "grace", "dry", "run", "commits", "hours",
-    "minutes", "only", "always")
+    "minutes", "only", "always", "replace")
 
   /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. The body
     * is scanned with the pair regex (never pre-split on commas: a quoted
@@ -712,6 +722,23 @@ final case class GraftSetDefaultCommand(
         ColumnDefaults.drop(session, ctx, defn, column, UserId("sql"))
         Seq(Row(column, "default dropped"))
     }
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <pred> <SELECT …>` — transactional
+  * selective overwrite ([[ReplaceWhere]]): one commit that drops every
+  * row matching the predicate and lands the statement's rows; incoming
+  * rows outside the predicate refuse. A partition-scoped predicate takes
+  * the zero-read dynamic-overwrite path. */
+final case class GraftReplaceWhereCommand(
+    parts: Seq[String], predicateSql: String, sourceSql: String)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    ReplaceWhere.run(
+      session, binding, defn, predicateSql, session.sql(sourceSql), UserId("sql"))
+    Seq.empty
   }
 }
 
