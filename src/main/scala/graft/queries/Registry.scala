@@ -2198,6 +2198,28 @@ object Registry {
              |FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s20_upsert_sink" -> Entry(
+      StreamingQueries.s20UpsertSink,
+      // merge-on-read upsert stream over a keyed rollup: batch 0 updates
+      // %50 keys (+10000) and inserts shifted %97 keys; batch 1 re-updates
+      // %75 keys (+100000), the later batch winning on %150 overlaps —
+      // zero pointer moves and replay exactly-once pinned in-query
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), final AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_orderkey % 75 = 0 THEN qty + 100000
+             |              WHEN l_orderkey % 50 = 0 THEN qty + 10000
+             |              ELSE qty END AS qty
+             |  FROM agg
+             |  UNION ALL
+             |  SELECT l_orderkey + 50000000, l_returnflag, qty FROM agg
+             |  WHERE l_orderkey % 97 = 0
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s15_stream_keyed_feed" -> Entry(
       StreamingQueries.s15StreamKeyedFeed,
       // three paced batches (full load, DV delete, R rework) through the

@@ -969,4 +969,78 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** S20: MERGE-ON-READ UPSERT SINK ([[graft.streaming.Streams.upsertSink]])
+    * — a keyed change feed applied to a preloaded rollup table through the
+    * conditional merge engine in merge-on-read mode: per trigger, matched
+    * preimages hide behind deletion vectors and postimages + inserts land
+    * as a row overlay — O(changes) written, NO partition rewritten. Two
+    * paced micro-batches (updates + inserts, then overlapping re-updates
+    * where the later batch wins), with zero target pointer moves and
+    * exactly-once batch replay pinned in-query. The CDC-apply shape at
+    * 100 TB: the copy-on-write [[graft.streaming.Streams.mergeSink]]
+    * would re-land every touched partition per trigger. */
+  def s20UpsertSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.core.TableVersions.{UpdateMessage, UserId}
+    import graft.spark.VersionContext.DatasetVersionOps
+    val log = new InMemoryTableVersions
+    val ctx = graft.spark.VersionContext(
+      VersionedMetastore(log, new InMemoryMetastore))
+    val user = UserId("graft-verify")
+    def mkTable(name: String) = {
+      val t = TableDefinition(
+        TableName("graft", name),
+        java.nio.file.Files.createTempDirectory(s"graft_$name").toUri,
+        PartitionSchema(List(PartitionColumn("l_returnflag"))),
+        FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage(s"create $name"))
+      t
+    }
+    val src = mkTable("upsink_src")
+    val dst = mkTable("upsink_dst")
+    val agg = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+    agg.versionedInsertInto(ctx, dst, user, UpdateMessage("dst preload"))
+    val foldBefore = log.currentVersion(dst.name)
+
+    // batch 0: %50 keys change (+10000) and %97 keys arrive as NEW rows
+    // (shifted ids, existing partitions)
+    agg.where(col("l_orderkey") % 50 === 0)
+      .withColumn("qty", col("qty") + 10000)
+      .unionByName(
+        agg.where(col("l_orderkey") % 97 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + 50000000L))
+      .versionedInsertInto(ctx, src, user, UpdateMessage("src v1"))
+    val q = graft.spark.SessionConf.withConf(s, "spark.sql.shuffle.partitions", "8") {
+      graft.streaming.Streams.upsertSink(
+        graft.spark.VersionedStream.readStream(s, log, src),
+        ctx, log, dst, Seq("l_orderkey", "l_returnflag"), user,
+        txnAppId = Some("s20")).start()
+    }
+    try {
+      q.processAllAvailable()
+      // batch 1: %75 keys change (+100000) — overlaps %150 keys, the
+      // LATER batch's value wins
+      agg.where(col("l_orderkey") % 75 === 0)
+        .withColumn("qty", col("qty") + 100000)
+        .versionedInsertInto(ctx, src, user, UpdateMessage("src v2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    require(log.currentVersion(dst.name) == foldBefore,
+      "merge-on-read upsert stream must not move target partition pointers")
+    // exactly-once: replaying an already-committed batch id is a no-op
+    val commits = log.updates(dst.name).size
+    graft.streaming.Streams.applyUpsertBatch(
+      agg.limit(3), 1L, ctx, log, dst,
+      Seq("l_orderkey", "l_returnflag"), user, "s20")
+    require(log.updates(dst.name).size == commits,
+      "a replayed upsert micro-batch id must not commit twice")
+
+    graft.spark.DeletionVectors.read(s, log, dst)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_keys"), round(sum("qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

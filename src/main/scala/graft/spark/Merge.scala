@@ -188,7 +188,9 @@ object Merge {
       notMatchedBySource: Seq[WhenMatched] = Nil,
       userId: UserId = UserId("merge"),
       message: UpdateMessage = UpdateMessage("MERGE (conditional)"),
-      emptySchema: Option[StructType] = None): Unit = {
+      emptySchema: Option[StructType] = None,
+      txn: Option[TableVersions.StreamTxn] = None,
+      mergeOnRead: Option[Boolean] = None): Unit = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     require(keyCols.forall(source.columns.contains),
       s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
@@ -201,8 +203,8 @@ object Merge {
     // two copy-on-write restrictions: mixed era folds are legal (pairs
     // hide by file regardless of era; new rows land current-scheme), and
     // partition-column SETs migrate rows by hide + re-land.
-    val morMode = source.sparkSession.conf
-      .get("spark.graft.dml.mergeOnRead", "false").toBoolean
+    val morMode = mergeOnRead.getOrElse(source.sparkSession.conf
+      .get("spark.graft.dml.mergeOnRead", "false").toBoolean)
     // same refusal as mergeInto: the clause join's partition arithmetic
     // (touched-partition discovery, alsoRemove) assumes ONE layout — on a
     // mixed fold the rewrite would re-land old-era rows into new-scheme
@@ -390,14 +392,16 @@ object Merge {
         idColC match {
           case None =>
             out.versionedInsertIntoRebase(
-              ctx, table, userId, message, readCommit, alsoRemove = emptiable)
+              ctx, table, userId, message, readCommit, txn = txn,
+              alsoRemove = emptiable)
             ()
           case Some(c) =>
             val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
             IdentityColumns.stageAndCommit(
               IdentityColumns.stampedPreserving(out, c, hwm),
               ctx, table, c, userId, message,
-              alsoRemove = emptiable, hwmAtStamp = hwm, rebaseAt = Some(readCommit))
+              alsoRemove = emptiable, hwmAtStamp = hwm, rebaseAt = Some(readCommit),
+              txn = txn)
             ()
         }
       // ---- MERGE-ON-READ output: pairs hide the changed target rows,
@@ -430,14 +434,14 @@ object Merge {
               RowOverlay.append(
                 post, ctx, table, userId, message,
                 extraPairs = pairsOpt, expectedOverride = Some(readCommit),
-                pairScope = Some(preimageParts))
+                txn = txn, pairScope = Some(preimageParts))
             case Some(c) =>
               val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
               RowOverlay.append(
                 IdentityColumns.stampedPreserving(post, c, hwm), ctx, table, userId, message,
                 extraPairs = pairsOpt, identity = Some((c, hwm)),
                 expectedOverride = Some(readCommit),
-                pairScope = Some(preimageParts))
+                txn = txn, pairScope = Some(preimageParts))
           }
           ()
         }

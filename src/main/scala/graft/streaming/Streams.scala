@@ -292,6 +292,80 @@ object Streams {
       applyMergeBatch(batch, batchId, ctx, log, table, keyCols, user, appId)
     }
 
+  /** MERGE-ON-READ upsert sink: each micro-batch UPSERTS into `table` by
+    * `keyCols` through the conditional merge engine in merge-on-read mode
+    * — matched preimages hide behind deletion vectors, postimages and
+    * inserts land as a row overlay, ONE strict-OCC commit of O(changed
+    * rows), NO partition rewritten. This is [[mergeSink]]'s 100 TB
+    * complement: applying a keyed change feed at a 1-minute cadence
+    * through copy-on-write re-lands every touched partition per trigger;
+    * here each trigger writes only its changes, wherever their keys live.
+    * Zero target pointer moves, period — the feed/time-travel surface
+    * sees true update pairs (the preimage pairs ride the commit).
+    *
+    * Exactly-once via the same [[StreamTxn]] replay detection, and
+    * SELF-MAINTAINING like [[appendSink]]: overlay/vector debt accrues
+    * per trigger, so the sink folds it through
+    * [[graft.spark.RowOverlay.autoSquash]] once more than
+    * `autoSquashMaxDirs` dirs contribute (0 disables).
+    *
+    * The batch must be unique per key (pre-aggregate upstream —
+    * last-write-wins collapsing is the caller's policy, not the sink's). */
+  def upsertSink[T](
+      stream: Dataset[T],
+      ctx: VersionContext,
+      log: graft.core.TableVersions,
+      table: TableDefinition,
+      keyCols: Seq[String],
+      user: UserId,
+      txnAppId: Option[String] = None,
+      autoSquashMaxDirs: Int = 16): DataStreamWriter[T] =
+    stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      val appId = txnAppId.getOrElse(defaultAppId(batch.sparkSession, table))
+      applyUpsertBatch(batch, batchId, ctx, log, table, keyCols, user, appId)
+      if (autoSquashMaxDirs > 0) {
+        try {
+          graft.spark.RowOverlay.autoSquash(
+            batch.sparkSession, ctx, table, user, maxDirs = autoSquashMaxDirs)
+          ()
+        } catch {
+          case _: graft.core.TableVersions.ConcurrentWriteException => ()
+        }
+      }
+    }
+
+  /** One upsert-sink micro-batch, REPLAY-IDEMPOTENT like
+    * [[applyVersionedBatch]]: the canonical `UPDATE SET * / INSERT *`
+    * clauses built from the batch's columns, executed merge-on-read. */
+  private[graft] def applyUpsertBatch[T](
+      batch: Dataset[T],
+      batchId: Long,
+      ctx: VersionContext,
+      log: graft.core.TableVersions,
+      table: TableDefinition,
+      keyCols: Seq[String],
+      user: UserId,
+      appId: String): Unit = {
+    val replayed = log.lastTxnBatch(table.name, appId).exists(_ >= batchId)
+    if (!replayed && !batch.isEmpty) {
+      val df = batch.toDF()
+      val cols = df.columns.toSeq
+      val nonKey = cols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+      graft.spark.Merge.mergeConditional(
+        ctx, log, table, df, keyCols,
+        matched = Seq(graft.spark.Merge.WhenMatched(
+          None, Some(nonKey.map(c => c -> graft.spark.Merge.scol(c))))),
+        notMatched = Seq(graft.spark.Merge.WhenNotMatched(
+          None, cols.map(c => c -> graft.spark.Merge.scol(c)))),
+        userId = user,
+        message = UpdateMessage(s"upsert micro-batch $batchId"),
+        emptySchema = Some(df.schema),
+        txn = Some(StreamTxn(appId, batchId)),
+        mergeOnRead = Some(true))
+    }
+    ()
+  }
+
   /** One merge-sink micro-batch, REPLAY-IDEMPOTENT like
     * [[applyVersionedBatch]]. The upsert content is key-idempotent anyway;
     * the txn marker keeps the COMMIT HISTORY exactly-once too. */

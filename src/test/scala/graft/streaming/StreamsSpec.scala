@@ -235,6 +235,53 @@ class StreamsSpec extends AnyFunSuite with Matchers {
     VersionedReader(spark, log).read(mtable).as[Tick].collect().map(_.value) shouldBe Array(9.0)
   }
 
+  test("upsert sink applies keyed changes merge-on-read: zero pointer moves, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.spark.Event
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "stream_upsert"),
+      Files.createTempDirectory("graft_stream_upsert").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    val user = UserId("stream")
+    ctx.init(table, user, UpdateMessage("init"))
+    (1L to 10L).map(i => Event(i, "base", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("preload"))
+    val foldBefore = log.currentVersion(table.name)
+
+    val input = MemoryStream[Event]
+    val q = Streams.upsertSink(
+      input.toDS(), ctx, log, table, Seq("id"), user, txnAppId = Some("ups"))
+      .option("checkpointLocation", Files.createTempDirectory("graft_ups_ckpt").toString)
+      .start()
+    try {
+      // batch 0: one update (key 3), one insert (key 100, existing partition)
+      input.addData(Event(3L, "u3", "2024-01-02"), Event(100L, "new", "2024-01-01"))
+      q.processAllAvailable()
+      // batch 1: re-update key 3, update key 8
+      input.addData(Event(3L, "u3b", "2024-01-02"), Event(8L, "u8", "2024-01-01"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // merge-on-read: NO partition pointer ever moves
+    log.currentVersion(table.name) shouldBe foldBefore
+    val rows = graft.spark.DeletionVectors.read(spark, log, table)
+    rows.count() shouldBe 11L
+    rows.where($"id" === 3L).select("kind").as[String].collect() shouldBe Array("u3b")
+    rows.where($"id" === 8L).select("kind").as[String].collect() shouldBe Array("u8")
+    rows.where($"id" === 100L).count() shouldBe 1L
+
+    // replaying an already-committed batch id is a no-op
+    val commits = log.updates(table.name).size
+    Streams.applyUpsertBatch(
+      Seq(Event(3L, "ghost", "2024-01-02")).toDS(), 1L,
+      ctx, log, table, Seq("id"), user, "ups")
+    log.updates(table.name).size shouldBe commits
+    graft.spark.DeletionVectors.read(spark, log, table)
+      .where($"id" === 3L).select("kind").as[String].collect() shouldBe Array("u3b")
+  }
+
   test("txn markers round-trip the durable JSON log") {
     val dir = Files.createTempDirectory("graft_txn_json")
     val log = new JsonFileTableVersions(dir)
