@@ -92,10 +92,14 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     GraftFunctions.sqlFunctions.foreach { case (ident, info, builder) =>
       extensions.injectFunction((ident, info, builder))
     }
-    // post-hoc, ORDER MATTERS: the DV scan rewrite must run FIRST so MERGE
-    // sources and subqueries read merge-on-read state before GraftDmlRule
-    // captures them into commands (DML targets are skipped by the DV rule —
-    // the commands read DV-aware themselves)
+    // post-hoc, ORDER MATTERS: generated-column partition-filter
+    // derivation first (it matches Filter-over-relation shapes the DV
+    // rewrite would obscure; the injected conjunct then pushes into
+    // whichever scan serves the relation), then the DV scan rewrite so
+    // MERGE sources and subqueries read merge-on-read state before
+    // GraftDmlRule captures them into commands (DML targets are skipped
+    // by the DV rule — the commands read DV-aware themselves)
+    extensions.injectPostHocResolutionRule(s => graft.spark.GraftGeneratedPruningRule(s))
     extensions.injectPostHocResolutionRule(s => graft.spark.GraftDvScanRule(s))
     // runs after resolution has aligned the MERGE assignments and
     // before the planner's row-level-operation check would reject the table

@@ -660,6 +660,17 @@ object Registry {
              |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
              |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q92_generated_pruning" -> Entry(
+      Versioned.q92GeneratedPruning,
+      // generated-column partition pruning: the query bounds only the base
+      // timestamp; the derived ship_month partition filter is pinned
+      // in-query against the physical plan
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-06-15 00:00:00'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

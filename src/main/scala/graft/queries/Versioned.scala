@@ -3105,4 +3105,51 @@ object Versioned {
       s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
          |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Q92: GENERATED-COLUMN PARTITION PRUNING
+    * ([[graft.spark.GraftGeneratedPruningRule]], Delta's
+    * `OptimizeGeneratedColumn`) — the table partitions by
+    * `ship_month GENERATED ALWAYS AS (date_format(l_shipdate, 'yyyy-MM'))`
+    * and the query filters ONLY the base timestamp; the rule derives the
+    * implied month bound (strict-to-non-strict truncation algebra) and
+    * the scan node carries it as a PARTITION filter — pinned in-query
+    * against the physical plan, along with the correctness of the
+    * boundary month (its early days survive the derived bound and fall to
+    * the data filter). The writer never mentions `ship_month` either: the
+    * generation rule derives it on the write path (q81's contract). */
+  def q92GeneratedPruning(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq92", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq92", log)
+    val table = tempTable(
+      "li_gprune", PartitionSchema(List(PartitionColumn("ship_month"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_gprune"))
+    graft.spark.GeneratedColumns.add(
+      s, ctx, table,
+      graft.spark.GeneratedColumns.GeneratedColumn(
+        "ship_month", "date_format(l_shipdate, 'yyyy-MM')"),
+      user)
+    graft.spark.GraftTableCatalog.register("graftq92", table)
+    val name = s"graftq92.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: month-derived load"))
+
+    val df = s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         |FROM $name
+         |WHERE l_shipdate >= TIMESTAMP '1996-06-15 00:00:00'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    // the derived month bound must land as a PARTITION filter on the scan
+    // (file-index pruning), not merely a data filter
+    val plan = df.queryExecution.executedPlan.toString
+    require(
+      """PartitionFilters: \[[^\]]*ship_month[^\]]*>= 1996-06""".r
+        .findFirstIn(plan).nonEmpty,
+      "generated-column pruning must derive a ship_month partition filter " +
+        "from the l_shipdate bound")
+    df
+  }
 }
