@@ -283,10 +283,18 @@ object Merge {
           else {
             // DISCOVERY (narrow): partitions holding a matched key — a
             // column-pruned scan of (keys ∪ partition cols) semi-joined to
-            // the distinct source keys; collects O(#partitions) rows
+            // the distinct source keys; collects O(#partitions) rows.
+            // Never through the POINTED read: discovery needs no row
+            // pointers, and the `_metadata`-attached scan is measurably
+            // heavier — the cheap logical view sees the same rows
+            // (overlay-unioned, DV-applied)
             val srcKeys = src.select(keyCols.map(col): _*).distinct()
+            val discovery =
+              if (morMode) ColumnMapping.applyLogical(
+                DeletionVectors.read(spark, log, table), spark, log, table, None)
+              else current
             val matchedParts = VersionContext.partitionValues(
-              current.select((keyCols ++ partCols).distinct.map(col): _*)
+              discovery.select((keyCols ++ partCols).distinct.map(col): _*)
                 .join(srcKeys, keyCols, "left_semi"),
               table.partitionSchema)
             // insert placement: NOT MATCHED clauses reference only the

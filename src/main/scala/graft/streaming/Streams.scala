@@ -347,21 +347,28 @@ object Streams {
       user: UserId,
       appId: String): Unit = {
     val replayed = log.lastTxnBatch(table.name, appId).exists(_ >= batchId)
-    if (!replayed && !batch.isEmpty) {
-      val df = batch.toDF()
-      val cols = df.columns.toSeq
-      val nonKey = cols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
-      graft.spark.Merge.mergeConditional(
-        ctx, log, table, df, keyCols,
-        matched = Seq(graft.spark.Merge.WhenMatched(
-          None, Some(nonKey.map(c => c -> graft.spark.Merge.scol(c))))),
-        notMatched = Seq(graft.spark.Merge.WhenNotMatched(
-          None, cols.map(c => c -> graft.spark.Merge.scol(c)))),
-        userId = user,
-        message = UpdateMessage(s"upsert micro-batch $batchId"),
-        emptySchema = Some(df.schema),
-        txn = Some(StreamTxn(appId, batchId)),
-        mergeOnRead = Some(true))
+    if (!replayed) {
+      // persist ONCE before the empty probe: the merge engine's own
+      // src.persist() resolves to this same cache entry, so the batch
+      // computes a single time instead of once per driver-side probe
+      val df = batch.toDF().persist()
+      try {
+        if (!df.isEmpty) {
+          val cols = df.columns.toSeq
+          val nonKey = cols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+          graft.spark.Merge.mergeConditional(
+            ctx, log, table, df, keyCols,
+            matched = Seq(graft.spark.Merge.WhenMatched(
+              None, Some(nonKey.map(c => c -> graft.spark.Merge.scol(c))))),
+            notMatched = Seq(graft.spark.Merge.WhenNotMatched(
+              None, cols.map(c => c -> graft.spark.Merge.scol(c)))),
+            userId = user,
+            message = UpdateMessage(s"upsert micro-batch $batchId"),
+            emptySchema = Some(df.schema),
+            txn = Some(StreamTxn(appId, batchId)),
+            mergeOnRead = Some(true))
+        }
+      } finally { df.unpersist(); () }
     }
     ()
   }
@@ -379,11 +386,18 @@ object Streams {
       user: UserId,
       appId: String): Unit = {
     val replayed = log.lastTxnBatch(table.name, appId).exists(_ >= batchId)
-    if (!replayed && !batch.isEmpty)
-      graft.spark.Merge.mergeInto(
-        ctx, log, table, batch.toDF(), keyCols, user,
-        UpdateMessage(s"merge micro-batch $batchId"),
-        txn = Some(StreamTxn(appId, batchId)))
+    if (!replayed) {
+      // persist before the probe (see applyUpsertBatch): one batch
+      // computation shared by the probe and the merge's own passes
+      val df = batch.toDF().persist()
+      try {
+        if (!df.isEmpty)
+          graft.spark.Merge.mergeInto(
+            ctx, log, table, df, keyCols, user,
+            UpdateMessage(s"merge micro-batch $batchId"),
+            txn = Some(StreamTxn(appId, batchId)))
+      } finally { df.unpersist(); () }
+    }
     ()
   }
 }
