@@ -671,6 +671,23 @@ object Registry {
              |WHERE l_shipdate >= TIMESTAMP '1996-06-15 00:00:00'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q93_symlink_manifest" -> Entry(
+      Versioned.q93SymlinkManifest,
+      // GENERATE symlink_format_manifest: the query consumes the table
+      // the Hive-connector way (bare files + partition value from the
+      // manifest dir); the A partition was rewritten (+5) so the stale
+      // dir on disk must be absent — file-set equality pinned in-query
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), final AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_returnflag = 'A' THEN qty + 5 ELSE qty END AS qty
+             |  FROM agg
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

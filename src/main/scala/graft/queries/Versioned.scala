@@ -3152,4 +3152,65 @@ object Versioned {
         "from the l_shipdate bound")
     df
   }
+
+  /** Q93: SYMLINK MANIFEST EXPORT ([[graft.spark.SymlinkManifest]]) —
+    * `GENERATE symlink_format_manifest FOR TABLE t`, the Delta spelling
+    * for Presto/Trino/Athena interop: per-partition `manifest` text
+    * files listing the CURRENT version's data-file URIs. The query then
+    * consumes the table EXACTLY as a Hive symlink reader would — bare
+    * parquet files from each partition's manifest with the partition
+    * value taken from the manifest dir, never graft's own reader — and
+    * the oracle recomputes the state relationally, proving the manifest
+    * excludes the stale pre-rewrite dirs that remain on disk for time
+    * travel. Pinned in-query: the manifest file set equals the versioned
+    * reader's input files. */
+  def q93SymlinkManifest(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq93", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq93", log)
+    val table = tempTable(
+      "li_manifest", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_manifest"))
+    graft.spark.GraftTableCatalog.register("graftq93", table)
+    val agg = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+    agg.versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+    // rewrite ONE partition: its v1 dir goes stale on disk (time travel)
+    // and must vanish from the manifest
+    agg.where(col("l_returnflag") === "A").withColumn("qty", col("qty") + 5)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: A bump"))
+
+    val gen = s.sql(
+      "GENERATE symlink_format_manifest FOR TABLE graftq93.graft.li_manifest")
+      .collect()
+    require(gen.map(_.getString(0)).sorted.toSeq ==
+      Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"),
+      s"manifest must cover the three partitions, got ${gen.mkString(",")}")
+
+    // read through the MANIFEST alone, the Hive-connector way: bare data
+    // files per partition + the partition value from the manifest dir
+    def norm(p: String) = p.replaceFirst("^file:/+", "file:/")
+    val root = new java.io.File(new java.net.URI(
+      graft.core.Partition.normalizedDir(table.location).toString +
+        graft.spark.SymlinkManifest.DirName))
+    val perPart: Seq[(String, Seq[String])] = root.listFiles().toSeq
+      .filter(_.isDirectory).sortBy(_.getName).map { d =>
+        val src = scala.io.Source.fromFile(new java.io.File(d, "manifest"))
+        val files = try src.getLines().toList.filter(_.nonEmpty) finally src.close()
+        d.getName.split("=", 2)(1) -> files
+      }
+    require(perPart.flatMap(_._2).map(norm).toSet ==
+      graft.spark.VersionedReader(s, log).read(table).inputFiles.map(norm).toSet,
+      "the manifest must list exactly the current version's files")
+    perPart.map { case (flag, files) =>
+        s.read.parquet(files: _*).withColumn("l_returnflag", lit(flag))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_keys"), round(sum("qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

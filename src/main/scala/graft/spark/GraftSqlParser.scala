@@ -34,6 +34,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   COPY INTO graft.db.t FROM '<dir>' FILEFORMAT = CSV
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  *   INSERT INTO graft.db.t REPLACE WHERE pred SELECT …  -- selective overwrite
+ *   GENERATE symlink_format_manifest FOR TABLE graft.db.t  -- Presto/Trino interop
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -178,6 +179,10 @@ private[spark] object GraftMaintenanceSql {
   // SQL-standard column-default spelling (ColumnDefaults): future writes
   // that omit the column fill it with the declared constant; existing
   // rows are never rewritten
+  // GENERATE symlink_format_manifest FOR TABLE t — the Delta spelling for
+  // Presto/Trino/Athena interop ([[SymlinkManifest]])
+  private val GenerateStmt =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
   // INSERT INTO t REPLACE WHERE <pred> <SELECT …> — transactional
   // selective overwrite (Delta's replaceWhere). The predicate is the
   // non-greedy stretch before the source query's head keyword, so it must
@@ -257,6 +262,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
+    case GenerateStmt(ident) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftGenerateManifestCommand(parts(ident)))
     case ReplaceWhereStmt(ident, predSql, srcSql) if isGraftCatalogRef(split(ident)) =>
       Some(GraftReplaceWhereCommand(parts(ident), predSql.trim, srcSql.trim))
     case SetDefaultStmt(ident, column, defExpr) if isGraftCatalogRef(split(ident)) =>
@@ -309,7 +316,7 @@ private[spark] object GraftMaintenanceSql {
     "format_options", "shallow", "clone", "refresh", "materialized",
     "view", "constraint", "generated", "identity", "partitioned",
     "metadata", "retain", "grace", "dry", "run", "commits", "hours",
-    "minutes", "only", "always", "replace")
+    "minutes", "only", "always", "replace", "generate")
 
   /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. The body
     * is scanned with the pair regex (never pre-split on commas: a quoted
@@ -722,6 +729,23 @@ final case class GraftSetDefaultCommand(
         ColumnDefaults.drop(session, ctx, defn, column, UserId("sql"))
         Seq(Row(column, "default dropped"))
     }
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` ([[SymlinkManifest]]):
+  * writes the Presto/Trino/Athena-readable file-list manifest of the
+  * CURRENT version. Returns one row per partition with its file count. */
+final case class GraftGenerateManifestCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    SymlinkManifest.generate(session, binding.log, defn)
+      .map { case (p, n) => Row(p, n) }
   }
 }
 
