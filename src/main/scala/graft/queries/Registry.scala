@@ -688,6 +688,42 @@ object Registry {
              |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
              |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q94_merge_evolution" -> Entry(
+      Versioned.q94MergeEvolution,
+      // MERGE schema evolution (autoMergeSchema): the source's new
+      // 'priority' column widens the schema mid-statement — %40 keys
+      // update with it, shifted %89 keys insert with it, every other row
+      // reads NULL; the metadata-only widening commit is pinned in-query
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), u AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |         CASE WHEN l_orderkey % 40 = 0 THEN qty + 500 ELSE qty END AS qty,
+             |         CASE WHEN l_orderkey % 40 = 0 THEN l_orderkey % 5 END AS priority
+             |  FROM agg
+             |), final AS (
+             |  SELECT * FROM u
+             |  UNION ALL
+             |  SELECT l_orderkey + 60000000, l_returnflag, qty,
+             |         (l_orderkey + 60000000) % 5 AS priority
+             |  FROM agg WHERE l_orderkey % 89 = 0
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty,
+             |       count(priority) AS n_prio,
+             |       CAST(sum(priority) AS BIGINT) AS sum_prio
+             |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q95_branch_sql" -> Entry(
+      Versioned.q95BranchSql,
+      // branch/tag SQL DDL over WAP: CREATE TAG pins v1 (even keys),
+      // CREATE BRANCH + staged full load + VERSION AS OF audit + PUBLISH
+      // BRANCH exposes the full recompute; DROP BRANCH/TAG retire refs —
+      // all invariants pinned in-query, the published state replayed here
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -3213,4 +3213,113 @@ object Versioned {
       .agg(count(lit(1)).as("n_keys"), round(sum("qty"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Q94: MERGE SCHEMA EVOLUTION (`spark.graft.dml.autoMergeSchema`, the
+    * Delta autoMerge contract) — a canonical `UPDATE SET * / INSERT *`
+    * MERGE whose source carries a NEW column (`priority`) widens the
+    * declared schema in the same statement: the column lands on touched
+    * partitions, every pre-evolution row (matched partitions' carried
+    * rows AND untouched partitions) reads it as a typed NULL, and the
+    * widening is an auditable metadata-only commit. The oracle replays
+    * the upsert with the evolution expressed as a CASE over which rows
+    * the source supplied. */
+  def q94MergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq94", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq94", log)
+    val table = tempTable(
+      "li_mev", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_mev"))
+    graft.spark.GraftTableCatalog.register("graftq94", table)
+    val name = s"graftq94.${table.name.schema}.${table.name.name}"
+    val agg = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+    agg.versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+
+    // source: %40 keys update (qty+500) and shifted %89 keys insert —
+    // BOTH carrying the new 'priority' column the table never had
+    agg.where(col("l_orderkey") % 40 === 0)
+      .withColumn("qty", col("qty") + 500)
+      .unionByName(
+        agg.where(col("l_orderkey") % 89 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + 60000000L))
+      .withColumn("priority", (col("l_orderkey") % 5).cast("long"))
+      .createOrReplaceTempView("q94_src")
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.autoMergeSchema", "true") {
+      s.sql(
+        s"""MERGE INTO $name t USING q94_src s
+           |ON t.l_orderkey = s.l_orderkey AND t.l_returnflag = s.l_returnflag
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    require(log.updates(table.name).map(_.message.content)
+      .exists(_.startsWith("MERGE SCHEMA EVOLUTION")),
+      "the widening must land as an auditable metadata-only commit")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty,
+         |       count(priority) AS n_prio, sum(priority) AS sum_prio
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q95: BRANCH / TAG SQL DDL ([[graft.spark.GraftRefCommand]], the
+    * Iceberg spellings over q65's WAP machinery) — the full
+    * write-audit-publish lifecycle driven by SQL alone: `CREATE TAG` pins
+    * the pre-change state, `CREATE BRANCH` opens the audit line, a staged
+    * branch write leaves main readers untouched, `VERSION AS OF
+    * '<branch>'` audits, `PUBLISH BRANCH` atomically exposes the audited
+    * state while the tag keeps serving the old one, and `DROP BRANCH` /
+    * `DROP TAG` retire the refs (history intact). Every invariant pinned
+    * in-query; the oracle replays the published state relationally. */
+  def q95BranchSql(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq95", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq95", log)
+    val table = tempTable(
+      "ord_refs", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_refs"))
+    graft.spark.GraftTableCatalog.register("graftq95", table)
+    val name = s"graftq95.${table.name.schema}.${table.name.name}"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+    orders.where(col("o_orderkey") % 2 === 0)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: even keys"))
+    val mainCount = s.sql(s"SELECT count(*) FROM $name").head().getLong(0)
+    s.sql(s"ALTER TABLE $name CREATE TAG prod_v1")
+    s.sql(s"ALTER TABLE $name CREATE BRANCH audit")
+    require(log.refs(table.name).keySet == Set("prod_v1", "audit"),
+      "SQL CREATE BRANCH/TAG must land both refs")
+
+    // stage the full recompute on the branch — main pointer unmoved
+    orders.versionedInsertIntoBranch(
+      ctx, table, user, UpdateMessage("staged: full load"), "audit")
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == mainCount,
+      "main readers must never see unpublished branch data")
+    val auditCount = s.sql(
+      s"SELECT count(*) FROM $name VERSION AS OF 'audit'").head().getLong(0)
+    require(auditCount > mainCount, "the audit read must see the staged rows")
+
+    s.sql(s"ALTER TABLE $name PUBLISH BRANCH audit")
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == auditCount,
+      "PUBLISH BRANCH must atomically expose the audited state")
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF 'prod_v1'")
+        .head().getLong(0) == mainCount,
+      "the tag must keep serving the pre-publish state")
+
+    s.sql(s"ALTER TABLE $name DROP BRANCH audit")
+    s.sql(s"ALTER TABLE $name DROP TAG prod_v1")
+    require(log.refs(table.name).isEmpty, "dropped refs must be gone")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
 }

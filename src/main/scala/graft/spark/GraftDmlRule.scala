@@ -364,9 +364,36 @@ final case class GraftMergeCommand(
     // strings there), else the relation's column order as declared
     val reader = VersionedReader(session, binding.log)
     val current = reader.read(defn)
+    // MERGE SCHEMA EVOLUTION (`SET spark.graft.dml.autoMergeSchema=true`,
+    // the Delta autoMerge contract): NEW source columns survive the
+    // alignment, the DECLARED schema widens (nullable, metadata-only
+    // commit — the q62 posture), and the rewrite carries pre-evolution
+    // rows with typed NULLs (Merge.mergeInto's kept alignment). Without
+    // the flag extra source columns drop at the alignment, as before.
+    val autoMerge =
+      session.conf.get("spark.graft.dml.autoMergeSchema", "false").toBoolean
+    val extras =
+      if (autoMerge && current.columns.nonEmpty)
+        src.schema.filterNot(f => current.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
+      else Nil
+    if (extras.nonEmpty) {
+      val key = defn.name.fullyQualifiedName
+      val base = binding.tables.get(key).flatMap(_._2).getOrElse(relationSchema)
+      val widened = org.apache.spark.sql.types.StructType(
+        base ++ extras.map(f => f.copy(nullable = true)))
+      binding.tables.put(key, (defn, Some(widened)))
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name,
+        graft.core.TableVersions.TableUpdate(
+          UserId("sql"),
+          UpdateMessage(
+            s"MERGE SCHEMA EVOLUTION ADD COLUMNS (${extras.map(_.name).mkString(", ")})"),
+          java.time.Instant.now(), Nil))
+      ()
+    }
     val aligned =
       if (current.columns.nonEmpty)
-        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+          extras.map(f => col(f.name)): _*)
       else
         src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))

@@ -35,6 +35,9 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  *   INSERT INTO graft.db.t REPLACE WHERE pred SELECT …  -- selective overwrite
  *   GENERATE symlink_format_manifest FOR TABLE graft.db.t  -- Presto/Trino interop
+ *   ALTER TABLE graft.db.t CREATE BRANCH b [AS OF VERSION 'v']  -- WAP refs
+ *   ALTER TABLE graft.db.t DROP BRANCH b / CREATE TAG g / DROP TAG g
+ *   ALTER TABLE graft.db.t PUBLISH BRANCH b              -- WAP endgame
  * }}}
  *
  * Spark's grammar has no OPTIMIZE/VACUUM statements, so an injected parser
@@ -179,6 +182,15 @@ private[spark] object GraftMaintenanceSql {
   // SQL-standard column-default spelling (ColumnDefaults): future writes
   // that omit the column fill it with the declared constant; existing
   // rows are never rewritten
+  // Branch / tag DDL (the Iceberg spellings) over the WAP ref machinery:
+  // CREATE BRANCH|TAG nm [AS OF VERSION '<ref-or-commit>'], DROP
+  // BRANCH|TAG nm, and the WAP endgame PUBLISH BRANCH nm
+  private val CreateRefStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+'([^']+)')?\s*;?\s*""".r
+  private val DropRefStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  private val PublishBranchStmt =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+PUBLISH\s+BRANCH\s+(\w+)\s*;?\s*""".r
   // GENERATE symlink_format_manifest FOR TABLE t — the Delta spelling for
   // Presto/Trino/Athena interop ([[SymlinkManifest]])
   private val GenerateStmt =
@@ -262,6 +274,15 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
     case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
+    case CreateRefStmt(ident, kind, name, asOf) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftRefCommand(
+        parts(ident), name, isTag = kind.equalsIgnoreCase("TAG"),
+        action = "create", asOf = Option(asOf)))
+    case DropRefStmt(ident, kind, name) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftRefCommand(
+        parts(ident), name, isTag = kind.equalsIgnoreCase("TAG"), action = "drop"))
+    case PublishBranchStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftRefCommand(parts(ident), name, isTag = false, action = "publish"))
     case GenerateStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftGenerateManifestCommand(parts(ident)))
     case ReplaceWhereStmt(ident, predSql, srcSql) if isGraftCatalogRef(split(ident)) =>
@@ -316,7 +337,8 @@ private[spark] object GraftMaintenanceSql {
     "format_options", "shallow", "clone", "refresh", "materialized",
     "view", "constraint", "generated", "identity", "partitioned",
     "metadata", "retain", "grace", "dry", "run", "commits", "hours",
-    "minutes", "only", "always", "replace", "generate")
+    "minutes", "only", "always", "replace", "generate", "branch", "tag",
+    "publish")
 
   /** `'k' = 'v', 'k2' = 'v2'` → Map — the FORMAT_OPTIONS body. The body
     * is scanned with the pair regex (never pre-split on commas: a quoted
@@ -728,6 +750,61 @@ final case class GraftSetDefaultCommand(
       case None =>
         ColumnDefaults.drop(session, ctx, defn, column, UserId("sql"))
         Seq(Row(column, "default dropped"))
+    }
+  }
+}
+
+/** Branch / tag DDL over the WAP ref machinery (q65's Scala surface, the
+  * Iceberg SQL spellings):
+  *
+  *  - `ALTER TABLE t CREATE BRANCH b [AS OF VERSION '<ref-or-commit>']` —
+  *    a movable ref at the current (or named) commit; writes land on it
+  *    via `versionedInsertIntoBranch`, audits read `VERSION AS OF 'b'`.
+  *  - `ALTER TABLE t CREATE TAG g [AS OF VERSION …]` — immutable name.
+  *  - `ALTER TABLE t DROP BRANCH|TAG nm` — the commits it named stay in
+  *    history (staged ones become vacuum-reclaimable).
+  *  - `ALTER TABLE t PUBLISH BRANCH b` — the WAP endgame: atomically
+  *    attach the branch's staged chain to the main history, move the
+  *    current pointer, sync the metastore.
+  *
+  * `AS OF VERSION` resolves a REF NAME first, then a raw commit id (the
+  * `VERSION AS OF` read contract). */
+final case class GraftRefCommand(
+    parts: Seq[String], name: String, isTag: Boolean, action: String,
+    asOf: Option[String] = None) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ref", StringType, nullable = false)(),
+    AttributeReference("commit", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val log = binding.log
+    def resolve(target: String): graft.core.TableVersions.CommitId =
+      log.refs(defn.name).get(target).map(_.id)
+        .getOrElse(graft.core.TableVersions.CommitId(target))
+    action match {
+      case "create" =>
+        val at = asOf.map(resolve).getOrElse(log.currentCommit(defn.name))
+        log.setRef(defn.name, name, at, isTag = isTag)
+        Seq(Row(name, at.id, if (isTag) "tag created" else "branch created"))
+      case "drop" =>
+        // refuse a kind mismatch loudly (DROP TAG on a branch would
+        // silently delete audit-holding state the user didn't name)
+        log.refs(defn.name).get(name).foreach { e =>
+          require(e.isTag == isTag,
+            s"'$name' is a ${if (e.isTag) "tag" else "branch"} — use DROP " +
+              s"${if (e.isTag) "TAG" else "BRANCH"}")
+        }
+        log.deleteRef(defn.name, name)
+        Seq(Row(name, "", if (isTag) "tag dropped" else "branch dropped"))
+      case "publish" =>
+        val head = log.refs(defn.name).get(name)
+          .getOrElse(sys.error(s"no branch '$name' on ${defn.name.fullyQualifiedName}"))
+        require(!head.isTag, s"'$name' is a tag — only branches publish")
+        GraftV2Table.metastoreFor(binding, defn).publish(defn.name, head.id)
+        Seq(Row(name, head.id.id, "published"))
     }
   }
 }

@@ -94,16 +94,24 @@ object Merge {
         require(missing.isEmpty,
           s"merge source must carry every current table column; missing: ${missing.mkString(", ")}")
       }
-      val cols = src.columns.map(col)
       // WHEN MATCHED UPDATE SET * ≡ drop the matched current rows and take
       // the source row instead; the anti-join tolerates duplicate source
       // keys without inflating, so no distinct pass is needed on the keys
       val kept =
         if (current.columns.isEmpty) src.limit(0) // never-written table
         else current.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // ADDITIVE SCHEMA EVOLUTION through the merge: a source carrying a
+      // NEW column widens the rewrite — carried rows, whose files predate
+      // the column, project it as a typed NULL (the q37/q62 read contract
+      // applied in write position). The other direction still refuses
+      // above (a source MISSING current columns would drop data).
+      def keptAligned(extraCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+        kept.select(src.schema.map(f =>
+          if (kept.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)) ++ extraCols: _*)
       idCol match {
         case None =>
-          kept.select(cols: _*)
+          keptAligned(Nil)
             .unionByName(src)
             .versionedInsertIntoRebase(ctx, table, userId, message, readCommit, txn)
           ()
@@ -115,10 +123,9 @@ object Merge {
           // Commit = rebase anchored at readCommit with the hwm check in
           // the CAS critical section (stageAndCommit's rebase mode).
           val hwm = IdentityColumns.effectiveHighWaterMark(spark, log, table, c)
-          val keptCols = (src.columns.toSeq :+ c).map(col)
           val merged =
             (if (current.columns.isEmpty) kept.withColumn(c, lit(null).cast("long"))
-             else kept.select(keptCols: _*))
+             else keptAligned(Seq(col(c))))
               .unionByName(IdentityColumns.stamped(src, c, hwm))
           IdentityColumns.stageAndCommit(
             merged, ctx, table, c, userId, message,
