@@ -58,7 +58,11 @@ final case class GraftGeneratedPruningRule(spark: SparkSession) extends Rule[Log
       relationOf(child) match {
         case Some(rel) =>
           val t = rel.table.asInstanceOf[GraftV2Table]
-          if (t.tableDefinition.isSnapshot || t.isMixedFold) f
+          // TIME-TRAVELED scans derive nothing: the generation metadata is
+          // CURRENT-state — rows live at an older commit (e.g. deleted
+          // before the rule was declared and validated) never passed its
+          // validation, so a derived bound could silently drop them
+          if (t.tableDefinition.isSnapshot || t.isMixedFold || t.tableAsOf.isDefined) f
           else {
             val derived = derive(cond, rel, t)
             if (derived.isEmpty) f

@@ -49,6 +49,16 @@ object SymlinkManifest {
       s"GENERATE symlink_format_manifest: ${table.name.fullyQualifiedName} has " +
         "live merge-on-read overlay rows — a file-list manifest would drop " +
         "them. Run OPTIMIZE (or ALTER TABLE ... SQUASH SIDECARS) first")
+    // a live column mapping means the files carry PHYSICAL column names
+    // the logical schema has renamed away — an external reader of the raw
+    // files would see the stale names (Delta refuses generate for
+    // column-mapping tables for exactly this reason)
+    require(!ColumnMapping.hasMapping(spark, log, table, None),
+      s"GENERATE symlink_format_manifest: ${table.name.fullyQualifiedName} has " +
+        "a column mapping (renamed/dropped/widened columns) — the data files " +
+        "carry frozen PHYSICAL column names, which is what a raw external " +
+        "reader would see. A file-list manifest cannot express the mapping " +
+        "(the Delta posture: column-mapping tables refuse generate)")
     val fold = log.currentVersion(table.name)
     require(PartitionEvolution.eraSignatures(fold).size <= 1,
       s"GENERATE symlink_format_manifest: ${table.name.fullyQualifiedName} has " +

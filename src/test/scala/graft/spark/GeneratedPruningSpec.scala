@@ -120,6 +120,13 @@ class GeneratedPruningSpec extends AnyFunSuite with Matchers {
       "SELECT count(*) AS n FROM graftgp.db.gp_band WHERE id >= 4")) shouldBe empty
   }
 
+  test("time-traveled scans derive nothing (old rows never passed the rule's validation)") {
+    val commit = log.currentCommit(table.name).id
+    monthFilters(spark.sql(
+      s"SELECT count(*) AS n FROM graftgp.db.gp_events VERSION AS OF '$commit' " +
+        "WHERE date >= '2024-02-15'")) shouldBe empty
+  }
+
   test("the scan actually prunes: the derived bound lands as a PartitionFilter") {
     val df = spark.sql(
       "SELECT id FROM graftgp.db.gp_events WHERE date >= '2024-03-01'")

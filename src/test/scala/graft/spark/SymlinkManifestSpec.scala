@@ -106,5 +106,15 @@ class SymlinkManifestSpec extends AnyFunSuite with Matchers {
       spark.sql("GENERATE symlink_format_manifest FOR TABLE graftsm.db.sm_refuse2").collect()
     }
     e2.getMessage should include("overlay")
+
+    // a column mapping means files carry stale physical names — refuse
+    val t3 = mkTable("sm_refuse3")
+    (1L to 5L).map(i => Event(i, "x", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t3, user, UpdateMessage("v1"))
+    spark.sql("ALTER TABLE graftsm.db.sm_refuse3 RENAME COLUMN kind TO label")
+    val e3 = intercept[Exception] {
+      spark.sql("GENERATE symlink_format_manifest FOR TABLE graftsm.db.sm_refuse3").collect()
+    }
+    e3.getMessage should include("column mapping")
   }
 }
