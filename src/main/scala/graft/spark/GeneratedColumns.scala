@@ -33,8 +33,14 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
 object GeneratedColumns {
 
   /** `column GENERATED ALWAYS AS (expr)` — `expr` is SQL text over the
-    * table's other columns; it must be deterministic. */
-  final case class GeneratedColumn(column: String, expr: String)
+    * table's other columns; it must be deterministic. `zone` records the
+    * SESSION TIMEZONE in force when the rule was declared: zone-sensitive
+    * generations (any function of a `TIMESTAMP` base interprets the value
+    * in the session zone) materialize different partition values under
+    * different zones, so [[GraftGeneratedPruningRule]] refuses to derive
+    * pruning bounds when the reader's zone disagrees with the recorded
+    * write-side zone (or when none was recorded — pre-zone metadata). */
+  final case class GeneratedColumn(column: String, expr: String, zone: Option[String] = None)
 
   private val LegacyFileName = "_generated.json"
   private val mapper = new ObjectMapper()
@@ -65,7 +71,9 @@ object GeneratedColumns {
     val node = mapper.readTree(text)
     (0 until node.size()).toList.map { i =>
       val c = node.get(i)
-      GeneratedColumn(c.get("column").asText(), c.get("expr").asText())
+      val zone =
+        if (c.has("zone") && !c.get("zone").isNull) Some(c.get("zone").asText()) else None
+      GeneratedColumn(c.get("column").asText(), c.get("expr").asText(), zone)
     }
   }
 
@@ -100,7 +108,11 @@ object GeneratedColumns {
             s"$bad existing rows disagree")
       }
     }
-    write(spark, table, existing :+ g)
+    // stamp the declaring session's zone — the zone every subsequent write
+    // derives the column under (writes run in this engine's sessions, which
+    // pin one zone); readers in a DIFFERENT zone must not derive pruning
+    val stamped = g.copy(zone = Some(spark.sessionState.conf.sessionLocalTimeZone))
+    write(spark, table, existing :+ stamped)
     log.commit(table.name, TableVersions.TableUpdate(
       user, UpdateMessage(s"ALTER TABLE ADD GENERATED COLUMN ${g.column} AS (${g.expr})"),
       java.time.Instant.now(), Nil))
@@ -120,6 +132,7 @@ object GeneratedColumns {
     gs.foreach { g =>
       val n = mapper.createObjectNode()
       n.put("column", g.column); n.put("expr", g.expr)
+      g.zone.foreach(n.put("zone", _))
       arr.add(n)
     }
     val p = filePath(table)

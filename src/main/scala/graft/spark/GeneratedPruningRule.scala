@@ -43,6 +43,17 @@ import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampType
  *    A NULL result skips the derivation (such rows cannot exist in the
  *    layout — null partition values refuse at write — but the range
  *    algebra stops holding, so derive nothing rather than reason).
+ *  - TIMEZONE soundness: any function of a `TIMESTAMP` base interprets
+ *    the value in the SESSION zone, so the stored partition values embody
+ *    the WRITER's zone. Derivation for timestamp bases therefore requires
+ *    the reader's session zone to MATCH the zone recorded at declare time
+ *    ([[GeneratedColumns.GeneratedColumn.zone]]); metadata predating the
+ *    zone stamp derives nothing. Range derivation additionally requires a
+ *    FIXED-OFFSET zone: under a DST zone, sub-day truncations
+ *    (`date_format 'yyyy-MM-dd HH:mm'`, `date_trunc('minute', …)`) go
+ *    BACKWARD across a fall-back transition, and even timestamp↔ntz casts
+ *    stop being order-preserving — equality stays sound (same
+ *    deterministic `f` both sides), ranges do not.
  *
  * Mixed-era folds skip derivation entirely (the era-union view's
  * old-era rows do not carry the current scheme's physical layout).
@@ -93,7 +104,9 @@ final case class GraftGeneratedPruningRule(spark: SparkSession) extends Rule[Log
     val partGens = gens.filter(g => partCols.exists(_.equalsIgnoreCase(g.column)))
     if (partGens.isEmpty) return Nil
     val parts = conjuncts(cond)
-    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    val sessionFixed = fixedOffset(sessionZone)
+    val tz = Some(sessionZone)
 
     partGens.flatMap { gen =>
       val out = for {
@@ -101,22 +114,30 @@ final case class GraftGeneratedPruningRule(spark: SparkSession) extends Rule[Log
         genE <- parseGen(gen.expr)
         base <- singleBase(genE, gen.column)
         bAttr <- rel.output.find(_.name.equalsIgnoreCase(base))
+        // TIMESTAMP bases fold under the session zone: the stored layout
+        // embodies the WRITER's zone, so the reader's must match the zone
+        // recorded at declare time (no record → pre-zone metadata → refuse)
+        if bAttr.dataType != TimestampType || gen.zone.exists(sameZone(_, sessionZone))
       } yield {
-        val mono = monotonic(genE, bAttr.dataType)
+        val mono = monotonic(genE, bAttr.dataType) &&
+          // under a DST zone, sub-day truncations of a session-zone-
+          // interpreted timestamp go backward at fall-back — range
+          // derivation for timestamp bases needs a fixed offset
+          (bAttr.dataType != TimestampType || sessionFixed)
         // the comparison side holding the base column — either the bare
-        // attribute or an order-preserving timestamp↔timestamp_ntz cast
-        // the analyzer wrapped around it (a TIMESTAMP literal against an
-        // ntz-stored column); the cast moves onto the VALUE side, where
-        // it folds (under a fixed-offset session zone both directions are
-        // exact; sub-hour generations near a DST fold are the documented
-        // caveat, month/day truncations are unaffected)
+        // attribute or a timestamp↔timestamp_ntz cast the analyzer wrapped
+        // around it (a TIMESTAMP literal against an ntz-stored column); the
+        // cast moves onto the VALUE side, where it folds. Only under a
+        // FIXED-OFFSET session zone: with DST the ntz↔ts casts are neither
+        // injective (spring-forward gap) nor order-preserving (fall-back),
+        // so even equality derivation through the cast drops rows.
         def attrOf(e: Expression): Option[AttributeReference] = e match {
           case a: AttributeReference
               if a.name.equalsIgnoreCase(base) && rel.outputSet.contains(a) => Some(a)
           case c: Cast => c.child match {
             case a: AttributeReference
                 if a.name.equalsIgnoreCase(base) && rel.outputSet.contains(a) &&
-                  tsPair(a.dataType, c.dataType) => Some(a)
+                  tsPair(a.dataType, c.dataType) && sessionFixed => Some(a)
             case _ => None
           }
           case _ => None
@@ -161,6 +182,20 @@ final case class GraftGeneratedPruningRule(spark: SparkSession) extends Rule[Log
       out.getOrElse(Nil).filterNot(d => parts.exists(_.semanticEquals(d)))
     }
   }
+
+  /** True when the zone id is a fixed offset (UTC, +05:30, …) — no DST
+    * transitions, so truncations and ntz↔ts casts are order-preserving. */
+  private def fixedOffset(zone: String): Boolean =
+    try java.time.ZoneId.of(zone).getRules.isFixedOffset
+    catch { case NonFatal(_) => false }
+
+  /** Same zone semantics: identical rules (covers spelling variants like
+    * `UTC` vs `+00:00` when both are fixed offsets). */
+  private def sameZone(a: String, b: String): Boolean =
+    try {
+      val (za, zb) = (java.time.ZoneId.of(a), java.time.ZoneId.of(b))
+      za == zb || za.normalized == zb.normalized || za.getRules == zb.getRules
+    } catch { case NonFatal(_) => false }
 
   /** Timestamp families whose mutual casts preserve order (and, under a
     * fixed-offset session zone, invert exactly). */

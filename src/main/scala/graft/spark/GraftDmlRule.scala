@@ -376,6 +376,24 @@ final case class GraftMergeCommand(
       if (autoMerge && current.columns.nonEmpty)
         src.schema.filterNot(f => current.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
       else Nil
+    val aligned =
+      if (current.columns.nonEmpty)
+        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+          extras.map(f => col(f.name)): _*)
+      else
+        src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    // DATA FIRST, widening AFTER: a merge that fails (duplicate source
+    // keys, OCC conflict, constraint refusal) must not leave the table
+    // permanently widened with no data for the new column — the declared
+    // schema and its audit commit land only once the data commit is in
+    // (Delta folds both into one transaction; a versioned log is
+    // append-only, so after-on-success is the equivalent posture). In the
+    // one-commit gap a concurrent reader sees the PRE-evolution schema —
+    // the new column appears with the declaration, never a phantom column
+    // with no declaration.
+    Merge.mergeInto(
+      ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
     if (extras.nonEmpty) {
       val key = defn.name.fullyQualifiedName
       val base = binding.tables.get(key).flatMap(_._2).getOrElse(relationSchema)
@@ -390,15 +408,6 @@ final case class GraftMergeCommand(
           java.time.Instant.now(), Nil))
       ()
     }
-    val aligned =
-      if (current.columns.nonEmpty)
-        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-          extras.map(f => col(f.name)): _*)
-      else
-        src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
-    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    Merge.mergeInto(
-      ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
     Seq.empty
   }
 }

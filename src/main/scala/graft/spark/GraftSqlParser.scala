@@ -197,11 +197,47 @@ private[spark] object GraftMaintenanceSql {
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
   // INSERT INTO t REPLACE WHERE <pred> <SELECT …> — transactional
   // selective overwrite (Delta's replaceWhere). The predicate is the
-  // non-greedy stretch before the source query's head keyword, so it must
-  // be subquery-free (it is a region descriptor, not a query; a SELECT
-  // inside it misparses and refuses at execution, never silently).
+  // stretch before the source query's head keyword, found by a scan that
+  // SKIPS quoted string literals (so `note = 'select all' SELECT …`
+  // splits at the real SELECT, not inside the literal); the predicate
+  // must be subquery-free (it is a region descriptor, not a query — a
+  // SELECT inside it splits early and refuses at execution, never
+  // silently).
   private val ReplaceWhereStmt =
-    """(?is)\s*INSERT\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.*?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+REPLACE\s+WHERE\s+(.+?)\s*;?\s*""".r
+
+  private val ReplaceWhereHeads = Set("select", "values", "with", "from", "table")
+
+  /** Split `<pred> <source-query>` at the first source-head keyword that
+    * sits OUTSIDE '…'/"…"/`…` quoting (with '' as the single-quote
+    * escape), at a word boundary, with a non-empty predicate before it. */
+  private[spark] def splitReplaceWhere(rest: String): Option[(String, String)] = {
+    val n = rest.length
+    var i = 0
+    var quote: Char = 0
+    while (i < n) {
+      val c = rest.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote == '\'' && i + 1 < n && rest.charAt(i + 1) == '\'') i += 1
+          else quote = 0
+        }
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c.isLetter && i > 0 &&
+          (rest.charAt(i - 1).isWhitespace || rest.charAt(i - 1) == ')')) {
+        var j = i
+        while (j < n && (rest.charAt(j).isLetterOrDigit || rest.charAt(j) == '_')) j += 1
+        if (ReplaceWhereHeads.contains(rest.substring(i, j).toLowerCase(
+            java.util.Locale.ROOT))) {
+          val pred = rest.substring(0, i).trim
+          if (pred.nonEmpty) return Some((pred, rest.substring(i).trim))
+        }
+        i = j - 1
+      }
+      i += 1
+    }
+    None
+  }
   private val SetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val DropDefaultStmt =
@@ -285,8 +321,15 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftRefCommand(parts(ident), name, isTag = false, action = "publish"))
     case GenerateStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftGenerateManifestCommand(parts(ident)))
-    case ReplaceWhereStmt(ident, predSql, srcSql) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftReplaceWhereCommand(parts(ident), predSql.trim, srcSql.trim))
+    case ReplaceWhereStmt(ident, rest) if isGraftCatalogRef(split(ident)) =>
+      splitReplaceWhere(rest) match {
+        case Some((predSql, srcSql)) =>
+          Some(GraftReplaceWhereCommand(parts(ident), predSql, srcSql))
+        case None => sys.error(
+          "INSERT INTO ... REPLACE WHERE needs a source query (SELECT / " +
+            "VALUES / WITH / FROM / TABLE) after the predicate; none found " +
+            s"outside string literals in: $rest")
+      }
     case SetDefaultStmt(ident, column, defExpr) if isGraftCatalogRef(split(ident)) =>
       Some(GraftSetDefaultCommand(parts(ident), column, Some(defExpr.trim)))
     case DropDefaultStmt(ident, column) if isGraftCatalogRef(split(ident)) =>

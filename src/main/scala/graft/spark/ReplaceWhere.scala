@@ -58,10 +58,17 @@ object ReplaceWhere {
       DeletionVectors.read(session, log, defn), session, log, defn, None)
     // align to the current write-side (logical) schema; a never-written
     // table takes the statement's own shape
+    // PERSIST across the guard and the commit: a non-deterministic source
+    // (rand(), limit over unordered input) re-evaluated between the two
+    // could pass the guard yet write rows outside the replaced region —
+    // the exact widening the guard exists to prevent (Delta enforces
+    // replaceWhere per-row at write; pinning one evaluation is the
+    // equivalent guarantee for the pre-pass shape)
     val aligned =
-      if (current.columns.nonEmpty)
+      (if (current.columns.nonEmpty)
         source.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      else source
+      else source).persist()
+    try {
     // Delta parity: incoming rows outside the replaced region refuse
     val stray = aligned.where(notPred).limit(1).count()
     require(stray == 0L,
@@ -134,5 +141,9 @@ object ReplaceWhere {
     GraftDml.commit(
       defn, binding, scope.where(notPred).unionByName(aligned), msg, readCommit,
       alsoRemove = removable)
+    } finally {
+      aligned.unpersist()
+      ()
+    }
   }
 }

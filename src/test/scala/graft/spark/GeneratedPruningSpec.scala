@@ -127,6 +127,83 @@ class GeneratedPruningSpec extends AnyFunSuite with Matchers {
         "WHERE date >= '2024-02-15'")) shouldBe empty
   }
 
+  test("timestamp base: ranges derive under the recorded fixed-offset zone; a mismatched or unrecorded zone derives nothing") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val t = TableDefinition(
+      TableName("db", "gp_ts"),
+      Files.createTempDirectory("graft_gp_ts").toUri,
+      PartitionSchema(List(PartitionColumn("ehour"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    GeneratedColumns.add(spark, ctx, t,
+      GeneratedColumns.GeneratedColumn("ehour", "date_format(ets, 'yyyy-MM-dd HH')"), user)
+    GraftTableCatalog.register("graftgp", t)
+    Seq.tabulate(48)(i => (i + 1L, f"2024-03-01 ${i % 24}%02d:30:00"))
+      .toDF("id", "s").select($"id", to_timestamp($"s").as("ets"))
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    def hourFilters(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case f: LFilter if f.condition.references.exists(_.name == "ehour") =>
+          f.condition.sql
+      }
+    val range =
+      "SELECT count(*) AS n FROM graftgp.db.gp_ts WHERE ets >= TIMESTAMP '2024-03-01 12:00:00'"
+    val eq =
+      "SELECT count(*) AS n FROM graftgp.db.gp_ts WHERE ets = TIMESTAMP '2024-03-01 12:30:00'"
+    // session zone UTC == the zone stamped at declare, and it is a fixed
+    // offset: sub-day range derivation is sound and fires
+    hourFilters(spark.sql(range)) should not be empty
+    spark.sql(range).as[Long].head() shouldBe 24L
+    // a reader in a DIFFERENT zone would fold f(L) under the wrong zone —
+    // refuse everything, equality included
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      hourFilters(spark.sql(range)) shouldBe empty
+      hourFilters(spark.sql(eq)) shouldBe empty
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // metadata predating the zone stamp: writer zone unknown — refuse
+    GeneratedColumns.seed(spark, t, List(
+      GeneratedColumns.GeneratedColumn("ehour", "date_format(ets, 'yyyy-MM-dd HH')")))
+    hourFilters(spark.sql(range)) shouldBe empty
+    hourFilters(spark.sql(eq)) shouldBe empty
+  }
+
+  test("DST session zone matching the recorded zone: equality derives, sub-day ranges do not") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val t = TableDefinition(
+        TableName("db", "gp_ts_ny"),
+        Files.createTempDirectory("graft_gp_ts_ny").toUri,
+        PartitionSchema(List(PartitionColumn("ehour"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      GeneratedColumns.add(spark, ctx, t,
+        GeneratedColumns.GeneratedColumn("ehour", "date_format(ets, 'yyyy-MM-dd HH')"), user)
+      GraftTableCatalog.register("graftgp", t)
+      Seq.tabulate(24)(i => (i + 1L, f"2024-03-01 ${i % 24}%02d:30:00"))
+        .toDF("id", "s").select($"id", to_timestamp($"s").as("ets"))
+        .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+      def hourFilters(df: DataFrame): Seq[String] =
+        df.queryExecution.analyzed.collect {
+          case f: LFilter if f.condition.references.exists(_.name == "ehour") =>
+            f.condition.sql
+        }
+      // equality: same deterministic f under the same zone on both the
+      // write and the fold — sound, derives
+      val eq = spark.sql(
+        "SELECT count(*) AS n FROM graftgp.db.gp_ts_ny WHERE ets = TIMESTAMP '2024-03-01 12:30:00'")
+      hourFilters(eq) should not be empty
+      eq.as[Long].head() shouldBe 1L
+      // range: 'yyyy-MM-dd HH' goes backward across a fall-back transition
+      // under a DST zone — no range derivation
+      hourFilters(spark.sql(
+        "SELECT count(*) AS n FROM graftgp.db.gp_ts_ny " +
+          "WHERE ets >= TIMESTAMP '2024-03-01 12:00:00'")) shouldBe empty
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("the scan actually prunes: the derived bound lands as a PartitionFilter") {
     val df = spark.sql(
       "SELECT id FROM graftgp.db.gp_events WHERE date >= '2024-03-01'")

@@ -73,6 +73,30 @@ class MergeEvolutionSpec extends AnyFunSuite with Matchers {
       .exists(_.startsWith("MERGE SCHEMA EVOLUTION")) shouldBe true
   }
 
+  test("a failing merge leaves the schema UNWIDENED (atomicity: no phantom column)") {
+    val t = mkTable("mev_fail")
+    (1L to 4L).map(i => Event(i, "base", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    // a write-path CHECK constraint the incoming row violates: the merge's
+    // data commit fails INSIDE the write job, after the evolution decision
+    Constraints.add(spark, ctx, t, Constraints.check("pos", "id > 0"), user)
+    Seq((-7L, "bad", "2024-01-01", 1.0))
+      .toDF("id", "kind", "date", "score").createOrReplaceTempView("mev_fail_src")
+    spark.conf.set("spark.graft.dml.autoMergeSchema", "true")
+    try {
+      an[Exception] should be thrownBy spark.sql(
+        """MERGE INTO graftmev.db.mev_fail t USING mev_fail_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally spark.conf.unset("spark.graft.dml.autoMergeSchema")
+    // neither the declared schema nor the audit log carry the evolution
+    val after = spark.table("graftmev.db.mev_fail")
+    after.columns.map(_.toLowerCase) should not contain "score"
+    after.count() shouldBe 4L
+    log.updates(t.name).map(_.message.content)
+      .exists(_.startsWith("MERGE SCHEMA EVOLUTION")) shouldBe false
+  }
+
   test("without the flag, extra source columns drop (existing contract)") {
     val t = mkTable("mev_off")
     (1L to 4L).map(i => Event(i, "base", "2024-01-01"))

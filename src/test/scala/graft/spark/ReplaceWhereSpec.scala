@@ -100,6 +100,35 @@ class ReplaceWhereSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L, 6L)
   }
 
+  test("predicate/source split skips string literals (a SELECT inside quotes is not the source)") {
+    // head keywords inside '…' literals are data, not the source query
+    GraftMaintenanceSql.splitReplaceWhere(
+      "kind = 'select all' SELECT 1 AS id") shouldBe
+      Some(("kind = 'select all'", "SELECT 1 AS id"))
+    GraftMaintenanceSql.splitReplaceWhere(
+      "note = 'oops select here' VALUES (1)") shouldBe
+      Some(("note = 'oops select here'", "VALUES (1)"))
+    // '' escape inside a literal stays inside the literal
+    GraftMaintenanceSql.splitReplaceWhere(
+      "note = 'it''s from mars' SELECT 2") shouldBe
+      Some(("note = 'it''s from mars'", "SELECT 2"))
+    // identifiers merely CONTAINING a head keyword do not split
+    GraftMaintenanceSql.splitReplaceWhere(
+      "from_date >= '2024-01-01' SELECT 3") shouldBe
+      Some(("from_date >= '2024-01-01'", "SELECT 3"))
+    // no source query at all → None (the statement refuses loudly)
+    GraftMaintenanceSql.splitReplaceWhere("kind = 'select all'") shouldBe None
+    // end-to-end: the literal-bearing predicate replaces the right rows
+    val t = mkTable("rw_quote")
+    Seq(Event(1L, "select all", "2024-01-01"), Event(2L, "keep", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    spark.sql(
+      "INSERT INTO graftrw.db.rw_quote REPLACE WHERE kind = 'select all' " +
+        "SELECT 9 AS id, 'select all' AS kind, '2024-01-01' AS date")
+    val rows = DeletionVectors.read(spark, log, t)
+    rows.orderBy("id").select("id").as[Long].collect() shouldBe Array(2L, 9L)
+  }
+
   test("incoming rows outside the region refuse; no commit lands") {
     val t = mkTable("rw_guard")
     (1L to 6L).map(i => Event(i, "x", s"2024-01-0${i % 3 + 1}"))
