@@ -41,10 +41,20 @@ object ColumnMapping {
     * written before the widen keep their narrow physical type, and every
     * scan of a widened state requests the wide type — the parquet reader's
     * upcast (int→bigint, float→double) serves old files, so the change is
-    * metadata-only at any scale. */
+    * metadata-only at any scale.
+    *
+    * NESTED fields map through DOTTED paths: `logical` / `physical` are
+    * full paths (`meta.lang`), physical segments frozen at field creation.
+    * Nested entries never join the top-level select — the read side
+    * REBUILDS the owning struct (physical field names → logical, dropped
+    * fields omitted) and the write side rebuilds it the other way
+    * ([[applyLogical]] / [[toPhysical]]); both are column-expression
+    * algebra, metadata-only at any scale. */
   final case class Entry(
       logical: String, physical: String, dropped: Boolean,
-      widened: Option[String] = None)
+      widened: Option[String] = None) {
+    def isNested: Boolean = physical.contains('.') || logical.contains('.')
+  }
 
   /** The full mapping in force from `commit` onward. `owner` names the
     * table whose lineage anchored the state — shared-location forks
@@ -203,11 +213,99 @@ object ColumnMapping {
     require(!current.exists(e => !e.dropped && e.logical.equalsIgnoreCase(to)),
       s"column $to already exists on ${table.name.fullyQualifiedName}")
     val next = current.map {
-      case e if e.logical.equalsIgnoreCase(from) => e.copy(logical = to)
-      case e                                     => e
+      case e if !e.isNested && e.logical.equalsIgnoreCase(from) => e.copy(logical = to)
+      // nested entries' LOGICAL prefixes follow the parent's rename
+      // (their physical paths stay frozen)
+      case e if e.isNested &&
+          e.logical.toLowerCase.startsWith(from.toLowerCase + ".") =>
+        e.copy(logical = to + e.logical.drop(from.length))
+      case e => e
     }
     commitState(spark, ctx, table, next,
       UpdateMessage(s"ALTER TABLE RENAME COLUMN $from TO $to"), user)
+  }
+
+  /** Resolve a LOGICAL dotted path to its PHYSICAL path through the
+    * entries (segments with no entry map to themselves — physical names
+    * are frozen at creation). */
+  private def physicalPathOf(entries: List[Entry], logicalPath: Seq[String]): Seq[String] = {
+    val top = entries.find(e => !e.isNested && !e.dropped &&
+      e.logical.equalsIgnoreCase(logicalPath.head)).map(_.physical)
+      .getOrElse(logicalPath.head)
+    logicalPath.drop(1).foldLeft((Seq(top), Seq(logicalPath.head))) {
+      case ((phys, logi), seg) =>
+        val lpath = (logi :+ seg).mkString(".")
+        val pseg = entries.find(e => e.isNested && !e.dropped &&
+            e.logical.equalsIgnoreCase(lpath))
+          .map(_.physical.split('.').last).getOrElse(seg)
+        (phys :+ pseg, logi :+ seg)
+    }._1
+  }
+
+  /** RENAME a NESTED struct field (`meta.lang TO language`) — metadata
+    * only, the top-level discipline at depth: the physical path stays
+    * frozen in every file generation, reads rebuild the struct with the
+    * logical name, writes translate it back. Schema-level validation
+    * (path exists, no collision) is the caller's job
+    * ([[GraftTableCatalog.alterTable]] holds the declared schema). */
+  def renameNested(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      path: Seq[String],
+      to: String,
+      user: UserId): Unit = {
+    require(path.length >= 2, s"not a nested path: ${path.mkString(".")}")
+    val log = ctx.metastore.tableVersions
+    val current = effectiveEntries(spark, log, table, None)
+    val lpath = path.mkString(".")
+    val newLogical = (path.dropRight(1) :+ to).mkString(".")
+    require(!current.exists(e => e.isNested && !e.dropped &&
+      e.logical.equalsIgnoreCase(newLogical)),
+      s"field $newLogical already exists on ${table.name.fullyQualifiedName}")
+    val next = current.find(e => e.isNested && !e.dropped &&
+        e.logical.equalsIgnoreCase(lpath)) match {
+      case Some(e) => current.map(x => if (x eq e) x.copy(logical = newLogical) else x)
+      case None => current :+ Entry(
+        newLogical, physicalPathOf(current, path).mkString("."), dropped = false)
+    }
+    commitState(spark, ctx, table, next,
+      UpdateMessage(s"ALTER TABLE RENAME COLUMN $lpath TO $to"), user)
+  }
+
+  /** DROP a NESTED struct field (metadata-only; files keep the bytes —
+    * time travel to a pre-drop commit still shows the field). */
+  def dropNested(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      path: Seq[String],
+      user: UserId): Unit = {
+    require(path.length >= 2, s"not a nested path: ${path.mkString(".")}")
+    val log = ctx.metastore.tableVersions
+    val current = effectiveEntries(spark, log, table, None)
+    val lpath = path.mkString(".")
+    val next = current.find(e => e.isNested && !e.dropped &&
+        e.logical.equalsIgnoreCase(lpath)) match {
+      case Some(e) => current.map(x => if (x eq e) x.copy(dropped = true) else x)
+      case None => current :+ Entry(
+        lpath, physicalPathOf(current, path).mkString("."), dropped = true)
+    }
+    commitState(spark, ctx, table, next,
+      UpdateMessage(s"ALTER TABLE DROP COLUMN $lpath"), user)
+  }
+
+  /** A dropped nested entry whose PHYSICAL path matches — the nested
+    * re-add guard (old files still carry the physical field; a by-name
+    * clip would resurrect pre-drop values into the reborn field). */
+  private[spark] def nestedDroppedAt(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      path: Seq[String]): Boolean = {
+    val entries = stateAt(spark, log, table, None).map(_.entries).getOrElse(Nil)
+    val phys = physicalPathOf(entries, path).mkString(".")
+    entries.exists(e => e.isNested && e.dropped && e.physical.equalsIgnoreCase(phys))
   }
 
   /** Does `sqlExpr` reference column `name`? Parsed, not analyzed: the
@@ -340,6 +438,65 @@ object ColumnMapping {
           .map(c => Entry(c, c, dropped = false))
     }
 
+  /** READ-side struct rebuild for NESTED entries under `prefix` (a
+    * PHYSICAL path): physical field names project as their logical names,
+    * dropped fields omit, recursion covers struct-in-struct; a NULL
+    * struct stays NULL. Returns the rebuilt column and its logical type.
+    * Identity (no rebuild) when no nested entry lives under the prefix. */
+  private def readMapped(
+      c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
+      prefix: String,
+      nested: List[Entry]): (org.apache.spark.sql.Column, org.apache.spark.sql.types.DataType) =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType
+          if nested.exists(_.physical.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
+        import org.apache.spark.sql.functions.{lit, struct, when}
+        val parts = st.fields.toSeq.flatMap { f =>
+          val p = s"$prefix.${f.name}"
+          val entry = nested.find(_.physical.equalsIgnoreCase(p))
+          if (entry.exists(_.dropped)) Nil
+          else {
+            val logicalName = entry.map(_.logical.split('.').last).getOrElse(f.name)
+            val (cc, ct) = readMapped(c.getField(f.name), f.dataType, p, nested)
+            List((cc.as(logicalName),
+              org.apache.spark.sql.types.StructField(logicalName, ct, f.nullable)))
+          }
+        }
+        val lt = org.apache.spark.sql.types.StructType(parts.map(_._2).toArray)
+        (when(c.isNull, lit(null).cast(lt)).otherwise(struct(parts.map(_._1): _*)), lt)
+      case other => (c, other)
+    }
+
+  /** WRITE-side struct rebuild: logical field names translate back to
+    * their frozen physical names; a batch naming a DROPPED nested field
+    * refuses (the top-level discipline at depth). */
+  private def writeMapped(
+      c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
+      prefix: String,
+      nested: List[Entry],
+      table: TableDefinition): (org.apache.spark.sql.Column, org.apache.spark.sql.types.DataType) =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType
+          if nested.exists(_.logical.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
+        import org.apache.spark.sql.functions.{lit, struct, when}
+        val parts = st.fields.toSeq.map { f =>
+          val lp = s"$prefix.${f.name}"
+          if (nested.exists(e => e.dropped && e.logical.equalsIgnoreCase(lp)))
+            throw new IllegalArgumentException(
+              s"write to ${table.name.fullyQualifiedName} names dropped field $lp")
+          val physName = nested.find(e => !e.dropped && e.logical.equalsIgnoreCase(lp))
+            .map(_.physical.split('.').last).getOrElse(f.name)
+          val (cc, ct) = writeMapped(c.getField(f.name), f.dataType, lp, nested, table)
+          (cc.as(physName),
+            org.apache.spark.sql.types.StructField(physName, ct, f.nullable))
+        }
+        val pt = org.apache.spark.sql.types.StructType(parts.map(_._2).toArray)
+        (when(c.isNull, lit(null).cast(pt)).otherwise(struct(parts.map(_._1): _*)), pt)
+      case other => (c, other)
+    }
+
   /** Logical → physical translation for a batch about to be written.
     * Identity when the table has no mapping states. A write naming a
     * DROPPED logical column refuses (silently storing bytes into a
@@ -350,8 +507,12 @@ object ColumnMapping {
     stateAt(spark, log, table, None) match {
       case None => df
       case Some(s) =>
-        val byLogical = s.entries.map(e => e.logical.toLowerCase -> e).toMap
+        val (nested, top) = s.entries.partition(_.isNested)
+        val byLogical = top.map(e => e.logical.toLowerCase -> e).toMap
         val cols = df.columns.toList.map { c =>
+          val (base, _) =
+            if (nested.isEmpty) (col(c), df.schema(c).dataType)
+            else writeMapped(col(c), df.schema(c).dataType, c, nested, table)
           byLogical.get(c.toLowerCase) match {
             case Some(e) if e.dropped =>
               throw new IllegalArgumentException(
@@ -360,8 +521,8 @@ object ColumnMapping {
               // widened columns write the WIDE type from now on (an int
               // batch into a bigint column upcasts; old narrow files
               // upcast at scan instead)
-              e.widened.foldLeft(col(c))((cc, t) => cc.cast(t)).as(e.physical)
-            case None    => col(c) // partition cols + never-mapped columns
+              e.widened.foldLeft(base)((cc, t) => cc.cast(t)).as(e.physical)
+            case None    => base.as(c) // partition cols + never-mapped columns
           }
         }
         df.select(cols: _*)
@@ -379,12 +540,16 @@ object ColumnMapping {
     stateAt(spark, log, table, at) match {
       case None => df
       case Some(s) =>
-        val byPhysical = s.entries.map(e => e.physical.toLowerCase -> e).toMap
+        val (nested, top) = s.entries.partition(_.isNested)
+        val byPhysical = top.map(e => e.physical.toLowerCase -> e).toMap
         val cols = df.columns.toList.flatMap { c =>
+          val (base, _) =
+            if (nested.isEmpty) (col(c), df.schema(c).dataType)
+            else readMapped(col(c), df.schema(c).dataType, c, nested)
           byPhysical.get(c.toLowerCase) match {
             case Some(e) if e.dropped => Nil
-            case Some(e)              => List(col(c).as(e.logical))
-            case None                 => List(col(c))
+            case Some(e)              => List(base.as(e.logical))
+            case None                 => List(base.as(c))
           }
         }
         df.select(cols: _*)

@@ -56,7 +56,7 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
 final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case m: MergeIntoTable if m.resolved =>
+    case m: MergeIntoTable if m.resolved || wideningBlockedOnly(m) =>
       graftRelation(m.targetTable) match {
         case None => m
         case Some(rel) =>
@@ -72,8 +72,9 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftMergeCommand(
               table.tableDefinition, table.tableBinding,
               m.sourceTable, keys, rel.schema)
-          else
+          else if (m.resolved)
             translateConditional(m, table, rel.schema, keys)
+          else m // widening-blocked but non-canonical: Spark's cast error stands
       }
 
     case u: UpdateTable if u.resolved =>
@@ -190,6 +191,34 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def detach(e: Expression): Expression = e.transform {
     case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
   }
+
+  /** A MERGE left unresolved ONLY because the analyzer's star-expansion
+    * tried to cast a PROPERLY-WIDENED source struct down to the target's
+    * narrow shape (nested autoMerge evolution: the source carries extra
+    * struct fields). Such a statement is safe to intercept when
+    * autoMergeSchema is on — the command keeps the source's wide shape
+    * instead of the impossible down-cast; anything else stays with
+    * Spark's own analysis error. */
+  private def wideningBlockedOnly(m: MergeIntoTable): Boolean =
+    spark.conf.get("spark.graft.dml.autoMergeSchema", "false").toBoolean &&
+      m.targetTable.resolved && m.sourceTable.resolved && m.mergeCondition.resolved &&
+      m.notMatchedBySourceActions.isEmpty && {
+        val actions = m.matchedActions ++ m.notMatchedActions
+        actions.nonEmpty && actions.forall {
+          case UpdateAction(cond, assigns, _) =>
+            cond.forall(_.resolved) && assigns.forall(wideningBlockedAssign)
+          case InsertAction(cond, assigns) =>
+            cond.forall(_.resolved) && assigns.forall(wideningBlockedAssign)
+          case _ => false
+        }
+      }
+
+  private def wideningBlockedAssign(a: Assignment): Boolean =
+    a.resolved || (a.key.resolved && (a.value match {
+      case c: Cast if c.child.resolved =>
+        StructEvolution.isProperWidening(c.dataType, c.child.dataType)
+      case _ => false
+    }))
 
   private def rootAttr(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
@@ -368,18 +397,31 @@ final case class GraftMergeCommand(
     // the Delta autoMerge contract): NEW source columns survive the
     // alignment, the DECLARED schema widens (nullable, metadata-only
     // commit — the q62 posture), and the rewrite carries pre-evolution
-    // rows with typed NULLs (Merge.mergeInto's kept alignment). Without
-    // the flag extra source columns drop at the alignment, as before.
+    // rows with typed NULLs (Merge.mergeInto's kept alignment). NESTED
+    // evolution rides the same flag: a source STRUCT column carrying
+    // extra fields (a proper widening, [[StructEvolution.isWidening]])
+    // keeps its wide shape through the alignment, kept rows conform with
+    // typed NULLs inside mergeInto, and the widening lands as a
+    // commit-anchored schema state so time travel reads the addressed
+    // commit's struct shape ([[SchemaStates]]). Without the flag extra
+    // source columns drop and struct sources cast down, as before.
     val autoMerge =
       session.conf.get("spark.graft.dml.autoMergeSchema", "false").toBoolean
     val extras =
       if (autoMerge && current.columns.nonEmpty)
         src.schema.filterNot(f => current.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
       else Nil
+    val structWide: Map[String, org.apache.spark.sql.types.DataType] =
+      if (autoMerge && current.columns.nonEmpty)
+        StructEvolution.widenedColumns(current.schema, src.schema)
+      else Map.empty
     val aligned =
       if (current.columns.nonEmpty)
-        src.select(current.schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-          extras.map(f => col(f.name)): _*)
+        src.select(current.schema.map { f =>
+          val target = structWide.getOrElse(
+            f.name.toLowerCase(java.util.Locale.ROOT), f.dataType)
+          col(f.name).cast(target).as(f.name)
+        } ++ extras.map(f => col(f.name)): _*)
       else
         src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
@@ -392,21 +434,34 @@ final case class GraftMergeCommand(
     // one-commit gap a concurrent reader sees the PRE-evolution schema —
     // the new column appears with the declaration, never a phantom column
     // with no declaration.
+    val preAnchor =
+      if (structWide.nonEmpty) Some(binding.log.currentCommit(defn.name)) else None
     Merge.mergeInto(
       ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
-    if (extras.nonEmpty) {
+    if (extras.nonEmpty || structWide.nonEmpty) {
       val key = defn.name.fullyQualifiedName
       val base = binding.tables.get(key).flatMap(_._2).getOrElse(relationSchema)
       val widened = org.apache.spark.sql.types.StructType(
-        base ++ extras.map(f => f.copy(nullable = true)))
+        base.map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+          extras.map(f => f.copy(nullable = true)))
       binding.tables.put(key, (defn, Some(widened)))
+      val parts = Seq(
+        if (extras.nonEmpty)
+          Some(s"ADD COLUMNS (${extras.map(_.name).mkString(", ")})") else None,
+        if (structWide.nonEmpty)
+          Some(s"WIDEN COLUMNS (${structWide.keys.toSeq.sorted.mkString(", ")})") else None
+      ).flatten.mkString(", ")
       GraftV2Table.metastoreFor(binding, defn).commit(defn.name,
         graft.core.TableVersions.TableUpdate(
           UserId("sql"),
-          UpdateMessage(
-            s"MERGE SCHEMA EVOLUTION ADD COLUMNS (${extras.map(_.name).mkString(", ")})"),
+          UpdateMessage(s"MERGE SCHEMA EVOLUTION $parts"),
           java.time.Instant.now(), Nil))
-      ()
+      // struct widenings anchor a schema state: time travel to the merge's
+      // own data commit (or earlier) keeps reading the narrow struct shape
+      preAnchor.foreach(pre => SchemaStates.record(
+        session, defn, base, pre, widened,
+        binding.log.currentCommit(defn.name)))
     }
     Seq.empty
   }

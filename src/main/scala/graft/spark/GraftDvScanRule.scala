@@ -90,7 +90,21 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     // commit (identity when absent) — the full logical view
     val df = ColumnMapping.read(
       spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf)
-    val child = df.queryExecution.analyzed
+    // nested-evolved structs: lift file-shaped (narrow) struct columns to
+    // the relation's declared wide shape by REBUILD — a struct Cast would
+    // refuse on the field-count mismatch ([[StructEvolution.conform]]);
+    // built through the DataFrame API so it lands analyzed (this rule runs
+    // post-hoc)
+    val conformed = r.output.foldLeft(df) { (acc, out) =>
+      acc.schema.fields.find(_.name.equalsIgnoreCase(out.name)) match {
+        case Some(f) if f.dataType != out.dataType &&
+            StructEvolution.isWidening(f.dataType, out.dataType) =>
+          acc.withColumn(
+            f.name, StructEvolution.conform(acc(f.name), f.dataType, out.dataType))
+        case _ => acc
+      }
+    }
+    val child = conformed.queryExecution.analyzed
     val byName = child.output
       .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)

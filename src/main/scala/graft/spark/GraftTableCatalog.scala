@@ -133,8 +133,11 @@ final class GraftTableCatalog extends TableCatalog {
     val resolved = binding.log.refs(defn.name).get(version)
       .map(_.id).getOrElse(CommitId(version))
     val tv = binding.log.versionAt(defn.name, resolved)
+    // nested evolution: declare the addressed commit's struct shapes
+    val schemaAt = SchemaStates.schemaFor(
+      SparkSession.active, binding.log, defn, schema, resolved)
     new GraftV2Table(defn, binding,
-      fileTable(defn, tv, schema, Some(resolved)),
+      fileTable(defn, tv, schemaAt, Some(resolved)),
       Some(resolved), mixedFold = isMixed(tv))
   }
 
@@ -149,8 +152,10 @@ final class GraftTableCatalog extends TableCatalog {
       .getOrElse(throw new IllegalArgumentException(
         s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
     val tvAt = binding.log.versionAt(defn.name, commit.id)
+    val schemaAt = SchemaStates.schemaFor(
+      SparkSession.active, binding.log, defn, schema, commit.id)
     new GraftV2Table(defn, binding,
-      fileTable(defn, tvAt, schema, Some(commit.id)),
+      fileTable(defn, tvAt, schemaAt, Some(commit.id)),
       Some(commit.id), mixedFold = isMixed(tvAt))
   }
 
@@ -369,9 +374,27 @@ final class GraftTableCatalog extends TableCatalog {
     val (defn, declared) = definitionOf(ident)
     val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
     val widened = changes.foldLeft(base) {
+      case (schema, add: TableChange.AddColumn) if add.fieldNames().length > 1 =>
+        // NESTED ADD (`ADD COLUMN s.x T`) — additive struct evolution:
+        // the declared struct widens (nullable, appended at its parent's
+        // end), old files read the new field as a typed NULL (by-name
+        // parquet clipping), and the pre-change shape is recorded as a
+        // commit-anchored schema state so time travel reads the addressed
+        // commit's struct shape ([[SchemaStates]])
+        val path = add.fieldNames().toSeq
+        require(add.isNullable,
+          s"added field ${path.mkString(".")} must be nullable — existing rows hold no values for it")
+        require(add.position() == null,
+          s"ALTER TABLE ADD COLUMN ${path.mkString(".")} FIRST/AFTER is not supported — " +
+            "fields append at their parent's end")
+        // a dropped nested field cannot be reborn: old files still carry
+        // the physical field, and a by-name clip would resurrect pre-drop
+        // values into the new field
+        require(!ColumnMapping.nestedDroppedAt(
+          SparkSession.active, binding.log, defn, path),
+          s"field ${path.mkString(".")} was dropped via column mapping and cannot be re-added")
+        StructEvolution.addField(schema, path, add.dataType())
       case (schema, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          s"graft ALTER TABLE supports top-level columns only, got ${add.fieldNames().mkString(".")}")
         require(add.isNullable,
           s"added column ${add.fieldNames()(0)} must be nullable — existing versions hold no values for it")
         require(add.position() == null,
@@ -388,11 +411,19 @@ final class GraftTableCatalog extends TableCatalog {
           .exists(_.entries.exists(e => e.dropped && e.logical.equalsIgnoreCase(n))),
           s"column $n was dropped via column mapping and cannot be re-added")
         schema.add(org.apache.spark.sql.types.StructField(n, add.dataType(), nullable = true))
+      case (schema, ren: TableChange.RenameColumn) if ren.fieldNames().length > 1 =>
+        // NESTED rename: a column-mapping path entry (physical path frozen
+        // in every file generation; reads rebuild the struct logical-named)
+        val path = ren.fieldNames().toSeq
+        val renamed = StructEvolution.renameField(schema, path, ren.newName())
+        ColumnMapping.renameNested(
+          SparkSession.active,
+          VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, path, ren.newName(), UserId("sql"))
+        renamed
       case (schema, ren: TableChange.RenameColumn) =>
         // COLUMN MAPPING rename: metadata-only, zero file rewrites — the
         // physical name stays frozen in every file generation
-        require(ren.fieldNames().length == 1,
-          s"graft ALTER TABLE supports top-level columns only, got ${ren.fieldNames().mkString(".")}")
         val from = ren.fieldNames()(0)
         val spark = SparkSession.active
         ColumnMapping.rename(
@@ -400,9 +431,18 @@ final class GraftTableCatalog extends TableCatalog {
           defn, from, ren.newName(), UserId("sql"))
         org.apache.spark.sql.types.StructType(schema.map(f =>
           if (f.name.equalsIgnoreCase(from)) f.copy(name = ren.newName()) else f))
+      case (schema, del: TableChange.DeleteColumn) if del.fieldNames().length > 1 =>
+        // NESTED drop: metadata-only — the physical field keeps its bytes
+        // (time travel to a pre-drop commit still shows it); reads omit it
+        // from the struct rebuild
+        val path = del.fieldNames().toSeq
+        val dropped = StructEvolution.dropField(schema, path)
+        ColumnMapping.dropNested(
+          SparkSession.active,
+          VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, path, UserId("sql"))
+        dropped
       case (schema, del: TableChange.DeleteColumn) =>
-        require(del.fieldNames().length == 1,
-          s"graft ALTER TABLE supports top-level columns only, got ${del.fieldNames().mkString(".")}")
         val name = del.fieldNames()(0)
         val spark = SparkSession.active
         ColumnMapping.dropColumn(
@@ -428,11 +468,23 @@ final class GraftTableCatalog extends TableCatalog {
             s"ALTER COLUMN TYPE (widening) only, got ${other.getClass.getSimpleName}")
     }
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
-    val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames()(0) }
-    if (added.nonEmpty)
+    val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames().mkString(".") }
+    val nested = changes.exists {
+      case a: TableChange.AddColumn => a.fieldNames().length > 1
+      case _ => false
+    }
+    if (added.nonEmpty) {
+      val preAnchor =
+        if (nested) Some(binding.log.currentCommit(defn.name)) else None
       GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
         UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
         java.time.Instant.now(), Nil))
+      // nested adds anchor a schema state at the audit commit (plus the
+      // baseline), so time travel resolves the addressed struct shape
+      preAnchor.foreach(pre => SchemaStates.record(
+        SparkSession.active, defn, base, pre, widened,
+        binding.log.currentCommit(defn.name)))
+    }
     loadTable(ident)
   }
 

@@ -103,12 +103,23 @@ object Merge {
       // ADDITIVE SCHEMA EVOLUTION through the merge: a source carrying a
       // NEW column widens the rewrite — carried rows, whose files predate
       // the column, project it as a typed NULL (the q37/q62 read contract
-      // applied in write position). The other direction still refuses
-      // above (a source MISSING current columns would drop data).
+      // applied in write position). NESTED evolution likewise: a source
+      // STRUCT column widened with extra fields lifts the kept rows' narrow
+      // struct by rebuild ([[StructEvolution.conform]] — carried fields
+      // keep their values, new fields inject typed NULLs; a struct cast
+      // would refuse on the field-count mismatch). The other direction
+      // still refuses above (a source MISSING current columns would drop
+      // data).
       def keptAligned(extraCols: Seq[org.apache.spark.sql.Column]): DataFrame =
-        kept.select(src.schema.map(f =>
-          if (kept.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)) ++ extraCols: _*)
+        kept.select(src.schema.map { f =>
+          kept.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(k) if k.dataType != f.dataType &&
+                StructEvolution.isWidening(k.dataType, f.dataType) =>
+              StructEvolution.conform(col(k.name), k.dataType, f.dataType).as(f.name)
+            case Some(_) => col(f.name)
+            case None    => lit(null).cast(f.dataType).as(f.name)
+          }
+        } ++ extraCols: _*)
       idCol match {
         case None =>
           keptAligned(Nil)

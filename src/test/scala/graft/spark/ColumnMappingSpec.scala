@@ -226,6 +226,76 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
       "ALTER TABLE graftwiden.test.map_widen_sql ALTER COLUMN n TYPE INT"))
   }
 
+  test("nested rename/drop are metadata-only: struct rebuilds logical, time travel shows the old shape") {
+    val (ctx, log, table) = freshTable("map_nested")
+    spark.conf.set("spark.sql.catalog.graftmapn", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmapn", log)
+    GraftTableCatalog.register("graftmapn", table)
+    val name = "graftmapn.test.map_nested"
+    spark.sql(
+      """SELECT id, named_struct('lang', concat('l', id), 'aux', 'x') AS meta,
+        |       '2024-01-01' AS date FROM range(1, 4)""".stripMargin)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preRename = log.currentCommit(table.name)
+
+    def metaFields(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.find(_.name == "meta").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+
+    // RENAME meta.lang -> language: metadata-only, audited
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN meta.lang TO language")
+    log.updates(table.name).head.message.content should include(
+      "RENAME COLUMN meta.lang TO language")
+    val mapped = spark.table(name)
+    metaFields(mapped) shouldBe Seq("language", "aux")
+    mapped.select("meta.language").as[String].collect().sorted shouldBe
+      Array("l1", "l2", "l3")
+
+    // post-rename writes speak the LOGICAL name; files store the physical
+    spark.sql(
+      s"""INSERT INTO $name
+         |SELECT 11L AS id, named_struct('language', 'l11', 'aux', 'y') AS meta,
+         |       DATE'2024-01-02' AS date""".stripMargin)
+    // physical field name frozen in BOTH generations
+    val raw = VersionedReader(spark, log).read(table)
+    raw.schema.fields.find(_.name == "meta").get.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames should contain("lang")
+    spark.table(name).where(col("meta.language") === "l11").count() shouldBe 1L
+    spark.table(name).count() shouldBe 4L
+
+    // time travel (Scala surface, the top-level discipline): the
+    // pre-rename commit reads the OLD field name
+    metaFields(ColumnMapping.read(spark, log, table, Some(preRename))) shouldBe
+      Seq("lang", "aux")
+    val preDrop = log.currentCommit(table.name)
+
+    // DROP meta.aux: stops projecting, files untouched, pre-drop commits
+    // still show it
+    spark.sql(s"ALTER TABLE $name DROP COLUMN meta.aux")
+    metaFields(spark.table(name)) shouldBe Seq("language")
+    spark.table(name).count() shouldBe 4L
+    metaFields(ColumnMapping.read(spark, log, table, Some(preDrop))) shouldBe
+      Seq("language", "aux")
+
+    // a dropped nested field cannot be reborn
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $name ADD COLUMN meta.aux STRING"))
+      .getMessage should include("cannot be re-added")
+    // …but a FRESH nested field can
+    spark.sql(s"ALTER TABLE $name ADD COLUMN meta.score DOUBLE")
+    metaFields(spark.table(name)) shouldBe Seq("language", "score")
+
+    // a batch naming the dropped field refuses at the write translation
+    val bad = spark.sql(
+      """SELECT 99L AS id,
+        |       named_struct('language', 'x', 'aux', 'z', 'score', 1.0) AS meta,
+        |       '2024-01-03' AS date""".stripMargin)
+    intercept[Exception](
+      bad.versionedInsertInto(ctx, table, user, UpdateMessage("bad")))
+      .getMessage should include("dropped field")
+  }
+
   test("rename refuses engine-owned and rule-referenced columns (round 15)") {
     val (ctx, _, table) = freshTable("map_guard")
     Seq((1L, "a", 5L, "n", "2024-01-01")).toDF("id", "kind", "qty", "note", "date")
