@@ -295,6 +295,63 @@ object FileStats {
     * stats columns (pass identical cols/distinctCols/bloomCols) — a
     * schema mismatch fails loudly rather than writing a sidecar that
     * silently lacks sketches for some files. */
+  /** Conf key gating the POST-WRITE sidecar refresh ([[maybeAutoUpdate]]).
+    * Off by default: refresh stays the caller's call unless opted in. */
+  val AutoUpdateKey = "spark.graft.stats.autoUpdate"
+
+  /** POST-WRITE zone-map maintenance (the [[Compaction.autoCompact]]
+    * posture): after a versioned commit lands, refresh the stats sidecar
+    * incrementally when (a) `spark.graft.stats.autoUpdate=true` and (b)
+    * the PRE-write state already had a sidecar — a stats-enabled table
+    * then never serves a stale sidecar, with no caller remembering to
+    * refresh. The stat COLUMN SETS come from the previous sidecar's own
+    * schema (`min_`/`dv_`/`bloom_` prefixes), so the refresh asks for
+    * exactly what the table already tracks. Cost: the conf probe is free;
+    * when enabled, one driver-side sidecar existence check per write, and
+    * the [[updateZoneMaps]] moved-partitions-only scan when one exists.
+    * A refresh failure logs and never fails the already-committed write. */
+  /** How many commits back [[maybeAutoUpdate]] probes for a sidecar: a
+    * missed refresh (conf off for a while, a failed attempt) still heals
+    * on the next write as long as SOME recent state kept one. */
+  private val AutoUpdateProbeDepth = 32
+
+  def maybeAutoUpdate(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      since: TableVersions.CommitId): Unit = {
+    if (table.isSnapshot) return
+    if (!spark.conf.get(AutoUpdateKey, "false").toBoolean) return
+    try {
+      val fs = new org.apache.hadoop.fs.Path(
+        Partition.normalizedDir(table.location).toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // anchor at the NEWEST at-or-before commit that kept a sidecar —
+      // updateZoneMaps recomputes every partition moved since the anchor,
+      // so a gap (refreshes skipped while the conf was off) still heals
+      val anchor = log.updates(table.name) // newest first
+        .dropWhile(_.id != since)
+        .take(AutoUpdateProbeDepth)
+        .map(_.id)
+        .find(id => fs.exists(
+          new org.apache.hadoop.fs.Path(statsDir(log, table, Some(id)))))
+        .getOrElse(return)
+      val prevCols = spark.read.parquet(statsDir(log, table, Some(anchor))).columns
+      val cols = prevCols.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+      if (cols.isEmpty) return
+      updateZoneMaps(
+        spark, log, table, anchor, cols,
+        distinctCols = prevCols.filter(_.startsWith("dv_")).map(_.stripPrefix("dv_")).toSeq,
+        bloomCols = prevCols.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the data commit already landed; a failed refresh must not unwind
+        // it — readers fall back to the previous (pre-write) sidecar rule
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto stats refresh failed for ${table.name.fullyQualifiedName}: $e")
+    }
+  }
+
   def updateZoneMaps(
       spark: SparkSession,
       log: TableVersions,

@@ -119,6 +119,19 @@ object ReplaceWhere {
       return
     }
 
+    // MERGE-ON-READ tier (`SET spark.graft.dml.mergeOnRead=true`, the
+    // q85–q88 posture): matching rows hide behind deletion-vector pairs,
+    // incoming rows land as a row overlay, ONE scoped-OCC commit, ZERO
+    // partition rewrites — arbitrary-region backfill at O(changes). The
+    // partition-scoped tier above stays copy-on-write in every mode (it
+    // is already zero-read — pointer moves only).
+    if (session.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+      RowOverlay.replaceWhere(
+        VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+        defn, pred, aligned, user, UpdateMessage(s"$msg (merge-on-read)"))
+      return
+    }
+
     // tier 2: general predicate — rewrite only partitions with matching
     // rows or incoming rows; survivors carry, matching rows drop
     val touched = current.where(pred).select(partCols.map(c => col(c).cast("string")): _*)

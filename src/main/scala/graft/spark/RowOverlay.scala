@@ -772,6 +772,54 @@ object RowOverlay {
     * LOGICAL view; a stale pre-rename name refuses loudly (the
     * [[DeletionVectors.delete]] empty-frame guard). Returns the number of
     * updated rows; a no-match update commits nothing. */
+  /** MERGE-ON-READ selective overwrite — `INSERT INTO t REPLACE WHERE`
+    * under `spark.graft.dml.mergeOnRead=true` ([[ReplaceWhere]] routes
+    * here): every visible row matching `pred` hides behind deletion-vector
+    * pairs and `incoming` lands as overlay rows (fresh dirs for absent
+    * partitions) — ONE scoped-OCC commit, ZERO partition rewrites,
+    * O(changes) written. The arbitrary-region backfill shape at 100 TB:
+    * copy-on-write REPLACE WHERE pays a rewrite of every partition the
+    * region touches; this pays the matched rows' pairs plus the incoming
+    * rows. Scoped OCC: the preimage partitions join the conflict scope,
+    * so disjoint concurrent writers compose while overlapping ones refuse.
+    * Returns the number of rows hidden. */
+  def replaceWhere(
+      ctx: VersionContext,
+      table: TableDefinition,
+      pred: org.apache.spark.sql.Column,
+      incoming: DataFrame,
+      user: UserId,
+      message: UpdateMessage): Long = {
+    val spark = SparkSession.active
+    val log = ctx.metastore.tableVersions
+    val expected = log.currentCommit(table.name)
+    val (visible, fileCol, posCol) =
+      DeletionVectors.readVisiblePointed(spark, log, table, None)
+    if (visible.columns.isEmpty) { // never-written table: nothing to hide
+      if (!incoming.isEmpty) { append(incoming, ctx, table, user, message); () }
+      return 0L
+    }
+    val matched = visible.where(pred)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0L && incoming.isEmpty) return 0L // no region, no rows: no-op
+      val sidecar =
+        if (n == 0L) None
+        else Some(DeletionVectors.foldedPairs(
+          spark, log, table,
+          matched.select(col(fileCol).as("file"), col(posCol).as("pos"))))
+      val preimageParts: Set[Partition] =
+        if (table.isSnapshot) Set.empty
+        else VersionContext.partitionValues(matched, table.partitionSchema).toSet
+      append(
+        incoming, ctx, table, user, message,
+        extraPairs = sidecar, expectedOverride = Some(expected),
+        pairScope = Some(preimageParts))
+      n
+    } finally { matched.unpersist(); () }
+  }
+
   def update(
       ctx: VersionContext,
       table: TableDefinition,

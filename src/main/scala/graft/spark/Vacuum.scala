@@ -13,8 +13,20 @@ import graft.core._
  *
  * Retention: the states produced by the current pointer and by each of the
  * most recent `keepLast` commits are kept (so `checkout` to any of them
- * still works); everything older is deleted. Runs driver-side with
- * O(#versions) metadata ops — no Spark job needed.
+ * still works); everything older is deleted.
+ *
+ * Listing scale: the version-dir walk (the only part proportional to
+ * #partitions × #versions) runs as ONE SPARK JOB PER LAYOUT LEVEL when a
+ * session is supplied and the current fold crosses
+ * `spark.graft.vacuum.distributedMinDirs` (default 1024) — the
+ * [[Compaction]] distributed-listing shape: the frontier of partition
+ * dirs fans out across executors, each listing its own subtree level,
+ * and only (relative path, age) pairs return to the driver. Below the
+ * threshold (or with no session) the walk stays a driver-side recursion
+ * — cheaper than a job for small layouts. The sidecar listings
+ * (`_stats`/`_deletes`/`_appends`, single-level, O(#commits)) stay
+ * driver-side always. Both walks produce the SAME set (pinned in
+ * `VacuumSpec`).
  *
  * Shallow-clone links: linked tables share one storage namespace, so
  * vacuum REFERENCE-COUNTS across the whole transitively linked family —
@@ -37,6 +49,48 @@ object Vacuum {
 
   /** Default deletion grace for young version dirs (ms). */
   val DefaultGraceMs: Long = 10 * 60 * 1000L
+
+  /** The version-dir walk as ONE SPARK JOB PER LAYOUT LEVEL (the
+    * [[Compaction]] listedCounts shape): each round fans the frontier of
+    * partition dirs (`k=v` path segments) across executors; version dirs
+    * classify on the executor (label parse + age against `cutoff`) and
+    * only (relative path, oldEnough) pairs return. Depth is bounded by
+    * the partition-column count, so a 10⁶-partition table pays
+    * #partition-columns jobs instead of 10⁶ driver round-trips. Produces
+    * EXACTLY the driver recursion's set. */
+  private def versionDirsDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      rootStr: String,
+      cutoff: Long): List[(String, Boolean)] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    var out = List.newBuilder[(String, Boolean)]
+    var frontier: List[String] = List("")
+    while (frontier.nonEmpty) {
+      val slices = math.max(1,
+        math.min(frontier.size, spark.sparkContext.defaultParallelism))
+      val batch: Array[Either[(String, Boolean), String]] =
+        spark.sparkContext.parallelize(frontier, slices).flatMap { rel =>
+          val dir =
+            if (rel.isEmpty) new HPath(rootStr) else new HPath(rootStr, rel)
+          val dfs = dir.getFileSystem(conf.value)
+          if (!dfs.exists(dir)) Iterator.empty
+          else dfs.listStatus(dir).iterator.filter(_.isDirectory).flatMap { st =>
+            val name = st.getPath.getName
+            val childRel = if (rel.isEmpty) name else s"$rel/$name"
+            Version.parse(name) match {
+              case Right(v) =>
+                Iterator(Left(childRel -> (v.timestamp.toEpochMilli < cutoff)))
+              case Left(_) if name.contains("=") => Iterator(Right(childRel))
+              case Left(_) => Iterator.empty
+            }
+          }
+        }.collect()
+      out ++= batch.collect { case Left(x) => x }
+      frontier = batch.collect { case Right(d) => d }.toList
+    }
+    out.result()
+  }
 
   /** Every table transitively linked to `start` by shallow-clone tags
     * (`clone:`/`cloned-from:`), `start` included — the tables whose
@@ -89,6 +143,9 @@ object Vacuum {
     * contract). When both apply the retained set is the UNION: age-based
     * retention can only widen the count-based window, never narrow it
     * below the latest `keepLast` commits. */
+  /** Fold size at which the version-dir walk becomes a Spark job. */
+  val DefaultDistributedMinDirs: Int = 1024
+
   def vacuum(
       table: TableDefinition,
       log: TableVersions,
@@ -96,7 +153,8 @@ object Vacuum {
       keepLast: Int = 3,
       graceMs: Long = DefaultGraceMs,
       retainMs: Option[Long] = None,
-      dryRun: Boolean = false): Report = {
+      dryRun: Boolean = false,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Report = {
 
     // a live shallow-clone link means MULTIPLE tables' histories reference
     // dirs under this shared location (the linked logs share one
@@ -179,7 +237,18 @@ object Vacuum {
           }
         }
 
-    val onDisk = versionDirsUnder(root, "")
+    val foldSize = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs.size
+      case _                            => 1
+    }
+    val distribute = spark.exists { s =>
+      foldSize >= s.conf.get(
+        "spark.graft.vacuum.distributedMinDirs",
+        DefaultDistributedMinDirs.toString).toInt
+    }
+    val onDisk =
+      if (distribute) versionDirsDistributed(spark.get, root.toString, cutoff)
+      else versionDirsUnder(root, "")
 
     // zone-map sidecars ([[FileStats]]) follow their state's lifecycle:
     // `_stats/<label>` (snapshot states) reclaim when the label is

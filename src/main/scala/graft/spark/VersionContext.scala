@@ -91,7 +91,12 @@ object VersionContext {
       val head = log.currentCommit(table.name)
       PartitionEvolution.requireCurrentScheme(spark, log, table)
       ctx.metastore.commitIf(table.name, update, head) match {
-        case Some(r) => return r
+        case Some(r) =>
+          // post-write stats maintenance (conf-gated, no-op by default):
+          // a stats-enabled table refreshes its sidecar off the just-
+          // superseded state so pruned reads never see it stale
+          FileStats.maybeAutoUpdate(spark, log, table, head)
+          return r
         case None =>
           attempts += 1
           if (attempts > 64)
@@ -246,10 +251,15 @@ object VersionContext {
       // would be a junk history entry with whole-table conflict scope
       if (ops.isEmpty) return readCommit
       val update = TableUpdate(userId, message, Instant.now(), ops, txn)
+      // the sidecar refresh anchors on the pre-commit head, not readCommit:
+      // a rebase may compose over commits that landed after the read
+      val preHead = ctx.metastore.tableVersions.currentCommit(table.name)
       ctx.metastore.commitRebase(
         table.name, update, readCommit,
         revalidate = () => PartitionEvolution.requireCurrentScheme(
           ds.sparkSession, ctx.metastore.tableVersions, table))
+      FileStats.maybeAutoUpdate(
+        ds.sparkSession, ctx.metastore.tableVersions, table, preHead)
       update.metadata.id
     }
 

@@ -282,6 +282,50 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     graft.core.Partition.normalizedDir(table.location).toString +
       "_stats/commit-" + log.currentCommit(table.name).id
 
+  test("post-write auto refresh keeps the sidecar fresh with no manual call; off by default") {
+    import org.apache.spark.sql.functions.col
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_auto"),
+      Files.createTempDirectory("graft_spec_zonemap_auto").toUri,
+      PartitionSchema(List(PartitionColumn("grp"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.range(8000).toDF("k")
+      .withColumn("grp", (col("k") % 2).cast("string"))
+      .repartitionByRange(8, col("grp"), col("k"))
+      .sortWithinPartitions("grp", "k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    FileStats.writeZoneMaps(spark, log, table, Seq("k"), distinctCols = Seq("grp"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      table.location, spark.sessionState.newHadoopConf())
+
+    // conf OFF (the default): a write does NOT refresh — the new state
+    // has no sidecar (readers fall back to unpruned scans)
+    Seq.tabulate(1000)(i => (8000L + i, "1")).toDF("k", "grp")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: grp=1 replaced"))
+    fs.exists(new org.apache.hadoop.fs.Path(statsDirOf(log, table))) shouldBe false
+
+    // conf ON: the next write refreshes automatically, healing the gap —
+    // the anchor walks back to the newest commit that kept a sidecar (v1)
+    // and recomputes every partition moved since, with the SAME stat
+    // columns the table already tracks (inferred from the sidecar schema)
+    spark.conf.set(FileStats.AutoUpdateKey, "true")
+    try {
+      Seq.tabulate(1000)(i => (9000L + i, "1")).toDF("k", "grp")
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v3: grp=1 replaced again"))
+      fs.exists(new org.apache.hadoop.fs.Path(statsDirOf(log, table))) shouldBe true
+      // pruned read with NO manual stats call: correct and actually pruned
+      val pruned = FileStats.readSkipping(spark, log, table, "k", 9000L, 9999L)
+      pruned.where(col("k") >= 9000L).count() shouldBe 1000L
+      val total = VersionedReader(spark, log).read(table).inputFiles.length
+      pruned.inputFiles.length should be < total
+      // the inferred column sets carried the distinct sketch too
+      spark.read.parquet(statsDirOf(log, table)).columns should contain("dv_grp")
+    } finally spark.conf.unset(FileStats.AutoUpdateKey)
+  }
+
   test("partitioned sidecars key by the current POINTER: a rollback serves the old state's stats") {
     import org.apache.spark.sql.functions.col
     val log = new InMemoryTableVersions

@@ -100,6 +100,37 @@ class ReplaceWhereSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L, 6L)
   }
 
+  test("merge-on-read tier: zero pointer moves — region hides behind vectors, incoming rides the overlay") {
+    val t = mkTable("rw_mor")
+    (1L to 20L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", s"2024-01-0${i % 2 + 1}"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    val before = fold(t)
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try spark.sql(
+      "INSERT INTO graftrw.db.rw_mor REPLACE WHERE kind = 'even' AND id <= 10 " +
+        "SELECT id, kind, date FROM graftrw.db.rw_mor " +
+        "WHERE kind = 'even' AND id <= 6")
+    finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+    // POINTER-FREE: every partition's version pointer is pinned — the
+    // region hid behind deletion vectors, the rows rode the overlay
+    fold(t) shouldBe before
+    val rows = spark.table("graftrw.db.rw_mor")
+    rows.count() shouldBe 18L // 8 and 10 dropped
+    rows.where(col("kind") === "even" && col("id") <= 10L)
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L, 6L)
+    // the guard still holds in merge-on-read mode
+    val err = intercept[Exception] {
+      spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+      try spark.sql(
+        "INSERT INTO graftrw.db.rw_mor REPLACE WHERE kind = 'even' " +
+          "SELECT 999L AS id, 'odd' AS kind, '2024-01-01' AS date")
+      finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+    }
+    err.getMessage should include("do not satisfy the replace predicate")
+    fold(t) shouldBe before
+    spark.table("graftrw.db.rw_mor").count() shouldBe 18L
+  }
+
   test("predicate/source split skips string literals (a SELECT inside quotes is not the source)") {
     // head keywords inside '…' literals are data, not the source query
     GraftMaintenanceSql.splitReplaceWhere(

@@ -94,6 +94,61 @@ class VacuumSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
   }
 
+  test("distributed listing computes EXACTLY the driver walk's reclaim set") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "vac_dist"),
+      Files.createTempDirectory("graft_vac_dist").toUri,
+      PartitionSchema(List(PartitionColumn("date"), PartitionColumn("hour"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // two-level layout, several partitions, superseded versions
+    Seq.tabulate(12)(i =>
+      (i.toLong, s"2024-01-0${i % 3 + 1}", f"${i % 4}%02d"))
+      .toDF("id", "date", "hour")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    Seq.tabulate(6)(i => (100L + i, s"2024-01-0${i % 3 + 1}", "00"))
+      .toDF("id", "date", "hour")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    Seq((200L, "2024-01-01", "00")).toDF("id", "date", "hour")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v3"))
+    val liveRows = VersionedReader(spark, log).read(table).count()
+
+    def dry(force: Boolean): Vacuum.Report = {
+      val prev = spark.conf.getOption("spark.graft.vacuum.distributedMinDirs")
+      try {
+        spark.conf.set(
+          "spark.graft.vacuum.distributedMinDirs", if (force) "0" else "1000000")
+        Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(),
+          keepLast = 1, graceMs = 0, dryRun = true, spark = Some(spark))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.vacuum.distributedMinDirs", v)
+        case None    => spark.conf.unset("spark.graft.vacuum.distributedMinDirs")
+      }
+    }
+    val driver = dry(force = false)
+    val dist = dry(force = true)
+    // the equality pin: same examined count, same would-delete set
+    dist.examined shouldBe driver.examined
+    dist.deleted shouldBe driver.deleted
+    driver.deleted should not be empty
+
+    // and the distributed run actually reclaims the same set
+    val prev = spark.conf.getOption("spark.graft.vacuum.distributedMinDirs")
+    try {
+      spark.conf.set("spark.graft.vacuum.distributedMinDirs", "0")
+      val real = Vacuum.vacuum(table, log, spark.sessionState.newHadoopConf(),
+        keepLast = 1, graceMs = 0, spark = Some(spark))
+      real.deleted shouldBe driver.deleted
+      real.failed shouldBe empty
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.vacuum.distributedMinDirs", v)
+      case None    => spark.conf.unset("spark.graft.vacuum.distributedMinDirs")
+    }
+    VersionedReader(spark, log).read(table).count() shouldBe liveRows
+  }
+
   test("default retention grace protects young dirs from a racing writer's vacuum") {
     val log = new InMemoryTableVersions
     val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
