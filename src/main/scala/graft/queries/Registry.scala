@@ -724,6 +724,89 @@ object Registry {
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q96_nested_evolution" -> Entry(
+      Versioned.q96NestedEvolution,
+      // nested-field schema evolution: ALTER ADD meta.cust widens the
+      // struct in place (even-key v1 files read NULL), odd-key v2 carries
+      // it, a MERGE under autoMergeSchema widens meta AGAIN with 'flag'
+      // (%20 keys update with cust='M', shifted %97 keys insert); time
+      // travel reads each addressed commit's struct shape — pinned
+      // in-query; the oracle replays the flattened final contents
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |         CASE WHEN o_orderkey % 2 = 1
+             |              THEN CAST(o_custkey AS VARCHAR) END AS cust
+             |  FROM orders
+             |), upd AS (
+             |  SELECT k, prio,
+             |         CASE WHEN k % 20 = 0 THEN 'M' ELSE cust END AS cust,
+             |         CASE WHEN k % 20 = 0 THEN 'upd' END AS flag
+             |  FROM base
+             |), final AS (
+             |  SELECT * FROM upd
+             |  UNION ALL
+             |  SELECT o_orderkey + 30000000, o_orderpriority,
+             |         CAST(o_custkey AS VARCHAR), 'new'
+             |  FROM orders WHERE o_orderkey % 97 = 0
+             |)
+             |SELECT prio, count(*) AS n, count(cust) AS n_cust,
+             |       count(flag) AS n_flag
+             |FROM final GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    "q97_mor_replace_where" -> Entry(
+      Versioned.q97MorReplaceWhere,
+      // merge-on-read REPLACE WHERE: the {N, key%10=0} region is replaced
+      // by its qty>30 subset at doubled qty with ZERO pointer moves
+      // (region behind deletion vectors, incoming rows on the overlay) —
+      // fold equality pinned in-query; the oracle replays the replacement
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, l_returnflag, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2
+             |), final AS (
+             |  SELECT l_orderkey, l_returnflag, qty FROM t
+             |  WHERE NOT (l_returnflag = 'N' AND l_orderkey % 10 = 0)
+             |  UNION ALL
+             |  SELECT l_orderkey, l_returnflag, qty * 2 FROM t
+             |  WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0 AND qty > 30
+             |)
+             |SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q98_sql_txn" -> Entry(
+      Versioned.q98SqlTxn,
+      // SQL multi-table transactions: the detail+summary pair commits
+      // atomically twice (full load, then R refresh), with staged-write
+      // invisibility, rollback, and the WAL-marker count pinned in-query;
+      // the final cross-table-consistent summary replayed here
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag <> 'R'
+             |  UNION ALL
+             |  SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity > 40
+             |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q99_copy_evolution" -> Entry(
+      Versioned.q99CopyEvolution,
+      // COPY INTO schema evolution: batch 2 arrives with a new 'disc'
+      // column — the declared schema widens (audit commit pinned
+      // in-query), batch-1 rows read NULL; the oracle replays the
+      // two-generation union
+      Some("""WITH final AS (
+             |  SELECT l_orderkey, l_quantity, l_returnflag,
+             |         CAST(NULL AS DOUBLE) AS disc
+             |  FROM lineitem WHERE l_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey, l_quantity, l_returnflag, l_discount
+             |  FROM lineitem WHERE l_orderkey % 2 = 1
+             |)
+             |SELECT l_returnflag, count(*) AS n_rows, count(disc) AS n_disc,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
+             |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -394,7 +394,8 @@ object Versioned {
     li.where(col("l_quantity") > 30)
       .versionedInsertInto(ctx, table, user, UpdateMessage("v3: current"))
     graft.spark.Vacuum.vacuum(
-      table, log, s.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0L)
+      table, log, s.sessionState.newHadoopConf(), keepLast = 2, graceMs = 0L,
+      spark = Some(s))
     // time travel to the retained v2 must still resolve after the vacuum
     require(
       VersionedReader(s, log).readAsOf(table, v2Commit).count() > 0,
@@ -3321,5 +3322,302 @@ object Versioned {
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |       round(sum(o_totalprice), 2) AS sum_price
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Q96: NESTED-FIELD schema evolution ([[graft.spark.StructEvolution]] /
+    * [[graft.spark.SchemaStates]]) — the full Delta nested-evolution
+    * lifecycle driven by SQL: `ALTER TABLE ADD COLUMN meta.cust` widens a
+    * struct in place (old files read the field as typed NULL), a MERGE
+    * under autoMergeSchema widens the struct AGAIN from a source carrying
+    * an extra nested field (kept rows conform with typed NULLs), and TIME
+    * TRAVEL reads the struct shape of the ADDRESSED commit at every step
+    * (commit-anchored schema states, the at-or-before discipline) —
+    * pinned in-query; the oracle replays the final contents
+    * relationally. */
+  def q96NestedEvolution(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq96", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq96", log)
+    val loc = Files.createTempDirectory("graft_q96").toUri
+    val name = "graftq96.g.ord_nested"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, meta STRUCT<prio: STRING>, o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q96_orders")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey, named_struct('prio', o_orderpriority) AS meta, o_orderstatus
+         |FROM q96_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_nested")
+    val v1 = log.currentCommit(tn)
+
+    def metaFields(df: DataFrame): Seq[String] =
+      df.schema.fields.find(_.name == "meta").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+
+    // nested ADD: the struct widens in place, audited, and old files read
+    // the new field as a typed NULL
+    s.sql(s"ALTER TABLE $name ADD COLUMN meta.cust STRING")
+    require(log.updates(tn).head.message.content == "ALTER TABLE ADD COLUMNS (meta.cust)",
+      "the nested evolution must be an auditable history entry")
+    require(metaFields(s.table(name)) == Seq("prio", "cust"),
+      "current reads must declare the widened struct")
+    require(
+      s.sql(s"SELECT count(meta.cust) FROM $name").head().getLong(0) == 0L,
+      "pre-evolution files must read the nested field as NULL")
+
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       named_struct('prio', o_orderpriority,
+         |                    'cust', CAST(o_custkey AS STRING)) AS meta,
+         |       o_orderstatus
+         |FROM q96_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    val preMerge = log.currentCommit(tn)
+
+    // MERGE autoMerge: the source struct carries ANOTHER nested field
+    // ('flag') — matched %20 keys update (cust overwritten with 'M'),
+    // shifted %97 keys insert; kept rows conform with NULL flags
+    s.sql(
+      s"""SELECT o_orderkey,
+         |       named_struct('prio', o_orderpriority, 'cust', 'M', 'flag', 'upd') AS meta,
+         |       o_orderstatus
+         |FROM q96_orders WHERE o_orderkey % 20 = 0
+         |UNION ALL
+         |SELECT o_orderkey + 30000000,
+         |       named_struct('prio', o_orderpriority,
+         |                    'cust', CAST(o_custkey AS STRING), 'flag', 'new') AS meta,
+         |       o_orderstatus
+         |FROM q96_orders WHERE o_orderkey % 97 = 0""".stripMargin)
+      .createOrReplaceTempView("q96_src")
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.autoMergeSchema", "true") {
+      s.sql(
+        s"""MERGE INTO $name t USING q96_src s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    require(log.updates(tn).map(_.message.content)
+      .exists(_.startsWith("MERGE SCHEMA EVOLUTION WIDEN COLUMNS (meta)")),
+      "the struct widening must land as an auditable metadata-only commit")
+
+    // TIME TRAVEL reads the ADDRESSED commit's struct shape at every step
+    require(metaFields(s.sql(s"SELECT * FROM $name VERSION AS OF '${v1.id}'")) ==
+      Seq("prio"), "time travel at v1 must read the original struct shape")
+    require(metaFields(s.sql(s"SELECT * FROM $name VERSION AS OF '${preMerge.id}'")) ==
+      Seq("prio", "cust"), "time travel pre-merge must read the one-add shape")
+    require(metaFields(s.table(name)) == Seq("prio", "cust", "flag"),
+      "current reads must declare the twice-widened struct")
+
+    s.sql(
+      s"""SELECT meta.prio AS prio, count(*) AS n,
+         |       count(meta.cust) AS n_cust, count(meta.flag) AS n_flag
+         |FROM $name GROUP BY meta.prio ORDER BY prio""".stripMargin)
+  }
+
+  /** Q97: MERGE-ON-READ REPLACE WHERE ([[graft.spark.RowOverlay.replaceWhere]])
+    * — q91's general-predicate tier under `spark.graft.dml.mergeOnRead=true`:
+    * the matched region hides behind deletion-vector pairs and the incoming
+    * rows ride the row overlay, ONE scoped-OCC commit with ZERO partition
+    * rewrites — pinned in-query by fold equality (every version pointer
+    * unmoved), the arbitrary-region backfill shape at 100 TB. The oracle
+    * replays the region replacement relationally. */
+  def q97MorReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq97", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq97", log)
+    val table = tempTable(
+      "li_morrw", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_morrw"))
+    graft.spark.GraftTableCatalog.register("graftq97", table)
+    val name = s"graftq97.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(sum("l_quantity").as("qty"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+
+    val before = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"unexpected fold $other")
+    }
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      s.sql(
+        s"""INSERT INTO $name REPLACE WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0
+           |SELECT l_orderkey, l_returnflag, qty * 2 AS qty FROM $name
+           |WHERE l_returnflag = 'N' AND l_orderkey % 10 = 0 AND qty > 30""".stripMargin)
+    }
+    val after = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"unexpected fold $other")
+    }
+    require(after == before,
+      "merge-on-read REPLACE WHERE must move NO version pointer — the region " +
+        "hides behind vectors and the rows ride the overlay")
+    require(log.updates(table.name).head.message.content.contains("merge-on-read"),
+      "the overwrite must land as one auditable commit")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q98: SQL MULTI-TABLE TRANSACTIONS (`BEGIN GRAFT TRANSACTION` /
+    * `STAGE INSERT INTO` / `COMMIT GRAFT TRANSACTION` — q79's
+    * [[graft.core.TableVersions.commitAll]] marker protocol, SQL-driven):
+    * a fact table and its rollup move together or not at all. Pinned
+    * in-query: staged writes are INVISIBLE until the commit statement
+    * (both tables read their pre-transaction state mid-transaction), a
+    * ROLLBACK abandons its stage with no pointer move, and each committed
+    * transaction leaves exactly one WAL marker in the durable log. The
+    * oracle replays the final cross-table-consistent state. */
+  def q98SqlTxn(s: SparkSession, dir: String): DataFrame = {
+    val logDir = Files.createTempDirectory("graft_sqltxn")
+    val log = graft.core.JsonFileTableVersions(logDir.toString)
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq98", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq98", log)
+    val detail = tempTable(
+      "li_sqltxn_detail", PartitionSchema(List(PartitionColumn("l_returnflag"))),
+      FileFormat.Parquet)
+    val summary = tempTable("li_sqltxn_summary", PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(detail, user, UpdateMessage("create detail"))
+    ctx.init(summary, user, UpdateMessage("create summary"))
+    val dName = s"graftq98.${detail.name.schema}.${detail.name.name}"
+    val sName = s"graftq98.${summary.name.schema}.${summary.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.createOrReplaceTempView("q98_li")
+    // registered schemas: a never-written table must still read (empty)
+    // mid-transaction — the invisibility pin below depends on it
+    graft.spark.GraftTableCatalog.register("graftq98", detail, Some(li.schema))
+    graft.spark.GraftTableCatalog.register("graftq98", summary, Some(
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty")).schema))
+
+    // txn 1: full load + its rollup — one atomic commit point
+    s.sql("BEGIN GRAFT TRANSACTION")
+    s.sql(s"STAGE INSERT INTO $dName SELECT * FROM q98_li")
+    s.sql(
+      s"""STAGE INSERT INTO $sName
+         |SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         |FROM q98_li GROUP BY l_returnflag""".stripMargin)
+    // ATOMICITY: staged writes are invisible until COMMIT — both tables
+    // still serve their pre-transaction (empty) state
+    require(s.table(dName).isEmpty && s.table(sName).isEmpty,
+      "staged writes must be invisible before COMMIT GRAFT TRANSACTION")
+    s.sql("COMMIT GRAFT TRANSACTION")
+    require(!s.table(dName).isEmpty && !s.table(sName).isEmpty,
+      "COMMIT must expose both tables together")
+    require(java.nio.file.Files.list(logDir.resolve("_txns")).count() == 1L,
+      "each committed transaction leaves exactly one WAL marker")
+
+    // ROLLBACK abandons the stage: no pointer moves, no marker
+    val beforeRollback =
+      (log.currentCommit(detail.name), log.currentCommit(summary.name))
+    s.sql("BEGIN GRAFT TRANSACTION")
+    s.sql(s"STAGE INSERT INTO $dName SELECT * FROM q98_li WHERE l_quantity > 45")
+    s.sql("ROLLBACK GRAFT TRANSACTION")
+    require(beforeRollback ==
+      (log.currentCommit(detail.name), log.currentCommit(summary.name)),
+      "ROLLBACK must move no pointer")
+
+    // txn 2: refresh the R partition AND the matching summary — together
+    s.sql("BEGIN GRAFT TRANSACTION")
+    s.sql(
+      s"""STAGE INSERT INTO $dName
+         |SELECT * FROM q98_li WHERE l_returnflag = 'R' AND l_quantity > 40""".stripMargin)
+    s.sql(
+      s"""STAGE INSERT INTO $sName
+         |SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         |FROM (
+         |  SELECT * FROM q98_li WHERE l_returnflag <> 'R'
+         |  UNION ALL
+         |  SELECT * FROM q98_li WHERE l_returnflag = 'R' AND l_quantity > 40
+         |) GROUP BY l_returnflag""".stripMargin)
+    s.sql("COMMIT GRAFT TRANSACTION")
+    require(java.nio.file.Files.list(logDir.resolve("_txns")).count() == 2L,
+      "the second transaction leaves the second marker")
+
+    // cross-table consistency: the summary IS the rollup of the detail
+    val fromDetail = s.table(dName).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    val summ = s.table(sName)
+    require(summ.exceptAll(fromDetail).isEmpty && fromDetail.exceptAll(summ).isEmpty,
+      "summary must equal the rollup of the detail it committed with")
+
+    summ.select(
+        col("l_returnflag"), col("n_items"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q99: COPY INTO SCHEMA EVOLUTION ([[graft.spark.CopyInto]] under
+    * `spark.graft.dml.autoMergeSchema`, the q94 contract applied to
+    * ingest): a second landing batch arrives CARRYING A NEW COLUMN — the
+    * declared schema widens (nullable, one metadata audit commit after
+    * the data commit), the first batch's rows read the column as typed
+    * NULL, and the ingest keeps its idempotent load-history semantics.
+    * Without the flag the registered schema pins the read (the existing
+    * contract). The oracle replays the two-generation union. */
+  def q99CopyEvolution(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq99", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq99", log)
+    val table = tempTable(
+      "li_copyev", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_copyev"))
+    graft.spark.GraftTableCatalog.register("graftq99", table)
+    val name = s"graftq99.${table.name.schema}.${table.name.name}"
+    val li = Tables.load(s, dir, "lineitem")
+
+    val src = Files.createTempDirectory("graft_copyev_src")
+    def land(df: DataFrame, prefix: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_copyev_tmp")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val stream = java.nio.file.Files.list(tmp)
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, src.resolve(s"${prefix}_$i.parquet")); ()
+        }
+      finally stream.close()
+    }
+    def copy(): org.apache.spark.sql.Row = s.sql(
+      s"COPY INTO $name FROM '$src' FILEFORMAT = PARQUET").collect().head
+
+    // batch 1: the original three-column shape
+    land(li.where(col("l_orderkey") % 2 === 0)
+      .select("l_orderkey", "l_quantity", "l_returnflag"), "b1")
+    copy()
+    require(!s.table(name).columns.exists(_.equalsIgnoreCase("disc")),
+      "the first batch must not carry the evolved column")
+
+    // batch 2 arrives WITH a new column; under autoMergeSchema the ingest
+    // widens instead of dropping it
+    land(li.where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_discount").as("disc")), "b2")
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.autoMergeSchema", "true") {
+      copy()
+    }
+    require(log.updates(table.name).map(_.message.content)
+      .exists(_.startsWith("COPY INTO SCHEMA EVOLUTION ADD COLUMNS (disc)")),
+      "the widening must land as an auditable metadata-only commit")
+    val after = s.table(name)
+    require(after.columns.exists(_.equalsIgnoreCase("disc")),
+      "the declared schema must carry the evolved column")
+    require(after.where(col("l_orderkey") % 2 === 0 && col("disc").isNotNull).isEmpty,
+      "first-batch rows must read the evolved column as NULL")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows, count(disc) AS n_disc,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
+         |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 }

@@ -75,6 +75,13 @@ object CopyInto {
     * user-provided schema maps to CSV columns POSITIONALLY (the header
     * row is skipped, not used for mapping) — the feed's column order must
     * match the pinned schema's. JSON maps by field name. */
+  /** `onSchemaWiden`: called with the widened FULL table schema when
+    * `spark.graft.dml.autoMergeSchema=true` and an arriving
+    * self-describing batch carries new columns (or widened structs) — the
+    * SQL command threads the catalog's declared-schema slot through it.
+    * The widening itself follows the q94 MERGE contract: data first, then
+    * one metadata audit commit; struct widenings anchor a schema state so
+    * time travel reads the addressed commit's shape. */
   def ingest(
       spark: SparkSession,
       ctx: VersionContext,
@@ -84,7 +91,8 @@ object CopyInto {
       user: UserId,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       pattern: Option[String] = None,
-      options: Map[String, String] = Map.empty): Result = {
+      options: Map[String, String] = Map.empty,
+      onSchemaWiden: org.apache.spark.sql.types.StructType => Unit = _ => ()): Result = {
     val log = ctx.metastore.tableVersions
     val dir0 = new HPath(srcDir)
     val fs = dir0.getFileSystem(spark.sessionState.newHadoopConf())
@@ -127,6 +135,8 @@ object CopyInto {
     // (physical-named) read would misresolve renamed columns
     lazy val currentLogical = ColumnMapping.applyLogical(
       DeletionVectors.read(spark, log, table), spark, log, table, None)
+    val autoMerge =
+      spark.conf.get("spark.graft.dml.autoMergeSchema", "false").toBoolean
     val reader0 = spark.read.format(format).options(options)
     val reader = format.toLowerCase match {
       case "csv" | "json" =>
@@ -137,10 +147,40 @@ object CopyInto {
             "or load the table's first data through a self-describing format " +
             "(per-batch schema inference drifts between ingests)"))
         reader0.schema(pinned)
-      case _ => schema.map(reader0.schema).getOrElse(reader0)
+      case _ =>
+        // SCHEMA EVOLUTION (`spark.graft.dml.autoMergeSchema`, the q94
+        // contract, self-describing formats only — a pinned text schema
+        // cannot carry columns it doesn't know): read the files' OWN
+        // schema so new columns survive to the widening below; without
+        // the flag the registered schema pins the read, as before
+        if (autoMerge) reader0
+        else schema.map(reader0.schema).getOrElse(reader0)
     }
     val batch = reader.load(fresh: _*)
     val rows = batch.count()
+    val selfDescribing =
+      format.toLowerCase != "csv" && format.toLowerCase != "json"
+    val extras =
+      if (autoMerge && selfDescribing && currentLogical.columns.nonEmpty)
+        batch.schema.filterNot(f =>
+          currentLogical.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
+      else Nil
+    val structWide: Map[String, org.apache.spark.sql.types.DataType] =
+      if (autoMerge && selfDescribing && currentLogical.columns.nonEmpty)
+        StructEvolution.widenedColumns(currentLogical.schema, batch.schema)
+      else Map.empty
+    // lift a carried frame's narrow structs to the batch's wide shape
+    // (union would refuse the field-count mismatch; conform injects NULLs)
+    def conformedCarry(df: DataFrame): DataFrame =
+      if (structWide.isEmpty) df
+      else df.select(df.columns.map { c =>
+        import org.apache.spark.sql.functions.col
+        structWide.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(t) if df.schema(c).dataType != t =>
+            StructEvolution.conform(col(c), df.schema(c).dataType, t).as(c)
+          case _ => col(c)
+        }
+      }.toIndexedSeq: _*)
     // copy-on-write append: union with the current contents of the touched
     // partitions only (a snapshot table unions with its whole state)
     // CARRY SOURCE: current-scheme dirs only — on a mixed era fold the
@@ -164,13 +204,14 @@ object CopyInto {
     val current = currentLogical
     val toWrite: DataFrame =
       if (current.columns.isEmpty) batch
-      else if (table.isSnapshot) current.unionByName(batch, allowMissingColumns = true)
+      else if (table.isSnapshot)
+        conformedCarry(current).unionByName(batch, allowMissingColumns = true)
       else {
         val partCols = table.partitionSchema.columns.map(_.name)
         val touched = batch.select(partCols.map(org.apache.spark.sql.functions.col): _*)
           .distinct()
         val existing = carrySource.join(touched, partCols, "left_semi")
-        existing.unionByName(batch, allowMissingColumns = true)
+        conformedCarry(existing).unionByName(batch, allowMissingColumns = true)
       }
     val msg = UpdateMessage(
       s"COPY INTO ${table.name.fullyQualifiedName} from $srcDir " +
@@ -181,9 +222,39 @@ object CopyInto {
     // message). First loads keep the ordinary path (nothing to carry).
     if (current.columns.nonEmpty &&
         spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+      // overlay rows must share the stored shape — an evolving batch needs
+      // the copy-on-write carry; refuse rather than fork the overlay union
+      require(extras.isEmpty && structWide.isEmpty,
+        "COPY INTO: schema evolution (new/widened columns in the arriving " +
+          "batch) is not supported under spark.graft.dml.mergeOnRead — " +
+          "ingest the evolving batch with mergeOnRead off")
       RowOverlay.append(batch, ctx, table, user, msg); ()
     } else {
-      toWrite.versionedInsertInto(ctx, table, user, msg); ()
+      val preAnchor =
+        if (structWide.nonEmpty) Some(log.currentCommit(table.name)) else None
+      toWrite.versionedInsertInto(ctx, table, user, msg)
+      // DATA FIRST, widening AFTER (the q94 discipline): the declared
+      // schema and its audit commit land only once the data commit is in
+      if (extras.nonEmpty || structWide.nonEmpty) {
+        val base = current.schema
+        val widened = org.apache.spark.sql.types.StructType(
+          base.map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+            extras.map(f => f.copy(nullable = true)))
+        val parts = Seq(
+          if (extras.nonEmpty)
+            Some(s"ADD COLUMNS (${extras.map(_.name).mkString(", ")})") else None,
+          if (structWide.nonEmpty)
+            Some(s"WIDEN COLUMNS (${structWide.keys.toSeq.sorted.mkString(", ")})")
+          else None
+        ).flatten.mkString(", ")
+        log.commit(table.name, graft.core.TableVersions.TableUpdate(
+          user, UpdateMessage(s"COPY INTO SCHEMA EVOLUTION $parts"),
+          java.time.Instant.now(), Nil))
+        preAnchor.foreach(pre => SchemaStates.record(
+          spark, table, base, pre, widened, log.currentCommit(table.name)))
+        onSchemaWiden(widened)
+      }
     }
     Result(fresh, candidates.filterNot(fresh.contains), rows,
       Some(log.currentCommit(table.name)))

@@ -238,6 +238,20 @@ private[spark] object GraftMaintenanceSql {
     }
     None
   }
+  // Multi-table transactions (q79's commitAll, SQL-driven): BEGIN opens a
+  // session-scoped staging buffer, STAGE INSERT runs each write job NOW
+  // (data lands as never-referenced version dirs), COMMIT moves every
+  // staged pointer in ONE atomic step of the shared log (the WAL-marker
+  // protocol), ROLLBACK abandons the buffer (dirs orphan for vacuum)
+  private val BeginTxnStmt =
+    """(?is)\s*BEGIN\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  private val CommitTxnStmt =
+    """(?is)\s*COMMIT\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  private val RollbackTxnStmt =
+    """(?is)\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  private val StageInsertStmt =
+    """(?is)\s*STAGE\s+INSERT\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+(.+?)\s*;?\s*""".r
+
   private val SetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val DropDefaultStmt =
@@ -321,6 +335,11 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftRefCommand(parts(ident), name, isTag = false, action = "publish"))
     case GenerateStmt(ident) if isGraftCatalogRef(split(ident)) =>
       Some(GraftGenerateManifestCommand(parts(ident)))
+    case BeginTxnStmt() => Some(GraftBeginTxnCommand())
+    case CommitTxnStmt() => Some(GraftCommitTxnCommand())
+    case RollbackTxnStmt() => Some(GraftRollbackTxnCommand())
+    case StageInsertStmt(ident, src) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftStageInsertCommand(parts(ident), src.trim))
     case ReplaceWhereStmt(ident, rest) if isGraftCatalogRef(split(ident)) =>
       splitReplaceWhere(rest) match {
         case Some((predSql, srcSql)) =>
@@ -585,7 +604,9 @@ final case class GraftVacuumCommand(
       keepLast = keepLast.getOrElse(if (retainHours.isDefined) 1 else 3),
       graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
       retainMs = retainHours.map(_ * 3600000L),
-      dryRun = dryRun)
+      dryRun = dryRun,
+      // lets the version-dir walk distribute when the fold is large
+      spark = Some(session))
     Seq(Row(report.examined, report.deleted.size, report.failed.size, report.dryRun))
   }
 }
@@ -1052,7 +1073,11 @@ final case class GraftCopyIntoCommand(
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     val registered = GraftTableCatalog.registeredSchema(parts.head, defn.name)
     val r = CopyInto.ingest(session, ctx, defn, srcDir, format, UserId("sql"),
-      schema = registered, pattern = pattern, options = options)
+      schema = registered, pattern = pattern, options = options,
+      // autoMergeSchema widenings land in the declared-schema slot, so
+      // every subsequent read projects the new columns (q62 posture)
+      onSchemaWiden = widened =>
+        binding.tables.put(defn.name.fullyQualifiedName, (defn, Some(widened))))
     Seq(Row(r.ingestedFiles.size, r.skippedFiles.size, r.rows))
   }
 }
@@ -1150,4 +1175,133 @@ final case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunn
       // grows, OPTIMIZE (absorb) or RowOverlay.squash (fold) is due
       RowOverlay.contributions(session, binding.log, defn, None).size))
   }
+}
+
+/** Session-scoped staging buffer for SQL multi-table transactions
+  * (`BEGIN GRAFT TRANSACTION` … `STAGE INSERT INTO` … `COMMIT GRAFT
+  * TRANSACTION`): each staged write already ran its job (data as
+  * never-referenced version dirs, the full pre-write pipeline applied);
+  * COMMIT moves every staged pointer in ONE atomic step through
+  * [[VersionContext.commitTransaction]] / `TableVersions.commitAll` —
+  * the WAL-marker crash contract of the durable log. Keyed WEAKLY by
+  * session, so an abandoned session's buffer is garbage, its dirs
+  * orphans for vacuum (the no-cleanup posture every lost race shares). */
+private[spark] object GraftTxn {
+  final case class Staged(
+      binding: GraftTableCatalog.Binding,
+      ctx: VersionContext,
+      commit: VersionContext.StagedCommit)
+  private val buffers =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ListBuffer[Staged]]()
+
+  def begin(s: SparkSession): Unit = synchronized {
+    require(!buffers.containsKey(s),
+      "a graft transaction is already open on this session — COMMIT or ROLLBACK it first")
+    buffers.put(s, scala.collection.mutable.ListBuffer.empty)
+    ()
+  }
+
+  def stage(s: SparkSession, st: Staged): Int = synchronized {
+    val b = buffers.get(s)
+    require(b != null,
+      "no open graft transaction — run BEGIN GRAFT TRANSACTION first " +
+        "(a plain INSERT commits immediately)")
+    b += st
+    b.size
+  }
+
+  def commit(s: SparkSession): Seq[String] = synchronized {
+    val b = buffers.remove(s)
+    require(b != null, "no open graft transaction to commit")
+    val staged = b.toList
+    require(staged.nonEmpty,
+      "the open graft transaction staged nothing — nothing to commit")
+    // one atomic commit point needs ONE log: every staged table must live
+    // in the same commit log (same catalog binding family)
+    val log = staged.head.ctx.metastore.tableVersions
+    require(staged.forall(_.ctx.metastore.tableVersions eq log),
+      "staged tables span different commit logs — a cross-log transaction " +
+        "has no single atomic commit point")
+    // the commit ctx's metastore must know EVERY staged table (the
+    // per-table stage ctxs each register only their own)
+    val ctx = staged.head.binding.vms.map(VersionContext(_)).getOrElse {
+      val ms = new graft.core.InMemoryMetastore
+      staged.foreach(st => ms.register(st.commit.table))
+      VersionContext(graft.core.VersionedMetastore(log, ms))
+    }
+    VersionContext.commitTransaction(ctx, staged.map(_.commit))
+    staged.map(_.commit.table.name.fullyQualifiedName)
+  }
+
+  def rollback(s: SparkSession): Int = synchronized {
+    val b = buffers.remove(s)
+    require(b != null, "no open graft transaction to roll back")
+    b.size // staged dirs stay orphaned — vacuum's ordinary posture
+  }
+}
+
+/** `BEGIN GRAFT TRANSACTION` — open the session's staging buffer. */
+final case class GraftBeginTxnCommand() extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTxn.begin(session)
+    Seq.empty
+  }
+}
+
+/** `STAGE INSERT INTO cat.db.t <query>` — run the write job NOW through
+  * the ordinary pre-write pipeline (constraints, generated columns,
+  * column mapping, identity stamping), land the data as never-referenced
+  * version dirs, and defer the pointer move to `COMMIT GRAFT
+  * TRANSACTION`. */
+final case class GraftStageInsertCommand(
+    parts: Seq[String], sourceSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("staged", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    import graft.spark.VersionContext.DatasetVersionOps
+    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    val df0 = session.sql(sourceSql)
+    // align by NAME to the declared schema (else the current contents'
+    // logical shape) — the REPLACE WHERE alignment discipline
+    val target = binding.tables.get(defn.name.fullyQualifiedName)
+      .flatMap(_._2)
+      .map(_.filterNot(_.name.equalsIgnoreCase(RowTracking.RowIdCol)))
+      .orElse {
+        val cur = ColumnMapping.read(session, binding.log, defn)
+        if (cur.columns.nonEmpty) Some(cur.schema.fields.toSeq) else None
+      }
+    val df = target match {
+      case Some(fields) =>
+        df0.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => df0
+    }
+    val staged = df.versionedStage(
+      ctx, defn, UserId("sql"),
+      UpdateMessage(s"STAGE INSERT INTO ${defn.name.fullyQualifiedName}"))
+    val n = GraftTxn.stage(session, GraftTxn.Staged(binding, ctx, staged))
+    Seq(Row(n))
+  }
+}
+
+/** `COMMIT GRAFT TRANSACTION` — every staged table's pointer moves in one
+  * atomic step (`commitAll`'s marker protocol); readers see none of the
+  * transaction or all of it. */
+final case class GraftCommitTxnCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("committed_tables", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftTxn.commit(session).map(Row(_))
+}
+
+/** `ROLLBACK GRAFT TRANSACTION` — abandon the buffer; the staged dirs
+  * stay unreferenced (vacuum's ordinary orphan posture, no cleanup). */
+final case class GraftRollbackTxnCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("abandoned", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftTxn.rollback(session)))
 }
