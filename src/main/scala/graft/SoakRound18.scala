@@ -126,10 +126,18 @@ object SoakRound18 {
     val (cowNs, cowNb) = morRwRound("cs", scaledLi, mor = false)
     println(s"""{"metric":"mor_replace_where","base":{"mor_sec":$mor1s,"mor_bytes":$mor1b,"cow_sec":$cow1s,"cow_bytes":$cow1b},""" +
       s""""scaled_${scale}x":{"mor_sec":$morNs,"mor_bytes":$morNb,"cow_sec":$cowNs,"cow_bytes":$cowNb},"scale":$scale}""")
+    // flatness modulo parquet PER-FILE overhead: the pair/overlay row
+    // counts are constant, but the writing task count tracks the corpus's
+    // partitioning, so tiny-file footers add a bounded absolute term
+    // (observed ~1 KB/file) — allow 128 KB of it before calling growth
     guard("mor_replace_where_bytes_flat",
-      morNb <= 2L * math.max(mor1b, 1L),
+      morNb <= 2L * math.max(mor1b, 1L) + 128L * 1024L,
       f"scaled MOR wrote $morNb bytes vs base $mor1b at scale $scale " +
         f"(CoW context: $cowNb vs $cow1b — tracks the rewritten partition)")
+    guard("mor_replace_where_bytes_asymmetry",
+      morNb * 10L <= cowNb,
+      f"at scale $scale MOR must write >=10x fewer bytes than CoW " +
+        f"($morNb vs $cowNb) — the object-storage asymmetry the overlay buys")
 
     // ------------------------------- distributed vacuum listing (round 18)
     def vacRound(tag: String, parts: Int): (Double, Double, Boolean, Int) = {
