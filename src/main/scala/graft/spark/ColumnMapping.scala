@@ -563,9 +563,11 @@ object ColumnMapping {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      asOf: Option[CommitId] = None): DataFrame =
+      asOf: Option[CommitId] = None,
+      mergeSchema: Boolean = false): DataFrame =
     applyLogical(
-      DeletionVectors.read(spark, log, table, asOf), spark, log, table, asOf)
+      DeletionVectors.read(spark, log, table, asOf, mergeSchema),
+      spark, log, table, asOf)
 
   /** The PHYSICAL (in-file) name behind logical `column` at `at`
     * (default: current) — identity when no mapping entry covers it.

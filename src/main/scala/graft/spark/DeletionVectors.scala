@@ -468,11 +468,12 @@ object DeletionVectors {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      asOf: Option[CommitId]): DataFrame = {
+      asOf: Option[CommitId],
+      mergeSchema: Boolean = false): DataFrame = {
     val reader = VersionedReader(spark, log)
     // pointer capture happens INSIDE the reader, per era scan: `_metadata`
     // does not resolve through the union a mixed-era fold materializes as
-    val withPtr = reader.readPointed(table, asOf, FileCol, PosCol)
+    val withPtr = reader.readPointed(table, asOf, FileCol, PosCol, mergeSchema)
     if (withPtr.columns.isEmpty) return withPtr
     resolvePairs(spark, log, table, asOf) match {
       case None => withPtr
@@ -490,8 +491,9 @@ object DeletionVectors {
       spark: SparkSession,
       log: TableVersions,
       table: TableDefinition,
-      asOf: Option[CommitId] = None): DataFrame = {
-    val df = readWithPointers(spark, log, table, asOf)
+      asOf: Option[CommitId] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val df = readWithPointers(spark, log, table, asOf, mergeSchema)
     if (df.columns.isEmpty) df else df.drop(FileCol, PosCol)
   }
 

@@ -88,8 +88,31 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
           "Run OPTIMIZE to absorb the vectors first")
     // merge-on-read deletes applied, then the mapping of the addressed
     // commit (identity when absent) — the full logical view
-    val df = ColumnMapping.read(
+    val df0 = ColumnMapping.read(
       spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf)
+    // ADDITIVE-EVOLUTION soundness: the read above infers its schema from
+    // file footers (no mergeSchema — one footer), so after an evolution a
+    // NARROW footer can win the inference while WIDE files hold real
+    // values for the evolved column — NULL-aliasing those columns below
+    // would silently blank data. When the relation declares a column the
+    // inference missed (or a wider struct shape than it found), rebuild
+    // the read with SCHEMA MERGING — the distributed footer union — so
+    // every file's columns survive. Costs a footer job, and only when an
+    // evolution actually left the inference short.
+    def inferenceShort(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.columns.nonEmpty && r.output.exists { out =>
+        d.schema.fields.find(_.name.equalsIgnoreCase(out.name)) match {
+          case None => true
+          case Some(f) => f.dataType != out.dataType &&
+            StructEvolution.isProperWidening(f.dataType, out.dataType)
+        }
+      }
+    val df =
+      if (inferenceShort(df0))
+        ColumnMapping.read(
+          spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf,
+          mergeSchema = true)
+      else df0
     // nested-evolved structs: lift file-shaped (narrow) struct columns to
     // the relation's declared wide shape by REBUILD — a struct Cast would
     // refuse on the field-count mismatch ([[StructEvolution.conform]]);

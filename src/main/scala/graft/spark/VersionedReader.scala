@@ -272,12 +272,15 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       table: TableDefinition,
       asOf: Option[CommitId],
       fileCol: String,
-      posCol: String): DataFrame = {
+      posCol: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val tv = asOf.map(log.versionAt(table.name, _))
       .getOrElse(log.currentVersion(table.name))
     overlayUnion(
       table,
-      materialize(table, tv, at = asOf, pointers = Some((fileCol, posCol))),
+      materialize(
+        table, tv, mergeSchema = mergeSchema, at = asOf,
+        pointers = Some((fileCol, posCol))),
       asOf, Some((fileCol, posCol)))
   }
 
