@@ -35,6 +35,9 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')
  *   INSERT INTO graft.db.t REPLACE WHERE pred SELECT …  -- selective overwrite
  *   GENERATE symlink_format_manifest FOR TABLE graft.db.t  -- Presto/Trino interop
+ *   BEGIN GRAFT TRANSACTION                              -- multi-table txn
+ *   STAGE INSERT INTO graft.db.t SELECT …                -- stage into the txn
+ *   COMMIT GRAFT TRANSACTION / ROLLBACK GRAFT TRANSACTION -- one atomic marker
  *   ALTER TABLE graft.db.t CREATE BRANCH b [AS OF VERSION 'v']  -- WAP refs
  *   ALTER TABLE graft.db.t DROP BRANCH b / CREATE TAG g / DROP TAG g
  *   ALTER TABLE graft.db.t PUBLISH BRANCH b              -- WAP endgame
