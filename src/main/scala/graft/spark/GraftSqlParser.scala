@@ -704,7 +704,11 @@ final case class GraftShallowCloneCommand(
       .getOrElse(binding.log.currentCommit(srcDefn.name))
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, srcDefn))
     val dstDefn = ShallowClone.clone(session, ctx, srcDefn, dstName, UserId("sql"), Some(at))
-    GraftTableCatalog.register(cat, dstDefn, None) // schema infers from shared files
+    // carry the source's DECLARED schema (evolution lives there — a fresh
+    // file inference could sample a pre-evolution footer and serve the
+    // clone narrow); None when the source itself had none (infer as before)
+    GraftTableCatalog.register(
+      cat, dstDefn, GraftTableCatalog.registeredSchema(cat, srcDefn.name))
     Seq(Row(dstParts.mkString("."), at.id))
   }
 }

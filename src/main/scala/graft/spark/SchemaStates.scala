@@ -90,6 +90,18 @@ object SchemaStates {
     write(spark, table, seeded :+ State(anchor.id, newSchema.json))
   }
 
+  /** SHALLOW-CLONE carry: seed the clone's OWN keyed state file with the
+    * source's resolved shape, anchored at the clone's state commit — the
+    * clone's lineage starts there, so its time travel reads the cloned
+    * struct shapes while later evolutions on either side stay isolated
+    * (the [[ColumnMapping.cloneStateTo]] discipline). */
+  private[spark] def cloneStateTo(
+      spark: SparkSession,
+      clone: TableDefinition,
+      shape: StructType,
+      anchor: CommitId): Unit =
+    write(spark, clone, list(spark, clone) :+ State(anchor.id, shape.json))
+
   /** The schema state in force at `at`: the newest state whose anchor is
     * at-or-before `at` in the table's lineage; when states exist but none
     * anchors in the addressed lineage (travel before the baseline, or a

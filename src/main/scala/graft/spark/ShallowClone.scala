@@ -138,6 +138,13 @@ object ShallowClone {
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
       PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }
+    // nested-evolution schema states: the source's resolved struct shapes
+    // at the cloned commit seed ONE state anchored at the clone's state
+    // commit — the clone's time travel reads the cloned shapes, and later
+    // nested evolutions on either side stay isolated (separate keyed files)
+    SchemaStates.at(spark, log, src, at).foreach { shape =>
+      SchemaStates.cloneStateTo(spark, dstDefn, shape, cloneAnchor)
+    }
     // COPY INTO load history: the clone's data already contains the
     // source's ingested rows, so the loaded-file set must carry — without
     // it, a COPY INTO on the clone from the same landing dir would

@@ -143,6 +143,44 @@ class NestedEvolutionSpec extends AnyFunSuite with Matchers {
     atPre.count() shouldBe 4L
   }
 
+  test("shallow clone carries nested-evolution shapes; later evolutions stay isolated") {
+    val loc = Files.createTempDirectory("graft_nested_clone").toUri
+    spark.sql(
+      s"""CREATE TABLE graftnest.db.cdocs (
+         |  id BIGINT, meta STRUCT<src: STRING>, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graftnest.db.cdocs
+        |SELECT id, named_struct('src', concat('s', id)) AS meta, '2024-01-01' AS date
+        |FROM range(1, 4)""".stripMargin)
+    spark.sql("ALTER TABLE graftnest.db.cdocs ADD COLUMN meta.lang STRING")
+    spark.sql(
+      """INSERT INTO graftnest.db.cdocs
+        |SELECT id, named_struct('src', concat('s', id), 'lang', 'en') AS meta,
+        |       '2024-01-02' AS date FROM range(10, 12)""".stripMargin)
+
+    spark.sql("CREATE TABLE graftnest.db.cdocs_fork SHALLOW CLONE graftnest.db.cdocs")
+    val fork = spark.table("graftnest.db.cdocs_fork")
+    metaType(fork) shouldBe Seq("src", "lang")
+    fork.count() shouldBe 5L
+    fork.where(col("meta.lang") === "en").count() shouldBe 2L
+    // the clone carries its OWN schema-state file: time travel to its
+    // state commit reads the cloned shapes
+    val forkCommit = log.currentCommit(TableName("db", "cdocs_fork"))
+    metaType(spark.sql(
+      s"SELECT * FROM graftnest.db.cdocs_fork VERSION AS OF '${forkCommit.id}'")) shouldBe
+      Seq("src", "lang")
+
+    // isolation: an evolution on the SOURCE never leaks into the clone…
+    spark.sql("ALTER TABLE graftnest.db.cdocs ADD COLUMN meta.srcside STRING")
+    metaType(spark.table("graftnest.db.cdocs")) shouldBe Seq("src", "lang", "srcside")
+    metaType(spark.table("graftnest.db.cdocs_fork")) shouldBe Seq("src", "lang")
+    // …and one on the CLONE never leaks back
+    spark.sql("ALTER TABLE graftnest.db.cdocs_fork ADD COLUMN meta.forkside STRING")
+    metaType(spark.table("graftnest.db.cdocs_fork")) shouldBe Seq("src", "lang", "forkside")
+    metaType(spark.table("graftnest.db.cdocs")) shouldBe Seq("src", "lang", "srcside")
+  }
+
   test("StructEvolution algebra: addField, isWidening, conform null-safety") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(
