@@ -3502,7 +3502,7 @@ object Versioned {
     s.sql("BEGIN GRAFT TRANSACTION")
     s.sql(s"STAGE INSERT INTO $dName SELECT * FROM q98_li")
     s.sql(
-      s"""STAGE INSERT INTO $sName
+      s"""STAGE INSERT OVERWRITE $sName
          |SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
          |FROM q98_li GROUP BY l_returnflag""".stripMargin)
     // ATOMICITY: staged writes are invisible until COMMIT — both tables
@@ -3525,13 +3525,16 @@ object Versioned {
       (log.currentCommit(detail.name), log.currentCommit(summary.name)),
       "ROLLBACK must move no pointer")
 
-    // txn 2: refresh the R partition AND the matching summary — together
+    // txn 2: REFRESH the R partition AND the matching summary — together.
+    // OVERWRITE is dynamic partition overwrite at stage granularity: the
+    // detail's R partition replaces, A/N keep their pointers; the snapshot
+    // summary replaces wholesale
     s.sql("BEGIN GRAFT TRANSACTION")
     s.sql(
-      s"""STAGE INSERT INTO $dName
+      s"""STAGE INSERT OVERWRITE $dName
          |SELECT * FROM q98_li WHERE l_returnflag = 'R' AND l_quantity > 40""".stripMargin)
     s.sql(
-      s"""STAGE INSERT INTO $sName
+      s"""STAGE INSERT OVERWRITE $sName
          |SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
          |FROM (
          |  SELECT * FROM q98_li WHERE l_returnflag <> 'R'

@@ -36,7 +36,8 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  *   INSERT INTO graft.db.t REPLACE WHERE pred SELECT …  -- selective overwrite
  *   GENERATE symlink_format_manifest FOR TABLE graft.db.t  -- Presto/Trino interop
  *   BEGIN GRAFT TRANSACTION                              -- multi-table txn
- *   STAGE INSERT INTO graft.db.t SELECT …                -- stage into the txn
+ *   STAGE INSERT INTO graft.db.t SELECT …                -- stage an append
+ *   STAGE INSERT OVERWRITE graft.db.t SELECT …           -- stage a refresh
  *   COMMIT GRAFT TRANSACTION / ROLLBACK GRAFT TRANSACTION -- one atomic marker
  *   ALTER TABLE graft.db.t CREATE BRANCH b [AS OF VERSION 'v']  -- WAP refs
  *   ALTER TABLE graft.db.t DROP BRANCH b / CREATE TAG g / DROP TAG g
@@ -253,7 +254,7 @@ private[spark] object GraftMaintenanceSql {
   private val RollbackTxnStmt =
     """(?is)\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
   private val StageInsertStmt =
-    """(?is)\s*STAGE\s+INSERT\s+INTO\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*STAGE\s+INSERT\s+(INTO|OVERWRITE)\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+(.+?)\s*;?\s*""".r
 
   private val SetDefaultStmt =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
@@ -341,8 +342,9 @@ private[spark] object GraftMaintenanceSql {
     case BeginTxnStmt() => Some(GraftBeginTxnCommand())
     case CommitTxnStmt() => Some(GraftCommitTxnCommand())
     case RollbackTxnStmt() => Some(GraftRollbackTxnCommand())
-    case StageInsertStmt(ident, src) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftStageInsertCommand(parts(ident), src.trim))
+    case StageInsertStmt(mode, ident, src) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftStageInsertCommand(
+        parts(ident), src.trim, overwrite = mode.equalsIgnoreCase("OVERWRITE")))
     case ReplaceWhereStmt(ident, rest) if isGraftCatalogRef(split(ident)) =>
       splitReplaceWhere(rest) match {
         case Some((predSql, srcSql)) =>
@@ -1213,6 +1215,33 @@ private[spark] object GraftTxn {
     require(b != null,
       "no open graft transaction — run BEGIN GRAFT TRANSACTION first " +
         "(a plain INSERT commits immediately)")
+    // a later stage cannot see an earlier UNCOMMITTED stage's rows, so two
+    // stages touching the same table state would silently drop one at the
+    // commit (last AddVersion op wins) — refuse the overlap loudly
+    def touched(c: VersionContext.StagedCommit): (String, Option[Set[graft.core.Partition]]) = {
+      val parts = c.update.operations.collect {
+        case graft.core.TableVersions.TableOperation.AddPartitionVersion(p, _) => p
+      }.toSet
+      val snapshot = c.update.operations.exists {
+        case graft.core.TableVersions.TableOperation.AddTableVersion(_) => true
+        case _ => false
+      }
+      (c.table.name.fullyQualifiedName, if (snapshot) None else Some(parts))
+    }
+    val (fqn, mine) = touched(st.commit)
+    b.foreach { prev =>
+      val (pFqn, theirs) = touched(prev.commit)
+      if (pFqn == fqn) {
+        val overlap = (mine, theirs) match {
+          case (None, _) | (_, None) => true // snapshot stages always clash
+          case (Some(a), Some(c))    => (a intersect c).nonEmpty
+        }
+        require(!overlap,
+          s"transaction already staged a write to $fqn touching the same " +
+            "partitions — fold both into one STAGE statement (a later stage " +
+            "cannot see an earlier uncommitted one)")
+      }
+    }
     b += st
     b.size
   }
@@ -1255,40 +1284,70 @@ final case class GraftBeginTxnCommand() extends LeafRunnableCommand {
   }
 }
 
-/** `STAGE INSERT INTO cat.db.t <query>` — run the write job NOW through
-  * the ordinary pre-write pipeline (constraints, generated columns,
-  * column mapping, identity stamping), land the data as never-referenced
-  * version dirs, and defer the pointer move to `COMMIT GRAFT
-  * TRANSACTION`. */
+/** `STAGE INSERT INTO|OVERWRITE cat.db.t <query>` — run the write job NOW
+  * through the ordinary pre-write pipeline (constraints, generated
+  * columns, column mapping, identity stamping), land the data as
+  * never-referenced version dirs, and defer the pointer move to
+  * `COMMIT GRAFT TRANSACTION`. The two modes mirror plain INSERT:
+  *
+  *  - `INTO` APPENDS — touched partitions' current rows carry into the
+  *    staged version (DV-aware, so the stage absorbs those partitions'
+  *    vectors), untouched partitions never move; a snapshot table carries
+  *    its whole state;
+  *  - `OVERWRITE` is dynamic partition overwrite — the staged version
+  *    holds exactly the statement's rows; written partitions replace,
+  *    unwritten ones keep their pointers (a snapshot replaces wholesale —
+  *    the multi-table summary-refresh shape).
+  *
+  * Staging the SAME table twice with overlapping partitions (or a
+  * snapshot twice) refuses: the second stage cannot see the first's
+  * uncommitted rows, so composing them would silently drop one. */
 final case class GraftStageInsertCommand(
-    parts: Seq[String], sourceSql: String) extends LeafRunnableCommand {
+    parts: Seq[String], sourceSql: String, overwrite: Boolean)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("staged", IntegerType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     import graft.spark.VersionContext.DatasetVersionOps
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     val df0 = session.sql(sourceSql)
     // align by NAME to the declared schema (else the current contents'
     // logical shape) — the REPLACE WHERE alignment discipline
+    lazy val current = ColumnMapping.read(session, binding.log, defn)
     val target = binding.tables.get(defn.name.fullyQualifiedName)
       .flatMap(_._2)
       .map(_.filterNot(_.name.equalsIgnoreCase(RowTracking.RowIdCol)))
       .orElse {
-        val cur = ColumnMapping.read(session, binding.log, defn)
-        if (cur.columns.nonEmpty) Some(cur.schema.fields.toSeq) else None
+        if (current.columns.nonEmpty) Some(current.schema.fields.toSeq) else None
       }
     val df = target match {
       case Some(fields) =>
         df0.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       case None => df0
     }
-    val staged = df.versionedStage(
+    // INTO appends: carry the touched partitions' current (DV-applied,
+    // logical) rows into the staged rewrite; OVERWRITE stages the
+    // statement's rows alone (partition replacement, stage-native)
+    val toWrite =
+      if (overwrite || current.columns.isEmpty) df
+      else if (defn.isSnapshot)
+        current.unionByName(df, allowMissingColumns = true)
+      else {
+        PartitionEvolution.requireUniformFold(
+          binding.log, defn, "STAGE INSERT INTO")
+        val partCols = defn.partitionSchema.columns.map(_.name)
+        val touched = df.select(partCols.map(col): _*).distinct()
+        current.join(broadcast(touched), partCols.toSeq, "left_semi")
+          .unionByName(df, allowMissingColumns = true)
+      }
+    val mode = if (overwrite) "OVERWRITE" else "INTO"
+    val staged = toWrite.versionedStage(
       ctx, defn, UserId("sql"),
-      UpdateMessage(s"STAGE INSERT INTO ${defn.name.fullyQualifiedName}"))
+      UpdateMessage(s"STAGE INSERT $mode ${defn.name.fullyQualifiedName}"))
     val n = GraftTxn.stage(session, GraftTxn.Staged(binding, ctx, staged))
     Seq(Row(n))
   }

@@ -212,3 +212,108 @@ class OpsSurfaceSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("already has identity column")
   }
 }
+
+/** SQL multi-table transactions ([[GraftTxn]]) × the rest of the write
+  * discipline: staged writes run the FULL pre-write pipeline (a
+  * constraint-violating stage fails at STAGE time, before anything could
+  * commit), statement ordering is enforced, and a second BEGIN refuses. */
+class SqlTxnDisciplineSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+  private val user = UserId("txn-test")
+
+  test("STAGE INSERT enforces constraints at stage time; protocol misuse refuses loudly") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.grafttxn1", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("grafttxn1", log)
+    val t = TableDefinition(
+      TableName("db", "txn_con"),
+      java.nio.file.Files.createTempDirectory("graft_txn_con").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    import VersionContext.DatasetVersionOps
+    Seq(Event(1L, "a", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    GraftTableCatalog.register("grafttxn1", t)
+    Constraints.add(spark, ctx, t, Constraints.check("pos", "id > 0"), user)
+
+    // protocol misuse: stage/commit/rollback without an open txn refuse
+    intercept[Exception](spark.sql(
+      "STAGE INSERT INTO grafttxn1.db.txn_con SELECT 2L AS id, 'b' AS kind, '2024-01-01' AS date"))
+      .getMessage should include("no open graft transaction")
+    intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      .getMessage should include("no open graft transaction")
+    intercept[Exception](spark.sql("ROLLBACK GRAFT TRANSACTION"))
+      .getMessage should include("no open graft transaction")
+
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    // a second BEGIN on the same session refuses
+    intercept[Exception](spark.sql("BEGIN GRAFT TRANSACTION"))
+      .getMessage should include("already open")
+    // the staged write runs NOW — a constraint violation fails the STAGE
+    // statement itself, and the buffer keeps working afterwards
+    intercept[Exception](spark.sql(
+      "STAGE INSERT INTO grafttxn1.db.txn_con SELECT -5L AS id, 'x' AS kind, '2024-01-01' AS date"))
+    val head = log.currentCommit(t.name)
+    spark.sql(
+      "STAGE INSERT INTO grafttxn1.db.txn_con SELECT 2L AS id, 'b' AS kind, '2024-01-01' AS date")
+    log.currentCommit(t.name) shouldBe head // staged, not committed
+    // a second stage touching the SAME partition refuses (it cannot see
+    // the first stage's uncommitted rows)
+    intercept[Exception](spark.sql(
+      "STAGE INSERT INTO grafttxn1.db.txn_con SELECT 3L AS id, 'c' AS kind, '2024-01-01' AS date"))
+      .getMessage should include("same partitions")
+    spark.sql("COMMIT GRAFT TRANSACTION")
+    log.currentCommit(t.name) should not be head
+    // INTO appends: the carried v1 row AND the staged row both serve
+    spark.table("grafttxn1.db.txn_con").count() shouldBe 2L
+    // OVERWRITE replaces the touched partition
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    spark.sql(
+      "STAGE INSERT OVERWRITE grafttxn1.db.txn_con SELECT 9L AS id, 'z' AS kind, '2024-01-01' AS date")
+    spark.sql("COMMIT GRAFT TRANSACTION")
+    spark.table("grafttxn1.db.txn_con").select("id").as[Long].collect() shouldBe Array(9L)
+    // an empty transaction refuses to commit (junk-entry guard)
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    intercept[Exception](spark.sql("COMMIT GRAFT TRANSACTION"))
+      .getMessage should include("staged nothing")
+    // the failed commit popped the buffer; a fresh BEGIN works
+    spark.sql("BEGIN GRAFT TRANSACTION")
+    spark.sql("ROLLBACK GRAFT TRANSACTION")
+  }
+
+  test("merge-on-read REPLACE WHERE composes with time travel: the pre-overwrite commit reads the old region") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    spark.conf.set("spark.sql.catalog.grafttxn2", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("grafttxn2", log)
+    val t = TableDefinition(
+      TableName("db", "morrw_tt"),
+      java.nio.file.Files.createTempDirectory("graft_morrw_tt").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(t, user, UpdateMessage("init"))
+    import VersionContext.DatasetVersionOps
+    (1L to 10L).map(i => Event(i, if (i % 2 == 0) "even" else "odd", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    GraftTableCatalog.register("grafttxn2", t)
+    val pre = log.currentCommit(t.name)
+    spark.conf.set("spark.graft.dml.mergeOnRead", "true")
+    try spark.sql(
+      "INSERT INTO grafttxn2.db.morrw_tt REPLACE WHERE kind = 'even' " +
+        "SELECT 100L AS id, 'even' AS kind, '2024-01-01' AS date")
+    finally spark.conf.unset("spark.graft.dml.mergeOnRead")
+    // current: evens replaced by the single incoming row
+    val cur = spark.table("grafttxn2.db.morrw_tt")
+    cur.count() shouldBe 6L
+    cur.where($"kind" === "even").select("id").as[Long].collect() shouldBe Array(100L)
+    // time travel: the pre-overwrite commit reads the ORIGINAL region
+    // (the at-or-before sidecar discipline — vectors and overlay rows
+    // anchored after `pre` are invisible there)
+    val old = spark.sql(
+      s"SELECT * FROM grafttxn2.db.morrw_tt VERSION AS OF '${pre.id}'")
+    old.count() shouldBe 10L
+    old.where($"kind" === "even").count() shouldBe 5L
+  }
+}
