@@ -807,6 +807,76 @@ object Registry {
              |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
              |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "q100_generalized_merge" -> Entry(
+      Versioned.q100GeneralizedMerge,
+      // MERGE ON with a differing-name equi key (t.l_orderkey = s.src_key)
+      // plus a residual conjunct (s.status = 'F'): residual-failing source
+      // rows are NOT matched — they insert under shifted keys into 'X' —
+      // while residual-passing ones update in place; the oracle replays
+      // the same ON semantics with an explicit join
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, min(l_returnflag) AS flag,
+             |         round(sum(l_quantity), 2) AS qty
+             |  FROM lineitem GROUP BY 1
+             |), s AS (
+             |  SELECT o_orderkey AS src_key, o_orderstatus AS status
+             |  FROM orders WHERE o_orderkey % 30 = 0
+             |), m AS (
+             |  SELECT src_key FROM s JOIN t ON t.l_orderkey = s.src_key
+             |  WHERE s.status = 'F'
+             |), final AS (
+             |  SELECT flag,
+             |         qty + CASE WHEN l_orderkey IN (SELECT src_key FROM m)
+             |                    THEN 1000 ELSE 0 END AS qty
+             |  FROM t
+             |  UNION ALL
+             |  SELECT 'X', 1.0 FROM s
+             |  WHERE src_key NOT IN (SELECT src_key FROM m)
+             |)
+             |SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    "q101_nested_dml" -> Entry(
+      Versioned.q101NestedDml,
+      // nested-field DML over a metadata struct: copy-on-write UPDATE sets
+      // meta.prio, a merge-on-read UPDATE tags meta.cust (zero pointer
+      // moves, pinned in-query), a MERGE nested SET overwrites prio on the
+      // %13 keys — untouched struct fields carry through every rebuild
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio0,
+             |         CAST(o_custkey AS VARCHAR) AS cust0
+             |  FROM orders
+             |), final AS (
+             |  SELECT CASE WHEN k % 13 = 0 THEN 'M13'
+             |              WHEN k % 10 = 0 THEN 'HOT'
+             |              ELSE prio0 END AS prio,
+             |         CASE WHEN k % 7 = 0 THEN 'c' || cust0 ELSE cust0 END AS cust
+             |  FROM base
+             |)
+             |SELECT prio, count(*) AS n,
+             |       count(CASE WHEN substr(cust, 1, 1) = 'c' THEN 1 END) AS n_tagged
+             |FROM final GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    "q102_partition_migrate" -> Entry(
+      Versioned.q102PartitionMigrate,
+      // copy-on-write partition-column UPDATE: every 5th 'N' key migrates
+      // into a new 'M' partition, then ALL of 'A' migrates (qty doubled)
+      // and the emptied 'A' drops in the same commit — untouched pointers
+      // pinned in-query; the oracle replays both statements in order
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, l_returnflag AS flag0,
+             |         round(sum(l_quantity), 2) AS qty0
+             |  FROM lineitem GROUP BY 1, 2
+             |), final AS (
+             |  SELECT CASE WHEN flag0 = 'A' THEN 'M'
+             |              WHEN flag0 = 'N' AND l_orderkey % 5 = 0 THEN 'M'
+             |              ELSE flag0 END AS flag,
+             |         CASE WHEN flag0 = 'A' THEN qty0 * 2 ELSE qty0 END AS qty
+             |  FROM t
+             |)
+             |SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+             |FROM final GROUP BY flag ORDER BY flag""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -3623,4 +3623,152 @@ object Versioned {
          |       round(sum(coalesce(disc, 0.0)), 4) AS sum_disc
          |FROM $name GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** Q100: GENERALIZED MERGE ON CONDITIONS ([[graft.spark.GraftDmlRule]]
+    * round 18) — the ON clause joins DIFFERING column names
+    * (`t.l_orderkey = s.src_key`) and carries a RESIDUAL conjunct beyond
+    * the equi key (`s.status = 'F'`), evaluated with SQL ON semantics
+    * inside the clause join: a source row failing the residual is NOT
+    * matched, so it falls to the `WHEN NOT MATCHED` insert even though
+    * its key exists in the target. Delta/Iceberg accept arbitrary ON
+    * conditions the same way; the reference (a versioning layer over
+    * Spark SQL) inherits whatever the session's MERGE supports. */
+  def q100GeneralizedMerge(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq100", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq100", log)
+    val table = tempTable(
+      "li_genmerge", PartitionSchema(List(PartitionColumn("flag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_genmerge"))
+    graft.spark.GraftTableCatalog.register("graftq100", table)
+    val name = s"graftq100.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(min("l_returnflag").as("flag"), round(sum("l_quantity"), 2).as("qty"))
+      .select("l_orderkey", "qty", "flag")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+    Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") % 30 === 0)
+      .select(col("o_orderkey").as("src_key"), col("o_orderstatus").as("status"))
+      .createOrReplaceTempView("q100_src")
+
+    // every source key EXISTS in the target — only the residual decides
+    // who matches: status='F' rows update, the rest insert under a
+    // shifted key into the 'X' partition
+    s.sql(
+      s"""MERGE INTO $name t USING q100_src s
+         |ON t.l_orderkey = s.src_key AND s.status = 'F'
+         |WHEN MATCHED THEN UPDATE SET qty = t.qty + 1000
+         |WHEN NOT MATCHED THEN INSERT (l_orderkey, qty, flag)
+         |  VALUES (s.src_key + 50000000, 1.0, 'X')""".stripMargin)
+
+    s.sql(
+      s"""SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  /** Q101: NESTED-FIELD DML ([[graft.spark.GraftDmlRule]] round 18,
+    * pairing with q96's nested schema evolution) — `UPDATE … SET
+    * meta.prio = …` and `MERGE … WHEN MATCHED THEN UPDATE SET meta.cust
+    * = …` fold into ONE struct rebuild per root column (untouched fields
+    * carry), on both write paths: copy-on-write (partition rewrite) and
+    * merge-on-read (vectors + overlay; fold-pin asserted in-query). The
+    * Delta posture for evolving LLM-pipeline metadata structs. */
+  def q101NestedDml(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq101", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq101", log)
+    val table = tempTable(
+      "ord_nested", PartitionSchema(List(PartitionColumn("status"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_nested"))
+    graft.spark.GraftTableCatalog.register("graftq101", table)
+    val name = s"graftq101.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        struct(
+          col("o_orderpriority").as("prio"),
+          col("o_custkey").cast("string").as("cust")).as("meta"),
+        col("o_orderstatus").as("status"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // 1. copy-on-write nested UPDATE: prio flips, cust carries
+    s.sql(s"UPDATE $name SET meta.prio = 'HOT' WHERE k % 10 = 0")
+    // 2. merge-on-read nested UPDATE (two fields would also fold; one
+    // here): zero pointer moves, pinned
+    val foldBefore = log.currentVersion(table.name)
+    graft.spark.SessionConf.withConf(s, "spark.graft.dml.mergeOnRead", "true") {
+      s.sql(s"UPDATE $name SET meta.cust = concat('c', meta.cust) WHERE k % 7 = 0")
+    }
+    require(log.currentVersion(table.name) == foldBefore,
+      "merge-on-read nested UPDATE must not move version pointers")
+    // 3. MERGE nested SET: k % 13 keys take prio 'M13' (overwriting any
+    // step-1 'HOT' on the overlap — statement order is the contract)
+    s.sql(
+      s"""MERGE INTO $name t USING
+         |  (SELECT k AS mk FROM $name WHERE k % 13 = 0) s ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET meta.prio = 'M13'""".stripMargin)
+
+    s.sql(
+      s"""SELECT meta.prio AS prio, count(*) AS n,
+         |       count(CASE WHEN substr(meta.cust, 1, 1) = 'c' THEN 1 END) AS n_tagged
+         |FROM $name GROUP BY meta.prio ORDER BY prio""".stripMargin)
+  }
+
+  /** Q102: COPY-ON-WRITE PARTITION-COLUMN UPDATE (row migration,
+    * [[graft.spark.GraftDmlRule.GraftUpdateCommand]] round 18) — `UPDATE
+    * … SET <partition col> = …` moves rows between partitions in ONE
+    * atomic commit: source ∪ destination partitions rewrite, a source
+    * emptied of everything drops its partition in the same commit, and
+    * untouched partitions keep their version pointers (pinned in-query).
+    * Delta allows partition-column UPDATE the same way; the previous
+    * refusal is lifted on both write paths. */
+  def q102PartitionMigrate(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq102", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq102", log)
+    val table = tempTable(
+      "li_migrate", PartitionSchema(List(PartitionColumn("flag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_migrate"))
+    graft.spark.GraftTableCatalog.register("graftq102", table)
+    val name = s"graftq102.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("qty"))
+      .select(col("l_orderkey"), col("qty"), col("l_returnflag").as("flag"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: rollup"))
+    def fold() = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => sys.error(s"unexpected fold $other")
+    }
+    val before = fold()
+    def part(v: String) = Partition(ColumnValue(PartitionColumn("flag"), v))
+
+    // partial migration: every 5th 'N' key moves into a BRAND-NEW 'M'
+    // partition; 'A'/'R' pointers must not move
+    s.sql(s"UPDATE $name SET flag = 'M' WHERE flag = 'N' AND l_orderkey % 5 = 0")
+    val mid = fold()
+    require(mid.contains(part("M")), "migration must create the destination partition")
+    require(mid(part("A")) == before(part("A")) && mid(part("R")) == before(part("R")),
+      "untouched partitions must keep their version pointers")
+    // full migration: ALL of 'A' moves into 'M' (qty doubled) — the
+    // emptied source partition drops in the SAME commit
+    val commits = log.updates(table.name).size
+    s.sql(s"UPDATE $name SET flag = 'M', qty = qty * 2 WHERE flag = 'A'")
+    val after = fold()
+    require(log.updates(table.name).size == commits + 1,
+      "migration + source removal must be ONE atomic commit")
+    require(!after.contains(part("A")), "a fully-emptied source partition must drop")
+    require(after(part("R")) == before(part("R")), "'R' never moves")
+
+    s.sql(
+      s"""SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
+         |FROM $name GROUP BY flag ORDER BY flag""".stripMargin)
+  }
 }

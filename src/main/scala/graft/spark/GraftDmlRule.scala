@@ -3,8 +3,8 @@ package graft.spark
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, Cast, CreateNamedStruct, EqualTo, Expression, In, InSubquery,
-  ListQuery, Literal, SubqueryExpression}
+  And, AttributeReference, Cast, CreateNamedStruct, EqualTo, Expression, GetStructField, In,
+  InSubquery, ListQuery, Literal, SubqueryExpression, UpdateFields}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, LogicalPlan, MergeAction,
   MergeIntoTable, UpdateAction, UpdateTable}
@@ -41,15 +41,21 @@ import graft.core.TableVersions.{UpdateMessage, UserId}
  * is deliberately NOT intercepted: it keeps flowing to the metadata-only
  * `SupportsDelete` path (a `RemovePartition` commit, no data rewrite).
  *
- * Honest limits (reject with a clear error, never approximate): MERGE
- * supports the canonical `UPDATE SET * / INSERT *` form with same-named
- * equi-keys; UPDATE may not assign partition columns (rows would migrate
- * between partitions — a rewrite shape this layout reserves for MERGE with
- * explicit sources); DELETE/UPDATE conditions admit subqueries —
- * non-correlated ones re-plan as the semi/anti join a SELECT would get,
- * correlated ones re-express as a non-correlated membership test over the
- * statement's own resolved plan ([[membershipRewrite]]); subqueries in
- * SET values refuse.
+ * The MERGE ON condition needs at least one `target.col = source.col`
+ * equality (the join key — names may differ, `ON t.id = s.src_id`); every
+ * other conjunct (non-equi comparisons, one-sided filters) rides the
+ * clause join as a residual with SQL ON semantics. UPDATE and MERGE SET
+ * may assign partition columns — rows migrate between partitions (the
+ * copy-on-write UPDATE rewrites source ∪ destination partitions in one
+ * commit; merge-on-read hides + re-lands) — and may target nested struct
+ * fields (`SET meta.lang = 'en'`, folded into one struct rebuild per root
+ * column). Honest limits (reject with a clear error, never approximate):
+ * DELETE/UPDATE conditions admit subqueries — non-correlated ones re-plan
+ * as the semi/anti join a SELECT would get, correlated ones re-express as
+ * a non-correlated membership test over the statement's own resolved plan
+ * ([[membershipRewrite]]) — but MERGE clause conditions and SET values
+ * refuse them (Delta parity); copy-on-write MERGE SET of a partition
+ * column still refuses (merge-on-read handles it).
  *
  * Registered by `graft.plans.GraftExtensions` (post-hoc resolution rule).
  */
@@ -61,8 +67,13 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m
         case Some(rel) =>
           val table = rel.table.asInstanceOf[GraftV2Table]
-          val keys = equiKeys(m.mergeCondition, m.targetTable, m.sourceTable)
-          if (isCanonicalStar(m) &&
+          val (keyPairs, residual) = mergeKeys(m.mergeCondition, m.targetTable, m.sourceTable)
+          val keys = keyPairs.map(_._1)
+          // the one-join fast path needs the keys to BE the join: plain
+          // same-named equi keys, nothing residual
+          val plainKeys = residual.isEmpty &&
+            keyPairs.forall { case (t, s) => t.equalsIgnoreCase(s) }
+          if (plainKeys && isCanonicalStar(m) &&
             !spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean)
             // the classic upsert keeps its one-join fast path (no
             // table-wide discovery pass; source-partition-scoped contract).
@@ -73,7 +84,7 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               table.tableDefinition, table.tableBinding,
               m.sourceTable, keys, rel.schema)
           else if (m.resolved)
-            translateConditional(m, table, rel.schema, keys)
+            translateConditional(m, table, rel.schema, keyPairs, residual)
           else m // widening-blocked but non-canonical: Spark's cast error stands
       }
 
@@ -83,27 +94,23 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(rel) =>
           val table = rel.table.asInstanceOf[GraftV2Table]
           val defn = table.tableDefinition
-          val partCols = defn.partitionSchema.columns.map(_.name).toSet
-          // merge-on-read UPDATE handles cross-partition row migration
-          // natively (old copy vector-hidden, new copy lands wherever its
-          // values say); only the copy-on-write rewrite reserves that
-          // shape for MERGE
-          val morMode =
-            spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean
-          u.assignments.foreach { a =>
-            rootAttr(a.key) match {
-              case Some(k) if !morMode && partCols.exists(_.equalsIgnoreCase(k.name)) =>
-                unsupported(s"UPDATE of partition column ${k.name} (rows would " +
-                  "migrate between partitions; use MERGE with an explicit " +
-                  "source, or SET spark.graft.dml.mergeOnRead=true)")
-              case Some(_) => ()
-              case None => unsupported(s"non-column assignment target ${a.key.sql}")
-            }
-          }
+          // partition-column assignments are legal on BOTH paths: the
+          // merge-on-read command migrates rows natively (old copy
+          // vector-hidden, new copy lands wherever its values say), and
+          // the copy-on-write command rewrites source ∪ destination
+          // partitions in one commit ([[GraftUpdateCommand]] migration).
+          // Nested struct fields (`SET meta.lang = …`) fold into one
+          // root-column struct rebuild per root.
           u.assignments.foreach(a => rejectSubqueries(a.value))
+          val parsed = u.assignments.map { a =>
+            val (root, path) = nestedPath(a.key).getOrElse(
+              unsupported(s"non-column assignment target ${a.key.sql}"))
+            (root, path, a.value)
+          }
           GraftUpdateCommand(
             defn, table.tableBinding,
-            u.assignments.map(a => rootAttr(a.key).get.name -> new Detached(detach(a.value))),
+            foldNested(parsed, "UPDATE").map { case (r, e) =>
+              r.name -> new Detached(detach(e)) },
             u.condition.map(c => new Detached(detach(membershipRewrite(c, u.table)))))
       }
 
@@ -226,6 +233,66 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _                     => None
   }
 
+  /** An assignment key as (root column, struct-field path): `s.x.y` is
+    * `(s, [x, y])`, a plain column is `(c, [])`. The analyzer resolved the
+    * key, so every path element names a REAL field — no existence check
+    * needed (and none wanted: resolution failing is Spark's own error). */
+  private def nestedPath(e: Expression): Option[(AttributeReference, Seq[String])] = e match {
+    case a: AttributeReference => Some((a, Nil))
+    case g: GetStructField =>
+      nestedPath(g.child).map { case (r, p) => (r, p :+ g.extractFieldName) }
+    case c: Cast => nestedPath(c.child)
+    case _       => None
+  }
+
+  private def fieldType(
+      dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.DataType] =
+    if (path.isEmpty) Some(dt)
+    else dt match {
+      case s: StructType =>
+        s.fields.find(_.name.equalsIgnoreCase(path.head))
+          .flatMap(f => fieldType(f.dataType, path.tail))
+      case _ => None
+    }
+
+  /** Fold nested-field assignments into ONE root-column expression per
+    * root: `SET meta.lang = 'en', meta.score = 0.9` becomes a single
+    * `meta -> UpdateFields(UpdateFields(meta, "lang", …), "score", …)`
+    * struct rebuild — the write projection then treats the root like any
+    * whole-column assignment (the struct keeps its declared shape; each
+    * value is cast to ITS field's type). Whole-column assignments pass
+    * through; mixing both forms on one root, or assigning the same target
+    * twice, is ambiguous and refuses. */
+  private def foldNested(
+      parsed: Seq[(AttributeReference, Seq[String], Expression)],
+      what: String): Seq[(AttributeReference, Expression)] = {
+    parsed.foreach { case (r, path, _) =>
+      path.foreach(el => if (el.contains(".") || el.contains("`"))
+        unsupported(s"struct field name `$el` of ${r.name} contains '.' or '`' — " +
+          s"nested assignment in $what cannot address it"))
+    }
+    val roots = parsed.map(_._1).foldLeft(Vector.empty[AttributeReference])(
+      (acc, r) => if (acc.exists(_.exprId == r.exprId)) acc else acc :+ r)
+    roots.map { r =>
+      val mine = parsed.filter(_._1.exprId == r.exprId)
+      val whole = mine.filter(_._2.isEmpty)
+      if (whole.nonEmpty && mine.size > 1)
+        unsupported(s"conflicting assignments to ${r.name} in $what " +
+          "(whole column and nested field together)")
+      mine.map(_._2).groupBy(_.map(_.toLowerCase)).foreach { case (p, g) =>
+        if (g.size > 1) unsupported(s"duplicate assignment target " +
+          s"${(r.name +: p).mkString(".")} in $what")
+      }
+      if (whole.nonEmpty) r -> whole.head._3
+      else r -> mine.foldLeft(r: Expression) { case (acc, (_, path, v)) =>
+        val ft = fieldType(r.dataType, path).getOrElse(
+          unsupported(s"${(r.name +: path).mkString(".")} is not a struct field path"))
+        UpdateFields(acc, path.mkString("."), Cast(v, ft))
+      }
+    }
+  }
+
   /** Mirror of `GraftV2Table.partitionOnly` in the catalyst domain: true
     * only for predicates the metadata-only delete path will accept. */
   private def partitionOnly(e: Expression, partCols: Set[String]): Boolean = e match {
@@ -242,25 +309,36 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The condition must be a conjunction of `target.k = source.k` equalities
-    * over same-named columns — those names are the merge keys. */
-  private def equiKeys(
-      cond: Expression, target: LogicalPlan, source: LogicalPlan): Seq[String] = {
+  /** Split the ON condition into equi-key pairs and a residual: every
+    * `target.a = source.b` conjunct over plain columns becomes a
+    * (targetName, sourceName) key pair — names need NOT match — and every
+    * OTHER conjunct (non-equi comparisons, one-sided filters, expressions)
+    * joins the residual, evaluated inside the clause join exactly as the
+    * SQL ON condition demands. At least one equi pair is required: it is
+    * what the join shuffles on — a keyless MERGE would be a cross join. */
+  private def mergeKeys(
+      cond: Expression, target: LogicalPlan, source: LogicalPlan)
+      : (Seq[(String, String)], Option[Expression]) = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val (t, s) =
-          if (target.outputSet.contains(a) && source.outputSet.contains(b)) (a, b)
-          else if (target.outputSet.contains(b) && source.outputSet.contains(a)) (b, a)
-          else unsupported(s"MERGE condition side not a plain target/source column: $a = $b")
-        if (!t.name.equalsIgnoreCase(s.name))
-          unsupported(s"MERGE key columns must share a name, got ${t.name} = ${s.name}")
-        t.name
-      case other => unsupported(s"non-equi MERGE condition clause: ${other.sql}")
-    }
+    val (pairs, residual) =
+      conjuncts(cond).foldLeft((Seq.empty[(String, String)], Seq.empty[Expression])) {
+        case ((ps, rs), EqualTo(a: AttributeReference, b: AttributeReference))
+            if (target.outputSet.contains(a) && source.outputSet.contains(b)) ||
+               (target.outputSet.contains(b) && source.outputSet.contains(a)) =>
+          val (t, s) =
+            if (target.outputSet.contains(a)) (a, b) else (b, a)
+          (ps :+ (t.name -> s.name), rs)
+        case ((ps, rs), other) =>
+          rejectSubqueries(other)
+          (ps, rs :+ other)
+      }
+    if (pairs.isEmpty)
+      unsupported("MERGE ON condition has no target-column = source-column " +
+        "equality — at least one equi key is required to join on")
+    (pairs, residual.reduceOption(And))
   }
 
   /** The analyzer's expansion of the canonical `WHEN MATCHED THEN UPDATE
@@ -299,7 +377,8 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       m: MergeIntoTable,
       table: GraftV2Table,
       relationSchema: StructType,
-      keys: Seq[String]): LogicalPlan = {
+      keyPairs: Seq[(String, String)],
+      residual: Option[Expression]): LogicalPlan = {
     val defn = table.tableDefinition
     val partCols = defn.partitionSchema.columns.map(_.name.toLowerCase).toSet
     def side(e: Expression): Detached = {
@@ -311,10 +390,20 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           UnresolvedAttribute(Seq("__s_" + a.name))
       })
     }
-    def assigns(as: Seq[Assignment], clause: String): Seq[(String, Detached)] = as.map { a =>
-      val k = rootAttr(a.key).getOrElse(
-        unsupported(s"non-column assignment target ${a.key.sql} in $clause"))
-      k.name -> side(a.value)
+    // UPDATE-like clause assignments may target nested struct fields —
+    // they fold into one root-column rebuild per root (same contract as
+    // row-level UPDATE); INSERT clauses assign whole columns only (there
+    // is no target row whose struct a nested setter could rebuild)
+    def assigns(as: Seq[Assignment], clause: String): Seq[(String, Detached)] = {
+      val parsed = as.map { a =>
+        val (root, path) = nestedPath(a.key).getOrElse(
+          unsupported(s"non-column assignment target ${a.key.sql} in $clause"))
+        if (path.nonEmpty && clause.contains("NOT MATCHED") && !clause.contains("BY SOURCE"))
+          unsupported(s"nested-field INSERT target ${a.key.sql} in $clause " +
+            "(INSERT clauses assign whole columns)")
+        (root, path, a.value)
+      }
+      foldNested(parsed, clause).map { case (r, e) => r.name -> side(e) }
     }
     def updateLike(action: MergeAction, clause: String): (Option[Detached], Option[Seq[(String, Detached)]]) =
       action match {
@@ -339,7 +428,8 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val nmbs = m.notMatchedBySourceActions.map(updateLike(_, "WHEN NOT MATCHED BY SOURCE"))
     GraftConditionalMergeCommand(
-      defn, table.tableBinding, m.sourceTable, keys, matched, notMatched, nmbs, relationSchema)
+      defn, table.tableBinding, m.sourceTable, keyPairs.map(_._1), matched, notMatched, nmbs,
+      relationSchema, sourceKeys = keyPairs.map(_._2), residual = residual.map(side))
   }
 }
 
@@ -480,7 +570,9 @@ final case class GraftConditionalMergeCommand(
     matched: Seq[(Option[Detached], Option[Seq[(String, Detached)]])],
     notMatched: Seq[(Option[Detached], Seq[(String, Detached)])],
     notMatchedBySource: Seq[(Option[Detached], Option[Seq[(String, Detached)]])],
-    relationSchema: StructType) extends LeafRunnableCommand {
+    relationSchema: StructType,
+    sourceKeys: Seq[String] = Nil,
+    residual: Option[Detached] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftSqlShim.ofRows(session, source)
@@ -496,7 +588,9 @@ final case class GraftConditionalMergeCommand(
         Merge.WhenMatched(cond.map(c), as.map(set)) },
       userId = UserId("sql"),
       message = UpdateMessage("MERGE (SQL)"),
-      emptySchema = Some(relationSchema))
+      emptySchema = Some(relationSchema),
+      sourceKeys = if (sourceKeys.isEmpty) None else Some(sourceKeys),
+      residual = residual.map(c))
     Seq.empty
   }
 }
@@ -542,23 +636,70 @@ final case class GraftUpdateCommand(
     // a no-match UPDATE must not commit: the history would gain a junk
     // entry (and a snapshot table a full identical rewrite) for a no-op
     if (current.where(cond).isEmpty) return Seq.empty
-    val scope =
-      if (defn.isSnapshot) current
-      else {
+    val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
+    val partColsDef = defn.partitionSchema.columns
+    val names = partColsDef.map(_.name)
+    val partSet = names.map(_.toLowerCase).toSet
+    // partition-column assignment = ROW MIGRATION: updated rows leave
+    // their partitions for whatever their new values say. Copy-on-write
+    // expresses that as ONE commit rewriting source ∪ destination
+    // partitions — destinations must be read too (a versioned partition
+    // write REPLACES the partition, so its existing rows have to carry),
+    // and a source emptied of everything removes in the same commit.
+    val migrating = !defn.isSnapshot && byName.keys.exists(partSet.contains)
+    val (scope, alsoRemove) =
+      if (defn.isSnapshot) (current, Nil)
+      else if (!migrating) {
         // touched-partition set is #partitions rows — metadata-sized,
         // safe to broadcast at any scale
-        val partCols = defn.partitionSchema.columns.map(_.name)
-        val touched = current.where(cond).select(partCols.map(col): _*).distinct()
-        current.join(broadcast(touched), partCols.toSeq, "left_semi")
+        val touched = current.where(cond).select(names.map(col): _*).distinct()
+        (current.join(broadcast(touched), names.toSeq, "left_semi"), Nil)
+      } else {
+        import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
+        val matched = current.where(cond)
+        // where the updated rows LAND (post-assignment partition values)
+        val dstRows = matched.select(names.map { n =>
+          byName.get(n.toLowerCase).map(_.cast("string")).getOrElse(col(n).cast("string")).as(n)
+        }: _*).distinct().collect()
+        dstRows.foreach(r => require(
+          (0 until r.length).forall(i => !r.isNullAt(i) && r.getString(i).nonEmpty),
+          s"UPDATE sets partition column(s) ${names.mkString(", ")} to NULL/empty — " +
+            "rows need a concrete partition to land in"))
+        // where they CAME from
+        val srcRows = matched
+          .select(names.map(col(_).cast("string")): _*).distinct().collect()
+        val schema = StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+        val wantedDf = session.createDataFrame(
+          java.util.Arrays.asList((srcRows ++ dstRows).distinct: _*), schema)
+        val scoped = current.join(broadcast(wantedDf), names.toSeq, "left_semi")
+        // a source partition with no carried row and no arriving row is
+        // EMPTIED — its RemovePartition rides the same atomic commit
+        val carried = scoped.where(!org.apache.spark.sql.functions.coalesce(
+            cond, org.apache.spark.sql.functions.lit(false)))
+          .select(names.map(col(_).cast("string")): _*).distinct().collect()
+          .map(r => names.indices.map(r.getString).toList).toSet
+        val dstSet = dstRows.map(r => names.indices.map(r.getString).toList).toSet
+        val before = binding.log.currentVersion(defn.name) match {
+          case PartitionedTableVersion(pvs) => pvs.keySet
+          case _                            => Set.empty[Partition]
+        }
+        val emptied = srcRows
+          .map(r => names.indices.map(r.getString).toList)
+          .filter(vs => !dstSet.contains(vs) && !carried.contains(vs))
+          .map(vs => Partition(partColsDef.zip(vs).map { case (c, v) => ColumnValue(c, v) }))
+          .filter(before.contains).toList
+        (scoped, emptied)
       }
-    val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
     val updated = scope.select(scope.columns.map { c =>
       byName.get(c.toLowerCase) match {
+        case Some(v) if partSet.contains(c.toLowerCase) =>
+          when(cond, v.cast("string")).otherwise(col(c)).as(c)
         case Some(v) => when(cond, v).otherwise(col(c)).as(c)
         case None    => col(c)
       }
     }: _*)
-    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)", readCommit)
+    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)", readCommit, alsoRemove = alsoRemove)
     Seq.empty
   }
 }

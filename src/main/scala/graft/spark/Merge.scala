@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.core._
@@ -190,8 +190,23 @@ object Merge {
     *
     * Fully-deleted partitions produce no surviving rows; their
     * `RemovePartition` ops ride the same atomic rebase-checked commit
-    * (`alsoRemove`). Duplicate source keys are rejected —
-    * one target row matching two source rows is ambiguous under UPDATE.
+    * (`alsoRemove`). Without a residual condition, duplicate source keys
+    * are rejected up front — one target row matching two source rows is
+    * ambiguous under UPDATE. With one, the equi keys alone no longer
+    * decide matching, so the check moves AFTER the clause join: a target
+    * row matched by >1 source row refuses (the Delta posture), while
+    * duplicate source keys disambiguated by the residual are legal.
+    *
+    * `sourceKeys`: per-position source-side names for `keyCols` when the
+    * two sides spell the join keys differently (`ON t.id = s.src_id`);
+    * defaults to `keyCols`. `residual`: extra ON conjuncts beyond the key
+    * equalities ([[tcol]]/[[scol]] terms — e.g. `t.region === s.region`
+    * restricted forms, one-sided filters, non-equi comparisons); a row
+    * pair failing it is NOT matched, SQL-standard, so the target row falls
+    * to `WHEN NOT MATCHED BY SOURCE` and the source row to `WHEN NOT
+    * MATCHED`. Discovery still scopes by the equi keys alone — a superset
+    * of the true matched partitions; unneeded ones fall out at the
+    * affected filter.
     *
     * `emptySchema`: the table's declared schema, used only when merging
     * into a never-written table (everything inserts). */
@@ -208,10 +223,15 @@ object Merge {
       message: UpdateMessage = UpdateMessage("MERGE (conditional)"),
       emptySchema: Option[StructType] = None,
       txn: Option[TableVersions.StreamTxn] = None,
-      mergeOnRead: Option[Boolean] = None): Unit = {
+      mergeOnRead: Option[Boolean] = None,
+      sourceKeys: Option[Seq[String]] = None,
+      residual: Option[Column] = None): Unit = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
-    require(keyCols.forall(source.columns.contains),
-      s"merge key columns ${keyCols.mkString(", ")} must all exist in the source")
+    val srcKeys = sourceKeys.getOrElse(keyCols)
+    require(srcKeys.length == keyCols.length,
+      s"sourceKeys must pair one-to-one with keyCols (${srcKeys.length} vs ${keyCols.length})")
+    require(srcKeys.forall(source.columns.contains),
+      s"merge key columns ${srcKeys.mkString(", ")} must all exist in the source")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one WHEN clause")
     // MERGE-ON-READ mode (`spark.graft.dml.mergeOnRead`): matched
@@ -251,11 +271,16 @@ object Merge {
         // one target row matching two source rows is ambiguous under UPDATE
         // (and would double-insert under NOT MATCHED): reject, SQL-standard.
         // NULL keys never match (===), so multiple null-key rows are fine.
-        val nonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
-        require(
-          src.where(nonNullKeys).groupBy(keyCols.map(col): _*)
-            .count().where(col("count") > 1).isEmpty,
-          "merge source has duplicate key values — ambiguous match (pre-aggregate the source)")
+        // With a residual the keys alone do not decide matching — duplicate
+        // source keys may be disambiguated by it — so the ambiguity check
+        // moves AFTER the clause join (per-target-row match counts).
+        if (residual.isEmpty) {
+          val nonNullKeys = srcKeys.map(col(_).isNotNull).reduce(_ && _)
+          require(
+            src.where(nonNullKeys).groupBy(srcKeys.map(col): _*)
+              .count().where(col("count") > 1).isEmpty,
+            "merge source has duplicate key values — ambiguous match (pre-aggregate the source)")
+        }
 
         // DV-aware: a hidden row must neither match as an UPDATE/DELETE
         // target nor count toward touched-partition discovery. In
@@ -306,14 +331,17 @@ object Merge {
             // pointers, and the `_metadata`-attached scan is measurably
             // heavier — the cheap logical view sees the same rows
             // (overlay-unioned, DV-applied)
-            val srcKeys = src.select(keyCols.map(col): _*).distinct()
+            // differing-name keys: project the source's key columns under
+            // the TARGET names so the semi join stays a plain by-name join
+            val srcKeyDf =
+              src.select(srcKeys.map(col): _*).toDF(keyCols: _*).distinct()
             val discovery =
               if (morMode) ColumnMapping.applyLogical(
                 DeletionVectors.read(spark, log, table), spark, log, table, None)
               else current
             val matchedParts = VersionContext.partitionValues(
               discovery.select((keyCols ++ partCols).distinct.map(col): _*)
-                .join(srcKeys, keyCols, "left_semi"),
+                .join(srcKeyDf, keyCols, "left_semi"),
               table.partitionSchema)
             // insert placement: NOT MATCHED clauses reference only the
             // source, so their partition values come from the source alone
@@ -341,10 +369,22 @@ object Merge {
           }
 
         // ---- the clause join: one shuffled full-outer equi-join ----
-        val tgtPref = scoped.select(scoped.columns.map(c => col(c).as(s"__t_$c")): _*)
+        // (the equi keys still drive the shuffle; a residual rides along
+        // as a post-probe filter inside the same join, so a pair failing
+        // it surfaces as two unmatched rows — exactly MERGE semantics)
+        val tgtPref0 = scoped.select(scoped.columns.map(c => col(c).as(s"__t_$c")): _*)
           .withColumn("__t_present", lit(true))
+        // row identity for the post-join ambiguity check (residual mode
+        // only): ids materialize with the `acted` persist below, so every
+        // downstream read sees one consistent assignment
+        val tgtPref =
+          if (residual.isDefined)
+            tgtPref0.withColumn("__graft_t_rid", monotonically_increasing_id())
+          else tgtPref0
         val srcSide = srcPref.withColumn("__s_present", lit(true))
-        val joinCond = keyCols.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
+        val keyCond = keyCols.zip(srcKeys)
+          .map { case (t, s) => col(s"__t_$t") === col(s"__s_$s") }.reduce(_ && _)
+        val joinCond = residual.fold(keyCond)(r => keyCond && r)
         val joined = tgtPref.join(srcSide, joinCond, "full_outer")
 
         // first matching clause wins; a NULL condition does not fire.
@@ -368,6 +408,16 @@ object Merge {
       } catch { case e: Throwable => src.unpersist(); throw e }
 
     try {
+      // residual-mode ambiguity check (the Delta posture): the pre-join
+      // duplicate-key check was skipped — a target row matched by MORE
+      // THAN ONE source row under the full ON condition refuses here,
+      // against the persisted join (row ids are stable post-persist)
+      if (residual.isDefined)
+        require(
+          acted.where(col("__t_present").isNotNull && col("__s_present").isNotNull)
+            .groupBy(col("__graft_t_rid")).count().where(col("count") > 1).isEmpty,
+          "merge ON condition matches multiple source rows to one target row — " +
+            "ambiguous match (tighten the ON condition or pre-aggregate the source)")
       val current0 = ColumnMapping.applyLogical(
         DeletionVectors.read(spark, log, table), spark, log, table, None)
       val neverWritten = current0.columns.isEmpty

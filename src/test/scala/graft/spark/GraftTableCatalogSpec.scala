@@ -818,22 +818,27 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       CatEvent(3, "c", "2024-01-02"), CatEvent(4, "d", "2024-01-03"))
     log.updates(table.name).head.message.content shouldBe "UPDATE (SQL)"
 
-    // partition-column UPDATE rejects (rows would migrate between partitions)
-    val eu = intercept[Exception](
-      spark.sql("UPDATE graftcat.cdb.dmlsql SET date = '2024-02-01' WHERE id = 1"))
-    eu.getMessage should include("partition column")
+    // partition-column UPDATE migrates the row (round 18): id=1 leaves
+    // 2024-01-01 for a brand-new 2024-02-01 partition, one commit
+    spark.sql("UPDATE graftcat.cdb.dmlsql SET date = '2024-02-01' WHERE id = 1")
+    spark.sql("SELECT id, label, date FROM graftcat.cdb.dmlsql ORDER BY id")
+      .as[CatEvent].collect() shouldBe Array(
+      CatEvent(1, "a!", "2024-02-01"), CatEvent(2, "b!", "2024-01-01"),
+      CatEvent(3, "c", "2024-01-02"), CatEvent(4, "d", "2024-01-03"))
+    log.updates(table.name).head.message.content shouldBe "UPDATE (SQL)"
 
-    // row-level DELETE: drops one row of 01-01 and ALL rows of 01-03 — the
-    // emptied partition must disappear, the partial one must keep survivors
+    // row-level DELETE: drops the last row of 01-01 and ALL rows of
+    // 01-03 — both emptied partitions must disappear, survivors stay
     spark.sql("DELETE FROM graftcat.cdb.dmlsql WHERE id = 2 OR id = 4")
     spark.sql("SELECT id, label, date FROM graftcat.cdb.dmlsql ORDER BY id")
       .as[CatEvent].collect() shouldBe Array(
-      CatEvent(1, "a!", "2024-01-01"), CatEvent(3, "c", "2024-01-02"))
+      CatEvent(1, "a!", "2024-02-01"), CatEvent(3, "c", "2024-01-02"))
     val afterDelete = log.currentVersion(table.name) match {
       case PartitionedTableVersion(pvs) => pvs
       case other                        => fail(s"unexpected $other")
     }
     afterDelete.keySet should not contain day("2024-01-03")
+    afterDelete.keySet should not contain day("2024-01-01")
     afterDelete(day("2024-01-02")) shouldBe v1Versions(day("2024-01-02"))
 
     // no-match DELETE and UPDATE commit nothing — history stays clean
