@@ -212,6 +212,54 @@ object SoakRound18 {
       f"write+refresh $stN%.2fs at ${scale}x vs $st1%.2fs " +
         "(incremental: rescan = the moved partition's new contents)")
 
+    // ------------------------------------ CONVERT TO GRAFT adoption (q103)
+    // the 100 TB claim: adoption is RENAME-ONLY — the byte count under the
+    // location is IDENTICAL before and after at any scale (no data copy),
+    // and the distributed walk/rename keeps wall-clock flat-ish while the
+    // partition count scales 8× (executors absorb the rename fan-out)
+    def convRound(tag: String, parts: Int): (Double, Long, Long, Long) = {
+      val loc = Files.createTempDirectory(s"graft_soakconv_$tag")
+      li.withColumn("p", (col("l_orderkey") % parts).cast("string"))
+        .select("l_orderkey", "l_quantity", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(loc.toString)
+      // _SUCCESS is hidden either way; drop it so byte accounting is pure
+      val fs = org.apache.hadoop.fs.FileSystem.get(loc.toUri, hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(loc.toString, "_SUCCESS"), false)
+      val root = new org.apache.hadoop.fs.Path(loc.toString)
+      val bytesBefore = duBytes(fs, root)
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val t = TableDefinition(
+        TableName("db", s"conv$tag"), loc.toUri,
+        PartitionSchema(List(PartitionColumn("p"))), FileFormat.Parquet)
+      spark.conf.set("spark.graft.convert.distributedMinDirs", "0")
+      spark.conf.set("spark.graft.convert.distributedMinFiles", "0")
+      val (sec, _) =
+        try time(graft.spark.ConvertToGraft.convert(spark, ctx, t, user))
+        finally {
+          spark.conf.unset("spark.graft.convert.distributedMinDirs")
+          spark.conf.unset("spark.graft.convert.distributedMinFiles")
+        }
+      (sec, bytesBefore, duBytes(fs, root),
+        VersionedReader(spark, log).read(t).count())
+    }
+
+    convRound("w", 16) // warm-up, discarded
+    val liCount = li.count()
+    val (cv1, cvB1, cvA1, cvR1) = convRound("b", 48)
+    val (cvN, cvBN, cvAN, cvRN) = convRound("s", 48 * scale)
+    println(s"""{"metric":"convert_adoption","base":{"sec":$cv1,"bytes_before":$cvB1,"bytes_after":$cvA1},""" +
+      s""""scaled_${scale}x":{"sec":$cvN,"bytes_before":$cvBN,"bytes_after":$cvAN},"scale":$scale}""")
+    guard("convert_rename_only",
+      cvA1 == cvB1 && cvAN == cvBN,
+      f"adoption must not copy a byte: base $cvB1 -> $cvA1, scaled $cvBN -> $cvAN")
+    guard("convert_rows_complete",
+      cvR1 == liCount && cvRN == liCount,
+      f"adopted reads must serve every pre-existing row ($cvR1/$cvRN vs $liCount)")
+    guard("convert_distributed_flat",
+      cvN <= 2.0 * cv1 + 2.0,
+      f"distributed convert $cvN%.2fs at ${48 * scale} partitions vs $cv1%.2fs at 48")
+
     println(s"""{"metric":"soak_r18_summary","scale":$scale,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()

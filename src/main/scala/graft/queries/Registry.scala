@@ -877,6 +877,45 @@ object Registry {
              |SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
              |FROM final GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    "q103_convert" -> Entry(
+      Versioned.q103Convert,
+      // CONVERT TO GRAFT adopts a plain partitioned parquet dir in place
+      // (rename-only, no byte copy), then the adopted table runs SQL
+      // DELETE and serves time travel to the converted state (pinned
+      // in-query); the oracle replays the surviving rows
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |       round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer WHERE c_custkey % 3 <> 0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q104_deep_clone" -> Entry(
+      Versioned.q104DeepClone,
+      // deep clone = independent physical copy of the RESOLVED state
+      // (DV-hidden %3 rows gone from the clone's files, zero sidecar
+      // debt, no vacuum coupling — all pinned in-query); post-clone %7
+      // deletes land on the clone only
+      Some("""SELECT 'source' AS section, o_orderstatus AS grp,
+             |       count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 2
+             |UNION ALL
+             |SELECT 'clone', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+             |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+             |GROUP BY 2
+             |ORDER BY section, grp""".stripMargin)),
+
+    "q105_tblproperties" -> Entry(
+      Versioned.q105TblProperties,
+      // per-table mergeOnRead: %4 delete + %10=5 update ride vectors and
+      // the overlay (fold equality pinned, no session conf), the property
+      // flips off via ALTER SET TBLPROPERTIES, the %9 delete rewrites
+      // copy-on-write (pointer move pinned); the oracle replays survivors
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |       round(sum(CASE WHEN o_orderkey % 10 = 5
+             |                      THEN o_totalprice + 1 ELSE o_totalprice END), 2) AS total
+             |FROM orders
+             |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 <> 0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -3771,4 +3771,165 @@ object Versioned {
       s"""SELECT flag, count(*) AS n_keys, round(sum(qty), 2) AS sum_qty
          |FROM $name GROUP BY flag ORDER BY flag""".stripMargin)
   }
+
+  /** Q103: CONVERT TO GRAFT ([[graft.spark.ConvertToGraft]]) — in-place
+    * adoption of a pre-existing PLAIN parquet directory (written by stock
+    * Spark, no versioning layer anywhere) as a versioned table: every
+    * data file RENAMES into one minted version label (no byte copy; the
+    * move distributes as a Spark job at scale), one commit registers
+    * every partition. The adopted table is then a full citizen: the
+    * query proves it by running SQL DELETE DML on it and time-traveling
+    * back to the exact converted state — both pinned in-query. */
+  def q103Convert(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq103", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq103", log)
+    // pre-existing data: a plain Hive-partitioned write, as any non-graft
+    // pipeline would have produced it
+    val loc = Files.createTempDirectory("graft_q103_plain")
+    Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").partitionBy("c_mktsegment").parquet(loc.toString)
+
+    val name = "graftq103.g.cust_conv"
+    val res = s.sql(
+      s"CONVERT TO GRAFT $name FROM '${loc.toString}' " +
+        "PARTITIONED BY (c_mktsegment)").collect()
+    require(res.head.getInt(1) == 5,
+      s"customer has 5 market segments; CONVERT registered ${res.head.getInt(1)}")
+    require(!Files.exists(loc.resolve(graft.spark.ConvertToGraft.MarkerName)),
+      "the convert marker must be gone after a completed conversion")
+    val tname = TableName("g", "cust_conv")
+    val converted = log.currentCommit(tname)
+    val full = s.sql(s"SELECT count(*) FROM $name").head().getLong(0)
+
+    // the adopted table runs ordinary versioned DML
+    s.sql(s"DELETE FROM $name WHERE c_custkey % 3 = 0")
+    require(
+      s.sql(s"SELECT count(*) FROM $name").head().getLong(0) < full,
+      "DELETE on the converted table must hide rows")
+    // and time travel reaches the exact adopted state
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF '${converted.id}'")
+        .head().getLong(0) == full,
+      "time travel must read the converted state unchanged")
+
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |       round(sum(c_acctbal), 2) AS sum_bal
+         |FROM $name GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Q104: DEEP CLONE ([[graft.spark.DeepClone]]) — an independent
+    * physical copy of the RESOLVED cloned state (deletion vectors
+    * applied, zero sidecar debt) plus the source's declarations, at the
+    * clone's own location. Unlike q73's shallow fork there is NO vacuum
+    * coupling: the query pins that VACUUM runs on the source right after
+    * cloning (a shallow link refuses), that the clone carries no
+    * vectors, and that post-clone DML on either side never leaks to the
+    * other. The oracle replays both lineages relationally. */
+  def q104DeepClone(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq104", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq104", log)
+    val table = tempTable(
+      "ord_deep", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_deep"))
+    graft.spark.GraftTableCatalog.register("graftq104", table)
+    val srcName = s"graftq104.${table.name.schema}.${table.name.name}"
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: all orders"))
+    // live merge-on-read vectors at clone time: %3 rows hidden
+    graft.spark.DeletionVectors.delete(
+      ctx, log, table, col("o_orderkey") % 3 === 0, user, UpdateMessage("dv: %3"))
+
+    val cloned = s.sql(
+      s"CREATE TABLE graftq104.g.ord_deep_copy DEEP CLONE $srcName").collect()
+    val cloneName = "graftq104.g.ord_deep_copy"
+    val cloneDefn = TableName("g", "ord_deep_copy")
+    require(cloned.head.getString(2) != table.location.toString,
+      "a deep clone must live at its OWN location")
+    // resolved copy: the hidden rows are GONE from the clone's files —
+    // no vectors carried, nothing left to apply
+    require(!graft.spark.DeletionVectors.hasVectors(
+      spark = s, log = log,
+      table = TableDefinition(
+        cloneDefn, new java.net.URI(cloned.head.getString(2)),
+        table.partitionSchema, table.format),
+      at = None), "a deep clone must carry ZERO sidecar debt")
+    // no vacuum coupling: VACUUM on the source runs (a shallow link refuses)
+    s.sql(s"VACUUM $srcName RETAIN 1000 HOURS DRY RUN").collect()
+
+    // post-clone DML diverges freely: %7 deletes on the CLONE only
+    s.sql(s"DELETE FROM $cloneName WHERE o_orderkey % 7 = 0")
+    val srcHead = log.currentCommit(table.name)
+    require(srcHead == log.updates(table.name).head.id &&
+      s.sql(s"SELECT count(*) FROM $srcName").head().getLong(0) >
+        s.sql(s"SELECT count(*) FROM $cloneName").head().getLong(0),
+      "clone DML must never touch the source")
+
+    s.sql(
+      s"""SELECT 'source' AS section, o_orderstatus AS grp, count(*) AS n_rows,
+         |       round(sum(o_totalprice), 2) AS total
+         |FROM $srcName GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'clone', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+         |FROM $cloneName GROUP BY o_orderstatus
+         |ORDER BY section, grp""".stripMargin)
+  }
+
+  /** Q105: TBLPROPERTIES ([[graft.spark.TableProperties]]) — per-table
+    * behavior pinning (the Delta `delta.*`-property posture): a table
+    * declared `graft.dml.mergeOnRead=true` takes the vectors+overlay DML
+    * path with NO session conf anywhere (fold equality pinned), flipping
+    * the property via `ALTER TABLE … SET TBLPROPERTIES` switches the next
+    * DELETE back to copy-on-write (pointer move pinned), and SHOW
+    * TBLPROPERTIES serves the declared set. Resolution is table property
+    * first, session conf fallback. The oracle replays the surviving
+    * rows. */
+  def q105TblProperties(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq105", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq105", log)
+    val loc = Files.createTempDirectory("graft_q105").toUri
+    val name = "graftq105.g.ord_props"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (o_orderstatus) LOCATION '$loc'
+         |TBLPROPERTIES ('graft.dml.mergeOnRead' = 'true')""".stripMargin)
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .createOrReplaceTempView("q105_src")
+    s.sql(s"INSERT INTO $name SELECT * FROM q105_src")
+    val tname = TableName("g", "ord_props")
+
+    // mergeOnRead rides the TABLE property — no session conf is set: the
+    // DELETE and the UPDATE must move ZERO version pointers
+    val fold0 = log.currentVersion(tname)
+    s.sql(s"DELETE FROM $name WHERE o_orderkey % 4 = 0")
+    s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 10 = 5")
+    require(log.currentVersion(tname) == fold0,
+      "a mergeOnRead=true table's DML must ride vectors/overlay (no pointer moves)")
+
+    // flip the property: the next DELETE is copy-on-write again
+    s.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('graft.dml.mergeOnRead' = 'false')")
+    val shown = s.sql(s"SHOW TBLPROPERTIES $name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(shown.get("graft.dml.mergeOnRead").contains("false"),
+      "SHOW TBLPROPERTIES must serve the updated declaration")
+    s.sql(s"DELETE FROM $name WHERE o_orderkey % 9 = 0")
+    require(log.currentVersion(tname) != fold0,
+      "with the property off, DELETE must rewrite copy-on-write (pointers move)")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |       round(sum(o_totalprice), 2) AS total
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
 }

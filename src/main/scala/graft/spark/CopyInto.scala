@@ -136,7 +136,7 @@ object CopyInto {
     lazy val currentLogical = ColumnMapping.applyLogical(
       DeletionVectors.read(spark, log, table), spark, log, table, None)
     val autoMerge =
-      spark.conf.get("spark.graft.dml.autoMergeSchema", "false").toBoolean
+      TableProperties.effectiveFlag(spark, table, TableProperties.AutoMergeSchema)
     val reader0 = spark.read.format(format).options(options)
     val reader = format.toLowerCase match {
       case "csv" | "json" =>

@@ -321,7 +321,9 @@ object FileStats {
       table: TableDefinition,
       since: TableVersions.CommitId): Unit = {
     if (table.isSnapshot) return
-    if (!spark.conf.get(AutoUpdateKey, "false").toBoolean) return
+    // per-table TBLPROPERTY wins; session conf is the fallback
+    if (!TableProperties.effectiveFlag(
+        spark, table, TableProperties.StatsAutoUpdate)) return
     try {
       val fs = new org.apache.hadoop.fs.Path(
         Partition.normalizedDir(table.location).toString)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 
-import graft.core.{TableDefinition, TableName}
+import graft.core.{FileFormat, Partition, PartitionColumn, PartitionSchema, PartitionedTableVersion, TableDefinition, TableName}
 import graft.core.TableVersions.{UpdateMessage, UserId}
 
 /**
@@ -131,6 +131,17 @@ private[spark] object GraftMaintenanceSql {
   // the SAME catalog (one commit log owns the shared location's linkage)
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+SHALLOW\s+CLONE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+  // CREATE TABLE dst DEEP CLONE src [VERSION AS OF '<x>'] [LOCATION '<p>']
+  // — independent physical copy ([[DeepClone]]): resolved rows + carried
+  // declarations at the clone's OWN location; no vacuum coupling
+  private val DeepCloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+DEEP\s+CLONE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+  // CONVERT TO GRAFT cat.db.t FROM '<path>' [PARTITIONED BY (c1, c2)]
+  //   [FORMAT parquet|orc] — in-place adoption of a pre-existing plain
+  // data directory ([[ConvertToGraft]]): files rename into one minted
+  // version label (no byte copy), one commit registers every partition
+  private val ConvertStmt =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+FROM\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
   // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
   // SELECT is analyzed (not regex-parsed) at execution; only the
   // incrementally-maintainable shape is admitted (MaterializedView)
@@ -306,6 +317,15 @@ private[spark] object GraftMaintenanceSql {
         if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
           split(src).head == split(dst).head =>
       Some(GraftShallowCloneCommand(parts(dst), parts(src), Option(asOf)))
+    case DeepCloneStmt(dst, src, asOf, loc)
+        if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
+          split(src).head == split(dst).head =>
+      Some(GraftDeepCloneCommand(parts(dst), parts(src), Option(asOf), Option(loc)))
+    case ConvertStmt(ident, path, cols, fmt) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftConvertCommand(
+        parts(ident), path,
+        Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        Option(fmt).map(_.toLowerCase(java.util.Locale.ROOT))))
     case CreateMvStmt(ident, loc, select) if isGraftCatalogRef(split(ident)) =>
       Some(GraftCreateMvCommand(parts(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
@@ -471,7 +491,14 @@ final case class GraftOptimizeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    val op = (if (zorderCols.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER") +
+    // declared clustering (TBLPROPERTIES graft.zorder.columns): a bare
+    // OPTIMIZE on such a table Z-orders by the declared columns — the
+    // operator stops re-typing the clustering every maintenance run
+    val effZorder =
+      if (zorderCols.nonEmpty) zorderCols
+      else TableProperties.get(session, defn, "graft.zorder.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val op = (if (effZorder.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER") +
       (if (whereScope.nonEmpty) " WHERE" else "")
     val scope: Seq[graft.core.Partition] =
       if (whereScope.isEmpty) Nil
@@ -495,15 +522,15 @@ final case class GraftOptimizeCommand(
       }
     if (whereScope.nonEmpty && scope.isEmpty) return Seq(Row(op, 0))
     val (_, changes) =
-      if (zorderCols.isEmpty)
+      if (effZorder.isEmpty)
         Compaction.compact(
           session, ctx, defn, UserId("sql"), UpdateMessage(s"$op (SQL)"),
           partitions = scope)
       else
         ZOrder.zorderCompact(
           session, ctx, defn, UserId("sql"),
-          UpdateMessage(s"$op (SQL) by ${zorderCols.mkString(",")}"),
-          zorderCols, partitions = scope)
+          UpdateMessage(s"$op (SQL) by ${effZorder.mkString(",")}"),
+          effZorder, partitions = scope)
     Seq(Row(op, changes.operations.size))
   }
 }
@@ -602,13 +629,25 @@ final case class GraftVacuumCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+    // statement arguments win; otherwise the TABLE's declared retention
+    // (TBLPROPERTIES graft.vacuum.*) fills in before the built-in default
+    def prop(key: String): Option[String] =
+      TableProperties.get(session, defn, key)
+    val effRetainHours =
+      retainHours.orElse(
+        if (keepLast.isDefined) None
+        else prop("graft.vacuum.retainHours").map(_.toLong))
     val report = Vacuum.vacuum(
       defn, binding.log, session.sessionState.newHadoopConf(),
       // wall-clock retention keeps only the latest commit by count — the
       // window itself decides what else survives
-      keepLast = keepLast.getOrElse(if (retainHours.isDefined) 1 else 3),
-      graceMs = graceMinutes.map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
-      retainMs = retainHours.map(_ * 3600000L),
+      keepLast = keepLast.orElse(
+        if (effRetainHours.isDefined) None
+        else prop("graft.vacuum.retainCommits").map(_.toInt))
+        .getOrElse(if (effRetainHours.isDefined) 1 else 3),
+      graceMs = graceMinutes.orElse(prop("graft.vacuum.graceMinutes").map(_.toLong))
+        .map(_ * 60000L).getOrElse(Vacuum.DefaultGraceMs),
+      retainMs = effRetainHours.map(_ * 3600000L),
       dryRun = dryRun,
       // lets the version-dir walk distribute when the fold is large
       spark = Some(session))
@@ -712,6 +751,106 @@ final case class GraftShallowCloneCommand(
     GraftTableCatalog.register(
       cat, dstDefn, GraftTableCatalog.registeredSchema(cat, srcDefn.name))
     Seq(Row(dstParts.mkString("."), at.id))
+  }
+}
+
+/** `CREATE TABLE dst DEEP CLONE src [VERSION AS OF '<x>'] [LOCATION '<p>']`
+  * — the SQL spelling of [[DeepClone.clone]]: an independent physical copy
+  * of the cloned state's RESOLVED rows plus the source's declarations, at
+  * the clone's own location (default: a `_deep_<name>` sibling of the
+  * source's). No linkage tags — either side vacuums freely afterwards. */
+final case class GraftDeepCloneCommand(
+    dstParts: Seq[String],
+    srcParts: Seq[String],
+    asOf: Option[String],
+    location: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned", StringType, nullable = false)(),
+    AttributeReference("from_commit", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (binding, srcDefn) = GraftMaintenanceSql.resolve(session, srcParts)
+    val Seq(cat, db, t) = dstParts
+    val dstName = TableName(db, t)
+    require(GraftTableCatalog.lookup(cat, dstName).isEmpty,
+      s"cannot clone onto existing table ${dstParts.mkString(".")}")
+    val at = asOf.map(a =>
+      binding.log.refs(srcDefn.name).get(a).map(_.id)
+        .getOrElse(graft.core.TableVersions.CommitId(a)))
+      .getOrElse(binding.log.currentCommit(srcDefn.name))
+    val dstLoc = location.map { loc =>
+      val raw = new java.net.URI(loc)
+      if (raw.getScheme != null) raw
+      else java.nio.file.Paths.get(loc).toAbsolutePath.toUri
+    }.getOrElse(new java.net.URI(
+      Partition.normalizedDir(srcDefn.location).toString.stripSuffix("/") +
+        s"_deep_$t/"))
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, srcDefn))
+    val dstDefn = DeepClone.clone(
+      session, ctx, srcDefn, dstName, dstLoc, UserId("sql"), Some(at))
+    // a HEAD clone carries the source's declared schema (evolution lives
+    // there); an as-of clone lets inference read the materialized files —
+    // the source's CURRENT declaration may be wider than the cloned state
+    val schema =
+      if (asOf.isEmpty) GraftTableCatalog.registeredSchema(cat, srcDefn.name)
+      else None
+    GraftTableCatalog.register(cat, dstDefn, schema)
+    Seq(Row(dstParts.mkString("."), at.id, dstDefn.location.toString))
+  }
+}
+
+/** `CONVERT TO GRAFT cat.db.t FROM '<path>' [PARTITIONED BY (c1, ...)]
+  * [FORMAT parquet|orc]` — the SQL spelling of [[ConvertToGraft.convert]]:
+  * adopt a pre-existing plain data directory in place (files rename into
+  * one minted version label; no byte copy) and register the result. */
+final case class GraftConvertCommand(
+    parts: Seq[String],
+    path: String,
+    partitionCols: Seq[String],
+    format: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("converted", StringType, nullable = false)(),
+    AttributeReference("partitions", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val Seq(cat, db, t) = parts
+    val name = TableName(db, t)
+    // touching the catalog first makes a conf-only (logDir) catalog
+    // initialize its binding before we reach for it
+    try session.sessionState.catalogManager.catalog(cat)
+    catch { case _: Exception => () }
+    require(GraftTableCatalog.lookup(cat, name).isEmpty,
+      s"cannot CONVERT onto already-registered table ${parts.mkString(".")}")
+    val binding = GraftTableCatalog.bindingFor(cat).getOrElse(
+      sys.error(s"catalog '$cat' is not a bound graft catalog"))
+    val uri = {
+      val raw = new java.net.URI(path)
+      if (raw.getScheme != null) raw
+      else java.nio.file.Paths.get(path).toAbsolutePath.toUri
+    }
+    val fmt = format match {
+      case Some("orc")            => FileFormat.Orc
+      case None | Some("parquet") => FileFormat.Parquet
+      case Some(other)            => sys.error(s"unsupported CONVERT format: $other")
+    }
+    val defn = TableDefinition(
+      name, uri,
+      if (partitionCols.isEmpty) PartitionSchema.snapshot
+      else PartitionSchema(partitionCols.toList.map(PartitionColumn(_))),
+      fmt)
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    ConvertToGraft.convert(session, ctx, defn, UserId("sql"))
+    GraftTableCatalog.register(cat, defn)
+    val nParts = binding.log.currentVersion(name) match {
+      case PartitionedTableVersion(pvs) => pvs.size
+      case _                            => 0
+    }
+    Seq(Row(parts.mkString("."), nParts))
   }
 }
 

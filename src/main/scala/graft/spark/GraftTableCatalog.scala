@@ -355,6 +355,17 @@ final class GraftTableCatalog extends TableCatalog {
     VersionContext(GraftV2Table.metastoreFor(binding, defn))
       .init(defn, UserId("sql"), UpdateMessage("CREATE TABLE (SQL)"))
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(schema)))
+    // CREATE TABLE … TBLPROPERTIES('k'='v'): user properties (everything
+    // that isn't Spark's reserved location/provider/ownership plumbing)
+    // seed the table's own property file ([[TableProperties]])
+    val reserved = Set(
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.")
+    }
+    TableProperties.seed(SparkSession.active, defn, userProps)
     loadTable(ident)
   }
 
@@ -372,8 +383,27 @@ final class GraftTableCatalog extends TableCatalog {
     val tableName = tableNameOf(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val (defn, declared) = definitionOf(ident)
+    // property changes are metadata-only and independent of the schema
+    // fold: batch a statement's SETs/UNSETs into one write + audit commit
+    val setProps = changes.collect {
+      case p: TableChange.SetProperty => p.property() -> p.value()
+    }.toMap
+    val unsetProps = changes.collect {
+      case p: TableChange.RemoveProperty => p.property()
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      val spark = SparkSession.active
+      val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+      if (setProps.nonEmpty)
+        TableProperties.set(spark, ctx, defn, setProps, UserId("sql"))
+      if (unsetProps.nonEmpty)
+        TableProperties.unset(spark, ctx, defn, unsetProps, UserId("sql"))
+      if (changes.size == setProps.size + unsetProps.size) return loadTable(ident)
+    }
+    val schemaChanges = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
-    val widened = changes.foldLeft(base) {
+    val widened = schemaChanges.foldLeft(base) {
       case (schema, add: TableChange.AddColumn) if add.fieldNames().length > 1 =>
         // NESTED ADD (`ADD COLUMN s.x T`) — additive struct evolution:
         // the declared struct widens (nullable, appended at its parent's
@@ -617,7 +647,14 @@ private[spark] final class GraftV2Table(
       StructType(delegate.schema().filterNot(
         _.name.equalsIgnoreCase(RowTracking.RowIdCol))))
   override def partitioning(): Array[Transform] = delegate.partitioning()
-  override def properties(): util.Map[String, String] = delegate.properties()
+  override def properties(): util.Map[String, String] = {
+    // table properties (TBLPROPERTIES) overlay the file table's own —
+    // SHOW TBLPROPERTIES serves the declared set through the stock path
+    val merged = new util.HashMap[String, String](delegate.properties())
+    TableProperties.list(org.apache.spark.sql.SparkSession.active, defn)
+      .foreach { case (k, v) => merged.put(k, v) }
+    merged
+  }
 
   // deliberately NOT the delegate's capabilities: the file table's own
   // BATCH_WRITE would write files into an immutable version dir. No
@@ -842,7 +879,7 @@ private[spark] object GraftV2Table {
     // pointers) and not for the table's first write (nothing to carry —
     // the ordinary path is already O(batch) there).
     if (!overwrite &&
-        spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean &&
+        TableProperties.effectiveFlag(spark, defn, TableProperties.MergeOnRead) &&
         currentOrNone(spark, binding, defn).isDefined) {
       RowOverlay.append(
         data0.toDF(), ctx, defn, UserId("sql"),
@@ -957,4 +994,9 @@ object GraftTableCatalog {
     * bound graft catalog? */
   private[spark] def isBound(catalogName: String): Boolean =
     bindings.contains(catalogName)
+
+  /** The binding itself, for commands that create a table from nothing
+    * (CONVERT TO GRAFT has no source table to [[lookup]] through). */
+  private[spark] def bindingFor(catalogName: String): Option[Binding] =
+    bindings.get(catalogName)
 }

@@ -241,8 +241,8 @@ object Merge {
     // two copy-on-write restrictions: mixed era folds are legal (pairs
     // hide by file regardless of era; new rows land current-scheme), and
     // partition-column SETs migrate rows by hide + re-land.
-    val morMode = mergeOnRead.getOrElse(source.sparkSession.conf
-      .get("spark.graft.dml.mergeOnRead", "false").toBoolean)
+    val morMode = mergeOnRead.getOrElse(TableProperties.effectiveFlag(
+      source.sparkSession, table, TableProperties.MergeOnRead))
     // same refusal as mergeInto: the clause join's partition arithmetic
     // (touched-partition discovery, alsoRemove) assumes ONE layout — on a
     // mixed fold the rewrite would re-land old-era rows into new-scheme

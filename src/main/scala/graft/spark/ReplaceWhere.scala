@@ -125,7 +125,7 @@ object ReplaceWhere {
     // partition rewrites — arbitrary-region backfill at O(changes). The
     // partition-scoped tier above stays copy-on-write in every mode (it
     // is already zero-read — pointer moves only).
-    if (session.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
+    if (TableProperties.effectiveFlag(session, defn, TableProperties.MergeOnRead)) {
       RowOverlay.replaceWhere(
         VersionContext(GraftV2Table.metastoreFor(binding, defn)),
         defn, pred, aligned, user, UpdateMessage(s"$msg (merge-on-read)"))

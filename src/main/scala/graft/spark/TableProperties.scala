@@ -1,0 +1,187 @@
+package graft.spark
+
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+import graft.core._
+import graft.core.TableVersions.{TableUpdate, UpdateMessage, UserId}
+
+/**
+ * Per-table properties — `ALTER TABLE t SET TBLPROPERTIES('k'='v', …)` /
+ * `UNSET TBLPROPERTIES('k')` / `SHOW TBLPROPERTIES t` (the Delta
+ * `delta.*`-property posture): a table pins its OWN behavior instead of
+ * relying on every session remembering the right conf.
+ *
+ * Resolution rule everywhere a behavior key is consulted: the TABLE
+ * property wins when present; otherwise the session conf (`spark.` +
+ * key) applies; otherwise the built-in default. Existing session-conf
+ * workflows are therefore unchanged until a table declares a property.
+ *
+ * Behavior keys the engine consults (arbitrary other keys are stored and
+ * served verbatim — annotations are legal):
+ *
+ *  - `graft.dml.mergeOnRead` — DML write path (DELETE/UPDATE/MERGE/
+ *    REPLACE WHERE/append): vectors + overlay instead of copy-on-write.
+ *  - `graft.dml.autoMergeSchema` — MERGE/COPY INTO widen the declared
+ *    schema from wider sources.
+ *  - `graft.stats.autoUpdate` — post-write incremental zone-map refresh
+ *    ([[FileStats.maybeAutoUpdate]]).
+ *  - `graft.autoOptimize` (+ `graft.autoOptimize.minFiles`, default 4) —
+ *    post-write small-file compaction ([[Compaction.autoCompact]]) when a
+ *    written partition crosses the file-count threshold.
+ *  - `graft.vacuum.retainCommits` / `graft.vacuum.retainHours` /
+ *    `graft.vacuum.graceMinutes` — a bare `VACUUM t` uses the table's
+ *    declared retention; explicit statement arguments still win.
+ *  - `graft.zorder.columns` — declared clustering: a bare `OPTIMIZE t`
+ *    Z-orders by these columns (the statement's own ZORDER BY wins).
+ *
+ * Storage follows the [[Constraints]] convention: a name-keyed JSON file
+ * `_tblproperties/<schema.table>.json` under the (possibly shared)
+ * location, so shallow clones own independent property sets; every
+ * SET/UNSET lands a metadata-only audit commit in the history.
+ */
+object TableProperties {
+
+  val MergeOnRead = "graft.dml.mergeOnRead"
+  val AutoMergeSchema = "graft.dml.autoMergeSchema"
+  val StatsAutoUpdate = "graft.stats.autoUpdate"
+  val AutoOptimize = "graft.autoOptimize"
+  val AutoOptimizeMinFiles = "graft.autoOptimize.minFiles"
+
+  private val mapper = new ObjectMapper()
+
+  private def keyedPath(table: TableDefinition): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString +
+        s"_tblproperties/${table.name.fullyQualifiedName}.json")
+
+  /** The table's recorded properties (empty when none were ever set).
+    * One driver-side metadata probe — the same bound as a constraints
+    * read. */
+  def list(spark: SparkSession, table: TableDefinition): Map[String, String] = {
+    val p = keyedPath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = mapper.readTree(text)
+    val it = node.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
+    b.result()
+  }
+
+  def get(spark: SparkSession, table: TableDefinition, key: String): Option[String] =
+    list(spark, table).get(key)
+
+  /** Table property if present, else session conf `spark.<key>`, else
+    * `default` — the single resolution rule every behavior key uses. */
+  def effectiveFlag(
+      spark: SparkSession,
+      table: TableDefinition,
+      key: String,
+      default: Boolean = false): Boolean =
+    get(spark, table, key).map(_.trim.toBoolean).getOrElse(
+      spark.conf.get("spark." + key, default.toString).toBoolean)
+
+  /** Int twin of [[effectiveFlag]]. */
+  def effectiveInt(
+      spark: SparkSession,
+      table: TableDefinition,
+      key: String,
+      default: Int): Int =
+    get(spark, table, key).map(_.trim.toInt).getOrElse(
+      spark.conf.get("spark." + key, default.toString).toInt)
+
+  /** Merge `props` into the table's set; one metadata-only audit commit. */
+  def set(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      props: Map[String, String],
+      user: UserId): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+    props.keys.foreach(k => require(k.trim.nonEmpty, "empty property key"))
+    write(spark, table, list(spark, table) ++ props)
+    ctx.metastore.commit(table.name, TableUpdate(
+      user,
+      UpdateMessage("ALTER TABLE SET TBLPROPERTIES (" +
+        props.toList.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ") + ")"),
+      Instant.now(), Nil))
+    ()
+  }
+
+  /** Remove keys (absent keys are a no-op, the SQL contract); one
+    * metadata-only audit commit. */
+  def unset(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      keys: Seq[String],
+      user: UserId): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    write(spark, table, list(spark, table) -- keys)
+    ctx.metastore.commit(table.name, TableUpdate(
+      user,
+      UpdateMessage(s"ALTER TABLE UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})"),
+      Instant.now(), Nil))
+    ()
+  }
+
+  /** Seed the keyed file directly — the clone carry (shallow and deep
+    * clones inherit the source's properties and own them independently
+    * from then on). */
+  private[spark] def seed(
+      spark: SparkSession, table: TableDefinition, props: Map[String, String]): Unit =
+    if (props.nonEmpty) write(spark, table, props)
+
+  private def write(
+      spark: SparkSession, table: TableDefinition, props: Map[String, String]): Unit = {
+    val node = mapper.createObjectNode()
+    props.toList.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(), keyedPath(table),
+      mapper.writeValueAsString(node))
+  }
+
+  // ---- post-write auto-optimize hook ------------------------------------
+
+  /** Re-entrancy guard: the compaction this hook triggers commits through
+    * the same write path, which would re-enter the hook (a no-op second
+    * file-count pass, but a wasted listing per write). */
+  private val inAutoOptimize = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** POST-WRITE small-file compaction (the [[FileStats.maybeAutoUpdate]]
+    * posture): when the table declares `graft.autoOptimize=true` (or the
+    * session sets `spark.graft.autoOptimize`), run
+    * [[Compaction.autoCompact]] after the commit — partitions at or above
+    * `graft.autoOptimize.minFiles` (default 4) fold to one file each in
+    * one ordinary versioned commit. Failures log and never fail the
+    * already-committed write. */
+  private[spark] def maybeAutoOptimize(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId): Unit = {
+    if (inAutoOptimize.get()) return
+    if (!effectiveFlag(spark, table, AutoOptimize)) return
+    inAutoOptimize.set(true)
+    try {
+      Compaction.autoCompact(
+        spark, ctx, table, user,
+        minFiles = effectiveInt(spark, table, AutoOptimizeMinFiles, 4))
+      ()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"graft auto-optimize of ${table.name.fullyQualifiedName} failed " +
+            s"(the write itself is committed): ${e.getMessage}")
+    } finally inAutoOptimize.set(false)
+  }
+}

@@ -92,10 +92,13 @@ object VersionContext {
       PartitionEvolution.requireCurrentScheme(spark, log, table)
       ctx.metastore.commitIf(table.name, update, head) match {
         case Some(r) =>
-          // post-write stats maintenance (conf-gated, no-op by default):
-          // a stats-enabled table refreshes its sidecar off the just-
-          // superseded state so pruned reads never see it stale
+          // post-write maintenance (property/conf-gated, no-ops by
+          // default): a stats-enabled table refreshes its sidecar off the
+          // just-superseded state so pruned reads never see it stale, and
+          // a `graft.autoOptimize` table folds small-file pressure
           FileStats.maybeAutoUpdate(spark, log, table, head)
+          TableProperties.maybeAutoOptimize(
+            spark, ctx, table, update.metadata.userId)
           return r
         case None =>
           attempts += 1
@@ -260,6 +263,7 @@ object VersionContext {
           ds.sparkSession, ctx.metastore.tableVersions, table))
       FileStats.maybeAutoUpdate(
         ds.sparkSession, ctx.metastore.tableVersions, table, preHead)
+      TableProperties.maybeAutoOptimize(ds.sparkSession, ctx, table, userId)
       update.metadata.id
     }
 

@@ -1,0 +1,224 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/** CONVERT TO GRAFT (in-place adoption of a plain data dir) and DEEP CLONE
+  * (independent physical copy with carried declarations). */
+class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+  import spark.implicits._
+
+  private val user = UserId("convert-test")
+
+  private def freshContext(): (VersionContext, TableVersions) = {
+    val log = new InMemoryTableVersions
+    (VersionContext(VersionedMetastore(log, new InMemoryMetastore)), log)
+  }
+
+  private val events = Seq(
+    Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-01"),
+    Event(3, "a", "2024-01-02"), Event(4, "c", "2024-01-03"))
+
+  test("convert adopts a plain partitioned dir in place; the table then versions normally") {
+    val loc = Files.createTempDirectory("graft_convert_part")
+    // pre-existing data: a PLAIN Spark write, no versioning layer anywhere
+    events.toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    Files.delete(loc.resolve("_SUCCESS")) // hidden files must not matter either way
+
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_part"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ConvertToGraft.convert(spark, ctx, table, user)
+
+    val reader = VersionedReader(spark, log)
+    reader.read(table).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    // every partition landed at ONE shared label, and the files physically
+    // moved under it (no loose files remain)
+    val state = log.currentVersion(table.name).asInstanceOf[PartitionedTableVersion]
+    state.partitionVersions.keySet.map(_.hivePath) shouldBe Set(
+      "date=2024-01-01", "date=2024-01-02", "date=2024-01-03")
+    state.partitionVersions.values.toSet.size shouldBe 1
+    val p1 = loc.resolve("date=2024-01-01")
+    Files.list(p1).iterator().asScala
+      .filter(f => !Files.isDirectory(f))
+      .filterNot(_.getFileName.toString.startsWith(".")).toList shouldBe Nil
+    // the marker is gone
+    Files.exists(loc.resolve(ConvertToGraft.MarkerName)) shouldBe false
+
+    // the adopted table is a full citizen: overwrite one partition, time
+    // travel back to the converted state
+    val converted = log.currentCommit(table.name)
+    Seq(Event(9, "z", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("w1"))
+    reader.read(table).as[Event].collect().map(_.id).sorted shouldBe Array(3L, 4L, 9L)
+    reader.readAsOf(table, converted)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+
+    // converting the same table again refuses (it is already tracked)
+    val again = intercept[RuntimeException] {
+      ConvertToGraft.convert(spark, ctx, table, user)
+    }
+    again.getMessage should include("already tracked")
+  }
+
+  test("convert adopts a plain snapshot dir; a crashed convert resumes to the same state") {
+    val loc = Files.createTempDirectory("graft_convert_snap")
+    events.toDS().coalesce(2).write.mode("overwrite").parquet(loc.toString)
+
+    // simulate a crash AFTER the marker write and a partial move: run the
+    // marker+move of one file by hand using the real marker format
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_snap"), loc.toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ConvertToGraft.convert(spark, ctx, table, user)
+    val reader = VersionedReader(spark, log)
+    reader.read(table).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    val state = log.currentVersion(table.name).asInstanceOf[SnapshotTableVersion]
+    state.version should not be Version.Unversioned
+  }
+
+  test("a marker left by a crash resumes the SAME label instead of refusing") {
+    val loc = Files.createTempDirectory("graft_convert_resume")
+    events.toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_resume"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+
+    // hand-write the marker a crashed first attempt would leave, with one
+    // partition's files already moved under its label
+    val label = Version.generateVersion()
+    val marker =
+      s"""{"label":"${label.label}","table":"test.conv_resume","format":"parquet",""" +
+        s""""partitionColumns":["date"]}"""
+    Files.write(loc.resolve(ConvertToGraft.MarkerName), marker.getBytes("UTF-8"))
+    val p1 = loc.resolve("date=2024-01-01")
+    val dst = p1.resolve(label.label)
+    Files.createDirectories(dst)
+    Files.list(p1).iterator().asScala
+      .filter(f => !Files.isDirectory(f))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .foreach(f => Files.move(f, dst.resolve(f.getFileName)))
+
+    ConvertToGraft.convert(spark, ctx, table, user)
+    val state = log.currentVersion(table.name).asInstanceOf[PartitionedTableVersion]
+    // the resumed convert adopted the crashed attempt's label everywhere
+    state.partitionVersions.values.toSet shouldBe Set(label)
+    VersionedReader(spark, log).read(table)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    Files.exists(loc.resolve(ConvertToGraft.MarkerName)) shouldBe false
+  }
+
+  test("the distributed walk/rename path (thresholds at 1) adopts the same state as the driver path") {
+    // two identical plain trees; one converts under forced distribution
+    def plainTree(): java.nio.file.Path = {
+      val loc = Files.createTempDirectory("graft_convert_dist")
+      events.toDS().repartition(3)
+        .write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+      loc
+    }
+    def convertAt(loc: java.nio.file.Path, nm: String): Set[(String, Long)] = {
+      val (ctx, log) = freshContext()
+      val t = TableDefinition(
+        TableName("test", nm), loc.toUri,
+        PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+      ConvertToGraft.convert(spark, ctx, t, user)
+      VersionedReader(spark, log).read(t).as[Event]
+        .collect().map(e => (e.date, e.id)).toSet
+    }
+    val a = convertAt(plainTree(), "conv_driver")
+    spark.conf.set("spark.graft.convert.distributedMinDirs", "1")
+    spark.conf.set("spark.graft.convert.distributedMinFiles", "1")
+    val b =
+      try convertAt(plainTree(), "conv_dist")
+      finally {
+        spark.conf.unset("spark.graft.convert.distributedMinDirs")
+        spark.conf.unset("spark.graft.convert.distributedMinFiles")
+      }
+    b shouldBe a
+  }
+
+  test("convert refuses a location that already holds version dirs, and a mismatched layout") {
+    val (ctx, _) = freshContext()
+    // a real versioned table's location
+    val (ctx2, _) = freshContext()
+    val versioned = TableDefinition(
+      TableName("test", "conv_owned"),
+      Files.createTempDirectory("graft_convert_owned").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx2.init(versioned, user, UpdateMessage("init"))
+    events.toDS().versionedInsertInto(ctx2, versioned, user, UpdateMessage("v1"))
+    val e1 = intercept[Exception] {
+      ConvertToGraft.convert(
+        spark, ctx, versioned.copy(name = TableName("test", "conv_steal")), user)
+    }
+    e1.getMessage should include("version dir")
+
+    // declared layout does not match the dirs on disk
+    val loc = Files.createTempDirectory("graft_convert_badcols")
+    events.toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    val e2 = intercept[Exception] {
+      ConvertToGraft.convert(spark, ctx,
+        TableDefinition(TableName("test", "conv_bad"), loc.toUri,
+          PartitionSchema(List(PartitionColumn("kind"))), FileFormat.Parquet), user)
+    }
+    e2.getMessage should include("does not match declared partition column")
+  }
+
+  test("deep clone copies the resolved state to its own location and carries declarations") {
+    val (ctx, log) = freshContext()
+    val src = TableDefinition(
+      TableName("test", "deep_src"),
+      Files.createTempDirectory("graft_deep_src").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("init"))
+    events.toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    Constraints.add(spark, ctx, src, Constraints.check("pos_id", "id > 0"), user)
+    // live DVs at clone time: the clone must materialize WITHOUT row 2
+    DeletionVectors.delete(
+      ctx, log, src, col("id") === 2, user, UpdateMessage("dv"))
+
+    val dstLoc = Files.createTempDirectory("graft_deep_dst").toUri
+    val clone = DeepClone.clone(
+      spark, ctx, src, TableName("test", "deep_dst"), dstLoc, user)
+    clone.location shouldBe dstLoc
+
+    val reader = VersionedReader(spark, log)
+    // resolved copy: DV-hidden row absent, zero sidecar debt (plain read
+    // needs no DV application)
+    reader.read(clone).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 3L, 4L)
+    DeletionVectors.hasVectors(spark, log, clone, None) shouldBe false
+    // carried constraint enforces on the CLONE's own writes
+    val bad = intercept[Exception] {
+      Seq(Event(-5, "x", "2024-02-01"))
+        .toDS().versionedInsertInto(ctx, clone, user, UpdateMessage("bad"))
+    }
+    bad.getMessage should include("pos_id")
+    // no vacuum coupling: neither side carries clone tags
+    ShallowClone.hasCloneLink(log, src.name) shouldBe false
+    ShallowClone.hasCloneLink(log, clone.name) shouldBe false
+
+    // independence: writes to the source never reach the clone
+    Seq(Event(7, "q", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v2"))
+    reader.read(clone).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 3L, 4L)
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

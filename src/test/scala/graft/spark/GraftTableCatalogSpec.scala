@@ -169,9 +169,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
         |JOIN graftcat.cdb.part p ON s.id = p.id""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))) shouldBe Array(("v2a", "c"))
 
+    // round 18: SET TBLPROPERTIES is supported (TableProperties) — it
+    // stores and serves; unrelated ALTERs still refuse
+    spark.sql("ALTER TABLE graftcat.cdb.snap SET TBLPROPERTIES ('a'='b')").collect()
+    spark.sql("SHOW TBLPROPERTIES graftcat.cdb.snap").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.get("a") shouldBe Some("b")
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE graftcat.cdb.snap SET TBLPROPERTIES ('a'='b')").collect())
-    e.getMessage should include("ALTER TABLE")
+      spark.sql("ALTER TABLE graftcat.cdb.snap RECOVER PARTITIONS").collect())
+    e.getMessage should (include("RECOVER") or include("not supported") or include("ALTER"))
     spark.sql("SHOW TABLES IN graftcat.cdb").collect()
       .map(_.getString(1)).sorted shouldBe
       Array("dml_part", "dml_snap", "part", "snap", "snap_orc")
