@@ -295,8 +295,7 @@ private[spark] object GraftMaintenanceSql {
         graceMinutes = Option(grace).map(_.toLong),
         dryRun = Option(dry).exists(_.trim.nonEmpty)))
     case AutoOptimizeStmt(ident, minFiles) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftAutoOptimizeCommand(
-        parts(ident), Option(minFiles).map(_.toInt).getOrElse(4)))
+      Some(GraftAutoOptimizeCommand(parts(ident), Option(minFiles).map(_.toInt)))
     case OptimizeStmt(ident, where, cols) if isGraftCatalogRef(split(ident)) =>
       val scope = Option(where).map { w =>
         w.split("(?i)\\s+AND\\s+").toSeq.map {
@@ -700,7 +699,7 @@ final case class GraftDropConstraintCommand(
   * a clean no-op (no commit). Detection is driver-side metadata listing,
   * the graft_files bound. */
 final case class GraftAutoOptimizeCommand(
-    parts: Seq[String], minFiles: Int) extends LeafRunnableCommand {
+    parts: Seq[String], minFiles: Option[Int]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("compacted_partitions", IntegerType, nullable = false)(),
@@ -709,8 +708,12 @@ final case class GraftAutoOptimizeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    // a bare `OPTIMIZE t AUTO` uses the table's declared threshold
+    // (TBLPROPERTIES graft.autoOptimize.minFiles); MIN n FILES wins
     val report = Compaction.autoCompact(
-      session, ctx, defn, UserId("sql"), minFiles = minFiles)
+      session, ctx, defn, UserId("sql"),
+      minFiles = minFiles.getOrElse(TableProperties.effectiveInt(
+        session, defn, TableProperties.AutoOptimizeMinFiles, 4)))
     Seq(Row(
       report.partitions.size,
       if (report.snapshot) "snapshot"
