@@ -916,6 +916,16 @@ object Registry {
              |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 <> 0
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q106_truncate_ordinal" -> Entry(
+      Versioned.q106TruncateOrdinal,
+      // TRUNCATE = one metadata commit (pre-truncate state stays
+      // addressable by its DESCRIBE HISTORY index, pinned in-query along
+      // with ordinal AS OF reads), then the table refills with odd keys
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q88_mor_merge" -> Entry(
       Versioned.q88MorMerge,
       // merge-on-read MERGE over a per-orderkey rollup: qty>100 matches

@@ -3932,4 +3932,56 @@ object Versioned {
          |       round(sum(o_totalprice), 2) AS total
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** Q106: TRUNCATE TABLE + ordinal VERSION AS OF — TRUNCATE is ONE
+    * metadata-only commit (no file moves; the pre-truncate state stays
+    * addressable), and `VERSION AS OF '<n>'` addresses DESCRIBE
+    * HISTORY's `commit_index` coordinate directly (1-based, oldest = 1 —
+    * the numeric-version UX), with ref names still winning and
+    * out-of-range indices refusing. The table refills after the truncate
+    * and the oracle replays the final contents. */
+  def q106TruncateOrdinal(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq106", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq106", log)
+    val table = tempTable(
+      "ord_trunc", PartitionSchema(List(PartitionColumn("o_orderstatus"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create ord_trunc"))
+    graft.spark.GraftTableCatalog.register("graftq106", table)
+    val name = s"graftq106.${table.name.schema}.${table.name.name}"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+    orders.versionedInsertInto(ctx, table, user, UpdateMessage("v1: all orders"))
+    val full = s.sql(s"SELECT count(*) FROM $name").head().getLong(0)
+
+    // ordinal addressing: commit_index 2 is the first write (init = 1) —
+    // the coordinate DESCRIBE HISTORY prints, usable directly in AS OF
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF '2'")
+        .head().getLong(0) == full,
+      "VERSION AS OF '2' must read the first write via its history index")
+
+    // TRUNCATE: one metadata commit; rows gone; history + time travel intact
+    val commitsBefore = log.updates(table.name).size
+    s.sql(s"TRUNCATE TABLE $name")
+    require(log.updates(table.name).size == commitsBefore + 1,
+      "TRUNCATE must be exactly one commit")
+    require(s.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 0L,
+      "TRUNCATE must empty the current state")
+    require(
+      s.sql(s"SELECT count(*) FROM $name VERSION AS OF '2'")
+        .head().getLong(0) == full,
+      "the pre-truncate state must stay addressable by its index")
+
+    // refill after the truncate: the table versions on normally
+    orders.where(col("o_orderkey") % 2 === 1)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: odd keys"))
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS sum_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
 }

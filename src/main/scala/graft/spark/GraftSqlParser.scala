@@ -470,6 +470,27 @@ private[spark] object GraftMaintenanceSql {
         sys.error(s"graft maintenance SQL needs a catalog.db.table name, got $fqn")
     }
   }
+
+  /** The shared `VERSION AS OF` target resolution: a REF NAME (branch/tag)
+    * wins — human-chosen names first; an ALL-DIGITS target addresses the
+    * `DESCRIBE HISTORY` `commit_index` coordinate (1-based, oldest = 1 —
+    * the numeric-version UX Delta users expect, readable straight off the
+    * history listing); anything else is a raw commit id. An out-of-range
+    * index refuses loudly rather than falling through to a nonsense id. */
+  def resolveVersionTarget(
+      log: graft.core.TableVersions,
+      name: TableName,
+      target: String): graft.core.TableVersions.CommitId =
+    log.refs(name).get(target).map(_.id).getOrElse {
+      if (target.matches("[0-9]{1,9}")) {
+        val updates = log.updates(name) // most recent first
+        val idx = target.toInt
+        require(idx >= 1 && idx <= updates.size,
+          s"commit index $idx is outside 1..${updates.size} for " +
+            s"${name.fullyQualifiedName} (DESCRIBE HISTORY shows the valid range)")
+        updates(updates.size - idx).id
+      } else graft.core.TableVersions.CommitId(target)
+    }
 }
 
 /** `OPTIMIZE t [WHERE <partition equalities>] [ZORDER BY (cols)]` — one
@@ -597,8 +618,7 @@ final case class GraftRestoreCommand(
           .getOrElse(throw new IllegalArgumentException(
             s"table ${defn.name.fullyQualifiedName} has no commit at or before $asOf"))
       } else
-        binding.log.refs(defn.name).get(target)
-          .map(_.id).getOrElse(graft.core.TableVersions.CommitId(target))
+        GraftMaintenanceSql.resolveVersionTarget(binding.log, defn.name, target)
     GraftV2Table.metastoreFor(binding, defn).checkout(defn.name, resolved)
     // report the DESCRIBE HISTORY coordinate of the restored-to commit
     // (indices count from the log's tail, so the entry the checkout just
@@ -743,8 +763,7 @@ final case class GraftShallowCloneCommand(
     require(GraftTableCatalog.lookup(cat, dstName).isEmpty,
       s"cannot clone onto existing table ${dstParts.mkString(".")}")
     val at = asOf.map(a =>
-      binding.log.refs(srcDefn.name).get(a).map(_.id)
-        .getOrElse(graft.core.TableVersions.CommitId(a)))
+      GraftMaintenanceSql.resolveVersionTarget(binding.log, srcDefn.name, a))
       .getOrElse(binding.log.currentCommit(srcDefn.name))
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, srcDefn))
     val dstDefn = ShallowClone.clone(session, ctx, srcDefn, dstName, UserId("sql"), Some(at))
@@ -781,8 +800,7 @@ final case class GraftDeepCloneCommand(
     require(GraftTableCatalog.lookup(cat, dstName).isEmpty,
       s"cannot clone onto existing table ${dstParts.mkString(".")}")
     val at = asOf.map(a =>
-      binding.log.refs(srcDefn.name).get(a).map(_.id)
-        .getOrElse(graft.core.TableVersions.CommitId(a)))
+      GraftMaintenanceSql.resolveVersionTarget(binding.log, srcDefn.name, a))
       .getOrElse(binding.log.currentCommit(srcDefn.name))
     val dstLoc = location.map { loc =>
       val raw = new java.net.URI(loc)
@@ -997,8 +1015,7 @@ final case class GraftRefCommand(
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val log = binding.log
     def resolve(target: String): graft.core.TableVersions.CommitId =
-      log.refs(defn.name).get(target).map(_.id)
-        .getOrElse(graft.core.TableVersions.CommitId(target))
+      GraftMaintenanceSql.resolveVersionTarget(log, defn.name, target)
     action match {
       case "create" =>
         val at = asOf.map(resolve).getOrElse(log.currentCommit(defn.name))

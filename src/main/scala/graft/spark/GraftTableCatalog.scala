@@ -128,10 +128,11 @@ final class GraftTableCatalog extends TableCatalog {
     * post-delete state time-traveled to must keep hiding its rows. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (defn, schema) = definitionOf(ident)
-    // `VERSION AS OF` accepts a REF NAME (branch/tag) or a raw commit id;
-    // refs win — they are human-chosen names, commit ids are uuids
-    val resolved = binding.log.refs(defn.name).get(version)
-      .map(_.id).getOrElse(CommitId(version))
+    // `VERSION AS OF` accepts a REF NAME (branch/tag), an all-digits
+    // DESCRIBE HISTORY commit_index (1-based, oldest = 1), or a raw
+    // commit id — the shared resolution of every AS OF surface
+    val resolved =
+      GraftMaintenanceSql.resolveVersionTarget(binding.log, defn.name, version)
     val tv = binding.log.versionAt(defn.name, resolved)
     // nested evolution: declare the addressed commit's struct shapes
     val schemaAt = SchemaStates.schemaFor(
@@ -756,6 +757,25 @@ private[spark] final class GraftV2Table(
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     !defn.isSnapshot && filters.forall(partitionOnly)
+
+  /** `TRUNCATE TABLE t` — one metadata-only, time-travelable commit:
+    * partitioned tables remove every partition of every era (the
+    * unconditional-delete shape below); snapshot tables point back at the
+    * `Unversioned` sentinel, which reads as empty. No data file moves —
+    * the pre-truncate state stays addressable until vacuum. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, "cannot TRUNCATE a time-travel view")
+    if (defn.isSnapshot) {
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+        UserId("sql"), UpdateMessage("TRUNCATE TABLE (SQL)"),
+        java.time.Instant.now(),
+        List(TableOperation.AddTableVersion(Version.Unversioned))))
+      ()
+    } else deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        new org.apache.spark.sql.sources.AlwaysTrue))
+    true
+  }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     // belt-and-braces twin of the rule-side routing: a VALUE-matching

@@ -182,6 +182,61 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
       Array("dml_part", "dml_snap", "part", "snap", "snap_orc")
   }
 
+  test("ordinal VERSION AS OF addresses DESCRIBE HISTORY's commit_index; TRUNCATE is a metadata commit") {
+    val table = TableDefinition(
+      TableName("cdb", "ord_trunc"),
+      Files.createTempDirectory("graft_cat_ord").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", table)
+    Seq(CatEvent(1, "a", "2024-01-01")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    Seq(CatEvent(2, "b", "2024-01-02")).toDS()
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+
+    // commit_index 2 = the first write (init is 1) — readable straight off
+    // DESCRIBE HISTORY, matching its coordinate exactly
+    val hist = spark.sql("DESCRIBE HISTORY graftcat.cdb.ord_trunc").collect()
+    val idxOfV1 = hist.find(_.getString(4) == "v1").get.getInt(0)
+    spark.sql(
+      s"SELECT count(*) FROM graftcat.cdb.ord_trunc VERSION AS OF '$idxOfV1'")
+      .head().getLong(0) shouldBe 1L
+    // out-of-range ordinal refuses loudly
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.cdb.ord_trunc VERSION AS OF '99'").collect())
+    bad.getMessage should include("commit index 99")
+    // a ref literally named like a number wins over the ordinal reading
+    log.setRef(table.name, "2", log.currentCommit(table.name), isTag = true)
+    spark.sql("SELECT count(*) FROM graftcat.cdb.ord_trunc VERSION AS OF '2'")
+      .head().getLong(0) shouldBe 2L
+    log.deleteRef(table.name, "2")
+
+    // TRUNCATE: rows gone, history intact, pre-truncate state addressable
+    val pre = log.currentCommit(table.name)
+    spark.sql("TRUNCATE TABLE graftcat.cdb.ord_trunc")
+    spark.sql("SELECT count(*) FROM graftcat.cdb.ord_trunc").head().getLong(0) shouldBe 0L
+    spark.sql(
+      s"SELECT count(*) FROM graftcat.cdb.ord_trunc VERSION AS OF '${pre.id}'")
+      .head().getLong(0) shouldBe 2L
+
+    // snapshot twin: TRUNCATE points back at the Unversioned (empty) state
+    val snap = TableDefinition(
+      TableName("cdb", "trunc_snap"),
+      Files.createTempDirectory("graft_cat_tsnap").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(snap, user, UpdateMessage("init"))
+    GraftTableCatalog.register("graftcat", snap)
+    Seq(CatRow(1, "x")).toDS()
+      .versionedInsertInto(ctx, snap, user, UpdateMessage("v1"))
+    spark.sql("TRUNCATE TABLE graftcat.cdb.trunc_snap")
+    spark.sql("SELECT count(*) FROM graftcat.cdb.trunc_snap").head().getLong(0) shouldBe 0L
+    // and writes after a truncate start a fresh state
+    Seq(CatRow(9, "y")).toDS()
+      .versionedInsertInto(ctx, snap, user, UpdateMessage("v2"))
+    spark.sql("SELECT id FROM graftcat.cdb.trunc_snap")
+      .collect().map(_.getLong(0)) shouldBe Array(9L)
+  }
+
   test("DELETE FROM removes whole partitions as a time-travelable commit") {
     val table = TableDefinition(
       TableName("cdb", "del_part"),
