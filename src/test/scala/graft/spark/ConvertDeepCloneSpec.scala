@@ -149,6 +149,18 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
     b shouldBe a
   }
 
+  test("convert adopts an ORC tree through the format passthrough") {
+    val loc = Files.createTempDirectory("graft_convert_orc")
+    events.toDS().write.mode("overwrite").partitionBy("date").orc(loc.toString)
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_orc"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Orc)
+    ConvertToGraft.convert(spark, ctx, table, user)
+    VersionedReader(spark, log).read(table)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
   test("convert refuses a location that already holds version dirs, and a mismatched layout") {
     val (ctx, _) = freshContext()
     // a real versioned table's location
