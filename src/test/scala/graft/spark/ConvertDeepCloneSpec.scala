@@ -161,6 +161,54 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
       .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
   }
 
+  test("convert round-trips Hive-escaped partition values (spaces, colons)") {
+    val loc = Files.createTempDirectory("graft_convert_esc")
+    Seq(
+      Event(1, "a", "north region"),   // space stays literal in the path
+      Event(2, "b", "t:08"),           // ':' is percent-escaped by Hive
+      Event(3, "c", "plain"))
+      .toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_esc"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ConvertToGraft.convert(spark, ctx, table, user)
+    // the commit log holds the UNESCAPED values; reads resolve the
+    // escaped dirs back through the shared SparkPaths rendering
+    val state = log.currentVersion(table.name).asInstanceOf[PartitionedTableVersion]
+    state.partitionVersions.keySet.map(_.hivePath) shouldBe Set(
+      "date=north region", "date=t:08", "date=plain")
+    VersionedReader(spark, log).read(table).as[Event]
+      .collect().map(e => (e.id, e.date)).toSet shouldBe Set(
+      (1L, "north region"), (2L, "t:08"), (3L, "plain"))
+    // and a post-convert overwrite of an escaped partition still works
+    Seq(Event(9, "z", "t:08"))
+      .toDS().versionedInsertInto(ctx, table, user, UpdateMessage("w1"))
+    VersionedReader(spark, log).read(table).as[Event]
+      .collect().map(_.id).sorted shouldBe Array(1L, 3L, 9L)
+  }
+
+  test("deep clone at an OLD commit materializes that state, not the head") {
+    val (ctx, log) = freshContext()
+    val src = TableDefinition(
+      TableName("test", "deep_asof_src"),
+      Files.createTempDirectory("graft_deep_asof").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("init"))
+    Seq(Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(src.name)
+    Seq(Event(3, "c", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v2: replace 01-01"))
+
+    val clone = DeepClone.clone(
+      spark, ctx, src, TableName("test", "deep_asof_dst"),
+      Files.createTempDirectory("graft_deep_asof_dst").toUri, user, Some(v1))
+    val reader = VersionedReader(spark, log)
+    reader.read(clone).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L)
+    reader.read(src).as[Event].collect().map(_.id).sorted shouldBe Array(2L, 3L)
+  }
+
   test("convert refuses a location that already holds version dirs, and a mismatched layout") {
     val (ctx, _) = freshContext()
     // a real versioned table's location
