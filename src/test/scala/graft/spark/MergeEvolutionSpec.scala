@@ -73,6 +73,30 @@ class MergeEvolutionSpec extends AnyFunSuite with Matchers {
       .exists(_.startsWith("MERGE SCHEMA EVOLUTION")) shouldBe true
   }
 
+  test("the TABLE property drives autoMerge with no session conf anywhere") {
+    val t = mkTable("mev_prop")
+    (1L to 4L).map(i => Event(i, "base", "2024-01-01"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+    TableProperties.set(spark, ctx, t,
+      Map(TableProperties.AutoMergeSchema -> "true"), user)
+    Seq((2L, "upd", "2024-01-01", 0.5))
+      .toDF("id", "kind", "date", "score").createOrReplaceTempView("mev_psrc")
+
+    // session conf deliberately UNSET (and even set to false: the table
+    // property must win)
+    spark.conf.set("spark.graft.dml.autoMergeSchema", "false")
+    try spark.sql(
+      """MERGE INTO graftmev.db.mev_prop t USING mev_psrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.conf.unset("spark.graft.dml.autoMergeSchema")
+
+    val after = spark.table("graftmev.db.mev_prop")
+    after.columns.map(_.toLowerCase) should contain("score")
+    after.where(col("id") === 2L).select("score").as[Double].head() shouldBe 0.5
+    after.where(col("id") === 1L && col("score").isNull).count() shouldBe 1L
+  }
+
   test("a failing merge leaves the schema UNWIDENED (atomicity: no phantom column)") {
     val t = mkTable("mev_fail")
     (1L to 4L).map(i => Event(i, "base", "2024-01-01"))
