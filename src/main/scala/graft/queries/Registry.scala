@@ -724,6 +724,29 @@ object Registry {
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q107_nested_widening" -> Entry(
+      Versioned.q107NestedWidening,
+      // nested TYPE widening: ALTER COLUMN meta.cnt/price widens struct
+      // leaves int→bigint / float→double metadata-only (zero-rewrite
+      // pinned in-query); even-key v1 files stay narrow and upcast at
+      // scan, odd-key v2 stores wide-only values, a DELETE crosses the
+      // mixed-width state, time travel at v1 reads the narrow leaves —
+      // the oracle replays both generations (float-cast min/max are
+      // order-independent, sums integral)
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+             |              ELSE o_orderkey * 1000000000 END AS cnt,
+             |         CASE WHEN o_orderkey % 2 = 0
+             |              THEN CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)
+             |              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+             |  FROM orders WHERE o_orderkey % 19 <> 0
+             |)
+             |SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+             |       min(price) AS min_price, max(price) AS max_price
+             |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q96_nested_evolution" -> Entry(
       Versioned.q96NestedEvolution,
       // nested-field schema evolution: ALTER ADD meta.cust widens the

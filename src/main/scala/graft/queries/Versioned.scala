@@ -3416,6 +3416,80 @@ object Versioned {
          |FROM $name GROUP BY meta.prio ORDER BY prio""".stripMargin)
   }
 
+  /** Q107: NESTED-FIELD TYPE WIDENING ([[graft.spark.ColumnMapping.widenPath]])
+    * — `ALTER TABLE t ALTER COLUMN meta.cnt TYPE BIGINT` as a path-keyed
+    * column-mapping entry, metadata-only at depth: files written before
+    * the widen keep the narrow struct leaf (int/float) and upcast at scan
+    * (every read path requests the wide struct), post-widen writes store
+    * the wide leaf (values only bigint/double can hold), DML crosses the
+    * mixed-width state, and TIME TRAVEL at-or-before the widen reads the
+    * narrow struct (commit-anchored schema states + the at-or-before
+    * mapping discipline) — all pinned in-query, including the
+    * zero-file-rewrite claim; the oracle replays both generations
+    * relationally (min/max on the float-cast leaf — order-independent). */
+  def q107NestedWidening(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq107", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq107", log)
+    val loc = Files.createTempDirectory("graft_q107").toUri
+    val name = "graftq107.g.ord_nwide"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, meta STRUCT<cnt: INT, price: FLOAT>, o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q107_orders")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       named_struct('cnt', CAST(o_orderkey % 1000 AS INT),
+         |                    'price', CAST(o_totalprice AS FLOAT)) AS meta,
+         |       o_orderstatus
+         |FROM q107_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_nwide")
+    val v1 = log.currentCommit(tn)
+    val v1Files = s.table(name).inputFiles.toSet
+
+    def metaType(df: DataFrame): org.apache.spark.sql.types.StructType =
+      df.schema.fields.find(_.name == "meta").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN meta.cnt TYPE BIGINT")
+    s.sql(s"ALTER TABLE $name ALTER COLUMN meta.price TYPE DOUBLE")
+    require(log.updates(tn).map(_.message.content)
+      .contains("ALTER TABLE ALTER COLUMN meta.cnt TYPE bigint"),
+      "the nested widen must be an auditable history entry")
+    require(metaType(s.table(name))("cnt").dataType.catalogString == "bigint" &&
+      metaType(s.table(name))("price").dataType.catalogString == "double",
+      "current reads must declare the widened struct leaves")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "the widen must be metadata-only — no v1 file rewritten")
+
+    // the WIDE generation: leaf values only bigint/double can hold
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       named_struct('cnt', o_orderkey * 1000000000,
+         |                    'price', o_totalprice) AS meta,
+         |       o_orderstatus
+         |FROM q107_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+
+    // time travel BEFORE the widen reads the narrow struct leaves
+    val atV1 = s.sql(s"SELECT * FROM $name VERSION AS OF '${v1.id}'")
+    require(metaType(atV1)("cnt").dataType.catalogString == "int" &&
+      metaType(atV1)("price").dataType.catalogString == "float",
+      "time travel at v1 must read the narrow leaf types")
+
+    // DML across the mixed-width state addresses the widened leaf
+    s.sql(s"DELETE FROM $name WHERE o_orderkey % 19 = 0")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       sum(meta.cnt) AS sum_cnt,
+         |       min(meta.price) AS min_price, max(meta.price) AS max_price
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q97: MERGE-ON-READ REPLACE WHERE ([[graft.spark.RowOverlay.replaceWhere]])
     * — q91's general-predicate tier under `spark.graft.dml.mergeOnRead=true`:
     * the matched region hides behind deletion-vector pairs and the incoming

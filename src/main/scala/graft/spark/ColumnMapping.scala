@@ -336,35 +336,117 @@ object ColumnMapping {
       table: TableDefinition,
       column: String,
       newType: String,
+      user: UserId): Unit =
+    widenPath(spark, ctx, table, Seq(column), newType, user)
+
+  /** [[widen]] for an arbitrary field path: a one-segment path is the
+    * top-level form; a longer path widens a NESTED struct field
+    * (`meta.cnt` int→bigint) as a path-keyed entry — the same
+    * metadata-only contract at depth: old files keep the narrow leaf,
+    * every scan of a widened state requests the wide struct (the columnar
+    * readers upcast per leaf), post-widen writes cast to the wide type
+    * ([[toPhysical]]), and time travel at-or-before the widen reads the
+    * narrow struct. */
+  def widenPath(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      path: Seq[String],
+      newType: String,
       user: UserId): Unit = {
-    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(column)),
-      s"cannot change the type of partition column $column (partition values are strings)")
+    require(path.nonEmpty, "empty field path")
+    val lpath = path.mkString(".")
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(path.head)),
+      s"cannot change the type of partition column ${path.head} (partition values are strings)")
     val log = ctx.metastore.tableVersions
     val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(newType).catalogString
     val current = effectiveEntries(spark, log, table, None)
-    val entry = current.find(e => !e.dropped && e.logical.equalsIgnoreCase(column))
+    val entry =
+      if (path.length == 1)
+        Some(current.find(e => !e.dropped && !e.isNested &&
+            e.logical.equalsIgnoreCase(lpath))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $lpath on ${table.name.fullyQualifiedName}")))
+      else current.find(e => e.isNested && !e.dropped &&
+        e.logical.equalsIgnoreCase(lpath))
+    // the field's CURRENT effective type: the mapped read already serves
+    // prior widens, and a recorded `widened` wins by construction
+    val fileType = fieldTypeAt(read(spark, log, table).schema, path)
+      .map(_.catalogString)
       .getOrElse(throw new IllegalArgumentException(
-        s"no column $column on ${table.name.fullyQualifiedName}"))
-    // the column's CURRENT effective type: a prior widen wins over the
-    // file type (old files are narrower by design)
-    val fileType = read(spark, log, table).schema
-      .find(_.name.equalsIgnoreCase(column))
-      .map(_.dataType.catalogString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $column has no readable type on ${table.name.fullyQualifiedName}"))
-    val from = entry.widened.getOrElse(fileType)
-    require(from != target, s"column $column is already $target")
+        s"column $lpath has no readable type on ${table.name.fullyQualifiedName}"))
+    val from = entry.flatMap(_.widened).getOrElse(fileType)
+    require(from != target, s"column $lpath is already $target")
     require(WideningAllowed.contains(from -> target),
       s"ALTER COLUMN TYPE supports lossless widening only " +
         s"(${WideningAllowed.map(p => s"${p._1}→${p._2}").mkString(", ")}); " +
-        s"got $from→$target for $column")
-    val next = current.map {
-      case e if e.physical == entry.physical => e.copy(widened = Some(target))
-      case e                                 => e
+        s"got $from→$target for $lpath")
+    val next = entry match {
+      case Some(e) => current.map {
+        case x if x.physical == e.physical => x.copy(widened = Some(target))
+        case x                             => x
+      }
+      case None => current :+ Entry(
+        lpath, physicalPathOf(current, path).mkString("."),
+        dropped = false, widened = Some(target))
     }
     commitState(spark, ctx, table, next,
-      UpdateMessage(s"ALTER TABLE ALTER COLUMN $column TYPE $target"), user)
+      UpdateMessage(s"ALTER TABLE ALTER COLUMN $lpath TYPE $target"), user)
+  }
+
+  /** The type at dotted `path` in `schema` (struct descent,
+    * case-insensitive); None when the path doesn't resolve. */
+  private def fieldTypeAt(
+      dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.DataType] =
+    path match {
+      case Seq() => Some(dt)
+      case head +: rest => dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(head))
+            .flatMap(f => fieldTypeAt(f.dataType, rest))
+        case _ => None
+      }
+    }
+
+  /** Rebuild `schema` with widened types applied — keys are dotted
+    * (lower-cased) field paths; nested keys rebuild STRUCT FIELD types in
+    * place. Unresolvable paths skip (a projection need not carry every
+    * widened column). Every scan-schema override (VersionedReader, the
+    * DSv2 relation) and cast site shares this. */
+  def applyWideningToSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      widened: Map[String, org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val p = prefix + f.name.toLowerCase
+        widened.get(p) match {
+          case Some(t) => f.copy(dataType = t)
+          case None => f.dataType match {
+            case inner: StructType if widened.keys.exists(_.startsWith(p + ".")) =>
+              f.copy(dataType = walk(inner, p + "."))
+            case _ => f
+          }
+        }
+      })
+    if (widened.isEmpty) schema else walk(schema, "")
+  }
+
+  /** Apply widening as CASTS on an already-loaded frame (overlay leaves,
+    * write batches) — nested keys cast the whole owning struct to its
+    * widened type (field count unchanged, so a plain struct cast serves).
+    * Identity for columns the map doesn't touch. */
+  private[spark] def applyWideningCasts(
+      df: DataFrame,
+      widened: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+    if (widened.isEmpty) return df
+    val target = applyWideningToSchema(df.schema, widened)
+    df.schema.fields.zip(target.fields).collect {
+      case (a, b) if a.dataType != b.dataType => b
+    }.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(f.dataType)))
   }
 
   /** physical-name-lower → widened Catalyst type for the state at `at`
@@ -525,7 +607,16 @@ object ColumnMapping {
             case None    => base.as(c) // partition cols + never-mapped columns
           }
         }
-        df.select(cols: _*)
+        val result = df.select(cols: _*)
+        // NESTED widened fields cast the same way — the batch is in
+        // physical names now, matching the path-keyed entries
+        val nestedWidened = nested.collect {
+          case e if e.widened.isDefined && !e.dropped =>
+            e.physical.toLowerCase ->
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(e.widened.get)
+        }.toMap
+        applyWideningCasts(result, nestedWidened)
     }
   }
 

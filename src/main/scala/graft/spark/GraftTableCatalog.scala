@@ -209,8 +209,7 @@ final class GraftTableCatalog extends TableCatalog {
       if (widenMap.isEmpty) schema
       else {
         val base = schema.getOrElse(buildFileTable(defn, paths, opts, None).schema())
-        Some(StructType(base.map(f =>
-          widenMap.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))))
+        Some(ColumnMapping.applyWideningToSchema(base, widenMap))
       }
     buildFileTable(defn, paths, opts, finalSchema)
   }
@@ -404,6 +403,10 @@ final class GraftTableCatalog extends TableCatalog {
     val schemaChanges = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
+    // captured BEFORE the fold: TYPE WIDENING commits its audit entry
+    // inside the fold (ColumnMapping.widenPath), and the schema-state
+    // baseline must anchor at-or-before that commit
+    val preFold = binding.log.currentCommit(defn.name)
     val widened = schemaChanges.foldLeft(base) {
       case (schema, add: TableChange.AddColumn) if add.fieldNames().length > 1 =>
         // NESTED ADD (`ADD COLUMN s.x T`) — additive struct evolution:
@@ -482,17 +485,15 @@ final class GraftTableCatalog extends TableCatalog {
         org.apache.spark.sql.types.StructType(
           schema.filterNot(_.name.equalsIgnoreCase(name)))
       case (schema, upd: TableChange.UpdateColumnType) =>
-        // TYPE WIDENING via column mapping: metadata-only, no file
-        // rewrite; narrowing/lossy changes refuse inside widen
-        require(upd.fieldNames().length == 1,
-          s"graft ALTER TABLE supports top-level columns only, got ${upd.fieldNames().mkString(".")}")
-        val name = upd.fieldNames()(0)
-        val spark = SparkSession.active
-        ColumnMapping.widen(
-          spark, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
-          defn, name, upd.newDataType().catalogString, UserId("sql"))
-        org.apache.spark.sql.types.StructType(schema.map(f =>
-          if (f.name.equalsIgnoreCase(name)) f.copy(dataType = upd.newDataType()) else f))
+        // TYPE WIDENING via column mapping — top-level or a NESTED struct
+        // field (`ALTER COLUMN meta.cnt TYPE BIGINT`, a path-keyed
+        // mapping entry): metadata-only, no file rewrite; narrowing/lossy
+        // changes refuse inside widen
+        val path = upd.fieldNames().toSeq
+        ColumnMapping.widenPath(
+          SparkSession.active, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, path, upd.newDataType().catalogString, UserId("sql"))
+        StructEvolution.setFieldType(schema, path, upd.newDataType())
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN and " +
@@ -500,22 +501,23 @@ final class GraftTableCatalog extends TableCatalog {
     }
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
     val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames().mkString(".") }
-    val nested = changes.exists {
+    val nestedAdd = changes.exists {
       case a: TableChange.AddColumn => a.fieldNames().length > 1
       case _ => false
     }
-    if (added.nonEmpty) {
-      val preAnchor =
-        if (nested) Some(binding.log.currentCommit(defn.name)) else None
+    val typeChanged = schemaChanges.exists(_.isInstanceOf[TableChange.UpdateColumnType])
+    if (added.nonEmpty)
       GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
         UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
         java.time.Instant.now(), Nil))
-      // nested adds anchor a schema state at the audit commit (plus the
-      // baseline), so time travel resolves the addressed struct shape
-      preAnchor.foreach(pre => SchemaStates.record(
-        SparkSession.active, defn, base, pre, widened,
-        binding.log.currentCommit(defn.name)))
-    }
+    // nested adds and TYPE widenings anchor a schema state at their audit
+    // commit (plus the pre-change baseline), so a time-traveled load
+    // declares the ADDRESSED commit's struct shape / column width —
+    // rename/drop shape travel stays with the column-mapping states
+    if (nestedAdd || typeChanged)
+      SchemaStates.record(
+        SparkSession.active, defn, base, preFold, widened,
+        binding.log.currentCommit(defn.name))
     loadTable(ident)
   }
 

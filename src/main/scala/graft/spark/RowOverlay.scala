@@ -310,10 +310,7 @@ object RowOverlay {
         col("_metadata.file_path").as(f),
         col("_metadata.row_index").as(p))
     }
-    widened.foldLeft(pointed) { case (d, (name, t)) =>
-      d.columns.find(_.toLowerCase == name)
-        .fold(d)(cn => d.withColumn(cn, col(cn).cast(t)))
-    }
+    ColumnMapping.applyWideningCasts(pointed, widened)
   }
 
   /** MERGE-ON-READ APPEND: land `df`'s rows into the current state of

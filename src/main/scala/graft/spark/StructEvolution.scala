@@ -73,6 +73,17 @@ object StructEvolution {
       StructType(st.fields.updated(idx, st.fields(idx).copy(name = to)))
     }
 
+  /** Replace the type of the field at `path` (top-level or nested),
+    * preserving name and position — the declared-schema side of nested
+    * TYPE WIDENING ([[ColumnMapping.widen]] holds the legality rules).
+    * Refuses unknown paths and non-struct parents. */
+  def setFieldType(base: StructType, path: Seq[String], dt: DataType): StructType =
+    atParent(base, path) { (st, name, walked) =>
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such field ${(walked :+ name).mkString(".")}")
+      StructType(st.fields.updated(idx, st.fields(idx).copy(dataType = dt)))
+    }
+
   /** Drop the field at `path`. Refuses unknown paths and dropping a
     * struct's LAST field (an empty struct cannot be projected). */
   def dropField(base: StructType, path: Seq[String]): StructType =

@@ -321,11 +321,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
       plain: => DataFrame): DataFrame = {
     val widened = ColumnMapping.widenedTypesAt(spark, log, table, at)
     if (widened.isEmpty) plain
-    else {
-      val base = plain.schema
-      build(org.apache.spark.sql.types.StructType(base.map(f =>
-        widened.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))))
-    }
+    else build(ColumnMapping.applyWideningToSchema(plain.schema, widened))
   }
 
   private def doMaterialize(
@@ -397,9 +393,7 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
             else {
               val base = groups.map(loadGroup(_, None))
                 .reduce(_.unionByName(_, allowMissingColumns = true)).schema
-              Some(org.apache.spark.sql.types.StructType(base.map(f =>
-                widened.get(f.name.toLowerCase)
-                  .map(t => f.copy(dataType = t)).getOrElse(f))))
+              Some(ColumnMapping.applyWideningToSchema(base, widened))
             }
           groups.map(g => point(loadGroup(g, schemaOpt), pointers))
             .reduce(_.unionByName(_, allowMissingColumns = true))

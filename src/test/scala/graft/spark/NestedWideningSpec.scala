@@ -1,0 +1,247 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit, named_struct, sum}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.core.TableVersions.{UpdateMessage, UserId}
+import graft.spark.VersionContext.DatasetVersionOps
+
+/** NESTED-FIELD TYPE WIDENING ([[ColumnMapping.widenPath]]) — `ALTER
+  * COLUMN s.x TYPE bigint` as a path-keyed mapping entry: metadata-only
+  * at depth (old files keep the narrow struct leaf and upcast at scan;
+  * post-widen writes store the wide leaf; time travel at-or-before the
+  * widen reads the narrow struct). */
+class NestedWideningSpec extends AnyFunSuite with Matchers {
+
+  private val spark = TestSpark.session
+
+  private val user = UserId("nwiden-test")
+
+  private def freshTable(name: String): (VersionContext, InMemoryTableVersions, TableDefinition) = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", name),
+      Files.createTempDirectory(s"graft_$name").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    (ctx, log, table)
+  }
+
+  private def narrowBatch(spark: org.apache.spark.sql.SparkSession, n: Int, date: String) = {
+    import spark.implicits._
+    (1 to n).toDF("id")
+      .select(
+        col("id").cast("long").as("id"),
+        named_struct(
+          lit("cnt"), col("id").cast("int"),
+          lit("score"), (col("id") * 1.5).cast("float"),
+          lit("tag"), lit("t")).as("meta"),
+        lit(date).as("date"))
+  }
+
+  private def metaType(df: org.apache.spark.sql.DataFrame): StructType =
+    df.schema("meta").dataType.asInstanceOf[StructType]
+
+  test("nested widen is metadata-only: narrow old struct leaves upcast, wide writes land, time travel stays narrow") {
+    val (ctx, log, table) = freshTable("nw_core")
+    narrowBatch(spark, 10, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow"))
+    val preWiden = log.currentCommit(table.name)
+    val v1Files = VersionedReader(spark, log).read(table).inputFiles.toSet
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "score"), "double", user)
+    log.updates(table.name).map(_.message.content) should contain(
+      "ALTER TABLE ALTER COLUMN meta.cnt TYPE bigint")
+
+    // post-widen write carries values only the wide leaf types can hold
+    spark.range(1)
+      .select(
+        lit(100L).as("id"),
+        named_struct(
+          lit("cnt"), lit(6000000000L),
+          lit("score"), lit(1.0e40),
+          lit("tag"), lit("wide")).as("meta"),
+        lit("2024-01-02").as("date"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: wide"))
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    metaType(mapped)("cnt").dataType.catalogString shouldBe "bigint"
+    metaType(mapped)("score").dataType.catalogString shouldBe "double"
+    // the widen rewrote NO files: v1's files serve both generations
+    v1Files.subsetOf(mapped.inputFiles.toSet) shouldBe true
+    mapped.count() shouldBe 11L
+    // values from BOTH generations aggregate correctly across mixed widths
+    mapped.agg(sum(col("meta.cnt"))).head().getLong(0) shouldBe (55L + 6000000000L)
+    mapped.where(col("meta.cnt") === 6000000000L).count() shouldBe 1L
+    mapped.where(col("meta.cnt") === 3).count() shouldBe 1L
+
+    // time travel BEFORE the widen reads the narrow struct (at-or-before)
+    val old = ColumnMapping.read(spark, log, table, Some(preWiden))
+    metaType(old)("cnt").dataType.catalogString shouldBe "int"
+    metaType(old)("score").dataType.catalogString shouldBe "float"
+    old.count() shouldBe 10L
+  }
+
+  test("nested widen refuses narrowing, lossy changes, unknown paths, and non-struct parents") {
+    val (ctx, log, table) = freshTable("nw_refuse")
+    narrowBatch(spark, 5, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+    // narrowing back refuses
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "int", user)
+    // lossy change refuses
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "tag"), "bigint", user)
+    // unknown field refuses
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "nope"), "bigint", user)
+    // non-struct parent refuses
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("id", "x"), "bigint", user)
+    // partition-column head refuses
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("date", "x"), "bigint", user)
+    // idempotent re-widen refuses (already bigint)
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+    // int -> double IS an allowed lossless widen, even after int -> bigint
+    // was recorded for the sibling
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "score"), "double", user)
+    ()
+  }
+
+  test("nested widen composes with nested rename: physical path stays frozen, wide type follows the logical name") {
+    val (ctx, log, table) = freshTable("nw_rename")
+    narrowBatch(spark, 6, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+    ColumnMapping.renameNested(spark, ctx, table, Seq("meta", "cnt"), "count", user)
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    metaType(mapped).fieldNames should contain("count")
+    metaType(mapped)("count").dataType.catalogString shouldBe "bigint"
+    mapped.agg(sum(col("meta.count"))).head().getLong(0) shouldBe 21L
+
+    // writes speak the logical name; the narrow-int batch upcasts to the
+    // wide physical leaf
+    spark.range(1)
+      .select(
+        lit(50L).as("id"),
+        named_struct(
+          lit("count"), lit(7).cast("int"),
+          lit("score"), lit(2.0f),
+          lit("tag"), lit("r")).as("meta"),
+        lit("2024-01-02").as("date"))
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2"))
+    val after = ColumnMapping.read(spark, log, table)
+    after.agg(sum(col("meta.count"))).head().getLong(0) shouldBe 28L
+    metaType(after)("count").dataType.catalogString shouldBe "bigint"
+
+    // widen ANOTHER field addressed by its current logical path
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "score"), "double", user)
+    metaType(ColumnMapping.read(spark, log, table))("score")
+      .dataType.catalogString shouldBe "double"
+  }
+
+  test("merge-on-read overlay rows written before a nested widen cast to the wide struct on read") {
+    val (ctx, log, table) = freshTable("nw_overlay")
+    narrowBatch(spark, 8, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    // overlay rows land with the NARROW struct (pre-widen)
+    RowOverlay.append(
+      narrowBatch(spark, 3, "2024-01-01").withColumn("id", col("id") + 100),
+      ctx, table, user, UpdateMessage("overlay narrow"))
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+
+    // post-widen overlay rows carry a wide value
+    RowOverlay.append(
+      spark.range(1).select(
+        lit(999L).as("id"),
+        named_struct(
+          lit("cnt"), lit(7000000000L),
+          lit("score"), lit(0.5f),
+          lit("tag"), lit("o")).as("meta"),
+        lit("2024-01-01").as("date")),
+      ctx, table, user, UpdateMessage("overlay wide"))
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    metaType(mapped)("cnt").dataType.catalogString shouldBe "bigint"
+    mapped.count() shouldBe 12L
+    mapped.agg(sum(col("meta.cnt"))).head().getLong(0) shouldBe
+      ((1L to 8L).sum + (1L to 3L).sum + 7000000000L)
+  }
+
+  test("SQL ALTER COLUMN s.x TYPE widens the nested field; scans, DML and time travel serve the right width") {
+    val (ctx, log, table) = freshTable("nw_sql")
+    spark.conf.set(
+      "spark.sql.catalog.graftnw", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftnw", log)
+    narrowBatch(spark, 10, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow"))
+    GraftTableCatalog.register("graftnw", table,
+      Some(VersionedReader(spark, log).read(table).schema))
+    val name = "graftnw.test.nw_sql"
+    val preWiden = log.currentCommit(table.name)
+
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN meta.cnt TYPE BIGINT")
+    // the declared relation serves the wide nested type
+    metaType(spark.table(name))("cnt").dataType.catalogString shouldBe "bigint"
+    // an insert beyond int range lands and reads back
+    spark.sql(
+      s"INSERT INTO $name SELECT 100L, named_struct('cnt', 6000000000L, " +
+        "'score', CAST(0.5 AS FLOAT), 'tag', 'w'), '2024-01-02'")
+    spark.sql(s"SELECT sum(meta.cnt) FROM $name")
+      .head().getLong(0) shouldBe (55L + 6000000000L)
+
+    // DML over the widened state: DELETE hides narrow-generation rows
+    spark.sql(s"DELETE FROM $name WHERE meta.cnt <= 5")
+    spark.sql(s"SELECT sum(meta.cnt) FROM $name")
+      .head().getLong(0) shouldBe (40L + 6000000000L)
+
+    // time travel BEFORE the widen reads the narrow struct
+    metaType(spark.sql(s"SELECT * FROM $name VERSION AS OF '${preWiden.id}'"))(
+      "cnt").dataType.catalogString shouldBe "int"
+
+    // narrowing refuses through SQL too
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN meta.cnt TYPE INT"))
+    ()
+  }
+
+  test("MERGE over a nested-widened table aligns kept rows and a narrow source upcasts") {
+    val (ctx, log, table) = freshTable("nw_merge")
+    narrowBatch(spark, 6, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+
+    // source carries a NARROW struct (int cnt) plus one wide row
+    val src = narrowBatch(spark, 2, "2024-01-01")
+      .withColumn("id", col("id") + 4) // ids 5,6 -> matched, updated
+      .unionByName(spark.range(1).select(
+        lit(50L).as("id"),
+        named_struct(
+          lit("cnt"), lit(8000000000L),
+          lit("score"), lit(9.0f),
+          lit("tag"), lit("m")).as("meta"),
+        lit("2024-01-01").as("date")))
+    Merge.mergeInto(ctx, log, table, src, Seq("id"), user, UpdateMessage("merge"))
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    metaType(mapped)("cnt").dataType.catalogString shouldBe "bigint"
+    mapped.count() shouldBe 7L
+    // kept 1..4 keep cnt=id; matched 5,6 take source cnt 1,2; new row wide
+    mapped.agg(sum(col("meta.cnt"))).head().getLong(0) shouldBe
+      ((1L + 2L + 3L + 4L) + (1L + 2L) + 8000000000L)
+  }
+}
