@@ -54,14 +54,31 @@ object ConvertToGraft {
     * (a resumed conversion's earlier progress). */
   private final case class Leaf(rel: String, loose: List[String], hasLabelDir: Boolean)
 
-  /** Adopt the plain directory at `table.location` as versioned table
-    * `table.name`. Returns the definition unchanged; afterwards the table
-    * reads/writes like any other versioned table. */
-  def convert(
+  /** DRY RUN report: what a conversion WOULD adopt (after the full
+    * pre-flight — discovery, layout + partition-value validation, format
+    * sniff), with nothing written, moved, or committed. */
+  final case class Preview(partitions: Int, files: Long)
+
+  /** The validated pre-flight state shared by [[preview]] and [[convert]]:
+    * everything that can refuse has refused BEFORE this exists, with the
+    * directory untouched. */
+  private final case class Plan(
+      version: Version, resumed: Boolean, leaves: List[Leaf],
+      fs: FileSystem, root: HPath, markerPath: HPath)
+
+  /** Discovery + validation with ZERO writes: the marker is not created,
+    * no file moves. Refuses everything [[convert]] would refuse —
+    * unadoptable layouts (foreign subdirs, files at partition depth,
+    * wrong `k=v` columns), null/empty partition values, a mis-declared
+    * FORMAT (one data file's magic bytes are sniffed), an
+    * already-tracked table. Validating BEFORE the move phase is what
+    * keeps a bad layout refusal non-destructive: a plain dir with a
+    * `__HIVE_DEFAULT_PARTITION__` subdir (a stock-Spark artifact) or a
+    * parquet dir declared FORMAT orc refuses with every file in place. */
+  private def plan(
       spark: SparkSession,
       ctx: VersionContext,
-      table: TableDefinition,
-      user: UserId): TableDefinition = {
+      table: TableDefinition): Plan = {
     val log = ctx.metastore.tableVersions
     val conf = spark.sessionState.newHadoopConf()
     val fs = FileSystem.get(table.location, conf)
@@ -75,14 +92,62 @@ object ConvertToGraft {
       sys.error(
         s"CONVERT TO GRAFT: ${table.name.fullyQualifiedName} is already tracked " +
           "in the commit log (and no conversion is in flight) — it is already a graft table")
-    val version = resumed.getOrElse {
-      val v = Version.generateVersion()
-      writeMarker(fs, markerPath, table, v)
-      v
-    }
+    val version = resumed.getOrElse(Version.generateVersion())
 
     val nCols = table.partitionSchema.columns.size
     val leaves = discover(spark, conf, root.toString, table, version, nCols)
+
+    // partition values must parse into the versioned model BEFORE anything
+    // moves — null/empty sentinel dirs make the layout unadoptable, and
+    // discovering that mid-conversion would strand a half-moved tree
+    leaves.filter(l => l.loose.nonEmpty || l.hasLabelDir)
+      .foreach(l => if (l.rel.nonEmpty) { parsePartition(l.rel, table.partitionSchema); () })
+
+    // FORMAT pre-flight: sniff one data file's magic bytes — a
+    // mis-declared FORMAT must refuse NOW, not at first read after every
+    // file was renamed (only parquet/ORC carry a magic header; other
+    // declared formats skip the check)
+    if (table.format.name == "parquet" || table.format.name == "orc") leaves.iterator
+      .flatMap(l => l.loose.headOption.map(n =>
+        if (l.rel.isEmpty) new HPath(root, n) else new HPath(new HPath(root, l.rel), n)))
+      .take(1)
+      .foreach { sample =>
+        sniffFormat(fs, sample).foreach { detected =>
+          require(detected == table.format.name,
+            s"CONVERT TO GRAFT: declared FORMAT ${table.format.name} but $sample " +
+              s"is a $detected file — fix the FORMAT declaration (no file was moved)")
+        }
+      }
+    Plan(version, resumed.isDefined, leaves, fs, root, markerPath)
+  }
+
+  /** `CONVERT TO GRAFT … DRY RUN`: the full pre-flight (so a doomed
+    * conversion refuses here with the same errors), then the discovered
+    * partition/file counts — nothing written ([[Vacuum]]'s DRY RUN
+    * posture). */
+  def preview(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition): Preview = {
+    val p = plan(spark, ctx, table)
+    val bearing = p.leaves.filter(l => l.loose.nonEmpty || l.hasLabelDir)
+    Preview(
+      partitions = if (table.isSnapshot) math.min(bearing.size, 1) else bearing.size,
+      files = p.leaves.map(_.loose.size.toLong).sum)
+  }
+
+  /** Adopt the plain directory at `table.location` as versioned table
+    * `table.name`. Returns the number of data files adopted this run;
+    * afterwards the table reads/writes like any other versioned table. */
+  def convert(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      user: UserId): Long = {
+    val log = ctx.metastore.tableVersions
+    val conf = spark.sessionState.newHadoopConf()
+    val Plan(version, resumed, leaves, fs, root, markerPath) = plan(spark, ctx, table)
+    if (!resumed) writeMarker(fs, markerPath, table, version)
 
     // move phase: every loose file renames into its dir's label subdir —
     // distributed when the file count is large (renames are independent
@@ -152,7 +217,7 @@ object ConvertToGraft {
       ()
     }
     fs.delete(markerPath, false)
-    table
+    moves.size.toLong
   }
 
   // ---- discovery -------------------------------------------------------
@@ -258,6 +323,23 @@ object ConvertToGraft {
             "they are not supported by the versioned layout")
       ColumnValue(col, value)
     })
+
+  /** Magic-byte sniff of one data file's header: "parquet" (`PAR1`),
+    * "orc" (`ORC`), or "unrecognized" — parquet and ORC both stamp their
+    * magic at offset 0, so one 4-byte read settles the declared FORMAT
+    * before any rename. */
+  private def sniffFormat(fs: FileSystem, file: HPath): Option[String] = {
+    if (fs.getFileStatus(file).getLen < 4) return Some("unrecognized (too short)")
+    val in = fs.open(file)
+    try {
+      val buf = new Array[Byte](4)
+      in.readFully(0L, buf, 0, 4)
+      if (buf(0) == 'P' && buf(1) == 'A' && buf(2) == 'R' && buf(3) == '1')
+        Some("parquet")
+      else if (buf(0) == 'O' && buf(1) == 'R' && buf(2) == 'C') Some("orc")
+      else Some("unrecognized")
+    } finally in.close()
+  }
 
   // ---- marker ----------------------------------------------------------
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
 
 import graft.core.{FileFormat, Partition, PartitionColumn, PartitionSchema, PartitionedTableVersion, TableDefinition, TableName}
 import graft.core.TableVersions.{UpdateMessage, UserId}
@@ -141,7 +141,7 @@ private[spark] object GraftMaintenanceSql {
   // data directory ([[ConvertToGraft]]): files rename into one minted
   // version label (no byte copy), one commit registers every partition
   private val ConvertStmt =
-    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+FROM\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+FROM\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?(?:\s+FORMAT\s+(\w+))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
   // SELECT is analyzed (not regex-parsed) at execution; only the
   // incrementally-maintainable shape is admitted (MaterializedView)
@@ -320,11 +320,12 @@ private[spark] object GraftMaintenanceSql {
         if isGraftCatalogRef(split(src)) && isGraftCatalogRef(split(dst)) &&
           split(src).head == split(dst).head =>
       Some(GraftDeepCloneCommand(parts(dst), parts(src), Option(asOf), Option(loc)))
-    case ConvertStmt(ident, path, cols, fmt) if isGraftCatalogRef(split(ident)) =>
+    case ConvertStmt(ident, path, cols, fmt, dry) if isGraftCatalogRef(split(ident)) =>
       Some(GraftConvertCommand(
         parts(ident), path,
         Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-        Option(fmt).map(_.toLowerCase(java.util.Locale.ROOT))))
+        Option(fmt).map(_.toLowerCase(java.util.Locale.ROOT)),
+        dryRun = Option(dry).exists(_.trim.nonEmpty)))
     case CreateMvStmt(ident, loc, select) if isGraftCatalogRef(split(ident)) =>
       Some(GraftCreateMvCommand(parts(ident), Option(loc), select.trim))
     case RefreshMvStmt(ident, full) if isGraftCatalogRef(split(ident)) =>
@@ -824,19 +825,25 @@ final case class GraftDeepCloneCommand(
 }
 
 /** `CONVERT TO GRAFT cat.db.t FROM '<path>' [PARTITIONED BY (c1, ...)]
-  * [FORMAT parquet|orc]` — the SQL spelling of [[ConvertToGraft.convert]]:
-  * adopt a pre-existing plain data directory in place (files rename into
-  * one minted version label; no byte copy) and register the result. */
+  * [FORMAT parquet|orc] [DRY RUN]` — the SQL spelling of
+  * [[ConvertToGraft.convert]]: adopt a pre-existing plain data directory
+  * in place (files rename into one minted version label; no byte copy)
+  * and register the result. DRY RUN reports the discovered
+  * partition/file counts after the full pre-flight (layout + partition
+  * values + format sniff) with nothing moved or registered. */
 final case class GraftConvertCommand(
     parts: Seq[String],
     path: String,
     partitionCols: Seq[String],
-    format: Option[String])
+    format: Option[String],
+    dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("converted", StringType, nullable = false)(),
-    AttributeReference("partitions", IntegerType, nullable = false)())
+    AttributeReference("partitions", IntegerType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("dry_run", BooleanType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val Seq(cat, db, t) = parts
@@ -865,13 +872,19 @@ final case class GraftConvertCommand(
       else PartitionSchema(partitionCols.toList.map(PartitionColumn(_))),
       fmt)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    ConvertToGraft.convert(session, ctx, defn, UserId("sql"))
+    if (dryRun) {
+      // full pre-flight (a doomed conversion refuses here with the same
+      // errors the real run would raise), zero writes
+      val p = ConvertToGraft.preview(session, ctx, defn)
+      return Seq(Row(parts.mkString("."), p.partitions, p.files, true))
+    }
+    val nFiles = ConvertToGraft.convert(session, ctx, defn, UserId("sql"))
     GraftTableCatalog.register(cat, defn)
     val nParts = binding.log.currentVersion(name) match {
       case PartitionedTableVersion(pvs) => pvs.size
       case _                            => 0
     }
-    Seq(Row(parts.mkString("."), nParts))
+    Seq(Row(parts.mkString("."), nParts, nFiles, false))
   }
 }
 

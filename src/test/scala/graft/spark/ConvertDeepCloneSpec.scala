@@ -275,6 +275,92 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
     reader.read(clone).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 3L, 4L)
   }
 
+  private def snapshotTree(loc: java.nio.file.Path): Set[String] = {
+    val walk = Files.walk(loc)
+    try walk.iterator().asScala.map(p => loc.relativize(p).toString).toSet
+    finally walk.close()
+  }
+
+  test("a mis-declared FORMAT refuses at pre-flight with zero files moved") {
+    val loc = Files.createTempDirectory("graft_convert_badfmt")
+    events.toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    val before = snapshotTree(loc)
+
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_badfmt"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Orc)
+    val e = intercept[IllegalArgumentException] {
+      ConvertToGraft.convert(spark, ctx, table, user)
+    }
+    e.getMessage should include("declared FORMAT orc")
+    e.getMessage should include("parquet file")
+    // NOTHING happened: no marker, no renames, no label dirs, no tracking
+    snapshotTree(loc) shouldBe before
+    intercept[NoSuchElementException](log.currentCommit(table.name))
+    ()
+  }
+
+  test("a Hive null-partition dir refuses at discovery with the directory untouched") {
+    val loc = Files.createTempDirectory("graft_convert_nullpart")
+    // a stock-Spark write with null partition values produces the
+    // __HIVE_DEFAULT_PARTITION__ sentinel dir
+    Seq((1L, "a", "2024-01-01"), (2L, "b", null: String))
+      .toDF("id", "kind", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    Files.exists(loc.resolve("date=__HIVE_DEFAULT_PARTITION__")) shouldBe true
+    val before = snapshotTree(loc)
+
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "conv_nullpart"), loc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    val e = intercept[IllegalArgumentException] {
+      ConvertToGraft.convert(spark, ctx, table, user)
+    }
+    e.getMessage should include("null or empty")
+    // the refusal is NON-DESTRUCTIVE: every file exactly where it was,
+    // no marker, nothing tracked — and a re-run refuses the same way
+    // instead of being stranded on a half-moved tree
+    snapshotTree(loc) shouldBe before
+    intercept[NoSuchElementException](log.currentCommit(table.name))
+    intercept[IllegalArgumentException] {
+      ConvertToGraft.convert(spark, ctx, table, user)
+    }
+    ()
+  }
+
+  test("CONVERT ... DRY RUN reports discovered counts and moves nothing") {
+    val loc = Files.createTempDirectory("graft_convert_dry")
+    events.toDS().write.mode("overwrite").partitionBy("date").parquet(loc.toString)
+    val before = snapshotTree(loc)
+
+    val log = new InMemoryTableVersions
+    spark.conf.set(
+      "spark.sql.catalog.graftconv", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftconv", log)
+    val name = "graftconv.test.conv_dry"
+
+    val dry = spark.sql(
+      s"CONVERT TO GRAFT $name FROM '${loc.toString}' " +
+        "PARTITIONED BY (date) DRY RUN").collect()
+    dry.head.getInt(1) shouldBe 3 // three date partitions discovered
+    dry.head.getLong(2) should be > 0L
+    dry.head.getBoolean(3) shouldBe true
+    // zero writes: tree identical, no marker, nothing tracked/registered
+    snapshotTree(loc) shouldBe before
+    intercept[NoSuchElementException](log.currentCommit(TableName("test", "conv_dry")))
+    GraftTableCatalog.lookup("graftconv", TableName("test", "conv_dry")) shouldBe None
+
+    // the real conversion then adopts exactly what the preview reported
+    val real = spark.sql(
+      s"CONVERT TO GRAFT $name FROM '${loc.toString}' PARTITIONED BY (date)").collect()
+    real.head.getInt(1) shouldBe 3
+    real.head.getLong(2) shouldBe dry.head.getLong(2)
+    real.head.getBoolean(3) shouldBe false
+    spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) shouldBe 4L
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext
