@@ -3946,6 +3946,28 @@ object Versioned {
         s.sql(s"SELECT count(*) FROM $cloneName").head().getLong(0),
       "clone DML must never touch the source")
 
+    // RAW-COPY tier: after its copy-on-write delete the clone is
+    // sidecar-free, so deep-cloning IT byte-copies data files as
+    // distributed per-file tasks (storage bandwidth, no decode/encode) —
+    // pinned by the audited tier line and per-file byte-size identity
+    val clone2 = s.sql(
+      s"CREATE TABLE graftq104.g.ord_deep_copy2 DEEP CLONE $cloneName").collect()
+    require(log.updates(TableName("g", "ord_deep_copy2")).map(_.message.content)
+      .exists(_.contains("raw file copy")),
+      "a sidecar-free source must deep-clone via the raw-copy tier")
+    def sizesUnder(root: String, files: Array[String]): Map[String, Long] = {
+      val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+      files.map { f =>
+        val p = java.nio.file.Paths.get(new java.net.URI(f))
+        rootPath.relativize(p).toString -> java.nio.file.Files.size(p)
+      }.toMap
+    }
+    require(
+      sizesUnder(cloned.head.getString(2), s.table(cloneName).inputFiles) ==
+        sizesUnder(clone2.head.getString(2),
+          s.table("graftq104.g.ord_deep_copy2").inputFiles),
+      "the raw-copy tier must reproduce byte-identical data files")
+
     s.sql(
       s"""SELECT 'source' AS section, o_orderstatus AS grp, count(*) AS n_rows,
          |       round(sum(o_totalprice), 2) AS total

@@ -65,15 +65,41 @@ object DeepClone {
     ctx.init(dstDefn, user, UpdateMessage(
       s"DEEP CLONE of ${src.name.fullyQualifiedName} @ ${at.id}"))
 
-    // one distributed write of the resolved rows (DV-applied, overlay-
-    // unioned, logically named). Declarations seed AFTER the write: a
-    // pre-seeded identity column would reject the batch (GENERATED ALWAYS
-    // refuses supplied ids) and a generated-column rule would re-derive
-    // values the rows already carry.
-    val rows = DeletionVectors.read(spark, log, src, Some(at))
-    if (rows.columns.nonEmpty && !rows.isEmpty) {
-      rows.versionedInsertInto(ctx, dstDefn, user, UpdateMessage(
-        s"deep clone state of ${src.name.fullyQualifiedName} @ ${at.id}"))
+    // TIER CHOICE. When the cloned state has ZERO sidecar debt — no
+    // deletion vectors, no overlay rows, no column mapping (renames/
+    // drops/widening), one partition era — the resolved rows ARE the
+    // bytes on disk, so the clone copies data files byte-for-byte as
+    // per-file distributed tasks: a 100 TB table clones at storage
+    // bandwidth instead of CPU decode+re-encode speed, and file sizes/
+    // statistics carry over exactly. Any sidecar debt falls back to the
+    // resolved-rows write (which doubles as the clone's compaction).
+    val tvAt = log.versionAt(src.name, at)
+    val sidecarFree =
+      !ColumnMapping.hasMapping(spark, log, src, Some(at)) &&
+      !DeletionVectors.hasVectors(spark, log, src, Some(at)) &&
+      RowOverlay.contributions(spark, log, src, Some(at)).isEmpty &&
+      PartitionEvolution.eraSignatures(tvAt).size <= 1
+    if (sidecarFree) {
+      val ops = rawCopy(spark, src, dstLocation, tvAt)
+      if (ops.nonEmpty) {
+        ctx.metastore.commit(dst, TableUpdate(
+          user,
+          UpdateMessage(s"deep clone (raw file copy) state of " +
+            s"${src.name.fullyQualifiedName} @ ${at.id}"),
+          Instant.now(), ops))
+        ()
+      }
+    } else {
+      // one distributed write of the resolved rows (DV-applied, overlay-
+      // unioned, logically named). Declarations seed AFTER the write: a
+      // pre-seeded identity column would reject the batch (GENERATED
+      // ALWAYS refuses supplied ids) and a generated-column rule would
+      // re-derive values the rows already carry.
+      val rows = DeletionVectors.read(spark, log, src, Some(at))
+      if (rows.columns.nonEmpty && !rows.isEmpty) {
+        rows.versionedInsertInto(ctx, dstDefn, user, UpdateMessage(
+          s"deep clone state of ${src.name.fullyQualifiedName} @ ${at.id}"))
+      }
     }
 
     val constraints = Constraints.list(spark, src)
@@ -110,5 +136,63 @@ object DeepClone {
       ()
     }
     dstDefn
+  }
+
+  /** The distcp-shaped copy: list the state's version dirs distributed
+    * (one task per dir — names only return to the driver, the
+    * Vacuum/Convert listing bound), then byte-copy each data file as its
+    * own task. The clone reuses the SOURCE's version labels (labels are
+    * mint-unique; dirs differ by table location), so the returned ops
+    * register the copied dirs verbatim. */
+  private def rawCopy(
+      spark: SparkSession,
+      src: TableDefinition,
+      dstLocation: URI,
+      tv: TableVersion): List[TableVersions.TableOperation] = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val (dirPairs, ops) = tv match {
+      case SnapshotTableVersion(v) if v == Version.Unversioned =>
+        (Nil, Nil) // never-written source: nothing to copy
+      case SnapshotTableVersion(v) =>
+        (List((VersionPaths.pathFor(src.location, v).toString,
+          VersionPaths.pathFor(dstLocation, v).toString)),
+          List(TableVersions.TableOperation.AddTableVersion(v)))
+      case PartitionedTableVersion(pvs) =>
+        (pvs.toList.map { case (p, v) =>
+          (SparkPaths.dirFor(src.location, p, v), SparkPaths.dirFor(dstLocation, p, v))
+        },
+          pvs.toList.map { case (p, v) =>
+            TableVersions.TableOperation.AddPartitionVersion(p, v)
+          })
+    }
+    if (dirPairs.isEmpty) return Nil
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val sc = spark.sparkContext
+    val listSlices = math.max(1, math.min(dirPairs.size, sc.defaultParallelism))
+    val files = sc.parallelize(dirPairs, listSlices).flatMap { case (s, d) =>
+      val fs = new HPath(s).getFileSystem(sconf.value)
+      fs.listStatus(new HPath(s)).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (s, d, st.getPath.getName))
+    }.collect().toSeq
+    if (files.nonEmpty) {
+      val copySlices = math.max(1, math.min(files.size, sc.defaultParallelism))
+      sc.parallelize(files, copySlices).foreachPartition { it =>
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        it.foreach { case (s, d, name) =>
+          if (fs == null) fs = new HPath(s).getFileSystem(sconf.value)
+          val dstDir = new HPath(d)
+          fs.mkdirs(dstDir)
+          if (!FileUtil.copy(
+              fs, new HPath(new HPath(s), name),
+              fs, new HPath(dstDir, name),
+              false, true, sconf.value))
+            sys.error(s"DEEP CLONE: failed to copy $s/$name to $d/$name")
+        }
+      }
+    }
+    ops
   }
 }

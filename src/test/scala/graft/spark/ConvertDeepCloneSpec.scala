@@ -275,6 +275,68 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
     reader.read(clone).as[Event].collect().map(_.id).sorted shouldBe Array(1L, 3L, 4L)
   }
 
+  test("deep clone of a sidecar-free state is a raw byte-for-byte file copy") {
+    val (ctx, log) = freshContext()
+    val srcLoc = Files.createTempDirectory("graft_deep_raw_src")
+    val src = TableDefinition(
+      TableName("test", "deep_raw_src"), srcLoc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("init"))
+    events.toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    // v2 REPLACES partition 2024-01-02 (Hive replace-touched semantics)
+    Seq(Event(5, "d", "2024-01-02"))
+      .toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v2"))
+
+    val dstLoc = Files.createTempDirectory("graft_deep_raw_dst")
+    val clone = DeepClone.clone(
+      spark, ctx, src, TableName("test", "deep_raw_dst"), dstLoc.toUri, user)
+
+    // data files match by RELATIVE PATH (same partition dirs, same
+    // version labels, same file names) and BYTE SIZE — nothing was
+    // decoded or re-encoded
+    def dataFiles(root: java.nio.file.Path): Map[String, Long] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => root.relativize(p).toString -> Files.size(p)).toMap
+      finally walk.close()
+    }
+    val srcFiles = dataFiles(srcLoc)
+    val dstFiles = dataFiles(dstLoc)
+    // the source tree read only reflects the LIVE state (v2 replaced
+    // 01-02's v1 dir, which stays on disk for time travel) — the clone
+    // holds exactly the live state's files
+    dstFiles.keySet.subsetOf(srcFiles.keySet) shouldBe true
+    dstFiles.foreach { case (rel, size) => srcFiles(rel) shouldBe size }
+    dstFiles should not be empty
+    // and the bytes are IDENTICAL, not merely same-sized
+    dstFiles.keys.foreach { rel =>
+      java.util.Arrays.equals(
+        Files.readAllBytes(srcLoc.resolve(rel)),
+        Files.readAllBytes(dstLoc.resolve(rel))) shouldBe true
+    }
+    // the raw tier is auditable in the clone's history
+    log.updates(clone.name).map(_.message.content)
+      .exists(_.contains("raw file copy")) shouldBe true
+    // and the clone reads as the cloned state
+    VersionedReader(spark, log).read(clone)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 4L, 5L)
+
+    // a DV-bearing source must NOT raw-copy (the resolved tier
+    // materializes) — pinned by the absence of the raw-tier audit line
+    DeletionVectors.delete(
+      ctx, log, src, col("id") === 2, user, UpdateMessage("dv"))
+    val clone2 = DeepClone.clone(
+      spark, ctx, src, TableName("test", "deep_raw_dst2"),
+      Files.createTempDirectory("graft_deep_raw_dst2").toUri, user)
+    log.updates(clone2.name).map(_.message.content)
+      .exists(_.contains("raw file copy")) shouldBe false
+    VersionedReader(spark, log).read(clone2)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 4L, 5L)
+  }
+
   private def snapshotTree(loc: java.nio.file.Path): Set[String] = {
     val walk = Files.walk(loc)
     try walk.iterator().asScala.map(p => loc.relativize(p).toString).toSet
