@@ -637,9 +637,6 @@ final case class GraftUpdateCommand(
       DeletionVectors.read(session, binding.log, defn),
       session, binding.log, defn, None)
     if (current.columns.isEmpty) return Seq.empty // never written
-    // a no-match UPDATE must not commit: the history would gain a junk
-    // entry (and a snapshot table a full identical rewrite) for a no-op
-    if (current.where(cond).isEmpty) return Seq.empty
     val byName = assignments.map { case (n, e) => n.toLowerCase -> GraftDml.column(e.expr) }.toMap
     val partColsDef = defn.partitionSchema.columns
     val names = partColsDef.map(_.name)
@@ -651,49 +648,62 @@ final case class GraftUpdateCommand(
     // write REPLACES the partition, so its existing rows have to carry),
     // and a source emptied of everything removes in the same commit.
     val migrating = !defn.isSnapshot && byName.keys.exists(partSet.contains)
-    val (scope, alsoRemove) =
-      if (defn.isSnapshot) (current, Nil)
+    // a no-match UPDATE must not commit: the history would gain a junk
+    // entry (and a snapshot table a full identical rewrite) for a no-op.
+    // The migrating branch derives this from its own single pass instead.
+    if (!migrating && current.where(cond).isEmpty) return Seq.empty
+    val (scope, alsoRemove, cached) =
+      if (defn.isSnapshot) (current, Nil, None)
       else if (!migrating) {
         // touched-partition set is #partitions rows — metadata-sized,
         // safe to broadcast at any scale
         val touched = current.where(cond).select(names.map(col): _*).distinct()
-        (current.join(broadcast(touched), names.toSeq, "left_semi"), Nil)
+        (current.join(broadcast(touched), names.toSeq, "left_semi"), Nil, None)
       } else {
         import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
-        val matched = current.where(cond)
-        // where the updated rows LAND (post-assignment partition values)
-        val dstRows = matched.select(names.map { n =>
-          byName.get(n.toLowerCase).map(_.cast("string")).getOrElse(col(n).cast("string")).as(n)
-        }: _*).distinct().collect()
-        dstRows.foreach(r => require(
-          (0 until r.length).forall(i => !r.isNullAt(i) && r.getString(i).nonEmpty),
+        // ONE DV-aware pass over the matched rows projects BOTH the
+        // source and the post-assignment destination partition values
+        // (a two-sided distinct — #partition-pairs rows back, metadata-
+        // sized). The no-match probe, the source set, and the
+        // destination set all derive from this single scan.
+        val n = names.size
+        val pairs = current.where(cond).select(
+          names.map(c0 => col(c0).cast("string").as(s"__src_$c0")) ++
+            names.map(c0 => byName.get(c0.toLowerCase).map(_.cast("string"))
+              .getOrElse(col(c0).cast("string")).as(s"__dst_$c0")): _*)
+          .distinct().collect()
+        if (pairs.isEmpty) return Seq.empty
+        pairs.foreach(r => require(
+          names.indices.forall(i => !r.isNullAt(n + i) && r.getString(n + i).nonEmpty),
           s"UPDATE sets partition column(s) ${names.mkString(", ")} to NULL/empty — " +
             "rows need a concrete partition to land in"))
-        // where they CAME from
-        val srcRows = matched
-          .select(names.map(col(_).cast("string")): _*).distinct().collect()
-        val schema = StructType(names.map(n =>
-          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+        val srcVals = pairs.map(r => names.indices.map(r.getString).toList).toSet
+        val dstSet = pairs.map(r => names.indices.map(i => r.getString(n + i)).toList).toSet
+        val schema = StructType(names.map(c0 =>
+          org.apache.spark.sql.types.StructField(c0, org.apache.spark.sql.types.StringType)))
         val wantedDf = session.createDataFrame(
-          java.util.Arrays.asList((srcRows ++ dstRows).distinct: _*), schema)
+          java.util.Arrays.asList(
+            (srcVals ++ dstSet).toSeq.map(vs => Row.fromSeq(vs)): _*), schema)
+        // persisted ONCE: the carried-partition probe below and the final
+        // rewrite both read this scoped scan — without the persist each
+        // would be its own full DV-aware pass over the wanted partitions
         val scoped = current.join(broadcast(wantedDf), names.toSeq, "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // a source partition with no carried row and no arriving row is
         // EMPTIED — its RemovePartition rides the same atomic commit
         val carried = scoped.where(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false)))
           .select(names.map(col(_).cast("string")): _*).distinct().collect()
           .map(r => names.indices.map(r.getString).toList).toSet
-        val dstSet = dstRows.map(r => names.indices.map(r.getString).toList).toSet
         val before = binding.log.currentVersion(defn.name) match {
           case PartitionedTableVersion(pvs) => pvs.keySet
           case _                            => Set.empty[Partition]
         }
-        val emptied = srcRows
-          .map(r => names.indices.map(r.getString).toList)
+        val emptied = srcVals.toList
           .filter(vs => !dstSet.contains(vs) && !carried.contains(vs))
-          .map(vs => Partition(partColsDef.zip(vs).map { case (c, v) => ColumnValue(c, v) }))
-          .filter(before.contains).toList
-        (scoped, emptied)
+          .map(vs => Partition(partColsDef.zip(vs).map { case (c0, v) => ColumnValue(c0, v) }))
+          .filter(before.contains)
+        (scoped, emptied, Some(scoped))
       }
     val updated = scope.select(scope.columns.map { c =>
       byName.get(c.toLowerCase) match {
@@ -703,7 +713,9 @@ final case class GraftUpdateCommand(
         case None    => col(c)
       }
     }: _*)
-    GraftDml.commit(defn, binding, updated, "UPDATE (SQL)", readCommit, alsoRemove = alsoRemove)
+    try GraftDml.commit(
+      defn, binding, updated, "UPDATE (SQL)", readCommit, alsoRemove = alsoRemove)
+    finally cached.foreach { d => d.unpersist(); () }
     Seq.empty
   }
 }

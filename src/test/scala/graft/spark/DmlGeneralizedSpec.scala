@@ -241,4 +241,50 @@ class DmlGeneralizedSpec extends AnyFunSuite with Matchers {
     }
     e.getMessage should include("partition")
   }
+
+  test("partition-migration UPDATE runs ONE matched file pass; probe and rewrite read the persisted scoped scan") {
+    val t = mkTable("part_migrate_scans")
+    Seq(
+      Event(1, "a", "2024-01-01"), Event(2, "b", "2024-01-01"),
+      Event(3, "c", "2024-01-02"), Event(4, "d", "2024-01-03"))
+      .toDS().versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(
+        "UPDATE graftdg.db.part_migrate_scans SET date = '2024-01-02' WHERE id = 1")
+      // listener events dispatch async — wait for the stream to go quiet
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+    } finally spark.listenerManager.unregister(listener)
+
+    val marker = "part_migrate_scans"
+    val mine = new java.util.ArrayList(plans)
+    val snap = (0 until mine.size).map(mine.get).filter(_.contains(marker)).toList
+    // the single-pass scope: exactly ONE execution file-scans the table
+    // directly (the matched src+dst pair pass) — never the old
+    // probe/dst/src/carried quartet of full DV-aware scans
+    val direct = snap.filter(p => p.contains("FileScan") && !p.contains("InMemoryTableScan"))
+    withClue(s"direct file-scan plans:\n${direct.mkString("\n---\n")}\n") {
+      direct.size shouldBe 1
+    }
+    // the carried-partition probe and the final rewrite both read the
+    // PERSISTED scoped scan instead of re-scanning files
+    snap.count(_.contains("InMemoryTableScan")) should be >= 2
+  }
 }
