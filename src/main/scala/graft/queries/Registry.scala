@@ -724,6 +724,19 @@ object Registry {
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q108_show_create" -> Entry(
+      Versioned.q108ShowCreate,
+      // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +
+      // one ALTER per declaration) replays re-pointed onto a second
+      // table whose declaration lists must reproduce exactly (pinned
+      // in-query); the customer load then runs through the RECREATED
+      // table's identity/generation/constraint machinery, so this
+      // oracle match is the round-trip proof
+      Some("""SELECT c_mktsegment, lower(c_mktsegment) AS seg_lower,
+             |       count(*) AS n, count(*) AS n_ids,
+             |       round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     "q107_nested_widening" -> Entry(
       Versioned.q107NestedWidening,
       // nested TYPE widening: ALTER COLUMN meta.cnt/price widens struct

@@ -3416,6 +3416,85 @@ object Versioned {
          |FROM $name GROUP BY meta.prio ORDER BY prio""".stripMargin)
   }
 
+  /** Q108: SHOW CREATE TABLE ([[graft.spark.GraftShowCreateTableCommand]])
+    * — the full round-trippable DDL script: CREATE (schema, format,
+    * partitioning, LOCATION, TBLPROPERTIES) plus one ALTER per sidecar
+    * declaration (CHECK constraint, generated column WITH its recorded
+    * type, identity column, column default). The query pins the script
+    * content, REPLAYS it re-pointed onto a second table, pins that every
+    * declaration list reproduced exactly, then loads the RECREATED table
+    * through its carried declarations (identity stamps, generation
+    * derives, constraint enforces) — the returned aggregate runs over the
+    * recreated table, so the oracle match IS the round-trip proof. */
+  def q108ShowCreate(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq108", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq108", log)
+    val srcLoc = Files.createTempDirectory("graft_q108_src").toUri
+    val src = "graftq108.g.cust_ddl"
+    s.sql(
+      s"""CREATE TABLE $src (
+         |  c_custkey BIGINT NOT NULL, c_acctbal DOUBLE, c_mktsegment STRING)
+         |USING parquet PARTITIONED BY (c_mktsegment) LOCATION '$srcLoc'
+         |TBLPROPERTIES ('graft.compact.minFiles' = '7', 'team' = 'pipeline')""".stripMargin)
+    s.sql(s"ALTER TABLE $src ADD CONSTRAINT bal_known CHECK (c_acctbal > -1000.0)")
+    s.sql(s"ALTER TABLE $src ADD COLUMN seg_lower STRING GENERATED ALWAYS AS (lower(c_mktsegment))")
+    s.sql(s"ALTER TABLE $src ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY")
+    s.sql(s"ALTER TABLE $src ALTER COLUMN c_acctbal SET DEFAULT 0.0")
+
+    val script = s.sql(s"SHOW CREATE TABLE $src").head().getString(0)
+    for (piece <- Seq(
+        "c_custkey` BIGINT NOT NULL", "PARTITIONED BY (`c_mktsegment`)",
+        "'team' = 'pipeline'", "ADD CONSTRAINT bal_known CHECK (c_acctbal > -1000.0)",
+        "ADD COLUMN seg_lower STRING GENERATED ALWAYS AS (lower(c_mktsegment))",
+        "ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY",
+        "ALTER COLUMN c_acctbal SET DEFAULT 0.0"))
+      require(script.contains(piece), s"SHOW CREATE TABLE must emit: $piece")
+
+    // REPLAY the script re-pointed: new name, fresh location
+    val emittedLoc = "LOCATION '([^']+)'".r.findFirstMatchIn(script).get.group(1)
+    val dstLoc = Files.createTempDirectory("graft_q108_dst").toUri
+    val dst = "graftq108.g.cust_ddl2"
+    script.replace(src, dst)
+      .replace(s"LOCATION '$emittedLoc'", s"LOCATION '$dstLoc'")
+      .split(";\n").foreach(stmt => s.sql(stmt).collect())
+
+    // every declaration kind reproduced exactly
+    val parts = PartitionSchema(List(PartitionColumn("c_mktsegment")))
+    val srcDefn = TableDefinition(
+      TableName("g", "cust_ddl"), new java.net.URI(emittedLoc), parts, FileFormat.Parquet)
+    val dstDefn = TableDefinition(
+      TableName("g", "cust_ddl2"), dstLoc, parts, FileFormat.Parquet)
+    require(graft.spark.TableProperties.list(s, dstDefn) ==
+      graft.spark.TableProperties.list(s, srcDefn),
+      "TBLPROPERTIES must round-trip")
+    require(graft.spark.Constraints.list(s, dstDefn).map(c => (c.name, c.expr)) ==
+      graft.spark.Constraints.list(s, srcDefn).map(c => (c.name, c.expr)),
+      "constraints must round-trip")
+    require(graft.spark.GeneratedColumns.list(s, dstDefn).map(g => (g.column, g.expr)) ==
+      graft.spark.GeneratedColumns.list(s, srcDefn).map(g => (g.column, g.expr)),
+      "generation rules must round-trip")
+    require(graft.spark.ColumnDefaults.list(s, dstDefn) ==
+      graft.spark.ColumnDefaults.list(s, srcDefn),
+      "column defaults must round-trip")
+    require(graft.spark.IdentityColumns.declared(s, dstDefn).contains("rid"),
+      "the identity declaration must round-trip")
+
+    // load the RECREATED table through its carried declarations: identity
+    // stamps, generation derives, the constraint admits the batch
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q108_cust")
+    s.sql(
+      s"""INSERT INTO $dst (c_custkey, c_acctbal, c_mktsegment)
+         |SELECT c_custkey, c_acctbal, c_mktsegment FROM q108_cust""".stripMargin)
+
+    s.sql(
+      s"""SELECT c_mktsegment, seg_lower, count(*) AS n,
+         |       count(DISTINCT rid) AS n_ids,
+         |       round(sum(c_acctbal), 2) AS sum_bal
+         |FROM $dst GROUP BY c_mktsegment, seg_lower ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Q107: NESTED-FIELD TYPE WIDENING ([[graft.spark.ColumnMapping.widenPath]])
     * — `ALTER TABLE t ALTER COLUMN meta.cnt TYPE BIGINT` as a path-keyed
     * column-mapping entry, metadata-only at depth: files written before

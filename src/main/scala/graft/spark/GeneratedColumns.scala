@@ -40,7 +40,13 @@ object GeneratedColumns {
     * different zones, so [[GraftGeneratedPruningRule]] refuses to derive
     * pruning bounds when the reader's zone disagrees with the recorded
     * write-side zone (or when none was recorded — pre-zone metadata). */
-  final case class GeneratedColumn(column: String, expr: String, zone: Option[String] = None)
+  /** `tpe`: the DECLARED SQL type when the rule arrived with one (the
+    * `ADD COLUMN c <type> GENERATED ALWAYS AS (...)` spelling) — SHOW
+    * CREATE TABLE re-emits it; absent for rules declared through the
+    * Scala API (the column's type then lives in the data files). */
+  final case class GeneratedColumn(
+      column: String, expr: String, zone: Option[String] = None,
+      tpe: Option[String] = None)
 
   private val LegacyFileName = "_generated.json"
   private val mapper = new ObjectMapper()
@@ -73,7 +79,9 @@ object GeneratedColumns {
       val c = node.get(i)
       val zone =
         if (c.has("zone") && !c.get("zone").isNull) Some(c.get("zone").asText()) else None
-      GeneratedColumn(c.get("column").asText(), c.get("expr").asText(), zone)
+      val tpe =
+        if (c.has("type") && !c.get("type").isNull) Some(c.get("type").asText()) else None
+      GeneratedColumn(c.get("column").asText(), c.get("expr").asText(), zone, tpe)
     }
   }
 
@@ -133,6 +141,7 @@ object GeneratedColumns {
       val n = mapper.createObjectNode()
       n.put("column", g.column); n.put("expr", g.expr)
       g.zone.foreach(n.put("zone", _))
+      g.tpe.foreach(n.put("type", _))
       arr.add(n)
     }
     val p = filePath(table)
@@ -141,8 +150,11 @@ object GeneratedColumns {
   }
 
   /** The write-path gate: compute absent generated columns, validate
-    * supplied ones (null-safe equality — a disagreement raises inside the
-    * write job, pre-commit). */
+    * supplied NON-NULL values (a disagreement raises inside the write
+    * job, pre-commit), and DERIVE null slots — a SQL column-list INSERT
+    * that omits the column arrives with the analyzer's NULL fill, which
+    * must read as "omitted", not as a supplied value (the Delta
+    * generated-column fill contract). */
   def applied(df: DataFrame, table: TableDefinition): DataFrame = {
     val gs =
       try list(df.sparkSession, table)
@@ -154,10 +166,12 @@ object GeneratedColumns {
         acc.withColumn(g.column, expr(g.expr))
       else
         acc.filter(coalesce(
-          when(!(col(g.column) <=> expr(g.expr)), raise_error(lit(
-            s"GENERATED column ${g.column} violated on write to " +
-              s"${table.name.fullyQualifiedName}: expected ${g.expr}"))),
+          when(col(g.column).isNotNull && !(col(g.column) <=> expr(g.expr)),
+            raise_error(lit(
+              s"GENERATED column ${g.column} violated on write to " +
+                s"${table.name.fullyQualifiedName}: expected ${g.expr}"))),
           lit(true)))
+          .withColumn(g.column, coalesce(col(g.column), expr(g.expr)))
     }
   }
 }

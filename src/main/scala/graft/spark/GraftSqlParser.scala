@@ -142,6 +142,12 @@ private[spark] object GraftMaintenanceSql {
   // version label (no byte copy), one commit registers every partition
   private val ConvertStmt =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+FROM\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?(?:\s+FORMAT\s+(\w+))?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  // SHOW CREATE TABLE cat.db.t — the full round-trippable DDL script:
+  // CREATE (schema/format/partitioning/LOCATION/TBLPROPERTIES) plus the
+  // ALTER statements for every sidecar declaration (constraints,
+  // generated/identity/default columns, row tracking)
+  private val ShowCreateStmt =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
   // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
   // SELECT is analyzed (not regex-parsed) at execution; only the
   // incrementally-maintainable shape is admitted (MaterializedView)
@@ -161,7 +167,7 @@ private[spark] object GraftMaintenanceSql {
   // Delta spelling; records the generation rule (write-path derivation +
   // validation), the column itself materializes via additive evolution
   private val AddGeneratedStmt =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ADD\s+COLUMN\s+(\w+)\s+\w+\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
   // ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY — the
   // Delta identity spelling (no parens — disjoint from AddGeneratedStmt):
   // declares the engine-assigned id column; SQL INSERTs then stamp it
@@ -346,8 +352,10 @@ private[spark] object GraftMaintenanceSql {
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (names.isEmpty) sys.error("SET PARTITIONED BY needs at least one column")
       Some(GraftSetPartitionedCommand(parts(ident), names, metaOnly != null))
-    case AddGeneratedStmt(ident, column, genExpr) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftAddGeneratedColumnCommand(parts(ident), column, genExpr.trim))
+    case AddGeneratedStmt(ident, column, colType, genExpr) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftAddGeneratedColumnCommand(
+        parts(ident), column, genExpr.trim,
+        colType = Some(colType.toUpperCase(java.util.Locale.ROOT))))
     case CreateRefStmt(ident, kind, name, asOf) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRefCommand(
         parts(ident), name, isTag = kind.equalsIgnoreCase("TAG"),
@@ -382,6 +390,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftAddConstraintCommand(parts(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
       Some(GraftDropConstraintCommand(parts(ident), name))
+    case ShowCreateStmt(ident) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftShowCreateTableCommand(parts(ident)))
     case _ => None
   }
 
@@ -888,6 +898,86 @@ final case class GraftConvertCommand(
   }
 }
 
+/** `SHOW CREATE TABLE cat.db.t` — the full ROUND-TRIPPABLE DDL for a graft
+  * table, as a script: the CREATE TABLE statement (schema, USING format,
+  * PARTITIONED BY, LOCATION, TBLPROPERTIES) followed by one ALTER
+  * statement per sidecar declaration, in their own declared spellings —
+  * `ADD CONSTRAINT nm CHECK (...)` (NOT NULL constraints emit as the
+  * equivalent `CHECK (c IS NOT NULL)`), `ADD COLUMN c t GENERATED ALWAYS
+  * AS (expr)`, `ADD COLUMN c t GENERATED ALWAYS AS IDENTITY`,
+  * `SET ROW TRACKING`, `ALTER COLUMN c SET DEFAULT expr`. Generated and
+  * identity columns are omitted from the CREATE column list (their ALTER
+  * statements materialize them), so running the script verbatim — with
+  * LOCATION re-pointed — reproduces an equivalent table on another
+  * catalog. Statements separate with `;`. */
+final case class GraftShowCreateTableCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val Seq(cat, db, t) = parts
+    try session.sessionState.catalogManager.catalog(cat)
+    catch { case _: Exception => () }
+    val name = TableName(db, t)
+    val (binding, defn) = GraftTableCatalog.lookup(cat, name).getOrElse(
+      sys.error(s"SHOW CREATE TABLE: ${parts.mkString(".")} is not a graft table"))
+    val full = parts.mkString(".")
+    // the DECLARED schema slot keeps CREATE-time nullability; the served
+    // relation (everything nullable — file-scan posture) is the fallback
+    val schema = binding.tables.get(defn.name.fullyQualifiedName)
+      .flatMap(_._2).getOrElse(session.table(full).schema)
+    val generated = GeneratedColumns.list(session, defn)
+    val identity = IdentityColumns.declared(session, defn)
+    val defaults = ColumnDefaults.list(session, defn)
+    val constraints = Constraints.list(session, defn)
+    val props = TableProperties.list(session, defn)
+
+    def esc(s: String): String = s.replace("'", "''")
+    def typeOf(c: String): String = schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql).getOrElse("BIGINT")
+    val omitted = (generated.map(_.column.toLowerCase) ++
+      identity.map(_.toLowerCase)).toSet
+    val colLines = schema.fields.toSeq
+      .filterNot(f => omitted.contains(f.name.toLowerCase))
+      .map(f => s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+
+    val create = new StringBuilder
+    create ++= s"CREATE TABLE $full (\n${colLines.mkString(",\n")})\n"
+    create ++= s"USING ${defn.format.name}"
+    if (!defn.isSnapshot)
+      create ++= "\nPARTITIONED BY (" +
+        defn.partitionSchema.columns.map(c => s"`${c.name}`").mkString(", ") + ")"
+    create ++= s"\nLOCATION '${esc(defn.location.toString)}'"
+    if (props.nonEmpty)
+      create ++= "\nTBLPROPERTIES (\n" + props.toSeq.sortBy(_._1).map {
+        case (k, v) => s"  '${esc(k)}' = '${esc(v)}'"
+      }.mkString(",\n") + ")"
+
+    val alters = scala.collection.mutable.ListBuffer.empty[String]
+    // row tracking / identity must land before the first data commit, so
+    // they lead the ALTER block
+    identity.foreach { c =>
+      if (c == RowTracking.RowIdCol) alters += s"ALTER TABLE $full SET ROW TRACKING"
+      else alters +=
+        s"ALTER TABLE $full ADD COLUMN $c ${typeOf(c)} GENERATED ALWAYS AS IDENTITY"
+    }
+    generated.foreach(g => alters +=
+      s"ALTER TABLE $full ADD COLUMN ${g.column} " +
+        s"${g.tpe.getOrElse(typeOf(g.column))} GENERATED ALWAYS AS (${g.expr})")
+    defaults.foreach(d => alters +=
+      s"ALTER TABLE $full ALTER COLUMN ${d.column} SET DEFAULT ${d.expr}")
+    constraints.foreach {
+      case Constraints.Constraint(n, "notnull", c) =>
+        alters += s"ALTER TABLE $full ADD CONSTRAINT $n CHECK ($c IS NOT NULL)"
+      case Constraints.Constraint(n, _, expr) =>
+        alters += s"ALTER TABLE $full ADD CONSTRAINT $n CHECK ($expr)"
+    }
+    Seq(Row((create.toString +: alters.toList).mkString(";\n")))
+  }
+}
+
 /** `CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ...` — the
   * SELECT is ANALYZED (Catalyst, not regex) and must be the
   * incrementally-maintainable shape ([[MaterializedView]]): one graft
@@ -958,7 +1048,8 @@ final case class GraftRefreshMvCommand(mvParts: Seq[String], full: Boolean)
   * row-level validation when supplied); the column itself materializes on
   * the next write and reads through additive schema evolution. */
 final case class GraftAddGeneratedColumnCommand(
-    parts: Seq[String], column: String, genExpr: String) extends LeafRunnableCommand {
+    parts: Seq[String], column: String, genExpr: String,
+    colType: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("column", StringType, nullable = false)(),
@@ -967,8 +1058,24 @@ final case class GraftAddGeneratedColumnCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    // rule first (it validates against the REAL file contents — after a
+    // schema widen, pre-declaration rows would read the column as NULL
+    // and falsely disagree with the rule)…
     GeneratedColumns.add(
-      session, ctx, defn, GeneratedColumns.GeneratedColumn(column, genExpr), UserId("sql"))
+      session, ctx, defn,
+      GeneratedColumns.GeneratedColumn(column, genExpr, tpe = colType), UserId("sql"))
+    // …then widen the declared schema (the identity-column discipline) so
+    // the relation serves the column — pre-declaration rows as typed NULL
+    // — and the analyzer resolves it; skipped when the rule covers a
+    // column the data already carries
+    colType.foreach { t =>
+      if (!session.table(parts.mkString("."))
+          .schema.fieldNames.exists(_.equalsIgnoreCase(column))) {
+        session.sql(
+          s"ALTER TABLE ${parts.mkString(".")} ADD COLUMNS ($column $t)").collect()
+        ()
+      }
+    }
     Seq(Row(column, s"generated always as ($genExpr)"))
   }
 }
