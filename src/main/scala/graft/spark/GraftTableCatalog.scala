@@ -383,25 +383,26 @@ final class GraftTableCatalog extends TableCatalog {
     val tableName = tableNameOf(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val (defn, declared) = definitionOf(ident)
-    // property changes are metadata-only and independent of the schema
-    // fold: batch a statement's SETs/UNSETs into one write + audit commit
     val setProps = changes.collect {
       case p: TableChange.SetProperty => p.property() -> p.value()
     }.toMap
     val unsetProps = changes.collect {
       case p: TableChange.RemoveProperty => p.property()
     }
-    if (setProps.nonEmpty || unsetProps.nonEmpty) {
-      val spark = SparkSession.active
-      val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-      if (setProps.nonEmpty)
-        TableProperties.set(spark, ctx, defn, setProps, UserId("sql"))
-      if (unsetProps.nonEmpty)
-        TableProperties.unset(spark, ctx, defn, unsetProps, UserId("sql"))
-      if (changes.size == setProps.size + unsetProps.size) return loadTable(ident)
-    }
+    // ATOMICITY DISCIPLINE for a mixed ALTER: property values validate
+    // FIRST (pure — a bad value refuses with nothing applied), the schema
+    // fold runs next, and the property write lands LAST — a failing
+    // schema change therefore never leaves half a statement applied
+    if (setProps.nonEmpty) TableProperties.validate(defn, setProps)
+    def applyProps(): Unit =
+      if (setProps.nonEmpty || unsetProps.nonEmpty)
+        TableProperties.applyChanges(
+          SparkSession.active,
+          VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, setProps, unsetProps, UserId("sql"))
     val schemaChanges = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+    if (schemaChanges.isEmpty) { applyProps(); return loadTable(ident) }
     val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
     // captured BEFORE the fold: TYPE WIDENING commits its audit entry
     // inside the fold (ColumnMapping.widenPath), and the schema-state
@@ -518,6 +519,7 @@ final class GraftTableCatalog extends TableCatalog {
       SchemaStates.record(
         SparkSession.active, defn, base, preFold, widened,
         binding.log.currentCommit(defn.name))
+    applyProps()
     loadTable(ident)
   }
 

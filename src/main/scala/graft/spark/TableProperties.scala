@@ -57,26 +57,80 @@ object TableProperties {
       Partition.normalizedDir(table.location).toString +
         s"_tblproperties/${table.name.fullyQualifiedName}.json")
 
+  /** Behavior keys with a typed contract — validated at declaration time
+    * so a bad value refuses at SET/CREATE instead of breaking every
+    * subsequent DML statement that consults the key. */
+  private val BooleanKeys = Set(MergeOnRead, AutoMergeSchema, StatsAutoUpdate, AutoOptimize)
+  private val IntKeys = Set(
+    AutoOptimizeMinFiles, "graft.vacuum.retainCommits",
+    "graft.vacuum.retainHours", "graft.vacuum.graceMinutes")
+
+  /** Refuse values the behavior keys cannot parse. Arbitrary other keys
+    * store verbatim (annotations are legal). Also the PRE-FLIGHT a mixed
+    * ALTER runs before its schema fold, so a doomed statement refuses
+    * before anything lands. */
+  private[spark] def validate(table: TableDefinition, props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      if (BooleanKeys.contains(k))
+        require(v.trim.toBooleanOption.isDefined,
+          s"invalid value '$v' for boolean property $k on " +
+            s"${table.name.fullyQualifiedName} — expected true or false")
+      else if (IntKeys.contains(k))
+        require(v.trim.toIntOption.exists(_ >= 0),
+          s"invalid value '$v' for integer property $k on " +
+            s"${table.name.fullyQualifiedName} — expected a non-negative integer")
+    }
+
+  /** SHORT-LIVED per-path cache: the behavior keys are consulted inside
+    * analyzer rules (DML routing, MERGE widening gates), which run in
+    * fixed-point batches — without memoization each statement pays
+    * several uncached sidecar reads, costly on object stores. Entries
+    * invalidate on every [[set]]/[[unset]]/[[seed]] through this process
+    * and expire after [[CacheTtlMs]] so another writer's change is seen
+    * promptly (the keys are advisory behavior toggles, not correctness
+    * state — a one-TTL lag is benign). */
+  private val CacheTtlMs = 30000L
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
+
+  /** Test/ops hook: drop every cached property map. */
+  private[graft] def invalidateCache(): Unit = cache.clear()
+
   /** The table's recorded properties (empty when none were ever set).
-    * One driver-side metadata probe — the same bound as a constraints
-    * read. */
+    * One driver-side metadata probe, memoized per path. */
   def list(spark: SparkSession, table: TableDefinition): Map[String, String] = {
     val p = keyedPath(table)
+    val key = p.toString
+    val now = System.currentTimeMillis()
+    val hit = cache.get(key)
+    if (hit != null && now - hit._1 < CacheTtlMs) return hit._2
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val node = mapper.readTree(text)
-    val it = node.fieldNames()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
-    b.result()
+    val props =
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = mapper.readTree(text)
+        val it = node.fieldNames()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
+        b.result()
+      }
+    cache.put(key, (now, props))
+    props
   }
 
   def get(spark: SparkSession, table: TableDefinition, key: String): Option[String] =
     list(spark, table).get(key)
+
+  private def parsed[A](
+      table: TableDefinition, key: String, v: String, kind: String,
+      parse: String => Option[A]): A =
+    parse(v.trim).getOrElse(throw new IllegalArgumentException(
+      s"table ${table.name.fullyQualifiedName} carries invalid $kind value " +
+        s"'$v' for property $key — fix it with ALTER TABLE SET TBLPROPERTIES"))
 
   /** Table property if present, else session conf `spark.<key>`, else
     * `default` — the single resolution rule every behavior key uses. */
@@ -85,8 +139,8 @@ object TableProperties {
       table: TableDefinition,
       key: String,
       default: Boolean = false): Boolean =
-    get(spark, table, key).map(_.trim.toBoolean).getOrElse(
-      spark.conf.get("spark." + key, default.toString).toBoolean)
+    get(spark, table, key).map(parsed(table, key, _, "boolean", _.toBooleanOption))
+      .getOrElse(spark.conf.get("spark." + key, default.toString).toBoolean)
 
   /** Int twin of [[effectiveFlag]]. */
   def effectiveInt(
@@ -94,8 +148,8 @@ object TableProperties {
       table: TableDefinition,
       key: String,
       default: Int): Int =
-    get(spark, table, key).map(_.trim.toInt).getOrElse(
-      spark.conf.get("spark." + key, default.toString).toInt)
+    get(spark, table, key).map(parsed(table, key, _, "integer", _.toIntOption))
+      .getOrElse(spark.conf.get("spark." + key, default.toString).toInt)
 
   /** Merge `props` into the table's set; one metadata-only audit commit. */
   def set(
@@ -103,17 +157,8 @@ object TableProperties {
       ctx: VersionContext,
       table: TableDefinition,
       props: Map[String, String],
-      user: UserId): Unit = {
-    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
-    props.keys.foreach(k => require(k.trim.nonEmpty, "empty property key"))
-    write(spark, table, list(spark, table) ++ props)
-    ctx.metastore.commit(table.name, TableUpdate(
-      user,
-      UpdateMessage("ALTER TABLE SET TBLPROPERTIES (" +
-        props.toList.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ") + ")"),
-      Instant.now(), Nil))
-    ()
-  }
+      user: UserId): Unit =
+    applyChanges(spark, ctx, table, props, Nil, user)
 
   /** Remove keys (absent keys are a no-op, the SQL contract); one
     * metadata-only audit commit. */
@@ -122,22 +167,46 @@ object TableProperties {
       ctx: VersionContext,
       table: TableDefinition,
       keys: Seq[String],
+      user: UserId): Unit =
+    applyChanges(spark, ctx, table, Map.empty, keys, user)
+
+  /** One statement's SETs and UNSETs as ONE sidecar write + ONE audit
+    * commit (a mixed `ALTER TABLE … SET … UNSET …` must not land as two
+    * half-applied commits). Values validate before anything writes. */
+  def applyChanges(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      sets: Map[String, String],
+      unsets: Seq[String],
       user: UserId): Unit = {
-    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
-    write(spark, table, list(spark, table) -- keys)
+    require(sets.nonEmpty || unsets.nonEmpty,
+      "SET/UNSET TBLPROPERTIES needs at least one property")
+    sets.keys.foreach(k => require(k.trim.nonEmpty, "empty property key"))
+    validate(table, sets)
+    write(spark, table, list(spark, table) ++ sets -- unsets)
+    val msg = List(
+      if (sets.nonEmpty)
+        Some("SET TBLPROPERTIES (" +
+          sets.toList.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ") + ")")
+      else None,
+      if (unsets.nonEmpty)
+        Some(s"UNSET TBLPROPERTIES (${unsets.sorted.mkString(", ")})")
+      else None).flatten.mkString(" ")
     ctx.metastore.commit(table.name, TableUpdate(
-      user,
-      UpdateMessage(s"ALTER TABLE UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})"),
-      Instant.now(), Nil))
+      user, UpdateMessage(s"ALTER TABLE $msg"), Instant.now(), Nil))
     ()
   }
 
   /** Seed the keyed file directly — the clone carry (shallow and deep
     * clones inherit the source's properties and own them independently
-    * from then on). */
+    * from then on) and the CREATE TABLE TBLPROPERTIES landing. */
   private[spark] def seed(
       spark: SparkSession, table: TableDefinition, props: Map[String, String]): Unit =
-    if (props.nonEmpty) write(spark, table, props)
+    if (props.nonEmpty) {
+      validate(table, props)
+      write(spark, table, props)
+    }
 
   private def write(
       spark: SparkSession, table: TableDefinition, props: Map[String, String]): Unit = {
@@ -146,6 +215,8 @@ object TableProperties {
     AtomicSidecar.writeUtf8(
       spark.sessionState.newHadoopConf(), keyedPath(table),
       mapper.writeValueAsString(node))
+    cache.put(keyedPath(table).toString, (System.currentTimeMillis(), props))
+    ()
   }
 
   // ---- post-write auto-optimize hook ------------------------------------
