@@ -182,6 +182,38 @@ class NestedWideningSpec extends AnyFunSuite with Matchers {
       ((1L to 8L).sum + (1L to 3L).sum + 7000000000L)
   }
 
+  test("change feed across a nested widen speaks the to-state's wide struct for both generations") {
+    val (ctx, log, table) = freshTable("nw_feed")
+    narrowBatch(spark, 6, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val v1 = log.currentCommit(table.name)
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("meta", "cnt"), "bigint", user)
+    // a WIDE overlay insert and a DV delete of a NARROW row inside the range
+    RowOverlay.append(
+      spark.range(1).select(
+        lit(500L).as("id"),
+        named_struct(
+          lit("cnt"), lit(9000000000L),
+          lit("score"), lit(1.0f),
+          lit("tag"), lit("o")).as("meta"),
+        lit("2024-01-01").as("date")),
+      ctx, table, user, UpdateMessage("overlay wide"))
+    DeletionVectors.delete(
+      ctx, log, table, col("id") === 2, user, UpdateMessage("dv"))
+    val head = log.currentCommit(table.name)
+
+    val feed = ChangeFeed.read(spark, log, table, Some(v1), head)
+    metaType(feed)("cnt").dataType.catalogString shouldBe "bigint"
+    val ins = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Insert)
+    ins.count() shouldBe 1L
+    ins.select(col("meta.cnt")).head().getLong(0) shouldBe 9000000000L
+    val del = feed.where(col(ChangeFeed.ChangeTypeCol) === ChangeFeed.Delete)
+    del.count() shouldBe 1L
+    // the deleted narrow-generation row upcasts into the wide feed schema
+    del.select(col("meta.cnt")).head().getLong(0) shouldBe 2L
+  }
+
   test("SQL ALTER COLUMN s.x TYPE widens the nested field; scans, DML and time travel serve the right width") {
     val (ctx, log, table) = freshTable("nw_sql")
     spark.conf.set(
