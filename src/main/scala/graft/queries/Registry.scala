@@ -724,6 +724,21 @@ object Registry {
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q107b_array_widening" -> Entry(
+      Versioned.q107bArrayWidening,
+      // TYPE widening through array elements (xs.element, frames.element
+      // .cnt): even-key v1 arrays stay narrow-int and upcast at scan,
+      // odd-key v2 stores bigint-only values; zero-rewrite + narrow time
+      // travel pinned in-query; the oracle replays the array arithmetic
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 100 + 1
+             |                     ELSE o_orderkey * 1000000000 + 1 END) AS BIGINT) AS sum_xs,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 50
+             |                     ELSE o_orderkey * 1000000000 END) AS BIGINT) AS sum_cnt
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q108_show_create" -> Entry(
       Versioned.q108ShowCreate,
       // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +

@@ -3416,6 +3416,71 @@ object Versioned {
          |FROM $name GROUP BY meta.prio ORDER BY prio""".stripMargin)
   }
 
+  /** Q107b: TYPE WIDENING through ARRAY ELEMENTS — `ALTER COLUMN
+    * xs.element TYPE BIGINT` and `ALTER COLUMN frames.element.cnt TYPE
+    * BIGINT` (the Spark/Delta `element` addressing convention): the same
+    * metadata-only contract inside arrays — old files keep narrow
+    * elements and upcast at scan, post-widen writes store wide, time
+    * travel reads the addressed commit's narrow array types — pinned
+    * in-query with the zero-rewrite claim; the oracle replays both
+    * generations' array arithmetic relationally. */
+  def q107bArrayWidening(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq107b", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq107b", log)
+    val loc = Files.createTempDirectory("graft_q107b").toUri
+    val name = "graftq107b.g.ord_awide"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, xs ARRAY<INT>, frames ARRAY<STRUCT<cnt: INT>>,
+         |  o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q107b_orders")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       array(CAST(o_orderkey % 100 AS INT), 1),
+         |       array(named_struct('cnt', CAST(o_orderkey % 50 AS INT))),
+         |       o_orderstatus
+         |FROM q107b_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_awide")
+    val v1 = log.currentCommit(tn)
+    val v1Files = s.table(name).inputFiles.toSet
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN xs.element TYPE BIGINT")
+    s.sql(s"ALTER TABLE $name ALTER COLUMN frames.element.cnt TYPE BIGINT")
+    def elemType(df: DataFrame, c: String): org.apache.spark.sql.types.DataType =
+      df.schema(c).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    require(elemType(s.table(name), "xs").catalogString == "bigint",
+      "the declared array element must widen")
+    require(elemType(s.table(name), "frames")
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("cnt")
+      .dataType.catalogString == "bigint",
+      "the declared struct-in-array leaf must widen")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "the array widen must be metadata-only — no v1 file rewritten")
+
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       array(o_orderkey * 1000000000, 1L),
+         |       array(named_struct('cnt', o_orderkey * 1000000000)),
+         |       o_orderstatus
+         |FROM q107b_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+
+    require(elemType(
+      s.sql(s"SELECT * FROM $name VERSION AS OF '${v1.id}'"), "xs")
+      .catalogString == "int",
+      "time travel at v1 must read the narrow array element type")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       sum(xs[0] + xs[1]) AS sum_xs,
+         |       sum(frames[0].cnt) AS sum_cnt
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q108: SHOW CREATE TABLE ([[graft.spark.GraftShowCreateTableCommand]])
     * — the full round-trippable DDL script: CREATE (schema, format,
     * partitioning, LOCATION, TBLPROPERTIES) plus one ALTER per sidecar

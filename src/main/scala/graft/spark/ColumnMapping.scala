@@ -395,8 +395,11 @@ object ColumnMapping {
       UpdateMessage(s"ALTER TABLE ALTER COLUMN $lpath TYPE $target"), user)
   }
 
-  /** The type at dotted `path` in `schema` (struct descent,
-    * case-insensitive); None when the path doesn't resolve. */
+  /** The type at dotted `path` in `schema` (struct descent; the `element`
+    * segment steps into an array's element type — the Spark/Delta nested
+    * addressing convention, so `arr.element.x` reaches a struct field
+    * inside an array); case-insensitive; None when the path doesn't
+    * resolve. */
   private def fieldTypeAt(
       dt: org.apache.spark.sql.types.DataType,
       path: Seq[String]): Option[org.apache.spark.sql.types.DataType] =
@@ -406,6 +409,9 @@ object ColumnMapping {
         case st: org.apache.spark.sql.types.StructType =>
           st.fields.find(_.name.equalsIgnoreCase(head))
             .flatMap(f => fieldTypeAt(f.dataType, rest))
+        case at: org.apache.spark.sql.types.ArrayType
+            if head.equalsIgnoreCase("element") =>
+          fieldTypeAt(at.elementType, rest)
         case _ => None
       }
     }
@@ -419,17 +425,23 @@ object ColumnMapping {
       schema: org.apache.spark.sql.types.StructType,
       widened: Map[String, org.apache.spark.sql.types.DataType])
       : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def walkType(dt: DataType, p: String): DataType = dt match {
+      case inner: StructType if widened.keys.exists(_.startsWith(p + ".")) =>
+        walk(inner, p + ".")
+      // `element` steps into arrays (arr.element / arr.element.x keys)
+      case at: ArrayType if widened.contains(p + ".element") =>
+        at.copy(elementType = widened(p + ".element"))
+      case at: ArrayType if widened.keys.exists(_.startsWith(p + ".element.")) =>
+        at.copy(elementType = walkType(at.elementType, p + ".element"))
+      case _ => dt
+    }
     def walk(st: StructType, prefix: String): StructType =
       StructType(st.fields.map { f =>
         val p = prefix + f.name.toLowerCase
         widened.get(p) match {
           case Some(t) => f.copy(dataType = t)
-          case None => f.dataType match {
-            case inner: StructType if widened.keys.exists(_.startsWith(p + ".")) =>
-              f.copy(dataType = walk(inner, p + "."))
-            case _ => f
-          }
+          case None    => f.copy(dataType = walkType(f.dataType, p))
         }
       })
     if (widened.isEmpty) schema else walk(schema, "")

@@ -73,16 +73,32 @@ object StructEvolution {
       StructType(st.fields.updated(idx, st.fields(idx).copy(name = to)))
     }
 
-  /** Replace the type of the field at `path` (top-level or nested),
+  /** Replace the type of the field at `path` (top-level or nested; an
+    * `element` segment steps into an array's element type, so
+    * `arr.element.x` addresses a struct field inside an array),
     * preserving name and position — the declared-schema side of nested
     * TYPE WIDENING ([[ColumnMapping.widen]] holds the legality rules).
-    * Refuses unknown paths and non-struct parents. */
-  def setFieldType(base: StructType, path: Seq[String], dt: DataType): StructType =
-    atParent(base, path) { (st, name, walked) =>
-      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
-      require(idx >= 0, s"no such field ${(walked :+ name).mkString(".")}")
-      StructType(st.fields.updated(idx, st.fields(idx).copy(dataType = dt)))
-    }
+    * Refuses unknown paths and unaddressable parents. */
+  def setFieldType(base: StructType, path: Seq[String], dt: DataType): StructType = {
+    require(path.nonEmpty, "empty field path")
+    def walk(cur: DataType, segs: Seq[String], walked: Seq[String]): DataType =
+      segs match {
+        case Seq() => dt
+        case head +: rest => cur match {
+          case st: StructType =>
+            val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+            require(idx >= 0, s"no such field ${(walked :+ head).mkString(".")}")
+            StructType(st.fields.updated(idx, st.fields(idx).copy(
+              dataType = walk(st.fields(idx).dataType, rest, walked :+ head))))
+          case at: ArrayType if head.equalsIgnoreCase("element") =>
+            at.copy(elementType = walk(at.elementType, rest, walked :+ head))
+          case other => throw new IllegalArgumentException(
+            s"${walked.mkString(".")} is ${other.catalogString} — " +
+              s"segment '$head' is not addressable in it")
+        }
+      }
+    walk(base, path, Nil).asInstanceOf[StructType]
+  }
 
   /** Drop the field at `path`. Refuses unknown paths and dropping a
     * struct's LAST field (an empty struct cannot be projected). */

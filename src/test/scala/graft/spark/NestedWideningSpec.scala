@@ -182,6 +182,53 @@ class NestedWideningSpec extends AnyFunSuite with Matchers {
       ((1L to 8L).sum + (1L to 3L).sum + 7000000000L)
   }
 
+  test("TYPE widening reaches ARRAY elements: arr.element and arr.element.x") {
+    import org.apache.spark.sql.functions.{array, explode}
+    val (ctx, log, table) = freshTable("nw_array")
+    def batch(ids: Range, cast: String, extra: Long, date: String) = {
+      import spark.implicits._
+      ids.toDF("i").select(
+        col("i").cast("long").as("id"),
+        array((col("i") + extra).cast(cast), lit(1).cast(cast)).as("xs"),
+        array(named_struct(
+          lit("cnt"), (col("i") + extra).cast(cast),
+          lit("tag"), lit("t"))).as("frames"),
+        lit(date).as("date"))
+    }
+    batch(1 to 5, "int", 0L, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow arrays"))
+    val preWiden = log.currentCommit(table.name)
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("xs", "element"), "bigint", user)
+    ColumnMapping.widenPath(
+      spark, ctx, table, Seq("frames", "element", "cnt"), "bigint", user)
+
+    // wide generation: values only bigint holds
+    batch(6 to 6, "long", 8000000000L, "2024-01-02")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: wide arrays"))
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    mapped.schema("xs").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.catalogString shouldBe "bigint"
+    mapped.schema("frames").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[StructType]("cnt").dataType.catalogString shouldBe "bigint"
+    // both generations aggregate across the mixed widths
+    mapped.select(explode(col("xs")).as("x")).agg(sum(col("x")))
+      .head().getLong(0) shouldBe ((1L to 5L).sum + 5L + 8000000006L + 1L)
+    mapped.select(explode(col("frames")).as("f")).agg(sum(col("f.cnt")))
+      .head().getLong(0) shouldBe ((1L to 5L).sum + 8000000006L)
+
+    // time travel at-or-before the widen reads the narrow element types
+    val old = ColumnMapping.read(spark, log, table, Some(preWiden))
+    old.schema("xs").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.catalogString shouldBe "int"
+
+    // unaddressable segments refuse
+    an[IllegalArgumentException] should be thrownBy
+      ColumnMapping.widenPath(spark, ctx, table, Seq("xs", "nope"), "bigint", user)
+    ()
+  }
+
   test("change feed across a nested widen speaks the to-state's wide struct for both generations") {
     val (ctx, log, table) = freshTable("nw_feed")
     narrowBatch(spark, 6, "2024-01-01")
