@@ -412,6 +412,12 @@ object ColumnMapping {
         case at: org.apache.spark.sql.types.ArrayType
             if head.equalsIgnoreCase("element") =>
           fieldTypeAt(at.elementType, rest)
+        case mt: org.apache.spark.sql.types.MapType
+            if head.equalsIgnoreCase("key") =>
+          fieldTypeAt(mt.keyType, rest)
+        case mt: org.apache.spark.sql.types.MapType
+            if head.equalsIgnoreCase("value") =>
+          fieldTypeAt(mt.valueType, rest)
         case _ => None
       }
     }
@@ -429,11 +435,18 @@ object ColumnMapping {
     def walkType(dt: DataType, p: String): DataType = dt match {
       case inner: StructType if widened.keys.exists(_.startsWith(p + ".")) =>
         walk(inner, p + ".")
-      // `element` steps into arrays (arr.element / arr.element.x keys)
+      // `element` steps into arrays (arr.element / arr.element.x keys);
+      // `key`/`value` step into maps — the Spark nested addressing
       case at: ArrayType if widened.contains(p + ".element") =>
         at.copy(elementType = widened(p + ".element"))
       case at: ArrayType if widened.keys.exists(_.startsWith(p + ".element.")) =>
         at.copy(elementType = walkType(at.elementType, p + ".element"))
+      case mt: org.apache.spark.sql.types.MapType
+          if widened.keys.exists(k => k == p + ".key" || k == p + ".value" ||
+            k.startsWith(p + ".key.") || k.startsWith(p + ".value.")) =>
+        mt.copy(
+          keyType = widened.getOrElse(p + ".key", walkType(mt.keyType, p + ".key")),
+          valueType = widened.getOrElse(p + ".value", walkType(mt.valueType, p + ".value")))
       case _ => dt
     }
     def walk(st: StructType, prefix: String): StructType =

@@ -92,6 +92,10 @@ object StructEvolution {
               dataType = walk(st.fields(idx).dataType, rest, walked :+ head))))
           case at: ArrayType if head.equalsIgnoreCase("element") =>
             at.copy(elementType = walk(at.elementType, rest, walked :+ head))
+          case mt: org.apache.spark.sql.types.MapType if head.equalsIgnoreCase("key") =>
+            mt.copy(keyType = walk(mt.keyType, rest, walked :+ head))
+          case mt: org.apache.spark.sql.types.MapType if head.equalsIgnoreCase("value") =>
+            mt.copy(valueType = walk(mt.valueType, rest, walked :+ head))
           case other => throw new IllegalArgumentException(
             s"${walked.mkString(".")} is ${other.catalogString} — " +
               s"segment '$head' is not addressable in it")

@@ -229,6 +229,45 @@ class NestedWideningSpec extends AnyFunSuite with Matchers {
     ()
   }
 
+  test("TYPE widening reaches MAP keys and values: m.key / m.value") {
+    import org.apache.spark.sql.functions.{explode, map_from_arrays, array}
+    val (ctx, log, table) = freshTable("nw_map")
+    def batch(ids: Range, cast: String, extra: Long, date: String) = {
+      import spark.implicits._
+      ids.toDF("i").select(
+        col("i").cast("long").as("id"),
+        map_from_arrays(
+          array((col("i") + extra).cast(cast)),
+          array((col("i") * 10 + extra).cast(cast))).as("m"),
+        lit(date).as("date"))
+    }
+    batch(1 to 4, "int", 0L, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow map"))
+    val preWiden = log.currentCommit(table.name)
+
+    ColumnMapping.widenPath(spark, ctx, table, Seq("m", "key"), "bigint", user)
+    ColumnMapping.widenPath(spark, ctx, table, Seq("m", "value"), "bigint", user)
+
+    batch(5 to 5, "long", 7000000000L, "2024-01-02")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: wide map"))
+
+    val mapped = ColumnMapping.read(spark, log, table)
+    val mt = mapped.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+    mt.keyType.catalogString shouldBe "bigint"
+    mt.valueType.catalogString shouldBe "bigint"
+    mapped.select(explode(col("m")).as(Seq("k", "v")))
+      .agg(sum(col("k")), sum(col("v"))).head() match {
+      case r =>
+        r.getLong(0) shouldBe ((1L to 4L).sum + 7000000005L)
+        r.getLong(1) shouldBe ((1L to 4L).map(_ * 10).sum + 7000000050L)
+    }
+
+    // time travel at-or-before the widen reads the narrow map types
+    ColumnMapping.read(spark, log, table, Some(preWiden))
+      .schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+      .keyType.catalogString shouldBe "int"
+  }
+
   test("change feed across a nested widen speaks the to-state's wide struct for both generations") {
     val (ctx, log, table) = freshTable("nw_feed")
     narrowBatch(spark, 6, "2024-01-01")
