@@ -724,6 +724,23 @@ object Registry {
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q109_auto_type_widening" -> Entry(
+      Versioned.q109AutoTypeWidening,
+      // automatic type widening on ingest: the table declares
+      // graft.dml.typeWidening=true, a MERGE source carrying bigint
+      // leaves (top-level qty + struct meta.cnt) widens the table
+      // metadata-only instead of failing the ANSI down-cast — audit
+      // trail, declared-wide schema, and narrow time travel pinned
+      // in-query; the oracle replays both generations' arithmetic
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 1000
+             |                     ELSE o_orderkey * 1000000000 END) AS BIGINT) AS sum_qty,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 500
+             |                     ELSE o_orderkey * 1000000000 END) AS BIGINT) AS sum_cnt
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q107b_array_widening" -> Entry(
       Versioned.q107bArrayWidening,
       // TYPE widening through array elements (xs.element, frames.element

@@ -3481,6 +3481,69 @@ object Versioned {
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q109: AUTOMATIC TYPE WIDENING on ingest
+    * ([[graft.spark.ColumnMapping.numericWidenings]], the Delta
+    * typeWidening contract) — a table declaring
+    * `graft.dml.typeWidening=true` WIDENS itself when a MERGE source
+    * carries losslessly wider numeric leaves (int→bigint at top level AND
+    * inside a struct here) instead of failing the ANSI down-cast: the
+    * widen lands as metadata-only path-keyed mapping entries DECLARED
+    * before the data (a widen alone is benign; data-first would open a
+    * mixed-width-footers window), the audit trail names the widened
+    * paths, and time travel before the widening merge reads the narrow
+    * types — pinned in-query; the oracle replays both generations'
+    * arithmetic relationally. */
+  def q109AutoTypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq109", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq109", log)
+    val loc = Files.createTempDirectory("graft_q109").toUri
+    val name = "graftq109.g.ord_twide"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, qty INT, meta STRUCT<cnt: INT>, o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'
+         |TBLPROPERTIES ('graft.dml.typeWidening' = 'true')""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q109_orders")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey, CAST(o_orderkey % 1000 AS INT),
+         |       named_struct('cnt', CAST(o_orderkey % 500 AS INT)), o_orderstatus
+         |FROM q109_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_twide")
+    val preMerge = log.currentCommit(tn)
+
+    // the MERGE source carries BIGINT leaves with values int cannot hold
+    s.sql(
+      s"""SELECT o_orderkey, o_orderkey * 1000000000 AS qty,
+         |       named_struct('cnt', o_orderkey * 1000000000) AS meta, o_orderstatus
+         |FROM q109_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      .createOrReplaceTempView("q109_src")
+    s.sql(
+      s"""MERGE INTO $name t USING q109_src s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    require(s.table(name).schema("qty").dataType.catalogString == "bigint" &&
+      s.table(name).schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("cnt")
+        .dataType.catalogString == "bigint",
+      "the declared leaves must auto-widen under the table property")
+    require(log.updates(tn).map(_.message.content)
+      .exists(_.contains("WIDEN TYPES (meta.cnt, qty)")),
+      "the auto-widen must be an auditable history entry naming the paths")
+    require(
+      s.sql(s"SELECT * FROM $name VERSION AS OF '${preMerge.id}'")
+        .schema("qty").dataType.catalogString == "int",
+      "time travel before the widening merge must read the narrow type")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       sum(qty) AS sum_qty, sum(meta.cnt) AS sum_cnt
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Q108: SHOW CREATE TABLE ([[graft.spark.GraftShowCreateTableCommand]])
     * — the full round-trippable DDL script: CREATE (schema, format,
     * partitioning, LOCATION, TBLPROPERTIES) plus one ALTER per sidecar

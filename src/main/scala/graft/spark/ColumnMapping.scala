@@ -422,6 +422,37 @@ object ColumnMapping {
       }
     }
 
+  /** Dotted LOGICAL paths where `source` carries a losslessly WIDER
+    * numeric leaf than `current` (the [[WideningAllowed]] matrix), with
+    * the target catalog type — the ingest auto-widening probe (MERGE /
+    * COPY INTO under `graft.dml.typeWidening`). Struct fields descend by
+    * name; array/map leaves address as `element`/`key`/`value`. Lossy or
+    * unrelated differences yield nothing (the caller's cast-down/refusal
+    * semantics stay in charge of those). */
+  def numericWidenings(
+      current: org.apache.spark.sql.types.StructType,
+      source: org.apache.spark.sql.types.StructType): List[(Seq[String], String)] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def walk(c: DataType, s: DataType, path: Seq[String]): List[(Seq[String], String)] =
+      (c, s) match {
+        case (ct, st) if ct == st => Nil
+        case (ct: StructType, st: StructType) =>
+          ct.fields.toList.flatMap(cf =>
+            st.fields.find(_.name.equalsIgnoreCase(cf.name)).toList
+              .flatMap(sf => walk(cf.dataType, sf.dataType, path :+ cf.name)))
+        case (ca: ArrayType, sa: ArrayType) =>
+          walk(ca.elementType, sa.elementType, path :+ "element")
+        case (cm: MapType, sm: MapType) =>
+          walk(cm.keyType, sm.keyType, path :+ "key") ++
+            walk(cm.valueType, sm.valueType, path :+ "value")
+        case (ct, st)
+            if WideningAllowed.contains(ct.catalogString -> st.catalogString) =>
+          List((path, st.catalogString))
+        case _ => Nil
+      }
+    walk(current, source, Nil)
+  }
+
   /** Rebuild `schema` with widened types applied — keys are dotted
     * (lower-cased) field paths; nested keys rebuild STRUCT FIELD types in
     * place. Unresolvable paths skip (a projection need not carry every

@@ -165,9 +165,30 @@ object CopyInto {
         batch.schema.filterNot(f =>
           currentLogical.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
       else Nil
+    // the evolution baseline: captured before ANY widen/audit commit
+    val preEvolution =
+      if (currentLogical.columns.nonEmpty) Some(log.currentCommit(table.name)) else None
+    // AUTOMATIC TYPE WIDENING (`graft.dml.typeWidening`): a batch carrying
+    // a losslessly WIDER numeric leaf widens the TABLE instead of the
+    // carry/union resolving by luck. Declared BEFORE the data lands — a
+    // widen alone is benign (metadata-only; old files upcast), while
+    // data-first would open a mixed-width-footers window with no scan
+    // override on the untouched partitions.
+    val numWide: List[(Seq[String], String)] =
+      if (selfDescribing && currentLogical.columns.nonEmpty &&
+          TableProperties.effectiveFlag(spark, table, TableProperties.TypeWidening))
+        ColumnMapping.numericWidenings(currentLogical.schema, batch.schema)
+      else Nil
+    val numWideMap = numWide.map { case (p, t) =>
+      p.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".") ->
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
+    }.toMap
+    val currentWidened =
+      if (numWide.isEmpty) currentLogical.schema
+      else ColumnMapping.applyWideningToSchema(currentLogical.schema, numWideMap)
     val structWide: Map[String, org.apache.spark.sql.types.DataType] =
       if (autoMerge && selfDescribing && currentLogical.columns.nonEmpty)
-        StructEvolution.widenedColumns(currentLogical.schema, batch.schema)
+        StructEvolution.widenedColumns(currentWidened, batch.schema)
       else Map.empty
     // lift a carried frame's narrow structs to the batch's wide shape
     // (union would refuse the field-count mismatch; conform injects NULLs)
@@ -224,35 +245,45 @@ object CopyInto {
         spark.conf.get("spark.graft.dml.mergeOnRead", "false").toBoolean) {
       // overlay rows must share the stored shape — an evolving batch needs
       // the copy-on-write carry; refuse rather than fork the overlay union
-      require(extras.isEmpty && structWide.isEmpty,
+      require(extras.isEmpty && structWide.isEmpty && numWide.isEmpty,
         "COPY INTO: schema evolution (new/widened columns in the arriving " +
           "batch) is not supported under spark.graft.dml.mergeOnRead — " +
           "ingest the evolving batch with mergeOnRead off")
       RowOverlay.append(batch, ctx, table, user, msg); ()
     } else {
-      val preAnchor =
-        if (structWide.nonEmpty) Some(log.currentCommit(table.name)) else None
+      // the widen declarations land NOW — after the merge-on-read refusal
+      // decision, before the data (a widen alone is benign; data-first
+      // would open a mixed-width-footers window on untouched partitions)
+      numWide.foreach { case (p, t) =>
+        ColumnMapping.widenPath(spark, ctx, table, p, t, user)
+      }
       toWrite.versionedInsertInto(ctx, table, user, msg)
-      // DATA FIRST, widening AFTER (the q94 discipline): the declared
-      // schema and its audit commit land only once the data commit is in
-      if (extras.nonEmpty || structWide.nonEmpty) {
+      // DATA FIRST, adds/struct-widening AFTER (the q94 discipline): the
+      // declared schema and its audit commit land only once the data
+      // commit is in (type widening declared up top — benign alone)
+      if (extras.nonEmpty || structWide.nonEmpty || numWide.nonEmpty) {
         val base = current.schema
         val widened = org.apache.spark.sql.types.StructType(
-          base.map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
-            .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+          ColumnMapping.applyWideningToSchema(base, numWideMap)
+            .map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
+              .map(t => f.copy(dataType = t)).getOrElse(f)) ++
             extras.map(f => f.copy(nullable = true)))
         val parts = Seq(
           if (extras.nonEmpty)
             Some(s"ADD COLUMNS (${extras.map(_.name).mkString(", ")})") else None,
           if (structWide.nonEmpty)
             Some(s"WIDEN COLUMNS (${structWide.keys.toSeq.sorted.mkString(", ")})")
+          else None,
+          if (numWide.nonEmpty)
+            Some(s"WIDEN TYPES (${numWide.map(_._1.mkString(".")).sorted.mkString(", ")})")
           else None
         ).flatten.mkString(", ")
         log.commit(table.name, graft.core.TableVersions.TableUpdate(
           user, UpdateMessage(s"COPY INTO SCHEMA EVOLUTION $parts"),
           java.time.Instant.now(), Nil))
-        preAnchor.foreach(pre => SchemaStates.record(
-          spark, table, base, pre, widened, log.currentCommit(table.name)))
+        if (structWide.nonEmpty || numWide.nonEmpty)
+          preEvolution.foreach(pre => SchemaStates.record(
+            spark, table, base, pre, widened, log.currentCommit(table.name)))
         onSchemaWiden(widened)
       }
     }

@@ -505,57 +505,88 @@ final case class GraftMergeCommand(
       if (autoMerge && current.columns.nonEmpty)
         src.schema.filterNot(f => current.columns.exists(_.equalsIgnoreCase(f.name))).toSeq
       else Nil
+    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+    // the evolution baseline: captured before ANY widen/audit commit so a
+    // recorded schema state anchors at the true pre-evolution commit
+    val preEvolution = binding.log.currentCommit(defn.name)
+    // AUTOMATIC TYPE WIDENING (`graft.dml.typeWidening`, the Delta
+    // typeWidening contract): a source carrying a losslessly WIDER
+    // numeric leaf (int→bigint, float→double, int→double — top-level,
+    // struct fields, array/map leaves) widens the TABLE instead of
+    // casting the source down. Declared BEFORE the data lands — unlike
+    // the adds below, a widen alone is benign (metadata-only; old files
+    // upcast), while data-first would open a mixed-width-footers window
+    // with no scan override. Without the property a wider source keeps
+    // the pre-existing cast-down alignment.
+    val numWide: List[(Seq[String], String)] =
+      if (current.columns.nonEmpty &&
+          TableProperties.effectiveFlag(session, defn, TableProperties.TypeWidening))
+        ColumnMapping.numericWidenings(current.schema, src.schema)
+      else Nil
+    numWide.foreach { case (p, t) =>
+      ColumnMapping.widenPath(session, ctx, defn, p, t, UserId("sql"))
+    }
+    val numWideMap = numWide.map { case (p, t) =>
+      p.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".") ->
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
+    }.toMap
+    val currentSchema =
+      if (numWide.isEmpty) current.schema
+      else ColumnMapping.applyWideningToSchema(current.schema, numWideMap)
     val structWide: Map[String, org.apache.spark.sql.types.DataType] =
       if (autoMerge && current.columns.nonEmpty)
-        StructEvolution.widenedColumns(current.schema, src.schema)
+        StructEvolution.widenedColumns(currentSchema, src.schema)
       else Map.empty
     val aligned =
       if (current.columns.nonEmpty)
-        src.select(current.schema.map { f =>
+        src.select(currentSchema.map { f =>
           val target = structWide.getOrElse(
             f.name.toLowerCase(java.util.Locale.ROOT), f.dataType)
           col(f.name).cast(target).as(f.name)
         } ++ extras.map(f => col(f.name)): _*)
       else
         src.select(relationSchema.map(f => col(f.name).as(f.name)): _*)
-    val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
-    // DATA FIRST, widening AFTER: a merge that fails (duplicate source
-    // keys, OCC conflict, constraint refusal) must not leave the table
-    // permanently widened with no data for the new column — the declared
-    // schema and its audit commit land only once the data commit is in
-    // (Delta folds both into one transaction; a versioned log is
-    // append-only, so after-on-success is the equivalent posture). In the
-    // one-commit gap a concurrent reader sees the PRE-evolution schema —
-    // the new column appears with the declaration, never a phantom column
-    // with no declaration.
-    val preAnchor =
-      if (structWide.nonEmpty) Some(binding.log.currentCommit(defn.name)) else None
+    // DATA FIRST, adds/struct-widening AFTER: a merge that fails
+    // (duplicate source keys, OCC conflict, constraint refusal) must not
+    // leave the table permanently widened with no data for the new column
+    // — the declared schema and its audit commit land only once the data
+    // commit is in (Delta folds both into one transaction; a versioned
+    // log is append-only, so after-on-success is the equivalent posture).
+    // In the one-commit gap a concurrent reader sees the PRE-evolution
+    // schema — the new column appears with the declaration, never a
+    // phantom column with no declaration.
     Merge.mergeInto(
       ctx, binding.log, defn, aligned, keys, UserId("sql"), UpdateMessage("MERGE (SQL)"))
-    if (extras.nonEmpty || structWide.nonEmpty) {
+    if (extras.nonEmpty || structWide.nonEmpty || numWide.nonEmpty) {
       val key = defn.name.fullyQualifiedName
       val base = binding.tables.get(key).flatMap(_._2).getOrElse(relationSchema)
       val widened = org.apache.spark.sql.types.StructType(
-        base.map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
-          .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+        ColumnMapping.applyWideningToSchema(base, numWideMap)
+          .map(f => structWide.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .map(t => f.copy(dataType = t)).getOrElse(f)) ++
           extras.map(f => f.copy(nullable = true)))
       binding.tables.put(key, (defn, Some(widened)))
       val parts = Seq(
         if (extras.nonEmpty)
           Some(s"ADD COLUMNS (${extras.map(_.name).mkString(", ")})") else None,
         if (structWide.nonEmpty)
-          Some(s"WIDEN COLUMNS (${structWide.keys.toSeq.sorted.mkString(", ")})") else None
+          Some(s"WIDEN COLUMNS (${structWide.keys.toSeq.sorted.mkString(", ")})") else None,
+        if (numWide.nonEmpty)
+          Some(s"WIDEN TYPES (${numWide.map(_._1.mkString(".")).sorted.mkString(", ")})")
+        else None
       ).flatten.mkString(", ")
       GraftV2Table.metastoreFor(binding, defn).commit(defn.name,
         graft.core.TableVersions.TableUpdate(
           UserId("sql"),
           UpdateMessage(s"MERGE SCHEMA EVOLUTION $parts"),
           java.time.Instant.now(), Nil))
-      // struct widenings anchor a schema state: time travel to the merge's
-      // own data commit (or earlier) keeps reading the narrow struct shape
-      preAnchor.foreach(pre => SchemaStates.record(
-        session, defn, base, pre, widened,
-        binding.log.currentCommit(defn.name)))
+      // struct/type widenings anchor a schema state: time travel to the
+      // merge's own data commit (or earlier) keeps reading the narrow
+      // shape/width
+      if (structWide.nonEmpty || numWide.nonEmpty)
+        SchemaStates.record(
+          session, defn, base, preEvolution, widened,
+          binding.log.currentCommit(defn.name))
     }
     Seq.empty
   }

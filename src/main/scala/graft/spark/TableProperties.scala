@@ -26,6 +26,10 @@ import graft.core.TableVersions.{TableUpdate, UpdateMessage, UserId}
  *    REPLACE WHERE/append): vectors + overlay instead of copy-on-write.
  *  - `graft.dml.autoMergeSchema` — MERGE/COPY INTO widen the declared
  *    schema from wider sources.
+ *  - `graft.dml.typeWidening` — MERGE/COPY INTO auto-widen NUMERIC leaf
+ *    types (int→bigint, float→double, int→double) when the source
+ *    carries a losslessly wider column; without it a wider source casts
+ *    down (the pre-existing alignment semantics).
  *  - `graft.stats.autoUpdate` — post-write incremental zone-map refresh
  *    ([[FileStats.maybeAutoUpdate]]).
  *  - `graft.autoOptimize` (+ `graft.autoOptimize.minFiles`, default 4) —
@@ -46,6 +50,7 @@ object TableProperties {
 
   val MergeOnRead = "graft.dml.mergeOnRead"
   val AutoMergeSchema = "graft.dml.autoMergeSchema"
+  val TypeWidening = "graft.dml.typeWidening"
   val StatsAutoUpdate = "graft.stats.autoUpdate"
   val AutoOptimize = "graft.autoOptimize"
   val AutoOptimizeMinFiles = "graft.autoOptimize.minFiles"
@@ -60,7 +65,8 @@ object TableProperties {
   /** Behavior keys with a typed contract — validated at declaration time
     * so a bad value refuses at SET/CREATE instead of breaking every
     * subsequent DML statement that consults the key. */
-  private val BooleanKeys = Set(MergeOnRead, AutoMergeSchema, StatsAutoUpdate, AutoOptimize)
+  private val BooleanKeys =
+    Set(MergeOnRead, AutoMergeSchema, TypeWidening, StatsAutoUpdate, AutoOptimize)
   private val IntKeys = Set(
     AutoOptimizeMinFiles, "graft.vacuum.retainCommits",
     "graft.vacuum.retainHours", "graft.vacuum.graceMinutes")
