@@ -756,6 +756,37 @@ object Registry {
              |                     ELSE o_orderkey * 1000000000 END) AS BIGINT) AS sum_cnt
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q107c_map_widening" -> Entry(
+      Versioned.q107cMapWidening,
+      // TYPE widening through map keys AND values (m.key / m.value):
+      // even-key v1 maps stay narrow-int and upcast at scan (injective
+      // key widening preserves key identity), odd-key v2 stores
+      // bigint-only entries; zero-rewrite + narrow time travel pinned
+      // in-query; the oracle replays the map arithmetic
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 100
+             |                     ELSE o_orderkey * 1000000000 END) AS BIGINT) AS sum_k,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             |                     THEN o_orderkey % 50
+             |                     ELSE o_orderkey * 2000000000 END) AS BIGINT) AS sum_v
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "q110_array_element_rename" -> Entry(
+      Versioned.q110ArrayElementRename,
+      // nested RENAME/DROP through array elements: v1 (even keys) writes
+      // x under the original name, the rename is metadata-only (transform
+      // -lambda rebuild serves old files under `score`), v2 (odd keys)
+      // writes the logical name, a MERGE (keys % 10 = 4) crosses the
+      // rename setting score=555, the note field drops; frozen physical
+      // names, time travel and rebirth refusal pinned in-query; the
+      // oracle replays all three generations' element arithmetic
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 10 = 4 THEN 555
+             |                     WHEN o_orderkey % 2 = 0 THEN o_orderkey % 100
+             |                     ELSE o_orderkey % 77 END) AS BIGINT) AS sum_score
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q108_show_create" -> Entry(
       Versioned.q108ShowCreate,
       // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +

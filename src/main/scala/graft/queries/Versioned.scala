@@ -4287,4 +4287,162 @@ object Versioned {
          |       round(sum(o_totalprice), 2) AS sum_price
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** Q110: nested RENAME/DROP through ARRAY ELEMENTS (`ALTER TABLE t
+    * RENAME COLUMN tags.element.x TO score`, then `DROP COLUMN
+    * tags.element.note`) — the column-mapping discipline inside
+    * `array<struct>`: the physical field name stays frozen in every file
+    * generation, reads REBUILD each element with a `transform()` lambda
+    * (physical→logical, dropped fields omitted — pure column-expression
+    * algebra, codegen'd, metadata-only at any scale), writes translate
+    * back, a MERGE crosses the rename (its partition rewrite reads
+    * logical and re-lands physical), time travel reads the ADDRESSED
+    * commit's element shape, and the dropped name cannot be reborn at
+    * depth. All pinned in-query; the oracle replays both generations' +
+    * the merge's element arithmetic relationally. */
+  def q110ArrayElementRename(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq110", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq110", log)
+    val loc = Files.createTempDirectory("graft_q110").toUri
+    val name = "graftq110.g.ord_arename"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, tags ARRAY<STRUCT<x: INT, note: STRING>>,
+         |  o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q110_orders")
+    // v1 (even keys): elements speak the ORIGINAL field name x
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       array(named_struct('x', CAST(o_orderkey % 100 AS INT),
+         |                          'note', o_orderstatus)),
+         |       o_orderstatus
+         |FROM q110_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_arename")
+    val v1 = log.currentCommit(tn)
+    val v1Files = s.table(name).inputFiles.toSet
+
+    def elemFields(df: DataFrame): Seq[String] =
+      df.schema("tags").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq
+
+    // RENAME through the array element — metadata-only, audited
+    s.sql(s"ALTER TABLE $name RENAME COLUMN tags.element.x TO score")
+    require(elemFields(s.table(name)) == Seq("score", "note"),
+      "the declared element shape must carry the new logical name")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "the array-element rename must be metadata-only — no v1 file rewritten")
+    require(log.updates(tn).head.message.content
+      .contains("RENAME COLUMN tags.element.x TO score"),
+      "the rename must land as an auditable commit")
+
+    // v2 (odd keys): post-rename writes speak the LOGICAL name
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       array(named_struct('score', CAST(o_orderkey % 77 AS INT),
+         |                          'note', 'new')),
+         |       o_orderstatus
+         |FROM q110_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    // the physical field name is frozen in BOTH generations' files
+    val defn = graft.core.TableDefinition(tn, loc,
+      graft.core.PartitionSchema(List(graft.core.PartitionColumn("o_orderstatus"))),
+      graft.core.FileFormat.Parquet)
+    require(elemFields(graft.spark.VersionedReader(s, log).read(defn)).contains("x"),
+      "files must store the frozen physical element name x in every generation")
+
+    // a MERGE crosses the rename: its rewrite reads the LOGICAL element
+    // shape and re-lands carried + updated rows under the physical name
+    s.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT o_orderkey AS k FROM q110_orders WHERE o_orderkey % 10 = 4) s
+         |ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET
+         |  tags = array(named_struct('score', 555, 'note', 'm'))""".stripMargin)
+
+    // TIME TRAVEL reads the addressed commit's element shape (the Scala
+    // surface — SQL relation output is pinned to the current schema, the
+    // long-standing rename-travel discipline)
+    require(elemFields(graft.spark.ColumnMapping.read(s, log, defn, Some(v1))) ==
+      Seq("x", "note"),
+      "time travel at v1 must read the original element shape")
+
+    // DROP through the element; the dropped name cannot be reborn at depth
+    s.sql(s"ALTER TABLE $name DROP COLUMN tags.element.note")
+    require(elemFields(s.table(name)) == Seq("score"),
+      "the dropped element field must stop projecting")
+    val reborn =
+      try { s.sql(s"ALTER TABLE $name ADD COLUMN tags.element.note STRING"); false }
+      catch { case e: Exception =>
+        Option(e.getMessage).exists(_.contains("cannot be re-added")) }
+    require(reborn, "the dropped element field must refuse rebirth at depth")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       CAST(sum(tags[0].score) AS BIGINT) AS sum_score
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Q107c: TYPE WIDENING through MAP KEYS AND VALUES (`ALTER COLUMN
+    * m.key TYPE BIGINT`, `ALTER COLUMN m.value TYPE BIGINT` — the
+    * Spark/Delta `key`/`value` addressing): the q107/q107b metadata-only
+    * contract inside maps — old files keep narrow int entries and upcast
+    * at scan (key widening is injective, so key identity is preserved),
+    * post-widen writes store wide, time travel reads the addressed
+    * commit's narrow map type — zero-rewrite pinned in-query; the oracle
+    * replays both generations' map arithmetic relationally. */
+  def q107cMapWidening(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq107c", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq107c", log)
+    val loc = Files.createTempDirectory("graft_q107c").toUri
+    val name = "graftq107c.g.ord_mwide"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, m MAP<INT, INT>, o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q107c_orders")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       map(CAST(o_orderkey % 100 AS INT), CAST(o_orderkey % 50 AS INT)),
+         |       o_orderstatus
+         |FROM q107c_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_mwide")
+    val v1 = log.currentCommit(tn)
+    val v1Files = s.table(name).inputFiles.toSet
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN m.key TYPE BIGINT")
+    s.sql(s"ALTER TABLE $name ALTER COLUMN m.value TYPE BIGINT")
+    def mapType(df: DataFrame): org.apache.spark.sql.types.MapType =
+      df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+    require(mapType(s.table(name)).keyType.catalogString == "bigint" &&
+      mapType(s.table(name)).valueType.catalogString == "bigint",
+      "the declared map key and value types must widen")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "the map widen must be metadata-only — no v1 file rewritten")
+
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey,
+         |       map(o_orderkey * 1000000000, o_orderkey * 2000000000),
+         |       o_orderstatus
+         |FROM q107c_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+
+    require(mapType(
+      s.sql(s"SELECT * FROM $name VERSION AS OF '${v1.id}'"))
+      .keyType.catalogString == "int",
+      "time travel at v1 must read the narrow map key type")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       CAST(sum(map_keys(m)[0]) AS BIGINT) AS sum_k,
+         |       CAST(sum(map_values(m)[0]) AS BIGINT) AS sum_v
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
 }

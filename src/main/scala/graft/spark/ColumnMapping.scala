@@ -242,11 +242,19 @@ object ColumnMapping {
     }._1
   }
 
-  /** RENAME a NESTED struct field (`meta.lang TO language`) — metadata
-    * only, the top-level discipline at depth: the physical path stays
-    * frozen in every file generation, reads rebuild the struct with the
-    * logical name, writes translate it back. Schema-level validation
-    * (path exists, no collision) is the caller's job
+  /** `element` / `key` / `value` are STRUCTURAL segments (the Spark/Delta
+    * nested addressing for arrays and maps) — they address through a
+    * container, they are not fields, so they can never be renamed or
+    * dropped themselves. */
+  private val StructuralSegments = Set("element", "key", "value")
+
+  /** RENAME a NESTED struct field (`meta.lang TO language`, and through
+    * containers: `arr.element.x TO y` renames a field inside an
+    * `array<struct>`) — metadata only, the top-level discipline at depth:
+    * the physical path stays frozen in every file generation, reads
+    * rebuild the struct with the logical name (a `transform` lambda
+    * rebuild inside arrays/maps), writes translate it back. Schema-level
+    * validation (path exists, no collision) is the caller's job
     * ([[GraftTableCatalog.alterTable]] holds the declared schema). */
   def renameNested(
       spark: SparkSession,
@@ -256,6 +264,12 @@ object ColumnMapping {
       to: String,
       user: UserId): Unit = {
     require(path.length >= 2, s"not a nested path: ${path.mkString(".")}")
+    require(!StructuralSegments.contains(path.last.toLowerCase),
+      s"cannot rename ${path.mkString(".")}: '${path.last}' is a structural " +
+        "segment (array element / map key / map value), not a field — " +
+        "rename the container column instead")
+    require(!StructuralSegments.contains(to.toLowerCase),
+      s"cannot rename to '$to': it is a reserved structural segment name")
     val log = ctx.metastore.tableVersions
     val current = effectiveEntries(spark, log, table, None)
     val lpath = path.mkString(".")
@@ -274,7 +288,11 @@ object ColumnMapping {
   }
 
   /** DROP a NESTED struct field (metadata-only; files keep the bytes —
-    * time travel to a pre-drop commit still shows the field). */
+    * time travel to a pre-drop commit still shows the field). Works
+    * through array `element` and map `value` segments; dropping a field
+    * inside map KEYS refuses — removing part of a key can collapse
+    * distinct keys into duplicates, which no metadata-only change may
+    * do. */
   def dropNested(
       spark: SparkSession,
       ctx: VersionContext,
@@ -282,6 +300,13 @@ object ColumnMapping {
       path: Seq[String],
       user: UserId): Unit = {
     require(path.length >= 2, s"not a nested path: ${path.mkString(".")}")
+    require(!StructuralSegments.contains(path.last.toLowerCase),
+      s"cannot drop ${path.mkString(".")}: '${path.last}' is a structural " +
+        "segment (array element / map key / map value), not a field — " +
+        "drop the container column instead")
+    require(!path.dropRight(1).exists(_.equalsIgnoreCase("key")),
+      s"cannot drop ${path.mkString(".")}: dropping a field inside map " +
+        "KEYS could collapse distinct keys into duplicates")
     val log = ctx.metastore.tableVersions
     val current = effectiveEntries(spark, log, table, None)
     val lpath = path.mkString(".")
@@ -393,6 +418,33 @@ object ColumnMapping {
     }
     commitState(spark, ctx, table, next,
       UpdateMessage(s"ALTER TABLE ALTER COLUMN $lpath TYPE $target"), user)
+  }
+
+  /** Pure pre-flight for [[widenPath]] against a DECLARED schema: the
+    * path resolves, the column is not a partition key, and the change is
+    * a lossless widening. Lets a multi-change ALTER validate every widen
+    * BEFORE any of the statement's commits land (the
+    * never-half-applied-ALTER discipline — [[GraftTableCatalog]] collects
+    * widens during its schema fold and commits them only after the whole
+    * fold validates). */
+  private[spark] def validateWiden(
+      table: TableDefinition,
+      schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String],
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    require(path.nonEmpty, "empty field path")
+    val lpath = path.mkString(".")
+    require(!table.partitionSchema.columns.exists(_.name.equalsIgnoreCase(path.head)),
+      s"cannot change the type of partition column ${path.head} (partition values are strings)")
+    val target = newType.catalogString
+    val from = fieldTypeAt(schema, path).map(_.catalogString).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $lpath on ${table.name.fullyQualifiedName}"))
+    require(from != target, s"column $lpath is already $target")
+    require(WideningAllowed.contains(from -> target),
+      s"ALTER COLUMN TYPE supports lossless widening only " +
+        s"(${WideningAllowed.map(p => s"${p._1}→${p._2}").mkString(", ")}); " +
+        s"got $from→$target for $lpath")
   }
 
   /** The type at dotted `path` in `schema` (struct descent; the `element`
@@ -579,8 +631,14 @@ object ColumnMapping {
   /** READ-side struct rebuild for NESTED entries under `prefix` (a
     * PHYSICAL path): physical field names project as their logical names,
     * dropped fields omit, recursion covers struct-in-struct; a NULL
-    * struct stays NULL. Returns the rebuilt column and its logical type.
-    * Identity (no rebuild) when no nested entry lives under the prefix. */
+    * struct stays NULL. ARRAY and MAP types rebuild THROUGH their
+    * `element` / `key` / `value` segments with `transform` /
+    * `transform_keys` / `transform_values` lambdas (still pure
+    * column-expression algebra — codegen'd, metadata-only at any scale),
+    * so a rename/drop inside an `array<struct>` serves old files under
+    * the new logical shape. Returns the rebuilt column and its logical
+    * type. Identity (no rebuild) when no nested entry lives under the
+    * prefix. */
   private def readMapped(
       c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType,
@@ -603,12 +661,36 @@ object ColumnMapping {
         }
         val lt = org.apache.spark.sql.types.StructType(parts.map(_._2).toArray)
         (when(c.isNull, lit(null).cast(lt)).otherwise(struct(parts.map(_._1): _*)), lt)
+      case at: org.apache.spark.sql.types.ArrayType
+          if nested.exists(_.physical.toLowerCase.startsWith(prefix.toLowerCase + ".element.")) =>
+        import org.apache.spark.sql.functions.{lit, transform}
+        val p = s"$prefix.element"
+        val et = readMapped(lit(null), at.elementType, p, nested)._2
+        (transform(c, x => readMapped(x, at.elementType, p, nested)._1),
+          at.copy(elementType = et))
+      case mt: org.apache.spark.sql.types.MapType
+          if nested.exists(e =>
+            e.physical.toLowerCase.startsWith(prefix.toLowerCase + ".key.") ||
+              e.physical.toLowerCase.startsWith(prefix.toLowerCase + ".value.")) =>
+        import org.apache.spark.sql.functions.{lit, transform_keys, transform_values}
+        val (pk, pv) = (s"$prefix.key", s"$prefix.value")
+        val kt = readMapped(lit(null), mt.keyType, pk, nested)._2
+        val vt = readMapped(lit(null), mt.valueType, pv, nested)._2
+        val rekeyed =
+          if (kt == mt.keyType) c
+          else transform_keys(c, (k, _) => readMapped(k, mt.keyType, pk, nested)._1)
+        val revalued =
+          if (vt == mt.valueType) rekeyed
+          else transform_values(rekeyed, (_, v) => readMapped(v, mt.valueType, pv, nested)._1)
+        (revalued, mt.copy(keyType = kt, valueType = vt))
       case other => (c, other)
     }
 
   /** WRITE-side struct rebuild: logical field names translate back to
     * their frozen physical names; a batch naming a DROPPED nested field
-    * refuses (the top-level discipline at depth). */
+    * refuses (the top-level discipline at depth). ARRAY/MAP types rebuild
+    * through `element`/`key`/`value` with transform lambdas, mirroring
+    * [[readMapped]]. */
   private def writeMapped(
       c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType,
@@ -632,6 +714,28 @@ object ColumnMapping {
         }
         val pt = org.apache.spark.sql.types.StructType(parts.map(_._2).toArray)
         (when(c.isNull, lit(null).cast(pt)).otherwise(struct(parts.map(_._1): _*)), pt)
+      case at: org.apache.spark.sql.types.ArrayType
+          if nested.exists(_.logical.toLowerCase.startsWith(prefix.toLowerCase + ".element.")) =>
+        import org.apache.spark.sql.functions.{lit, transform}
+        val p = s"$prefix.element"
+        val et = writeMapped(lit(null), at.elementType, p, nested, table)._2
+        (transform(c, x => writeMapped(x, at.elementType, p, nested, table)._1),
+          at.copy(elementType = et))
+      case mt: org.apache.spark.sql.types.MapType
+          if nested.exists(e =>
+            e.logical.toLowerCase.startsWith(prefix.toLowerCase + ".key.") ||
+              e.logical.toLowerCase.startsWith(prefix.toLowerCase + ".value.")) =>
+        import org.apache.spark.sql.functions.{lit, transform_keys, transform_values}
+        val (pk, pv) = (s"$prefix.key", s"$prefix.value")
+        val kt = writeMapped(lit(null), mt.keyType, pk, nested, table)._2
+        val vt = writeMapped(lit(null), mt.valueType, pv, nested, table)._2
+        val rekeyed =
+          if (kt == mt.keyType) c
+          else transform_keys(c, (k, _) => writeMapped(k, mt.keyType, pk, nested, table)._1)
+        val revalued =
+          if (vt == mt.valueType) rekeyed
+          else transform_values(rekeyed, (_, v) => writeMapped(v, mt.valueType, pv, nested, table)._1)
+        (revalued, mt.copy(keyType = kt, valueType = vt))
       case other => (c, other)
     }
 

@@ -44,7 +44,15 @@ object Compaction {
     * those partitions are read and rewritten (the 100 TB posture: OPTIMIZE
     * the hot partitions, not the table). Untouched partitions keep their
     * version pointers; the rewritten partitions' deletion vectors are shed
-    * via [[DeletionVectors.absorbStale]]. */
+    * via [[DeletionVectors.absorbStale]].
+    *
+    * `splitsByPartition`: BYTES-AWARE bin-packing ([[compactToSize]]'s
+    * policy output) — a per-partition writer count overriding the global
+    * `filesPerPartition`, so a 500 GB partition splits to ~target-sized
+    * files while small partitions still merge to one. Applied as a
+    * per-partition salt modulus resolved through ONE broadcast join with
+    * the (metadata-sized) splits map — no extra scan, no skew on the
+    * salt. */
   def compact(
       spark: SparkSession,
       ctx: VersionContext,
@@ -53,7 +61,8 @@ object Compaction {
       message: UpdateMessage,
       maxFiles: Int = 1,
       filesPerPartition: Int = 1,
-      partitions: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
+      partitions: Seq[Partition] = Nil,
+      splitsByPartition: Map[Partition, Int] = Map.empty): (TableVersion, TableChanges) = {
     require(maxFiles > 0 && filesPerPartition > 0, "file targets must be positive")
     require(partitions.isEmpty || !table.isSnapshot,
       "partition-scoped compaction requires a partitioned table")
@@ -80,7 +89,44 @@ object Compaction {
       spark, log, table, None)
     val packed =
       if (table.isSnapshot) current.coalesce(maxFiles)
-      else {
+      else if (splitsByPartition.exists(_._2 > 1)) {
+        // bytes-aware: each partition salts over ITS OWN writer count —
+        // one broadcast join against the metadata-sized splits map
+        // (values travel as the commit log's string rendering, matched
+        // through Spark's own CAST so typed partition columns agree)
+        import org.apache.spark.sql.functions.{broadcast, coalesce => fcoalesce}
+        val partCols = table.partitionSchema.columns.map(_.name)
+        val splitCol = "__graft_splits"
+        val splitsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            splitsByPartition.toSeq.map { case (p, n) =>
+              org.apache.spark.sql.Row.fromSeq(
+                partCols.map(c => p.columnValues
+                  .find(_.column.name.equalsIgnoreCase(c)).map(_.value).orNull) :+ n)
+            }, 1),
+          org.apache.spark.sql.types.StructType(
+            partCols.map(c => org.apache.spark.sql.types.StructField(
+              s"__p_$c", org.apache.spark.sql.types.StringType)) :+
+              org.apache.spark.sql.types.StructField(
+                splitCol, org.apache.spark.sql.types.IntegerType)))
+        val joined = current.join(
+          broadcast(splitsDf),
+          partCols.map(c => col(c).cast("string") === col(s"__p_$c"))
+            .reduce(_ && _),
+          "left")
+        val parts = partCols.map(col)
+        // EXPLICIT shuffle-partition count: one task per requested output
+        // file (the exact parallelism a sized rewrite wants at any scale),
+        // and a count-less repartition would let AQE re-coalesce the salted
+        // buckets back into few tasks — silently undoing the split
+        val numTasks = math.max(
+          spark.sessionState.conf.numShufflePartitions,
+          math.min(splitsByPartition.values.map(_.toLong).sum, 200000L).toInt)
+        val salted = joined.repartition(
+          numTasks,
+          parts :+ pmod(spark_partition_id(), fcoalesce(col(splitCol), lit(1))): _*)
+        salted.drop((splitCol +: partCols.map(c => s"__p_$c")): _*)
+      } else {
         val parts = table.partitionSchema.columns.map(c => col(c.name))
         val keys =
           if (filesPerPartition == 1) parts
@@ -118,6 +164,95 @@ object Compaction {
     // of the files it DID replace — tombstone the now-dead groups
     else DeletionVectors.absorbStale(spark, log, table)
     result
+  }
+
+  /** SIZE-TARGETED compaction (`OPTIMIZE t TARGET n MB`, the Delta/Iceberg
+    * binpack contract): rewrite to files of roughly `targetBytes` each
+    * instead of a global per-partition count — at 100 TB "one file per
+    * partition" can mean 500 GB files, which no downstream scan splits
+    * well. The policy layer here sizes every scoped partition with ONE
+    * distributed listing (O(#partitions) driver rows, zero driver
+    * filesystem walks — the [[autoCompact]] bound), derives a
+    * per-partition writer count `ceil(bytes / target)`, and hands
+    * [[compact]] the splits map: oversized partitions split to ~target
+    * files, small partitions still merge to one, and every safety
+    * property (OCC rebase, DV absorb, staging atomicity) is inherited
+    * unchanged. Snapshot tables size their single version dir and
+    * coalesce to `ceil(bytes / target)` files.
+    *
+    * Sizes are the CURRENT physical bytes; post-rewrite files can land
+    * somewhat smaller (encoding/compression differences), which only errs
+    * toward more parallelism — the conservative direction. */
+  def compactToSize(
+      spark: SparkSession,
+      ctx: VersionContext,
+      table: TableDefinition,
+      userId: UserId,
+      message: UpdateMessage,
+      targetBytes: Long,
+      partitions: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
+    require(targetBytes > 0, "target file size must be positive")
+    val log = ctx.metastore.tableVersions
+    def splitsFor(bytes: Long): Int =
+      math.max(1L, math.min(Int.MaxValue.toLong,
+        (bytes + targetBytes - 1) / targetBytes)).toInt
+    log.currentVersion(table.name) match {
+      case SnapshotTableVersion(v) =>
+        val bytes =
+          if (v == Version.Unversioned) 0L
+          else snapshotByteSize(spark, table, v)
+        compact(spark, ctx, table, userId, message, maxFiles = splitsFor(bytes))
+      case PartitionedTableVersion(pvs) =>
+        val scoped =
+          if (partitions.isEmpty) pvs
+          else pvs.view.filterKeys(partitions.toSet).toMap
+        val sizes = partitionByteSizes(spark, table, scoped)
+        val splits = scoped.keys.map(p => p -> splitsFor(sizes.getOrElse(p, 0L))).toMap
+        compact(spark, ctx, table, userId, message,
+          partitions = partitions, splitsByPartition = splits)
+    }
+  }
+
+  /** Per-partition CURRENT-version byte sizes: one Spark job listing every
+    * partition dir in parallel (the [[listedCounts]] shape, summing
+    * lengths). */
+  private def partitionByteSizes(
+      spark: SparkSession,
+      table: TableDefinition,
+      pvs: Map[Partition, Version]): Map[Partition, Long] = {
+    if (pvs.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirs = pvs.toList.map { case (p, v) =>
+      (SparkPaths.escapedPartitionPath(p), SparkPaths.dirFor(table.location, p, v))
+    }
+    val slices = math.max(1, math.min(dirs.size, spark.sparkContext.defaultParallelism))
+    val sized = spark.sparkContext.parallelize(dirs, slices).map { case (key, dir) =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(conf.value)
+      val bytes =
+        if (!fs.exists(path)) 0L
+        else fs.listStatus(path).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          .map(_.getLen).sum
+      (key, bytes)
+    }.collect().toMap
+    pvs.keys.map(p => p -> sized.getOrElse(SparkPaths.escapedPartitionPath(p), 0L)).toMap
+  }
+
+  /** A snapshot state's total data bytes (one driver listing of the single
+    * version dir). */
+  private def snapshotByteSize(
+      spark: SparkSession,
+      table: TableDefinition,
+      v: Version): Long = {
+    val p = new org.apache.hadoop.fs.Path(
+      Partition.normalizedDir(table.location).toString + v.label)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
   }
 
   /** AUTO-COMPACTION: compact exactly the partitions under SMALL-FILE

@@ -78,7 +78,13 @@ object DeepClone {
       !ColumnMapping.hasMapping(spark, log, src, Some(at)) &&
       !DeletionVectors.hasVectors(spark, log, src, Some(at)) &&
       RowOverlay.contributions(spark, log, src, Some(at)).isEmpty &&
-      PartitionEvolution.eraSignatures(tvAt).size <= 1
+      PartitionEvolution.eraSignatures(tvAt).size <= 1 &&
+      // declared-schema evolution (nested ADDs, TYPE widening) leaves
+      // HETEROGENEOUS files behind: a raw copy would register them with
+      // no carried schema, and a single-footer inference could then drop
+      // evolved fields the resolved tier materializes as typed NULLs —
+      // any recorded schema state falls back to the resolved-rows write
+      SchemaStates.list(spark, src).isEmpty
     if (sidecarFree) {
       val ops = rawCopy(spark, src, dstLocation, tvAt)
       if (ops.nonEmpty) {
@@ -180,14 +186,19 @@ object DeepClone {
     if (files.nonEmpty) {
       val copySlices = math.max(1, math.min(files.size, sc.defaultParallelism))
       sc.parallelize(files, copySlices).foreachPartition { it =>
-        var fs: org.apache.hadoop.fs.FileSystem = null
+        // src and dst resolve their OWN FileSystems: a DEEP CLONE ...
+        // LOCATION may land on a different scheme/authority than the
+        // source (the resolved-rows tier always handled that)
+        var srcFs: org.apache.hadoop.fs.FileSystem = null
+        var dstFs: org.apache.hadoop.fs.FileSystem = null
         it.foreach { case (s, d, name) =>
-          if (fs == null) fs = new HPath(s).getFileSystem(sconf.value)
+          if (srcFs == null) srcFs = new HPath(s).getFileSystem(sconf.value)
+          if (dstFs == null) dstFs = new HPath(d).getFileSystem(sconf.value)
           val dstDir = new HPath(d)
-          fs.mkdirs(dstDir)
+          dstFs.mkdirs(dstDir)
           if (!FileUtil.copy(
-              fs, new HPath(new HPath(s), name),
-              fs, new HPath(dstDir, name),
+              srcFs, new HPath(new HPath(s), name),
+              dstFs, new HPath(dstDir, name),
               false, true, sconf.value))
             sys.error(s"DEEP CLONE: failed to copy $s/$name to $d/$name")
         }

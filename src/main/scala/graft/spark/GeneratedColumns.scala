@@ -149,29 +149,53 @@ object GeneratedColumns {
       spark.sessionState.newHadoopConf(), p, mapper.writeValueAsString(arr))
   }
 
-  /** The write-path gate: compute absent generated columns, validate
-    * supplied NON-NULL values (a disagreement raises inside the write
-    * job, pre-commit), and DERIVE null slots — a SQL column-list INSERT
-    * that omits the column arrives with the analyzer's NULL fill, which
-    * must read as "omitted", not as a supplied value (the Delta
-    * generated-column fill contract). */
+  /** SQL-originated writes arrive with the analyzer's NULL fill for
+    * columns the statement OMITTED (a column-list INSERT, a MERGE INSERT
+    * clause) — a NULL slot there means "omitted", so the gate derives it
+    * (the Delta fill contract). The Scala API supplies exactly what the
+    * caller built: an explicit NULL disagreeing with a non-null rule is a
+    * violation and raises (the strict GENERATED ALWAYS contract). The two
+    * are indistinguishable from the batch alone, so SQL entry points
+    * declare themselves by wrapping their write in this scope. */
+  private val sqlNullFill: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
+  private[spark] def withSqlNullFill[A](f: => A): A = {
+    val prev = sqlNullFill.get(); sqlNullFill.set(true)
+    try f finally sqlNullFill.set(prev)
+  }
+
+  /** The write-path gate: compute absent generated columns and validate
+    * supplied values (a disagreement raises inside the write job,
+    * pre-commit). Inside [[withSqlNullFill]] — SQL-originated writes —
+    * NULL slots read as "omitted" and DERIVE; outside it (the Scala API)
+    * the null-safe equality is strict, so an explicit NULL against a
+    * non-null rule raises. The plan shape is fixed here on the driver,
+    * inside the entry point's dynamic scope — lazy execution later does
+    * not re-read the flag. */
   def applied(df: DataFrame, table: TableDefinition): DataFrame = {
     val gs =
       try list(df.sparkSession, table)
       catch { case _: java.io.IOException => Nil }
     if (gs.isEmpty) return df
+    val fillNulls = sqlNullFill.get()
     val names = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     gs.foldLeft(df) { (acc, g) =>
       if (!names.contains(g.column.toLowerCase(java.util.Locale.ROOT)))
         acc.withColumn(g.column, expr(g.expr))
-      else
-        acc.filter(coalesce(
-          when(col(g.column).isNotNull && !(col(g.column) <=> expr(g.expr)),
+      else {
+        val disagrees =
+          if (fillNulls) col(g.column).isNotNull && !(col(g.column) <=> expr(g.expr))
+          else !(col(g.column) <=> expr(g.expr))
+        val checked = acc.filter(coalesce(
+          when(disagrees,
             raise_error(lit(
               s"GENERATED column ${g.column} violated on write to " +
                 s"${table.name.fullyQualifiedName}: expected ${g.expr}"))),
           lit(true)))
-          .withColumn(g.column, coalesce(col(g.column), expr(g.expr)))
+        if (fillNulls)
+          checked.withColumn(g.column, coalesce(col(g.column), expr(g.expr)))
+        else checked
+      }
     }
   }
 }

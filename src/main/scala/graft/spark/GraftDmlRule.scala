@@ -480,7 +480,7 @@ final case class GraftMergeCommand(
     keys: Seq[String],
     relationSchema: StructType) extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
+  override def run(session: SparkSession): Seq[Row] = GeneratedColumns.withSqlNullFill {
     val src = org.apache.spark.sql.GraftSqlShim.ofRows(session, source)
     // align to the WRITE-side schema: the versioned reader's view of the
     // current contents when the table holds data (partition columns stay
@@ -609,7 +609,7 @@ final case class GraftConditionalMergeCommand(
     sourceKeys: Seq[String] = Nil,
     residual: Option[Detached] = None) extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
+  override def run(session: SparkSession): Seq[Row] = GeneratedColumns.withSqlNullFill {
     val src = org.apache.spark.sql.GraftSqlShim.ofRows(session, source)
     val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
     def c(d: Detached): Column = GraftDml.column(d.expr)
@@ -639,7 +639,7 @@ final case class GraftUpdateCommand(
     assignments: Seq[(String, Detached)],
     condition: Option[Detached]) extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
+  override def run(session: SparkSession): Seq[Row] = GeneratedColumns.withSqlNullFill {
     // MERGE-ON-READ mode (`SET spark.graft.dml.mergeOnRead=true`): hide the
     // matched preimages behind deletion vectors and land the postimages as
     // a row overlay — O(matched rows) written, no partition rewritten, and
@@ -765,7 +765,7 @@ final case class GraftDeleteCommand(
     binding: GraftTableCatalog.Binding,
     condition: Detached) extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
+  override def run(session: SparkSession): Seq[Row] = GeneratedColumns.withSqlNullFill {
     import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
     import graft.core.TableVersions.{TableOperation, TableUpdate}
     val cond = GraftDml.column(condition.expr)

@@ -103,7 +103,7 @@ private[spark] object GraftMaintenanceSql {
   // neither alternative, so the whole statement falls through to the stock
   // parser and fails loudly instead of silently rewriting the table
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+(\([^()]*\)|[\w\s,]+?))?(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*""".r
   // OPTIMIZE t AUTO [MIN n FILES]: compact only the partitions under
   // small-file pressure (Compaction.autoCompact); below-threshold = no-op
   private val AutoOptimizeStmt =
@@ -302,7 +302,7 @@ private[spark] object GraftMaintenanceSql {
         dryRun = Option(dry).exists(_.trim.nonEmpty)))
     case AutoOptimizeStmt(ident, minFiles) if isGraftCatalogRef(split(ident)) =>
       Some(GraftAutoOptimizeCommand(parts(ident), Option(minFiles).map(_.toInt)))
-    case OptimizeStmt(ident, where, cols) if isGraftCatalogRef(split(ident)) =>
+    case OptimizeStmt(ident, where, cols, targetMb) if isGraftCatalogRef(split(ident)) =>
       val scope = Option(where).map { w =>
         w.split("(?i)\\s+AND\\s+").toSeq.map {
           case WhereEq(k, quoted, bare) => k -> Option(quoted).getOrElse(bare)
@@ -314,7 +314,8 @@ private[spark] object GraftMaintenanceSql {
         parts(ident),
         Option(cols).map(_.stripPrefix("(").stripSuffix(")")).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-        scope))
+        scope,
+        Option(targetMb).map(_.toLong)))
     case RestoreStmt(ident, kind, target) if isGraftCatalogRef(split(ident)) =>
       Some(GraftRestoreCommand(
         parts(ident), target, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")))
@@ -513,7 +514,8 @@ private[spark] object GraftMaintenanceSql {
 final case class GraftOptimizeCommand(
     parts: Seq[String],
     zorderCols: Seq[String],
-    whereScope: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
+    whereScope: Seq[(String, String)] = Nil,
+    targetMb: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
@@ -552,16 +554,34 @@ final case class GraftOptimizeCommand(
         })
       }
     if (whereScope.nonEmpty && scope.isEmpty) return Seq(Row(op, 0))
+    // bytes-aware target: the statement's own TARGET n MB, else the
+    // table's declared graft.optimize.targetFileSize (bytes); Z-ordering
+    // clusters by range, so an explicit TARGET with ZORDER BY refuses
+    // (the declared property is simply not consulted on the zorder path)
+    require(targetMb.isEmpty || effZorder.isEmpty,
+      "OPTIMIZE ... ZORDER BY does not take TARGET — Z-order output is " +
+        "range-clustered, not size-binned")
+    val targetBytes: Option[Long] =
+      targetMb.map(_ * 1024L * 1024L).orElse(
+        if (effZorder.nonEmpty) None
+        else TableProperties.get(
+          session, defn, TableProperties.OptimizeTargetFileSize).map(_.trim.toLong))
     val (_, changes) =
-      if (effZorder.isEmpty)
-        Compaction.compact(
-          session, ctx, defn, UserId("sql"), UpdateMessage(s"$op (SQL)"),
-          partitions = scope)
-      else
+      if (effZorder.nonEmpty)
         ZOrder.zorderCompact(
           session, ctx, defn, UserId("sql"),
           UpdateMessage(s"$op (SQL) by ${effZorder.mkString(",")}"),
           effZorder, partitions = scope)
+      else targetBytes match {
+        case Some(t) =>
+          Compaction.compactToSize(
+            session, ctx, defn, UserId("sql"),
+            UpdateMessage(s"$op (SQL) target ${t}B"), t, partitions = scope)
+        case None =>
+          Compaction.compact(
+            session, ctx, defn, UserId("sql"), UpdateMessage(s"$op (SQL)"),
+            partitions = scope)
+      }
     Seq(Row(op, changes.operations.size))
   }
 }
@@ -824,11 +844,18 @@ final case class GraftDeepCloneCommand(
     val dstDefn = DeepClone.clone(
       session, ctx, srcDefn, dstName, dstLoc, UserId("sql"), Some(at))
     // a HEAD clone carries the source's declared schema (evolution lives
-    // there); an as-of clone lets inference read the materialized files —
-    // the source's CURRENT declaration may be wider than the cloned state
+    // there); an AS OF clone carries what a `VERSION AS OF` load would
+    // DECLARE at the cloned commit — the current declaration overlaid
+    // with the addressed commit's recorded struct shapes/widths
+    // (SchemaStates), so evolved fields the copy materialized as typed
+    // NULLs survive inference and nested shapes travel; top-level adds
+    // stay declared per the long-pinned q62 time-travel contract (they
+    // read as typed NULLs in the clone, same as a time-traveled read)
     val schema =
       if (asOf.isEmpty) GraftTableCatalog.registeredSchema(cat, srcDefn.name)
-      else None
+      else SchemaStates.schemaFor(
+        session, binding.log, srcDefn,
+        GraftTableCatalog.registeredSchema(cat, srcDefn.name), at)
     GraftTableCatalog.register(cat, dstDefn, schema)
     Seq(Row(dstParts.mkString("."), at.id, dstDefn.location.toString))
   }
@@ -935,10 +962,33 @@ final case class GraftShowCreateTableCommand(parts: Seq[String])
     val props = TableProperties.list(session, defn)
 
     def esc(s: String): String = s.replace("'", "''")
+    // identity columns are engine-stamped BIGINTs by construction, so the
+    // BIGINT fallback is exact for them; generated columns must NOT guess
+    // — a rule declared through the Scala API before the first write has
+    // no recorded type and no materialized column, so its type derives
+    // from ANALYZING the generation expression against the base columns
     def typeOf(c: String): String = schema.fields
       .find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql).getOrElse("BIGINT")
     val omitted = (generated.map(_.column.toLowerCase) ++
       identity.map(_.toLowerCase)).toSet
+    def analyzedTypeOf(e: String): Option[String] =
+      try {
+        val base = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(f => omitted.contains(f.name.toLowerCase)))
+        Some(session
+          .createDataFrame(new java.util.ArrayList[Row](), base)
+          .select(org.apache.spark.sql.functions.expr(e))
+          .schema.head.dataType.sql)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def generatedTypeOf(g: GeneratedColumns.GeneratedColumn): String =
+      g.tpe
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(g.column)).map(_.dataType.sql))
+        .orElse(analyzedTypeOf(g.expr))
+        .getOrElse(sys.error(
+          s"SHOW CREATE TABLE: cannot determine the type of generated column " +
+            s"${g.column} — no declared type, no materialized data, and its " +
+            s"expression (${g.expr}) does not analyze against the table's " +
+            "columns; re-declare the rule with an explicit type"))
     val colLines = schema.fields.toSeq
       .filterNot(f => omitted.contains(f.name.toLowerCase))
       .map(f => s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
@@ -965,7 +1015,7 @@ final case class GraftShowCreateTableCommand(parts: Seq[String])
     }
     generated.foreach(g => alters +=
       s"ALTER TABLE $full ADD COLUMN ${g.column} " +
-        s"${g.tpe.getOrElse(typeOf(g.column))} GENERATED ALWAYS AS (${g.expr})")
+        s"${generatedTypeOf(g)} GENERATED ALWAYS AS (${g.expr})")
     defaults.foreach(d => alters +=
       s"ALTER TABLE $full ALTER COLUMN ${d.column} SET DEFAULT ${d.expr}")
     constraints.foreach {
@@ -1187,12 +1237,15 @@ final case class GraftReplaceWhereCommand(
     parts: Seq[String], predicateSql: String, sourceSql: String)
   extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
-    val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
-    ReplaceWhere.run(
-      session, binding, defn, predicateSql, session.sql(sourceSql), UserId("sql"))
-    Seq.empty
-  }
+  override def run(session: SparkSession): Seq[Row] =
+    // SQL-originated: NULL slots in the statement's rows read as
+    // analyzer-fill for omitted columns (generated columns derive)
+    GeneratedColumns.withSqlNullFill {
+      val (binding, defn) = GraftMaintenanceSql.resolve(session, parts)
+      ReplaceWhere.run(
+        session, binding, defn, predicateSql, session.sql(sourceSql), UserId("sql"))
+      Seq.empty
+    }
 }
 
 /** `ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY` — the

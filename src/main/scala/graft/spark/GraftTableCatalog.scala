@@ -405,9 +405,15 @@ final class GraftTableCatalog extends TableCatalog {
     if (schemaChanges.isEmpty) { applyProps(); return loadTable(ident) }
     val base = declared.getOrElse(loadTable(ident).asInstanceOf[GraftV2Table].schema())
     // captured BEFORE the fold: TYPE WIDENING commits its audit entry
-    // inside the fold (ColumnMapping.widenPath), and the schema-state
-    // baseline must anchor at-or-before that commit
+    // right after the fold (below), and the schema-state baseline must
+    // anchor at-or-before that commit
     val preFold = binding.log.currentCommit(defn.name)
+    // TYPE widenings VALIDATE inside the fold (pure — ColumnMapping.
+    // validateWiden against the folding schema) but COMMIT only after the
+    // whole fold passes: a multi-change ALTER that fails on a later
+    // change must not leave a widen durably applied
+    val pendingWidens =
+      scala.collection.mutable.ListBuffer.empty[(Seq[String], org.apache.spark.sql.types.DataType)]
     val widened = schemaChanges.foldLeft(base) {
       case (schema, add: TableChange.AddColumn) if add.fieldNames().length > 1 =>
         // NESTED ADD (`ADD COLUMN s.x T`) — additive struct evolution:
@@ -489,16 +495,22 @@ final class GraftTableCatalog extends TableCatalog {
         // TYPE WIDENING via column mapping — top-level or a NESTED struct
         // field (`ALTER COLUMN meta.cnt TYPE BIGINT`, a path-keyed
         // mapping entry): metadata-only, no file rewrite; narrowing/lossy
-        // changes refuse inside widen
+        // changes refuse HERE (pure), the commit lands after the fold
         val path = upd.fieldNames().toSeq
-        ColumnMapping.widenPath(
-          SparkSession.active, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
-          defn, path, upd.newDataType().catalogString, UserId("sql"))
+        ColumnMapping.validateWiden(defn, schema, path, upd.newDataType())
+        pendingWidens += ((path, upd.newDataType()))
         StructEvolution.setFieldType(schema, path, upd.newDataType())
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN and " +
             s"ALTER COLUMN TYPE (widening) only, got ${other.getClass.getSimpleName}")
+    }
+    // the whole fold validated — the collected widens commit now (their
+    // audit entries anchor after preFold, before the schema-state record)
+    pendingWidens.foreach { case (path, dt) =>
+      ColumnMapping.widenPath(
+        SparkSession.active, VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+        defn, path, dt.catalogString, UserId("sql"))
     }
     binding.tables.put(tableName.fullyQualifiedName, (defn, Some(widened)))
     val added = changes.collect { case a: TableChange.AddColumn => a.fieldNames().mkString(".") }
@@ -864,7 +876,7 @@ private[spark] object GraftV2Table {
       defn: TableDefinition,
       binding: GraftTableCatalog.Binding,
       data: DataFrame,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean): Unit = GeneratedColumns.withSqlNullFill {
     val spark = data.sparkSession
     val ctx = VersionContext(metastoreFor(binding, defn))
     val message =

@@ -33,33 +33,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
  */
 object StructEvolution {
 
-  /** Append nullable `dt` at `path` (parent path must name structs all the
-    * way down). Returns the widened schema; refuses unknown parents,
-    * non-struct parents, and name collisions. */
+  /** Append nullable `dt` at `path` (parents name structs, or step
+    * through arrays/map values via `element`/`value` segments —
+    * `arr.element.x` appends a field to the struct inside an
+    * `array<struct>`; old files read it as a typed NULL per element).
+    * Returns the widened schema; refuses unknown parents, unaddressable
+    * parents, map-KEY paths (a key gaining a field would split old and
+    * new key identities), and name collisions. */
   def addField(base: StructType, path: Seq[String], dt: DataType): StructType = {
     require(path.nonEmpty, "empty field path")
+    require(!path.dropRight(1).exists(_.equalsIgnoreCase("key")),
+      s"cannot add ${path.mkString(".")}: fields cannot be added inside " +
+        "map KEYS (old and new key identities would diverge)")
     val name = path.last
-    def walk(st: StructType, parents: Seq[String], walked: Seq[String]): StructType =
-      parents match {
-        case Seq() =>
+    def walk(cur: DataType, parents: Seq[String], walked: Seq[String]): DataType =
+      (cur, parents) match {
+        case (st: StructType, Seq()) =>
           require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"field ${(walked :+ name).mkString(".")} already exists")
           StructType(st.fields :+ StructField(name, dt, nullable = true))
-        case head +: rest =>
+        case (other, Seq()) => throw new IllegalArgumentException(
+          s"column ${walked.mkString(".")} is ${other.catalogString}, " +
+            "not a struct — nested ADD COLUMN requires a struct parent")
+        case (st: StructType, head +: rest) =>
           val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
           require(idx >= 0,
             s"no such column ${(walked :+ head).mkString(".")}")
-          st.fields(idx).dataType match {
-            case inner: StructType =>
-              val widened = walk(inner, rest, walked :+ head)
-              StructType(st.fields.updated(
-                idx, st.fields(idx).copy(dataType = widened)))
-            case other => throw new IllegalArgumentException(
-              s"column ${(walked :+ head).mkString(".")} is ${other.catalogString}, " +
-                "not a struct — nested ADD COLUMN requires struct parents")
-          }
+          StructType(st.fields.updated(
+            idx, st.fields(idx).copy(
+              dataType = walk(st.fields(idx).dataType, rest, walked :+ head))))
+        case (at: ArrayType, head +: rest) if head.equalsIgnoreCase("element") =>
+          at.copy(elementType = walk(at.elementType, rest, walked :+ head))
+        case (mt: org.apache.spark.sql.types.MapType, head +: rest)
+            if head.equalsIgnoreCase("value") =>
+          mt.copy(valueType = walk(mt.valueType, rest, walked :+ head))
+        case (other, head +: _) => throw new IllegalArgumentException(
+          s"column ${walked.mkString(".")} is ${other.catalogString} — " +
+            s"segment '$head' is not addressable in it")
       }
-    walk(base, path.dropRight(1), Nil)
+    walk(base, path.dropRight(1), Nil).asInstanceOf[StructType]
   }
 
   /** Rename the field at `path` to `to`, preserving its position. Refuses
@@ -104,9 +116,14 @@ object StructEvolution {
     walk(base, path, Nil).asInstanceOf[StructType]
   }
 
-  /** Drop the field at `path`. Refuses unknown paths and dropping a
-    * struct's LAST field (an empty struct cannot be projected). */
-  def dropField(base: StructType, path: Seq[String]): StructType =
+  /** Drop the field at `path`. Refuses unknown paths, dropping a
+    * struct's LAST field (an empty struct cannot be projected), and
+    * paths inside map KEYS (dropping part of a key can collapse distinct
+    * keys into duplicates). */
+  def dropField(base: StructType, path: Seq[String]): StructType = {
+    require(!path.dropRight(1).exists(_.equalsIgnoreCase("key")),
+      s"cannot drop ${path.mkString(".")}: dropping a field inside map " +
+        "KEYS could collapse distinct keys into duplicates")
     atParent(base, path) { (st, name, walked) =>
       val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
       require(idx >= 0, s"no such field ${(walked :+ name).mkString(".")}")
@@ -115,28 +132,40 @@ object StructEvolution {
           "last field — drop the whole column instead")
       StructType(st.fields.patch(idx, Nil, 1))
     }
+  }
 
   /** Walk to `path`'s parent struct and apply `f(parent, lastSegment,
-    * walkedParents)` there, rebuilding the enclosing structs. */
+    * walkedParents)` there, rebuilding the enclosing structs. `element` /
+    * `key` / `value` segments step THROUGH arrays and maps (the Spark
+    * nested addressing), so `arr.element.x` reaches a struct field inside
+    * an `array<struct>`. */
   private def atParent(base: StructType, path: Seq[String])(
       f: (StructType, String, Seq[String]) => StructType): StructType = {
     require(path.nonEmpty, "empty field path")
-    def walk(st: StructType, parents: Seq[String], walked: Seq[String]): StructType =
-      parents match {
-        case Seq() => f(st, path.last, walked)
-        case head +: rest =>
+    def walkType(dt: DataType, parents: Seq[String], walked: Seq[String]): DataType =
+      (dt, parents) match {
+        case (st: StructType, Seq()) => f(st, path.last, walked)
+        case (other, Seq()) => throw new IllegalArgumentException(
+          s"${walked.mkString(".")} is ${other.catalogString}, not a struct")
+        case (st: StructType, head +: rest) =>
           val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
           require(idx >= 0, s"no such column ${(walked :+ head).mkString(".")}")
-          st.fields(idx).dataType match {
-            case inner: StructType =>
-              StructType(st.fields.updated(
-                idx, st.fields(idx).copy(dataType = walk(inner, rest, walked :+ head))))
-            case other => throw new IllegalArgumentException(
-              s"column ${(walked :+ head).mkString(".")} is ${other.catalogString}, " +
-                "not a struct")
-          }
+          StructType(st.fields.updated(
+            idx, st.fields(idx).copy(
+              dataType = walkType(st.fields(idx).dataType, rest, walked :+ head))))
+        case (at: ArrayType, head +: rest) if head.equalsIgnoreCase("element") =>
+          at.copy(elementType = walkType(at.elementType, rest, walked :+ head))
+        case (mt: org.apache.spark.sql.types.MapType, head +: rest)
+            if head.equalsIgnoreCase("key") =>
+          mt.copy(keyType = walkType(mt.keyType, rest, walked :+ head))
+        case (mt: org.apache.spark.sql.types.MapType, head +: rest)
+            if head.equalsIgnoreCase("value") =>
+          mt.copy(valueType = walkType(mt.valueType, rest, walked :+ head))
+        case (other, head +: _) => throw new IllegalArgumentException(
+          s"column ${walked.mkString(".")} is ${other.catalogString} — " +
+            s"segment '$head' is not addressable in it")
       }
-    walk(base, path.dropRight(1), Nil)
+    walkType(base, path.dropRight(1), Nil).asInstanceOf[StructType]
   }
 
   /** Is `to` an ADDITIVE widening of `from`? Equal types widen trivially;

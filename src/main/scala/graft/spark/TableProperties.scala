@@ -54,6 +54,10 @@ object TableProperties {
   val StatsAutoUpdate = "graft.stats.autoUpdate"
   val AutoOptimize = "graft.autoOptimize"
   val AutoOptimizeMinFiles = "graft.autoOptimize.minFiles"
+  /** Declared bytes-aware OPTIMIZE target (bytes): a bare `OPTIMIZE t`
+    * bin-packs to ~this file size ([[Compaction.compactToSize]]); the
+    * statement's own `TARGET n MB` wins. */
+  val OptimizeTargetFileSize = "graft.optimize.targetFileSize"
 
   private val mapper = new ObjectMapper()
 
@@ -70,6 +74,7 @@ object TableProperties {
   private val IntKeys = Set(
     AutoOptimizeMinFiles, "graft.vacuum.retainCommits",
     "graft.vacuum.retainHours", "graft.vacuum.graceMinutes")
+  private val PositiveLongKeys = Set(OptimizeTargetFileSize)
 
   /** Refuse values the behavior keys cannot parse. Arbitrary other keys
     * store verbatim (annotations are legal). Also the PRE-FLIGHT a mixed
@@ -85,6 +90,10 @@ object TableProperties {
         require(v.trim.toIntOption.exists(_ >= 0),
           s"invalid value '$v' for integer property $k on " +
             s"${table.name.fullyQualifiedName} — expected a non-negative integer")
+      else if (PositiveLongKeys.contains(k))
+        require(v.trim.toLongOption.exists(_ > 0),
+          s"invalid value '$v' for property $k on " +
+            s"${table.name.fullyQualifiedName} — expected a positive byte count")
     }
 
   /** SHORT-LIVED per-path cache: the behavior keys are consulted inside

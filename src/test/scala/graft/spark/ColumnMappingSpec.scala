@@ -296,6 +296,124 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
       .getMessage should include("dropped field")
   }
 
+  test("array-element rename/drop: transform-lambda rebuild, frozen physical names, time travel, rebirth refusal at depth") {
+    val (ctx, log, table) = freshTable("map_arr")
+    spark.conf.set("spark.sql.catalog.graftmapa", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmapa", log)
+    GraftTableCatalog.register("graftmapa", table)
+    val name = "graftmapa.test.map_arr"
+    // v1: array<struct<x,note>> — two elements per row, one NULL array row
+    spark.sql(
+      """SELECT id,
+        |       CASE WHEN id = 3 THEN CAST(NULL AS ARRAY<STRUCT<x: INT, note: STRING>>)
+        |            ELSE array(named_struct('x', CAST(id AS INT), 'note', concat('n', id)),
+        |                       named_struct('x', CAST(id * 10 AS INT), 'note', 'm')) END AS tags,
+        |       '2024-01-01' AS date FROM range(1, 4)""".stripMargin)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+    val preRename = log.currentCommit(table.name)
+
+    def elemFields(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.find(_.name == "tags").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+
+    // RENAME tags.element.x -> score: metadata-only, audited
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN tags.element.x TO score")
+    log.updates(table.name).head.message.content should include(
+      "RENAME COLUMN tags.element.x TO score")
+    val mapped = spark.table(name)
+    elemFields(mapped) shouldBe Seq("score", "note")
+    // old files serve the new name per element; the NULL array stays NULL
+    mapped.select(org.apache.spark.sql.functions.expr("tags[0].score"))
+      .as[Option[Int]].collect().flatten.sorted shouldBe Array(1, 2)
+    mapped.where(col("tags").isNull).count() shouldBe 1L
+
+    // post-rename writes speak the LOGICAL name; files store the physical
+    spark.sql(
+      s"""INSERT INTO $name
+         |SELECT 11L AS id,
+         |       array(named_struct('score', 110, 'note', 'w')) AS tags,
+         |       DATE'2024-01-02' AS date""".stripMargin)
+    val raw = VersionedReader(spark, log).read(table)
+    raw.schema.fields.find(_.name == "tags").get.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames should contain("x")
+    spark.table(name)
+      .where(org.apache.spark.sql.functions.expr("tags[0].score = 110"))
+      .count() shouldBe 1L
+
+    // time travel: the pre-rename commit reads the OLD element shape
+    elemFields(ColumnMapping.read(spark, log, table, Some(preRename))) shouldBe
+      Seq("x", "note")
+    val preDrop = log.currentCommit(table.name)
+
+    // DROP tags.element.note: stops projecting per element, files untouched
+    spark.sql(s"ALTER TABLE $name DROP COLUMN tags.element.note")
+    elemFields(spark.table(name)) shouldBe Seq("score")
+    spark.table(name).count() shouldBe 4L
+    elemFields(ColumnMapping.read(spark, log, table, Some(preDrop))) shouldBe
+      Seq("score", "note")
+
+    // the dropped-name-rebirth refusal AT DEPTH: old files still carry
+    // the physical field inside every element
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $name ADD COLUMN tags.element.note STRING"))
+      .getMessage should include("cannot be re-added")
+    // …but a FRESH element field can be added (old rows read NULL)
+    spark.sql(s"ALTER TABLE $name ADD COLUMN tags.element.w DOUBLE")
+    elemFields(spark.table(name)) shouldBe Seq("score", "w")
+
+    // a batch naming the dropped element field refuses at the translation
+    val bad = spark.sql(
+      """SELECT 99L AS id,
+        |       array(named_struct('score', 9, 'note', 'z', 'w', 1.0)) AS tags,
+        |       DATE'2024-01-03' AS date""".stripMargin)
+    intercept[Exception](
+      bad.versionedInsertInto(ctx, table, user, UpdateMessage("bad")))
+      .getMessage should include("dropped field")
+
+    // structural segments are not renamable/droppable
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $name RENAME COLUMN tags.element TO items"))
+    ()
+  }
+
+  test("map value-field rename rebuilds through transform_values; key-field drops refuse") {
+    val (ctx, log, table) = freshTable("map_map")
+    spark.conf.set("spark.sql.catalog.graftmapm", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmapm", log)
+    GraftTableCatalog.register("graftmapm", table)
+    val name = "graftmapm.test.map_map"
+    spark.sql(
+      """SELECT id,
+        |       map(named_struct('k', CAST(id AS INT), 'v', 'a'),
+        |           named_struct('cnt', CAST(id AS INT), 'aux', 'u')) AS m,
+        |       '2024-01-01' AS date FROM range(1, 4)""".stripMargin)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN m.value.cnt TO hits")
+    val df = spark.table(name)
+    df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+      .valueType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq shouldBe Seq("hits", "aux")
+    df.select(org.apache.spark.sql.functions.expr("map_values(m)[0].hits"))
+      .as[Int].collect().sorted shouldBe Array(1, 2, 3)
+
+    // renaming inside map KEYS is fine (key equality is on values, not
+    // names) — the transform_keys rebuild serves old files
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN m.key.v TO tag")
+    spark.table(name)
+      .select(org.apache.spark.sql.functions.expr("map_keys(m)[0].tag"))
+      .as[String].collect().toSet shouldBe Set("a")
+
+    // dropping inside map KEYS refuses (a metadata-only change cannot
+    // risk collapsing distinct keys into duplicates)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name DROP COLUMN m.key.tag"))
+    e.getMessage should include("KEYS")
+  }
+
   test("rename refuses engine-owned and rule-referenced columns (round 15)") {
     val (ctx, _, table) = freshTable("map_guard")
     Seq((1L, "a", 5L, "n", "2024-01-01")).toDF("id", "kind", "qty", "note", "date")

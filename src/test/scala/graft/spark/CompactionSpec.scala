@@ -2,6 +2,8 @@ package graft.spark
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -57,6 +59,109 @@ class CompactionSpec extends AnyFunSuite with Matchers {
 
     // pre-compaction version still fully readable (time travel)
     reader.readAsOf(table, fragmented).as[Event].collect().sortBy(_.id) shouldBe events.toArray
+  }
+
+  test("size-targeted compaction: oversized partitions split to ~target, small ones merge to one") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "compact_size"),
+      Files.createTempDirectory("graft_spec_csize").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    // partition A: lots of incompressible-ish rows over 8 fragments;
+    // partition B: a handful of rows in one file
+    val big = (1L to 4000L).map(i =>
+      Event(i, s"key_${i}_${"x" * 64}_${i * 2654435761L}", "2024-01-01"))
+    val small = (5000L to 5009L).map(i => Event(i, s"k$i", "2024-01-02"))
+    (big ++ small).toDS().repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+
+    val pA = Paths.get(table.location).resolve("date=2024-01-01")
+    val pB = Paths.get(table.location).resolve("date=2024-01-02")
+    def dirBytes(dir: Path): Long = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(Files.size(_)).sum
+      finally s.close()
+    }
+    val v1A = Files.list(pA).iterator().next()
+    val aBytes = dirBytes(v1A)
+    val target = aBytes / 3 // A should split ~3-4 ways; B is far below it
+
+    // narrow input splits so the 8 fragments stay 8 input partitions (the
+    // salt is pmod(spark_partition_id, splits) — at real scale a 500 GB
+    // partition has thousands of input splits, here we must not let the
+    // scan glue 8 tiny files into one)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try
+      Compaction.compactToSize(
+        spark, ctx, table, user, UpdateMessage("v2: size-targeted"), target)
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+
+    val pvs = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(m) => m
+      case other                      => fail(s"unexpected $other")
+    }
+    val aFiles = dataFiles(pA.resolve(
+      pvs(Partition(PartitionColumn("date"), "2024-01-01")).label))
+    val bFiles = dataFiles(pB.resolve(
+      pvs(Partition(PartitionColumn("date"), "2024-01-02")).label))
+    aFiles should be >= 2L // the oversized partition split
+    aFiles should be <= 5L // …to roughly ceil(bytes/target), not shards
+    bFiles shouldBe 1L     // the small partition still merged to one
+
+    // row-invisible, and the fragmented version still time-travels
+    VersionedReader(spark, log).read(table).as[Event]
+      .collect().sortBy(_.id) shouldBe (big ++ small).toArray
+  }
+
+  test("SQL OPTIMIZE TARGET n MB and the declared target property drive the bytes-aware path") {
+    val (ctx, log) = freshContext()
+    val table = TableDefinition(
+      TableName("test", "compact_sizesql"),
+      Files.createTempDirectory("graft_spec_csizesql").toUri,
+      PartitionSchema(List(PartitionColumn("date"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.conf.set("spark.sql.catalog.graftcsz", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftcsz", log)
+    GraftTableCatalog.register("graftcsz", table)
+    val name = "graftcsz.test.compact_sizesql"
+    (1L to 50L).map(i => Event(i, s"k$i", "2024-01-01")).toDS().repartition(4)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // a generous explicit target merges the fragments to one file
+    spark.sql(s"OPTIMIZE $name TARGET 128 MB").collect()
+    log.updates(table.name).head.message.content should include("target")
+    val pvs = log.currentVersion(table.name) match {
+      case PartitionedTableVersion(m) => m
+      case other                      => fail(s"unexpected $other")
+    }
+    dataFiles(Paths.get(table.location).resolve("date=2024-01-01")
+      .resolve(pvs(Partition(PartitionColumn("date"), "2024-01-01")).label)) shouldBe 1L
+
+    // TARGET with ZORDER BY refuses (range clustering is not size binning)
+    intercept[Exception](
+      spark.sql(s"OPTIMIZE $name ZORDER BY (id) TARGET 64 MB").collect())
+
+    // the declared property routes a BARE OPTIMIZE through the sized path
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('${TableProperties.OptimizeTargetFileSize}' = '134217728')")
+    spark.sql(s"OPTIMIZE $name").collect()
+    log.updates(table.name).head.message.content should include("target 134217728B")
+    // a bad value refuses at SET time (the typed-contract gate)
+    intercept[Exception](spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('${TableProperties.OptimizeTargetFileSize}' = 'huge')"))
+    ()
   }
 
   test("snapshot compaction coalesces to maxFiles without changing rows") {

@@ -337,6 +337,38 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
       .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 4L, 5L)
   }
 
+  test("a source with declared-schema evolution (schema states) must not raw-copy") {
+    val (ctx, log) = freshContext()
+    val srcLoc = Files.createTempDirectory("graft_deep_ss_src")
+    val src = TableDefinition(
+      TableName("test", "deep_ss_src"), srcLoc.toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(src, user, UpdateMessage("init"))
+    events.toDS().versionedInsertInto(ctx, src, user, UpdateMessage("v1"))
+    val pre = log.currentCommit(src.name)
+    // a recorded schema state marks heterogeneous file generations — a
+    // raw copy registered without a carried schema could let a narrow
+    // footer win the inference and drop evolved fields
+    ctx.metastore.commit(src.name, graft.core.TableVersions.TableUpdate(
+      user, UpdateMessage("ALTER TABLE ADD COLUMNS (note)"),
+      java.time.Instant.now(), Nil))
+    val evolved = org.apache.spark.sql.types.StructType(
+      VersionedReader(spark, log).read(src).schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "note", org.apache.spark.sql.types.StringType))
+    SchemaStates.record(
+      spark, src, VersionedReader(spark, log).read(src).schema, pre,
+      evolved, log.currentCommit(src.name))
+
+    val clone = DeepClone.clone(
+      spark, ctx, src, TableName("test", "deep_ss_dst"),
+      Files.createTempDirectory("graft_deep_ss_dst").toUri, user)
+    log.updates(clone.name).map(_.message.content)
+      .exists(_.contains("raw file copy")) shouldBe false
+    VersionedReader(spark, log).read(clone)
+      .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
   private def snapshotTree(loc: java.nio.file.Path): Set[String] = {
     val walk = Files.walk(loc)
     try walk.iterator().asScala.map(p => loc.relativize(p).toString).toSet

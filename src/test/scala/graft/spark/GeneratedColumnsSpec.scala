@@ -82,4 +82,36 @@ class GeneratedColumnsSpec extends AnyFunSuite with Matchers {
     // and the declaration audit commit is in the history
     log.updates(t.name).head.message.content should include("GENERATED COLUMN band")
   }
+
+  test("Scala-API explicit NULL against a non-null rule raises; SQL column-list omission fills") {
+    val (ctx, log, t) = fresh("gen3", "parity")
+    GeneratedColumns.add(spark, ctx, t,
+      GeneratedColumns.GeneratedColumn(
+        "parity", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END"), user)
+    (1L to 4L).map(i => (i, s"k$i")).toDF("id", "kind")
+      .versionedInsertInto(ctx, t, user, UpdateMessage("v1"))
+
+    // the Scala API supplies exactly what the caller built: an explicit
+    // NULL disagreeing with the (non-null) rule is a violation, not an
+    // omission — the strict GENERATED ALWAYS contract
+    val head = log.currentVersion(t.name)
+    val e = intercept[Throwable] {
+      Seq((5L, "x", null: String)).toDF("id", "kind", "parity")
+        .versionedInsertInto(ctx, t, user, UpdateMessage("bad null"))
+    }
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(x => Option(x.getMessage).exists(_.contains("GENERATED"))) shouldBe true
+    log.currentVersion(t.name) shouldBe head
+
+    // a SQL column-list INSERT omitting the column arrives analyzer-NULL-
+    // filled and must DERIVE (the Delta fill contract) — the SQL entry
+    // point declares itself via the fill scope
+    spark.conf.set("spark.sql.catalog.graftgen3", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftgen3", log)
+    GraftTableCatalog.register("graftgen3", t)
+    spark.sql("INSERT INTO graftgen3.db.gen3 (id, kind) VALUES (6, 'y')")
+    VersionedReader(spark, log).read(t)
+      .where(col("id") === 6L).select("parity")
+      .as[String].collect() shouldBe Array("even")
+  }
 }

@@ -337,6 +337,55 @@ class NestedWideningSpec extends AnyFunSuite with Matchers {
     ()
   }
 
+  test("a mixed ALTER failing after a TYPE widen leaves the widen unapplied too") {
+    val (ctx, log, table) = freshTable("nw_atomic")
+    spark.conf.set(
+      "spark.sql.catalog.graftnwa", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftnwa", log)
+    narrowBatch(spark, 5, "2024-01-01")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: narrow"))
+    GraftTableCatalog.register("graftnwa", table,
+      Some(VersionedReader(spark, log).read(table).schema))
+
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val catalog = spark.sessionState.catalogManager.catalog("graftnwa")
+      .asInstanceOf[GraftTableCatalog]
+    val ident = Identifier.of(Array("test"), "nw_atomic")
+    val head = log.currentCommit(table.name)
+
+    // the widen validates fine but the LATER change in the same batch
+    // fails (duplicate column) — the widen must NOT have committed: no
+    // mapping state, no audit commit, declared type still narrow
+    intercept[Exception] {
+      catalog.alterTable(ident,
+        TableChange.updateColumnType(
+          Array("meta", "cnt"), org.apache.spark.sql.types.LongType),
+        TableChange.addColumn(
+          Array("id"), org.apache.spark.sql.types.StringType))
+    }
+    log.currentCommit(table.name) shouldBe head
+    ColumnMapping.hasMapping(spark, log, table, None) shouldBe false
+    metaType(spark.table("graftnwa.test.nw_atomic"))("cnt")
+      .dataType.catalogString shouldBe "int"
+
+    // an INVALID widen (lossy) in a mixed batch refuses inside the fold
+    // with the same nothing-applied outcome
+    intercept[Exception] {
+      catalog.alterTable(ident,
+        TableChange.updateColumnType(
+          Array("meta", "tag"), org.apache.spark.sql.types.LongType))
+    }
+    log.currentCommit(table.name) shouldBe head
+
+    // a clean widen-only batch still lands
+    catalog.alterTable(ident,
+      TableChange.updateColumnType(
+        Array("meta", "cnt"), org.apache.spark.sql.types.LongType))
+    metaType(spark.table("graftnwa.test.nw_atomic"))("cnt")
+      .dataType.catalogString shouldBe "bigint"
+    ColumnMapping.hasMapping(spark, log, table, None) shouldBe true
+  }
+
   test("MERGE over a nested-widened table aligns kept rows and a narrow source upcasts") {
     val (ctx, log, table) = freshTable("nw_merge")
     narrowBatch(spark, 6, "2024-01-01")

@@ -105,4 +105,23 @@ class ShowCreateTableSpec extends AnyFunSuite with Matchers {
     script should not include "GENERATED ALWAYS AS IDENTITY"
     script.split(";").head should not include RowTracking.RowIdCol
   }
+
+  test("a Scala-API generated rule with no declared type and no data emits its ANALYZED type, never a guess") {
+    val loc = Files.createTempDirectory("graft_sct_gt").toUri
+    val name = "graftsct.db.sct_gt"
+    spark.sql(
+      s"CREATE TABLE $name (id BIGINT, kind STRING, date STRING) USING parquet " +
+        s"PARTITIONED BY (date) LOCATION '$loc'")
+    val (binding, defn) =
+      GraftTableCatalog.lookup("graftsct", TableName("db", "sct_gt")).get
+    // the Scala API records no declared type; the table has never been
+    // written, so the column has no materialized type either — the DDL
+    // derives it by analyzing the expression against the base columns
+    GeneratedColumns.add(
+      spark, VersionContext(GraftV2Table.metastoreFor(binding, defn)), defn,
+      GeneratedColumns.GeneratedColumn("kind_len", "length(kind)"), UserId("sct"))
+    val script = spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+    script should include("ADD COLUMN kind_len INT GENERATED ALWAYS AS (length(kind))")
+    script should not include "kind_len BIGINT"
+  }
 }
