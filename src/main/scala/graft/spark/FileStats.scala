@@ -48,6 +48,13 @@ object FileStats {
   val BloomWords: Int = BloomBits / 64
   val BloomHashes: Int = 4
 
+  /** STRING zone-map bounds store at most this many characters (the
+    * Delta 32-char posture): min truncates (a prefix stays a lower
+    * bound), max prefix-increments (strictly above everything sharing
+    * the prefix) — sidecar rows stay metadata-sized even when a caller
+    * requests stats on a long-text column. */
+  val StringBoundPrefixLen: Int = 32
+
   /** Per-file zone maps for `cols` over any DataFrame backed by a file
     * scan: `file, [carryCols…,] n_rows, min_<c>, max_<c>…` — one
     * distributed agg pass, result cardinality O(#files). `carryCols` ride
@@ -86,8 +93,35 @@ object FileStats {
            |ELSE transform(sequence(0, ${BloomHashes - 1}),
            |               i -> pmod(xxhash64(CAST(i AS BIGINT), CAST(`$c` AS STRING)), ${BloomBits}L))
            |END""".stripMargin)))
+    // STRING bounds store a bounded PREFIX, never the full value (a stats
+    // column holding document text / URLs would otherwise bloat the
+    // sidecar): min truncates to its 32-char prefix (a prefix is ≤ the
+    // full string — still a lower bound), max keeps values ≤ 32 chars
+    // verbatim and otherwise increments the prefix's last character (the
+    // Delta/Iceberg posture — strictly ≥ every value sharing the prefix);
+    // a last char outside the safely-incrementable ASCII range stores
+    // NULL, which every pruning predicate already treats as "keep the
+    // file" — truncation only ever widens bounds, so pruning stays
+    // conservative-correct.
+    def boundedMin(c: String) = min(col(c)) match {
+      case m if df.schema.find(_.name.equalsIgnoreCase(c))
+          .exists(_.dataType == org.apache.spark.sql.types.StringType) =>
+        expr(s"substring(min(`$c`), 1, $StringBoundPrefixLen)")
+      case m => m
+    }
+    def boundedMax(c: String) = max(col(c)) match {
+      case m if df.schema.find(_.name.equalsIgnoreCase(c))
+          .exists(_.dataType == org.apache.spark.sql.types.StringType) =>
+        expr(
+          s"""CASE WHEN length(max(`$c`)) <= $StringBoundPrefixLen THEN max(`$c`)
+             |WHEN ascii(substring(max(`$c`), $StringBoundPrefixLen, 1)) BETWEEN 1 AND 126
+             |  THEN concat(substring(max(`$c`), 1, ${StringBoundPrefixLen - 1}),
+             |              chr(ascii(substring(max(`$c`), $StringBoundPrefixLen, 1)) + 1))
+             |ELSE NULL END""".stripMargin)
+      case m => m
+    }
     val aggs = (count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      cols.flatMap(c => Seq(boundedMin(c).as(s"min_$c"), boundedMax(c).as(s"max_$c")))) ++
       distinctCols.map(c =>
         when(size(collect_set(col(c))) <= distinctCap,
           sort_array(collect_set(col(c))))

@@ -147,7 +147,7 @@ private[spark] object GraftMaintenanceSql {
   // ALTER statements for every sidecar declaration (constraints,
   // generated/identity/default columns, row tracking)
   private val ShowCreateStmt =
-    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+((?:\w+|`[^`\n]+`)(?:\.(?:\w+|`[^`\n]+`))*)(?:\s+VERSION\s+AS\s+OF\s+'([^'\n]+)')?\s*;?\s*""".r
   // CREATE MATERIALIZED VIEW mv [LOCATION '<path>'] AS SELECT ... — the
   // SELECT is analyzed (not regex-parsed) at execution; only the
   // incrementally-maintainable shape is admitted (MaterializedView)
@@ -391,8 +391,8 @@ private[spark] object GraftMaintenanceSql {
       Some(GraftAddConstraintCommand(parts(ident), name, expr.trim))
     case DropConstraintStmt(ident, name) if isGraftCatalogRef(split(ident)) =>
       Some(GraftDropConstraintCommand(parts(ident), name))
-    case ShowCreateStmt(ident) if isGraftCatalogRef(split(ident)) =>
-      Some(GraftShowCreateTableCommand(parts(ident)))
+    case ShowCreateStmt(ident, asOf) if isGraftCatalogRef(split(ident)) =>
+      Some(GraftShowCreateTableCommand(parts(ident), Option(asOf)))
     case _ => None
   }
 
@@ -937,7 +937,8 @@ final case class GraftConvertCommand(
   * statements materialize them), so running the script verbatim — with
   * LOCATION re-pointed — reproduces an equivalent table on another
   * catalog. Statements separate with `;`. */
-final case class GraftShowCreateTableCommand(parts: Seq[String])
+final case class GraftShowCreateTableCommand(
+    parts: Seq[String], asOf: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -952,9 +953,21 @@ final case class GraftShowCreateTableCommand(parts: Seq[String])
       sys.error(s"SHOW CREATE TABLE: ${parts.mkString(".")} is not a graft table"))
     val full = parts.mkString(".")
     // the DECLARED schema slot keeps CREATE-time nullability; the served
-    // relation (everything nullable — file-scan posture) is the fallback
-    val schema = binding.tables.get(defn.name.fullyQualifiedName)
-      .flatMap(_._2).getOrElse(session.table(full).schema)
+    // relation (everything nullable — file-scan posture) is the fallback.
+    // `VERSION AS OF` is the AUDIT posture: the schema resolves AT the
+    // addressed commit — column-mapping renames/drops and type widths of
+    // that state, nested shapes via the mapped read — so a pre-rename/
+    // pre-widen declaration can be reproduced, not just the current one.
+    // Sidecar DECLARATIONS (constraints, generated rules, defaults,
+    // properties) have no per-commit history and emit their CURRENT set.
+    val schema = asOf match {
+      case Some(a) =>
+        val at = GraftMaintenanceSql.resolveVersionTarget(binding.log, defn.name, a)
+        ColumnMapping.read(session, binding.log, defn, Some(at)).schema
+      case None =>
+        binding.tables.get(defn.name.fullyQualifiedName)
+          .flatMap(_._2).getOrElse(session.table(full).schema)
+    }
     val generated = GeneratedColumns.list(session, defn)
     val identity = IdentityColumns.declared(session, defn)
     val defaults = ColumnDefaults.list(session, defn)

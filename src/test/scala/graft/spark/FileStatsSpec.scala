@@ -46,6 +46,57 @@ class FileStatsSpec extends AnyFunSuite with Matchers {
     stats.map(_.getAs[Long]("max_k")).max shouldBe 7999L
   }
 
+  test("string bounds truncate to a 32-char prefix window; pruning over truncated bounds keeps every matching file") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zonemap_str"),
+      Files.createTempDirectory("graft_spec_zmstr").toUri,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    // long text values (~90 chars) whose FIRST 32 chars carry the order:
+    // doc_<key zero-padded><60 chars of tail> — range-clustered by key
+    spark.range(4000).toDF("k")
+      .withColumn("txt", concat(
+        lit("doc_"), lpad(col("k").cast("string"), 8, "0"), lit("x" * 80)))
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    val full = VersionedReader(spark, log).read(table)
+    val stats = FileStats.zoneMaps(full, Seq("txt")).collect()
+    // every stored bound fits the prefix window — long text never bloats
+    // the sidecar
+    stats.foreach { r =>
+      Option(r.getAs[String]("min_txt")).foreach(
+        _.length should be <= FileStats.StringBoundPrefixLen)
+      Option(r.getAs[String]("max_txt")).foreach(
+        _.length should be <= FileStats.StringBoundPrefixLen)
+    }
+    // bounds stay CONSERVATIVE: min' <= actual min, max' >= actual max
+    val actual = full.selectExpr("min(txt)", "max(txt)").head()
+    stats.map(_.getAs[String]("min_txt")).min should be <= actual.getString(0)
+    stats.flatMap(r => Option(r.getAs[String]("max_txt"))).max should be >=
+      actual.getString(1).substring(0, FileStats.StringBoundPrefixLen)
+
+    // pruned range reads over the truncated bounds keep every matching row
+    FileStats.writeZoneMaps(spark, log, table, Seq("txt"))
+    val probeLo = "doc_00001000"
+    val probeHi = "doc_00001999" + "z"
+    val got = FileStats.readSkipping(spark, log, table, "txt", probeLo, probeHi)
+    got.where(col("txt") >= probeLo && col("txt") <= probeHi).count() shouldBe
+      full.where(col("txt") >= probeLo && col("txt") <= probeHi).count()
+    // and the skip actually pruned: fewer files scanned than the table has
+    got.inputFiles.length should be < full.inputFiles.length
+
+    // short strings keep exact bounds (identity below the window)
+    val shortStats = FileStats.zoneMaps(
+      spark.range(10).toDF("k").withColumn("txt", col("k").cast("string")),
+      Seq("txt")).collect()
+    shortStats.map(_.getAs[String]("min_txt")).min shouldBe "0"
+  }
+
   test("equality skipping prunes by distinct-value sketch; over-cap sketches are NULL and kept") {
     import org.apache.spark.sql.functions.col
     val log = new InMemoryTableVersions

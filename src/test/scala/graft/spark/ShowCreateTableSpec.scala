@@ -106,6 +106,45 @@ class ShowCreateTableSpec extends AnyFunSuite with Matchers {
     script.split(";").head should not include RowTracking.RowIdCol
   }
 
+  test("SHOW CREATE TABLE VERSION AS OF reproduces the addressed commit's declaration across a rename and a widen") {
+    val loc = Files.createTempDirectory("graft_sct_asof").toUri
+    val name = "graftsct.db.sct_asof"
+    spark.sql(
+      s"CREATE TABLE $name (id BIGINT, qty INT, kind STRING, date STRING) USING parquet " +
+        s"PARTITIONED BY (date) LOCATION '$loc'")
+    spark.sql(s"INSERT INTO $name VALUES (1, 10, 'a', 'd1'), (2, 20, 'b', 'd1')")
+    val (binding, _) =
+      GraftTableCatalog.lookup("graftsct", TableName("db", "sct_asof")).get
+    val v1 = binding.log.currentCommit(TableName("db", "sct_asof"))
+
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN kind TO category")
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN qty TYPE BIGINT")
+
+    // current script: new name, wide type
+    val cur = spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+    cur should include("`category` STRING")
+    cur should include("`qty` BIGINT")
+    cur should not include "`kind`"
+
+    // AS OF the pre-evolution commit: old name, narrow type — the audit
+    // posture (a historical declaration can be reproduced verbatim)
+    val old = spark.sql(
+      s"SHOW CREATE TABLE $name VERSION AS OF '${v1.id}'").head().getString(0)
+    old should include("`kind` STRING")
+    old should include("`qty` INT")
+    old should not include "`category`"
+
+    // the historical script REPLAYS: re-pointed, it creates a table with
+    // exactly the addressed commit's shape
+    val replayLoc = Files.createTempDirectory("graft_sct_asof_replay").toUri
+    val replayed = old.replace(name, "graftsct.db.sct_asof_replay")
+      .replace(s"LOCATION '$loc'", s"LOCATION '$replayLoc'")
+    replayed.split(";").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_))
+    val rs = spark.table("graftsct.db.sct_asof_replay").schema
+    rs.fieldNames should contain("kind")
+    rs("qty").dataType.catalogString shouldBe "int"
+  }
+
   test("a Scala-API generated rule with no declared type and no data emits its ANALYZED type, never a guess") {
     val loc = Files.createTempDirectory("graft_sct_gt").toUri
     val name = "graftsct.db.sct_gt"
