@@ -72,7 +72,16 @@ object FileStats {
     * still answers "definitely absent" for equality/IN probes at a fixed
     * 64-long metadata cost per file. Bit positions are
     * `pmod(xxhash64(seed_i, value), 4096)` — the read side recomputes the
-    * same positions for its probe literals. */
+    * same positions for its probe literals. Collection is ONE native
+    * imperative aggregate per column ([[graft.plans.BloomAggregate]],
+    * bit-compatible with the probe side): the previous 64-aggregate
+    * `bit_or(aggregate(...))` formulation evaluated 256 lambda iterations
+    * per row and compiled a codegen unit big enough that its Janino
+    * cache miss showed up as a bimodal +2 s on bloom-writing bench
+    * entries. Values hash through their STRING rendering, not the native
+    * value: a probe literal whose type differs from the column's (int vs
+    * long) would otherwise hash differently and FALSE-NEGATIVE — both
+    * sides cast through Spark's own CAST, so renderings agree. */
   def zoneMaps(
       df: DataFrame,
       cols: Seq[String],
@@ -81,18 +90,6 @@ object FileStats {
       distinctCap: Int = DefaultDistinctCap,
       bloomCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "zoneMaps needs at least one stats column")
-    // row-level bit positions, computed ONCE per row (the per-word
-    // aggregates below all reference this array; nulls contribute no bits)
-    // hash the STRING rendering, not the native value: a probe literal
-    // whose type differs from the column's (int vs long) would otherwise
-    // hash differently and FALSE-NEGATIVE — silently dropping true files.
-    // Both sides cast through Spark's own CAST, so renderings agree.
-    val withPos = bloomCols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__pos_$c", expr(
-        s"""CASE WHEN `$c` IS NULL THEN array()
-           |ELSE transform(sequence(0, ${BloomHashes - 1}),
-           |               i -> pmod(xxhash64(CAST(i AS BIGINT), CAST(`$c` AS STRING)), ${BloomBits}L))
-           |END""".stripMargin)))
     // STRING bounds store a bounded PREFIX, never the full value (a stats
     // column holding document text / URLs would otherwise bloat the
     // sidecar): min truncates to its 32-char prefix (a prefix is ≤ the
@@ -126,20 +123,14 @@ object FileStats {
         when(size(collect_set(col(c))) <= distinctCap,
           sort_array(collect_set(col(c))))
           .otherwise(lit(null)).as(s"dv_$c")) ++
-      bloomCols.flatMap(c => (0 until BloomWords).map(w =>
-        bit_or(expr(
-          s"""aggregate(`__pos_$c`, 0L, (acc, p) ->
-             |  acc | CASE WHEN CAST(p / 64 AS INT) = $w
-             |             THEN shiftleft(1L, CAST(p % 64 AS INT))
-             |             ELSE 0L END)""".stripMargin)).as(s"__bloom_${c}_$w")))
-    val grouped = withPos
-      .groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
+      bloomCols.map(c =>
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.plans.BloomAggregate(
+            org.apache.spark.sql.GraftSqlShim.expression(col(c).cast("string")),
+            words = BloomWords, hashes = BloomHashes)
+            .toAggregateExpression()).as(s"bloom_$c"))
+    df.groupBy(input_file_name().as("file") +: carryCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    // pack the word aggregates into one array column per bloom'd column
-    bloomCols.foldLeft(grouped)((g, c) =>
-      g.withColumn(s"bloom_$c",
-        array((0 until BloomWords).map(w => col(s"__bloom_${c}_$w")): _*))
-        .drop((0 until BloomWords).map(w => s"__bloom_${c}_$w"): _*))
   }
 
   /** Sidecar location of a state's stats: snapshot tables key by the

@@ -74,8 +74,11 @@ object StructEvolution {
     walk(base, path.dropRight(1), Nil).asInstanceOf[StructType]
   }
 
-  /** Rename the field at `path` to `to`, preserving its position. Refuses
-    * unknown paths, non-struct parents, and collisions. */
+  /** Rename the field at `path` to `to`, preserving its position —
+    * `element`/`key`/`value` segments step through arrays and maps
+    * ([[atParent]]), so `arr.element.x` renames inside an
+    * `array<struct>`. Refuses unknown paths, unaddressable parents, and
+    * collisions. */
   def renameField(base: StructType, path: Seq[String], to: String): StructType =
     atParent(base, path) { (st, name, walked) =>
       val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))

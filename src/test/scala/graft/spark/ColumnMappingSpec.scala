@@ -379,6 +379,45 @@ class ColumnMappingSpec extends AnyFunSuite with Matchers {
     ()
   }
 
+  test("deep container nesting: struct>array>struct rename and array-of-array rename rebuild correctly") {
+    val (ctx, log, table) = freshTable("map_deep")
+    spark.conf.set("spark.sql.catalog.graftmapd", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftmapd", log)
+    GraftTableCatalog.register("graftmapd", table)
+    val name = "graftmapd.test.map_deep"
+    // meta: struct< items: array<struct<x,note>> >, grid: array<array<struct<v>>>
+    spark.sql(
+      """SELECT id,
+        |       named_struct('items',
+        |         array(named_struct('x', CAST(id AS INT), 'note', 'n'))) AS meta,
+        |       array(array(named_struct('v', CAST(id * 2 AS INT)))) AS grid,
+        |       '2024-01-01' AS date FROM range(1, 4)""".stripMargin)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+
+    // rename through struct -> array -> struct
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN meta.items.element.x TO score")
+    spark.table(name)
+      .select(org.apache.spark.sql.functions.expr("meta.items[0].score"))
+      .as[Int].collect().sorted shouldBe Array(1, 2, 3)
+    // and through array -> array -> struct
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN grid.element.element.v TO w")
+    spark.table(name)
+      .select(org.apache.spark.sql.functions.expr("grid[0][0].w"))
+      .as[Int].collect().sorted shouldBe Array(2, 4, 6)
+
+    // post-rename writes translate back at full depth: physical names in files
+    spark.sql(
+      s"""INSERT INTO $name
+         |SELECT 9L, named_struct('items', array(named_struct('score', 9, 'note', 'm'))),
+         |       array(array(named_struct('w', 18))), DATE'2024-01-01'""".stripMargin)
+    val raw = VersionedReader(spark, log).read(table)
+    raw.selectExpr("meta.items[0].x").as[Int].collect().sorted shouldBe
+      Array(1, 2, 3, 9)
+    raw.selectExpr("grid[0][0].v").as[Int].collect().sorted shouldBe
+      Array(2, 4, 6, 18)
+    spark.table(name).count() shouldBe 4L
+  }
+
   test("map value-field rename rebuilds through transform_values; key-field drops refuse") {
     val (ctx, log, table) = freshTable("map_map")
     spark.conf.set("spark.sql.catalog.graftmapm", classOf[GraftTableCatalog].getName)

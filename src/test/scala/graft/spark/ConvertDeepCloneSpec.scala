@@ -337,6 +337,37 @@ class ConvertDeepCloneSpec extends AnyFunSuite with Matchers {
       .as[Event].collect().map(_.id).sorted shouldBe Array(1L, 4L, 5L)
   }
 
+  test("an AS OF deep clone registers the schema a VERSION AS OF load would declare") {
+    val log = new InMemoryTableVersions
+    spark.conf.set("spark.sql.catalog.graftdcas", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftdcas", log)
+    val loc = Files.createTempDirectory("graft_dcas_src").toUri
+    val src = "graftdcas.db.dcas_src"
+    spark.sql(
+      s"""CREATE TABLE $src (id BIGINT, meta STRUCT<src: STRING>, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $src SELECT id, named_struct('src', 's'), '2024-01-01' FROM range(1, 4)")
+    val v1 = log.currentCommit(TableName("db", "dcas_src"))
+
+    // nested evolution AFTER v1 (records a schema state)
+    spark.sql(s"ALTER TABLE $src ADD COLUMN meta.lang STRING")
+    spark.sql(
+      s"INSERT INTO $src SELECT id, named_struct('src', 's', 'lang', 'en'), " +
+        "'2024-01-02' FROM range(10, 12)")
+
+    // the AS OF clone must declare the v1 struct SHAPE (no lang), exactly
+    // like a VERSION AS OF read of the source would
+    val deep = spark.sql(
+      s"CREATE TABLE graftdcas.db.dcas_deep DEEP CLONE $src VERSION AS OF '${v1.id}' " +
+        s"LOCATION '${Files.createTempDirectory("graft_dcas_deep").toUri}'").collect()
+    deep.length shouldBe 1
+    val cloneMeta = spark.table("graftdcas.db.dcas_deep").schema("meta")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    cloneMeta.fieldNames.toSeq shouldBe Seq("src")
+    spark.table("graftdcas.db.dcas_deep").count() shouldBe 3L
+  }
+
   test("a source with declared-schema evolution (schema states) must not raw-copy") {
     val (ctx, log) = freshContext()
     val srcLoc = Files.createTempDirectory("graft_deep_ss_src")
