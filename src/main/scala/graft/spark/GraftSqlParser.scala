@@ -565,7 +565,15 @@ final case class GraftOptimizeCommand(
       targetMb.map(_ * 1024L * 1024L).orElse(
         if (effZorder.nonEmpty) None
         else TableProperties.get(
-          session, defn, TableProperties.OptimizeTargetFileSize).map(_.trim.toLong))
+          session, defn, TableProperties.OptimizeTargetFileSize).map(v =>
+          // legacy values predating the typed-contract gate fail their
+          // first consultation NAMING table/key/value (the TableProperties
+          // discipline), never as a bare NumberFormatException
+          v.trim.toLongOption.filter(_ > 0).getOrElse(sys.error(
+            s"invalid value '$v' for property " +
+              s"${TableProperties.OptimizeTargetFileSize} on " +
+              s"${defn.name.fullyQualifiedName} — expected a positive byte " +
+              "count; UNSET it or SET a valid value"))))
     val (_, changes) =
       if (effZorder.nonEmpty)
         ZOrder.zorderCompact(

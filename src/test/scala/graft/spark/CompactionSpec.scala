@@ -161,6 +161,20 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     // a bad value refuses at SET time (the typed-contract gate)
     intercept[Exception](spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
       s"('${TableProperties.OptimizeTargetFileSize}' = 'huge')"))
+
+    // a LEGACY bad value (pre-validation sidecar) fails its first
+    // consultation with an error naming table/key/value — never a bare
+    // NumberFormatException
+    AtomicSidecar.writeUtf8(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(
+        Partition.normalizedDir(table.location).toString +
+          s"_tblproperties/${table.name.fullyQualifiedName}.json"),
+      s"""{"${TableProperties.OptimizeTargetFileSize}":"huge"}""")
+    TableProperties.invalidateCache()
+    val legacy = intercept[Exception](spark.sql(s"OPTIMIZE $name").collect())
+    legacy.getMessage should include(TableProperties.OptimizeTargetFileSize)
+    legacy.getMessage should include("'huge'")
     ()
   }
 
