@@ -24,6 +24,14 @@ import graft.spark.VersionContext.DatasetVersionOps
  *    within 4× as the corpus scales (a rewrite is linear in bytes —
  *    THROUGHPUT is the scale claim, not flatness).
  *
+ * 1b. SIZE-CAPPED Z-ORDER (`OPTIMIZE … ZORDER BY … TARGET n MB`). The
+ *    same skewed layout re-clusters instead of bin-packing: the hot
+ *    partition lands as ~target-sized z-clustered files (never one
+ *    monolith), small partitions stay ≤2 files (a range writer
+ *    straddling tiny partitions still writes per-dir), output sizes
+ *    stay bounded, and rewrite throughput holds at scale — one range
+ *    shuffle, linear in bytes.
+ *
  * 2. ARRAY-ELEMENT RENAME. `RENAME COLUMN tags.element.x TO score` is
  *    metadata-only at any scale: zero data files rewritten (the version
  *    dirs' file sets are untouched), statement wall-clock FLAT as the
@@ -140,6 +148,73 @@ object SoakRound20 {
       f"no output file may land grossly above target (base $maxFile1 vs $target1, scaled $maxFileN vs $targetN)")
     guard("sized_optimize_throughput_holds", tputN >= tput1 / 4.0,
       f"rewrite throughput $tputN%.1f MB/s at ${scale}x vs $tput1%.1f MB/s")
+
+    // ---------------------------------------------- size-capped Z-ORDER
+    // same skewed layout, but the rewrite is OPTIMIZE ZORDER + TARGET:
+    // the hot partition must land as ~target-sized z-clustered files
+    // (never one monolith), small partitions stay ≤2 files (a range
+    // writer straddling two tiny partitions still writes per-dir), and
+    // rewrite throughput holds as the corpus scales — a z-order is one
+    // range shuffle, linear in bytes
+    def zsizedRound(tag: String, mult: Int): (Double, Long, Int, Int, Long, Long) = {
+      val log = new InMemoryTableVersions
+      val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+      val t = TableDefinition(
+        TableName("db", s"zsized$tag"),
+        Files.createTempDirectory(s"graft_soakzsized_$tag").toUri,
+        PartitionSchema(List(PartitionColumn("p"))), FileFormat.Parquet)
+      ctx.init(t, user, UpdateMessage("init"))
+      replicated(mult, li)
+        .withColumn("p",
+          when(col("l_orderkey") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("cold"), col("l_orderkey") % 3)))
+        .repartition(16)
+        .versionedInsertInto(ctx, t, user, UpdateMessage("v1: fragmented"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(t.location, hconf)
+      val hotDirV1 = log.currentVersion(t.name) match {
+        case PartitionedTableVersion(pvs) =>
+          val p = pvs.keys.find(_.columnValues.head.value == "hot").get
+          new org.apache.hadoop.fs.Path(
+            graft.spark.SparkPaths.dirFor(t.location, p, pvs(p)))
+        case other => sys.error(s"unexpected $other")
+      }
+      val hotBytes = dataFiles(fs, hotDirV1).map(_.getLen).sum
+      val target = math.max(1L, hotBytes / 6)
+
+      val (sec, _) = time(graft.spark.ZOrder.zorderCompact(
+        spark, ctx, t, user, UpdateMessage("sized zorder"),
+        zorderCols = Seq("l_partkey", "l_quantity"), targetBytes = Some(target)))
+
+      val pvs = log.currentVersion(t.name) match {
+        case PartitionedTableVersion(m) => m
+        case other                      => sys.error(s"unexpected $other")
+      }
+      def filesOf(value: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val p = pvs.keys.find(_.columnValues.head.value == value).get
+        dataFiles(fs, new org.apache.hadoop.fs.Path(
+          graft.spark.SparkPaths.dirFor(t.location, p, pvs(p))))
+      }
+      val hotFiles = filesOf("hot")
+      val coldCounts = Seq("cold0", "cold1", "cold2").map(filesOf(_).size)
+      (sec, hotBytes, hotFiles.size, coldCounts.max,
+        hotFiles.map(_.getLen).max, target)
+    }
+
+    val (zsec1, zbytes1, zhot1, zcoldMax1, zmaxFile1, ztarget1) = zsizedRound("b", 1)
+    val (zsecN, zbytesN, zhotN, zcoldMaxN, zmaxFileN, ztargetN) = zsizedRound("s", scale)
+    val ztput1 = zbytes1 / 1e6 / zsec1
+    val ztputN = zbytesN / 1e6 / zsecN
+    println(f"""{"metric":"sized_zorder","base":{"sec":$zsec1%.3f,"hot_bytes":$zbytes1,"hot_files":$zhot1,"cold_max_files":$zcoldMax1,"max_file_bytes":$zmaxFile1,"target":$ztarget1,"mb_per_sec":$ztput1%.1f},""" +
+      f""""scaled_${scale}x":{"sec":$zsecN%.3f,"hot_bytes":$zbytesN,"hot_files":$zhotN,"cold_max_files":$zcoldMaxN,"max_file_bytes":$zmaxFileN,"target":$ztargetN,"mb_per_sec":$ztputN%.1f},"scale":$scale}""")
+    guard("sized_zorder_splits_hot", zhot1 >= 3 && zhot1 <= 14 && zhotN >= 3 && zhotN <= 14,
+      s"the hot partition must z-cluster to ~6 target-sized files (got $zhot1 base, $zhotN scaled)")
+    guard("sized_zorder_cold_bounded", zcoldMax1 <= 2 && zcoldMaxN <= 2,
+      s"small partitions stay <=2 files under range straddle (got $zcoldMax1 base, $zcoldMaxN scaled)")
+    guard("sized_zorder_bounded_files",
+      zmaxFile1 <= (ztarget1 * 5) / 2 && zmaxFileN <= (ztargetN * 5) / 2,
+      f"no z-ordered file may land grossly above target (base $zmaxFile1 vs $ztarget1, scaled $zmaxFileN vs $ztargetN)")
+    guard("sized_zorder_throughput_holds", ztputN >= ztput1 / 4.0,
+      f"z-order rewrite throughput $ztputN%.1f MB/s at ${scale}x vs $ztput1%.1f MB/s")
 
     // --------------------------------------------- array-element rename
     def renameRound(tag: String, mult: Int): (Double, Boolean, Boolean) = {

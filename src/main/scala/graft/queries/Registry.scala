@@ -787,6 +787,20 @@ object Registry {
              |                     ELSE o_orderkey % 77 END) AS BIGINT) AS sum_score
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q111_column_reorder" -> Entry(
+      Versioned.q111ColumnReorder,
+      // COLUMN REORDER: two metadata-only position moves (custkey FIRST,
+      // totalprice AFTER custkey), v2 inserted POSITIONALLY under the new
+      // declaration, zero-rewrite + audit + order time travel pinned
+      // in-query; both observed orders ride the output as literals, so
+      // the oracle hash pins them (the compare is order-blind by design)
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |       'o_custkey,o_totalprice,o_orderkey,o_orderstatus' AS cur_order,
+             |       'o_orderkey,o_totalprice,o_custkey,o_orderstatus' AS v1_order
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q108_show_create" -> Entry(
       Versioned.q108ShowCreate,
       // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +

@@ -4445,4 +4445,70 @@ object Versioned {
          |       CAST(sum(map_values(m)[0]) AS BIGINT) AS sum_v
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** Q111: COLUMN REORDER (`ALTER COLUMN c FIRST | AFTER x`) — the
+    * Delta/Iceberg logical-reorder contract as a METADATA-ONLY change:
+    * the declared schema order moves, no file is rewritten (parquet
+    * resolves requested columns by name in every generation), positional
+    * INSERTs follow the new declaration, and the order TIME-TRAVELS — a
+    * `VERSION AS OF` load declares the addressed commit's column order
+    * (SchemaStates anchors the reorder like a nested shape change). The
+    * observed orders ride the output as literal columns, so the oracle
+    * hash pins them (the driver compare is order-blind by design). */
+  def q111ColumnReorder(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq111", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq111", log)
+    val loc = Files.createTempDirectory("graft_q111").toUri
+    val name = "graftq111.g.ord_reord"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_custkey BIGINT,
+         |  o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q111_orders")
+    // v1 (even keys): written under the ORIGINAL declaration order
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_orderkey, o_totalprice, o_custkey, o_orderstatus
+         |FROM q111_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    val tn = TableName("g", "ord_reord")
+    val v1 = log.currentCommit(tn)
+    val v1Files = s.table(name).inputFiles.toSet
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN o_custkey FIRST")
+    s.sql(s"ALTER TABLE $name ALTER COLUMN o_totalprice AFTER o_custkey")
+    val cur = s.table(name).columns.toSeq
+    require(cur == Seq("o_custkey", "o_totalprice", "o_orderkey", "o_orderstatus"),
+      s"the declared order must move to custkey-first (got $cur)")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "the reorder must be metadata-only — no v1 file rewritten")
+    require(log.updates(tn).head.message.content
+      .contains("ALTER COLUMN o_totalprice AFTER o_custkey"),
+      "the reorder must land as an auditable commit")
+
+    // v2 (odd keys): a POSITIONAL insert speaks the NEW declaration
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT o_custkey, o_totalprice, o_orderkey, o_orderstatus
+         |FROM q111_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+
+    // TIME TRAVEL declares the ADDRESSED commit's order — on the SQL
+    // surface (reorder states anchor in SchemaStates, unlike rename
+    // shape travel, which stays a Scala-surface read)
+    val traveled =
+      s.sql(s"SELECT * FROM $name VERSION AS OF '${v1.id}'").columns.toSeq
+    require(traveled ==
+      Seq("o_orderkey", "o_totalprice", "o_custkey", "o_orderstatus"),
+      s"time travel at v1 must declare the original order (got $traveled)")
+
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         |       '${cur.mkString(",")}' AS cur_order,
+         |       '${traveled.mkString(",")}' AS v1_order
+         |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
 }

@@ -216,7 +216,7 @@ object Compaction {
   /** Per-partition CURRENT-version byte sizes: one Spark job listing every
     * partition dir in parallel (the [[listedCounts]] shape, summing
     * lengths). */
-  private def partitionByteSizes(
+  private[spark] def partitionByteSizes(
       spark: SparkSession,
       table: TableDefinition,
       pvs: Map[Partition, Version]): Map[Partition, Long] = {
@@ -242,7 +242,7 @@ object Compaction {
 
   /** A snapshot state's total data bytes (one driver listing of the single
     * version dir). */
-  private def snapshotByteSize(
+  private[spark] def snapshotByteSize(
       spark: SparkSession,
       table: TableDefinition,
       v: Version): Long = {

@@ -555,16 +555,14 @@ final case class GraftOptimizeCommand(
       }
     if (whereScope.nonEmpty && scope.isEmpty) return Seq(Row(op, 0))
     // bytes-aware target: the statement's own TARGET n MB, else the
-    // table's declared graft.optimize.targetFileSize (bytes); Z-ordering
-    // clusters by range, so an explicit TARGET with ZORDER BY refuses
-    // (the declared property is simply not consulted on the zorder path)
-    require(targetMb.isEmpty || effZorder.isEmpty,
-      "OPTIMIZE ... ZORDER BY does not take TARGET — Z-order output is " +
-        "range-clustered, not size-binned")
+    // table's declared graft.optimize.targetFileSize (bytes) — consulted
+    // on BOTH paths: a size-capped Z-order range-bins (partition cols, z)
+    // across ceil(bytes/target) writers, so routine re-clustering keeps
+    // files scan-sized instead of rebuilding per-partition monoliths
+    // (the Delta OPTIMIZE ZORDER + maxFileSize contract)
     val targetBytes: Option[Long] =
       targetMb.map(_ * 1024L * 1024L).orElse(
-        if (effZorder.nonEmpty) None
-        else TableProperties.get(
+        TableProperties.get(
           session, defn, TableProperties.OptimizeTargetFileSize).map(v =>
           // legacy values predating the typed-contract gate fail their
           // first consultation NAMING table/key/value (the TableProperties
@@ -578,8 +576,9 @@ final case class GraftOptimizeCommand(
       if (effZorder.nonEmpty)
         ZOrder.zorderCompact(
           session, ctx, defn, UserId("sql"),
-          UpdateMessage(s"$op (SQL) by ${effZorder.mkString(",")}"),
-          effZorder, partitions = scope)
+          UpdateMessage(s"$op (SQL) by ${effZorder.mkString(",")}" +
+            targetBytes.fold("")(t => s" target ${t}B")),
+          effZorder, partitions = scope, targetBytes = targetBytes)
       else targetBytes match {
         case Some(t) =>
           Compaction.compactToSize(
@@ -971,7 +970,13 @@ final case class GraftShowCreateTableCommand(
     val schema = asOf match {
       case Some(a) =>
         val at = GraftMaintenanceSql.resolveVersionTarget(binding.log, defn.name, a)
-        ColumnMapping.read(session, binding.log, defn, Some(at)).schema
+        val mapped = ColumnMapping.read(session, binding.log, defn, Some(at)).schema
+        // a recorded schema state at the addressed commit also carries the
+        // COLUMN ORDER of that state (the q111 reorder contract) — overlay
+        // it; the subset guard inside overlay keeps mapped names governing
+        // when a rename/drop intervened
+        SchemaStates.at(session, binding.log, defn, at)
+          .map(SchemaStates.overlay(mapped, _)).getOrElse(mapped)
       case None =>
         binding.tables.get(defn.name.fullyQualifiedName)
           .flatMap(_._2).getOrElse(session.table(full).schema)

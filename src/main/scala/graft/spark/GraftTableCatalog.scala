@@ -414,6 +414,9 @@ final class GraftTableCatalog extends TableCatalog {
     // change must not leave a widen durably applied
     val pendingWidens =
       scala.collection.mutable.ListBuffer.empty[(Seq[String], org.apache.spark.sql.types.DataType)]
+    // COLUMN REORDER audit texts, collected in the fold and committed after
+    // it (one audit entry for the statement, like the widen discipline)
+    val reorders = scala.collection.mutable.ListBuffer.empty[String]
     val widened = schemaChanges.foldLeft(base) {
       case (schema, add: TableChange.AddColumn) if add.fieldNames().length > 1 =>
         // NESTED ADD (`ADD COLUMN s.x T`) — additive struct evolution:
@@ -500,10 +503,92 @@ final class GraftTableCatalog extends TableCatalog {
         ColumnMapping.validateWiden(defn, schema, path, upd.newDataType())
         pendingWidens += ((path, upd.newDataType()))
         StructEvolution.setFieldType(schema, path, upd.newDataType())
+      case (schema, pos: TableChange.UpdateColumnPosition) =>
+        // COLUMN REORDER (`ALTER COLUMN c FIRST | AFTER x`) — metadata-only
+        // logical reorder of the DECLARED schema: reads project the new
+        // order (parquet resolves requested columns by name, so every file
+        // generation serves it), by-name writes are order-blind, and
+        // positional INSERTs follow the new declaration — which is what a
+        // reorder REQUESTS, unlike the silent misplacement an ADD ... FIRST
+        // would be (that one still refuses above). The change commits as an
+        // audit entry and records a schema state, so time travel and
+        // SHOW CREATE ... VERSION AS OF replay the addressed commit's order.
+        require(pos.fieldNames().length == 1,
+          s"ALTER COLUMN ${pos.fieldNames().mkString(".")} FIRST/AFTER is not " +
+            "supported — a nested field's position is the struct's own " +
+            "declaration; reorder top-level columns only")
+        val name = pos.fieldNames()(0)
+        val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        require(idx >= 0, s"column $name does not exist")
+        // partition columns render at the table's END (the Hive-layout
+        // delegate contract) — a reorder naming one, or anchoring a data
+        // column after one, could not be honored and refuses instead of
+        // silently landing elsewhere
+        val partCols = defn.partitionSchema.columns.map(_.name.toLowerCase).toSet
+        require(!partCols.contains(name.toLowerCase),
+          s"cannot reorder partition column $name — partition columns " +
+            "render at the table's end")
+        pos.position() match {
+          case a: TableChange.After =>
+            require(!partCols.contains(a.column().toLowerCase),
+              s"cannot position $name AFTER partition column ${a.column()} — " +
+                "partition columns render at the table's end")
+          case _ => ()
+        }
+        val moved = schema.fields(idx)
+        val rest = schema.fields.patch(idx, Nil, 1)
+        val (rebuilt, text) = pos.position() match {
+          case _: TableChange.First => (moved +: rest, s"ALTER COLUMN $name FIRST")
+          case a: TableChange.After =>
+            require(!a.column().equalsIgnoreCase(name),
+              s"cannot position column $name after itself")
+            val t = rest.indexWhere(_.name.equalsIgnoreCase(a.column()))
+            require(t >= 0, s"AFTER column ${a.column()} does not exist")
+            (rest.patch(t + 1, Seq(moved), 0), s"ALTER COLUMN $name AFTER ${a.column()}")
+        }
+        reorders += text
+        org.apache.spark.sql.types.StructType(rebuilt)
+      case (schema, nn: TableChange.UpdateColumnNullability) =>
+        // SET / DROP NOT NULL — the declared-nullability spelling of the
+        // write-path constraint machinery. SET validates EXISTING data
+        // (Constraints.add scans for violations and refuses with the
+        // count) and lands its audit commit; from SQL this arm is only
+        // reachable as DROP NOT NULL (Spark's own analyzer refuses SET
+        // NOT NULL over a nullable column before any catalog sees it —
+        // the `ADD CONSTRAINT … CHECK (c IS NOT NULL)` spelling stands,
+        // pinned in ConstraintsSpec), so SET serves the programmatic
+        // DSv2 path. DROP removes the convention-named constraint when
+        // one exists, else commits a plain audit entry (a CREATE-time
+        // NOT NULL column has no constraint row to drop). The declared
+        // slot flips either way, so SHOW CREATE and the analyzer agree.
+        require(nn.fieldNames().length == 1,
+          s"ALTER COLUMN ${nn.fieldNames().mkString(".")} SET/DROP NOT NULL " +
+            "is top-level only — nested fields stay nullable by the " +
+            "additive-evolution contract")
+        val n = nn.fieldNames()(0)
+        require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
+          s"column $n does not exist")
+        val spark = SparkSession.active
+        val ctx = VersionContext(GraftV2Table.metastoreFor(binding, defn))
+        if (!nn.nullable())
+          Constraints.add(spark, ctx, defn, Constraints.notNull(n), UserId("sql"))
+        else {
+          val nm = s"${n}_not_null"
+          if (Constraints.list(spark, defn).exists(_.name == nm))
+            Constraints.drop(spark, ctx, defn, nm, UserId("sql"))
+          else
+            GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+              UserId("sql"), UpdateMessage(s"ALTER COLUMN $n DROP NOT NULL"),
+              java.time.Instant.now(), Nil))
+        }
+        org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name.equalsIgnoreCase(n)) f.copy(nullable = nn.nullable()) else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN and " +
-            s"ALTER COLUMN TYPE (widening) only, got ${other.getClass.getSimpleName}")
+          s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN, " +
+            s"ALTER COLUMN TYPE (widening), ALTER COLUMN FIRST/AFTER " +
+            s"(reorder), and ALTER COLUMN SET/DROP NOT NULL only, " +
+            s"got ${other.getClass.getSimpleName}")
     }
     // the whole fold validated — the collected widens commit now (their
     // audit entries anchor after preFold, before the schema-state record)
@@ -523,11 +608,16 @@ final class GraftTableCatalog extends TableCatalog {
       GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
         UserId("sql"), UpdateMessage(s"ALTER TABLE ADD COLUMNS (${added.mkString(", ")})"),
         java.time.Instant.now(), Nil))
-    // nested adds and TYPE widenings anchor a schema state at their audit
-    // commit (plus the pre-change baseline), so a time-traveled load
-    // declares the ADDRESSED commit's struct shape / column width —
-    // rename/drop shape travel stays with the column-mapping states
-    if (nestedAdd || typeChanged)
+    if (reorders.nonEmpty)
+      GraftV2Table.metastoreFor(binding, defn).commit(defn.name, TableUpdate(
+        UserId("sql"), UpdateMessage(s"ALTER TABLE ${reorders.mkString("; ")}"),
+        java.time.Instant.now(), Nil))
+    // nested adds, TYPE widenings, and column reorders anchor a schema
+    // state at their audit commit (plus the pre-change baseline), so a
+    // time-traveled load declares the ADDRESSED commit's struct shape /
+    // column width / column order — rename/drop shape travel stays with
+    // the column-mapping states
+    if (nestedAdd || typeChanged || reorders.nonEmpty)
       SchemaStates.record(
         SparkSession.active, defn, base, preFold, widened,
         binding.log.currentCommit(defn.name))

@@ -128,14 +128,30 @@ object SchemaStates {
     * top-level column: the state's type wins where recorded and different
     * (struct shapes travel); unrecorded columns — and column SET changes,
     * which stay governed by the top-level contract and column mapping —
-    * follow the current declaration. */
-  def overlay(declared: StructType, state: StructType): StructType =
-    StructType(declared.fields.map { f =>
+    * follow the current declaration.
+    *
+    * Column ORDER travels too (the reorder contract): when every
+    * state-recorded name still resolves in the declaration, fields follow
+    * the STATE's order with later top-level adds appended — identical to
+    * the declared order unless a reorder happened between the state and
+    * now. A rename/drop after the state breaks the name resolution, and
+    * the declared order governs (the conservative pre-reorder behavior). */
+  def overlay(declared: StructType, state: StructType): StructType = {
+    val typed = declared.fields.map { f =>
       state.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(sf) if sf.dataType != f.dataType => f.copy(dataType = sf.dataType)
         case _ => f
       }
-    })
+    }
+    val byLower = typed.map(f => f.name.toLowerCase -> f).toMap
+    if (!state.fields.forall(sf => byLower.contains(sf.name.toLowerCase)))
+      StructType(typed)
+    else {
+      val recorded = state.fields.map(_.name.toLowerCase).toSet
+      StructType(state.fields.map(sf => byLower(sf.name.toLowerCase)) ++
+        typed.filterNot(f => recorded.contains(f.name.toLowerCase)))
+    }
+  }
 
   /** The schema a TIME-TRAVELED load should declare: state overlay when
     * any state applies, else the current declaration unchanged. */

@@ -76,7 +76,17 @@ object ZOrder {
     * untouched partitions keep their version pointers, and the rewritten
     * partitions' deletion vectors are shed via
     * [[DeletionVectors.absorbStale]]. Z-value ranges are computed over the
-    * SCOPED data, which is what clusters it best. */
+    * SCOPED data, which is what clusters it best.
+    *
+    * `targetBytes`: SIZE-CAPPED Z-order (the Delta `OPTIMIZE ... ZORDER`
+    * + maxFileSize contract): the writer count derives from the scoped
+    * CURRENT bytes (one distributed listing, the [[Compaction.compactToSize]]
+    * bound) instead of `numFiles`/one-per-partition — at 100 TB a
+    * re-clustered hot partition must land as scan-sized files, not one
+    * monolith. Partitioned tables range-partition on (partition cols, z),
+    * so each writer owns a compact z-segment of its partition and dynamic
+    * partitioning still routes rows to the right dirs; clustering quality
+    * per file is unchanged. */
   def zorderCompact(
       spark: SparkSession,
       ctx: VersionContext,
@@ -86,7 +96,8 @@ object ZOrder {
       zorderCols: Seq[String],
       numFiles: Int = 8,
       bits: Int = 16,
-      partitions: Seq[Partition] = Nil): (TableVersion, TableChanges) = {
+      partitions: Seq[Partition] = Nil,
+      targetBytes: Option[Long] = None): (TableVersion, TableChanges) = {
     require(zorderCols.nonEmpty, "zorder needs at least one column")
     require(numFiles > 0, "numFiles must be positive")
     require(partitions.isEmpty || !table.isSnapshot,
@@ -106,18 +117,51 @@ object ZOrder {
         DeletionVectors.readPartitions(spark, log, table, partitions),
       spark, log, table, None)
     val z = zvalue(ranges(current, zorderCols), bits)
+    def writersFor(bytes: Long, target: Long): Int =
+      math.max(1L, math.min(Int.MaxValue.toLong, (bytes + target - 1) / target)).toInt
     val packed =
-      if (table.isSnapshot)
+      if (table.isSnapshot) {
+        val files = targetBytes match {
+          case Some(t) =>
+            log.versionAt(table.name, readCommit) match {
+              case SnapshotTableVersion(v) if v != Version.Unversioned =>
+                writersFor(Compaction.snapshotByteSize(spark, table, v), t)
+              case _ => 1
+            }
+          case None => numFiles
+        }
         current.withColumn("__z", z)
-          .repartitionByRange(numFiles, col("__z"))
+          .repartitionByRange(files, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-      else {
+      } else {
         val parts = table.partitionSchema.columns.map(c => col(c.name))
-        current.withColumn("__z", z)
-          .repartition(parts: _*)
-          .sortWithinPartitions(parts :+ col("__z"): _*)
-          .drop("__z")
+        targetBytes match {
+          case Some(t) =>
+            // size the SCOPED partitions (one distributed listing) and
+            // range-bin (partition cols, z) across Σ ceil(bytes/target)
+            // writers — the explicit count keeps AQE from re-coalescing
+            // the split away, and the leading partition columns keep each
+            // writer's rows (mostly) within one Hive partition
+            val scoped = log.versionAt(table.name, readCommit) match {
+              case PartitionedTableVersion(pvs) =>
+                if (partitions.isEmpty) pvs
+                else pvs.view.filterKeys(partitions.toSet).toMap
+              case _ => Map.empty[Partition, Version]
+            }
+            val writers = math.max(1L, math.min(Int.MaxValue.toLong,
+              Compaction.partitionByteSizes(spark, table, scoped).values
+                .map(b => writersFor(b, t).toLong).sum)).toInt
+            current.withColumn("__z", z)
+              .repartitionByRange(writers, parts :+ col("__z"): _*)
+              .sortWithinPartitions(parts :+ col("__z"): _*)
+              .drop("__z")
+          case None =>
+            current.withColumn("__z", z)
+              .repartition(parts: _*)
+              .sortWithinPartitions(parts :+ col("__z"): _*)
+              .drop("__z")
+        }
       }
     val before: Map[Partition, Version] = log.versionAt(table.name, readCommit) match {
       case PartitionedTableVersion(pvs) => pvs

@@ -149,9 +149,12 @@ class CompactionSpec extends AnyFunSuite with Matchers {
     dataFiles(Paths.get(table.location).resolve("date=2024-01-01")
       .resolve(pvs(Partition(PartitionColumn("date"), "2024-01-01")).label)) shouldBe 1L
 
-    // TARGET with ZORDER BY refuses (range clustering is not size binning)
-    intercept[Exception](
-      spark.sql(s"OPTIMIZE $name ZORDER BY (id) TARGET 64 MB").collect())
+    // TARGET composes with ZORDER BY (the Delta maxFileSize contract):
+    // a generous target re-clusters to one file per partition; the split
+    // policy itself is pinned in ZOrderSpec's size-capped test
+    spark.sql(s"OPTIMIZE $name ZORDER BY (id) TARGET 64 MB").collect()
+    log.updates(table.name).head.message.content should
+      (include("ZORDER") and include("target 67108864B"))
 
     // the declared property routes a BARE OPTIMIZE through the sized path
     spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +

@@ -155,5 +155,35 @@ class ConstraintsSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("kind_nn")
     spark.sql("ALTER TABLE graftddl.test.con_ddl DROP CONSTRAINT kind_nn")
     Constraints.list(spark, table) shouldBe Nil
+
+    // the programmatic DSv2 SET NOT NULL reaches the catalog (SQL cannot:
+    // Spark's analyzer refuses it on any nullable column, hence the CHECK
+    // spelling above) — it validates existing data and lands a constraint
+    val cat = spark.sessionState.catalogManager.catalog("graftddl")
+      .asInstanceOf[GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("test"), "con_ddl")
+    cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnNullability(
+        Array("kind"), false))
+    Constraints.list(spark, table).map(_.name) shouldBe List("kind_not_null")
+    // the DECLARED slot carries the nullability (the served relation is
+    // everything-nullable, the file-scan posture) — SHOW CREATE proves it
+    spark.sql("SHOW CREATE TABLE graftddl.test.con_ddl").head().getString(0) should
+      include("`kind` STRING NOT NULL")
+
+    // DROP NOT NULL flips the declared slot and removes the constraint
+    spark.sql("ALTER TABLE graftddl.test.con_ddl ALTER COLUMN kind DROP NOT NULL")
+    Constraints.list(spark, table) shouldBe Nil
+    spark.sql("SHOW CREATE TABLE graftddl.test.con_ddl").head().getString(0) should
+      not include ("`kind` STRING NOT NULL")
+    log.updates(table.name).head.message.content should include("DROP CONSTRAINT kind_not_null")
+
+    // DROP NOT NULL on a column with no constraint row (CREATE-time
+    // declaration) still flips and audits
+    cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnNullability(
+        Array("id"), true))
+    log.updates(table.name).head.message.content should include("ALTER COLUMN id DROP NOT NULL")
   }
 }

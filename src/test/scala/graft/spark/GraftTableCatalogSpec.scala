@@ -614,10 +614,68 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     // mapping, pinned in ColumnMappingSpec)
     val tpe = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ALTER COLUMN label COMMENT 'x'"))
-    tpe.getMessage should include("ALTER COLUMN TYPE (widening) only")
+    tpe.getMessage should include("got UpdateColumnComment")
     spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label")
     spark.sql("SELECT * FROM graftcat.cdb.altc").columns should not contain "label"
     spark.sql("DROP TABLE graftcat.cdb.altc")
+  }
+
+  test("ALTER COLUMN FIRST/AFTER reorders the declared schema metadata-only; order time-travels") {
+    val loc = Files.createTempDirectory("graft_cat_reorder").toUri.toString
+    spark.sql(
+      s"""CREATE TABLE graftcat.cdb.reord (id BIGINT, label STRING, score DOUBLE, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql(
+      "INSERT INTO graftcat.cdb.reord VALUES (1, 'a', 1.5, '2024-01-01'), (2, 'b', 2.5, '2024-01-02')")
+    val tn = TableName("cdb", "reord")
+    val v1 = log.updates(tn).head.id
+    val v1Files = spark.table("graftcat.cdb.reord").inputFiles.toSet
+
+    spark.sql("ALTER TABLE graftcat.cdb.reord ALTER COLUMN score FIRST")
+    spark.sql("SELECT * FROM graftcat.cdb.reord").columns.toSeq shouldBe
+      Seq("score", "id", "label", "date")
+    // metadata-only: no file rewritten, and the change is auditable history
+    v1Files.subsetOf(spark.table("graftcat.cdb.reord").inputFiles.toSet) shouldBe true
+    log.updates(tn).head.message.content should include("ALTER COLUMN score FIRST")
+
+    spark.sql("ALTER TABLE graftcat.cdb.reord ALTER COLUMN score AFTER id")
+    spark.sql("SELECT * FROM graftcat.cdb.reord").columns.toSeq shouldBe
+      Seq("id", "score", "label", "date")
+
+    // positional INSERT follows the NEW declaration — which is what the
+    // reorder requests (the ADD ... FIRST refusal above guards the
+    // opposite case: silently placing a column elsewhere)
+    spark.sql("INSERT INTO graftcat.cdb.reord VALUES (3, 9.5, 'c', '2024-01-03')")
+    spark.sql("SELECT id, label, score FROM graftcat.cdb.reord WHERE id = 3")
+      .as[(Long, String, Double)].collect() shouldBe Array((3L, "c", 9.5))
+
+    // TIME TRAVEL declares the addressed commit's order (the SQL surface:
+    // reorder states anchor in SchemaStates, unlike rename shape travel)
+    spark.sql(s"SELECT * FROM graftcat.cdb.reord VERSION AS OF '${v1.id}'")
+      .columns.toSeq shouldBe Seq("id", "label", "score", "date")
+
+    // SHOW CREATE TABLE replays the CURRENT order; VERSION AS OF replays
+    // the ADDRESSED commit's order (the audit posture)
+    val ddlNow = spark.sql("SHOW CREATE TABLE graftcat.cdb.reord")
+      .head().getString(0)
+    ddlNow.indexOf("score") should be < ddlNow.indexOf("label")
+    val ddlV1 = spark.sql(
+      s"SHOW CREATE TABLE graftcat.cdb.reord VERSION AS OF '${v1.id}'")
+      .head().getString(0)
+    ddlV1.indexOf("label") should be < ddlV1.indexOf("score")
+
+    // refusals: partition columns render at the end; nested fields keep
+    // their struct's declaration; a missing AFTER anchor names itself
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.cdb.reord ALTER COLUMN date FIRST"))
+      .getMessage should include("partition column")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.cdb.reord ALTER COLUMN id AFTER date"))
+      .getMessage should include("partition column")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.cdb.reord ALTER COLUMN id AFTER nope"))
+      .getMessage should include("nope")
+    spark.sql("DROP TABLE graftcat.cdb.reord")
   }
 
   test("SQL maintenance: OPTIMIZE bin-packs, OPTIMIZE ZORDER clusters, VACUUM reclaims — each as SQL text") {

@@ -71,4 +71,64 @@ class ZOrderSpec extends AnyFunSuite with Matchers {
       (sy.max - sy.min) should be <= 20
     }
   }
+
+  test("size-capped z-order: TARGET splits a hot partition to ~target files, still clustered") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "zorder_sized"),
+      Files.createTempDirectory("graft_spec_zorder_sz").toUri,
+      PartitionSchema(List(PartitionColumn("bucket"))),
+      FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+
+    // one HOT partition (64× the rows of the cold one), fragmented
+    val rows = (for (x <- 0 until 256; y <- 0 until 256) yield (x, y, "hot")) ++
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x, y, "cold"))
+    rows.toDF("x", "y", "bucket").repartition(8)
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: fragmented"))
+
+    def partFiles(name: String): Seq[java.nio.file.Path] = {
+      val pvs = log.currentVersion(table.name) match {
+        case PartitionedTableVersion(m) => m
+        case other                      => fail(s"unexpected $other")
+      }
+      val (p, v) = pvs.find(_._1.columnValues.head.value == name).get
+      val dir = Paths.get(table.location)
+        .resolve(SparkPaths.escapedPartitionPath(p)).resolve(v.label)
+      val out = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      Files.list(dir).iterator()
+        .forEachRemaining(f =>
+          if (f.getFileName.toString.startsWith("part-")) out += f)
+      out.toSeq
+    }
+
+    // target = ~1/4 of the hot partition's current bytes → the hot
+    // partition must split to >1 file; the cold one stays a single file
+    val hotBytes = partFiles("hot").map(Files.size(_)).sum
+    ZOrder.zorderCompact(
+      spark, ctx, table, user, UpdateMessage("v2: zordered sized"),
+      zorderCols = Seq("x", "y"), targetBytes = Some(hotBytes / 4))
+
+    val hot = partFiles("hot")
+    hot.size should be >= 3
+    partFiles("cold").size shouldBe 1
+
+    // clustering survives the size cap: MOST hot files keep both spreads
+    // bounded (a z-segment that crosses a top-level quadrant boundary is
+    // legitimately wide on one dimension — the range sampler cuts by
+    // bytes, not by quadrant; a linear sort would leave y full-width,
+    // 255, in EVERY file)
+    val spreads = hot.map { p =>
+      val pts = spark.read.parquet(p.toString)
+        .selectExpr("x", "y").as[(Int, Int)].collect()
+      val sx = pts.map(_._1); val sy = pts.map(_._2)
+      math.max(sx.max - sx.min, sy.max - sy.min)
+    }
+    spreads.count(_ <= 160) should be >= (hot.size + 1) / 2
+
+    // row-identity: the sized rewrite is row-invisible
+    VersionedReader(spark, log).read(table)
+      .selectExpr("x", "y", "bucket").count() shouldBe rows.size
+  }
 }
