@@ -801,6 +801,17 @@ object Registry {
              |       'o_orderkey,o_totalprice,o_custkey,o_orderstatus' AS v1_order
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q112_column_comments" -> Entry(
+      Versioned.q112ColumnComments,
+      // COLUMN COMMENTS: CREATE-time + ALTER-time comments persist in a
+      // name-keyed sidecar, audit as commits, decorate DESCRIBE, and
+      // replay from the SHOW CREATE script onto a second table — all
+      // pinned in-query; the declared set rides the output as a literal
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       round(sum(c_acctbal), 2) AS sum_bal,
+             |       'c_acctbal=account balance, USD; c_custkey=customer surrogate key' AS declared_comments
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     "q108_show_create" -> Entry(
       Versioned.q108ShowCreate,
       // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +

@@ -4511,4 +4511,71 @@ object Versioned {
          |       '${traveled.mkString(",")}' AS v1_order
          |FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** Q112: COLUMN COMMENTS — durable free-text documentation as table
+    * metadata: CREATE-time (`c BIGINT COMMENT '…'`) and ALTER-time
+    * (`ALTER COLUMN c COMMENT '…'`) comments persist in a name-keyed
+    * sidecar, land as auditable commits, decorate DESCRIBE, and replay
+    * from the SHOW CREATE script re-pointed onto a second table — all
+    * pinned in-query; the declared comments ride the output as a literal
+    * so the oracle hash pins them. */
+  def q112ColumnComments(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    s.conf.set(
+      "spark.sql.catalog.graftq112", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq112", log)
+    val loc = Files.createTempDirectory("graft_q112").toUri
+    val name = "graftq112.g.cust_cm"
+    s.sql(
+      s"""CREATE TABLE $name (
+         |  c_custkey BIGINT COMMENT 'customer surrogate key',
+         |  c_acctbal DOUBLE, c_mktsegment STRING)
+         |USING parquet PARTITIONED BY (c_mktsegment) LOCATION '$loc'""".stripMargin)
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q112_customer")
+    s.sql(
+      s"""INSERT INTO $name
+         |SELECT c_custkey, c_acctbal, c_mktsegment FROM q112_customer""".stripMargin)
+    val tn = TableName("g", "cust_cm")
+    val v1Files = s.table(name).inputFiles.toSet
+
+    s.sql(s"ALTER TABLE $name ALTER COLUMN c_acctbal COMMENT 'account balance, USD'")
+    require(log.updates(tn).head.message.content
+      .contains("ALTER COLUMN c_acctbal COMMENT 'account balance, USD'"),
+      "the comment must land as an auditable commit")
+    require(v1Files.subsetOf(s.table(name).inputFiles.toSet),
+      "a comment is metadata-only — no file rewritten")
+    val desc = s.sql(s"DESCRIBE TABLE $name").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    require(desc.get("c_custkey").contains("customer surrogate key") &&
+      desc.get("c_acctbal").contains("account balance, USD"),
+      s"DESCRIBE must surface the declared comments (got $desc)")
+
+    // the DDL script replays the comments re-pointed onto a second table
+    val script = s.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+    require(script.contains("COMMENT 'customer surrogate key'") &&
+      script.contains("COMMENT 'account balance, USD'"),
+      "SHOW CREATE must emit both comments")
+    val loc2 = Files.createTempDirectory("graft_q112b").toUri
+    s.sql(script.split(";\\s*\n").head
+      .replace(name, "graftq112.g.cust_cm2")
+      .replaceAll("LOCATION '[^']*'", s"LOCATION '$loc2'"))
+    val part = graft.core.PartitionSchema(
+      List(graft.core.PartitionColumn("c_mktsegment")))
+    val defn2 = graft.core.TableDefinition(
+      TableName("g", "cust_cm2"), loc2, part, graft.core.FileFormat.Parquet)
+    val replayed = graft.spark.Comments.list(s, defn2)
+    require(replayed == Map(
+      "c_custkey" -> "customer surrogate key",
+      "c_acctbal" -> "account balance, USD"),
+      s"the replayed table must reproduce the comments (got $replayed)")
+
+    val declared = graft.spark.Comments.list(
+      s, graft.core.TableDefinition(tn, loc, part, graft.core.FileFormat.Parquet))
+      .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; ")
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |       round(sum(c_acctbal), 2) AS sum_bal,
+         |       '$declared' AS declared_comments
+         |FROM $name GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
 }

@@ -114,6 +114,7 @@ object DeepClone {
     if (generated.nonEmpty) GeneratedColumns.seed(spark, dstDefn, generated)
     val defaults = ColumnDefaults.list(spark, src)
     if (defaults.nonEmpty) ColumnDefaults.seed(spark, dstDefn, defaults)
+    Comments.seed(spark, dstDefn, Comments.list(spark, src))
     TableProperties.seed(spark, dstDefn, TableProperties.list(spark, src))
     // identity: declaration plus the source's high-water mark AT the
     // cloned state, riding a metadata commit exactly like ShallowClone —

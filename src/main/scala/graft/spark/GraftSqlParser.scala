@@ -1015,9 +1015,17 @@ final case class GraftShowCreateTableCommand(
             s"${g.column} — no declared type, no materialized data, and its " +
             s"expression (${g.expr}) does not analyze against the table's " +
             "columns; re-declare the rule with an explicit type"))
+    // declared column COMMENTs replay in the CREATE list (top-level;
+    // nested-field comments stay sidecar-only — CREATE cannot spell them)
+    val comments = Comments.list(session, defn)
+    def commentOf(c: String): String =
+      comments.get(c).orElse(
+        comments.find(_._1.equalsIgnoreCase(c)).map(_._2))
+        .fold("")(v => s" COMMENT '${esc(v)}'")
     val colLines = schema.fields.toSeq
       .filterNot(f => omitted.contains(f.name.toLowerCase))
-      .map(f => s"  `${f.name}` ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+      .map(f => s"  `${f.name}` ${f.dataType.sql}" +
+        s"${if (f.nullable) "" else " NOT NULL"}${commentOf(f.name)}")
 
     val create = new StringBuilder
     create ++= s"CREATE TABLE $full (\n${colLines.mkString(",\n")})\n"

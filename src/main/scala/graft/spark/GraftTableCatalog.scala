@@ -366,6 +366,11 @@ final class GraftTableCatalog extends TableCatalog {
       reserved.contains(k) || k.startsWith("option.")
     }
     TableProperties.seed(SparkSession.active, defn, userProps)
+    // CREATE-time column comments (`c INT COMMENT '…'`) ride the schema's
+    // field metadata — seed the durable sidecar so they survive the
+    // session and emit from SHOW CREATE ([[Comments]])
+    Comments.seed(SparkSession.active, defn,
+      schema.fields.flatMap(f => f.getComment().map(f.name -> _)).toMap)
     loadTable(ident)
   }
 
@@ -583,12 +588,28 @@ final class GraftTableCatalog extends TableCatalog {
         }
         org.apache.spark.sql.types.StructType(schema.map(f =>
           if (f.name.equalsIgnoreCase(n)) f.copy(nullable = nn.nullable()) else f))
+      case (schema, cm: TableChange.UpdateColumnComment) =>
+        // COLUMN COMMENT — durable free-text documentation ([[Comments]]):
+        // audited, clone-carried, DESCRIBE-visible, SHOW CREATE-emitted.
+        // Purely descriptive, so the declared schema is unchanged (the
+        // served schema decorates from the sidecar). The SQL path arrives
+        // analyzer-resolved; a programmatic top-level typo still refuses.
+        val path = cm.fieldNames().toSeq
+        require(path.length > 1 ||
+          schema.fields.exists(_.name.equalsIgnoreCase(path.head)),
+          s"column ${path.head} does not exist")
+        Comments.set(
+          SparkSession.active,
+          VersionContext(GraftV2Table.metastoreFor(binding, defn)),
+          defn, path.mkString("."),
+          Option(cm.newComment()).filter(_.nonEmpty), UserId("sql"))
+        schema
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN, " +
             s"ALTER COLUMN TYPE (widening), ALTER COLUMN FIRST/AFTER " +
-            s"(reorder), and ALTER COLUMN SET/DROP NOT NULL only, " +
-            s"got ${other.getClass.getSimpleName}")
+            s"(reorder), ALTER COLUMN SET/DROP NOT NULL, and ALTER COLUMN " +
+            s"COMMENT only, got ${other.getClass.getSimpleName}")
     }
     // the whole fold validated — the collected widens commit now (their
     // audit entries anchor after preFold, before the schema-state record)
@@ -748,11 +769,14 @@ private[spark] final class GraftV2Table(
   override def schema(): StructType =
     // declared column DEFAULTs ride the schema as CURRENT_DEFAULT field
     // metadata, so SQL INSERT column lists and the DEFAULT keyword fill
-    // through the analyzer's own machinery
-    ColumnDefaults.decorate(
+    // through the analyzer's own machinery; declared column COMMENTs
+    // decorate too (DESCRIBE visibility)
+    Comments.decorate(
       org.apache.spark.sql.SparkSession.active, defn,
-      StructType(delegate.schema().filterNot(
-        _.name.equalsIgnoreCase(RowTracking.RowIdCol))))
+      ColumnDefaults.decorate(
+        org.apache.spark.sql.SparkSession.active, defn,
+        StructType(delegate.schema().filterNot(
+          _.name.equalsIgnoreCase(RowTracking.RowIdCol)))))
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def properties(): util.Map[String, String] = {
     // table properties (TBLPROPERTIES) overlay the file table's own —

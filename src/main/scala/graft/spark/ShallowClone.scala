@@ -135,6 +135,7 @@ object ShallowClone {
     if (generated.nonEmpty) GeneratedColumns.seed(spark, dstDefn, generated)
     val defaults = ColumnDefaults.list(spark, src)
     if (defaults.nonEmpty) ColumnDefaults.seed(spark, dstDefn, defaults)
+    Comments.seed(spark, dstDefn, Comments.list(spark, src))
     TableProperties.seed(spark, dstDefn, TableProperties.list(spark, src))
     PartitionEvolution.stateAt(spark, log, src, Some(at)).foreach { s =>
       PartitionEvolution.cloneStateTo(spark, src, s, cloneAnchor, dst)

@@ -610,11 +610,14 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     val pos = intercept[Exception](
       spark.sql("ALTER TABLE graftcat.cdb.altc ADD COLUMN early STRING FIRST"))
     pos.getMessage should include("FIRST/AFTER")
-    // other column changes still reject (RENAME/DROP are served by column
-    // mapping, pinned in ColumnMappingSpec)
+    // column COMMENTs land as audited sidecar metadata (round 20)
+    spark.sql("ALTER TABLE graftcat.cdb.altc ALTER COLUMN label COMMENT 'x'")
+    log.updates(TableName("cdb", "altc")).head.message.content should
+      include("ALTER COLUMN label COMMENT 'x'")
+    // unsupported table changes still reject loudly
     val tpe = intercept[Exception](
-      spark.sql("ALTER TABLE graftcat.cdb.altc ALTER COLUMN label COMMENT 'x'"))
-    tpe.getMessage should include("got UpdateColumnComment")
+      spark.sql("ALTER TABLE graftcat.cdb.altc CLUSTER BY (id)"))
+    tpe.getMessage should include("ClusterBy")
     spark.sql("ALTER TABLE graftcat.cdb.altc DROP COLUMN label")
     spark.sql("SELECT * FROM graftcat.cdb.altc").columns should not contain "label"
     spark.sql("DROP TABLE graftcat.cdb.altc")

@@ -163,4 +163,52 @@ class ShowCreateTableSpec extends AnyFunSuite with Matchers {
     script should include("ADD COLUMN kind_len INT GENERATED ALWAYS AS (length(kind))")
     script should not include "kind_len BIGINT"
   }
+
+  test("column COMMENTs: CREATE-time and ALTER-time, durable, audited, DESCRIBE-visible, script round-trip") {
+    val loc = Files.createTempDirectory("graft_sct_cm").toUri
+    val name = "graftsct.db.sct_cm"
+    spark.sql(
+      s"""CREATE TABLE $name (
+         |  id BIGINT COMMENT 'surrogate key', amount DOUBLE, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql(s"INSERT INTO $name VALUES (1, 2.5, 'd1')")
+    val tn = TableName("db", "sct_cm")
+
+    // ALTER-time comment + replace + audit trail
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN amount COMMENT 'gross, USD'")
+    log.updates(tn).head.message.content should
+      include("ALTER COLUMN amount COMMENT 'gross, USD'")
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN id COMMENT 'row id (stable)'")
+
+    // DESCRIBE sees the declared comments (served-schema decoration)
+    val desc = spark.sql(s"DESCRIBE TABLE $name").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    desc("id") shouldBe "row id (stable)"
+    desc("amount") shouldBe "gross, USD"
+
+    // the DDL script replays the comments; re-pointed it reproduces them
+    val script = spark.sql(s"SHOW CREATE TABLE $name").head().getString(0)
+    script should include("`id` BIGINT COMMENT 'row id (stable)'")
+    script should include("`amount` DOUBLE COMMENT 'gross, USD'")
+    val loc2 = Files.createTempDirectory("graft_sct_cm2").toUri
+    val replay = script.split(";\\s*\n").head
+      .replace(name, "graftsct.db.sct_cm2")
+      .replaceAll("LOCATION '[^']*'", s"LOCATION '$loc2'")
+    spark.sql(replay)
+    val (_, defn2) =
+      GraftTableCatalog.lookup("graftsct", TableName("db", "sct_cm2")).get
+    Comments.list(spark, defn2) shouldBe Map(
+      "id" -> "row id (stable)", "amount" -> "gross, USD")
+
+    // a clone carries the source's comments
+    spark.sql(s"CREATE TABLE graftsct.db.sct_cm3 SHALLOW CLONE $name")
+    val (_, defn3) =
+      GraftTableCatalog.lookup("graftsct", TableName("db", "sct_cm3")).get
+    Comments.list(spark, defn3).keySet shouldBe Set("id", "amount")
+
+    // UNSET clears (empty comment) and audits
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN amount COMMENT ''")
+    val (_, defn1) = GraftTableCatalog.lookup("graftsct", tn).get
+    Comments.list(spark, defn1).keySet shouldBe Set("id")
+  }
 }
