@@ -681,6 +681,36 @@ class GraftTableCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graftcat.cdb.reord")
   }
 
+  test("reorder composes: order travel survives a top-level ADD; a rename falls back to declared order") {
+    val loc = Files.createTempDirectory("graft_cat_reord2").toUri.toString
+    spark.sql(
+      s"""CREATE TABLE graftcat.cdb.reord2 (id BIGINT, label STRING, score DOUBLE, date STRING)
+         |USING parquet PARTITIONED BY (date) LOCATION '$loc'""".stripMargin)
+    spark.sql("INSERT INTO graftcat.cdb.reord2 VALUES (1, 'a', 1.5, '2024-01-01')")
+    val tn = TableName("cdb", "reord2")
+    spark.sql("ALTER TABLE graftcat.cdb.reord2 ALTER COLUMN score FIRST")
+    val vReorder = log.updates(tn).head.id
+
+    // a LATER top-level ADD keeps order travel intact: the addressed
+    // state's order governs, the post-state column appends at the end
+    // (projected as typed NULL — the q62 additive contract)
+    spark.sql("ALTER TABLE graftcat.cdb.reord2 ADD COLUMN note STRING")
+    spark.sql(s"SELECT * FROM graftcat.cdb.reord2 VERSION AS OF '${vReorder.id}'")
+      .columns.toSeq shouldBe Seq("score", "id", "label", "note", "date")
+
+    // a LATER rename breaks the state's name resolution: travel
+    // conservatively falls back to the CURRENT declared order (names on
+    // the SQL surface are always the current logical ones — the
+    // long-standing rename-travel discipline)
+    spark.sql("ALTER TABLE graftcat.cdb.reord2 RENAME COLUMN label TO tag")
+    val traveled = spark.sql(
+      s"SELECT * FROM graftcat.cdb.reord2 VERSION AS OF '${vReorder.id}'")
+      .columns.toSeq
+    traveled should contain("tag")
+    traveled.head shouldBe "score" // current declared order leads with score
+    spark.sql("DROP TABLE graftcat.cdb.reord2")
+  }
+
   test("SQL maintenance: OPTIMIZE bin-packs, OPTIMIZE ZORDER clusters, VACUUM reclaims — each as SQL text") {
     val table = TableDefinition(
       TableName("cdb", "maint"),
