@@ -812,6 +812,19 @@ object Registry {
              |       'c_acctbal=account balance, USD; c_custkey=customer surrogate key' AS declared_comments
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    "q113_rename_travel" -> Entry(
+      Versioned.q113RenameTravel,
+      // RENAME TRAVEL: the returned frame aggregates the PRE-RENAME state
+      // through `VERSION AS OF` under the post-rename logical name — the
+      // frozen physical column resolves through the rename lineage, so
+      // the sums carry REAL values (a NULL-blanked column would zero
+      // them); AS OF shallow clone + current deep clone completeness
+      // pinned in-query
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_returnflag <> 'R'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q108_show_create" -> Entry(
       Versioned.q108ShowCreate,
       // SHOW CREATE TABLE round-trip: the emitted DDL script (CREATE +

@@ -4578,4 +4578,71 @@ object Versioned {
          |       '$declared' AS declared_comments
          |FROM $name GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
+
+  /** Q113: RENAME TRAVEL — a rename recorded AFTER the addressed commit
+    * must never NULL-blank the column on the SQL time-travel surface or
+    * on either clone kind: the physical column is frozen across renames
+    * ([[graft.spark.ColumnMapping]]), so the addressed state's values
+    * exist in every file generation and resolve through the rename
+    * lineage (`renamedSince`). v1 loads A+N under `l_quantity`, the SQL
+    * RENAME lands, v2 writes R under the new `qty`; the returned frame
+    * aggregates the PRE-RENAME state through `VERSION AS OF` — current
+    * logical names, REAL values (a NULL-blanked column would zero the
+    * sums and hash-mismatch the oracle). In-query asserts pin the AS OF
+    * shallow clone and a current-state deep clone of the renamed table
+    * serving complete (non-NULL) values too. */
+  def q113RenameTravel(s: SparkSession, dir: String): DataFrame = {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    s.conf.set(
+      "spark.sql.catalog.graftq113", classOf[graft.spark.GraftTableCatalog].getName)
+    graft.spark.GraftTableCatalog.bind("graftq113", log)
+    val table = tempTable(
+      "li_rt", PartitionSchema(List(PartitionColumn("l_returnflag"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("create li_rt"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.where(col("l_returnflag") =!= "R")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v1: A+N"))
+    graft.spark.GraftTableCatalog.register("graftq113", table,
+      Some(graft.spark.VersionedReader(s, log).read(table).schema))
+    val name = s"graftq113.${table.name.schema}.${table.name.name}"
+    val pre = log.currentCommit(table.name)
+
+    s.sql(s"ALTER TABLE $name RENAME COLUMN l_quantity TO qty")
+    li.where(col("l_returnflag") === "R")
+      .withColumnRenamed("l_quantity", "qty")
+      .versionedInsertInto(ctx, table, user, UpdateMessage("v2: R under qty"))
+
+    // the time-traveled relation serves COMPLETE values under the current
+    // name — count(qty) counts non-NULLs, so equality with count(*) is
+    // exactly the no-NULL-blank contract
+    val Seq(nAll, nQty) = s.sql(
+      s"SELECT count(*), count(qty) FROM $name VERSION AS OF '${pre.id}'")
+      .head().toSeq.map(_.asInstanceOf[Long])
+    require(nAll > 0 && nQty == nAll,
+      s"AS OF across the rename must serve values, not NULLs ($nQty/$nAll)")
+
+    // an AS OF SHALLOW clone (carried current mapping over shared frozen
+    // files) and a CURRENT deep clone (independent copy materialized
+    // under the registered logical names) keep the same contract
+    s.sql(s"CREATE TABLE graftq113.g.li_rt_sc SHALLOW CLONE $name VERSION AS OF '${pre.id}'")
+    val Seq(scAll, scQty) = s.sql(
+      "SELECT count(*), count(qty) FROM graftq113.g.li_rt_sc")
+      .head().toSeq.map(_.asInstanceOf[Long])
+    require(scAll == nAll && scQty == nAll,
+      s"the AS OF shallow clone must serve the cloned state's values ($scQty/$scAll vs $nAll)")
+    s.sql(s"CREATE TABLE graftq113.g.li_rt_dc DEEP CLONE $name")
+    val Seq(dcAll, dcQty) = s.sql(
+      "SELECT count(*), count(qty) FROM graftq113.g.li_rt_dc")
+      .head().toSeq.map(_.asInstanceOf[Long])
+    require(dcAll > nAll && dcQty == dcAll,
+      s"the deep clone of the renamed table must copy values, not NULLs ($dcQty/$dcAll)")
+
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |       round(sum(qty), 2) AS sum_qty
+         |FROM $name VERSION AS OF '${pre.id}'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

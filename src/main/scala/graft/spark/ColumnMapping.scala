@@ -834,6 +834,33 @@ object ColumnMapping {
       .flatMap(_.entries.find(e => !e.dropped && e.logical.equalsIgnoreCase(column)))
       .map(_.physical).getOrElse(column)
 
+  /** Top-level RENAME lineage between the addressed commit and the current
+    * state: current logical name (lowercased) → the name the SAME frozen
+    * physical column carried at `at` (its at-state logical; the physical
+    * name itself when the column was unmapped then). Only names that
+    * actually differ appear, so the map is empty unless a rename landed
+    * AFTER the addressed commit. Callers use this to resolve a relation
+    * column a time-traveled read would otherwise NULL-blank: the values
+    * exist in every file generation under the frozen physical name. */
+  private[spark] def renamedSince(
+      spark: SparkSession,
+      log: TableVersions,
+      table: TableDefinition,
+      at: Option[CommitId]): Map[String, String] =
+    if (at.isEmpty) Map.empty
+    else stateAt(spark, log, table, None) match {
+      case None => Map.empty
+      case Some(cur) =>
+        val atEntries = stateAt(spark, log, table, at).map(_.entries).getOrElse(Nil)
+        cur.entries.iterator.filter(e => !e.isNested && !e.dropped).flatMap { e =>
+          val atName = atEntries.find(a =>
+            !a.isNested && !a.dropped && a.physical.equalsIgnoreCase(e.physical))
+            .map(_.logical).getOrElse(e.physical)
+          if (atName.equalsIgnoreCase(e.logical)) None
+          else Some(e.logical.toLowerCase -> atName)
+        }.toMap
+    }
+
   /** Whether any mapping state applies at `at` — the SQL scan rule's cheap
     * probe (a driver-side metadata-file read). */
   def hasMapping(

@@ -101,7 +101,13 @@ object DeepClone {
       // pre-seeded identity column would reject the batch (GENERATED
       // ALWAYS refuses supplied ids) and a generated-column rule would
       // re-derive values the rows already carry.
-      val rows = DeletionVectors.read(spark, log, src, Some(at))
+      // The clone carries NO column mapping, so its files must hold the
+      // CURRENT logical names (the names the clone registers and a
+      // VERSION AS OF load of the source would declare) — a raw
+      // physical-named copy of a renamed source would NULL-blank the
+      // renamed column under the clone's declared schema.
+      val rows = ColumnMapping.applyLogical(
+        DeletionVectors.read(spark, log, src, Some(at)), spark, log, src, None)
       if (rows.columns.nonEmpty && !rows.isEmpty) {
         rows.versionedInsertInto(ctx, dstDefn, user, UpdateMessage(
           s"deep clone state of ${src.name.fullyQualifiedName} @ ${at.id}"))

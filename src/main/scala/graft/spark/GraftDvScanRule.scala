@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
   DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -69,7 +69,13 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
           RowOverlay.hasOverlay(
             spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
           ColumnMapping.hasMapping(
-            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf))
+            spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf) ||
+          // a time-traveled read ADDRESSING a pre-mapping commit still
+          // needs the rewrite when the CURRENT state has a mapping: the
+          // relation declares current logical names, and only the lineage
+          // projection below can serve them over the old physical files
+          (t.tableAsOf.isDefined && ColumnMapping.hasMapping(
+            spark, t.tableBinding.log, t.tableDefinition, None)))
           dvPlan(r, t)
         else r
     }
@@ -131,15 +137,26 @@ final case class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] 
     val byName = child.output
       .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // a RENAME recorded after the addressed commit leaves the relation's
+    // (current) name missing from the time-traveled read — but the SAME
+    // frozen physical column carried the ADDRESSED state's name, so the
+    // values exist; resolve through the rename lineage rather than
+    // NULL-blanking real data (only computed when a name actually misses)
+    lazy val renamedAt: Map[String, String] = ColumnMapping.renamedSince(
+      spark, t.tableBinding.log, t.tableDefinition, t.tableAsOf)
     val projList: Seq[NamedExpression] = r.output.map { out =>
-      byName.get(out.name.toLowerCase(java.util.Locale.ROOT)) match {
-        case Some(in) =>
-          val e =
-            if (in.dataType == out.dataType) in
-            else Cast(in, out.dataType, tz)
-          Alias(e, out.name)(
-            exprId = out.exprId, qualifier = out.qualifier,
-            explicitMetadata = Some(out.metadata))
+      def aliased(in: Attribute): NamedExpression = {
+        val e =
+          if (in.dataType == out.dataType) in
+          else Cast(in, out.dataType, tz)
+        Alias(e, out.name)(
+          exprId = out.exprId, qualifier = out.qualifier,
+          explicitMetadata = Some(out.metadata))
+      }
+      byName.get(out.name.toLowerCase(java.util.Locale.ROOT))
+        .orElse(renamedAt.get(out.name.toLowerCase(java.util.Locale.ROOT))
+          .flatMap(n => byName.get(n.toLowerCase(java.util.Locale.ROOT)))) match {
+        case Some(in) => aliased(in)
         case None => // declared column no file holds yet: evolution NULL
           Alias(Literal.create(null, out.dataType), out.name)(
             exprId = out.exprId, qualifier = out.qualifier,

@@ -807,9 +807,16 @@ final case class GraftShallowCloneCommand(
     val dstDefn = ShallowClone.clone(session, ctx, srcDefn, dstName, UserId("sql"), Some(at))
     // carry the source's DECLARED schema (evolution lives there — a fresh
     // file inference could sample a pre-evolution footer and serve the
-    // clone narrow); None when the source itself had none (infer as before)
-    GraftTableCatalog.register(
-      cat, dstDefn, GraftTableCatalog.registeredSchema(cat, srcDefn.name))
+    // clone narrow); None when the source itself had none (infer as
+    // before). An AS OF clone declares what a `VERSION AS OF` load of the
+    // source would: the current declaration overlaid with the addressed
+    // commit's recorded struct shapes / widths / column ORDER — same
+    // posture as the deep clone's registration.
+    val registered = GraftTableCatalog.registeredSchema(cat, srcDefn.name)
+    val schema =
+      if (asOf.isEmpty) registered
+      else SchemaStates.schemaFor(session, binding.log, srcDefn, registered, at)
+    GraftTableCatalog.register(cat, dstDefn, schema)
     Seq(Row(dstParts.mkString("."), at.id))
   }
 }

@@ -126,7 +126,13 @@ object ShallowClone {
     // merge-on-read overlay rows: resolved (live, DV-applied) rows carry as
     // one complete overlay dir anchored at the clone's state commit
     RowOverlay.cloneResolvedState(spark, log, src, at, cloneAnchor)
-    ColumnMapping.stateAt(spark, log, src, Some(at)).foreach { s =>
+    // the CURRENT effective mapping carries (not the at-state one): the
+    // clone's files keep their frozen PHYSICAL names, and the clone —
+    // like a `VERSION AS OF` load of the source (the pinned SQL posture)
+    // — serves the CURRENT logical names over them; carrying the at-state
+    // mapping would leave a post-`at` rename's registered name with no
+    // physical resolution and NULL-blank real values
+    ColumnMapping.stateAt(spark, log, src, None).foreach { s =>
       ColumnMapping.cloneStateTo(spark, src, s, cloneAnchor, dst)
     }
     val constraints = Constraints.list(spark, src)
