@@ -97,4 +97,44 @@ class RenameTravelCloneSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.catalog.graftrt")
     }
   }
+
+  test("NESTED rename after the addressed commit: AS OF serves the struct values, current shape") {
+    val log = new InMemoryTableVersions
+    val ctx = VersionContext(VersionedMetastore(log, new InMemoryMetastore))
+    val table = TableDefinition(
+      TableName("test", "nrt_src"),
+      Files.createTempDirectory("graft_nrt").toUri,
+      PartitionSchema(List(PartitionColumn("date"))), FileFormat.Parquet)
+    ctx.init(table, user, UpdateMessage("init"))
+    spark.conf.set(
+      "spark.sql.catalog.graftnrt", classOf[GraftTableCatalog].getName)
+    GraftTableCatalog.bind("graftnrt", log)
+    try {
+      val name = "graftnrt.test.nrt_src"
+      GraftTableCatalog.register("graftnrt", table)
+      spark.sql(
+        """SELECT id, named_struct('lang', concat('l', id), 'aux', 'x') AS meta,
+          |       '2024-01-01' AS date FROM range(1, 4)""".stripMargin)
+        .versionedInsertInto(ctx, table, user, UpdateMessage("v1"))
+      val pre = log.currentCommit(table.name)
+
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN meta.lang TO language")
+      spark.sql(
+        s"""INSERT INTO $name
+           |SELECT 11L AS id, named_struct('language', 'l11', 'aux', 'y') AS meta,
+           |       DATE'2024-01-02' AS date""".stripMargin)
+
+      // same posture as the top level: the relation declares the CURRENT
+      // shape and the frozen physical field serves the values (the
+      // positional struct conform) — never a NULL-blanked nested field
+      val asOf = spark.sql(s"SELECT * FROM $name VERSION AS OF '${pre.id}'")
+      asOf.schema.fields.find(_.name == "meta").get.dataType.simpleString shouldBe
+        "struct<language:string,aux:string>"
+      asOf.select("id", "meta.language").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted shouldBe
+        (1L to 3L).map(i => (i, s"l$i"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftnrt")
+    }
+  }
 }
