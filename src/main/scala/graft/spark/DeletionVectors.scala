@@ -399,7 +399,13 @@ object DeletionVectors {
     // unioning would serve it a partial sidecar
     val staged = new org.apache.hadoop.fs.Path(
       dir + "-staging-" + UUID.randomUUID().toString)
-    out.write.mode("overwrite").parquet(staged.toString)
+    // sidecars are metadata-sized but RESOLVED ON EVERY READ (union +
+    // latest-wins window over every contributing dir): land them as few
+    // AQE-sized files, not one per upstream shuffle partition. Hash by
+    // `file` — deterministic, and AQE coalesces to ~1 file at metadata
+    // scale / splits if a pathological pair set ever gets big
+    VersionContext.distributeForWrite(out, Seq("file"))
+      .write.mode("overwrite").parquet(staged.toString)
     if (keepSquash)
       fs.create(new org.apache.hadoop.fs.Path(staged, SquashedMarker), true).close()
     fs.delete(dirPath, true)
@@ -636,7 +642,10 @@ object DeletionVectors {
       }
       val id = CommitId(UUID.randomUUID().toString)
       val dir = deletesDir(table, id)
-      sidecar.write.mode("overwrite").parquet(dir)
+      // few AQE-sized sidecar files, not one per shuffle partition — every
+      // subsequent read unions this dir (see writeSidecar)
+      VersionContext.distributeForWrite(sidecar, Seq("file"))
+        .write.mode("overwrite").parquet(dir)
       val committed = ctx.metastore.commitIf(
         table.name,
         TableUpdate(TableUpdateMetadata(id, user, message, java.time.Instant.now()), Nil),

@@ -230,11 +230,15 @@ object FileStats {
     // RAW dirs scan: stats key by FILE and cover exactly the version-dir
     // files — overlay files carry their own per-dir `_stats` sidecar
     // (writeOverlayStats); indexing them here would double-count
-    zoneMaps(
-      VersionedReader(spark, log).readRawDirs(table), cols.map(phys),
-      carryCols = table.partitionSchema.columns.map(_.name),
-      distinctCols = distinctCols.map(phys),
-      bloomCols = bloomCols.map(phys))
+    // stats sidecars are scanned by every pruned read — land them as few
+    // AQE-sized files (hash by `file`), not one per shuffle partition
+    VersionContext.distributeForWrite(
+      zoneMaps(
+        VersionedReader(spark, log).readRawDirs(table), cols.map(phys),
+        carryCols = table.partitionSchema.columns.map(_.name),
+        distinctCols = distinctCols.map(phys),
+        bloomCols = bloomCols.map(phys)),
+      Seq("file"))
       .write.mode("overwrite").parquet(statsDir(log, table))
   }
 
@@ -290,15 +294,17 @@ object FileStats {
         def have(cs: Seq[String]) = cs.filter(c => present(c.toLowerCase))
         val cols = have(statCols)
         if (cols.nonEmpty) {
-          zoneMaps(
-            scan, cols,
-            carryCols =
-              if (table.isSnapshot) Nil
-              else table.partitionSchema.columns.map(_.name).filter(c => present(c.toLowerCase)),
-            distinctCols =
-              have(names.collect { case n if n.startsWith("dv_") => n.stripPrefix("dv_") }),
-            bloomCols =
-              have(names.collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }))
+          VersionContext.distributeForWrite(
+            zoneMaps(
+              scan, cols,
+              carryCols =
+                if (table.isSnapshot) Nil
+                else table.partitionSchema.columns.map(_.name).filter(c => present(c.toLowerCase)),
+              distinctCols =
+                have(names.collect { case n if n.startsWith("dv_") => n.stripPrefix("dv_") }),
+              bloomCols =
+                have(names.collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") })),
+            Seq("file"))
             .write.mode("overwrite")
             .parquet(overlayDir.stripSuffix("/") + "/_stats")
         }
@@ -438,8 +444,10 @@ object FileStats {
     // the using-join above moves partition columns to the front; restore
     // the canonical zoneMaps column order so every sidecar generation has
     // the same schema layout
-    kept.unionByName(fresh)
-      .select(fresh.columns.map(col).toIndexedSeq: _*)
+    VersionContext.distributeForWrite(
+      kept.unionByName(fresh)
+        .select(fresh.columns.map(col).toIndexedSeq: _*),
+      Seq("file"))
       .write.mode("overwrite").parquet(destDir)
   }
 

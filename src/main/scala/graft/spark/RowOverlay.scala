@@ -386,7 +386,8 @@ object RowOverlay {
                   "versionedInsertInto")
           }
           if (!mapped.isEmpty) {
-            mapped.write.format(table.format.name).save(dir)
+            VersionContext.distributeForWrite(mapped, Nil)
+              .write.format(table.format.name).save(dir)
             wroteOverlay = true
           }
           Nil
@@ -428,7 +429,12 @@ object RowOverlay {
             else keyed.join(broadcast(existingDf), joinKeys, "left_anti")
               .drop(partCols.map(c => s"__ro_$c"): _*)
           if (existing.nonEmpty) {
-            overlayRows.write
+            // optimized write (VersionContext.distributeForWrite): a cached
+            // batch would otherwise land one file per cached partition per
+            // partition dir — and overlay leaves are unioned into EVERY
+            // subsequent read, so their file count is pure read debt
+            VersionContext.distributeForWrite(overlayRows, partCols)
+              .write
               .partitionBy(partCols: _*)
               .format(table.format.name)
               .save(dir)
@@ -662,10 +668,15 @@ object RowOverlay {
     val commitId = CommitId(UUID.randomUUID().toString)
     val dir = appendsDir(table, commitId) // invisible until the commit lands
     val fs = FileSystem.get(table.location, spark.sessionState.newHadoopConf())
-    val writer = live.write.format(table.format.name)
+    // optimized write: the union of many small overlay leaves would land
+    // one output file per input file otherwise — the squash exists to CUT
+    // read amplification, so its own output must be size-packed
+    val partCols = if (table.isSnapshot) Nil
+      else table.partitionSchema.columns.map(_.name)
+    val writer = VersionContext.distributeForWrite(live, partCols)
+      .write.format(table.format.name)
     if (table.isSnapshot) writer.save(dir)
-    else writer.partitionBy(table.partitionSchema.columns.map(_.name): _*)
-      .save(dir)
+    else writer.partitionBy(partCols: _*).save(dir)
     fs.create(new HPath(dir, SquashedMarker), true).close()
     // the fold replaces every older dir's stats coverage with its own
     FileStats.writeOverlayStats(spark, log, table, dir)
@@ -744,7 +755,9 @@ object RowOverlay {
     }).drop(fileCol, posCol)
     val dir = appendsDir(src, cloneAnchor) // linked tables share the location
     val fs = FileSystem.get(src.location, spark.sessionState.newHadoopConf())
-    val writer = live.write.format(src.format.name)
+    val writer = VersionContext
+      .distributeForWrite(live, if (src.isSnapshot) Nil else curSig)
+      .write.format(src.format.name)
     if (src.isSnapshot) writer.save(dir)
     else writer.partitionBy(curSig: _*).save(dir)
     fs.create(new HPath(dir, SquashedMarker), true).close()
