@@ -23,7 +23,13 @@ object Tables {
     // transient state.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    // schema cached per path (immutable test files): every bare
+    // `spark.read.parquet` pays one footer-inference Spark job, and the
+    // bench re-loads these tables hundreds of times per session
+    val path = s"$sfDir/$table.parquet"
+    val schema = graft.spark.SchemaCache.getOrInfer("parquet", false, Seq(path))(
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (table == "events") normalizeEvents(df) else df
   }
 

@@ -681,15 +681,27 @@ final case class GraftUpdateCommand(
     val migrating = !defn.isSnapshot && byName.keys.exists(partSet.contains)
     // a no-match UPDATE must not commit: the history would gain a junk
     // entry (and a snapshot table a full identical rewrite) for a no-op.
-    // The migrating branch derives this from its own single pass instead.
-    if (!migrating && current.where(cond).isEmpty) return Seq.empty
+    // The partitioned branches derive this from their own single
+    // touched-set pass (the GraftDeleteCommand shape — collecting the
+    // #partitions-row set both answers the no-match probe and feeds the
+    // broadcast, ONE scan instead of a probe scan + a broadcast-side
+    // scan); snapshots keep the explicit probe.
+    if (!migrating && defn.isSnapshot && current.where(cond).isEmpty)
+      return Seq.empty
     val (scope, alsoRemove, cached) =
       if (defn.isSnapshot) (current, Nil, None)
       else if (!migrating) {
         // touched-partition set is #partitions rows — metadata-sized,
         // safe to broadcast at any scale
-        val touched = current.where(cond).select(names.map(col): _*).distinct()
-        (current.join(broadcast(touched), names.toSeq, "left_semi"), Nil, None)
+        val touchedRows = current.where(cond)
+          .select(names.map(c0 => col(c0).cast("string")): _*).distinct().collect()
+        if (touchedRows.isEmpty) return Seq.empty
+        val touchedDf = session.createDataFrame(
+          java.util.Arrays.asList(touchedRows: _*),
+          StructType(names.map(n0 =>
+            org.apache.spark.sql.types.StructField(
+              n0, org.apache.spark.sql.types.StringType))))
+        (current.join(broadcast(touchedDf), names.toSeq, "left_semi"), Nil, None)
       } else {
         import graft.core.{ColumnValue, Partition, PartitionedTableVersion}
         // ONE DV-aware pass over the matched rows projects BOTH the

@@ -339,14 +339,19 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
         // read path this engine supports.
         spark.emptyDataFrame
       case SnapshotTableVersion(v) =>
+        val path = VersionPaths.pathFor(table.location, v).toString
         def loadWith(schema: Option[org.apache.spark.sql.types.StructType]) = {
           val r = spark.read
             .option("mergeSchema", mergeSchema.toString)
             .format(table.format.name)
           schema.foreach(r.schema)
-          r.load(VersionPaths.pathFor(table.location, v).toString)
+          r.load(path)
         }
-        point(withWidening(table, at, s => loadWith(Some(s)), loadWith(None)), pointers)
+        // schema cached per immutable version dir ([[SchemaCache]]): a bare
+        // load pays one footer-inference Spark job per call
+        def cachedLoad = loadWith(Some(SchemaCache.getOrInfer(
+          table.format.name, mergeSchema, Seq(path))(loadWith(None).schema)))
+        point(withWidening(table, at, s => loadWith(Some(s)), cachedLoad), pointers)
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         // one scan per partition-column SIGNATURE: a metadata-only
         // partition evolution ([[PartitionEvolution.evolveMetadataOnly]])
@@ -378,11 +383,21 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           schema.foreach(r.schema)
           r.load(paths: _*)
         }
+        // schema cached per immutable version-dir set ([[SchemaCache]]): a
+        // bare load pays one footer-inference Spark job per call, and
+        // lifecycle queries re-resolve the same states dozens of times
+        def cachedGroup(entries: Seq[(Partition, Version)]) = {
+          val paths = entries
+            .map { case (p, v) => SparkPaths.dirFor(table.location, p, v) }
+            .sorted
+          loadGroup(entries, Some(SchemaCache.getOrInfer(
+            table.format.name, mergeSchema, paths)(loadGroup(entries, None).schema)))
+        }
         if (groups.lengthCompare(1) == 0)
           point(withWidening(
             table, at,
             s => loadGroup(groups.head, Some(s)),
-            loadGroup(groups.head, None)), pointers)
+            cachedGroup(groups.head)), pointers)
         else {
           // widening derives from the POINTER-FREE union schema (pointer
           // columns are computed, never in files), then every era loads
@@ -391,11 +406,12 @@ final case class VersionedReader(spark: SparkSession, log: TableVersions) {
           val schemaOpt =
             if (widened.isEmpty) None
             else {
-              val base = groups.map(loadGroup(_, None))
+              val base = groups.map(cachedGroup(_))
                 .reduce(_.unionByName(_, allowMissingColumns = true)).schema
               Some(ColumnMapping.applyWideningToSchema(base, widened))
             }
-          groups.map(g => point(loadGroup(g, schemaOpt), pointers))
+          groups.map(g => point(
+            schemaOpt.fold(cachedGroup(g))(s => loadGroup(g, Some(s))), pointers))
             .reduce(_.unionByName(_, allowMissingColumns = true))
         }
       case PartitionedTableVersion(_) =>
