@@ -332,15 +332,37 @@ object VersionContext {
     * bin-packing, Z-order's range clustering, salted writers): the
     * rebalance SKIPS, never second-guessing a deliberate layout with a
     * second shuffle. `spark.graft.write.rebalance=false` disables the
-    * whole behavior. */
+    * whole behavior.
+    *
+    * SIZE GATE (round 21; guide §1.2 "remove unnecessary shuffles", §6
+    * file sizing): when the optimizer's size estimate says the whole
+    * write fits inside ONE advisory-sized output file
+    * (`spark.sql.adaptive.advisoryPartitionSizeInBytes`), a narrow
+    * `coalesce(1)` yields the same bounded layout the rebalance would —
+    * at most one file per partition dir — without paying an extra
+    * exchange + AQE stage per commit. The estimate is safe to trust in
+    * that direction: it comes from exact sources (parquet leaf sizes,
+    * cached-relation sizes, local relations) or conservative
+    * OVER-estimates (filters and joins keep child sizes; aggregates
+    * ignore group reduction), so a genuinely large input cannot slip
+    * into the single-task branch — unknown-size sources (streaming
+    * batches) estimate huge and keep the rebalance. Bytes-driven, so
+    * the branch taken is identical at any core count. */
   private[spark] def distributeForWrite(
       df: org.apache.spark.sql.DataFrame,
       partitionCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val enabled =
       df.sparkSession.conf.get("spark.graft.write.rebalance", "true").toBoolean
     if (!enabled || explicitlyDistributed(df.queryExecution.logical)) df
-    else if (partitionCols.isEmpty) df.hint("rebalance")
-    else df.hint("rebalance", partitionCols: _*)
+    else {
+      val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf
+          .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= advisory) df.coalesce(1)
+      else if (partitionCols.isEmpty) df.hint("rebalance")
+      else df.hint("rebalance", partitionCols: _*)
+    }
   }
 
   @annotation.tailrec
